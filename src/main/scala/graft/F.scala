@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared codegen-friendly column builders.
+  *
+  * Everything here composes built-in `org.apache.spark.sql.functions` only,
+  * so whole-stage codegen applies end to end; no UDFs. Each helper has an
+  * exact DuckDB-SQL twin (documented inline) so query results hash-match
+  * the driver's oracle.
+  */
+object F {
+
+  /** Stable 60-bit hash shared with the oracle.
+    *
+    * Spark:  conv(substring(md5(x), 1, 15), 16, 10)::long
+    * DuckDB: ('0x' || substr(md5(x), 1, 15))::BIGINT
+    *
+    * 15 hex chars = 60 bits, always non-negative, fits in int64 in both
+    * engines. md5 is identical everywhere, which is what makes MinHash /
+    * SimHash / fingerprint results oracle-checkable.
+    */
+  def hash60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Lowercased word tokens; DuckDB twin: regexp_extract_all(lower(x), '[a-z0-9]+'). */
+  def words(c: Column): Column = regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
+
+  /** Timestamp → epoch millis (BIGINT both sides; DuckDB twin: epoch_ms(ts)).
+    * All timestamps cross the verify boundary as epoch-ms to dodge
+    * ns/us parquet logical-type mismatches between engines. */
+  def epochMs(c: Column): Column = unix_millis(c.cast("timestamp"))
+
+  /** Output-boundary rounding: stabilizes float hashes across engines. */
+  def r4(c: Column): Column = round(c, 4)
+  def r6(c: Column): Column = round(c, 6)
+
+  /** Dot product over array<double> via codegen'd higher-order functions.
+    * Sequential left fold == DuckDB list_dot_product evaluation order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Squared L2 norm of an array<double>. */
+  def norm2(a: Column): Column = aggregate(a, lit(0.0), (acc, x) => acc + x * x)
+
+  /** Cosine similarity of two array<double> columns.
+    * DuckDB twin: list_cosine_similarity(a::DOUBLE[], b::DOUBLE[]). */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  /** array<float> parquet column → array<double> for stable float math. */
+  def asDouble(a: Column): Column = a.cast("array<double>")
+}

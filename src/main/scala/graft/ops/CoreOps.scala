@@ -1,0 +1,287 @@
+package graft.ops
+
+import graft.{F, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Core relational operators (SURVEY.md §2 #1-5, #15-19).
+  *
+  * These re-express the reference's SQL surface — scan/filter/aggregate,
+  * fact⋈dim joins, exists/not-exists universe filters, multi-granularity
+  * rollups, and min/max listing windows (reference:
+  * app/src/crypto_data_pipeline_duckdb.py:294-312, 968-972, 1227-1243) —
+  * as declarative DataFrame plans. Dims are broadcast; the fact side keeps
+  * a single shuffle per aggregation key; every filter/projection reaches
+  * the parquet scan via Catalyst pushdown.
+  */
+object CoreOps {
+  type Q = (SparkSession, String) => DataFrame
+  import Tables.t
+  import F._
+
+  /** #1 scan → filter → groupBy multi-aggregate (kline-rollup shape). */
+  private val q01: Q = (s, dir) => {
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1999-12-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        r4(sum(col("l_quantity"))).as("sum_qty"),
+        r4(sum(col("l_extendedprice"))).as("sum_base_price"),
+        r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price"),
+        r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))).as("sum_charge"),
+        r6(avg(col("l_quantity"))).as("avg_qty"),
+        r6(avg(col("l_extendedprice"))).as("avg_price"),
+        r6(avg(col("l_discount"))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  private val q01Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 4) AS sum_qty,
+      |  round(sum(l_extendedprice), 4) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+      |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 4) AS sum_charge,
+      |  round(avg(l_quantity), 6) AS avg_qty,
+      |  round(avg(l_extendedprice), 6) AS avg_price,
+      |  round(avg(l_discount), 6) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1999-12-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** #2 five-way fact⋈dims join + aggregate; dims broadcast. */
+  private val q02: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val o  = t(s, dir, "orders")
+    val c  = t(s, dir, "customer")
+    val n  = broadcast(t(s, dir, "nation"))
+    val r  = broadcast(t(s, dir, "region"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  private val q02Sql =
+    """SELECT r_name, n_name,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** #3 join + aggregate + top-N (ORDER BY/LIMIT), reference-style "latest
+    * extremes first, head(10)" shape. */
+  private val q03: Q = (s, dir) => {
+    val c  = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o  = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
+      .select(col("l_orderkey"), epochMs(col("o_orderdate")).as("o_orderdate_ms"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  private val q03Sql =
+    """SELECT l_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms, o_orderpriority,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** #4 anti join (NOT EXISTS): customers with no urgent order. */
+  private val q04: Q = (s, dir) => {
+    val urgent = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+    t(s, dir, "customer")
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy("c_custkey")
+  }
+
+  private val q04Sql =
+    """SELECT c_custkey, c_name, c_acctbal
+      |FROM customer
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** #5 semi join (EXISTS): orders having a high-discount line. */
+  private val q05: Q = (s, dir) => {
+    val disc = t(s, dir, "lineitem").filter(col("l_discount") > lit(0.08))
+    t(s, dir, "orders")
+      .join(disc, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  private val q05Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey AND l_discount > 0.08)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** #15 epoch/interval time ops: range clamp + day buckets (reference
+    * clamps fetch ranges to [list_date, delist_date] the same way,
+    * crypto_data_pipeline_duckdb.py:236-268). */
+  private val q15: Q = (s, dir) => {
+    t(s, dir, "events")
+      .filter(col("ts") >= lit("2024-01-05").cast("timestamp") &&
+        col("ts") < lit("2024-01-20").cast("timestamp"))
+      .groupBy(epochMs(date_trunc("day", col("ts"))).as("day_ms"), col("event_type"))
+      .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("total"))
+      .orderBy("day_ms", "event_type")
+  }
+
+  private val q15Sql =
+    """SELECT epoch_ms(date_trunc('day', ts)) AS day_ms, event_type,
+      |  count(*) AS n, round(sum(value), 4) AS total
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-20'
+      |GROUP BY 1, 2
+      |ORDER BY day_ms, event_type""".stripMargin
+
+  /** #16 window rank: top-3 orders per customer. */
+  private val q16: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rnk"))
+      .orderBy("o_custkey", "rnk")
+  }
+
+  private val q16Sql =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rnk
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    CAST(row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+      |  FROM orders)
+      |WHERE rnk <= 3
+      |ORDER BY o_custkey, rnk""".stripMargin
+
+  /** #17 multi-granularity rollup — the reference updates per-minute,
+    * per-2h and per-day tables separately; ROLLUP produces all
+    * granularities in one shuffle. */
+  private val q17: Q = (s, dir) => {
+    t(s, dir, "events")
+      .select(col("event_type"), epochMs(date_trunc("day", col("ts"))).as("day_ms"), col("value"))
+      .rollup(col("event_type"), col("day_ms"))
+      .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("total"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("day_ms"), lit(-1L)).as("day_ms"), col("n"), col("total"))
+      .orderBy("event_type", "day_ms")
+  }
+
+  private val q17Sql =
+    """SELECT coalesce(event_type, 'ALL') AS event_type,
+      |  coalesce(day_ms, -1) AS day_ms, n, total
+      |FROM (
+      |  SELECT event_type, day_ms, count(*) AS n, round(sum(value), 4) AS total
+      |  FROM (SELECT event_type, epoch_ms(date_trunc('day', ts)) AS day_ms, value FROM events)
+      |  GROUP BY ROLLUP (event_type, day_ms))
+      |ORDER BY event_type, day_ms""".stripMargin
+
+  /** #18 pivot via conditional aggregation: wide per-user metrics. */
+  private val q18: Q = (s, dir) => {
+    val e = t(s, dir, "events")
+    def cnt(et: String) = sum(when(col("event_type") === et, 1L).otherwise(0L))
+    def value(et: String) = r4(sum(when(col("event_type") === et, col("value")).otherwise(0.0)))
+    e.groupBy(col("user_id"))
+      .agg(
+        cnt("click").as("n_click"), cnt("view").as("n_view"),
+        cnt("purchase").as("n_purchase"), cnt("signup").as("n_signup"),
+        cnt("error").as("n_error"), value("purchase").as("purchase_value"),
+        value("view").as("view_value"))
+      .orderBy("user_id")
+  }
+
+  private val q18Sql =
+    """SELECT user_id,
+      |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+      |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+      |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+      |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+      |  round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 4) AS purchase_value,
+      |  round(sum(CASE WHEN event_type = 'view' THEN value ELSE 0.0 END), 4) AS view_value
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** #19 min/max listing windows joined to a dim — the reference derives
+    * per-asset [list_date, delist_date] exactly this way
+    * (crypto_data_pipeline_duckdb.py:294-312). */
+  private val q19: Q = (s, dir) => {
+    val w = t(s, dir, "events").groupBy(col("user_id"))
+      .agg(epochMs(min(col("ts"))).as("first_ms"), epochMs(max(col("ts"))).as("last_ms"),
+        count(lit(1)).as("n_events"))
+    t(s, dir, "customer")
+      .join(w, pmod(col("c_custkey"), lit(150L)) === col("user_id"))
+      .select(col("c_custkey"), col("c_name"), col("user_id"), col("first_ms"),
+        col("last_ms"), col("n_events"))
+      .orderBy("c_custkey")
+  }
+
+  private val q19Sql =
+    """SELECT c_custkey, c_name, user_id, first_ms, last_ms, n_events
+      |FROM customer
+      |JOIN (
+      |  SELECT user_id, epoch_ms(min(ts)) AS first_ms, epoch_ms(max(ts)) AS last_ms,
+      |    count(*) AS n_events
+      |  FROM events GROUP BY user_id) w
+      |ON (c_custkey % 150) = user_id
+      |ORDER BY c_custkey""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q01_pricing_summary" -> q01,
+    "q02_revenue_by_nation" -> q02,
+    "q03_top_orders" -> q03,
+    "q04_customers_no_orders" -> q04,
+    "q05_orders_with_discounts" -> q05,
+    "q15_time_buckets" -> q15,
+    "q16_top_per_group" -> q16,
+    "q17_grouping_sets" -> q17,
+    "q18_conditional_pivot" -> q18,
+    "q19_minmax_windows" -> q19)
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Sql,
+    "q02_revenue_by_nation" -> q02Sql,
+    "q03_top_orders" -> q03Sql,
+    "q04_customers_no_orders" -> q04Sql,
+    "q05_orders_with_discounts" -> q05Sql,
+    "q15_time_buckets" -> q15Sql,
+    "q16_top_per_group" -> q16Sql,
+    "q17_grouping_sets" -> q17Sql,
+    "q18_conditional_pivot" -> q18Sql,
+    "q19_minmax_windows" -> q19Sql)
+}

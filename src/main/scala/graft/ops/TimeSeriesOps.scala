@@ -1,0 +1,325 @@
+package graft.ops
+
+import graft.{F, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operators (SURVEY.md §2 #6-14) — the reference's actual
+  * analytics surface re-expressed as single-shuffle window chains.
+  *
+  * Design stance for 100 TB: every windowed op below shuffles once on its
+  * series key (symbol analog), sorts once, and computes O(1)-state frames
+  * (rolling sums, lag, last_value). No per-row array materialization, no
+  * driver-side loops.
+  */
+object TimeSeriesOps {
+  type Q = (SparkSession, String) => DataFrame
+  import Tables.t
+  import F._
+
+  /** #6 dedup keep-last by PK — the reference's
+    * drop_duplicates(subset=PK, keep='last') after paginated fetch
+    * (crypto_data_pipeline_duckdb.py:940-949). */
+  private val q06: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    t(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        epochMs(col("ts")).as("ts_ms"), col("value"))
+      .orderBy("user_id", "event_type")
+  }
+
+  private val q06Sql =
+    """SELECT user_id, event_type, event_id, epoch_ms(ts) AS ts_ms, value
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+      |    ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1
+      |ORDER BY user_id, event_type""".stripMargin
+
+  /** #7 PK upsert: delta batch overrides base — the reference's
+    * update_table UPDATE-matched + INSERT-new merge
+    * (crypto_data_pipeline_duckdb.py:1546-1594), expressed as a
+    * union + keep-highest-priority, one shuffle on the PK. */
+  private val q07: Q = (s, dir) => {
+    val e = t(s, dir, "events")
+    val base = e.filter(pmod(col("event_id"), lit(10L)) < 8)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+        col("value"), lit(0).as("batch"))
+    val delta = e.filter(pmod(col("event_id"), lit(10L)) >= 5)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+        (col("value") + lit(1.0)).as("value"), lit(1).as("batch"))
+    val w = Window.partitionBy(col("event_id")).orderBy(col("batch").desc)
+    base.unionAll(delta)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        epochMs(col("ts")).as("ts_ms"), col("value"))
+      .orderBy("event_id")
+  }
+
+  private val q07Sql =
+    """WITH base AS (
+      |  SELECT event_id, user_id, event_type, ts, value, 0 AS batch
+      |  FROM events WHERE event_id % 10 < 8),
+      |delta AS (
+      |  SELECT event_id, user_id, event_type, ts, value + 1.0 AS value, 1 AS batch
+      |  FROM events WHERE event_id % 10 >= 5),
+      |u AS (SELECT * FROM base UNION ALL SELECT * FROM delta),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY batch DESC) AS rn FROM u)
+      |SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms, value
+      |FROM r WHERE rn = 1
+      |ORDER BY event_id""".stripMargin
+
+  /** #8 incremental high-watermark: MAX(ts) per series drives the next
+    * fetch window (reference get_latest_update,
+    * crypto_data_pipeline_duckdb.py:1523-1544). */
+  private val q08: Q = (s, dir) => {
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(epochMs(max(col("ts"))).as("max_ts_ms"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
+  private val q08Sql =
+    """SELECT event_type, epoch_ms(max(ts)) AS max_ts_ms, count(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** #9 time-bucket resample to 1h OHLCV — klines are the reference's core
+    * data shape; this rebuilds coarser bars from fine ones. first/last by
+    * (ts, event_id) via min_by/max_by (arg_min/arg_max in DuckDB). */
+  private val q09: Q = (s, dir) => {
+    t(s, dir, "events")
+      .groupBy(col("event_type"), epochMs(date_trunc("hour", col("ts"))).as("bucket_ms"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        r4(sum(col("value"))).as("volume"),
+        count(lit(1)).as("n_trades"))
+      .orderBy("event_type", "bucket_ms")
+  }
+
+  private val q09Sql =
+    """SELECT event_type, epoch_ms(date_trunc('hour', ts)) AS bucket_ms,
+      |  first(value ORDER BY ts, event_id) AS open,
+      |  max(value) AS high,
+      |  min(value) AS low,
+      |  last(value ORDER BY ts, event_id) AS close,
+      |  round(sum(value), 4) AS volume,
+      |  count(*) AS n_trades
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY event_type, bucket_ms""".stripMargin
+
+  /** #10 two-table align + ratio — the perp/spot premium
+    * (crypto_data_pipeline_duckdb.py:1229-1243): price vs list price. */
+  private val q10: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem").filter(col("l_quantity") > 0)
+    val p = t(s, dir, "part")
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("p_partkey"),
+        r6(col("l_extendedprice") / (col("l_quantity") * col("p_retailprice")) - lit(1.0)).as("premium"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  private val q10Sql =
+    """SELECT l_orderkey, l_linenumber, p_partkey,
+      |  round(l_extendedprice / (l_quantity * p_retailprice) - 1.0, 6) AS premium
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_quantity > 0
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** #11 WMA(n) — pandas_ta-style linearly-weighted moving average
+    * (crypto_data_pipeline_duckdb.py:1246-1263), null until the window is
+    * full. Reformulated as two rolling sums so the frame math is O(1)
+    * per row at any window size:
+    *   wma_t = (Σ rn·x over frame + (n − rn_t)·Σ x over frame) / (n(n+1)/2)
+    * with rn = row_number per series. */
+  private val q11: Q = (s, dir) => {
+    val n = 12
+    val ord = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    val frame = ord.rowsBetween(-(n - 1), 0)
+    t(s, dir, "events")
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("sxw", sum(col("value") * col("rn")).over(frame))
+      .withColumn("sx", sum(col("value")).over(frame))
+      .withColumn("cnt", count(lit(1)).over(frame))
+      .select(col("event_type"), col("event_id"), epochMs(col("ts")).as("ts_ms"), col("value"),
+        r6(when(col("cnt") === n,
+          (col("sxw") + (lit(n) - col("rn")) * col("sx")) / lit(n * (n + 1) / 2.0))).as("wma12"))
+      .orderBy("event_type", "ts_ms", "event_id")
+  }
+
+  private val q11Sql =
+    """WITH r AS (
+      |  SELECT event_type, event_id, ts, value,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |f AS (
+      |  SELECT *,
+      |    sum(value * rn) OVER w AS sxw,
+      |    sum(value) OVER w AS sx,
+      |    count(*) OVER w AS cnt
+      |  FROM r
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+      |    ROWS BETWEEN 11 PRECEDING AND CURRENT ROW))
+      |SELECT event_type, event_id, epoch_ms(ts) AS ts_ms, value,
+      |  round(CASE WHEN cnt = 12 THEN (sxw + (12 - rn) * sx) / 78.0 END, 6) AS wma12
+      |FROM f
+      |ORDER BY event_type, ts_ms, event_id""".stripMargin
+
+  /** #12 extreme-move detection — port of the reference's
+    * get_extreme_cases (crypto_data_pipeline_duckdb.py:1720-1764):
+    * LAG(x, k) change threshold, then a debounce on the gap between
+    * consecutive candidates, newest first, head(10). */
+  private val q12: Q = (s, dir) => {
+    val k = 5
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    val cand = t(s, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), k).over(w))
+      .withColumn("prev_value", lag(col("value"), k).over(w))
+      .withColumn("value_change", col("value") - col("prev_value"))
+      .filter(col("value_change") < lit(-400.0))
+    val wd = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    cand
+      .withColumn("gap_ms", epochMs(col("ts")) - epochMs(lag(col("ts"), 1).over(wd)))
+      .filter(col("gap_ms").isNull || col("gap_ms") > lit(3600000L))
+      .select(col("event_type"), col("event_id"), epochMs(col("ts")).as("ts_ms"),
+        epochMs(col("prev_ts")).as("prev_ts_ms"), col("value"), col("prev_value"),
+        r6(col("value_change")).as("value_change"), col("gap_ms"))
+      .orderBy(col("ts_ms").desc, col("event_id"))
+      .limit(10)
+  }
+
+  private val q12Sql =
+    """WITH prep AS (
+      |  SELECT event_type, event_id, ts, value,
+      |    lag(ts, 5) OVER w AS prev_ts,
+      |    lag(value, 5) OVER w AS prev_value
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+      |cand AS (
+      |  SELECT *, value - prev_value AS value_change
+      |  FROM prep WHERE value - prev_value < -400.0),
+      |deb AS (
+      |  SELECT *,
+      |    epoch_ms(ts) - epoch_ms(lag(ts, 1) OVER (PARTITION BY event_type
+      |      ORDER BY ts, event_id)) AS gap_ms
+      |  FROM cand)
+      |SELECT event_type, event_id, epoch_ms(ts) AS ts_ms, epoch_ms(prev_ts) AS prev_ts_ms,
+      |  value, prev_value, round(value_change, 6) AS value_change, gap_ms
+      |FROM deb
+      |WHERE gap_ms IS NULL OR gap_ms > 3600000
+      |ORDER BY ts_ms DESC, event_id
+      |LIMIT 10""".stripMargin
+
+  /** #13 as-of join: for each purchase, the latest view by the same user
+    * at or before the purchase time. Spark lacks ASOF JOIN; this is the
+    * union + carry-last-non-null plan — ONE shuffle on the series key,
+    * one sort, no range explosion (the scalable as-of pattern).
+    * Oracle uses DuckDB's native ASOF LEFT JOIN. */
+  private val q13: Q = (s, dir) => {
+    val e = t(s, dir, "events")
+    // right side must be unique per (user_id, ts) for well-defined as-of
+    val views = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("v_event_id"), max_by(col("value"), col("event_id")).as("v_value"))
+      .select(col("user_id"), col("ts"), lit(0).as("side"), col("v_event_id"), col("v_value"),
+        lit(null).cast("long").as("p_event_id"), lit(null).cast("double").as("p_value"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("side"),
+        lit(null).cast("long").as("v_event_id"), lit(null).cast("double").as("v_value"),
+        col("event_id").as("p_event_id"), col("value").as("p_value"))
+    // at equal ts the view sorts first (side 0) => `>=` as-of semantics
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"), coalesce(col("p_event_id"), col("v_event_id")))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    views.unionAll(purchases)
+      .withColumn("m_event_id", last(col("v_event_id"), ignoreNulls = true).over(w))
+      .withColumn("m_value", last(col("v_value"), ignoreNulls = true).over(w))
+      .withColumn("m_ts", last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("p_event_id"), col("user_id"), epochMs(col("ts")).as("p_ts_ms"),
+        col("m_event_id").as("v_event_id"), epochMs(col("m_ts")).as("v_ts_ms"),
+        col("m_value").as("v_value"))
+      .orderBy("p_event_id")
+  }
+
+  private val q13Sql =
+    """WITH v AS (
+      |  SELECT user_id, ts, max(event_id) AS v_event_id,
+      |    arg_max(value, event_id) AS v_value
+      |  FROM events WHERE event_type = 'view'
+      |  GROUP BY user_id, ts),
+      |p AS (
+      |  SELECT user_id, ts, event_id, value
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id AS p_event_id, p.user_id AS user_id, epoch_ms(p.ts) AS p_ts_ms,
+      |  v.v_event_id AS v_event_id, epoch_ms(v.ts) AS v_ts_ms, v.v_value AS v_value
+      |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+      |ORDER BY p_event_id""".stripMargin
+
+  /** #14 gap sessionization (30 min): running sum over new-session flags —
+    * generalizes the reference's gap debounce into session windows. */
+  private val q14: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    t(s, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_ts").isNull || epochMs(col("ts")) - epochMs(col("prev_ts")) > 1800000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_s")).over(wrun))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(epochMs(min(col("ts"))).as("start_ms"), epochMs(max(col("ts"))).as("end_ms"),
+        count(lit(1)).as("n_events"), r4(sum(col("value"))).as("total_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  private val q14Sql =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |f AS (
+      |  SELECT *, CASE WHEN prev_ts IS NULL
+      |      OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000 THEN 1 ELSE 0 END AS new_s
+      |  FROM e),
+      |s AS (
+      |  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM f)
+      |SELECT user_id, session_id, epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms,
+      |  count(*) AS n_events, round(sum(value), 4) AS total_value
+      |FROM s
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q06_dedup_keep_last" -> q06,
+    "q07_upsert_merge" -> q07,
+    "q08_incremental_max" -> q08,
+    "q09_resample_ohlc" -> q09,
+    "q10_premium" -> q10,
+    "q11_wma_premium" -> q11,
+    "q12_extreme_moves" -> q12,
+    "q13_asof_join" -> q13,
+    "q14_sessionize" -> q14)
+
+  val oracle: Map[String, String] = Map(
+    "q06_dedup_keep_last" -> q06Sql,
+    "q07_upsert_merge" -> q07Sql,
+    "q08_incremental_max" -> q08Sql,
+    "q09_resample_ohlc" -> q09Sql,
+    "q10_premium" -> q10Sql,
+    "q11_wma_premium" -> q11Sql,
+    "q12_extreme_moves" -> q12Sql,
+    "q13_asof_join" -> q13Sql,
+    "q14_sessionize" -> q14Sql)
+}

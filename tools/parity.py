@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Local replay of the driver's correctness gate (dev tool, not library code).
+
+Usage: python3 tools/parity.py <sfDir> <verifyOutDir> [query ...]
+
+Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs the
+matching oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB with views
+over the same parquet tables, and compares: column names (sorted), dtypes
+(loosely), row count, and exact values.
+"""
+import json, sys, glob
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.reset_index(drop=True)
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        try:
+            files = glob.glob(f"{out_dir}/{name}/*.parquet")
+            if not files:
+                print(f"FAIL {name}: no spark output");  n_fail += 1; continue
+            got = norm(pd.read_parquet(f"{out_dir}/{name}"))
+            exp = norm(con.execute(sql).fetchdf())
+        except Exception as e:
+            print(f"FAIL {name}: {type(e).__name__}: {e}"); n_fail += 1; continue
+        if list(got.columns) != list(exp.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}"); n_fail += 1; continue
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows {len(got)} != {len(exp)}"); n_fail += 1; continue
+        bad = []
+        for c in got.columns:
+            g, e = got[c], exp[c]
+            if g.dtype != e.dtype:
+                # tolerate int width/nullable differences but not value diffs
+                try:
+                    g = g.astype("object"); e = e.astype("object")
+                except Exception:
+                    bad.append((c, "dtype", str(got[c].dtype), str(exp[c].dtype))); continue
+            neq = ~((g == e) | (g.isna() & e.isna()))
+            if neq.any():
+                i = neq.idxmax()
+                bad.append((c, f"row {i}", repr(g[i]), repr(e[i])))
+        if bad:
+            print(f"FAIL {name}: {len(bad)} bad cols; first: {bad[0]}  [dtypes got/exp: "
+                  f"{[(c, str(got[c].dtype), str(exp[c].dtype)) for c, *_ in bad][:3]}]")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows, {len(got.columns)} cols)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
