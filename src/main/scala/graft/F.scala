@@ -31,9 +31,15 @@ object F {
     * ns/us parquet logical-type mismatches between engines. */
   def epochMs(c: Column): Column = unix_millis(c.cast("timestamp"))
 
-  /** Output-boundary rounding: stabilizes float hashes across engines. */
-  def r4(c: Column): Column = round(c, 4)
-  def r6(c: Column): Column = round(c, 6)
+  /** Output-boundary rounding: stabilizes float hashes across engines.
+    *
+    * NOT `round()`: Spark rounds the shortest decimal string HALF_UP while
+    * DuckDB rounds the binary double, so exact-half values (e.g.
+    * 0.5163125) diverge. floor(x·10ⁿ + 0.5)/10ⁿ is the same IEEE op
+    * sequence in both engines → bit-identical. Oracle SQL keeps writing
+    * round(X, n); [[graft.SparkEntry]] rewrites it to this form. */
+  def r4(c: Column): Column = floor(c * 1e4 + 0.5) / 1e4
+  def r6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
 
   /** Dot product over array<double> via codegen'd higher-order functions.
     * Sequential left fold == DuckDB list_dot_product evaluation order. */

@@ -1,0 +1,275 @@
+package graft.ops
+
+import graft.{F, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family (SURVEY.md §2 #20-24) over the `documents` /
+  * `embeddings` tables — the dedup operators a large-scale training-data
+  * pipeline needs, each expressed as a blocked (never full-cross) plan.
+  *
+  * The reference dedups paginated fetches by PK
+  * (crypto_data_pipeline_duckdb.py:940-949); these generalize that to
+  * content dedup: exact hash, MinHash+LSH, SimHash, n-gram Jaccard and
+  * embedding-cosine near-dup. All hashing is md5-based ([[F.hash60]]) so
+  * every pipeline is reproducible bit-for-bit in the DuckDB oracle.
+  *
+  * Scale stance: every pairing step is blocked — LSH bands, SimHash
+  * chunks, minhash blocks, sign-sketch bands — so self-joins shuffle on
+  * (block, key) and only in-bucket pairs are ever materialized. No
+  * O(n²) candidate generation anywhere.
+  */
+object DedupOps {
+  type Q = (SparkSession, String) => DataFrame
+  import Tables.t
+  import F._
+
+  /** doc_id + lowercased word tokens (≥3 words) + 3-word shingles. */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .withColumn("sh",
+        expr("transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
+
+  /** Spark-SQL text of hash60 (F.hash60's expr-string twin). */
+  private def h60(x: String): String =
+    s"CAST(conv(substring(md5($x), 1, 15), 16, 10) AS BIGINT)"
+
+  /** MinHash signature element i over shingle array `sh`. */
+  private def minhashExpr(i: String): String =
+    s"array_min(transform(sh, s -> ${h60(s"concat(CAST($i AS STRING), ':', s)")}))"
+
+  /** #20 exact dedup: md5 of whitespace-normalized lowercase text,
+    * keep the minimum doc_id per hash group. */
+  private val d01: Q = (s, dir) => {
+    t(s, dir, "documents")
+      .withColumn("text_md5", md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
+      .groupBy(col("text_md5"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+      .orderBy("text_md5")
+  }
+
+  private val d01Sql =
+    """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS text_md5,
+      |  min(doc_id) AS keep_id, count(*) AS n_docs
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY text_md5""".stripMargin
+
+  /** #21 MinHash + LSH: 8 md5-minhashes over 3-word shingles, 4 bands × 2
+    * rows; candidate pairs = docs sharing any band key. est_sim = fraction
+    * of agreeing signature positions. The self-join runs per (band, key)
+    * bucket — never cross-doc. */
+  private val d02: Q = (s, dir) => {
+    val sig = shingled(s, dir)
+      .withColumn("sig", expr(s"transform(sequence(0, 7), i -> ${minhashExpr("i")})"))
+    val bands = sig
+      .select(col("doc_id"), col("sig"), explode(sequence(lit(0), lit(3))).as("b"))
+      .withColumn("bkey",
+        expr("concat_ws('_', CAST(sig[2*b] AS STRING), CAST(sig[2*b+1] AS STRING))"))
+    val a = bands.select(col("doc_id").as("doc_a"), col("sig").as("sa"), col("b"), col("bkey"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("sig").as("sb"), col("b"), col("bkey"))
+    a.join(b, Seq("b", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("est_sim", r6(expr(
+        """aggregate(zip_with(sa, sb, (x, y) -> CASE WHEN x = y THEN 1.0D ELSE 0.0D END),
+          |CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) / 8.0D""".stripMargin)))
+      .select(col("doc_a"), col("doc_b"), col("est_sim"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val d02Sql =
+    """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+      |s3 AS (SELECT doc_id,
+      |    list_transform(generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh
+      |  FROM w WHERE len(ws) >= 3),
+      |sig AS (SELECT doc_id, list_transform(generate_series(0, 7),
+      |    i -> list_min(list_transform(sh, s -> CAST(('0x' || substr(md5(i || ':' || s), 1, 15)) AS BIGINT)))) AS sig
+      |  FROM s3),
+      |bands AS (SELECT doc_id, sig, b.b AS b,
+      |    CAST(sig[2*b.b+1] AS VARCHAR) || '_' || CAST(sig[2*b.b+2] AS VARCHAR) AS bkey
+      |  FROM sig, range(0, 4) b(b)),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
+      |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+      |SELECT DISTINCT doc_a, doc_b,
+      |  round(list_reduce(list_transform(generate_series(1, 8),
+      |    i -> CASE WHEN sa[i] = sb[i] THEN 1.0 ELSE 0.0 END), (x, y) -> x + y) / 8.0, 6) AS est_sim
+      |FROM p ORDER BY doc_a, doc_b""".stripMargin
+
+  /** #22 SimHash: 60-bit weighted-word simhash per doc; near-dup pairs at
+    * hamming ≤ 3, blocked by 4 × 15-bit chunks (pigeonhole: hamming ≤ 3
+    * ⇒ at least one chunk identical, so the block has full recall).
+    * The 60× bit fan-out collapses map-side via partial aggregation. */
+  private val d03: Q = (s, dir) => {
+    val wc = t(s, dir, "documents")
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+      .withColumn("hw", hash60(col("w")))
+    val bits = wc
+      .select(col("doc_id"), col("cnt"), col("hw"), explode(sequence(lit(0), lit(59))).as("bit"))
+      .withColumn("contrib",
+        when(expr("shiftright(hw, bit) & 1") === 1, col("cnt")).otherwise(-col("cnt")))
+      .groupBy("doc_id", "bit").agg(sum("contrib").as("s"))
+    val sh = bits.groupBy("doc_id")
+      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0L)).as("simhash"))
+    val ch = sh.select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("c"))
+      .withColumn("chunk", expr("shiftright(simhash, CAST(15 * c AS INT)) & 32767"))
+    val a = ch.select(col("doc_id").as("doc_a"), col("simhash").as("ha"), col("c"), col("chunk"))
+    val b = ch.select(col("doc_id").as("doc_b"), col("simhash").as("hb"), col("c"), col("chunk"))
+    a.join(b, Seq("c", "chunk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val d03Sql =
+    """WITH wc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents)
+      |  GROUP BY 1, 2),
+      |h AS (SELECT doc_id, cnt, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS hw FROM wc),
+      |bits AS (SELECT doc_id, b.b AS bit,
+      |    CAST(sum(CASE WHEN (hw >> b.b) & 1 = 1 THEN cnt ELSE -cnt END) AS BIGINT) AS s
+      |  FROM h, range(0, 60) b(b) GROUP BY 1, 2),
+      |sh AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM bits GROUP BY 1),
+      |ch AS (SELECT doc_id, simhash, c.c AS c, (simhash >> CAST(15*c.c AS INTEGER)) & 32767 AS chunk
+      |  FROM sh, range(0, 4) c(c))
+      |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      |FROM ch a JOIN ch b ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** #23 n-gram Jaccard: exact word-3-gram Jaccard ≥ 0.5 on pairs blocked
+    * by 4 independent minhash keys (recall for sim j: 1-(1-j)⁴ — ≈1 at
+    * the 0.5 threshold's planted near-dups). */
+  private val d04: Q = (s, dir) => {
+    val d = shingled(s, dir)
+      .withColumn("shd", array_distinct(col("sh")))
+      .withColumn("sig", expr(s"transform(sequence(0, 3), i -> ${minhashExpr("i")})"))
+    val e = d.select(col("doc_id"), col("shd"), posexplode(col("sig")).as(Seq("i", "mh")))
+    val a = e.select(col("doc_id").as("doc_a"), col("shd").as("la"), col("i"), col("mh"))
+    val b = e.select(col("doc_id").as("doc_b"), col("shd").as("lb"), col("i"), col("mh"))
+    a.join(b, Seq("i", "mh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("inter", size(array_intersect(col("la"), col("lb"))).cast("long"))
+      .withColumn("na", size(col("la")).cast("long"))
+      .withColumn("nb", size(col("lb")).cast("long"))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"))
+      .distinct()
+      .filter(col("inter") / (col("na") + col("nb") - col("inter")) >= 0.5)
+      .select(col("doc_a"), col("doc_b"),
+        r6(col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val d04Sql =
+    """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+      |s3 AS (SELECT doc_id,
+      |    list_transform(generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh
+      |  FROM w WHERE len(ws) >= 3),
+      |d AS (SELECT doc_id, list_distinct(sh) AS shd,
+      |    list_transform(generate_series(0, 3),
+      |      i -> list_min(list_transform(sh, s -> CAST(('0x' || substr(md5(i || ':' || s), 1, 15)) AS BIGINT)))) AS sig
+      |  FROM s3),
+      |e AS (SELECT doc_id, shd, i.i AS i, sig[i.i+1] AS mh FROM d, range(0, 4) i(i)),
+      |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(len(list_intersect(a.shd, b.shd)) AS BIGINT) AS inter,
+      |    CAST(len(a.shd) AS BIGINT) AS na, CAST(len(b.shd) AS BIGINT) AS nb
+      |  FROM e a JOIN e b ON a.i = b.i AND a.mh = b.mh AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, round(inter / (na + nb - inter), 6) AS jaccard
+      |FROM p
+      |WHERE inter / (na + nb - inter) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- #24 embedding near-dup: deterministic sign-sketch LSH ----
+
+  /** ±1 hyperplane matrix, 16 planes × 64 dims, derived from md5 parity so
+    * the identical literals are embedded in both the Spark plan and the
+    * DuckDB oracle. */
+  private[ops] val planes: Seq[Seq[Int]] = {
+    val mdi = java.security.MessageDigest.getInstance("MD5")
+    (0 until 16).map { p =>
+      (0 until 64).map { d =>
+        val h = mdi.digest(s"$p:$d".getBytes("UTF-8"))
+        if ((h(0) & 1) == 0) 1 else -1
+      }
+    }
+  }
+
+  /** Spark-SQL dot(v, planes(p)) — left fold from 0.0, matching the
+    * DuckDB list_reduce order exactly (±1 products are lossless). */
+  private def dotPlaneSpark(p: Int): String =
+    s"aggregate(zip_with(v, array(${planes(p).mkString(", ")}), (x, y) -> x * CAST(y AS DOUBLE)), " +
+      "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+
+  private def sketchSpark: String =
+    (0 until 16).map(p => s"(CASE WHEN ${dotPlaneSpark(p)} > 0.0D THEN ${1L << p}L ELSE 0L END)")
+      .mkString(" + ")
+
+  private def dotPlaneDuck(p: Int): String =
+    s"list_reduce(list_transform(generate_series(1, 64), " +
+      s"i -> v[i] * (CAST([${planes(p).mkString(", ")}] AS DOUBLE[]))[i]), (a, b) -> a + b)"
+
+  private def sketchDuck: String =
+    (0 until 16).map(p => s"(CASE WHEN ${dotPlaneDuck(p)} > 0.0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+
+  /** #24 embedding-cosine near-dup: 16-bit random-hyperplane sign sketch,
+    * 4 bands × 4 bits block the self-join; exact cosine ≥ 0.45 confirms.
+    * (Planted testdata has no ≥0.95 pairs; the threshold is a parameter —
+    * the pipeline is identical at 0.95, where the sketch prunes hardest.) */
+  private val d05: Q = (s, dir) => {
+    val sk = t(s, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("sketch", expr(sketchSpark))
+    val bands = sk.select(col("vec_id"), col("v"), col("sketch"),
+        explode(sequence(lit(0), lit(3))).as("c"))
+      .withColumn("chunk", expr("shiftright(sketch, CAST(4 * c AS INT)) & 15"))
+    val a = bands.select(col("vec_id").as("vec_a"), col("v").as("va"), col("c"), col("chunk"))
+    val b = bands.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("c"), col("chunk"))
+    a.join(b, Seq("c", "chunk"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= 0.45)
+      .select(col("vec_a"), col("vec_b"), r6(col("cos")).as("cos_sim"))
+      .distinct()
+      .orderBy("vec_a", "vec_b")
+  }
+
+  private val d05Sql = {
+    val dotAB = "list_reduce(list_transform(generate_series(1, 64), i -> va[i] * vb[i]), (a, b) -> a + b)"
+    val normA = "list_reduce(list_transform(generate_series(1, 64), i -> va[i] * va[i]), (a, b) -> a + b)"
+    val normB = "list_reduce(list_transform(generate_series(1, 64), i -> vb[i] * vb[i]), (a, b) -> a + b)"
+    val cos = s"$dotAB / (sqrt($normA) * sqrt($normB))"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sk AS (SELECT vec_id, v, $sketchDuck AS sketch FROM e),
+       |bands AS (SELECT vec_id, v, sketch, c.c AS c, (sketch >> CAST(4*c.c AS INTEGER)) & 15 AS chunk
+       |  FROM sk, range(0, 4) c(c)),
+       |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.v AS va, b.v AS vb
+       |  FROM bands a JOIN bands b ON a.c = b.c AND a.chunk = b.chunk AND a.vec_id < b.vec_id)
+       |SELECT DISTINCT vec_a, vec_b, round($cos, 6) AS cos_sim
+       |FROM p
+       |WHERE $cos >= 0.45
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "d01_dedup_exact" -> d01,
+    "d02_minhash_lsh" -> d02,
+    "d03_simhash" -> d03,
+    "d04_ngram_jaccard" -> d04,
+    "d05_embedding_neardup" -> d05)
+
+  val oracle: Map[String, String] = Map(
+    "d01_dedup_exact" -> d01Sql,
+    "d02_minhash_lsh" -> d02Sql,
+    "d03_simhash" -> d03Sql,
+    "d04_ngram_jaccard" -> d04Sql,
+    "d05_embedding_neardup" -> d05Sql)
+}

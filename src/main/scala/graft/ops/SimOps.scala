@@ -1,0 +1,125 @@
+package graft.ops
+
+import graft.{F, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search (SURVEY.md §2 #25-26) over the `embeddings` table.
+  *
+  * s01 is the exact baseline: brute-force cosine top-k. The query set is
+  * tiny (vec_id < 5) and broadcast, so the plan is one scan of the
+  * corpus with a per-query rank — at 100 TB this is a single
+  * map+partial-topK pass, no corpus shuffle.
+  *
+  * s02 is the scale path: IVF-style ANN. A deterministic centroid set
+  * (vec_id < 8) partitions the corpus into cells by nearest centroid;
+  * queries probe their 2 nearest cells only. Both centroid assignment
+  * and probing broadcast the small side; the corpus is scanned once.
+  */
+object SimOps {
+  type Q = (SparkSession, String) => DataFrame
+  import Tables.t
+  import F._
+
+  private val K = 10
+
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").select(col("vec_id"), asDouble(col("embedding")).as("v"))
+
+  /** DuckDB cosine with the exact fold order of [[F.cosine]]. */
+  private def duckCos(a: String, b: String): String = {
+    def fold(e: String) = s"list_reduce(list_transform(generate_series(1, 64), i -> $e), (x, y) -> x + y)"
+    s"${fold(s"$a[i] * $b[i]")} / (sqrt(${fold(s"$a[i] * $a[i]")}) * sqrt(${fold(s"$b[i] * $b[i]")}))"
+  }
+
+  /** #25 brute-force cosine top-k (k=10) for query vectors vec_id < 5;
+    * ties broken by vec_id so ranks are total-ordered. */
+  private val s01: Q = (s, dir) => {
+    val all = vecs(s, dir)
+    val q = broadcast(all.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    all.join(q, col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("vec_id"), r6(col("cos")).as("cos_sim"))
+      .orderBy("q_id", "rank")
+  }
+
+  private val s01Sql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+       |c AS (SELECT q.q_id, e.vec_id, ${duckCos("qv", "v")} AS cos
+       |  FROM q JOIN e ON e.vec_id <> q.q_id),
+       |r AS (SELECT q_id, vec_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+       |  FROM c)
+       |SELECT q_id, rank, vec_id, round(cos, 6) AS cos_sim
+       |FROM r WHERE rank <= $K
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** #26 IVF ANN: centroids = vec_id < 8; every vector is assigned to its
+    * max-cosine centroid (cell); each query probes its 2 nearest cells
+    * and ranks top-k within them. Recall < 1 by design — that is the IVF
+    * trade; the oracle replays the identical pipeline. */
+  private val s02: Q = (s, dir) => {
+    val all = vecs(s, dir)
+    val cents = broadcast(all.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("v").as("cv")))
+    // cell assignment: argmax cosine over the 8 centroids (tie → min c_id)
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))
+    val cells = all.crossJoin(cents)
+      .withColumn("ccos", cosine(col("v"), col("cv")))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("v"), col("c_id").as("cell"))
+    // queries probe their 2 nearest cells
+    val q = all.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("c_id"))
+    val probes = broadcast(q.crossJoin(cents)
+      .withColumn("qcos", cosine(col("qv"), col("cv")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= 2)
+      .select(col("q_id"), col("qv"), col("c_id").as("cell")))
+    val wRank = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    cells.join(probes, "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cell"), r6(col("cos")).as("cos_sim"))
+      .orderBy("q_id", "rank")
+  }
+
+  private val s02Sql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cents AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+       |asg AS (SELECT e.vec_id, e.v, c_id, ${duckCos("v", "cv")} AS ccos,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${duckCos("v", "cv")} DESC, c_id) AS arn
+       |  FROM e CROSS JOIN cents),
+       |cells AS (SELECT vec_id, v, c_id AS cell FROM asg WHERE arn = 1),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+       |pr AS (SELECT q_id, qv, c_id AS cell,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY ${duckCos("qv", "cv")} DESC, c_id) AS prn
+       |  FROM q CROSS JOIN cents),
+       |probes AS (SELECT q_id, qv, cell FROM pr WHERE prn <= 2),
+       |c AS (SELECT p.q_id, cells.vec_id, cells.cell, ${duckCos("qv", "v")} AS cos
+       |  FROM cells JOIN probes p USING (cell)
+       |  WHERE cells.vec_id <> p.q_id),
+       |r AS (SELECT q_id, vec_id, cell, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+       |  FROM c)
+       |SELECT q_id, rank, vec_id, cell, round(cos, 6) AS cos_sim
+       |FROM r WHERE rank <= $K
+       |ORDER BY q_id, rank""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "s01_knn_bruteforce" -> s01,
+    "s02_ann_ivf" -> s02)
+
+  val oracle: Map[String, String] = Map(
+    "s01_knn_bruteforce" -> s01Sql,
+    "s02_ann_ivf" -> s02Sql)
+}

@@ -1,0 +1,196 @@
+package graft.ops
+
+import graft.{F, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis (SURVEY.md §2 #27-30) over the `documents` table —
+  * per-document feature extraction for a training-data pipeline:
+  * language ID, quality scoring, token counting, fingerprinting.
+  *
+  * All four are narrow map-only plans: one parquet scan, per-row
+  * codegen'd expressions (higher-order functions over the token array),
+  * no shuffle except the final presentation ORDER BY. At 100 TB these
+  * run at scan speed.
+  */
+object TextOps {
+  type Q = (SparkSession, String) => DataFrame
+  import Tables.t
+  import F._
+
+  private val stop = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en"),
+    "fr" -> Seq("le", "les", "et", "de", "un", "une"))
+
+  private def inList(xs: Seq[String]): String = xs.map(w => s"'$w'").mkString(", ")
+
+  /** #27 language ID: stopword-hit ratios per candidate language + a
+    * non-ASCII (CJK) ratio; prediction = threshold on CJK ratio, else
+    * argmax score with fixed precedence en>de>es>fr. Pure per-row math. */
+  private val t01: Q = (s, dir) => {
+    val langScore = stop.map { case (l, ws) =>
+      l -> expr(s"size(filter(ws, w -> w IN (${inList(ws)}))) / CAST(size(ws) AS DOUBLE)")
+    }
+    t(s, dir, "documents")
+      .withColumn("ws", words(col("text")))
+      .filter(size(col("ws")) > 0)
+      .withColumn("s_en", langScore("en")).withColumn("s_de", langScore("de"))
+      .withColumn("s_es", langScore("es")).withColumn("s_fr", langScore("fr"))
+      .withColumn("nonascii_ratio",
+        length(regexp_replace(col("text"), "[ -~]", "")) / length(col("text")).cast("double"))
+      .withColumn("pred_lang",
+        when(col("nonascii_ratio") > 0.3, "zh")
+          .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+          .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+          .when(col("s_es") >= col("s_fr"), "es")
+          .otherwise("fr"))
+      .select(col("doc_id"), col("lang"), col("pred_lang"),
+        r6(col("s_en")).as("s_en"), r6(col("s_de")).as("s_de"),
+        r6(col("s_es")).as("s_es"), r6(col("s_fr")).as("s_fr"),
+        r6(col("nonascii_ratio")).as("nonascii_ratio"))
+      .orderBy("doc_id")
+  }
+
+  private val t01Sql = {
+    def sc(l: String) =
+      s"len(list_filter(ws, w -> w IN (${inList(stop(l))}))) / CAST(len(ws) AS DOUBLE)"
+    s"""WITH w AS (SELECT doc_id, lang, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+       |  FROM documents),
+       |f AS (SELECT doc_id, lang,
+       |    ${sc("en")} AS s_en, ${sc("de")} AS s_de, ${sc("es")} AS s_es, ${sc("fr")} AS s_fr,
+       |    length(regexp_replace(text, '[ -~]', '', 'g')) / CAST(length(text) AS DOUBLE) AS nonascii_ratio
+       |  FROM w WHERE len(ws) > 0)
+       |SELECT doc_id, lang,
+       |  CASE WHEN nonascii_ratio > 0.3 THEN 'zh'
+       |       WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+       |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+       |       WHEN s_es >= s_fr THEN 'es'
+       |       ELSE 'fr' END AS pred_lang,
+       |  round(s_en, 6) AS s_en, round(s_de, 6) AS s_de,
+       |  round(s_es, 6) AS s_es, round(s_fr, 6) AS s_fr,
+       |  round(nonascii_ratio, 6) AS nonascii_ratio
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  /** #28 quality score: length, punctuation ratio, stopword ratio, mean
+    * word length, and a fixed-weight composite — the filter features a
+    * pretraining-data pipeline gates on. */
+  private val t02: Q = (s, dir) => {
+    t(s, dir, "documents")
+      .withColumn("ws", words(col("text")))
+      .filter(size(col("ws")) > 0)
+      .withColumn("n_chars_obs", length(col("text")).cast("long"))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("punct_ratio",
+        length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")) / length(col("text")).cast("double"))
+      .withColumn("stop_ratio",
+        expr(s"size(filter(ws, w -> w IN (${inList(stop("en"))}))) / CAST(size(ws) AS DOUBLE)"))
+      .withColumn("mean_word_len",
+        expr("aggregate(ws, 0L, (acc, w) -> acc + length(w))") / col("n_words").cast("double"))
+      .withColumn("score",
+        lit(0.3) * least(col("n_words") / 100.0, lit(1.0)) +
+          lit(0.3) * (lit(1.0) - col("punct_ratio")) +
+          lit(0.2) * col("stop_ratio") +
+          lit(0.2) * least(col("mean_word_len") / 8.0, lit(1.0)))
+      .select(col("doc_id"), col("n_chars_obs"), col("n_words"),
+        r6(col("punct_ratio")).as("punct_ratio"), r6(col("stop_ratio")).as("stop_ratio"),
+        r6(col("mean_word_len")).as("mean_word_len"), r6(col("score")).as("score"))
+      .orderBy("doc_id")
+  }
+
+  private val t02Sql =
+    s"""WITH w AS (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+       |f AS (SELECT doc_id,
+       |    CAST(length(text) AS BIGINT) AS n_chars_obs,
+       |    CAST(len(ws) AS BIGINT) AS n_words,
+       |    length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) / CAST(length(text) AS DOUBLE) AS punct_ratio,
+       |    len(list_filter(ws, w -> w IN (${inList(stop("en"))}))) / CAST(len(ws) AS DOUBLE) AS stop_ratio,
+       |    CAST(list_reduce(list_transform(ws, w -> CAST(length(w) AS BIGINT)), (a, b) -> a + b) AS BIGINT)
+       |      / CAST(len(ws) AS DOUBLE) AS mean_word_len
+       |  FROM w WHERE len(ws) > 0)
+       |SELECT doc_id, n_chars_obs, n_words,
+       |  round(punct_ratio, 6) AS punct_ratio, round(stop_ratio, 6) AS stop_ratio,
+       |  round(mean_word_len, 6) AS mean_word_len,
+       |  round(0.3 * least(CAST(n_words AS DOUBLE) / 100.0, 1.0) + 0.3 * (1.0 - punct_ratio)
+       |      + 0.2 * stop_ratio + 0.2 * least(mean_word_len / 8.0, 1.0), 6) AS score
+       |FROM f ORDER BY doc_id""".stripMargin
+
+  /** #29 token counting: whitespace tokens plus a BPE-ish subword
+    * estimate (Σ ceil(len/4) per word — the chars/4 heuristic applied
+    * word-wise so punctuation never merges tokens). */
+  private val t03: Q = (s, dir) => {
+    t(s, dir, "documents")
+      .withColumn("n_ws_tokens",
+        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long"))
+      .withColumn("ws", words(col("text")))
+      .filter(size(col("ws")) > 0)
+      .withColumn("n_subword_est",
+        expr("aggregate(ws, 0L, (acc, w) -> acc + CAST(ceil(length(w) / 4.0) AS BIGINT))"))
+      .withColumn("n_chars_obs", length(col("text")).cast("long"))
+      .select(col("doc_id"), col("n_ws_tokens"), col("n_subword_est"), col("n_chars_obs"))
+      .orderBy("doc_id")
+  }
+
+  private val t03Sql =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
+      |  CAST(list_reduce(list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+      |    w -> CAST(ceil(length(w) / 4.0) AS BIGINT)), (a, b) -> a + b) AS BIGINT) AS n_subword_est,
+      |  CAST(length(text) AS BIGINT) AS n_chars_obs
+      |FROM documents
+      |WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0
+      |ORDER BY doc_id""".stripMargin
+
+  /** #30 document fingerprinting: char-8-gram md5 hashes + winnowing
+    * (min per 4-hash window), summarized per doc as count/min/max/xor of
+    * the distinct fingerprint set — the MOSS scheme, all in one
+    * codegen'd higher-order expression chain. */
+  private val t04: Q = (s, dir) => {
+    t(s, dir, "documents")
+      .filter(length(col("text")) >= 11) // k=8 grams, w=4 windows
+      .withColumn("grams", expr(
+        "transform(sequence(1, length(text) - 7), " +
+          "i -> CAST(conv(substring(md5(substring(text, i, 8)), 1, 15), 16, 10) AS BIGINT))"))
+      .withColumn("wins", expr(
+        "transform(sequence(1, size(grams) - 3), j -> array_min(slice(grams, j, 4)))"))
+      .withColumn("fps", array_sort(array_distinct(col("wins"))))
+      .select(col("doc_id"),
+        size(col("grams")).cast("long").as("n_grams"),
+        size(col("fps")).cast("long").as("n_fp"),
+        array_min(col("fps")).as("fp_min"),
+        array_max(col("fps")).as("fp_max"),
+        expr("aggregate(fps, CAST(0 AS BIGINT), (acc, x) -> acc ^ x)").as("fp_xor"))
+      .orderBy("doc_id")
+  }
+
+  private val t04Sql =
+    """WITH g AS (SELECT doc_id,
+      |    list_transform(generate_series(1, length(text) - 7),
+      |      i -> CAST(('0x' || substr(md5(substring(text, i, 8)), 1, 15)) AS BIGINT)) AS grams
+      |  FROM documents WHERE length(text) >= 11),
+      |w AS (SELECT doc_id, grams,
+      |    list_transform(generate_series(1, len(grams) - 3), j -> list_min(grams[j:j+3])) AS wins
+      |  FROM g),
+      |f AS (SELECT doc_id, grams, list_sort(list_distinct(wins)) AS fps FROM w)
+      |SELECT doc_id,
+      |  CAST(len(grams) AS BIGINT) AS n_grams,
+      |  CAST(len(fps) AS BIGINT) AS n_fp,
+      |  list_min(fps) AS fp_min,
+      |  list_max(fps) AS fp_max,
+      |  list_reduce(fps, (a, b) -> xor(a, b)) AS fp_xor
+      |FROM f ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "t01_lang_id" -> t01,
+    "t02_quality_score" -> t02,
+    "t03_token_count" -> t03,
+    "t04_fingerprint" -> t04)
+
+  val oracle: Map[String, String] = Map(
+    "t01_lang_id" -> t01Sql,
+    "t02_quality_score" -> t02Sql,
+    "t03_token_count" -> t03Sql,
+    "t04_fingerprint" -> t04Sql)
+}
