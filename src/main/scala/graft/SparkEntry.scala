@@ -18,7 +18,8 @@ object SparkEntry {
       (DedupOps.queries, DedupOps.oracle),
       (TextOps.queries, TextOps.oracle),
       (SimOps.queries, SimOps.oracle),
-      (MultiOps.queries, MultiOps.oracle))
+      (MultiOps.queries, MultiOps.oracle),
+      (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

