@@ -55,4 +55,28 @@ object F {
 
   /** array<float> parquet column → array<double> for stable float math. */
   def asDouble(a: Column): Column = a.cast("array<double>")
+
+  /** Fixed-dimension unrolled dot/norm/cosine: higher-order functions
+    * (aggregate/zip_with) evaluate their lambdas interpreted per element,
+    * which dominates pair-wise similarity joins. For a known dim these
+    * unroll to a codegen'd expression tree.
+    *
+    * The sum is a BALANCED adjacent-pair tree (depth log₂n), not a left
+    * fold: janino compiles a 64-deep nested expression pathologically
+    * slowly (tens of seconds per stage), while depth-6 nesting is
+    * instant. Float addition order changes the result, so the DuckDB
+    * oracle ([[graft.OracleSql.dot]]) emits the IDENTICAL balanced
+    * parenthesization — both engines run the same IEEE op tree. */
+  private def balSum(xs: Seq[Column]): Column =
+    if (xs.sizeIs == 1) xs.head
+    else balSum(xs.grouped(2).map(g => if (g.sizeIs == 2) g(0) + g(1) else g(0)).toSeq)
+
+  def dotN(a: Column, b: Column, n: Int): Column =
+    balSum((0 until n).map(i => a.getItem(i) * b.getItem(i)))
+
+  def norm2N(a: Column, n: Int): Column =
+    balSum((0 until n).map(i => a.getItem(i) * a.getItem(i)))
+
+  def cosineN(a: Column, b: Column, n: Int): Column =
+    dotN(a, b, n) / (sqrt(norm2N(a, n)) * sqrt(norm2N(b, n)))
 }

@@ -36,9 +36,25 @@ object DedupOps {
   private def h60(x: String): String =
     s"CAST(conv(substring(md5($x), 1, 15), 16, 10) AS BIGINT)"
 
-  /** MinHash signature element i over shingle array `sh`. */
-  private def minhashExpr(i: String): String =
-    s"array_min(transform(sh, s -> ${h60(s"concat(CAST($i AS STRING), ':', s)")}))"
+  /** 28-bit md5 base hash per shingle — computed ONCE; the k minhash
+    * functions derive from it by universal hashing ((2i+3)·g + 12289i+1
+    * mod 2²⁹), so the md5 cost is 1/k of hashing per function.
+    * Products stay < 2³³ — no int64 overflow in either engine. */
+  private val gsDuck = "list_transform(sh, s -> CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT))"
+
+  /** Single-pass signature: fold the shingle array once, updating all k
+    * minima per step. (A transform-per-i formulation would let Catalyst
+    * inline the collapsed md5 map into the outer lambda and recompute it
+    * k times — this shape traverses the md5 values exactly once.) */
+  private def sigSpark(k: Int): String =
+    "aggregate(" +
+      "transform(sh, s -> CAST(conv(substring(md5(s), 1, 7), 16, 10) AS BIGINT)), " +
+      s"array_repeat(CAST(536870912 AS BIGINT), $k), " +
+      s"(acc, g) -> zip_with(acc, sequence(0, ${k - 1}), " +
+      "(m, i) -> least(m, pmod((2*i+3) * g + 12289*i + 1, 536870912))))"
+
+  private def sigDuck(k: Int): String =
+    s"list_transform(generate_series(0, ${k - 1}), i -> list_min(list_transform(gs, g -> ((2*i+3) * g + 12289*i + 1) % 536870912)))"
 
   /** #20 exact dedup: md5 of whitespace-normalized lowercase text,
     * keep the minimum doc_id per hash group. */
@@ -63,7 +79,7 @@ object DedupOps {
     * bucket — never cross-doc. */
   private val d02: Q = (s, dir) => {
     val sig = shingled(s, dir)
-      .withColumn("sig", expr(s"transform(sequence(0, 7), i -> ${minhashExpr("i")})"))
+      .withColumn("sig", expr(sigSpark(8)))
     val bands = sig
       .select(col("doc_id"), col("sig"), explode(sequence(lit(0), lit(3))).as("b"))
       .withColumn("bkey",
@@ -85,9 +101,8 @@ object DedupOps {
       |s3 AS (SELECT doc_id,
       |    list_transform(generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh
       |  FROM w WHERE len(ws) >= 3),
-      |sig AS (SELECT doc_id, list_transform(generate_series(0, 7),
-      |    i -> list_min(list_transform(sh, s -> CAST(('0x' || substr(md5(i || ':' || s), 1, 15)) AS BIGINT)))) AS sig
-      |  FROM s3),
+      |g AS (SELECT doc_id, GS_DUCK AS gs FROM s3),
+      |sig AS (SELECT doc_id, SIG8_DUCK AS sig FROM g),
       |bands AS (SELECT doc_id, sig, b.b AS b,
       |    CAST(sig[2*b.b+1] AS VARCHAR) || '_' || CAST(sig[2*b.b+2] AS VARCHAR) AS bkey
       |  FROM sig, range(0, 4) b(b)),
@@ -97,6 +112,7 @@ object DedupOps {
       |  round(list_reduce(list_transform(generate_series(1, 8),
       |    i -> CASE WHEN sa[i] = sb[i] THEN 1.0 ELSE 0.0 END), (x, y) -> x + y) / 8.0, 6) AS est_sim
       |FROM p ORDER BY doc_a, doc_b""".stripMargin
+      .replace("GS_DUCK", gsDuck).replace("SIG8_DUCK", sigDuck(8))
 
   /** #22 SimHash: 60-bit weighted-word simhash per doc; near-dup pairs at
     * hamming ≤ 3, blocked by 4 × 15-bit chunks (pigeonhole: hamming ≤ 3
@@ -146,13 +162,17 @@ object DedupOps {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** #23 n-gram Jaccard: exact word-3-gram Jaccard ≥ 0.5 on pairs blocked
-    * by 4 independent minhash keys (recall for sim j: 1-(1-j)⁴ — ≈1 at
-    * the 0.5 threshold's planted near-dups). */
+    * by 4 bands of 2 minhashes (same banding as d02 — per-band collision
+    * prob j² keeps buckets small even with a tiny vocabulary, where a
+    * single-minhash block would collect hundreds of docs). */
   private val d04: Q = (s, dir) => {
     val d = shingled(s, dir)
       .withColumn("shd", array_distinct(col("sh")))
-      .withColumn("sig", expr(s"transform(sequence(0, 3), i -> ${minhashExpr("i")})"))
-    val e = d.select(col("doc_id"), col("shd"), posexplode(col("sig")).as(Seq("i", "mh")))
+      .withColumn("sig", expr(sigSpark(8)))
+    val e = d.select(col("doc_id"), col("shd"), col("sig"), explode(sequence(lit(0), lit(3))).as("i"))
+      .withColumn("mh",
+        expr("concat_ws('_', CAST(sig[2*i] AS STRING), CAST(sig[2*i+1] AS STRING))"))
+      .select("doc_id", "shd", "i", "mh")
     val a = e.select(col("doc_id").as("doc_a"), col("shd").as("la"), col("i"), col("mh"))
     val b = e.select(col("doc_id").as("doc_b"), col("shd").as("lb"), col("i"), col("mh"))
     a.join(b, Seq("i", "mh"))
@@ -173,11 +193,11 @@ object DedupOps {
       |s3 AS (SELECT doc_id,
       |    list_transform(generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh
       |  FROM w WHERE len(ws) >= 3),
-      |d AS (SELECT doc_id, list_distinct(sh) AS shd,
-      |    list_transform(generate_series(0, 3),
-      |      i -> list_min(list_transform(sh, s -> CAST(('0x' || substr(md5(i || ':' || s), 1, 15)) AS BIGINT)))) AS sig
-      |  FROM s3),
-      |e AS (SELECT doc_id, shd, i.i AS i, sig[i.i+1] AS mh FROM d, range(0, 4) i(i)),
+      |g AS (SELECT doc_id, list_distinct(sh) AS shd, GS_DUCK AS gs FROM s3),
+      |d AS (SELECT doc_id, shd, SIG8_DUCK AS sig FROM g),
+      |e AS (SELECT doc_id, shd, i.i AS i,
+      |    CAST(sig[2*i.i+1] AS VARCHAR) || '_' || CAST(sig[2*i.i+2] AS VARCHAR) AS mh
+      |  FROM d, range(0, 4) i(i)),
       |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |    CAST(len(list_intersect(a.shd, b.shd)) AS BIGINT) AS inter,
       |    CAST(len(a.shd) AS BIGINT) AS na, CAST(len(b.shd) AS BIGINT) AS nb
@@ -186,15 +206,16 @@ object DedupOps {
       |FROM p
       |WHERE inter / (na + nb - inter) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
+      .replace("GS_DUCK", gsDuck).replace("SIG8_DUCK", sigDuck(8))
 
   // ---- #24 embedding near-dup: deterministic sign-sketch LSH ----
 
-  /** ±1 hyperplane matrix, 16 planes × 64 dims, derived from md5 parity so
+  /** ±1 hyperplane matrix, 24 planes × 64 dims, derived from md5 parity so
     * the identical literals are embedded in both the Spark plan and the
     * DuckDB oracle. */
-  private[ops] val planes: Seq[Seq[Int]] = {
+  val planes: Seq[Seq[Int]] = {
     val mdi = java.security.MessageDigest.getInstance("MD5")
-    (0 until 16).map { p =>
+    (0 until 24).map { p =>
       (0 until 64).map { d =>
         val h = mdi.digest(s"$p:$d".getBytes("UTF-8"))
         if ((h(0) & 1) == 0) 1 else -1
@@ -209,7 +230,7 @@ object DedupOps {
       "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
 
   private def sketchSpark: String =
-    (0 until 16).map(p => s"(CASE WHEN ${dotPlaneSpark(p)} > 0.0D THEN ${1L << p}L ELSE 0L END)")
+    (0 until 24).map(p => s"(CASE WHEN ${dotPlaneSpark(p)} > 0.0D THEN ${1L << p}L ELSE 0L END)")
       .mkString(" + ")
 
   private def dotPlaneDuck(p: Int): String =
@@ -217,45 +238,57 @@ object DedupOps {
       s"i -> v[i] * (CAST([${planes(p).mkString(", ")}] AS DOUBLE[]))[i]), (a, b) -> a + b)"
 
   private def sketchDuck: String =
-    (0 until 16).map(p => s"(CASE WHEN ${dotPlaneDuck(p)} > 0.0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+    (0 until 24).map(p => s"(CASE WHEN ${dotPlaneDuck(p)} > 0.0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
       .mkString(" + ")
 
-  /** #24 embedding-cosine near-dup: 16-bit random-hyperplane sign sketch,
-    * 4 bands × 4 bits block the self-join; exact cosine ≥ 0.45 confirms.
+  /** #24 embedding-cosine near-dup: 24-bit random-hyperplane sign sketch,
+    * 4 bands × 6 bits block the self-join; exact cosine ≥ 0.45 confirms.
+    * Vectors are L2-normalized BEFORE banding so the per-pair cosine is a
+    * single dot fold (⅓ the flops of dot/√·√ per candidate).
     * (Planted testdata has no ≥0.95 pairs; the threshold is a parameter —
     * the pipeline is identical at 0.95, where the sketch prunes hardest.) */
   private val d05: Q = (s, dir) => {
-    val sk = t(s, dir, "embeddings")
+    // Catalyst pushes the cosine filter into the join condition with
+    // projection expressions SUBSTITUTED — so nothing reachable from the
+    // condition may contain a higher-order function (interpreted lambdas
+    // would re-run per candidate pair). cosineN is a flat codegen'd
+    // expression tree; the sign sketch is computed on the raw vector
+    // (sign(dot) is norm-invariant) and only feeds the join KEY, which
+    // is evaluated once per band row.
+    val bands = t(s, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("sketch", expr(sketchSpark))
-    val bands = sk.select(col("vec_id"), col("v"), col("sketch"),
+      .select(col("vec_id"), col("v"), col("sketch"),
         explode(sequence(lit(0), lit(3))).as("c"))
-      .withColumn("chunk", expr("shiftright(sketch, CAST(4 * c AS INT)) & 15"))
+      .withColumn("chunk", expr("shiftright(sketch, CAST(6 * c AS INT)) & 63"))
+      .select("vec_id", "v", "c", "chunk")
     val a = bands.select(col("vec_id").as("vec_a"), col("v").as("va"), col("c"), col("chunk"))
     val b = bands.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("c"), col("chunk"))
     a.join(b, Seq("c", "chunk"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
-      .filter(col("cos") >= 0.45)
-      .select(col("vec_a"), col("vec_b"), r6(col("cos")).as("cos_sim"))
-      .distinct()
+      .withColumn("cos", cosineN(col("va"), col("vb"), 64))
+      // groupBy = dedup across bands AND an optimization barrier: the
+      // threshold filter sits on the aggregate output, so Catalyst cannot
+      // push the cosine into the join condition (where it would evaluate
+      // outside whole-stage codegen, ~50µs/pair interpreted).
+      .groupBy(col("vec_a"), col("vec_b")).agg(max(col("cos")).as("cosv"))
+      .filter(col("cosv") >= 0.45)
+      .select(col("vec_a"), col("vec_b"), r6(col("cosv")).as("cos_sim"))
       .orderBy("vec_a", "vec_b")
   }
 
   private val d05Sql = {
-    val dotAB = "list_reduce(list_transform(generate_series(1, 64), i -> va[i] * vb[i]), (a, b) -> a + b)"
-    val normA = "list_reduce(list_transform(generate_series(1, 64), i -> va[i] * va[i]), (a, b) -> a + b)"
-    val normB = "list_reduce(list_transform(generate_series(1, 64), i -> vb[i] * vb[i]), (a, b) -> a + b)"
-    val cos = s"$dotAB / (sqrt($normA) * sqrt($normB))"
+    val cos = graft.OracleSql.cosine("va", "vb", 64)
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |sk AS (SELECT vec_id, v, $sketchDuck AS sketch FROM e),
-       |bands AS (SELECT vec_id, v, sketch, c.c AS c, (sketch >> CAST(4*c.c AS INTEGER)) & 15 AS chunk
+       |bands AS (SELECT vec_id, v, sketch, c.c AS c, (sketch >> CAST(6*c.c AS INTEGER)) & 63 AS chunk
        |  FROM sk, range(0, 4) c(c)),
        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.v AS va, b.v AS vb
-       |  FROM bands a JOIN bands b ON a.c = b.c AND a.chunk = b.chunk AND a.vec_id < b.vec_id)
-       |SELECT DISTINCT vec_a, vec_b, round($cos, 6) AS cos_sim
-       |FROM p
-       |WHERE $cos >= 0.45
+       |  FROM bands a JOIN bands b ON a.c = b.c AND a.chunk = b.chunk AND a.vec_id < b.vec_id),
+       |g AS (SELECT vec_a, vec_b, max($cos) AS cosv FROM p GROUP BY vec_a, vec_b)
+       |SELECT vec_a, vec_b, round(cosv, 6) AS cos_sim
+       |FROM g
+       |WHERE cosv >= 0.45
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
