@@ -17,4 +17,15 @@ object OracleSql {
 
   def cosine(a: String, b: String, n: Int): String =
     s"${dot(a, b, n)} / (sqrt(${norm2(a, n)}) * sqrt(${norm2(b, n)}))"
+
+  /** Sequential left-fold dot — mirrors the native loop in
+    * [[graft.functions.DotProduct]] (s starts at 0.0; 0.0+t₁ ≡ t₁, so
+    * DuckDB's init-less list_reduce is the identical op sequence). */
+  def seqDot(a: String, b: String, n: Int): String =
+    s"list_reduce(list_transform(generate_series(1, $n), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+
+  /** Mirrors [[graft.functions.CosineSim]]: three independent
+    * sequential accumulators. */
+  def seqCosine(a: String, b: String, n: Int): String =
+    s"${seqDot(a, b, n)} / (sqrt(${seqDot(a, a, n)}) * sqrt(${seqDot(b, b, n)}))"
 }

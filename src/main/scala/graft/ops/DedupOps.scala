@@ -266,7 +266,7 @@ object DedupOps {
     val b = bands.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("c"), col("chunk"))
     a.join(b, Seq("c", "chunk"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos", cosineN(col("va"), col("vb"), 64))
+      .withColumn("cos", expr("graft_cosine(va, vb)"))
       // groupBy = dedup across bands AND an optimization barrier: the
       // threshold filter sits on the aggregate output, so Catalyst cannot
       // push the cosine into the join condition (where it would evaluate
@@ -278,7 +278,7 @@ object DedupOps {
   }
 
   private val d05Sql = {
-    val cos = graft.OracleSql.cosine("va", "vb", 64)
+    val cos = graft.OracleSql.seqCosine("va", "vb", 64)
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |sk AS (SELECT vec_id, v, $sketchDuck AS sketch FROM e),
        |bands AS (SELECT vec_id, v, sketch, c.c AS c, (sketch >> CAST(6*c.c AS INTEGER)) & 63 AS chunk

@@ -27,8 +27,9 @@ object SimOps {
   private def vecs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings").select(col("vec_id"), asDouble(col("embedding")).as("v"))
 
-  /** DuckDB cosine with the exact balanced op tree of [[F.cosineN]]. */
-  private def duckCos(a: String, b: String): String = graft.OracleSql.cosine(a, b, 64)
+  /** DuckDB cosine with the exact fold order of the native
+    * [[graft.functions.CosineSim]] loop. */
+  private def duckCos(a: String, b: String): String = graft.OracleSql.seqCosine(a, b, 64)
 
   /** #25 brute-force cosine top-k (k=10) for query vectors vec_id < 5;
     * ties broken by vec_id so ranks are total-ordered. */
@@ -38,7 +39,7 @@ object SimOps {
       .select(col("vec_id").as("q_id"), col("v").as("qv")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     all.join(q, col("vec_id") =!= col("q_id"))
-      .withColumn("cos", cosineN(col("qv"), col("v"), 64))
+      .withColumn("cos", expr("graft_cosine(qv, v)"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= K)
       .select(col("q_id"), col("rank"), col("vec_id"), r6(col("cos")).as("cos_sim"))
@@ -68,7 +69,7 @@ object SimOps {
     // cell assignment: argmax cosine over the 8 centroids (tie → min c_id)
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))
     val cells = all.crossJoin(cents)
-      .withColumn("ccos", cosineN(col("v"), col("cv"), 64))
+      .withColumn("ccos", expr("graft_cosine(v, cv)"))
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") === 1)
       .select(col("vec_id"), col("v"), col("c_id").as("cell"))
@@ -76,14 +77,14 @@ object SimOps {
     val q = all.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("v").as("qv"))
     val wProbe = Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("c_id"))
     val probes = broadcast(q.crossJoin(cents)
-      .withColumn("qcos", cosineN(col("qv"), col("cv"), 64))
+      .withColumn("qcos", expr("graft_cosine(qv, cv)"))
       .withColumn("prn", row_number().over(wProbe))
       .filter(col("prn") <= 2)
       .select(col("q_id"), col("qv"), col("c_id").as("cell")))
     val wRank = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     cells.join(probes, "cell")
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", cosineN(col("qv"), col("v"), 64))
+      .withColumn("cos", expr("graft_cosine(qv, v)"))
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= K)
       .select(col("q_id"), col("rank"), col("vec_id"), col("cell"), r6(col("cos")).as("cos_sim"))

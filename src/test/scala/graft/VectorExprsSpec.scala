@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.F._
+
+/** Native Catalyst vector expressions (graft_dot / graft_cosine):
+  * registered via SparkSessionExtensions, codegen loop, and
+  * bit-identical to both the HOF and the unrolled composition. */
+class VectorExprsSpec extends SparkSpec {
+
+  private def vecs = Tables.t(spark, sfDir, "embeddings")
+    .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+
+  test("graft_dot == HOF aggregate fold, bit for bit") {
+    val df = vecs.limit(50)
+      .withColumn("native", expr("graft_dot(v, v)"))
+      .withColumn("hof", dot(col("v"), col("v")))
+    assert(df.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("graft_cosine == dot/sqrt·sqrt composition, bit for bit") {
+    val a = vecs.select(col("vec_id").as("ia"), col("v").as("va")).limit(20)
+    val b = vecs.select(col("vec_id").as("ib"), col("v").as("vb")).limit(20)
+    val df = a.crossJoin(b)
+      .withColumn("native", expr("graft_cosine(va, vb)"))
+      .withColumn("composed",
+        dot(col("va"), col("vb")) / (sqrt(norm2(col("va"))) * sqrt(norm2(col("vb")))))
+    assert(df.filter(col("native") =!= col("composed")).count() == 0)
+  }
+
+  test("graft_cosine of a vector with itself is 1.0 (within fp)") {
+    val bad = vecs.withColumn("c", expr("graft_cosine(v, v)"))
+      .filter(abs(col("c") - 1.0) > 1e-12)
+    assert(bad.count() == 0)
+  }
+
+  test("null array propagates null, not an exception") {
+    val df = spark.range(1)
+      .select(lit(null).cast("array<double>").as("a"),
+        array(lit(1.0), lit(2.0)).as("b"))
+      .withColumn("d", expr("graft_dot(a, b)"))
+    assert(df.head().isNullAt(2))
+  }
+}
