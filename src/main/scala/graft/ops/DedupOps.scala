@@ -117,19 +117,23 @@ object DedupOps {
   /** #22 SimHash: 60-bit weighted-word simhash per doc; near-dup pairs at
     * hamming ≤ 3, blocked by 4 × 15-bit chunks (pigeonhole: hamming ≤ 3
     * ⇒ at least one chunk identical, so the block has full recall).
-    * The 60× bit fan-out collapses map-side via partial aggregation. */
+    * The 60 per-bit signed sums are 60 aggregate COLUMNS over the
+    * (doc, word) rows — not a 60× row explode, which at 100k docs pushed
+    * 240M rows through the shuffle (32s → 3s). Integer math, so the
+    * row-exploded DuckDB oracle produces identical values. */
   private val d03: Q = (s, dir) => {
     val wc = t(s, dir, "documents")
       .select(col("doc_id"), explode(words(col("text"))).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
       .withColumn("hw", hash60(col("w")))
-    val bits = wc
-      .select(col("doc_id"), col("cnt"), col("hw"), explode(sequence(lit(0), lit(59))).as("bit"))
-      .withColumn("contrib",
-        when(expr("shiftright(hw, bit) & 1") === 1, col("cnt")).otherwise(-col("cnt")))
-      .groupBy("doc_id", "bit").agg(sum("contrib").as("s"))
-    val sh = bits.groupBy("doc_id")
-      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0L)).as("simhash"))
+    val bitSums = (0 until 60).map(b =>
+      sum(when(expr(s"shiftright(hw, $b) & 1") === 1, col("cnt")).otherwise(-col("cnt"))).as(s"s$b"))
+    def balLong(xs: Seq[Column]): Column =
+      if (xs.sizeIs == 1) xs.head
+      else balLong(xs.grouped(2).map(g => if (g.sizeIs == 2) g(0) + g(1) else g(0)).toSeq)
+    val sh = wc.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        balLong((0 until 60).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))).as("simhash"))
     val ch = sh.select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("c"))
       .withColumn("chunk", expr("shiftright(simhash, CAST(15 * c AS INT)) & 32767"))
     val a = ch.select(col("doc_id").as("doc_a"), col("simhash").as("ha"), col("c"), col("chunk"))
