@@ -88,4 +88,24 @@ class OpsSpec extends SparkSpec {
     val got = spark.range(1).select(F.hash60(lit("x")).as("h")).head().getLong(0)
     assert(got == 710810379057940483L) // matches DuckDB ('0x'||substr(md5('x'),1,15))::BIGINT
   }
+
+  test("d02 LSH recall: every brute-force pair with jaccard >= 0.9 is found") {
+    // ground truth: driver-side brute force over the sf0.001 documents
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), F.words(col("text")).as("ws")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).sliding(3).map(_.mkString(" ")).toSet)
+      .filter(_._2.nonEmpty)
+    val truth = (for {
+      i <- docs.indices; j <- (i + 1) until docs.length
+      (ida, sa) = docs(i); (idb, sb) = docs(j)
+      inter = (sa & sb).size
+      jac = inter.toDouble / (sa.size + sb.size - inter)
+      if jac >= 0.9
+    } yield (math.min(ida, idb), math.max(ida, idb))).toSet
+    assert(truth.nonEmpty, "testdata should contain planted near-dups")
+    val found = SparkEntry.queries("d02_minhash_lsh")(spark, sfDir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val missed = truth -- found
+    assert(missed.isEmpty, s"LSH missed ${missed.size}/${truth.size} true near-dup pairs: $missed")
+  }
 }

@@ -65,4 +65,27 @@ class StreamingSpec extends SparkSpec {
       .orderBy("bucket_ms", "event_type")
     assert(viaEntry.collect().toSeq == direct.collect().toSeq)
   }
+
+  test("tumblingAgg over a real parquet file stream == batch (file-source path)") {
+    // file source requires a directory: stage the single parquet file
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    val f = dir.toString
+    val sch = spark.read.parquet(f).schema // nanosAsLong: ts arrives as LongType
+    val sdf = spark.readStream.schema(sch).parquet(f)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = StreamOps.tumblingAggOut(
+        StreamOps.tumblingAgg(sdf.withWatermark("ts", "2 hours")))
+      .writeStream.format("memory").queryName("st_file_out").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("st_file_out")
+        .orderBy("bucket_ms", "event_type").collect().toSeq
+      val batch = StreamOps.tumblingAggOut(StreamOps.tumblingAgg(Tables.t(spark, sfDir, "events")))
+        .orderBy("bucket_ms", "event_type").collect().toSeq
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
 }
