@@ -11,6 +11,10 @@ object Sessions {
     SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // fresh warehouse per JVM: the in-memory catalog dies with the
+      // session, so a persistent ./spark-warehouse would orphan table dirs
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
