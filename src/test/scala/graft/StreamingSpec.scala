@@ -88,4 +88,49 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.nonEmpty && streamed == batch)
     } finally q.stop()
   }
+
+  test("checkpointed restart: dedup state survives stop/start, file source -> parquet sink") {
+    import java.nio.file.{Files => F}
+    val root = F.createTempDirectory("graft_chk")
+    val srcDir = root.resolve("src"); F.createDirectories(srcDir)
+    val outDir = root.resolve("out").toString
+    val chkDir = root.resolve("chk").toString
+
+    def writeBatch(name: String, rows: Seq[Ev]): Unit =
+      rows.toDF().coalesce(1).write.mode("overwrite").parquet(root.resolve(name).toString) // stage
+    def moveIn(name: String): Unit = {
+      val staged = root.resolve(name).toFile.listFiles.filter(_.getName.endsWith(".parquet"))
+      staged.zipWithIndex.foreach { case (f, i) =>
+        F.move(f.toPath, srcDir.resolve(s"$name-$i.parquet")) }
+    }
+
+    val schema = Seq.empty[Ev].toDF().schema
+    def startQuery() =
+      StreamOps.streamingDedup(
+          spark.readStream.schema(schema).parquet(srcDir.toString).withWatermark("ts", "1 hour"))
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", chkDir)
+        .outputMode("append").start()
+
+    // run 1: batch A (one intra-batch duplicate key)
+    writeBatch("a", Seq(
+      Ev(1, 1, "click", ts(0), 1.0),
+      Ev(2, 1, "click", ts(0), 2.0), // same (user,type,minute) as 1 -> dropped
+      Ev(3, 2, "view", ts(1), 3.0)))
+    moveIn("a")
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // run 2 (fresh query, same checkpoint): batch B re-sends a batch-A key
+    writeBatch("b", Seq(
+      Ev(4, 1, "click", ts(0), 9.0), // duplicate of run-1 state -> must still drop
+      Ev(5, 3, "purchase", ts(2), 5.0)))
+    moveIn("b")
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(outDir).select("event_id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L, 5L),
+      s"state must survive restart: expected {1,3,5}, got $got")
+  }
 }
