@@ -87,11 +87,42 @@ object MultiOps {
       .orderBy("doc_id")
   }
 
+  /** #32b frame sampling: fixed-size chunking of the binary payload +
+    * periodic sample (every 4th 32-byte frame) — the video-frame
+    * pipeline shape (seek table + keyframe extraction) as a declarative
+    * plan. Bytes travel as hex so both engines slice identically; the
+    * per-frame md5 stands in for the decoded-frame feature. */
+  private val m03: Q = (s, dir) => {
+    t(s, dir, "documents")
+      .withColumn("hexs", hex(col("text").cast("binary")))
+      .withColumn("nf", ceil(length(col("hexs")) / lit(64.0)).cast("long"))
+      .select(col("doc_id"), col("hexs"),
+        explode(expr("sequence(CAST(0 AS BIGINT), nf - 1)")).as("frame_idx"))
+      .filter(pmod(col("frame_idx"), lit(4L)) === 0)
+      .withColumn("frame_hex", expr("substring(hexs, CAST(frame_idx * 64 + 1 AS INT), 64)"))
+      .select(col("doc_id"), col("frame_idx"),
+        substring(col("frame_hex"), 1, 16).as("frame_prefix"),
+        md5(col("frame_hex")).as("frame_md5"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  private val m03Sql =
+    """WITH h AS (SELECT doc_id, hex(encode(text)) AS hexs FROM documents),
+      |f AS (SELECT doc_id, hexs, CAST(ceil(length(hexs) / 64.0) AS BIGINT) AS nf FROM h),
+      |e AS (SELECT doc_id, hexs, unnest(generate_series(0, nf - 1)) AS frame_idx FROM f),
+      |s AS (SELECT doc_id, frame_idx, substr(hexs, CAST(frame_idx * 64 + 1 AS INTEGER), 64) AS frame_hex
+      |  FROM e WHERE frame_idx % 4 = 0)
+      |SELECT doc_id, frame_idx, substr(frame_hex, 1, 16) AS frame_prefix, md5(frame_hex) AS frame_md5
+      |FROM s
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "m01_binary_meta" -> m01,
-    "m02_feature_batch" -> m02)
+    "m02_feature_batch" -> m02,
+    "m03_frame_sample" -> m03)
 
   /** m02 is intentionally absent: mapPartitions output is rows-only. */
   val oracle: Map[String, String] = Map(
-    "m01_binary_meta" -> m01Sql)
+    "m01_binary_meta" -> m01Sql,
+    "m03_frame_sample" -> m03Sql)
 }
