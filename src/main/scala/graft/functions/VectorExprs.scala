@@ -114,6 +114,7 @@ case class CosineSim(left: Expression, right: Expression)
   * usable from any SQL/expr context as `graft_dot(a, b)` / `graft_cosine(a, b)`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => NativeVectorRewrite)
     ext.injectFunction((new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children.head, children(1))))
