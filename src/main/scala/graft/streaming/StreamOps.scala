@@ -1,9 +1,19 @@
 package graft.streaming
 
 import graft.{F, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event for [[StreamOps.streamingSessionize]]. */
+case class SessEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+/** Open-session state kept per user between micro-batches. */
+case class SessState(startMs: Long, endMs: Long, n: Long, total: Double)
+
+/** A closed session emitted once its gap has passed the watermark. */
+case class Session(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long, total_value: Double)
 
 /** Streaming operators (SURVEY.md §2 #33-34).
   *
@@ -85,4 +95,52 @@ object StreamOps {
   val oracle: Map[String, String] = Map(
     "st01_window_agg" -> st01Sql,
     "st02_stream_dedup" -> st02Sql)
+
+  /** Streaming sessionization with custom state — the stateful twin of
+    * q14's batch plan. Per user, events within `gapMs` of the open
+    * session extend it; a larger gap closes and emits it. The open
+    * session is kept in [[GroupState]] with an event-time timeout at
+    * (session end + gap): once the watermark passes that point no
+    * earlier event can extend the session, so it closes exactly once.
+    * State per key is O(1) — this is the
+    * `flatMapGroupsWithState` shape the reference's scheduler-driven
+    * analytics map onto in a true streaming deployment.
+    */
+  def streamingSessionize(events: Dataset[SessEvent], gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    def close(uid: Long, st: SessState) =
+      Session(uid, st.startMs, st.endMs, st.n, st.total)
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[SessEvent], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(close(uid, _)).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            it.toSeq.sortBy(e => (e.ts.getTime, e.value)).foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(st) if t - st.endMs <= gapMs =>
+                  cur = Some(SessState(st.startMs, math.max(st.endMs, t), st.n + 1, st.total + e.value))
+                case Some(st) =>
+                  closed += close(uid, st)
+                  cur = Some(SessState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp(st.endMs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
 }

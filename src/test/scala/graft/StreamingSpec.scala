@@ -133,4 +133,39 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set(1L, 3L, 5L),
       s"state must survive restart: expected {1,3,5}, got $got")
   }
+
+  test("flatMapGroupsWithState sessionization: gap closes sessions, timeout flushes state") {
+    import graft.streaming.{SessEvent, Session}
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[SessEvent]
+    val sess = StreamOps.streamingSessionize(
+      input.toDS().withWatermark("ts", "0 seconds"), gapMs = 10 * 60000L)
+    val q = sess.writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      // batch 1: user 1 has two events 5 min apart (one session);
+      // user 2 has one event
+      input.addData(
+        SessEvent(1, ts(0), 1.0), SessEvent(1, ts(5), 2.0), SessEvent(2, ts(3), 7.0))
+      q.processAllAvailable()
+      // batch 2: user 1 returns after a 30-min gap -> closes session 1 inline
+      input.addData(SessEvent(1, ts(35), 4.0))
+      q.processAllAvailable()
+      // user 1's first session closes inline (gap exceeded); user 2's
+      // open session times out too — batch 2 advanced the watermark to
+      // ts(35), past user 2's (end ts(3) + 10 min) timeout
+      val afterGap = spark.table("sess_out").as[Session].collect().toSet
+      assert(afterGap == Set(
+        Session(1, ts(0).getTime, ts(5).getTime, 2, 3.0),
+        Session(2, ts(3).getTime, ts(3).getTime, 1, 7.0)), s"got $afterGap")
+      // batch 3: far-future event pushes the watermark past every open
+      // session's (end + gap) -> event-time timeouts flush users 1 and 2
+      input.addData(SessEvent(99, ts(1000), 0.0))
+      q.processAllAvailable()
+      input.addData(SessEvent(99, ts(2000), 0.0)) // advance watermark again
+      q.processAllAvailable()
+      val all = spark.table("sess_out").as[Session].collect().toSet
+      assert(all.contains(Session(2, ts(3).getTime, ts(3).getTime, 1, 7.0)), s"user 2 flush missing: $all")
+      assert(all.contains(Session(1, ts(35).getTime, ts(35).getTime, 1, 4.0)), s"user 1 second session missing: $all")
+    } finally q.stop()
+  }
 }
