@@ -5,7 +5,14 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR. Each query is executed twice — the first pass
   * warms JIT/codegen/file-footer caches (a cluster's steady state), the
   * second is timed. Queries run in sorted order for stable comparisons
-  * across rounds. */
+  * across rounds.
+  *
+  * Each query is evaluated through the `noop` sink: every output column
+  * and the final presentation sort are fully computed (unlike `count()`,
+  * which lets Catalyst prune unconsumed projections and eliminate the
+  * sort — the engine's own documented pitfall), but nothing is written.
+  * A failing query reports value -1 and its error in an `errors` map
+  * instead of masquerading as a fast success. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -13,17 +20,28 @@ object Bench {
     val spark = Sessions.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.queries.keys.toSeq.sorted
-    def run(name: String): Double = {
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    def run(name: String, record: Boolean): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          if (record) {
+            val msg = e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage)
+            errors(name) = msg.replaceAll("""[\\"\n\r\t]""", " ").take(200)
+          }
+          -1.0
+      }
     }
-    names.foreach(run) // warm-up pass
-    val results = names.map(n => n -> run(n))
+    names.foreach(run(_, record = false)) // warm-up pass
+    val results = names.map(n => n -> run(n, record = true))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

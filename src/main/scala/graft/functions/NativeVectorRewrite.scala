@@ -16,7 +16,10 @@ import org.apache.spark.sql.types.DoubleType
   * element — ~50µs/pair inside LSH joins).
   *
   * Semantics-preserving bit-for-bit: the native loop is the same left
-  * fold, and 0.0 + t₁ ≡ t₁ exactly. Only the exact shape is rewritten —
+  * fold (0.0 + t₁ ≡ t₁ exactly), and [[DotProduct]] mirrors the HOF
+  * form's null contract — NULL on null array, length mismatch, or null
+  * element — so the rewrite is safe on ragged/nullable arrays, not just
+  * the well-formed fixed-dim case. Only the exact shape is rewritten —
   * any other seed, lambda body, or ordering is left untouched.
   * Registered by [[GraftExtensions]] via `injectOptimizerRule`.
   */

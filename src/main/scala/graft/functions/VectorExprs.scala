@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Native Catalyst expressions for fixed-work vector math.
@@ -19,26 +19,51 @@ import org.apache.spark.sql.SparkSessionExtensions
   * brief: a custom scalar Expression, registered through the public
   * `SparkSessionExtensions` hook ([[GraftExtensions]]).
   *
+  * Null contract (both expressions): mirrors the composed HOF form
+  * `aggregate(zip_with(a,b,(x,y)->x*y),0.0,(s,v)->s+v)` exactly —
+  * NULL if either array is NULL, if lengths differ (zip_with pads the
+  * shorter side with nulls → the fold goes NULL), or if any element in
+  * range is NULL. This is what lets [[NativeVectorRewrite]] substitute
+  * the native loop for the HOF shape unconditionally. When both child
+  * types are `array<double not null>` the per-element null check is
+  * statically elided — the hot path is the same two-load-FMA loop.
+  *
   * Float-math contract: sequential left fold (s += aᵢ·bᵢ), identical
   * to the DuckDB oracle's `list_reduce` index fold — see
   * [[graft.OracleSql.seqDot]].
   */
-case class DotProduct(left: Expression, right: Expression)
-  extends BinaryExpression {
+trait VectorBinary extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  // NULL on length mismatch even for non-null children, so always nullable
+  override def nullable: Boolean = true
+
+  /** true unless BOTH children are statically array<double not null> —
+    * drives elision of the per-element null branch in eval and codegen. */
+  protected lazy val elemsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  })
+}
+
+case class DotProduct(left: Expression, right: Expression) extends VectorBinary {
 
   // contract: both children are array<double> (callers cast explicitly;
   // AbstractDataType/ExpectsInputTypes are private[sql], so no implicit
   // coercion is declared here)
-  override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (elemsNullable && (x.isNullAt(i) || y.isNullAt(i))) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -46,11 +71,20 @@ case class DotProduct(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (x, y) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      val nullCheck =
+        if (elemsNullable)
+          s"if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |${ev.value} = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  ${ev.value} += $x.getDouble($i) * $y.getDouble($i);
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    ${ev.value} += $x.getDouble($i) * $y.getDouble($i);
+         |  }
          |}
        """.stripMargin
     })
@@ -62,21 +96,23 @@ case class DotProduct(left: Expression, right: Expression)
 /** Cosine similarity in ONE pass: dot, ‖a‖² and ‖b‖² accumulate in the
   * same loop (a third of the array traffic of three separate folds).
   * Accumulation order per term matches the oracle's three sequential
-  * folds exactly — each accumulator is its own left fold. */
-case class CosineSim(left: Expression, right: Expression)
-  extends BinaryExpression {
+  * folds exactly — each accumulator is its own left fold. Null contract
+  * as [[DotProduct]] (NULL on null array / length mismatch / null
+  * element), mirroring what the three composed HOF folds would return. */
+case class CosineSim(left: Expression, right: Expression) extends VectorBinary {
 
   // contract: both children are array<double> (see DotProduct note)
-  override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (elemsNullable && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xv = x.getDouble(i); val yv = y.getDouble(i)
       s += xv * yv; na += xv * xv; nb += yv * yv
       i += 1
@@ -93,15 +129,26 @@ case class CosineSim(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
+      val nullCheck =
+        if (elemsNullable)
+          s"if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int $n = $x.numElements();
          |double $s = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xv = $x.getDouble($i);
-         |  double $yv = $y.getDouble($i);
-         |  $s += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    double $xv = $x.getDouble($i);
+         |    double $yv = $y.getDouble($i);
+         |    $s += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |  }
          |}
-         |${ev.value} = $s / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = $s / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
        """.stripMargin
     })
 
@@ -121,5 +168,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((new FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
       (children: Seq[Expression]) => CosineSim(children.head, children(1))))
+    ext.injectFunction((new FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[WinnowFingerprint].getName, "graft_winnow"),
+      (children: Seq[Expression]) => WinnowFingerprint(children.head,
+        children(1).eval().asInstanceOf[Number].intValue,
+        children(2).eval().asInstanceOf[Number].intValue)))
   }
 }

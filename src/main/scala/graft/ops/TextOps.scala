@@ -145,23 +145,20 @@ object TextOps {
 
   /** #30 document fingerprinting: char-8-gram md5 hashes + winnowing
     * (min per 4-hash window), summarized per doc as count/min/max/xor of
-    * the distinct fingerprint set — the MOSS scheme, all in one
-    * codegen'd higher-order expression chain. */
+    * the distinct fingerprint set — the MOSS scheme, executed by the
+    * native [[graft.functions.WinnowFingerprint]] single-pass expression
+    * (the HOF chain re-ran an interpreted md5 lambda per gram: ~10×
+    * slower; bit-identical values either way). */
   private val t04: Q = (s, dir) => {
     t(s, dir, "documents")
       .filter(length(col("text")) >= 11) // k=8 grams, w=4 windows
-      .withColumn("grams", expr(
-        "transform(sequence(1, length(text) - 7), " +
-          "i -> CAST(conv(substring(md5(substring(text, i, 8)), 1, 15), 16, 10) AS BIGINT))"))
-      .withColumn("wins", expr(
-        "transform(sequence(1, size(grams) - 3), j -> array_min(slice(grams, j, 4)))"))
-      .withColumn("fps", array_sort(array_distinct(col("wins"))))
+      .withColumn("fp", expr("graft_winnow(text, 8, 4)"))
       .select(col("doc_id"),
-        size(col("grams")).cast("long").as("n_grams"),
-        size(col("fps")).cast("long").as("n_fp"),
-        array_min(col("fps")).as("fp_min"),
-        array_max(col("fps")).as("fp_max"),
-        expr("aggregate(fps, CAST(0 AS BIGINT), (acc, x) -> acc ^ x)").as("fp_xor"))
+        col("fp.n_grams").as("n_grams"),
+        col("fp.n_fp").as("n_fp"),
+        col("fp.fp_min").as("fp_min"),
+        col("fp.fp_max").as("fp_max"),
+        col("fp.fp_xor").as("fp_xor"))
       .orderBy("doc_id")
   }
 

@@ -62,7 +62,7 @@ object IncrementalPipeline {
       .drop("__rn")
     val n = delta.count()
     if (n > 0) {
-      if (watermark(spark, path, tsCol).isEmpty && wm.isEmpty) {
+      if (wm.isEmpty) {
         // first load: plain partitioned write
         delta.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
       } else {

@@ -41,4 +41,29 @@ class VectorExprsSpec extends SparkSpec {
       .withColumn("d", expr("graft_dot(a, b)"))
     assert(df.head().isNullAt(2))
   }
+
+  test("ragged / null-element arrays mirror the HOF form: NULL, not garbage") {
+    // length mismatch → zip_with pads with null → HOF fold is NULL;
+    // null element in range → NULL. The native loop must match both.
+    val df = spark.sql(
+      """SELECT a, b,
+        |  graft_dot(a, b) AS native,
+        |  aggregate(zip_with(a, b, (x, y) -> x * y),
+        |            CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS hof,
+        |  graft_cosine(a, b) AS native_cos
+        |FROM VALUES
+        |  (array(1.0D, 2.0D, 3.0D), array(1.0D, 2.0D)),
+        |  (array(1.0D, 2.0D),       array(1.0D, 2.0D, 3.0D)),
+        |  (array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D)),
+        |  (array(1.0D, 2.0D),       array(1.0D, 2.0D)) AS t(a, b)
+        |""".stripMargin)
+    val rows = df.collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(2) == r.isNullAt(3),
+        s"native/HOF null disagreement on ${r.getSeq[Any](0)} · ${r.getSeq[Any](1)}")
+      if (!r.isNullAt(2)) assert(r.getDouble(2) == r.getDouble(3))
+    }
+    assert(rows.count(_.isNullAt(2)) == 3, "3 malformed pairs must be NULL")
+    assert(rows.count(_.isNullAt(4)) == 3, "graft_cosine shares the null contract")
+  }
 }
