@@ -168,6 +168,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((new FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
       (children: Seq[Expression]) => CosineSim(children.head, children(1))))
+    ext.injectFunction((new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash].getName, "graft_simhash"),
+      (children: Seq[Expression]) => SimHash(children.head,
+        children(1).eval().asInstanceOf[Number].intValue)))
+    ext.injectFunction((new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[ShingleMinHash].getName, "graft_minhash"),
+      (children: Seq[Expression]) => ShingleMinHash(children.head,
+        children(1).eval().asInstanceOf[Number].intValue,
+        children(2).eval().asInstanceOf[Number].intValue)))
     ext.injectFunction((new FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[WinnowFingerprint].getName, "graft_winnow"),
       (children: Seq[Expression]) => WinnowFingerprint(children.head,

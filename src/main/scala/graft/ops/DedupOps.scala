@@ -42,16 +42,11 @@ object DedupOps {
     * Products stay < 2³³ — no int64 overflow in either engine. */
   private val gsDuck = "list_transform(sh, s -> CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT))"
 
-  /** Single-pass signature: fold the shingle array once, updating all k
-    * minima per step. (A transform-per-i formulation would let Catalyst
-    * inline the collapsed md5 map into the outer lambda and recompute it
-    * k times — this shape traverses the md5 values exactly once.) */
-  private def sigSpark(k: Int): String =
-    "aggregate(" +
-      "transform(sh, s -> CAST(conv(substring(md5(s), 1, 7), 16, 10) AS BIGINT)), " +
-      s"array_repeat(CAST(536870912 AS BIGINT), $k), " +
-      s"(acc, g) -> zip_with(acc, sequence(0, ${k - 1}), " +
-      "(m, i) -> least(m, pmod((2*i+3) * g + 12289*i + 1, 536870912))))"
+  /** Native single-pass signature over the token array: shingle bytes →
+    * md5 → all k universal-hash minima updated in place, bit-identical
+    * to the HOF fold it replaced ([[graft.functions.ShingleMinHash]];
+    * the interpreted-lambda md5-per-shingle chain was ~10× slower). */
+  private def sigSpark(k: Int): String = s"graft_minhash(ws, 3, $k)"
 
   private def sigDuck(k: Int): String =
     s"list_transform(generate_series(0, ${k - 1}), i -> list_min(list_transform(gs, g -> ((2*i+3) * g + 12289*i + 1) % 536870912)))"
@@ -117,23 +112,18 @@ object DedupOps {
   /** #22 SimHash: 60-bit weighted-word simhash per doc; near-dup pairs at
     * hamming ≤ 3, blocked by 4 × 15-bit chunks (pigeonhole: hamming ≤ 3
     * ⇒ at least one chunk identical, so the block has full recall).
-    * The 60 per-bit signed sums are 60 aggregate COLUMNS over the
-    * (doc, word) rows — not a 60× row explode, which at 100k docs pushed
-    * 240M rows through the shuffle (32s → 3s). Integer math, so the
+    * The simhash itself is MAP-ONLY via the native
+    * [[graft.functions.SimHash]] expression — Σ_distinct count·(±1) ≡
+    * Σ_occurrences (±1), so the explode → groupBy(doc, word) → 60
+    * aggregate columns → re-group chain (two shuffles of every token)
+    * collapses into one pass over each row's token array. The only
+    * shuffle left is the chunk-blocked self-join. Integer math, so the
     * row-exploded DuckDB oracle produces identical values. */
   private val d03: Q = (s, dir) => {
-    val wc = t(s, dir, "documents")
-      .select(col("doc_id"), explode(words(col("text"))).as("w"))
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
-      .withColumn("hw", hash60(col("w")))
-    val bitSums = (0 until 60).map(b =>
-      sum(when(expr(s"shiftright(hw, $b) & 1") === 1, col("cnt")).otherwise(-col("cnt"))).as(s"s$b"))
-    def balLong(xs: Seq[Column]): Column =
-      if (xs.sizeIs == 1) xs.head
-      else balLong(xs.grouped(2).map(g => if (g.sizeIs == 2) g(0) + g(1) else g(0)).toSeq)
-    val sh = wc.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        balLong((0 until 60).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))).as("simhash"))
+    val sh = t(s, dir, "documents")
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 1)
+      .select(col("doc_id"), expr("graft_simhash(ws, 60)").as("simhash"))
     val ch = sh.select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("c"))
       .withColumn("chunk", expr("shiftright(simhash, CAST(15 * c AS INT)) & 32767"))
     val a = ch.select(col("doc_id").as("doc_a"), col("simhash").as("ha"), col("c"), col("chunk"))
@@ -228,9 +218,13 @@ object DedupOps {
   }
 
   /** Spark-SQL dot(v, planes(p)) — left fold from 0.0, matching the
-    * DuckDB list_reduce order exactly (±1 products are lossless). */
+    * DuckDB list_reduce order exactly (±1 products are lossless). The
+    * plane is a DOUBLE-literal array so the lambda is a bare `x * y`:
+    * exactly the shape [[graft.functions.NativeVectorRewrite]] rewrites
+    * to the codegen'd DotProduct loop (a CAST inside the lambda would
+    * leave all 24 folds interpreted). */
   private def dotPlaneSpark(p: Int): String =
-    s"aggregate(zip_with(v, array(${planes(p).mkString(", ")}), (x, y) -> x * CAST(y AS DOUBLE)), " +
+    s"aggregate(zip_with(v, array(${planes(p).map(_ + ".0D").mkString(", ")}), (x, y) -> x * y), " +
       "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
 
   private def sketchSpark: String =
