@@ -68,11 +68,12 @@ object DedupOps {
       |GROUP BY 1
       |ORDER BY text_md5""".stripMargin
 
-  /** #21 MinHash + LSH: 8 md5-minhashes over 3-word shingles, 4 bands × 2
-    * rows; candidate pairs = docs sharing any band key. est_sim = fraction
-    * of agreeing signature positions. The self-join runs per (band, key)
-    * bucket — never cross-doc. */
-  private val d02: Q = (s, dir) => {
+  /** Candidate pairs from 8 minhashes banded 4×2: (doc_a, doc_b,
+    * est_sim) for every pair sharing a band key, deduplicated across
+    * bands. est_sim = fraction of agreeing signature positions — always
+    * an exact multiple of 0.125, so rounding never moves it. Shared by
+    * d02 (reporting) and d06 (clustering). */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     val sig = shingled(s, dir)
       .withColumn("sig", expr(sigSpark(8)))
     val bands = sig
@@ -83,13 +84,21 @@ object DedupOps {
     val b = bands.select(col("doc_id").as("doc_b"), col("sig").as("sb"), col("b"), col("bkey"))
     a.join(b, Seq("b", "bkey"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("est_sim", r6(expr(
+      .withColumn("est_sim", expr(
         """aggregate(zip_with(sa, sb, (x, y) -> CASE WHEN x = y THEN 1.0D ELSE 0.0D END),
-          |CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) / 8.0D""".stripMargin)))
+          |CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) / 8.0D""".stripMargin))
       .select(col("doc_a"), col("doc_b"), col("est_sim"))
       .distinct()
-      .orderBy("doc_a", "doc_b")
   }
+
+  /** #21 MinHash + LSH: 8 md5-minhashes over 3-word shingles, 4 bands × 2
+    * rows; candidate pairs = docs sharing any band key. est_sim = fraction
+    * of agreeing signature positions. The self-join runs per (band, key)
+    * bucket — never cross-doc. */
+  private val d02: Q = (s, dir) =>
+    minhashPairs(s, dir)
+      .select(col("doc_a"), col("doc_b"), r6(col("est_sim")).as("est_sim"))
+      .orderBy("doc_a", "doc_b")
 
   private val d02Sql =
     """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
@@ -227,7 +236,7 @@ object DedupOps {
     s"aggregate(zip_with(v, array(${planes(p).map(_ + ".0D").mkString(", ")}), (x, y) -> x * y), " +
       "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
 
-  private def sketchSpark: String =
+  private[ops] def sketchSpark: String =
     (0 until 24).map(p => s"(CASE WHEN ${dotPlaneSpark(p)} > 0.0D THEN ${1L << p}L ELSE 0L END)")
       .mkString(" + ")
 
@@ -235,7 +244,7 @@ object DedupOps {
     s"list_reduce(list_transform(generate_series(1, 64), " +
       s"i -> v[i] * (CAST([${planes(p).mkString(", ")}] AS DOUBLE[]))[i]), (a, b) -> a + b)"
 
-  private def sketchDuck: String =
+  private[ops] def sketchDuck: String =
     (0 until 24).map(p => s"(CASE WHEN ${dotPlaneDuck(p)} > 0.0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
       .mkString(" + ")
 
@@ -290,17 +299,107 @@ object DedupOps {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  /** #24b near-dup CLUSTERING: connected components over the minhash
+    * pair graph (est_sim ≥ 0.5), labeling every clustered doc with the
+    * minimum doc_id in its component — the step that turns pairwise
+    * near-dup detection into "keep one canonical doc per group"
+    * (cluster_id == doc_id marks the keeper).
+    *
+    * Distributed algorithm: iterative min-label propagation —
+    * label(x) ← min(label(x), min over neighbors' labels) until a
+    * fixpoint, which Spark executes as one join+partial-min aggregation
+    * per round. Near-dup components are near-cliques, so convergence is
+    * 2–3 rounds regardless of corpus size; each round shuffles only the
+    * edge list (for diameter-heavy graphs swap in large-star/small-star,
+    * same skeleton). Labels are persisted per round and the fixpoint
+    * check is an aggregate, never a driver-side collect of the data.
+    * The DuckDB oracle replays the same fixpoint as a recursive CTE
+    * (min over the reflexive-transitive reachability set). */
+  private val d06: Q = (s, dir) => {
+    val pairs = minhashPairs(s, dir)
+      .filter(col("est_sim") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    // label(x) ← min(label(x), labels of neighbors) as ONE join + one
+    // partial-min aggregation per round. localCheckpoint (reliable
+    // checkpoint on a real cluster) truncates lineage each round —
+    // without it Catalyst re-optimizes a plan that doubles per
+    // iteration and planning time swamps the tiny jobs. Convergence:
+    // labels only ever decrease, so the label sum (exact DECIMAL — ids
+    // may be large) is strictly monotone and a fixpoint ⟺ equal sums;
+    // this needs no second join against the previous labels.
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = false
+    while (!converged) {
+      val next = edges.join(labels, edges("dst") === labels("id"))
+        .select(col("src").as("id"), col("label"))
+        .union(labels)
+        .groupBy("id").agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      val s2 = labelSum(next)
+      labels = next
+      converged = s2.compareTo(prevSum) == 0
+      prevSum = s2
+    }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels
+      .join(sizes, "label")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"),
+        (col("id") === col("label")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
+  private val d06Sql =
+    """WITH RECURSIVE w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+      |s3 AS (SELECT doc_id,
+      |    list_transform(generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh
+      |  FROM w WHERE len(ws) >= 3),
+      |g AS (SELECT doc_id, GS_DUCK AS gs FROM s3),
+      |sig AS (SELECT doc_id, SIG8_DUCK AS sig FROM g),
+      |bands AS (SELECT doc_id, sig, b.b AS b,
+      |    CAST(sig[2*b.b+1] AS VARCHAR) || '_' || CAST(sig[2*b.b+2] AS VARCHAR) AS bkey
+      |  FROM sig, range(0, 4) b(b)),
+      |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    list_reduce(list_transform(generate_series(1, 8),
+      |      i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1.0 ELSE 0.0 END), (x, y) -> x + y) / CAST(8.0 AS DOUBLE) AS est_sim
+      |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      |sim AS (SELECT doc_a, doc_b FROM p WHERE est_sim >= 0.5),
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM sim
+      |  UNION SELECT doc_b, doc_a FROM sim
+      |  UNION SELECT doc_a, doc_a FROM sim
+      |  UNION SELECT doc_b, doc_b FROM sim),
+      |reach(node, r) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+      |labels AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+      |sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size FROM labels GROUP BY 1)
+      |SELECT doc_id, cluster_id, cluster_size, doc_id = cluster_id AS is_canonical
+      |FROM labels JOIN sizes USING (cluster_id)
+      |ORDER BY doc_id""".stripMargin
+      .replace("GS_DUCK", gsDuck).replace("SIG8_DUCK", sigDuck(8))
+
   val queries: Map[String, Q] = Map(
     "d01_dedup_exact" -> d01,
     "d02_minhash_lsh" -> d02,
     "d03_simhash" -> d03,
     "d04_ngram_jaccard" -> d04,
-    "d05_embedding_neardup" -> d05)
+    "d05_embedding_neardup" -> d05,
+    "d06_neardup_clusters" -> d06)
 
   val oracle: Map[String, String] = Map(
     "d01_dedup_exact" -> d01Sql,
     "d02_minhash_lsh" -> d02Sql,
     "d03_simhash" -> d03Sql,
     "d04_ngram_jaccard" -> d04Sql,
-    "d05_embedding_neardup" -> d05Sql)
+    "d05_embedding_neardup" -> d05Sql,
+    "d06_neardup_clusters" -> d06Sql)
 }

@@ -113,11 +113,61 @@ object SimOps {
        |FROM r WHERE rank <= $K
        |ORDER BY q_id, rank""".stripMargin
 
+  /** #26b LSH-bucketed ANN — the second scale path the brief names next
+    * to IVF. The d05 24-bit random-hyperplane sign sketch buckets the
+    * corpus (4 bands × 6 bits); a query's candidates are the vectors
+    * sharing any band value with it, ranked by exact cosine, top-k.
+    * Unlike IVF there is no centroid pass over the corpus: bucketing is
+    * a pure map (sketch = 24 sign bits per row), so the whole index is
+    * one projection — at 100 TB the corpus is scanned once, shuffled
+    * once on (band, bucket), and the per-bucket joins never go
+    * cross-bucket. Recall is the LSH collision probability (bits scale
+    * with log n); the oracle replays the identical pipeline. */
+  private val s03: Q = (s, dir) => {
+    val bands = vecs(s, dir)
+      .withColumn("sketch", expr(DedupOps.sketchSpark))
+      .select(col("vec_id"), col("v"), col("sketch"),
+        explode(sequence(lit(0), lit(3))).as("c"))
+      .withColumn("chunk", expr("shiftright(sketch, CAST(6 * c AS INT)) & 63"))
+      .select("vec_id", "v", "c", "chunk")
+    val q = bands.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("c"), col("chunk"))
+    val wRank = Window.partitionBy(col("q_id")).orderBy(col("cosv").desc, col("vec_id"))
+    bands.join(q, Seq("c", "chunk"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", expr("graft_cosine(qv, v)"))
+      // groupBy dedups candidates found in several bands AND keeps the
+      // cosine out of the join condition (see d05's barrier note)
+      .groupBy(col("q_id"), col("vec_id")).agg(max(col("cos")).as("cosv"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("vec_id"), r6(col("cosv")).as("cos_sim"))
+      .orderBy("q_id", "rank")
+  }
+
+  private val s03Sql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sk AS (SELECT vec_id, v, ${DedupOps.sketchDuck} AS sketch FROM e),
+       |bands AS (SELECT vec_id, v, sketch, c.c AS c, (sketch >> CAST(6*c.c AS INTEGER)) & 63 AS chunk
+       |  FROM sk, range(0, 4) c(c)),
+       |q AS (SELECT vec_id AS q_id, v AS qv, c, chunk FROM bands WHERE vec_id < 5),
+       |p AS (SELECT q.q_id, b.vec_id, max(${duckCos("qv", "v")}) AS cosv
+       |  FROM bands b JOIN q ON b.c = q.c AND b.chunk = q.chunk AND b.vec_id <> q.q_id
+       |  GROUP BY q.q_id, b.vec_id),
+       |r AS (SELECT q_id, vec_id, cosv,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosv DESC, vec_id) AS BIGINT) AS rank
+       |  FROM p)
+       |SELECT q_id, rank, vec_id, round(cosv, 6) AS cos_sim
+       |FROM r WHERE rank <= $K
+       |ORDER BY q_id, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "s01_knn_bruteforce" -> s01,
-    "s02_ann_ivf" -> s02)
+    "s02_ann_ivf" -> s02,
+    "s03_ann_lsh" -> s03)
 
   val oracle: Map[String, String] = Map(
     "s01_knn_bruteforce" -> s01Sql,
-    "s02_ann_ivf" -> s02Sql)
+    "s02_ann_ivf" -> s02Sql,
+    "s03_ann_lsh" -> s03Sql)
 }

