@@ -261,7 +261,40 @@ object CoreOps {
       |ON (c_custkey % 150) = user_id
       |ORDER BY c_custkey""".stripMargin
 
+  /** #19b distribution summary: exact linear-interpolation percentiles
+    * (p50/p95/p99) of extended price per (returnflag, linestatus) —
+    * the distribution profile an ingest-quality monitor keys on. Exact
+    * `percentile` sorts within each group (both engines define index =
+    * p·(n−1) with linear interpolation, so values match bit-for-bit);
+    * at 100 TB swap in `approx_percentile` (KLL/GK sketch, mergeable,
+    * one pass, no per-group sort) — the spec pins the approx path to
+    * the exact one within its error bound. */
+  private val q20: Q = (s, dir) => {
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        // one percentile buffer per group serving all three quantiles —
+        // three scalar percentile() calls triple the sort/merge work
+        expr("percentile(l_extendedprice, array(0.5D, 0.95D, 0.99D))").as("ps"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("n_rows"),
+        r6(col("ps").getItem(0)).as("p50"),
+        r6(col("ps").getItem(1)).as("p95"),
+        r6(col("ps").getItem(2)).as("p99"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  private val q20Sql =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+      |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
+      |  round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q20_percentiles" -> q20,
     "q01_pricing_summary" -> q01,
     "q02_revenue_by_nation" -> q02,
     "q03_top_orders" -> q03,
@@ -274,6 +307,7 @@ object CoreOps {
     "q19_minmax_windows" -> q19)
 
   val oracle: Map[String, String] = Map(
+    "q20_percentiles" -> q20Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_revenue_by_nation" -> q02Sql,
     "q03_top_orders" -> q03Sql,

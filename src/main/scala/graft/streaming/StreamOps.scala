@@ -15,6 +15,16 @@ case class SessState(startMs: Long, endMs: Long, n: Long, total: Double)
 /** A closed session emitted once its gap has passed the watermark. */
 case class Session(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long, total_value: Double)
 
+/** Event for [[StreamOps.streamingWma]]. */
+case class WmaEvent(event_type: String, event_id: Long, ts: java.sql.Timestamp, value: Double)
+
+/** Rolling window of the n−1 most recent values per key (oldest first). */
+case class WmaState(recent: List[Double])
+
+/** One WMA observation per input event; `wma` is None until the window
+  * is full (pandas_ta semantics, matching batch q11). */
+case class WmaOut(event_type: String, event_id: Long, ts_ms: Long, value: Double, wma: Option[Double])
+
 /** Streaming operators (SURVEY.md §2 #33-34).
   *
   * The reference polls REST endpoints on a scheduler and upserts
@@ -95,6 +105,40 @@ object StreamOps {
   val oracle: Map[String, String] = Map(
     "st01_window_agg" -> st01Sql,
     "st02_stream_dedup" -> st02Sql)
+
+  /** Streaming WMA(n) — the reference's scheduled premium analytic
+    * (crypto_data_pipeline_duckdb.py:1221-1268) run continuously. Per
+    * key, [[GroupState]] holds only the n−1 most recent values (O(n)
+    * per key, independent of stream length); each arriving event emits
+    * its linearly-weighted moving average, None until the window fills
+    * — the exact null-till-full semantics of batch q11. Events are
+    * ordered (ts, event_id) within a micro-batch; like the reference's
+    * own incremental loop, cross-batch late data is handled upstream
+    * (watermark + dedup), so arrival order = event order is the
+    * contract, proven equivalent to the batch window plan in
+    * StreamingSpec. */
+  def streamingWma(events: Dataset[WmaEvent], n: Int): Dataset[WmaOut] = {
+    import events.sparkSession.implicits._
+    val denom = n * (n + 1) / 2.0
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[WmaState, WmaOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[WmaEvent], state: GroupState[WmaState]) =>
+          var recent = state.getOption.map(_.recent).getOrElse(List.empty[Double])
+          val out = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+            val win = (recent :+ e.value).takeRight(n)
+            val wma =
+              if (win.size == n)
+                Some(win.iterator.zipWithIndex.map { case (v, i) => v * (i + 1) }.sum / denom)
+              else None
+            recent = (recent :+ e.value).takeRight(n - 1)
+            WmaOut(key, e.event_id, e.ts.getTime, e.value, wma)
+          }
+          state.update(WmaState(recent))
+          out.iterator
+      }
+  }
 
   /** Streaming sessionization with custom state — the stateful twin of
     * q14's batch plan. Per user, events within `gapMs` of the open

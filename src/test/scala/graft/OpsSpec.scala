@@ -10,7 +10,7 @@ class OpsSpec extends SparkSpec {
 
   test("every declared query runs and respects its contract on sf0.001") {
     val qs = SparkEntry.queries
-    assert(qs.size == 38)
+    assert(qs.size == 39)
     // oracle coverage: everything except the rows-only m02
     assert(SparkEntry.oracleSql.keySet == qs.keySet - "m02_feature_batch")
   }
@@ -48,6 +48,16 @@ class OpsSpec extends SparkSpec {
     val bad = out.filter(col("dup_word_ratio") < 0 || col("dup_word_ratio") >= 1
       || col("top_bigram_ratio") <= 0 || col("dup_trigram_ratio") < 0)
     assert(bad.count() == 0)
+  }
+
+  test("q20 percentiles: the approx (100 TB) path tracks exact within its bound") {
+    val li = Tables.t(spark, sfDir, "lineitem")
+    val r = li.agg(
+      expr("percentile(l_extendedprice, 0.95)").as("exact"),
+      expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("approx")).head()
+    val (exact, approx) = (r.getDouble(0), r.getDouble(1))
+    // accuracy 10000 -> rank error <= n/10000; at sf0.001 that is ~exact
+    assert(math.abs(approx - exact) / exact < 0.01, s"$approx vs $exact")
   }
 
   test("s03 LSH ANN: dense ranks, and every neighbor shares a sketch band with its query") {

@@ -134,6 +134,39 @@ class StreamingSpec extends SparkSpec {
       s"state must survive restart: expected {1,3,5}, got $got")
   }
 
+  test("streaming WMA(12) == batch q11 when events arrive in event-time order") {
+    import graft.streaming.{WmaEvent, WmaOut}
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[WmaEvent]
+    val q = StreamOps.streamingWma(input.toDS(), 12)
+      .writeStream.format("memory").queryName("wma_out").outputMode("append").start()
+    try {
+      val evs = Tables.t(spark, sfDir, "events")
+        .select(col("event_type"), col("event_id"), col("ts"), col("value"))
+        .as[WmaEvent].collect().sortBy(e => (e.ts.getTime, e.event_id))
+      // three micro-batches, split on event-time — the incremental path
+      evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { b =>
+        input.addData(b.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val got = spark.table("wma_out").as[WmaOut].collect()
+        .map(o => (o.event_type, o.event_id) -> o.wma).toMap
+      val want = SparkEntry.queries("q11_wma_premium")(spark, sfDir)
+        .select("event_type", "event_id", "wma12").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+      assert(got.keySet == want.keySet)
+      want.foreach { case (k, w) =>
+        (got(k), w) match {
+          case (None, None) => // warm-up rows agree
+          case (Some(g), Some(e)) =>
+            // batch uses the rolling-sum reformulation; fp tolerance only
+            assert(math.abs(g - e) < 1e-6, s"$k: streaming $g vs batch $e")
+          case (g, e) => fail(s"$k: null disagreement streaming=$g batch=$e")
+        }
+      }
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization: gap closes sessions, timeout flushes state") {
     import graft.streaming.{SessEvent, Session}
     implicit val sql = spark.sqlContext
