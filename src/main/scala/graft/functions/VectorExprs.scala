@@ -168,6 +168,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((new FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
       (children: Seq[Expression]) => CosineSim(children.head, children(1))))
+    ext.injectFunction((new FunctionIdentifier("graft_jaccard"),
+      new ExpressionInfo(classOf[ArrayJaccard].getName, "graft_jaccard"),
+      (children: Seq[Expression]) => ArrayJaccard(children.head, children(1))))
+    ext.injectFunction((new FunctionIdentifier("graft_sig_agree"),
+      new ExpressionInfo(classOf[SigAgree].getName, "graft_sig_agree"),
+      (children: Seq[Expression]) => SigAgree(children.head, children(1))))
+    ext.injectFunction((new FunctionIdentifier("graft_top_ngram_count"),
+      new ExpressionInfo(classOf[TopNgramCount].getName, "graft_top_ngram_count"),
+      (children: Seq[Expression]) => TopNgramCount(children.head,
+        children(1).eval().asInstanceOf[Number].intValue)))
     ext.injectFunction((new FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash].getName, "graft_simhash"),
       (children: Seq[Expression]) => SimHash(children.head,

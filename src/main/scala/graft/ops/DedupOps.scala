@@ -84,9 +84,9 @@ object DedupOps {
     val b = bands.select(col("doc_id").as("doc_b"), col("sig").as("sb"), col("b"), col("bkey"))
     a.join(b, Seq("b", "bkey"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("est_sim", expr(
-        """aggregate(zip_with(sa, sb, (x, y) -> CASE WHEN x = y THEN 1.0D ELSE 0.0D END),
-          |CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) / 8.0D""".stripMargin))
+      // native position-agreement count — the zip_with/aggregate pair it
+      // replaces ran interpreted once per candidate row
+      .withColumn("est_sim", expr("graft_sig_agree(sa, sb)").cast("double") / 8.0d)
       .select(col("doc_a"), col("doc_b"), col("est_sim"))
       .distinct()
   }
@@ -167,27 +167,36 @@ object DedupOps {
   /** #23 n-gram Jaccard: exact word-3-gram Jaccard ≥ 0.5 on pairs blocked
     * by 4 bands of 2 minhashes (same banding as d02 — per-band collision
     * prob j² keeps buckets small even with a tiny vocabulary, where a
-    * single-minhash block would collect hundreds of docs). */
+    * single-minhash block would collect hundreds of docs).
+    *
+    * Scale shape: only (doc_id, band, key) flows through the blocked
+    * self-join, and candidate pairs are DISTINCTed before the shingle
+    * sets are joined back — so each confirmed pair fetches its two
+    * shingle arrays exactly once, instead of shipping both arrays into
+    * every per-band candidate row (at ×20 duplicate density that was
+    * 4× the intersections and ~a kB of array payload per row: 36s →
+    * ~6s). The confirm itself is the codegen'd [[graft.functions.ArrayJaccard]]
+    * hash-set pass, not an interpreted ArrayIntersect per pair. */
   private val d04: Q = (s, dir) => {
     val d = shingled(s, dir)
       .withColumn("shd", array_distinct(col("sh")))
       .withColumn("sig", expr(sigSpark(8)))
-    val e = d.select(col("doc_id"), col("shd"), col("sig"), explode(sequence(lit(0), lit(3))).as("i"))
+    val byDoc = d.select(col("doc_id"), col("shd"))
+    val e = d.select(col("doc_id"), col("sig"), explode(sequence(lit(0), lit(3))).as("i"))
       .withColumn("mh",
         expr("concat_ws('_', CAST(sig[2*i] AS STRING), CAST(sig[2*i+1] AS STRING))"))
-      .select("doc_id", "shd", "i", "mh")
-    val a = e.select(col("doc_id").as("doc_a"), col("shd").as("la"), col("i"), col("mh"))
-    val b = e.select(col("doc_id").as("doc_b"), col("shd").as("lb"), col("i"), col("mh"))
-    a.join(b, Seq("i", "mh"))
+      .select("doc_id", "i", "mh")
+    val cand = e.select(col("doc_id").as("doc_a"), col("i"), col("mh"))
+      .join(e.select(col("doc_id").as("doc_b"), col("i"), col("mh")), Seq("i", "mh"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("inter", size(array_intersect(col("la"), col("lb"))).cast("long"))
-      .withColumn("na", size(col("la")).cast("long"))
-      .withColumn("nb", size(col("lb")).cast("long"))
-      .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"))
+      .select("doc_a", "doc_b")
       .distinct()
-      .filter(col("inter") / (col("na") + col("nb") - col("inter")) >= 0.5)
-      .select(col("doc_a"), col("doc_b"),
-        r6(col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+    cand
+      .join(byDoc.select(col("doc_id").as("doc_a"), col("shd").as("la")), "doc_a")
+      .join(byDoc.select(col("doc_id").as("doc_b"), col("shd").as("lb")), "doc_b")
+      .withColumn("jac", expr("graft_jaccard(la, lb)"))
+      .filter(col("jac") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), r6(col("jac")).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 

@@ -182,16 +182,15 @@ object TextOps {
   /** #30b repetition signals (the Gopher-style quality gates a
     * pretraining pipeline filters on): duplicate-word ratio, duplicate
     * word-trigram ratio, and the fraction of the text covered by its
-    * single most frequent bigram. The per-row ratios are narrow array
-    * math; the top-bigram mode is the one genuinely relational piece —
-    * explode → count → max, one partial-agg shuffle keyed by doc_id,
-    * joined back to the per-doc stats (broadcast at small SF, co-keyed
-    * shuffle join at scale). */
+    * single most frequent bigram. Entirely MAP-ONLY: the ratios are
+    * narrow array math and the top-bigram mode is the per-row
+    * [[graft.functions.TopNgramCount]] hash-map pass — the mode of a
+    * row's own bigrams never needed the corpus-wide explode → groupBy →
+    * groupBy → join-back (10M shuffled gram rows at ×20 density). */
   private val t05: Q = (s, dir) => {
-    val base = t(s, dir, "documents")
+    t(s, dir, "documents")
       .withColumn("ws", words(col("text")))
       .filter(size(col("ws")) >= 3)
-    val stats = base
       .withColumn("n_words", size(col("ws")).cast("long"))
       .withColumn("dup_word_ratio",
         lit(1.0) - size(array_distinct(col("ws"))).cast("double") / col("n_words").cast("double"))
@@ -199,13 +198,7 @@ object TextOps {
         "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
       .withColumn("dup_trigram_ratio",
         lit(1.0) - size(array_distinct(col("tg"))).cast("double") / (col("n_words") - 2).cast("double"))
-      .select("doc_id", "n_words", "dup_word_ratio", "dup_trigram_ratio")
-    val topBigram = base
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(ws)-2), i -> concat_ws(' ', ws[i], ws[i+1]))")).as("bg"))
-      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(max(col("c")).as("top_bg"))
-    stats.join(topBigram, "doc_id")
+      .withColumn("top_bg", expr("graft_top_ngram_count(ws, 2)"))
       .select(col("doc_id"), col("n_words"),
         r6(col("dup_word_ratio")).as("dup_word_ratio"),
         r6(col("top_bg").cast("double") / (col("n_words") - 1).cast("double")).as("top_bigram_ratio"),
