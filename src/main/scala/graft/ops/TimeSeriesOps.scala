@@ -301,7 +301,59 @@ object TimeSeriesOps {
       |GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  /** #12b rolling correlation: Pearson corr between a series and its
+    * 1-step lag over a 20-row window per key — the premium analytics'
+    * natural next step (autocorrelation of the signal the reference
+    * computes WMAs over). Formulated as five rolling sums on one
+    * PARTITION BY key ORDER BY ts window chain — one shuffle, the sort
+    * reused by the lag and every frame; corr assembled from the sums in
+    * closed form (n·Σxy − ΣxΣy)/(√(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²)), the
+    * same arithmetic the oracle runs, so no covariance-algorithm
+    * divergence. Null until the window is full; degenerate zero
+    * variance guarded identically on both sides. */
+  private val q21: Q = (s, dir) => {
+    val n = 20
+    val ord = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    val frame = ord.rowsBetween(-(n - 1), 0)
+    t(s, dir, "events")
+      .withColumn("y", lag(col("value"), 1).over(ord))
+      .filter(col("y").isNotNull)
+      .withColumn("sx", sum(col("value")).over(frame))
+      .withColumn("sy", sum(col("y")).over(frame))
+      .withColumn("sxy", sum(col("value") * col("y")).over(frame))
+      .withColumn("sx2", sum(col("value") * col("value")).over(frame))
+      .withColumn("sy2", sum(col("y") * col("y")).over(frame))
+      .withColumn("cnt", count(lit(1)).over(frame))
+      .withColumn("vx", lit(n) * col("sx2") - col("sx") * col("sx"))
+      .withColumn("vy", lit(n) * col("sy2") - col("sy") * col("sy"))
+      .select(col("event_type"), col("event_id"), epochMs(col("ts")).as("ts_ms"),
+        r6(when(col("cnt") === n && col("vx") > 0 && col("vy") > 0,
+          (lit(n) * col("sxy") - col("sx") * col("sy")) / (sqrt(col("vx")) * sqrt(col("vy")))))
+          .as("corr20"))
+      .orderBy("event_type", "ts_ms", "event_id")
+  }
+
+  private val q21Sql =
+    """WITH l AS (
+      |  SELECT event_type, event_id, ts, value,
+      |    lag(value) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS y
+      |  FROM events),
+      |f AS (SELECT * FROM l WHERE y IS NOT NULL),
+      |w AS (
+      |  SELECT event_type, event_id, ts,
+      |    sum(value) OVER w AS sx, sum(y) OVER w AS sy, sum(value * y) OVER w AS sxy,
+      |    sum(value * value) OVER w AS sx2, sum(y * y) OVER w AS sy2, count(*) OVER w AS cnt
+      |  FROM f
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+      |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+      |SELECT event_type, event_id, epoch_ms(ts) AS ts_ms,
+      |  round(CASE WHEN cnt = 20 AND 20 * sx2 - sx * sx > 0 AND 20 * sy2 - sy * sy > 0
+      |    THEN (20 * sxy - sx * sy) / (sqrt(20 * sx2 - sx * sx) * sqrt(20 * sy2 - sy * sy)) END, 6) AS corr20
+      |FROM w
+      |ORDER BY event_type, ts_ms, event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q21_rolling_corr" -> q21,
     "q06_dedup_keep_last" -> q06,
     "q07_upsert_merge" -> q07,
     "q08_incremental_max" -> q08,
@@ -313,6 +365,7 @@ object TimeSeriesOps {
     "q14_sessionize" -> q14)
 
   val oracle: Map[String, String] = Map(
+    "q21_rolling_corr" -> q21Sql,
     "q06_dedup_keep_last" -> q06Sql,
     "q07_upsert_merge" -> q07Sql,
     "q08_incremental_max" -> q08Sql,

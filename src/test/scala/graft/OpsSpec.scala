@@ -10,7 +10,7 @@ class OpsSpec extends SparkSpec {
 
   test("every declared query runs and respects its contract on sf0.001") {
     val qs = SparkEntry.queries
-    assert(qs.size == 39)
+    assert(qs.size == 40)
     // oracle coverage: everything except the rows-only m02
     assert(SparkEntry.oracleSql.keySet == qs.keySet - "m02_feature_batch")
   }
@@ -48,6 +48,36 @@ class OpsSpec extends SparkSpec {
     val bad = out.filter(col("dup_word_ratio") < 0 || col("dup_word_ratio") >= 1
       || col("top_bigram_ratio") <= 0 || col("dup_trigram_ratio") < 0)
     assert(bad.count() == 0)
+  }
+
+  test("q21 rolling corr matches a direct driver-side Pearson") {
+    val got = SparkEntry.queries("q21_rolling_corr")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    val evs = Tables.t(spark, sfDir, "events")
+      .select(col("event_type"), col("event_id"), unix_millis(col("ts")).as("ms"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    evs.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      val pairs = sorted.sliding(2).collect { case Array(p, c) => (c._1, c._2, c._4, p._4) }.toArray
+      pairs.zipWithIndex.foreach { case ((et, eid, x, y), i) =>
+        val want =
+          if (i < 19) None
+          else {
+            val win = pairs.slice(i - 19, i + 1)
+            val (xs, ys) = (win.map(_._3), win.map(_._4))
+            val n = 20.0
+            val (sx, sy) = (xs.sum, ys.sum)
+            val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+            val (vx, vy) = (n * xs.map(a => a * a).sum - sx * sx, n * ys.map(a => a * a).sum - sy * sy)
+            if (vx > 0 && vy > 0) Some((n * sxy - sx * sy) / (math.sqrt(vx) * math.sqrt(vy))) else None
+          }
+        (got((et, eid)), want) match {
+          case (None, None) =>
+          case (Some(g), Some(w)) => assert(math.abs(g - w) < 1e-6, s"($et,$eid): $g vs $w")
+          case (g, w) => fail(s"($et,$eid): null disagreement got=$g want=$w")
+        }
+      }
+    }
   }
 
   test("q20 percentiles: the approx (100 TB) path tracks exact within its bound") {
