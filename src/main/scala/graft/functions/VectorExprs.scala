@@ -168,6 +168,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((new FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
       (children: Seq[Expression]) => CosineSim(children.head, children(1))))
+    ext.injectFunction((new FunctionIdentifier("graft_stopcount"),
+      new ExpressionInfo(classOf[StopCount].getName, "graft_stopcount"),
+      (children: Seq[Expression]) => StopCount(children.head, {
+        val arr = children(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+      })))
+    ext.injectFunction((new FunctionIdentifier("graft_total_strlen"),
+      new ExpressionInfo(classOf[TotalStrLen].getName, "graft_total_strlen"),
+      (children: Seq[Expression]) => TotalStrLen(children.head)))
+    ext.injectFunction((new FunctionIdentifier("graft_subword_est"),
+      new ExpressionInfo(classOf[SubwordEst].getName, "graft_subword_est"),
+      (children: Seq[Expression]) => SubwordEst(children.head)))
     ext.injectFunction((new FunctionIdentifier("graft_jaccard"),
       new ExpressionInfo(classOf[ArrayJaccard].getName, "graft_jaccard"),
       (children: Seq[Expression]) => ArrayJaccard(children.head, children(1))))

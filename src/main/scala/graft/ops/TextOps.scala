@@ -28,10 +28,13 @@ object TextOps {
 
   /** #27 language ID: stopword-hit ratios per candidate language + a
     * non-ASCII (CJK) ratio; prediction = threshold on CJK ratio, else
-    * argmax score with fixed precedence en>de>es>fr. Pure per-row math. */
+    * argmax score with fixed precedence en>de>es>fr. Pure per-row math;
+    * each ratio's numerator is the native hash-set
+    * [[graft.functions.StopCount]] (the `filter(ws, w IN ...)` form
+    * scanned the IN-list interpreted, per token per language). */
   private val t01: Q = (s, dir) => {
     val langScore = stop.map { case (l, ws) =>
-      l -> expr(s"size(filter(ws, w -> w IN (${inList(ws)}))) / CAST(size(ws) AS DOUBLE)")
+      l -> expr(s"graft_stopcount(ws, array(${inList(ws)})) / CAST(size(ws) AS DOUBLE)")
     }
     t(s, dir, "documents")
       .withColumn("ws", words(col("text")))
@@ -86,9 +89,9 @@ object TextOps {
       .withColumn("punct_ratio",
         length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")) / length(col("text")).cast("double"))
       .withColumn("stop_ratio",
-        expr(s"size(filter(ws, w -> w IN (${inList(stop("en"))}))) / CAST(size(ws) AS DOUBLE)"))
+        expr(s"graft_stopcount(ws, array(${inList(stop("en"))})) / CAST(size(ws) AS DOUBLE)"))
       .withColumn("mean_word_len",
-        expr("aggregate(ws, 0L, (acc, w) -> acc + length(w))") / col("n_words").cast("double"))
+        expr("graft_total_strlen(ws)") / col("n_words").cast("double"))
       .withColumn("score",
         lit(0.3) * least(col("n_words") / 100.0, lit(1.0)) +
           lit(0.3) * (lit(1.0) - col("punct_ratio")) +
@@ -126,8 +129,7 @@ object TextOps {
         size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long"))
       .withColumn("ws", words(col("text")))
       .filter(size(col("ws")) > 0)
-      .withColumn("n_subword_est",
-        expr("aggregate(ws, 0L, (acc, w) -> acc + CAST(ceil(length(w) / 4.0) AS BIGINT))"))
+      .withColumn("n_subword_est", expr("graft_subword_est(ws)"))
       .withColumn("n_chars_obs", length(col("text")).cast("long"))
       .select(col("doc_id"), col("n_ws_tokens"), col("n_subword_est"), col("n_chars_obs"))
       .orderBy("doc_id")

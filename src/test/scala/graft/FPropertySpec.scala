@@ -22,6 +22,40 @@ class FPropertySpec extends SparkSpec {
     assert(out.toSeq == out2.toSeq)
   }
 
+  test("text kernels equal their HOF twins on random token arrays") {
+    val tokGen = Gen.listOfN(12, Gen.oneOf(
+      "the", "a", "of", "und", "que", "spark", "row", "éé", "k", "zzzz", "123", "longerword"))
+    val docs = samples(tokGen, 150)
+    val df = docs.toDF("ws").selectExpr(
+      "graft_stopcount(ws, array('the', 'a', 'of')) AS sc",
+      "size(filter(ws, w -> w IN ('the', 'a', 'of'))) AS sc_hof",
+      "graft_total_strlen(ws) AS tl",
+      "aggregate(ws, 0L, (acc, w) -> acc + length(w)) AS tl_hof",
+      "graft_subword_est(ws) AS se",
+      "aggregate(ws, 0L, (acc, w) -> acc + CAST(ceil(length(w) / 4.0) AS BIGINT)) AS se_hof",
+      "graft_top_ngram_count(ws, 2) AS tn")
+    df.collect().foreach { r =>
+      assert(r.getLong(0) == r.getInt(1).toLong)
+      assert(r.getLong(2) == r.getLong(3))
+      assert(r.getLong(4) == r.getLong(5))
+    }
+    // top-ngram mode vs a driver-side count
+    docs.zip(df.select("tn").collect()).foreach { case (ws, r) =>
+      val want = ws.sliding(2).map(_.mkString(" ")).toSeq
+        .groupBy(identity).values.map(_.size).max.toLong
+      assert(r.getLong(0) == want)
+    }
+  }
+
+  test("graft_jaccard equals the array_intersect composition on distinct arrays") {
+    val setGen = Gen.listOfN(10, Gen.oneOf((1 to 15).map("tok" + _))).map(_.distinct)
+    val pairs = samples(Gen.zip(setGen, setGen), 150)
+    val df = pairs.toDF("a", "b").selectExpr(
+      "graft_jaccard(a, b) AS j",
+      "size(array_intersect(a, b)) / CAST(size(a) + size(b) - size(array_intersect(a, b)) AS DOUBLE) AS j_ref")
+    df.collect().foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
   test("dotN equals the balanced-tree reference sum, bit for bit") {
     def balRef(xs: Seq[Double]): Double =
       if (xs.size == 1) xs.head
