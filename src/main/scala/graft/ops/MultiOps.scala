@@ -116,13 +116,46 @@ object MultiOps {
       |FROM s
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** #32c patch grid: 2D tiling of the binary payload into a fixed-width
+    * grid of 16-byte patches with (row, col) coordinates — the
+    * vision-transformer patch-embedding input shape (image → ordered
+    * patch sequence) as a declarative plan. Same hex-slicing contract as
+    * m03 so both engines tile identically; per-patch md5 stands in for
+    * the patch embedding. Scan-speed: explode is the only row
+    * amplification and the grid geometry is pure arithmetic. */
+  private val m04: Q = (s, dir) => {
+    val cols = 8L
+    t(s, dir, "documents")
+      .withColumn("hexs", hex(col("text").cast("binary")))
+      .withColumn("np", ceil(length(col("hexs")) / lit(32.0)).cast("long"))
+      .select(col("doc_id"), col("hexs"),
+        explode(expr("sequence(CAST(0 AS BIGINT), np - 1)")).as("p"))
+      .withColumn("patch_row", expr(s"p div $cols"))
+      .withColumn("patch_col", pmod(col("p"), lit(cols)))
+      .withColumn("patch_hex", expr("substring(hexs, CAST(p * 32 + 1 AS INT), 32)"))
+      .select(col("doc_id"), col("patch_row"), col("patch_col"),
+        md5(col("patch_hex")).as("patch_md5"))
+      .orderBy("doc_id", "patch_row", "patch_col")
+  }
+
+  private val m04Sql =
+    """WITH h AS (SELECT doc_id, hex(encode(text)) AS hexs FROM documents),
+      |f AS (SELECT doc_id, hexs, CAST(ceil(length(hexs) / 32.0) AS BIGINT) AS np FROM h),
+      |e AS (SELECT doc_id, hexs, unnest(generate_series(0, np - 1)) AS p FROM f)
+      |SELECT doc_id, p // 8 AS patch_row, p % 8 AS patch_col,
+      |  md5(substr(hexs, CAST(p * 32 + 1 AS INTEGER), 32)) AS patch_md5
+      |FROM e
+      |ORDER BY doc_id, patch_row, patch_col""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "m01_binary_meta" -> m01,
     "m02_feature_batch" -> m02,
-    "m03_frame_sample" -> m03)
+    "m03_frame_sample" -> m03,
+    "m04_patch_grid" -> m04)
 
   /** m02 is intentionally absent: mapPartitions output is rows-only. */
   val oracle: Map[String, String] = Map(
     "m01_binary_meta" -> m01Sql,
-    "m03_frame_sample" -> m03Sql)
+    "m03_frame_sample" -> m03Sql,
+    "m04_patch_grid" -> m04Sql)
 }
