@@ -380,7 +380,37 @@ object TimeSeriesOps {
       |FROM w
       |ORDER BY event_type, ts_ms, event_id""".stripMargin
 
+  /** #12c time-gap detection — port of the reference's `validate_data`
+    * completeness check (crypto_data_pipline_clickhouse.py:1920-1953):
+    * per series, lead(ts) finds each bar's successor; gaps larger than
+    * the expected interval are reported largest-first. One window
+    * shuffle on the series key; the filter drops the dense majority
+    * before anything else materializes, so at 100 TB the report stays
+    * tiny regardless of input size. */
+  private val q22: Q = (s, dir) => {
+    val gapMs = 7200000L // expected cadence ~minutes; report > 2h holes
+    val ord = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("ms", epochMs(col("ts")))
+      .withColumn("next_ms", lead(col("ms"), 1).over(ord))
+      .filter(col("next_ms").isNotNull && col("next_ms") - col("ms") > gapMs)
+      .select(col("event_type"), col("ms").as("gap_start_ms"),
+        col("next_ms").as("gap_end_ms"), (col("next_ms") - col("ms")).as("gap_ms"))
+      .orderBy(col("gap_ms").desc, col("event_type"), col("gap_start_ms"))
+  }
+
+  private val q22Sql =
+    """WITH d AS (
+      |  SELECT event_type, epoch_ms(ts) AS ms,
+      |    lead(epoch_ms(ts)) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS next_ms
+      |  FROM events)
+      |SELECT event_type, ms AS gap_start_ms, next_ms AS gap_end_ms, next_ms - ms AS gap_ms
+      |FROM d
+      |WHERE next_ms IS NOT NULL AND next_ms - ms > 7200000
+      |ORDER BY gap_ms DESC, event_type, gap_start_ms""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q22_gap_detect" -> q22,
     "q21_rolling_corr" -> q21,
     "q06_dedup_keep_last" -> q06,
     "q07_upsert_merge" -> q07,
@@ -393,6 +423,7 @@ object TimeSeriesOps {
     "q14_sessionize" -> q14)
 
   val oracle: Map[String, String] = Map(
+    "q22_gap_detect" -> q22Sql,
     "q21_rolling_corr" -> q21Sql,
     "q06_dedup_keep_last" -> q06Sql,
     "q07_upsert_merge" -> q07Sql,

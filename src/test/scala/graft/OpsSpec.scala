@@ -10,7 +10,7 @@ class OpsSpec extends SparkSpec {
 
   test("every declared query runs and respects its contract on sf0.001") {
     val qs = SparkEntry.queries
-    assert(qs.size == 41)
+    assert(qs.size == 42)
     // oracle coverage: everything except the rows-only m02
     assert(SparkEntry.oracleSql.keySet == qs.keySet - "m02_feature_batch")
   }
