@@ -106,6 +106,45 @@ object StreamOps {
     "st01_window_agg" -> st01Sql,
     "st02_stream_dedup" -> st02Sql)
 
+  /** The reference's ENTIRE ingest loop as one continuous pipeline:
+    * landed JSON kline pages (one row per fetched page — files here; a
+    * Kafka topic in production) → [[graft.sources.KlineJson.parse]]
+    * typed normalization → per-batch keep-last by page order (the
+    * reference's page-overlap heal) → upsert into the partitioned store
+    * via [[graft.sinks.MergeWriter]], where the newest batch's rows
+    * override the store — so a re-fetch that fixes up an earlier bar
+    * wins both within a batch (higher page_seq) and across batches
+    * (merge priority). Replaces the reference's scheduler-driven
+    * poll/update_table cycle (crypto_data_pipeline_duckdb.py:1612-1680)
+    * with exactly-once incremental processing: the checkpoint tracks
+    * consumed pages and each merge rewrites only the partitions the
+    * batch touches.
+    *
+    * @return the started query; callers own its lifecycle. */
+  def streamingKlineIngest(spark: SparkSession, landingDir: String, storePath: String,
+                           marketType: String, interval: String,
+                           checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val raw = spark.readStream
+      .schema("symbol STRING, page_seq LONG, payload STRING")
+      .json(landingDir)
+    val parsed = graft.sources.KlineJson
+      .parse(raw, "payload", "symbol", marketType, interval, passthrough = Seq("page_seq"))
+    parsed.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val delta = graft.sources.KlineJson
+            .dedupKeepLast(batch, col("page_seq"))
+            .localCheckpoint(eager = true)
+          if (new java.io.File(storePath).exists())
+            graft.sinks.MergeWriter.merge(spark, storePath, delta, Seq("symbol", "timestamp"), "symbol")
+          else
+            delta.write.partitionBy("symbol").parquet(storePath)
+        }
+      }
+      .start()
+  }
+
   /** Streaming WMA(n) — the reference's scheduled premium analytic
     * (crypto_data_pipeline_duckdb.py:1221-1268) run continuously. Per
     * key, [[GroupState]] holds only the n−1 most recent values (O(n)

@@ -1,6 +1,7 @@
 package graft
 
 import graft.sources.KlineJson
+import graft.streaming.StreamOps
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -49,6 +50,40 @@ class KlineJsonSpec extends SparkSpec {
     val r = out.filter(col("symbol") === "ETHUSDT")
       .select(unix_millis(col("timestamp")), unix_millis(col("close_time"))).head()
     assert(r.getLong(0) == 60000L && r.getLong(1) == 119999L)
+  }
+
+  test("streaming ingest end-to-end: pages land, heal wins within and across batches") {
+    val root = java.nio.file.Files.createTempDirectory("kline_ingest").toString
+    val landing = s"$root/landing"; val store = s"$root/store"; val ckpt = s"$root/ckpt"
+    new java.io.File(landing).mkdirs()
+    def land(name: String, rows: Seq[(String, Long, String)]): Unit = {
+      val tmp = s"$root/tmp_$name"
+      rows.toDF("symbol", "page_seq", "payload").coalesce(1).write.json(tmp)
+      new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".json"))
+        .foreach(f => java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(landing, s"$name.json")))
+    }
+    def bar(ms: Long, close: String, trades: Int) =
+      s"""[[$ms, "1.0", "2.0", "0.5", $close, "10.0", ${ms + 59999}, "15.0", $trades, "4.0", "6.0", "0"]]"""
+
+    // batch 1: two pages — page 2 heals ts=60000 within the batch
+    land("b1", Seq(("BTCUSDT", 1L, bar(60000, "\"1.5\"", 7)), ("BTCUSDT", 2L, bar(60000, "\"1.6\"", 8))))
+    val q1 = StreamOps.streamingKlineIngest(spark, landing, store, "SPOT", "1m", ckpt)
+    try q1.processAllAvailable() finally q1.stop()
+    val afterB1 = spark.read.parquet(store)
+      .filter(unix_millis(col("timestamp")) === 60000).select("close").head().getDouble(0)
+    assert(afterB1 == 1.6, s"in-batch heal: higher page_seq must win, got $afterB1")
+
+    // batch 2 (restarted query, same checkpoint): re-fetch heals it again
+    land("b2", Seq(("BTCUSDT", 1L, bar(60000, "\"1.7\"", 9)), ("ETHUSDT", 1L, bar(120000, "\"9.0\"", 3))))
+    val q2 = StreamOps.streamingKlineIngest(spark, landing, store, "SPOT", "1m", ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = spark.read.parquet(store)
+      .select(col("symbol"), unix_millis(col("timestamp")).as("ms"), col("close"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(rows(("BTCUSDT", 60000L)) == 1.7, "cross-batch heal: merge must override the store")
+    assert(rows(("ETHUSDT", 120000L)) == 9.0, "new symbol partition inserted")
+    assert(rows.size == 2)
   }
 
   test("pageWindows: limit-sized steps covering [start, end)") {
