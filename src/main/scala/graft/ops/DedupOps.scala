@@ -342,8 +342,12 @@ object DedupOps {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      // sum over an empty label set is NULL -> treat as 0 (empty graph:
+      // no near-dup pairs at this threshold; the loop converges at once)
+      val s = df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
     var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {
