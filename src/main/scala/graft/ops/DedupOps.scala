@@ -339,8 +339,10 @@ object DedupOps {
     // labels only ever decrease, so the label sum (exact DECIMAL — ids
     // may be large) is strictly monotone and a fixpoint ⟺ equal sums;
     // this needs no second join against the previous labels.
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // init = the first propagation round folded in: label(x) =
+    // min(x, direct neighbors) — one groupBy replaces distinct + round 1
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(col("src"), min(col("dst"))).as("label"))
       .localCheckpoint()
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       // sum over an empty label set is NULL -> treat as 0 (empty graph:
