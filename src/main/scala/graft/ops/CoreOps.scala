@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{F, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Core relational operators (SURVEY.md §2 #1-5, #15-19).
@@ -293,7 +294,53 @@ object CoreOps {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** #19c histogram profiling: fixed-width binning of extended price +
+    * each bin's share of the total — the distribution profile a data
+    * validator renders. One groupBy shuffle; the share is a window over
+    * the ~20 bin rows, not the data. */
+  private val q24: Q = (s, dir) => {
+    t(s, dir, "lineitem")
+      .withColumn("bin", floor(col("l_extendedprice") / 5000.0).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), r4(avg(col("l_extendedprice"))).as("avg_price"))
+      .withColumn("share", r6(col("n") / sum(col("n")).over(Window.partitionBy())))
+      .orderBy("bin")
+  }
+
+  private val q24Sql =
+    """WITH b AS (
+      |  SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bin,
+      |    count(*) AS n, round(avg(l_extendedprice), 4) AS avg_price
+      |  FROM lineitem GROUP BY 1)
+      |SELECT bin, n, avg_price, round(n / sum(n) OVER (), 6) AS share
+      |FROM b ORDER BY bin""".stripMargin
+
+  /** #19d cardinality profile: exact distinct counts per series — the
+    * symbol-universe / active-user counts the reference's validators
+    * report. Exact COUNT(DISTINCT) is the oracle-checked form; the
+    * 100 TB path is `approx_count_distinct` (HLL++, one pass,
+    * mergeable), pinned to the exact values by spec. */
+  private val q25: Q = (s, dir) => {
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        countDistinct(to_date(col("ts"))).as("n_days"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+  }
+
+  private val q25Sql =
+    """SELECT event_type,
+      |  count(DISTINCT user_id) AS n_users,
+      |  count(DISTINCT CAST(ts AS DATE)) AS n_days,
+      |  count(*) AS n_events
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q24_histogram" -> q24,
+    "q25_distinct_counts" -> q25,
     "q20_percentiles" -> q20,
     "q01_pricing_summary" -> q01,
     "q02_revenue_by_nation" -> q02,
@@ -307,6 +354,8 @@ object CoreOps {
     "q19_minmax_windows" -> q19)
 
   val oracle: Map[String, String] = Map(
+    "q24_histogram" -> q24Sql,
+    "q25_distinct_counts" -> q25Sql,
     "q20_percentiles" -> q20Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_revenue_by_nation" -> q02Sql,

@@ -236,7 +236,9 @@ object TimeSeriesOps {
     * union + carry-last-non-null plan — ONE shuffle on the series key,
     * one sort, no range explosion (the scalable as-of pattern).
     * Oracle uses DuckDB's native ASOF LEFT JOIN. */
-  private val q13: Q = (s, dir) => {
+  /** Shared as-of core: every purchase row annotated with the latest
+    * view at-or-before it (m_event_id/m_ts/m_value, null when none). */
+  private def asofMatched(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events")
     // right side must be unique per (user_id, ts) for well-defined as-of
     val views = e.filter(col("event_type") === "view")
@@ -257,11 +259,14 @@ object TimeSeriesOps {
       .withColumn("m_value", last(col("v_value"), ignoreNulls = true).over(w))
       .withColumn("m_ts", last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
       .filter(col("side") === 1)
+  }
+
+  private val q13: Q = (s, dir) =>
+    asofMatched(s, dir)
       .select(col("p_event_id"), col("user_id"), epochMs(col("ts")).as("p_ts_ms"),
         col("m_event_id").as("v_event_id"), epochMs(col("m_ts")).as("v_ts_ms"),
         col("m_value").as("v_value"))
       .orderBy("p_event_id")
-  }
 
   private val q13Sql =
     """WITH v AS (
@@ -409,7 +414,48 @@ object TimeSeriesOps {
       |WHERE next_ms IS NOT NULL AND next_ms - ms > 7200000
       |ORDER BY gap_ms DESC, event_type, gap_start_ms""".stripMargin
 
+  /** #13b as-of join with a staleness TOLERANCE: a match older than 1h
+    * counts as no match — the market-data form (a quote that old is not
+    * a usable reference price). Same single-shuffle union+carry plan as
+    * q13; the tolerance is a post-projection mask, not a range join, so
+    * the scale shape is unchanged. DuckDB ASOF JOIN + the same CASE. */
+  private val q23: Q = (s, dir) => {
+    val tolMs = 3600000L
+    asofMatched(s, dir)
+      .withColumn("ok", col("m_event_id").isNotNull &&
+        (epochMs(col("ts")) - epochMs(col("m_ts"))) <= tolMs)
+      .select(col("p_event_id"), col("user_id"), epochMs(col("ts")).as("p_ts_ms"),
+        when(col("ok"), col("m_event_id")).as("v_event_id"),
+        when(col("ok"), epochMs(col("m_ts"))).as("v_ts_ms"),
+        when(col("ok"), col("m_value")).as("v_value"),
+        when(col("ok"), epochMs(col("ts")) - epochMs(col("m_ts"))).as("stale_ms"))
+      .orderBy("p_event_id")
+  }
+
+  private val q23Sql =
+    """WITH v AS (
+      |  SELECT user_id, ts, max(event_id) AS v_event_id,
+      |    arg_max(value, event_id) AS v_value
+      |  FROM events WHERE event_type = 'view'
+      |  GROUP BY user_id, ts),
+      |p AS (
+      |  SELECT user_id, ts, event_id, value
+      |  FROM events WHERE event_type = 'purchase'),
+      |j AS (
+      |  SELECT p.event_id AS p_event_id, p.user_id AS user_id, p.ts AS p_ts,
+      |    v.v_event_id, v.ts AS v_ts, v.v_value,
+      |    epoch_ms(p.ts) - epoch_ms(v.ts) <= 3600000 AS ok
+      |  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts)
+      |SELECT p_event_id, user_id, epoch_ms(p_ts) AS p_ts_ms,
+      |  CASE WHEN ok THEN v_event_id END AS v_event_id,
+      |  CASE WHEN ok THEN epoch_ms(v_ts) END AS v_ts_ms,
+      |  CASE WHEN ok THEN v_value END AS v_value,
+      |  CASE WHEN ok THEN epoch_ms(p_ts) - epoch_ms(v_ts) END AS stale_ms
+      |FROM j
+      |ORDER BY p_event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q23_asof_tolerance" -> q23,
     "q22_gap_detect" -> q22,
     "q21_rolling_corr" -> q21,
     "q06_dedup_keep_last" -> q06,
@@ -423,6 +469,7 @@ object TimeSeriesOps {
     "q14_sessionize" -> q14)
 
   val oracle: Map[String, String] = Map(
+    "q23_asof_tolerance" -> q23Sql,
     "q22_gap_detect" -> q22Sql,
     "q21_rolling_corr" -> q21Sql,
     "q06_dedup_keep_last" -> q06Sql,

@@ -10,7 +10,7 @@ class OpsSpec extends SparkSpec {
 
   test("every declared query runs and respects its contract on sf0.001") {
     val qs = SparkEntry.queries
-    assert(qs.size == 42)
+    assert(qs.size == 45)
     // oracle coverage: everything except the rows-only m02
     assert(SparkEntry.oracleSql.keySet == qs.keySet - "m02_feature_batch")
   }
@@ -76,6 +76,29 @@ class OpsSpec extends SparkSpec {
           case (Some(g), Some(w)) => assert(math.abs(g - w) < 1e-6, s"($et,$eid): $g vs $w")
           case (g, w) => fail(s"($et,$eid): null disagreement got=$g want=$w")
         }
+      }
+    }
+  }
+
+  test("q25 cardinality: the approx (100 TB) path tracks exact within HLL error") {
+    val got = Tables.t(spark, sfDir, "events")
+      .agg(countDistinct(col("user_id")).as("exact"),
+        approx_count_distinct(col("user_id"), 0.01).as("approx")).head()
+    val (exact, approx) = (got.getLong(0), got.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.05, s"$approx vs $exact")
+  }
+
+  test("q23 as-of tolerance: stale matches are nulled, fresh ones equal q13") {
+    val q13m = SparkEntry.queries("q13_asof_join")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some((r.getLong(3), r.getLong(4))))).toMap
+    SparkEntry.queries("q23_asof_tolerance")(spark, sfDir).collect().foreach { r =>
+      val pid = r.getLong(0); val pTs = r.getLong(2)
+      if (!r.isNullAt(3)) {
+        assert(Some((r.getLong(3), r.getLong(4))) == q13m(pid), "fresh match must equal q13's")
+        assert(pTs - r.getLong(4) <= 3600000L && r.getLong(6) == pTs - r.getLong(4))
+      } else {
+        // either q13 had no match at all, or it was older than the tolerance
+        q13m(pid).foreach { case (_, vTs) => assert(pTs - vTs > 3600000L) }
       }
     }
   }
