@@ -31,7 +31,8 @@ object Bench {
         case e: Throwable =>
           if (record) {
             val msg = e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage)
-            errors(name) = msg.replaceAll("""[\\"\n\r\t]""", " ").take(200)
+            // strip every JSON-illegal character, not just the common ones
+            errors(name) = msg.replaceAll("""[\p{Cntrl}"\\]""", " ").take(200)
           }
           -1.0
       }

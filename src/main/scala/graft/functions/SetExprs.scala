@@ -17,13 +17,28 @@ case class ArrayJaccard(left: Expression, right: Expression)
   extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  // two empty arrays -> 0/0 -> NULL (try_divide semantics; the composed
+  // form under ANSI would throw), so always nullable
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_jaccard"
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    SetImpl.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() == 0 && y.numElements() == 0) null
+    else SetImpl.jaccard(x, y)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SetImpl.jaccard($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |if ($a.numElements() == 0 && $b.numElements() == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.SetImpl.jaccard($a, $b);
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
@@ -82,10 +97,10 @@ case class TopNgramCount(child: Expression, n: Int) extends UnaryExpression {
 /** Static implementations callable from generated code. */
 object SetImpl {
 
+  /** Contract: not both arrays empty (the expression nulls that case). */
   def jaccard(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements()
     val nb = b.numElements()
-    if (na == 0 && nb == 0) return Double.NaN // 0/0, mirrors the composed form
     val (small, large, ns, nl) = if (na <= nb) (a, b, na, nb) else (b, a, nb, na)
     val set = new java.util.HashSet[UTF8String](ns * 2)
     var i = 0

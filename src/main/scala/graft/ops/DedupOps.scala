@@ -74,8 +74,14 @@ object DedupOps {
     * an exact multiple of 0.125, so rounding never moves it. Shared by
     * d02 (reporting) and d06 (clustering). */
   private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    // materialize the signature table ONCE: Spark has no common-subtree
+    // elimination across self-join sides (verified: 2 FileScans, 0
+    // ReusedExchange), so without this the whole tokenize+shingle+md5
+    // pipeline runs twice, once per side. (doc_id, sig) is 8 longs/doc.
     val sig = shingled(s, dir)
       .withColumn("sig", expr(sigSpark(8)))
+      .select(col("doc_id"), col("sig"))
+      .localCheckpoint()
     val bands = sig
       .select(col("doc_id"), col("sig"), explode(sequence(lit(0), lit(3))).as("b"))
       .withColumn("bkey",
@@ -133,6 +139,7 @@ object DedupOps {
       .select(col("doc_id"), words(col("text")).as("ws"))
       .filter(size(col("ws")) >= 1)
       .select(col("doc_id"), expr("graft_simhash(ws, 60)").as("simhash"))
+      .localCheckpoint() // one simhash pass, not one per self-join side
     val ch = sh.select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("c"))
       .withColumn("chunk", expr("shiftright(simhash, CAST(15 * c AS INT)) & 32767"))
     val a = ch.select(col("doc_id").as("doc_a"), col("simhash").as("ha"), col("c"), col("chunk"))
@@ -178,9 +185,14 @@ object DedupOps {
     * ~6s). The confirm itself is the codegen'd [[graft.functions.ArrayJaccard]]
     * hash-set pass, not an interpreted ArrayIntersect per pair. */
   private val d04: Q = (s, dir) => {
+    // one materialization of tokenize+shingle+distinct+signature — this
+    // frame feeds three plan branches (two shd joins + the band explode),
+    // each of which would otherwise recompute it from the scan
     val d = shingled(s, dir)
       .withColumn("shd", array_distinct(col("sh")))
       .withColumn("sig", expr(sigSpark(8)))
+      .select(col("doc_id"), col("shd"), col("sig"))
+      .localCheckpoint()
     val byDoc = d.select(col("doc_id"), col("shd"))
     val e = d.select(col("doc_id"), col("sig"), explode(sequence(lit(0), lit(3))).as("i"))
       .withColumn("mh",
@@ -274,6 +286,7 @@ object DedupOps {
     val bands = t(s, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("sketch", expr(sketchSpark))
+      .localCheckpoint() // 24 plane dots once, not once per self-join side
       .select(col("vec_id"), col("v"), col("sketch"),
         explode(sequence(lit(0), lit(3))).as("c"))
       .withColumn("chunk", expr("shiftright(sketch, CAST(6 * c AS INT)) & 63"))
@@ -358,11 +371,13 @@ object DedupOps {
         .union(labels)
         .groupBy("id").agg(min(col("label")).as("label"))
         .localCheckpoint()
-      val s2 = labelSum(next)
+      val s2 = labelSum(next) // next is fully materialized past this point
+      graft.Checkpoints.free(labels) // previous round's blocks: done with
       labels = next
       converged = s2.compareTo(prevSum) == 0
       prevSum = s2
     }
+    graft.Checkpoints.free(edges) // the result depends only on labels
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels
       .join(sizes, "label")

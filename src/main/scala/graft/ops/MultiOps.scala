@@ -126,6 +126,10 @@ object MultiOps {
   private val m04: Q = (s, dir) => {
     val cols = 8L
     t(s, dir, "documents")
+      // empty payload -> np = 0 and Spark's sequence(0, -1) would emit a
+      // DESCENDING [0, -1] (step inferred), diverging from DuckDB's empty
+      // generate_series — exclude zero-length payloads on both sides
+      .filter(length(col("text")) >= 1)
       .withColumn("hexs", hex(col("text").cast("binary")))
       .withColumn("np", ceil(length(col("hexs")) / lit(32.0)).cast("long"))
       .select(col("doc_id"), col("hexs"),
@@ -139,7 +143,7 @@ object MultiOps {
   }
 
   private val m04Sql =
-    """WITH h AS (SELECT doc_id, hex(encode(text)) AS hexs FROM documents),
+    """WITH h AS (SELECT doc_id, hex(encode(text)) AS hexs FROM documents WHERE length(text) >= 1),
       |f AS (SELECT doc_id, hexs, CAST(ceil(length(hexs) / 32.0) AS BIGINT) AS np FROM h),
       |e AS (SELECT doc_id, hexs, unnest(generate_series(0, np - 1)) AS p FROM f)
       |SELECT doc_id, p // 8 AS patch_row, p % 8 AS patch_col,

@@ -126,6 +126,7 @@ object SimOps {
   private val s03: Q = (s, dir) => {
     val bands = vecs(s, dir)
       .withColumn("sketch", expr(DedupOps.sketchSpark))
+      .localCheckpoint() // sketch once; corpus and query sides both derive
       .select(col("vec_id"), col("v"), col("sketch"),
         explode(sequence(lit(0), lit(3))).as("c"))
       .withColumn("chunk", expr("shiftright(sketch, CAST(6 * c AS INT)) & 63"))

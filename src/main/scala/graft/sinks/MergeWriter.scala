@@ -46,11 +46,13 @@ object MergeWriter {
 
     // cut lineage before overwriting the very partitions being read
     val out = merged.localCheckpoint(eager = true)
-    out.write
-      .mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partitionCol)
-      .parquet(path)
+    try {
+      out.write
+        .mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionCol)
+        .parquet(path)
+    } finally graft.Checkpoints.free(out)
   }
 
   private implicit class ColOps(private val c: org.apache.spark.sql.Column) extends AnyVal {

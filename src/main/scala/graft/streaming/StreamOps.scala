@@ -136,10 +136,18 @@ object StreamOps {
           val delta = graft.sources.KlineJson
             .dedupKeepLast(batch, col("page_seq"))
             .localCheckpoint(eager = true)
-          if (new java.io.File(storePath).exists())
-            graft.sinks.MergeWriter.merge(spark, storePath, delta, Seq("symbol", "timestamp"), "symbol")
-          else
-            delta.write.partitionBy("symbol").parquet(storePath)
+          // storage-agnostic first-load probe (HDFS/S3-safe, same pattern
+          // as IncrementalPipeline.watermark) — java.io.File would only
+          // see the local filesystem
+          val storeExists =
+            try { spark.read.parquet(storePath).schema; true }
+            catch { case _: org.apache.spark.sql.AnalysisException => false }
+          try {
+            if (storeExists)
+              graft.sinks.MergeWriter.merge(spark, storePath, delta, Seq("symbol", "timestamp"), "symbol")
+            else
+              delta.write.partitionBy("symbol").parquet(storePath)
+          } finally graft.Checkpoints.free(delta)
         }
       }
       .start()

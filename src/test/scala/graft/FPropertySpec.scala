@@ -48,12 +48,18 @@ class FPropertySpec extends SparkSpec {
   }
 
   test("graft_jaccard equals the array_intersect composition on distinct arrays") {
-    val setGen = Gen.listOfN(10, Gen.oneOf((1 to 15).map("tok" + _))).map(_.distinct)
-    val pairs = samples(Gen.zip(setGen, setGen), 150)
+    val setGen = Gen.chooseNum(0, 10)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf((1 to 15).map("tok" + _))).map(_.distinct))
+    val pairs = samples(Gen.zip(setGen, setGen), 150) :+ ((Nil, Nil))
     val df = pairs.toDF("a", "b").selectExpr(
       "graft_jaccard(a, b) AS j",
-      "size(array_intersect(a, b)) / CAST(size(a) + size(b) - size(array_intersect(a, b)) AS DOUBLE) AS j_ref")
-    df.collect().foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+      // try_divide: under ANSI (the session default) a bare 0/0 throws;
+      // the kernel's contract is NULL for the empty-empty case
+      "try_divide(size(array_intersect(a, b)), CAST(size(a) + size(b) - size(array_intersect(a, b)) AS DOUBLE)) AS j_ref")
+    df.collect().foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1))
+    }
   }
 
   test("dotN equals the balanced-tree reference sum, bit for bit") {
