@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The public operator API — every capability the oracle-checked
+  * queries demonstrate, as parameterized, reusable functions over any
+  * DataFrame with the named columns. The `SparkEntry.queries` entries
+  * are thin instantiations of these (fixed columns + presentation
+  * rounding/epoch-ms/ordering for the DuckDB hash compare); a library
+  * user calls these directly with their own schema.
+  *
+  * Contract: operators return full-fidelity values (no rounding) and
+  * no presentation ordering; every operator keeps the single-shuffle /
+  * blocked-join scale shapes documented in SURVEY.md §4.
+  */
+object Graft {
+
+  /** Dedup keep-last per key: the highest `priority` row wins (the
+    * reference's drop_duplicates(keep='last') with an explicit order —
+    * pandas row order does not exist in a distributed table). */
+  def dedupKeepLast(df: DataFrame, keys: Seq[String], priority: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(priority.map(_.desc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Resample to coarser OHLCV bars: first/last by (ts, id), min/max,
+    * volume sum and count per (key, time bucket). `unit` is a
+    * date_trunc unit ("hour", "day", ...). */
+  def resampleOhlc(df: DataFrame, key: String, ts: String, id: String,
+                   value: String, unit: String): DataFrame =
+    df.groupBy(col(key), date_trunc(unit, col(ts)).as("bucket"))
+      .agg(
+        min_by(col(value), struct(col(ts), col(id))).as("open"),
+        max(col(value)).as("high"),
+        min(col(value)).as("low"),
+        max_by(col(value), struct(col(ts), col(id))).as("close"),
+        sum(col(value)).as("volume"),
+        count(lit(1)).as("n_trades"))
+
+  /** Linearly-weighted moving average over the last `n` rows per key
+    * (pandas_ta semantics: null until the window is full). Appends
+    * `wma`. O(1) per row: rolling sums as cumulative-sum differences —
+    * see SURVEY §6 (Spark's sliding frames re-aggregate O(n) per row). */
+  def wma(df: DataFrame, key: String, ts: String, id: String,
+          value: String, n: Int): DataFrame = {
+    val ord = Window.partitionBy(col(key)).orderBy(col(ts), col(id))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__rn", row_number().over(ord))
+      .withColumn("__cxw", sum(col(value) * col("__rn")).over(cum))
+      .withColumn("__cx", sum(col(value)).over(cum))
+      .withColumn("__sxw", col("__cxw") - lag(col("__cxw"), n, 0.0).over(ord))
+      .withColumn("__sx", col("__cx") - lag(col("__cx"), n, 0.0).over(ord))
+      .withColumn("wma",
+        when(least(col("__rn"), lit(n)) === n,
+          (col("__sxw") + (lit(n) - col("__rn")) * col("__sx")) / lit(n * (n + 1) / 2.0)))
+      .drop("__rn", "__cxw", "__cx", "__sxw", "__sx")
+  }
+
+  /** Rolling Pearson correlation between `value` and its 1-step lag
+    * over the last `n` rows per key (autocorrelation of the series).
+    * Appends `corr`; null until the window is full or on zero
+    * variance. Same O(1)-per-row cumulative-sum-difference shape. */
+  def rollingAutoCorr(df: DataFrame, key: String, ts: String, id: String,
+                      value: String, n: Int): DataFrame = {
+    val ord = Window.partitionBy(col(key)).orderBy(col(ts), col(id))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def slide(c: String): Column = col(c) - lag(col(c), n, 0.0).over(ord)
+    df.withColumn("__y", lag(col(value), 1).over(ord))
+      .filter(col("__y").isNotNull)
+      .withColumn("__rn", row_number().over(ord))
+      .withColumn("__cx", sum(col(value)).over(cum))
+      .withColumn("__cy", sum(col("__y")).over(cum))
+      .withColumn("__cxy", sum(col(value) * col("__y")).over(cum))
+      .withColumn("__cx2", sum(col(value) * col(value)).over(cum))
+      .withColumn("__cy2", sum(col("__y") * col("__y")).over(cum))
+      .withColumn("__sx", slide("__cx")).withColumn("__sy", slide("__cy"))
+      .withColumn("__sxy", slide("__cxy"))
+      .withColumn("__sx2", slide("__cx2")).withColumn("__sy2", slide("__cy2"))
+      .withColumn("__vx", lit(n) * col("__sx2") - col("__sx") * col("__sx"))
+      .withColumn("__vy", lit(n) * col("__sy2") - col("__sy") * col("__sy"))
+      .withColumn("corr",
+        when(least(col("__rn"), lit(n)) === n && col("__vx") > 0 && col("__vy") > 0,
+          (lit(n) * col("__sxy") - col("__sx") * col("__sy")) /
+            (sqrt(col("__vx")) * sqrt(col("__vy")))))
+      .drop("__y", "__rn", "__cx", "__cy", "__cxy", "__cx2", "__cy2",
+        "__sx", "__sy", "__sxy", "__sx2", "__sy2", "__vx", "__vy")
+  }
+
+  /** Gap-based sessionization: rows within `gapMs` of the previous row
+    * (per key) share a session. Returns per-session summaries
+    * (key, session_id, start/end ts, n_events, total of `value`). */
+  def sessionize(df: DataFrame, key: String, ts: String, id: String,
+                 value: String, gapMs: Long): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(id))
+    val wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn("__prev", lag(col(ts), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          unix_millis(col(ts)) - unix_millis(col("__prev")) > gapMs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("__new")).over(wrun))
+      .groupBy(col(key), col("session_id"))
+      .agg(min(col(ts)).as("start_ts"), max(col(ts)).as("end_ts"),
+        count(lit(1)).as("n_events"), sum(col(value)).as("total_value"))
+  }
+
+  /** Per-series time-gap report: successor gaps larger than `minGapMs`
+    * (the reference's validate_data completeness check). */
+  def gaps(df: DataFrame, key: String, ts: String, id: String, minGapMs: Long): DataFrame = {
+    val ord = Window.partitionBy(col(key)).orderBy(col(ts), col(id))
+    df.withColumn("__ms", unix_millis(col(ts)))
+      .withColumn("__next", lead(col("__ms"), 1).over(ord))
+      .filter(col("__next").isNotNull && col("__next") - col("__ms") > minGapMs)
+      .select(col(key), col("__ms").as("gap_start_ms"),
+        col("__next").as("gap_end_ms"), (col("__next") - col("__ms")).as("gap_ms"))
+  }
+
+  /** Incremental high-watermark per series (the reference's
+    * get_latest_update, as a query over any keyed time column). */
+  def watermarks(df: DataFrame, key: String, ts: String): DataFrame =
+    df.groupBy(col(key)).agg(max(col(ts)).as("watermark"), count(lit(1)).as("n"))
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors by exact cosine (ties broken by corpus id). Corpus
+    * and queries carry (id, vector) under the given column names; the
+    * query side is broadcast — one corpus scan, no corpus shuffle. */
+  def knnBrute(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+               k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(id).as("q_id"), col(vec).as("__qv")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("__cos").desc, col(id))
+    corpus.join(q, col(id) =!= col("q_id"))
+      .withColumn("__cos", expr(s"graft_cosine(__qv, $vec)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col(id), col("__cos").as("cos_sim"))
+  }
+
+  /** MOSS winnowing fingerprint summary per document (native
+    * single-pass expression): n_grams, n_fp, fp_min/max/xor. */
+  def winnowFingerprints(docs: DataFrame, id: String, text: String,
+                         kGram: Int, window: Int): DataFrame =
+    docs.filter(length(col(text)) >= kGram + window - 1)
+      .withColumn("__fp", expr(s"graft_winnow($text, $kGram, $window)"))
+      .select(col(id), col("__fp.n_grams").as("n_grams"), col("__fp.n_fp").as("n_fp"),
+        col("__fp.fp_min").as("fp_min"), col("__fp.fp_max").as("fp_max"),
+        col("__fp.fp_xor").as("fp_xor"))
+
+  /** Connected components over an undirected pair list: labels every
+    * member with its component-minimum id (iterative min-label
+    * propagation; see DedupOps.d06 for the convergence machinery). */
+  def connectedComponents(pairs: DataFrame, a: String, b: String): DataFrame =
+    ops.DedupOps.components(pairs, a, b)
+}

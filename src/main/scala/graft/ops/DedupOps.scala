@@ -341,8 +341,20 @@ object DedupOps {
     val pairs = minhashPairs(s, dir)
       .filter(col("est_sim") >= 0.5)
       .select(col("doc_a"), col("doc_b"))
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    components(pairs, "doc_a", "doc_b")
+      .withColumnRenamed("id", "doc_id")
+      .withColumnRenamed("label", "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
+  /** Connected components over an undirected pair list (public operator
+    * behind [[graft.Graft.connectedComponents]] and d06): returns
+    * (id, label = component minimum, cluster_size). */
+  def components(pairs: DataFrame, a: String, b: String): DataFrame = {
+    val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
+      .union(pairs.select(col(b).as("src"), col(a).as("dst")))
       .localCheckpoint()
     // label(x) ← min(label(x), labels of neighbors) as ONE join + one
     // partial-min aggregation per round. localCheckpoint (reliable
@@ -379,12 +391,7 @@ object DedupOps {
     }
     graft.Checkpoints.free(edges) // the result depends only on labels
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
-    labels
-      .join(sizes, "label")
-      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
-        col("cluster_size"),
-        (col("id") === col("label")).as("is_canonical"))
-      .orderBy("doc_id")
+    labels.join(sizes, "label").select(col("id"), col("label"), col("cluster_size"))
   }
 
   private val d06Sql =

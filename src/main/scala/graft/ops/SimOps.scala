@@ -35,14 +35,8 @@ object SimOps {
     * ties broken by vec_id so ranks are total-ordered. */
   private val s01: Q = (s, dir) => {
     val all = vecs(s, dir)
-    val q = broadcast(all.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("v").as("qv")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    all.join(q, col("vec_id") =!= col("q_id"))
-      .withColumn("cos", expr("graft_cosine(qv, v)"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= K)
-      .select(col("q_id"), col("rank"), col("vec_id"), r6(col("cos")).as("cos_sim"))
+    graft.Graft.knnBrute(all, all.filter(col("vec_id") < 5), "vec_id", "v", K)
+      .select(col("q_id"), col("rank"), col("vec_id"), r6(col("cos_sim")).as("cos_sim"))
       .orderBy("q_id", "rank")
   }
 

@@ -151,18 +151,10 @@ object TextOps {
     * native [[graft.functions.WinnowFingerprint]] single-pass expression
     * (the HOF chain re-ran an interpreted md5 lambda per gram: ~10×
     * slower; bit-identical values either way). */
-  private val t04: Q = (s, dir) => {
-    t(s, dir, "documents")
-      .filter(length(col("text")) >= 11) // k=8 grams, w=4 windows
-      .withColumn("fp", expr("graft_winnow(text, 8, 4)"))
-      .select(col("doc_id"),
-        col("fp.n_grams").as("n_grams"),
-        col("fp.n_fp").as("n_fp"),
-        col("fp.fp_min").as("fp_min"),
-        col("fp.fp_max").as("fp_max"),
-        col("fp.fp_xor").as("fp_xor"))
+  private val t04: Q = (s, dir) =>
+    graft.Graft.winnowFingerprints(t(s, dir, "documents"), "doc_id", "text",
+        kGram = 8, window = 4)
       .orderBy("doc_id")
-  }
 
   private val t04Sql =
     """WITH g AS (SELECT doc_id,

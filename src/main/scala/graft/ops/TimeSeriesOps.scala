@@ -21,16 +21,12 @@ object TimeSeriesOps {
   /** #6 dedup keep-last by PK — the reference's
     * drop_duplicates(subset=PK, keep='last') after paginated fetch
     * (crypto_data_pipeline_duckdb.py:940-949). */
-  private val q06: Q = (s, dir) => {
-    val w = Window.partitionBy(col("user_id"), col("event_type"))
-      .orderBy(col("ts").desc, col("event_id").desc)
-    t(s, dir, "events")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+  private val q06: Q = (s, dir) =>
+    graft.Graft.dedupKeepLast(t(s, dir, "events"),
+        keys = Seq("user_id", "event_type"), priority = Seq(col("ts"), col("event_id")))
       .select(col("user_id"), col("event_type"), col("event_id"),
         epochMs(col("ts")).as("ts_ms"), col("value"))
       .orderBy("user_id", "event_type")
-  }
 
   private val q06Sql =
     """SELECT user_id, event_type, event_id, epoch_ms(ts) AS ts_ms, value
@@ -78,12 +74,10 @@ object TimeSeriesOps {
   /** #8 incremental high-watermark: MAX(ts) per series drives the next
     * fetch window (reference get_latest_update,
     * crypto_data_pipeline_duckdb.py:1523-1544). */
-  private val q08: Q = (s, dir) => {
-    t(s, dir, "events")
-      .groupBy(col("event_type"))
-      .agg(epochMs(max(col("ts"))).as("max_ts_ms"), count(lit(1)).as("n"))
+  private val q08: Q = (s, dir) =>
+    graft.Graft.watermarks(t(s, dir, "events"), "event_type", "ts")
+      .select(col("event_type"), epochMs(col("watermark")).as("max_ts_ms"), col("n"))
       .orderBy("event_type")
-  }
 
   private val q08Sql =
     """SELECT event_type, epoch_ms(max(ts)) AS max_ts_ms, count(*) AS n
@@ -92,18 +86,12 @@ object TimeSeriesOps {
   /** #9 time-bucket resample to 1h OHLCV — klines are the reference's core
     * data shape; this rebuilds coarser bars from fine ones. first/last by
     * (ts, event_id) via min_by/max_by (arg_min/arg_max in DuckDB). */
-  private val q09: Q = (s, dir) => {
-    t(s, dir, "events")
-      .groupBy(col("event_type"), epochMs(date_trunc("hour", col("ts"))).as("bucket_ms"))
-      .agg(
-        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
-        max(col("value")).as("high"),
-        min(col("value")).as("low"),
-        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
-        r4(sum(col("value"))).as("volume"),
-        count(lit(1)).as("n_trades"))
+  private val q09: Q = (s, dir) =>
+    graft.Graft.resampleOhlc(t(s, dir, "events"), "event_type", "ts", "event_id", "value", "hour")
+      .select(col("event_type"), epochMs(col("bucket")).as("bucket_ms"),
+        col("open"), col("high"), col("low"), col("close"),
+        r4(col("volume")).as("volume"), col("n_trades"))
       .orderBy("event_type", "bucket_ms")
-  }
 
   private val q09Sql =
     """SELECT event_type, epoch_ms(date_trunc('hour', ts)) AS bucket_ms,
@@ -147,21 +135,11 @@ object TimeSeriesOps {
     * size. The oracle derives the sums the same way, so both engines
     * produce bit-identical doubles (same sequential prefix sums, same
     * subtraction); cnt over the sliding frame is just least(rn, n). */
-  private val q11: Q = (s, dir) => {
-    val n = 12
-    val ord = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
-    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t(s, dir, "events")
-      .withColumn("rn", row_number().over(ord))
-      .withColumn("cxw", sum(col("value") * col("rn")).over(cum))
-      .withColumn("cx", sum(col("value")).over(cum))
-      .withColumn("sxw", col("cxw") - lag(col("cxw"), n, 0.0).over(ord))
-      .withColumn("sx", col("cx") - lag(col("cx"), n, 0.0).over(ord))
+  private val q11: Q = (s, dir) =>
+    graft.Graft.wma(t(s, dir, "events"), "event_type", "ts", "event_id", "value", n = 12)
       .select(col("event_type"), col("event_id"), epochMs(col("ts")).as("ts_ms"), col("value"),
-        r6(when(least(col("rn"), lit(n)) === n,
-          (col("sxw") + (lit(n) - col("rn")) * col("sx")) / lit(n * (n + 1) / 2.0))).as("wma12"))
+        r6(col("wma")).as("wma12"))
       .orderBy("event_type", "ts_ms", "event_id")
-  }
 
   private val q11Sql =
     """WITH r AS (
@@ -285,17 +263,11 @@ object TimeSeriesOps {
   /** #14 gap sessionization (30 min): running sum over new-session flags —
     * generalizes the reference's gap debounce into session windows. */
   private val q14: Q = (s, dir) => {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val wrun = w.rowsBetween(Window.unboundedPreceding, 0)
-    t(s, dir, "events")
-      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
-      .withColumn("new_s",
-        when(col("prev_ts").isNull || epochMs(col("ts")) - epochMs(col("prev_ts")) > 1800000L, 1L)
-          .otherwise(0L))
-      .withColumn("session_id", sum(col("new_s")).over(wrun))
-      .groupBy(col("user_id"), col("session_id"))
-      .agg(epochMs(min(col("ts"))).as("start_ms"), epochMs(max(col("ts"))).as("end_ms"),
-        count(lit(1)).as("n_events"), r4(sum(col("value"))).as("total_value"))
+    graft.Graft.sessionize(t(s, dir, "events"), "user_id", "ts", "event_id", "value",
+        gapMs = 1800000L)
+      .select(col("user_id"), col("session_id"),
+        epochMs(col("start_ts")).as("start_ms"), epochMs(col("end_ts")).as("end_ms"),
+        col("n_events"), r4(col("total_value")).as("total_value"))
       .orderBy("user_id", "session_id")
   }
 
@@ -328,32 +300,11 @@ object TimeSeriesOps {
     * same arithmetic the oracle runs, so no covariance-algorithm
     * divergence. Null until the window is full; degenerate zero
     * variance guarded identically on both sides. */
-  private val q21: Q = (s, dir) => {
-    val n = 20
-    val ord = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
-    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    def slide(c: String): org.apache.spark.sql.Column =
-      col(c) - lag(col(c), n, 0.0).over(ord)
-    t(s, dir, "events")
-      .withColumn("y", lag(col("value"), 1).over(ord))
-      .filter(col("y").isNotNull)
-      .withColumn("rn", row_number().over(ord))
-      .withColumn("cx", sum(col("value")).over(cum))
-      .withColumn("cy", sum(col("y")).over(cum))
-      .withColumn("cxy", sum(col("value") * col("y")).over(cum))
-      .withColumn("cx2", sum(col("value") * col("value")).over(cum))
-      .withColumn("cy2", sum(col("y") * col("y")).over(cum))
-      .withColumn("sx", slide("cx")).withColumn("sy", slide("cy"))
-      .withColumn("sxy", slide("cxy"))
-      .withColumn("sx2", slide("cx2")).withColumn("sy2", slide("cy2"))
-      .withColumn("vx", lit(n) * col("sx2") - col("sx") * col("sx"))
-      .withColumn("vy", lit(n) * col("sy2") - col("sy") * col("sy"))
+  private val q21: Q = (s, dir) =>
+    graft.Graft.rollingAutoCorr(t(s, dir, "events"), "event_type", "ts", "event_id", "value", n = 20)
       .select(col("event_type"), col("event_id"), epochMs(col("ts")).as("ts_ms"),
-        r6(when(least(col("rn"), lit(n)) === n && col("vx") > 0 && col("vy") > 0,
-          (lit(n) * col("sxy") - col("sx") * col("sy")) / (sqrt(col("vx")) * sqrt(col("vy")))))
-          .as("corr20"))
+        r6(col("corr")).as("corr20"))
       .orderBy("event_type", "ts_ms", "event_id")
-  }
 
   private val q21Sql =
     """WITH l AS (
@@ -392,17 +343,10 @@ object TimeSeriesOps {
     * shuffle on the series key; the filter drops the dense majority
     * before anything else materializes, so at 100 TB the report stays
     * tiny regardless of input size. */
-  private val q22: Q = (s, dir) => {
-    val gapMs = 7200000L // expected cadence ~minutes; report > 2h holes
-    val ord = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
-    t(s, dir, "events")
-      .withColumn("ms", epochMs(col("ts")))
-      .withColumn("next_ms", lead(col("ms"), 1).over(ord))
-      .filter(col("next_ms").isNotNull && col("next_ms") - col("ms") > gapMs)
-      .select(col("event_type"), col("ms").as("gap_start_ms"),
-        col("next_ms").as("gap_end_ms"), (col("next_ms") - col("ms")).as("gap_ms"))
+  private val q22: Q = (s, dir) =>
+    // expected cadence ~minutes; report > 2h holes
+    graft.Graft.gaps(t(s, dir, "events"), "event_type", "ts", "event_id", minGapMs = 7200000L)
       .orderBy(col("gap_ms").desc, col("event_type"), col("gap_start_ms"))
-  }
 
   private val q22Sql =
     """WITH d AS (

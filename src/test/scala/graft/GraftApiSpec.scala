@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The public Graft facade must work on arbitrary schemas — not just
+  * the testdata columns the oracle queries bind. */
+class GraftApiSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+
+  private val bars = Seq(
+    ("BTC", 1L, ts(0), 10.0), ("BTC", 2L, ts(1), 11.0), ("BTC", 3L, ts(2), 12.0),
+    ("BTC", 4L, ts(200), 9.0), // 198-min gap -> new session, gap report row
+    ("ETH", 5L, ts(0), 5.0), ("ETH", 6L, ts(1), 6.0))
+    .toDF("sym", "bar_id", "t", "px")
+
+  test("wma on a custom schema: null until full, exact weighted mean after") {
+    val out = Graft.wma(bars, "sym", "t", "bar_id", "px", n = 3)
+      .select("sym", "bar_id", "wma").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(out(("BTC", 1L)).isEmpty && out(("BTC", 2L)).isEmpty)
+    assert(math.abs(out(("BTC", 3L)).get - (10 * 1 + 11 * 2 + 12 * 3) / 6.0) < 1e-12)
+    assert(math.abs(out(("BTC", 4L)).get - (11 * 1 + 12 * 2 + 9 * 3) / 6.0) < 1e-12)
+    assert(out(("ETH", 6L)).isEmpty) // only 2 rows, window never fills
+  }
+
+  test("sessionize + gaps agree about the hole in the series") {
+    val sess = Graft.sessionize(bars, "sym", "t", "bar_id", "px", gapMs = 30 * 60000L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(sess == Set(("BTC", 1L), ("BTC", 2L), ("ETH", 1L)), s"got $sess")
+    val gap = Graft.gaps(bars, "sym", "t", "bar_id", minGapMs = 30 * 60000L).collect()
+    assert(gap.length == 1 && gap(0).getString(0) == "BTC"
+      && gap(0).getLong(3) == 198L * 60000L)
+  }
+
+  test("resampleOhlc picks first/last by time order") {
+    val r = Graft.resampleOhlc(bars, "sym", "t", "bar_id", "px", "hour")
+      .filter(col("sym") === "BTC" && hour(col("bucket")) === hour(lit(ts(0))))
+    val row = r.head()
+    assert(row.getDouble(row.fieldIndex("open")) == 10.0)
+    assert(row.getDouble(row.fieldIndex("close")) == 12.0)
+    assert(row.getDouble(row.fieldIndex("high")) == 12.0)
+  }
+
+  test("dedupKeepLast keeps the highest-priority row per key") {
+    val dup = bars.unionByName(Seq(("BTC", 7L, ts(2), 99.0)).toDF("sym", "bar_id", "t", "px"))
+    val out = Graft.dedupKeepLast(dup, Seq("sym", "t"), Seq(col("bar_id")))
+      .filter(col("sym") === "BTC" && col("t") === ts(2)).collect()
+    assert(out.length == 1 && out(0).getDouble(3) == 99.0)
+  }
+
+  test("connectedComponents labels with the component minimum") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("x", "y")
+    val out = Graft.connectedComponents(pairs, "x", "y").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(1L -> (1L, 3L), 2L -> (1L, 3L), 3L -> (1L, 3L),
+      10L -> (10L, 2L), 11L -> (10L, 2L)))
+  }
+
+  test("knnBrute ranks by exact cosine with id tiebreak") {
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1)), (3L, Array(0.0, 1.0)))
+      .toDF("id", "v")
+    val out = Graft.knnBrute(vecs, vecs.filter(col("id") === 1), "id", "v", k = 2)
+      .select("rank", "id").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L), (2L, 3L))) // 2 is nearest to 1, then 3
+  }
+}
