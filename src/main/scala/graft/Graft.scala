@@ -118,6 +118,46 @@ object Graft {
         col("__next").as("gap_end_ms"), (col("__next") - col("__ms")).as("gap_ms"))
   }
 
+  /** As-of join — the operator Spark lacks natively: each left row
+    * gains the latest right row at-or-before its timestamp per key
+    * (plus `asof_ts`, the matched right timestamp; all null when no
+    * right row precedes). Implemented as the union + carry-last-
+    * non-null plan: ONE shuffle on the key, one sort, no range
+    * explosion — at 100 TB this is the scalable as-of shape (a range
+    * join would explode; per-key loops would not distribute).
+    *
+    * Contract: `right` is unique per (key, ts) — pre-aggregate it
+    * (e.g. [[dedupKeepLast]]) if not. At equal timestamps the right
+    * row is visible to the left row (`>=` as-of semantics).
+    *
+    * @param valueCols right columns carried onto matches */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+               valueCols: Seq[String]): DataFrame = {
+    val lCols = left.columns.filterNot(c => c == key || c == ts).toSeq
+    val lTypes = left.schema.map(f => f.name -> f.dataType).toMap
+    val rTypes = right.schema.map(f => f.name -> f.dataType).toMap
+    val rSide = right.select(Seq(col(key), col(ts), lit(0).as("__side")) ++
+      lCols.map(c => lit(null).cast(lTypes(c)).as(c)) ++
+      valueCols.map(c => col(c).as("__r_" + c)) :+
+      col(ts).as("__rts"): _*)
+    val lSide = left.select(Seq(col(key), col(ts), lit(1).as("__side")) ++
+      lCols.map(col) ++
+      valueCols.map(c => lit(null).cast(rTypes(c)).as("__r_" + c)) :+
+      lit(null).cast(right.schema(ts).dataType).as("__rts"): _*)
+    // right sorts before left at equal ts (side 0 < 1) => >= semantics;
+    // the carried value at a left row is uniquely determined because
+    // right rows are unique per (key, ts), so no further tie-break is
+    // needed for determinism
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    rSide.unionAll(lSide)
+      .select(Seq(col(key), col(ts), col("__side")) ++ lCols.map(col) ++
+        valueCols.map(c => last(col("__r_" + c), ignoreNulls = true).over(w).as(c)) :+
+        last(col("__rts"), ignoreNulls = true).over(w).as("asof_ts"): _*)
+      .filter(col("__side") === 1)
+      .drop("__side")
+  }
+
   /** Incremental high-watermark per series (the reference's
     * get_latest_update, as a query over any keyed time column). */
   def watermarks(df: DataFrame, key: String, ts: String): DataFrame =

@@ -215,35 +215,22 @@ object TimeSeriesOps {
     * one sort, no range explosion (the scalable as-of pattern).
     * Oracle uses DuckDB's native ASOF LEFT JOIN. */
   /** Shared as-of core: every purchase row annotated with the latest
-    * view at-or-before it (m_event_id/m_ts/m_value, null when none). */
+    * view at-or-before it, via the generic [[graft.Graft.asofJoin]]
+    * (right side made unique per (user_id, ts) first). */
   private def asofMatched(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events")
-    // right side must be unique per (user_id, ts) for well-defined as-of
     val views = e.filter(col("event_type") === "view")
       .groupBy(col("user_id"), col("ts"))
       .agg(max(col("event_id")).as("v_event_id"), max_by(col("value"), col("event_id")).as("v_value"))
-      .select(col("user_id"), col("ts"), lit(0).as("side"), col("v_event_id"), col("v_value"),
-        lit(null).cast("long").as("p_event_id"), lit(null).cast("double").as("p_value"))
     val purchases = e.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts"), lit(1).as("side"),
-        lit(null).cast("long").as("v_event_id"), lit(null).cast("double").as("v_value"),
-        col("event_id").as("p_event_id"), col("value").as("p_value"))
-    // at equal ts the view sorts first (side 0) => `>=` as-of semantics
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("side"), coalesce(col("p_event_id"), col("v_event_id")))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    views.unionAll(purchases)
-      .withColumn("m_event_id", last(col("v_event_id"), ignoreNulls = true).over(w))
-      .withColumn("m_value", last(col("v_value"), ignoreNulls = true).over(w))
-      .withColumn("m_ts", last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
-      .filter(col("side") === 1)
+      .select(col("user_id"), col("ts"), col("event_id").as("p_event_id"), col("value").as("p_value"))
+    graft.Graft.asofJoin(purchases, views, "user_id", "ts", Seq("v_event_id", "v_value"))
   }
 
   private val q13: Q = (s, dir) =>
     asofMatched(s, dir)
       .select(col("p_event_id"), col("user_id"), epochMs(col("ts")).as("p_ts_ms"),
-        col("m_event_id").as("v_event_id"), epochMs(col("m_ts")).as("v_ts_ms"),
-        col("m_value").as("v_value"))
+        col("v_event_id"), epochMs(col("asof_ts")).as("v_ts_ms"), col("v_value"))
       .orderBy("p_event_id")
 
   private val q13Sql =
@@ -366,13 +353,13 @@ object TimeSeriesOps {
   private val q23: Q = (s, dir) => {
     val tolMs = 3600000L
     asofMatched(s, dir)
-      .withColumn("ok", col("m_event_id").isNotNull &&
-        (epochMs(col("ts")) - epochMs(col("m_ts"))) <= tolMs)
+      .withColumn("ok", col("v_event_id").isNotNull &&
+        (epochMs(col("ts")) - epochMs(col("asof_ts"))) <= tolMs)
       .select(col("p_event_id"), col("user_id"), epochMs(col("ts")).as("p_ts_ms"),
-        when(col("ok"), col("m_event_id")).as("v_event_id"),
-        when(col("ok"), epochMs(col("m_ts"))).as("v_ts_ms"),
-        when(col("ok"), col("m_value")).as("v_value"),
-        when(col("ok"), epochMs(col("ts")) - epochMs(col("m_ts"))).as("stale_ms"))
+        when(col("ok"), col("v_event_id")).as("v_event_id"),
+        when(col("ok"), epochMs(col("asof_ts"))).as("v_ts_ms"),
+        when(col("ok"), col("v_value")).as("v_value"),
+        when(col("ok"), epochMs(col("ts")) - epochMs(col("asof_ts"))).as("stale_ms"))
       .orderBy("p_event_id")
   }
 

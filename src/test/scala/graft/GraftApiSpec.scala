@@ -58,6 +58,27 @@ class GraftApiSpec extends SparkSpec {
       10L -> (10L, 2L), 11L -> (10L, 2L)))
   }
 
+  test("asofJoin carries the latest right row at-or-before each left row") {
+    val quotes = Seq(("BTC", ts(0), 100.0), ("BTC", ts(10), 101.0), ("ETH", ts(5), 5.0))
+      .toDF("sym", "t", "quote_px")
+    val trades = Seq(("BTC", ts(4), 1L), ("BTC", ts(10), 2L), ("BTC", ts(11), 3L),
+      ("ETH", ts(1), 4L), ("DOGE", ts(9), 5L))
+      .toDF("sym", "t", "trade_id")
+    val out = Graft.asofJoin(trades, quotes, "sym", "t", Seq("quote_px")).collect()
+      .map(r => r.getLong(r.fieldIndex("trade_id")) ->
+        (if (r.isNullAt(r.fieldIndex("quote_px"))) None else Some(r.getDouble(r.fieldIndex("quote_px"))))).toMap
+    assert(out == Map(
+      1L -> Some(100.0), // ts(4): latest quote is ts(0)
+      2L -> Some(101.0), // equal ts: >= semantics sees the ts(10) quote
+      3L -> Some(101.0),
+      4L -> None, // ETH trade precedes the only ETH quote
+      5L -> None)) // no DOGE quotes at all
+    // asof_ts reports the matched quote time
+    val m = Graft.asofJoin(trades, quotes, "sym", "t", Seq("quote_px"))
+      .filter(col("trade_id") === 1L).head()
+    assert(m.getTimestamp(m.fieldIndex("asof_ts")) == ts(0))
+  }
+
   test("knnBrute ranks by exact cosine with id tiebreak") {
     val vecs = Seq(
       (1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1)), (3L, Array(0.0, 1.0)))
