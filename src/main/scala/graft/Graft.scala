@@ -193,4 +193,17 @@ object Graft {
     * propagation; see DedupOps.d06 for the convergence machinery). */
   def connectedComponents(pairs: DataFrame, a: String, b: String): DataFrame =
     ops.DedupOps.components(pairs, a, b)
+
+  /** MinHash+LSH near-dup candidate pairs: k md5-minhashes over
+    * shingleN-word shingles, banded `bands` × (k/bands); returns
+    * (doc_a, doc_b, est_sim), blocked per band — never a full cross. */
+  def minhashPairs(docs: DataFrame, id: String, text: String,
+                   shingleN: Int = 3, k: Int = 8, bands: Int = 4): DataFrame =
+    ops.DedupOps.minhashPairsOf(docs, id, text, shingleN, k, bands)
+
+  /** SimHash near-dup pairs at hamming ≤ maxHamming, blocked by
+    * `chunks` bit slices (full recall while maxHamming < chunks). */
+  def simhashPairs(docs: DataFrame, id: String, text: String,
+                   bits: Int = 60, chunks: Int = 4, maxHamming: Int = 3): DataFrame =
+    ops.DedupOps.simhashPairsOf(docs, id, text, bits, chunks, maxHamming)
 }

@@ -68,34 +68,46 @@ object DedupOps {
       |GROUP BY 1
       |ORDER BY text_md5""".stripMargin
 
-  /** Candidate pairs from 8 minhashes banded 4×2: (doc_a, doc_b,
-    * est_sim) for every pair sharing a band key, deduplicated across
-    * bands. est_sim = fraction of agreeing signature positions — always
-    * an exact multiple of 0.125, so rounding never moves it. Shared by
-    * d02 (reporting) and d06 (clustering). */
-  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+  /** MinHash+LSH candidate pairs over ANY (id, text) table (public
+    * operator behind [[graft.Graft.minhashPairs]]): k md5-minhashes
+    * over shingleN-word shingles, banded `bands` × (k/bands); returns
+    * (doc_a, doc_b, est_sim) for every pair sharing a band key,
+    * deduplicated across bands. est_sim = fraction of agreeing
+    * signature positions — an exact multiple of 1/k, so rounding never
+    * moves it. */
+  def minhashPairsOf(docs: DataFrame, idCol: String, textCol: String,
+                     shingleN: Int, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, "k must divide evenly into bands")
+    val r = k / bands
     // materialize the signature table ONCE: Spark has no common-subtree
     // elimination across self-join sides (verified: 2 FileScans, 0
     // ReusedExchange), so without this the whole tokenize+shingle+md5
-    // pipeline runs twice, once per side. (doc_id, sig) is 8 longs/doc.
-    val sig = shingled(s, dir)
-      .withColumn("sig", expr(sigSpark(8)))
+    // pipeline runs twice, once per side. (id, sig) is k longs/doc.
+    val sig = docs
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("ws"))
+      .filter(size(col("ws")) >= shingleN)
+      .withColumn("sig", expr(s"graft_minhash(ws, $shingleN, $k)"))
       .select(col("doc_id"), col("sig"))
       .localCheckpoint()
-    val bands = sig
-      .select(col("doc_id"), col("sig"), explode(sequence(lit(0), lit(3))).as("b"))
-      .withColumn("bkey",
-        expr("concat_ws('_', CAST(sig[2*b] AS STRING), CAST(sig[2*b+1] AS STRING))"))
-    val a = bands.select(col("doc_id").as("doc_a"), col("sig").as("sa"), col("b"), col("bkey"))
-    val b = bands.select(col("doc_id").as("doc_b"), col("sig").as("sb"), col("b"), col("bkey"))
+    val bkey = (0 until r)
+      .map(i => s"CAST(sig[$r*b+$i] AS STRING)").mkString("concat_ws('_', ", ", ", ")")
+    val bands_ = sig
+      .select(col("doc_id"), col("sig"), explode(sequence(lit(0), lit(bands - 1))).as("b"))
+      .withColumn("bkey", expr(bkey))
+    val a = bands_.select(col("doc_id").as("doc_a"), col("sig").as("sa"), col("b"), col("bkey"))
+    val b = bands_.select(col("doc_id").as("doc_b"), col("sig").as("sb"), col("b"), col("bkey"))
     a.join(b, Seq("b", "bkey"))
       .filter(col("doc_a") < col("doc_b"))
       // native position-agreement count — the zip_with/aggregate pair it
       // replaces ran interpreted once per candidate row
-      .withColumn("est_sim", expr("graft_sig_agree(sa, sb)").cast("double") / 8.0d)
+      .withColumn("est_sim", expr("graft_sig_agree(sa, sb)").cast("double") / k.toDouble)
       .select(col("doc_a"), col("doc_b"), col("est_sim"))
       .distinct()
   }
+
+  /** The oracle instantiation: 3-word shingles, 8 hashes, 4×2 bands. */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    minhashPairsOf(t(s, dir, "documents"), "doc_id", "text", shingleN = 3, k = 8, bands = 4)
 
   /** #21 MinHash + LSH: 8 md5-minhashes over 3-word shingles, 4 bands × 2
     * rows; candidate pairs = docs sharing any band key. est_sim = fraction
@@ -134,24 +146,36 @@ object DedupOps {
     * collapses into one pass over each row's token array. The only
     * shuffle left is the chunk-blocked self-join. Integer math, so the
     * row-exploded DuckDB oracle produces identical values. */
-  private val d03: Q = (s, dir) => {
-    val sh = t(s, dir, "documents")
-      .select(col("doc_id"), words(col("text")).as("ws"))
+  /** SimHash near-dup pairs over ANY (id, text) table (public operator
+    * behind [[graft.Graft.simhashPairs]]): `bits`-bit weighted simhash,
+    * pairs at hamming ≤ maxHamming, blocked by `chunks` equal bit
+    * slices. Full recall requires maxHamming < chunks (pigeonhole). */
+  def simhashPairsOf(docs: DataFrame, idCol: String, textCol: String,
+                     bits: Int, chunks: Int, maxHamming: Int): DataFrame = {
+    require(bits % chunks == 0, "bits must divide evenly into chunks")
+    val cb = bits / chunks
+    val mask = (1L << cb) - 1
+    val sh = docs
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("ws"))
       .filter(size(col("ws")) >= 1)
-      .select(col("doc_id"), expr("graft_simhash(ws, 60)").as("simhash"))
+      .select(col("doc_id"), expr(s"graft_simhash(ws, $bits)").as("simhash"))
       .localCheckpoint() // one simhash pass, not one per self-join side
-    val ch = sh.select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("c"))
-      .withColumn("chunk", expr("shiftright(simhash, CAST(15 * c AS INT)) & 32767"))
+    val ch = sh.select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(chunks - 1))).as("c"))
+      .withColumn("chunk", expr(s"shiftright(simhash, CAST($cb * c AS INT)) & $mask"))
     val a = ch.select(col("doc_id").as("doc_a"), col("simhash").as("ha"), col("c"), col("chunk"))
     val b = ch.select(col("doc_id").as("doc_b"), col("simhash").as("hb"), col("c"), col("chunk"))
     a.join(b, Seq("c", "chunk"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
-      .filter(col("hamming") <= 3)
+      .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .distinct()
-      .orderBy("doc_a", "doc_b")
   }
+
+  private val d03: Q = (s, dir) =>
+    simhashPairsOf(t(s, dir, "documents"), "doc_id", "text",
+        bits = 60, chunks = 4, maxHamming = 3)
+      .orderBy("doc_a", "doc_b")
 
   private val d03Sql =
     """WITH wc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt

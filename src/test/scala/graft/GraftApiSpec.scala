@@ -79,6 +79,23 @@ class GraftApiSpec extends SparkSpec {
     assert(m.getTimestamp(m.fieldIndex("asof_ts")) == ts(0))
   }
 
+  test("minhashPairs and simhashPairs find planted near-dups on a custom schema") {
+    val docs = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog again and again"),
+      (102L, "the quick brown fox jumps over the lazy dog again and again"), // exact copy
+      (103L, "a completely different document about spark window functions and shuffles"))
+      .toDF("post_id", "body")
+    val mh = Graft.minhashPairs(docs, "post_id", "body").collect()
+    assert(mh.exists(r => r.getLong(0) == 101L && r.getLong(1) == 102L && r.getDouble(2) == 1.0))
+    assert(!mh.exists(r => r.getLong(1) == 103L && r.getDouble(2) >= 0.5))
+    val sh = Graft.simhashPairs(docs, "post_id", "body").collect()
+    assert(sh.exists(r => r.getLong(0) == 101L && r.getLong(1) == 102L && r.getLong(2) == 0L))
+    // custom banding parameters produce a well-formed pair list too
+    val mh16 = Graft.minhashPairs(docs, "post_id", "body", shingleN = 2, k = 16, bands = 8)
+    assert(mh16.columns.toSeq == Seq("doc_a", "doc_b", "est_sim"))
+    assert(mh16.collect().exists(r => r.getLong(0) == 101L && r.getLong(1) == 102L))
+  }
+
   test("knnBrute ranks by exact cosine with id tiebreak") {
     val vecs = Seq(
       (1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1)), (3L, Array(0.0, 1.0)))
