@@ -206,4 +206,20 @@ object Graft {
   def simhashPairs(docs: DataFrame, id: String, text: String,
                    bits: Int = 60, chunks: Int = 4, maxHamming: Int = 3): DataFrame =
     ops.DedupOps.simhashPairsOf(docs, id, text, bits, chunks, maxHamming)
+
+  /** Exact n-gram-Jaccard near-dup pairs ≥ threshold, minhash-band
+    * blocked; the confirm joins each DISTINCT candidate pair's shingle
+    * sets back exactly once (codegen'd hash-set jaccard). */
+  def ngramJaccardPairs(docs: DataFrame, id: String, text: String,
+                        shingleN: Int = 3, threshold: Double = 0.5,
+                        k: Int = 8, bands: Int = 4): DataFrame =
+    ops.DedupOps.ngramJaccardPairsOf(docs, id, text, shingleN, threshold, k, bands)
+
+  /** Embedding-cosine near-dup pairs ≥ threshold via a random-
+    * hyperplane sign sketch (`sketchBits`, banded); exact-cosine
+    * confirm. Band bits should grow with log(corpus size). */
+  def embeddingNearDupPairs(vecs: DataFrame, id: String, vec: String, dims: Int,
+                            threshold: Double = 0.95, sketchBits: Int = 24,
+                            bands: Int = 4): DataFrame =
+    ops.DedupOps.embeddingNearDupOf(vecs, id, vec, threshold, sketchBits, bands, dims)
 }

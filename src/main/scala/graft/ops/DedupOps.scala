@@ -208,19 +208,32 @@ object DedupOps {
     * 4× the intersections and ~a kB of array payload per row: 36s →
     * ~6s). The confirm itself is the codegen'd [[graft.functions.ArrayJaccard]]
     * hash-set pass, not an interpreted ArrayIntersect per pair. */
-  private val d04: Q = (s, dir) => {
+  /** Exact n-gram-Jaccard near-dup pairs over ANY (id, text) table
+    * (public operator behind [[graft.Graft.ngramJaccardPairs]]):
+    * minhash-band blocking, candidate pairs DISTINCTed before the two
+    * shingle-set joins, native hash-set jaccard confirm against
+    * `threshold`. Returns (doc_a, doc_b, jaccard) — full fidelity. */
+  def ngramJaccardPairsOf(docs: DataFrame, idCol: String, textCol: String,
+                          shingleN: Int, threshold: Double, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, "k must divide evenly into bands")
+    val r = k / bands
     // one materialization of tokenize+shingle+distinct+signature — this
     // frame feeds three plan branches (two shd joins + the band explode),
     // each of which would otherwise recompute it from the scan
-    val d = shingled(s, dir)
+    val shingleExpr = (0 until shingleN).map(j => s"ws[i+$j]").mkString("concat_ws(' ', ", ", ", ")")
+    val d = docs
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("ws"))
+      .filter(size(col("ws")) >= shingleN)
+      .withColumn("sh", expr(s"transform(sequence(0, size(ws)-$shingleN), i -> $shingleExpr)"))
       .withColumn("shd", array_distinct(col("sh")))
-      .withColumn("sig", expr(sigSpark(8)))
+      .withColumn("sig", expr(s"graft_minhash(ws, $shingleN, $k)"))
       .select(col("doc_id"), col("shd"), col("sig"))
       .localCheckpoint()
     val byDoc = d.select(col("doc_id"), col("shd"))
-    val e = d.select(col("doc_id"), col("sig"), explode(sequence(lit(0), lit(3))).as("i"))
-      .withColumn("mh",
-        expr("concat_ws('_', CAST(sig[2*i] AS STRING), CAST(sig[2*i+1] AS STRING))"))
+    val mh = (0 until r)
+      .map(j => s"CAST(sig[$r*i+$j] AS STRING)").mkString("concat_ws('_', ", ", ", ")")
+    val e = d.select(col("doc_id"), col("sig"), explode(sequence(lit(0), lit(bands - 1))).as("i"))
+      .withColumn("mh", expr(mh))
       .select("doc_id", "i", "mh")
     val cand = e.select(col("doc_id").as("doc_a"), col("i"), col("mh"))
       .join(e.select(col("doc_id").as("doc_b"), col("i"), col("mh")), Seq("i", "mh"))
@@ -230,11 +243,16 @@ object DedupOps {
     cand
       .join(byDoc.select(col("doc_id").as("doc_a"), col("shd").as("la")), "doc_a")
       .join(byDoc.select(col("doc_id").as("doc_b"), col("shd").as("lb")), "doc_b")
-      .withColumn("jac", expr("graft_jaccard(la, lb)"))
-      .filter(col("jac") >= 0.5)
-      .select(col("doc_a"), col("doc_b"), r6(col("jac")).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
+      .withColumn("jaccard", expr("graft_jaccard(la, lb)"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
+
+  private val d04: Q = (s, dir) =>
+    ngramJaccardPairsOf(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, threshold = 0.5, k = 8, bands = 4)
+      .select(col("doc_a"), col("doc_b"), r6(col("jaccard")).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
 
   private val d04Sql =
     """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
@@ -258,17 +276,59 @@ object DedupOps {
 
   // ---- #24 embedding near-dup: deterministic sign-sketch LSH ----
 
-  /** ±1 hyperplane matrix, 24 planes × 64 dims, derived from md5 parity so
-    * the identical literals are embedded in both the Spark plan and the
-    * DuckDB oracle. */
-  val planes: Seq[Seq[Int]] = {
+  /** ±1 hyperplane matrix derived from md5 parity, so identical
+    * literals can be embedded in both the Spark plan and an oracle. */
+  def planesFor(bits: Int, dims: Int): Seq[Seq[Int]] = {
     val mdi = java.security.MessageDigest.getInstance("MD5")
-    (0 until 24).map { p =>
-      (0 until 64).map { d =>
+    (0 until bits).map { p =>
+      (0 until dims).map { d =>
         val h = mdi.digest(s"$p:$d".getBytes("UTF-8"))
         if ((h(0) & 1) == 0) 1 else -1
       }
     }
+  }
+
+  /** The oracle instantiation: 24 planes × 64 dims. */
+  val planes: Seq[Seq[Int]] = planesFor(24, 64)
+
+  /** Embedding-cosine near-dup pairs over ANY (id, vector) table
+    * (public operator behind [[graft.Graft.embeddingNearDupPairs]]):
+    * `sketchBits`-bit random-hyperplane sign sketch, `bands` bit-slice
+    * blocks, exact-cosine confirm at `threshold`. Returns
+    * (vec_a, vec_b, cos_sim) — full fidelity. Band bits should grow
+    * with log(corpus) to hold per-bucket sizes. */
+  def embeddingNearDupOf(vecs: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, sketchBits: Int, bands: Int,
+                         dims: Int): DataFrame = {
+    require(sketchBits % bands == 0, "sketchBits must divide evenly into bands")
+    val cb = sketchBits / bands
+    val mask = (1L << cb) - 1
+    val ps = planesFor(sketchBits, dims)
+    def dotPlane(p: Int): String =
+      s"aggregate(zip_with(__v, array(${ps(p).map(_ + ".0D").mkString(", ")}), (x, y) -> x * y), " +
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    val sketch = (0 until sketchBits)
+      .map(p => s"(CASE WHEN ${dotPlane(p)} > 0.0D THEN ${1L << p}L ELSE 0L END)")
+      .mkString(" + ")
+    val banded = vecs
+      .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("sketch", expr(sketch))
+      .localCheckpoint() // sketch once, not once per self-join side
+      .select(col("vec_id"), col("__v"), col("sketch"),
+        explode(sequence(lit(0), lit(bands - 1))).as("c"))
+      .withColumn("chunk", expr(s"shiftright(sketch, CAST($cb * c AS INT)) & $mask"))
+      .select("vec_id", "__v", "c", "chunk")
+    val a = banded.select(col("vec_id").as("vec_a"), col("__v").as("va"), col("c"), col("chunk"))
+    val b = banded.select(col("vec_id").as("vec_b"), col("__v").as("vb"), col("c"), col("chunk"))
+    a.join(b, Seq("c", "chunk"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", expr("graft_cosine(va, vb)"))
+      // groupBy = dedup across bands AND an optimization barrier: the
+      // threshold filter sits on the aggregate output, so Catalyst cannot
+      // push the cosine into the join condition (where it would evaluate
+      // outside whole-stage codegen, ~50µs/pair interpreted)
+      .groupBy(col("vec_a"), col("vec_b")).agg(max(col("cos")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
   }
 
   /** Spark-SQL dot(v, planes(p)) — left fold from 0.0, matching the
@@ -299,36 +359,11 @@ object DedupOps {
     * single dot fold (⅓ the flops of dot/√·√ per candidate).
     * (Planted testdata has no ≥0.95 pairs; the threshold is a parameter —
     * the pipeline is identical at 0.95, where the sketch prunes hardest.) */
-  private val d05: Q = (s, dir) => {
-    // Catalyst pushes the cosine filter into the join condition with
-    // projection expressions SUBSTITUTED — so nothing reachable from the
-    // condition may contain a higher-order function (interpreted lambdas
-    // would re-run per candidate pair). cosineN is a flat codegen'd
-    // expression tree; the sign sketch is computed on the raw vector
-    // (sign(dot) is norm-invariant) and only feeds the join KEY, which
-    // is evaluated once per band row.
-    val bands = t(s, dir, "embeddings")
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("sketch", expr(sketchSpark))
-      .localCheckpoint() // 24 plane dots once, not once per self-join side
-      .select(col("vec_id"), col("v"), col("sketch"),
-        explode(sequence(lit(0), lit(3))).as("c"))
-      .withColumn("chunk", expr("shiftright(sketch, CAST(6 * c AS INT)) & 63"))
-      .select("vec_id", "v", "c", "chunk")
-    val a = bands.select(col("vec_id").as("vec_a"), col("v").as("va"), col("c"), col("chunk"))
-    val b = bands.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("c"), col("chunk"))
-    a.join(b, Seq("c", "chunk"))
-      .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos", expr("graft_cosine(va, vb)"))
-      // groupBy = dedup across bands AND an optimization barrier: the
-      // threshold filter sits on the aggregate output, so Catalyst cannot
-      // push the cosine into the join condition (where it would evaluate
-      // outside whole-stage codegen, ~50µs/pair interpreted).
-      .groupBy(col("vec_a"), col("vec_b")).agg(max(col("cos")).as("cosv"))
-      .filter(col("cosv") >= 0.45)
-      .select(col("vec_a"), col("vec_b"), r6(col("cosv")).as("cos_sim"))
+  private val d05: Q = (s, dir) =>
+    embeddingNearDupOf(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.45, sketchBits = 24, bands = 4, dims = 64)
+      .select(col("vec_a"), col("vec_b"), r6(col("cos_sim")).as("cos_sim"))
       .orderBy("vec_a", "vec_b")
-  }
 
   private val d05Sql = {
     val cos = graft.OracleSql.seqCosine("va", "vb", 64)

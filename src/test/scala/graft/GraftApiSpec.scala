@@ -96,6 +96,27 @@ class GraftApiSpec extends SparkSpec {
     assert(mh16.collect().exists(r => r.getLong(0) == 101L && r.getLong(1) == 102L))
   }
 
+  test("ngramJaccardPairs and embeddingNearDupPairs on custom schemas") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"), // near-copy
+      (3L, "one two three four five six seven eight"))
+      .toDF("pid", "body")
+    val jp = Graft.ngramJaccardPairs(docs, "pid", "body", threshold = 0.3).collect()
+    assert(jp.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L && r.getDouble(2) > 0.3))
+    assert(!jp.exists(r => r.getLong(1) == 3L))
+
+    val vecs = Seq(
+      (1L, (0 until 16).map(i => 1.0 + i * 0.01).toArray),
+      (2L, (0 until 16).map(i => 1.0 + i * 0.011).toArray), // ~same direction
+      (3L, (0 until 16).map(i => math.pow(-1.0, i) * (1.0 + i)).toArray))
+      .toDF("vid", "emb")
+    val np = Graft.embeddingNearDupPairs(vecs, "vid", "emb", dims = 16, threshold = 0.99,
+      sketchBits = 8, bands = 4).collect()
+    assert(np.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L && r.getDouble(2) > 0.99))
+    assert(!np.exists(r => r.getLong(1) == 3L))
+  }
+
   test("knnBrute ranks by exact cosine with id tiebreak") {
     val vecs = Seq(
       (1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1)), (3L, Array(0.0, 1.0)))
