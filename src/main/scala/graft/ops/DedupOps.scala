@@ -24,29 +24,11 @@ object DedupOps {
   import Tables.t
   import F._
 
-  /** doc_id + lowercased word tokens (≥3 words) + 3-word shingles. */
-  private def shingled(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("doc_id"), words(col("text")).as("ws"))
-      .filter(size(col("ws")) >= 3)
-      .withColumn("sh",
-        expr("transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
-
-  /** Spark-SQL text of hash60 (F.hash60's expr-string twin). */
-  private def h60(x: String): String =
-    s"CAST(conv(substring(md5($x), 1, 15), 16, 10) AS BIGINT)"
-
   /** 28-bit md5 base hash per shingle — computed ONCE; the k minhash
     * functions derive from it by universal hashing ((2i+3)·g + 12289i+1
     * mod 2²⁹), so the md5 cost is 1/k of hashing per function.
     * Products stay < 2³³ — no int64 overflow in either engine. */
   private val gsDuck = "list_transform(sh, s -> CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT))"
-
-  /** Native single-pass signature over the token array: shingle bytes →
-    * md5 → all k universal-hash minima updated in place, bit-identical
-    * to the HOF fold it replaced ([[graft.functions.ShingleMinHash]];
-    * the interpreted-lambda md5-per-shingle chain was ~10× slower). */
-  private def sigSpark(k: Int): String = s"graft_minhash(ws, 3, $k)"
 
   private def sigDuck(k: Int): String =
     s"list_transform(generate_series(0, ${k - 1}), i -> list_min(list_transform(gs, g -> ((2*i+3) * g + 12289*i + 1) % 536870912)))"
@@ -305,7 +287,7 @@ object DedupOps {
     val mask = (1L << cb) - 1
     val ps = planesFor(sketchBits, dims)
     def dotPlane(p: Int): String =
-      s"aggregate(zip_with(__v, array(${ps(p).map(_ + ".0D").mkString(", ")}), (x, y) -> x * y), " +
+      s"aggregate(zip_with(__v, array(${ps(p).map(v => s"$v.0D").mkString(", ")}), (x, y) -> x * y), " +
         "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
     val sketch = (0 until sketchBits)
       .map(p => s"(CASE WHEN ${dotPlane(p)} > 0.0D THEN ${1L << p}L ELSE 0L END)")
@@ -338,7 +320,7 @@ object DedupOps {
     * to the codegen'd DotProduct loop (a CAST inside the lambda would
     * leave all 24 folds interpreted). */
   private def dotPlaneSpark(p: Int): String =
-    s"aggregate(zip_with(v, array(${planes(p).map(_ + ".0D").mkString(", ")}), (x, y) -> x * y), " +
+    s"aggregate(zip_with(v, array(${planes(p).map(v => s"$v.0D").mkString(", ")}), (x, y) -> x * y), " +
       "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
 
   private[ops] def sketchSpark: String =
