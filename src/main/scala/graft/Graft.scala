@@ -222,4 +222,24 @@ object Graft {
                             threshold: Double = 0.95, sketchBits: Int = 24,
                             bands: Int = 4): DataFrame =
     ops.DedupOps.embeddingNearDupOf(vecs, id, vec, threshold, sketchBits, bands, dims)
+
+  /** Stopword-heuristic language ID features + predicted language;
+    * `keep` carries extra input columns (e.g. a gold label). */
+  def langId(docs: DataFrame, id: String, text: String,
+             keep: Seq[String] = Nil): DataFrame =
+    ops.TextOps.langIdOf(docs, id, text, keep)
+
+  /** Pretraining quality-gate features: length, punctuation/stopword
+    * ratios, mean word length, fixed-weight composite score. */
+  def textQuality(docs: DataFrame, id: String, text: String): DataFrame =
+    ops.TextOps.qualityFeaturesOf(docs, id, text)
+
+  /** Whitespace token count, chars/4 subword estimate, char count. */
+  def tokenCounts(docs: DataFrame, id: String, text: String): DataFrame =
+    ops.TextOps.tokenCountsOf(docs, id, text)
+
+  /** Gopher-style repetition signals: duplicate-word/-trigram ratios
+    * and top-bigram coverage. Map-only. */
+  def repetitionSignals(docs: DataFrame, id: String, text: String): DataFrame =
+    ops.TextOps.repetitionSignalsOf(docs, id, text)
 }

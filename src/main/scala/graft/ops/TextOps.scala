@@ -32,29 +32,39 @@ object TextOps {
     * each ratio's numerator is the native hash-set
     * [[graft.functions.StopCount]] (the `filter(ws, w IN ...)` form
     * scanned the IN-list interpreted, per token per language). */
-  private val t01: Q = (s, dir) => {
+  /** Language-ID features over ANY (id, text) table (public operator
+    * behind [[graft.Graft.langId]]): per-language stopword-hit ratios,
+    * non-ASCII ratio, and the predicted language. `keep` carries extra
+    * input columns through (e.g. a gold label). Full-fidelity values. */
+  def langIdOf(docs: DataFrame, idCol: String, textCol: String,
+               keep: Seq[String] = Nil): DataFrame = {
     val langScore = stop.map { case (l, ws) =>
-      l -> expr(s"graft_stopcount(ws, array(${inList(ws)})) / CAST(size(ws) AS DOUBLE)")
+      l -> expr(s"graft_stopcount(__ws, array(${inList(ws)})) / CAST(size(__ws) AS DOUBLE)")
     }
-    t(s, dir, "documents")
-      .withColumn("ws", words(col("text")))
-      .filter(size(col("ws")) > 0)
+    docs
+      .select(Seq(col(idCol).as("doc_id"), col(textCol).as("__text")) ++ keep.map(col): _*)
+      .withColumn("__ws", words(col("__text")))
+      .filter(size(col("__ws")) > 0)
       .withColumn("s_en", langScore("en")).withColumn("s_de", langScore("de"))
       .withColumn("s_es", langScore("es")).withColumn("s_fr", langScore("fr"))
       .withColumn("nonascii_ratio",
-        length(regexp_replace(col("text"), "[ -~]", "")) / length(col("text")).cast("double"))
+        length(regexp_replace(col("__text"), "[ -~]", "")) / length(col("__text")).cast("double"))
       .withColumn("pred_lang",
         when(col("nonascii_ratio") > 0.3, "zh")
           .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
           .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
           .when(col("s_es") >= col("s_fr"), "es")
           .otherwise("fr"))
+      .drop("__text", "__ws")
+  }
+
+  private val t01: Q = (s, dir) =>
+    langIdOf(t(s, dir, "documents"), "doc_id", "text", keep = Seq("lang"))
       .select(col("doc_id"), col("lang"), col("pred_lang"),
         r6(col("s_en")).as("s_en"), r6(col("s_de")).as("s_de"),
         r6(col("s_es")).as("s_es"), r6(col("s_fr")).as("s_fr"),
         r6(col("nonascii_ratio")).as("nonascii_ratio"))
       .orderBy("doc_id")
-  }
 
   private val t01Sql = {
     def sc(l: String) =
@@ -80,28 +90,35 @@ object TextOps {
   /** #28 quality score: length, punctuation ratio, stopword ratio, mean
     * word length, and a fixed-weight composite — the filter features a
     * pretraining-data pipeline gates on. */
-  private val t02: Q = (s, dir) => {
-    t(s, dir, "documents")
-      .withColumn("ws", words(col("text")))
-      .filter(size(col("ws")) > 0)
-      .withColumn("n_chars_obs", length(col("text")).cast("long"))
-      .withColumn("n_words", size(col("ws")).cast("long"))
+  /** Quality-gate features over ANY (id, text) table (public operator
+    * behind [[graft.Graft.textQuality]]): length, punctuation ratio,
+    * stopword ratio, mean word length, fixed-weight composite score. */
+  def qualityFeaturesOf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .withColumn("__ws", words(col("__text")))
+      .filter(size(col("__ws")) > 0)
+      .withColumn("n_chars_obs", length(col("__text")).cast("long"))
+      .withColumn("n_words", size(col("__ws")).cast("long"))
       .withColumn("punct_ratio",
-        length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")) / length(col("text")).cast("double"))
+        length(regexp_replace(col("__text"), "[a-zA-Z0-9\\s]", "")) / length(col("__text")).cast("double"))
       .withColumn("stop_ratio",
-        expr(s"graft_stopcount(ws, array(${inList(stop("en"))})) / CAST(size(ws) AS DOUBLE)"))
+        expr(s"graft_stopcount(__ws, array(${inList(stop("en"))})) / CAST(size(__ws) AS DOUBLE)"))
       .withColumn("mean_word_len",
-        expr("graft_total_strlen(ws)") / col("n_words").cast("double"))
+        expr("graft_total_strlen(__ws)") / col("n_words").cast("double"))
       .withColumn("score",
         lit(0.3) * least(col("n_words") / 100.0, lit(1.0)) +
           lit(0.3) * (lit(1.0) - col("punct_ratio")) +
           lit(0.2) * col("stop_ratio") +
           lit(0.2) * least(col("mean_word_len") / 8.0, lit(1.0)))
+      .drop("__text", "__ws")
+
+  private val t02: Q = (s, dir) =>
+    qualityFeaturesOf(t(s, dir, "documents"), "doc_id", "text")
       .select(col("doc_id"), col("n_chars_obs"), col("n_words"),
         r6(col("punct_ratio")).as("punct_ratio"), r6(col("stop_ratio")).as("stop_ratio"),
         r6(col("mean_word_len")).as("mean_word_len"), r6(col("score")).as("score"))
       .orderBy("doc_id")
-  }
 
   private val t02Sql =
     s"""WITH w AS (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
@@ -123,17 +140,24 @@ object TextOps {
   /** #29 token counting: whitespace tokens plus a BPE-ish subword
     * estimate (Σ ceil(len/4) per word — the chars/4 heuristic applied
     * word-wise so punctuation never merges tokens). */
-  private val t03: Q = (s, dir) => {
-    t(s, dir, "documents")
+  /** Token counts over ANY (id, text) table (public operator behind
+    * [[graft.Graft.tokenCounts]]): whitespace tokens, chars/4 BPE-ish
+    * subword estimate (word-wise), observed characters. */
+  def tokenCountsOf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
       .withColumn("n_ws_tokens",
-        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long"))
-      .withColumn("ws", words(col("text")))
-      .filter(size(col("ws")) > 0)
-      .withColumn("n_subword_est", expr("graft_subword_est(ws)"))
-      .withColumn("n_chars_obs", length(col("text")).cast("long"))
+        size(expr("regexp_extract_all(__text, '\\\\S+', 0)")).cast("long"))
+      .withColumn("__ws", words(col("__text")))
+      .filter(size(col("__ws")) > 0)
+      .withColumn("n_subword_est", expr("graft_subword_est(__ws)"))
+      .withColumn("n_chars_obs", length(col("__text")).cast("long"))
+      .drop("__text", "__ws")
+
+  private val t03: Q = (s, dir) =>
+    tokenCountsOf(t(s, dir, "documents"), "doc_id", "text")
       .select(col("doc_id"), col("n_ws_tokens"), col("n_subword_est"), col("n_chars_obs"))
       .orderBy("doc_id")
-  }
 
   private val t03Sql =
     """SELECT doc_id,
@@ -181,24 +205,32 @@ object TextOps {
     * [[graft.functions.TopNgramCount]] hash-map pass — the mode of a
     * row's own bigrams never needed the corpus-wide explode → groupBy →
     * groupBy → join-back (10M shuffled gram rows at ×20 density). */
-  private val t05: Q = (s, dir) => {
-    t(s, dir, "documents")
-      .withColumn("ws", words(col("text")))
-      .filter(size(col("ws")) >= 3)
-      .withColumn("n_words", size(col("ws")).cast("long"))
+  /** Gopher-style repetition signals over ANY (id, text) table (public
+    * operator behind [[graft.Graft.repetitionSignals]]): duplicate-word
+    * ratio, duplicate-trigram ratio, top-bigram coverage. Map-only. */
+  def repetitionSignalsOf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .withColumn("__ws", words(col("__text")))
+      .filter(size(col("__ws")) >= 3)
+      .withColumn("n_words", size(col("__ws")).cast("long"))
       .withColumn("dup_word_ratio",
-        lit(1.0) - size(array_distinct(col("ws"))).cast("double") / col("n_words").cast("double"))
-      .withColumn("tg", expr(
-        "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
+        lit(1.0) - size(array_distinct(col("__ws"))).cast("double") / col("n_words").cast("double"))
+      .withColumn("__tg", expr(
+        "transform(sequence(0, size(__ws)-3), i -> concat_ws(' ', __ws[i], __ws[i+1], __ws[i+2]))"))
       .withColumn("dup_trigram_ratio",
-        lit(1.0) - size(array_distinct(col("tg"))).cast("double") / (col("n_words") - 2).cast("double"))
-      .withColumn("top_bg", expr("graft_top_ngram_count(ws, 2)"))
+        lit(1.0) - size(array_distinct(col("__tg"))).cast("double") / (col("n_words") - 2).cast("double"))
+      .withColumn("top_bigram_ratio",
+        expr("graft_top_ngram_count(__ws, 2)").cast("double") / (col("n_words") - 1).cast("double"))
+      .drop("__text", "__ws", "__tg")
+
+  private val t05: Q = (s, dir) =>
+    repetitionSignalsOf(t(s, dir, "documents"), "doc_id", "text")
       .select(col("doc_id"), col("n_words"),
         r6(col("dup_word_ratio")).as("dup_word_ratio"),
-        r6(col("top_bg").cast("double") / (col("n_words") - 1).cast("double")).as("top_bigram_ratio"),
+        r6(col("top_bigram_ratio")).as("top_bigram_ratio"),
         r6(col("dup_trigram_ratio")).as("dup_trigram_ratio"))
       .orderBy("doc_id")
-  }
 
   private val t05Sql =
     """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),

@@ -117,6 +117,26 @@ class GraftApiSpec extends SparkSpec {
     assert(!np.exists(r => r.getLong(1) == 3L))
   }
 
+  test("text operators run on a custom schema with sensible values") {
+    val posts = Seq(
+      (1L, "the quick brown fox of the river and the lazy dog in the meadow"),
+      (2L, "der schnelle braune fuchs und die faule katze ist von hier"),
+      (3L, "spam spam spam spam spam spam"))
+      .toDF("pid", "body")
+    val lang = Graft.langId(posts, "pid", "body").collect()
+      .map(r => r.getLong(0) -> r.getString(r.fieldIndex("pred_lang"))).toMap
+    assert(lang(1L) == "en" && lang(2L) == "de")
+    val q = Graft.textQuality(posts, "pid", "body")
+      .filter(col("doc_id") === 1L).head()
+    assert(q.getLong(q.fieldIndex("n_words")) == 14L)
+    assert(q.getDouble(q.fieldIndex("stop_ratio")) > 0.3) // the/of/and/in...
+    val tc = Graft.tokenCounts(posts, "pid", "body").filter(col("doc_id") === 3L).head()
+    assert(tc.getLong(tc.fieldIndex("n_ws_tokens")) == 6L)
+    val rep = Graft.repetitionSignals(posts, "pid", "body")
+      .collect().map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("dup_word_ratio"))).toMap
+    assert(rep(3L) > 0.8 && rep(2L) < 0.2) // all-same doc vs normal prose
+  }
+
   test("knnBrute ranks by exact cosine with id tiebreak") {
     val vecs = Seq(
       (1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1)), (3L, Array(0.0, 1.0)))
