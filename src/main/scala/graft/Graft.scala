@@ -61,21 +61,27 @@ object Graft {
   }
 
   /** Rolling Pearson correlation between `value` and its 1-step lag
-    * over the last `n` rows per key (autocorrelation of the series).
-    * Appends `corr`; null until the window is full or on zero
-    * variance. Same O(1)-per-row cumulative-sum-difference shape. */
+    * over the last `n` (value, lag) pairs per key (autocorrelation of
+    * the series). Appends `corr` to EVERY input row; null until the
+    * window is full (including the first row per key, which has no
+    * lag pair) or on zero variance. Same O(1)-per-row cumulative-
+    * sum-difference shape: the first row contributes nothing to the
+    * pair sums (its gated terms are null), so the window math is
+    * gated on pair validity rather than filtering rows out. */
   def rollingAutoCorr(df: DataFrame, key: String, ts: String, id: String,
                       value: String, n: Int): DataFrame = {
     val ord = Window.partitionBy(col(key)).orderBy(col(ts), col(id))
     val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    def slide(c: String): Column = col(c) - lag(col(c), n, 0.0).over(ord)
+    // cum sums are null until the first valid pair; before-partition lag
+    // reads are null too — both mean "empty prefix", i.e. 0
+    def slide(c: String): Column = col(c) - coalesce(lag(col(c), n).over(ord), lit(0.0))
     df.withColumn("__y", lag(col(value), 1).over(ord))
-      .filter(col("__y").isNotNull)
-      .withColumn("__rn", row_number().over(ord))
-      .withColumn("__cx", sum(col(value)).over(cum))
+      .withColumn("__x", when(col("__y").isNotNull, col(value)))
+      .withColumn("__rn", count(col("__y")).over(cum)) // valid pairs so far
+      .withColumn("__cx", sum(col("__x")).over(cum))
       .withColumn("__cy", sum(col("__y")).over(cum))
-      .withColumn("__cxy", sum(col(value) * col("__y")).over(cum))
-      .withColumn("__cx2", sum(col(value) * col(value)).over(cum))
+      .withColumn("__cxy", sum(col("__x") * col("__y")).over(cum))
+      .withColumn("__cx2", sum(col("__x") * col("__x")).over(cum))
       .withColumn("__cy2", sum(col("__y") * col("__y")).over(cum))
       .withColumn("__sx", slide("__cx")).withColumn("__sy", slide("__cy"))
       .withColumn("__sxy", slide("__cxy"))
@@ -83,10 +89,10 @@ object Graft {
       .withColumn("__vx", lit(n) * col("__sx2") - col("__sx") * col("__sx"))
       .withColumn("__vy", lit(n) * col("__sy2") - col("__sy") * col("__sy"))
       .withColumn("corr",
-        when(least(col("__rn"), lit(n)) === n && col("__vx") > 0 && col("__vy") > 0,
+        when(col("__rn") >= n && col("__vx") > 0 && col("__vy") > 0,
           (lit(n) * col("__sxy") - col("__sx") * col("__sy")) /
             (sqrt(col("__vx")) * sqrt(col("__vy")))))
-      .drop("__y", "__rn", "__cx", "__cy", "__cxy", "__cx2", "__cy2",
+      .drop("__y", "__x", "__rn", "__cx", "__cy", "__cxy", "__cx2", "__cy2",
         "__sx", "__sy", "__sxy", "__sx2", "__sy2", "__vx", "__vy")
   }
 
@@ -126,36 +132,52 @@ object Graft {
     * explosion — at 100 TB this is the scalable as-of shape (a range
     * join would explode; per-key loops would not distribute).
     *
+    * The matched right row is carried as ONE struct of
+    * (right ts, valueCols), so the output always reflects a single
+    * right row — a null value column in the matched row stays null
+    * rather than being back-filled from an older right row (DuckDB /
+    * pandas `merge_asof` semantics).
+    *
     * Contract: `right` is unique per (key, ts) — pre-aggregate it
     * (e.g. [[dedupKeepLast]]) if not. At equal timestamps the right
-    * row is visible to the left row (`>=` as-of semantics).
+    * row is visible to the left row (`>=` as-of semantics). Carried
+    * column names and `asof_ts` must not collide with left columns
+    * (validated); internal temp names are generated collision-free
+    * against both schemas.
     *
     * @param valueCols right columns carried onto matches */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                valueCols: Seq[String]): DataFrame = {
     val lCols = left.columns.filterNot(c => c == key || c == ts).toSeq
-    val lTypes = left.schema.map(f => f.name -> f.dataType).toMap
-    val rTypes = right.schema.map(f => f.name -> f.dataType).toMap
-    val rSide = right.select(Seq(col(key), col(ts), lit(0).as("__side")) ++
-      lCols.map(c => lit(null).cast(lTypes(c)).as(c)) ++
-      valueCols.map(c => col(c).as("__r_" + c)) :+
-      col(ts).as("__rts"): _*)
-    val lSide = left.select(Seq(col(key), col(ts), lit(1).as("__side")) ++
-      lCols.map(col) ++
-      valueCols.map(c => lit(null).cast(rTypes(c)).as("__r_" + c)) :+
-      lit(null).cast(right.schema(ts).dataType).as("__rts"): _*)
+    val clash = valueCols.filter(c => c == key || c == ts || lCols.contains(c)) ++
+      (if (left.columns.contains("asof_ts") || valueCols.contains("asof_ts")) Seq("asof_ts") else Nil)
+    require(clash.isEmpty,
+      s"asofJoin output name collision on ${clash.distinct.mkString(", ")}: " +
+        "carried right columns and asof_ts must not collide with left columns")
+    val taken = (left.columns ++ right.columns).toSet
+    val p = Iterator.from(0).map(i => s"__asof${if (i == 0) "" else i.toString}_")
+      .find(pfx => !taken.exists(_.startsWith(pfx))).get
+    val side = p + "side"
+    val carry = p + "carry"
+    val rtsField = p + "rts" // struct-internal; valueCols can't collide with the prefix
+    val rSide = right.select(Seq(col(key), col(ts), lit(0).as(side),
+      struct(col(ts).as(rtsField) +: valueCols.map(col): _*).as(carry)) ++
+      lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val carryType = rSide.schema(carry).dataType
+    val lSide = left.select(Seq(col(key), col(ts), lit(1).as(side),
+      lit(null).cast(carryType).as(carry)) ++ lCols.map(col): _*)
     // right sorts before left at equal ts (side 0 < 1) => >= semantics;
-    // the carried value at a left row is uniquely determined because
+    // the carried struct at a left row is uniquely determined because
     // right rows are unique per (key, ts), so no further tie-break is
     // needed for determinism
-    val w = Window.partitionBy(col(key)).orderBy(col(ts), col("__side"))
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(side))
       .rowsBetween(Window.unboundedPreceding, 0)
     rSide.unionAll(lSide)
-      .select(Seq(col(key), col(ts), col("__side")) ++ lCols.map(col) ++
-        valueCols.map(c => last(col("__r_" + c), ignoreNulls = true).over(w).as(c)) :+
-        last(col("__rts"), ignoreNulls = true).over(w).as("asof_ts"): _*)
-      .filter(col("__side") === 1)
-      .drop("__side")
+      .withColumn(carry, last(col(carry), ignoreNulls = true).over(w))
+      .filter(col(side) === 1)
+      .select(Seq(col(key), col(ts)) ++ lCols.map(col) ++
+        valueCols.map(c => col(carry).getField(c).as(c)) :+
+        col(carry).getField(rtsField).as("asof_ts"): _*)
   }
 
   /** Incremental high-watermark per series (the reference's
@@ -166,12 +188,18 @@ object Graft {
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors by exact cosine (ties broken by corpus id). Corpus
     * and queries carry (id, vector) under the given column names; the
-    * query side is broadcast — one corpus scan, no corpus shuffle. */
+    * query side is broadcast — one corpus scan, no corpus shuffle.
+    *
+    * @param excludeSelf when true (default), a corpus row whose id
+    *   equals the query's id is excluded — correct when queries are
+    *   drawn from the corpus itself (self is trivially nearest).
+    *   Queries from a DIFFERENT id space must pass false, or any
+    *   accidental id coincidence silently drops a neighbor. */
   def knnBrute(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
-               k: Int): DataFrame = {
+               k: Int, excludeSelf: Boolean = true): DataFrame = {
     val q = broadcast(queries.select(col(id).as("q_id"), col(vec).as("__qv")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("__cos").desc, col(id))
-    corpus.join(q, col(id) =!= col("q_id"))
+    corpus.join(q, if (excludeSelf) col(id) =!= col("q_id") else lit(true))
       .withColumn("__cos", expr(s"graft_cosine(__qv, $vec)"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

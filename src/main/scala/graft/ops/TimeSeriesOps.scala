@@ -285,8 +285,10 @@ object TimeSeriesOps {
     * reused by the lag and every frame; corr assembled from the sums in
     * closed form (n·Σxy − ΣxΣy)/(√(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²)), the
     * same arithmetic the oracle runs, so no covariance-algorithm
-    * divergence. Null until the window is full; degenerate zero
-    * variance guarded identically on both sides. */
+    * divergence. Every input row appears in the output; corr is null
+    * until the window is full (including the first row per key, which
+    * has no lag pair) and on degenerate zero variance, guarded
+    * identically on both sides. */
   private val q21: Q = (s, dir) =>
     graft.Graft.rollingAutoCorr(t(s, dir, "events"), "event_type", "ts", "event_id", "value", n = 20)
       .select(col("event_type"), col("event_id"), epochMs(col("ts")).as("ts_ms"),
@@ -298,27 +300,29 @@ object TimeSeriesOps {
       |  SELECT event_type, event_id, ts, value,
       |    lag(value) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS y
       |  FROM events),
-      |f AS (SELECT * FROM l WHERE y IS NOT NULL),
       |c AS (
       |  SELECT event_type, event_id, ts, value, y,
-      |    row_number() OVER o AS rn,
-      |    sum(value) OVER w AS cx, sum(y) OVER w AS cy, sum(value * y) OVER w AS cxy,
-      |    sum(value * value) OVER w AS cx2, sum(y * y) OVER w AS cy2
-      |  FROM f
-      |  WINDOW o AS (PARTITION BY event_type ORDER BY ts, event_id),
-      |    w AS (PARTITION BY event_type ORDER BY ts, event_id
+      |    count(y) OVER w AS rn,
+      |    sum(CASE WHEN y IS NOT NULL THEN value END) OVER w AS cx,
+      |    sum(y) OVER w AS cy,
+      |    sum(CASE WHEN y IS NOT NULL THEN value END * y) OVER w AS cxy,
+      |    sum(CASE WHEN y IS NOT NULL THEN value END
+      |      * CASE WHEN y IS NOT NULL THEN value END) OVER w AS cx2,
+      |    sum(y * y) OVER w AS cy2
+      |  FROM l
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
       |w AS (
       |  SELECT event_type, event_id, ts, rn,
-      |    cx - lag(cx, 20, CAST(0.0 AS DOUBLE)) OVER o AS sx,
-      |    cy - lag(cy, 20, CAST(0.0 AS DOUBLE)) OVER o AS sy,
-      |    cxy - lag(cxy, 20, CAST(0.0 AS DOUBLE)) OVER o AS sxy,
-      |    cx2 - lag(cx2, 20, CAST(0.0 AS DOUBLE)) OVER o AS sx2,
-      |    cy2 - lag(cy2, 20, CAST(0.0 AS DOUBLE)) OVER o AS sy2
+      |    cx - coalesce(lag(cx, 20) OVER o, CAST(0.0 AS DOUBLE)) AS sx,
+      |    cy - coalesce(lag(cy, 20) OVER o, CAST(0.0 AS DOUBLE)) AS sy,
+      |    cxy - coalesce(lag(cxy, 20) OVER o, CAST(0.0 AS DOUBLE)) AS sxy,
+      |    cx2 - coalesce(lag(cx2, 20) OVER o, CAST(0.0 AS DOUBLE)) AS sx2,
+      |    cy2 - coalesce(lag(cy2, 20) OVER o, CAST(0.0 AS DOUBLE)) AS sy2
       |  FROM c
       |  WINDOW o AS (PARTITION BY event_type ORDER BY ts, event_id))
       |SELECT event_type, event_id, epoch_ms(ts) AS ts_ms,
-      |  round(CASE WHEN least(rn, 20) = 20 AND 20 * sx2 - sx * sx > 0 AND 20 * sy2 - sy * sy > 0
+      |  round(CASE WHEN rn >= 20 AND 20 * sx2 - sx * sx > 0 AND 20 * sy2 - sy * sy > 0
       |    THEN (20 * sxy - sx * sy) / (sqrt(20 * sx2 - sx * sx) * sqrt(20 * sy2 - sy * sy)) END, 6) AS corr20
       |FROM w
       |ORDER BY event_type, ts_ms, event_id""".stripMargin

@@ -228,7 +228,11 @@ object StreamOps {
             }
             cur.foreach { st =>
               state.update(st)
-              state.setTimeoutTimestamp(st.endMs + gapMs)
+              // a late burst can leave end + gap at-or-below the current
+              // watermark; Spark rejects such timeouts (the query would
+              // fail), so clamp — the session then times out and closes
+              // at the next trigger instead of killing the stream
+              state.setTimeoutTimestamp(math.max(st.endMs + gapMs, state.getCurrentWatermarkMs + 1))
             }
             closed.result().iterator
           }

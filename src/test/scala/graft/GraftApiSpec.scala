@@ -79,6 +79,50 @@ class GraftApiSpec extends SparkSpec {
     assert(m.getTimestamp(m.fieldIndex("asof_ts")) == ts(0))
   }
 
+  test("asofJoin carries the matched row's nulls — no back-fill from older right rows") {
+    // quote at ts(10) has a NULL size; the older ts(0) quote has one.
+    // The ts(11) trade matches ts(10): size must be null, NOT 7.0.
+    val quotes = Seq(("BTC", ts(0), Some(100.0), Some(7.0)), ("BTC", ts(10), Some(101.0), None))
+      .toDF("sym", "t", "quote_px", "quote_sz")
+    val trades = Seq(("BTC", ts(11), 1L)).toDF("sym", "t", "trade_id")
+    val r = Graft.asofJoin(trades, quotes, "sym", "t", Seq("quote_px", "quote_sz")).head()
+    assert(r.getDouble(r.fieldIndex("quote_px")) == 101.0)
+    assert(r.isNullAt(r.fieldIndex("quote_sz")),
+      "null value column of the matched row must not be back-filled from an older row")
+    assert(r.getTimestamp(r.fieldIndex("asof_ts")) == ts(10))
+  }
+
+  test("asofJoin generates collision-free temp names and rejects output collisions") {
+    // user columns deliberately named like the old internals
+    val quotes = Seq(("BTC", ts(0), 100.0, "r0")).toDF("sym", "t", "px", "__rts")
+    val trades = Seq(("BTC", ts(1), 1L, "s1", "c1")).toDF("sym", "t", "__side", "__carry", "__asof_side")
+    val out = Graft.asofJoin(trades, quotes, "sym", "t", Seq("px", "__rts")).head()
+    assert(out.getDouble(out.fieldIndex("px")) == 100.0)
+    assert(out.getString(out.fieldIndex("__rts")) == "r0")
+    assert(out.getString(out.fieldIndex("__asof_side")) == "c1") // left cols untouched
+    // carried name colliding with a left column must fail fast, not mis-select
+    val bad = intercept[IllegalArgumentException] {
+      Graft.asofJoin(trades.withColumnRenamed("__side", "px"), quotes, "sym", "t", Seq("px"))
+    }
+    assert(bad.getMessage.contains("px"))
+    val badTs = intercept[IllegalArgumentException] {
+      Graft.asofJoin(trades.withColumnRenamed("__side", "asof_ts"), quotes, "sym", "t", Seq("px"))
+    }
+    assert(badTs.getMessage.contains("asof_ts"))
+  }
+
+  test("rollingAutoCorr keeps every input row; corr null till full, ±1 on 2-point windows") {
+    val out = Graft.rollingAutoCorr(bars, "sym", "t", "bar_id", "px", n = 2)
+      .select("sym", "bar_id", "corr").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(out.size == bars.count(), "first row per key must appear in the output")
+    assert(out(("BTC", 1L)).isEmpty) // no lag pair yet
+    assert(out(("BTC", 2L)).isEmpty) // one pair < n
+    assert(math.abs(out(("BTC", 3L)).get - 1.0) < 1e-12) // rising: (11,10),(12,11)
+    assert(math.abs(out(("BTC", 4L)).get + 1.0) < 1e-12) // turn: (12,11),(9,12)
+    assert(out(("ETH", 5L)).isEmpty && out(("ETH", 6L)).isEmpty)
+  }
+
   test("minhashPairs and simhashPairs find planted near-dups on a custom schema") {
     val docs = Seq(
       (101L, "the quick brown fox jumps over the lazy dog again and again"),
@@ -144,5 +188,18 @@ class GraftApiSpec extends SparkSpec {
     val out = Graft.knnBrute(vecs, vecs.filter(col("id") === 1), "id", "v", k = 2)
       .select("rank", "id").as[(Long, Long)].collect().toSet
     assert(out == Set((1L, 2L), (2L, 3L))) // 2 is nearest to 1, then 3
+  }
+
+  test("knnBrute excludeSelf=false keeps corpus rows whose id coincides with a query id") {
+    val corpus = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1))).toDF("id", "v")
+    // disjoint query table that HAPPENS to reuse id 1
+    val queries = Seq((1L, Array(1.0, 0.0))).toDF("id", "v")
+    val withSelf = Graft.knnBrute(corpus, queries, "id", "v", k = 2, excludeSelf = false)
+      .select("rank", "id").as[(Long, Long)].collect().toSet
+    assert(withSelf == Set((1L, 1L), (2L, 2L))) // corpus id 1 not dropped
+    val dflt = Graft.knnBrute(corpus, queries, "id", "v", k = 2)
+      .select("id").as[Long].collect().toSet
+    assert(dflt == Set(2L)) // default documents the shared-id-space contract
   }
 }

@@ -201,4 +201,32 @@ class StreamingSpec extends SparkSpec {
       assert(all.contains(Session(1, ts(35).getTime, ts(35).getTime, 1, 4.0)), s"user 1 second session missing: $all")
     } finally q.stop()
   }
+
+  test("sessionize survives an event whose session end + gap is below the watermark") {
+    // Two layers keep a way-late event from killing the query: Spark's
+    // stateful-operator late-row filter drops rows at-or-below the
+    // watermark before they reach the state function (verified here —
+    // user 5 produces NO session), and for any residual path the clamp
+    // in streamingSessionize keeps setTimeoutTimestamp above the
+    // watermark instead of throwing IllegalArgumentException.
+    import graft.streaming.{SessEvent, Session}
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[SessEvent]
+    val sess = StreamOps.streamingSessionize(
+      input.toDS().withWatermark("ts", "0 seconds"), gapMs = 10 * 60000L)
+    val q = sess.writeStream.format("memory").queryName("sess_late_out").outputMode("append").start()
+    try {
+      input.addData(SessEvent(9, ts(2000), 1.0)) // watermark -> ts(2000)
+      q.processAllAvailable()
+      input.addData(SessEvent(5, ts(100), 3.0)) // way-late event
+      q.processAllAvailable()
+      assert(q.isActive && q.exception.isEmpty,
+        s"late event must not kill the query: ${q.exception}")
+      input.addData(SessEvent(9, ts(3000), 1.0)) // gap-close user 9, advance watermark
+      q.processAllAvailable()
+      val got = spark.table("sess_late_out").as[Session].collect().toSet
+      assert(got == Set(Session(9, ts(2000).getTime, ts(2000).getTime, 1, 1.0)),
+        s"late row is filtered (no user-5 session), on-time sessions close: $got")
+    } finally q.stop()
+  }
 }
