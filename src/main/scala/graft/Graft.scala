@@ -106,7 +106,7 @@ object Graft {
     df.withColumn("__prev", lag(col(ts), 1).over(w))
       .withColumn("__new",
         when(col("__prev").isNull ||
-          unix_millis(col(ts)) - unix_millis(col("__prev")) > gapMs, 1L).otherwise(0L))
+          unix_millis(col(ts).cast("timestamp")) - unix_millis(col("__prev")) > gapMs, 1L).otherwise(0L))
       .withColumn("session_id", sum(col("__new")).over(wrun))
       .groupBy(col(key), col("session_id"))
       .agg(min(col(ts)).as("start_ts"), max(col(ts)).as("end_ts"),
@@ -117,7 +117,7 @@ object Graft {
     * (the reference's validate_data completeness check). */
   def gaps(df: DataFrame, key: String, ts: String, id: String, minGapMs: Long): DataFrame = {
     val ord = Window.partitionBy(col(key)).orderBy(col(ts), col(id))
-    df.withColumn("__ms", unix_millis(col(ts)))
+    df.withColumn("__ms", unix_millis(col(ts).cast("timestamp")))
       .withColumn("__next", lead(col("__ms"), 1).over(ord))
       .filter(col("__next").isNotNull && col("__next") - col("__ms") > minGapMs)
       .select(col(key), col("__ms").as("gap_start_ms"),
@@ -179,6 +179,63 @@ object Graft {
         valueCols.map(c => col(carry).getField(c).as(c)) :+
         col(carry).getField(rtsField).as("asof_ts"): _*)
   }
+
+  /** Range (interval) join — the second temporal join Spark lacks
+    * natively: each `points` row joins every `intervals` row of the
+    * same key whose [start, end) window contains the point's
+    * timestamp. Implemented as a BIN join: intervals explode into the
+    * fixed-width time buckets they cover, points land in exactly one
+    * bucket, and the join is a plain equi-join on (key, bucket) with
+    * an exact containment filter after — never the O(rows²) cross
+    * product a raw inequality join plans (BroadcastNestedLoopJoin).
+    * Each matching pair appears exactly once (the point's bucket is
+    * unique), so no dedup pass is needed.
+    *
+    * `bucketMs` is the scale knob: row amplification of the interval
+    * side is ceil(intervalLength / bucketMs) + 1, so pick it near the
+    * TYPICAL interval length — one bucket of amplification joins
+    * co-partitioned on (key, bucket) at any corpus size. Intervals
+    * with end <= start match nothing. Non-key column names must be
+    * disjoint between the two inputs (validated).
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, key: String,
+                ts: String, start: String, end: String, bucketMs: Long): DataFrame = {
+    require(bucketMs > 0, "bucketMs must be positive")
+    val overlap = points.columns.filterNot(_ == key).toSet
+      .intersect(intervals.columns.filterNot(_ == key).toSet)
+    require(overlap.isEmpty,
+      s"rangeJoin inputs share non-key columns ${overlap.mkString(", ")}: rename one side")
+    val taken = (points.columns ++ intervals.columns).toSet
+    val b = Iterator.from(0).map(i => s"__rj${if (i == 0) "" else i.toString}_bucket")
+      .find(n => !taken.contains(n)).get
+    val p = points.withColumn(b, floor(unix_millis(col(ts).cast("timestamp")) / bucketMs).cast("long"))
+    val iv = intervals
+      .filter(col(end) > col(start))
+      .withColumn(b, explode(sequence(
+        floor(unix_millis(col(start).cast("timestamp")) / bucketMs).cast("long"),
+        floor((unix_millis(col(end).cast("timestamp")) - 1) / bucketMs).cast("long"))))
+    p.join(iv, Seq(key, b))
+      .filter(unix_millis(col(ts).cast("timestamp")) >= unix_millis(col(start).cast("timestamp")) &&
+        unix_millis(col(ts).cast("timestamp")) < unix_millis(col(end).cast("timestamp")))
+      .drop(b)
+  }
+
+  /** Edit-distance near-dup pairs: minhash-band-blocked candidates
+    * confirmed by Levenshtein distance ≤ maxDist. The confirm uses
+    * Spark's banded threshold algorithm (O(maxDist·len) per pair, not
+    * O(len²)), and only DISTINCT blocked candidates ever reach it —
+    * never a full cross join. Returns (doc_a, doc_b, edit_dist). */
+  def editDistancePairs(docs: DataFrame, id: String, text: String,
+                        maxDist: Int, shingleN: Int = 3, k: Int = 8,
+                        bands: Int = 4): DataFrame =
+    ops.DedupOps.editDistancePairsOf(docs, id, text, maxDist, shingleN, k, bands)
+
+  /** Canonical text normalization — the cleanup pass ahead of exact
+    * dedup: lowercase, strip non-alphanumerics, collapse whitespace.
+    * Returns per-doc (clean_text, clean_md5, raw/clean char counts,
+    * n_words, removed_ratio). Map-only, runs at scan speed. */
+  def normalizeText(docs: DataFrame, id: String, text: String): DataFrame =
+    ops.TextOps.normalizeTextOf(docs, id, text)
 
   /** Incremental high-watermark per series (the reference's
     * get_latest_update, as a query over any keyed time column). */

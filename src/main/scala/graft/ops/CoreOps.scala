@@ -338,7 +338,56 @@ object CoreOps {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** #19e the 100 TB cardinality path AS A QUERY: per-series HLL++
+    * (`approx_count_distinct`) next to the exact count and the
+    * realized relative error. One pass, mergeable partials, constant
+    * memory per group — what replaces q25's exact COUNT(DISTINCT)
+    * when the distinct set no longer fits a hash table per group.
+    * rows-only check (a sketch is not SQL-reproducible in DuckDB);
+    * the spec bounds the error against the exact values. */
+  private val a01: Q = (s, dir) => {
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        // event_id is the table PK: exact distinct == count, and writing
+        // it as count keeps the plan at ONE distinct aggregate — a second
+        // countDistinct would Expand every input row once per distinct
+        // column before the shuffle
+        count(col("event_id")).as("exact_ids"),
+        approx_count_distinct(col("event_id"), 0.02).as("approx_ids"))
+      .withColumn("rel_err_users",
+        r6(abs(col("approx_users") - col("exact_users")) / col("exact_users").cast("double")))
+      .withColumn("rel_err_ids",
+        r6(abs(col("approx_ids") - col("exact_ids")) / col("exact_ids").cast("double")))
+      .orderBy("event_type")
+  }
+
+  /** #19f the 100 TB percentile path AS A QUERY: per-group
+    * `approx_percentile` (one-pass mergeable quantile sketch) next to
+    * q20's exact interpolated percentiles and the realized relative
+    * error. rows-only check; the spec bounds the error. */
+  private val a02: Q = (s, dir) => {
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        expr("percentile(l_extendedprice, array(0.5D, 0.95D, 0.99D))").as("ex"),
+        expr("approx_percentile(l_extendedprice, array(0.5D, 0.95D, 0.99D), 10000)").as("ap"))
+      .select(col("l_returnflag"), col("n_rows"),
+        r6(col("ex").getItem(0)).as("exact_p50"), r6(col("ap").getItem(0)).as("approx_p50"),
+        r6(col("ex").getItem(2)).as("exact_p99"), r6(col("ap").getItem(2)).as("approx_p99"),
+        r6(greatest(
+          abs(col("ap").getItem(0) - col("ex").getItem(0)) / col("ex").getItem(0),
+          abs(col("ap").getItem(1) - col("ex").getItem(1)) / col("ex").getItem(1),
+          abs(col("ap").getItem(2) - col("ex").getItem(2)) / col("ex").getItem(2))).as("max_rel_err"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
+    "a01_approx_distinct" -> a01,
+    "a02_approx_percentile" -> a02,
     "q24_histogram" -> q24,
     "q25_distinct_counts" -> q25,
     "q20_percentiles" -> q20,

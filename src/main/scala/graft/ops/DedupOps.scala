@@ -256,6 +256,58 @@ object DedupOps {
       |ORDER BY doc_a, doc_b""".stripMargin
       .replace("GS_DUCK", gsDuck).replace("SIG8_DUCK", sigDuck(8))
 
+  /** Edit-distance near-dup pairs over ANY (id, text) table (public
+    * operator behind [[graft.Graft.editDistancePairs]]): minhash-band
+    * blocked candidates, confirmed by Levenshtein ≤ maxDist. The
+    * confirm is Spark's thresholded levenshtein — the banded
+    * O(maxDist·len) algorithm, not the O(len²) full DP — and candidate
+    * pairs are DISTINCT before the two text joins, so each pair's
+    * texts ship exactly once. Returns (doc_a, doc_b, edit_dist). */
+  def editDistancePairsOf(docs: DataFrame, idCol: String, textCol: String,
+                          maxDist: Int, shingleN: Int, k: Int, bands: Int): DataFrame = {
+    val byDoc = docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+    minhashPairsOf(docs, idCol, textCol, shingleN, k, bands)
+      .select("doc_a", "doc_b")
+      .join(byDoc.select(col("doc_id").as("doc_a"), col("__t").as("ta")), "doc_a")
+      .join(byDoc.select(col("doc_id").as("doc_b"), col("__t").as("tb")), "doc_b")
+      .withColumn("edit_dist", levenshtein(col("ta"), col("tb"), maxDist).cast("long"))
+      // thresholded levenshtein returns -1 above maxDist
+      .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("edit_dist"))
+  }
+
+  /** #20b edit-distance near-dup: the character-level confirm on the
+    * d02 candidate blocks — catches near-dups whose token shingles
+    * diverge (typo bursts) but whose character stream is close. Same
+    * blocked scale shape as d02/d04; the per-pair cost is bounded by
+    * the banded threshold algorithm. */
+  private val d07: Q = (s, dir) =>
+    editDistancePairsOf(t(s, dir, "documents"), "doc_id", "text",
+        maxDist = 100, shingleN = 3, k = 8, bands = 4)
+      .orderBy("doc_a", "doc_b")
+
+  private val d07Sql =
+    """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+      |s3 AS (SELECT doc_id,
+      |    list_transform(generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh
+      |  FROM w WHERE len(ws) >= 3),
+      |g AS (SELECT doc_id, GS_DUCK AS gs FROM s3),
+      |sig AS (SELECT doc_id, SIG8_DUCK AS sig FROM g),
+      |bands AS (SELECT doc_id, sig, b.b AS b,
+      |    CAST(sig[2*b.b+1] AS VARCHAR) || '_' || CAST(sig[2*b.b+2] AS VARCHAR) AS bkey
+      |  FROM sig, range(0, 4) b(b)),
+      |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      |e AS (SELECT doc_a, doc_b,
+      |    CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+      |  FROM p JOIN documents da ON p.doc_a = da.doc_id
+      |         JOIN documents db ON p.doc_b = db.doc_id)
+      |SELECT doc_a, doc_b, edit_dist
+      |FROM e
+      |WHERE edit_dist <= 100
+      |ORDER BY doc_a, doc_b""".stripMargin
+      .replace("GS_DUCK", gsDuck).replace("SIG8_DUCK", sigDuck(8))
+
   // ---- #24 embedding near-dup: deterministic sign-sketch LSH ----
 
   /** ±1 hyperplane matrix derived from md5 parity, so identical
@@ -471,7 +523,8 @@ object DedupOps {
     "d03_simhash" -> d03,
     "d04_ngram_jaccard" -> d04,
     "d05_embedding_neardup" -> d05,
-    "d06_neardup_clusters" -> d06)
+    "d06_neardup_clusters" -> d06,
+    "d07_edit_distance" -> d07)
 
   val oracle: Map[String, String] = Map(
     "d01_dedup_exact" -> d01Sql,
@@ -479,5 +532,6 @@ object DedupOps {
     "d03_simhash" -> d03Sql,
     "d04_ngram_jaccard" -> d04Sql,
     "d05_embedding_neardup" -> d05Sql,
-    "d06_neardup_clusters" -> d06Sql)
+    "d06_neardup_clusters" -> d06Sql,
+    "d07_edit_distance" -> d07Sql)
 }

@@ -151,15 +151,50 @@ object MultiOps {
       |FROM e
       |ORDER BY doc_id, patch_row, patch_col""".stripMargin
 
+  /** #32d overlapping analysis windows: 32-byte frames at a 16-byte hop
+    * (50% overlap) — the audio STFT / sliding-feature input shape. Only
+    * full frames are emitted (the STFT convention); per-window md5
+    * stands in for the frame feature. Same hex-slicing contract as
+    * m03/m04 so both engines window identically; the explode is the
+    * only row amplification (×2 at 50% overlap, a constant). */
+  private val m05: Q = (s, dir) => {
+    // hex: frame = 64 chars (32 bytes), hop = 32 chars (16 bytes)
+    t(s, dir, "documents")
+      .withColumn("hexs", hex(col("text").cast("binary")))
+      .filter(length(col("hexs")) >= 64)
+      .withColumn("nw", (floor((length(col("hexs")) - 64) / lit(32.0)) + 1).cast("long"))
+      .select(col("doc_id"), col("hexs"),
+        explode(expr("sequence(CAST(0 AS BIGINT), nw - 1)")).as("win_idx"))
+      .withColumn("win_hex", expr("substring(hexs, CAST(win_idx * 32 + 1 AS INT), 64)"))
+      .select(col("doc_id"), col("win_idx"),
+        substring(col("win_hex"), 1, 16).as("win_prefix"),
+        md5(col("win_hex")).as("win_md5"))
+      .orderBy("doc_id", "win_idx")
+  }
+
+  private val m05Sql =
+    """WITH h AS (SELECT doc_id, hex(encode(text)) AS hexs FROM documents),
+      |f AS (SELECT doc_id, hexs,
+      |    CAST(floor((length(hexs) - 64) / 32.0) + 1 AS BIGINT) AS nw
+      |  FROM h WHERE length(hexs) >= 64),
+      |e AS (SELECT doc_id, hexs, unnest(generate_series(0, nw - 1)) AS win_idx FROM f),
+      |s AS (SELECT doc_id, win_idx,
+      |    substr(hexs, CAST(win_idx * 32 + 1 AS INTEGER), 64) AS win_hex FROM e)
+      |SELECT doc_id, win_idx, substr(win_hex, 1, 16) AS win_prefix, md5(win_hex) AS win_md5
+      |FROM s
+      |ORDER BY doc_id, win_idx""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "m01_binary_meta" -> m01,
     "m02_feature_batch" -> m02,
     "m03_frame_sample" -> m03,
-    "m04_patch_grid" -> m04)
+    "m04_patch_grid" -> m04,
+    "m05_overlap_windows" -> m05)
 
   /** m02 is intentionally absent: mapPartitions output is rows-only. */
   val oracle: Map[String, String] = Map(
     "m01_binary_meta" -> m01Sql,
     "m03_frame_sample" -> m03Sql,
-    "m04_patch_grid" -> m04Sql)
+    "m04_patch_grid" -> m04Sql,
+    "m05_overlap_windows" -> m05Sql)
 }

@@ -252,17 +252,63 @@ object TextOps {
       |FROM stats s JOIN topbg USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** Canonical text normalization over ANY (id, text) table (public
+    * operator behind [[graft.Graft.normalizeText]]): lowercase, map
+    * every non-alphanumeric to space, collapse runs, trim — the
+    * canonicalization pass ahead of exact dedup ([[DedupOps]] d01
+    * hashes a weaker form; this is the full scrub). Emits the cleaned
+    * text, its md5 (the exact-dedup key), raw/clean char counts, word
+    * count and removed-char ratio. Map-only: runs at scan speed. */
+  def normalizeTextOf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .withColumn("clean_text", trim(regexp_replace(
+        regexp_replace(lower(col("__text")), "[^a-z0-9 ]", " "), " +", " ")))
+      .withColumn("clean_md5", md5(col("clean_text")))
+      .withColumn("n_chars_raw", length(col("__text")).cast("long"))
+      .withColumn("n_chars_clean", length(col("clean_text")).cast("long"))
+      .withColumn("n_words", size(words(col("__text"))).cast("long"))
+      .withColumn("removed_ratio",
+        when(col("n_chars_raw") > 0,
+          lit(1.0) - col("n_chars_clean").cast("double") / col("n_chars_raw").cast("double"))
+          .otherwise(0.0))
+      .drop("__text")
+
+  /** #27b canonicalization: the text scrub every exact-dedup pass
+    * runs first, as its own auditable operator. */
+  private val t06: Q = (s, dir) =>
+    normalizeTextOf(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("clean_md5"), col("n_chars_raw"),
+        col("n_chars_clean"), col("n_words"), r6(col("removed_ratio")).as("removed_ratio"))
+      .orderBy("doc_id")
+
+  private val t06Sql =
+    """WITH c AS (
+      |  SELECT doc_id, text,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS clean_text
+      |  FROM documents)
+      |SELECT doc_id, md5(clean_text) AS clean_md5,
+      |  CAST(length(text) AS BIGINT) AS n_chars_raw,
+      |  CAST(length(clean_text) AS BIGINT) AS n_chars_clean,
+      |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_words,
+      |  round(CASE WHEN length(text) > 0
+      |    THEN 1.0 - length(clean_text) / CAST(length(text) AS DOUBLE) ELSE 0.0 END, 6) AS removed_ratio
+      |FROM c
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "t01_lang_id" -> t01,
     "t02_quality_score" -> t02,
     "t03_token_count" -> t03,
     "t04_fingerprint" -> t04,
-    "t05_repetition" -> t05)
+    "t05_repetition" -> t05,
+    "t06_normalize" -> t06)
 
   val oracle: Map[String, String] = Map(
     "t01_lang_id" -> t01Sql,
     "t02_quality_score" -> t02Sql,
     "t03_token_count" -> t03Sql,
     "t04_fingerprint" -> t04Sql,
-    "t05_repetition" -> t05Sql)
+    "t05_repetition" -> t05Sql,
+    "t06_normalize" -> t06Sql)
 }

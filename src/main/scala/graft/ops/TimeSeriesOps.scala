@@ -389,7 +389,51 @@ object TimeSeriesOps {
       |FROM j
       |ORDER BY p_event_id""".stripMargin
 
+  /** #13c range (interval) join: views inside each purchase's 4-hour
+    * follow-up window, aggregated per purchase — the market-data
+    * "activity inside an event window" shape. Spark plans a raw
+    * inequality join as a BroadcastNestedLoopJoin (cross product at
+    * scale); [[graft.Graft.rangeJoin]] turns it into a bin equi-join:
+    * intervals explode into the 1-hour buckets they cover (≤ 5 here),
+    * each view lands in exactly one bucket, and the join shuffles on
+    * (user, bucket) like any equi-join — co-partitioned, AQE-skew-
+    * splittable, no pair dedup needed. DuckDB's optimizer does the
+    * equivalent with its native IEJoin, so the oracle is the plain
+    * inequality form. */
+  private val q26: Q = (s, dir) => {
+    val e = t(s, dir, "events")
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id").as("v_event_id"),
+        col("value").as("v_value"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_event_id"),
+        col("ts").as("p_start"),
+        (col("ts") + expr("INTERVAL 4 HOURS")).as("p_end"))
+    graft.Graft.rangeJoin(views, purchases, "user_id", "ts", "p_start", "p_end",
+        bucketMs = 3600000L)
+      .groupBy(col("p_event_id"), col("user_id"), col("p_start"))
+      .agg(count(lit(1)).as("n_views"), sum(col("v_value")).as("view_value"))
+      .select(col("p_event_id"), col("user_id"), epochMs(col("p_start")).as("p_ts_ms"),
+        col("n_views"), r4(col("view_value")).as("view_value"))
+      .orderBy("p_event_id")
+  }
+
+  private val q26Sql =
+    """WITH p AS (
+      |  SELECT event_id AS p_event_id, user_id, ts AS p_ts
+      |  FROM events WHERE event_type = 'purchase'),
+      |v AS (
+      |  SELECT event_id, user_id, ts, value
+      |  FROM events WHERE event_type = 'view')
+      |SELECT p.p_event_id AS p_event_id, p.user_id AS user_id, epoch_ms(p.p_ts) AS p_ts_ms,
+      |  count(*) AS n_views, round(sum(v.value), 4) AS view_value
+      |FROM p JOIN v
+      |  ON p.user_id = v.user_id AND v.ts >= p.p_ts AND v.ts < p.p_ts + INTERVAL 4 HOUR
+      |GROUP BY 1, 2, 3
+      |ORDER BY p_event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q26_range_join" -> q26,
     "q23_asof_tolerance" -> q23,
     "q22_gap_detect" -> q22,
     "q21_rolling_corr" -> q21,
@@ -404,6 +448,7 @@ object TimeSeriesOps {
     "q14_sessionize" -> q14)
 
   val oracle: Map[String, String] = Map(
+    "q26_range_join" -> q26Sql,
     "q23_asof_tolerance" -> q23Sql,
     "q22_gap_detect" -> q22Sql,
     "q21_rolling_corr" -> q21Sql,

@@ -98,13 +98,67 @@ object StreamOps {
       |WHERE rn = 1
       |ORDER BY user_id, event_type, bucket_ms""".stripMargin
 
+  /** Stream-stream interval join — shared batch/streaming transform:
+    * each purchase pairs with every view by the same user in the
+    * `windowMs` interval ENDING at the purchase (attribution shape).
+    * Inputs must carry the exact columns produced by [[st03Purchases]]
+    * / [[st03Views]]. The time bound is expressed as an event-time
+    * interval condition so Spark's stream-stream join derives state
+    * watermarks from it — each side's buffered state is bounded by
+    * (watermark − window), the scalable shape at any stream rate. */
+  def intervalJoin(purchases: DataFrame, views: DataFrame, windowMs: Long): DataFrame =
+    purchases.join(views,
+      col("user_id") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $windowMs MILLISECONDS") &&
+        col("v_ts") <= col("p_ts"))
+
+  /** Purchase side of [[intervalJoin]] from a raw events frame. */
+  def st03Purchases(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("user_id"), col("ts").as("p_ts"))
+
+  /** View side of [[intervalJoin]] from a raw events frame. */
+  def st03Views(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_event_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"), col("value").as("v_value"))
+
+  /** #35 batch-equivalent entry: views attributed to purchases within a
+    * 2-hour look-back. Streaming equivalence (both sides watermarked
+    * MemoryStreams) is proven in StreamingSpec with the same
+    * [[intervalJoin]] plan. */
+  private val st03: Q = (s, dir) => {
+    val e = t(s, dir, "events")
+    intervalJoin(st03Purchases(e), st03Views(e), windowMs = 7200000L)
+      .select(col("p_event_id"), col("v_event_id"), col("user_id"),
+        epochMs(col("p_ts")).as("p_ts_ms"), epochMs(col("v_ts")).as("v_ts_ms"),
+        (epochMs(col("p_ts")) - epochMs(col("v_ts"))).as("lag_ms"), col("v_value"))
+      .orderBy("p_event_id", "v_event_id")
+  }
+
+  private val st03Sql =
+    """WITH p AS (
+      |  SELECT event_id AS p_event_id, user_id, ts AS p_ts
+      |  FROM events WHERE event_type = 'purchase'),
+      |v AS (
+      |  SELECT event_id AS v_event_id, user_id AS v_user, ts AS v_ts, value AS v_value
+      |  FROM events WHERE event_type = 'view')
+      |SELECT p_event_id, v_event_id, user_id,
+      |  epoch_ms(p_ts) AS p_ts_ms, epoch_ms(v_ts) AS v_ts_ms,
+      |  epoch_ms(p_ts) - epoch_ms(v_ts) AS lag_ms, v_value
+      |FROM p JOIN v ON user_id = v_user
+      |  AND v_ts >= p_ts - INTERVAL 2 HOUR AND v_ts <= p_ts
+      |ORDER BY p_event_id, v_event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "st01_window_agg" -> st01,
-    "st02_stream_dedup" -> st02)
+    "st02_stream_dedup" -> st02,
+    "st03_interval_join" -> st03)
 
   val oracle: Map[String, String] = Map(
     "st01_window_agg" -> st01Sql,
-    "st02_stream_dedup" -> st02Sql)
+    "st02_stream_dedup" -> st02Sql,
+    "st03_interval_join" -> st03Sql)
 
   /** The reference's ENTIRE ingest loop as one continuous pipeline:
     * landed JSON kline pages (one row per fetched page — files here; a
@@ -232,7 +286,7 @@ object StreamOps {
               // watermark; Spark rejects such timeouts (the query would
               // fail), so clamp — the session then times out and closes
               // at the next trigger instead of killing the stream
-              state.setTimeoutTimestamp(math.max(st.endMs + gapMs, state.getCurrentWatermarkMs + 1))
+              state.setTimeoutTimestamp(math.max(st.endMs + gapMs, state.getCurrentWatermarkMs() + 1))
             }
             closed.result().iterator
           }

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-3 operators: range join, edit-distance near-dup, text
+  * normalization, overlapping windows, approx sketches. */
+class ExtOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+
+  test("rangeJoin matches points to containing intervals with [start, end) bounds") {
+    val points = Seq(
+      ("u1", ts(0), 1L),   // == start of i1: inside
+      ("u1", ts(30), 2L),  // mid i1
+      ("u1", ts(60), 3L),  // == end of i1: OUTSIDE (half-open), == start of i2
+      ("u1", ts(200), 4L), // in no interval
+      ("u2", ts(30), 5L))  // right minutes, wrong key
+      .toDF("uid", "t", "pid")
+    val intervals = Seq(
+      ("u1", ts(0), ts(60), 10L),   // i1
+      ("u1", ts(60), ts(120), 11L), // i2 adjacent
+      ("u3", ts(0), ts(300), 12L))  // other key
+      .toDF("uid", "s", "e", "iid")
+    val got = Graft.rangeJoin(points, intervals, "uid", "t", "s", "e", bucketMs = 10 * 60000L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (2L, 10L), (3L, 11L)), s"got $got")
+  }
+
+  test("rangeJoin: intervals spanning many buckets match exactly once; empty intervals never") {
+    val points = Seq(("k", ts(95), 1L)).toDF("uid", "t", "pid")
+    val intervals = Seq(
+      ("k", ts(0), ts(100), 20L),  // spans 10 buckets of 10 min
+      ("k", ts(95), ts(95), 21L),  // empty: end == start
+      ("k", ts(99), ts(90), 22L))  // inverted
+      .toDF("uid", "s", "e", "iid")
+    val got = Graft.rangeJoin(points, intervals, "uid", "t", "s", "e", bucketMs = 10 * 60000L)
+      .select("pid", "iid").as[(Long, Long)].collect().toList
+    assert(got == List((1L, 20L)), s"pair must appear exactly once: $got")
+  }
+
+  test("rangeJoin rejects colliding non-key column names") {
+    val points = Seq(("k", ts(0), 1L)).toDF("uid", "t", "x")
+    val intervals = Seq(("k", ts(0), ts(60), 2L)).toDF("uid", "s", "e", "x")
+    val ex = intercept[IllegalArgumentException] {
+      Graft.rangeJoin(points, intervals, "uid", "t", "s", "e", 60000L)
+    }
+    assert(ex.getMessage.contains("x"))
+  }
+
+  test("rangeJoin plans as an equi-join and matches the naive inequality-join result") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    def nlJoins(df: org.apache.spark.sql.DataFrame): Int = {
+      df.count() // finalize AQE
+      val p = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan; case o => o
+      }
+      p.collectWithSubqueries { case b: BroadcastNestedLoopJoinExec => b }.size
+    }
+    val e = Tables.t(spark, sfDir, "events")
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id").as("v_event_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_event_id"), col("ts").as("p_start"),
+        (col("ts") + expr("INTERVAL 4 HOURS")).as("p_end"))
+    val binned = Graft.rangeJoin(views, purchases, "user_id", "ts", "p_start", "p_end", 3600000L)
+    assert(nlJoins(binned) == 0, "bin join must plan as an equi-join")
+    // the naive inequality-only form Spark would otherwise plan
+    val naive = views.withColumnRenamed("user_id", "v_user").join(purchases,
+      col("v_user") === col("user_id") &&
+        col("ts") >= col("p_start") && col("ts") < col("p_end"))
+    assert(naive.count() == binned.count(), "bin join computes the identical result")
+  }
+
+  test("editDistancePairs finds the planted typo near-dup and bounds the distance") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again todey"), // 1 edit
+      (3L, "a completely different text about spark catalyst optimizer rules and joins"))
+      .toDF("pid", "body")
+    val got = Graft.editDistancePairs(docs, "pid", "body", maxDist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.get((1L, 2L)).contains(1L), s"got $got")
+    assert(!got.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    // tight threshold excludes the pair entirely (thresholded levenshtein path)
+    val none = Graft.editDistancePairs(docs, "pid", "body", maxDist = 0).collect()
+    assert(!none.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
+
+  test("normalizeText canonicalizes case, punctuation and whitespace to one form") {
+    val docs = Seq(
+      (1L, "Hello,   World! 42"),
+      (2L, "hello world 42"),
+      (3L, "unrelated")).toDF("pid", "body")
+    val out = Graft.normalizeText(docs, "pid", "body").collect()
+      .map(r => r.getLong(r.fieldIndex("doc_id")) -> r).toMap
+    assert(out(1L).getString(out(1L).fieldIndex("clean_text")) == "hello world 42")
+    assert(out(1L).getString(out(1L).fieldIndex("clean_md5")) ==
+      out(2L).getString(out(2L).fieldIndex("clean_md5")),
+      "canonical forms of equivalent texts must hash identically")
+    assert(out(1L).getLong(out(1L).fieldIndex("n_words")) == 3L)
+    assert(out(1L).getDouble(out(1L).fieldIndex("removed_ratio")) > 0.0)
+    assert(out(2L).getDouble(out(2L).fieldIndex("removed_ratio")) == 0.0)
+  }
+
+  test("m05 overlapping windows: 50% hop yields the full-frame count, adjacent windows share bytes") {
+    val out = ops.MultiOps.queries("m05_overlap_windows")(spark, sfDir)
+    val one = out.filter(col("doc_id") === 0).collect()
+    val hexLen = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") === 0).select(length(hex(col("text").cast("binary"))))
+      .head().getInt(0)
+    val want = (hexLen - 64) / 32 + 1
+    assert(one.length == want, s"expected $want full frames, got ${one.length}")
+    // hop < frame ⇒ strictly more windows than non-overlapping m03-style frames
+    assert(want > hexLen / 64)
+  }
+
+  test("approx sketches land within their documented error of the exact values") {
+    val a01 = ops.CoreOps.queries("a01_approx_distinct")(spark, sfDir).collect()
+    assert(a01.nonEmpty)
+    a01.foreach { r =>
+      assert(r.getDouble(r.fieldIndex("rel_err_users")) < 0.15,
+        s"HLL default rsd 5%: ${r.mkString(",")}")
+      assert(r.getDouble(r.fieldIndex("rel_err_ids")) < 0.10,
+        s"HLL rsd 2%: ${r.mkString(",")}")
+    }
+    val a02 = ops.CoreOps.queries("a02_approx_percentile")(spark, sfDir).collect()
+    assert(a02.nonEmpty)
+    a02.foreach { r =>
+      assert(r.getDouble(r.fieldIndex("max_rel_err")) < 0.05,
+        s"accuracy 10000 on small groups should be near-exact: ${r.mkString(",")}")
+    }
+  }
+}

@@ -10,9 +10,13 @@ class OpsSpec extends SparkSpec {
 
   test("every declared query runs and respects its contract on sf0.001") {
     val qs = SparkEntry.queries
-    assert(qs.size == 45)
-    // oracle coverage: everything except the rows-only m02
-    assert(SparkEntry.oracleSql.keySet == qs.keySet - "m02_feature_batch")
+    assert(qs.size == 52)
+    // oracle coverage: everything except the rows-only entries — m02
+    // (mapPartitions) and the a01/a02 sketches (HLL++/quantile-sketch
+    // results are not SQL-reproducible in DuckDB; ExtOpsSpec bounds
+    // their error against the exact values instead)
+    assert(SparkEntry.oracleSql.keySet ==
+      qs.keySet - "m02_feature_batch" - "a01_approx_distinct" - "a02_approx_percentile")
   }
 
   test("d06 clusters: labels are a fixpoint and canonical is the cluster min") {

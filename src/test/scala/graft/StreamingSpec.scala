@@ -202,6 +202,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st03 stream-stream interval join: two watermarked streams == batch") {
+    implicit val sql = spark.sqlContext
+    val pIn = MemoryStream[Ev]
+    val vIn = MemoryStream[Ev]
+    val joined = StreamOps.intervalJoin(
+      StreamOps.st03Purchases(pIn.toDF()).withWatermark("p_ts", "1 hour"),
+      StreamOps.st03Views(vIn.toDF()).withWatermark("v_ts", "1 hour"),
+      windowMs = 30 * 60000L)
+      .select("p_event_id", "v_event_id", "user_id")
+    val q = joined.writeStream.format("memory").queryName("st03_out")
+      .outputMode("append").start()
+    val purchases = Seq(
+      Ev(100, 1, "purchase", ts(40), 9.0), Ev(101, 2, "purchase", ts(50), 9.0),
+      Ev(102, 1, "purchase", ts(300), 9.0))
+    val views = Seq(
+      Ev(1, 1, "view", ts(15), 1.0),  // 25 min before purchase 100: match
+      Ev(2, 1, "view", ts(41), 1.0),  // after purchase 100: no match
+      Ev(3, 2, "view", ts(45), 1.0),  // 5 min before purchase 101: match
+      Ev(4, 1, "view", ts(200), 1.0)) // 100 min before purchase 102: outside window
+    try {
+      // interleaved arrival across micro-batches
+      pIn.addData(purchases.take(2)); vIn.addData(views.take(2))
+      q.processAllAvailable()
+      vIn.addData(views.drop(2)); pIn.addData(purchases.drop(2))
+      q.processAllAvailable()
+      val streamed = spark.table("st03_out").as[(Long, Long, Long)].collect().toSet
+      val batch = StreamOps.intervalJoin(
+          StreamOps.st03Purchases(purchases.toDF()), StreamOps.st03Views(views.toDF()),
+          windowMs = 30 * 60000L)
+        .select("p_event_id", "v_event_id", "user_id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batch, s"streamed $streamed vs batch $batch")
+      assert(batch == Set((100L, 1L, 1L), (101L, 3L, 2L)))
+    } finally q.stop()
+  }
+
   test("sessionize survives an event whose session end + gap is below the watermark") {
     // Two layers keep a way-late event from killing the query: Spark's
     // stateful-operator late-row filter drops rows at-or-below the
