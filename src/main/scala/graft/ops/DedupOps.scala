@@ -270,7 +270,16 @@ object DedupOps {
       .select("doc_a", "doc_b")
       .join(byDoc.select(col("doc_id").as("doc_a"), col("__t").as("ta")), "doc_a")
       .join(byDoc.select(col("doc_id").as("doc_b"), col("__t").as("tb")), "doc_b")
-      .withColumn("edit_dist", levenshtein(col("ta"), col("tb"), maxDist).cast("long"))
+      // free prune: edit distance ≥ length difference, and this predicate
+      // is cheap enough to live in the join
+      .filter(abs(length(col("ta")) - length(col("tb"))) <= maxDist)
+      // the levenshtein itself is the expensive confirm (O(maxDist·len)
+      // per pair): compute it as an aggregate over the unique pair so the
+      // threshold filter sits on the AGGREGATE output — a plain filter
+      // gets substituted into the join condition and the distance runs
+      // twice per pair (measured 2× at 500k pairs)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(levenshtein(col("ta"), col("tb"), maxDist)).cast("long").as("edit_dist"))
       // thresholded levenshtein returns -1 above maxDist
       .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("edit_dist"))

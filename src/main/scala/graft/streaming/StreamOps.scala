@@ -105,12 +105,19 @@ object StreamOps {
     * / [[st03Views]]. The time bound is expressed as an event-time
     * interval condition so Spark's stream-stream join derives state
     * watermarks from it — each side's buffered state is bounded by
-    * (watermark − window), the scalable shape at any stream rate. */
-  def intervalJoin(purchases: DataFrame, views: DataFrame, windowMs: Long): DataFrame =
+    * (watermark − window), the scalable shape at any stream rate.
+    *
+    * `joinType` "left_outer" keeps unattributed purchases (null view
+    * columns); on a stream the outer row emits once the watermark
+    * passes the purchase's window, i.e. when no matching view can
+    * still arrive — proven in StreamingSpec. */
+  def intervalJoin(purchases: DataFrame, views: DataFrame, windowMs: Long,
+                   joinType: String = "inner"): DataFrame =
     purchases.join(views,
       col("user_id") === col("v_user") &&
         col("v_ts") >= col("p_ts") - expr(s"INTERVAL $windowMs MILLISECONDS") &&
-        col("v_ts") <= col("p_ts"))
+        col("v_ts") <= col("p_ts"),
+      joinType)
 
   /** Purchase side of [[intervalJoin]] from a raw events frame. */
   def st03Purchases(events: DataFrame): DataFrame =

@@ -238,6 +238,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st03 left-outer stream-stream join emits unattributed purchases after the watermark") {
+    implicit val sql = spark.sqlContext
+    val pIn = MemoryStream[Ev]
+    val vIn = MemoryStream[Ev]
+    val joined = StreamOps.intervalJoin(
+      StreamOps.st03Purchases(pIn.toDF()).withWatermark("p_ts", "10 minutes"),
+      StreamOps.st03Views(vIn.toDF()).withWatermark("v_ts", "10 minutes"),
+      windowMs = 30 * 60000L, joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("st03_outer_out")
+      .outputMode("append").start()
+    try {
+      pIn.addData(Ev(100, 1, "purchase", ts(40), 9.0), // will match
+        Ev(101, 7, "purchase", ts(40), 9.0)) // user 7 never views
+      vIn.addData(Ev(1, 1, "view", ts(20), 1.0))
+      q.processAllAvailable()
+      // advance both watermarks far past purchase 101's window
+      pIn.addData(Ev(900, 9, "purchase", ts(5000), 0.0))
+      vIn.addData(Ev(901, 9, "view", ts(5000), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("st03_outer_out")
+        .select("p_event_id", "v_event_id").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      assert(got(100L).contains(1L), s"matched purchase pairs with its view: $got")
+      assert(got.get(101L).exists(_.isEmpty),
+        s"unattributed purchase must emit with null view columns once closed: $got")
+    } finally q.stop()
+  }
+
   test("sessionize survives an event whose session end + gap is below the watermark") {
     // Two layers keep a way-late event from killing the query: Spark's
     // stateful-operator late-row filter drops rows at-or-below the
