@@ -327,4 +327,32 @@ object Graft {
     * and top-bigram coverage. Map-only. */
   def repetitionSignals(docs: DataFrame, id: String, text: String): DataFrame =
     ops.TextOps.repetitionSignalsOf(docs, id, text)
+
+  /** Deterministic train/val/test split: md5(salt || id) mod 100 →
+    * [0,trainPct) train, [trainPct,trainPct+valPct) val, rest test.
+    * Appends `split_bucket` and `split`. Stable under reruns, retries
+    * and cluster size — never rand(). */
+  def hashSplit(df: DataFrame, id: String, salt: String = "graft",
+                trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    ops.DataOps.hashSplitOf(df, id, salt, trainPct, valPct)
+
+  /** Deterministic stratified sample: keeps rows whose md5 bucket of
+    * (salt, stratum, id) mod 1000 is below `permille` — the same rate
+    * in every stratum, reproducible bit-for-bit. Map-only. */
+  def deterministicSample(df: DataFrame, stratum: String, id: String,
+                          permille: Int, salt: String = "graft"): DataFrame =
+    ops.DataOps.deterministicSampleOf(df, stratum, id, salt, permille)
+
+  /** Sequence packing: docs in (shard, id) order are packed into bins
+    * of `budget` tokens (bin = exclusive-prefix-sum div budget — the
+    * first-fit-in-order rule tokenizer shard jobs use). Appends `bin`;
+    * one window shuffle on the shard key. */
+  def packBins(df: DataFrame, shard: String, id: String, tokens: String,
+               budget: Long): DataFrame =
+    ops.DataOps.packBinsOf(df, shard, id, tokens, budget)
+
+  /** Corpus-wide top-k term frequencies with a total tie-break; the
+    * shuffle carries (term, partial count), not tokens. */
+  def topTerms(docs: DataFrame, text: String, k: Int): DataFrame =
+    ops.DataOps.topTermsOf(docs, text, k)
 }

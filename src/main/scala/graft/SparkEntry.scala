@@ -14,6 +14,7 @@ object SparkEntry {
   private val blocks: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (CoreOps.queries, CoreOps.oracle),
+      (DataOps.queries, DataOps.oracle),
       (TimeSeriesOps.queries, TimeSeriesOps.oracle),
       (DedupOps.queries, DedupOps.oracle),
       (TextOps.queries, TextOps.oracle),

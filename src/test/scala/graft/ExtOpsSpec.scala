@@ -116,6 +116,57 @@ class ExtOpsSpec extends SparkSpec {
     assert(want > hexLen / 64)
   }
 
+  test("hashSplit is deterministic, exhaustive, and near the requested fractions") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val a = Graft.hashSplit(docs, "doc_id").select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Graft.hashSplit(docs, "doc_id").select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b, "same salt ⇒ identical assignment")
+    assert(a.size == docs.count(), "every row is assigned")
+    val train = a.values.count(_ == "train").toDouble / a.size
+    assert(train > 0.68 && train < 0.92, s"~80% train at small n, got $train")
+    // a different salt draws an independent split
+    val c = Graft.hashSplit(docs, "doc_id", salt = "other").select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a != c)
+  }
+
+  test("deterministicSample keeps the same rows across runs at roughly the rate per stratum") {
+    val ev = Tables.t(spark, sfDir, "events")
+    val s1 = Graft.deterministicSample(ev, "event_type", "event_id", permille = 100)
+      .select("event_id").as[Long].collect().toSet
+    val s2 = Graft.deterministicSample(ev, "event_type", "event_id", permille = 100)
+      .select("event_id").as[Long].collect().toSet
+    assert(s1 == s2 && s1.nonEmpty)
+    val total = ev.count()
+    assert(s1.size > total * 0.05 && s1.size < total * 0.16, s"${s1.size} of $total")
+    // permille is monotone: a 20% sample contains the 10% sample
+    val s3 = Graft.deterministicSample(ev, "event_type", "event_id", permille = 200)
+      .select("event_id").as[Long].collect().toSet
+    assert(s1.subsetOf(s3))
+  }
+
+  test("packBins: bins respect the budget except oversized singletons, order preserved") {
+    val docs = Seq(
+      ("en", 1L, 1000L), ("en", 2L, 900L), ("en", 3L, 300L), // bin 0: 1000+900; 300 starts at cum 1900 -> bin 0
+      ("en", 4L, 5000L), // oversized: own bin
+      ("de", 5L, 100L)).toDF("lang", "id", "tok")
+    val out = Graft.packBins(docs, "lang", "id", "tok", budget = 2048L)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(out(1L) == 0L && out(2L) == 0L)
+    assert(out(3L) == 0L) // exclusive prefix 1900 < 2048
+    assert(out(4L) == 1L) // exclusive prefix 2200
+    assert(out(5L) == 0L) // independent shard
+  }
+
+  test("topTerms ranks by exact count with term tie-break") {
+    val docs = Seq((1L, "b b b a a c"), (2L, "a d d")).toDF("pid", "body")
+    val out = Graft.topTerms(docs, "body", 3)
+      .as[(String, Long)].collect().toList
+    assert(out == List(("a", 3L), ("b", 3L), ("d", 2L)))
+  }
+
   test("approx sketches land within their documented error of the exact values") {
     val a01 = ops.CoreOps.queries("a01_approx_distinct")(spark, sfDir).collect()
     assert(a01.nonEmpty)
