@@ -237,6 +237,27 @@ object Graft {
   def normalizeText(docs: DataFrame, id: String, text: String): DataFrame =
     ops.TextOps.normalizeTextOf(docs, id, text)
 
+  /** Gap healing for a bar series — the reference's missing-bar
+    * repair: densify each key's [min, max] bucket range on a fixed
+    * `step` grid and carry the last observed value into the holes.
+    * Input must be unique per (key, bucket) (e.g. [[resampleOhlc]]
+    * output). Returns (key, bucket, value, is_filled) where
+    * `is_filled` marks synthesized rows. The grid is generated per
+    * key from one aggregate row — the explode's amplification IS the
+    * output size, and the fill is one window pass over it. */
+  def fillGaps(df: DataFrame, key: String, bucket: String, value: String,
+               step: String = "interval 1 hour"): DataFrame = {
+    val grid = df.groupBy(col(key))
+      .agg(min(col(bucket)).as("__mn"), max(col(bucket)).as("__mx"))
+      .select(col(key), explode(sequence(col("__mn"), col("__mx"), expr(step))).as(bucket))
+    val w = Window.partitionBy(col(key)).orderBy(col(bucket))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(df.select(col(key), col(bucket), col(value)), Seq(key, bucket), "left")
+      .withColumn("is_filled", col(value).isNull)
+      .withColumn(value, last(col(value), ignoreNulls = true).over(w))
+      .select(col(key), col(bucket), col(value), col("is_filled"))
+  }
+
   /** Incremental high-watermark per series (the reference's
     * get_latest_update, as a query over any keyed time column). */
   def watermarks(df: DataFrame, key: String, ts: String): DataFrame =

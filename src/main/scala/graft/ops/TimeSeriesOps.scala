@@ -432,7 +432,39 @@ object TimeSeriesOps {
       |GROUP BY 1, 2, 3
       |ORDER BY p_event_id""".stripMargin
 
+  /** #12d gap FILL — the heal step after q22's gap DETECTION (the
+    * reference's validate/repair cycle): densify each series onto its
+    * hourly grid and forward-fill the close into missing bars,
+    * flagging synthesized rows. DuckDB mirrors with generate_series +
+    * last_value IGNORE NULLS over the same frame. */
+  private val q27: Q = (s, dir) => {
+    val bars = graft.Graft.resampleOhlc(t(s, dir, "events"),
+        "event_type", "ts", "event_id", "value", "hour")
+      .select(col("event_type"), col("bucket"), col("close"))
+    graft.Graft.fillGaps(bars, "event_type", "bucket", "close")
+      .select(col("event_type"), epochMs(col("bucket")).as("bucket_ms"),
+        r4(col("close")).as("close"), col("is_filled"))
+      .orderBy("event_type", "bucket_ms")
+  }
+
+  private val q27Sql =
+    """WITH b AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+      |    last(value ORDER BY ts, event_id) AS close
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT event_type, min(bucket) AS mn, max(bucket) AS mx FROM b GROUP BY 1),
+      |g AS (SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket FROM r),
+      |j AS (SELECT g.event_type, g.bucket, b.close
+      |  FROM g LEFT JOIN b ON g.event_type = b.event_type AND g.bucket = b.bucket)
+      |SELECT event_type, epoch_ms(bucket) AS bucket_ms,
+      |  round(last_value(close IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS close,
+      |  close IS NULL AS is_filled
+      |FROM j
+      |ORDER BY event_type, bucket_ms""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q27_gap_fill" -> q27,
     "q26_range_join" -> q26,
     "q23_asof_tolerance" -> q23,
     "q22_gap_detect" -> q22,
@@ -448,6 +480,7 @@ object TimeSeriesOps {
     "q14_sessionize" -> q14)
 
   val oracle: Map[String, String] = Map(
+    "q27_gap_fill" -> q27Sql,
     "q26_range_join" -> q26Sql,
     "q23_asof_tolerance" -> q23Sql,
     "q22_gap_detect" -> q22Sql,

@@ -116,6 +116,22 @@ class ExtOpsSpec extends SparkSpec {
     assert(want > hexLen / 64)
   }
 
+  test("fillGaps densifies the grid, forward-fills holes, and flags synthesized rows") {
+    val bars = Seq(
+      ("BTC", ts(0), 10.0), ("BTC", ts(180), 13.0), // 3-hour hole at +1h, +2h
+      ("ETH", ts(60), 5.0))
+      .toDF("sym", "bucket", "px")
+    val out = Graft.fillGaps(bars, "sym", "bucket", "px").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)) ->
+        (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(out.size == 5) // BTC 4 grid points + ETH 1
+    assert(out(("BTC", ts(0))) == (10.0, false))
+    assert(out(("BTC", ts(60))) == (10.0, true))  // carried forward
+    assert(out(("BTC", ts(120))) == (10.0, true))
+    assert(out(("BTC", ts(180))) == (13.0, false))
+    assert(out(("ETH", ts(60))) == (5.0, false)) // single-point series intact
+  }
+
   test("hashSplit is deterministic, exhaustive, and near the requested fractions") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val a = Graft.hashSplit(docs, "doc_id").select("doc_id", "split")
