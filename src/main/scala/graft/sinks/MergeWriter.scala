@@ -55,6 +55,44 @@ object MergeWriter {
     } finally graft.Checkpoints.free(out)
   }
 
+  /** Compact fragmented partitions — the reference's `OPTIMIZE TABLE …
+    * FINAL` (crypto_data_pipline_clickhouse.py:1787): every
+    * incremental merge appends task-count files to each touched
+    * partition, and scan latency degrades with file count long before
+    * data size grows. Rewrites ONLY partitions holding more than
+    * `maxFiles` parquet files, each coalesced to
+    * ceil(partitionBytes / targetBytes) files; data is byte-identical
+    * (a pure physical rewrite) and untouched partitions are not read.
+    *
+    * @return the partition values that were rewritten */
+  def compact(spark: SparkSession, path: String, partitionCol: String,
+              maxFiles: Int = 4, targetBytes: Long = 128L << 20): Seq[Any] = {
+    // driver-side listing is bounded by partition/file count, not rows —
+    // same budget as merge()'s impacted-partition list
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(partitionCol + "="))
+    val fragmented = parts.flatMap { p =>
+      val files = fs.listStatus(p.getPath).filter(_.getPath.getName.endsWith(".parquet"))
+      if (files.length <= maxFiles) None
+      else Some((p.getPath.getName.drop(partitionCol.length + 1),
+        math.max(1, math.ceil(files.map(_.getLen).sum.toDouble / targetBytes).toInt)))
+    }.toSeq
+    fragmented.foreach { case (value, nFiles) =>
+      val part = spark.read.parquet(path).filter(col(partitionCol) === value)
+      val out = part.coalesce(nFiles).localCheckpoint(eager = true)
+      try {
+        out.write
+          .mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(partitionCol)
+          .parquet(path)
+      } finally graft.Checkpoints.free(out)
+    }
+    fragmented.map(_._1)
+  }
+
   private implicit class ColOps(private val c: org.apache.spark.sql.Column) extends AnyVal {
     def isInStr(vals: Array[Any]): org.apache.spark.sql.Column = c.isin(vals.toIndexedSeq: _*)
   }

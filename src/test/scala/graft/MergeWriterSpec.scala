@@ -49,6 +49,36 @@ class MergeWriterSpec extends SparkSpec {
     assert(after == untouched)
   }
 
+  test("compact coalesces fragmented partitions, preserves data, skips healthy ones") {
+    val dir = Files.createTempDirectory("graft_compact").toString + "/t"
+    // six append-mode micro-ingests leave day d1 with six small files
+    (1 to 6).foreach { i =>
+      Seq(Kline("BTC", "d1", i.toLong, i.toDouble)).toDS().coalesce(1)
+        .write.mode("append").partitionBy("day").parquet(dir)
+    }
+    Seq(Kline("BTC", "d2", 0, 0.0)).toDS().coalesce(1)
+      .write.mode("append").partitionBy("day").parquet(dir)
+    def files(day: String): Int = new java.io.File(s"$dir/day=$day")
+      .listFiles.count(_.getName.endsWith(".parquet"))
+    assert(files("d1") > 4, s"merges must have fragmented d1: ${files("d1")}")
+    val before = spark.read.parquet(dir).select("symbol", "day", "ts", "close")
+      .as[Kline].collect().toSet
+    val healthy = Files.getLastModifiedTime(
+      java.nio.file.Paths.get(dir, "day=d2")).toMillis
+
+    val rewritten = MergeWriter.compact(spark, dir, "day", maxFiles = 4)
+    assert(rewritten == Seq("d1"), s"only the fragmented partition rewrites: $rewritten")
+    assert(files("d1") == 1, s"coalesced to one small file, got ${files("d1")}")
+    val after = spark.read.parquet(dir).select("symbol", "day", "ts", "close")
+      .as[Kline].collect().toSet
+    assert(after == before, "compaction is a pure physical rewrite")
+    assert(Files.getLastModifiedTime(
+      java.nio.file.Paths.get(dir, "day=d2")).toMillis == healthy,
+      "healthy partitions are not touched")
+    // second run: nothing left to do
+    assert(MergeWriter.compact(spark, dir, "day", maxFiles = 4).isEmpty)
+  }
+
   test("merge is idempotent (same delta twice == once)") {
     val dir = Files.createTempDirectory("graft_merge2").toString + "/t"
     Seq(Kline("BTC", "d1", 1, 1.0)).toDS().write.partitionBy("day").parquet(dir)
