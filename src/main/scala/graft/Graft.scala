@@ -237,6 +237,20 @@ object Graft {
   def normalizeText(docs: DataFrame, id: String, text: String): DataFrame =
     ops.TextOps.normalizeTextOf(docs, id, text)
 
+  /** The as-of join as a NATIVE physical operator — the same contract
+    * as [[asofJoin]] (matched right row verbatim, `asof_ts`, `>=`
+    * semantics, unique-(key, ts) right), executed by
+    * [[graft.plans.AsofJoinExec]]: both sides co-partitioned on the
+    * key, sorted by (key, ts), merged in one forward pass with O(1)
+    * state per partition. Requires a [[Sessions]]-built session (the
+    * strategy is injected via SparkSessionExtensions). [[asofJoin]]
+    * remains the default — fully codegen'd and one shuffle of L+R;
+    * this is the whole-operator extension path (custom LogicalPlan +
+    * SparkStrategy + SparkPlan) with one exchange per side. */
+  def asofJoinNative(left: DataFrame, right: DataFrame, key: String, ts: String,
+                     valueCols: Seq[String]): DataFrame =
+    plans.AsofJoin.native(left, right, key, ts, valueCols)
+
   /** Gap healing for a bar series — the reference's missing-bar
     * repair: densify each key's [min, max] bucket range on a fixed
     * `step` grid and carry the last observed value into the holes.

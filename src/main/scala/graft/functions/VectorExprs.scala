@@ -162,6 +162,7 @@ case class CosineSim(left: Expression, right: Expression) extends VectorBinary {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => NativeVectorRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofStrategy)
     ext.injectFunction((new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children.head, children(1))))
