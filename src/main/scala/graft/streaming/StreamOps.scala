@@ -18,6 +18,17 @@ case class Session(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long, 
 /** Event for [[StreamOps.streamingWma]]. */
 case class WmaEvent(event_type: String, event_id: Long, ts: java.sql.Timestamp, value: Double)
 
+/** Input for [[StreamOps.streamingAsof]]: side 0 = right (reference
+  * series, e.g. quotes/views), side 1 = left (rows to enrich). */
+case class AsofEvent(key: Long, side: Int, id: Long, ts: java.sql.Timestamp, value: Double)
+
+/** Latest right row seen per key (O(1) state). */
+case class AsofState(rTsMs: Long, rId: Long, rValue: Double)
+
+/** One enriched left row; asof_* are None until a right row precedes. */
+case class AsofOut(key: Long, id: Long, ts_ms: Long, value: Double,
+                   asof_ts_ms: Option[Long], asof_id: Option[Long], asof_value: Option[Double])
+
 /** Rolling window of the n−1 most recent values per key (oldest first). */
 case class WmaState(recent: List[Double])
 
@@ -244,6 +255,42 @@ object StreamOps {
             WmaOut(key, e.event_id, e.ts.getTime, e.value, wma)
           }
           state.update(WmaState(recent))
+          out.iterator
+      }
+  }
+
+  /** Streaming as-of enrichment — the reference's premium join
+    * (perp ⋈ latest spot at-or-before, crypto_data_pipeline_duckdb.py:
+    * 1229-1243) run CONTINUOUSLY: per key, [[GroupState]] holds only
+    * the latest right row ever seen (O(1) per key, independent of
+    * stream length); each left event emits immediately, carrying that
+    * row — `>=` as-of semantics via the (ts, side, id) sort, right
+    * before left at equal timestamps, so results match batch
+    * [[graft.Graft.asofJoin]] when arrival order is event-time order
+    * (the same contract as [[streamingWma]]; late data is handled
+    * upstream by watermark + dedup). Proven equivalent to the batch
+    * operator in StreamingSpec. */
+  def streamingAsof(events: Dataset[AsofEvent]): Dataset[AsofOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[AsofState, AsofOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[AsofEvent], state: GroupState[AsofState]) =>
+          var cur = state.getOption
+          val out = it.toSeq.sortBy(e => (e.ts.getTime, e.side, e.id)).flatMap { e =>
+            if (e.side == 0) {
+              // right rows only ever advance the carried state
+              if (cur.forall(s => e.ts.getTime > s.rTsMs ||
+                  (e.ts.getTime == s.rTsMs && e.id >= s.rId)))
+                cur = Some(AsofState(e.ts.getTime, e.id, e.value))
+              None
+            } else {
+              Some(AsofOut(key, e.id, e.ts.getTime, e.value,
+                cur.map(_.rTsMs), cur.map(_.rId), cur.map(_.rValue)))
+            }
+          }
+          cur.foreach(state.update)
           out.iterator
       }
   }

@@ -202,6 +202,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of enrichment == batch asofJoin when events arrive in event-time order") {
+    import graft.streaming.{AsofEvent, AsofOut}
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[AsofEvent]
+    val q = StreamOps.streamingAsof(input.toDS())
+      .writeStream.format("memory").queryName("asof_out").outputMode("append").start()
+    try {
+      val e = Tables.t(spark, sfDir, "events")
+      val evs = e.filter(col("event_type").isin("view", "purchase"))
+        .select(col("user_id").as("key"),
+          when(col("event_type") === "view", 0).otherwise(1).as("side"),
+          col("event_id").as("id"), col("ts"), col("value"))
+        .as[AsofEvent].collect().sortBy(x => (x.ts.getTime, x.side, x.id))
+      evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { b =>
+        input.addData(b.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val got = spark.table("asof_out").as[AsofOut].collect()
+        .map(o => o.id -> (o.asof_ts_ms, o.asof_id, o.asof_value)).toMap
+
+      val views = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("v_id"), max_by(col("value"), col("event_id")).as("v_value"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("p_id"))
+      val want = Graft.asofJoin(purchases, views, "user_id", "ts", Seq("v_id", "v_value"))
+        .select(col("p_id"), unix_millis(col("asof_ts")).as("a_ms"), col("v_id"), col("v_value"))
+        .collect()
+        .map(r => r.getLong(0) -> (
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+      assert(got.keySet == want.keySet)
+      val diffs = want.collect { case (k, w) if got(k) != w => (k, got(k), w) }
+      assert(diffs.isEmpty, s"first diffs: ${diffs.take(3)}")
+    } finally q.stop()
+  }
+
   test("st03 stream-stream interval join: two watermarked streams == batch") {
     implicit val sql = spark.sqlContext
     val pIn = MemoryStream[Ev]
