@@ -76,7 +76,9 @@ object MergeWriter {
     val fragmented = parts.flatMap { p =>
       val files = fs.listStatus(p.getPath).filter(_.getPath.getName.endsWith(".parquet"))
       if (files.length <= maxFiles) None
-      else Some((p.getPath.getName.drop(partitionCol.length + 1),
+      else Some((
+        // directory names percent-encode special chars (e.g. "BTC/USDT")
+        java.net.URLDecoder.decode(p.getPath.getName.drop(partitionCol.length + 1), "UTF-8"),
         math.max(1, math.ceil(files.map(_.getLen).sum.toDouble / targetBytes).toInt)))
     }.toSeq
     fragmented.foreach { case (value, nFiles) =>
