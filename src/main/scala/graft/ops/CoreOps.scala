@@ -338,6 +338,42 @@ object CoreOps {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** #2b supplier concentration — the TPC-H Q11 "important stock"
+    * shape: revenue per supplier, kept only where it exceeds 1.05× the
+    * GLOBAL mean supplier revenue (scale-robust: the threshold tracks
+    * the supplier count). The global (total, count) is a 1-row
+    * aggregate broadcast onto the per-supplier rollup (scalar
+    * subqueries in the oracle) — at 100 TB the fact table shuffles
+    * once for the rollup and the threshold costs one broadcast of one
+    * row, never a second fact pass (the total reuses the rollup). */
+  private val q28: Q = (s, dir) => {
+    val rev = t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+    val total = rev.agg(sum(col("revenue")).as("total_rev"), count(lit(1)).as("n_supp"))
+    rev.join(broadcast(total))
+      .filter(col("revenue") > lit(1.05) * col("total_rev") / col("n_supp"))
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"),
+        r4(col("revenue")).as("revenue"),
+        r6(col("revenue") / col("total_rev")).as("share"))
+      .orderBy("s_suppkey")
+  }
+
+  private val q28Sql =
+    """WITH rev AS (
+      |  SELECT l_suppkey, sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+      |  FROM lineitem GROUP BY 1)
+      |SELECT s_suppkey, s_name, n_name,
+      |  round(revenue, 4) AS revenue,
+      |  round(revenue / (SELECT sum(revenue) FROM rev), 6) AS share
+      |FROM rev
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE revenue > 1.05 * (SELECT sum(revenue) FROM rev) / (SELECT count(*) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
   /** #19e the 100 TB cardinality path AS A QUERY: per-series HLL++
     * (`approx_count_distinct`) next to the exact count and the
     * realized relative error. One pass, mergeable partials, constant
@@ -386,6 +422,7 @@ object CoreOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "q28_supplier_share" -> q28,
     "a01_approx_distinct" -> a01,
     "a02_approx_percentile" -> a02,
     "q24_histogram" -> q24,
@@ -403,6 +440,7 @@ object CoreOps {
     "q19_minmax_windows" -> q19)
 
   val oracle: Map[String, String] = Map(
+    "q28_supplier_share" -> q28Sql,
     "q24_histogram" -> q24Sql,
     "q25_distinct_counts" -> q25Sql,
     "q20_percentiles" -> q20Sql,
