@@ -253,23 +253,46 @@ object Graft {
 
   /** Gap healing for a bar series — the reference's missing-bar
     * repair: densify each key's [min, max] bucket range on a fixed
-    * `step` grid and carry the last observed value into the holes.
-    * Input must be unique per (key, bucket) (e.g. [[resampleOhlc]]
-    * output). Returns (key, bucket, value, is_filled) where
-    * `is_filled` marks synthesized rows. The grid is generated per
-    * key from one aggregate row — the explode's amplification IS the
-    * output size, and the fill is one window pass over it. */
+    * `step` grid and fill the holes. `mode` "ffill" carries the last
+    * observed value forward; "linear" interpolates between the
+    * surrounding observations (time-weighted; forward-fills after the
+    * last observation). Input must be unique per (key, bucket) (e.g.
+    * [[resampleOhlc]] output). Returns (key, bucket, value,
+    * is_filled) where `is_filled` marks synthesized rows. The grid is
+    * generated per key from one aggregate row — the explode's
+    * amplification IS the output size — and both fill modes are
+    * window passes over ONE partition sort (the look-ahead frame
+    * reuses the ascending order; no reverse sort). */
   def fillGaps(df: DataFrame, key: String, bucket: String, value: String,
-               step: String = "interval 1 hour"): DataFrame = {
+               step: String = "interval 1 hour", mode: String = "ffill"): DataFrame = {
+    require(mode == "ffill" || mode == "linear", s"fillGaps mode must be ffill|linear, got $mode")
     val grid = df.groupBy(col(key))
       .agg(min(col(bucket)).as("__mn"), max(col(bucket)).as("__mx"))
       .select(col(key), explode(sequence(col("__mn"), col("__mx"), expr(step))).as(bucket))
     val w = Window.partitionBy(col(key)).orderBy(col(bucket))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    grid.join(df.select(col(key), col(bucket), col(value)), Seq(key, bucket), "left")
+    val back = w.rowsBetween(Window.unboundedPreceding, 0)
+    val fwd = w.rowsBetween(0, Window.unboundedFollowing)
+    val joined = grid.join(df.select(col(key), col(bucket), col(value)), Seq(key, bucket), "left")
       .withColumn("is_filled", col(value).isNull)
-      .withColumn(value, last(col(value), ignoreNulls = true).over(w))
-      .select(col(key), col(bucket), col(value), col("is_filled"))
+    val filled =
+      if (mode == "ffill")
+        joined.withColumn(value, last(col(value), ignoreNulls = true).over(back))
+      else {
+        val ms = unix_millis(col(bucket).cast("timestamp"))
+        joined
+          .withColumn("__pv", last(col(value), ignoreNulls = true).over(back))
+          .withColumn("__pt", last(when(col(value).isNotNull, ms), ignoreNulls = true).over(back))
+          .withColumn("__nv", first(col(value), ignoreNulls = true).over(fwd))
+          .withColumn("__nt", first(when(col(value).isNotNull, ms), ignoreNulls = true).over(fwd))
+          .withColumn(value,
+            when(!col("is_filled"), col(value))
+              .when(col("__nv").isNull, col("__pv")) // past the last observation
+              .when(col("__pv").isNull, lit(null))   // before the first (grid starts at min: unreachable)
+              .otherwise(col("__pv") + (col("__nv") - col("__pv")) *
+                (ms - col("__pt")) / (col("__nt") - col("__pt"))))
+          .drop("__pv", "__pt", "__nv", "__nt")
+      }
+    filled.select(col(key), col(bucket), col(value), col("is_filled"))
   }
 
   /** Incremental high-watermark per series (the reference's

@@ -28,6 +28,8 @@ object DataOps {
     * reruns/retries/cluster size; salt isolates independent splits. */
   def hashSplitOf(df: DataFrame, idCol: String, salt: String,
                   trainPct: Int, valPct: Int): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"hashSplit fractions must satisfy 0 <= train($trainPct) + val($valPct) <= 100")
     val bucket = pmod(hash60(concat(lit(salt + ":"), col(idCol).cast("string"))), lit(100L))
     df.withColumn("split_bucket", bucket)
       .withColumn("split",

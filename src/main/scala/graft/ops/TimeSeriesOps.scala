@@ -463,7 +463,52 @@ object TimeSeriesOps {
       |FROM j
       |ORDER BY event_type, bucket_ms""".stripMargin
 
+  /** #12e linear-interpolation heal — q27's other fill mode: missing
+    * bars take the time-weighted value between the surrounding
+    * observations (forward fill past the last). Both fill windows
+    * share ONE ascending partition sort (the look-ahead uses a
+    * CURRENT ROW..UNBOUNDED FOLLOWING frame — no reverse sort). */
+  private val q29: Q = (s, dir) => {
+    val bars = graft.Graft.resampleOhlc(t(s, dir, "events"),
+        "event_type", "ts", "event_id", "value", "hour")
+      .select(col("event_type"), col("bucket"), col("close"))
+    graft.Graft.fillGaps(bars, "event_type", "bucket", "close", mode = "linear")
+      .select(col("event_type"), epochMs(col("bucket")).as("bucket_ms"),
+        r4(col("close")).as("close"), col("is_filled"))
+      .orderBy("event_type", "bucket_ms")
+  }
+
+  private val q29Sql =
+    """WITH b AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+      |    last(value ORDER BY ts, event_id) AS close
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT event_type, min(bucket) AS mn, max(bucket) AS mx FROM b GROUP BY 1),
+      |g AS (SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket FROM r),
+      |j AS (SELECT g.event_type, g.bucket, b.close
+      |  FROM g LEFT JOIN b ON g.event_type = b.event_type AND g.bucket = b.bucket),
+      |f AS (
+      |  SELECT event_type, bucket, close, close IS NULL AS is_filled,
+      |    epoch_ms(bucket) AS ms,
+      |    last_value(close IGNORE NULLS) OVER back AS pv,
+      |    last_value(CASE WHEN close IS NOT NULL THEN epoch_ms(bucket) END IGNORE NULLS) OVER back AS pt,
+      |    first_value(close IGNORE NULLS) OVER fwd AS nv,
+      |    first_value(CASE WHEN close IS NOT NULL THEN epoch_ms(bucket) END IGNORE NULLS) OVER fwd AS nt
+      |  FROM j
+      |  WINDOW back AS (PARTITION BY event_type ORDER BY bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    fwd AS (PARTITION BY event_type ORDER BY bucket
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT event_type, epoch_ms(bucket) AS bucket_ms,
+      |  round(CASE WHEN NOT is_filled THEN close
+      |    WHEN nv IS NULL THEN pv
+      |    ELSE pv + (nv - pv) * (ms - pt) / (nt - pt) END, 4) AS close,
+      |  is_filled
+      |FROM f
+      |ORDER BY event_type, bucket_ms""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q29_interpolate" -> q29,
     "q27_gap_fill" -> q27,
     "q26_range_join" -> q26,
     "q23_asof_tolerance" -> q23,
@@ -480,6 +525,7 @@ object TimeSeriesOps {
     "q14_sessionize" -> q14)
 
   val oracle: Map[String, String] = Map(
+    "q29_interpolate" -> q29Sql,
     "q27_gap_fill" -> q27Sql,
     "q26_range_join" -> q26Sql,
     "q23_asof_tolerance" -> q23Sql,

@@ -132,6 +132,32 @@ class ExtOpsSpec extends SparkSpec {
     assert(out(("ETH", ts(60))) == (5.0, false)) // single-point series intact
   }
 
+  test("fillGaps linear mode interpolates holes time-weighted, forward-fills the tail") {
+    val bars = Seq(
+      ("BTC", ts(0), 10.0), ("BTC", ts(180), 13.0), // holes at +1h, +2h
+      ("BTC", ts(240), 99.0))
+      .toDF("sym", "bucket", "px")
+    val out = Graft.fillGaps(bars, "sym", "bucket", "px", step = "interval 1 hour", mode = "linear")
+      .collect().map(r => r.getTimestamp(1) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(out(ts(0)) == (10.0, false))
+    assert(out(ts(60)) == (11.0, true))  // 10 + (13-10)*1/3
+    assert(out(ts(120)) == (12.0, true)) // 10 + (13-10)*2/3
+    assert(out(ts(180)) == (13.0, false))
+    assert(out(ts(240)) == (99.0, false))
+    val badMode = intercept[IllegalArgumentException] {
+      Graft.fillGaps(bars, "sym", "bucket", "px", mode = "spline")
+    }
+    assert(badMode.getMessage.contains("spline"))
+  }
+
+  test("hashSplit rejects fractions that overflow 100%") {
+    val docs = Seq((1L, "x")).toDF("doc_id", "t")
+    val ex = intercept[IllegalArgumentException] {
+      Graft.hashSplit(docs, "doc_id", trainPct = 80, valPct = 30)
+    }
+    assert(ex.getMessage.contains("80"))
+  }
+
   test("hashSplit is deterministic, exhaustive, and near the requested fractions") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val a = Graft.hashSplit(docs, "doc_id").select("doc_id", "split")
