@@ -413,4 +413,9 @@ object Graft {
     * shuffle carries (term, partial count), not tokens. */
   def topTerms(docs: DataFrame, text: String, k: Int): DataFrame =
     ops.DataOps.topTermsOf(docs, text, k)
+
+  /** Corpus bigram model stats: top-k adjacent word pairs with
+    * P(w2 | w1); shuffles carry vocabulary-sized tables, not tokens. */
+  def bigramStats(docs: DataFrame, text: String, k: Int): DataFrame =
+    ops.DataOps.bigramStatsOf(docs, text, k)
 }

@@ -139,15 +139,62 @@ object DataOps {
       |ORDER BY n DESC, term
       |LIMIT 50""".stripMargin
 
+  /** Corpus bigram statistics (public operator behind
+    * [[graft.Graft.bigramStats]]): count of each adjacent word pair
+    * and the conditional next-word probability
+    * P(w2 | w1) = count(w1 w2) / count(w1 ·), top k pairs. The first
+    * shuffle aggregates (w1, w2, partial count) — map-side combine
+    * absorbs the token explode — and the head-count window shuffles
+    * only the DISTINCT-bigram table, so corpus size enters through
+    * vocabulary, not token count. */
+  def bigramStatsOf(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    docs
+      .select(words(col(textCol)).as("__ws"))
+      .filter(size(col("__ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(__ws)-2), i -> struct(__ws[i] AS w1, __ws[i+1] AS w2))")).as("__bg"))
+      .select(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .withColumn("__c1", sum(col("c12")).over(Window.partitionBy(col("w1"))))
+      .select(col("w1"), col("w2"), col("c12"),
+        (col("c12") / col("__c1").cast("double")).as("p_next"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(k)
+
+  /** #40 the 30 most frequent corpus bigrams with P(next | head). */
+  private val ds05: Q = (s, dir) =>
+    bigramStatsOf(t(s, dir, "documents"), "text", 30)
+      .select(col("w1"), col("w2"), col("c12"), r6(col("p_next")).as("p_next"))
+
+  private val ds05Sql =
+    """WITH w AS (
+      |  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+      |bg AS (
+      |  SELECT unnest(list_transform(generate_series(1, len(ws)-1),
+      |    i -> ws[i] || ' ' || ws[i+1])) AS b
+      |  FROM w WHERE len(ws) >= 2),
+      |c AS (
+      |  SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2,
+      |    count(*) AS c12
+      |  FROM bg GROUP BY 1, 2),
+      |t AS (SELECT w1, w2, c12, sum(c12) OVER (PARTITION BY w1) AS c1 FROM c)
+      |SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+      |  round(c12 / CAST(c1 AS DOUBLE), 6) AS p_next
+      |FROM t
+      |ORDER BY c12 DESC, w1, w2
+      |LIMIT 30""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "ds01_hash_split" -> ds01,
     "ds02_det_sample" -> ds02,
     "ds03_pack_bins" -> ds03,
-    "ds04_top_terms" -> ds04)
+    "ds04_top_terms" -> ds04,
+    "ds05_bigram_stats" -> ds05)
 
   val oracle: Map[String, String] = Map(
     "ds01_hash_split" -> ds01Sql,
     "ds02_det_sample" -> ds02Sql,
     "ds03_pack_bins" -> ds03Sql,
-    "ds04_top_terms" -> ds04Sql)
+    "ds04_top_terms" -> ds04Sql,
+    "ds05_bigram_stats" -> ds05Sql)
 }

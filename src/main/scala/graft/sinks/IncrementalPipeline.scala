@@ -71,4 +71,21 @@ object IncrementalPipeline {
     }
     n
   }
+
+  /** [[tick]] + periodic maintenance: after merging, compact any
+    * partition the stream of merges has fragmented past
+    * `maxFilesPerPartition` — the reference pairs its upsert loop with
+    * `OPTIMIZE TABLE` the same way. Compaction cost is bounded by the
+    * fragmented partitions only, so the maintenance amortizes to a
+    * constant factor of the merge traffic. */
+  def tickAndCompact(spark: SparkSession, path: String,
+                     fetch: Option[java.sql.Timestamp] => DataFrame,
+                     keys: Seq[String], tsCol: String,
+                     overlap: java.time.Duration,
+                     partitionCol: String,
+                     maxFilesPerPartition: Int = 8): Long = {
+    val n = tick(spark, path, fetch, keys, tsCol, overlap, partitionCol)
+    if (n > 0) MergeWriter.compact(spark, path, partitionCol, maxFilesPerPartition)
+    n
+  }
 }

@@ -209,6 +209,16 @@ class ExtOpsSpec extends SparkSpec {
     assert(out == List(("a", 3L), ("b", 3L), ("d", 2L)))
   }
 
+  test("bigramStats computes exact conditional next-word probabilities") {
+    val docs = Seq((1L, "a b a b a c")).toDF("pid", "body")
+    val out = Graft.bigramStats(docs, "body", 10).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out(("a", "b")) == (2L, 2.0 / 3.0)) // a heads 3 bigrams
+    assert(out(("b", "a")) == (2L, 1.0))       // b always followed by a
+    assert(out(("a", "c")) == (1L, 1.0 / 3.0))
+    assert(out.size == 3)
+  }
+
   test("approx sketches land within their documented error of the exact values") {
     val a01 = ops.CoreOps.queries("a01_approx_distinct")(spark, sfDir).collect()
     assert(a01.nonEmpty)

@@ -64,6 +64,31 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 1)
   }
 
+  test("tickAndCompact keeps a churned partition's file count bounded, data intact") {
+    val dir = Files.createTempDirectory("graft_incr3").toString + "/t"
+    var batch = 0
+    def fetch(lb: Option[java.sql.Timestamp]): DataFrame =
+      Seq(("BTC", "d1", ts(batch), batch.toDouble)).toDF("symbol", "day", "ts", "close")
+    // many small ticks churn partition d1; spread writes over tasks so
+    // each merge leaves several files
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      (0 until 10).foreach { i =>
+        batch = i
+        IncrementalPipeline.tickAndCompact(spark, dir, fetch, Seq("symbol", "ts"), "ts",
+          Duration.ofMinutes(0), "day", maxFilesPerPartition = 3)
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", old)
+    val files = new java.io.File(s"$dir/day=d1").listFiles
+      .count(_.getName.endsWith(".parquet"))
+    assert(files <= 3 + 1, s"maintenance must bound fragmentation, got $files files")
+    val got = spark.read.parquet(dir).select("ts", "close")
+      .as[(java.sql.Timestamp, Double)].collect().toMap
+    assert(got == (0 until 10).map(i => ts(i) -> i.toDouble).toMap,
+      "compaction + merges must preserve every row")
+  }
+
   test("salted join equals plain join, with salt spreading the hot key") {
     val fact = Tables.t(spark, sfDir, "events")
       .select(col("event_id"), col("user_id"), col("value"))
