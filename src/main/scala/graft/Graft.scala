@@ -418,4 +418,129 @@ object Graft {
     * P(w2 | w1); shuffles carry vocabulary-sized tables, not tokens. */
   def bigramStats(docs: DataFrame, text: String, k: Int): DataFrame =
     ops.DataOps.bigramStatsOf(docs, text, k)
+
+  /** Bollinger bands: rolling mean ± `width`·σ over the last `n` rows
+    * per key (population σ), plus a breakout flag (+1 above the upper
+    * band, −1 below the lower, 0 inside, null until the window is
+    * full). Appends `mid`, `upper`, `lower`, `breakout`. Same
+    * O(1)-per-row cumulative-sum-difference frames as [[wma]]. */
+  def bollinger(df: DataFrame, key: String, ts: String, id: String,
+                value: String, n: Int, width: Double): DataFrame = {
+    val ord = Window.partitionBy(col(key)).orderBy(col(ts), col(id))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def slide(c: String): Column = col(c) - coalesce(lag(col(c), n).over(ord), lit(0.0))
+    df.withColumn("__rn", row_number().over(ord))
+      .withColumn("__cx", sum(col(value)).over(cum))
+      .withColumn("__cx2", sum(col(value) * col(value)).over(cum))
+      .withColumn("__sx", slide("__cx")).withColumn("__sx2", slide("__cx2"))
+      .withColumn("mid", when(col("__rn") >= n, col("__sx") / n))
+      .withColumn("__var", col("__sx2") / n - (col("__sx") / n) * (col("__sx") / n))
+      .withColumn("__sd", when(col("__rn") >= n,
+        when(col("__var") > 0, sqrt(col("__var"))).otherwise(lit(0.0))))
+      .withColumn("upper", col("mid") + lit(width) * col("__sd"))
+      .withColumn("lower", col("mid") - lit(width) * col("__sd"))
+      .withColumn("breakout",
+        when(col("mid").isNull, lit(null).cast("int"))
+          .when(col(value) > col("upper"), 1)
+          .when(col(value) < col("lower"), -1)
+          .otherwise(0))
+      .drop("__rn", "__cx", "__cx2", "__sx", "__sx2", "__var", "__sd")
+  }
+
+  /** Max drawdown per series: running peak (incremental unbounded-
+    * preceding max), per-row drawdown (value − peak)/peak, reduced to
+    * one row per key — the deepest trough, tie-broken by (dd, ts, id)
+    * so the pick is total-ordered. Returns (key, max_dd, trough_ts,
+    * trough_id, peak, trough_value, n_rows). */
+  def maxDrawdown(df: DataFrame, key: String, ts: String, id: String,
+                  value: String): DataFrame = {
+    val cum = Window.partitionBy(col(key)).orderBy(col(ts), col(id))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pick = struct(col("__dd"), col(ts), col(id))
+    df.withColumn("__peak", max(col(value)).over(cum))
+      .withColumn("__dd", (col(value) - col("__peak")) / col("__peak"))
+      .groupBy(col(key))
+      .agg(min(col("__dd")).as("max_dd"),
+        min_by(col(ts), pick).as("trough_ts"),
+        min_by(col(id), pick).as("trough_id"),
+        min_by(col("__peak"), pick).as("peak"),
+        min_by(col(value), pick).as("trough_value"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** Pearson correlation between every pair of series aligned on a
+    * shared bucket grid. Input is one row per (key, bucket) with the
+    * bucket's `value` (e.g. [[resampleOhlc]]'s close); output one row
+    * per unordered key pair (key_a < key_b) over their common buckets:
+    * (type_a, type_b, n_buckets, corr). The corr sums run as cumulative
+    * window sums over the (pair, bucket) order — a sequential fold,
+    * deterministic under any partitioning (a hash-agg sum would be
+    * order-dependent in the last float bits). Null corr on degenerate
+    * variance or fewer than 2 shared buckets. */
+  def pairCorr(df: DataFrame, key: String, bucket: String, value: String): DataFrame = {
+    val a = df.select(col(key).as("type_a"), col(bucket).as("__b"), col(value).as("__x"))
+    val b = df.select(col(key).as("type_b"), col(bucket).as("__b2"), col(value).as("__y"))
+    val ord = Window.partitionBy(col("type_a"), col("type_b")).orderBy(col("__b"))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pw = Window.partitionBy(col("type_a"), col("type_b"))
+    a.join(b, col("__b") === col("__b2") && col("type_a") < col("type_b"))
+      .drop("__b2")
+      .withColumn("__rn", row_number().over(ord))
+      .withColumn("__n", count(lit(1)).over(pw))
+      .withColumn("__sx", sum(col("__x")).over(cum))
+      .withColumn("__sy", sum(col("__y")).over(cum))
+      .withColumn("__sxy", sum(col("__x") * col("__y")).over(cum))
+      .withColumn("__sx2", sum(col("__x") * col("__x")).over(cum))
+      .withColumn("__sy2", sum(col("__y") * col("__y")).over(cum))
+      .filter(col("__rn") === col("__n"))
+      .withColumn("__vx", col("__n") * col("__sx2") - col("__sx") * col("__sx"))
+      .withColumn("__vy", col("__n") * col("__sy2") - col("__sy") * col("__sy"))
+      .select(col("type_a"), col("type_b"), col("__n").as("n_buckets"),
+        when(col("__n") >= 2 && col("__vx") > 0 && col("__vy") > 0,
+          (col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+            (sqrt(col("__vx")) * sqrt(col("__vy")))).as("corr"))
+  }
+
+  /** SCD Type-2 dimension history: per entity `key`, the `state`
+    * stream ordered by (ts, id) compresses into change intervals —
+    * consecutive repeats collapse; each change opens a version row
+    * with [effective_from, effective_to) spanning to the NEXT change
+    * (effective_to null ⇒ is_current). One window shuffle on the
+    * entity key. Returns (key, version, state, effective_from,
+    * effective_to, is_current). */
+  def scd2(df: DataFrame, key: String, ts: String, id: String, state: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(id))
+    df.withColumn("__prev", lag(col(state), 1).over(w))
+      .filter(col("__prev").isNull || col(state) =!= col("__prev"))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("effective_from", col(ts))
+      .withColumn("effective_to", lead(col(ts), 1).over(w))
+      .withColumn("is_current", col("effective_to").isNull)
+      .select(col(key), col("version"), col(state), col("effective_from"),
+        col("effective_to"), col("is_current"))
+  }
+
+  /** Truncated exponentially-weighted moving average — pandas
+    * ewm(alpha, adjust=True) over the last `w` observations:
+    * ewma_t = Σ_{j<min(rn,w)} (1−α)^j·x_{t-j} / Σ_j (1−α)^j. Appends
+    * `ewma`. The weights are materialized Scala doubles and the sums
+    * are balanced adjacent-pair trees ([[F]]'s janino-safe shape); the
+    * untruncated EWMA is a linear recurrence (segmented scan at scale),
+    * while this form is a fixed set of lags on one window sort. Pick
+    * `w` so (1−α)^w is below the tolerated tail weight. */
+  def ewma(df: DataFrame, key: String, ts: String, id: String, value: String,
+           alpha: Double, w: Int): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    require(w >= 1, s"w must be >= 1, got $w")
+    val ord = Window.partitionBy(col(key)).orderBy(col(ts), col(id))
+    val weights = (0 until w).map(j => math.pow(1.0 - alpha, j))
+    def balSum(xs: Seq[Column]): Column =
+      if (xs.sizeIs == 1) xs.head
+      else balSum(xs.grouped(2).map(g => if (g.sizeIs == 2) g(0) + g(1) else g(0)).toSeq)
+    val num = balSum(weights.zipWithIndex.map { case (wt, j) =>
+      coalesce(lag(col(value), j).over(ord), lit(0.0)) * lit(wt) })
+    val den = balSum(weights.zipWithIndex.map { case (wt, j) =>
+      when(lag(col(value), j).over(ord).isNotNull, lit(wt)).otherwise(lit(0.0)) })
+    df.withColumn("ewma", num / den)
+  }
 }

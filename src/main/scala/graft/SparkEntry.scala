@@ -16,6 +16,7 @@ object SparkEntry {
       (CoreOps.queries, CoreOps.oracle),
       (DataOps.queries, DataOps.oracle),
       (TimeSeriesOps.queries, TimeSeriesOps.oracle),
+      (FinOps.queries, FinOps.oracle),
       (DedupOps.queries, DedupOps.oracle),
       (TextOps.queries, TextOps.oracle),
       (SimOps.queries, SimOps.oracle),

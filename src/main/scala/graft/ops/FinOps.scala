@@ -1,0 +1,267 @@
+package graft.ops
+
+import graft.{F, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Finance-analytics operators (SURVEY.md §2 q30-q35) — the natural
+  * extensions of the reference's premium/WMA/extreme-move surface
+  * (crypto_data_pipeline_duckdb.py:1221-1268, 1720-1764): execution
+  * benchmarks (VWAP/TWAP), volatility bands, drawdown, cross-series
+  * correlation, dimension history (SCD2), exponential smoothing.
+  *
+  * Scale stance: every windowed op is ONE shuffle on its series key with
+  * O(1)-per-row frames (cumulative-sum differences, running max, lag);
+  * the pair-correlation reduces each series to its bucket grid FIRST, so
+  * the pair join runs on bucket-grid-sized inputs, never raw ticks.
+  */
+object FinOps {
+  type Q = (SparkSession, String) => DataFrame
+  import Tables.t
+  import F._
+
+  /** #q30 VWAP vs TWAP per (brand, month) — the execution-quality
+    * benchmark pair: volume-weighted mean unit price vs the unweighted
+    * time-weighted mean. One scan, one agg shuffle; the dim join is
+    * broadcast. */
+  private val q30: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem").filter(col("l_quantity") > 0)
+    val p = t(s, dir, "part")
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), date_trunc("month", col("l_shipdate")).as("month"))
+      .agg(sum(col("l_extendedprice")).as("__notional"),
+        sum(col("l_quantity")).as("__qty"),
+        avg(col("l_extendedprice") / col("l_quantity")).as("__twap"),
+        count(lit(1)).as("n_fills"))
+      .select(col("p_brand"), epochMs(col("month")).as("month_ms"),
+        r4(col("__notional") / col("__qty")).as("vwap"),
+        r4(col("__twap")).as("twap"),
+        r4(col("__notional")).as("notional"), col("n_fills"))
+      .orderBy("p_brand", "month_ms")
+  }
+
+  private val q30Sql =
+    """SELECT p_brand, epoch_ms(date_trunc('month', l_shipdate)) AS month_ms,
+      |  round(sum(l_extendedprice) / sum(l_quantity), 4) AS vwap,
+      |  round(avg(l_extendedprice / l_quantity), 4) AS twap,
+      |  round(sum(l_extendedprice), 4) AS notional,
+      |  count(*) AS n_fills
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_quantity > 0
+      |GROUP BY 1, 2
+      |ORDER BY p_brand, month_ms""".stripMargin
+
+  /** #q31 Bollinger bands: rolling mean ± 2σ over the last 20 rows per
+    * series + breakout flags — the band form of the reference's
+    * extreme-move detection. Same O(1)-per-row cumulative-sum-difference
+    * machinery as q11/q21 (Spark sliding frames re-aggregate O(n) per
+    * row); the oracle derives the sums identically so doubles are
+    * bit-exact. Population σ; null until the window is full. */
+  private val q31: Q = (s, dir) =>
+    graft.Graft.bollinger(t(s, dir, "events"), "event_type", "ts", "event_id", "value",
+        n = 20, width = 2.0)
+      .select(col("event_type"), col("event_id"), epochMs(col("ts")).as("ts_ms"), col("value"),
+        r6(col("mid")).as("mid"), r6(col("upper")).as("upper"), r6(col("lower")).as("lower"),
+        col("breakout"))
+      .orderBy("event_type", "ts_ms", "event_id")
+
+  private val q31Sql =
+    """WITH c AS (
+      |  SELECT event_type, event_id, ts, value,
+      |    row_number() OVER o AS rn,
+      |    sum(value) OVER w AS cx,
+      |    sum(value * value) OVER w AS cx2
+      |  FROM events
+      |  WINDOW o AS (PARTITION BY event_type ORDER BY ts, event_id),
+      |    w AS (PARTITION BY event_type ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |f AS (
+      |  SELECT *,
+      |    cx - coalesce(lag(cx, 20) OVER o, CAST(0.0 AS DOUBLE)) AS sx,
+      |    cx2 - coalesce(lag(cx2, 20) OVER o, CAST(0.0 AS DOUBLE)) AS sx2
+      |  FROM c
+      |  WINDOW o AS (PARTITION BY event_type ORDER BY ts, event_id)),
+      |b AS (
+      |  SELECT event_type, event_id, ts, value,
+      |    CASE WHEN rn >= 20 THEN sx / 20.0 END AS mid,
+      |    CASE WHEN rn >= 20 AND sx2 / 20.0 - (sx / 20.0) * (sx / 20.0) > 0
+      |      THEN sqrt(sx2 / 20.0 - (sx / 20.0) * (sx / 20.0))
+      |      WHEN rn >= 20 THEN 0.0 END AS sd
+      |  FROM f)
+      |SELECT event_type, event_id, epoch_ms(ts) AS ts_ms, value,
+      |  round(mid, 6) AS mid,
+      |  round(mid + 2.0 * sd, 6) AS upper,
+      |  round(mid - 2.0 * sd, 6) AS lower,
+      |  CASE WHEN mid IS NULL THEN NULL
+      |    WHEN value > mid + 2.0 * sd THEN 1
+      |    WHEN value < mid - 2.0 * sd THEN -1 ELSE 0 END AS breakout
+      |FROM b
+      |ORDER BY event_type, ts_ms, event_id""".stripMargin
+
+  /** #q32 max drawdown per series: running peak (incremental unbounded-
+    * preceding max, O(1)/row), per-row drawdown, then arg-min with a
+    * total (dd, ts, id) tie-break so both engines pick the same trough. */
+  private val q32: Q = (s, dir) =>
+    graft.Graft.maxDrawdown(t(s, dir, "events"), "event_type", "ts", "event_id", "value")
+      .select(col("event_type"), r6(col("max_dd")).as("max_dd"),
+        epochMs(col("trough_ts")).as("trough_ms"), col("trough_id"),
+        r4(col("peak")).as("peak"), r4(col("trough_value")).as("trough_value"),
+        col("n_rows"))
+      .orderBy("event_type")
+
+  private val q32Sql =
+    """WITH r AS (
+      |  SELECT event_type, event_id, ts, value,
+      |    max(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      |  FROM events),
+      |d AS (SELECT *, (value - peak) / peak AS dd FROM r)
+      |SELECT event_type,
+      |  round(min(dd), 6) AS max_dd,
+      |  epoch_ms(first(ts ORDER BY dd, ts, event_id)) AS trough_ms,
+      |  first(event_id ORDER BY dd, ts, event_id) AS trough_id,
+      |  round(first(peak ORDER BY dd, ts, event_id), 4) AS peak,
+      |  round(first(value ORDER BY dd, ts, event_id), 4) AS trough_value,
+      |  count(*) AS n_rows
+      |FROM d
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** #q33 cross-series correlation matrix: hourly close per series
+    * (deterministic last-by-(ts,id), the q09 close), series pairs
+    * aligned on the hour grid, Pearson corr per pair. The corr sums run
+    * as CUMULATIVE window sums over the (pair, hour) order and the last
+    * row is kept — a sequential fold both engines execute identically,
+    * so the doubles are bit-exact (a hash-aggregate sum order would
+    * not be). Pair join runs on the bucket grid (series × hours), never
+    * raw ticks — at 100 TB the grid is the small derived table. */
+  private val q33: Q = (s, dir) => {
+    val bars = graft.Graft.resampleOhlc(t(s, dir, "events"),
+        "event_type", "ts", "event_id", "value", "hour")
+      .select(col("event_type"), col("bucket"), col("close"))
+    graft.Graft.pairCorr(bars, "event_type", "bucket", "close")
+      .select(col("type_a"), col("type_b"), col("n_buckets"), r6(col("corr")).as("corr"))
+      .orderBy("type_a", "type_b")
+  }
+
+  private val q33Sql =
+    """WITH b AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+      |    last(value ORDER BY ts, event_id) AS close
+      |  FROM events GROUP BY 1, 2),
+      |j AS (
+      |  SELECT a.event_type AS type_a, b2.event_type AS type_b, a.bucket,
+      |    a.close AS x, b2.close AS y
+      |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.event_type < b2.event_type),
+      |c AS (
+      |  SELECT type_a, type_b,
+      |    row_number() OVER o AS rn,
+      |    count(*) OVER (PARTITION BY type_a, type_b) AS n,
+      |    sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+      |    sum(x * y) OVER w AS sxy,
+      |    sum(x * x) OVER w AS sx2, sum(y * y) OVER w AS sy2
+      |  FROM j
+      |  WINDOW o AS (PARTITION BY type_a, type_b ORDER BY bucket),
+      |    w AS (PARTITION BY type_a, type_b ORDER BY bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT type_a, type_b, n AS n_buckets,
+      |  round(CASE WHEN n >= 2 AND n * sx2 - sx * sx > 0 AND n * sy2 - sy * sy > 0
+      |    THEN (n * sxy - sx * sy) / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy))
+      |    END, 6) AS corr
+      |FROM c
+      |WHERE rn = n
+      |ORDER BY type_a, type_b""".stripMargin
+
+  /** #q34 SCD Type-2 history build: per user, the event_type stream
+    * compresses into change intervals — consecutive repeats collapse,
+    * each surviving row gets [effective_from, effective_to) from its
+    * own ts and the NEXT change's ts (null = current) + a version
+    * number. The standard warehouse dimension-history derivation, one
+    * window shuffle on the entity key. */
+  private val q34: Q = (s, dir) =>
+    graft.Graft.scd2(t(s, dir, "events"), "user_id", "ts", "event_id", "event_type")
+      .select(col("user_id"), col("version"), col("event_type").as("state"),
+        epochMs(col("effective_from")).as("from_ms"),
+        epochMs(col("effective_to")).as("to_ms"),
+        col("is_current"))
+      .orderBy("user_id", "version")
+
+  private val q34Sql =
+    """WITH o AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    lag(event_type) OVER w AS prev_state
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |chg AS (
+      |  SELECT user_id, ts, event_id, event_type
+      |  FROM o WHERE prev_state IS NULL OR event_type <> prev_state),
+      |v AS (
+      |  SELECT user_id, event_type, ts,
+      |    row_number() OVER w AS version,
+      |    lead(ts) OVER w AS next_ts
+      |  FROM chg
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, CAST(version AS BIGINT) AS version, event_type AS state,
+      |  epoch_ms(ts) AS from_ms, epoch_ms(next_ts) AS to_ms,
+      |  next_ts IS NULL AS is_current
+      |FROM v
+      |ORDER BY user_id, version""".stripMargin
+
+  /** #q35 truncated EWMA (pandas ewm(adjust=True) semantics over the
+    * last `w` observations): ewma_t = Σ_j (1-α)^j·x_{t-j} / Σ_j (1-α)^j,
+    * j < min(rn, w). With w = 24 and α = 0.25 the dropped tail weighs
+    * (1-α)^24 ≈ 1e-3 of the head term. The weights are Scala doubles
+    * emitted as literals into BOTH the Column tree and the oracle SQL
+    * (shortest-repr round-trip ⇒ identical bits), and both sides sum
+    * the identical balanced tree, so results are bit-exact. The full
+    * (untruncated) EWMA is a linear recurrence — a segmented-scan at
+    * scale, not a window frame; the truncated form is the
+    * constant-cost window answer. */
+  private val ewmaAlpha = 0.25
+  private val ewmaW = 24
+
+  private val q35: Q = (s, dir) =>
+    graft.Graft.ewma(t(s, dir, "events"), "event_type", "ts", "event_id", "value",
+        alpha = ewmaAlpha, w = ewmaW)
+      .select(col("event_type"), col("event_id"), epochMs(col("ts")).as("ts_ms"),
+        col("value"), r6(col("ewma")).as("ewma"))
+      .orderBy("event_type", "ts_ms", "event_id")
+
+  private val q35Sql = {
+    val weights = (0 until ewmaW).map(j => math.pow(1.0 - ewmaAlpha, j))
+    // identical balanced trees to Graft.ewma's Column build
+    val num = graft.OracleSql.balSum(
+      weights.zipWithIndex.map { case (wt, j) =>
+        s"(coalesce(lag(value, $j) OVER o, CAST(0.0 AS DOUBLE)) * $wt)" })
+    val den = graft.OracleSql.balSum(
+      weights.zipWithIndex.map { case (wt, j) =>
+        s"(CASE WHEN lag(value, $j) OVER o IS NOT NULL THEN $wt ELSE 0.0 END)" })
+    s"""WITH e AS (
+       |  SELECT event_type, event_id, ts, value,
+       |    $num AS num,
+       |    $den AS den
+       |  FROM events
+       |  WINDOW o AS (PARTITION BY event_type ORDER BY ts, event_id))
+       |SELECT event_type, event_id, epoch_ms(ts) AS ts_ms, value,
+       |  round(num / den, 6) AS ewma
+       |FROM e
+       |ORDER BY event_type, ts_ms, event_id""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q30_vwap" -> q30,
+    "q31_bollinger" -> q31,
+    "q32_drawdown" -> q32,
+    "q33_pair_corr" -> q33,
+    "q34_scd2" -> q34,
+    "q35_ewma" -> q35)
+
+  val oracle: Map[String, String] = Map(
+    "q30_vwap" -> q30Sql,
+    "q31_bollinger" -> q31Sql,
+    "q32_drawdown" -> q32Sql,
+    "q33_pair_corr" -> q33Sql,
+    "q34_scd2" -> q34Sql,
+    "q35_ewma" -> q35Sql)
+}
