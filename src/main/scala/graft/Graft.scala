@@ -419,6 +419,34 @@ object Graft {
   def bigramStats(docs: DataFrame, text: String, k: Int): DataFrame =
     ops.DataOps.bigramStatsOf(docs, text, k)
 
+  /** PII detection + redaction: emails, phones, IPv4s counted and
+    * replaced by placeholders in a fixed order; patterns stay within
+    * the Java∩RE2 regex subset. Map-only. */
+  def piiRedact(docs: DataFrame, id: String, text: String): DataFrame =
+    ops.TextOps.piiRedactOf(docs, id, text)
+
+  /** Per-document bigram-LM quality score: mean log P(w2|w1) under the
+    * corpus's own add-k-smoothed bigram model + perplexity. The model
+    * is vocabulary-sized; the per-doc mean is a deterministic
+    * position-ordered fold. */
+  def bigramScore(docs: DataFrame, id: String, text: String,
+                  addK: Double = 0.5): DataFrame =
+    ops.TextOps.bigramScoreOf(docs, id, text, addK)
+
+  /** Domain-weighted mixture sampling: each domain contributes docs up
+    * to its token budget, picked in md5(salt:domain:id) order —
+    * deterministic LLM data mixing (see DataOps.mixtureSampleOf). */
+  def mixtureSample(df: DataFrame, domain: String, id: String, tokens: String,
+                    budgets: Map[String, Long], salt: String = "graft"): DataFrame =
+    ops.DataOps.mixtureSampleOf(df, domain, id, tokens, budgets, salt)
+
+  /** Benchmark decontamination: training docs sharing any word n-gram
+    * with a benchmark doc, with shared-gram / benchmark-doc counts;
+    * ids+hashes only through the join. */
+  def decontaminate(train: DataFrame, bench: DataFrame, id: String,
+                    text: String, n: Int = 8): DataFrame =
+    ops.DataOps.decontaminateOf(train, bench, id, text, n)
+
   /** Bollinger bands: rolling mean ± `width`·σ over the last `n` rows
     * per key (population σ), plus a breakout flag (+1 above the upper
     * band, −1 below the lower, 0 inside, null until the window is

@@ -184,7 +184,130 @@ object DataOps {
       |ORDER BY c12 DESC, w1, w2
       |LIMIT 30""".stripMargin
 
+  /** Domain-weighted mixture sampling (public operator behind
+    * [[graft.Graft.mixtureSample]]) — the LLM data-mixing step: each
+    * domain contributes documents up to ITS token budget, picked in
+    * md5(salt:domain:id) order. The pick set is a pure function of
+    * keys and budgets: reruns, retries and cluster size reproduce the
+    * mixture bit-for-bit (never rand()), which is what makes a 100 TB
+    * training mix auditable. First-fit-in-order: a domain's last doc
+    * may cross its budget (kept iff its EXCLUSIVE prefix is under);
+    * domains missing from `budgets` contribute nothing. One window
+    * shuffle on the domain key. Appends pick_rank + cum_tokens. */
+  def mixtureSampleOf(df: DataFrame, domainCol: String, idCol: String,
+                      tokensCol: String, budgets: Map[String, Long],
+                      salt: String = "graft"): DataFrame = {
+    require(budgets.nonEmpty, "mixtureSample needs at least one domain budget")
+    require(budgets.values.forall(_ >= 0), "mixtureSample budgets must be >= 0")
+    val w = Window.partitionBy(col(domainCol)).orderBy(col("__h"), col(idCol))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val budget = budgets.toSeq.sortBy(_._1).foldLeft(lit(null).cast("long")) {
+      case (acc, (d, b)) => when(col(domainCol) === d, lit(b)).otherwise(acc)
+    }
+    df.withColumn("__h", hash60(concat(lit(salt + ":"), col(domainCol).cast("string"),
+        lit(":"), col(idCol).cast("string"))))
+      .withColumn("__cum", sum(col(tokensCol)).over(cum))
+      .withColumn("pick_rank", row_number().over(w).cast("long"))
+      .filter(col("__cum") - col(tokensCol) < budget)
+      .withColumn("cum_tokens", col("__cum"))
+      .drop("__h", "__cum")
+  }
+
+  /** #41 a 20-domain mixture over the documents corpus: srcN's budget
+    * is 300 + 150·(N mod 4) tokens. */
+  private val ds06Budgets: Map[String, Long] =
+    (0 until 20).map(i => s"src$i" -> (300L + 150L * (i % 4))).toMap
+
+  private val ds06: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+      .withColumn("n_tokens", size(words(col("text"))).cast("long"))
+    mixtureSampleOf(docs, "source", "doc_id", "n_tokens", ds06Budgets)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("pick_rank"), col("cum_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private val ds06Sql = {
+    val cases = ds06Budgets.toSeq.sortBy(_._1)
+      .map { case (d, b) => s"WHEN '$d' THEN $b" }.mkString(" ")
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+       |    CAST(('0x' || substr(md5('graft:' || source || ':' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       |  FROM documents),
+       |c AS (
+       |  SELECT *,
+       |    sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS pick_rank
+       |  FROM d),
+       |b AS (SELECT *, CASE source $cases END AS budget FROM c)
+       |SELECT doc_id, source, n_tokens, pick_rank, CAST(cum AS BIGINT) AS cum_tokens
+       |FROM b
+       |WHERE cum - n_tokens < budget
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Benchmark decontamination (public operator behind
+    * [[graft.Graft.decontaminate]]): flags every training document
+    * sharing at least one word n-gram with any benchmark document —
+    * the standard eval-leak scan before a pretraining run. Both sides
+    * reduce to DISTINCT (id, ngram-hash) pairs first, so the join
+    * shuffles ids+hashes only (never text), co-partitioned on the
+    * hash; per flagged doc: distinct shared n-grams + distinct
+    * benchmark docs hit. Returns (doc_id, n_shared_grams,
+    * n_bench_docs). */
+  def decontaminateOf(train: DataFrame, bench: DataFrame, idCol: String,
+                      textCol: String, n: Int = 8): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    def grams(df: DataFrame, idAs: String): DataFrame = df
+      .select(col(idCol).as(idAs), words(col(textCol)).as("__ws"))
+      .filter(size(col("__ws")) >= n)
+      .select(col(idAs), explode(expr(
+        s"transform(sequence(0, size(__ws)-$n), i -> array_join(slice(__ws, i+1, $n), ' '))")).as("__g"))
+      .select(col(idAs), hash60(col("__g")).as("__h"))
+      .distinct()
+    grams(train, "doc_id")
+      .join(grams(bench, "__bench_id"), "__h")
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("__h")).as("n_shared_grams"),
+        count_distinct(col("__bench_id")).as("n_bench_docs"))
+  }
+
+  /** #42 contamination scan: benchmark = every 11th doc, train = the
+    * rest; any shared word-8-gram flags the training doc. */
+  private val ds07: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    decontaminateOf(
+      docs.filter(pmod(col("doc_id"), lit(11L)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(11L)) === 0),
+      "doc_id", "text", n = 8)
+      .orderBy("doc_id")
+  }
+
+  private val ds07Sql =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS h
+      |  FROM (
+      |    SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 7),
+      |      i -> array_to_string(ws[i:i+7], ' '))) AS gram
+      |    FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+      |          FROM documents)
+      |    WHERE len(ws) >= 8)
+      |  GROUP BY 1, 2),
+      |tr AS (SELECT * FROM g WHERE doc_id % 11 <> 0),
+      |be AS (SELECT * FROM g WHERE doc_id % 11 = 0)
+      |SELECT tr.doc_id AS doc_id,
+      |  count(DISTINCT tr.h) AS n_shared_grams,
+      |  count(DISTINCT be.doc_id) AS n_bench_docs
+      |FROM tr JOIN be ON tr.h = be.h
+      |GROUP BY tr.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "ds06_mixture_sample" -> ds06,
+    "ds07_decontaminate" -> ds07,
     "ds01_hash_split" -> ds01,
     "ds02_det_sample" -> ds02,
     "ds03_pack_bins" -> ds03,
@@ -192,6 +315,8 @@ object DataOps {
     "ds05_bigram_stats" -> ds05)
 
   val oracle: Map[String, String] = Map(
+    "ds06_mixture_sample" -> ds06Sql,
+    "ds07_decontaminate" -> ds07Sql,
     "ds01_hash_split" -> ds01Sql,
     "ds02_det_sample" -> ds02Sql,
     "ds03_pack_bins" -> ds03Sql,

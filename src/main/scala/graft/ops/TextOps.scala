@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{F, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis (SURVEY.md §2 #27-30) over the `documents` table —
@@ -296,7 +297,152 @@ object TextOps {
       |FROM c
       |ORDER BY doc_id""".stripMargin
 
+  /** PII detection + redaction over ANY (id, text) table (public
+    * operator behind [[graft.Graft.piiRedact]]): emails, phone numbers
+    * and IPv4 addresses are counted and replaced by [EMAIL]/[PHONE]/
+    * [IP] placeholders, in that fixed order (so an IP inside an
+    * already-redacted span can't double-fire). Patterns stay within
+    * the regex subset Java and RE2 evaluate identically (character
+    * classes, bounded repetition — no backrefs/lookarounds). Map-only:
+    * counts and the redacted text come from one scan at scan speed. */
+  private val piiEmail = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private val piiPhone = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,6}"
+  private val piiIp = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  def piiRedactOf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+      .withColumn("n_emails", size(regexp_extract_all(col("__t"), lit(piiEmail), lit(0))).cast("long"))
+      .withColumn("n_phones", size(regexp_extract_all(col("__t"), lit(piiPhone), lit(0))).cast("long"))
+      .withColumn("n_ips", size(regexp_extract_all(col("__t"), lit(piiIp), lit(0))).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(regexp_replace(col("__t"),
+          piiEmail, "[EMAIL]"), piiPhone, "[PHONE]"), piiIp, "[IP]"))
+      .withColumn("redacted_md5", md5(col("redacted")))
+      .withColumn("len_delta", (length(col("__t")) - length(col("redacted"))).cast("long"))
+      .drop("__t")
+
+  /** #27c the scrub pass on documents carrying deterministic synthetic
+    * contact lines (the corpus itself is PII-free; the augmentation
+    * makes the op observable and oracle-checkable end to end). */
+  private val t07: Q = (s, dir) => {
+    val aug = t(s, dir, "documents")
+      .withColumn("text", concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or +1-555-"),
+        lpad(pmod(col("doc_id"), lit(1000L)).cast("string"), 4, "0"),
+        lit(" from 10.0."), pmod(col("doc_id"), lit(256L)).cast("string"),
+        lit("."), pmod(col("doc_id") * 7, lit(256L)).cast("string")))
+    piiRedactOf(aug, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  private val t07Sql =
+    s"""WITH a AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+       |      || '@example.com or +1-555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0')
+       |      || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+       |      || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS t
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, t,
+       |    CAST(len(regexp_extract_all(t, '$piiEmail')) AS BIGINT) AS n_emails,
+       |    CAST(len(regexp_extract_all(t, '$piiPhone')) AS BIGINT) AS n_phones,
+       |    CAST(len(regexp_extract_all(t, '$piiIp')) AS BIGINT) AS n_ips,
+       |    regexp_replace(regexp_replace(regexp_replace(t,
+       |      '$piiEmail', '[EMAIL]', 'g'), '$piiPhone', '[PHONE]', 'g'), '$piiIp', '[IP]', 'g') AS redacted
+       |  FROM a)
+       |SELECT doc_id, n_emails, n_phones, n_ips, redacted,
+       |  md5(redacted) AS redacted_md5,
+       |  CAST(length(t) - length(redacted) AS BIGINT) AS len_delta
+       |FROM r
+       |ORDER BY doc_id""".stripMargin
+
+  /** Per-document bigram language-model score (public operator behind
+    * [[graft.Graft.bigramScore]]): the corpus bigram model (add-k
+    * smoothed P(w2|w1), next-word vocabulary V) scores every document
+    * as the mean log-probability of its bigram stream, plus the
+    * perplexity exp(−mean) — the classic KenLM-shaped quality signal
+    * a pretraining pipeline filters on. Bigrams unseen by the model
+    * fall back to 1/V.
+    *
+    * Scale shape: the model is vocabulary-sized (broadcast at small
+    * corpora, co-keyed shuffle join at 100 TB — token count never
+    * shuffles thanks to map-side combine on the counts); the per-doc
+    * mean is a CUMULATIVE fold in bigram position order — a sequential
+    * sum both engines execute identically, where a hash-agg sum would
+    * be partition-order-dependent in the last float bits. */
+  def bigramScoreOf(docs: DataFrame, idCol: String, textCol: String,
+                    addK: Double = 0.5): DataFrame = {
+    val bg = docs.select(col(idCol).as("doc_id"), words(col(textCol)).as("__ws"))
+      .filter(size(col("__ws")) >= 2)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, size(__ws)-2), i -> struct(__ws[i] AS w1, __ws[i+1] AS w2))"))
+        .as(Seq("pos", "__bg")))
+      .select(col("doc_id"), col("pos"), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+    val counts = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .withColumn("c1", sum(col("c12")).over(Window.partitionBy(col("w1"))))
+    val vocab = counts.agg(count_distinct(col("w2")).as("__v"))
+    // the 1-row vocabulary scalar rides a broadcast cross join (never a
+    // driver-side collect: the model stays one lazy distributed plan)
+    val model = counts.crossJoin(broadcast(vocab))
+      .withColumn("p", (col("c12") + lit(addK)) / (col("c1") + lit(addK) * col("__v")))
+      .select(col("w1"), col("w2"), col("p"))
+    val ord = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // __v rides the bg side so the unseen-bigram fallback (1/V) still
+    // has the vocabulary size after a missed left join
+    bg.crossJoin(broadcast(vocab))
+      .join(model, Seq("w1", "w2"), "left")
+      .withColumn("__lp", log(coalesce(col("p"), lit(1.0) / col("__v"))))
+      .withColumn("__rn", row_number().over(ord))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("__cum", sum(col("__lp")).over(cum))
+      .filter(col("__rn") === col("__n"))
+      .select(col("doc_id"), col("__n").cast("long").as("n_bigrams"),
+        (col("__cum") / col("__n")).as("avg_logp"),
+        exp(-(col("__cum") / col("__n"))).as("ppl"))
+  }
+
+  /** #27d corpus-model scoring of the corpus itself (every bigram is
+    * in-model, so the left join is total). */
+  private val t08: Q = (s, dir) =>
+    bigramScoreOf(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("n_bigrams"),
+        r4(col("avg_logp")).as("avg_logp"), r4(col("ppl")).as("ppl"))
+      .orderBy("doc_id")
+
+  private val t08Sql =
+    """WITH w AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+      |bgu AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-1),
+      |    i -> struct_pack(pos := i, w1 := ws[i], w2 := ws[i+1]))) AS u
+      |  FROM w WHERE len(ws) >= 2),
+      |b AS (SELECT doc_id, u.pos AS pos, u.w1 AS w1, u.w2 AS w2 FROM bgu),
+      |c AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+      |tm AS (SELECT w1, w2, c12, sum(c12) OVER (PARTITION BY w1) AS c1 FROM c),
+      |v AS (SELECT count(DISTINCT w2) AS nv FROM c),
+      |m AS (SELECT w1, w2,
+      |    (CAST(c12 AS DOUBLE) + 0.5) / (CAST(c1 AS DOUBLE) + 0.5 * CAST(nv AS DOUBLE)) AS p
+      |  FROM tm, v),
+      |j AS (SELECT b.doc_id, b.pos, ln(m.p) AS lp FROM b JOIN m USING (w1, w2)),
+      |f AS (SELECT doc_id,
+      |    row_number() OVER o AS rn,
+      |    count(*) OVER (PARTITION BY doc_id) AS n,
+      |    sum(lp) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM j
+      |  WINDOW o AS (PARTITION BY doc_id ORDER BY pos))
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams,
+      |  round(cum / n, 4) AS avg_logp,
+      |  round(exp(-(cum / n)), 4) AS ppl
+      |FROM f WHERE rn = n
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t07_pii_redact" -> t07,
+    "t08_bigram_lm" -> t08,
     "t01_lang_id" -> t01,
     "t02_quality_score" -> t02,
     "t03_token_count" -> t03,
@@ -305,6 +451,8 @@ object TextOps {
     "t06_normalize" -> t06)
 
   val oracle: Map[String, String] = Map(
+    "t07_pii_redact" -> t07Sql,
+    "t08_bigram_lm" -> t08Sql,
     "t01_lang_id" -> t01Sql,
     "t02_quality_score" -> t02Sql,
     "t03_token_count" -> t03Sql,
