@@ -79,4 +79,11 @@ object F {
 
   def cosineN(a: Column, b: Column, n: Int): Column =
     dotN(a, b, n) / (sqrt(norm2N(a, n)) * sqrt(norm2N(b, n)))
+
+  /** Squared L2 distance, fixed dim — same balanced tree as [[dotN]];
+    * DuckDB twin: [[OracleSql.dist2]]. */
+  def dist2N(a: Column, b: Column, n: Int): Column =
+    balSum((0 until n).map { i =>
+      val d = a.getItem(i) - b.getItem(i); d * d
+    })
 }

@@ -419,6 +419,17 @@ object Graft {
   def bigramStats(docs: DataFrame, text: String, k: Int): DataFrame =
     ops.DataOps.bigramStatsOf(docs, text, k)
 
+  /** Lloyd's k-means over an embedding column: deterministic init
+    * (k smallest ids), `iters` assign→update rounds against a
+    * BROADCAST k-row centroid table (the corpus never shuffles), final
+    * per-vector (id, cluster, dist2). Centroids round to 6 dp between
+    * rounds so results are reproducible across engines and cluster
+    * layouts. The training pass behind an IVF index ([[knnBrute]]'s
+    * scale path). */
+  def kmeans(vecs: DataFrame, id: String, vec: String, dims: Int,
+             k: Int, iters: Int): DataFrame =
+    ops.SimOps.kmeansOf(vecs, id, vec, dims, k, iters)
+
   /** PII detection + redaction: emails, phones, IPv4s counted and
     * replaced by placeholders in a fixed order; patterns stay within
     * the Java∩RE2 regex subset. Map-only. */
@@ -447,23 +458,31 @@ object Graft {
                     text: String, n: Int = 8): DataFrame =
     ops.DataOps.decontaminateOf(train, bench, id, text, n)
 
-  /** Bollinger bands: rolling mean ± `width`·σ over the last `n` rows
-    * per key (population σ), plus a breakout flag (+1 above the upper
-    * band, −1 below the lower, 0 inside, null until the window is
-    * full). Appends `mid`, `upper`, `lower`, `breakout`. Same
+  /** Bollinger bands: rolling mean ± `width`·σ over the `n` rows
+    * STRICTLY BEFORE each row per key (population σ), plus a breakout
+    * flag (+1 above the upper band, −1 below the lower, 0 inside,
+    * null until n prior rows exist). The band window excludes the
+    * current row — with the point inside its own band the max
+    * achievable deviation is (n−1)/√n σ, so a genuine spike both
+    * inflates the band and can never break it at small n; the
+    * trailing-exclusive window is the standard look-ahead-free signal
+    * form. Appends `mid`, `upper`, `lower`, `breakout`. Same
     * O(1)-per-row cumulative-sum-difference frames as [[wma]]. */
   def bollinger(df: DataFrame, key: String, ts: String, id: String,
                 value: String, n: Int, width: Double): DataFrame = {
     val ord = Window.partitionBy(col(key)).orderBy(col(ts), col(id))
     val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    def slide(c: String): Column = col(c) - coalesce(lag(col(c), n).over(ord), lit(0.0))
+    // sum over rows [t-n, t-1]: lag(cum, 1) - lag(cum, n+1)
+    def slide(c: String): Column =
+      coalesce(lag(col(c), 1).over(ord), lit(0.0)) -
+        coalesce(lag(col(c), n + 1).over(ord), lit(0.0))
     df.withColumn("__rn", row_number().over(ord))
       .withColumn("__cx", sum(col(value)).over(cum))
       .withColumn("__cx2", sum(col(value) * col(value)).over(cum))
       .withColumn("__sx", slide("__cx")).withColumn("__sx2", slide("__cx2"))
-      .withColumn("mid", when(col("__rn") >= n, col("__sx") / n))
+      .withColumn("mid", when(col("__rn") >= n + 1, col("__sx") / n))
       .withColumn("__var", col("__sx2") / n - (col("__sx") / n) * (col("__sx") / n))
-      .withColumn("__sd", when(col("__rn") >= n,
+      .withColumn("__sd", when(col("__rn") >= n + 1,
         when(col("__var") > 0, sqrt(col("__var"))).otherwise(lit(0.0))))
       .withColumn("upper", col("mid") + lit(width) * col("__sd"))
       .withColumn("lower", col("mid") - lit(width) * col("__sd"))

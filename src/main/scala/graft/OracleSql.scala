@@ -15,6 +15,10 @@ object OracleSql {
 
   def norm2(a: String, n: Int): String = dot(a, a, n)
 
+  /** Squared L2 distance over 1-based lists — [[graft.F.dist2N]]'s twin. */
+  def dist2(a: String, b: String, n: Int): String =
+    balSum((1 to n).map(i => s"(($a[$i] - $b[$i]) * ($a[$i] - $b[$i]))"))
+
   def cosine(a: String, b: String, n: Int): String =
     s"${dot(a, b, n)} / (sqrt(${norm2(a, n)}) * sqrt(${norm2(b, n)}))"
 

@@ -52,12 +52,13 @@ object FinOps {
       |GROUP BY 1, 2
       |ORDER BY p_brand, month_ms""".stripMargin
 
-  /** #q31 Bollinger bands: rolling mean ± 2σ over the last 20 rows per
-    * series + breakout flags — the band form of the reference's
-    * extreme-move detection. Same O(1)-per-row cumulative-sum-difference
-    * machinery as q11/q21 (Spark sliding frames re-aggregate O(n) per
-    * row); the oracle derives the sums identically so doubles are
-    * bit-exact. Population σ; null until the window is full. */
+  /** #q31 Bollinger bands: rolling mean ± 2σ over the 20 rows STRICTLY
+    * BEFORE each row per series + breakout flags — the band form of the
+    * reference's extreme-move detection, look-ahead-free (the current
+    * row never contaminates its own band; see [[graft.Graft.bollinger]]).
+    * Same O(1)-per-row cumulative-sum-difference machinery as q11/q21;
+    * the oracle derives the sums identically so doubles are bit-exact.
+    * Population σ; null until 20 prior rows exist. */
   private val q31: Q = (s, dir) =>
     graft.Graft.bollinger(t(s, dir, "events"), "event_type", "ts", "event_id", "value",
         n = 20, width = 2.0)
@@ -78,16 +79,18 @@ object FinOps {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
       |f AS (
       |  SELECT *,
-      |    cx - coalesce(lag(cx, 20) OVER o, CAST(0.0 AS DOUBLE)) AS sx,
-      |    cx2 - coalesce(lag(cx2, 20) OVER o, CAST(0.0 AS DOUBLE)) AS sx2
+      |    coalesce(lag(cx, 1) OVER o, CAST(0.0 AS DOUBLE))
+      |      - coalesce(lag(cx, 21) OVER o, CAST(0.0 AS DOUBLE)) AS sx,
+      |    coalesce(lag(cx2, 1) OVER o, CAST(0.0 AS DOUBLE))
+      |      - coalesce(lag(cx2, 21) OVER o, CAST(0.0 AS DOUBLE)) AS sx2
       |  FROM c
       |  WINDOW o AS (PARTITION BY event_type ORDER BY ts, event_id)),
       |b AS (
       |  SELECT event_type, event_id, ts, value,
-      |    CASE WHEN rn >= 20 THEN sx / 20.0 END AS mid,
-      |    CASE WHEN rn >= 20 AND sx2 / 20.0 - (sx / 20.0) * (sx / 20.0) > 0
+      |    CASE WHEN rn >= 21 THEN sx / 20.0 END AS mid,
+      |    CASE WHEN rn >= 21 AND sx2 / 20.0 - (sx / 20.0) * (sx / 20.0) > 0
       |      THEN sqrt(sx2 / 20.0 - (sx / 20.0) * (sx / 20.0))
-      |      WHEN rn >= 20 THEN 0.0 END AS sd
+      |      WHEN rn >= 21 THEN 0.0 END AS sd
       |  FROM f)
       |SELECT event_type, event_id, epoch_ms(ts) AS ts_ms, value,
       |  round(mid, 6) AS mid,

@@ -156,13 +156,83 @@ object SimOps {
        |FROM r WHERE rank <= $K
        |ORDER BY q_id, rank""".stripMargin
 
+  /** Lloyd's k-means over ANY (id, vector) table (public operator
+    * behind [[graft.Graft.kmeans]]): deterministic init (the k
+    * smallest-id vectors), `iters` assign→update rounds, then a final
+    * assignment against the trained centroids. Returns one row per
+    * input vector: (id, cluster, dist2).
+    *
+    * Scale shape: every round is one corpus scan joined to a BROADCAST
+    * k-row centroid table (k·dims doubles — always tiny) and one
+    * k-row aggregate; nothing corpus-sized ever shuffles on a
+    * non-key, and rounds compose as a linear plan chain. Centroid
+    * components are floor-rounded to 6 dp between rounds: the per-
+    * cluster mean is a hash-order float sum, and the rounding is what
+    * pins both engines (and any two cluster layouts) to identical
+    * centroid bits before the next round. Empty clusters drop out
+    * (their centroid has no rows to average — standard Lloyd's). */
+  def kmeansOf(vecs: DataFrame, idCol: String, vecCol: String, dims: Int,
+               k: Int, iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 0, s"k >= 1 and iters >= 0 required, got k=$k iters=$iters")
+    val e = vecs.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val w = Window.partitionBy(col("__id")).orderBy(col("__d2"), col("__cid"))
+    def assign(cents: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cents))
+        .withColumn("__d2", dist2N(col("__v"), col("__cv"), dims))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("__id"), col("__v"), col("__cid"), col("__d2"))
+    val init = e.orderBy(col("__id")).limit(k)
+      .select(col("__id").as("__cid"), col("__v").as("__cv"))
+    val trained = (0 until iters).foldLeft(init) { (cents, _) =>
+      assign(cents)
+        .groupBy(col("__cid"))
+        .agg(array((0 until dims).map(i => r6(avg(col("__v").getItem(i)))): _*).as("__cv"))
+    }
+    assign(trained)
+      .select(col("__id").as(idCol), col("__cid").as("cluster"), col("__d2").as("dist2"))
+  }
+
+  /** #26c k-means training AS a query: k=8, 2 Lloyd rounds, per-cluster
+    * size + inertia (the IVF centroid-training pass s02 presupposes). */
+  private val s04: Q = (s, dir) =>
+    kmeansOf(vecs(s, dir), "vec_id", "v", dims = 64, k = 8, iters = 2)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_points"), r4(sum(col("dist2"))).as("inertia"))
+      .orderBy("cluster")
+
+  private val s04Sql = {
+    def d2(a: String, b: String) = graft.OracleSql.dist2(a, b, 64)
+    val cvAvg = (1 to 64).map(i => s"floor(avg(v[$i]) * 1000000.0 + 0.5) / 1000000.0")
+      .mkString("list_value(", ", ", ")")
+    def round_(prev: String, out: String) =
+      s"""a$out AS (SELECT vec_id, v, c_id, ${d2("v", "cv")} AS d2,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY ${d2("v", "cv")}, c_id) AS rn
+         |  FROM e CROSS JOIN c$prev),
+         |m$out AS (SELECT vec_id, v, c_id, d2 FROM a$out WHERE rn = 1),
+         |c$out AS (SELECT c_id, $cvAvg AS cv FROM m$out GROUP BY c_id)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+       |${round_("0", "1")},
+       |${round_("1", "2")},
+       |af AS (SELECT vec_id, c_id, ${d2("v", "cv")} AS d2,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ${d2("v", "cv")}, c_id) AS rn
+       |  FROM e CROSS JOIN c2)
+       |SELECT c_id AS cluster, count(*) AS n_points, round(sum(d2), 4) AS inertia
+       |FROM af WHERE rn = 1
+       |GROUP BY c_id
+       |ORDER BY cluster""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "s01_knn_bruteforce" -> s01,
     "s02_ann_ivf" -> s02,
-    "s03_ann_lsh" -> s03)
+    "s03_ann_lsh" -> s03,
+    "s04_kmeans" -> s04)
 
   val oracle: Map[String, String] = Map(
     "s01_knn_bruteforce" -> s01Sql,
     "s02_ann_ivf" -> s02Sql,
-    "s03_ann_lsh" -> s03Sql)
+    "s03_ann_lsh" -> s03Sql,
+    "s04_kmeans" -> s04Sql)
 }

@@ -168,15 +168,50 @@ object StreamOps {
       |  AND v_ts >= p_ts - INTERVAL 2 HOUR AND v_ts <= p_ts
       |ORDER BY p_event_id, v_event_id""".stripMargin
 
+  /** Top-k ranking over a windowed aggregate — the sink-side half of a
+    * streaming leaderboard. Ranking needs the whole window's counts,
+    * so in a streaming deployment [[tumblingAgg]] runs WITH a
+    * watermark (append mode emits each window once, final) and this
+    * rank runs per emitted window — in `foreachBatch` or on the sink
+    * table — never inside the append stream (proven equivalent in
+    * StreamingSpec). Batch: one window shuffle after the agg. */
+  def windowTopK(agg: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("window")).orderBy(col("n").desc, col("event_type"))
+    agg.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** #35b batch-equivalent entry: hourly top-3 event types by count —
+    * the windowed leaderboard over the events stream. */
+  private val st04: Q = (s, dir) =>
+    windowTopK(tumblingAgg(t(s, dir, "events")), k = 3)
+      .select(unix_millis(col("window.start")).as("bucket_ms"), col("rank"),
+        col("event_type"), col("n"), r4(col("total_raw")).as("total"))
+      .orderBy("bucket_ms", "rank")
+
+  private val st04Sql =
+    """WITH a AS (
+      |  SELECT date_trunc('hour', ts) AS b, event_type,
+      |    count(*) AS n, sum(value) AS total_raw
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY b ORDER BY n DESC, event_type) AS BIGINT) AS rank
+      |  FROM a)
+      |SELECT epoch_ms(b) AS bucket_ms, rank, event_type, n, round(total_raw, 4) AS total
+      |FROM r WHERE rank <= 3
+      |ORDER BY bucket_ms, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "st01_window_agg" -> st01,
     "st02_stream_dedup" -> st02,
-    "st03_interval_join" -> st03)
+    "st03_interval_join" -> st03,
+    "st04_stream_topk" -> st04)
 
   val oracle: Map[String, String] = Map(
     "st01_window_agg" -> st01Sql,
     "st02_stream_dedup" -> st02Sql,
-    "st03_interval_join" -> st03Sql)
+    "st03_interval_join" -> st03Sql,
+    "st04_stream_topk" -> st04Sql)
 
   /** The reference's ENTIRE ingest loop as one continuous pipeline:
     * landed JSON kline pages (one row per fetched page — files here; a

@@ -59,6 +59,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st04 windowed top-k: append-mode agg + sink-side rank == batch") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Ev]
+    // append mode: each window emits exactly once, when the watermark
+    // passes its end — the rank then runs on FINAL counts at the sink
+    val q = StreamOps.tumblingAgg(input.toDF().withWatermark("ts", "2 hours"))
+      .writeStream.format("memory").queryName("st04_out").outputMode("append").start()
+    try {
+      input.addData(rows.take(3))
+      q.processAllAvailable()
+      input.addData(rows.drop(3))
+      q.processAllAvailable()
+      // sentinel far in the future: advances the watermark past every
+      // real window (its own window stays pending and never emits)
+      input.addData(Seq(Ev(999, 9, "flush", ts(100000), 0.0)))
+      q.processAllAvailable()
+      val streamed = StreamOps.windowTopK(spark.table("st04_out"), 3)
+        .select(unix_millis(col("window.start")).as("bucket_ms"), col("rank"),
+          col("event_type"), col("n"))
+        .orderBy("bucket_ms", "rank").collect().toSeq
+      val batch = StreamOps.windowTopK(StreamOps.tumblingAgg(rows.toDF()), 3)
+        .select(unix_millis(col("window.start")).as("bucket_ms"), col("rank"),
+          col("event_type"), col("n"))
+        .orderBy("bucket_ms", "rank").collect().toSeq
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("st01 batch entry matches the streaming transform on testdata") {
     val viaEntry = SparkEntry.queries("st01_window_agg")(spark, sfDir)
     val direct = StreamOps.tumblingAggOut(StreamOps.tumblingAgg(Tables.t(spark, sfDir, "events")))
