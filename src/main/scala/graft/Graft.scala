@@ -525,8 +525,13 @@ object Graft {
     * order-dependent in the last float bits). Null corr on degenerate
     * variance or fewer than 2 shared buckets. */
   def pairCorr(df: DataFrame, key: String, bucket: String, value: String): DataFrame = {
-    val a = df.select(col(key).as("type_a"), col(bucket).as("__b"), col(value).as("__x"))
-    val b = df.select(col(key).as("type_b"), col(bucket).as("__b2"), col(value).as("__y"))
+    // both join sides derive from df; without the barrier Spark
+    // recomputes the (usually aggregated) input twice — no cross-side
+    // common-subtree elimination. The grid is bucket-sized, so the
+    // checkpoint is tiny.
+    val grid = df.localCheckpoint()
+    val a = grid.select(col(key).as("type_a"), col(bucket).as("__b"), col(value).as("__x"))
+    val b = grid.select(col(key).as("type_b"), col(bucket).as("__b2"), col(value).as("__y"))
     val ord = Window.partitionBy(col("type_a"), col("type_b")).orderBy(col("__b"))
     val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val pw = Window.partitionBy(col("type_a"), col("type_b"))

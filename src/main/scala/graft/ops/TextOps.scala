@@ -374,12 +374,16 @@ object TextOps {
     * be partition-order-dependent in the last float bits. */
   def bigramScoreOf(docs: DataFrame, idCol: String, textCol: String,
                     addK: Double = 0.5): DataFrame = {
+    // the bigram stream feeds BOTH the model counts and the scoring
+    // join; the barrier stops the tokenize+explode from running twice
+    // (no cross-side common-subtree elimination in Catalyst)
     val bg = docs.select(col(idCol).as("doc_id"), words(col(textCol)).as("__ws"))
       .filter(size(col("__ws")) >= 2)
       .select(col("doc_id"), posexplode(expr(
         "transform(sequence(0, size(__ws)-2), i -> struct(__ws[i] AS w1, __ws[i+1] AS w2))"))
         .as(Seq("pos", "__bg")))
       .select(col("doc_id"), col("pos"), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+      .localCheckpoint()
     val counts = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
       .withColumn("c1", sum(col("c12")).over(Window.partitionBy(col("w1"))))
     val vocab = counts.agg(count_distinct(col("w2")).as("__v"))
