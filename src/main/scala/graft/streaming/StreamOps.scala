@@ -32,6 +32,17 @@ case class AsofOut(key: Long, id: Long, ts_ms: Long, value: Double,
 /** Rolling window of the n−1 most recent values per key (oldest first). */
 case class WmaState(recent: List[Double])
 
+/** Event for [[StreamOps.streamingBollinger]]. */
+case class BollEvent(event_type: String, event_id: Long, ts: java.sql.Timestamp, value: Double)
+
+/** The n values BEFORE the next event, oldest first (O(n) per key). */
+case class BollState(recent: List[Double])
+
+/** One banded observation; bands are None until n prior values exist. */
+case class BollOut(event_type: String, event_id: Long, ts_ms: Long, value: Double,
+                   mid: Option[Double], upper: Option[Double], lower: Option[Double],
+                   breakout: Option[Int])
+
 /** One WMA observation per input event; `wma` is None until the window
   * is full (pandas_ta semantics, matching batch q11). */
 case class WmaOut(event_type: String, event_id: Long, ts_ms: Long, value: Double, wma: Option[Double])
@@ -290,6 +301,42 @@ object StreamOps {
             WmaOut(key, e.event_id, e.ts.getTime, e.value, wma)
           }
           state.update(WmaState(recent))
+          out.iterator
+      }
+  }
+
+  /** Streaming Bollinger bands — batch q31's band detector run
+    * continuously: per key, [[GroupState]] holds the n most recent
+    * values (O(n) per key, independent of stream length); each
+    * arriving event is banded against the n values STRICTLY BEFORE it
+    * (the same look-ahead-free window as [[graft.Graft.bollinger]]),
+    * emitting mid/upper/lower and the ±1 breakout flag, None until n
+    * predecessors exist. Same arrival-order contract as
+    * [[streamingWma]]; spec-proven equal to the batch operator. */
+  def streamingBollinger(events: Dataset[BollEvent], n: Int, width: Double): Dataset[BollOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[BollState, BollOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[BollEvent], state: GroupState[BollState]) =>
+          var recent = state.getOption.map(_.recent).getOrElse(List.empty[Double])
+          val out = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+            val banded =
+              if (recent.size == n) {
+                val mean = recent.sum / n
+                val variance = recent.map(x => x * x).sum / n - mean * mean
+                val sd = if (variance > 0) math.sqrt(variance) else 0.0
+                val (up, lo) = (mean + width * sd, mean - width * sd)
+                val flag = if (e.value > up) 1 else if (e.value < lo) -1 else 0
+                BollOut(key, e.event_id, e.ts.getTime, e.value,
+                  Some(mean), Some(up), Some(lo), Some(flag))
+              } else
+                BollOut(key, e.event_id, e.ts.getTime, e.value, None, None, None, None)
+            recent = (recent :+ e.value).takeRight(n)
+            banded
+          }
+          state.update(BollState(recent))
           out.iterator
       }
   }

@@ -196,6 +196,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Bollinger(20) == batch q31 when events arrive in event-time order") {
+    import graft.streaming.{BollEvent, BollOut}
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[BollEvent]
+    val q = StreamOps.streamingBollinger(input.toDS(), n = 20, width = 2.0)
+      .writeStream.format("memory").queryName("boll_out").outputMode("append").start()
+    try {
+      val evs = Tables.t(spark, sfDir, "events")
+        .select(col("event_type"), col("event_id"), col("ts"), col("value"))
+        .as[BollEvent].collect().sortBy(e => (e.ts.getTime, e.event_id))
+      evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { b =>
+        input.addData(b.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val got = spark.table("boll_out").as[BollOut].collect()
+        .map(o => (o.event_type, o.event_id) -> ((o.mid, o.upper, o.breakout))).toMap
+      val want = Graft.bollinger(Tables.t(spark, sfDir, "events"),
+          "event_type", "ts", "event_id", "value", n = 20, width = 2.0)
+        .select("event_type", "event_id", "mid", "upper", "breakout").collect()
+        .map { r =>
+          val k = (r.getString(0), r.getLong(1))
+          val v =
+            if (r.isNullAt(2)) (None, None, None)
+            else (Some(r.getDouble(2)), Some(r.getDouble(3)), Some(r.getInt(4)))
+          k -> v
+        }.toMap
+      assert(got.keySet == want.keySet)
+      var breakouts = 0
+      want.foreach { case (k, (wm, wu, wb)) =>
+        val (gm, gu, gb) = got(k)
+        (gm, wm) match {
+          case (None, None) => // warm-up rows agree
+          case (Some(g), Some(e)) =>
+            // batch uses cumulative-sum differences; fp tolerance only
+            assert(math.abs(g - e) < 1e-6, s"$k mid: streaming $g vs batch $e")
+            assert(math.abs(gu.get - wu.get) < 1e-6, s"$k upper")
+            assert(gb == wb, s"$k breakout: streaming $gb vs batch $wb")
+            breakouts += wb.count(_ != 0)
+          case (g, e) => fail(s"$k: null disagreement streaming=$g batch=$e")
+        }
+      }
+      assert(breakouts > 0, "testdata should produce at least one band breakout")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization: gap closes sessions, timeout flushes state") {
     import graft.streaming.{SessEvent, Session}
     implicit val sql = spark.sqlContext
