@@ -572,6 +572,98 @@ object Graft {
         col("effective_to"), col("is_current"))
   }
 
+  /** Relative Strength Index (Cutler's RSI: simple-mean gains/losses,
+    * the order-independent window form — Wilder's smoothing is a
+    * linear recurrence, i.e. a segmented scan at scale, while this is
+    * a fixed window on one sort). Per key ordered by (ts, id):
+    * delta = value − lag(value); RSI_t = 100·ΣgainsN/(ΣgainsN+ΣlossesN)
+    * over the last `n` deltas (50 when both sums are 0 — a flat
+    * window); null until n deltas exist. Appends `rsi`. Same
+    * O(1)-per-row cumulative-sum-difference frames as [[wma]]. */
+  def rsi(df: DataFrame, key: String, ts: String, id: String,
+          value: String, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val ord = Window.partitionBy(col(key)).orderBy(col(ts), col(id))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def slide(c: String): Column = col(c) - coalesce(lag(col(c), n).over(ord), lit(0.0))
+    df.withColumn("__d", col(value) - lag(col(value), 1).over(ord))
+      .withColumn("__g", when(col("__d") > 0, col("__d")).otherwise(lit(0.0)))
+      .withColumn("__l", when(col("__d") < 0, -col("__d")).otherwise(lit(0.0)))
+      // row 1 has no delta: its gain/loss stay null and drop out of the sums
+      .withColumn("__g", when(col("__d").isNotNull, col("__g")))
+      .withColumn("__l", when(col("__d").isNotNull, col("__l")))
+      .withColumn("__rn", row_number().over(ord))
+      .withColumn("__cg", sum(col("__g")).over(cum))
+      .withColumn("__cl", sum(col("__l")).over(cum))
+      .withColumn("__sg", slide("__cg"))
+      .withColumn("__sl", slide("__cl"))
+      .withColumn("rsi",
+        when(col("__rn") >= n + 1,
+          when(col("__sg") + col("__sl") === 0, lit(50.0))
+            .otherwise(lit(100.0) * col("__sg") / (col("__sg") + col("__sl")))))
+      .drop("__d", "__g", "__l", "__rn", "__cg", "__cl", "__sg", "__sl")
+  }
+
+  /** Average True Range over a bar table (e.g. [[resampleOhlc]]
+    * output, unique per (key, bucket)): true range = max(high−low,
+    * |high−prevClose|, |low−prevClose|) (first bar: high−low), ATR =
+    * simple mean of the last `n` true ranges (the window form; Wilder
+    * smoothing is a recurrence — see [[rsi]]). Appends `tr` and `atr`
+    * (null until n bars). One window shuffle on the series key. */
+  def atr(bars: DataFrame, key: String, bucket: String, high: String,
+          low: String, close: String, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val ord = Window.partitionBy(col(key)).orderBy(col(bucket))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bars.withColumn("__pc", lag(col(close), 1).over(ord))
+      .withColumn("tr",
+        when(col("__pc").isNull, col(high) - col(low))
+          .otherwise(greatest(col(high) - col(low),
+            abs(col(high) - col("__pc")), abs(col(low) - col("__pc")))))
+      .withColumn("__rn", row_number().over(ord))
+      .withColumn("__ct", sum(col("tr")).over(cum))
+      .withColumn("atr",
+        when(col("__rn") >= n,
+          (col("__ct") - coalesce(lag(col("__ct"), n).over(ord), lit(0.0))) / n))
+      .drop("__pc", "__rn", "__ct")
+  }
+
+  /** On-balance volume over a bar table: OBV_t = Σ sign(close_i −
+    * close_{i−1})·volume_i — volume flows with the price direction
+    * (the first bar contributes 0). A cumulative window sum per key —
+    * a sequential per-key fold, deterministic under any partitioning.
+    * Appends `obv`. */
+  def obv(bars: DataFrame, key: String, bucket: String, close: String,
+          volume: String): DataFrame = {
+    val ord = Window.partitionBy(col(key)).orderBy(col(bucket))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bars.withColumn("__dc", col(close) - lag(col(close), 1).over(ord))
+      .withColumn("__sv",
+        when(col("__dc") > 0, col(volume))
+          .when(col("__dc") < 0, -col(volume))
+          .otherwise(lit(0.0)))
+      .withColumn("obv", sum(col("__sv")).over(cum))
+      .drop("__dc", "__sv")
+  }
+
+  /** Deterministic global shuffle + sharding — the order-randomizing
+    * step before training-data export: rows order by md5(salt:id),
+    * shard = hash mod `nShards`, `pos` = rank within the shard by the
+    * same hash order. A pure function of (salt, ids): reruns, retries
+    * and cluster size reproduce the permutation bit-for-bit (never
+    * rand()/shuffle()). Appends `shard` and `pos`; one window shuffle
+    * on the shard key. */
+  def shuffleShards(df: DataFrame, id: String, nShards: Int,
+                    salt: String = "graft"): DataFrame =
+    ops.DataOps.shuffleShardsOf(df, id, nShards, salt)
+
+  /** Per-document top-k TF-IDF terms: tf = in-doc term count, idf =
+    * ln((1+N)/(1+df)) + 1 (smoothed); terms ranked per doc by
+    * (tf·idf desc, term). Shuffles carry (doc, term, count) — never
+    * text; the doc-frequency table is vocabulary-sized. */
+  def tfidfTopTerms(docs: DataFrame, id: String, text: String, k: Int): DataFrame =
+    ops.TextOps.tfidfTopTermsOf(docs, id, text, k)
+
   /** Truncated exponentially-weighted moving average — pandas
     * ewm(alpha, adjust=True) over the last `w` observations:
     * ewma_t = Σ_{j<min(rn,w)} (1−α)^j·x_{t-j} / Σ_j (1−α)^j. Appends
