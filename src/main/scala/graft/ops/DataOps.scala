@@ -116,6 +116,26 @@ object DataOps {
       |FROM c
       |ORDER BY doc_id""".stripMargin
 
+  /** Deterministic global shuffle + sharding (public operator behind
+    * [[graft.Graft.shuffleShards]]) — the order-randomizing step before
+    * training-data export: h = md5-hash of (salt || id), shard = h mod
+    * `nShards`, `pos` = 0-based rank within the shard by (h, id).
+    * A pure function of (salt, ids): reruns, retries and cluster size
+    * reproduce the permutation bit-for-bit (never rand()/shuffle()).
+    * One window shuffle on the shard key — each shard's rank sort is
+    * independent, so nShards ≥ executor count keeps every core busy
+    * and no single sort sees more than 1/nShards of the data. */
+  def shuffleShardsOf(df: DataFrame, idCol: String, nShards: Int,
+                      salt: String): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val h = hash60(concat(lit(salt + ":"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .drop("__h")
+  }
+
   /** Corpus-wide term frequencies, top k (public operator behind
     * [[graft.Graft.topTerms]]): explode → count → top-k with a total
     * tie-break. Map-side partial aggregation absorbs the explode —
