@@ -124,7 +124,12 @@ object DataOps {
     * reproduce the permutation bit-for-bit (never rand()/shuffle()).
     * One window shuffle on the shard key — each shard's rank sort is
     * independent, so nShards ≥ executor count keeps every core busy
-    * and no single sort sees more than 1/nShards of the data. */
+    * and no single sort sees more than 1/nShards of the data.
+    *
+    * Assumes `idCol` is a unique key (like every keyed operator here):
+    * duplicate ids tie on (h, id) and their relative `pos` is then
+    * partition-order dependent. Output columns `shard` and `pos` (and
+    * the transient `__h`) OVERWRITE same-named input columns. */
   def shuffleShardsOf(df: DataFrame, idCol: String, nShards: Int,
                       salt: String): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
@@ -325,9 +330,28 @@ object DataOps {
       |GROUP BY tr.doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** #39b deterministic export shuffle: shard + in-shard position for
+    * every document. The oracle reproduces the md5 permutation exactly
+    * (same 60-bit hex prefix), so shard AND pos hash-match. */
+  private val ds08: Q = (s, dir) =>
+    shuffleShardsOf(t(s, dir, "documents"), "doc_id", nShards = 8, salt = "graft")
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("doc_id")
+
+  private val ds08Sql =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      |  FROM documents)
+      |SELECT doc_id, CAST(h % 8 AS INTEGER) AS shard,
+      |  row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1 AS pos
+      |FROM h
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "ds06_mixture_sample" -> ds06,
     "ds07_decontaminate" -> ds07,
+    "ds08_shuffle_shards" -> ds08,
     "ds01_hash_split" -> ds01,
     "ds02_det_sample" -> ds02,
     "ds03_pack_bins" -> ds03,
@@ -337,6 +361,7 @@ object DataOps {
   val oracle: Map[String, String] = Map(
     "ds06_mixture_sample" -> ds06Sql,
     "ds07_decontaminate" -> ds07Sql,
+    "ds08_shuffle_shards" -> ds08Sql,
     "ds01_hash_split" -> ds01Sql,
     "ds02_det_sample" -> ds02Sql,
     "ds03_pack_bins" -> ds03Sql,

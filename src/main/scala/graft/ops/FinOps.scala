@@ -252,13 +252,133 @@ object FinOps {
        |ORDER BY event_type, ts_ms, event_id""".stripMargin
   }
 
+  /** #q36 RSI(14) per series — Cutler's form (see [[graft.Graft.rsi]]).
+    * The oracle derives the same cumulative-sum differences over the
+    * same (ts, id) order, so every double is a sequential fold in a
+    * defined order: bit-exact across engines. */
+  private val q36: Q = (s, dir) =>
+    graft.Graft.rsi(t(s, dir, "events"), "event_type", "ts", "event_id", "value", n = 14)
+      .select(col("event_type"), col("event_id"), epochMs(col("ts")).as("ts_ms"),
+        col("value"), r6(col("rsi")).as("rsi"))
+      .orderBy("event_type", "ts_ms", "event_id")
+
+  private val q36Sql =
+    """WITH d AS (
+      |  SELECT event_type, event_id, ts, value,
+      |    value - lag(value, 1) OVER o AS dd,
+      |    row_number() OVER o AS rn
+      |  FROM events
+      |  WINDOW o AS (PARTITION BY event_type ORDER BY ts, event_id)),
+      |g AS (
+      |  SELECT *,
+      |    CASE WHEN dd IS NULL THEN NULL WHEN dd > 0 THEN dd ELSE 0.0 END AS gn,
+      |    CASE WHEN dd IS NULL THEN NULL WHEN dd < 0 THEN -dd ELSE 0.0 END AS ls
+      |  FROM d),
+      |c AS (
+      |  SELECT *, sum(gn) OVER w AS cg, sum(ls) OVER w AS cl
+      |  FROM g
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |f AS (
+      |  SELECT event_type, event_id, ts, value, rn,
+      |    cg - coalesce(lag(cg, 14) OVER o, CAST(0.0 AS DOUBLE)) AS sg,
+      |    cl - coalesce(lag(cl, 14) OVER o, CAST(0.0 AS DOUBLE)) AS sl
+      |  FROM c
+      |  WINDOW o AS (PARTITION BY event_type ORDER BY ts, event_id))
+      |SELECT event_type, event_id, epoch_ms(ts) AS ts_ms, value,
+      |  round(CASE WHEN rn >= 15 THEN
+      |    CASE WHEN sg + sl = 0 THEN 50.0 ELSE 100.0 * sg / (sg + sl) END
+      |  END, 6) AS rsi
+      |FROM f
+      |ORDER BY event_type, ts_ms, event_id""".stripMargin
+
+  /** The hourly bar table q37/q38 run over: OHLC from min_by/max_by /
+    * min/max — every column an exact arg-pick or comparison, so the
+    * downstream window folds are bit-exact across engines (the double
+    * SUM volume column is deliberately NOT used; n_trades is the
+    * deterministic volume proxy for the parity gate — [[graft.Graft.obv]]
+    * is column-generic and takes the real volume in production). */
+  private def hourBars(s: SparkSession, dir: String): DataFrame =
+    graft.Graft.resampleOhlc(t(s, dir, "events"), "event_type", "ts", "event_id", "value", "hour")
+
+  private val barsSqlCte =
+    """b AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+      |    max(value) AS high, min(value) AS low,
+      |    last(value ORDER BY ts, event_id) AS close,
+      |    count(*) AS n_trades
+      |  FROM events GROUP BY 1, 2)""".stripMargin
+
+  /** #q37 ATR(14) over hourly bars (see [[graft.Graft.atr]]): true
+    * range needs only high/low/prev-close — all exact aggregates — so
+    * the rolling mean is bit-exact. */
+  private val q37: Q = (s, dir) =>
+    graft.Graft.atr(hourBars(s, dir), "event_type", "bucket", "high", "low", "close", n = 14)
+      .select(col("event_type"), epochMs(col("bucket")).as("bucket_ms"),
+        r6(col("tr")).as("tr"), r6(col("atr")).as("atr"))
+      .orderBy("event_type", "bucket_ms")
+
+  private val q37Sql =
+    s"""WITH $barsSqlCte,
+       |c AS (
+       |  SELECT event_type, bucket, high, low,
+       |    lag(close, 1) OVER o AS pc,
+       |    row_number() OVER o AS rn
+       |  FROM b
+       |  WINDOW o AS (PARTITION BY event_type ORDER BY bucket)),
+       |r AS (
+       |  SELECT event_type, bucket, rn,
+       |    CASE WHEN pc IS NULL THEN high - low
+       |      ELSE greatest(high - low, abs(high - pc), abs(low - pc)) END AS tr
+       |  FROM c),
+       |f AS (
+       |  SELECT event_type, bucket, rn, tr,
+       |    sum(tr) OVER (PARTITION BY event_type ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct
+       |  FROM r)
+       |SELECT event_type, epoch_ms(bucket) AS bucket_ms,
+       |  round(tr, 6) AS tr,
+       |  round(CASE WHEN rn >= 14 THEN
+       |    (ct - coalesce(lag(ct, 14) OVER (PARTITION BY event_type ORDER BY bucket),
+       |                   CAST(0.0 AS DOUBLE))) / 14
+       |  END, 6) AS atr
+       |FROM f
+       |ORDER BY event_type, bucket_ms""".stripMargin
+
+  /** #q38 OBV over hourly bars (see [[graft.Graft.obv]]); n_trades as
+    * the volume column keeps the cumulative fold bit-exact (see
+    * [[hourBars]]). */
+  private val q38: Q = (s, dir) =>
+    graft.Graft.obv(hourBars(s, dir).withColumn("__vol", col("n_trades").cast("double")),
+        "event_type", "bucket", "close", "__vol")
+      .select(col("event_type"), epochMs(col("bucket")).as("bucket_ms"),
+        col("close"), r4(col("obv")).as("obv"))
+      .orderBy("event_type", "bucket_ms")
+
+  private val q38Sql =
+    s"""WITH $barsSqlCte,
+       |c AS (
+       |  SELECT event_type, bucket, close,
+       |    close - lag(close, 1) OVER (PARTITION BY event_type ORDER BY bucket) AS dc,
+       |    CAST(n_trades AS DOUBLE) AS vol
+       |  FROM b)
+       |SELECT event_type, epoch_ms(bucket) AS bucket_ms, close,
+       |  round(sum(CASE WHEN dc > 0 THEN vol WHEN dc < 0 THEN -vol ELSE 0.0 END)
+       |    OVER (PARTITION BY event_type ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS obv
+       |FROM c
+       |ORDER BY event_type, bucket_ms""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q30_vwap" -> q30,
     "q31_bollinger" -> q31,
     "q32_drawdown" -> q32,
     "q33_pair_corr" -> q33,
     "q34_scd2" -> q34,
-    "q35_ewma" -> q35)
+    "q35_ewma" -> q35,
+    "q36_rsi" -> q36,
+    "q37_atr" -> q37,
+    "q38_obv" -> q38)
 
   val oracle: Map[String, String] = Map(
     "q30_vwap" -> q30Sql,
@@ -266,5 +386,8 @@ object FinOps {
     "q32_drawdown" -> q32Sql,
     "q33_pair_corr" -> q33Sql,
     "q34_scd2" -> q34Sql,
-    "q35_ewma" -> q35Sql)
+    "q35_ewma" -> q35Sql,
+    "q36_rsi" -> q36Sql,
+    "q37_atr" -> q37Sql,
+    "q38_obv" -> q38Sql)
 }

@@ -444,9 +444,67 @@ object TextOps {
       |FROM f WHERE rn = n
       |ORDER BY doc_id""".stripMargin
 
+  /** Per-document top-k TF-IDF terms (public operator behind
+    * [[graft.Graft.tfidfTopTerms]]): tf = in-doc term count, idf =
+    * ln((1+N)/(1+df)) + 1 (smoothed, scikit-style), terms ranked per
+    * doc by (tf·idf desc, term). The tokenize+explode collapses into
+    * (doc_id, term, tf) at the first map-side-combined shuffle — raw
+    * text never shuffles — and the doc-frequency side is the DISTINCT
+    * vocabulary, shuffle-joined back on the term key. N rides a
+    * broadcast 1-row cross join (never a driver collect), so the whole
+    * op is one lazy distributed plan: at 100 TB the cost is token
+    * cardinality into the first combine, vocabulary after it. */
+  def tfidfTopTermsOf(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // barrier: (doc_id, term, tf) feeds BOTH the df counts and the
+    // scoring join (no cross-side subtree reuse in Catalyst — without
+    // it the tokenize+explode runs twice)
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(words(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val nDocs = docs.agg(count(lit(1)).as("__n"))
+    val dfTbl = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val rank = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dfTbl, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf") * (log((lit(1.0) + col("__n")) / (lit(1.0) + col("df"))) + lit(1.0)))
+      .withColumn("rnk", row_number().over(rank).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score"), col("rnk"))
+  }
+
+  /** #27e top-5 TF-IDF terms per document. */
+  private val t09: Q = (s, dir) =>
+    tfidfTopTermsOf(t(s, dir, "documents"), "doc_id", "text", 5)
+      .withColumn("score", r4(col("score")))
+      .orderBy("doc_id", "rnk")
+
+  private val t09Sql =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |s AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |    tf.tf * (ln((1.0 + n.n) / (1.0 + df.df)) + 1.0) AS score
+      |  FROM tf JOIN df USING (term), n),
+      |r AS (SELECT *, row_number() OVER
+      |    (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk FROM s)
+      |SELECT doc_id, term, tf, df, round(score, 4) AS score, rnk
+      |FROM r WHERE rnk <= 5
+      |ORDER BY doc_id, rnk""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "t07_pii_redact" -> t07,
     "t08_bigram_lm" -> t08,
+    "t09_tfidf" -> t09,
     "t01_lang_id" -> t01,
     "t02_quality_score" -> t02,
     "t03_token_count" -> t03,
@@ -457,6 +515,7 @@ object TextOps {
   val oracle: Map[String, String] = Map(
     "t07_pii_redact" -> t07Sql,
     "t08_bigram_lm" -> t08Sql,
+    "t09_tfidf" -> t09Sql,
     "t01_lang_id" -> t01Sql,
     "t02_quality_score" -> t02Sql,
     "t03_token_count" -> t03Sql,
