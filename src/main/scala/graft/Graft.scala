@@ -366,6 +366,25 @@ object Graft {
                             bands: Int = 4): DataFrame =
     ops.DedupOps.embeddingNearDupOf(vecs, id, vec, threshold, sketchBits, bands, dims)
 
+  /** [[embeddingNearDupPairs]] with the per-band sketch width derived
+    * from an `approx_count_distinct` pre-pass instead of a manual
+    * knob: bits = clamp(ceil(log2(n / targetBucket))) per band
+    * ([[ops.DedupOps.lshBandBits]]), so expected band-bucket occupancy
+    * stays ~`targetBucket` as the corpus grows — the documented log(n)
+    * band-bits rule turned automatically. The pre-pass is one
+    * partial-aggregated HLL scan collecting a single row (the same
+    * driver-state budget as the k-means centroids). MinHash banding
+    * (d02/d04) stays manual by design: its band count sets the
+    * similarity S-curve threshold, a semantic choice, not a
+    * corpus-size one. */
+  def embeddingNearDupPairsAuto(vecs: DataFrame, id: String, vec: String, dims: Int,
+                                threshold: Double = 0.95, bands: Int = 4,
+                                targetBucket: Long = 32L): DataFrame = {
+    val n = vecs.agg(approx_count_distinct(col(id))).head().getLong(0)
+    val cb = ops.DedupOps.lshBandBits(n, targetBucket, minBits = 6, maxBits = 60 / bands)
+    ops.DedupOps.embeddingNearDupOf(vecs, id, vec, threshold, cb * bands, bands, dims)
+  }
+
   /** Stopword-heuristic language ID features + predicted language;
     * `keep` carries extra input columns (e.g. a gold label). */
   def langId(docs: DataFrame, id: String, text: String,

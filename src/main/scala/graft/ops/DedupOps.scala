@@ -334,6 +334,21 @@ object DedupOps {
   /** The oracle instantiation: 24 planes × 64 dims. */
   val planes: Seq[Seq[Int]] = planesFor(24, 64)
 
+  /** Per-band sketch width for ~`targetBucket` expected rows per LSH
+    * bucket: bits = clamp(ceil(log2(n / targetBucket))) — the
+    * documented "band bits grow with log(corpus)" rule as a pure
+    * function, so a 100× corpus gets ~6.6 more bits per band with no
+    * manual knob change. `maxBits` caps the sketch at what the 64-bit
+    * sketch word can carry (60 / bands); recall falls as bits grow, so
+    * the clamp floor keeps small corpora from over-blocking. */
+  def lshBandBits(n: Long, targetBucket: Long = 32L,
+                  minBits: Int = 6, maxBits: Int = 15): Int = {
+    require(targetBucket >= 1 && minBits >= 1 && maxBits >= minBits)
+    val needed = math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket))
+      / math.log(2.0)).toInt
+    math.min(maxBits, math.max(minBits, needed))
+  }
+
   /** Embedding-cosine near-dup pairs over ANY (id, vector) table
     * (public operator behind [[graft.Graft.embeddingNearDupPairs]]):
     * `sketchBits`-bit random-hyperplane sign sketch, `bands` bit-slice

@@ -23,33 +23,61 @@ object FinOps {
 
   /** #q30 VWAP vs TWAP per (brand, month) — the execution-quality
     * benchmark pair: volume-weighted mean unit price vs the unweighted
-    * time-weighted mean. One scan, one agg shuffle; the dim join is
-    * broadcast. */
+    * time-weighted mean. The dim join is broadcast; the sums run as
+    * CUMULATIVE window folds over the total (orderkey, linenumber)
+    * order with the group's last row kept — the q33/t08 sequential-fold
+    * pattern — so every double is the same defined-order fold in both
+    * engines and the hash gate is immune to partition-order low-bit
+    * noise. (A plain hash-agg `groupBy.agg(sum…)` is the throughput
+    * form when bit-reproducibility across runs isn't required: it keeps
+    * map-side partial aggregation but folds in partition order.) */
   private val q30: Q = (s, dir) => {
     val li = t(s, dir, "lineitem").filter(col("l_quantity") > 0)
     val p = t(s, dir, "part")
+    val grp = Window.partitionBy(col("p_brand"), col("month"))
+    val ord = grp.orderBy(col("l_orderkey"), col("l_linenumber"))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
-      .groupBy(col("p_brand"), date_trunc("month", col("l_shipdate")).as("month"))
-      .agg(sum(col("l_extendedprice")).as("__notional"),
-        sum(col("l_quantity")).as("__qty"),
-        avg(col("l_extendedprice") / col("l_quantity")).as("__twap"),
-        count(lit(1)).as("n_fills"))
+      .select(col("p_brand"), date_trunc("month", col("l_shipdate")).as("month"),
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), col("l_quantity"))
+      .withColumn("__rn", row_number().over(ord))
+      .withColumn("__n", count(lit(1)).over(grp))
+      .withColumn("__cnot", sum(col("l_extendedprice")).over(cum))
+      .withColumn("__cqty", sum(col("l_quantity")).over(cum))
+      .withColumn("__cunit", sum(col("l_extendedprice") / col("l_quantity")).over(cum))
+      .filter(col("__rn") === col("__n"))
       .select(col("p_brand"), epochMs(col("month")).as("month_ms"),
-        r4(col("__notional") / col("__qty")).as("vwap"),
-        r4(col("__twap")).as("twap"),
-        r4(col("__notional")).as("notional"), col("n_fills"))
+        r4(col("__cnot") / col("__cqty")).as("vwap"),
+        r4(col("__cunit") / col("__n")).as("twap"),
+        r4(col("__cnot")).as("notional"),
+        col("__n").as("n_fills"))
       .orderBy("p_brand", "month_ms")
   }
 
   private val q30Sql =
-    """SELECT p_brand, epoch_ms(date_trunc('month', l_shipdate)) AS month_ms,
-      |  round(sum(l_extendedprice) / sum(l_quantity), 4) AS vwap,
-      |  round(avg(l_extendedprice / l_quantity), 4) AS twap,
-      |  round(sum(l_extendedprice), 4) AS notional,
-      |  count(*) AS n_fills
-      |FROM lineitem JOIN part ON l_partkey = p_partkey
-      |WHERE l_quantity > 0
-      |GROUP BY 1, 2
+    """WITH j AS (
+      |  SELECT p_brand, date_trunc('month', l_shipdate) AS month,
+      |    l_orderkey, l_linenumber, l_extendedprice, l_quantity
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_quantity > 0),
+      |c AS (
+      |  SELECT p_brand, month,
+      |    row_number() OVER o AS rn,
+      |    count(*) OVER (PARTITION BY p_brand, month) AS n,
+      |    sum(l_extendedprice) OVER w AS cnot,
+      |    sum(l_quantity) OVER w AS cqty,
+      |    sum(l_extendedprice / l_quantity) OVER w AS cunit
+      |  FROM j
+      |  WINDOW o AS (PARTITION BY p_brand, month ORDER BY l_orderkey, l_linenumber),
+      |    w AS (PARTITION BY p_brand, month ORDER BY l_orderkey, l_linenumber
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT p_brand, epoch_ms(month) AS month_ms,
+      |  round(cnot / cqty, 4) AS vwap,
+      |  round(cunit / n, 4) AS twap,
+      |  round(cnot, 4) AS notional,
+      |  n AS n_fills
+      |FROM c WHERE rn = n
       |ORDER BY p_brand, month_ms""".stripMargin
 
   /** #q31 Bollinger bands: rolling mean ± 2σ over the 20 rows STRICTLY

@@ -106,6 +106,33 @@ class Round6Spec extends SparkSpec {
     assert(d3 == Seq("common", "date"))
   }
 
+  test("lshBandBits: log-n growth holds the expected bucket occupancy bound") {
+    import ops.DedupOps.lshBandBits
+    // corpus ×10 → more bits, no knob change; occupancy n/2^bits stays
+    // under targetBucket until the hard sketch-width cap
+    val grows = Seq(500L, 5000L, 50000L, 500000L, 5000000L).map(lshBandBits(_))
+    assert(grows == grows.sorted, "bits must be monotone in corpus size")
+    for (n <- Seq(500L, 5000L, 50000L, 500000L)) {
+      val b = lshBandBits(n)
+      assert(b >= 6 && b <= 15)
+      assert(n.toDouble / (1L << b) <= 32.0, s"occupancy bound broken at n=$n")
+    }
+    assert(lshBandBits(5000000L) == 15, "cap at the 64-bit sketch word")
+    assert(lshBandBits(10L) == 6, "floor keeps small corpora from over-blocking")
+  }
+
+  test("embeddingNearDupPairsAuto wires the pre-pass into the same blocked plan") {
+    val e = Tables.t(spark, sfDir, "embeddings")
+    val auto = Graft.embeddingNearDupPairsAuto(e, "vec_id", "embedding",
+      dims = 64, threshold = 0.45)
+    val manual = Graft.embeddingNearDupPairs(e, "vec_id", "embedding",
+      dims = 64, threshold = 0.45, sketchBits = 24, bands = 4)
+    // the small test corpus resolves to the clamp floor (6 bits × 4
+    // bands = 24): identical blocking, identical confirmed pairs
+    assert(auto.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      manual.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
   test("tfidfTopTerms: equal (tf, df) scores break ties alphabetically") {
     val docs = Seq((1L, "zebra alpha"), (2L, "zebra alpha")).toDF("doc_id", "text")
     val out = Graft.tfidfTopTerms(docs, "doc_id", "text", k = 2)

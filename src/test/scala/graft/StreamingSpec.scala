@@ -223,6 +223,7 @@ class StreamingSpec extends SparkSpec {
           k -> v
         }.toMap
       assert(got.keySet == want.keySet)
+      val valueOf = evs.map(e => (e.event_type, e.event_id) -> e.value).toMap
       var breakouts = 0
       want.foreach { case (k, (wm, wu, wb)) =>
         val (gm, gu, gb) = got(k)
@@ -232,7 +233,14 @@ class StreamingSpec extends SparkSpec {
             // batch uses cumulative-sum differences; fp tolerance only
             assert(math.abs(g - e) < 1e-6, s"$k mid: streaming $g vs batch $e")
             assert(math.abs(gu.get - wu.get) < 1e-6, s"$k upper")
-            assert(gb == wb, s"$k breakout: streaming $gb vs batch $wb")
+            // a value within the fp tolerance of a band edge can
+            // legitimately flip the flag between the two computations —
+            // only assert the flag away from the edges
+            val lower = 2 * e - wu.get
+            val nearEdge = math.abs(valueOf(k) - wu.get) < 1e-6 ||
+              math.abs(valueOf(k) - lower) < 1e-6
+            if (!nearEdge)
+              assert(gb == wb, s"$k breakout: streaming $gb vs batch $wb")
             breakouts += wb.count(_ != 0)
           case (g, e) => fail(s"$k: null disagreement streaming=$g batch=$e")
         }
