@@ -21,6 +21,7 @@ object SparkEntry {
       (TextOps.queries, TextOps.oracle),
       (SimOps.queries, SimOps.oracle),
       (MultiOps.queries, MultiOps.oracle),
+      (IngestOps.queries, IngestOps.oracle),
       (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */

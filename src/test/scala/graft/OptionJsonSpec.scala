@@ -1,0 +1,92 @@
+package graft
+
+import graft.sources.OptionJson
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** OptionJson: the reference ClickHouse backend's option payloads as a
+  * Spark source layer — exchange-info symbol flatten (nested filter
+  * pick), exercise-history normalization, page-concat dedup
+  * keep-first. */
+class OptionJsonSpec extends SparkSpec {
+  import spark.implicits._
+
+  // one exchange-info page: a call and a put; the put lists LOT_SIZE
+  // before PRICE_FILTER so the pick must match on filterType, not
+  // position; decimals quoted, ints bare (the Binance mix)
+  private val symbolPages = Seq(
+    (1L,
+      """[{"symbol": "BTC-250328-60000-C", "underlying": "BTCUSDT", "quoteAsset": "USDT",
+           "unit": 1, "expiryDate": 1743148800000, "side": "CALL", "strikePrice": "60000",
+           "priceScale": 2, "quantityScale": 2,
+           "makerFeeRate": "0.0002", "takerFeeRate": "0.0005", "liquidationFeeRate": "0.002",
+           "initialMargin": "0.15", "maintenanceMargin": "0.075",
+           "minInitialMargin": "0.1", "minMaintenanceMargin": "0.05",
+           "filters": [
+             {"filterType": "PRICE_FILTER", "minPrice": "0.1", "maxPrice": "99999", "tickSize": "0.1"},
+             {"filterType": "LOT_SIZE", "minQty": "0.01", "maxQty": "1000", "stepSize": "0.01"}]},
+          {"symbol": "BTC-250328-60000-P", "underlying": "BTCUSDT", "quoteAsset": "USDT",
+           "unit": 1, "expiryDate": 1743148800000, "side": "PUT", "strikePrice": "60000",
+           "priceScale": 2, "quantityScale": 2,
+           "makerFeeRate": "0.0002", "takerFeeRate": "0.0005", "liquidationFeeRate": "0.002",
+           "initialMargin": "0.15", "maintenanceMargin": "0.075",
+           "minInitialMargin": "0.1", "minMaintenanceMargin": "0.05",
+           "filters": [
+             {"filterType": "LOT_SIZE", "minQty": "0.02", "maxQty": "500", "stepSize": "0.02"},
+             {"filterType": "PRICE_FILTER", "minPrice": "0.2", "maxPrice": "88888", "tickSize": "0.2"}]}]"""))
+    .toDF("page_seq", "payload")
+
+  test("parseSymbols: flatten, typed casts, filter picked by type not position") {
+    val out = OptionJson.parseSymbols(symbolPages, "payload")
+    assert(out.columns.toSeq == OptionJson.symbolColumns)
+    val sch = out.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(sch("expiryDate") == TimestampType && sch("strikePrice") == DoubleType)
+    assert(sch("priceScale") == LongType && sch("unit") == LongType)
+    val put = out.filter(col("side") === "PUT").head()
+    assert(put.getDouble(put.fieldIndex("minPrice")) == 0.2, "PRICE_FILTER despite being listed second")
+    assert(put.getDouble(put.fieldIndex("minQty")) == 0.02)
+    assert(put.getDouble(put.fieldIndex("strikePrice")) == 60000.0)
+    val call = out.filter(col("side") === "CALL").head()
+    assert(call.getDouble(call.fieldIndex("tickSize")) == 0.1)
+    assert(out.select("exchange", "type").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("binance", "OPTION")))
+  }
+
+  // two exercise pages for BTCUSDT: page 2 re-fetches the 1743148800000
+  // expiry — keep-FIRST means page 1's record wins (newest-window-first
+  // pagination); plus one ETHUSDT page
+  private val exercisePages = Seq(
+    ("BTCUSDT", 1L,
+      """[{"symbol": "BTC-250328-60000-C", "strikePrice": "60000", "realStrikePrice": "61234.5",
+           "strikeResult": "REALISTIC_VALUE_STRICKEN", "expiryDate": 1743148800000}]"""),
+    ("BTCUSDT", 2L,
+      """[{"symbol": "BTC-250328-60000-C", "strikePrice": "60000", "realStrikePrice": "0",
+           "strikeResult": "EXTRINSIC_VALUE_EXPIRED", "expiryDate": 1743148800000},
+          {"symbol": "BTC-250321-55000-P", "strikePrice": "55000", "realStrikePrice": "54000",
+           "strikeResult": "REALISTIC_VALUE_STRICKEN", "expiryDate": 1742544000000}]"""),
+    ("ETHUSDT", 1L,
+      """[{"symbol": "ETH-250328-3000-C", "strikePrice": "3000", "realStrikePrice": "3100.25",
+           "strikeResult": "REALISTIC_VALUE_STRICKEN", "expiryDate": 1743148800000}]"""))
+    .toDF("underlying", "page_seq", "payload")
+
+  test("parseExercise + dedupKeepFirst: first page wins, constants and order stamped") {
+    val parsed = OptionJson.parseExercise(exercisePages, "payload", "underlying", Seq("page_seq"))
+    val out = OptionJson.dedupKeepFirst(parsed, col("page_seq"))
+    assert(out.columns.toSeq == OptionJson.exerciseColumns)
+    assert(out.count() == 3) // 2 BTC expiries + 1 ETH
+    val kept = out.filter(col("symbol") === "BTC-250328-60000-C").head()
+    assert(kept.getDouble(kept.fieldIndex("realStrikePrice")) == 61234.5,
+      "page 1 (keep-first) beats page 2's re-fetch")
+    assert(kept.getString(kept.fieldIndex("strikeResult")) == "REALISTIC_VALUE_STRICKEN")
+    assert(kept.getString(kept.fieldIndex("underlying")) == "BTCUSDT")
+    val sch = out.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(sch("expiryDate") == TimestampType && sch("realStrikePrice") == DoubleType)
+  }
+
+  test("ms-epoch conversion matches the raw payload") {
+    val parsed = OptionJson.parseExercise(exercisePages, "payload", "underlying")
+    val r = parsed.filter(col("symbol") === "BTC-250321-55000-P")
+      .select(unix_millis(col("expiryDate"))).head()
+    assert(r.getLong(0) == 1742544000000L)
+  }
+}
