@@ -145,6 +145,53 @@ object OptionJson {
       ) ++ passthrough.map(col): _*)
   }
 
+  /** Parse schema for one options-kline page: unlike spot/futures
+    * (12-element arrays), the options API returns OBJECTS keyed by
+    * name (crypto_data_pipline_clickhouse.py:1088-1091 builds the
+    * frame from dicts and renames into the standard columns). */
+  val optionKlineSchema: ArrayType = ArrayType(StructType(Seq(
+    StructField("open", StringType),
+    StructField("high", StringType),
+    StructField("low", StringType),
+    StructField("close", StringType),
+    StructField("volume", StringType),
+    StructField("amount", StringType),
+    StructField("interval", StringType),
+    StructField("tradeCount", StringType),
+    StructField("takerVolume", StringType),
+    StructField("takerAmount", StringType),
+    StructField("openTime", StringType),
+    StructField("closeTime", StringType))))
+
+  /** Explode one-page-per-row options-kline payloads into the SAME
+    * typed shape and column order as [[KlineJson.parse]], so the
+    * whole downstream path — [[KlineJson.dedupKeepLast]], MergeWriter
+    * upsert, streaming ingest — applies unchanged to the options
+    * market. Fields map BY NAME (openTime→timestamp,
+    * tradeCount→trades_count, takerVolume/takerAmount→taker_buy_*,
+    * amount→quote_volume; the by-name form of the reference's
+    * positional rename, immune to key-order drift); options klines
+    * carry their own `interval` field and no `ignore`. */
+  def parseOptionKlines(raw: DataFrame, payloadCol: String, symbolCol: String,
+                        passthrough: Seq[String] = Nil): DataFrame = {
+    val k = col("__k")
+    def d(name: String, as: String): Column = k.getField(name).cast(DoubleType).as(as)
+    raw
+      .withColumn("__k", explode(from_json(col(payloadCol), optionKlineSchema)))
+      .select(Seq[Column](
+        col(symbolCol).as("symbol"),
+        lit("binance").as("exchange"),
+        lit("OPTION").as("type"),
+        k.getField("interval").as("interval"),
+        timestamp_millis(k.getField("openTime").cast(LongType)).as("timestamp"),
+        timestamp_millis(k.getField("closeTime").cast(LongType)).as("close_time"),
+        d("open", "open"), d("high", "high"), d("low", "low"), d("close", "close"),
+        d("volume", "volume"), d("amount", "quote_volume"),
+        d("takerVolume", "taker_buy_volume"), d("takerAmount", "taker_buy_quote_volume"),
+        k.getField("tradeCount").cast(LongType).as("trades_count"),
+        lit(0.0).as("ignore")) ++ passthrough.map(col): _*)
+  }
+
   /** Page-concat + dedup keep-FIRST by (symbol, expiryDate): the
     * earliest page (lowest `pageSeq`) wins, mirroring pandas
     * keep='first' on the reference's newest-window-first concat —

@@ -83,6 +83,44 @@ class OptionJsonSpec extends SparkSpec {
     assert(sch("expiryDate") == TimestampType && sch("realStrikePrice") == DoubleType)
   }
 
+  // one options-kline page: object-shaped rows (not the spot/futures
+  // 12-element arrays); page 2 re-fetches openTime=120000 with a heal
+  private val optionKlinePages = Seq(
+    ("BTC-250328-60000-C", 1L,
+      """[{"open": "1.0", "high": "2.0", "low": "0.5", "close": "1.5", "volume": "10.0",
+           "amount": "15.0", "interval": "1m", "tradeCount": 7,
+           "takerVolume": "4.0", "takerAmount": "6.0", "openTime": 60000, "closeTime": 119999},
+          {"open": "1.5", "high": "2.5", "low": "1.0", "close": "2.0", "volume": "11.0",
+           "amount": "22.0", "interval": "1m", "tradeCount": 9,
+           "takerVolume": "5.0", "takerAmount": "7.0", "openTime": 120000, "closeTime": 179999}]"""),
+    ("BTC-250328-60000-C", 2L,
+      """[{"open": "1.5", "high": "2.6", "low": "1.0", "close": "2.1", "volume": "12.0",
+           "amount": "25.0", "interval": "1m", "tradeCount": 10,
+           "takerVolume": "5.5", "takerAmount": "7.5", "openTime": 120000, "closeTime": 179999}]"""))
+    .toDF("symbol", "page_seq", "payload")
+
+  test("parseOptionKlines: object payloads land in the standard kline shape; keep-last heal applies") {
+    val out = OptionJson.parseOptionKlines(optionKlinePages, "payload", "symbol", Seq("page_seq"))
+    // identical schema to the spot/futures path: downstream dedup/merge
+    // machinery applies unchanged
+    val spotShaped = sources.KlineJson.parse(
+      Seq(("X", 1L, """[[0,"0","0","0","0","0",1,"0",0,"0","0","0"]]"""))
+        .toDF("symbol", "page_seq", "payload"),
+      "payload", "symbol", "SPOT", "1m", Seq("page_seq"))
+    // same names and types; nullability legitimately differs where one
+    // path sources a column from the payload and the other from a lit
+    assert(out.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      spotShaped.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val deduped = sources.KlineJson.dedupKeepLast(out, col("page_seq"))
+    assert(deduped.count() == 2)
+    val healed = deduped.filter(unix_millis(col("timestamp")) === 120000).head()
+    assert(healed.getDouble(healed.fieldIndex("close")) == 2.1)
+    assert(healed.getDouble(healed.fieldIndex("quote_volume")) == 25.0, "amount → quote_volume")
+    assert(healed.getLong(healed.fieldIndex("trades_count")) == 10L, "tradeCount → trades_count")
+    assert(deduped.select("type", "interval").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("OPTION", "1m")))
+  }
+
   test("ms-epoch conversion matches the raw payload") {
     val parsed = OptionJson.parseExercise(exercisePages, "payload", "underlying")
     val r = parsed.filter(col("symbol") === "BTC-250321-55000-P")
