@@ -139,4 +139,71 @@ class Round6Spec extends SparkSpec {
       .orderBy("doc_id", "rnk").collect()
     assert(out.filter(_.getLong(0) == 1L).map(_.getString(1)).toSeq == Seq("alpha", "zebra"))
   }
+
+  // ---- randomized properties (fixed-seed pseudo-random walks) ----
+
+  private def walk(seed: Int, n: Int): Seq[Double] = {
+    val r = new scala.util.Random(seed)
+    Iterator.iterate(100.0)(v => v * (1.0 + (r.nextDouble() - 0.5) / 50)).take(n).toSeq
+  }
+
+  test("property: rsi stays in [0, 100] and is null exactly through the warmup") {
+    val df = (0 until 4).flatMap { s =>
+      walk(s, 60).zipWithIndex.map { case (v, i) => (s"k$s", i.toLong, ts(i), v) }
+    }.toDF("sym", "id", "t", "px")
+    val out = Graft.rsi(df, "sym", "t", "id", "px", n = 14).collect()
+    val (iId, iRsi) = (out(0).fieldIndex("id"), out(0).fieldIndex("rsi"))
+    out.foreach { r =>
+      if (r.getLong(iId) < 14) assert(r.isNullAt(iRsi))
+      else {
+        val v = r.getDouble(iRsi)
+        assert(v >= 0.0 && v <= 100.0, s"rsi $v out of range")
+      }
+    }
+  }
+
+  test("property: atr true range is non-negative and >= high-low") {
+    val bars = (0 until 3).flatMap { s =>
+      val px = walk(10 + s, 40)
+      px.zipWithIndex.map { case (v, i) =>
+        (s"k$s", i.toLong, v * 1.02, v * 0.98, v) }
+    }.toDF("sym", "bkt", "high", "low", "close")
+    val out = Graft.atr(bars, "sym", "bkt", "high", "low", "close", n = 5).collect()
+    val (iH, iL, iTr, iAtr) =
+      (out(0).fieldIndex("high"), out(0).fieldIndex("low"),
+        out(0).fieldIndex("tr"), out(0).fieldIndex("atr"))
+    out.foreach { r =>
+      assert(r.getDouble(iTr) >= r.getDouble(iH) - r.getDouble(iL) - 1e-12)
+      if (!r.isNullAt(iAtr)) assert(r.getDouble(iAtr) >= 0.0)
+    }
+  }
+
+  test("property: tfidf rows recompute from first principles; ranks dense from 1") {
+    val r = new scala.util.Random(7)
+    val vocab = Vector("ant", "bee", "cat", "dog", "elk", "fox", "gnu", "hen")
+    val docs = (1L to 20L).map(i =>
+      (i, Seq.fill(3 + r.nextInt(12))(vocab(r.nextInt(vocab.size))).mkString(" ")))
+    val df = docs.toDF("doc_id", "text")
+    val out = Graft.tfidfTopTerms(df, "doc_id", "text", k = 3)
+      .orderBy("doc_id", "rnk").collect()
+    val toks = docs.map { case (i, t) => i -> t.split(" ").toSeq }.toMap
+    val dfCount = toks.values.flatMap(_.distinct).groupBy(identity).view.mapValues(_.size)
+    out.groupBy(_.getLong(0)).foreach { case (id, rows) =>
+      assert(rows.map(_.getLong(5)).sorted.toSeq == (1L to rows.length).toSeq, "dense ranks")
+      rows.foreach { r0 =>
+        val term = r0.getString(1)
+        val tf = toks(id).count(_ == term).toLong
+        assert(r0.getLong(2) == tf, s"tf of $term in doc $id")
+        assert(r0.getLong(3) == dfCount(term).toLong)
+        val want = tf * (math.log((1.0 + 20) / (1.0 + dfCount(term))) + 1.0)
+        assert(math.abs(r0.getDouble(4) - want) < 1e-9)
+      }
+    }
+  }
+
+  test("property: shuffleShards loses and duplicates nothing") {
+    val df = (0L until 777L).map(i => (i, s"v$i")).toDF("doc_id", "body")
+    val out = Graft.shuffleShards(df, "doc_id", nShards = 5).collect()
+    assert(out.map(_.getLong(0)).sorted.toSeq == (0L until 777L).toSeq)
+  }
 }
