@@ -47,6 +47,14 @@ case class BollOut(event_type: String, event_id: Long, ts_ms: Long, value: Doubl
   * is full (pandas_ta semantics, matching batch q11). */
 case class WmaOut(event_type: String, event_id: Long, ts_ms: Long, value: Double, wma: Option[Double])
 
+/** State for [[StreamOps.streamingRsi]]: the previous value and the
+  * last n deltas, oldest first (O(n) per key). */
+case class RsiState(prev: Option[Double], deltas: List[Double])
+
+/** One RSI observation per input event; `rsi` is None until n deltas
+  * exist (matching batch q36's warmup nulls). */
+case class RsiOut(event_type: String, event_id: Long, ts_ms: Long, value: Double, rsi: Option[Double])
+
 /** Streaming operators (SURVEY.md §2 #33-34).
   *
   * The reference polls REST endpoints on a scheduler and upserts
@@ -337,6 +345,41 @@ object StreamOps {
             banded
           }
           state.update(BollState(recent))
+          out.iterator
+      }
+  }
+
+  /** Batch q36's Cutler RSI run CONTINUOUSLY: per key, [[GroupState]]
+    * holds the previous value plus the last n deltas (O(n) per key,
+    * independent of stream length); each arrival computes its delta,
+    * slides the window, and emits RSI over the n most recent deltas —
+    * 100·Σgains/(Σgains+Σlosses), 50 on a flat window, None until n
+    * deltas exist. Same arrival-order contract as [[streamingWma]]
+    * (event-time order; late data handled upstream by watermark +
+    * dedup); spec-proven equal to the batch operator. */
+  def streamingRsi(events: Dataset[BollEvent], n: Int): Dataset[RsiOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[RsiState, RsiOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[BollEvent], state: GroupState[RsiState]) =>
+          var st = state.getOption.getOrElse(RsiState(None, Nil))
+          val out = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+            val deltas = st.prev match {
+              case Some(p) => (st.deltas :+ (e.value - p)).takeRight(n)
+              case None    => st.deltas
+            }
+            st = RsiState(Some(e.value), deltas)
+            val rsi =
+              if (deltas.size == n) {
+                val g = deltas.filter(_ > 0).sum
+                val l = -deltas.filter(_ < 0).sum
+                Some(if (g + l == 0) 50.0 else 100.0 * g / (g + l))
+              } else None
+            RsiOut(key, e.event_id, e.ts.getTime, e.value, rsi)
+          }
+          state.update(st)
           out.iterator
       }
   }

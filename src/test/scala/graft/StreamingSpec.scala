@@ -163,6 +163,43 @@ class StreamingSpec extends SparkSpec {
       s"state must survive restart: expected {1,3,5}, got $got")
   }
 
+  test("streaming RSI(14) == batch rsi when events arrive in event-time order") {
+    import graft.streaming.{BollEvent, RsiOut}
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[BollEvent]
+    val q = StreamOps.streamingRsi(input.toDS(), 14)
+      .writeStream.format("memory").queryName("rsi_out").outputMode("append").start()
+    try {
+      val evs = Tables.t(spark, sfDir, "events")
+        .select(col("event_type"), col("event_id"), col("ts"), col("value"))
+        .as[BollEvent].collect().sortBy(e => (e.ts.getTime, e.event_id))
+      evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { b =>
+        input.addData(b.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val got = spark.table("rsi_out").as[RsiOut].collect()
+        .map(o => (o.event_type, o.event_id) -> o.rsi).toMap
+      val want = Graft.rsi(Tables.t(spark, sfDir, "events"),
+          "event_type", "ts", "event_id", "value", n = 14)
+        .select("event_type", "event_id", "rsi").collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+      assert(got.keySet == want.keySet)
+      var nonNull = 0
+      want.foreach { case (k, w) =>
+        (got(k), w) match {
+          case (None, None) => // warm-up rows agree
+          case (Some(g), Some(e)) =>
+            // batch uses cumulative-sum differences; fp tolerance only
+            assert(math.abs(g - e) < 1e-6, s"$k: streaming $g vs batch $e")
+            nonNull += 1
+          case (g, e) => fail(s"$k: null disagreement streaming=$g batch=$e")
+        }
+      }
+      assert(nonNull > 0, "testdata must produce post-warmup RSI rows")
+    } finally q.stop()
+  }
+
   test("streaming WMA(12) == batch q11 when events arrive in event-time order") {
     import graft.streaming.{WmaEvent, WmaOut}
     implicit val sql = spark.sqlContext
