@@ -250,11 +250,33 @@ object StreamOps {
   def streamingKlineIngest(spark: SparkSession, landingDir: String, storePath: String,
                            marketType: String, interval: String,
                            checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    val raw = spark.readStream
-      .schema("symbol STRING, page_seq LONG, payload STRING")
-      .json(landingDir)
+    val raw = landedPages(spark, landingDir)
     val parsed = graft.sources.KlineJson
       .parse(raw, "payload", "symbol", marketType, interval, passthrough = Seq("page_seq"))
+    ingestSink(spark, parsed, storePath, checkpointDir)
+  }
+
+  /** The options-market twin of [[streamingKlineIngest]]: same landing
+    * contract, store layout and heal/merge cycle, but pages carry the
+    * options API's OBJECT-shaped klines, parsed by
+    * [[graft.sources.OptionJson.parseOptionKlines]] into the exact
+    * same typed schema — one ingest pipeline family across all three
+    * markets. */
+  def streamingOptionKlineIngest(spark: SparkSession, landingDir: String, storePath: String,
+                                 checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val raw = landedPages(spark, landingDir)
+    val parsed = graft.sources.OptionJson
+      .parseOptionKlines(raw, "payload", "symbol", passthrough = Seq("page_seq"))
+    ingestSink(spark, parsed, storePath, checkpointDir)
+  }
+
+  private def landedPages(spark: SparkSession, landingDir: String): DataFrame =
+    spark.readStream
+      .schema("symbol STRING, page_seq LONG, payload STRING")
+      .json(landingDir)
+
+  private def ingestSink(spark: SparkSession, parsed: DataFrame, storePath: String,
+                         checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     parsed.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -277,7 +299,6 @@ object StreamOps {
         }
       }
       .start()
-  }
 
   /** Streaming WMA(n) — the reference's scheduled premium analytic
     * (crypto_data_pipeline_duckdb.py:1221-1268) run continuously. Per

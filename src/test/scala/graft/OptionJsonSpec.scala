@@ -127,4 +127,40 @@ class OptionJsonSpec extends SparkSpec {
       .select(unix_millis(col("expiryDate"))).head()
     assert(r.getLong(0) == 1742544000000L)
   }
+
+  test("streaming option-kline ingest: object pages land, heal and merge like spot") {
+    import graft.streaming.StreamOps
+    val root = java.nio.file.Files.createTempDirectory("opt_ingest").toString
+    val landing = s"$root/landing"; val store = s"$root/store"; val ckpt = s"$root/ckpt"
+    new java.io.File(landing).mkdirs()
+    def land(name: String, rows: Seq[(String, Long, String)]): Unit = {
+      val tmp = s"$root/tmp_$name"
+      rows.toDF("symbol", "page_seq", "payload").coalesce(1).write.json(tmp)
+      new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".json"))
+        .foreach(f => java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(landing, s"$name.json")))
+    }
+    def bar(ms: Long, close: String, trades: Int) =
+      s"""[{"open": "1.0", "high": "2.0", "low": "0.5", "close": $close, "volume": "10.0",
+            "amount": "15.0", "interval": "1m", "tradeCount": $trades,
+            "takerVolume": "4.0", "takerAmount": "6.0",
+            "openTime": $ms, "closeTime": ${ms + 59999}}]"""
+
+    val sym = "BTC-250328-60000-C"
+    // batch 1: page 2 heals openTime=60000 within the batch
+    land("b1", Seq((sym, 1L, bar(60000, "\"1.5\"", 7)), (sym, 2L, bar(60000, "\"1.6\"", 8))))
+    val q1 = StreamOps.streamingOptionKlineIngest(spark, landing, store, ckpt)
+    try q1.processAllAvailable() finally q1.stop()
+    // batch 2 (restart, same checkpoint): cross-batch merge heal
+    land("b2", Seq((sym, 1L, bar(60000, "\"1.7\"", 9))))
+    val q2 = StreamOps.streamingOptionKlineIngest(spark, landing, store, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = spark.read.parquet(store)
+      .select(col("symbol"), unix_millis(col("timestamp")).as("ms"),
+        col("close"), col("type"))
+      .collect()
+    assert(rows.length == 1)
+    assert(rows(0).getDouble(2) == 1.7, "cross-batch merge heal")
+    assert(rows(0).getString(3) == "OPTION")
+  }
 }
