@@ -380,6 +380,11 @@ object Graft {
   def embeddingNearDupPairsAuto(vecs: DataFrame, id: String, vec: String, dims: Int,
                                 threshold: Double = 0.95, bands: Int = 4,
                                 targetBucket: Long = 32L): DataFrame = {
+    // 60 / bands must leave at least the 6-bit floor per band (the
+    // sketch is one 64-bit word); fail here with the parameter named,
+    // not two layers down in lshBandBits' bare require
+    require(bands >= 1 && bands <= 10,
+      s"bands must be in [1, 10] (60-bit sketch word / 6-bit floor), got $bands")
     val n = vecs.agg(approx_count_distinct(col(id))).head().getLong(0)
     val cb = ops.DedupOps.lshBandBits(n, targetBucket, minBits = 6, maxBits = 60 / bands)
     ops.DedupOps.embeddingNearDupOf(vecs, id, vec, threshold, cb * bands, bands, dims)

@@ -31,7 +31,7 @@ object IngestOps {
         lit("REALISTIC_VALUE_STRICKEN").as("strikeResult"),
         epochMs(col("ts")).as("expiryDate")))).as("payload"))
       .withColumn("page_seq", lit(1L))
-    OptionJson.dedupKeepFirst(
+    OptionJson.dedupExerciseKeepFirst(
       OptionJson.parseExercise(pages, "payload", "underlying", Seq("page_seq")),
       col("page_seq"))
       .orderBy("symbol")

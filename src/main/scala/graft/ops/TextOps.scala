@@ -458,12 +458,15 @@ object TextOps {
                       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     // barrier: (doc_id, term, tf) feeds BOTH the df counts and the
-    // scoring join (no cross-side subtree reuse in Catalyst — without
-    // it the tokenize+explode runs twice)
+    // scoring join — persist (not localCheckpoint) so both join sides
+    // read one materialization of the tokenize+explode while the plan
+    // stays lazy, the blocks stay evictable under memory pressure, and
+    // lineage survives executor loss (localCheckpoint pins
+    // unrecomputable blocks for the session)
     val tf = docs
       .select(col(idCol).as("doc_id"), explode(words(col(textCol))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDocs = docs.agg(count(lit(1)).as("__n"))
     val dfTbl = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val rank = Window.partitionBy(col("doc_id"))

@@ -1,7 +1,6 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -56,7 +55,8 @@ object KlineJson {
     val k = col("__k")
     def d(i: Int, name: String): Column = k.getItem(i).cast(DoubleType).as(name)
     raw
-      .withColumn("__k", explode(from_json(col(payloadCol), payloadSchema)))
+      .select(col("*"),
+        posexplode(from_json(col(payloadCol), payloadSchema)).as(Seq("__pos", "__k")))
       .select(Seq[Column](
         col(symbolCol).as("symbol"),
         lit("binance").as("exchange"),
@@ -67,20 +67,17 @@ object KlineJson {
         d(1, "open"), d(2, "high"), d(3, "low"), d(4, "close"), d(5, "volume"),
         d(7, "quote_volume"), d(9, "taker_buy_volume"), d(10, "taker_buy_quote_volume"),
         k.getItem(8).cast(LongType).as("trades_count"),
-        d(11, "ignore")) ++ passthrough.map(col): _*)
+        d(11, "ignore"),
+        col("__pos")) ++ passthrough.map(col): _*)
   }
 
   /** Page-concat + dedup-keep-last by (symbol, timestamp): later pages
-    * (higher `pageSeq`) win, mirroring pandas keep='last' on the
-    * page-ordered concat. One window shuffle, keyed like the store. */
-  def dedupKeepLast(parsed: DataFrame, pageSeq: Column): DataFrame = {
-    val w = Window.partitionBy(col("symbol"), col("timestamp")).orderBy(pageSeq.desc)
-    parsed
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
-      .select(columns.map(col): _*)
-  }
+    * (higher `pageSeq`) win, ties within a page broken by array
+    * position — pandas keep='last' on the page-ordered concat, made
+    * deterministic (see [[PageDedup]]). One window shuffle, keyed like
+    * the store. */
+  def dedupKeepLast(parsed: DataFrame, pageSeq: Column): DataFrame =
+    PageDedup(parsed, Seq("symbol", "timestamp"), columns, pageSeq, keepFirst = false)
 
   /** The reference's pagination plan (`get_historical_klines`
     * crypto_data_pipeline_duckdb.py:883-949): fetch windows of

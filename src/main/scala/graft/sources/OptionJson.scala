@@ -132,7 +132,8 @@ object OptionJson {
                     passthrough: Seq[String] = Nil): DataFrame = {
     val e = col("__e")
     raw
-      .withColumn("__e", explode(from_json(col(payloadCol), exerciseSchema)))
+      .select(col("*"),
+        posexplode(from_json(col(payloadCol), exerciseSchema)).as(Seq("__pos", "__e")))
       .select(Seq[Column](
         e.getField("symbol").as("symbol"),
         lit("binance").as("exchange"),
@@ -141,7 +142,8 @@ object OptionJson {
         timestamp_millis(e.getField("expiryDate").cast(LongType)).as("expiryDate"),
         e.getField("strikePrice").cast(DoubleType).as("strikePrice"),
         e.getField("realStrikePrice").cast(DoubleType).as("realStrikePrice"),
-        e.getField("strikeResult").as("strikeResult")
+        e.getField("strikeResult").as("strikeResult"),
+        col("__pos")
       ) ++ passthrough.map(col): _*)
   }
 
@@ -177,7 +179,8 @@ object OptionJson {
     val k = col("__k")
     def d(name: String, as: String): Column = k.getField(name).cast(DoubleType).as(as)
     raw
-      .withColumn("__k", explode(from_json(col(payloadCol), optionKlineSchema)))
+      .select(col("*"),
+        posexplode(from_json(col(payloadCol), optionKlineSchema)).as(Seq("__pos", "__k")))
       .select(Seq[Column](
         col(symbolCol).as("symbol"),
         lit("binance").as("exchange"),
@@ -189,20 +192,26 @@ object OptionJson {
         d("volume", "volume"), d("amount", "quote_volume"),
         d("takerVolume", "taker_buy_volume"), d("takerAmount", "taker_buy_quote_volume"),
         k.getField("tradeCount").cast(LongType).as("trades_count"),
-        lit(0.0).as("ignore")) ++ passthrough.map(col): _*)
+        lit(0.0).as("ignore"),
+        col("__pos")) ++ passthrough.map(col): _*)
   }
 
-  /** Page-concat + dedup keep-FIRST by (symbol, expiryDate): the
-    * earliest page (lowest `pageSeq`) wins, mirroring pandas
-    * keep='first' on the reference's newest-window-first concat —
-    * the opposite orientation of [[KlineJson.dedupKeepLast]]'s heal.
-    * One window shuffle, keyed like the store. */
-  def dedupKeepFirst(parsed: DataFrame, pageSeq: Column): DataFrame = {
-    val w = Window.partitionBy(col("symbol"), col("expiryDate")).orderBy(pageSeq.asc)
-    parsed
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
-      .select(exerciseColumns.map(col): _*)
-  }
+  /** Page-concat + dedup keep-LAST for option klines, keyed by
+    * (symbol, interval, timestamp): unlike spot/futures — where the
+    * pipeline stamps one constant interval and (symbol, timestamp) is
+    * the PK — the options `interval` rides the payload, so a landing
+    * dir carrying mixed intervals must NOT collapse a 1h bar into the
+    * 1m bar sharing its openTime. */
+  def dedupKlinesKeepLast(parsed: DataFrame, pageSeq: Column): DataFrame =
+    PageDedup(parsed, Seq("symbol", "interval", "timestamp"),
+      KlineJson.columns, pageSeq, keepFirst = false)
+
+  /** Page-concat + dedup keep-FIRST for exercise history, keyed by
+    * (symbol, expiryDate): the earliest page (lowest `pageSeq`) wins,
+    * ties within a page broken by array position — pandas keep='first'
+    * on the reference's newest-window-first concat, made deterministic
+    * (see [[PageDedup]]); the opposite orientation of
+    * [[KlineJson.dedupKeepLast]]'s heal. One window shuffle. */
+  def dedupExerciseKeepFirst(parsed: DataFrame, pageSeq: Column): DataFrame =
+    PageDedup(parsed, Seq("symbol", "expiryDate"), exerciseColumns, pageSeq, keepFirst = true)
 }

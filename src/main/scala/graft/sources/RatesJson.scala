@@ -1,7 +1,6 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -52,20 +51,23 @@ object RatesJson {
                    passthrough: Seq[String] = Nil): DataFrame = {
     val f = col("__f")
     raw
-      .withColumn("__f", explode(from_json(col(payloadCol), fundingSchema)))
+      .select(col("*"),
+        posexplode(from_json(col(payloadCol), fundingSchema)).as(Seq("__pos", "__f")))
       .select(Seq[Column](
         f.getField("symbol").as("symbol"),
         lit("binance").as("exchange"),
         lit("PERPETUAL").as("type"),
         timestamp_millis(f.getField("fundingTime").cast(LongType)).as("fundingTime"),
         coerce0(f.getField("fundingRate")).as("fundingRate"),
-        coerce0(f.getField("markPrice")).as("markPrice")
+        coerce0(f.getField("markPrice")).as("markPrice"),
+        col("__pos")
       ) ++ passthrough.map(col): _*)
   }
 
-  /** Page-concat + dedup keep-LAST by (symbol, fundingTime). */
+  /** Page-concat + dedup keep-LAST by (symbol, fundingTime); in-page
+    * ties break on array position (see [[PageDedup]]). */
   def dedupFundingKeepLast(parsed: DataFrame, pageSeq: Column): DataFrame =
-    dedupKeepLast(parsed, Seq("symbol", "fundingTime"), fundingColumns, pageSeq)
+    PageDedup(parsed, Seq("symbol", "fundingTime"), fundingColumns, pageSeq, keepFirst = false)
 
   /** Explode one-page-per-row margin-interest-rate payloads into typed
     * rows (type constant 'Margin', reference casing :688). */
@@ -73,28 +75,21 @@ object RatesJson {
                   passthrough: Seq[String] = Nil): DataFrame = {
     val m = col("__m")
     raw
-      .withColumn("__m", explode(from_json(col(payloadCol), marginSchema)))
+      .select(col("*"),
+        posexplode(from_json(col(payloadCol), marginSchema)).as(Seq("__pos", "__m")))
       .select(Seq[Column](
         m.getField("asset").as("asset"),
         lit("binance").as("exchange"),
         lit("Margin").as("type"),
         timestamp_millis(m.getField("timestamp").cast(LongType)).as("timestamp"),
         m.getField("dailyInterestRate").cast(DoubleType).as("dailyInterestRate"),
-        m.getField("vipLevel").cast(LongType).as("vipLevel")
+        m.getField("vipLevel").cast(LongType).as("vipLevel"),
+        col("__pos")
       ) ++ passthrough.map(col): _*)
   }
 
-  /** Page-concat + dedup keep-LAST by (asset, timestamp). */
+  /** Page-concat + dedup keep-LAST by (asset, timestamp); in-page
+    * ties break on array position (see [[PageDedup]]). */
   def dedupMarginKeepLast(parsed: DataFrame, pageSeq: Column): DataFrame =
-    dedupKeepLast(parsed, Seq("asset", "timestamp"), marginColumns, pageSeq)
-
-  private def dedupKeepLast(parsed: DataFrame, keys: Seq[String],
-                            order: Seq[String], pageSeq: Column): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(pageSeq.desc)
-    parsed
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
-      .select(order.map(col): _*)
-  }
+    PageDedup(parsed, Seq("asset", "timestamp"), marginColumns, pageSeq, keepFirst = false)
 }

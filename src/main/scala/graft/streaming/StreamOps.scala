@@ -253,7 +253,9 @@ object StreamOps {
     val raw = landedPages(spark, landingDir)
     val parsed = graft.sources.KlineJson
       .parse(raw, "payload", "symbol", marketType, interval, passthrough = Seq("page_seq"))
-    ingestSink(spark, parsed, storePath, checkpointDir)
+    ingestSink(spark, parsed, storePath, checkpointDir,
+      graft.sources.KlineJson.dedupKeepLast(_, col("page_seq")),
+      mergeKeys = Seq("symbol", "timestamp"))
   }
 
   /** The options-market twin of [[streamingKlineIngest]]: same landing
@@ -267,7 +269,13 @@ object StreamOps {
     val raw = landedPages(spark, landingDir)
     val parsed = graft.sources.OptionJson
       .parseOptionKlines(raw, "payload", "symbol", passthrough = Seq("page_seq"))
-    ingestSink(spark, parsed, storePath, checkpointDir)
+    // interval rides the options payload (not a pipeline constant like
+    // spot/futures), so the PK — dedup AND merge — must include it, or
+    // a landing dir carrying mixed intervals collapses the 1h bar into
+    // the 1m bar sharing its openTime
+    ingestSink(spark, parsed, storePath, checkpointDir,
+      graft.sources.OptionJson.dedupKlinesKeepLast(_, col("page_seq")),
+      mergeKeys = Seq("symbol", "interval", "timestamp"))
   }
 
   private def landedPages(spark: SparkSession, landingDir: String): DataFrame =
@@ -276,13 +284,13 @@ object StreamOps {
       .json(landingDir)
 
   private def ingestSink(spark: SparkSession, parsed: DataFrame, storePath: String,
-                         checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+                         checkpointDir: String, dedup: DataFrame => DataFrame,
+                         mergeKeys: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
     parsed.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          val delta = graft.sources.KlineJson
-            .dedupKeepLast(batch, col("page_seq"))
+          val delta = dedup(batch)
             .localCheckpoint(eager = true)
           // storage-agnostic first-load probe (HDFS/S3-safe, same pattern
           // as IncrementalPipeline.watermark) — java.io.File would only
@@ -292,7 +300,7 @@ object StreamOps {
             catch { case _: org.apache.spark.sql.AnalysisException => false }
           try {
             if (storeExists)
-              graft.sinks.MergeWriter.merge(spark, storePath, delta, Seq("symbol", "timestamp"), "symbol")
+              graft.sinks.MergeWriter.merge(spark, storePath, delta, mergeKeys, "symbol")
             else
               delta.write.partitionBy("symbol").parquet(storePath)
           } finally graft.Checkpoints.free(delta)
@@ -379,6 +387,7 @@ object StreamOps {
     * (event-time order; late data handled upstream by watermark +
     * dedup); spec-proven equal to the batch operator. */
   def streamingRsi(events: Dataset[BollEvent], n: Int): Dataset[RsiOut] = {
+    require(n >= 1, s"n must be >= 1, got $n") // match batch Graft.rsi
     import events.sparkSession.implicits._
     events
       .groupByKey(_.event_type)

@@ -71,7 +71,7 @@ class OptionJsonSpec extends SparkSpec {
 
   test("parseExercise + dedupKeepFirst: first page wins, constants and order stamped") {
     val parsed = OptionJson.parseExercise(exercisePages, "payload", "underlying", Seq("page_seq"))
-    val out = OptionJson.dedupKeepFirst(parsed, col("page_seq"))
+    val out = OptionJson.dedupExerciseKeepFirst(parsed, col("page_seq"))
     assert(out.columns.toSeq == OptionJson.exerciseColumns)
     assert(out.count() == 3) // 2 BTC expiries + 1 ETH
     val kept = out.filter(col("symbol") === "BTC-250328-60000-C").head()
@@ -126,6 +126,41 @@ class OptionJsonSpec extends SparkSpec {
     val r = parsed.filter(col("symbol") === "BTC-250321-55000-P")
       .select(unix_millis(col("expiryDate"))).head()
     assert(r.getLong(0) == 1742544000000L)
+  }
+
+  test("intra-page duplicate keys: the FIRST array element wins deterministically") {
+    // pandas drop_duplicates(keep='first') is array-order deterministic;
+    // page_seq alone can't order rows within one page — __pos must
+    val page = Seq(("BTCUSDT", 1L,
+      """[{"symbol": "BTC-X", "strikePrice": "1", "realStrikePrice": "111",
+           "strikeResult": "A", "expiryDate": 60000},
+          {"symbol": "BTC-X", "strikePrice": "1", "realStrikePrice": "222",
+           "strikeResult": "B", "expiryDate": 60000}]"""))
+      .toDF("underlying", "page_seq", "payload")
+    val out = OptionJson.dedupExerciseKeepFirst(
+      OptionJson.parseExercise(page.repartition(8), "payload", "underlying", Seq("page_seq")),
+      col("page_seq")).collect()
+    assert(out.length == 1)
+    assert(out(0).getDouble(out(0).fieldIndex("realStrikePrice")) == 111.0)
+    assert(out(0).getString(out(0).fieldIndex("strikeResult")) == "A")
+  }
+
+  test("dedupKlinesKeepLast keys on interval: mixed-interval pages don't collapse") {
+    def k(ms: Long, interval: String, close: String) =
+      s"""{"open": "1.0", "high": "2.0", "low": "0.5", "close": $close, "volume": "10.0",
+           "amount": "15.0", "interval": "$interval", "tradeCount": 7,
+           "takerVolume": "4.0", "takerAmount": "6.0", "openTime": $ms, "closeTime": ${ms + 1}}"""
+    // a 1m bar and a 1h bar share openTime=0 — distinct bars, not dups
+    val pages = Seq(("S", 1L, s"[${k(0, "1m", "\"1.5\"")}, ${k(0, "1h", "\"2.5\"")}]"))
+      .toDF("symbol", "page_seq", "payload")
+    val parsed = OptionJson.parseOptionKlines(pages, "payload", "symbol", Seq("page_seq"))
+    val byInterval = OptionJson.dedupKlinesKeepLast(parsed, col("page_seq"))
+      .select("interval", "close").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(byInterval == Map("1m" -> 1.5, "1h" -> 2.5),
+      "both intervals must survive the (symbol, interval, timestamp) dedup")
+    // the spot-keyed dedup would have collapsed them — the documented trap
+    assert(sources.KlineJson.dedupKeepLast(parsed, col("page_seq")).count() == 1)
   }
 
   test("streaming option-kline ingest: object pages land, heal and merge like spot") {

@@ -40,6 +40,19 @@ class RatesJsonSpec extends SparkSpec {
     (2L, """[{"asset": "BTC", "timestamp": 60000, "dailyInterestRate": "0.00026", "vipLevel": 0}]"""))
     .toDF("page_seq", "payload")
 
+  test("intra-page duplicate keys: the LAST array element wins deterministically") {
+    val page = Seq((1L,
+      """[{"symbol": "X", "fundingTime": 60000, "fundingRate": "0.1", "markPrice": "1"},
+          {"symbol": "X", "fundingTime": 60000, "fundingRate": "0.2", "markPrice": "2"}]"""))
+      .toDF("page_seq", "payload")
+    val out = RatesJson.dedupFundingKeepLast(
+      RatesJson.parseFunding(page.repartition(8), "payload", Seq("page_seq")),
+      col("page_seq")).collect()
+    assert(out.length == 1)
+    assert(out(0).getDouble(out(0).fieldIndex("fundingRate")) == 0.2,
+      "keep-last = highest (page_seq, __pos)")
+  }
+
   test("parseMargin: typed rows, Margin constant, keep-last per (asset, timestamp)") {
     val out = RatesJson.dedupMarginKeepLast(
       RatesJson.parseMargin(marginPages, "payload", Seq("page_seq")), col("page_seq"))

@@ -201,6 +201,18 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  test("invalid arguments fail fast with the parameter named") {
+    val e = Tables.t(spark, sfDir, "embeddings")
+    val ex = intercept[IllegalArgumentException] {
+      Graft.embeddingNearDupPairsAuto(e, "vec_id", "embedding", dims = 64, bands = 11)
+    }
+    assert(ex.getMessage.contains("bands"))
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamOps.streamingRsi(
+        spark.emptyDataset[graft.streaming.BollEvent], n = 0)
+    }
+  }
+
   test("property: shuffleShards loses and duplicates nothing") {
     val df = (0L until 777L).map(i => (i, s"v$i")).toDF("doc_id", "body")
     val out = Graft.shuffleShards(df, "doc_id", nShards = 5).collect()
