@@ -688,6 +688,27 @@ object Graft {
   def tfidfTopTerms(docs: DataFrame, id: String, text: String, k: Int): DataFrame =
     ops.TextOps.tfidfTopTermsOf(docs, id, text, k)
 
+  /** EXACT infinite-history EWMA — pandas `ewm(alpha,
+    * adjust=False).mean()`: y₁ = x₁, yᵢ = (1−α)·yᵢ₋₁ + α·xᵢ. An
+    * irreducibly sequential recurrence, run as a distributed segmented
+    * scan (one shuffle on `key`, each series folded in (`ts`, `tie`)
+    * order with O(1) state — see [[ops.ScanOps]]). Returns (`key` AS
+    * STRING, `ts_ms`, `tie`, `ewma`); join back on those for other
+    * columns. Prefer [[ewma]] (truncated, pure window algebra) when a
+    * bounded tail weight is acceptable. */
+  def ewmaExact(df: DataFrame, key: String, ts: String, tie: String,
+                value: String, alpha: Double): DataFrame =
+    ops.ScanOps.ewmaExactOf(df, key, ts, tie, value, alpha)
+
+  /** Wilder-smoothed RSI(n) — the exact recurrence form (pandas_ta
+    * RMA: `ewm(alpha=1/n, adjust=False)` over gains/losses), run as a
+    * distributed segmented scan; [[rsi]] is Cutler's window form of
+    * the same indicator. Output shape as [[ewmaExact]], `rsi` null
+    * until `n` deltas, flat series pin to 50. */
+  def rsiWilder(df: DataFrame, key: String, ts: String, tie: String,
+                value: String, n: Int): DataFrame =
+    ops.ScanOps.rsiWilderOf(df, key, ts, tie, value, n)
+
   /** Truncated exponentially-weighted moving average — pandas
     * ewm(alpha, adjust=True) over the last `w` observations:
     * ewma_t = Σ_{j<min(rn,w)} (1−α)^j·x_{t-j} / Σ_j (1−α)^j. Appends

@@ -17,6 +17,7 @@ object SparkEntry {
       (DataOps.queries, DataOps.oracle),
       (TimeSeriesOps.queries, TimeSeriesOps.oracle),
       (FinOps.queries, FinOps.oracle),
+      (ScanOps.queries, ScanOps.oracle),
       (DedupOps.queries, DedupOps.oracle),
       (TextOps.queries, TextOps.oracle),
       (SimOps.queries, SimOps.oracle),

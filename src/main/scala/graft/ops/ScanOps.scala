@@ -1,0 +1,175 @@
+package graft.ops
+
+import graft.{F, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Exact sequential recurrences per series — the segmented-scan
+  * execution path (SURVEY.md §2 q39–q40).
+  *
+  * [[graft.Graft.ewma]] (q35) truncates the exponential tail so the
+  * smoothing becomes a fixed set of lags on one window sort; the EXACT
+  * infinite-history forms — pandas `ewm(alpha, adjust=False).mean()`
+  * and Wilder's RSI smoothing (the recurrence the reference's
+  * pandas_ta WMA surface sits next to,
+  * crypto_data_pipeline_duckdb.py:1221-1268) — are linear recurrences
+  * y_i = (1−α)·y_{i−1} + α·x_i that no O(1)-per-row window frame
+  * expresses, and the closed-form rewrite
+  * y_i = α·(1−α)^i·Σ_j x_j/(1−α)^j overflows for any real series
+  * length. This module runs them as a distributed segmented scan:
+  * ONE shuffle on the series key (`groupByKey` — sort-based,
+  * spill-safe grouping), each group streamed through
+  * `flatMapSortedGroups` in (`ts`, `tie`) order and folded
+  * left-to-right with O(1) state. Parallelism is the key count, the
+  * same contract as every window-chain operator here; the typed
+  * exchange carries only (key, ts, tie, x) — callers join other
+  * columns back on (key, ts_ms, tie). This is the engine's one
+  * sanctioned typed hot path besides m02's mapPartitions demo: an
+  * irreducibly sequential recurrence is exactly what the (d) fallback
+  * in the custom-operator preference order is for.
+  *
+  * Parity: the DuckDB oracle folds each row's ORDER-BY-framed prefix
+  * list with `list_reduce` — the identical op sequence the carried
+  * accumulator performs (init = first element, then acc·β + α·x per
+  * element), so every double is bit-identical across engines
+  * (fold-order rule, SURVEY §5). The oracle's per-row prefix fold is
+  * O(n²) per series — acceptable at gate scale; the Spark scan is the
+  * O(n) production form.
+  */
+object ScanOps {
+  type Q = (SparkSession, String) => DataFrame
+  import Tables.t
+  import F._
+
+  /** Exact infinite-history EWMA — pandas `ewm(alpha,
+    * adjust=False).mean()`: y₁ = x₁, yᵢ = (1−α)·yᵢ₋₁ + α·xᵢ folded in
+    * (`ts`, `tie`) order per `key` series. Returns (`key` AS STRING,
+    * `ts_ms` epoch-ms, `tie`, `ewma`) — one row per input row; the
+    * scan projects its inputs, join back for other columns. (`ts`,
+    * `tie`) must totally order each series and `value` must be
+    * non-null (same keyed-operator contract as [[TimeSeriesOps]]). */
+  def ewmaExactOf(df: DataFrame, key: String, ts: String, tie: String,
+                  value: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val s = df.sparkSession
+    import s.implicits._
+    val beta = 1.0 - alpha
+    df.select(col(key).cast("string").as("__k"), epochMs(col(ts)).as("__t"),
+        col(tie).cast("long").as("__i"), col(value).cast("double").as("__x"))
+      .as[(String, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("__t").asc, col("__i").asc) { (k, rows) =>
+        var acc = 0.0
+        var first = true
+        rows.map { case (_, t, i, x) =>
+          if (first) { acc = x; first = false }
+          else acc = acc * beta + alpha * x
+          (k, t, i, acc)
+        }
+      }
+      .toDF(key, "ts_ms", tie, "ewma")
+  }
+
+  /** Wilder-smoothed RSI(n) — the recurrence form ([[graft.Graft.rsi]]
+    * is Cutler's window form): per series in (`ts`, `tie`) order,
+    * deltas split into gains/losses, each smoothed by the exact
+    * recurrence avg₁ = v₁, avgⱼ = (1−1/n)·avgⱼ₋₁ + (1/n)·vⱼ (pandas
+    * `ewm(alpha=1/n, adjust=False)` — pandas_ta's RMA), then
+    * rsi = 100·ag/(ag+al) (flat series → 50), null until `n` deltas.
+    * Output shape and contracts as [[ewmaExactOf]]. */
+  def rsiWilderOf(df: DataFrame, key: String, ts: String, tie: String,
+                  value: String, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val s = df.sparkSession
+    import s.implicits._
+    val alpha = 1.0 / n
+    val beta = 1.0 - alpha
+    df.select(col(key).cast("string").as("__k"), epochMs(col(ts)).as("__t"),
+        col(tie).cast("long").as("__i"), col(value).cast("double").as("__x"))
+      .as[(String, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("__t").asc, col("__i").asc) { (k, rows) =>
+        var prev = 0.0
+        var j = 0
+        var ag = 0.0
+        var al = 0.0
+        var first = true
+        rows.map { case (_, t, i, x) =>
+          val out =
+            if (first) { first = false; None }
+            else {
+              val d = x - prev
+              val g = if (d > 0) d else 0.0
+              val l = if (d < 0) -d else 0.0
+              j += 1
+              if (j == 1) { ag = g; al = l }
+              else { ag = ag * beta + alpha * g; al = al * beta + alpha * l }
+              if (j >= n) Some(if (ag + al == 0) 50.0 else 100.0 * ag / (ag + al))
+              else None
+            }
+          prev = x
+          (k, t, i, out)
+        }
+      }
+      .toDF(key, "ts_ms", tie, "rsi")
+  }
+
+  /** #q39 exact EWMA (adjust=False) per user series. */
+  private val q39: Q = (s, dir) =>
+    ewmaExactOf(t(s, dir, "events"), "user_id", "ts", "event_id", "value", alpha = 0.25)
+      .select(col("user_id").cast("long").as("user_id"), col("ts_ms"),
+        col("event_id"), r6(col("ewma")).as("ewma"))
+      .orderBy("user_id", "ts_ms", "event_id")
+
+  private val q39Sql =
+    """WITH p AS (
+      |  SELECT user_id, ts, event_id,
+      |    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre
+      |  FROM events)
+      |SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+      |  round(list_reduce(pre, (acc, x) -> acc*0.75 + 0.25*x), 6) AS ewma
+      |FROM p
+      |ORDER BY user_id, ts_ms, event_id""".stripMargin
+
+  /** #q40 Wilder RSI(14) per user series. The oracle reproduces the
+    * recurrence as two prefix-list folds over the delta stream (rows
+    * rn ≥ 2); rn ≥ 15 ⇔ 14 deltas seen. */
+  private val q40: Q = (s, dir) =>
+    rsiWilderOf(t(s, dir, "events"), "user_id", "ts", "event_id", "value", n = 14)
+      .select(col("user_id").cast("long").as("user_id"), col("ts_ms"),
+        col("event_id"), r6(col("rsi")).as("rsi"))
+      .orderBy("user_id", "ts_ms", "event_id")
+
+  private val q40Sql =
+    """WITH d AS (
+      |  SELECT user_id, ts, event_id,
+      |    value - lag(value, 1) OVER o AS dd,
+      |    row_number() OVER o AS rn
+      |  FROM events
+      |  WINDOW o AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |g AS (
+      |  SELECT user_id, event_id, rn,
+      |    CASE WHEN dd > 0 THEN dd ELSE 0.0 END AS gn,
+      |    CASE WHEN dd < 0 THEN -dd ELSE 0.0 END AS ls
+      |  FROM d WHERE rn >= 2),
+      |f AS (
+      |  SELECT user_id, event_id, rn,
+      |    list_reduce(list(gn) OVER w, (acc, x) -> acc*(1.0 - 1.0/14.0) + (1.0/14.0)*x) AS ag,
+      |    list_reduce(list(ls) OVER w, (acc, x) -> acc*(1.0 - 1.0/14.0) + (1.0/14.0)*x) AS al
+      |  FROM g
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY rn
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT d.user_id, epoch_ms(d.ts) AS ts_ms, d.event_id,
+      |  round(CASE WHEN f.rn >= 15 THEN
+      |    CASE WHEN ag + al = 0 THEN 50.0 ELSE 100.0*ag/(ag + al) END
+      |  END, 6) AS rsi
+      |FROM d LEFT JOIN f ON d.user_id = f.user_id AND d.event_id = f.event_id
+      |ORDER BY d.user_id, ts_ms, d.event_id""".stripMargin
+
+  val queries: Map[String, Q] =
+    Map("q39_ewma_exact" -> q39, "q40_wilder_rsi" -> q40)
+
+  val oracle: Map[String, String] =
+    Map("q39_ewma_exact" -> q39Sql, "q40_wilder_rsi" -> q40Sql)
+}
