@@ -421,10 +421,51 @@ object CoreOps {
       .orderBy("l_returnflag")
   }
 
+  /** #19g the 100 TB PROFILING path AS A QUERY: term frequencies
+    * estimated from a deterministic md5 10% document sample next to
+    * the exact counts — how a corpus is profiled (mixture weights,
+    * vocabulary stats) without scanning all of it. ONE aggregation
+    * computes both sides: the sample membership is a pure function of
+    * doc_id (never rand() — reruns reproduce the estimate bit-for-bit),
+    * so `n_est` is just a conditional sum riding the exact count's
+    * map-side combine; the shuffle carries (term, count, est) — at
+    * 100 TB a real deployment flips the filter to scan ONLY the sample,
+    * making profiling 10× cheaper than the count it estimates. Unlike
+    * a01/a02 the estimator is SQL-expressible, so this one is
+    * hash-checked against DuckDB, not rows-only. */
+  private val a03: Q = (s, dir) => {
+    val sampled = pmod(hash60(concat(lit("a03:"), col("doc_id").cast("string"))), lit(10L)) === 0
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(
+        count(lit(1)).as("n_exact"),
+        sum(when(sampled, lit(10L)).otherwise(lit(0L))).as("n_est"))
+      .withColumn("rel_err", r4(abs(col("n_est") - col("n_exact")) / col("n_exact").cast("double")))
+      .orderBy(col("n_exact").desc, col("term"))
+      .limit(20)
+  }
+
+  private val a03Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      |  FROM documents),
+      |g AS (
+      |  SELECT term, CAST(count(*) AS BIGINT) AS n_exact,
+      |    CAST(sum(CASE WHEN CAST(('0x' || substr(md5('a03:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 = 0
+      |      THEN 10 ELSE 0 END) AS BIGINT) AS n_est
+      |  FROM tok GROUP BY term)
+      |SELECT term, n_exact, n_est,
+      |  round(abs(n_est - n_exact) / CAST(n_exact AS DOUBLE), 4) AS rel_err
+      |FROM g
+      |ORDER BY n_exact DESC, term
+      |LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q28_supplier_share" -> q28,
     "a01_approx_distinct" -> a01,
     "a02_approx_percentile" -> a02,
+    "a03_sampled_terms" -> a03,
     "q24_histogram" -> q24,
     "q25_distinct_counts" -> q25,
     "q20_percentiles" -> q20,
@@ -441,6 +482,7 @@ object CoreOps {
 
   val oracle: Map[String, String] = Map(
     "q28_supplier_share" -> q28Sql,
+    "a03_sampled_terms" -> a03Sql,
     "q24_histogram" -> q24Sql,
     "q25_distinct_counts" -> q25Sql,
     "q20_percentiles" -> q20Sql,

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{F, Tables}
-import graft.sources.OptionJson
+import graft.sources.{OptionJson, RatesJson}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -37,6 +37,46 @@ object IngestOps {
       .orderBy("symbol")
   }
 
-  val queries: Map[String, Q] = Map("o01_option_exercise" -> o01)
+  /** #o02 funding-rate ingest (crypto_data_pipline_clickhouse.py:717-940):
+    * one page per event_type (symbol = type+"USDT", so keys COLLIDE and
+    * the keep-last heal is exercised on real data); every 7th record's
+    * fundingRate is a non-numeric string, exercising the reference's
+    * to_numeric(errors='coerce').fillna(0) rule end-to-end. */
+  private val o02: Q = (s, dir) => {
+    val ev = t(s, dir, "events").filter(pmod(col("event_id"), lit(29L)) === 0)
+    val pages = ev.groupBy(col("event_type").as("market"))
+      .agg(to_json(collect_list(struct(
+        concat(col("event_type"), lit("USDT")).as("symbol"),
+        epochMs(col("ts")).cast("string").as("fundingTime"),
+        when(pmod(col("event_id"), lit(203L)) === 0, lit("n/a"))
+          .otherwise((col("value") / lit(1e6)).cast("string")).as("fundingRate"),
+        col("value").cast("string").as("markPrice")))).as("payload"))
+      .withColumn("page_seq", lit(1L))
+    RatesJson.dedupFundingKeepLast(
+      RatesJson.parseFunding(pages, "payload", Seq("page_seq")), col("page_seq"))
+      .orderBy("symbol", "fundingTime")
+  }
+
+  /** #o03 margin-interest-rate ingest
+    * (crypto_data_pipline_clickhouse.py:461-716): same landed-page
+    * contract keyed (asset, timestamp); vipLevel cycles 0-8. */
+  private val o03: Q = (s, dir) => {
+    val ev = t(s, dir, "events").filter(pmod(col("event_id"), lit(31L)) === 0)
+    val pages = ev.groupBy(col("event_type").as("market"))
+      .agg(to_json(collect_list(struct(
+        col("event_type").as("asset"),
+        epochMs(col("ts")).cast("string").as("timestamp"),
+        (col("value") / lit(1e4)).cast("string").as("dailyInterestRate"),
+        pmod(col("event_id"), lit(9L)).cast("string").as("vipLevel")))).as("payload"))
+      .withColumn("page_seq", lit(1L))
+    RatesJson.dedupMarginKeepLast(
+      RatesJson.parseMargin(pages, "payload", Seq("page_seq")), col("page_seq"))
+      .orderBy("asset", "timestamp")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "o01_option_exercise" -> o01,
+    "o02_funding_rates" -> o02,
+    "o03_margin_rates" -> o03)
   val oracle: Map[String, String] = Map.empty
 }

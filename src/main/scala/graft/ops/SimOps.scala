@@ -246,15 +246,67 @@ object SimOps {
        |ORDER BY cluster""".stripMargin
   }
 
+  /** #26d ANN quality eval AS a query: per-query recall@K of the IVF
+    * path (s02) against the exact brute-force baseline (s01) — the
+    * measurement every ANN deployment needs before trading exactness
+    * for the bucketed plan. Both sides are the already-verified query
+    * plans; the join/count runs on (q_id, vec_id) id pairs only, so at
+    * 100 TB the eval costs one K-row-per-query join beyond the two
+    * searches themselves (and in production the baseline runs on a
+    * deterministic md5 sample of queries, not all of them). */
+  private val s05: Q = (s, dir) => {
+    val brute = s01(s, dir).select(col("q_id"), col("vec_id"))
+    val approx = s02(s, dir).select(col("q_id"), col("vec_id"), lit(1).as("__hit"))
+    brute.join(approx, Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(col("__hit")).as("n_hits"))
+      .withColumn("recall", r4(col("n_hits") / lit(K.toDouble)))
+      .orderBy("q_id")
+  }
+
+  private val s05Sql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |bq AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+       |bc AS (SELECT bq.q_id, e.vec_id, ${duckCos("qv", "v")} AS cos
+       |  FROM bq JOIN e ON e.vec_id <> bq.q_id),
+       |br AS (SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM bc),
+       |brute AS (SELECT q_id, vec_id FROM br WHERE rank <= $K),
+       |cents AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+       |asg AS (SELECT e.vec_id, e.v, c_id,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${duckCos("v", "cv")} DESC, c_id) AS arn
+       |  FROM e CROSS JOIN cents),
+       |cells AS (SELECT vec_id, v, c_id AS cell FROM asg WHERE arn = 1),
+       |iq AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+       |pr AS (SELECT q_id, qv, c_id AS cell,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY ${duckCos("qv", "cv")} DESC, c_id) AS prn
+       |  FROM iq CROSS JOIN cents),
+       |probes AS (SELECT q_id, qv, cell FROM pr WHERE prn <= 2),
+       |ic AS (SELECT p.q_id, cells.vec_id, ${duckCos("qv", "v")} AS cos
+       |  FROM cells JOIN probes p USING (cell)
+       |  WHERE cells.vec_id <> p.q_id),
+       |ir AS (SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM ic),
+       |ivf AS (SELECT q_id, vec_id FROM ir WHERE rank <= $K)
+       |SELECT b.q_id, CAST(count(i.vec_id) AS BIGINT) AS n_hits,
+       |  round(count(i.vec_id) / $K.0, 4) AS recall
+       |FROM brute b LEFT JOIN ivf i ON i.q_id = b.q_id AND i.vec_id = b.vec_id
+       |GROUP BY b.q_id
+       |ORDER BY b.q_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "s01_knn_bruteforce" -> s01,
     "s02_ann_ivf" -> s02,
     "s03_ann_lsh" -> s03,
-    "s04_kmeans" -> s04)
+    "s04_kmeans" -> s04,
+    "s05_ann_recall" -> s05)
 
   val oracle: Map[String, String] = Map(
     "s01_knn_bruteforce" -> s01Sql,
     "s02_ann_ivf" -> s02Sql,
     "s03_ann_lsh" -> s03Sql,
-    "s04_kmeans" -> s04Sql)
+    "s04_kmeans" -> s04Sql,
+    "s05_ann_recall" -> s05Sql)
 }

@@ -10,7 +10,7 @@ class OpsSpec extends SparkSpec {
 
   test("every declared query runs and respects its contract on sf0.001") {
     val qs = SparkEntry.queries
-    assert(qs.size == 80)
+    assert(qs.size == 84)
     // oracle coverage: everything except the rows-only entries — m02
     // (mapPartitions), the a01/a02 sketches (HLL++/quantile-sketch
     // results are not SQL-reproducible in DuckDB; ExtOpsSpec bounds
@@ -19,7 +19,8 @@ class OpsSpec extends SparkSpec {
     // subset; OptionJsonSpec pins the parse semantics instead)
     assert(SparkEntry.oracleSql.keySet ==
       qs.keySet - "m02_feature_batch" - "a01_approx_distinct" -
-        "a02_approx_percentile" - "o01_option_exercise")
+        "a02_approx_percentile" - "o01_option_exercise" -
+        "o02_funding_rates" - "o03_margin_rates")
   }
 
   test("d06 clusters: labels are a fixpoint and canonical is the cluster min") {
