@@ -278,6 +278,35 @@ object StreamOps {
       mergeKeys = Seq("symbol", "interval", "timestamp"))
   }
 
+  /** The rate-history twins of [[streamingKlineIngest]] — funding rates
+    * (crypto_data_pipline_clickhouse.py:717-940) and margin interest
+    * rates (:461-716) as the same continuous landing → parse → heal →
+    * merge cycle, completing the ingest family: every table-producing
+    * fetch surface in the reference (spot/futures/options klines,
+    * option exercises, funding, margin) now has both a batch parse
+    * layer and a checkpointed streaming pipeline. The landing page's
+    * `symbol` column is the fetch symbol/asset that produced the page
+    * (metadata only — rows carry their own keys). */
+  def streamingFundingIngest(spark: SparkSession, landingDir: String, storePath: String,
+                             checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val raw = landedPages(spark, landingDir)
+    val parsed = graft.sources.RatesJson.parseFunding(raw, "payload", passthrough = Seq("page_seq"))
+    ingestSink(spark, parsed, storePath, checkpointDir,
+      graft.sources.RatesJson.dedupFundingKeepLast(_, col("page_seq")),
+      mergeKeys = Seq("symbol", "fundingTime"))
+  }
+
+  /** See [[streamingFundingIngest]]; keyed (asset, timestamp) and
+    * partitioned by asset — the margin store's natural prune column. */
+  def streamingMarginIngest(spark: SparkSession, landingDir: String, storePath: String,
+                            checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val raw = landedPages(spark, landingDir)
+    val parsed = graft.sources.RatesJson.parseMargin(raw, "payload", passthrough = Seq("page_seq"))
+    ingestSink(spark, parsed, storePath, checkpointDir,
+      graft.sources.RatesJson.dedupMarginKeepLast(_, col("page_seq")),
+      mergeKeys = Seq("asset", "timestamp"), partitionCol = "asset")
+  }
+
   private def landedPages(spark: SparkSession, landingDir: String): DataFrame =
     spark.readStream
       .schema("symbol STRING, page_seq LONG, payload STRING")
@@ -285,7 +314,8 @@ object StreamOps {
 
   private def ingestSink(spark: SparkSession, parsed: DataFrame, storePath: String,
                          checkpointDir: String, dedup: DataFrame => DataFrame,
-                         mergeKeys: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
+                         mergeKeys: Seq[String],
+                         partitionCol: String = "symbol"): org.apache.spark.sql.streaming.StreamingQuery =
     parsed.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -300,9 +330,9 @@ object StreamOps {
             catch { case _: org.apache.spark.sql.AnalysisException => false }
           try {
             if (storeExists)
-              graft.sinks.MergeWriter.merge(spark, storePath, delta, mergeKeys, "symbol")
+              graft.sinks.MergeWriter.merge(spark, storePath, delta, mergeKeys, partitionCol)
             else
-              delta.write.partitionBy("symbol").parquet(storePath)
+              delta.write.partitionBy(partitionCol).parquet(storePath)
           } finally graft.Checkpoints.free(delta)
         }
       }

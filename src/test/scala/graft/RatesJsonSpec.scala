@@ -65,4 +65,68 @@ class RatesJsonSpec extends SparkSpec {
     val sch = out.schema.fields.map(f => f.name -> f.dataType).toMap
     assert(sch("timestamp") == TimestampType && sch("vipLevel") == LongType)
   }
+
+  private def land(root: String, landing: String, name: String,
+                   rows: Seq[(String, Long, String)]): Unit = {
+    import spark.implicits._
+    val tmp = s"$root/tmp_$name"
+    rows.toDF("symbol", "page_seq", "payload").coalesce(1).write.json(tmp)
+    new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".json"))
+      .foreach(f => java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(landing, s"$name.json")))
+  }
+
+  test("streaming funding ingest: heal wins within and across batches; coerce survives the stream") {
+    import graft.streaming.StreamOps
+    val root = java.nio.file.Files.createTempDirectory("funding_ingest").toString
+    val landing = s"$root/landing"; val store = s"$root/store"; val ckpt = s"$root/ckpt"
+    new java.io.File(landing).mkdirs()
+    def page(sym: String, ms: Long, rate: String) =
+      s"""[{"symbol": "$sym", "fundingTime": $ms, "fundingRate": "$rate", "markPrice": "100"}]"""
+    // batch 1: page 2 heals the same (symbol, ts) within the batch; one
+    // garbage rate must coerce to 0.0 through the streaming path too
+    land(root, landing, "b1", Seq(
+      ("BTCUSDT", 1L, page("BTCUSDT", 60000, "0.001")),
+      ("BTCUSDT", 2L, page("BTCUSDT", 60000, "0.002")),
+      ("ETHUSDT", 1L, page("ETHUSDT", 60000, "oops"))))
+    val q1 = StreamOps.streamingFundingIngest(spark, landing, store, ckpt)
+    try q1.processAllAvailable() finally q1.stop()
+    val after1 = spark.read.parquet(store)
+      .select(col("symbol"), unix_millis(col("fundingTime")).as("ms"), col("fundingRate"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(after1(("BTCUSDT", 60000L)) == 0.002, "in-batch heal: higher page_seq wins")
+    assert(after1(("ETHUSDT", 60000L)) == 0.0, "coerce-to-0 garbage rule holds in-stream")
+    // batch 2, restarted query on the same checkpoint: cross-batch heal
+    land(root, landing, "b2", Seq(("BTCUSDT", 1L, page("BTCUSDT", 60000, "0.003"))))
+    val q2 = StreamOps.streamingFundingIngest(spark, landing, store, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    val after2 = spark.read.parquet(store)
+      .select(col("symbol"), unix_millis(col("fundingTime")).as("ms"), col("fundingRate"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(after2(("BTCUSDT", 60000L)) == 0.003, "cross-batch heal: merge overrides the store")
+    assert(after2.size == 2)
+  }
+
+  test("streaming margin ingest: asset-partitioned store, keyed (asset, timestamp)") {
+    import graft.streaming.StreamOps
+    val root = java.nio.file.Files.createTempDirectory("margin_ingest").toString
+    val landing = s"$root/landing"; val store = s"$root/store"; val ckpt = s"$root/ckpt"
+    new java.io.File(landing).mkdirs()
+    def page(asset: String, ms: Long, rate: String) =
+      s"""[{"asset": "$asset", "timestamp": $ms, "dailyInterestRate": "$rate", "vipLevel": 1}]"""
+    land(root, landing, "b1", Seq(
+      ("BTC", 1L, page("BTC", 60000, "0.00025")),
+      ("ETH", 1L, page("ETH", 60000, "0.0003"))))
+    val q1 = StreamOps.streamingMarginIngest(spark, landing, store, ckpt)
+    try q1.processAllAvailable() finally q1.stop()
+    land(root, landing, "b2", Seq(("BTC", 1L, page("BTC", 60000, "0.00026"))))
+    val q2 = StreamOps.streamingMarginIngest(spark, landing, store, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = spark.read.parquet(store)
+      .select(col("asset"), unix_millis(col("timestamp")).as("ms"), col("dailyInterestRate"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(rows(("BTC", 60000L)) == 0.00026, "heal merged into the asset-partitioned store")
+    assert(rows(("ETH", 60000L)) == 0.0003)
+    assert(new java.io.File(s"$store/asset=BTC").exists, "store partitioned by asset")
+  }
 }
