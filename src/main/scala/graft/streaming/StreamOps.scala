@@ -55,6 +55,14 @@ case class RsiState(prev: Option[Double], deltas: List[Double])
   * exist (matching batch q36's warmup nulls). */
 case class RsiOut(event_type: String, event_id: Long, ts_ms: Long, value: Double, rsi: Option[Double])
 
+/** State for [[StreamOps.streamingEwma]]: the running exact-EWMA
+  * accumulator — O(1) per key, independent of stream length. */
+case class EwmaState(acc: Option[Double])
+
+/** One exact-EWMA observation per input event (first event's ewma is
+  * its own value — pandas `ewm(adjust=False)` init). */
+case class EwmaOut(event_type: String, event_id: Long, ts_ms: Long, value: Double, ewma: Double)
+
 /** Streaming operators (SURVEY.md §2 #33-34).
   *
   * The reference polls REST endpoints on a scheduler and upserts
@@ -440,6 +448,38 @@ object StreamOps {
             RsiOut(key, e.event_id, e.ts.getTime, e.value, rsi)
           }
           state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Batch q39's EXACT infinite-history EWMA
+    * ([[graft.ops.ScanOps.ewmaExactOf]], pandas `ewm(alpha,
+    * adjust=False)`) run CONTINUOUSLY — the streaming twin of the
+    * segmented scan: the [[GroupState]] accumulator IS the scan's O(1)
+    * carried state, and each arrival performs the identical op
+    * (acc·(1−α) + α·x), so streaming and batch agree BIT-FOR-BIT, not
+    * within tolerance (the spec asserts exact equality). Same
+    * arrival-order contract as [[streamingWma]]; unlike the windowed
+    * operators there is no warmup — the first event emits itself. */
+  def streamingEwma(events: Dataset[BollEvent], alpha: Double): Dataset[EwmaOut] = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    import events.sparkSession.implicits._
+    val beta = 1.0 - alpha
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[BollEvent], state: GroupState[EwmaState]) =>
+          var acc = state.getOption.flatMap(_.acc)
+          val out = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+            val v = acc match {
+              case None    => e.value
+              case Some(a) => a * beta + alpha * e.value
+            }
+            acc = Some(v)
+            EwmaOut(key, e.event_id, e.ts.getTime, e.value, v)
+          }
+          state.update(EwmaState(acc))
           out.iterator
       }
   }

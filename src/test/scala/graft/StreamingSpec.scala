@@ -200,6 +200,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact EWMA == batch segmented scan BIT-FOR-BIT across micro-batches") {
+    import graft.streaming.{BollEvent, EwmaOut}
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[BollEvent]
+    val q = StreamOps.streamingEwma(input.toDS(), alpha = 0.25)
+      .writeStream.format("memory").queryName("ewma_out").outputMode("append").start()
+    try {
+      val evs = Tables.t(spark, sfDir, "events")
+        .select(col("event_type"), col("event_id"), col("ts"), col("value"))
+        .as[BollEvent].collect().sortBy(e => (e.ts.getTime, e.event_id))
+      evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { b =>
+        input.addData(b.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val got = spark.table("ewma_out").as[EwmaOut].collect()
+        .map(o => (o.event_type, o.event_id) -> o.ewma).toMap
+      val want = graft.ops.ScanOps.ewmaExactOf(Tables.t(spark, sfDir, "events"),
+          "event_type", "ts", "event_id", "value", alpha = 0.25)
+        .select("event_type", "event_id", "ewma").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(got.keySet == want.keySet)
+      // the GroupState accumulator performs the scan's exact op order —
+      // equality is bitwise, no tolerance
+      want.foreach { case (k, w) => assert(got(k) == w, s"$k: ${got(k)} != $w") }
+    } finally q.stop()
+  }
+
   test("streaming WMA(12) == batch q11 when events arrive in event-time order") {
     import graft.streaming.{WmaEvent, WmaOut}
     implicit val sql = spark.sqlContext
