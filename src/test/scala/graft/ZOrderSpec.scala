@@ -1,0 +1,72 @@
+package graft
+
+import graft.sinks.ZOrderWriter
+import org.apache.spark.sql.functions._
+
+/** Z-order layout: Morton interleave correctness and the property the
+  * layout exists for — tight per-file min/max envelopes in BOTH
+  * dimensions, so either-column predicates touch few files. */
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zValue interleaves bits: a on even positions, b on odd") {
+    val df = Seq(
+      (0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L),
+      (5L, 3L),           // 101 ⋈ 011 = 0b011011 + ... = a bits even, b odd
+      (0xFFFFL, 0L), (0L, 0xFFFFL), (0xFFFFL, 0xFFFFL)
+    ).toDF("a", "b")
+    val got = df.select(ZOrderWriter.zValue(col("a"), col("b")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    def morton(a: Long, b: Long): Long =
+      (0 until 16).map(i => (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))).sum
+    val want = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (5L, 3L),
+      (0xFFFFL, 0L), (0L, 0xFFFFL), (0xFFFFL, 0xFFFFL)).map((morton _).tupled)
+    assert(got == want)
+    assert(morton(0xFFFFL, 0xFFFFL) == 0xFFFFFFFFL, "16+16 bits fill 32")
+  }
+
+  test("z-ordered files have tight envelopes in BOTH dimensions; linear layout in one") {
+    val root = java.nio.file.Files.createTempDirectory("zorder").toString
+    // a 64x64 grid: two independent uniform dimensions
+    val grid = spark.range(4096).select(
+      (col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"),
+      col("id").as("payload"))
+    val nFiles = 16
+    ZOrderWriter.writeZOrdered(grid, s"$root/z", "x", "y", nFiles, tieBreak = Seq("payload"))
+    // the comparison layout: same file count, sorted by x only
+    grid.repartitionByRange(nFiles, col("x")).sortWithinPartitions("x")
+      .write.parquet(s"$root/linear")
+
+    def filesTouched(path: String, pred: org.apache.spark.sql.Column): Long =
+      spark.read.parquet(path).filter(pred)
+        .select(input_file_name()).distinct().count()
+
+    val zx = filesTouched(s"$root/z", col("x") === 7)
+    val zy = filesTouched(s"$root/z", col("y") === 7)
+    val lx = filesTouched(s"$root/linear", col("x") === 7)
+    val ly = filesTouched(s"$root/linear", col("y") === 7)
+    // linear: perfect on its sort key, hopeless on the other
+    assert(lx <= 2, s"x-sorted layout must nail x predicates, touched $lx")
+    assert(ly == nFiles.toLong, s"x-sorted layout spans all files on y, touched $ly")
+    // z-order: BOTH dimensions touch a strict subset (√n-ish per slice)
+    assert(zx < nFiles / 2, s"z layout on x touched $zx of $nFiles")
+    assert(zy < nFiles / 2, s"z layout on y touched $zy of $nFiles")
+    // no rows lost or duplicated by the rewrite
+    assert(spark.read.parquet(s"$root/z").count() == 4096)
+    assert(spark.read.parquet(s"$root/z").select(sum("payload")).head().getLong(0)
+      == grid.select(sum("payload")).head().getLong(0))
+  }
+
+  test("constant and degenerate domains do not break the bucketizer") {
+    val root = java.nio.file.Files.createTempDirectory("zorder_const").toString
+    val df = spark.range(100).select(lit(5L).as("x"), col("id").as("y"))
+    ZOrderWriter.writeZOrdered(df, s"$root/z", "x", "y", numFiles = 4)
+    assert(spark.read.parquet(s"$root/z").count() == 100)
+    intercept[IllegalArgumentException] {
+      ZOrderWriter.writeZOrdered(df, s"$root/bad", "x", "y", numFiles = 0)
+    }
+    intercept[IllegalArgumentException] {
+      ZOrderWriter.zValue(col("x"), col("y"), bits = 17)
+    }
+  }
+}
