@@ -64,6 +64,10 @@ object ZOrderWriter {
     val r = df.agg(
       min(col(colA).cast("double")), max(col(colA).cast("double")),
       min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
+    if (r.isNullAt(0)) { // empty input: write the empty table, no layout to pick
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     val (loA, hiA, loB, hiB) = (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
     val z = zValue(rank(col(colA), loA, hiA, bits), rank(col(colB), loB, hiB, bits), bits)
     val ordered = df

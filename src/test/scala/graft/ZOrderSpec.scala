@@ -62,6 +62,8 @@ class ZOrderSpec extends SparkSpec {
     val df = spark.range(100).select(lit(5L).as("x"), col("id").as("y"))
     ZOrderWriter.writeZOrdered(df, s"$root/z", "x", "y", numFiles = 4)
     assert(spark.read.parquet(s"$root/z").count() == 100)
+    ZOrderWriter.writeZOrdered(df.filter(col("y") < 0), s"$root/empty", "x", "y", numFiles = 4)
+    assert(spark.read.parquet(s"$root/empty").count() == 0, "empty input writes an empty table")
     intercept[IllegalArgumentException] {
       ZOrderWriter.writeZOrdered(df, s"$root/bad", "x", "y", numFiles = 0)
     }
