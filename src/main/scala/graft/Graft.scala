@@ -224,7 +224,15 @@ object Graft {
     * confirmed by Levenshtein distance ≤ maxDist. The confirm uses
     * Spark's banded threshold algorithm (O(maxDist·len) per pair, not
     * O(len²)), and only DISTINCT blocked candidates ever reach it —
-    * never a full cross join. Returns (doc_a, doc_b, edit_dist). */
+    * never a full cross join. Returns (doc_a, doc_b, edit_dist).
+    *
+    * PRODUCTION ORDERING CONTRACT: cost is candidate-pair-bound
+    * (pairs × maxDist × length). Run EXACT dedup first ([[normalizeText]]
+    * md5 + keep-one, the d01 plan) so exact copies collapse to one
+    * representative — a k-copy group otherwise contributes k² candidate
+    * pairs to every blocked pair operator, this one at the highest
+    * per-pair cost. The same ordering applies to [[minhashPairs]],
+    * [[simhashPairs]], [[ngramJaccardPairs]] and [[connectedComponents]]. */
   def editDistancePairs(docs: DataFrame, id: String, text: String,
                         maxDist: Int, shingleN: Int = 3, k: Int = 8,
                         bands: Int = 4): DataFrame =
