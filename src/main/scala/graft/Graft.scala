@@ -585,6 +585,54 @@ object Graft {
             (sqrt(col("__vx")) * sqrt(col("__vy")))).as("corr"))
   }
 
+  /** Market beta/alpha of every series against one benchmark series,
+    * on a shared bucket grid (the regression companion of
+    * [[pairCorr]]). Input is one row per (key, bucket) with the
+    * bucket's `value`; per-bucket simple returns (v/prev − 1, rows
+    * with a zero/missing previous value dropped) are aligned with the
+    * benchmark's returns on common buckets, then
+    * beta = cov(r_s, r_bench)/var(r_bench) and
+    * alpha = mean(r_s) − beta·mean(r_bench). The sums run as
+    * cumulative window folds in bucket order with the last row kept —
+    * deterministic under any partitioning, like [[pairCorr]]. The
+    * benchmark side is ONE series (grid-sized): it broadcasts, so the
+    * join never shuffles the fact side at any volume. Returns
+    * (series, n_buckets, beta, alpha); null beta/alpha on degenerate
+    * benchmark variance or fewer than 2 shared buckets. */
+  def betaVs(df: DataFrame, key: String, bucket: String, value: String,
+             benchmark: String): DataFrame = {
+    // both sides derive from the same (usually aggregated) grid — the
+    // pairCorr cross-side-recompute barrier, tiny by construction
+    val grid = df.localCheckpoint()
+    val w = Window.partitionBy(col(key)).orderBy(col(bucket))
+    val r = grid
+      .withColumn("__prev", lag(col(value), 1).over(w))
+      .filter(col("__prev").isNotNull && col("__prev") =!= 0)
+      .withColumn("__r", col(value) / col("__prev") - 1)
+    val s = r.filter(col(key) =!= benchmark)
+      .select(col(key).as("series"), col(bucket).as("__b"), col("__r").as("__rs"))
+    val b = broadcast(r.filter(col(key) === benchmark)
+      .select(col(bucket).as("__b2"), col("__r").as("__rb")))
+    val ord = Window.partitionBy(col("series")).orderBy(col("__b"))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pw = Window.partitionBy(col("series"))
+    s.join(b, col("__b") === col("__b2"))
+      .drop("__b2")
+      .withColumn("__rn", row_number().over(ord))
+      .withColumn("__n", count(lit(1)).over(pw))
+      .withColumn("__ss", sum(col("__rs")).over(cum))
+      .withColumn("__sb", sum(col("__rb")).over(cum))
+      .withColumn("__ssb", sum(col("__rs") * col("__rb")).over(cum))
+      .withColumn("__sb2", sum(col("__rb") * col("__rb")).over(cum))
+      .filter(col("__rn") === col("__n"))
+      .withColumn("__vb", col("__n") * col("__sb2") - col("__sb") * col("__sb"))
+      .withColumn("beta",
+        when(col("__n") >= 2 && col("__vb") > 0,
+          (col("__n") * col("__ssb") - col("__ss") * col("__sb")) / col("__vb")))
+      .select(col("series"), col("__n").as("n_buckets"), col("beta"),
+        (col("__ss") / col("__n") - col("beta") * (col("__sb") / col("__n"))).as("alpha"))
+  }
+
   /** SCD Type-2 dimension history: per entity `key`, the `state`
     * stream ordered by (ts, id) compresses into change intervals —
     * consecutive repeats collapse; each change opens a version row

@@ -401,6 +401,56 @@ object FinOps {
        |FROM c
        |ORDER BY event_type, bucket_ms""".stripMargin
 
+  /** #q41 market beta/alpha per series vs the 'click' benchmark on the
+    * hourly close grid — the regression companion of q33: cov/var of
+    * aligned simple returns as the same deterministic cumulative fold,
+    * benchmark side grid-sized and broadcast. */
+  private val q41: Q = (s, dir) => {
+    val bars = graft.Graft.resampleOhlc(t(s, dir, "events"),
+        "event_type", "ts", "event_id", "value", "hour")
+      .select(col("event_type"), col("bucket"), col("close"))
+    graft.Graft.betaVs(bars, "event_type", "bucket", "close", benchmark = "click")
+      .select(col("series"), col("n_buckets"),
+        r6(col("beta")).as("beta"), r6(col("alpha")).as("alpha"))
+      .orderBy("series")
+  }
+
+  private val q41Sql =
+    """WITH b AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+      |    last(value ORDER BY ts, event_id) AS close
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT event_type, bucket,
+      |    close / lag(close, 1) OVER (PARTITION BY event_type ORDER BY bucket) - 1 AS ret,
+      |    lag(close, 1) OVER (PARTITION BY event_type ORDER BY bucket) AS prev
+      |  FROM b),
+      |rr AS (SELECT event_type, bucket, ret FROM r WHERE prev IS NOT NULL AND prev <> 0),
+      |j AS (
+      |  SELECT s.event_type AS series, s.bucket, s.ret AS rs, bm.ret AS rb
+      |  FROM rr s JOIN rr bm ON s.bucket = bm.bucket
+      |  WHERE bm.event_type = 'click' AND s.event_type <> 'click'),
+      |c AS (
+      |  SELECT series,
+      |    row_number() OVER o AS rn,
+      |    count(*) OVER (PARTITION BY series) AS n,
+      |    sum(rs) OVER w AS ss, sum(rb) OVER w AS sb,
+      |    sum(rs * rb) OVER w AS ssb, sum(rb * rb) OVER w AS sb2
+      |  FROM j
+      |  WINDOW o AS (PARTITION BY series ORDER BY bucket),
+      |    w AS (PARTITION BY series ORDER BY bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |f AS (
+      |  SELECT series, n,
+      |    CASE WHEN n >= 2 AND n * sb2 - sb * sb > 0
+      |      THEN (n * ssb - ss * sb) / (n * sb2 - sb * sb) END AS beta,
+      |    ss, sb
+      |  FROM c WHERE rn = n)
+      |SELECT series, n AS n_buckets, round(beta, 6) AS beta,
+      |  round(ss / n - beta * (sb / n), 6) AS alpha
+      |FROM f
+      |ORDER BY series""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q30_vwap" -> q30,
     "q31_bollinger" -> q31,
@@ -410,7 +460,8 @@ object FinOps {
     "q35_ewma" -> q35,
     "q36_rsi" -> q36,
     "q37_atr" -> q37,
-    "q38_obv" -> q38)
+    "q38_obv" -> q38,
+    "q41_beta" -> q41)
 
   val oracle: Map[String, String] = Map(
     "q30_vwap" -> q30Sql,
@@ -421,5 +472,6 @@ object FinOps {
     "q35_ewma" -> q35Sql,
     "q36_rsi" -> q36Sql,
     "q37_atr" -> q37Sql,
-    "q38_obv" -> q38Sql)
+    "q38_obv" -> q38Sql,
+    "q41_beta" -> q41Sql)
 }

@@ -59,6 +59,37 @@ class IngestGateSpec extends SparkSpec {
     assert(out.map(_.getLong(1)).max == counts.values.max)
   }
 
+  test("q41: beta/alpha recompute from first-principles covariance on a tiny grid") {
+    import spark.implicits._
+    // two series + benchmark on 5 shared buckets; closes chosen so
+    // returns are exact decimals
+    val rows =
+      Seq(100.0, 110.0, 121.0, 108.9, 119.79).zipWithIndex.map { case (v, i) => ("bench", i.toLong, v) } ++
+      Seq(50.0, 60.0, 72.0, 61.2, 73.44).zipWithIndex.map { case (v, i) => ("s1", i.toLong, v) } ++
+      Seq(10.0, 10.0, 10.0, 10.0, 10.0).zipWithIndex.map { case (v, i) => ("flat", i.toLong, v) }
+    val grid = rows.toDF("k", "b", "v")
+    val out = Graft.betaVs(grid, "k", "b", "v", benchmark = "bench")
+      .orderBy("series").collect()
+    def rets(px: Seq[Double]) = px.sliding(2).map { case Seq(a, c) => c / a - 1 }.toSeq
+    def beta(rs: Seq[Double], rb: Seq[Double]): Double = {
+      val n = rs.length
+      val (ss, sb) = (rs.sum, rb.sum)
+      val ssb = rs.zip(rb).map { case (a, c) => a * c }.sum
+      val sb2 = rb.map(x => x * x).sum
+      (n * ssb - ss * sb) / (n * sb2 - sb * sb)
+    }
+    val rb = rets(Seq(100.0, 110.0, 121.0, 108.9, 119.79))
+    val r1 = rets(Seq(50.0, 60.0, 72.0, 61.2, 73.44))
+    assert(out.map(_.getString(0)).toSeq == Seq("flat", "s1"))
+    val s1 = out(1)
+    assert(s1.getLong(1) == 4)
+    assert(math.abs(s1.getDouble(2) - beta(r1, rb)) < 1e-9)
+    val alphaWant = r1.sum / 4 - beta(r1, rb) * (rb.sum / 4)
+    assert(math.abs(s1.getDouble(3) - alphaWant) < 1e-9)
+    // the flat series has zero returns: beta 0 (cov 0), alpha 0
+    assert(math.abs(out(0).getDouble(2)) < 1e-12 && math.abs(out(0).getDouble(3)) < 1e-12)
+  }
+
   test("s05: recall@10 recomputes from the s01/s02 results it claims to compare") {
     val rec = ops.SimOps.queries("s05_ann_recall")(spark, sfDir).collect()
     val bruteSet = ops.SimOps.queries("s01_knn_bruteforce")(spark, sfDir)
