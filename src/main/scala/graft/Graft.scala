@@ -329,6 +329,33 @@ object Graft {
       .select(col("q_id"), col("rank"), col(id), col("__cos").as("cos_sim"))
   }
 
+  /** IVF-style approximate nearest neighbors — the first similarity
+    * scale path as a library operator: assign the corpus to broadcast
+    * centroid cells (typically [[kmeans]] output), probe each query's
+    * `probes` nearest cells, exact-cosine top-`k` within them. The
+    * corpus scans once and shuffles only on the cell key. Returns
+    * (q_id, rank, <id>, cell, cos_sim). */
+  def annIvf(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+             id: String, vec: String, centroidId: String, centroidVec: String,
+             k: Int, probes: Int = 2, excludeSelf: Boolean = true): DataFrame =
+    ops.SimOps.ivfAnnOf(corpus, queries, centroids, id, vec, centroidId, centroidVec,
+        k, probes, excludeSelf)
+      .select(col("q_id"), col("rank"), col("vec_id").as(id), col("cell"),
+        col("cos").as("cos_sim"))
+
+  /** LSH-bucketed approximate nearest neighbors — the second
+    * similarity scale path: a `sketchBits`-bit deterministic sign
+    * sketch bands the corpus with NO training pass (a pure map index);
+    * candidates share any band value, exact-cosine top-`k`. Band bits
+    * should grow with log(corpus) — see
+    * [[ops.DedupOps.lshBandBits]]. Returns (q_id, rank, <id>,
+    * cos_sim). */
+  def annLsh(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+             dims: Int, k: Int, sketchBits: Int = 24, bands: Int = 4,
+             excludeSelf: Boolean = true): DataFrame =
+    ops.SimOps.lshAnnOf(corpus, queries, id, vec, k, sketchBits, bands, dims, excludeSelf)
+      .select(col("q_id"), col("rank"), col("vec_id").as(id), col("cosv").as("cos_sim"))
+
   /** MOSS winnowing fingerprint summary per document (native
     * single-pass expression): n_grams, n_fp, fp_min/max/xor. */
   def winnowFingerprints(docs: DataFrame, id: String, text: String,

@@ -52,35 +52,55 @@ object SimOps {
        |FROM r WHERE rank <= $K
        |ORDER BY q_id, rank""".stripMargin
 
+  /** IVF-style ANN over ANY (id, vector) corpus/query/centroid tables
+    * (public operator behind [[graft.Graft.annIvf]]; the s02 scale
+    * path as a library op). Every corpus vector is assigned to its
+    * max-cosine centroid cell (tie → min centroid id); each query
+    * probes its `probes` nearest cells and exact cosine ranks top-`k`
+    * within them. Recall < 1 by design — the IVF trade. Centroids
+    * (typically [[kmeansOf]] output, k·dims doubles) BROADCAST for
+    * both the assignment and probe passes, so the corpus is scanned
+    * once and shuffles only on the cell join key. Returns
+    * (q_id, rank, vec_id, cell, cos_sim). */
+  def ivfAnnOf(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+               idCol: String, vecCol: String, cidCol: String, cvecCol: String,
+               k: Int, probes: Int, excludeSelf: Boolean = true): DataFrame = {
+    require(k >= 1 && probes >= 1, s"k >= 1 and probes >= 1 required, got k=$k probes=$probes")
+    val cents = broadcast(centroids
+      .select(col(cidCol).as("c_id"), col(cvecCol).cast("array<double>").as("cv")))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))
+    val cells = corpus
+      .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+      .crossJoin(cents)
+      .withColumn("ccos", expr("graft_cosine(v, cv)"))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("v"), col("c_id").as("cell"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).cast("array<double>").as("qv"))
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("c_id"))
+    val probed = broadcast(q.crossJoin(cents)
+      .withColumn("qcos", expr("graft_cosine(qv, cv)"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= probes)
+      .select(col("q_id"), col("qv"), col("c_id").as("cell")))
+    val wRank = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    cells.join(probed, "cell")
+      .filter(if (excludeSelf) col("vec_id") =!= col("q_id") else lit(true))
+      .withColumn("cos", expr("graft_cosine(qv, v)"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cell"), col("cos"))
+  }
+
   /** #26 IVF ANN: centroids = vec_id < 8; every vector is assigned to its
     * max-cosine centroid (cell); each query probes its 2 nearest cells
     * and ranks top-k within them. Recall < 1 by design — that is the IVF
     * trade; the oracle replays the identical pipeline. */
   private val s02: Q = (s, dir) => {
     val all = vecs(s, dir)
-    val cents = broadcast(all.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("c_id"), col("v").as("cv")))
-    // cell assignment: argmax cosine over the 8 centroids (tie → min c_id)
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))
-    val cells = all.crossJoin(cents)
-      .withColumn("ccos", expr("graft_cosine(v, cv)"))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("v"), col("c_id").as("cell"))
-    // queries probe their 2 nearest cells
-    val q = all.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("c_id"))
-    val probes = broadcast(q.crossJoin(cents)
-      .withColumn("qcos", expr("graft_cosine(qv, cv)"))
-      .withColumn("prn", row_number().over(wProbe))
-      .filter(col("prn") <= 2)
-      .select(col("q_id"), col("qv"), col("c_id").as("cell")))
-    val wRank = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    cells.join(probes, "cell")
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", expr("graft_cosine(qv, v)"))
-      .withColumn("rank", row_number().over(wRank).cast("long"))
-      .filter(col("rank") <= K)
+    ivfAnnOf(all, all.filter(col("vec_id") < 5),
+        all.filter(col("vec_id") < 8), "vec_id", "v", "vec_id", "v",
+        k = K, probes = 2)
       .select(col("q_id"), col("rank"), col("vec_id"), col("cell"), r6(col("cos")).as("cos_sim"))
       .orderBy("q_id", "rank")
   }
@@ -107,35 +127,60 @@ object SimOps {
        |FROM r WHERE rank <= $K
        |ORDER BY q_id, rank""".stripMargin
 
-  /** #26b LSH-bucketed ANN — the second scale path the brief names next
-    * to IVF. The d05 24-bit random-hyperplane sign sketch buckets the
-    * corpus (4 bands × 6 bits); a query's candidates are the vectors
-    * sharing any band value with it, ranked by exact cosine, top-k.
-    * Unlike IVF there is no centroid pass over the corpus: bucketing is
-    * a pure map (sketch = 24 sign bits per row), so the whole index is
-    * one projection — at 100 TB the corpus is scanned once, shuffled
-    * once on (band, bucket), and the per-bucket joins never go
-    * cross-bucket. Recall is the LSH collision probability (bits scale
-    * with log n); the oracle replays the identical pipeline. */
-  private val s03: Q = (s, dir) => {
-    val bands = vecs(s, dir)
-      .withColumn("sketch", expr(DedupOps.sketchSpark))
-      .localCheckpoint() // sketch once; corpus and query sides both derive
-      .select(col("vec_id"), col("v"), col("sketch"),
-        explode(sequence(lit(0), lit(3))).as("c"))
-      .withColumn("chunk", expr("shiftright(sketch, CAST(6 * c AS INT)) & 63"))
-      .select("vec_id", "v", "c", "chunk")
-    val q = bands.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("c"), col("chunk"))
+  /** LSH-bucketed ANN over ANY (id, vector) corpus/query tables
+    * (public operator behind [[graft.Graft.annLsh]]; the s03 scale
+    * path as a library op). The `sketchBits`-bit random-hyperplane
+    * sign sketch (shared deterministic planes, [[DedupOps.planesFor]])
+    * buckets the corpus in `bands` bit-slices — a pure map index, no
+    * training pass; a query's candidates are the corpus rows sharing
+    * any band value, deduped across bands, exact cosine top-`k`. At
+    * 100 TB the corpus is scanned once, shuffled once on (band,
+    * bucket), and the per-bucket joins never go cross-bucket; band
+    * bits should grow with log(corpus) ([[DedupOps.lshBandBits]]).
+    * Returns (q_id, rank, vec_id, cos_sim). */
+  def lshAnnOf(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+               k: Int, sketchBits: Int, bands: Int, dims: Int,
+               excludeSelf: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(sketchBits % bands == 0, "sketchBits must divide evenly into bands")
+    val cb = sketchBits / bands
+    val mask = (1L << cb) - 1
+    val ps = DedupOps.planesFor(sketchBits, dims)
+    def dotPlane(vc: String, p: Int): String =
+      s"aggregate(zip_with($vc, array(${ps(p).map(v => s"$v.0D").mkString(", ")}), (x, y) -> x * y), " +
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    def sketchExpr(vc: String): String = (0 until sketchBits)
+      .map(p => s"(CASE WHEN ${dotPlane(vc, p)} > 0.0D THEN ${1L << p}L ELSE 0L END)")
+      .mkString(" + ")
+    def banded(df: DataFrame, ida: String, va: String): DataFrame = df
+      .select(col(idCol).as(ida), col(vecCol).cast("array<double>").as(va))
+      .withColumn("__sk", expr(sketchExpr(va)))
+      .select(col(ida), col(va), col("__sk"),
+        explode(sequence(lit(0), lit(bands - 1))).as("c"))
+      .withColumn("chunk", expr(s"shiftright(__sk, CAST($cb * c AS INT)) & $mask"))
+      .select(col(ida), col(va), col("c"), col("chunk"))
+    val cs = banded(corpus, "vec_id", "v")
+    val qs = banded(queries, "q_id", "qv")
     val wRank = Window.partitionBy(col("q_id")).orderBy(col("cosv").desc, col("vec_id"))
-    bands.join(q, Seq("c", "chunk"))
-      .filter(col("vec_id") =!= col("q_id"))
+    cs.join(qs, Seq("c", "chunk"))
+      .filter(if (excludeSelf) col("vec_id") =!= col("q_id") else lit(true))
       .withColumn("cos", expr("graft_cosine(qv, v)"))
       // groupBy dedups candidates found in several bands AND keeps the
       // cosine out of the join condition (see d05's barrier note)
       .groupBy(col("q_id"), col("vec_id")).agg(max(col("cos")).as("cosv"))
       .withColumn("rank", row_number().over(wRank).cast("long"))
-      .filter(col("rank") <= K)
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cosv"))
+  }
+
+  /** #26b LSH-bucketed ANN — the second scale path the brief names next
+    * to IVF: the d05 24-bit sketch, 4 bands × 6 bits, exact-cosine
+    * rank within shared buckets; the oracle replays the identical
+    * pipeline. */
+  private val s03: Q = (s, dir) => {
+    val all = vecs(s, dir)
+    lshAnnOf(all, all.filter(col("vec_id") < 5), "vec_id", "v",
+        k = K, sketchBits = 24, bands = 4, dims = 64)
       .select(col("q_id"), col("rank"), col("vec_id"), r6(col("cosv")).as("cos_sim"))
       .orderBy("q_id", "rank")
   }

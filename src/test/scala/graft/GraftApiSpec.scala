@@ -190,6 +190,36 @@ class GraftApiSpec extends SparkSpec {
     assert(out == Set((1L, 2L), (2L, 3L))) // 2 is nearest to 1, then 3
   }
 
+  test("annIvf / annLsh on a custom schema agree with brute force on separable clusters") {
+    // two well-separated direction clusters in 4 dims
+    def va(b: Int, eps: Double) =
+      if (b == 0) Array(1.0, eps, 0.0, 0.0) else Array(eps, 1.0, 0.0, 0.0)
+    val corpus = (0L until 20L).map(i => (i, va((i % 2).toInt, 0.01 * (i / 2 + 1))))
+      .toDF("vid", "emb")
+    val queries = Seq((100L, va(0, 0.015)), (101L, va(1, 0.015))).toDF("vid", "emb")
+    val cents = Seq((0L, Array(1.0, 0.0, 0.0, 0.0)), (1L, Array(0.0, 1.0, 0.0, 0.0)))
+      .toDF("cid", "cv")
+    val brute = Graft.knnBrute(corpus, queries, "vid", "emb", k = 3)
+      .select("q_id", "rank", "vid").as[(Long, Long, Long)].collect()
+      .map { case (q, r, v) => (q, r) -> v }.toMap
+    val ivf = Graft.annIvf(corpus, queries, cents, "vid", "emb", "cid", "cv",
+        k = 3, probes = 1)
+      .select(col("q_id"), col("rank"), col("vid"), col("cell")).collect()
+    assert(ivf.length == 6)
+    ivf.foreach { r =>
+      val (q, v, cell) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      assert(cell == q - 100L, "probes=1 keeps each query in its own cluster cell")
+      assert(v % 2 == q - 100L, "every hit is from the query's cluster")
+      assert(brute((q, r.getLong(1))) == v, "in-cell ranks match the exact ranking")
+    }
+    val lsh = Graft.annLsh(corpus, queries, "vid", "emb", dims = 4, k = 3,
+        sketchBits = 8, bands = 2)
+      .select("q_id", "rank", "vid").as[(Long, Long, Long)].collect()
+    // same-direction vectors share every sign band, so recall is full here
+    lsh.foreach { case (q, r, v) => assert(brute((q, r)) == v) }
+    assert(lsh.length == 6)
+  }
+
   test("knnBrute excludeSelf=false keeps corpus rows whose id coincides with a query id") {
     val corpus = Seq(
       (1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1))).toDF("id", "v")
