@@ -478,6 +478,13 @@ object Graft {
   def bigramStats(docs: DataFrame, text: String, k: Int): DataFrame =
     ops.DataOps.bigramStatsOf(docs, text, k)
 
+  /** Sample-based corpus term profiling: exact top-k counts next to
+    * the deterministic md5 `permille`/1000-document-sample estimate,
+    * one aggregation; flip the filter to profile at sample cost. */
+  def termProfile(docs: DataFrame, id: String, text: String, k: Int,
+                  permille: Int, salt: String = "graft"): DataFrame =
+    ops.CoreOps.termProfileOf(docs, id, text, k, permille, salt)
+
   /** Lloyd's k-means over an embedding column: deterministic init
     * (k smallest ids), `iters` assign→update rounds against a
     * BROADCAST k-row centroid table (the corpus never shuffles), final

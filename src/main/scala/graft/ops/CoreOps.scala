@@ -446,6 +446,31 @@ object CoreOps {
       .limit(20)
   }
 
+  /** Sample-based corpus term profiling over ANY (id, text) table
+    * (public operator behind [[graft.Graft.termProfile]]; a03 is the
+    * fixed 10%-sample instantiation of this shape): exact top-`k` term
+    * counts next to the estimate a deterministic md5 `permille`/1000
+    * document sample would produce, in ONE aggregation — sample
+    * membership is a pure function of (salt, id), so the estimate is
+    * reproducible bit-for-bit, and at 100 TB the same plan with the
+    * filter flipped profiles the corpus at sample cost. Returns
+    * (term, n_exact, n_est, rel_err). */
+  def termProfileOf(docs: DataFrame, idCol: String, textCol: String, k: Int,
+                    permille: Int, salt: String = "graft"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(permille >= 1 && permille <= 1000, s"permille must be in [1,1000], got $permille")
+    val sampled =
+      pmod(hash60(concat(lit(salt + ":"), col("__id").cast("string"))), lit(1000L)) < permille
+    docs.select(col(idCol).as("__id"), explode(words(col(textCol))).as("term"))
+      .groupBy(col("term"))
+      .agg(
+        count(lit(1)).as("n_exact"),
+        (sum(when(sampled, lit(1L)).otherwise(lit(0L))) * lit(1000.0 / permille)).as("n_est"))
+      .withColumn("rel_err", abs(col("n_est") - col("n_exact")) / col("n_exact").cast("double"))
+      .orderBy(col("n_exact").desc, col("term"))
+      .limit(k)
+  }
+
   private val a03Sql =
     """WITH tok AS (
       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term

@@ -59,6 +59,29 @@ class IngestGateSpec extends SparkSpec {
     assert(out.map(_.getLong(1)).max == counts.values.max)
   }
 
+  test("termProfile: custom schema, deterministic sample estimate, exact top-k") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i =>
+      (i, if (i % 3 == 0) "alpha beta alpha" else "alpha gamma")).toDF("pid", "body")
+    val out = Graft.termProfile(docs, "pid", "body", k = 3, permille = 250, salt = "s")
+      .collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("alpha", "gamma", "beta"))
+    // exact counts from first principles: 66 docs x2 alpha + 134 x1
+    assert(out(0).getLong(1) == 66L * 2 + 134L)
+    assert(out(1).getLong(1) == 134L && out(2).getLong(1) == 66L)
+    // estimate = 4x the sampled count, identical across partitionings
+    val again = Graft.termProfile(docs.repartition(13), "pid", "body",
+      k = 3, permille = 250, salt = "s").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      again.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq)
+    out.foreach { r =>
+      assert(r.getDouble(2) % 4.0 == 0.0, "estimate is 1000/250 = 4x a sample count")
+    }
+    intercept[IllegalArgumentException] {
+      Graft.termProfile(docs, "pid", "body", k = 3, permille = 0)
+    }
+  }
+
   test("q41: beta/alpha recompute from first-principles covariance on a tiny grid") {
     import spark.implicits._
     // two series + benchmark on 5 shared buckets; closes chosen so
