@@ -486,11 +486,47 @@ object CoreOps {
       |ORDER BY n_exact DESC, term
       |LIMIT 20""".stripMargin
 
+  /** #q42 semi-structured props: the events table's JSON payload column
+    * (the reference's raw REST payloads keep exactly this shape)
+    * extracted ONCE at the scan (`get_json_object` → typed cast, a
+    * codegen'd per-row path — the parse never reaches a shuffle) and
+    * aggregated per series: count, distinct values, sum/avg/min/max.
+    * At 100 TB the alternative — storing parsed columns — is the
+    * KlineJson ingest path; this is the query-time fallback for
+    * payloads that were landed raw. */
+  private val q42: Q = (s, dir) => {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    t(s, dir, "events")
+      .select(col("event_type"), k.as("__k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("__k")).as("n_distinct_k"),
+        sum(col("__k")).as("sum_k"),
+        r4(avg(col("__k"))).as("avg_k"),
+        min(col("__k")).as("min_k"),
+        max(col("__k")).as("max_k"))
+      .orderBy("event_type")
+  }
+
+  private val q42Sql =
+    """SELECT event_type,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_distinct_k,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+      |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q28_supplier_share" -> q28,
     "a01_approx_distinct" -> a01,
     "a02_approx_percentile" -> a02,
     "a03_sampled_terms" -> a03,
+    "q42_json_props" -> q42,
     "q24_histogram" -> q24,
     "q25_distinct_counts" -> q25,
     "q20_percentiles" -> q20,
@@ -508,6 +544,7 @@ object CoreOps {
   val oracle: Map[String, String] = Map(
     "q28_supplier_share" -> q28Sql,
     "a03_sampled_terms" -> a03Sql,
+    "q42_json_props" -> q42Sql,
     "q24_histogram" -> q24Sql,
     "q25_distinct_counts" -> q25Sql,
     "q20_percentiles" -> q20Sql,
