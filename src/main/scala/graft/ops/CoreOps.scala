@@ -521,12 +521,40 @@ object CoreOps {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** #q43 the skew-mitigation path AS a query: lineitem ⋈ supplier
+    * executed through [[Skew.saltedJoin]] (8 deterministic md5 salts
+    * spread each supplier key over 8 tasks; the 1000-row dim side
+    * replicates once per salt) and rolled up per supplier nation. The
+    * oracle is the PLAIN join — the gate's hash compare proves salting
+    * is result-identical, which is the entire point of the operator:
+    * a declarative fallback for hot keys that overflow one task when
+    * AQE's runtime split isn't available (e.g. broadcast-disabled SMJ
+    * on a pre-bucketed layout). */
+  private val q43: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem").select(
+      col("l_suppkey").as("suppkey"), col("l_orderkey"), col("l_quantity"))
+    val sup = t(s, dir, "supplier").select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+    Skew.saltedJoin(li, sup, "suppkey", col("l_orderkey"), salts = 8)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_items"), r4(sum(col("l_quantity"))).as("sum_qty"))
+      .orderBy("s_nationkey")
+  }
+
+  private val q43Sql =
+    """SELECT s_nationkey,
+      |  CAST(count(*) AS BIGINT) AS n_items,
+      |  round(sum(l_quantity), 4) AS sum_qty
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_nationkey
+      |ORDER BY s_nationkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q28_supplier_share" -> q28,
     "a01_approx_distinct" -> a01,
     "a02_approx_percentile" -> a02,
     "a03_sampled_terms" -> a03,
     "q42_json_props" -> q42,
+    "q43_skew_join" -> q43,
     "q24_histogram" -> q24,
     "q25_distinct_counts" -> q25,
     "q20_percentiles" -> q20,
@@ -545,6 +573,7 @@ object CoreOps {
     "q28_supplier_share" -> q28Sql,
     "a03_sampled_terms" -> a03Sql,
     "q42_json_props" -> q42Sql,
+    "q43_skew_join" -> q43Sql,
     "q24_histogram" -> q24Sql,
     "q25_distinct_counts" -> q25Sql,
     "q20_percentiles" -> q20Sql,
