@@ -61,7 +61,12 @@ object SimOps {
     * (typically [[kmeansOf]] output, k·dims doubles) BROADCAST for
     * both the assignment and probe passes, so the corpus is scanned
     * once and shuffles only on the cell join key. Returns
-    * (q_id, rank, vec_id, cell, cos_sim). */
+    * (q_id, rank, vec_id, cell, cos_sim). The assignment window ranks
+    * the k× amplified (row, centroid) pairs per corpus id; for large
+    * k the [[kmeansOf]] shape — centroids collected to driver state
+    * and the argmin emitted as one `least(struct…)` expression —
+    * avoids that k× pass entirely (map-only assignment) and is the
+    * documented upgrade path. */
   def ivfAnnOf(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
                idCol: String, vecCol: String, cidCol: String, cvecCol: String,
                k: Int, probes: Int, excludeSelf: Boolean = true): DataFrame = {

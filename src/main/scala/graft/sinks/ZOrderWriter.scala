@@ -53,9 +53,12 @@ object ZOrderWriter {
   }
 
   /** Write `df` as `numFiles` parquet files laid out along the
-    * z-curve of (`colA`, `colB`). Deterministic for a given input: the
-    * sort is total on (z, tie-break columns). Returns nothing; read
-    * the path back with ordinary `spark.read.parquet`. */
+    * z-curve of (`colA`, `colB`). File ASSIGNMENT is deterministic for
+    * a given input layout (range boundaries come from seeded
+    * sampling); intra-file row order is total — and the write
+    * byte-reproducible — only when `tieBreak` extends (z) to a unique
+    * key. Returns nothing; read the path back with ordinary
+    * `spark.read.parquet`. */
   def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
                     numFiles: Int, bits: Int = 12,
                     tieBreak: Seq[String] = Nil): Unit = {
