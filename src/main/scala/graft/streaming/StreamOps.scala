@@ -59,6 +59,19 @@ case class RsiOut(event_type: String, event_id: Long, ts_ms: Long, value: Double
   * accumulator — O(1) per key, independent of stream length. */
 case class EwmaState(acc: Option[Double])
 
+/** One bar for [[StreamOps.streamingObv]]: a close and its volume. */
+case class ObvEvent(event_type: String, event_id: Long, ts: java.sql.Timestamp,
+                    close: Double, volume: Double)
+
+/** State for [[StreamOps.streamingObv]]: previous close + running OBV
+  * — O(1) per key. */
+case class ObvState(prevClose: Option[Double], obv: Double)
+
+/** One OBV observation per input bar (first bar contributes 0, like
+  * batch [[graft.Graft.obv]]'s null first delta). */
+case class ObvOut(event_type: String, event_id: Long, ts_ms: Long,
+                  close: Double, obv: Double)
+
 /** One exact-EWMA observation per input event (first event's ewma is
   * its own value — pandas `ewm(adjust=False)` init). */
 case class EwmaOut(event_type: String, event_id: Long, ts_ms: Long, value: Double, ewma: Double)
@@ -480,6 +493,35 @@ object StreamOps {
             EwmaOut(key, e.event_id, e.ts.getTime, e.value, v)
           }
           state.update(EwmaState(acc))
+          out.iterator
+      }
+  }
+
+  /** Batch [[graft.Graft.obv]] run CONTINUOUSLY: per key the state is
+    * the previous close and the running on-balance volume — O(1),
+    * independent of stream length — and each arrival adds
+    * sign(close move)·volume exactly like the batch cumulative
+    * window's running frame, so streaming == batch bit-for-bit (the
+    * spec asserts exact equality). Same arrival-order contract as
+    * [[streamingWma]]. */
+  def streamingObv(bars: Dataset[ObvEvent]): Dataset[ObvOut] = {
+    import bars.sparkSession.implicits._
+    bars
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[ObvState, ObvOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[ObvEvent], state: GroupState[ObvState]) =>
+          var st = state.getOption.getOrElse(ObvState(None, 0.0))
+          val out = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+            val sv = st.prevClose match {
+              case Some(p) if e.close > p => e.volume
+              case Some(p) if e.close < p => -e.volume
+              case _                      => 0.0
+            }
+            st = ObvState(Some(e.close), st.obv + sv)
+            ObvOut(key, e.event_id, e.ts.getTime, e.close, st.obv)
+          }
+          state.update(st)
           out.iterator
       }
   }

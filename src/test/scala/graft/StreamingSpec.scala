@@ -227,6 +227,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming OBV == batch obv BIT-FOR-BIT over resampled bars") {
+    import graft.streaming.{ObvEvent, ObvOut}
+    implicit val sql = spark.sqlContext
+    val bars = Graft.resampleOhlc(Tables.t(spark, sfDir, "events"),
+        "event_type", "ts", "event_id", "value", "hour")
+      .select(col("event_type"), col("bucket"), col("close"),
+        col("n_trades").cast("double").as("volume"))
+    val input = MemoryStream[ObvEvent]
+    val q = StreamOps.streamingObv(input.toDS())
+      .writeStream.format("memory").queryName("obv_out").outputMode("append").start()
+    try {
+      val evs = bars.select(col("event_type"), unix_millis(col("bucket")).as("ms"),
+          col("close"), col("volume")).collect()
+        .map(r => ObvEvent(r.getString(0), r.getLong(1),
+          new java.sql.Timestamp(r.getLong(1)), r.getDouble(2), r.getDouble(3)))
+        .sortBy(e => (e.ts.getTime, e.event_id))
+      evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { b =>
+        input.addData(b.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val got = spark.table("obv_out").as[ObvOut].collect()
+        .map(o => (o.event_type, o.event_id) -> o.obv).toMap
+      val want = Graft.obv(bars, "event_type", "bucket", "close", "volume")
+        .select(col("event_type"), unix_millis(col("bucket")), col("obv")).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(got.keySet == want.keySet)
+      want.foreach { case (k, w) => assert(got(k) == w, s"$k: ${got(k)} != $w") }
+    } finally q.stop()
+  }
+
   test("streaming WMA(12) == batch q11 when events arrive in event-time order") {
     import graft.streaming.{WmaEvent, WmaOut}
     implicit val sql = spark.sqlContext
