@@ -156,6 +156,76 @@ case class CosineSim(left: Expression, right: Expression) extends VectorBinary {
     copy(left = newLeft, right = newRight)
 }
 
+/** All `bits` random-hyperplane sign bits of the LSH sketch in ONE
+  * array pass per plane, one expression evaluation total — replaces
+  * `bits` separate dot-product folds (each its own codegen'd call
+  * re-reading the array and a literal plane). The ±1 planes are
+  * [[graft.ops.DedupOps.planesFor]] verbatim (md5 parity), flattened
+  * into a primitive double[] referenced from generated code.
+  *
+  * Value contract mirrors the composed form
+  * `CASE WHEN aggregate(zip_with(v, plane, *), 0.0, +) > 0 THEN bit ELSE 0`
+  * summed over planes, BIT-EXACTLY: per plane the fold is the same
+  * sequential s += v(i)·(±1.0) from 0.0; a length mismatch or null
+  * element makes every plane's CASE yield 0 ⇒ sketch 0L (not NULL —
+  * matching zip_with's null-pad fold); NULL only for a NULL array. */
+case class SignSketch(child: Expression, bits: Int, dims: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(bits >= 1 && bits <= 60 && dims >= 1, s"bits in [1,60], dims >= 1; got $bits/$dims")
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_signsketch"
+
+  @transient private lazy val planes: Array[Double] =
+    graft.ops.DedupOps.planesFor(bits, dims).flatten.map(_.toDouble).toArray
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    if (x.numElements() != dims) return 0L
+    var sk = 0L
+    var p = 0
+    while (p < bits) {
+      var s = 0.0
+      var i = 0
+      var nul = false
+      while (i < dims && !nul) {
+        if (x.isNullAt(i)) nul = true
+        else { s += x.getDouble(i) * planes(p * dims + i); i += 1 }
+      }
+      if (nul) return 0L
+      if (s > 0.0) sk |= 1L << p
+      p += 1
+    }
+    sk
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val pl = ctx.addReferenceObj("planes", planes, "double[]")
+      val p = ctx.freshName("p"); val i = ctx.freshName("i")
+      val s = ctx.freshName("s"); val sk = ctx.freshName("sk")
+      val nul = ctx.freshName("nul")
+      s"""
+         |long $sk = 0L;
+         |boolean $nul = ($x.numElements() != $dims);
+         |if (!$nul) {
+         |  for (int $p = 0; $p < $bits && !$nul; $p++) {
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $dims; $i++) {
+         |      if ($x.isNullAt($i)) { $nul = true; break; }
+         |      $s += $x.getDouble($i) * $pl[$p * $dims + $i];
+         |    }
+         |    if (!$nul && $s > 0.0) $sk |= 1L << $p;
+         |  }
+         |}
+         |${ev.value} = $nul ? 0L : $sk;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Public-API registration: `spark.sql.extensions=graft.functions.GraftExtensions`
   * (set by [[graft.Sessions]]). After registration the functions are
   * usable from any SQL/expr context as `graft_dot(a, b)` / `graft_cosine(a, b)`. */
@@ -203,6 +273,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((new FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[WinnowFingerprint].getName, "graft_winnow"),
       (children: Seq[Expression]) => WinnowFingerprint(children.head,
+        children(1).eval().asInstanceOf[Number].intValue,
+        children(2).eval().asInstanceOf[Number].intValue)))
+    ext.injectFunction((new FunctionIdentifier("graft_signsketch"),
+      new ExpressionInfo(classOf[SignSketch].getName, "graft_signsketch"),
+      (children: Seq[Expression]) => SignSketch(children.head,
         children(1).eval().asInstanceOf[Number].intValue,
         children(2).eval().asInstanceOf[Number].intValue)))
   }

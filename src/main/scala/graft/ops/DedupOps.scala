@@ -361,16 +361,12 @@ object DedupOps {
     require(sketchBits % bands == 0, "sketchBits must divide evenly into bands")
     val cb = sketchBits / bands
     val mask = (1L << cb) - 1
-    val ps = planesFor(sketchBits, dims)
-    def dotPlane(p: Int): String =
-      s"aggregate(zip_with(__v, array(${ps(p).map(v => s"$v.0D").mkString(", ")}), (x, y) -> x * y), " +
-        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-    val sketch = (0 until sketchBits)
-      .map(p => s"(CASE WHEN ${dotPlane(p)} > 0.0D THEN ${1L << p}L ELSE 0L END)")
-      .mkString(" + ")
+    // native single-pass kernel: all sketch bits in one expression,
+    // bit-identical to the composed per-plane folds it replaced
+    // (graft.functions.SignSketch — planesFor verbatim)
     val banded = vecs
       .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("__v"))
-      .withColumn("sketch", expr(sketch))
+      .withColumn("sketch", expr(s"graft_signsketch(__v, $sketchBits, $dims)"))
       .localCheckpoint() // sketch once, not once per self-join side
       .select(col("vec_id"), col("__v"), col("sketch"),
         explode(sequence(lit(0), lit(bands - 1))).as("c"))

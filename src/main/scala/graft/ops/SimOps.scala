@@ -150,16 +150,10 @@ object SimOps {
     require(sketchBits % bands == 0, "sketchBits must divide evenly into bands")
     val cb = sketchBits / bands
     val mask = (1L << cb) - 1
-    val ps = DedupOps.planesFor(sketchBits, dims)
-    def dotPlane(vc: String, p: Int): String =
-      s"aggregate(zip_with($vc, array(${ps(p).map(v => s"$v.0D").mkString(", ")}), (x, y) -> x * y), " +
-        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-    def sketchExpr(vc: String): String = (0 until sketchBits)
-      .map(p => s"(CASE WHEN ${dotPlane(vc, p)} > 0.0D THEN ${1L << p}L ELSE 0L END)")
-      .mkString(" + ")
+    // native single-pass sketch kernel (see DedupOps.embeddingNearDupOf)
     def banded(df: DataFrame, ida: String, va: String): DataFrame = df
       .select(col(idCol).as(ida), col(vecCol).cast("array<double>").as(va))
-      .withColumn("__sk", expr(sketchExpr(va)))
+      .withColumn("__sk", expr(s"graft_signsketch($va, $sketchBits, $dims)"))
       .select(col(ida), col(va), col("__sk"),
         explode(sequence(lit(0), lit(bands - 1))).as("c"))
       .withColumn("chunk", expr(s"shiftright(__sk, CAST($cb * c AS INT)) & $mask"))

@@ -66,4 +66,30 @@ class VectorExprsSpec extends SparkSpec {
     assert(rows.count(_.isNullAt(2)) == 3, "3 malformed pairs must be NULL")
     assert(rows.count(_.isNullAt(4)) == 3, "graft_cosine shares the null contract")
   }
+
+  test("graft_signsketch equals the composed per-plane CASE folds bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val ps = ops.DedupOps.planesFor(24, 64)
+    def dotPlane(p: Int): String =
+      s"aggregate(zip_with(v, array(${ps(p).map(x => s"$x.0D").mkString(", ")}), (x, y) -> x * y), " +
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    val composed = (0 until 24)
+      .map(p => s"(CASE WHEN ${dotPlane(p)} > 0.0D THEN ${1L << p}L ELSE 0L END)")
+      .mkString(" + ")
+    val rows = Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("native", expr("graft_signsketch(v, 24, 64)"))
+      .withColumn("hof", expr(composed))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(2) == r.getLong(3),
+      s"sketch mismatch for vec ${r.getLong(0)}"))
+    // malformed inputs collapse to sketch 0 (every plane's CASE yields 0),
+    // exactly like the composed form's null-padded folds
+    val edge = spark.sql(
+      """SELECT graft_signsketch(a, 24, 64) AS sk FROM VALUES
+        |  (array(1.0D, 2.0D)),
+        |  (array(1.0D, CAST(NULL AS DOUBLE))) AS t(a)""".stripMargin).collect()
+    assert(edge.forall(r => !r.isNullAt(0) && r.getLong(0) == 0L))
+  }
 }
