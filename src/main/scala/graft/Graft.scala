@@ -425,6 +425,20 @@ object Graft {
     ops.DedupOps.embeddingNearDupOf(vecs, id, vec, threshold, cb * bands, bands, dims)
   }
 
+  /** [[annLsh]] with the band width auto-sized from the corpus — the
+    * same `approx_count_distinct` pre-pass + log(n) rule as
+    * [[embeddingNearDupPairsAuto]], so a 100× corpus gets wider
+    * buckets with no manual knob change. */
+  def annLshAuto(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+                 dims: Int, k: Int, bands: Int = 4, targetBucket: Long = 32L,
+                 excludeSelf: Boolean = true): DataFrame = {
+    require(bands >= 1 && bands <= 10,
+      s"bands must be in [1, 10] (60-bit sketch word / 6-bit floor), got $bands")
+    val n = corpus.agg(approx_count_distinct(col(id))).head().getLong(0)
+    val cb = ops.DedupOps.lshBandBits(n, targetBucket, minBits = 6, maxBits = 60 / bands)
+    annLsh(corpus, queries, id, vec, dims, k, sketchBits = cb * bands, bands, excludeSelf)
+  }
+
   /** Stopword-heuristic language ID features + predicted language;
     * `keep` carries extra input columns (e.g. a gold label). */
   def langId(docs: DataFrame, id: String, text: String,

@@ -220,6 +220,19 @@ class GraftApiSpec extends SparkSpec {
     assert(lsh.length == 6)
   }
 
+  test("annLshAuto resolves small corpora to the clamp floor: identical to manual 24-bit") {
+    val e = Tables.t(spark, sfDir, "embeddings")
+    val auto = Graft.annLshAuto(e, e.filter(col("vec_id") < 3), "vec_id", "embedding",
+      dims = 64, k = 5)
+    val manual = Graft.annLsh(e, e.filter(col("vec_id") < 3), "vec_id", "embedding",
+      dims = 64, k = 5, sketchBits = 24, bands = 4)
+    assert(auto.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
+      manual.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+    intercept[IllegalArgumentException] {
+      Graft.annLshAuto(e, e, "vec_id", "embedding", dims = 64, k = 5, bands = 11)
+    }
+  }
+
   test("knnBrute excludeSelf=false keeps corpus rows whose id coincides with a query id") {
     val corpus = Seq(
       (1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1))).toDF("id", "v")
