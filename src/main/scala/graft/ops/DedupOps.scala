@@ -385,20 +385,9 @@ object DedupOps {
       .filter(col("cos_sim") >= threshold)
   }
 
-  /** Spark-SQL dot(v, planes(p)) — left fold from 0.0, matching the
-    * DuckDB list_reduce order exactly (±1 products are lossless). The
-    * plane is a DOUBLE-literal array so the lambda is a bare `x * y`:
-    * exactly the shape [[graft.functions.NativeVectorRewrite]] rewrites
-    * to the codegen'd DotProduct loop (a CAST inside the lambda would
-    * leave all 24 folds interpreted). */
-  private def dotPlaneSpark(p: Int): String =
-    s"aggregate(zip_with(v, array(${planes(p).map(v => s"$v.0D").mkString(", ")}), (x, y) -> x * y), " +
-      "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-
-  private[ops] def sketchSpark: String =
-    (0 until 24).map(p => s"(CASE WHEN ${dotPlaneSpark(p)} > 0.0D THEN ${1L << p}L ELSE 0L END)")
-      .mkString(" + ")
-
+  // (the Spark-side composed sketch was replaced by the native
+  // graft_signsketch kernel — see functions.SignSketch; the DuckDB
+  // twin below stays, it IS the oracle)
   private def dotPlaneDuck(p: Int): String =
     s"list_reduce(list_transform(generate_series(1, 64), " +
       s"i -> v[i] * (CAST([${planes(p).mkString(", ")}] AS DOUBLE[]))[i]), (a, b) -> a + b)"
