@@ -72,6 +72,20 @@ case class ObvState(prevClose: Option[Double], obv: Double)
 case class ObvOut(event_type: String, event_id: Long, ts_ms: Long,
                   close: Double, obv: Double)
 
+/** One OHLC bar for [[StreamOps.streamingAtr]]. */
+case class AtrEvent(event_type: String, event_id: Long, ts: java.sql.Timestamp,
+                    high: Double, low: Double, close: Double)
+
+/** State for [[StreamOps.streamingAtr]]: previous close, the running
+  * cumulative true-range sum, the row count, and the cum values of the
+  * last n rows (so atr can subtract the cum EXACTLY n rows back — the
+  * same two prefix sums the batch window differences). O(n) per key. */
+case class AtrState(prevClose: Option[Double], cum: Double, rn: Long, cums: List[Double])
+
+/** One ATR observation per input bar; `atr` is None until n bars. */
+case class AtrOut(event_type: String, event_id: Long, ts_ms: Long,
+                  close: Double, tr: Double, atr: Option[Double])
+
 /** One exact-EWMA observation per input event (first event's ewma is
   * its own value — pandas `ewm(adjust=False)` init). */
 case class EwmaOut(event_type: String, event_id: Long, ts_ms: Long, value: Double, ewma: Double)
@@ -520,6 +534,44 @@ object StreamOps {
             }
             st = ObvState(Some(e.close), st.obv + sv)
             ObvOut(key, e.event_id, e.ts.getTime, e.close, st.obv)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Batch [[graft.Graft.atr]] run CONTINUOUSLY. The batch plan is a
+    * prefix-sum difference — atr = (cum(tr) − cum(tr) n rows back)/n —
+    * so the state carries the SAME running cumulative sum plus the cum
+    * values of the last n rows, and every arrival performs the
+    * identical op sequence: streaming == batch BIT-FOR-BIT (the spec
+    * asserts exact equality, no tolerance). First bar's true range is
+    * high−low; gaps use |high/low − prevClose|; None until n bars. */
+  def streamingAtr(bars: Dataset[AtrEvent], n: Int): Dataset[AtrOut] = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    import bars.sparkSession.implicits._
+    bars
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[AtrState, AtrOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[AtrEvent], state: GroupState[AtrState]) =>
+          var st = state.getOption.getOrElse(AtrState(None, 0.0, 0L, Nil))
+          val out = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+            val tr = st.prevClose match {
+              case None => e.high - e.low
+              case Some(pc) =>
+                math.max(e.high - e.low, math.max(math.abs(e.high - pc), math.abs(e.low - pc)))
+            }
+            val cum = st.cum + tr
+            val rn = st.rn + 1
+            // cum exactly n rows back: 0.0 at rn == n (batch's coalesce)
+            val atr =
+              if (rn >= n) Some((cum - (if (rn == n) 0.0 else st.cums.head)) / n)
+              else None
+            // keep the cums of the last n rows, oldest first
+            val kept = (st.cums :+ cum).takeRight(n)
+            st = AtrState(Some(e.close), cum, rn, kept)
+            AtrOut(key, e.event_id, e.ts.getTime, e.close, tr, atr)
           }
           state.update(st)
           out.iterator

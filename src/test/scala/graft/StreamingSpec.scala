@@ -257,6 +257,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ATR(14) == batch atr BIT-FOR-BIT (prefix-sum state, no tolerance)") {
+    import graft.streaming.{AtrEvent, AtrOut}
+    implicit val sql = spark.sqlContext
+    val bars = Graft.resampleOhlc(Tables.t(spark, sfDir, "events"),
+        "event_type", "ts", "event_id", "value", "hour")
+      .select(col("event_type"), col("bucket"), col("high"), col("low"), col("close"))
+    val input = MemoryStream[AtrEvent]
+    val q = StreamOps.streamingAtr(input.toDS(), n = 14)
+      .writeStream.format("memory").queryName("atr_out").outputMode("append").start()
+    try {
+      val evs = bars.select(col("event_type"), unix_millis(col("bucket")).as("ms"),
+          col("high"), col("low"), col("close")).collect()
+        .map(r => AtrEvent(r.getString(0), r.getLong(1),
+          new java.sql.Timestamp(r.getLong(1)), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+        .sortBy(e => (e.ts.getTime, e.event_id))
+      evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { b =>
+        input.addData(b.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val got = spark.table("atr_out").as[AtrOut].collect()
+        .map(o => (o.event_type, o.event_id) -> ((o.tr, o.atr))).toMap
+      val want = Graft.atr(bars, "event_type", "bucket", "high", "low", "close", n = 14)
+        .select(col("event_type"), unix_millis(col("bucket")), col("tr"), col("atr")).collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getDouble(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+      assert(got.keySet == want.keySet)
+      var filled = 0
+      want.foreach { case (k, (wtr, watr)) =>
+        val (gtr, gatr) = got(k)
+        assert(gtr == wtr, s"$k tr: $gtr != $wtr")
+        assert(gatr == watr, s"$k atr: $gatr != $watr")
+        if (watr.isDefined) filled += 1
+      }
+      assert(filled > 0, "testdata must produce post-warmup ATR rows")
+    } finally q.stop()
+  }
+
   test("streaming WMA(12) == batch q11 when events arrive in event-time order") {
     import graft.streaming.{WmaEvent, WmaOut}
     implicit val sql = spark.sqlContext
