@@ -200,6 +200,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpointed restart: EWMA accumulator state survives stop/start bit-exactly") {
+    import graft.streaming.BollEvent
+    import java.nio.file.{Files => F}
+    val root = F.createTempDirectory("graft_ewma_chk")
+    val srcDir = root.resolve("src"); F.createDirectories(srcDir)
+    val outDir = root.resolve("out").toString
+    val chkDir = root.resolve("chk").toString
+    def land(name: String, rows: Seq[BollEvent]): Unit = {
+      val staged = root.resolve(name).toString
+      rows.toDF().coalesce(1).write.mode("overwrite").parquet(staged)
+      new java.io.File(staged).listFiles.filter(_.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (f, i) =>
+          F.move(f.toPath, srcDir.resolve(s"$name-$i.parquet")) }
+    }
+    val schema = Seq.empty[BollEvent].toDF().schema
+    def startQuery() =
+      StreamOps.streamingEwma(
+          spark.readStream.schema(schema).parquet(srcDir.toString).as[BollEvent], alpha = 0.25)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", chkDir)
+        .outputMode("append").start()
+    def ev(id: Long, v: Double) = BollEvent("K", id, new java.sql.Timestamp(1700000000000L + id * 60000L), v)
+    val all = Seq(ev(1, 10.0), ev(2, 14.0), ev(3, 7.0), ev(4, 21.0), ev(5, 3.0))
+    land("b1", all.take(3))
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    // restart on the same checkpoint: rows 4-5 must CONTINUE the fold
+    land("b2", all.drop(3))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(outDir)
+      .select("event_id", "ewma").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the exact fold over the full series, from first principles
+    val want = all.map(_.value).scanLeft(Option.empty[Double]) {
+      case (None, x) => Some(x)
+      case (Some(a), x) => Some(a * 0.75 + 0.25 * x)
+    }.flatten
+    assert(got.size == 5)
+    all.zip(want).foreach { case (e, w) =>
+      assert(got(e.event_id) == w, s"event ${e.event_id}: ${got(e.event_id)} != $w")
+    }
+  }
+
   test("streaming exact EWMA == batch segmented scan BIT-FOR-BIT across micro-batches") {
     import graft.streaming.{BollEvent, EwmaOut}
     implicit val sql = spark.sqlContext
