@@ -92,4 +92,33 @@ class VectorExprsSpec extends SparkSpec {
         |  (array(1.0D, CAST(NULL AS DOUBLE))) AS t(a)""".stripMargin).collect()
     assert(edge.forall(r => !r.isNullAt(0) && r.getLong(0) == 0L))
   }
+
+  test("property: graft_signsketch matches a driver-side fold on random vectors, any bits/dims") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    for ((bits, dims) <- Seq((24, 64), (12, 16), (1, 3), (60, 7))) {
+      val vecs = (0 until 40).map { i =>
+        // negatives, zeros and an all-zero vector exercise the strict s > 0 edge
+        (i.toLong, Array.fill(dims)(if (i == 0) 0.0 else rnd.nextDouble() * 2 - 1))
+      }
+      val ps = ops.DedupOps.planesFor(bits, dims)
+      def ref(v: Array[Double]): Long = {
+        var sk = 0L
+        for (p <- 0 until bits) {
+          var s = 0.0
+          for (d <- 0 until dims) s += v(d) * ps(p)(d)
+          if (s > 0.0) sk |= 1L << p
+        }
+        sk
+      }
+      val got = vecs.toDF("id", "v")
+        .withColumn("sk", expr(s"graft_signsketch(v, $bits, $dims)"))
+        .orderBy("id").collect().map(_.getLong(2))
+      vecs.zip(got).foreach { case ((i, v), g) =>
+        assert(g == ref(v), s"bits=$bits dims=$dims vec $i")
+      }
+      assert(got(0) == 0L, "all-zero vector: no plane is strictly positive")
+    }
+  }
 }
