@@ -226,6 +226,52 @@ case class SignSketch(child: Expression, bits: Int, dims: Int)
     copy(child = newChild)
 }
 
+/** Upper-bound binary search of a double against a SORTED boundary
+  * array: returns the count of boundaries ≤ the value, an int in
+  * [0, len]. The generic quantile-bucketizer primitive (non-uniform
+  * `width_bucket`): boundaries come from `approxQuantile` on the
+  * driver and ship to executors as one referenced double[]; the
+  * per-row cost is a codegen'd O(log len) loop — the built-in
+  * alternatives are a len-deep CASE chain or an interpreted
+  * `aggregate` lambda over a literal array, both O(len)/row.
+  * Duplicate boundaries (a skewed quantile grid) resolve to the
+  * upper bound, so equal values always land in one bucket. */
+case class SearchSorted(child: Expression, boundaries: Array[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(boundaries.nonEmpty, "boundaries must be non-empty")
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_searchsorted"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[Double]
+    var lo = 0
+    var hi = boundaries.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (boundaries(mid) <= v) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val b = ctx.addReferenceObj("bounds", boundaries, "double[]")
+      val lo = ctx.freshName("lo"); val hi = ctx.freshName("hi"); val mid = ctx.freshName("mid")
+      s"""
+         |int $lo = 0; int $hi = $b.length;
+         |while ($lo < $hi) {
+         |  int $mid = ($lo + $hi) >>> 1;
+         |  if ($b[$mid] <= $v) $lo = $mid + 1; else $hi = $mid;
+         |}
+         |${ev.value} = $lo;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Public-API registration: `spark.sql.extensions=graft.functions.GraftExtensions`
   * (set by [[graft.Sessions]]). After registration the functions are
   * usable from any SQL/expr context as `graft_dot(a, b)` / `graft_cosine(a, b)`. */
@@ -280,5 +326,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => SignSketch(children.head,
         children(1).eval().asInstanceOf[Number].intValue,
         children(2).eval().asInstanceOf[Number].intValue)))
+    ext.injectFunction((new FunctionIdentifier("graft_searchsorted"),
+      new ExpressionInfo(classOf[SearchSorted].getName, "graft_searchsorted"),
+      (children: Seq[Expression]) => SearchSorted(children.head,
+        children(1).eval().asInstanceOf[ArrayData].toDoubleArray())))
   }
 }

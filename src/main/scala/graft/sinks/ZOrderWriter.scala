@@ -80,4 +80,36 @@ object ZOrderWriter {
       .drop("__z")
     ordered.write.mode("overwrite").parquet(path)
   }
+
+  /** [[writeZOrdered]] with QUANTILE bucket ranks — the documented
+    * upgrade path for pathologically skewed domains, where uniform
+    * min/max buckets collapse most rows into a few codes and the
+    * z-curve loses that dimension's discrimination. Boundaries come
+    * from one `approxQuantile` pass per column (mergeable sketch,
+    * 2^bits−1 doubles on the driver); each row's rank is a codegen'd
+    * O(bits) binary search (`graft_searchsorted`). Equal-depth codes
+    * also balance file sizes under any skew. */
+  def writeZOrderedQuantile(df: DataFrame, path: String, colA: String, colB: String,
+                            numFiles: Int, bits: Int = 10, relErr: Double = 0.001,
+                            tieBreak: Seq[String] = Nil): Unit = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    require(bits >= 1 && bits <= 16, s"bits must be in [1,16], got $bits")
+    val n = 1 << bits
+    val probs = (1 until n).map(_.toDouble / n).toArray
+    val tmp = df.withColumn("__qa", col(colA).cast("double"))
+      .withColumn("__qb", col(colB).cast("double"))
+    val Seq(bA, bB) = Seq("__qa", "__qb").map(c => tmp.stat.approxQuantile(c, probs, relErr))
+    if (bA.isEmpty || bB.isEmpty) { // empty input
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
+    def rank(qc: String, bs: Array[Double]) =
+      expr(s"graft_searchsorted($qc, array(${bs.map(x => s"${x}D").mkString(",")}))")
+    val z = zValue(rank("__qa", bA).cast("bigint"), rank("__qb", bB).cast("bigint"), bits)
+    tmp.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(("__z" +: tieBreak).map(col): _*)
+      .drop("__z", "__qa", "__qb")
+      .write.mode("overwrite").parquet(path)
+  }
 }

@@ -57,6 +57,41 @@ class ZOrderSpec extends SparkSpec {
       == grid.select(sum("payload")).head().getLong(0))
   }
 
+  test("graft_searchsorted: upper-bound rank against a driver-side reference") {
+    val bounds = Array(1.0, 3.0, 3.0, 7.5, 100.0) // duplicate boundary on purpose
+    val vals = Seq(-5.0, 1.0, 2.9, 3.0, 3.1, 7.5, 99.0, 100.0, 1e9)
+    val got = vals.toDF("v")
+      .selectExpr(s"graft_searchsorted(v, array(${bounds.map(x => s"${x}D").mkString(",")})) AS r")
+      .collect().map(_.getInt(0)).toSeq
+    val want = vals.map(v => bounds.count(_ <= v))
+    assert(got == want, s"$got != $want")
+  }
+
+  test("quantile z-order balances files under heavy skew; uniform collapses") {
+    val root = java.nio.file.Files.createTempDirectory("zorder_q").toString
+    // y is log-skewed: uniform min/max buckets put almost every row in code 0
+    val skewed = spark.range(4096).select(
+      (col("id") % 64).as("x"),
+      pow(lit(2.0), (col("id") % 16).cast("double")).as("y"),
+      col("id").as("payload"))
+    val nFiles = 16
+    ZOrderWriter.writeZOrderedQuantile(skewed, s"$root/q", "x", "y", nFiles,
+      tieBreak = Seq("payload"))
+    val perFile = spark.read.parquet(s"$root/q")
+      .groupBy(input_file_name()).count().collect().map(_.getLong(1))
+    assert(perFile.length == nFiles)
+    val mean = perFile.sum.toDouble / perFile.length
+    assert(perFile.max <= 2 * mean, s"quantile codes must balance files, got ${perFile.toSeq}")
+    // both dimensions still prune: a single x value and a y range each
+    // touch a strict subset of files
+    def touched(pred: org.apache.spark.sql.Column): Long =
+      spark.read.parquet(s"$root/q").filter(pred)
+        .select(input_file_name()).distinct().count()
+    assert(touched(col("x") === 7) < nFiles / 2)
+    assert(touched(col("y") === 2.0) < nFiles / 2, "small skewed values keep discrimination")
+    assert(spark.read.parquet(s"$root/q").count() == 4096)
+  }
+
   test("constant and degenerate domains do not break the bucketizer") {
     val root = java.nio.file.Files.createTempDirectory("zorder_const").toString
     val df = spark.range(100).select(lit(5L).as("x"), col("id").as("y"))
