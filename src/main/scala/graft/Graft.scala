@@ -492,6 +492,12 @@ object Graft {
   def bigramStats(docs: DataFrame, text: String, k: Int): DataFrame =
     ops.DataOps.bigramStatsOf(docs, text, k)
 
+  /** Fixed-width histogram of any numeric column: bin = floor(v/width),
+    * per-bin count + mean + share of total. One map-side-combined
+    * shuffle; the share window runs over bin rows, not the data. */
+  def histogram(df: DataFrame, value: String, binWidth: Double): DataFrame =
+    ops.CoreOps.histogramOf(df, value, binWidth)
+
   /** Sample-based corpus term profiling: exact top-k counts next to
     * the deterministic md5 `permille`/1000-document-sample estimate,
     * one aggregation; flip the filter to profile at sample cost. */

@@ -294,18 +294,24 @@ object CoreOps {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
-  /** #19c histogram profiling: fixed-width binning of extended price +
-    * each bin's share of the total — the distribution profile a data
-    * validator renders. One groupBy shuffle; the share is a window over
-    * the ~20 bin rows, not the data. */
-  private val q24: Q = (s, dir) => {
-    t(s, dir, "lineitem")
-      .withColumn("bin", floor(col("l_extendedprice") / 5000.0).cast("long"))
+  /** Fixed-width histogram of ANY numeric column (public operator
+    * behind [[graft.Graft.histogram]]): bin = floor(value/width), per
+    * bin count + mean + share of total — the distribution profile a
+    * data validator renders. One groupBy shuffle (map-side combined);
+    * the share is a window over the bin rows, not the data. */
+  def histogramOf(df: DataFrame, valueCol: String, binWidth: Double): DataFrame = {
+    require(binWidth > 0, s"binWidth must be > 0, got $binWidth")
+    df.withColumn("bin", floor(col(valueCol) / binWidth).cast("long"))
       .groupBy(col("bin"))
-      .agg(count(lit(1)).as("n"), r4(avg(col("l_extendedprice"))).as("avg_price"))
+      .agg(count(lit(1)).as("n"), r4(avg(col(valueCol))).as("avg_value"))
       .withColumn("share", r6(col("n") / sum(col("n")).over(Window.partitionBy())))
-      .orderBy("bin")
   }
+
+  /** #19c histogram profiling over lineitem extended price. */
+  private val q24: Q = (s, dir) =>
+    histogramOf(t(s, dir, "lineitem"), "l_extendedprice", binWidth = 5000.0)
+      .withColumnRenamed("avg_value", "avg_price")
+      .orderBy("bin")
 
   private val q24Sql =
     """WITH b AS (

@@ -82,6 +82,18 @@ class IngestGateSpec extends SparkSpec {
     }
   }
 
+  test("histogram: custom schema bins, counts and shares from first principles") {
+    import spark.implicits._
+    val df = Seq(0.5, 1.5, 1.6, 2.1, 9.9, -0.3).toDF("v")
+    val out = Graft.histogram(df, "v", binWidth = 1.0).orderBy("bin").collect()
+    val bins = out.map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(bins.keySet == Set(-1L, 0L, 1L, 2L, 9L))
+    assert(bins(1L)._1 == 2 && bins(-1L)._1 == 1, "floor binning incl. negatives")
+    // shares are r6 presentation-rounded: the sum drifts by ≤ nBins·1e-6
+    assert(math.abs(out.map(_.getDouble(3)).sum - 1.0) < 1e-5, "shares sum to 1")
+    intercept[IllegalArgumentException] { Graft.histogram(df, "v", binWidth = 0.0) }
+  }
+
   test("q41: beta/alpha recompute from first-principles covariance on a tiny grid") {
     import spark.implicits._
     // two series + benchmark on 5 shared buckets; closes chosen so
