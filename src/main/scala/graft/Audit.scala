@@ -30,10 +30,14 @@ object Audit {
         val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
         def n(re: String): Int = re.r.findAllIn(plan).size
         val shuffles = n("Exchange (hash|range)partitioning")
+        // a single-partition exchange funnels everything through one
+        // task — the classic scale hazard; tracked as its own field so
+        // a regression that introduces one shows in the AUDIT.json diff
+        val single = n("Exchange SinglePartition")
         val bcasts = n("BroadcastExchange")
         val bnlj = n("BroadcastNestedLoopJoin")
         val scans = n("Scan parquet")
-        println(s"""{"query":"$name","shuffles":$shuffles,"broadcasts":$bcasts,"bnlj":$bnlj,"scans":$scans}""")
+        println(s"""{"query":"$name","shuffles":$shuffles,"single":$single,"broadcasts":$bcasts,"bnlj":$bnlj,"scans":$scans}""")
       } catch {
         case e: Throwable =>
           println(s"""{"query":"$name","error":"${e.getClass.getSimpleName}"}""")

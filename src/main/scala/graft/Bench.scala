@@ -39,10 +39,15 @@ object Bench {
     }
     names.foreach(run(_, record = false)) // warm-up pass
     val results = names.map(n => n -> run(n, record = true))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // ms precision, and the headline metric/value/unit keys LAST: the
+    // harness that consumes this line keeps only a bounded tail of the
+    // output, so with ~90 queries the head of the line is what gets
+    // truncated — the totals must live at the end to survive.
+    def ms(v: Double): Double = math.rint(v * 1000) / 1000
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"queries":$qs,"errors":$errs,"sf":"$sfDir","n":${names.size},"metric":"total","value":${ms(total)},"unit":"sec"}""")
     spark.stop()
   }
 }

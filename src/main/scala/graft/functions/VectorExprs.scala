@@ -2,10 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{AnalysisException, SparkSessionExtensions}
 
 /** Native Catalyst expressions for fixed-work vector math.
   *
@@ -32,10 +32,15 @@ import org.apache.spark.sql.SparkSessionExtensions
   * to the DuckDB oracle's `list_reduce` index fold — see
   * [[graft.OracleSql.seqDot]].
   */
-trait VectorBinary extends BinaryExpression {
+trait VectorBinary extends BinaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType = DoubleType
   // NULL on length mismatch even for non-null children, so always nullable
   override def nullable: Boolean = true
+  // SQL callers get analyzer-inserted casts (array<int> → array<double>)
+  // or a clean resolution failure; without this, codegen's getDouble
+  // would reinterpret raw int bytes silently.
+  // (return type inferred: AbstractDataType itself is private[sql])
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
 
   /** true unless BOTH children are statically array<double not null> —
     * drives elision of the per-element null branch in eval and codegen. */
@@ -46,10 +51,6 @@ trait VectorBinary extends BinaryExpression {
 }
 
 case class DotProduct(left: Expression, right: Expression) extends VectorBinary {
-
-  // contract: both children are array<double> (callers cast explicitly;
-  // AbstractDataType/ExpectsInputTypes are private[sql], so no implicit
-  // coercion is declared here)
   override def prettyName: String = "graft_dot"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
@@ -100,8 +101,6 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinary 
   * as [[DotProduct]] (NULL on null array / length mismatch / null
   * element), mirroring what the three composed HOF folds would return. */
 case class CosineSim(left: Expression, right: Expression) extends VectorBinary {
-
-  // contract: both children are array<double> (see DotProduct note)
   override def prettyName: String = "graft_cosine"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
@@ -170,11 +169,13 @@ case class CosineSim(left: Expression, right: Expression) extends VectorBinary {
   * element makes every plane's CASE yield 0 ⇒ sketch 0L (not NULL —
   * matching zip_with's null-pad fold); NULL only for a NULL array. */
 case class SignSketch(child: Expression, bits: Int, dims: Int)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
   require(bits >= 1 && bits <= 60 && dims >= 1, s"bits in [1,60], dims >= 1; got $bits/$dims")
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "graft_signsketch"
+  override def inputTypes = Seq(ArrayType(DoubleType))
 
   @transient private lazy val planes: Array[Double] =
     graft.ops.DedupOps.planesFor(bits, dims).flatten.map(_.toDouble).toArray
@@ -237,11 +238,13 @@ case class SignSketch(child: Expression, bits: Int, dims: Int)
   * Duplicate boundaries (a skewed quantile grid) resolve to the
   * upper bound, so equal values always land in one bucket. */
 case class SearchSorted(child: Expression, boundaries: Array[Double])
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
   require(boundaries.nonEmpty, "boundaries must be non-empty")
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "graft_searchsorted"
+  override def inputTypes = Seq(DoubleType)
 
   override protected def nullSafeEval(a: Any): Any = {
     val v = a.asInstanceOf[Double]
@@ -276,6 +279,8 @@ case class SearchSorted(child: Expression, boundaries: Array[Double])
   * (set by [[graft.Sessions]]). After registration the functions are
   * usable from any SQL/expr context as `graft_dot(a, b)` / `graft_cosine(a, b)`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => NativeVectorRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.AsofStrategy)
@@ -287,10 +292,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => CosineSim(children.head, children(1))))
     ext.injectFunction((new FunctionIdentifier("graft_stopcount"),
       new ExpressionInfo(classOf[StopCount].getName, "graft_stopcount"),
-      (children: Seq[Expression]) => StopCount(children.head, {
-        val arr = children(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-        (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
-      })))
+      (children: Seq[Expression]) => {
+        arity("graft_stopcount", "(text, array<string> stopwords)", children, 2)
+        StopCount(children.head, litStringArray("graft_stopcount", children(1), "stopwords"))
+      }))
     ext.injectFunction((new FunctionIdentifier("graft_total_strlen"),
       new ExpressionInfo(classOf[TotalStrLen].getName, "graft_total_strlen"),
       (children: Seq[Expression]) => TotalStrLen(children.head)))
@@ -305,30 +310,124 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => SigAgree(children.head, children(1))))
     ext.injectFunction((new FunctionIdentifier("graft_top_ngram_count"),
       new ExpressionInfo(classOf[TopNgramCount].getName, "graft_top_ngram_count"),
-      (children: Seq[Expression]) => TopNgramCount(children.head,
-        children(1).eval().asInstanceOf[Number].intValue)))
+      (children: Seq[Expression]) => {
+        arity("graft_top_ngram_count", "(text, int n)", children, 2)
+        TopNgramCount(children.head, litInt("graft_top_ngram_count", children(1), "n"))
+      }))
     ext.injectFunction((new FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash].getName, "graft_simhash"),
-      (children: Seq[Expression]) => SimHash(children.head,
-        children(1).eval().asInstanceOf[Number].intValue)))
+      (children: Seq[Expression]) => {
+        arity("graft_simhash", "(text, int bits)", children, 2)
+        SimHash(children.head, litInt("graft_simhash", children(1), "bits"))
+      }))
     ext.injectFunction((new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[ShingleMinHash].getName, "graft_minhash"),
-      (children: Seq[Expression]) => ShingleMinHash(children.head,
-        children(1).eval().asInstanceOf[Number].intValue,
-        children(2).eval().asInstanceOf[Number].intValue)))
+      (children: Seq[Expression]) => {
+        arity("graft_minhash", "(text, int shingle, int k)", children, 3)
+        ShingleMinHash(children.head,
+          litInt("graft_minhash", children(1), "shingle"),
+          litInt("graft_minhash", children(2), "k"))
+      }))
     ext.injectFunction((new FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[WinnowFingerprint].getName, "graft_winnow"),
-      (children: Seq[Expression]) => WinnowFingerprint(children.head,
-        children(1).eval().asInstanceOf[Number].intValue,
-        children(2).eval().asInstanceOf[Number].intValue)))
+      (children: Seq[Expression]) => {
+        arity("graft_winnow", "(text, int k, int window)", children, 3)
+        WinnowFingerprint(children.head,
+          litInt("graft_winnow", children(1), "k"),
+          litInt("graft_winnow", children(2), "window"))
+      }))
     ext.injectFunction((new FunctionIdentifier("graft_signsketch"),
       new ExpressionInfo(classOf[SignSketch].getName, "graft_signsketch"),
-      (children: Seq[Expression]) => SignSketch(children.head,
-        children(1).eval().asInstanceOf[Number].intValue,
-        children(2).eval().asInstanceOf[Number].intValue)))
+      (children: Seq[Expression]) => {
+        arity("graft_signsketch", "(array<double> vec, int bits, int dims)", children, 3)
+        SignSketch(children.head,
+          litInt("graft_signsketch", children(1), "bits"),
+          litInt("graft_signsketch", children(2), "dims"))
+      }))
     ext.injectFunction((new FunctionIdentifier("graft_searchsorted"),
       new ExpressionInfo(classOf[SearchSorted].getName, "graft_searchsorted"),
-      (children: Seq[Expression]) => SearchSorted(children.head,
-        children(1).eval().asInstanceOf[ArrayData].toDoubleArray())))
+      (children: Seq[Expression]) => {
+        arity("graft_searchsorted", "(double value, array<numeric> sorted boundaries)", children, 2)
+        SearchSorted(children.head,
+          litDoubleArray("graft_searchsorted", children(1), "boundaries", requireSorted = true))
+      }))
+  }
+}
+
+/** Builder-argument validation for the SQL-registered kernels. The
+  * non-column arguments (bits/dims/boundaries/stopwords) are expression
+  * constructor parameters, so they must be FOLDABLE literals — a raw
+  * `.eval().asInstanceOf` on a column reference or a wrongly-typed
+  * literal dies with an opaque ClassCastException/NPE mid-analysis.
+  * These helpers fail resolution with the expected signature instead. */
+object GraftExtensions {
+  import org.apache.spark.sql.types._
+
+  private def bad(fn: String, why: String): Nothing =
+    throw new AnalysisException(
+      s"$fn: $why", None, None, None, None,
+      Map.empty[String, String], Array.empty[org.apache.spark.QueryContext])
+
+  private[functions] def arity(fn: String, usage: String, children: Seq[Expression], n: Int): Unit =
+    if (children.length != n)
+      bad(fn, s"takes $n arguments $usage, got ${children.length}")
+
+  private[functions] def litInt(fn: String, e: Expression, name: String): Int = {
+    val ok = e.foldable && (e.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    })
+    if (!ok) bad(fn, s"argument `$name` must be a foldable integer literal, " +
+      s"got ${e.dataType.simpleString} (foldable=${e.foldable})")
+    e.eval() match {
+      case n: Number => n.intValue
+      case _ => bad(fn, s"argument `$name` must not be NULL")
+    }
+  }
+
+  private[functions] def litStringArray(fn: String, e: Expression, name: String): Seq[String] = {
+    val ok = e.foldable && (e.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    })
+    if (!ok) bad(fn, s"argument `$name` must be a foldable array<string> literal, " +
+      s"got ${e.dataType.simpleString} (foldable=${e.foldable})")
+    e.eval() match {
+      case arr: ArrayData =>
+        (0 until arr.numElements()).map { i =>
+          if (arr.isNullAt(i)) bad(fn, s"argument `$name` must not contain NULL elements")
+          arr.getUTF8String(i).toString
+        }
+      case _ => bad(fn, s"argument `$name` must not be NULL")
+    }
+  }
+
+  private[functions] def litDoubleArray(fn: String, e: Expression, name: String,
+                                        requireSorted: Boolean): Array[Double] = {
+    val elemType = e.dataType match {
+      case ArrayType(t @ (ByteType | ShortType | IntegerType | LongType |
+                          FloatType | DoubleType), _) if e.foldable => t
+      case t => bad(fn, s"argument `$name` must be a foldable array<numeric> literal, " +
+        s"got ${t.simpleString} (foldable=${e.foldable})")
+    }
+    val out = e.eval() match {
+      case arr: ArrayData =>
+        Array.tabulate(arr.numElements()) { i =>
+          if (arr.isNullAt(i)) bad(fn, s"argument `$name` must not contain NULL elements")
+          elemType match {
+            case DoubleType => arr.getDouble(i)
+            case FloatType => arr.getFloat(i).toDouble
+            case LongType => arr.getLong(i).toDouble
+            case IntegerType => arr.getInt(i).toDouble
+            case ShortType => arr.getShort(i).toDouble
+            case _ => arr.getByte(i).toDouble
+          }
+        }
+      case _ => bad(fn, s"argument `$name` must not be NULL")
+    }
+    if (out.isEmpty) bad(fn, s"argument `$name` must be non-empty")
+    if (requireSorted && out.indices.tail.exists(i => out(i) < out(i - 1)))
+      bad(fn, s"argument `$name` must be sorted ascending")
+    out
   }
 }

@@ -66,7 +66,15 @@ object SimOps {
     * k the [[kmeansOf]] shape — centroids collected to driver state
     * and the argmin emitted as one `least(struct…)` expression —
     * avoids that k× pass entirely (map-only assignment) and is the
-    * documented upgrade path. */
+    * documented upgrade path.
+    *
+    * Query-side contract: the probed query set (queries × `probes`
+    * rows, INCLUDING the full query vectors) is broadcast to every
+    * executor — that is what keeps the corpus shuffle-free. It is the
+    * right trade for the ANN shape (queries ≪ corpus); a corpus-sized
+    * query table would blow the broadcast threshold/driver memory.
+    * For bulk all-vs-all jobs use [[lshAnnOf]] (both sides shuffle on
+    * the bucket key) or batch the queries. */
   def ivfAnnOf(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
                idCol: String, vecCol: String, cidCol: String, cvecCol: String,
                k: Int, probes: Int, excludeSelf: Boolean = true): DataFrame = {
@@ -142,7 +150,16 @@ object SimOps {
     * 100 TB the corpus is scanned once, shuffled once on (band,
     * bucket), and the per-bucket joins never go cross-bucket; band
     * bits should grow with log(corpus) ([[DedupOps.lshBandBits]]).
-    * Returns (q_id, rank, vec_id, cos_sim). */
+    * Returns (q_id, rank, vec_id, cos_sim).
+    *
+    * Shared-subtree note: when `queries` derives from `corpus` (the
+    * self-ANN shape, e.g. s03's `corpus.filter(...)`), Spark has no
+    * cross-join-side common-subtree elimination, so the scan + sketch
+    * projection evaluates once per side. The query side is pruned to
+    * the query subset by predicate pushdown, so the duplicated work is
+    * query-sized, not corpus-sized — and the kernel is deterministic,
+    * so results are unaffected. If the corpus side itself is an
+    * expensive derivation, pass it in localCheckpoint'd. */
   def lshAnnOf(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
                k: Int, sketchBits: Int, bands: Int, dims: Int,
                excludeSelf: Boolean = true): DataFrame = {

@@ -121,4 +121,52 @@ class VectorExprsSpec extends SparkSpec {
       assert(got(0) == 0L, "all-zero vector: no plane is strictly positive")
     }
   }
+
+  // --- SQL-surface safety: declared input types + builder validation ---
+
+  test("SQL callers with non-double arrays get analyzer casts, not garbage bytes") {
+    // pre-ExpectsInputTypes, array<int> reached getDouble and silently
+    // reinterpreted raw int bits; now the analyzer inserts the cast
+    val r = spark.sql(
+      """SELECT graft_dot(array(1, 2, 3), array(4, 5, 6)) AS d,
+        |       graft_cosine(array(3, 4), array(3, 4)) AS c,
+        |       graft_searchsorted(5, array(1D, 3D, 7D)) AS r
+        |""".stripMargin).head()
+    assert(r.getDouble(0) == 32.0)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    assert(r.getInt(2) == 2)
+  }
+
+  test("graft_signsketch on an int-element array equals the cast-to-double call") {
+    val df = spark.sql(
+      """SELECT graft_signsketch(array(1, -2, 3), 8, 3) AS a,
+        |       graft_signsketch(CAST(array(1, -2, 3) AS ARRAY<DOUBLE>), 8, 3) AS b""".stripMargin)
+    val r = df.head()
+    assert(r.getLong(0) == r.getLong(1))
+  }
+
+  test("graft_searchsorted accepts an int-element boundary literal") {
+    val r = spark.sql("SELECT graft_searchsorted(5D, array(1, 3, 7)) AS r").head()
+    assert(r.getInt(0) == 2)
+  }
+
+  test("builder misuse fails resolution with the expected signature, not a ClassCastException") {
+    import org.apache.spark.sql.AnalysisException
+    def failsWith(sql: String, frag: String): Unit = {
+      val e = intercept[AnalysisException](spark.sql(sql).head())
+      assert(e.getMessage.contains(frag), s"got: ${e.getMessage}")
+    }
+    // non-foldable boundaries (a column reference)
+    failsWith("SELECT graft_searchsorted(v, v2) FROM (SELECT 1D AS v, array(1D) AS v2)",
+      "foldable array<numeric>")
+    // unsorted boundary literal
+    failsWith("SELECT graft_searchsorted(1D, array(3D, 1D))", "sorted ascending")
+    // non-literal bits argument
+    failsWith("SELECT graft_signsketch(array(1D), b, 1) FROM (SELECT 2 AS b)",
+      "foldable integer literal")
+    // wrong arity
+    failsWith("SELECT graft_minhash('abc', 3)", "takes 3 arguments")
+    // NULL in a string-array literal
+    failsWith("SELECT graft_stopcount('a b', array('a', NULL))", "NULL elements")
+  }
 }
