@@ -780,6 +780,41 @@ object Graft {
       .drop("__dc", "__sv")
   }
 
+  /** Stochastic oscillator over a bar table (unique per (key,
+    * bucket)): %K = 100·(close − min(low, n))/(max(high, n) −
+    * min(low, n)) over the trailing `n` bars INCLUDING the current
+    * one (null until `n` bars; a flat window — hh = ll — reads 50),
+    * %D = the plain mean of the last `dPeriod` %K values (null until
+    * they exist). Appends `pct_k` and `pct_d`. One window shuffle on
+    * the series key; the rolling min/max are exact value picks, so
+    * every downstream double is bit-reproducible under any
+    * partitioning. The n-row frame re-aggregates O(n) per row — n is
+    * a small constant (14 here; a monotonic-deque segmented scan is
+    * the O(1)-amortized path if a caller ever needs n in the
+    * thousands), and %D is an explicit lag chain, not a frame sum, so
+    * both engines fold the same three doubles in the same order. */
+  def stochastic(bars: DataFrame, key: String, bucket: String, high: String,
+                 low: String, close: String, n: Int, dPeriod: Int = 3): DataFrame = {
+    require(n >= 1 && dPeriod >= 1, s"n >= 1 and dPeriod >= 1 required, got n=$n d=$dPeriod")
+    val ord = Window.partitionBy(col(key)).orderBy(col(bucket))
+    val frame = ord.rowsBetween(-(n - 1), Window.currentRow)
+    val dSum = (dPeriod - 1 to 0 by -1)
+      .map(j => if (j == 0) col("pct_k") else lag(col("pct_k"), j).over(ord))
+      .reduce(_ + _)
+    bars.withColumn("__ll", min(col(low)).over(frame))
+      .withColumn("__hh", max(col(high)).over(frame))
+      .withColumn("__rn", row_number().over(ord))
+      // ratio FIRST, scale second: (c−ll)/(hh−ll) of c ∈ [ll, hh] is a
+      // correctly-rounded value ≤ 1.0, so %K ∈ [0, 100] exactly —
+      // 100·(c−ll) pre-rounding can overshoot by an ulp
+      .withColumn("pct_k",
+        when(col("__rn") >= n,
+          when(col("__hh") === col("__ll"), lit(50.0))
+            .otherwise((col(close) - col("__ll")) / (col("__hh") - col("__ll")) * lit(100.0))))
+      .withColumn("pct_d", dSum / lit(dPeriod.toDouble))
+      .drop("__ll", "__hh", "__rn")
+  }
+
   /** Deterministic global shuffle + sharding — the order-randomizing
     * step before training-data export: rows order by md5(salt:id),
     * shard = hash mod `nShards`, `pos` = rank within the shard by the
@@ -790,6 +825,29 @@ object Graft {
   def shuffleShards(df: DataFrame, id: String, nShards: Int,
                     salt: String = "graft"): DataFrame =
     ops.DataOps.shuffleShardsOf(df, id, nShards, salt)
+
+  /** Boilerplate-segment removal — the CCNet-style line-dedup scrub:
+    * segments (split on `delim`; "\n" for the classic line form)
+    * appearing verbatim in ≥ ceil(`minDocFrac`·N) documents are
+    * stripped from every document, the survivors rejoined in order.
+    * Returns (id, clean_text, n_kept, n_removed). The frequency table
+    * is segment-vocabulary-sized and the boilerplate set broadcasts;
+    * see [[ops.DedupOps.stripBoilerplateOf]] for the full contract. */
+  def stripBoilerplate(docs: DataFrame, id: String, text: String,
+                       delim: String = "\n", minDocFrac: Double = 0.5): DataFrame =
+    ops.DedupOps.stripBoilerplateOf(docs, id, text, delim, minDocFrac)
+
+  /** MACD(fast, slow, signal) — the exact adjust=False composition of
+    * three [[ewmaExact]] recurrences in ONE segmented-scan pass:
+    * macd = EWMA_fast(x) − EWMA_slow(x), signal = EWMA_signal(macd),
+    * hist = macd − signal (α = 2/(span+1), all series init to the
+    * first value ⇒ macd₁ = signal₁ = 0). One shuffle on the series
+    * key, O(1) state per series. Returns (key, ts_ms, tie, macd,
+    * signal, hist); join back on (key, ts_ms, tie) for other columns.
+    * Continuous twin: [[graft.streaming.StreamOps.streamingMacd]]. */
+  def macd(df: DataFrame, key: String, ts: String, tie: String, value: String,
+           fast: Int = 12, slow: Int = 26, signal: Int = 9): DataFrame =
+    ops.ScanOps.macdOf(df, key, ts, tie, value, fast, slow, signal)
 
   /** Per-document top-k TF-IDF terms: tf = in-doc term count, idf =
     * ln((1+N)/(1+df)) + 1 (smoothed); terms ranked per doc by

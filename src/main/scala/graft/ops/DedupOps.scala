@@ -526,7 +526,95 @@ object DedupOps {
       |ORDER BY doc_id""".stripMargin
       .replace("GS_DUCK", gsDuck).replace("SIG8_DUCK", sigDuck(8))
 
+  /** Boilerplate-segment removal over ANY (id, text) corpus (public
+    * operator behind [[graft.Graft.stripBoilerplate]]) — the CCNet /
+    * RefinedWeb line-dedup shape: split each doc on `delim`, count
+    * each distinct segment's DOCUMENT frequency across the corpus,
+    * and strip segments appearing in ≥ ceil(`minDocFrac`·N) docs from
+    * every doc (headers, footers, cookie banners — content repeated
+    * verbatim across a corpus carries no training signal). With
+    * delim = "\n" this is classic boilerplate-line removal; any
+    * delimiter works (the gate query uses " " on the single-line
+    * testdata corpus = ubiquitous-token stripping).
+    *
+    * Returns one row per doc that had ≥ 1 non-empty segment:
+    * (id, clean_text, n_kept, n_removed) — `clean_text` rejoins the
+    * SURVIVING segments in original order with `delim` (empty
+    * segments from consecutive delimiters are dropped, i.e. delimiter
+    * runs collapse; all-boilerplate docs yield "").
+    *
+    * Scale shape: the frequency table is one (segment, id)-distinct
+    * aggregate — segment-vocabulary-sized, never corpus-sized after
+    * the map-side combine; the boilerplate subset (df ≥ threshold) is
+    * tiny and BROADCASTS to the strip join; the rebuild is one
+    * groupBy-doc shuffle carrying surviving segments (corpus-sized —
+    * inherent to rewriting the corpus, same as t06 normalize). All
+    * counts are exact integers and the rebuild order is pinned by
+    * segment position, so output is bit-deterministic under any
+    * partitioning. */
+  def stripBoilerplateOf(docs: DataFrame, id: String, text: String,
+                         delim: String, minDocFrac: Double): DataFrame = {
+    require(delim.nonEmpty, "delim must be non-empty")
+    require(minDocFrac > 0 && minDocFrac <= 1,
+      s"minDocFrac must be in (0,1], got $minDocFrac")
+    val toks = docs
+      .select(col(id).as("__id"),
+        posexplode(split(col(text), java.util.regex.Pattern.quote(delim)))
+          .as(Seq("__pos", "__tok")))
+      .filter(length(col("__tok")) > 0)
+    // 1-row corpus count → the threshold is in-plan (scales with the
+    // corpus, not a baked constant); both engines ceil the same double
+    val total = docs.agg(count(lit(1)).as("__n"))
+    val boiler = toks.groupBy(col("__tok"))
+      .agg(countDistinct(col("__id")).as("__df"))
+      .crossJoin(broadcast(total))
+      .filter(col("__df") >= ceil(lit(minDocFrac) * col("__n")))
+      .select(col("__tok"), lit(1).as("__b"))
+    toks.join(broadcast(boiler), Seq("__tok"), "left")
+      .groupBy(col("__id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("__b").isNull,
+              struct(col("__pos"), col("__tok"))))),
+            x => x.getField("__tok")),
+          delim).as("clean_text"),
+        count(when(col("__b").isNull, 1)).as("n_kept"),
+        count(when(col("__b").isNotNull, 1)).as("n_removed"))
+      .select(col("__id").as(id), col("clean_text"), col("n_kept"), col("n_removed"))
+  }
+
+  /** #d08 boilerplate stripping on the documents corpus: segments =
+    * space-separated tokens (the testdata corpus is single-line),
+    * threshold 78% of docs — the handful of ubiquitous tokens
+    * vanish from every doc, everything else survives in order. */
+  private val d08: Q = (s, dir) =>
+    stripBoilerplateOf(t(s, dir, "documents"), "doc_id", "text",
+        delim = " ", minDocFrac = 0.78)
+      .orderBy("doc_id")
+
+  private val d08Sql =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    unnest(string_split(text, ' ')) AS tok,
+      |    unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+      |  FROM documents),
+      |tf AS (SELECT doc_id, pos, tok FROM raw WHERE tok <> ''),
+      |dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+      |boiler AS (SELECT tok FROM dfreq
+      |  WHERE df >= ceil(0.78 * (SELECT count(*) FROM documents))),
+      |j AS (SELECT t.doc_id, t.pos, t.tok, b.tok AS btok
+      |  FROM tf t LEFT JOIN boiler b ON t.tok = b.tok)
+      |SELECT doc_id,
+      |  coalesce(string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE btok IS NULL), '') AS clean_text,
+      |  count(*) FILTER (WHERE btok IS NULL) AS n_kept,
+      |  count(*) FILTER (WHERE btok IS NOT NULL) AS n_removed
+      |FROM j
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d08_boilerplate" -> d08,
     "d01_dedup_exact" -> d01,
     "d02_minhash_lsh" -> d02,
     "d03_simhash" -> d03,
@@ -536,6 +624,7 @@ object DedupOps {
     "d07_edit_distance" -> d07)
 
   val oracle: Map[String, String] = Map(
+    "d08_boilerplate" -> d08Sql,
     "d01_dedup_exact" -> d01Sql,
     "d02_minhash_lsh" -> d02Sql,
     "d03_simhash" -> d03Sql,

@@ -401,6 +401,41 @@ object FinOps {
        |FROM c
        |ORDER BY event_type, bucket_ms""".stripMargin
 
+  /** #q45 stochastic oscillator %K(14)/%D(3) over hourly bars (see
+    * [[graft.Graft.stochastic]]): rolling min/max are exact value
+    * picks and %D is an explicit 3-lag chain, so every double is the
+    * same defined-order fold in both engines. */
+  private val q45: Q = (s, dir) =>
+    graft.Graft.stochastic(hourBars(s, dir), "event_type", "bucket",
+        "high", "low", "close", n = 14, dPeriod = 3)
+      .select(col("event_type"), epochMs(col("bucket")).as("bucket_ms"),
+        r6(col("pct_k")).as("pct_k"), r6(col("pct_d")).as("pct_d"))
+      .orderBy("event_type", "bucket_ms")
+
+  private val q45Sql =
+    s"""WITH $barsSqlCte,
+       |w AS (
+       |  SELECT event_type, bucket, close,
+       |    min(low) OVER f AS ll, max(high) OVER f AS hh,
+       |    row_number() OVER o AS rn
+       |  FROM b
+       |  WINDOW o AS (PARTITION BY event_type ORDER BY bucket),
+       |    f AS (PARTITION BY event_type ORDER BY bucket
+       |          ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+       |k AS (
+       |  SELECT event_type, bucket,
+       |    CASE WHEN rn >= 14 THEN
+       |      CASE WHEN hh = ll THEN 50.0
+       |        ELSE (close - ll) / (hh - ll) * 100.0 END
+       |    END AS pct_k
+       |  FROM w)
+       |SELECT event_type, epoch_ms(bucket) AS bucket_ms,
+       |  round(pct_k, 6) AS pct_k,
+       |  round((lag(pct_k, 2) OVER o + lag(pct_k, 1) OVER o + pct_k) / 3.0, 6) AS pct_d
+       |FROM k
+       |WINDOW o AS (PARTITION BY event_type ORDER BY bucket)
+       |ORDER BY event_type, bucket_ms""".stripMargin
+
   /** #q41 market beta/alpha per series vs the 'click' benchmark on the
     * hourly close grid — the regression companion of q33: cov/var of
     * aligned simple returns as the same deterministic cumulative fold,
@@ -461,7 +496,8 @@ object FinOps {
     "q36_rsi" -> q36,
     "q37_atr" -> q37,
     "q38_obv" -> q38,
-    "q41_beta" -> q41)
+    "q41_beta" -> q41,
+    "q45_stochastic" -> q45)
 
   val oracle: Map[String, String] = Map(
     "q30_vwap" -> q30Sql,
@@ -473,5 +509,6 @@ object FinOps {
     "q36_rsi" -> q36Sql,
     "q37_atr" -> q37Sql,
     "q38_obv" -> q38Sql,
+    "q45_stochastic" -> q45Sql,
     "q41_beta" -> q41Sql)
 }

@@ -114,6 +114,48 @@ object ScanOps {
       .toDF(key, "ts_ms", tie, "rsi")
   }
 
+  /** MACD(fast, slow, signal) — the exact adjust=False composition of
+    * three [[ewmaExactOf]] recurrences in ONE scan pass: per series in
+    * (`ts`, `tie`) order, eF/eS are span-EWMAs of the value
+    * (α = 2/(span+1), both init to x₁ ⇒ macd₁ = 0), macd = eF − eS,
+    * and the signal line is the exact signal-span EWMA of the macd
+    * stream (init = macd₁); histogram = macd − signal. One shuffle,
+    * O(1) state per series (two value accumulators + one signal
+    * accumulator) — the three-recurrence chain never materializes
+    * intermediate series. Returns (`key` AS STRING, `ts_ms`, `tie`,
+    * `macd`, `signal`, `hist`); contracts as [[ewmaExactOf]].
+    * pandas twin: `ewm(span=f).mean() − ewm(span=s).mean()` and
+    * `ewm(span=g).mean()` of that, all adjust=False. */
+  def macdOf(df: DataFrame, key: String, ts: String, tie: String, value: String,
+             fast: Int = 12, slow: Int = 26, signal: Int = 9): DataFrame = {
+    require(fast >= 1 && slow > fast && signal >= 1,
+      s"need 1 <= fast < slow and signal >= 1, got fast=$fast slow=$slow signal=$signal")
+    val s = df.sparkSession
+    import s.implicits._
+    val aF = 2.0 / (fast + 1); val bF = 1.0 - aF
+    val aS = 2.0 / (slow + 1); val bS = 1.0 - aS
+    val aG = 2.0 / (signal + 1); val bG = 1.0 - aG
+    df.select(col(key).cast("string").as("__k"), epochMs(col(ts)).as("__t"),
+        col(tie).cast("long").as("__i"), col(value).cast("double").as("__x"))
+      .as[(String, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("__t").asc, col("__i").asc) { (k, rows) =>
+        var eF = 0.0; var eS = 0.0; var g = 0.0
+        var first = true
+        rows.map { case (_, t, i, x) =>
+          if (first) { eF = x; eS = x; g = eF - eS; first = false }
+          else {
+            eF = eF * bF + aF * x
+            eS = eS * bS + aS * x
+            g = g * bG + aG * (eF - eS)
+          }
+          val macd = eF - eS
+          (k, t, i, macd, g, macd - g)
+        }
+      }
+      .toDF(key, "ts_ms", tie, "macd", "signal", "hist")
+  }
+
   /** #q39 exact EWMA (adjust=False) per user series. */
   private val q39: Q = (s, dir) =>
     ewmaExactOf(t(s, dir, "events"), "user_id", "ts", "event_id", "value", alpha = 0.25)
@@ -167,9 +209,45 @@ object ScanOps {
       |FROM d LEFT JOIN f ON d.user_id = f.user_id AND d.event_id = f.event_id
       |ORDER BY d.user_id, ts_ms, d.event_id""".stripMargin
 
+  /** #q44 MACD(12, 26, 9) per user series — the three-recurrence
+    * composition (see [[macdOf]]). The oracle folds each row's prefix
+    * list once per span EWMA and once more over the derived macd
+    * stream — the identical op sequence, so every double matches. */
+  private val q44: Q = (s, dir) =>
+    macdOf(t(s, dir, "events"), "user_id", "ts", "event_id", "value",
+        fast = 12, slow = 26, signal = 9)
+      .select(col("user_id").cast("long").as("user_id"), col("ts_ms"),
+        col("event_id"), r6(col("macd")).as("macd"),
+        r6(col("signal")).as("signal"), r6(col("hist")).as("hist"))
+      .orderBy("user_id", "ts_ms", "event_id")
+
+  private val q44Sql =
+    """WITH p AS (
+      |  SELECT user_id, ts, event_id,
+      |    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, ts, event_id,
+      |    list_reduce(pre, (acc, x) -> acc*(1.0 - 2.0/13.0) + (2.0/13.0)*x)
+      |      - list_reduce(pre, (acc, x) -> acc*(1.0 - 2.0/27.0) + (2.0/27.0)*x) AS macd
+      |  FROM p),
+      |f AS (
+      |  SELECT user_id, ts, event_id, macd,
+      |    list_reduce(
+      |      list(macd) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |      (acc, x) -> acc*(1.0 - 2.0/10.0) + (2.0/10.0)*x) AS sig
+      |  FROM m)
+      |SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+      |  round(macd, 6) AS macd, round(sig, 6) AS signal,
+      |  round(macd - sig, 6) AS hist
+      |FROM f
+      |ORDER BY user_id, ts_ms, event_id""".stripMargin
+
   val queries: Map[String, Q] =
-    Map("q39_ewma_exact" -> q39, "q40_wilder_rsi" -> q40)
+    Map("q39_ewma_exact" -> q39, "q40_wilder_rsi" -> q40, "q44_macd" -> q44)
 
   val oracle: Map[String, String] =
-    Map("q39_ewma_exact" -> q39Sql, "q40_wilder_rsi" -> q40Sql)
+    Map("q39_ewma_exact" -> q39Sql, "q40_wilder_rsi" -> q40Sql, "q44_macd" -> q44Sql)
 }

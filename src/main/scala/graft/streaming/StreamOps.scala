@@ -59,6 +59,14 @@ case class RsiOut(event_type: String, event_id: Long, ts_ms: Long, value: Double
   * accumulator — O(1) per key, independent of stream length. */
 case class EwmaState(acc: Option[Double])
 
+/** State for [[StreamOps.streamingMacd]]: the fast/slow value EWMAs
+  * and the signal EWMA of their difference — O(1) per key. */
+case class MacdState(eFast: Double, eSlow: Double, sig: Double)
+
+/** One MACD observation per input event. */
+case class MacdOut(event_type: String, event_id: Long, ts_ms: Long, value: Double,
+                   macd: Double, signal: Double, hist: Double)
+
 /** One bar for [[StreamOps.streamingObv]]: a close and its volume. */
 case class ObvEvent(event_type: String, event_id: Long, ts: java.sql.Timestamp,
                     close: Double, volume: Double)
@@ -507,6 +515,44 @@ object StreamOps {
             EwmaOut(key, e.event_id, e.ts.getTime, e.value, v)
           }
           state.update(EwmaState(acc))
+          out.iterator
+      }
+  }
+
+  /** Batch [[graft.Graft.macd]] ([[graft.ops.ScanOps.macdOf]]) run
+    * CONTINUOUSLY: the state is the three EWMA accumulators — O(1)
+    * per key — and each arrival performs the identical op sequence
+    * (fast/slow updates, then the signal update on their difference),
+    * so streaming == batch BIT-FOR-BIT (the spec asserts exact
+    * equality). Same arrival-order contract as [[streamingWma]]; no
+    * warmup — the first event emits macd = signal = 0. */
+  def streamingMacd(events: Dataset[BollEvent], fast: Int = 12, slow: Int = 26,
+                    signal: Int = 9): Dataset[MacdOut] = {
+    require(fast >= 1 && slow > fast && signal >= 1,
+      s"need 1 <= fast < slow and signal >= 1, got fast=$fast slow=$slow signal=$signal")
+    import events.sparkSession.implicits._
+    val aF = 2.0 / (fast + 1); val bF = 1.0 - aF
+    val aS = 2.0 / (slow + 1); val bS = 1.0 - aS
+    val aG = 2.0 / (signal + 1); val bG = 1.0 - aG
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[MacdState, MacdOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[BollEvent], state: GroupState[MacdState]) =>
+          var st = state.getOption
+          val out = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+            val next = st match {
+              case None => MacdState(e.value, e.value, 0.0)
+              case Some(MacdState(eF, eS, g)) =>
+                val nF = eF * bF + aF * e.value
+                val nS = eS * bS + aS * e.value
+                MacdState(nF, nS, g * bG + aG * (nF - nS))
+            }
+            st = Some(next)
+            val m = next.eFast - next.eSlow
+            MacdOut(key, e.event_id, e.ts.getTime, e.value, m, next.sig, m - next.sig)
+          }
+          st.foreach(state.update)
           out.iterator
       }
   }

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-7 operators: MACD (three-recurrence segmented scan),
+  * stochastic oscillator (%K/%D), boilerplate-segment stripping —
+  * edge branches the DuckDB gate alone wouldn't pin down. */
+class Round7Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def series(vals: Seq[Double], key: String = "k"): org.apache.spark.sql.DataFrame =
+    vals.zipWithIndex.map { case (v, i) =>
+      (key, new java.sql.Timestamp(1700000000000L + i * 60000L), i.toLong, v)
+    }.toDF("sym", "t", "seq", "px")
+
+  test("macd matches the driver-side three-fold recurrence bit-for-bit; first row is 0/0/0") {
+    val vals = Seq(4.21, 9.73, 1.18, 7.54, 3.33, 8.08, 2.99)
+    val (f, s, g) = (3, 7, 2)
+    val out = Graft.macd(series(vals), "sym", "t", "seq", "px", f, s, g)
+      .orderBy("ts_ms").select("macd", "signal", "hist")
+      .as[(Double, Double, Double)].collect()
+    val (aF, aS, aG) = (2.0 / (f + 1), 2.0 / (s + 1), 2.0 / (g + 1))
+    var eF = 0.0; var eS = 0.0; var sig = 0.0
+    val want = vals.zipWithIndex.map { case (x, i) =>
+      if (i == 0) { eF = x; eS = x; sig = eF - eS }
+      else {
+        eF = eF * (1 - aF) + aF * x
+        eS = eS * (1 - aS) + aS * x
+        sig = sig * (1 - aG) + aG * (eF - eS)
+      }
+      (eF - eS, sig, (eF - eS) - sig)
+    }
+    assert(out.toSeq == want, "same fold, same doubles")
+    assert(out.head == ((0.0, 0.0, 0.0)), "both EWMAs init to x1 ⇒ macd1 = signal1 = 0")
+    assert(Graft.macd(series(vals), "sym", "t", "seq", "px").columns.toSeq ==
+      Seq("sym", "ts_ms", "seq", "macd", "signal", "hist"))
+  }
+
+  test("macd line == ewmaExact(fast) − ewmaExact(slow) bit-for-bit on testdata") {
+    val ev = Tables.t(spark, sfDir, "events")
+    val m = Graft.macd(ev, "user_id", "ts", "event_id", "value", 12, 26, 9)
+      .select(col("user_id"), col("event_id"), col("macd"))
+    val fast = Graft.ewmaExact(ev, "user_id", "ts", "event_id", "value", 2.0 / 13)
+      .select(col("user_id"), col("event_id"), col("ewma").as("ef"))
+    val slow = Graft.ewmaExact(ev, "user_id", "ts", "event_id", "value", 2.0 / 27)
+      .select(col("user_id"), col("event_id"), col("ewma").as("es"))
+    val j = m.join(fast, Seq("user_id", "event_id")).join(slow, Seq("user_id", "event_id"))
+    assert(j.filter(col("macd") =!= col("ef") - col("es")).count() == 0)
+    assert(j.count() == ev.count())
+  }
+
+  test("macd rejects a degenerate span ordering") {
+    intercept[IllegalArgumentException] {
+      Graft.macd(series(Seq(1.0)), "sym", "t", "seq", "px", fast = 26, slow = 12)
+    }
+  }
+
+  test("stochastic: warmup nulls, rising series pins %K to 100, %D is the 3-mean") {
+    // strictly rising closes with high = low = close: after warmup the
+    // close IS the rolling max ⇒ %K = 100 exactly
+    val vals = (1 to 8).map(_.toDouble)
+    val bars = vals.zipWithIndex.map { case (v, i) =>
+      ("k", new java.sql.Timestamp(1700000000000L + i * 3600000L), v, v, v)
+    }.toDF("sym", "bkt", "hi", "lo", "cl")
+    val out = Graft.stochastic(bars, "sym", "bkt", "hi", "lo", "cl", n = 4, dPeriod = 3)
+      .orderBy("bkt").select("pct_k", "pct_d")
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1))))
+    assert(out.take(3).forall(_._1.isEmpty), "%K null until n bars")
+    assert(out.drop(3).forall(_._1.contains(100.0)), "rising series: close == rolling max")
+    assert(out.take(5).forall(_._2.isEmpty), "%D null until n + dPeriod - 1 bars")
+    assert(out.drop(5).forall(_._2.contains(100.0)))
+  }
+
+  test("stochastic: a flat window reads 50, not NaN") {
+    val bars = (0 until 5).map { i =>
+      ("k", new java.sql.Timestamp(1700000000000L + i * 3600000L), 7.0, 7.0, 7.0)
+    }.toDF("sym", "bkt", "hi", "lo", "cl")
+    val ks = Graft.stochastic(bars, "sym", "bkt", "hi", "lo", "cl", n = 3)
+      .orderBy("bkt").select("pct_k").collect().map(r => Option(r.get(0)))
+    assert(ks.drop(2).forall(_.contains(50.0)), "hh == ll ⇒ 50 by convention")
+  }
+
+  test("stochastic %K stays in [0, 100] on real bars") {
+    val bars = Graft.resampleOhlc(Tables.t(spark, sfDir, "events"),
+      "event_type", "ts", "event_id", "value", "hour")
+    val k = Graft.stochastic(bars, "event_type", "bucket", "high", "low", "close", n = 14)
+      .filter(col("pct_k").isNotNull)
+    assert(k.count() > 0)
+    assert(k.filter(col("pct_k") < 0.0 || col("pct_k") > 100.0).count() == 0,
+      "close lies inside [rolling low, rolling high] by construction")
+  }
+
+  test("stripBoilerplate: newline segments — the classic line-dedup shape") {
+    val docs = Seq(
+      (1L, "COOKIE BANNER\nalpha beta\nfooter"),
+      (2L, "COOKIE BANNER\ngamma\nfooter"),
+      (3L, "COOKIE BANNER\ndelta epsilon\nfooter"),
+      (4L, "COOKIE BANNER\nfooter")).toDF("id", "body")
+    // threshold ceil(0.9 * 4) = 4: only lines in ALL docs are boilerplate
+    val out = Graft.stripBoilerplate(docs, "id", "body", "\n", minDocFrac = 0.9)
+      .orderBy("id").collect()
+    val byId = out.map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(byId(1L) == (("alpha beta", 1L, 2L)))
+    assert(byId(2L) == (("gamma", 1L, 2L)))
+    assert(byId(3L) == (("delta epsilon", 1L, 2L)))
+    assert(byId(4L) == (("", 0L, 2L)), "all-boilerplate doc yields empty text, not a dropped row")
+  }
+
+  test("stripBoilerplate: threshold is a ceil'd fraction and order is preserved") {
+    val docs = Seq(
+      (1L, "x\na\nx\nb"), (2L, "x\nc"), (3L, "d\ne")).toDF("id", "body")
+    // ceil(0.6 * 3) = 2: 'x' (docs 1, 2) goes; everything else stays
+    val out = Graft.stripBoilerplate(docs, "id", "body", "\n", minDocFrac = 0.6)
+      .orderBy("id").collect()
+    assert(out(0).getString(1) == "a\nb", "surviving segments rejoin in original order")
+    assert(out(0).getLong(3) == 2L, "both occurrences of a boilerplate segment count")
+    assert(out(1).getString(1) == "c")
+    assert(out(2).getString(1) == "d\ne")
+  }
+
+  test("stripBoilerplate: consecutive delimiters collapse; empty segments never count") {
+    val docs = Seq((1L, "a\n\nb"), (2L, "\n\nc")).toDF("id", "body")
+    val out = Graft.stripBoilerplate(docs, "id", "body", "\n", minDocFrac = 1.0)
+      .orderBy("id").collect()
+    assert(out(0).getString(1) == "a\nb" && out(0).getLong(2) == 2L)
+    assert(out(1).getString(1) == "c")
+  }
+}

@@ -270,6 +270,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming MACD == batch three-recurrence scan BIT-FOR-BIT across micro-batches") {
+    import graft.streaming.{BollEvent, MacdOut}
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[BollEvent]
+    val q = StreamOps.streamingMacd(input.toDS(), fast = 12, slow = 26, signal = 9)
+      .writeStream.format("memory").queryName("macd_out").outputMode("append").start()
+    try {
+      val evs = Tables.t(spark, sfDir, "events")
+        .select(col("event_type"), col("event_id"), col("ts"), col("value"))
+        .as[BollEvent].collect().sortBy(e => (e.ts.getTime, e.event_id))
+      evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { b =>
+        input.addData(b.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val got = spark.table("macd_out").as[MacdOut].collect()
+        .map(o => (o.event_type, o.event_id) -> ((o.macd, o.signal, o.hist))).toMap
+      val want = graft.ops.ScanOps.macdOf(Tables.t(spark, sfDir, "events"),
+          "event_type", "ts", "event_id", "value", 12, 26, 9)
+        .select("event_type", "event_id", "macd", "signal", "hist").collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+      assert(got.keySet == want.keySet)
+      // identical op sequence in the GroupState — bitwise, no tolerance
+      want.foreach { case (k, w) => assert(got(k) == w, s"$k: ${got(k)} != $w") }
+    } finally q.stop()
+  }
+
   test("streaming OBV == batch obv BIT-FOR-BIT over resampled bars") {
     import graft.streaming.{ObvEvent, ObvOut}
     implicit val sql = spark.sqlContext
