@@ -837,6 +837,27 @@ object Graft {
                        delim: String = "\n", minDocFrac: Double = 0.5): DataFrame =
     ops.DedupOps.stripBoilerplateOf(docs, id, text, delim, minDocFrac)
 
+  /** Percentile winsorization per key — the outlier-clipping scrub
+    * before numeric feature training: values below the key's exact
+    * `lo`-percentile (or above `hi`) are clamped to it; appends
+    * `winsorized` + `clip` (−1/0/1). The percentile table is
+    * key-cardinality-sized and broadcasts; at 100 TB swap in
+    * `approx_percentile` (see [[ops.CoreOps.winsorizeOf]]). */
+  def winsorize(df: DataFrame, key: String, value: String,
+                lo: Double = 0.01, hi: Double = 0.99): DataFrame =
+    ops.CoreOps.winsorizeOf(df, key, value, lo, hi)
+
+  /** Rolling min AND max of the trailing `n` rows per series via the
+    * monotonic-deque sliding-extrema scan — O(1) amortized per row at
+    * ANY window size, where a `rowsBetween` frame re-aggregates
+    * O(n)/row (fine at n = 14, quadratic pain at n in the thousands).
+    * Null until `n` rows; bit-identical to the frame form (exact
+    * value picks). Returns (key, ts_ms, tie, roll_min, roll_max);
+    * join back on (key, ts_ms, tie) for other columns. */
+  def rollingExtrema(df: DataFrame, key: String, ts: String, tie: String,
+                     value: String, n: Int): DataFrame =
+    ops.ScanOps.rollingExtremaOf(df, key, ts, tie, value, n)
+
   /** MACD(fast, slow, signal) — the exact adjust=False composition of
     * three [[ewmaExact]] recurrences in ONE segmented-scan pass:
     * macd = EWMA_fast(x) − EWMA_slow(x), signal = EWMA_signal(macd),

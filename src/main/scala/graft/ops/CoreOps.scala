@@ -294,6 +294,60 @@ object CoreOps {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Percentile winsorization of ANY numeric column per key (public
+    * operator behind [[graft.Graft.winsorize]]) — the outlier-clipping
+    * scrub a numeric feature pipeline runs before training: per-key
+    * exact linear-interpolation percentiles at `lo`/`hi` (the q20
+    * machinery), values clamped into [p_lo, p_hi], a `clip` flag
+    * (−1/0/1) marking which tail a row came from. Appends
+    * `winsorized` + `clip`. The percentile table is key-cardinality-
+    * sized and BROADCASTS back onto the fact scan — one agg shuffle,
+    * no second fact-side shuffle. At 100 TB swap the exact percentile
+    * for `approx_percentile` (mergeable sketch; q20's documented
+    * trade) — the clip semantics are unchanged. */
+  def winsorizeOf(df: DataFrame, key: String, value: String,
+                  lo: Double, hi: Double): DataFrame = {
+    require(0 <= lo && lo < hi && hi <= 1, s"need 0 <= lo < hi <= 1, got lo=$lo hi=$hi")
+    val pct = df.groupBy(col(key))
+      .agg(expr(s"percentile($value, array(${lo}D, ${hi}D))").as("__ps"))
+      .select(col(key), col("__ps").getItem(0).as("__plo"),
+        col("__ps").getItem(1).as("__phi"))
+    df.join(broadcast(pct), Seq(key))
+      .withColumn("winsorized",
+        when(col(value) < col("__plo"), col("__plo"))
+          .when(col(value) > col("__phi"), col("__phi"))
+          .otherwise(col(value)))
+      .withColumn("clip",
+        when(col(value) < col("__plo"), -1)
+          .when(col(value) > col("__phi"), 1)
+          .otherwise(0))
+      .drop("__plo", "__phi")
+  }
+
+  /** #19j winsorize events.value per series at [p1, p99] — the
+    * outlier-clipping pass as a gate query; the replaced values are
+    * the interpolated percentiles themselves, so parity rides q20's
+    * proven percentile agreement. */
+  private val q47: Q = (s, dir) =>
+    winsorizeOf(t(s, dir, "events"), "event_type", "value", lo = 0.01, hi = 0.99)
+      .select(col("event_type"), col("event_id"), epochMs(col("ts")).as("ts_ms"),
+        col("value"), r6(col("winsorized")).as("winsorized"), col("clip"))
+      .orderBy("event_type", "ts_ms", "event_id")
+
+  private val q47Sql =
+    """WITH p AS (
+      |  SELECT event_type,
+      |    quantile_cont(value, 0.01) AS plo,
+      |    quantile_cont(value, 0.99) AS phi
+      |  FROM events GROUP BY event_type)
+      |SELECT e.event_type, e.event_id, epoch_ms(e.ts) AS ts_ms, e.value,
+      |  round(CASE WHEN e.value < plo THEN plo
+      |    WHEN e.value > phi THEN phi ELSE e.value END, 6) AS winsorized,
+      |  CASE WHEN e.value < plo THEN -1
+      |    WHEN e.value > phi THEN 1 ELSE 0 END AS clip
+      |FROM events e JOIN p USING (event_type)
+      |ORDER BY event_type, ts_ms, event_id""".stripMargin
+
   /** Fixed-width histogram of ANY numeric column (public operator
     * behind [[graft.Graft.histogram]]): bin = floor(value/width), per
     * bin count + mean + share of total — the distribution profile a
@@ -555,6 +609,7 @@ object CoreOps {
       |ORDER BY s_nationkey""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q47_winsorize" -> q47,
     "q28_supplier_share" -> q28,
     "a01_approx_distinct" -> a01,
     "a02_approx_percentile" -> a02,
@@ -576,6 +631,7 @@ object CoreOps {
     "q19_minmax_windows" -> q19)
 
   val oracle: Map[String, String] = Map(
+    "q47_winsorize" -> q47Sql,
     "q28_supplier_share" -> q28Sql,
     "a03_sampled_terms" -> a03Sql,
     "q42_json_props" -> q42Sql,

@@ -436,6 +436,50 @@ object FinOps {
        |WINDOW o AS (PARTITION BY event_type ORDER BY bucket)
        |ORDER BY event_type, bucket_ms""".stripMargin
 
+  /** #q46 Donchian channel (20) on hourly closes — the gate query for
+    * the monotonic-deque rolling-extrema scan
+    * ([[graft.ops.ScanOps.rollingExtremaOf]]): channel = [min, max] of
+    * the trailing 20 closes, mid = their mean, breakout = ±1 when the
+    * close IS the channel edge. The oracle computes the identical
+    * extrema with frame min/max — exact value picks, so the scan's
+    * deques must reproduce them bit-for-bit. */
+  private val q46: Q = (s, dir) => {
+    val bars = hourBars(s, dir).withColumn("__tie", epochMs(col("bucket")))
+    val ext = ScanOps.rollingExtremaOf(bars, "event_type", "bucket", "__tie", "close", n = 20)
+      .select(col("event_type"), col("ts_ms").as("bucket_ms"),
+        col("roll_min"), col("roll_max"))
+    bars.select(col("event_type"), epochMs(col("bucket")).as("bucket_ms"), col("close"))
+      .join(ext, Seq("event_type", "bucket_ms"))
+      .select(col("event_type"), col("bucket_ms"), col("close"),
+        r6(col("roll_min")).as("ch_lo"), r6(col("roll_max")).as("ch_hi"),
+        r6((col("roll_min") + col("roll_max")) / 2.0).as("ch_mid"),
+        when(col("roll_max").isNull, lit(null).cast("int"))
+          .when(col("close") === col("roll_max"), 1)
+          .when(col("close") === col("roll_min"), -1)
+          .otherwise(0).as("breakout"))
+      .orderBy("event_type", "bucket_ms")
+  }
+
+  private val q46Sql =
+    s"""WITH $barsSqlCte,
+       |w AS (
+       |  SELECT event_type, bucket, close,
+       |    min(close) OVER f AS lo, max(close) OVER f AS hi,
+       |    row_number() OVER o AS rn
+       |  FROM b
+       |  WINDOW o AS (PARTITION BY event_type ORDER BY bucket),
+       |    f AS (PARTITION BY event_type ORDER BY bucket
+       |          ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+       |SELECT event_type, epoch_ms(bucket) AS bucket_ms, close,
+       |  round(CASE WHEN rn >= 20 THEN lo END, 6) AS ch_lo,
+       |  round(CASE WHEN rn >= 20 THEN hi END, 6) AS ch_hi,
+       |  round(CASE WHEN rn >= 20 THEN (lo + hi) / 2.0 END, 6) AS ch_mid,
+       |  CASE WHEN rn < 20 THEN NULL
+       |    WHEN close = hi THEN 1
+       |    WHEN close = lo THEN -1 ELSE 0 END AS breakout
+       |FROM w
+       |ORDER BY event_type, bucket_ms""".stripMargin
+
   /** #q41 market beta/alpha per series vs the 'click' benchmark on the
     * hourly close grid — the regression companion of q33: cov/var of
     * aligned simple returns as the same deterministic cumulative fold,
@@ -497,7 +541,8 @@ object FinOps {
     "q37_atr" -> q37,
     "q38_obv" -> q38,
     "q41_beta" -> q41,
-    "q45_stochastic" -> q45)
+    "q45_stochastic" -> q45,
+    "q46_donchian" -> q46)
 
   val oracle: Map[String, String] = Map(
     "q30_vwap" -> q30Sql,
@@ -510,5 +555,6 @@ object FinOps {
     "q37_atr" -> q37Sql,
     "q38_obv" -> q38Sql,
     "q45_stochastic" -> q45Sql,
+    "q46_donchian" -> q46Sql,
     "q41_beta" -> q41Sql)
 }

@@ -156,6 +156,53 @@ object ScanOps {
       .toDF(key, "ts_ms", tie, "macd", "signal", "hist")
   }
 
+  /** Rolling min AND max of the trailing `n` rows (including the
+    * current one) per series — the monotonic-deque sliding-extrema
+    * scan. Spark's `rowsBetween(-(n-1), 0)` frame re-aggregates the
+    * whole frame per row: O(n)/row, fine for indicator-sized windows
+    * (14, 20) and quadratic pain at n in the thousands (session-high
+    * tracking, long-channel breakouts). This scan keeps two monotone
+    * index deques + an n-slot ring buffer per series — O(1) amortized
+    * per row (each row enters and leaves each deque at most once),
+    * O(n) state — and emits exactly what the frame would: null until
+    * `n` rows, then exact value picks (bit-identical to the frame
+    * form by construction; the spec asserts equality). Returns
+    * (`key` AS STRING, `ts_ms`, `tie`, `roll_min`, `roll_max`);
+    * contracts as [[ewmaExactOf]]. */
+  def rollingExtremaOf(df: DataFrame, key: String, ts: String, tie: String,
+                       value: String, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col(key).cast("string").as("__k"), epochMs(col(ts)).as("__t"),
+        col(tie).cast("long").as("__i"), col(value).cast("double").as("__x"))
+      .as[(String, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("__t").asc, col("__i").asc) { (k, rows) =>
+        val vals = new Array[Double](n)
+        val minq = new java.util.ArrayDeque[Long]
+        val maxq = new java.util.ArrayDeque[Long]
+        var idx = -1L
+        rows.map { case (_, t, i, x) =>
+          idx += 1
+          vals((idx % n).toInt) = x
+          while (!minq.isEmpty && minq.peekFirst <= idx - n) minq.pollFirst()
+          while (!maxq.isEmpty && maxq.peekFirst <= idx - n) maxq.pollFirst()
+          // strict dominance pops keep the EARLIEST index of a tied
+          // extremum at the front — same value either way, smaller state
+          while (!minq.isEmpty && vals((minq.peekLast % n).toInt) >= x) minq.pollLast()
+          while (!maxq.isEmpty && vals((maxq.peekLast % n).toInt) <= x) maxq.pollLast()
+          minq.addLast(idx); maxq.addLast(idx)
+          val out =
+            if (idx >= n - 1)
+              (Some(vals((minq.peekFirst % n).toInt)), Some(vals((maxq.peekFirst % n).toInt)))
+            else (None, None)
+          (k, t, i, out._1, out._2)
+        }
+      }
+      .toDF(key, "ts_ms", tie, "roll_min", "roll_max")
+  }
+
   /** #q39 exact EWMA (adjust=False) per user series. */
   private val q39: Q = (s, dir) =>
     ewmaExactOf(t(s, dir, "events"), "user_id", "ts", "event_id", "value", alpha = 0.25)

@@ -80,6 +80,14 @@ case class ObvState(prevClose: Option[Double], obv: Double)
 case class ObvOut(event_type: String, event_id: Long, ts_ms: Long,
                   close: Double, obv: Double)
 
+/** State for [[StreamOps.streamingStochastic]]: the last n (high, low)
+  * pairs and the last dPeriod−1 %K values, oldest first — O(n)/key. */
+case class StochState(bars: List[(Double, Double)], pks: List[Option[Double]])
+
+/** One stochastic observation per input bar. */
+case class StochOut(event_type: String, event_id: Long, ts_ms: Long, close: Double,
+                    pct_k: Option[Double], pct_d: Option[Double])
+
 /** One OHLC bar for [[StreamOps.streamingAtr]]. */
 case class AtrEvent(event_type: String, event_id: Long, ts: java.sql.Timestamp,
                     high: Double, low: Double, close: Double)
@@ -618,6 +626,45 @@ object StreamOps {
             val kept = (st.cums :+ cum).takeRight(n)
             st = AtrState(Some(e.close), cum, rn, kept)
             AtrOut(key, e.event_id, e.ts.getTime, e.close, tr, atr)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Batch [[graft.Graft.stochastic]] run CONTINUOUSLY: per key the
+    * state is the last n (high, low) pairs plus the last dPeriod−1 %K
+    * values — O(n), independent of stream length — and each arrival
+    * computes the identical exact-pick extrema and the identical
+    * oldest-first %D fold, so streaming == batch BIT-FOR-BIT (the
+    * spec asserts exact equality over resampled bars). Same
+    * arrival-order contract as [[streamingWma]]. */
+  def streamingStochastic(bars: Dataset[AtrEvent], n: Int,
+                          dPeriod: Int = 3): Dataset[StochOut] = {
+    require(n >= 1 && dPeriod >= 1, s"n >= 1 and dPeriod >= 1 required, got n=$n d=$dPeriod")
+    import bars.sparkSession.implicits._
+    bars
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[StochState, StochOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[AtrEvent], state: GroupState[StochState]) =>
+          var st = state.getOption.getOrElse(StochState(Nil, Nil))
+          val out = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+            val bars = (st.bars :+ ((e.high, e.low))).takeRight(n)
+            val k =
+              if (bars.size == n) {
+                val hh = bars.iterator.map(_._1).max
+                val ll = bars.iterator.map(_._2).min
+                // same expression order as the batch plan: ratio first
+                Some(if (hh == ll) 50.0 else (e.close - ll) / (hh - ll) * 100.0)
+              } else None
+            val window = st.pks :+ k // oldest first — the batch lag-chain order
+            val d =
+              if (window.size == dPeriod && window.forall(_.isDefined))
+                Some(window.flatten.reduceLeft(_ + _) / dPeriod.toDouble)
+              else None
+            st = StochState(bars, window.takeRight(dPeriod - 1))
+            StochOut(key, e.event_id, e.ts.getTime, e.close, k, d)
           }
           state.update(st)
           out.iterator

@@ -90,6 +90,32 @@ class Round7Spec extends SparkSpec {
       "close lies inside [rolling low, rolling high] by construction")
   }
 
+  test("winsorize: clipped rows take the percentile value; interior rows pass through") {
+    val ev = Tables.t(spark, sfDir, "events")
+    val w = Graft.winsorize(ev, "event_type", "value", lo = 0.01, hi = 0.99)
+    assert(w.count() == ev.count(), "one output row per input row")
+    assert(w.filter(col("clip") =!= 0).count() > 0, "p1/p99 must clip some tail rows")
+    assert(w.filter(col("clip") === 0 && col("winsorized") =!= col("value")).count() == 0)
+    // every clipped value equals its key's boundary: winsorized takes
+    // exactly two distinct values per key among clipped rows
+    val perKey = w.filter(col("clip") =!= 0)
+      .groupBy("event_type", "clip").agg(countDistinct("winsorized").as("nv"))
+    assert(perKey.filter(col("nv") =!= 1).count() == 0)
+    // clip direction matches the value's side of the boundary
+    assert(w.filter(col("clip") === -1 && col("value") >= col("winsorized")).count() == 0)
+    assert(w.filter(col("clip") === 1 && col("value") <= col("winsorized")).count() == 0)
+  }
+
+  test("winsorize: [0, 1] bounds are the identity; degenerate bounds rejected") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 100.0), ("b", 5.0))
+      .toDF("grp", "x")
+    val idw = Graft.winsorize(df, "grp", "x", lo = 0.0, hi = 1.0)
+    assert(idw.filter(col("clip") =!= 0).count() == 0, "min/max percentiles clip nothing")
+    intercept[IllegalArgumentException] {
+      Graft.winsorize(df, "grp", "x", lo = 0.9, hi = 0.5)
+    }
+  }
+
   test("stripBoilerplate: newline segments — the classic line-dedup shape") {
     val docs = Seq(
       (1L, "COOKIE BANNER\nalpha beta\nfooter"),
@@ -116,6 +142,56 @@ class Round7Spec extends SparkSpec {
     assert(out(0).getLong(3) == 2L, "both occurrences of a boilerplate segment count")
     assert(out(1).getString(1) == "c")
     assert(out(2).getString(1) == "d\ne")
+  }
+
+  test("rollingExtrema == rowsBetween frame min/max bit-for-bit on testdata") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.t(spark, sfDir, "events")
+    val n = 17
+    val scan = Graft.rollingExtrema(ev, "event_type", "ts", "event_id", "value", n)
+    val ord = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    val frame = ord.rowsBetween(-(n - 1), Window.currentRow)
+    val ref = ev.select(col("event_type"), col("event_id"),
+        when(row_number().over(ord) >= n, min(col("value")).over(frame)).as("fmin"),
+        when(row_number().over(ord) >= n, max(col("value")).over(frame)).as("fmax"))
+    val j = scan.join(ref, Seq("event_type", "event_id"))
+    assert(j.count() == ev.count())
+    assert(j.filter(
+      (col("roll_min") =!= col("fmin")) || (col("roll_max") =!= col("fmax")) ||
+      (col("roll_min").isNull =!= col("fmin").isNull)).count() == 0,
+      "deque scan must reproduce the frame's exact picks, nulls included")
+  }
+
+  test("rollingExtrema: ties, warmup nulls, and n = 1 degenerate window") {
+    val out = Graft.rollingExtrema(series(Seq(5.0, 5.0, 2.0, 8.0, 8.0)),
+        "sym", "t", "seq", "px", n = 2)
+      .orderBy("ts_ms").select("roll_min", "roll_max")
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1))))
+    assert(out(0) == ((None, None)), "null until n rows")
+    assert(out(1) == ((Some(5.0), Some(5.0))), "tied window")
+    assert(out(2) == ((Some(2.0), Some(5.0))))
+    assert(out(3) == ((Some(2.0), Some(8.0))))
+    assert(out(4) == ((Some(8.0), Some(8.0))), "tied extrema after eviction")
+    val one = Graft.rollingExtrema(series(Seq(3.0, 1.0)), "sym", "t", "seq", "px", n = 1)
+      .orderBy("ts_ms").collect()
+    assert(one.forall(r => r.getDouble(3) == r.getDouble(4)), "n=1: every row is its own window")
+  }
+
+  test("rollingExtrema property: random series vs a driver-side sliding window") {
+    val rnd = new scala.util.Random(7)
+    val vals = Seq.fill(200)(math.floor(rnd.nextDouble() * 50) / 5.0) // many ties
+    val n = 9
+    val got = Graft.rollingExtrema(series(vals), "sym", "t", "seq", "px", n)
+      .orderBy("ts_ms").select("roll_min", "roll_max")
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1))))
+    vals.indices.foreach { i =>
+      val want =
+        if (i >= n - 1) {
+          val w = vals.slice(i - n + 1, i + 1)
+          (Some(w.min), Some(w.max))
+        } else (None, None)
+      assert(got(i) == want, s"row $i")
+    }
   }
 
   test("stripBoilerplate: consecutive delimiters collapse; empty segments never count") {

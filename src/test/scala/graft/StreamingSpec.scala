@@ -297,6 +297,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming stochastic == batch %K/%D BIT-FOR-BIT over resampled bars") {
+    import graft.streaming.{AtrEvent, StochOut}
+    implicit val sql = spark.sqlContext
+    val bars = Graft.resampleOhlc(Tables.t(spark, sfDir, "events"),
+        "event_type", "ts", "event_id", "value", "hour")
+      .select(col("event_type"), F.epochMs(col("bucket")).as("eid"), col("bucket"),
+        col("high"), col("low"), col("close"))
+    val input = MemoryStream[AtrEvent]
+    val q = StreamOps.streamingStochastic(input.toDS(), n = 14, dPeriod = 3)
+      .writeStream.format("memory").queryName("stoch_out").outputMode("append").start()
+    try {
+      val evs = bars.select(col("event_type"), col("eid").as("event_id"),
+          col("bucket").as("ts"), col("high"), col("low"), col("close"))
+        .as[AtrEvent].collect().sortBy(e => (e.ts.getTime, e.event_id))
+      evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { b =>
+        input.addData(b.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val got = spark.table("stoch_out").as[StochOut].collect()
+        .map(o => (o.event_type, o.event_id) -> ((o.pct_k, o.pct_d))).toMap
+      val want = Graft.stochastic(bars, "event_type", "bucket",
+          "high", "low", "close", n = 14, dPeriod = 3)
+        .select(col("event_type"), col("eid"), col("pct_k"), col("pct_d")).collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+            if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+      assert(got.keySet == want.keySet)
+      assert(want.exists(_._2._2.isDefined), "testdata must produce defined %D rows")
+      // exact-pick extrema + identical fold order — bitwise, no tolerance
+      want.foreach { case (k, w) => assert(got(k) == w, s"$k: ${got(k)} != $w") }
+    } finally q.stop()
+  }
+
   test("streaming OBV == batch obv BIT-FOR-BIT over resampled bars") {
     import graft.streaming.{ObvEvent, ObvOut}
     implicit val sql = spark.sqlContext
