@@ -366,6 +366,17 @@ object Graft {
         col("__fp.fp_min").as("fp_min"), col("__fp.fp_max").as("fp_max"),
         col("__fp.fp_xor").as("fp_xor"))
 
+  /** MOSS-style fingerprint-overlap near-dup pairs: docs sharing ≥
+    * `minOverlap` of the smaller winnowed fingerprint set
+    * ([[winnowFingerprints]]' join-ready sibling — the native
+    * `graft_winnow_set` kernel emits each doc's sorted fingerprint
+    * set, the self-join blocks per fingerprint value). Returns
+    * (doc_a, doc_b, n_shared, overlap); see
+    * [[ops.TextOps.winnowPairsOf]] for the scale contract. */
+  def winnowPairs(docs: DataFrame, id: String, text: String, kGram: Int = 8,
+                  window: Int = 4, minOverlap: Double = 0.5): DataFrame =
+    ops.TextOps.winnowPairsOf(docs, id, text, kGram, window, minOverlap)
+
   /** Connected components over an undirected pair list: labels every
     * member with its component-minimum id (iterative min-label
     * propagation; see DedupOps.d06 for the convergence machinery). */
@@ -836,6 +847,17 @@ object Graft {
   def stripBoilerplate(docs: DataFrame, id: String, text: String,
                        delim: String = "\n", minDocFrac: Double = 0.5): DataFrame =
     ops.DedupOps.stripBoilerplateOf(docs, id, text, delim, minDocFrac)
+
+  /** Count-min-sketch heavy hitters: the exact top-`k` corpus terms
+    * with their estimates from a `rows`×`width` md5-bucketed counter
+    * matrix — the mergeable fixed-size frequency state a 100 TB
+    * stream maintains directly; deterministic buckets make every
+    * estimate reproducible (and ≥ exact by construction). Returns
+    * (term, n_exact, n_est, overest); see
+    * [[ops.DataOps.cmsHeavyHittersOf]]. */
+  def heavyHitters(docs: DataFrame, text: String, k: Int,
+                   rows: Int = 4, width: Int = 1024): DataFrame =
+    ops.DataOps.cmsHeavyHittersOf(docs, text, k, rows, width)
 
   /** Percentile winsorization per key — the outlier-clipping scrub
     * before numeric feature training: values below the key's exact

@@ -336,6 +336,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litInt("graft_winnow", children(1), "k"),
           litInt("graft_winnow", children(2), "window"))
       }))
+    ext.injectFunction((new FunctionIdentifier("graft_winnow_set"),
+      new ExpressionInfo(classOf[WinnowSet].getName, "graft_winnow_set"),
+      (children: Seq[Expression]) => {
+        arity("graft_winnow_set", "(text, int k, int window)", children, 3)
+        WinnowSet(children.head,
+          litInt("graft_winnow_set", children(1), "k"),
+          litInt("graft_winnow_set", children(2), "window"))
+      }))
     ext.injectFunction((new FunctionIdentifier("graft_signsketch"),
       new ExpressionInfo(classOf[SignSketch].getName, "graft_signsketch"),
       (children: Seq[Expression]) => {

@@ -60,6 +60,35 @@ object WinnowFingerprint {
     StructField("fp_xor", LongType, nullable = false)))
 }
 
+/** [[WinnowFingerprint]]'s sibling returning the fingerprint SET
+  * itself — the sorted distinct window minima as array<long> — for
+  * plans that JOIN on fingerprints (MOSS-style overlap detection,
+  * [[graft.ops.TextOps.winnowPairsOf]]) rather than summarize them.
+  * Same gram hashing, same winnowing, same NULL contract; the sort
+  * makes the array deterministic and oracle-comparable
+  * (`list_sort(list_distinct(wins))`). */
+case class WinnowSet(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  require(k >= 1 && w >= 1, "graft_winnow_set requires k >= 1, w >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_winnow_set"
+
+  override protected def nullSafeEval(t: Any): Any =
+    Winnow.computeSet(t.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.Winnow.computeSet($c, $k, $w);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** The computation behind [[WinnowFingerprint]], as a static method so
   * generated code can call it directly. */
 object Winnow {
@@ -79,9 +108,9 @@ object Winnow {
       ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
   }
 
-  /** @return InternalRow(n_grams, n_fp, fp_min, fp_max, fp_xor), or
-    *         null when the text has fewer than w k-grams. */
-  def compute(s: UTF8String, k: Int, w: Int): InternalRow = {
+  /** All k-gram 60-bit hashes of `s`, or null when fewer than `w`
+    * grams exist — the shared front half of both kernels. */
+  private def gramHashes(s: UTF8String, k: Int, w: Int): Array[Long] = {
     val bytes = s.getBytes
     val n = s.numChars()
     val nGrams = n - k + 1
@@ -109,6 +138,15 @@ object Winnow {
         i += 1
       }
     }
+    grams
+  }
+
+  /** @return InternalRow(n_grams, n_fp, fp_min, fp_max, fp_xor), or
+    *         null when the text has fewer than w k-grams. */
+  def compute(s: UTF8String, k: Int, w: Int): InternalRow = {
+    val grams = gramHashes(s, k, w)
+    if (grams == null) return null
+    val nGrams = grams.length
     // winnow: min per w-window, summarized over the DISTINCT minima
     var fpMin = Long.MaxValue; var fpMax = Long.MinValue; var fpXor = 0L; var nFp = 0L
     val seen = new java.util.HashSet[java.lang.Long](math.min(nGrams, 1 << 16))
@@ -125,5 +163,28 @@ object Winnow {
       j += 1
     }
     new GenericInternalRow(Array[Any](nGrams.toLong, nFp, fpMin, fpMax, fpXor))
+  }
+
+  /** @return the SORTED distinct window minima as ArrayData, or null
+    *         when the text has fewer than w k-grams. */
+  def computeSet(s: UTF8String, k: Int, w: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val grams = gramHashes(s, k, w)
+    if (grams == null) return null
+    val nGrams = grams.length
+    val seen = new java.util.HashSet[java.lang.Long](math.min(nGrams, 1 << 16))
+    val nw = nGrams - w + 1
+    var j = 0
+    while (j < nw) {
+      var m = grams(j); var q = 1
+      while (q < w) { val v = grams(j + q); if (v < m) m = v; q += 1 }
+      seen.add(m)
+      j += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    java.util.Arrays.sort(out)
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
   }
 }

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{F, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -348,7 +348,76 @@ object DataOps {
       |FROM h
       |ORDER BY doc_id""".stripMargin
 
+  /** Count-min-sketch heavy hitters over ANY (text) corpus (public
+    * operator behind [[graft.Graft.heavyHitters]]) — the MERGEABLE
+    * approximate-frequency path next to a01/a02's HLL/quantile
+    * sketches, but with a twist that makes it oracle-checkable: the
+    * `rows`×`width` counter matrix uses md5-derived buckets
+    * ([[graft.F.hash60]]), so the sketch — and therefore every
+    * estimate — is a pure function of the corpus, reproducible
+    * bit-for-bit in SQL. Estimates are min-over-rows counter reads:
+    * ≥ exact always (collisions only ADD), within εN w.h.p. — the
+    * CMS contract. Returns the exact top-`k` terms with their
+    * estimates: (term, n_exact, n_est, overest).
+    *
+    * Scale shape: term counts collapse at the map-side combine
+    * (vocabulary-sized — the ds04 shape); the sketch build is a
+    * vocab×`rows` expand into ≤ rows·width counters (the fixed-size
+    * state a 100 TB stream would maintain directly — partial sketches
+    * merge by cell-wise add); lookups join the k probe rows against
+    * the BROADCAST sketch. Nothing token-sized past the first agg. */
+  def cmsHeavyHittersOf(docs: DataFrame, textCol: String, k: Int,
+                        rows: Int = 4, width: Int = 1024): DataFrame = {
+    require(k >= 1 && rows >= 1 && width >= 2,
+      s"need k >= 1, rows >= 1, width >= 2; got k=$k rows=$rows width=$width")
+    def buckets(term: Column): Column = explode(array((0 until rows).map(r =>
+      struct(lit(r).as("r"),
+        pmod(hash60(concat(lit(s"$r:"), term)), lit(width.toLong)).as("b"))): _*))
+    val counts = docs.select(explode(words(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n_exact"))
+    val sketch = counts.select(col("n_exact"), buckets(col("term")).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(sum(col("n_exact")).as("cnt"))
+    counts.orderBy(col("n_exact").desc, col("term")).limit(k)
+      .select(col("term"), col("n_exact"), buckets(col("term")).as("rb"))
+      .select(col("term"), col("n_exact"), col("rb.r").as("r"), col("rb.b").as("b"))
+      .join(broadcast(sketch), Seq("r", "b"))
+      .groupBy(col("term"), col("n_exact"))
+      .agg(min(col("cnt")).as("n_est"))
+      .select(col("term"), col("n_exact"), col("n_est"),
+        (col("n_est") - col("n_exact")).as("overest"))
+      .orderBy(col("n_exact").desc, col("term"))
+  }
+
+  /** #a04 the CMS frequency path AS a query: 4×1024 md5-bucketed
+    * counters over the documents corpus, exact top-20 terms with
+    * their sketch estimates + realized overestimate (≥ 0 by
+    * construction — the ExtOpsSpec-style bound the gate can check
+    * exactly because the sketch is deterministic). */
+  private val a04: Q = (s, dir) =>
+    cmsHeavyHittersOf(t(s, dir, "documents"), "text", k = 20)
+
+  private val a04Sql =
+    """WITH toks AS (
+      |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+      |counts AS (SELECT term, count(*) AS n_exact FROM toks GROUP BY term),
+      |expand AS (
+      |  SELECT term, n_exact, r.r AS r,
+      |    CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || term), 1, 15)) AS BIGINT) % 1024 AS b
+      |  FROM counts, range(0, 4) r(r)),
+      |sketch AS (SELECT r, b, sum(n_exact) AS cnt FROM expand GROUP BY r, b),
+      |topk AS (SELECT term, n_exact FROM counts ORDER BY n_exact DESC, term LIMIT 20),
+      |est AS (
+      |  SELECT t.term, t.n_exact, min(s.cnt) AS n_est
+      |  FROM topk t JOIN expand e USING (term) JOIN sketch s ON e.r = s.r AND e.b = s.b
+      |  GROUP BY t.term, t.n_exact)
+      |SELECT term, n_exact, CAST(n_est AS BIGINT) AS n_est,
+      |  CAST(n_est - n_exact AS BIGINT) AS overest
+      |FROM est
+      |ORDER BY n_exact DESC, term""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "a04_heavy_hitters" -> a04,
     "ds06_mixture_sample" -> ds06,
     "ds07_decontaminate" -> ds07,
     "ds08_shuffle_shards" -> ds08,
@@ -359,6 +428,7 @@ object DataOps {
     "ds05_bigram_stats" -> ds05)
 
   val oracle: Map[String, String] = Map(
+    "a04_heavy_hitters" -> a04Sql,
     "ds06_mixture_sample" -> ds06Sql,
     "ds07_decontaminate" -> ds07Sql,
     "ds08_shuffle_shards" -> ds08Sql,

@@ -504,7 +504,78 @@ object TextOps {
       |FROM r WHERE rnk <= 5
       |ORDER BY doc_id, rnk""".stripMargin
 
+  /** MOSS-style fingerprint-overlap near-dup pairs (public operator
+    * behind [[graft.Graft.winnowPairs]]) — what the t04 fingerprints
+    * exist FOR: two docs are near-dups when they share ≥ `minOverlap`
+    * of the smaller one's winnowed fingerprint set. The native
+    * [[graft.functions.WinnowSet]] kernel emits each doc's sorted
+    * distinct fingerprint set in one pass; the self-join is BLOCKED
+    * per fingerprint value (the d02-band family — only docs sharing a
+    * fingerprint ever pair, never a full cross), and only (fp,
+    * doc_id, set_size) rows flow through it — text never shuffles.
+    * Returns (doc_a, doc_b, n_shared, overlap).
+    *
+    * Scale: a fingerprint shared by m docs yields m²/2 pairs — the
+    * inherent pair-output bound all blocked dedup here shares; run
+    * d01 exact-dedup (and d08 boilerplate-strip: boilerplate IS the
+    * hot-fingerprint source) first, AQE skew-join splits residual hot
+    * fingerprints. The fingerprinted side is localCheckpoint'd so the
+    * md5 pipeline runs once, not once per join side (round-2 sketch
+    * rule). */
+  def winnowPairsOf(docs: DataFrame, id: String, text: String,
+                    kGram: Int, window: Int, minOverlap: Double): DataFrame = {
+    require(kGram >= 1 && window >= 1, s"kGram/window must be >= 1, got $kGram/$window")
+    require(minOverlap > 0 && minOverlap <= 1, s"minOverlap must be in (0,1], got $minOverlap")
+    val fps = docs.filter(length(col(text)) >= kGram + window - 1)
+      .select(col(id).as("__id"),
+        expr(s"graft_winnow_set($text, $kGram, $window)").as("__fps"))
+      .withColumn("__n", size(col("__fps")))
+      .localCheckpoint()
+    val ex = fps.select(col("__id"), col("__n"), explode(col("__fps")).as("__fp"))
+    val a = ex.select(col("__fp"), col("__id").as("doc_a"), col("__n").as("__na"))
+    val b = ex.select(col("__fp"), col("__id").as("doc_b"), col("__n").as("__nb"))
+    a.join(b, Seq("__fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("__na"), col("__nb"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("overlap", col("n_shared") / least(col("__na"), col("__nb")).cast("double"))
+      .filter(col("overlap") >= minOverlap)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("overlap"))
+  }
+
+  /** #27f fingerprint-overlap pairs on the documents corpus: 8-char
+    * grams, window 4 (t04's parameters), overlap ≥ 0.5 of the smaller
+    * set — the planted near-copies surface; the oracle replays the
+    * composed winnow + the same blocked join. */
+  private val t10: Q = (s, dir) =>
+    winnowPairsOf(t(s, dir, "documents"), "doc_id", "text",
+        kGram = 8, window = 4, minOverlap = 0.5)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        r6(col("overlap")).as("overlap"))
+      .orderBy("doc_a", "doc_b")
+
+  private val t10Sql =
+    """WITH g AS (SELECT doc_id,
+      |    list_transform(generate_series(1, length(text) - 7),
+      |      i -> CAST(('0x' || substr(md5(substring(text, i, 8)), 1, 15)) AS BIGINT)) AS grams
+      |  FROM documents WHERE length(text) >= 11),
+      |w AS (SELECT doc_id,
+      |    list_transform(generate_series(1, len(grams) - 3), j -> list_min(grams[j:j+3])) AS wins
+      |  FROM g),
+      |f AS (SELECT doc_id, list_distinct(wins) AS fps FROM w),
+      |e AS (SELECT doc_id, len(fps) AS n, unnest(fps) AS fp FROM f),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+      |    count(*) AS n_shared
+      |  FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+      |  round(n_shared / CAST(least(na, nb) AS DOUBLE), 6) AS overlap
+      |FROM p
+      |WHERE n_shared / CAST(least(na, nb) AS DOUBLE) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t10_winnow_pairs" -> t10,
     "t07_pii_redact" -> t07,
     "t08_bigram_lm" -> t08,
     "t09_tfidf" -> t09,
@@ -516,6 +587,7 @@ object TextOps {
     "t06_normalize" -> t06)
 
   val oracle: Map[String, String] = Map(
+    "t10_winnow_pairs" -> t10Sql,
     "t07_pii_redact" -> t07Sql,
     "t08_bigram_lm" -> t08Sql,
     "t09_tfidf" -> t09Sql,

@@ -88,6 +88,14 @@ case class StochState(bars: List[(Double, Double)], pks: List[Option[Double]])
 case class StochOut(event_type: String, event_id: Long, ts_ms: Long, close: Double,
                     pct_k: Option[Double], pct_d: Option[Double])
 
+/** State for [[StreamOps.streamingExtrema]]: the last n values,
+  * oldest first — O(n)/key. */
+case class ExtremaState(vals: List[Double])
+
+/** One rolling-extrema observation per input event. */
+case class ExtremaOut(event_type: String, event_id: Long, ts_ms: Long, value: Double,
+                      roll_min: Option[Double], roll_max: Option[Double])
+
 /** One OHLC bar for [[StreamOps.streamingAtr]]. */
 case class AtrEvent(event_type: String, event_id: Long, ts: java.sql.Timestamp,
                     high: Double, low: Double, close: Double)
@@ -628,6 +636,32 @@ object StreamOps {
             AtrOut(key, e.event_id, e.ts.getTime, e.close, tr, atr)
           }
           state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Batch [[graft.Graft.rollingExtrema]] run CONTINUOUSLY: per key
+    * the state is the last n values — O(n), independent of stream
+    * length — and each arrival emits the window's exact min/max picks
+    * (null until n values), so streaming == batch BIT-FOR-BIT (the
+    * spec asserts exact equality; extrema are order-independent exact
+    * picks). Same arrival-order contract as [[streamingWma]]. */
+  def streamingExtrema(events: Dataset[BollEvent], n: Int): Dataset[ExtremaOut] = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[ExtremaState, ExtremaOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[BollEvent], state: GroupState[ExtremaState]) =>
+          var vals = state.getOption.map(_.vals).getOrElse(Nil)
+          val out = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+            vals = (vals :+ e.value).takeRight(n)
+            val (mn, mx) =
+              if (vals.size == n) (Some(vals.min), Some(vals.max)) else (None, None)
+            ExtremaOut(key, e.event_id, e.ts.getTime, e.value, mn, mx)
+          }
+          state.update(ExtremaState(vals))
           out.iterator
       }
   }

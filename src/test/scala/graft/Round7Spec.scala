@@ -90,6 +90,89 @@ class Round7Spec extends SparkSpec {
       "close lies inside [rolling low, rolling high] by construction")
   }
 
+  test("graft_winnow_set is consistent with graft_winnow's summary, bit for bit") {
+    val df = Tables.t(spark, sfDir, "documents").limit(50)
+      .filter(length(col("text")) >= 11)
+      .select(
+        expr("graft_winnow(text, 8, 4)").as("s"),
+        expr("graft_winnow_set(text, 8, 4)").as("fps"))
+      .select(col("s.n_fp"), col("s.fp_min"), col("s.fp_max"), col("s.fp_xor"),
+        size(col("fps")).cast("long").as("c_n"),
+        col("fps").getItem(0).as("c_min"),
+        element_at(col("fps"), -1).as("c_max"),
+        aggregate(col("fps"), lit(0L), (a, x) => a.bitwiseXOR(x)).as("c_xor"),
+        (col("fps") === array_sort(col("fps"))).as("sorted"))
+    val bad = df.filter(
+      col("n_fp") =!= col("c_n") || col("fp_min") =!= col("c_min") ||
+      col("fp_max") =!= col("c_max") || col("fp_xor") =!= col("c_xor") || !col("sorted"))
+    assert(bad.count() == 0, "set kernel must agree with the summary kernel")
+  }
+
+  test("winnowPairs: identical docs overlap 1.0; disjoint docs never pair") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again"),
+      (2L, "the quick brown fox jumps over the lazy dog again"),
+      (3L, "zzzz yyyy xxxx wwww vvvv uuuu tttt ssss rrrr")).toDF("id", "body")
+    val pairs = Graft.winnowPairs(docs, "id", "body", kGram = 8, window = 4, minOverlap = 0.5)
+      .collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getLong(0) == 1L && pairs(0).getLong(1) == 2L)
+    assert(pairs(0).getDouble(3) == 1.0, "identical fingerprint sets")
+  }
+
+  test("winnowPairs finds the corpus's planted near-copies") {
+    val pairs = SparkEntry.queries("t10_winnow_pairs")(spark, sfDir)
+    assert(pairs.count() > 0, "testdata plants near-duplicate docs")
+    assert(pairs.filter(col("overlap") > 1.0 || col("overlap") < 0.5).count() == 0)
+  }
+
+  test("heavyHitters: CMS estimates dominate exact counts and are exact sans collisions") {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val hh = Graft.heavyHitters(docs, "text", k = 10).collect()
+    assert(hh.length == 10)
+    hh.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), s"CMS never underestimates: ${r.getString(0)}")
+      assert(r.getLong(3) == r.getLong(2) - r.getLong(1))
+    }
+    // a 31-word vocabulary in 4x1024 buckets: collisions are
+    // essentially impossible, so the estimate is exact here
+    assert(hh.forall(_.getLong(3) == 0L), "no collisions at this vocab/width ratio")
+    // a tiny width forces collisions — the overestimate becomes visible
+    val tight = Graft.heavyHitters(docs, "text", k = 10, rows = 2, width = 4).collect()
+    assert(tight.exists(_.getLong(3) > 0L), "width=4 must collide")
+    assert(tight.forall(r => r.getLong(2) >= r.getLong(1)), "still never underestimates")
+  }
+
+  test("streamingExtrema == batch rollingExtrema BIT-FOR-BIT across micro-batches") {
+    import graft.streaming.{BollEvent, ExtremaOut, StreamOps}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val n = 17
+    val input = MemoryStream[BollEvent]
+    val q = StreamOps.streamingExtrema(input.toDS(), n)
+      .writeStream.format("memory").queryName("ext_out").outputMode("append").start()
+    try {
+      val evs = Tables.t(spark, sfDir, "events")
+        .select(col("event_type"), col("event_id"), col("ts"), col("value"))
+        .as[BollEvent].collect().sortBy(e => (e.ts.getTime, e.event_id))
+      evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { b =>
+        input.addData(b.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val got = spark.table("ext_out").as[ExtremaOut].collect()
+        .map(o => (o.event_type, o.event_id) -> ((o.roll_min, o.roll_max))).toMap
+      val want = Graft.rollingExtrema(Tables.t(spark, sfDir, "events"),
+          "event_type", "ts", "event_id", "value", n)
+        .select(col("event_type"), col(s"event_id"), col("roll_min"), col("roll_max"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+            if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+      assert(got.keySet == want.keySet)
+      want.foreach { case (k, w) => assert(got(k) == w, s"$k: ${got(k)} != $w") }
+    } finally q.stop()
+  }
+
   test("winsorize: clipped rows take the percentile value; interior rows pass through") {
     val ev = Tables.t(spark, sfDir, "events")
     val w = Graft.winsorize(ev, "event_type", "value", lo = 0.01, hi = 0.99)
