@@ -65,6 +65,10 @@ object DriveScratch {
       Graft.winsorize(ev, "event_type", "value", 0.01, 0.99))
     time("d08 stripBoilerplate (x10 docs)")(
       Graft.stripBoilerplate(docs, "doc_id", "text", " ", 0.78))
+    time("a04 heavyHitters (x10 docs)")(
+      Graft.heavyHitters(docs, "text", k = 20))
+    time("t10 winnowPairs (x10 all-copies)")(
+      Graft.winnowPairs(docs, "doc_id", "text", 8, 4, 0.5))
 
     spark.stop()
   }

@@ -374,8 +374,9 @@ object Graft {
     * (doc_a, doc_b, n_shared, overlap); see
     * [[ops.TextOps.winnowPairsOf]] for the scale contract. */
   def winnowPairs(docs: DataFrame, id: String, text: String, kGram: Int = 8,
-                  window: Int = 4, minOverlap: Double = 0.5): DataFrame =
-    ops.TextOps.winnowPairsOf(docs, id, text, kGram, window, minOverlap)
+                  window: Int = 4, minOverlap: Double = 0.5,
+                  maxDf: Int = 100): DataFrame =
+    ops.TextOps.winnowPairsOf(docs, id, text, kGram, window, minOverlap, maxDf)
 
   /** Connected components over an undirected pair list: labels every
     * member with its component-minimum id (iterative min-label

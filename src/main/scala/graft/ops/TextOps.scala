@@ -515,23 +515,35 @@ object TextOps {
     * doc_id, set_size) rows flow through it — text never shuffles.
     * Returns (doc_a, doc_b, n_shared, overlap).
     *
-    * Scale: a fingerprint shared by m docs yields m²/2 pairs — the
-    * inherent pair-output bound all blocked dedup here shares; run
-    * d01 exact-dedup (and d08 boilerplate-strip: boilerplate IS the
-    * hot-fingerprint source) first, AQE skew-join splits residual hot
-    * fingerprints. The fingerprinted side is localCheckpoint'd so the
-    * md5 pipeline runs once, not once per join side (round-2 sketch
-    * rule). */
+    * Scale: a fingerprint shared by m docs yields m²/2 pairs, so the
+    * join is capped by `maxDf` — fingerprints present in MORE than
+    * `maxDf` documents are dropped before pairing (sets, sizes and
+    * overlaps are all over the surviving DISCRIMINATIVE fingerprints).
+    * This is MOSS's own rule ("ignore matches that appear in too many
+    * documents"): a fingerprint shared corpus-wide is boilerplate,
+    * not near-dup signal, and without the cap a common k-gram turns
+    * the blocked join quadratic — measured: the ×10 replica corpus
+    * (50k word-soup docs sharing hot 8-grams) RAN AWAY uncapped, and
+    * completes in seconds capped. Residual m ≤ maxDf buckets are the
+    * d02-band family; AQE skew-join splits hot ones. The
+    * fingerprinted side is localCheckpoint'd so the md5 pipeline runs
+    * once, not once per join side (round-2 sketch rule). */
   def winnowPairsOf(docs: DataFrame, id: String, text: String,
-                    kGram: Int, window: Int, minOverlap: Double): DataFrame = {
+                    kGram: Int, window: Int, minOverlap: Double,
+                    maxDf: Int = 100): DataFrame = {
     require(kGram >= 1 && window >= 1, s"kGram/window must be >= 1, got $kGram/$window")
     require(minOverlap > 0 && minOverlap <= 1, s"minOverlap must be in (0,1], got $minOverlap")
-    val fps = docs.filter(length(col(text)) >= kGram + window - 1)
+    require(maxDf >= 2, s"maxDf must be >= 2 (a pair needs 2 docs), got $maxDf")
+    val ex0 = docs.filter(length(col(text)) >= kGram + window - 1)
       .select(col(id).as("__id"),
-        expr(s"graft_winnow_set($text, $kGram, $window)").as("__fps"))
-      .withColumn("__n", size(col("__fps")))
+        explode(expr(s"graft_winnow_set($text, $kGram, $window)")).as("__fp"))
       .localCheckpoint()
-    val ex = fps.select(col("__id"), col("__n"), explode(col("__fps")).as("__fp"))
+    // per-doc sets are distinct, so count(*) per fingerprint IS its df
+    val rare = ex0.groupBy(col("__fp")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select(col("__fp"))
+    val ex = ex0.join(rare, Seq("__fp"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__id"))))
     val a = ex.select(col("__fp"), col("__id").as("doc_a"), col("__n").as("__na"))
     val b = ex.select(col("__fp"), col("__id").as("doc_b"), col("__n").as("__nb"))
     a.join(b, Seq("__fp"))
@@ -545,11 +557,12 @@ object TextOps {
 
   /** #27f fingerprint-overlap pairs on the documents corpus: 8-char
     * grams, window 4 (t04's parameters), overlap ≥ 0.5 of the smaller
-    * set — the planted near-copies surface; the oracle replays the
-    * composed winnow + the same blocked join. */
+    * DISCRIMINATIVE set (fingerprints in > 100 docs dropped — the
+    * MOSS cap); the oracle replays the composed winnow + the same
+    * df filter + blocked join. */
   private val t10: Q = (s, dir) =>
     winnowPairsOf(t(s, dir, "documents"), "doc_id", "text",
-        kGram = 8, window = 4, minOverlap = 0.5)
+        kGram = 8, window = 4, minOverlap = 0.5, maxDf = 100)
       .select(col("doc_a"), col("doc_b"), col("n_shared"),
         r6(col("overlap")).as("overlap"))
       .orderBy("doc_a", "doc_b")
@@ -563,7 +576,11 @@ object TextOps {
       |    list_transform(generate_series(1, len(grams) - 3), j -> list_min(grams[j:j+3])) AS wins
       |  FROM g),
       |f AS (SELECT doc_id, list_distinct(wins) AS fps FROM w),
-      |e AS (SELECT doc_id, len(fps) AS n, unnest(fps) AS fp FROM f),
+      |e0 AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+      |rare AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM e0 GROUP BY fp) t
+      |  WHERE df <= 100),
+      |e AS (SELECT doc_id, fp, count(*) OVER (PARTITION BY doc_id) AS n
+      |  FROM e0 JOIN rare USING (fp)),
       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
       |    count(*) AS n_shared
       |  FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id

@@ -120,6 +120,21 @@ class Round7Spec extends SparkSpec {
     assert(pairs(0).getDouble(3) == 1.0, "identical fingerprint sets")
   }
 
+  test("winnowPairs: the MOSS df cap drops corpus-wide fingerprints from pairing") {
+    // doc 3 shares the long common prefix with 1 and 2 but nothing
+    // else; with the cap at 2, prefix fingerprints (df = 3) vanish and
+    // only the 1-2 pair (identical suffixes too) survives
+    val common = "identical shared prefix text across all three documents here"
+    val docs = Seq(
+      (1L, common + " tail one alpha beta gamma delta epsilon"),
+      (2L, common + " tail one alpha beta gamma delta epsilon"),
+      (3L, common + " completely different ending zzz yyy xxx www")).toDF("id", "body")
+    val capped = Graft.winnowPairs(docs, "id", "body", 8, 4, 0.5, maxDf = 2).collect()
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)),
+      "df-3 prefix fingerprints must not pair; the identical tail still does")
+    assert(capped(0).getDouble(3) == 1.0, "overlap is over the surviving sets")
+  }
+
   test("winnowPairs finds the corpus's planted near-copies") {
     val pairs = SparkEntry.queries("t10_winnow_pairs")(spark, sfDir)
     assert(pairs.count() > 0, "testdata plants near-duplicate docs")
