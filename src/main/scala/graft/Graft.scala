@@ -849,6 +849,19 @@ object Graft {
                        delim: String = "\n", minDocFrac: Double = 0.5): DataFrame =
     ops.DedupOps.stripBoilerplateOf(docs, id, text, delim, minDocFrac)
 
+  /** Product-quantization ANN — the third ANN scale path next to
+    * [[annIvf]]/[[annLsh]], and the one that compresses the corpus:
+    * vectors are stored as `m` codebook codes (128× smaller at
+    * dims=64/m=4), queries score by ADC lookup sums and
+    * exact-cosine-confirm the top `k`. Codebooks = the `kCodes`
+    * smallest-id rows of `codebookSource` sliced per subspace
+    * (deterministic init; [[kmeans]] per subspace is the production
+    * trainer). See [[ops.SimOps.pqAnnOf]]. */
+  def annPq(corpus: DataFrame, queries: DataFrame, codebookSource: DataFrame,
+            id: String, vec: String, dims: Int, m: Int, kCodes: Int, k: Int,
+            excludeSelf: Boolean = true): DataFrame =
+    ops.SimOps.pqAnnOf(corpus, queries, codebookSource, id, vec, dims, m, kCodes, k, excludeSelf)
+
   /** Count-min-sketch heavy hitters: the exact top-`k` corpus terms
     * with their estimates from a `rows`×`width` md5-bucketed counter
     * matrix — the mergeable fixed-size frequency state a 100 TB

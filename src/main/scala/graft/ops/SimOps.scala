@@ -217,6 +217,88 @@ object SimOps {
        |FROM r WHERE rank <= $K
        |ORDER BY q_id, rank""".stripMargin
 
+  /** Product-quantization ANN over ANY (id, vector) corpus/query
+    * tables (public operator behind [[graft.Graft.annPq]]) — the
+    * third ANN scale path next to IVF and LSH, and the one that
+    * compresses the CORPUS: each vector is stored as `m` small codes
+    * (one byte each at kCodes ≤ 256) instead of `dims` doubles — a
+    * 64-double corpus row becomes 4 ints here (128× smaller index).
+    * Subspace `j` covers dims [j·dims/m, (j+1)·dims/m); its codebook
+    * is the corresponding slice of the `kCodes` smallest-id rows of
+    * `codebooks` (the deterministic init; [[kmeansOf]] per subspace
+    * is the production codebook trainer). Encoding is MAP-ONLY
+    * (codebooks are driver state shipped as literals, the [[kmeansOf]]
+    * shape); queries score candidates by ADC — the sum of per-subspace
+    * L2² between the query slice and each stored code's codeword,
+    * read from a BROADCAST queries×m×kCodes lookup table built once —
+    * then exact-cosine-confirm the top `k`. Approximate by
+    * construction (quantization error); s05's recall eval applies.
+    * Returns (q_id, rank, vec_id, adc, cos_sim).
+    *
+    * Determinism: every L2² is the same ((−2·⟨x,c⟩ + ‖c‖²) + ‖x‖²)
+    * sequential-fold form as s04, code ties break to the smaller
+    * code, and the ADC sum is a fixed-order 4-term chain (per-join
+    * columns, never a hash-agg float sum) — bit-reproducible under
+    * any partitioning, which is what lets the DuckDB oracle replay
+    * it exactly. */
+  def pqAnnOf(corpus: DataFrame, queries: DataFrame, codebooks: DataFrame,
+              idCol: String, vecCol: String, dims: Int, m: Int, kCodes: Int,
+              k: Int, excludeSelf: Boolean = true): DataFrame = {
+    require(m >= 1 && dims % m == 0, s"m must divide dims, got dims=$dims m=$m")
+    require(kCodes >= 1 && k >= 1, s"kCodes and k must be >= 1, got $kCodes/$k")
+    val sub = dims / m
+    def sqlArr(cv: Seq[Double]): String =
+      cv.map(x => s"${x}D").mkString("array(", ", ", ")")
+    // codebooks: kCodes × m subspace slices, driver state (≤ 256·dims
+    // doubles) shipped into literals — the kmeansOf centroid shape
+    val cb: Seq[(Int, Seq[Double])] = codebooks
+      .select(col(idCol).cast("long").as("__cid"), col(vecCol).cast("array<double>").as("__cv"))
+      .orderBy(col("__cid")).limit(kCodes).collect().toSeq
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }
+    require(cb.length == kCodes, s"codebooks must supply $kCodes rows, got ${cb.length}")
+    def slices(j: Int): Seq[(Int, Seq[Double])] =
+      cb.map { case (c, v) => (c, v.slice(j * sub, (j + 1) * sub)) }
+    // ((−2·⟨x,c⟩) + ‖c‖²) + ‖x‖² — the s04 op order, c² folded on the driver
+    def d2(xSql: String, cv: Seq[Double]): Column = {
+      val c2 = cv.foldLeft(0.0)((s, x) => s + x * x)
+      (lit(-2.0) * expr(s"graft_dot($xSql, ${sqlArr(cv)})") + lit(c2)) +
+        expr(s"graft_dot($xSql, $xSql)")
+    }
+    def xSql(vecName: String, j: Int) = s"slice($vecName, ${j * sub + 1}, $sub)"
+    // encode: per subspace, the argmin code — map-only over the corpus
+    def codeCol(vecName: String, j: Int): Column =
+      least(slices(j).map { case (c, cv) =>
+        struct(d2(xSql(vecName, j), cv).as("d2"), lit(c).as("c"))
+      }: _*).getField("c")
+    val enc = corpus
+      .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("__v"))
+      .select(Seq(col("vec_id"), col("__v")) ++
+        (0 until m).map(j => codeCol("__v", j).as(s"__c$j")): _*)
+    // ADC lookup: queries × m × kCodes rows, built once and broadcast
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).cast("array<double>").as("__qv"))
+    val lookup = q.select(col("q_id"), col("__qv"),
+        explode(array((0 until m).flatMap(j => slices(j).map { case (c, cv) =>
+          struct(lit(j).as("j"), lit(c).as("c"), d2(xSql("__qv", j), cv).as("l"))
+        }): _*)).as("__jcl"))
+      .select(col("q_id"), col("__jcl.j").as("__j"), col("__jcl.c").as("__c"),
+        col("__jcl.l").as("__l"))
+    val scored = (0 until m).foldLeft(enc) { (cur, j) =>
+      val lj = broadcast(lookup.filter(col("__j") === j)
+        .select(col("q_id"), col("__c").as(s"__c$j"), col("__l").as(s"__l$j")))
+      cur.join(lj, if (j == 0) Seq(s"__c$j") else Seq("q_id", s"__c$j"))
+    }
+    val adc = (1 until m).foldLeft(col("__l0"): Column)((a, j) => a + col(s"__l$j"))
+    val wRank = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
+    scored
+      .filter(if (excludeSelf) col("vec_id") =!= col("q_id") else lit(true))
+      .withColumn("adc", adc)
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .join(q.select(col("q_id"), col("__qv")), Seq("q_id"))
+      .withColumn("cos_sim", expr("graft_cosine(__qv, __v)"))
+      .select(col("q_id"), col("rank"), col("vec_id"), col("adc"), col("cos_sim"))
+  }
+
   /** Lloyd's k-means over ANY (id, vector) table (public operator
     * behind [[graft.Graft.kmeans]]): deterministic init (the k
     * smallest-id vectors), `iters` assign→update rounds, then a final
@@ -357,7 +439,62 @@ object SimOps {
        |GROUP BY b.q_id
        |ORDER BY b.q_id""".stripMargin
 
+  /** #26e PQ ANN: 4×16-dim subspaces, 8 codewords each (the vec_id<8
+    * rows — s02's centroid set as deterministic codebook init), ADC
+    * scoring, exact-cosine confirm of the top-10; the oracle replays
+    * the identical encode/lookup/4-term-chain pipeline. */
+  private val s06: Q = (s, dir) => {
+    val all = vecs(s, dir)
+    pqAnnOf(all, all.filter(col("vec_id") < 5), all.filter(col("vec_id") < 8),
+        "vec_id", "v", dims = 64, m = 4, kCodes = 8, k = K)
+      .select(col("q_id"), col("rank"), col("vec_id"),
+        r6(col("adc")).as("adc"), r6(col("cos_sim")).as("cos_sim"))
+      .orderBy("q_id", "rank")
+  }
+
+  private val s06Sql = {
+    def dot(a: String, b: String) = graft.OracleSql.seqDot(a, b, 16)
+    def d2(x: String, c: String) =
+      s"((-2.0 * ${dot(x, c)}) + ${dot(c, c)}) + ${dot(x, x)}"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cb AS (SELECT vec_id AS c, v AS cv FROM e WHERE vec_id < 8),
+       |cbs AS (SELECT c, j.j AS j, cv[(j.j*16+1):(j.j*16+16)] AS scv
+       |  FROM cb, range(0, 4) j(j)),
+       |es AS (SELECT vec_id, j.j AS j, v[(j.j*16+1):(j.j*16+16)] AS sx
+       |  FROM e, range(0, 4) j(j)),
+       |asg AS (SELECT vec_id, es.j, c, ${d2("sx", "scv")} AS d2
+       |  FROM es JOIN cbs ON es.j = cbs.j),
+       |codes AS (SELECT vec_id, j, c FROM (
+       |    SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn
+       |    FROM asg) t WHERE rn = 1),
+       |enc AS (SELECT vec_id,
+       |    max(CASE WHEN j = 0 THEN c END) AS c0, max(CASE WHEN j = 1 THEN c END) AS c1,
+       |    max(CASE WHEN j = 2 THEN c END) AS c2, max(CASE WHEN j = 3 THEN c END) AS c3
+       |  FROM codes GROUP BY vec_id),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+       |qs AS (SELECT q_id, j.j AS j, qv[(j.j*16+1):(j.j*16+16)] AS sq
+       |  FROM q, range(0, 4) j(j)),
+       |ql AS (SELECT q_id, qs.j, c, ${d2("sq", "scv")} AS l
+       |  FROM qs JOIN cbs ON qs.j = cbs.j),
+       |sc AS (SELECT l0.q_id, enc.vec_id, (((l0.l + l1.l) + l2.l) + l3.l) AS adc
+       |  FROM enc
+       |  JOIN ql l0 ON l0.j = 0 AND l0.c = enc.c0
+       |  JOIN ql l1 ON l1.q_id = l0.q_id AND l1.j = 1 AND l1.c = enc.c1
+       |  JOIN ql l2 ON l2.q_id = l0.q_id AND l2.j = 2 AND l2.c = enc.c2
+       |  JOIN ql l3 ON l3.q_id = l0.q_id AND l3.j = 3 AND l3.c = enc.c3
+       |  WHERE enc.vec_id <> l0.q_id),
+       |r AS (SELECT q_id, vec_id, adc,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS BIGINT) AS rank
+       |  FROM sc)
+       |SELECT r.q_id AS q_id, rank, r.vec_id AS vec_id, round(adc, 6) AS adc,
+       |  round(${duckCos("qv", "v")}, 6) AS cos_sim
+       |FROM r JOIN e ON e.vec_id = r.vec_id JOIN q ON q.q_id = r.q_id
+       |WHERE rank <= $K
+       |ORDER BY r.q_id, rank""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "s06_ann_pq" -> s06,
     "s01_knn_bruteforce" -> s01,
     "s02_ann_ivf" -> s02,
     "s03_ann_lsh" -> s03,
@@ -365,6 +502,7 @@ object SimOps {
     "s05_ann_recall" -> s05)
 
   val oracle: Map[String, String] = Map(
+    "s06_ann_pq" -> s06Sql,
     "s01_knn_bruteforce" -> s01Sql,
     "s02_ann_ivf" -> s02Sql,
     "s03_ann_lsh" -> s03Sql,

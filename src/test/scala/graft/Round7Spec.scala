@@ -188,6 +188,23 @@ class Round7Spec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("annPq: ADC ranks full top-k per query; a corpus vector's own codeword scores it first") {
+    val e = Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), F.asDouble(col("embedding")).as("v"))
+    val out = Graft.annPq(e, e.filter(col("vec_id") < 5), e.filter(col("vec_id") < 8),
+      "vec_id", "v", dims = 64, m = 4, kCodes = 8, k = 10)
+    val rows = out.collect()
+    assert(rows.length == 50, "5 queries x full top-10")
+    assert(rows.forall(r => !r.isNullAt(3) && !r.isNullAt(4)))
+    // a CODEBOOK vector queried with itself quantizes to its own
+    // codewords: every other corpus vector's ADC is >= its own, and its
+    // own ADC is the pure quantization residual >= 0
+    val self = Graft.annPq(e, e.filter(col("vec_id") === 3), e.filter(col("vec_id") < 8),
+      "vec_id", "v", dims = 64, m = 4, kCodes = 8, k = 3, excludeSelf = false).collect()
+    assert(self.head.getLong(2) == 3L, "rank 1 is the query itself")
+    assert(self.head.getDouble(4) > 0.999999, "cosine with itself")
+  }
+
   test("winsorize: clipped rows take the percentile value; interior rows pass through") {
     val ev = Tables.t(spark, sfDir, "events")
     val w = Graft.winsorize(ev, "event_type", "value", lo = 0.01, hi = 0.99)
