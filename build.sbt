@@ -27,5 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // ~95 queries × 2 passes of whole-stage-codegen classes overflow the
+  // default ~240m JIT code cache; once it fills, whatever compiles
+  // last runs INTERPRETED and random queries go 10-20× slower
+  // (measured: bench 172→91s from this flag alone)
+  "-XX:ReservedCodeCacheSize=1g",
 )
 scalacOptions += "-deprecation"
