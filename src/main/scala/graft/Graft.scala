@@ -849,6 +849,16 @@ object Graft {
                        delim: String = "\n", minDocFrac: Double = 0.5): DataFrame =
     ops.DedupOps.stripBoilerplateOf(docs, id, text, delim, minDocFrac)
 
+  /** MAD-based robust outlier flags per key — [[winsorize]]'s robust
+    * sibling: med/MAD thresholds cannot be dragged by the outliers
+    * they hunt; |x − med| > k·1.4826·MAD flags, appending `med`,
+    * `mad`, `robust_z`, `is_outlier` (zero MAD ⇒ any deviation
+    * flags). Two key-sized broadcast percentile aggs; see
+    * [[ops.CoreOps.madOutliersOf]]. */
+  def madOutliers(df: DataFrame, key: String, value: String,
+                  k: Double = 3.0): DataFrame =
+    ops.CoreOps.madOutliersOf(df, key, value, k)
+
   /** Product-quantization ANN — the third ANN scale path next to
     * [[annIvf]]/[[annLsh]], and the one that compresses the corpus:
     * vectors are stored as `m` codebook codes (128× smaller at

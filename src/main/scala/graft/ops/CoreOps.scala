@@ -348,6 +348,69 @@ object CoreOps {
       |FROM events e JOIN p USING (event_type)
       |ORDER BY event_type, ts_ms, event_id""".stripMargin
 
+  /** MAD-based robust outlier detection per key (public operator
+    * behind [[graft.Graft.madOutliers]]) — [[winsorizeOf]]'s robust
+    * sibling: med = exact median, mad = median(|x − med|), and a row
+    * is an outlier when |x − med| > k·1.4826·mad (1.4826 scales MAD
+    * to σ under normality — the standard robust z-score). Unlike
+    * mean/σ rules the thresholds themselves cannot be dragged by the
+    * outliers they hunt. Appends `med`, `mad`, `robust_z`,
+    * `is_outlier`. A zero MAD (> half the key's rows identical)
+    * degenerates the z — then ANY deviation from the median flags,
+    * and `robust_z` is null. Two key-sized percentile aggs (the q20
+    * machinery), both BROADCAST back; the fact side is scanned twice
+    * and never shuffled on a non-key. At 100 TB swap in
+    * `approx_percentile` (q20's documented trade). */
+  def madOutliersOf(df: DataFrame, key: String, value: String,
+                    k: Double = 3.0): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    val med = df.groupBy(col(key))
+      .agg(expr(s"percentile($value, 0.5D)").as("__med"))
+    val dev = df.join(broadcast(med), Seq(key))
+      .withColumn("__absdev", abs(col(value) - col("__med")))
+    val mad = dev.groupBy(col(key))
+      .agg(expr("percentile(__absdev, 0.5D)").as("__mad"))
+    val cut = (lit(k) * lit(1.4826)) * col("__mad")
+    dev.join(broadcast(mad), Seq(key))
+      .withColumn("med", col("__med"))
+      .withColumn("mad", col("__mad"))
+      .withColumn("robust_z",
+        when(col("__mad") > 0.0, col("__absdev") / (lit(1.4826) * col("__mad"))))
+      .withColumn("is_outlier",
+        when(col("__mad") > 0.0, col("__absdev") > cut)
+          .otherwise(col(value) =!= col("__med")))
+      .drop("__med", "__mad", "__absdev")
+  }
+
+  /** #19l MAD outliers over events.value per series at k = 3 — the
+    * robust anomaly flags next to q47's percentile clamp; both
+    * medians ride q20's proven exact-interp percentile parity. */
+  private val q48: Q = (s, dir) =>
+    madOutliersOf(t(s, dir, "events"), "event_type", "value", k = 3.0)
+      .select(col("event_type"), col("event_id"), epochMs(col("ts")).as("ts_ms"),
+        col("value"), r6(col("med")).as("med"), r6(col("mad")).as("mad"),
+        r6(col("robust_z")).as("robust_z"), col("is_outlier"))
+      .orderBy("event_type", "ts_ms", "event_id")
+
+  private val q48Sql =
+    """WITH m AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS med
+      |  FROM events GROUP BY event_type),
+      |d AS (
+      |  SELECT e.event_type, e.event_id, e.ts, e.value, m.med,
+      |    abs(e.value - m.med) AS absdev
+      |  FROM events e JOIN m USING (event_type)),
+      |md AS (
+      |  SELECT event_type, quantile_cont(absdev, 0.5) AS mad
+      |  FROM d GROUP BY event_type)
+      |SELECT d.event_type, d.event_id, epoch_ms(d.ts) AS ts_ms, d.value,
+      |  round(d.med, 6) AS med, round(md.mad, 6) AS mad,
+      |  round(CASE WHEN md.mad > 0.0 THEN absdev / (1.4826 * md.mad) END, 6) AS robust_z,
+      |  CASE WHEN md.mad > 0.0 THEN absdev > (3.0 * 1.4826) * md.mad
+      |    ELSE d.value <> d.med END AS is_outlier
+      |FROM d JOIN md USING (event_type)
+      |ORDER BY d.event_type, ts_ms, d.event_id""".stripMargin
+
   /** Fixed-width histogram of ANY numeric column (public operator
     * behind [[graft.Graft.histogram]]): bin = floor(value/width), per
     * bin count + mean + share of total — the distribution profile a
@@ -610,6 +673,7 @@ object CoreOps {
 
   val queries: Map[String, Q] = Map(
     "q47_winsorize" -> q47,
+    "q48_mad_outliers" -> q48,
     "q28_supplier_share" -> q28,
     "a01_approx_distinct" -> a01,
     "a02_approx_percentile" -> a02,
@@ -632,6 +696,7 @@ object CoreOps {
 
   val oracle: Map[String, String] = Map(
     "q47_winsorize" -> q47Sql,
+    "q48_mad_outliers" -> q48Sql,
     "q28_supplier_share" -> q28Sql,
     "a03_sampled_terms" -> a03Sql,
     "q42_json_props" -> q42Sql,

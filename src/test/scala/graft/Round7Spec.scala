@@ -231,6 +231,31 @@ class Round7Spec extends SparkSpec {
     }
   }
 
+  test("madOutliers: planted spikes flag, the bulk does not; zero-MAD degenerates sanely") {
+    val base = (1 to 99).map(i => ("a", i.toLong, 10.0 + (i % 7) * 0.1)) :+ (("a", 100L, 500.0))
+    val df = base.toDF("grp", "rid", "x")
+    val out = Graft.madOutliers(df, "grp", "x", k = 3.0).collect()
+      .map(r => r.getLong(1) -> r).toMap
+    assert(out(100L).getBoolean(6), "the 500.0 spike must flag")
+    assert(out(100L).getDouble(5) > 3.0, "spike robust_z clears the cut")
+    val flagged = out.values.count(_.getBoolean(6))
+    assert(flagged == 1, s"only the spike flags, got $flagged")
+    // zero MAD: > half the rows identical — any deviation flags
+    val flat = Seq(("b", 1L, 5.0), ("b", 2L, 5.0), ("b", 3L, 5.0), ("b", 4L, 9.0))
+      .toDF("grp", "rid", "x")
+    val fz = Graft.madOutliers(flat, "grp", "x").collect().map(r => r.getLong(1) -> r).toMap
+    assert(fz(4L).getBoolean(6) && !fz(1L).getBoolean(6))
+    assert(fz(4L).isNullAt(5), "robust_z is null when MAD is 0")
+  }
+
+  test("madOutliers and winsorize agree on tail membership at matched strengths") {
+    val ev = Tables.t(spark, sfDir, "events")
+    val m = Graft.madOutliers(ev, "event_type", "value", k = 3.0)
+    assert(m.count() == ev.count())
+    // every MAD outlier is deviant from ITS key's median by construction
+    assert(m.filter(col("is_outlier") && col("value") === col("med")).count() == 0)
+  }
+
   test("stripBoilerplate: newline segments — the classic line-dedup shape") {
     val docs = Seq(
       (1L, "COOKIE BANNER\nalpha beta\nfooter"),
