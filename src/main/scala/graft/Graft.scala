@@ -849,6 +849,17 @@ object Graft {
                        delim: String = "\n", minDocFrac: Double = 0.5): DataFrame =
     ops.DedupOps.stripBoilerplateOf(docs, id, text, delim, minDocFrac)
 
+  /** Graded benchmark-contamination scoring — [[decontaminate]]'s
+    * PaLM-style sibling: per training doc, the fraction of its
+    * distinct word-`n`-grams found anywhere in the pooled benchmark
+    * gram set, flagged at `flagFrac` (sustained overlap condemns, one
+    * shared gram does not). No pair join — the benchmark collapses to
+    * a broadcast gram set; see [[ops.DataOps.contaminationFracOf]]. */
+  def contaminationScore(train: DataFrame, bench: DataFrame, id: String,
+                         text: String, n: Int = 8,
+                         flagFrac: Double = 0.2): DataFrame =
+    ops.DataOps.contaminationFracOf(train, bench, id, text, n, flagFrac)
+
   /** MAD-based robust outlier flags per key — [[winsorize]]'s robust
     * sibling: med/MAD thresholds cannot be dragged by the outliers
     * they hunt; |x − med| > k·1.4826·MAD flags, appending `med`,

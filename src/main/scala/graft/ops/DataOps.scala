@@ -330,6 +330,82 @@ object DataOps {
       |GROUP BY tr.doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Corpus-level contamination SCORING (public operator behind
+    * [[graft.Graft.contaminationScore]]) — [[decontaminateOf]]'s
+    * graded sibling, the PaLM/GPT-3-style metric: per training doc,
+    * the FRACTION of its distinct word-`n`-grams that appear anywhere
+    * in the benchmark slice (not per benchmark doc — membership in
+    * the pooled benchmark gram SET), flagged at `flagFrac`. A single
+    * shared gram no longer condemns a doc; sustained overlap does.
+    * Returns one row per training doc with ≥ n words: (doc_id,
+    * n_grams, n_contaminated, contamination, flagged).
+    *
+    * Scale: the benchmark side collapses to a DISTINCT gram-hash set
+    * (benchmark-vocabulary-sized — benchmarks are small by nature, so
+    * it broadcasts); the training side shuffles (doc_id, hash) pairs
+    * only — text never moves, and there is no pair join at all, so
+    * unlike the fingerprint family this has NO hot-block quadratic
+    * mode. The fraction is one long/long division — bit-exact. */
+  def contaminationFracOf(train: DataFrame, bench: DataFrame, idCol: String,
+                          textCol: String, n: Int = 8,
+                          flagFrac: Double = 0.2): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    require(flagFrac > 0 && flagFrac <= 1, s"flagFrac must be in (0,1], got $flagFrac")
+    def grams(df: DataFrame, idAs: String): DataFrame = df
+      .select(col(idCol).as(idAs), words(col(textCol)).as("__ws"))
+      .filter(size(col("__ws")) >= n)
+      .select(col(idAs), explode(expr(
+        s"transform(sequence(0, size(__ws)-$n), i -> array_join(slice(__ws, i+1, $n), ' '))")).as("__g"))
+      .select(col(idAs), hash60(col("__g")).as("__h"))
+      .distinct()
+    val benchSet = grams(bench, "__bid").select(col("__h")).distinct()
+      .withColumn("__hit", lit(1))
+    grams(train, "doc_id")
+      .join(broadcast(benchSet), Seq("__h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_contaminated"))
+      .withColumn("contamination", col("n_contaminated") / col("n_grams").cast("double"))
+      .withColumn("flagged", col("contamination") >= flagFrac)
+  }
+
+  /** #42b graded contamination over the ds07 split: benchmark = every
+    * 11th doc, flag training docs with > 20% benchmark-gram overlap.
+    * The ×10-replica corpus is the stress case: every doc has exact
+    * copies, so contamination saturates — the score separates them
+    * from incidental single-gram overlap, which ds07 cannot. */
+  private val ds09: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    contaminationFracOf(
+      docs.filter(pmod(col("doc_id"), lit(11L)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(11L)) === 0),
+      "doc_id", "text", n = 8, flagFrac = 0.2)
+      .select(col("doc_id"), col("n_grams"), col("n_contaminated"),
+        r6(col("contamination")).as("contamination"), col("flagged"))
+      .orderBy("doc_id")
+  }
+
+  private val ds09Sql =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS h
+      |  FROM (
+      |    SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 7),
+      |      i -> array_to_string(ws[i:i+7], ' '))) AS gram
+      |    FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+      |          FROM documents)
+      |    WHERE len(ws) >= 8)
+      |  GROUP BY 1, 2),
+      |tr AS (SELECT * FROM g WHERE doc_id % 11 <> 0),
+      |bs AS (SELECT DISTINCT h FROM g WHERE doc_id % 11 = 0)
+      |SELECT tr.doc_id AS doc_id,
+      |  count(*) AS n_grams,
+      |  count(bs.h) AS n_contaminated,
+      |  round(count(bs.h) / CAST(count(*) AS DOUBLE), 6) AS contamination,
+      |  (count(bs.h) / CAST(count(*) AS DOUBLE)) >= 0.2 AS flagged
+      |FROM tr LEFT JOIN bs ON tr.h = bs.h
+      |GROUP BY tr.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** #39b deterministic export shuffle: shard + in-shard position for
     * every document. The oracle reproduces the md5 permutation exactly
     * (same 60-bit hex prefix), so shard AND pos hash-match. */
@@ -418,6 +494,7 @@ object DataOps {
 
   val queries: Map[String, Q] = Map(
     "a04_heavy_hitters" -> a04,
+    "ds09_contamination" -> ds09,
     "ds06_mixture_sample" -> ds06,
     "ds07_decontaminate" -> ds07,
     "ds08_shuffle_shards" -> ds08,
@@ -429,6 +506,7 @@ object DataOps {
 
   val oracle: Map[String, String] = Map(
     "a04_heavy_hitters" -> a04Sql,
+    "ds09_contamination" -> ds09Sql,
     "ds06_mixture_sample" -> ds06Sql,
     "ds07_decontaminate" -> ds07Sql,
     "ds08_shuffle_shards" -> ds08Sql,

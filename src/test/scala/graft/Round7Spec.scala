@@ -231,6 +231,23 @@ class Round7Spec extends SparkSpec {
     }
   }
 
+  test("contaminationScore: a verbatim-lifted doc saturates, a fresh doc reads zero") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("id", "body")
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // verbatim copy
+      (2L, "one two three four five six seven eight nine ten"),         // disjoint
+      (3L, "alpha beta gamma delta epsilon zeta eta theta nope fresh")) // shared prefix
+      .toDF("id", "body")
+    val out = Graft.contaminationScore(train, bench, "id", "body", n = 8, flagFrac = 0.2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getDouble(3) == 1.0 && out(1L).getBoolean(4), "verbatim ⇒ 1.0, flagged")
+    assert(out(2L).getDouble(3) == 0.0 && !out(2L).getBoolean(4), "disjoint ⇒ 0.0")
+    // doc 3: grams = 3 windows, 1 of them ("alpha..theta") is in bench
+    assert(out(3L).getLong(1) == 3L && out(3L).getLong(2) == 1L)
+    assert(out(3L).getBoolean(4), "1/3 > 0.2 flags — graded, not binary")
+  }
+
   test("madOutliers: planted spikes flag, the bulk does not; zero-MAD degenerates sanely") {
     val base = (1 to 99).map(i => ("a", i.toLong, 10.0 + (i % 7) * 0.1)) :+ (("a", 100L, 500.0))
     val df = base.toDF("grp", "rid", "x")
