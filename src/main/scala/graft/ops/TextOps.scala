@@ -591,7 +591,78 @@ object TextOps {
       |WHERE n_shared / CAST(least(na, nb) AS DOUBLE) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** #p01 the END-TO-END pretraining-data pipeline as ONE plan — five
+    * public operators composed exactly as a user would:
+    * [[normalizeTextOf]] (canonical md5) → exact dedup keep-min (the
+    * d01 rule) → [[qualityFeaturesOf]] filter (score ≥ 0.55) →
+    * [[DataOps.hashSplitOf]] (80/10/10) → [[DataOps.packBinsOf]]
+    * (2048-token bins per split). One row per surviving doc:
+    * (doc_id, clean_md5, split, n_words, score, bin). The oracle
+    * replays the whole chain, so the gate proves the COMPOSITION —
+    * stage boundaries, join keys, filter thresholds — not just each
+    * operator in isolation. Catalyst fuses the map-only stages; the
+    * shuffles are dedup (md5), quality join (doc_id), split-pack
+    * window (split) + the presentation sort. */
+  private val p01: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val norm = normalizeTextOf(docs, "doc_id", "text")
+      .select(col("doc_id"), col("clean_md5"), col("n_words"))
+    val wdd = Window.partitionBy(col("clean_md5")).orderBy(col("doc_id"))
+    val dedup = norm.withColumn("__rn", row_number().over(wdd))
+      .filter(col("__rn") === 1).drop("__rn")
+    val qual = qualityFeaturesOf(docs, "doc_id", "text").select(col("doc_id"), col("score"))
+    val kept = dedup.join(qual, "doc_id").filter(col("score") >= 0.55)
+    val split = DataOps.hashSplitOf(kept, "doc_id", "graft", 80, 10)
+    DataOps.packBinsOf(split, "split", "doc_id", "n_words", 2048L)
+      .select(col("doc_id"), col("clean_md5"), col("split"), col("n_words"),
+        r6(col("score")).as("score"), col("bin"))
+      .orderBy("doc_id")
+  }
+
+  private val p01Sql =
+    s"""WITH c AS (
+       |  SELECT doc_id, text,
+       |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS clean_text
+       |  FROM documents),
+       |n AS (
+       |  SELECT doc_id, md5(clean_text) AS clean_md5,
+       |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_words
+       |  FROM c),
+       |dd AS (
+       |  SELECT doc_id, clean_md5, n_words FROM (
+       |    SELECT n.*, row_number() OVER (PARTITION BY clean_md5 ORDER BY doc_id) AS rn FROM n) t
+       |  WHERE rn = 1),
+       |w AS (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+       |f AS (SELECT doc_id,
+       |    CAST(len(ws) AS BIGINT) AS qn_words,
+       |    length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) / CAST(length(text) AS DOUBLE) AS punct_ratio,
+       |    len(list_filter(ws, w -> w IN (${inList(stop("en"))}))) / CAST(len(ws) AS DOUBLE) AS stop_ratio,
+       |    CAST(list_reduce(list_transform(ws, w -> CAST(length(w) AS BIGINT)), (a, b) -> a + b) AS BIGINT)
+       |      / CAST(len(ws) AS DOUBLE) AS mean_word_len
+       |  FROM w WHERE len(ws) > 0),
+       |q AS (SELECT doc_id,
+       |    0.3 * least(CAST(qn_words AS DOUBLE) / 100.0, 1.0) + 0.3 * (1.0 - punct_ratio)
+       |      + 0.2 * stop_ratio + 0.2 * least(mean_word_len / 8.0, 1.0) AS score
+       |  FROM f),
+       |k AS (SELECT dd.doc_id, dd.clean_md5, dd.n_words, q.score
+       |  FROM dd JOIN q ON dd.doc_id = q.doc_id
+       |  WHERE q.score >= 0.55),
+       |s AS (SELECT *,
+       |    CASE WHEN CAST(('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
+       |         WHEN CAST(('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM k),
+       |p AS (SELECT *,
+       |    sum(n_words) OVER (PARTITION BY split ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM s)
+       |SELECT doc_id, clean_md5, split, n_words, round(score, 6) AS score,
+       |  CAST((cum - n_words) // 2048 AS BIGINT) AS bin
+       |FROM p
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "p01_data_pipeline" -> p01,
     "t10_winnow_pairs" -> t10,
     "t07_pii_redact" -> t07,
     "t08_bigram_lm" -> t08,
@@ -604,6 +675,7 @@ object TextOps {
     "t06_normalize" -> t06)
 
   val oracle: Map[String, String] = Map(
+    "p01_data_pipeline" -> p01Sql,
     "t10_winnow_pairs" -> t10Sql,
     "t07_pii_redact" -> t07Sql,
     "t08_bigram_lm" -> t08Sql,

@@ -231,6 +231,24 @@ class Round7Spec extends SparkSpec {
     }
   }
 
+  test("p01 pipeline invariants: dedup'd, quality-gated, split, and packed in order") {
+    val out = SparkEntry.queries("p01_data_pipeline")(spark, sfDir)
+    val rows = out.collect()
+    assert(rows.nonEmpty && rows.length < 500, "the pipeline must gate out SOME docs")
+    val md5s = rows.map(_.getString(1))
+    assert(md5s.distinct.length == md5s.length, "exact dedup: one doc per canonical md5")
+    assert(rows.forall(_.getDouble(4) >= 0.55), "quality gate holds")
+    assert(rows.map(_.getString(2)).toSet.subsetOf(Set("train", "val", "test")))
+    // packing: per split, bins are the running-sum rule in doc order
+    rows.groupBy(_.getString(2)).foreach { case (_, rs) =>
+      var cum = 0L
+      rs.sortBy(_.getLong(0)).foreach { r =>
+        assert(r.getLong(5) == cum / 2048L, s"bin rule broken at doc ${r.getLong(0)}")
+        cum += r.getLong(3)
+      }
+    }
+  }
+
   test("contaminationScore: a verbatim-lifted doc saturates, a fresh doc reads zero") {
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
       .toDF("id", "body")
