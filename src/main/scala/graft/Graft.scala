@@ -849,6 +849,17 @@ object Graft {
                        delim: String = "\n", minDocFrac: Double = 0.5): DataFrame =
     ops.DedupOps.stripBoilerplateOf(docs, id, text, delim, minDocFrac)
 
+  /** Content-defined-chunk dedup over binary payloads — dedup ×
+    * multimodal: Gear-CDC partitions each payload at CONTENT
+    * positions (an inserted byte re-aligns within one chunk; fixed
+    * windows shift every boundary after it), then per payload reports
+    * chunks/bytes shared with other payloads — the storage-dedup
+    * signal. Payload bytes never shuffle, only (id, chunk-md5, len);
+    * see [[ops.MultiOps.cdcDedupOf]] and the `graft_cdc` kernel. */
+  def cdcDedup(df: DataFrame, id: String, bin: String, maskBits: Int = 13,
+               minLen: Int = 2048, maxLen: Int = 65536): DataFrame =
+    ops.MultiOps.cdcDedupOf(df, id, bin, maskBits, minLen, maxLen)
+
   /** Graded benchmark-contamination scoring — [[decontaminate]]'s
     * PaLM-style sibling: per training doc, the fraction of its
     * distinct word-`n`-grams found anywhere in the pooled benchmark

@@ -336,6 +336,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litInt("graft_winnow", children(1), "k"),
           litInt("graft_winnow", children(2), "window"))
       }))
+    ext.injectFunction((new FunctionIdentifier("graft_cdc"),
+      new ExpressionInfo(classOf[CdcChunks].getName, "graft_cdc"),
+      (children: Seq[Expression]) => {
+        arity("graft_cdc", "(binary payload, int maskBits, int minLen, int maxLen)", children, 4)
+        CdcChunks(children.head,
+          litInt("graft_cdc", children(1), "maskBits"),
+          litInt("graft_cdc", children(2), "minLen"),
+          litInt("graft_cdc", children(3), "maxLen"))
+      }))
     ext.injectFunction((new FunctionIdentifier("graft_winnow_set"),
       new ExpressionInfo(classOf[WinnowSet].getName, "graft_winnow_set"),
       (children: Seq[Expression]) => {

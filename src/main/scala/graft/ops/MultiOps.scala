@@ -184,7 +184,55 @@ object MultiOps {
       |FROM s
       |ORDER BY doc_id, win_idx""".stripMargin
 
+  /** Content-defined-chunk dedup over ANY (id, binary) table (public
+    * operator behind [[graft.Graft.cdcDedup]]) — dedup × multimodal:
+    * the storage-dedup measurement every binary-payload lake runs.
+    * Each payload is CDC-partitioned by the native `graft_cdc` kernel
+    * (Gear rolling hash; boundaries are CONTENT positions, so an
+    * inserted byte re-aligns within one chunk instead of shifting
+    * every boundary after it — the property fixed-size chunking
+    * lacks, proven in spec). Per payload: chunk count, bytes, how
+    * many of its chunks also appear in ≥ 1 OTHER payload, and the
+    * dedupable-byte ratio. Scale: the chunk-hash frequency table is
+    * (distinct-chunk)-sized after the map-side combine — payload
+    * bytes never shuffle, only (id, chunk-md5, len) rows. */
+  def cdcDedupOf(df: DataFrame, idCol: String, binCol: String,
+                 maskBits: Int, minLen: Int, maxLen: Int): DataFrame = {
+    val ch = df
+      .select(col(idCol).as("__id"),
+        explode(expr(s"graft_cdc($binCol, $maskBits, $minLen, $maxLen)")).as("__c"))
+      .select(col("__id"), col("__c.md5").as("__h"), col("__c.len").as("__len"))
+    // distinct payload count per chunk hash (chunks can repeat INSIDE
+    // a payload; sharing means some OTHER payload has it)
+    val dfreq = ch.select(col("__id"), col("__h")).distinct()
+      .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+    ch.join(dfreq, Seq("__h"))
+      .groupBy(col("__id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("__len")).cast("long").as("n_bytes"),
+        count(when(col("__df") > 1, 1)).as("n_shared_chunks"),
+        sum(when(col("__df") > 1, col("__len")).otherwise(lit(0))).cast("long").as("shared_bytes"))
+      .withColumn("dedup_ratio", col("shared_bytes") / col("n_bytes").cast("double"))
+      .select(col("__id").as(idCol), col("n_chunks"), col("n_bytes"),
+        col("n_shared_chunks"), col("shared_bytes"), col("dedup_ratio"))
+  }
+
+  /** #32e CDC chunk dedup over the documents payloads (rows-only +
+    * spec, like m02 — replaying the Gear fold in the oracle's SQL
+    * subset is not practical): ~64-byte content-defined chunks, per
+    * payload the chunks-shared-with-other-payloads storage signal.
+    * The corpus's planted near-copies share most of their chunks. */
+  private val m06: Q = (s, dir) =>
+    cdcDedupOf(
+      t(s, dir, "documents").withColumn("payload", col("text").cast("binary")),
+      "doc_id", "payload", maskBits = 6, minLen = 32, maxLen = 256)
+      .select(col("doc_id"), col("n_chunks"), col("n_bytes"),
+        col("n_shared_chunks"), col("shared_bytes"), r6(col("dedup_ratio")).as("dedup_ratio"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
+    "m06_cdc_dedup" -> m06,
     "m01_binary_meta" -> m01,
     "m02_feature_batch" -> m02,
     "m03_frame_sample" -> m03,

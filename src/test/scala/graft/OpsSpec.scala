@@ -10,15 +10,17 @@ class OpsSpec extends SparkSpec {
 
   test("every declared query runs and respects its contract on sf0.001") {
     val qs = SparkEntry.queries
-    assert(qs.size == 98)
+    assert(qs.size == 99)
     // oracle coverage: everything except the rows-only entries — m02
     // (mapPartitions), the a01/a02 sketches (HLL++/quantile-sketch
     // results are not SQL-reproducible in DuckDB; ExtOpsSpec bounds
     // their error against the exact values instead) and the o01 JSON
     // ingest round-trip (not expressible in the oracle's portable SQL
     // subset; OptionJsonSpec pins the parse semantics instead)
+    // (m06's Gear rolling fold is likewise outside the portable SQL
+    // subset; Round7Spec pins the chunking semantics instead)
     assert(SparkEntry.oracleSql.keySet ==
-      qs.keySet - "m02_feature_batch" - "a01_approx_distinct" -
+      qs.keySet - "m02_feature_batch" - "m06_cdc_dedup" - "a01_approx_distinct" -
         "a02_approx_percentile" - "o01_option_exercise" -
         "o02_funding_rates" - "o03_margin_rates")
   }

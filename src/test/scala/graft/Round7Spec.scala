@@ -231,6 +231,70 @@ class Round7Spec extends SparkSpec {
     }
   }
 
+  test("graft_cdc: lossless partition, bounded chunks, matches a driver-side Gear fold") {
+    val payloads = Tables.t(spark, sfDir, "documents").limit(30)
+      .select(col("doc_id"), col("text"))
+    val rows = payloads
+      .withColumn("chunks", expr("graft_cdc(CAST(text AS BINARY), 6, 32, 256)"))
+      .select(col("text"), col("chunks"))
+      .collect()
+    def ref(bytes: Array[Byte]): Seq[(String, Int)] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def hx(off: Int, len: Int) = {
+        md.reset(); md.update(bytes, off, len)
+        md.digest().map(b => f"$b%02x").mkString
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+      var start = 0; var h = 0L
+      for (i <- bytes.indices) {
+        h = (h << 1) + graft.functions.Cdc.gear(bytes(i) & 0xff)
+        val len = i - start + 1
+        if ((len >= 32 && (h & 63L) == 0L) || len >= 256) {
+          out += ((hx(start, len), len)); start = i + 1; h = 0L
+        }
+      }
+      if (start < bytes.length) out += ((hx(start, bytes.length - start), bytes.length - start))
+      out.toSeq
+    }
+    rows.foreach { r =>
+      val bytes = r.getString(0).getBytes("UTF-8")
+      val got = r.getSeq[org.apache.spark.sql.Row](1).map(c => (c.getString(0), c.getInt(1)))
+      assert(got == ref(bytes), "kernel must match the reference fold")
+      assert(got.map(_._2).sum == bytes.length, "lossless partition")
+      assert(got.dropRight(1).forall(c => c._2 >= 32 && c._2 <= 256),
+        "non-final chunks respect [min, max]")
+    }
+  }
+
+  test("graft_cdc is shift-resistant where fixed-size chunking is not") {
+    import spark.implicits._
+    // a multi-KB payload (many content cuts); a 1-byte prepend must
+    // cost at most the chunks before the first re-aligned boundary
+    val text = Tables.t(spark, sfDir, "documents")
+      .orderBy("doc_id").limit(20).select("text").as[String].collect().mkString(" ")
+    val shifted = "X" + text
+    val df = Seq(("orig", text), ("shifted", shifted)).toDF("which", "t")
+      .withColumn("cdc", expr("transform(graft_cdc(CAST(t AS BINARY), 6, 32, 256), c -> c.md5)"))
+    val m = df.select("which", "cdc").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toSet).toMap
+    assert(m("orig").size > 10, s"payload must chunk richly, got ${m("orig").size}")
+    val cdcShared = (m("orig") intersect m("shifted")).size.toDouble / m("orig").size
+    assert(cdcShared > 0.5,
+      s"CDC re-aligns after one chunk: $cdcShared of chunks survive a 1-byte prepend")
+    // fixed 64-byte windows: one prepended byte shifts every boundary
+    def fixed(s: String) = s.getBytes("UTF-8").grouped(64).map(_.toSeq).toSet
+    val fixedShared = (fixed(text) intersect fixed(shifted)).size
+    assert(fixedShared == 0, "every fixed-size chunk shifts")
+  }
+
+  test("m06 finds the planted near-copies' shared chunks") {
+    val out = SparkEntry.queries("m06_cdc_dedup")(spark, sfDir)
+    assert(out.count() == 500)
+    assert(out.filter(col("dedup_ratio") > 0.5).count() > 0,
+      "planted near-copy payloads share most chunks")
+    assert(out.filter(col("shared_bytes") > col("n_bytes")).count() == 0)
+  }
+
   test("p01 pipeline invariants: dedup'd, quality-gated, split, and packed in order") {
     val out = SparkEntry.queries("p01_data_pipeline")(spark, sfDir)
     val rows = out.collect()
