@@ -974,6 +974,24 @@ object Graft {
     * untruncated EWMA is a linear recurrence (segmented scan at scale),
     * while this form is a fixed set of lags on one window sort. Pick
     * `w` so (1−α)^w is below the tolerated tail weight. */
+  /** Per-column data-quality profile (the Deequ `ColumnProfiler` /
+    * pandas `describe` shape): one row per requested column with row
+    * count, non-null count, null fraction, distinct count and min/max
+    * (numerics/timestamps as doubles, strings as strings). ONE
+    * aggregation pass over one scan regardless of column count. At
+    * 100 TB pass `exactDistinct = false` — HLL++ buffers, no Expand. */
+  def profileTable(df: DataFrame, cols: Seq[String],
+                   exactDistinct: Boolean = true): DataFrame =
+    ops.QualityOps.profileOf(df, cols, exactDistinct)
+
+  /** Declarative data-quality expectation suite (the
+    * Deequ/Great-Expectations shape): every check's aggregate metric is
+    * computed in ONE pass over one scan; returns the k-row report
+    * (check, metric, threshold, passed). Failing checks don't abort —
+    * gate on `passed` downstream. */
+  def checkConstraints(df: DataFrame, checks: Seq[ops.QualityOps.Check]): DataFrame =
+    ops.QualityOps.checkConstraintsOf(df, checks)
+
   def ewma(df: DataFrame, key: String, ts: String, id: String, value: String,
            alpha: Double, w: Int): DataFrame = {
     require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")

@@ -22,6 +22,7 @@ object SparkEntry {
       (TextOps.queries, TextOps.oracle),
       (SimOps.queries, SimOps.oracle),
       (MultiOps.queries, MultiOps.oracle),
+      (QualityOps.queries, QualityOps.oracle),
       (IngestOps.queries, IngestOps.oracle),
       (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracle))
 
