@@ -992,6 +992,47 @@ object Graft {
   def checkConstraints(df: DataFrame, checks: Seq[ops.QualityOps.Check]): DataFrame =
     ops.QualityOps.checkConstraintsOf(df, checks)
 
+  /** BM25 ranked retrieval over any (id, text) table: top-`topK` docs
+    * for a small literal term set, Robertson idf + k1/b length
+    * normalization. Map-only scoring (per-row array filters, one
+    * broadcast stats row), TakeOrdered top-k — no token shuffle. */
+  def bm25Search(docs: DataFrame, id: String, text: String, terms: Seq[String],
+                 k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame =
+    ops.TextOps.bm25Of(docs, id, text, terms, k1, b, topK)
+
+  /** Deterministic weighted sampling without replacement
+    * (Efraimidis–Spirakis with md5-derived uniforms): inclusion
+    * probability ∝ `weight`, drawn set a pure function of
+    * (salt, ids, weights) — reproducible across reruns and cluster
+    * sizes, never rand(). */
+  def weightedSample(df: DataFrame, id: String, weight: String, salt: String,
+                     n: Int): DataFrame =
+    ops.DataOps.weightedSampleOf(df, id, weight, salt, n)
+
+  /** Keep the top ⌈pct·n/100⌉ rows of each group by (score desc, tie) —
+    * per-domain quality pruning that cannot empty weak domains the way
+    * a global cut does. One window shuffle on the group key. */
+  def topPctPerGroup(df: DataFrame, group: String, score: String, tie: String,
+                     pct: Int): DataFrame =
+    ops.DataOps.topPctPerGroupOf(df, group, score, tie, pct)
+
+  /** Population covariance matrix of a vector column, long-form upper
+    * triangle (i, j, n, cov); moments run as cumulative window sums so
+    * results are bit-reproducible. */
+  def covariance(df: DataFrame, id: String, vec: String): DataFrame =
+    ops.SimOps.covarianceOf(df, id, vec)
+
+  /** PCA fit + map-only projection: one distributed covariance pass, a
+    * driver-side d×d Jacobi eigensolve (the kmeans driver-state shape),
+    * then `pc0..pc{k-1}` appended as centered dots with the top
+    * components. Components are sign-normalized (largest-|coordinate|
+    * entry positive) so the output is deterministic. */
+  def pcaProject(df: DataFrame, id: String, vec: String, dims: Int,
+                 nComp: Int): DataFrame = {
+    val (_, comps, means) = ops.SimOps.pcaFitOf(df, id, vec, dims, nComp)
+    ops.SimOps.pcaProjectOf(df, vec, comps, means)
+  }
+
   def ewma(df: DataFrame, key: String, ts: String, id: String, value: String,
            alpha: Double, w: Int): DataFrame = {
     require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")

@@ -492,7 +492,95 @@ object DataOps {
       |FROM est
       |ORDER BY n_exact DESC, term""".stripMargin
 
+  /** Deterministic weighted sampling WITHOUT replacement over ANY keyed
+    * table (public operator behind [[graft.Graft.weightedSample]]) —
+    * Efraimidis–Spirakis A-Res with the rand() replaced by the md5
+    * uniform: u = (hash60(salt:id) + 1) / 2⁶⁰ ∈ (0, 1], key = ln(u)/w,
+    * keep the global top-`n` by (key desc, id). Inclusion probability
+    * is proportional to weight (the E-S guarantee) yet the drawn set is
+    * a pure function of (salt, ids, weights) — reruns, retries and
+    * cluster size cannot change it, and the oracle replays it exactly.
+    * Rows with weight ≤ 0 are excluded. Appends (u, key, rnk).
+    *
+    * Scale: map-only scoring + a TakeOrdered top-n (no full sort, no
+    * shuffle); the rank window runs post-limit on n rows. */
+  def weightedSampleOf(df: DataFrame, idCol: String, weightCol: String,
+                       salt: String, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val u = (hash60(concat(lit(salt + ":"), col(idCol).cast("string"))) + 1)
+      .cast("double") / lit(1152921504606846976.0)
+    val rank = Window.orderBy(col("key").desc, col(idCol))
+    df.filter(col(weightCol) > 0)
+      .withColumn("u", u)
+      .withColumn("key", log(col("u")) / col(weightCol).cast("double"))
+      .orderBy(col("key").desc, col(idCol)).limit(n)
+      .withColumn("rnk", row_number().over(rank).cast("long"))
+  }
+
+  /** #43b length-weighted document sample: 100 docs drawn ∝ n_chars. */
+  private val ds12: Q = (s, dir) =>
+    weightedSampleOf(t(s, dir, "documents"), "doc_id", "n_chars", "graft", 100)
+      .select(col("doc_id"), col("n_chars"), r6(col("key")).as("key"), col("rnk"))
+      .orderBy("rnk")
+
+  private val ds12Sql =
+    """WITH s AS (
+      |  SELECT doc_id, n_chars,
+      |    ln((CAST(('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+      |        / 1152921504606846976.0)
+      |      / CAST(n_chars AS DOUBLE) AS key
+      |  FROM documents WHERE n_chars > 0),
+      |r AS (SELECT doc_id, n_chars, key,
+      |    CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS BIGINT) AS rnk
+      |  FROM s)
+      |SELECT doc_id, n_chars, round(key, 6) AS key, rnk
+      |FROM r WHERE rnk <= 100 ORDER BY rnk""".stripMargin
+
+  /** Per-group top-percent retention over ANY table (public operator
+    * behind [[graft.Graft.topPctPerGroup]]) — the "keep the best X% of
+    * each domain" pruning step quality-stratified corpus curation runs
+    * (rather than a global cut, which empties weak domains): within
+    * each `group`, rows rank by (`score` desc, `tie`) and the top
+    * ⌈pct·n/100⌉ survive. The cutoff is exact integer arithmetic
+    * ((n·pct + 99) div 100) — no float boundary to disagree on.
+    * Appends (grp_n, rnk). One window shuffle on the group key. */
+  def topPctPerGroupOf(df: DataFrame, groupCol: String, scoreCol: String,
+                       tieCol: String, pct: Int): DataFrame = {
+    require(pct >= 1 && pct <= 100, s"pct must be in [1,100], got $pct")
+    val w = Window.partitionBy(col(groupCol))
+    val rank = w.orderBy(col(scoreCol).desc, col(tieCol))
+    df.withColumn("grp_n", count(lit(1)).over(w))
+      .withColumn("rnk", row_number().over(rank).cast("long"))
+      .filter(col("rnk") <= expr(s"(grp_n * $pct + 99) div 100"))
+  }
+
+  /** #43c keep the top-40%-by-quality of each source domain: the t02
+    * composite score feeds the ds13 per-domain cut. */
+  private val ds13: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val scored = TextOps.qualityFeaturesOf(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    topPctPerGroupOf(scored, "source", "score", "doc_id", 40)
+      .select(col("doc_id"), col("source"), r6(col("score")).as("score"),
+        col("grp_n"), col("rnk"))
+      .orderBy("source", "rnk")
+  }
+
+  private val ds13Sql =
+    s"""WITH ${TextOps.qualityScoreSqlCte},
+       |j AS (SELECT q.doc_id, d.source, q.score
+       |  FROM __q q JOIN documents d USING (doc_id)),
+       |r AS (SELECT doc_id, source, score,
+       |    count(*) OVER (PARTITION BY source) AS grp_n,
+       |    CAST(row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+       |  FROM j)
+       |SELECT doc_id, source, round(score, 6) AS score, grp_n, rnk
+       |FROM r WHERE rnk <= (grp_n * 40 + 99) // 100
+       |ORDER BY source, rnk""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "ds12_weighted_sample" -> ds12,
+    "ds13_quality_prune" -> ds13,
     "a04_heavy_hitters" -> a04,
     "ds09_contamination" -> ds09,
     "ds06_mixture_sample" -> ds06,
@@ -505,6 +593,8 @@ object DataOps {
     "ds05_bigram_stats" -> ds05)
 
   val oracle: Map[String, String] = Map(
+    "ds12_weighted_sample" -> ds12Sql,
+    "ds13_quality_prune" -> ds13Sql,
     "a04_heavy_hitters" -> a04Sql,
     "ds09_contamination" -> ds09Sql,
     "ds06_mixture_sample" -> ds06Sql,

@@ -493,7 +493,149 @@ object SimOps {
        |ORDER BY r.q_id, rank""".stripMargin
   }
 
+  /** Population covariance matrix of ANY (id, array<double>) vector
+    * column, long form (public operator behind [[graft.Graft.covariance]]
+    * and the stats pass of [[graft.Graft.pcaComponents]]): one row per
+    * upper-triangle cell (i, j, n, cov) with
+    * cov = E[xᵢxⱼ] − E[xᵢ]E[xⱼ], 0-based positions, i ≤ j.
+    *
+    * Plan shape: two chained posexplodes fan each row out to its d·(d+1)/2
+    * upper-triangle element pairs MAP-SIDE (no self-join — generators
+    * compose in one stage), then every moment runs as a CUMULATIVE window
+    * sum over the (pair, id) order and the last row per pair is kept —
+    * the q33 rule: hash-agg double sums have partition-order-dependent
+    * low bits, cumulative sums are bit-exact against the oracle. The d²
+    * fan-out is the honest cost (d² ≤ ~10⁵ for embedding dims); at
+    * 100 TB the covariance pass runs over a deterministic sample
+    * ([[graft.ops.DataOps.weightedSampleOf]]) — a d×d matrix needs ~d²
+    * effective rows, not the corpus. */
+  def covarianceOf(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val e = df.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
+      .select(col("__id"), col("__v"), posexplode(col("__v")).as(Seq("i", "xi")))
+      .select(col("__id"), col("i"), col("xi"), posexplode(col("__v")).as(Seq("j", "xj")))
+      .filter(col("i") <= col("j"))
+    val w = Window.partitionBy(col("i"), col("j")).orderBy(col("__id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("i"), col("j"))
+    e.withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("i"), col("j")).orderBy(col("__id"))))
+      .withColumn("sx", sum(col("xi")).over(w))
+      .withColumn("sy", sum(col("xj")).over(w))
+      .withColumn("sxy", sum(col("xi") * col("xj")).over(w))
+      .filter(col("rn") === col("n"))
+      .select(col("i"), col("j"), col("n"),
+        (col("sxy") / col("n") - (col("sx") / col("n")) * (col("sy") / col("n")))
+          .as("cov"))
+  }
+
+  /** PCA fit over ANY (id, array<double>) vector column: covariance by
+    * [[covarianceOf]], then a driver-side cyclic-Jacobi eigensolve on
+    * the d×d matrix (d² doubles of driver state — the [[kmeansOf]]
+    * shape; the DISTRIBUTED work is the one covariance pass, the d×d
+    * solve is microscopic). Returns (eigenvalues desc,
+    * row-major components, per-dim means); each component is
+    * sign-normalized so its largest-|coordinate| entry is positive —
+    * eigenvectors are only defined up to sign, this pins a
+    * deterministic representative.
+    *
+    * Cite: reference has no PCA; this serves the embedding columns the
+    * LLM-pipeline families (s01–s06, d05) already operate on. */
+  def pcaFitOf(df: DataFrame, idCol: String, vecCol: String, dims: Int,
+               nComp: Int): (Array[Double], Array[Array[Double]], Array[Double]) = {
+    require(dims >= 2, s"dims must be >= 2, got $dims")
+    require(nComp >= 1 && nComp <= dims, s"nComp must be in [1,$dims], got $nComp")
+    val a = Array.ofDim[Double](dims, dims)
+    covarianceOf(df, idCol, vecCol).select("i", "j", "cov").collect().foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      a(i)(j) = c; a(j)(i) = c
+    }
+    val meanAggs = (0 until dims).map(i =>
+      avg(element_at(col(vecCol).cast("array<double>"), i + 1)).as(s"m$i"))
+    val mRow = df.groupBy().agg(meanAggs.head, meanAggs.tail: _*).collect()(0)
+    val means = Array.tabulate(dims)(mRow.getDouble)
+
+    val v = Array.tabulate(dims, dims)((r, c) => if (r == c) 1.0 else 0.0)
+    def offDiag(): Double = {
+      var s = 0.0
+      for (p <- 0 until dims; q <- p + 1 until dims) s += a(p)(q) * a(p)(q)
+      s
+    }
+    var sweep = 0
+    while (sweep < 64 && offDiag() > 1e-20) {
+      for (p <- 0 until dims; q <- p + 1 until dims if math.abs(a(p)(q)) > 0.0) {
+        val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+        val t =
+          if (theta >= 0) 1.0 / (theta + math.sqrt(1.0 + theta * theta))
+          else 1.0 / (theta - math.sqrt(1.0 + theta * theta))
+        val c = 1.0 / math.sqrt(1.0 + t * t)
+        val s = t * c
+        for (k <- 0 until dims) {
+          val akp = a(k)(p); val akq = a(k)(q)
+          a(k)(p) = c * akp - s * akq
+          a(k)(q) = s * akp + c * akq
+        }
+        for (k <- 0 until dims) {
+          val apk = a(p)(k); val aqk = a(q)(k)
+          a(p)(k) = c * apk - s * aqk
+          a(q)(k) = s * apk + c * aqk
+        }
+        for (k <- 0 until dims) {
+          val vkp = v(k)(p); val vkq = v(k)(q)
+          v(k)(p) = c * vkp - s * vkq
+          v(k)(q) = s * vkp + c * vkq
+        }
+      }
+      sweep += 1
+    }
+    val pairs = (0 until dims).map { k =>
+      val vec = Array.tabulate(dims)(r => v(r)(k))
+      val pivot = vec.indices.maxBy(i => (math.abs(vec(i)), -i))
+      (a(k)(k), if (vec(pivot) < 0) vec.map(-_) else vec)
+    }.sortBy(-_._1) // stable sort: equal eigenvalues keep diagonal order
+    (pairs.take(nComp).map(_._1).toArray, pairs.take(nComp).map(_._2).toArray, means)
+  }
+
+  /** Map-only PCA projection: appends `pc0..pc{k-1}` — the centered dot
+    * with each component, computed as dot(x, w) − dot(mean, w) with the
+    * driver-precomputed constant, so the per-row work is one codegen'd
+    * fold per component and nothing shuffles. */
+  def pcaProjectOf(df: DataFrame, vecCol: String,
+                   components: Array[Array[Double]], means: Array[Double]): DataFrame = {
+    require(components.nonEmpty, "pcaProjectOf needs at least one component")
+    components.zipWithIndex.foldLeft(df) { case (d, (w, k)) =>
+      val const = w.indices.foldLeft(0.0)((acc, i) => acc + means(i) * w(i))
+      d.withColumn(s"pc$k",
+        dot(col(vecCol).cast("array<double>"), typedLit(w.toSeq)) - lit(const))
+    }
+  }
+
+  /** #26c embedding covariance matrix, upper triangle (64×65/2 rows). */
+  private val s07: Q = (s, dir) =>
+    covarianceOf(vecs(s, dir), "vec_id", "v")
+      .select(col("i"), col("j"), col("n"), r6(col("cov")).as("cov"))
+      .orderBy("i", "j")
+
+  private val s07Sql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |p AS (SELECT vec_id, i.r AS i, j.r AS j, v[i.r + 1] AS xi, v[j.r + 1] AS xj
+      |  FROM e CROSS JOIN range(0, 64) i(r) CROSS JOIN range(0, 64) j(r)
+      |  WHERE i.r <= j.r),
+      |c AS (SELECT i, j, vec_id,
+      |    count(*) OVER (PARTITION BY i, j) AS n,
+      |    row_number() OVER (PARTITION BY i, j ORDER BY vec_id) AS rn,
+      |    sum(xi) OVER w AS sx, sum(xj) OVER w AS sy,
+      |    sum(xi * xj) OVER w AS sxy
+      |  FROM p
+      |  WINDOW w AS (PARTITION BY i, j ORDER BY vec_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, n,
+      |  round(sxy / n - (sx / n) * (sy / n), 6) AS cov
+      |FROM c WHERE rn = n
+      |ORDER BY i, j""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s07_pca_cov" -> s07,
     "s06_ann_pq" -> s06,
     "s01_knn_bruteforce" -> s01,
     "s02_ann_ivf" -> s02,
@@ -502,6 +644,7 @@ object SimOps {
     "s05_ann_recall" -> s05)
 
   val oracle: Map[String, String] = Map(
+    "s07_pca_cov" -> s07Sql,
     "s06_ann_pq" -> s06Sql,
     "s01_knn_bruteforce" -> s01Sql,
     "s02_ann_ivf" -> s02Sql,

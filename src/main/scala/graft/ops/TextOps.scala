@@ -27,6 +27,24 @@ object TextOps {
 
   private def inList(xs: Seq[String]): String = xs.map(w => s"'$w'").mkString(", ")
 
+  /** DuckDB CTE chunk computing the t02 composite quality score as
+    * `__q(doc_id, score)` over `documents` — shared with oracles that
+    * compose on the quality gate (ds13). Must stay formula-identical to
+    * [[qualityFeaturesOf]]'s `score` column. */
+  private[ops] def qualityScoreSqlCte: String =
+    s"""__qw AS (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+       |__qf AS (SELECT doc_id,
+       |    CAST(len(ws) AS BIGINT) AS n_words,
+       |    length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) / CAST(length(text) AS DOUBLE) AS punct_ratio,
+       |    len(list_filter(ws, w -> w IN (${inList(stop("en"))}))) / CAST(len(ws) AS DOUBLE) AS stop_ratio,
+       |    CAST(list_reduce(list_transform(ws, w -> CAST(length(w) AS BIGINT)), (a, b) -> a + b) AS BIGINT)
+       |      / CAST(len(ws) AS DOUBLE) AS mean_word_len
+       |  FROM __qw WHERE len(ws) > 0),
+       |__q AS (SELECT doc_id,
+       |    0.3 * least(CAST(n_words AS DOUBLE) / 100.0, 1.0) + 0.3 * (1.0 - punct_ratio)
+       |      + 0.2 * stop_ratio + 0.2 * least(mean_word_len / 8.0, 1.0) AS score
+       |  FROM __qf)""".stripMargin
+
   /** #27 language ID: stopword-hit ratios per candidate language + a
     * non-ASCII (CJK) ratio; prediction = threshold on CJK ratio, else
     * argmax score with fixed precedence en>de>es>fr. Pure per-row math;
@@ -661,7 +679,91 @@ object TextOps {
        |FROM p
        |ORDER BY doc_id""".stripMargin
 
+  /** BM25 ranked retrieval over ANY (id, text) table (public operator
+    * behind [[graft.Graft.bm25Search]]) — the search-side complement of
+    * [[tfidfTopTermsOf]]: Robertson/Lucene BM25 with
+    * idf = ln(1 + (N − df + 0.5)/(df + 0.5)) and the usual k1/b length
+    * normalization against avgdl. Returns the global top-`topK` docs by
+    * (score desc, doc_id) as (doc_id, dl, score, rnk).
+    *
+    * Plan shape: per-doc term frequencies come from per-row array
+    * filters (no explode, no token shuffle — `queryTerms` is a handful
+    * of literals); N/avgdl/df all ride ONE global aggregate broadcast
+    * back as a 1-row cross join; the top-k is TakeOrdered (no full
+    * sort), with the rank window running post-limit on k rows. The
+    * per-term score contributions are summed in fixed left-to-right
+    * term order — bit-reproducible, no float-agg reorder. */
+  def bm25Of(docs: DataFrame, idCol: String, textCol: String,
+             queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+             topK: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Of needs at least one query term")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val base = docs
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("__ws"))
+      .filter(size(col("__ws")) > 0)
+      .withColumn("dl", size(col("__ws")).cast("long"))
+    val withTf = terms.zipWithIndex.foldLeft(base) { case (d, (t, i)) =>
+      d.withColumn(s"__tf_$i",
+        size(filter(col("__ws"), w => w === lit(t))).cast("long"))
+    }.drop("__ws")
+    val statAggs = Seq(count(lit(1)).as("__n"), sum(col("dl")).as("__sumdl")) ++
+      terms.indices.map(i =>
+        sum(when(col(s"__tf_$i") > 0, 1L).otherwise(0L)).as(s"__df_$i"))
+    val stats = withTf.groupBy().agg(statAggs.head, statAggs.tail: _*)
+    val scored = withTf.crossJoin(broadcast(stats))
+    val avgdl = col("__sumdl") / col("__n").cast("double")
+    val contribs = terms.indices.map { i =>
+      val tf = col(s"__tf_$i").cast("double")
+      val df = col(s"__df_$i").cast("double")
+      val idf = log(lit(1.0) + (col("__n") - df + lit(0.5)) / (df + lit(0.5)))
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
+    }
+    val rank = Window.orderBy(col("score").desc, col("doc_id"))
+    scored
+      .withColumn("score", contribs.reduceLeft(_ + _))
+      .filter(col("score") > 0)
+      .select(col("doc_id"), col("dl"), col("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(topK)
+      .withColumn("rnk", row_number().over(rank).cast("long"))
+  }
+
+  /** #30b BM25 retrieval for a 3-term query, top-20. */
+  private val t11: Q = (s, dir) =>
+    bm25Of(t(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "vector", "query"), k1 = 1.2, b = 0.75, topK = 20)
+      .select(col("doc_id"), col("dl"), r6(col("score")).as("score"), col("rnk"))
+      .orderBy("rnk")
+
+  private val t11Sql = {
+    val terms = Seq("spark", "vector", "query")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(ws, x -> x = '$t')) AS tf_$i" }.mkString(",\n       |    ")
+    val dfCols = terms.indices.map(i =>
+      s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i").mkString(", ")
+    val contribs = terms.indices.map(i =>
+      s"""ln(1.0 + (n - CAST(df_$i AS DOUBLE) + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5))
+         |      * (CAST(tf_$i AS DOUBLE) * 2.2)
+         |      / (CAST(tf_$i AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / (sumdl / CAST(n AS DOUBLE))))"""
+        .stripMargin).mkString("\n       |    + ")
+    s"""WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+       |d AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+       |    $tfCols
+       |  FROM w WHERE len(ws) > 0),
+       |g AS (SELECT count(*) AS n, sum(dl) AS sumdl, $dfCols FROM d),
+       |s AS (SELECT doc_id, dl,
+       |    $contribs AS score
+       |  FROM d, g),
+       |r AS (SELECT doc_id, dl, score,
+       |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+       |  FROM s WHERE score > 0)
+       |SELECT doc_id, dl, round(score, 6) AS score, rnk
+       |FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "t11_bm25" -> t11,
     "p01_data_pipeline" -> p01,
     "t10_winnow_pairs" -> t10,
     "t07_pii_redact" -> t07,
@@ -675,6 +777,7 @@ object TextOps {
     "t06_normalize" -> t06)
 
   val oracle: Map[String, String] = Map(
+    "t11_bm25" -> t11Sql,
     "p01_data_pipeline" -> p01Sql,
     "t10_winnow_pairs" -> t10Sql,
     "t07_pii_redact" -> t07Sql,

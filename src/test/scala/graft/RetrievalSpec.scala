@@ -1,0 +1,137 @@
+package graft
+
+import graft.ops.{DataOps, SimOps, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Round-7b operators: BM25 retrieval, E-S weighted sampling, per-group
+  * top-% pruning, covariance + PCA — semantic properties beyond the
+  * DuckDB gate. */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bm25: hand-computed score on a 3-doc corpus; zero-score docs drop") {
+    val docs = Seq(
+      (1L, "spark spark join"),    // tf(spark)=2, dl=3
+      (2L, "join join join"),      // tf=0 for query → drops
+      (3L, "spark"),               // tf=1, dl=1
+      (4L, "")                     // no tokens → excluded from N/avgdl
+    ).toDF("doc_id", "text")
+    val out = TextOps.bm25Of(docs, "doc_id", "text", Seq("spark"), k1 = 1.2, b = 0.75, topK = 10)
+      .orderBy("rnk").collect()
+    // N=3 tokenized docs, avgdl=7/3, df(spark)=2
+    val n = 3.0; val avgdl = 7.0 / 3.0; val df = 2.0
+    val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def score(tf: Double, dl: Double) =
+      idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    val got = out.map(r => (r.getLong(0), r.getDouble(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq == Seq(3L, 1L)) // dl=1 beats dl=3 at these tfs
+    assert(math.abs(got(0)._2 - score(1, 1)) < 1e-12)
+    assert(math.abs(got(1)._2 - score(2, 3)) < 1e-12)
+    assert(got.map(_._3).toSeq == Seq(1L, 2L))
+    assert(!got.map(_._1).contains(2L) && !got.map(_._1).contains(4L))
+  }
+
+  test("bm25: topK truncates and rank is dense from 1") {
+    val docs = (1 to 30).map(i => (i.toLong, "alpha " * i)).toDF("doc_id", "text")
+    val out = TextOps.bm25Of(docs, "doc_id", "text", Seq("alpha"), topK = 7).collect()
+    assert(out.length == 7)
+    assert(out.map(_.getLong(3)).sorted.toSeq == (1L to 7L))
+  }
+
+  test("weightedSample matches a driver-side brute-force replay and is deterministic") {
+    val rows = (1L to 200L).map(i => (i, (i % 7 + 1).toDouble))
+    val df = rows.toDF("id", "w")
+    def hash60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val want = rows.map { case (id, w) =>
+      val u = (hash60(s"salt7:$id") + 1).toDouble / 1152921504606846976.0
+      (id, math.log(u) / w)
+    }.sortBy { case (id, key) => (-key, id) }.take(25).map(_._1)
+    val got = DataOps.weightedSampleOf(df, "id", "w", "salt7", 25)
+      .orderBy("rnk").select("id").as[Long].collect().toSeq
+    assert(got == want)
+    val again = DataOps.weightedSampleOf(df, "id", "w", "salt7", 25)
+      .orderBy("rnk").select("id").as[Long].collect().toSeq
+    assert(again == got)
+  }
+
+  test("weightedSample: non-positive weights never drawn; n caps the draw") {
+    val df = Seq((1L, 5.0), (2L, 0.0), (3L, -1.0), (4L, 2.0)).toDF("id", "w")
+    val got = DataOps.weightedSampleOf(df, "id", "w", "s", 10)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 4L))
+    assert(DataOps.weightedSampleOf(df, "id", "w", "s", 1).count() == 1)
+  }
+
+  test("topPctPerGroup: exact ceil cutoffs per group, scores ordered") {
+    val df = (for (g <- Seq("a", "b"); i <- 1 to 5)
+      yield (g, i.toLong, i.toDouble)).toDF("g", "id", "s")
+    def kept(pct: Int): Map[String, Seq[Long]] =
+      DataOps.topPctPerGroupOf(df, "g", "s", "id", pct)
+        .collect().groupBy(_.getString(0))
+        .map { case (g, rs) => g -> rs.map(_.getLong(1)).sorted.toSeq }
+    assert(kept(40) == Map("a" -> Seq(4L, 5L), "b" -> Seq(4L, 5L))) // ceil(2)=2
+    assert(kept(1) == Map("a" -> Seq(5L), "b" -> Seq(5L)))          // ceil(0.05)=1
+    assert(kept(100) == Map("a" -> (1L to 5L), "b" -> (1L to 5L)))
+    assert(kept(50)("a") == Seq(3L, 4L, 5L))                        // ceil(2.5)=3
+  }
+
+  test("covariance matches the exact driver-side computation") {
+    val data = Seq(
+      (1L, Seq(1.0, 2.0, 0.5)), (2L, Seq(2.0, 1.0, 1.5)),
+      (3L, Seq(3.0, 5.0, -1.0)), (4L, Seq(0.0, 4.0, 2.0)))
+    val df = data.toDF("id", "v")
+    val n = data.size.toDouble
+    def mean(k: Int) = data.map(_._2(k)).sum / n
+    def cov(i: Int, j: Int) =
+      data.map(r => r._2(i) * r._2(j)).sum / n - mean(i) * mean(j)
+    val got = SimOps.covarianceOf(df, "id", "v").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.size == 6) // 3*4/2 upper-triangle cells
+    for (i <- 0 until 3; j <- i until 3) {
+      val (cnt, c) = got((i, j))
+      assert(cnt == 4L)
+      assert(math.abs(c - cov(i, j)) < 1e-12, s"cov($i,$j)")
+    }
+  }
+
+  test("pcaFit: orthonormal components, descending eigenvalues, projection variance = eigenvalue") {
+    // strongly correlated 2D cloud embedded in 3D, deterministic points
+    val pts = (0 until 80).map { k =>
+      val t = k * 0.1
+      (k.toLong, Seq(t, 2.0 * t + math.sin(k), 0.3 * math.cos(3 * k)))
+    }
+    val df = pts.toDF("id", "v")
+    val (evs, comps, means) = SimOps.pcaFitOf(df, "id", "v", dims = 3, nComp = 3)
+    assert(evs.length == 3 && evs.sliding(2).forall(p => p(0) >= p(1) - 1e-9))
+    assert(evs.forall(_ >= -1e-9)) // PSD
+    for (a <- 0 until 3; b <- a until 3) {
+      val d = comps(a).zip(comps(b)).map { case (x, y) => x * y }.sum
+      assert(math.abs(d - (if (a == b) 1.0 else 0.0)) < 1e-7, s"ortho($a,$b)")
+    }
+    // sign pin: largest-|coordinate| entry of each component is positive
+    comps.foreach(w => assert(w.maxBy(math.abs) > 0))
+    val proj = SimOps.pcaProjectOf(df, "v", comps, means)
+      .select("pc0", "pc1").as[(Double, Double)].collect()
+    def popVar(xs: Seq[Double]) = {
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / xs.size
+    }
+    assert(math.abs(popVar(proj.map(_._1).toSeq) - evs(0)) < 1e-6 * (1 + evs(0)))
+    assert(math.abs(popVar(proj.map(_._2).toSeq) - evs(1)) < 1e-6 * (1 + evs(1)))
+    assert(math.abs(proj.map(_._1).sum / proj.length) < 1e-9) // centered
+  }
+
+  test("pcaProject on a known axis-aligned cloud picks the max-variance axis") {
+    // dim1 = k%2 correlates weakly with dim0 (cov = 0.25), so the top
+    // component is rotated ~cov/(var0-var1) ≈ 0.0012 off axis 0
+    val pts = (0 until 50).map(k => (k.toLong, Seq(k * 1.0, (k % 2).toDouble)))
+    val df = pts.toDF("id", "v")
+    val (evs, comps, _) = SimOps.pcaFitOf(df, "id", "v", dims = 2, nComp = 1)
+    assert(math.abs(comps(0)(0)) > 0.999) // axis 0 dominates
+    assert(math.abs(comps(0)(1)) < 0.01)
+    assert(evs(0) > 100)
+  }
+}
