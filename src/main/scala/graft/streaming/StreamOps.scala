@@ -279,13 +279,71 @@ object StreamOps {
       |FROM r WHERE rank <= 3
       |ORDER BY bucket_ms, rank""".stripMargin
 
+  /** Windowed data-quality monitoring — the ds11 constraint suite as a
+    * CONTINUOUS gate, shared batch/streaming: per tumbling 1-hour
+    * window, volume, value completeness, event-type domain conformity
+    * and value-range conformity. Every aggregate is an associative
+    * integer COUNT (no distincts, no order-dependent float sums), so
+    * the streaming run is bit-equal to the batch run and the state per
+    * window is four longs. On a stream:
+    * `windowedQuality(readStream.withWatermark("ts", "2 hours"))`. */
+  def windowedQuality(events: DataFrame,
+                      domain: Seq[String] = Seq("view", "click", "purchase", "signup", "error"),
+                      lo: Double = 0.0, hi: Double = 1e6): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"),
+        count(col("value")).as("n_value"),
+        sum(when(col("event_type").isin(domain: _*), 1L).otherwise(0L)).as("n_domain"),
+        sum(when(col("value").between(lo, hi), 1L).otherwise(0L)).as("n_range"))
+
+  /** Presentation + gating projection for [[windowedQuality]]: fractions
+    * are long/long divisions (bit-exact), `passed` ANDs the volume and
+    * conformity thresholds. */
+  def windowedQualityOut(agg: DataFrame, minN: Long = 50,
+                         minComplete: Double = 0.99, minConform: Double = 0.999): DataFrame =
+    agg.select(
+        unix_millis(col("window.start")).as("bucket_ms"),
+        col("n"), col("n_value"),
+        r6(col("n_value") / col("n").cast("double")).as("value_complete"),
+        r6(col("n_domain") / col("n").cast("double")).as("domain_frac"),
+        r6(col("n_range") / col("n").cast("double")).as("range_frac"),
+        (col("n") >= minN &&
+          col("n_value") / col("n").cast("double") >= minComplete &&
+          col("n_domain") / col("n").cast("double") >= minConform &&
+          col("n_range") / col("n").cast("double") >= minConform).as("passed"))
+
+  /** #33e batch-equivalent entry: the continuous quality gate over the
+    * events table; streaming equivalence (watermark + memory sink) is
+    * proven in StreamingSpec with the same [[windowedQuality]] plan. */
+  private val st05: Q = (s, dir) =>
+    windowedQualityOut(windowedQuality(t(s, dir, "events"))).orderBy("bucket_ms")
+
+  private val st05Sql =
+    """WITH a AS (
+      |  SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms,
+      |    count(*) AS n, count(value) AS n_value,
+      |    sum(CASE WHEN event_type IN ('view','click','purchase','signup','error') THEN 1 ELSE 0 END) AS n_domain,
+      |    sum(CASE WHEN value BETWEEN 0.0 AND 1000000.0 THEN 1 ELSE 0 END) AS n_range
+      |  FROM events GROUP BY 1)
+      |SELECT bucket_ms, n, n_value,
+      |  round(n_value / CAST(n AS DOUBLE), 6) AS value_complete,
+      |  round(n_domain / CAST(n AS DOUBLE), 6) AS domain_frac,
+      |  round(n_range / CAST(n AS DOUBLE), 6) AS range_frac,
+      |  (n >= 50 AND n_value / CAST(n AS DOUBLE) >= 0.99
+      |    AND n_domain / CAST(n AS DOUBLE) >= 0.999
+      |    AND n_range / CAST(n AS DOUBLE) >= 0.999) AS passed
+      |FROM a ORDER BY bucket_ms""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "st05_stream_quality" -> st05,
     "st01_window_agg" -> st01,
     "st02_stream_dedup" -> st02,
     "st03_interval_join" -> st03,
     "st04_stream_topk" -> st04)
 
   val oracle: Map[String, String] = Map(
+    "st05_stream_quality" -> st05Sql,
     "st01_window_agg" -> st01Sql,
     "st02_stream_dedup" -> st02Sql,
     "st03_interval_join" -> st03Sql,

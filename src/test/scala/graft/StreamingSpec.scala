@@ -43,6 +43,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st05 windowed quality gate: streaming == batch bit-for-bit; flags violations") {
+    implicit val sql = spark.sqlContext
+    val bad = Seq(
+      Ev(7, 4, "bogus", ts(2), 1.0),                          // domain violation, hour 0
+      Ev(8, 4, "click", ts(63), -5.0),                        // range violation, hour 1
+      Ev(9, 5, "view", ts(64), 2.0))                          // normal
+    val all = rows ++ bad
+    val input = MemoryStream[Ev]
+    val q = StreamOps.windowedQualityOut(
+        StreamOps.windowedQuality(input.toDF().withWatermark("ts", "2 hours")), minN = 2)
+      .writeStream.format("memory").queryName("st05_out").outputMode("complete").start()
+    try {
+      input.addData(all.take(4))
+      q.processAllAvailable()
+      input.addData(all.drop(4))
+      q.processAllAvailable()
+      val streamed = spark.table("st05_out").orderBy("bucket_ms").collect().toSeq
+      val batch = StreamOps.windowedQualityOut(
+          StreamOps.windowedQuality(all.toDF()), minN = 2)
+        .orderBy("bucket_ms").collect().toSeq
+      assert(streamed == batch)
+      val byHour = batch.map(r => r.getLong(0) -> r).toMap
+      assert(batch.size == 3)
+      // hour 0: 1 domain violation in 3 events → domain_frac 2/3 → fail
+      assert(!byHour(1699999200000L).getBoolean(6))
+      // hour 2: clean, n=2 ≥ minN → pass
+      assert(byHour(1700006400000L).getBoolean(6))
+    } finally q.stop()
+  }
+
   test("st02 streaming dedup keeps first arrival per key within watermark") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[Ev]
