@@ -992,6 +992,18 @@ object Graft {
   def checkConstraints(df: DataFrame, checks: Seq[ops.QualityOps.Check]): DataFrame =
     ops.QualityOps.checkConstraintsOf(df, checks)
 
+  /** Cross-table embedding near-dup pairs — the d05 sign-sketch band
+    * machinery between TWO vector tables (semantic decontamination,
+    * retrieval-vs-corpus overlap): both sides sketch with the same
+    * deterministic planes, candidates pair only inside shared (band,
+    * chunk) buckets, exact cosine ≥ `threshold` confirms. When `right`
+    * is small (a benchmark suite) AQE broadcasts it and the left
+    * corpus never shuffles. */
+  def crossNearDupPairs(left: DataFrame, right: DataFrame, id: String,
+                        vec: String, threshold: Double, sketchBits: Int = 24,
+                        bands: Int = 4, dims: Int = 64): DataFrame =
+    ops.DedupOps.crossNearDupOf(left, right, id, vec, threshold, sketchBits, bands, dims)
+
   /** BM25 ranked retrieval over any (id, text) table: top-`topK` docs
     * for a small literal term set, Robertson idf + k1/b length
     * normalization. Map-only scoring (per-row array filters, one

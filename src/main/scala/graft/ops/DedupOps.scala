@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{F, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication family (SURVEY.md §2 #20-24) over the `documents` /
@@ -423,6 +424,72 @@ object DedupOps {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  /** Cross-table embedding near-dup pairs (public operator behind
+    * [[graft.Graft.crossNearDupPairs]] and the semantic-decontamination
+    * query d09): the d05 sign-sketch band machinery applied BETWEEN two
+    * vector tables — both sides sketch with the SAME deterministic
+    * planes, candidates only ever pair inside a shared (band, chunk)
+    * bucket, exact cosine confirms. Returns (a_id, b_id, cos_sim) with
+    * max-across-bands dedup (float max is order-exact, unlike sums).
+    * When the right side is small (a benchmark suite), AQE broadcasts
+    * it and the left corpus never shuffles. */
+  def crossNearDupOf(left: DataFrame, right: DataFrame, idCol: String,
+                     vecCol: String, threshold: Double, sketchBits: Int,
+                     bands: Int, dims: Int): DataFrame = {
+    require(sketchBits % bands == 0, "sketchBits must divide evenly into bands")
+    val cb = sketchBits / bands
+    val mask = (1L << cb) - 1
+    def banded(df: DataFrame, side: String): DataFrame = df
+      .select(col(idCol).as(s"${side}_id"), col(vecCol).cast("array<double>").as(s"__v$side"))
+      .withColumn("sketch", expr(s"graft_signsketch(__v$side, $sketchBits, $dims)"))
+      .localCheckpoint() // sketch once per side (round-2 sketch rule)
+      .select(col(s"${side}_id"), col(s"__v$side"), col("sketch"),
+        explode(sequence(lit(0), lit(bands - 1))).as("c"))
+      .withColumn("chunk", expr(s"shiftright(sketch, CAST($cb * c AS INT)) & $mask"))
+      .drop("sketch")
+    banded(left, "a").join(banded(right, "b"), Seq("c", "chunk"))
+      .withColumn("cos", expr("graft_cosine(__va, __vb)"))
+      .groupBy(col("a_id"), col("b_id")).agg(max(col("cos")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** #24c SEMANTIC decontamination — ds07/ds09's embedding-space
+    * sibling: training vectors within cosine ≥ τ of ANY benchmark
+    * vector are flagged, each with its single best-matching benchmark
+    * item as evidence (rank-1 by (cos desc, bench_id) — deterministic).
+    * Lexical 8-gram decontamination misses paraphrases; this catches
+    * what shares meaning but not surface form. */
+  private val d09: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    val w = Window.partitionBy(col("train_id"))
+      .orderBy(col("cos_sim").desc, col("bench_id"))
+    crossNearDupOf(e.filter(col("vec_id") < 450), e.filter(col("vec_id") >= 450),
+        "vec_id", "embedding", threshold = 0.3, sketchBits = 24, bands = 4, dims = 64)
+      .select(col("a_id").as("train_id"), col("b_id").as("bench_id"), col("cos_sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("train_id"), col("bench_id"), r6(col("cos_sim")).as("cos_sim"))
+      .orderBy("train_id")
+  }
+
+  private val d09Sql = {
+    val cos = graft.OracleSql.seqCosine("va", "vb", 64)
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sk AS (SELECT vec_id, v, $sketchDuck AS sketch FROM e),
+       |bands AS (SELECT vec_id, v, sketch, c.c AS c, (sketch >> CAST(6*c.c AS INTEGER)) & 63 AS chunk
+       |  FROM sk, range(0, 4) c(c)),
+       |p AS (SELECT a.vec_id AS train_id, b.vec_id AS bench_id, a.v AS va, b.v AS vb
+       |  FROM bands a JOIN bands b ON a.c = b.c AND a.chunk = b.chunk
+       |  WHERE a.vec_id < 450 AND b.vec_id >= 450),
+       |g AS (SELECT train_id, bench_id, max($cos) AS cosv FROM p GROUP BY train_id, bench_id),
+       |f AS (SELECT train_id, bench_id, cosv,
+       |    row_number() OVER (PARTITION BY train_id ORDER BY cosv DESC, bench_id) AS rnk
+       |  FROM g WHERE cosv >= 0.3)
+       |SELECT train_id, bench_id, round(cosv, 6) AS cos_sim
+       |FROM f WHERE rnk = 1
+       |ORDER BY train_id""".stripMargin
+  }
+
   /** #24b near-dup CLUSTERING: connected components over the minhash
     * pair graph (est_sim ≥ 0.5), labeling every clustered doc with the
     * minimum doc_id in its component — the step that turns pairwise
@@ -620,6 +687,7 @@ object DedupOps {
     "d03_simhash" -> d03,
     "d04_ngram_jaccard" -> d04,
     "d05_embedding_neardup" -> d05,
+    "d09_embed_decontaminate" -> d09,
     "d06_neardup_clusters" -> d06,
     "d07_edit_distance" -> d07)
 
@@ -630,6 +698,7 @@ object DedupOps {
     "d03_simhash" -> d03Sql,
     "d04_ngram_jaccard" -> d04Sql,
     "d05_embedding_neardup" -> d05Sql,
+    "d09_embed_decontaminate" -> d09Sql,
     "d06_neardup_clusters" -> d06Sql,
     "d07_edit_distance" -> d07Sql)
 }

@@ -78,6 +78,31 @@ class RetrievalSpec extends SparkSpec {
     assert(kept(50)("a") == Seq(3L, 4L, 5L))                        // ceil(2.5)=3
   }
 
+  test("crossNearDup: recall vs brute force at the threshold; no same-side pairs") {
+    // deterministic vectors: base direction per group, small per-item tilt
+    def vec(g: Int, k: Int): Seq[Double] =
+      (0 until 8).map(d => math.cos(g * 1.1 + d) + 0.01 * k * math.sin(d + g))
+    val left = (0 until 40).map(i => (i.toLong, vec(i % 4, i))).toDF("id", "v")
+    val right = (100 until 110).map(i => (i.toLong, vec(i % 4, i))).toDF("id", "v")
+    val got = graft.ops.DedupOps
+      .crossNearDupOf(left, right, "id", "v", 0.99, sketchBits = 16, bands = 8, dims = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force truth
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val truth = (for {
+      (i, vi) <- (0 until 40).map(i => (i.toLong, vec(i % 4, i)))
+      (j, vj) <- (100 until 110).map(j => (j.toLong, vec(j % 4, j)))
+      if cos(vi, vj) >= 0.99
+    } yield (i, j)).toSet
+    assert(truth.nonEmpty)
+    assert(got.subsetOf(truth))          // precision exact (cosine confirm)
+    assert(got.size >= truth.size * 8 / 10) // band recall high at 0.99
+    assert(got.forall { case (a, b) => a < 100 && b >= 100 })
+  }
+
   test("covariance matches the exact driver-side computation") {
     val data = Seq(
       (1L, Seq(1.0, 2.0, 0.5)), (2L, Seq(2.0, 1.0, 1.5)),
