@@ -437,6 +437,21 @@ object Graft {
     ops.DedupOps.embeddingNearDupOf(vecs, id, vec, threshold, cb * bands, bands, dims)
   }
 
+  /** [[crossNearDupPairs]] with the band width auto-sized from the
+    * LEFT (corpus) side — the same `approx_count_distinct` pre-pass +
+    * log(n) rule as [[embeddingNearDupPairsAuto]]. The left side
+    * drives bucket occupancy; the right (benchmark) side is small by
+    * contract. */
+  def crossNearDupPairsAuto(left: DataFrame, right: DataFrame, id: String,
+                            vec: String, dims: Int, threshold: Double,
+                            bands: Int = 4, targetBucket: Long = 32L): DataFrame = {
+    require(bands >= 1 && bands <= 10,
+      s"bands must be in [1, 10] (60-bit sketch word / 6-bit floor), got $bands")
+    val n = left.agg(approx_count_distinct(col(id))).head().getLong(0)
+    val cb = ops.DedupOps.lshBandBits(n, targetBucket, minBits = 6, maxBits = 60 / bands)
+    ops.DedupOps.crossNearDupOf(left, right, id, vec, threshold, cb * bands, bands, dims)
+  }
+
   /** [[annLsh]] with the band width auto-sized from the corpus — the
     * same `approx_count_distinct` pre-pass + log(n) rule as
     * [[embeddingNearDupPairsAuto]], so a 100× corpus gets wider

@@ -103,6 +103,18 @@ class RetrievalSpec extends SparkSpec {
     assert(got.forall { case (a, b) => a < 100 && b >= 100 })
   }
 
+  test("crossNearDupPairsAuto: precision stays exact, results confirm at threshold") {
+    def vec(g: Int, k: Int): Seq[Double] =
+      (0 until 8).map(d => math.cos(g * 1.1 + d) + 0.01 * k * math.sin(d + g))
+    val left = (0 until 40).map(i => (i.toLong, vec(i % 4, i))).toDF("id", "v")
+    val right = (100 until 110).map(i => (i.toLong, vec(i % 4, i))).toDF("id", "v")
+    val got = Graft.crossNearDupPairsAuto(left, right, "id", "v", dims = 8,
+        threshold = 0.99, bands = 8).collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_.getDouble(2) >= 0.99)) // exact-cosine confirm holds
+    assert(got.forall(r => r.getLong(0) < 100 && r.getLong(1) >= 100))
+  }
+
   test("covariance matches the exact driver-side computation") {
     val data = Seq(
       (1L, Seq(1.0, 2.0, 0.5)), (2L, Seq(2.0, 1.0, 1.5)),
