@@ -1043,6 +1043,14 @@ object Graft {
                      pct: Int): DataFrame =
     ops.DataOps.topPctPerGroupOf(df, group, score, tie, pct)
 
+  /** Per-key quantile discretization (MLlib QuantileDiscretizer shape
+    * on the q20 exact-percentile machinery): appends `bin` ∈
+    * [0, nBins−1], cut points at i/nBins per key, equal-boundary values
+    * to the upper bin. At 100 TB swap exact percentile for the sketch,
+    * or collect global cuts and use the `graft_searchsorted` kernel. */
+  def quantileBins(df: DataFrame, key: String, value: String, nBins: Int): DataFrame =
+    ops.CoreOps.quantileBinsOf(df, key, value, nBins)
+
   /** Population covariance matrix of a vector column, long-form upper
     * triangle (i, j, n, cov); moments run as cumulative window sums so
     * results are bit-reproducible. */

@@ -671,7 +671,59 @@ object CoreOps {
       |GROUP BY s_nationkey
       |ORDER BY s_nationkey""".stripMargin
 
+  /** Quantile discretization of ANY numeric column per key (public
+    * operator behind [[graft.Graft.quantileBins]]) — the feature-binning
+    * step (MLlib QuantileDiscretizer shape) on the q20 exact-percentile
+    * machinery: per-key interpolated cut points at i/nBins, broadcast
+    * back onto the fact scan, bin = #cuts ≤ value ∈ [0, nBins−1].
+    * Appends `bin`. Equal-boundary values go to the upper bin in both
+    * engines (≤ rule). One agg shuffle for the key-cardinality-sized
+    * cut table, no second fact shuffle; at 100 TB swap the exact
+    * percentile for `approx_percentile` (q20's documented trade), or
+    * for a GLOBAL binning collect the nBins−1 cuts to the driver and
+    * use the `graft_searchsorted` literal kernel (map-only, O(log k)
+    * per row instead of O(k)). */
+  def quantileBinsOf(df: DataFrame, key: String, value: String,
+                     nBins: Int): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val qs = (1 until nBins).map(i => s"${i.toDouble / nBins}D").mkString(", ")
+    val cuts = df.groupBy(col(key))
+      .agg(expr(s"percentile($value, array($qs))").as("__cuts"))
+    df.join(broadcast(cuts), Seq(key))
+      .withColumn("bin",
+        size(filter(col("__cuts"), c => c <= col(value))).cast("int"))
+      .drop("__cuts")
+  }
+
+  /** #19d decile binning of extendedprice per returnflag, summarized
+    * per (key, bin): the discretizer output as an auditable profile. */
+  private val q49: Q = (s, dir) =>
+    quantileBinsOf(t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice", 10)
+      .groupBy(col("l_returnflag"), col("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_extendedprice")).as("lo"), max(col("l_extendedprice")).as("hi"))
+      .select(col("l_returnflag"), col("bin"), col("n"),
+        r6(col("lo")).as("lo"), r6(col("hi")).as("hi"))
+      .orderBy("l_returnflag", "bin")
+
+  private val q49Sql = {
+    val qs = (1 until 10).map(i => (i / 10.0).toString).mkString(", ")
+    s"""WITH c AS (
+       |  SELECT l_returnflag, quantile_cont(l_extendedprice, [$qs]) AS cuts
+       |  FROM lineitem GROUP BY 1),
+       |b AS (
+       |  SELECT l.l_returnflag,
+       |    CAST(len(list_filter(c.cuts, x -> x <= l.l_extendedprice)) AS INT) AS bin,
+       |    l.l_extendedprice AS v
+       |  FROM lineitem l JOIN c USING (l_returnflag))
+       |SELECT l_returnflag, bin, count(*) AS n,
+       |  round(min(v), 6) AS lo, round(max(v), 6) AS hi
+       |FROM b GROUP BY 1, 2
+       |ORDER BY l_returnflag, bin""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q49_quantile_bins" -> q49,
     "q47_winsorize" -> q47,
     "q48_mad_outliers" -> q48,
     "q28_supplier_share" -> q28,
@@ -695,6 +747,7 @@ object CoreOps {
     "q19_minmax_windows" -> q19)
 
   val oracle: Map[String, String] = Map(
+    "q49_quantile_bins" -> q49Sql,
     "q47_winsorize" -> q47Sql,
     "q48_mad_outliers" -> q48Sql,
     "q28_supplier_share" -> q28Sql,

@@ -115,6 +115,25 @@ class RetrievalSpec extends SparkSpec {
     assert(got.forall(r => r.getLong(0) < 100 && r.getLong(1) >= 100))
   }
 
+  test("quantileBins: known cuts, boundary goes to upper bin, degenerate key collapses") {
+    val df = Seq(("a", 10.0), ("a", 20.0), ("a", 30.0), ("a", 40.0),
+      ("b", 7.0), ("b", 7.0), ("b", 7.0)).toDF("k", "v")
+    val got = graft.ops.CoreOps.quantileBinsOf(df, "k", "v", 4)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getInt(2)).toMap
+    // key a: cuts at p25/p50/p75 = 17.5, 25, 32.5 → one value per bin
+    assert(got(("a", 10.0)) == 0 && got(("a", 20.0)) == 1)
+    assert(got(("a", 30.0)) == 2 && got(("a", 40.0)) == 3)
+    // key b: all-equal values → cuts all equal v → everything upper bin
+    assert(got(("b", 7.0)) == 3)
+    // boundary: value == cut counts the cut (≤ rule) → upper bin
+    val eq = graft.ops.CoreOps.quantileBinsOf(
+        Seq(("x", 1.0), ("x", 2.0), ("x", 3.0)).toDF("k", "v"), "k", "v", 2)
+      .collect().map(r => r.getDouble(1) -> r.getInt(2)).toMap
+    assert(eq(2.0) == 1) // median = 2.0 exactly; 2.0 lands above
+    intercept[IllegalArgumentException](
+      graft.ops.CoreOps.quantileBinsOf(df, "k", "v", 1))
+  }
+
   test("covariance matches the exact driver-side computation") {
     val data = Seq(
       (1L, Seq(1.0, 2.0, 0.5)), (2L, Seq(2.0, 1.0, 1.5)),
