@@ -1019,6 +1019,14 @@ object Graft {
                         bands: Int = 4, dims: Int = 64): DataFrame =
     ops.DedupOps.crossNearDupOf(left, right, id, vec, threshold, sketchBits, bands, dims)
 
+  /** Distributed BPE vocabulary training (Sennrich word-level BPE):
+    * `nMerges` rounds of pair-count → merge over the word-frequency
+    * table (never the corpus), deterministic (count desc, left, right)
+    * tie-break, greedy left-to-right merge application. Returns the
+    * merge table (rank, left, right, pair_count). */
+  def bpeTrain(docs: DataFrame, id: String, text: String, nMerges: Int): DataFrame =
+    ops.TextOps.bpeTrainOf(docs, id, text, nMerges)
+
   /** BM25 ranked retrieval over any (id, text) table: top-`topK` docs
     * for a small literal term set, Robertson idf + k1/b length
     * normalization. Map-only scoring (per-row array filters, one

@@ -94,3 +94,42 @@ object TextImpl {
     s
   }
 }
+
+/** One greedy left-to-right BPE merge pass: every adjacent (left,
+  * right) symbol pair in the array is replaced by their concatenation.
+  * The workhorse of [[graft.ops.TextOps.bpeTrainOf]]'s training loop —
+  * each round applies the newly-learned merge to every word's symbol
+  * sequence map-side (the array is word-length-bounded, so the pass is
+  * O(len) per row with zero allocation beyond the output). */
+case class BpeMerge(child: Expression, left: String, right: String)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_merge"
+
+  @transient private lazy val l = UTF8String.fromString(left)
+  @transient private lazy val r = UTF8String.fromString(right)
+  @transient private lazy val lr = UTF8String.fromString(left + right)
+
+  def merge(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val out = new java.util.ArrayList[AnyRef](n)
+    var i = 0
+    while (i < n) {
+      if (i + 1 < n && a.getUTF8String(i) == l && a.getUTF8String(i + 1) == r) {
+        out.add(lr); i += 2
+      } else { out.add(a.getUTF8String(i)); i += 1 }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def nullSafeEval(ws: Any): Any = merge(ws.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeMerge", this, classOf[BpeMerge].getName)
+    defineCodeGen(ctx, ev, c => s"(org.apache.spark.sql.catalyst.util.ArrayData) $ref.merge($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

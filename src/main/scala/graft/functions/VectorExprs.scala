@@ -368,6 +368,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SearchSorted(children.head,
           litDoubleArray("graft_searchsorted", children(1), "boundaries", requireSorted = true))
       }))
+    ext.injectFunction((new FunctionIdentifier("graft_bpe_merge"),
+      new ExpressionInfo(classOf[BpeMerge].getName, "graft_bpe_merge"),
+      (children: Seq[Expression]) => {
+        arity("graft_bpe_merge", "(array<string> symbols, string left, string right)", children, 3)
+        BpeMerge(children.head,
+          litString("graft_bpe_merge", children(1), "left"),
+          litString("graft_bpe_merge", children(2), "right"))
+      }))
   }
 }
 
@@ -398,6 +406,16 @@ object GraftExtensions {
       s"got ${e.dataType.simpleString} (foldable=${e.foldable})")
     e.eval() match {
       case n: Number => n.intValue
+      case _ => bad(fn, s"argument `$name` must not be NULL")
+    }
+  }
+
+  private[functions] def litString(fn: String, e: Expression, name: String): String = {
+    if (!e.foldable || e.dataType != StringType)
+      bad(fn, s"argument `$name` must be a foldable string literal, " +
+        s"got ${e.dataType.simpleString} (foldable=${e.foldable})")
+    e.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
       case _ => bad(fn, s"argument `$name` must not be NULL")
     }
   }

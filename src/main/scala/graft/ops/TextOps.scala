@@ -762,7 +762,78 @@ object TextOps {
        |FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin
   }
 
+  /** Distributed BPE vocabulary training (public operator behind
+    * [[graft.Graft.bpeTrain]]) — the tokenizer-learning step of an LLM
+    * data pipeline, classic Sennrich BPE at the word level: words
+    * split to character symbols + an end-of-word marker, then
+    * `nMerges` rounds of (count adjacent symbol pairs weighted by word
+    * frequency → merge the most frequent pair everywhere). Returns the
+    * learned merge table (rank, left, right, pair_count).
+    *
+    * Scale shape: training state is the WORD-FREQUENCY table, not the
+    * corpus — one corpus-wide token count builds it, then every round
+    * is one vocabulary-sized pair-count shuffle (long-integer sums:
+    * deterministic) + a 1-row driver argmax (the kmeans budget) + a
+    * map-only [[graft.functions.BpeMerge]] kernel pass, with
+    * localCheckpoint truncating the per-round lineage (the d06 rule).
+    * Tie-break (count desc, left, right) is total ⇒ the learned merges
+    * are reproducible bit-for-bit at any parallelism. Greedy
+    * left-to-right within a word, the reference semantics ("aaa" +
+    * merge (a,a) → [aa, a]). */
+  def bpeTrainOf(docs: DataFrame, idCol: String, textCol: String,
+                 nMerges: Int): DataFrame = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = docs
+      .select(explode(words(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"),
+        concat(filter(split(col("w"), ""), s => length(s) > 0),
+          array(lit("</w>"))).as("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= nMerges && !done) {
+      val top = vocab
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank, l, r, n))
+        val lq = l.replace("\\", "\\\\").replace("'", "\\'")
+        val rq = r.replace("\\", "\\\\").replace("'", "\\'")
+        vocab = vocab
+          .withColumn("syms", expr(s"graft_bpe_merge(syms, '$lq', '$rq')"))
+        // truncate lineage every few rounds, not every round (the
+        // un-checkpointed tail is ≤3 map-only kernel passes over the
+        // vocab table, cheaper to replay than to materialize), and
+        // LAZILY — materialization folds into the next round's
+        // pair-count job instead of scheduling its own
+        if (rank % 4 == 0) vocab = vocab.localCheckpoint(false)
+        rank += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** #30e the learned 12-merge BPE table over the documents corpus
+    * (rows-only: the iterative global-argmax loop is outside the
+    * oracle's portable SQL subset; RetrievalSpec pins the training
+    * semantics against a driver-side reference implementation). */
+  private val t12: Q = (s, dir) =>
+    bpeTrainOf(t(s, dir, "documents"), "doc_id", "text", 12).orderBy("rank")
+
   val queries: Map[String, Q] = Map(
+    "t12_bpe_train" -> t12,
     "t11_bm25" -> t11,
     "p01_data_pipeline" -> p01,
     "t10_winnow_pairs" -> t10,

@@ -10,7 +10,7 @@ class OpsSpec extends SparkSpec {
 
   test("every declared query runs and respects its contract on sf0.001") {
     val qs = SparkEntry.queries
-    assert(qs.size == 108)
+    assert(qs.size == 109)
     // oracle coverage: everything except the rows-only entries — m02
     // (mapPartitions), the a01/a02 sketches (HLL++/quantile-sketch
     // results are not SQL-reproducible in DuckDB; ExtOpsSpec bounds
@@ -19,10 +19,12 @@ class OpsSpec extends SparkSpec {
     // subset; OptionJsonSpec pins the parse semantics instead)
     // (m06's Gear rolling fold is likewise outside the portable SQL
     // subset; Round7Spec pins the chunking semantics instead)
+    // (t12's iterative global-argmax BPE loop is outside it too;
+    // RetrievalSpec pins training against a driver-side reference)
     assert(SparkEntry.oracleSql.keySet ==
       qs.keySet - "m02_feature_batch" - "m06_cdc_dedup" - "a01_approx_distinct" -
         "a02_approx_percentile" - "o01_option_exercise" -
-        "o02_funding_rates" - "o03_margin_rates")
+        "o02_funding_rates" - "o03_margin_rates" - "t12_bpe_train")
   }
 
   test("d06 clusters: labels are a fixpoint and canonical is the cluster min") {

@@ -134,6 +134,56 @@ class RetrievalSpec extends SparkSpec {
       graft.ops.CoreOps.quantileBinsOf(df, "k", "v", 1))
   }
 
+  test("bpeTrain matches a driver-side reference BPE exactly (merges, counts, order)") {
+    val docs = Seq(
+      (1L, "low lower lowest low low"),
+      (2L, "new newer newest new"),
+      (3L, "low news new lower")).toDF("doc_id", "text")
+    val got = TextOps.bpeTrainOf(docs, "doc_id", "text", 8)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+
+    // reference: word-level Sennrich BPE with greedy left-to-right apply
+    val freq = Seq("low", "lower", "lowest", "low", "low", "new", "newer",
+      "newest", "new", "low", "news", "new", "lower")
+      .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    var vocab: Map[Seq[String], Long] =
+      freq.map { case (w, c) => (w.map(_.toString) :+ "</w>") -> c }.toMap
+    def applyMerge(syms: Seq[String], l: String, r: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) { out += (l + r); i += 2 }
+        else { out += syms(i); i += 1 }
+      }
+      out.toSeq
+    }
+    val want = (1 to 8).flatMap { rank =>
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        syms.sliding(2).foreach { case Seq(a, b) => pairs((a, b)) = pairs.getOrElse((a, b), 0L) + c; case _ => } }
+      if (pairs.isEmpty) None
+      else {
+        val ((l, r), n) = pairs.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        vocab = vocab.groupBy { case (syms, _) => applyMerge(syms, l, r) }
+          .map { case (syms, m) => syms -> m.values.sum }
+        Some((rank, l, r, n))
+      }
+    }
+    assert(got == want)
+    assert(got.size == 8 && got.map(_._1) == (1 to 8))
+  }
+
+  test("bpe merge kernel: greedy left-to-right, 'aaa' + (a,a) -> [aa, a]") {
+    val df = Seq((1L, "aaa aaaa")).toDF("doc_id", "text")
+    val got = TextOps.bpeTrainOf(df, "doc_id", "text", 2)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // round 1: pairs in "aaa</w>": (a,a)x2; in "aaaa</w>": (a,a)x3 -> (a,a)=5
+    assert(got.head == ("a", "a", 5L))
+    // after merge: [aa,a,</w>] and [aa,aa,</w>] -> round 2 top pair (aa,aa)=1? No:
+    // pairs: (aa,a)=1,(a,</w>)=1,(aa,aa)=1,(aa,</w>)=1 -> tie on count, lex (a,</w>) wins
+    assert(got(1) == ("a", "</w>", 1L))
+  }
+
   test("covariance matches the exact driver-side computation") {
     val data = Seq(
       (1L, Seq(1.0, 2.0, 0.5)), (2L, Seq(2.0, 1.0, 1.5)),
