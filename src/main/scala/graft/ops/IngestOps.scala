@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.{F, Tables}
 import graft.sources.{OptionJson, RatesJson}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Ingest-path queries (SURVEY.md §2 sources) — drive the source
@@ -74,9 +74,48 @@ object IngestOps {
       .orderBy("asset", "timestamp")
   }
 
+  /** #o04 option-KLINE ingest (crypto_data_pipline_clickhouse.py:
+    * 1031-1041 — the object-shaped kline payload, vs the array-shaped
+    * spot/futures one): two synthetic pages per symbol whose minute
+    * buckets COLLIDE across pages, so parseOptionKlines → page-concat →
+    * dedupKlinesKeepLast exercises the newest-page-wins heal on the
+    * (symbol, interval, timestamp) PK — the option-market interval
+    * rides the payload, so a 1h bar never collapses into the 1m bar
+    * sharing its openTime. */
+  private val o04: Q = (s, dir) => {
+    val ev = t(s, dir, "events").filter(pmod(col("event_id"), lit(31L)) === 0)
+    val minuteMs = epochMs(col("ts")) - pmod(epochMs(col("ts")), lit(60000L))
+    def page(seq: Long, slice: Column => Column, bump: Double): DataFrame = ev
+      .filter(slice(col("event_id")))
+      .groupBy(concat(col("event_type"), lit("-C")).as("sym"))
+      .agg(to_json(collect_list(struct(
+        (col("value") * lit(bump)).cast("string").as("open"),
+        (col("value") * lit(1.02)).cast("string").as("high"),
+        (col("value") * lit(0.98)).cast("string").as("low"),
+        (col("value") * lit(1.01)).cast("string").as("close"),
+        col("user_id").cast("string").as("volume"),
+        (col("user_id") * 2).cast("string").as("amount"),
+        when(pmod(col("event_id"), lit(2L)) === 0, lit("1m")).otherwise(lit("1h")).as("interval"),
+        pmod(col("event_id"), lit(500L)).cast("string").as("tradeCount"),
+        col("user_id").cast("string").as("takerVolume"),
+        col("user_id").cast("string").as("takerAmount"),
+        minuteMs.cast("string").as("openTime"),
+        (minuteMs + 59999L).cast("string").as("closeTime")))).as("payload"))
+      .withColumn("page_seq", lit(seq))
+    // page 2 re-fetches half the keys with REVISED opens (bump 1.1):
+    // the keep-last heal must surface page 2's values on collided PKs
+    val pages = page(1L, _ => lit(true), 1.0).unionByName(
+      page(2L, id => pmod(id, lit(62L)) === 0, 1.1))
+    OptionJson.dedupKlinesKeepLast(
+      OptionJson.parseOptionKlines(pages, "payload", "sym", Seq("page_seq")),
+      col("page_seq"))
+      .orderBy("symbol", "interval", "timestamp")
+  }
+
   val queries: Map[String, Q] = Map(
     "o01_option_exercise" -> o01,
     "o02_funding_rates" -> o02,
-    "o03_margin_rates" -> o03)
+    "o03_margin_rates" -> o03,
+    "o04_option_klines" -> o04)
   val oracle: Map[String, String] = Map.empty
 }

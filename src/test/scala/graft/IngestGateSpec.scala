@@ -42,6 +42,24 @@ class IngestGateSpec extends SparkSpec {
     assert(out.select("type").distinct().collect().map(_.getString(0)).toSeq == Seq("Margin"))
   }
 
+  test("o04: option-kline ingest is keyed unique with page-2 (newest) winning collisions") {
+    val out = ops.IngestOps.queries("o04_option_klines")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val cols = ops.IngestOps.queries("o04_option_klines")(spark, sfDir).columns
+    assert(cols.take(6).toSeq ==
+      Seq("symbol", "exchange", "type", "interval", "timestamp", "close_time"))
+    // PK unique on (symbol, interval, timestamp)
+    val keys = out.map(r => (r.getString(0), r.getString(3), r.getTimestamp(4)))
+    assert(keys.distinct.length == keys.length)
+    assert(out.forall(_.getString(2) == "OPTION"))
+    // page 2 re-fetches event_ids ≡ 0 mod 62 with opens bumped ×1.1;
+    // the keep-LAST heal must surface page 2's value on every collided
+    // PK: open ≈ 1.1 × (high / 1.02) ⇒ open/high ≈ 1.0784 (vs 0.9804)
+    val bumped = out.count(r => r.getDouble(6) / r.getDouble(7) > 1.0)
+    assert(bumped > 0, "collisions must exist and take page 2's revision")
+    assert(out.forall(r => Set("1m", "1h").contains(r.getString(3))))
+  }
+
   test("a03: sampled estimates are ×10 sample counts and recompute from raw text") {
     val out = ops.CoreOps.queries("a03_sampled_terms")(spark, sfDir).collect()
     assert(out.length == 20)

@@ -10,7 +10,7 @@ class OpsSpec extends SparkSpec {
 
   test("every declared query runs and respects its contract on sf0.001") {
     val qs = SparkEntry.queries
-    assert(qs.size == 109)
+    assert(qs.size == 110)
     // oracle coverage: everything except the rows-only entries — m02
     // (mapPartitions), the a01/a02 sketches (HLL++/quantile-sketch
     // results are not SQL-reproducible in DuckDB; ExtOpsSpec bounds
@@ -24,7 +24,7 @@ class OpsSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet ==
       qs.keySet - "m02_feature_batch" - "m06_cdc_dedup" - "a01_approx_distinct" -
         "a02_approx_percentile" - "o01_option_exercise" -
-        "o02_funding_rates" - "o03_margin_rates" - "t12_bpe_train")
+        "o02_funding_rates" - "o03_margin_rates" - "o04_option_klines" - "t12_bpe_train")
   }
 
   test("d06 clusters: labels are a fixpoint and canonical is the cluster min") {
