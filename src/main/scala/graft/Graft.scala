@@ -1027,6 +1027,13 @@ object Graft {
   def bpeTrain(docs: DataFrame, id: String, text: String, nMerges: Int): DataFrame =
     ops.TextOps.bpeTrainOf(docs, id, text, nMerges)
 
+  /** BPE tokenization with a learned merge table ([[bpeTrain]]'s
+    * output, rank order): map-only chained merge-kernel passes, no
+    * shuffle. Appends (tokens, n_tokens) per doc. */
+  def bpeEncode(docs: DataFrame, id: String, text: String,
+                merges: Seq[(String, String)]): DataFrame =
+    ops.TextOps.bpeEncodeOf(docs, id, text, merges)
+
   /** BM25 ranked retrieval over any (id, text) table: top-`topK` docs
     * for a small literal term set, Robertson idf + k1/b length
     * normalization. Map-only scoring (per-row array filters, one

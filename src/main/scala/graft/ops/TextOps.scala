@@ -825,6 +825,30 @@ object TextOps {
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
   }
 
+  /** BPE ENCODE — the inference side of [[bpeTrainOf]] (public operator
+    * behind [[graft.Graft.bpeEncode]]): applies a learned merge table
+    * in rank order to tokenize every document. Map-only: each merge is
+    * one chained [[graft.functions.BpeMerge]] kernel pass over the
+    * doc's flattened symbol array; no shuffle, no state. Within-word
+    * semantics hold on the flat array for free: any symbol containing
+    * the `</w>` marker is word-final, and no learnable merge ever has
+    * a word-final LEFT side (it never had a right neighbor in
+    * training), so merges cannot cross word boundaries. Appends
+    * (tokens, n_tokens). */
+  def bpeEncodeOf(docs: DataFrame, idCol: String, textCol: String,
+                  merges: Seq[(String, String)]): DataFrame = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+    val base = docs
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("__ws"))
+      .filter(size(col("__ws")) > 0)
+      .withColumn("syms", flatten(transform(col("__ws"),
+        w => concat(filter(split(w, ""), s => length(s) > 0), array(lit("</w>"))))))
+    merges.foldLeft(base) { case (d, (l, r)) =>
+      d.withColumn("syms", expr(s"graft_bpe_merge(syms, '${esc(l)}', '${esc(r)}')"))
+    }.select(col("doc_id"), col("syms").as("tokens"),
+      size(col("syms")).cast("long").as("n_tokens"))
+  }
+
   /** #30e the learned 12-merge BPE table over the documents corpus
     * (rows-only: the iterative global-argmax loop is outside the
     * oracle's portable SQL subset; RetrievalSpec pins the training

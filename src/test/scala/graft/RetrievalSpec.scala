@@ -173,6 +173,35 @@ class RetrievalSpec extends SparkSpec {
     assert(got.size == 8 && got.map(_._1) == (1 to 8))
   }
 
+  test("bpeEncode: matches per-word reference apply; tokens rejoin to the input") {
+    val docs = Seq(
+      (1L, "low lower lowest"),
+      (2L, "new newer lownew")).toDF("doc_id", "text")
+    val merges = TextOps.bpeTrainOf(docs, "doc_id", "text", 6)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val got = TextOps.bpeEncodeOf(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> (r.getSeq[String](1), r.getLong(2))).toMap
+
+    def applyMerge(syms: Seq[String], l: String, r: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) { out += (l + r); i += 2 }
+        else { out += syms(i); i += 1 }
+      }
+      out.toSeq
+    }
+    def encodeWord(w: String): Seq[String] =
+      merges.foldLeft[Seq[String]](w.map(_.toString) :+ "</w>")((s, m) => applyMerge(s, m._1, m._2))
+    Map(1L -> "low lower lowest", 2L -> "new newer lownew").foreach { case (id, text) =>
+      val want = text.split(" ").toSeq.flatMap(encodeWord)
+      assert(got(id)._1 == want, s"doc $id")
+      assert(got(id)._2 == want.length.toLong)
+      // lossless: stripping markers reconstructs the concatenated words
+      assert(got(id)._1.mkString.replace("</w>", "") == text.replace(" ", ""))
+    }
+  }
+
   test("bpe merge kernel: greedy left-to-right, 'aaa' + (a,a) -> [aa, a]") {
     val df = Seq((1L, "aaa aaaa")).toDF("doc_id", "text")
     val got = TextOps.bpeTrainOf(df, "doc_id", "text", 2)
