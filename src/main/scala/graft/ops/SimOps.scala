@@ -512,8 +512,13 @@ object SimOps {
   def covarianceOf(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val e = df.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
       .select(col("__id"), col("__v"), posexplode(col("__v")).as(Seq("i", "xi")))
-      .select(col("__id"), col("i"), col("xi"), posexplode(col("__v")).as(Seq("j", "xj")))
-      .filter(col("i") <= col("j"))
+      // second explode over the SLICED tail [i..d): generates exactly the
+      // d(d+1)/2 upper-triangle pairs instead of d² filtered down — the
+      // generate stage, not the window, dominates this op's cost
+      .select(col("__id"), col("i"), col("xi"),
+        posexplode(slice(col("__v"), col("i") + 1, greatest(size(col("__v")) - col("i"), lit(0))))
+          .as(Seq("__p", "xj")))
+      .withColumn("j", col("i") + col("__p"))
     val w = Window.partitionBy(col("i"), col("j")).orderBy(col("__id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(col("i"), col("j"))
