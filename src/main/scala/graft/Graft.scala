@@ -1058,6 +1058,21 @@ object Graft {
                      pct: Int): DataFrame =
     ops.DataOps.topPctPerGroupOf(df, group, score, tie, pct)
 
+  /** Ordered conversion funnel: step i counts users whose first step-i
+    * event at-or-after their step-(i−1) entry exists (min-timestamp
+    * chaining — strict in-order progress). One row per step with
+    * conversion rates. Every stage is a user-sized aggregate joined on
+    * the user key; the raw log never self-joins. */
+  def funnel(events: DataFrame, user: String, eventType: String, ts: String,
+             steps: Seq[String]): DataFrame =
+    ops.BehaviorOps.funnelOf(events, user, eventType, ts, steps)
+
+  /** Day-cohort retention: cohort = first active day per user; cell
+    * (cohort, k) = users active k days later, with retention fractions.
+    * One pass over the log into user-sized tables. */
+  def retention(events: DataFrame, user: String, ts: String, maxK: Int): DataFrame =
+    ops.BehaviorOps.retentionOf(events, user, ts, maxK)
+
   /** Per-key quantile discretization (MLlib QuantileDiscretizer shape
     * on the q20 exact-percentile machinery): appends `bin` ∈
     * [0, nBins−1], cut points at i/nBins per key, equal-boundary values

@@ -16,6 +16,7 @@ object SparkEntry {
       (CoreOps.queries, CoreOps.oracle),
       (DataOps.queries, DataOps.oracle),
       (TimeSeriesOps.queries, TimeSeriesOps.oracle),
+      (BehaviorOps.queries, BehaviorOps.oracle),
       (FinOps.queries, FinOps.oracle),
       (ScanOps.queries, ScanOps.oracle),
       (DedupOps.queries, DedupOps.oracle),

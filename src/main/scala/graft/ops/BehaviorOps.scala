@@ -1,0 +1,151 @@
+package graft.ops
+
+import graft.{F, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Behavioral analytics over the event stream (SURVEY.md §2 #19m/#19n)
+  * — the funnel/retention queries every event pipeline ships alongside
+  * the reference's time-series surface (the user_id/event_type shape of
+  * the events table IS the app-analytics schema).
+  *
+  * Scale stance: both operators reduce the event log to per-user
+  * aggregates FIRST (user-cardinality-sized tables), then join/roll up
+  * on the user key — the raw log is never joined against itself; every
+  * join key is the same `user` column so one hash partitioning serves
+  * the chain. Counts are longs; rates are long/long divisions at the
+  * output boundary (bit-exact in any engine).
+  */
+object BehaviorOps {
+  type Q = (SparkSession, String) => DataFrame
+  import Tables.t
+  import F._
+
+  /** Ordered conversion funnel over ANY (user, type, time) event table
+    * (public operator behind [[graft.Graft.funnel]]): step i counts
+    * users whose FIRST step-i event at-or-after their step-(i−1) entry
+    * exists — min-timestamp chaining, the strict "progress through the
+    * funnel in order" semantics (an early purchase before any view does
+    * NOT count step 3). Returns one row per step: (step, step_name,
+    * n_users, conv_from_prev, conv_from_first).
+    *
+    * Each stage is one filter + per-user min aggregation joined on the
+    * user key against the previous stage's user-sized table. */
+  def funnelOf(events: DataFrame, userCol: String, typeCol: String,
+               tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs >= 2 steps, got ${steps.size}")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ev = events.select(col(userCol).as("__u"), col(typeCol).as("__t"),
+      epochMs(col(tsCol)).as("__ms"))
+    // stage tables: (user, entry_ms) for users that reached the step
+    val entries = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (step, _)) =>
+        val mine = ev.filter(col("__t") === step)
+        val stage = prev match {
+          case None => mine.groupBy("__u").agg(min(col("__ms")).as("__entry"))
+          case Some(p) => mine
+            .join(p.select(col("__u"), col("__entry").as("__pentry")), "__u")
+            .filter(col("__ms") >= col("__pentry"))
+            .groupBy("__u").agg(min(col("__ms")).as("__entry"))
+        }
+        // each stage feeds the next stage AND its own count: persist so
+        // stage k isn't recomputed k times (evictable, lineage intact)
+        Some(stage.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }.flatten
+    val counts = entries.map(_.count())
+    entries.foreach(_.unpersist(blocking = false))
+    counts.zip(steps).zipWithIndex.map { case ((n, name), i) =>
+      (i + 1, name, n,
+        if (i == 0) 1.0 else n.toDouble / counts(i - 1),
+        n.toDouble / counts.head)
+    }.toDF("step", "step_name", "n_users", "conv_from_prev", "conv_from_first")
+  }
+
+  /** #19m the view → click → purchase funnel on the events table. */
+  private val q50: Q = (s, dir) =>
+    funnelOf(t(s, dir, "events"), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .select(col("step"), col("step_name"), col("n_users"),
+        r6(col("conv_from_prev")).as("conv_from_prev"),
+        r6(col("conv_from_first")).as("conv_from_first"))
+      .orderBy("step")
+
+  private val q50Sql =
+    """WITH e AS (SELECT user_id AS u, event_type AS t, epoch_ms(ts) AS ms FROM events),
+      |s1 AS (SELECT u, min(ms) AS entry FROM e WHERE t = 'view' GROUP BY u),
+      |s2 AS (SELECT e.u, min(e.ms) AS entry FROM e JOIN s1 ON e.u = s1.u
+      |  WHERE e.t = 'click' AND e.ms >= s1.entry GROUP BY e.u),
+      |s3 AS (SELECT e.u, min(e.ms) AS entry FROM e JOIN s2 ON e.u = s2.u
+      |  WHERE e.t = 'purchase' AND e.ms >= s2.entry GROUP BY e.u),
+      |c AS (SELECT (SELECT count(*) FROM s1) AS n1,
+      |             (SELECT count(*) FROM s2) AS n2,
+      |             (SELECT count(*) FROM s3) AS n3)
+      |SELECT * FROM (
+      |  SELECT 1 AS step, 'view' AS step_name, n1 AS n_users,
+      |    round(1.0, 6) AS conv_from_prev, round(1.0, 6) AS conv_from_first FROM c
+      |  UNION ALL SELECT 2, 'click', n2,
+      |    round(CAST(n2 AS DOUBLE) / n1, 6), round(CAST(n2 AS DOUBLE) / n1, 6) FROM c
+      |  UNION ALL SELECT 3, 'purchase', n3,
+      |    round(CAST(n3 AS DOUBLE) / n2, 6), round(CAST(n3 AS DOUBLE) / n1, 6) FROM c)
+      |ORDER BY step""".stripMargin
+
+  /** Retention cohorts over ANY (user, time) activity table (public
+    * operator behind [[graft.Graft.retention]]): cohort = the user's
+    * first active period (day-truncated), cell (cohort, k) = users
+    * active k periods later, retention = cell / cohort size. Returns
+    * (cohort_ms, k, n_active, n_cohort, retention) for 0 ≤ k ≤ maxK.
+    *
+    * Distinct (user, period) activity joins the user-sized first-day
+    * table on the user key; both inputs derive from ONE pass over the
+    * log. */
+  def retentionOf(events: DataFrame, userCol: String, tsCol: String,
+                  maxK: Int): DataFrame = {
+    require(maxK >= 1, s"maxK must be >= 1, got $maxK")
+    val dayMs = 86400000L
+    val act = events
+      .select(col(userCol).as("__u"),
+        (epochMs(col(tsCol)) - pmod(epochMs(col(tsCol)), lit(dayMs))).as("__day"))
+      .distinct()
+    val first = act.groupBy("__u").agg(min(col("__day")).as("cohort_ms"))
+    val cohortSize = first.groupBy("cohort_ms").agg(count(lit(1)).as("n_cohort"))
+    act.join(first, "__u")
+      .withColumn("k", ((col("__day") - col("cohort_ms")) / dayMs).cast("int"))
+      .filter(col("k") <= maxK)
+      .groupBy(col("cohort_ms"), col("k")).agg(count(lit(1)).as("n_active"))
+      .join(cohortSize, "cohort_ms")
+      .withColumn("retention", col("n_active") / col("n_cohort").cast("double"))
+  }
+
+  /** #19n day-cohort retention, k ≤ 7, over the events table. */
+  private val q51: Q = (s, dir) =>
+    retentionOf(t(s, dir, "events"), "user_id", "ts", maxK = 7)
+      .select(col("cohort_ms"), col("k"), col("n_active"), col("n_cohort"),
+        r6(col("retention")).as("retention"))
+      .orderBy("cohort_ms", "k")
+
+  private val q51Sql =
+    """WITH act AS (SELECT DISTINCT user_id AS u,
+      |    epoch_ms(ts) - epoch_ms(ts) % 86400000 AS day FROM events),
+      |first AS (SELECT u, min(day) AS cohort_ms FROM act GROUP BY u),
+      |sz AS (SELECT cohort_ms, count(*) AS n_cohort FROM first GROUP BY cohort_ms),
+      |cells AS (
+      |  SELECT f.cohort_ms, CAST((a.day - f.cohort_ms) // 86400000 AS INT) AS k,
+      |    count(*) AS n_active
+      |  FROM act a JOIN first f ON a.u = f.u
+      |  WHERE (a.day - f.cohort_ms) // 86400000 <= 7
+      |  GROUP BY 1, 2)
+      |SELECT c.cohort_ms, c.k, c.n_active, sz.n_cohort,
+      |  round(c.n_active / CAST(sz.n_cohort AS DOUBLE), 6) AS retention
+      |FROM cells c JOIN sz USING (cohort_ms)
+      |ORDER BY cohort_ms, k""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q50_funnel" -> q50,
+    "q51_retention" -> q51)
+
+  val oracle: Map[String, String] = Map(
+    "q50_funnel" -> q50Sql,
+    "q51_retention" -> q51Sql)
+}
