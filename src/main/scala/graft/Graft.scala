@@ -1083,18 +1083,29 @@ object Graft {
 
   /** Population covariance matrix of a vector column, long-form upper
     * triangle (i, j, n, cov); moments run as cumulative window sums so
-    * results are bit-reproducible. */
-  def covariance(df: DataFrame, id: String, vec: String): DataFrame =
-    ops.SimOps.covarianceOf(df, id, vec)
+    * results are bit-reproducible.
+    *
+    * 100 TB recipe IS the parameter: pass `samplePermille < 1000` and
+    * the pass runs over an md5-deterministic id sample (ds02 formula) —
+    * a d×d matrix needs ~d² effective rows, not the corpus, and the
+    * sampled moments are reproducible across reruns and cluster sizes.
+    * Default 1000 = full pass. */
+  def covariance(df: DataFrame, id: String, vec: String,
+                 samplePermille: Int = 1000): DataFrame =
+    ops.SimOps.covarianceOf(df, id, vec, samplePermille)
 
   /** PCA fit + map-only projection: one distributed covariance pass, a
     * driver-side d×d Jacobi eigensolve (the kmeans driver-state shape),
     * then `pc0..pc{k-1}` appended as centered dots with the top
     * components. Components are sign-normalized (largest-|coordinate|
-    * entry positive) so the output is deterministic. */
+    * entry positive) so the output is deterministic.
+    *
+    * `samplePermille < 1000` fits covariance + means on a deterministic
+    * id sample while the projection still maps over the FULL input —
+    * the 100 TB default recipe in one call. */
   def pcaProject(df: DataFrame, id: String, vec: String, dims: Int,
-                 nComp: Int): DataFrame = {
-    val (_, comps, means) = ops.SimOps.pcaFitOf(df, id, vec, dims, nComp)
+                 nComp: Int, samplePermille: Int = 1000): DataFrame = {
+    val (_, comps, means) = ops.SimOps.pcaFitOf(df, id, vec, dims, nComp, samplePermille)
     ops.SimOps.pcaProjectOf(df, vec, comps, means)
   }
 

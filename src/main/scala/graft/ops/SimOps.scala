@@ -506,11 +506,24 @@ object SimOps {
     * the q33 rule: hash-agg double sums have partition-order-dependent
     * low bits, cumulative sums are bit-exact against the oracle. The d²
     * fan-out is the honest cost (d² ≤ ~10⁵ for embedding dims); at
-    * 100 TB the covariance pass runs over a deterministic sample
-    * ([[graft.ops.DataOps.weightedSampleOf]]) — a d×d matrix needs ~d²
-    * effective rows, not the corpus. */
-  def covarianceOf(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val e = df.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
+    * 100 TB pass `samplePermille < 1000` — a d×d covariance needs ~d²
+    * effective rows, not the corpus, so `samplePermille = 10` (0.1%)
+    * over a 10¹¹-row corpus still leaves 10⁸ rows of support.
+    *
+    * `samplePermille` keeps rows whose md5 bucket of `salt || id`
+    * (mod 1000) falls below it — the ds02 recipe: the kept set is a
+    * pure function of the ids, so re-running, scaling the cluster, or
+    * retrying a stage cannot change the sampled moments. Default 1000
+    * = the full pass (bit-exact against the oracle). */
+  def covarianceOf(df: DataFrame, idCol: String, vecCol: String,
+                   samplePermille: Int = 1000, salt: String = "graft"): DataFrame = {
+    require(samplePermille >= 1 && samplePermille <= 1000,
+      s"samplePermille must be in [1,1000], got $samplePermille")
+    val in =
+      if (samplePermille >= 1000) df
+      else df.filter(pmod(hash60(concat(lit(salt + ":"), col(idCol).cast("string"))),
+        lit(1000L)) < samplePermille)
+    val e = in.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
       .select(col("__id"), col("__v"), posexplode(col("__v")).as(Seq("i", "xi")))
       // second explode over the SLICED tail [i..d): generates exactly the
       // d(d+1)/2 upper-triangle pairs instead of d² filtered down — the
@@ -544,20 +557,32 @@ object SimOps {
     * eigenvectors are only defined up to sign, this pins a
     * deterministic representative.
     *
+    * `samplePermille` (default 1000 = full pass) fits covariance AND
+    * means on the same md5-deterministic id sample — the 100 TB recipe:
+    * a d×d fit needs ~d² effective rows, so sample the fit, then run
+    * the map-only projection over the FULL corpus.
+    *
     * Cite: reference has no PCA; this serves the embedding columns the
     * LLM-pipeline families (s01–s06, d05) already operate on. */
   def pcaFitOf(df: DataFrame, idCol: String, vecCol: String, dims: Int,
-               nComp: Int): (Array[Double], Array[Array[Double]], Array[Double]) = {
+               nComp: Int, samplePermille: Int = 1000,
+               salt: String = "graft"): (Array[Double], Array[Array[Double]], Array[Double]) = {
     require(dims >= 2, s"dims must be >= 2, got $dims")
     require(nComp >= 1 && nComp <= dims, s"nComp must be in [1,$dims], got $nComp")
+    require(samplePermille >= 1 && samplePermille <= 1000,
+      s"samplePermille must be in [1,1000], got $samplePermille")
+    val in =
+      if (samplePermille >= 1000) df
+      else df.filter(pmod(hash60(concat(lit(salt + ":"), col(idCol).cast("string"))),
+        lit(1000L)) < samplePermille)
     val a = Array.ofDim[Double](dims, dims)
-    covarianceOf(df, idCol, vecCol).select("i", "j", "cov").collect().foreach { r =>
+    covarianceOf(in, idCol, vecCol).select("i", "j", "cov").collect().foreach { r =>
       val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
       a(i)(j) = c; a(j)(i) = c
     }
     val meanAggs = (0 until dims).map(i =>
       avg(element_at(col(vecCol).cast("array<double>"), i + 1)).as(s"m$i"))
-    val mRow = df.groupBy().agg(meanAggs.head, meanAggs.tail: _*).collect()(0)
+    val mRow = in.groupBy().agg(meanAggs.head, meanAggs.tail: _*).collect()(0)
     val means = Array.tabulate(dims)(mRow.getDouble)
 
     val v = Array.tabulate(dims, dims)((r, c) => if (r == c) 1.0 else 0.0)

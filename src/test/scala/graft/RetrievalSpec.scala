@@ -232,6 +232,47 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("covariance samplePermille: deterministic subset, moments converge to the full pass") {
+    // 4000 deterministic quasi-random rows; half-rate sample should
+    // reproduce every covariance cell within sampling error
+    val data = (0 until 4000).map { k =>
+      val a = 2.0 * math.sin(k * 0.7)
+      (k.toLong, Seq(a, 0.8 * a + math.cos(k * 1.3), math.sin(k * 0.31)))
+    }
+    val df = data.toDF("id", "v")
+    val full = SimOps.covarianceOf(df, "id", "v").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(3))).toMap
+    val s1 = SimOps.covarianceOf(df, "id", "v", samplePermille = 500).collect()
+    val s2 = SimOps.covarianceOf(df, "id", "v", samplePermille = 500).collect()
+    // bit-identical across reruns: the sample is a pure function of ids
+    assert(s1.map(_.toString).sorted.sameElements(s2.map(_.toString).sorted))
+    val n = s1.head.getLong(2)
+    assert(n > 1600 && n < 2400, s"~50% of 4000 expected, got $n")
+    s1.foreach { r =>
+      val ((i, j), c) = ((r.getInt(0), r.getInt(1)), r.getDouble(3))
+      assert(math.abs(c - full((i, j))) < 0.15 * (1 + math.abs(full((i, j)))),
+        s"sampled cov($i,$j)=$c vs full=${full((i, j))}")
+    }
+  }
+
+  test("pcaFit samplePermille: components align with full fit; projection covers full input") {
+    val data = (0 until 3000).map { k =>
+      val t = k * 0.05
+      (k.toLong, Seq(t, 2.0 * t + math.sin(k * 0.9), math.cos(k * 0.37)))
+    }
+    val df = data.toDF("id", "v")
+    val (_, fullComps, _) = SimOps.pcaFitOf(df, "id", "v", dims = 3, nComp = 2)
+    val (_, sampComps, sampMeans) = SimOps.pcaFitOf(df, "id", "v", dims = 3, nComp = 2,
+      samplePermille = 300)
+    for (k <- 0 until 2) {
+      val cos = fullComps(k).zip(sampComps(k)).map { case (x, y) => x * y }.sum
+      assert(math.abs(cos) > 0.95, s"component $k drifted: |cos|=$cos")
+    }
+    // fit is sampled but the map-only projection runs over the FULL input
+    val proj = SimOps.pcaProjectOf(df, "v", sampComps, sampMeans)
+    assert(proj.count() == 3000)
+  }
+
   test("pcaFit: orthonormal components, descending eigenvalues, projection variance = eigenvalue") {
     // strongly correlated 2D cloud embedded in 3D, deterministic points
     val pts = (0 until 80).map { k =>
