@@ -48,8 +48,8 @@ class IngestGateSpec extends SparkSpec {
     val cols = ops.IngestOps.queries("o04_option_klines")(spark, sfDir).columns
     assert(cols.take(6).toSeq ==
       Seq("symbol", "exchange", "type", "interval", "timestamp", "close_time"))
-    // PK unique on (symbol, interval, timestamp)
-    val keys = out.map(r => (r.getString(0), r.getString(3), r.getTimestamp(4)))
+    // PK unique on (symbol, interval, timestamp) — epoch-ms in the gate
+    val keys = out.map(r => (r.getString(0), r.getString(3), r.getLong(4)))
     assert(keys.distinct.length == keys.length)
     assert(out.forall(_.getString(2) == "OPTION"))
     // page 2 re-fetches event_ids ≡ 0 mod 62 with opens bumped ×1.1;
