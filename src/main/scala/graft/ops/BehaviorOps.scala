@@ -30,7 +30,16 @@ object BehaviorOps {
     * n_users, conv_from_prev, conv_from_first).
     *
     * Each stage is one filter + per-user min aggregation joined on the
-    * user key against the previous stage's user-sized table. */
+    * user key against the previous stage's user-sized table.
+    *
+    * LAZY and single-action: the stage tables are tagged with their step
+    * index, unioned, and counted in ONE groupBy — no per-stage driver
+    * `count()` loop, so an S-step funnel is one Spark action however
+    * large S gets. Shared stage subtrees across the union branches
+    * collapse via exchange reuse, so each stage aggregate still computes
+    * once. A step no user reached yields n_users = 0 (left join against
+    * the step spine) and conversions are pinned to 0.0 — never NaN —
+    * when the divisor step is empty. */
   def funnelOf(events: DataFrame, userCol: String, typeCol: String,
                tsCol: String, steps: Seq[String]): DataFrame = {
     require(steps.size >= 2, s"a funnel needs >= 2 steps, got ${steps.size}")
@@ -40,27 +49,34 @@ object BehaviorOps {
     val ev = events.select(col(userCol).as("__u"), col(typeCol).as("__t"),
       epochMs(col(tsCol)).as("__ms"))
     // stage tables: (user, entry_ms) for users that reached the step
-    val entries = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
-      case (prev, (step, _)) =>
-        val mine = ev.filter(col("__t") === step)
-        val stage = prev match {
-          case None => mine.groupBy("__u").agg(min(col("__ms")).as("__entry"))
-          case Some(p) => mine
-            .join(p.select(col("__u"), col("__entry").as("__pentry")), "__u")
-            .filter(col("__ms") >= col("__pentry"))
-            .groupBy("__u").agg(min(col("__ms")).as("__entry"))
-        }
-        // each stage feeds the next stage AND its own count: persist so
-        // stage k isn't recomputed k times (evictable, lineage intact)
-        Some(stage.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    }.flatten
-    val counts = entries.map(_.count())
-    entries.foreach(_.unpersist(blocking = false))
-    counts.zip(steps).zipWithIndex.map { case ((n, name), i) =>
-      (i + 1, name, n,
-        if (i == 0) 1.0 else n.toDouble / counts(i - 1),
-        n.toDouble / counts.head)
-    }.toDF("step", "step_name", "n_users", "conv_from_prev", "conv_from_first")
+    val entries = steps.foldLeft(Vector.empty[DataFrame]) { (acc, step) =>
+      val mine = ev.filter(col("__t") === step)
+      acc :+ (acc.lastOption match {
+        case None => mine.groupBy("__u").agg(min(col("__ms")).as("__entry"))
+        case Some(p) => mine
+          .join(p.select(col("__u"), col("__entry").as("__pentry")), "__u")
+          .filter(col("__ms") >= col("__pentry"))
+          .groupBy("__u").agg(min(col("__ms")).as("__entry"))
+      })
+    }
+    val counts = entries.zipWithIndex
+      .map { case (df, i) => df.select(lit(i + 1).as("step"), col("__u")) }
+      .reduce(_ unionByName _)
+      .groupBy("step").agg(count(lit(1)).as("__n"))
+    val spine = steps.zipWithIndex.map { case (s, i) => (i + 1, s) }
+      .toDF("step", "step_name")
+    val base = spine.join(broadcast(counts), Seq("step"), "left")
+      .withColumn("n_users", coalesce(col("__n"), lit(0L)))
+    val prev = base.select((col("step") + 1).as("step"), col("n_users").as("__prev"))
+    val frst = base.filter(col("step") === 1).select(col("n_users").as("__first"))
+    base.join(broadcast(prev), Seq("step"), "left")
+      .crossJoin(broadcast(frst)) // 1-row build side: documented BNLJ
+      .select(col("step"), col("step_name"), col("n_users"),
+        when(col("step") === 1, lit(1.0))
+          .when(col("__prev") > 0, col("n_users").cast("double") / col("__prev"))
+          .otherwise(lit(0.0)).as("conv_from_prev"),
+        when(col("__first") > 0, col("n_users").cast("double") / col("__first"))
+          .otherwise(lit(0.0)).as("conv_from_first"))
   }
 
   /** #19m the view → click → purchase funnel on the events table. */
@@ -99,7 +115,8 @@ object BehaviorOps {
     *
     * Distinct (user, period) activity joins the user-sized first-day
     * table on the user key; both inputs derive from ONE pass over the
-    * log. */
+    * log. Day truncation is floor-mod (`pmod`), so pre-epoch timestamps
+    * truncate toward -∞ like any other day. */
   def retentionOf(events: DataFrame, userCol: String, tsCol: String,
                   maxK: Int): DataFrame = {
     require(maxK >= 1, s"maxK must be >= 1, got $maxK")
@@ -125,9 +142,14 @@ object BehaviorOps {
         r6(col("retention")).as("retention"))
       .orderBy("cohort_ms", "k")
 
+  // day truncation uses the FLOOR-mod form (pmod's semantics): DuckDB's
+  // bare % returns negative remainders for pre-epoch timestamps, which
+  // would diverge from Spark's pmod — identical on post-1970 data, but
+  // the oracle states the same function, not a lookalike
   private val q51Sql =
     """WITH act AS (SELECT DISTINCT user_id AS u,
-      |    epoch_ms(ts) - epoch_ms(ts) % 86400000 AS day FROM events),
+      |    epoch_ms(ts) - ((epoch_ms(ts) % 86400000 + 86400000) % 86400000) AS day
+      |  FROM events),
       |first AS (SELECT u, min(day) AS cohort_ms FROM act GROUP BY u),
       |sz AS (SELECT cohort_ms, count(*) AS n_cohort FROM first GROUP BY cohort_ms),
       |cells AS (

@@ -40,6 +40,43 @@ class BehaviorSpec extends SparkSpec {
     assert(out.map(_.getLong(2)).toSeq == Seq(1L, 1L))
   }
 
+  test("funnel: construction is lazy (no jobs) and an S=10 funnel is one action") {
+    // the old impl ran a persist + count() per stage AT CONSTRUCTION —
+    // ≥2S driver-blocking jobs before the caller ever asked for rows
+    val ev = (1L to 40L).flatMap { u =>
+      (0 until 10).filter(s => u % (s + 1) == 0).map(s => (u, s"s$s", ts(s)))
+    }.toDF("user_id", "event_type", "ts")
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = BehaviorOps.funnelOf(ev, "user_id", "event_type", "ts",
+        (0 until 10).map(s => s"s$s"))
+      Thread.sleep(1000) // listener bus is async; let any events drain
+      assert(jobs == 0, s"funnel construction must not run Spark jobs, ran $jobs")
+      val out = df.orderBy("step").collect()
+      assert(out.length == 10)
+      // step k requires u divisible by lcm(1..k+1): lcm 1,2,6,12 → 40,20,6,3
+      assert(out.map(_.getLong(2)).take(4).toSeq == Seq(40L, 20L, 6L, 3L))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("funnel: a step nobody reached yields 0 users and 0.0 conversions, never NaN") {
+    val ev = Seq(
+      (1L, "view", ts(0)), (2L, "view", ts(0)), (1L, "click", ts(1))
+    ).toDF("user_id", "event_type", "ts")
+    val out = BehaviorOps.funnelOf(ev, "user_id", "event_type", "ts",
+      Seq("view", "signup", "click")).orderBy("step").collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(2L, 0L, 0L))
+    val convs = out.flatMap(r => Seq(r.getDouble(3), r.getDouble(4)))
+    assert(convs.forall(c => !c.isNaN), s"NaN leaked: ${convs.toSeq}")
+    assert(out(1).getDouble(3) == 0.0 && out(2).getDouble(3) == 0.0,
+      "conversion out of / into an empty step is 0.0")
+  }
+
   test("retention: exact day cells from a hand-built activity grid") {
     val day = 24
     val ev = Seq(
