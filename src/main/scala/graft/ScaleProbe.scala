@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Volume-probe main (the SURVEY §6 scale evidence, reproducible in one
+  * command): replicate the testdata tables ×N with key spread — ids and
+  * users offset per replica so key cardinality grows with volume, the
+  * shape a bigger corpus actually has — then time a set of queries
+  * against the replicated dir through the `noop` sink (full compute,
+  * nothing written, same contract as [[Bench]]).
+  *
+  *   sbt "runMain graft.ScaleProbe"                    # ×10, default query set
+  *   sbt "runMain graft.ScaleProbe 20 q50_funnel ..."  # ×20, chosen queries
+  *
+  * Emits one JSON line (`"metric":"probe_total"`) with per-query wall
+  * seconds, so a probe claim in SURVEY §6 can be replayed and diffed
+  * like a Bench artifact. Replicas are built once per (factor, source)
+  * under /tmp and reused; delete the dir to regenerate.
+  *
+  * Why this exists: the round-7 ×10 probe caught an uncapped
+  * fingerprint self-join running away quadratically — every new
+  * pairing operator gets probed here before it is called done. */
+object ScaleProbe {
+  private val DefaultQueries = Seq(
+    "q50_funnel", "q51_retention", "t11_bm25", "t12_bpe_train",
+    "ds12_weighted_sample", "ds13_quality_prune", "q49_quantile_bins",
+    "ds10_profile", "ds11_checks", "st05_stream_quality")
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val queries = if (args.length > 1) args.drop(1).toSeq else DefaultQueries
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = s"/tmp/graft_x${factor}_${src.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val spark = Sessions.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!new java.io.File(out).exists()) {
+      val r = spark.range(factor).toDF("r")
+      Tables.t(spark, src, "events").crossJoin(r)
+        .select((col("event_id") + col("r") * 10000000L).as("event_id"),
+          col("ts"), (col("user_id") + col("r") * 1000000L).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+      Tables.t(spark, src, "documents").crossJoin(r)
+        .select((col("doc_id") + col("r") * 10000000L).as("doc_id"),
+          col("text"), col("lang"),
+          concat(col("source"), lit("_"), col("r")).as("source"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "embeddings")
+        .foreach(t => Tables.t(spark, src, t)
+          .write.mode("overwrite").parquet(s"$out/$t.parquet"))
+    }
+
+    val results = queries.map { q =>
+      val t0 = System.nanoTime()
+      val ok = try {
+        SparkEntry.queries(q)(spark, out).write.format("noop").mode("overwrite").save()
+        true
+      } catch { case _: Throwable => false }
+      q -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }
+    def ms(v: Double): Double = math.rint(v * 1000) / 1000
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"probe":$qs,"factor":$factor,"src":"$src","metric":"probe_total","value":${ms(total)},"unit":"sec"}""")
+    spark.stop()
+  }
+}
