@@ -1023,9 +1023,21 @@ object Graft {
     * `nMerges` rounds of pair-count → merge over the word-frequency
     * table (never the corpus), deterministic (count desc, left, right)
     * tie-break, greedy left-to-right merge application. Returns the
-    * merge table (rank, left, right, pair_count). */
-  def bpeTrain(docs: DataFrame, id: String, text: String, nMerges: Int): DataFrame =
-    ops.TextOps.bpeTrainOf(docs, id, text, nMerges)
+    * merge table (rank, left, right, pair_count).
+    *
+    * Wall-clock contract: BPE merges are inherently sequential (merge
+    * k+1 reads the vocab after merge k), so **jobs = nMerges** — each
+    * a vocabulary-sized pair-count shuffle plus a 1-row driver argmax;
+    * the corpus is scanned exactly once, to build the word table. A
+    * 32k-merge tokenizer is a 32k-job nightly batch whose per-round
+    * cost is independent of corpus size. To restart after a driver
+    * failure, replay the merges already persisted via `priorMerges`
+    * (map-only, no shuffles) and training continues bit-identically —
+    * the argmax tie-break is total, so resumed and uninterrupted runs
+    * learn the same table. */
+  def bpeTrain(docs: DataFrame, id: String, text: String, nMerges: Int,
+               priorMerges: Seq[(String, String)] = Nil): DataFrame =
+    ops.TextOps.bpeTrainOf(docs, id, text, nMerges, priorMerges)
 
   /** BPE tokenization with a learned merge table ([[bpeTrain]]'s
     * output, rank order): map-only chained merge-kernel passes, no

@@ -781,7 +781,27 @@ object TextOps {
     * left-to-right within a word, the reference semantics ("aaa" +
     * merge (a,a) → [aa, a]). */
   def bpeTrainOf(docs: DataFrame, idCol: String, textCol: String,
-                 nMerges: Int): DataFrame = {
+                 nMerges: Int): DataFrame =
+    bpeTrainOf(docs, idCol, textCol, nMerges, Nil)
+
+  /** Resume variant: `priorMerges` (rank order) are replayed onto the
+    * fresh word-frequency table as map-only kernel passes — no
+    * pair-count shuffles, no argmaxes — and training continues at rank
+    * `priorMerges.size + 1` for `nMerges` MORE merges. Because every
+    * round's argmax tie-break is total, the resumed run learns
+    * bit-identical merges to an uninterrupted one: a driver restart
+    * mid-training loses at most the in-flight round, never determinism
+    * (spec-pinned in RetrievalSpec).
+    *
+    * Wall-clock contract (the inherent BPE shape, not an accident of
+    * this impl): merge k+1 depends on the vocab AFTER merge k, so the
+    * loop is sequential — jobs = nMerges, each one vocabulary-sized
+    * pair-count shuffle (the corpus is touched ONCE, building the word
+    * table) + a 1-row driver argmax. A 32k-merge vocab is therefore a
+    * 32k-job nightly batch whose per-job input is the word table, not
+    * the corpus; corpus size only affects the first count. */
+  def bpeTrainOf(docs: DataFrame, idCol: String, textCol: String,
+                 nMerges: Int, priorMerges: Seq[(String, String)]): DataFrame = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -792,10 +812,16 @@ object TextOps {
         concat(filter(split(col("w"), ""), s => length(s) > 0),
           array(lit("</w>"))).as("syms"))
       .localCheckpoint()
+    def q(s: String): String = s.replace("\\", "\\\\").replace("'", "\\'")
+    priorMerges.foreach { case (l, r) =>
+      vocab = vocab.withColumn("syms", expr(s"graft_bpe_merge(syms, '${q(l)}', '${q(r)}')"))
+    }
+    if (priorMerges.nonEmpty) vocab = vocab.localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    var rank = 1
+    var rank = priorMerges.size + 1
+    val lastRank = priorMerges.size + nMerges
     var done = false
-    while (rank <= nMerges && !done) {
+    while (rank <= lastRank && !done) {
       val top = vocab
         .filter(size(col("syms")) >= 2)
         .select(col("cnt"), explode(expr(
@@ -809,10 +835,8 @@ object TextOps {
       else {
         val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((rank, l, r, n))
-        val lq = l.replace("\\", "\\\\").replace("'", "\\'")
-        val rq = r.replace("\\", "\\\\").replace("'", "\\'")
         vocab = vocab
-          .withColumn("syms", expr(s"graft_bpe_merge(syms, '$lq', '$rq')"))
+          .withColumn("syms", expr(s"graft_bpe_merge(syms, '${q(l)}', '${q(r)}')"))
         // truncate lineage every few rounds, not every round (the
         // un-checkpointed tail is ≤3 map-only kernel passes over the
         // vocab table, cheaper to replay than to materialize), and

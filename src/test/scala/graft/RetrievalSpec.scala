@@ -213,6 +213,24 @@ class RetrievalSpec extends SparkSpec {
     assert(got(1) == ("a", "</w>", 1L))
   }
 
+  test("bpeTrain: resume from persisted merges reproduces the uninterrupted run bit-for-bit") {
+    // the restart contract: replay the k merges already persisted
+    // (map-only), continue training — ranks k+1..N must equal an
+    // uninterrupted N-merge run exactly, counts included
+    val docs = (1L to 30L).map(i =>
+      (i, "alpha beta gamma delta " * (i % 3 + 1).toInt)).toDF("doc_id", "text")
+    val full = TextOps.bpeTrainOf(docs, "doc_id", "text", 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(full.length == 10)
+    val persisted = full.take(4).map(t => (t._2, t._3)).toSeq
+    val resumed = TextOps.bpeTrainOf(docs, "doc_id", "text", 6, persisted)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(resumed.toSeq == full.drop(4).toSeq,
+      s"resumed run diverged:\n${resumed.toSeq}\nvs\n${full.drop(4).toSeq}")
+  }
+
   test("covariance matches the exact driver-side computation") {
     val data = Seq(
       (1L, Seq(1.0, 2.0, 0.5)), (2L, Seq(2.0, 1.0, 1.5)),
