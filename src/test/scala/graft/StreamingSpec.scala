@@ -273,6 +273,61 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("checkpointed restart: MACD three-recurrence state survives stop/start bit-exactly") {
+    // the ScanOps-state family's restart contract: fast/slow/signal
+    // accumulators come back from the checkpoint and rows after the
+    // restart CONTINUE the three recurrences exactly
+    import graft.streaming.BollEvent
+    import java.nio.file.{Files => F}
+    val root = F.createTempDirectory("graft_macd_chk")
+    val srcDir = root.resolve("src"); F.createDirectories(srcDir)
+    val outDir = root.resolve("out").toString
+    val chkDir = root.resolve("chk").toString
+    def land(name: String, rows: Seq[BollEvent]): Unit = {
+      val staged = root.resolve(name).toString
+      rows.toDF().coalesce(1).write.mode("overwrite").parquet(staged)
+      new java.io.File(staged).listFiles.filter(_.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (f, i) =>
+          F.move(f.toPath, srcDir.resolve(s"$name-$i.parquet")) }
+    }
+    val schema = Seq.empty[BollEvent].toDF().schema
+    def startQuery() =
+      StreamOps.streamingMacd(
+          spark.readStream.schema(schema).parquet(srcDir.toString).as[BollEvent],
+          fast = 2, slow = 4, signal = 3)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", chkDir)
+        .outputMode("append").start()
+    def ev(id: Long, v: Double) = BollEvent("K", id, new java.sql.Timestamp(1700000000000L + id * 60000L), v)
+    val all = Seq(ev(1, 10.0), ev(2, 14.0), ev(3, 7.0), ev(4, 21.0), ev(5, 3.0))
+    land("b1", all.take(3))
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    land("b2", all.drop(3))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(outDir)
+      .select("event_id", "macd", "signal", "hist").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // the exact three-recurrence fold over the full series
+    val (aF, bF) = (2.0 / 3, 1.0 - 2.0 / 3)
+    val (aS, bS) = (2.0 / 5, 1.0 - 2.0 / 5)
+    val (aG, bG) = (2.0 / 4, 1.0 - 2.0 / 4)
+    val want = all.map(_.value).scanLeft(Option.empty[(Double, Double, Double)]) {
+      case (None, v) => Some((v, v, 0.0))
+      case (Some((eF, eS, g)), v) =>
+        val nF = eF * bF + aF * v
+        val nS = eS * bS + aS * v
+        Some((nF, nS, g * bG + aG * (nF - nS)))
+    }.flatten
+    assert(got.size == 5)
+    all.zip(want).foreach { case (e, (eF, eS, g)) =>
+      val m = eF - eS
+      assert(got(e.event_id) == ((m, g, m - g)),
+        s"event ${e.event_id}: ${got(e.event_id)} != ${(m, g, m - g)}")
+    }
+  }
+
   test("streaming exact EWMA == batch segmented scan BIT-FOR-BIT across micro-batches") {
     import graft.streaming.{BollEvent, EwmaOut}
     implicit val sql = spark.sqlContext
