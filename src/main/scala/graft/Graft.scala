@@ -714,6 +714,16 @@ object Graft {
         (col("__ss") / col("__n") - col("beta") * (col("__sb") / col("__n"))).as("alpha"))
   }
 
+  /** Per-key OLS trend of a series against its own bar index: slope,
+    * intercept, r² of value over x = 0,1,2,… in `ts` order — drift
+    * estimation ([[betaVs]] regresses against a benchmark; this
+    * against time). Σx/Σx² are closed forms of n, the y-moments run as
+    * cumulative folds in time order ⇒ bit-reproducible at any
+    * parallelism; one window shuffle on the key. Null slope/r² on
+    * degenerate series instead of ±Inf/NaN. */
+  def linearTrend(df: DataFrame, key: String, ts: String, value: String): DataFrame =
+    ops.FinOps.trendOf(df, key, ts, value)
+
   /** SCD Type-2 dimension history: per entity `key`, the `state`
     * stream ordered by (ts, id) compresses into change intervals —
     * consecutive repeats collapse; each change opens a version row
@@ -1045,6 +1055,16 @@ object Graft {
   def bpeEncode(docs: DataFrame, id: String, text: String,
                 merges: Seq[(String, String)]): DataFrame =
     ops.TextOps.bpeEncodeOf(docs, id, text, merges)
+
+  /** Hashed sparse feature vectors (the hashing trick): token →
+    * md5 bucket mod `dim` with an independent ±1 sign hash, one sparse
+    * cell (doc_id, bucket, feat, n_tokens) per (doc, bucket). No vocab
+    * table to build or ship — the feature space is a pure function of
+    * the bytes, so independently hashed corpora are feature-compatible;
+    * map-side explode + one integer-sum shuffle, ≤ `dim` cells/doc. */
+  def featureHash(docs: DataFrame, id: String, text: String, dim: Int,
+                  salt: String = "graft"): DataFrame =
+    ops.TextOps.featureHashOf(docs, id, text, dim, salt)
 
   /** BM25 ranked retrieval over any (id, text) table: top-`topK` docs
     * for a small literal term set, Robertson idf + k1/b length

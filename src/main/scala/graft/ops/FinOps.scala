@@ -530,6 +530,101 @@ object FinOps {
       |FROM f
       |ORDER BY series""".stripMargin
 
+  /** Per-key OLS trend of a value series against its bar index (public
+    * operator behind [[graft.Graft.linearTrend]]): slope/intercept/r²
+    * of y over x = 0,1,2,… in time order — the trend-estimation
+    * companion of [[betaVs]] (which regresses against a benchmark's
+    * returns; this regresses against time itself).
+    *
+    * Exactness: x is the row index, so Σx and Σx² are CLOSED FORMS of
+    * n (no float accumulation at all); the three y-moments (Σy, Σxy,
+    * Σy²) run as cumulative window sums in time order — the q33 rule:
+    * bit-reproducible at any parallelism, hash-exact vs the oracle.
+    * One window shuffle on the key; every key's state is O(1).
+    * Degenerate series (n < 2 or zero variance) yield null slope/r²
+    * rather than ±Inf/NaN. */
+  def trendOf(df: DataFrame, keyCol: String, tsCol: String, valueCol: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("__k")).orderBy(col("__t"))
+    val cum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val e = df
+      .select(col(keyCol).as("__k"), col(tsCol).as("__t"),
+        col(valueCol).cast("double").as("__y"))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("__k"))))
+      .withColumn("x", (col("rn") - 1).cast("double"))
+      .withColumn("sy", sum(col("__y")).over(cum))
+      .withColumn("sxy", sum(col("x") * col("__y")).over(cum))
+      .withColumn("syy", sum(col("__y") * col("__y")).over(cum))
+      .filter(col("rn") === col("n"))
+    val nD = col("n").cast("double")
+    val sx = nD * (nD - lit(1.0)) / lit(2.0)
+    val sxx = (nD - lit(1.0)) * nD * (lit(2.0) * nD - lit(1.0)) / lit(6.0)
+    val dx = nD * sxx - sx * sx
+    val dy = nD * col("syy") - col("sy") * col("sy")
+    val cov = nD * col("sxy") - sx * col("sy")
+    e.select(col("__k").as("series"), col("n").as("n_buckets"),
+      when(col("n") >= 2 && dx > 0, cov / dx).as("slope"),
+      when(col("n") >= 2 && dx > 0,
+        (col("sy") - (cov / dx) * sx) / nD).as("intercept"),
+      when(col("n") >= 2 && dx > 0 && dy > 0,
+        (cov * cov) / (dx * dy)).as("r2"))
+  }
+
+  /** #q52 per-series OLS trend of the hourly close grid: is the series
+    * drifting, how steeply, and how linear is the drift. */
+  private val q52: Q = (s, dir) => {
+    val bars = graft.Graft.resampleOhlc(t(s, dir, "events"),
+        "event_type", "ts", "event_id", "value", "hour")
+      .select(col("event_type"), col("bucket"), col("close"))
+    trendOf(bars, "event_type", "bucket", "close")
+      .select(col("series"), col("n_buckets"),
+        r6(col("slope")).as("slope"), r6(col("intercept")).as("intercept"),
+        r6(col("r2")).as("r2"))
+      .orderBy("series")
+  }
+
+  private val q52Sql =
+    """WITH b AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+      |    last(value ORDER BY ts, event_id) AS close
+      |  FROM events GROUP BY 1, 2),
+      |b2 AS (
+      |  SELECT event_type, bucket, close,
+      |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY bucket) - 1
+      |      AS DOUBLE) AS x
+      |  FROM b),
+      |c AS (
+      |  SELECT event_type AS series,
+      |    row_number() OVER o AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n,
+      |    sum(close) OVER w AS sy,
+      |    sum(x * close) OVER w AS sxy,
+      |    sum(close * close) OVER w AS syy
+      |  FROM b2
+      |  WINDOW o AS (PARTITION BY event_type ORDER BY bucket),
+      |    w AS (PARTITION BY event_type ORDER BY bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |f AS (
+      |  SELECT series, n, sy, sxy, syy,
+      |    CAST(n AS DOUBLE) AS nd,
+      |    CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0 AS sx,
+      |    (CAST(n AS DOUBLE) - 1.0) * CAST(n AS DOUBLE) * (2.0 * CAST(n AS DOUBLE) - 1.0) / 6.0 AS sxx
+      |  FROM c WHERE rn = n),
+      |g AS (
+      |  SELECT series, n, sy, nd, sx,
+      |    nd * sxx - sx * sx AS dx,
+      |    nd * syy - sy * sy AS dy,
+      |    nd * sxy - sx * sy AS cov
+      |  FROM f)
+      |SELECT series, n AS n_buckets,
+      |  round(CASE WHEN n >= 2 AND dx > 0 THEN cov / dx END, 6) AS slope,
+      |  round(CASE WHEN n >= 2 AND dx > 0
+      |    THEN (sy - (cov / dx) * sx) / nd END, 6) AS intercept,
+      |  round(CASE WHEN n >= 2 AND dx > 0 AND dy > 0
+      |    THEN (cov * cov) / (dx * dy) END, 6) AS r2
+      |FROM g
+      |ORDER BY series""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q30_vwap" -> q30,
     "q31_bollinger" -> q31,
@@ -542,7 +637,8 @@ object FinOps {
     "q38_obv" -> q38,
     "q41_beta" -> q41,
     "q45_stochastic" -> q45,
-    "q46_donchian" -> q46)
+    "q46_donchian" -> q46,
+    "q52_linregress" -> q52)
 
   val oracle: Map[String, String] = Map(
     "q30_vwap" -> q30Sql,
@@ -556,5 +652,6 @@ object FinOps {
     "q38_obv" -> q38Sql,
     "q45_stochastic" -> q45Sql,
     "q46_donchian" -> q46Sql,
+    "q52_linregress" -> q52Sql,
     "q41_beta" -> q41Sql)
 }

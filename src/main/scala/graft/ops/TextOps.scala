@@ -880,7 +880,54 @@ object TextOps {
   private val t12: Q = (s, dir) =>
     bpeTrainOf(t(s, dir, "documents"), "doc_id", "text", 12).orderBy("rank")
 
+  /** Hashed sparse feature vectors over ANY (id, text) table (public
+    * operator behind [[graft.Graft.featureHash]]) — the hashing trick
+    * (Weinberger et al. 2009): token → bucket = md5-hash mod `dim`,
+    * with a second independent hash choosing a ±1 sign so collisions
+    * cancel in expectation. Returns one sparse cell per (doc, bucket):
+    * (doc_id, bucket, feat = Σ sign, n_tokens).
+    *
+    * The fixed-vocabulary-free featurizer a streaming training
+    * pipeline needs: no vocab table to build, ship, or version — the
+    * feature space is a pure function of the bytes, so two corpora
+    * hashed independently are feature-compatible. Map-side explode +
+    * one (doc, bucket)-keyed integer-sum shuffle; ≤ `dim` cells per
+    * doc regardless of document length; md5-deterministic (the ds01
+    * split rule) at any parallelism. */
+  def featureHashOf(docs: DataFrame, idCol: String, textCol: String,
+                    dim: Int, salt: String = "graft"): DataFrame = {
+    require(dim >= 2, s"dim must be >= 2, got $dim")
+    docs
+      .select(col(idCol).as("doc_id"), explode(words(col(textCol))).as("tok"))
+      .withColumn("bucket", pmod(hash60(concat(lit(salt + ":"), col("tok"))), lit(dim.toLong)))
+      .withColumn("sgn",
+        when(pmod(hash60(concat(lit("sgn:"), col("tok"))), lit(2L)) === 0, lit(1L))
+          .otherwise(lit(-1L)))
+      .groupBy("doc_id", "bucket")
+      .agg(sum(col("sgn")).as("feat"), count(lit(1)).as("n_tokens"))
+  }
+
+  /** #t13 64-dim hashed feature cells for every document. */
+  private val t13: Q = (s, dir) =>
+    featureHashOf(t(s, dir, "documents"), "doc_id", "text", dim = 64)
+      .orderBy("doc_id", "bucket")
+
+  private val t13Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5('graft:' || tok), 1, 15)) AS BIGINT) % 64 AS bucket,
+      |    CASE WHEN CAST(('0x' || substr(md5('sgn:' || tok), 1, 15)) AS BIGINT) % 2 = 0
+      |      THEN 1 ELSE -1 END AS sgn
+      |  FROM toks)
+      |SELECT doc_id, bucket, sum(sgn) AS feat, count(*) AS n_tokens
+      |FROM h GROUP BY 1, 2
+      |ORDER BY doc_id, bucket""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t13_feature_hash" -> t13,
     "t12_bpe_train" -> t12,
     "t11_bm25" -> t11,
     "p01_data_pipeline" -> p01,
@@ -896,6 +943,7 @@ object TextOps {
     "t06_normalize" -> t06)
 
   val oracle: Map[String, String] = Map(
+    "t13_feature_hash" -> t13Sql,
     "t11_bm25" -> t11Sql,
     "p01_data_pipeline" -> p01Sql,
     "t10_winnow_pairs" -> t10Sql,

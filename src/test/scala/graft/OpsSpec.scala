@@ -10,21 +10,21 @@ class OpsSpec extends SparkSpec {
 
   test("every declared query runs and respects its contract on sf0.001") {
     val qs = SparkEntry.queries
-    assert(qs.size == 112)
+    assert(qs.size == 114)
     // oracle coverage: everything except the rows-only entries — m02
     // (mapPartitions), the a01/a02 sketches (HLL++/quantile-sketch
     // results are not SQL-reproducible in DuckDB; ExtOpsSpec bounds
-    // their error against the exact values instead) and the o01 JSON
-    // ingest round-trip (not expressible in the oracle's portable SQL
-    // subset; OptionJsonSpec pins the parse semantics instead)
+    // their error against the exact values instead)
     // (m06's Gear rolling fold is likewise outside the portable SQL
     // subset; Round7Spec pins the chunking semantics instead)
     // (t12's iterative global-argmax BPE loop is outside it too;
     // RetrievalSpec pins training against a driver-side reference)
+    // (o01–o04 graduated to full oracles in round 8: the JSON
+    // round-trip is the identity on their payloads, so DuckDB replays
+    // build → concat → keyed heal directly from events)
     assert(SparkEntry.oracleSql.keySet ==
       qs.keySet - "m02_feature_batch" - "m06_cdc_dedup" - "a01_approx_distinct" -
-        "a02_approx_percentile" - "o01_option_exercise" -
-        "o02_funding_rates" - "o03_margin_rates" - "o04_option_klines" - "t12_bpe_train")
+        "a02_approx_percentile" - "t12_bpe_train")
   }
 
   test("d06 clusters: labels are a fixpoint and canonical is the cluster min") {

@@ -231,6 +231,53 @@ class RetrievalSpec extends SparkSpec {
       s"resumed run diverged:\n${resumed.toSeq}\nvs\n${full.drop(4).toSeq}")
   }
 
+  test("linearTrend: exact OLS on a known line + noise; degenerate series null out") {
+    import graft.ops.FinOps
+    // y = 3 + 2x exactly → slope 2, intercept 3, r2 1
+    val line = (0 until 20).map(i => ("line", i.toLong, 3.0 + 2.0 * i))
+    // constant series → dy = 0 → r2 null, slope 0
+    val flat = (0 until 5).map(i => ("flat", i.toLong, 7.0))
+    // single point → n < 2 → all null
+    val one = Seq(("one", 0L, 1.0))
+    val df = (line ++ flat ++ one).toDF("k", "b", "v")
+    val out = FinOps.trendOf(df, "k", "b", "v").orderBy("series").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("flat", "line", "one"))
+    val l = out(1)
+    assert(math.abs(l.getDouble(2) - 2.0) < 1e-9 && math.abs(l.getDouble(3) - 3.0) < 1e-9)
+    assert(math.abs(l.getDouble(4) - 1.0) < 1e-9)
+    assert(out(0).getDouble(2) == 0.0 && out(0).isNullAt(4), "flat: slope 0, r2 null")
+    assert(out(2).isNullAt(2) && out(2).isNullAt(3) && out(2).isNullAt(4), "n=1: all null")
+    // descending line: negative slope, r2 = 1
+    val desc = (0 until 10).map(i => ("d", i.toLong, 100.0 - 5.0 * i)).toDF("k", "b", "v")
+    val dr = FinOps.trendOf(desc, "k", "b", "v").collect()(0)
+    assert(math.abs(dr.getDouble(2) + 5.0) < 1e-9 && math.abs(dr.getDouble(4) - 1.0) < 1e-9)
+  }
+
+  test("featureHash: sign-cancelling cells from first principles; partitioning-invariant") {
+    import graft.ops.TextOps
+    val docs = Seq((1L, "alpha beta alpha"), (2L, "beta beta gamma"), (3L, "")).toDF("id", "body")
+    val out = TextOps.featureHashOf(docs, "id", "body", dim = 8, salt = "s").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // recompute from first principles with the same md5 formula
+    def h60(s: String): Long =
+      java.lang.Long.parseLong(java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    def cell(toks: Seq[String]): Map[Long, (Long, Long)] =
+      toks.groupBy(t => h60("s:" + t) % 8).map { case (b, ts) =>
+        b -> (ts.map(t => if (h60("sgn:" + t) % 2 == 0) 1L else -1L).sum, ts.size.toLong)
+      }
+    val want = Map(1L -> cell(Seq("alpha", "beta", "alpha")),
+      2L -> cell(Seq("beta", "beta", "gamma")))
+    val wantFlat = for ((d, cs) <- want; (b, v) <- cs) yield (d, b) -> v
+    assert(out == wantFlat, s"$out vs $wantFlat")
+    assert(!out.keySet.exists(_._1 == 3L), "empty doc yields no cells")
+    // deterministic under repartitioning
+    val again = TextOps.featureHashOf(docs.repartition(7), "id", "body", dim = 8, salt = "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(again == out)
+    intercept[IllegalArgumentException](TextOps.featureHashOf(docs, "id", "body", dim = 1))
+  }
+
   test("covariance matches the exact driver-side computation") {
     val data = Seq(
       (1L, Seq(1.0, 2.0, 0.5)), (2L, Seq(2.0, 1.0, 1.5)),
