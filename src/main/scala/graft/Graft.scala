@@ -724,6 +724,23 @@ object Graft {
   def linearTrend(df: DataFrame, key: String, ts: String, value: String): DataFrame =
     ops.FinOps.trendOf(df, key, ts, value)
 
+  /** Offline CUSUM changepoint per series: S_i = Σ(y−μ) in time order,
+    * changepoint = argmax |S| (total tie-break), score = |S|/(σ·√n).
+    * Mean-drift detection for any metric stream — ingest volumes,
+    * quality scores, prices. μ/σ/S are all cumulative folds ⇒
+    * bit-reproducible; two window passes on the series key. */
+  def cusum(df: DataFrame, key: String, ts: String, id: String,
+            value: String): DataFrame =
+    ops.TimeSeriesOps.cusumOf(df, key, ts, id, value)
+
+  /** Hour-of-day seasonal profile per series: per (series, hour 0-23)
+    * the count, mean, and hour-mean / series-mean ratio — the diurnal
+    * baseline an anomaly gate divides by. Cumulative-fold exact; the
+    * second pass runs over ≤24 rows per series. */
+  def seasonality(df: DataFrame, key: String, ts: String, id: String,
+                  value: String): DataFrame =
+    ops.TimeSeriesOps.seasonalityOf(df, key, ts, id, value)
+
   /** SCD Type-2 dimension history: per entity `key`, the `state`
     * stream ordered by (ts, id) compresses into change intervals —
     * consecutive repeats collapse; each change opens a version row
@@ -1104,6 +1121,30 @@ object Graft {
     * One pass over the log into user-sized tables. */
   def retention(events: DataFrame, user: String, ts: String, maxK: Int): DataFrame =
     ops.BehaviorOps.retentionOf(events, user, ts, maxK)
+
+  /** First-order Markov transition matrix: per user in time order,
+    * consecutive event pairs → (from_type, to_type) edge counts and
+    * row-stochastic probabilities — where users actually go next. One
+    * user-key window pass + one edge-count aggregation. */
+  def transitions(events: DataFrame, user: String, ts: String, id: String,
+                  eventType: String): DataFrame =
+    ops.BehaviorOps.transitionsOf(events, user, ts, id, eventType)
+
+  /** Trailing k-day distinct active users per observed day (the WAU/MAU
+    * curve). Distinct (user, day) activity fans out to the ≤ k window
+    * ends it covers (map-side explode) — never a distinct-per-frame
+    * window or a range self-join. */
+  def rollingActive(events: DataFrame, user: String, ts: String, k: Int): DataFrame =
+    ops.BehaviorOps.rollingActiveOf(events, user, ts, k)
+
+  /** Daily volatility estimators over an OHLC bar table: per (series,
+    * day) close-to-close realized variance, Parkinson, and
+    * Garman–Klass — the risk columns scheduled next to ATR. Day sums
+    * are cumulative folds in bar order (bit-reproducible); one
+    * (series, day) window shuffle. */
+  def volatility(bars: DataFrame, key: String, ts: String, open: String,
+                 high: String, low: String, close: String): DataFrame =
+    ops.FinOps.volatilityOf(bars, key, ts, open, high, low, close)
 
   /** Per-key quantile discretization (MLlib QuantileDiscretizer shape
     * on the q20 exact-percentile machinery): appends `bin` ∈

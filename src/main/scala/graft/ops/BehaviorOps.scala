@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{F, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Behavioral analytics over the event stream (SURVEY.md §2 #19m/#19n)
@@ -163,11 +164,110 @@ object BehaviorOps {
       |FROM cells c JOIN sz USING (cohort_ms)
       |ORDER BY cohort_ms, k""".stripMargin
 
+  /** Event-type transition matrix over ANY (user, time, type) event
+    * table (public operator behind [[graft.Graft.transitions]]): per
+    * user in (ts, id) order, each consecutive event pair contributes
+    * one (from_type, to_type) edge; returns the edge counts and the
+    * row-stochastic probability p = n(from→to) / n(from→·) — the
+    * first-order Markov chain funnel/retention's fixed steps can't
+    * see (where do users actually GO next?).
+    *
+    * One user-key window pass (lead) + one (from, to) count agg; the
+    * probability normalizer is a window sum over the ≤ |types|² count
+    * rows. Counts are longs; p is one long/long division at the output
+    * boundary — bit-exact in any engine at any parallelism. */
+  def transitionsOf(events: DataFrame, userCol: String, tsCol: String,
+                    idCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__u")).orderBy(col("__t"), col("__id"))
+    events
+      .select(col(userCol).as("__u"), col(tsCol).as("__t"),
+        col(idCol).as("__id"), col(typeCol).as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .withColumn("p", col("n_transitions").cast("double") /
+        sum(col("n_transitions")).over(Window.partitionBy(col("from_type"))))
+  }
+
+  /** #q55 event-type transition matrix over the events table. */
+  private val q55: Q = (s, dir) =>
+    transitionsOf(t(s, dir, "events"), "user_id", "ts", "event_id", "event_type")
+      .select(col("from_type"), col("to_type"), col("n_transitions"),
+        r6(col("p")).as("p"))
+      .orderBy("from_type", "to_type")
+
+  private val q55Sql =
+    """WITH e AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS to_type
+      |  FROM events),
+      |c AS (SELECT from_type, to_type, count(*) AS n_transitions
+      |  FROM e WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n_transitions,
+      |  round(CAST(n_transitions AS DOUBLE) /
+      |    sum(n_transitions) OVER (PARTITION BY from_type), 6) AS p
+      |FROM c
+      |ORDER BY from_type, to_type""".stripMargin
+
+  /** Rolling k-day distinct active users (public operator behind
+    * [[graft.Graft.rollingActive]]): per observed activity day d, the
+    * count of distinct users active in (d−k+1 .. d] — the trailing
+    * WAU/MAU curve. Returns (day_ms, n_active).
+    *
+    * Scale stance: sliding-window COUNT DISTINCT never runs as a
+    * distinct-per-frame window (O(k) re-scan per row) or a range
+    * self-join. The distinct (user, day) activity set fans each row
+    * out to the ≤ k window-end days it covers (map-side ×k explode —
+    * membership in "active within k days of d" is exactly "d within
+    * k days after an active day"), one distinct collapses overlapping
+    * coverage, one count per day. Day truncation is the q51 floor-mod
+    * (epoch-ms longs — no calendar/timezone in the hot path); output
+    * days are restricted to observed activity days via a broadcast
+    * day-set semi-join. Integer counts ⇒ bit-exact. */
+  def rollingActiveOf(events: DataFrame, userCol: String, tsCol: String,
+                      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val dayMs = 86400000L
+    val act = events
+      .select(col(userCol).as("__u"),
+        (epochMs(col(tsCol)) - pmod(epochMs(col(tsCol)), lit(dayMs))).as("__day"))
+      .distinct()
+    val days = act.select(col("__day").as("day_ms")).distinct()
+    act
+      .select(col("__u"), explode(sequence(col("__day"),
+        col("__day") + lit((k - 1) * dayMs), lit(dayMs))).as("day_ms"))
+      .distinct()
+      .join(broadcast(days), "day_ms")
+      .groupBy(col("day_ms")).agg(count(lit(1)).as("n_active"))
+  }
+
+  /** #q57 trailing 7-day distinct actives per observed day. */
+  private val q57: Q = (s, dir) =>
+    rollingActiveOf(t(s, dir, "events"), "user_id", "ts", k = 7)
+      .orderBy("day_ms")
+
+  private val q57Sql =
+    """WITH act AS (SELECT DISTINCT user_id AS u,
+      |    epoch_ms(ts) - ((epoch_ms(ts) % 86400000 + 86400000) % 86400000) AS day
+      |  FROM events),
+      |days AS (SELECT DISTINCT day FROM act)
+      |SELECT days.day AS day_ms, count(DISTINCT a.u) AS n_active
+      |FROM days JOIN act a
+      |  ON a.day BETWEEN days.day - 6 * 86400000 AND days.day
+      |GROUP BY 1
+      |ORDER BY day_ms""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q50_funnel" -> q50,
-    "q51_retention" -> q51)
+    "q51_retention" -> q51,
+    "q55_transitions" -> q55,
+    "q57_rolling_active" -> q57)
 
   val oracle: Map[String, String] = Map(
     "q50_funnel" -> q50Sql,
-    "q51_retention" -> q51Sql)
+    "q51_retention" -> q51Sql,
+    "q55_transitions" -> q55Sql,
+    "q57_rolling_active" -> q57Sql)
 }

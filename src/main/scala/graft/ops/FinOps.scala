@@ -625,7 +625,103 @@ object FinOps {
       |FROM g
       |ORDER BY series""".stripMargin
 
+  /** Daily volatility estimators over an OHLC bar table (public
+    * operator behind [[graft.Graft.volatility]]): per (series, day) —
+    *   realized_var  Σ ln(c_t/c_{t−1})² over the day's bars (close-to-
+    *                 close realized variance; 0 for a 1-bar day),
+    *   parkinson     Σ ln(h/l)² / (4·ln2·n) — the range-based estimator
+    *                 that sees intra-bar motion closes miss,
+    *   gk            Garman–Klass: Σ(½·ln(h/l)² − (2ln2−1)·ln(c/o)²)/n.
+    * The risk columns a data pipeline schedules daily next to q37's ATR.
+    *
+    * Exactness: bar OHLC are exact arg-picks ([[hourBars]]); each ln
+    * term is a pure per-row function of them; the day sums are
+    * cumulative folds in bar order taken at the day's last row (q33
+    * rule — never hash-agg double sums). The two irrational constants
+    * are Scala-computed literals interpolated into BOTH engines'
+    * plans, so no libm divergence can flip a rounding boundary. One
+    * (series, day) window shuffle; degenerate bars (h=l, 1-bar days)
+    * produce exact zeros, not NaN. */
+  def volatilityOf(bars: DataFrame, keyCol: String, tsCol: String,
+                   openCol: String, highCol: String, lowCol: String,
+                   closeCol: String): DataFrame = {
+    val base = bars.select(col(keyCol).as("__k"), col(tsCol).as("__t"),
+      col(openCol).cast("double").as("__o"), col(highCol).cast("double").as("__h"),
+      col(lowCol).cast("double").as("__l"), col(closeCol).cast("double").as("__c"))
+      .withColumn("__d", date_trunc("day", col("__t")))
+    val w = Window.partitionBy(col("__k"), col("__d")).orderBy(col("__t"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hl = log(col("__h") / col("__l"))
+    val co = log(col("__c") / col("__o"))
+    val r = log(col("__c") / lag(col("__c"), 1).over(w))
+    base
+      .withColumn("r2", r * r)
+      .withColumn("pk", hl * hl)
+      .withColumn("gk", hl * hl * lit(0.5) - lit(gkC) * (co * co))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("__k"), col("__d"))))
+      .withColumn("crv", sum(col("r2")).over(cum))
+      .withColumn("cpk", sum(col("pk")).over(cum))
+      .withColumn("cgk", sum(col("gk")).over(cum))
+      .filter(col("rn") === col("n"))
+      .select(col("__k").as("series"), col("__d").as("day"),
+        col("n").as("n_bars"),
+        coalesce(col("crv"), lit(0.0)).as("realized_var"),
+        (col("cpk") * lit(pkC) / col("n")).as("parkinson"),
+        (col("cgk") / col("n")).as("gk"))
+  }
+
+  /** Scala-computed constants shared verbatim with the oracle SQL
+    * (Double.toString round-trips, so both engines fold the identical
+    * IEEE literal — the q35 shared-literal rule). */
+  private val gkC = 2.0 * math.log(2.0) - 1.0
+  private val pkC = 1.0 / (4.0 * math.log(2.0))
+
+  /** #q56 daily volatility estimators over the hourly bars. */
+  private val q56: Q = (s, dir) =>
+    volatilityOf(
+      graft.Graft.resampleOhlc(t(s, dir, "events"),
+        "event_type", "ts", "event_id", "value", "hour"),
+      "event_type", "bucket", "open", "high", "low", "close")
+      .select(col("series"), epochMs(col("day")).as("day_ms"), col("n_bars"),
+        r6(col("realized_var")).as("realized_var"),
+        r6(col("parkinson")).as("parkinson"), r6(col("gk")).as("gk"))
+      .orderBy("series", "day_ms")
+
+  private val q56Sql =
+    s"""WITH b AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+       |    first(value ORDER BY ts, event_id) AS open,
+       |    max(value) AS high, min(value) AS low,
+       |    last(value ORDER BY ts, event_id) AS close
+       |  FROM events GROUP BY 1, 2),
+       |d AS (
+       |  SELECT event_type, bucket, date_trunc('day', bucket) AS day,
+       |    ln(high / low) AS hl, ln(close / open) AS co,
+       |    ln(close / lag(close, 1) OVER (
+       |      PARTITION BY event_type, date_trunc('day', bucket)
+       |      ORDER BY bucket)) AS r
+       |  FROM b),
+       |c AS (
+       |  SELECT event_type, day,
+       |    row_number() OVER o AS rn,
+       |    count(*) OVER (PARTITION BY event_type, day) AS n,
+       |    sum(r * r) OVER w AS crv,
+       |    sum(hl * hl) OVER w AS cpk,
+       |    sum(hl * hl * 0.5 - ($gkC) * (co * co)) OVER w AS cgk
+       |  FROM d
+       |  WINDOW o AS (PARTITION BY event_type, day ORDER BY bucket),
+       |    w AS (PARTITION BY event_type, day ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT event_type AS series, epoch_ms(day) AS day_ms, n AS n_bars,
+       |  round(coalesce(crv, CAST(0.0 AS DOUBLE)), 6) AS realized_var,
+       |  round(cpk * ($pkC) / n, 6) AS parkinson,
+       |  round(cgk / n, 6) AS gk
+       |FROM c WHERE rn = n
+       |ORDER BY series, day_ms""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q56_volatility" -> q56,
     "q30_vwap" -> q30,
     "q31_bollinger" -> q31,
     "q32_drawdown" -> q32,
@@ -641,6 +737,7 @@ object FinOps {
     "q52_linregress" -> q52)
 
   val oracle: Map[String, String] = Map(
+    "q56_volatility" -> q56Sql,
     "q30_vwap" -> q30Sql,
     "q31_bollinger" -> q31Sql,
     "q32_drawdown" -> q32Sql,

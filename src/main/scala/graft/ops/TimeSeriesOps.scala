@@ -507,7 +507,163 @@ object TimeSeriesOps {
       |FROM f
       |ORDER BY event_type, bucket_ms""".stripMargin
 
+  /** CUSUM changepoint detection per series (public operator behind
+    * [[graft.Graft.cusum]]): S_i = Σ_{j≤i} (y_j − μ) over time order —
+    * the classic offline CUSUM statistic; the changepoint is the row
+    * maximizing |S| (total (|S| desc, ts, id) tie-break, so both
+    * engines pick the same row), `score` is |S| normalized by σ·√n
+    * (Page's statistic shape) — comparable across series. The mean-drift
+    * detector a data pipeline points at ingest volumes and quality
+    * metrics, not just prices.
+    *
+    * Exactness: μ and σ derive from cumulative folds taken at the last
+    * row (never unordered hash-agg sums of doubles — the q33 rule), S
+    * is itself a cumulative fold of (y − μ). Two window passes over one
+    * series-key shuffle + a series-sized stats join; O(1) state/row.
+    * Degenerate series (σ = 0) yield null score. */
+  def cusumOf(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+              valueCol: String): DataFrame = {
+    val base = df.select(col(keyCol).as("__k"), col(tsCol).as("__t"),
+      col(idCol).as("__id"), col(valueCol).cast("double").as("__y"))
+    val wOrd = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__id"))
+    val cum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stats = base
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("__k"))))
+      .withColumn("cy", sum(col("__y")).over(cum))
+      .withColumn("cyy", sum(col("__y") * col("__y")).over(cum))
+      .filter(col("rn") === col("n"))
+      .select(col("__k"), col("n"), col("cy").as("ty"), col("cyy").as("tyy"))
+    val mu = col("ty") / col("n")
+    val s = base.join(stats, "__k")
+      .withColumn("s", sum(col("__y") - mu).over(cum))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("__k")).orderBy(abs(col("s")).desc, col("__t"), col("__id"))))
+      .filter(col("rk") === 1)
+    val variance = col("tyy") / col("n") - mu * mu
+    s.select(col("__k").as("series"), col("n").as("n_rows"),
+      col("__t").as("cp_ts"), col("__id").as("cp_id"), col("s").as("cusum"),
+      when(variance > 0,
+        abs(col("s")) / (sqrt(variance) * sqrt(col("n").cast("double")))).as("score"))
+  }
+
+  /** Hour-of-day seasonal profile per series (public operator behind
+    * [[graft.Graft.seasonality]]): per (series, hour 0-23) the event
+    * count, mean value, and the ratio of the hour's mean to the
+    * series-wide mean — the diurnal-shape fingerprint that separates
+    * "traffic doubles at 14:00" from noise, and the baseline a
+    * streaming anomaly gate divides by.
+    *
+    * Exactness: hour sums are cumulative folds taken at each (series,
+    * hour)'s last row; the series total is a second cumulative fold
+    * over the ≤24 hour rows in hour order — every double the same
+    * defined-order fold in both engines. Two window passes, the second
+    * over ≤24 rows/series; one shuffle on (series, hour) + one on
+    * series. */
+  def seasonalityOf(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+                    valueCol: String): DataFrame = {
+    val base = df.select(col(keyCol).as("__k"), hour(col(tsCol)).as("hod"),
+      col(tsCol).as("__t"), col(idCol).as("__id"), col(valueCol).cast("double").as("__y"))
+    val wH = Window.partitionBy(col("__k"), col("hod")).orderBy(col("__t"), col("__id"))
+    val cumH = wH.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hodRows = base
+      .withColumn("rn", row_number().over(wH))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("__k"), col("hod"))))
+      .withColumn("sy", sum(col("__y")).over(cumH))
+      .filter(col("rn") === col("n"))
+      .select(col("__k"), col("hod"), col("n"), col("sy"))
+    val wK = Window.partitionBy(col("__k")).orderBy(col("hod"))
+    val cumK = wK.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = hodRows
+      .withColumn("hrn", row_number().over(wK))
+      .withColumn("hn", count(lit(1)).over(Window.partitionBy(col("__k"))))
+      .withColumn("tot", sum(col("sy")).over(cumK))
+      .withColumn("ntot", sum(col("n")).over(cumK))
+      .filter(col("hrn") === col("hn"))
+      .select(col("__k"), col("tot"), col("ntot"))
+    val mean = col("sy") / col("n")
+    val gmean = col("tot") / col("ntot")
+    hodRows.join(totals, "__k")
+      .select(col("__k").as("series"), col("hod"), col("n").as("n_events"),
+        mean.as("mean_value"),
+        when(col("tot") =!= 0, mean / gmean).as("ratio"))
+  }
+
+  /** #q53 CUSUM changepoint per event series. */
+  private val q53: Q = (s, dir) =>
+    cusumOf(t(s, dir, "events"), "event_type", "ts", "event_id", "value")
+      .select(col("series"), col("n_rows"), epochMs(col("cp_ts")).as("cp_ms"),
+        col("cp_id"), r6(col("cusum")).as("cusum"), r6(col("score")).as("score"))
+      .orderBy("series")
+
+  private val q53Sql =
+    """WITH c AS (
+      |  SELECT event_type, event_id, ts, value,
+      |    row_number() OVER o AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n,
+      |    sum(value) OVER w AS cy,
+      |    sum(value * value) OVER w AS cyy
+      |  FROM events
+      |  WINDOW o AS (PARTITION BY event_type ORDER BY ts, event_id),
+      |    w AS (PARTITION BY event_type ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |st AS (SELECT event_type, n, cy AS ty, cyy AS tyy FROM c WHERE rn = n),
+      |d AS (
+      |  SELECT e.event_type, e.event_id, e.ts, st.n, st.ty, st.tyy,
+      |    sum(e.value - st.ty / st.n) OVER (
+      |      PARTITION BY e.event_type ORDER BY e.ts, e.event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      |  FROM events e JOIN st ON e.event_type = st.event_type),
+      |r AS (SELECT *, row_number() OVER (
+      |    PARTITION BY event_type ORDER BY abs(s) DESC, ts, event_id) AS rk
+      |  FROM d)
+      |SELECT event_type AS series, n AS n_rows, epoch_ms(ts) AS cp_ms,
+      |  event_id AS cp_id, round(s, 6) AS cusum,
+      |  round(CASE WHEN tyy / n - (ty / n) * (ty / n) > 0
+      |    THEN abs(s) / (sqrt(tyy / n - (ty / n) * (ty / n)) * sqrt(CAST(n AS DOUBLE)))
+      |    END, 6) AS score
+      |FROM r WHERE rk = 1
+      |ORDER BY series""".stripMargin
+
+  /** #q54 hour-of-day seasonal profile per event series. */
+  private val q54: Q = (s, dir) =>
+    seasonalityOf(t(s, dir, "events"), "event_type", "ts", "event_id", "value")
+      .select(col("series"), col("hod"), col("n_events"),
+        r6(col("mean_value")).as("mean_value"), r6(col("ratio")).as("ratio"))
+      .orderBy("series", "hod")
+
+  private val q54Sql =
+    """WITH h AS (
+      |  SELECT event_type, hour(ts) AS hod, event_id, ts, value,
+      |    row_number() OVER o AS rn,
+      |    count(*) OVER (PARTITION BY event_type, hour(ts)) AS n,
+      |    sum(value) OVER w AS sy
+      |  FROM events
+      |  WINDOW o AS (PARTITION BY event_type, hour(ts) ORDER BY ts, event_id),
+      |    w AS (PARTITION BY event_type, hour(ts) ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |hr AS (SELECT event_type, hod, n, sy FROM h WHERE rn = n),
+      |tk AS (
+      |  SELECT event_type, hod, n, sy,
+      |    row_number() OVER o2 AS hrn,
+      |    count(*) OVER (PARTITION BY event_type) AS hn,
+      |    sum(sy) OVER w2 AS tot,
+      |    sum(n) OVER w2 AS ntot
+      |  FROM hr
+      |  WINDOW o2 AS (PARTITION BY event_type ORDER BY hod),
+      |    w2 AS (PARTITION BY event_type ORDER BY hod
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |tt AS (SELECT event_type, tot, ntot FROM tk WHERE hrn = hn)
+      |SELECT hr.event_type AS series, hr.hod, hr.n AS n_events,
+      |  round(hr.sy / hr.n, 6) AS mean_value,
+      |  round(CASE WHEN tt.tot <> 0
+      |    THEN (hr.sy / hr.n) / (tt.tot / tt.ntot) END, 6) AS ratio
+      |FROM hr JOIN tt ON hr.event_type = tt.event_type
+      |ORDER BY series, hod""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q53_cusum" -> q53,
+    "q54_seasonality" -> q54,
     "q29_interpolate" -> q29,
     "q27_gap_fill" -> q27,
     "q26_range_join" -> q26,
@@ -525,6 +681,8 @@ object TimeSeriesOps {
     "q14_sessionize" -> q14)
 
   val oracle: Map[String, String] = Map(
+    "q53_cusum" -> q53Sql,
+    "q54_seasonality" -> q54Sql,
     "q29_interpolate" -> q29Sql,
     "q27_gap_fill" -> q27Sql,
     "q26_range_join" -> q26Sql,

@@ -1,0 +1,128 @@
+package graft
+
+import graft.ops.{BehaviorOps, FinOps, TimeSeriesOps}
+
+/** Round-8 operators: CUSUM changepoint, hour-of-day seasonality,
+  * transition matrix, rolling actives, daily volatility estimators —
+  * first-principles semantics beyond the DuckDB gate. */
+class Round8Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(h: Int) = new java.sql.Timestamp(1700006400000L + h * 3600000L)
+
+  test("cusum: a hand-built mean shift is found at the exact row, score = |S|/(sigma*sqrt(n))") {
+    // 4 rows at 0 then 4 rows at 10: mu = 5, S = -5,-10,-15,-20,-15,-10,-5,0
+    // -> changepoint at the 4th row (the last pre-shift row), |S| = 20
+    val shift = (0 until 8).map(i => ("a", ts(i), i.toLong, if (i < 4) 0.0 else 10.0))
+    val flat = (0 until 5).map(i => ("f", ts(i), i.toLong, 3.0))
+    val df = (shift ++ flat).toDF("k", "t", "id", "v")
+    val out = TimeSeriesOps.cusumOf(df, "k", "t", "id", "v")
+      .orderBy("series").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("a", "f"))
+    val a = out(0)
+    assert(a.getLong(1) == 8 && a.getLong(3) == 3L, s"changepoint row: $a")
+    assert(math.abs(a.getDouble(4) + 20.0) < 1e-12, "signed S at the trough")
+    // sigma = 5, n = 8 -> score = 20 / (5 * sqrt(8))
+    assert(math.abs(a.getDouble(5) - 20.0 / (5.0 * math.sqrt(8.0))) < 1e-12)
+    val f = out(1)
+    assert(f.getDouble(4) == 0.0 && f.isNullAt(5), "flat series: S=0, null score")
+    assert(f.getLong(3) == 0L, "all-zero |S| ties resolve to the earliest row")
+  }
+
+  test("seasonality: exact hour cells and ratios from a hand-built grid") {
+    // hour 0: values 1, 3 (mean 2); hour 1: value 6 (mean 6); overall mean 10/3
+    val df = Seq(
+      ("x", ts(0), 1L, 1.0), ("x", ts(0), 2L, 3.0), ("x", ts(1), 3L, 6.0),
+      // second day, same hours: lands in the same cells
+      ("y", ts(24), 4L, 8.0)
+    ).toDF("k", "t", "id", "v")
+    val out = TimeSeriesOps.seasonalityOf(df, "k", "t", "id", "v")
+      .orderBy("series", "hod").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out.keySet == Set(("x", 0), ("x", 1), ("y", 0)))
+    val (n0, m0, r0) = out(("x", 0))
+    assert(n0 == 2 && m0 == 2.0 && math.abs(r0 - 2.0 / (10.0 / 3.0)) < 1e-12)
+    val (n1, m1, r1) = out(("x", 1))
+    assert(n1 == 1 && m1 == 6.0 && math.abs(r1 - 6.0 / (10.0 / 3.0)) < 1e-12)
+    assert(out(("y", 0)) == ((1L, 8.0, 1.0)), "single-cell series: ratio exactly 1")
+  }
+
+  test("transitions: per-user consecutive pairs only, row-stochastic probabilities") {
+    // u1: A,B,A,C  u2: A,B  -> A->B x2, B->A x1, A->C x1; no cross-user edge
+    val df = Seq(
+      (1L, ts(0), 10L, "A"), (1L, ts(1), 11L, "B"),
+      (1L, ts(2), 12L, "A"), (1L, ts(3), 13L, "C"),
+      (2L, ts(0), 20L, "A"), (2L, ts(1), 21L, "B")
+    ).toDF("u", "t", "id", "et")
+    val out = BehaviorOps.transitionsOf(df, "u", "t", "id", "et")
+      .orderBy("from_type", "to_type").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet == Set(("A", "B"), ("A", "C"), ("B", "A")))
+    assert(out(("A", "B")) == ((2L, 2.0 / 3.0)))
+    assert(out(("A", "C")) == ((1L, 1.0 / 3.0)))
+    assert(out(("B", "A")) == ((1L, 1.0)))
+  }
+
+  test("transitions: same-timestamp events break ties by id (total order)") {
+    val df = Seq((1L, ts(0), 2L, "B"), (1L, ts(0), 1L, "A"), (1L, ts(0), 3L, "C"))
+      .toDF("u", "t", "id", "et")
+    val out = BehaviorOps.transitionsOf(df, "u", "t", "id", "et")
+      .orderBy("from_type").collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(out == Seq(("A", "B"), ("B", "C")), "id order A->B->C, not row order")
+  }
+
+  test("rollingActive: trailing-k coverage, observed days only") {
+    val day = 86400000L
+    def at(d: Int) = new java.sql.Timestamp(1700006400000L + d * day) // midnight UTC
+    // u1 active day0; u2 active day3; u3 active day0 AND day3
+    val df = Seq((1L, at(0)), (2L, at(3)), (3L, at(0)), (3L, at(3)))
+      .toDF("u", "t")
+    val out = BehaviorOps.rollingActiveOf(df, "u", "t", k = 7)
+      .orderBy("day_ms").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val d0 = 1700006400000L - (1700006400000L % day)
+    // day0 window (d-6..d0]: u1,u3 = 2; day3 window covers day0+day3: all 3
+    assert(out == Seq((d0, 2L), (d0 + 3 * day, 3L)),
+      s"only the two observed days, trailing coverage: $out")
+    // k=1 degenerates to per-day distinct actives
+    val k1 = BehaviorOps.rollingActiveOf(df, "u", "t", k = 1)
+      .orderBy("day_ms").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(k1 == Seq((d0, 2L), (d0 + 3 * day, 2L)))
+  }
+
+  test("volatility: hand-built bars give the closed-form estimators") {
+    val ln2 = math.log(2.0)
+    // one day, two bars: (o=1,h=2,l=1,c=2) and (o=2,h=4,l=2,c=4)
+    // r (bar2 only) = ln2 -> rv = ln2^2
+    // pk = 2*ln2^2 / (4*ln2*2) = ln2/4
+    // gk: each bar 0.5*ln2^2 - (2ln2-1)*ln2^2 -> mean = (1.5-2ln2)*ln2^2
+    val df = Seq(
+      ("a", ts(0), 1.0, 2.0, 1.0, 2.0), ("a", ts(1), 2.0, 4.0, 2.0, 4.0),
+      // single flat bar on its own day: everything exactly 0
+      ("b", ts(30), 5.0, 5.0, 5.0, 5.0)
+    ).toDF("k", "t", "o", "h", "l", "c")
+    val out = FinOps.volatilityOf(df, "k", "t", "o", "h", "l", "c")
+      .orderBy("series").collect()
+    val a = out(0)
+    assert(a.getString(0) == "a" && a.getLong(2) == 2)
+    assert(math.abs(a.getDouble(3) - ln2 * ln2) < 1e-15, "realized_var")
+    assert(math.abs(a.getDouble(4) - ln2 / 4.0) < 1e-15, "parkinson")
+    assert(math.abs(a.getDouble(5) - (1.5 - 2 * ln2) * ln2 * ln2) < 1e-15, "garman-klass")
+    val b = out(1)
+    assert(b.getLong(2) == 1 && b.getDouble(3) == 0.0 && b.getDouble(4) == 0.0
+      && b.getDouble(5) == 0.0, s"flat 1-bar day is exactly zero: $b")
+  }
+
+  test("cusum/seasonality are deterministic under repartitioning") {
+    val df = Tables.t(spark, sfDir, "events")
+    def dump1 = TimeSeriesOps.cusumOf(df, "event_type", "ts", "event_id", "value")
+      .orderBy("series").collect().map(_.toString).toSeq
+    def dump2 = TimeSeriesOps.cusumOf(df.repartition(11), "event_type", "ts", "event_id", "value")
+      .orderBy("series").collect().map(_.toString).toSeq
+    assert(dump1 == dump2)
+    def sea1 = TimeSeriesOps.seasonalityOf(df, "event_type", "ts", "event_id", "value")
+      .orderBy("series", "hod").collect().map(_.toString).toSeq
+    def sea2 = TimeSeriesOps.seasonalityOf(df.repartition(7), "event_type", "ts", "event_id", "value")
+      .orderBy("series", "hod").collect().map(_.toString).toSeq
+    assert(sea1 == sea2)
+  }
+}
