@@ -1137,6 +1137,13 @@ object Graft {
   def rollingActive(events: DataFrame, user: String, ts: String, k: Int): DataFrame =
     ops.BehaviorOps.rollingActiveOf(events, user, ts, k)
 
+  /** Top session journeys: gap-sessionize per user, join each session's
+    * first k event types into a path string, count sessions per path.
+    * Two user-key window passes + one path-count aggregation. */
+  def topPaths(events: DataFrame, user: String, ts: String, id: String,
+               eventType: String, gapMs: Long = 1800000L, k: Int = 3): DataFrame =
+    ops.BehaviorOps.topPathsOf(events, user, ts, id, eventType, gapMs, k)
+
   /** Daily volatility estimators over an OHLC bar table: per (series,
     * day) close-to-close realized variance, Parkinson, and
     * Garman–Klass — the risk columns scheduled next to ATR. Day sums

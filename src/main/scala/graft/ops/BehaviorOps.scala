@@ -259,15 +259,76 @@ object BehaviorOps {
       |GROUP BY 1
       |ORDER BY day_ms""".stripMargin
 
+  /** Top session journeys over ANY (user, time, type) event table
+    * (public operator behind [[graft.Graft.topPaths]]): gap-sessionize
+    * per user (new session when the gap exceeds `gapMs`), take each
+    * session's first `k` event types in (ts, id) total order, join
+    * them into a `path` string ("view>click>purchase"), and count
+    * sessions per path — the journey-frequency table transition
+    * matrices (q55) summarize one edge at a time.
+    *
+    * Two window passes on the user key (session ids = cumulative sum
+    * of gap flags, then per-session row numbers) + one path-count agg;
+    * ≤ k rows per session ever reach the aggregate. The path string
+    * assembles via array_sort(collect_list(struct(ts, id, type))) —
+    * collect order is nondeterministic, the sort restores the total
+    * order, so the result is partitioning-invariant. */
+  def topPathsOf(events: DataFrame, userCol: String, tsCol: String,
+                 idCol: String, typeCol: String, gapMs: Long, k: Int): DataFrame = {
+    require(gapMs > 0, s"gapMs must be > 0, got $gapMs")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy(col("__u")).orderBy(col("__t"), col("__id"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col("__t"), 1).over(w)
+    val sess = events
+      .select(col(userCol).as("__u"), epochMs(col(tsCol)).as("__t"),
+        col(idCol).as("__id"), col(typeCol).as("__et"))
+      .withColumn("ns", when(prev.isNull || col("__t") - prev > gapMs, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("ns")).over(cum))
+    val wS = Window.partitionBy(col("__u"), col("sid")).orderBy(col("__t"), col("__id"))
+    sess
+      .withColumn("rn", row_number().over(wS))
+      .filter(col("rn") <= k)
+      .groupBy(col("__u"), col("sid"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__t").as("t"), col("__id").as("i"),
+          col("__et").as("et")))), x => x.getField("et")), ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+  }
+
+  /** #q58 session journeys: first 3 event types per 30-min-gap session. */
+  private val q58: Q = (s, dir) =>
+    topPathsOf(t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
+      gapMs = 1800000L, k = 3)
+      .orderBy("path")
+
+  private val q58Sql =
+    """WITH e AS (SELECT user_id AS u, epoch_ms(ts) AS t, event_id AS eid,
+      |    event_type AS et FROM events),
+      |s AS (SELECT *, CASE WHEN lag(t) OVER o IS NULL
+      |      OR t - lag(t) OVER o > 1800000 THEN 1 ELSE 0 END AS ns
+      |  FROM e WINDOW o AS (PARTITION BY u ORDER BY t, eid)),
+      |s2 AS (SELECT *, sum(ns) OVER (PARTITION BY u ORDER BY t, eid
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM s),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY u, sid ORDER BY t, eid) AS rn
+      |  FROM s2),
+      |p AS (SELECT u, sid, string_agg(et, '>' ORDER BY t, eid) AS path
+      |  FROM r WHERE rn <= 3 GROUP BY u, sid)
+      |SELECT path, count(*) AS n_sessions
+      |FROM p GROUP BY path
+      |ORDER BY path""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q50_funnel" -> q50,
     "q51_retention" -> q51,
     "q55_transitions" -> q55,
-    "q57_rolling_active" -> q57)
+    "q57_rolling_active" -> q57,
+    "q58_top_paths" -> q58)
 
   val oracle: Map[String, String] = Map(
     "q50_funnel" -> q50Sql,
     "q51_retention" -> q51Sql,
     "q55_transitions" -> q55Sql,
-    "q57_rolling_active" -> q57Sql)
+    "q57_rolling_active" -> q57Sql,
+    "q58_top_paths" -> q58Sql)
 }

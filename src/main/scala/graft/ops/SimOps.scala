@@ -664,7 +664,40 @@ object SimOps {
       |FROM c WHERE rn = n
       |ORDER BY i, j""".stripMargin
 
+  /** #s08 the SAMPLED covariance fit path AS a query — s07 at
+    * samplePermille = 100 (a 10% md5-deterministic id sample): proves
+    * with a hash-matched oracle that the 100 TB fit recipe (sample the
+    * fit, full-corpus projection) is reproducible bit-for-bit — the
+    * kept set is a pure function of the ids, so the oracle filters the
+    * identical rows and folds the identical moments. ~10× less window
+    * input than s07 at the same d² fan-out width. */
+  private val s08: Q = (s, dir) =>
+    covarianceOf(vecs(s, dir), "vec_id", "v", samplePermille = 100)
+      .select(col("i"), col("j"), col("n"), r6(col("cov")).as("cov"))
+      .orderBy("i", "j")
+
+  private val s08Sql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |  WHERE CAST(('0x' || substr(md5('graft:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      |    % 1000 < 100),
+      |p AS (SELECT vec_id, i.r AS i, j.r AS j, v[i.r + 1] AS xi, v[j.r + 1] AS xj
+      |  FROM e CROSS JOIN range(0, 64) i(r) CROSS JOIN range(0, 64) j(r)
+      |  WHERE i.r <= j.r),
+      |c AS (SELECT i, j, vec_id,
+      |    count(*) OVER (PARTITION BY i, j) AS n,
+      |    row_number() OVER (PARTITION BY i, j ORDER BY vec_id) AS rn,
+      |    sum(xi) OVER w AS sx, sum(xj) OVER w AS sy,
+      |    sum(xi * xj) OVER w AS sxy
+      |  FROM p
+      |  WINDOW w AS (PARTITION BY i, j ORDER BY vec_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, n,
+      |  round(sxy / n - (sx / n) * (sy / n), 6) AS cov
+      |FROM c WHERE rn = n
+      |ORDER BY i, j""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s08_cov_sampled" -> s08,
     "s07_pca_cov" -> s07,
     "s06_ann_pq" -> s06,
     "s01_knn_bruteforce" -> s01,
@@ -674,6 +707,7 @@ object SimOps {
     "s05_ann_recall" -> s05)
 
   val oracle: Map[String, String] = Map(
+    "s08_cov_sampled" -> s08Sql,
     "s07_pca_cov" -> s07Sql,
     "s06_ann_pq" -> s06Sql,
     "s01_knn_bruteforce" -> s01Sql,

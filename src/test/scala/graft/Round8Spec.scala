@@ -112,6 +112,40 @@ class Round8Spec extends SparkSpec {
       && b.getDouble(5) == 0.0, s"flat 1-bar day is exactly zero: $b")
   }
 
+  test("topPaths: gap sessionization, k-truncation, per-session paths") {
+    def at(ms: Long) = new java.sql.Timestamp(1700006400000L + ms)
+    val gap = 1800000L // 30 min
+    val df = Seq(
+      // u1 session 1: four events inside the gap -> path truncates to first 3
+      (1L, at(0), 1L, "A"), (1L, at(10000), 2L, "B"),
+      (1L, at(20000), 3L, "C"), (1L, at(30000), 4L, "E"),
+      // u1 session 2: 40 min later -> its own single-event path
+      (1L, at(30000 + gap + 600000), 5L, "D"),
+      // u2: one event, same type as a u1 prefix -> distinct session, same "A" path
+      (2L, at(0), 6L, "A")
+    ).toDF("u", "t", "id", "et")
+    val out = BehaviorOps.topPathsOf(df, "u", "t", "id", "et", gap, k = 3)
+      .orderBy("path").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("A", 1L), ("A>B>C", 1L), ("D", 1L)), s"got $out")
+  }
+
+  test("sampled covariance: deterministic sample, same cells, fewer rows") {
+    val df = Tables.t(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val full = graft.ops.SimOps.covarianceOf(df, "vec_id", "v")
+      .orderBy("i", "j").collect()
+    val s1 = graft.ops.SimOps.covarianceOf(df, "vec_id", "v", samplePermille = 100)
+      .orderBy("i", "j").collect()
+    val s2 = graft.ops.SimOps.covarianceOf(df.repartition(13), "vec_id", "v",
+      samplePermille = 100).orderBy("i", "j").collect()
+    assert(s1.map(_.toString).toSeq == s2.map(_.toString).toSeq,
+      "sample membership is a pure function of ids — partitioning-invariant")
+    assert(s1.length == full.length, "every upper-triangle cell present")
+    val (nS, nF) = (s1.head.getLong(2), full.head.getLong(2))
+    assert(nS > 0 && nS < nF, s"strict subsample: $nS of $nF")
+    assert(s1.forall(r => !r.getDouble(3).isNaN), "no degenerate cells")
+  }
+
   test("cusum/seasonality are deterministic under repartitioning") {
     val df = Tables.t(spark, sfDir, "events")
     def dump1 = TimeSeriesOps.cusumOf(df, "event_type", "ts", "event_id", "value")
