@@ -114,6 +114,16 @@ case class AtrOut(event_type: String, event_id: Long, ts_ms: Long,
   * its own value — pandas `ewm(adjust=False)` init). */
 case class EwmaOut(event_type: String, event_id: Long, ts_ms: Long, value: Double, ewma: Double)
 
+/** State for [[StreamOps.streamingCusum]]: the two one-sided decision
+  * statistics (Page's test). O(1) per key, independent of stream
+  * length. */
+case class CusumState(sPos: Double, sNeg: Double)
+
+/** One online-CUSUM observation per event; `alarm` marks the row whose
+  * update crossed the threshold (statistics reset to 0 after it). */
+case class CusumOut(event_type: String, event_id: Long, ts_ms: Long,
+                    value: Double, s_pos: Double, s_neg: Double, alarm: Boolean)
+
 /** Streaming operators (SURVEY.md §2 #33-34).
   *
   * The reference polls REST endpoints on a scheduler and upserts
@@ -692,6 +702,41 @@ object StreamOps {
             val kept = (st.cums :+ cum).takeRight(n)
             st = AtrState(Some(e.close), cum, rn, kept)
             AtrOut(key, e.event_id, e.ts.getTime, e.close, tr, atr)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** ONLINE CUSUM drift detector (Page's test) — the continuous
+    * counterpart of batch [[graft.Graft.cusum]]: where the offline
+    * statistic centers on the series' own global mean (unknowable
+    * mid-stream), the online form tracks drift against a KNOWN
+    * reference level: per arrival
+    *   s⁺ = max(0, s⁺ + (x − target − slack)),
+    *   s⁻ = max(0, s⁻ + (target − x − slack)),
+    * alarm when either exceeds `h`, then both reset to 0 (restart
+    * detection — each alarm opens a fresh decision interval). O(1)
+    * state per key; same arrival-order contract as [[streamingWma]].
+    * The spec asserts bit-exact equality against a first-principles
+    * driver-side fold and pins the alarm row on a hand-built drift. */
+  def streamingCusum(events: Dataset[BollEvent], target: Double,
+                     slack: Double, h: Double): Dataset[CusumOut] = {
+    require(slack >= 0, s"slack must be >= 0, got $slack")
+    require(h > 0, s"h must be > 0, got $h")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumState, CusumOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[BollEvent], state: GroupState[CusumState]) =>
+          var st = state.getOption.getOrElse(CusumState(0.0, 0.0))
+          val out = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+            val p = math.max(0.0, st.sPos + (e.value - target - slack))
+            val n = math.max(0.0, st.sNeg + (target - e.value - slack))
+            val alarm = p > h || n > h
+            st = if (alarm) CusumState(0.0, 0.0) else CusumState(p, n)
+            CusumOut(key, e.event_id, e.ts.getTime, e.value, p, n, alarm)
           }
           state.update(st)
           out.iterator

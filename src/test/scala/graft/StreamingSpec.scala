@@ -732,4 +732,38 @@ class StreamingSpec extends SparkSpec {
         s"late row is filtered (no user-5 session), on-time sessions close: $got")
     } finally q.stop()
   }
+
+  test("streaming CUSUM == first-principles Page fold BIT-FOR-BIT; alarm resets state") {
+    import graft.streaming.{BollEvent, CusumOut}
+    implicit val sql = spark.sqlContext
+    val (target, slack, h) = (10.0, 0.5, 5.0)
+    def ev(id: Long, v: Double) =
+      BollEvent("K", id, new java.sql.Timestamp(1700000000000L + id * 60000L), v)
+    // on-target noise, then a +3 drift: s+ accumulates 2.5/event and
+    // must alarm on the third drifted event (2.5 -> 5.0 -> 7.5 > h)
+    val all = Seq(ev(1, 10.2), ev(2, 9.9), ev(3, 13.0), ev(4, 13.0), ev(5, 13.0),
+      ev(6, 10.0), ev(7, 10.1))
+    val input = MemoryStream[BollEvent]
+    val q = StreamOps.streamingCusum(input.toDS(), target, slack, h)
+      .writeStream.format("memory").queryName("cusum_out").outputMode("append").start()
+    try {
+      // split across micro-batches so state crosses the batch boundary
+      all.grouped(2).foreach { b => input.addData(b.toIndexedSeq); q.processAllAvailable() }
+      val got = spark.table("cusum_out").as[CusumOut].collect()
+        .map(o => o.event_id -> ((o.s_pos, o.s_neg, o.alarm))).toMap
+      // first-principles fold of the same recurrence
+      var (sp, sn) = (0.0, 0.0)
+      val want = all.map { e =>
+        val p = math.max(0.0, sp + (e.value - target - slack))
+        val n = math.max(0.0, sn + (target - e.value - slack))
+        val alarm = p > h || n > h
+        if (alarm) { sp = 0.0; sn = 0.0 } else { sp = p; sn = n }
+        e.event_id -> ((p, n, alarm))
+      }.toMap
+      assert(got == want, s"bitwise fold equality: $got vs $want")
+      assert(got(5L)._3 && !got(4L)._3, "alarm exactly on the third drifted event")
+      assert(got(6L)._1 == 0.0 && got(6L)._2 == 0.0,
+        "post-alarm event starts from reset state")
+    } finally q.stop()
+  }
 }
