@@ -641,13 +641,18 @@ object FinOps {
     * are Scala-computed literals interpolated into BOTH engines'
     * plans, so no libm divergence can flip a rounding boundary. One
     * (series, day) window shuffle; degenerate bars (h=l, 1-bar days)
-    * produce exact zeros, not NaN. */
+    * produce exact zeros, not NaN. Bars with a non-positive price are
+    * EXCLUDED before the fold (log estimators are undefined there —
+    * the ×10 probe caught value=0 ticks throwing ANSI DIVIDE_BY_ZERO);
+    * n_bars counts the surviving bars and a return spanning an excluded
+    * bar bridges it. */
   def volatilityOf(bars: DataFrame, keyCol: String, tsCol: String,
                    openCol: String, highCol: String, lowCol: String,
                    closeCol: String): DataFrame = {
     val base = bars.select(col(keyCol).as("__k"), col(tsCol).as("__t"),
       col(openCol).cast("double").as("__o"), col(highCol).cast("double").as("__h"),
       col(lowCol).cast("double").as("__l"), col(closeCol).cast("double").as("__c"))
+      .filter(col("__l") > 0 && col("__o") > 0 && col("__c") > 0)
       .withColumn("__d", date_trunc("day", col("__t")))
     val w = Window.partitionBy(col("__k"), col("__d")).orderBy(col("__t"))
     val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -695,13 +700,14 @@ object FinOps {
        |    max(value) AS high, min(value) AS low,
        |    last(value ORDER BY ts, event_id) AS close
        |  FROM events GROUP BY 1, 2),
+       |bp AS (SELECT * FROM b WHERE low > 0 AND open > 0 AND close > 0),
        |d AS (
        |  SELECT event_type, bucket, date_trunc('day', bucket) AS day,
        |    ln(high / low) AS hl, ln(close / open) AS co,
        |    ln(close / lag(close, 1) OVER (
        |      PARTITION BY event_type, date_trunc('day', bucket)
        |      ORDER BY bucket)) AS r
-       |  FROM b),
+       |  FROM bp),
        |c AS (
        |  SELECT event_type, day,
        |    row_number() OVER o AS rn,

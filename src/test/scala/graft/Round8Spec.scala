@@ -112,6 +112,23 @@ class Round8Spec extends SparkSpec {
       && b.getDouble(5) == 0.0, s"flat 1-bar day is exactly zero: $b")
   }
 
+  test("volatility: non-positive-price bars are excluded, not a crash (ANSI)") {
+    // sf0.1 contains value=0 ticks — the x10 probe caught q56 throwing
+    // DIVIDE_BY_ZERO; a zero-low bar must drop from the fold entirely
+    val df = Seq(
+      ("a", ts(0), 1.0, 2.0, 1.0, 2.0),
+      ("a", ts(1), 2.0, 2.0, 0.0, 1.0), // low = 0 -> excluded
+      ("a", ts(2), 1.0, 2.0, 1.0, 2.0),
+      ("z", ts(0), 0.0, 1.0, 0.0, 1.0)  // every bar excluded -> no row
+    ).toDF("k", "t", "o", "h", "l", "c")
+    val out = FinOps.volatilityOf(df, "k", "t", "o", "h", "l", "c")
+      .orderBy("series").collect()
+    assert(out.length == 1 && out(0).getString(0) == "a")
+    assert(out(0).getLong(2) == 2, "n_bars counts surviving bars only")
+    // the return bridges the excluded bar: ln(2/2) = 0 -> rv exactly 0
+    assert(out(0).getDouble(3) == 0.0)
+  }
+
   test("topPaths: gap sessionization, k-truncation, per-session paths") {
     def at(ms: Long) = new java.sql.Timestamp(1700006400000L + ms)
     val gap = 1800000L // 30 min
