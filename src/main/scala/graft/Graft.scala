@@ -1034,6 +1034,14 @@ object Graft {
   def checkConstraints(df: DataFrame, checks: Seq[ops.QualityOps.Check]): DataFrame =
     ops.QualityOps.checkConstraintsOf(df, checks)
 
+  /** Snapshot diff between two dataset versions: per id, added /
+    * removed / changed (by content md5); unchanged rows drop. Each side
+    * reduces map-side to (id, hash) before the one id-keyed full outer
+    * join — content never shuffles. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, id: String,
+                   content: String): DataFrame =
+    ops.DataOps.snapshotDiffOf(oldDf, newDf, id, content)
+
   /** Cross-table embedding near-dup pairs — the d05 sign-sketch band
     * machinery between TWO vector tables (semantic decontamination,
     * retrieval-vs-corpus overlap): both sides sketch with the same

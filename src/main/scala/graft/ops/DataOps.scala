@@ -578,7 +578,63 @@ object DataOps {
        |FROM r WHERE rnk <= (grp_n * 40 + 99) // 100
        |ORDER BY source, rnk""".stripMargin
 
+  /** Snapshot diff between two dataset versions (public operator
+    * behind [[graft.Graft.snapshotDiff]]): per id, `added` (only in
+    * new), `removed` (only in old), or `changed` (both, different
+    * content md5) — unchanged rows are dropped. The incremental-
+    * publish audit every versioned corpus needs: what moved between
+    * yesterday's landing and today's, without shipping either corpus.
+    *
+    * Each side reduces MAP-SIDE to (id, md5(content)) before the one
+    * full outer join on the id key — content never shuffles, so the
+    * join payload is two hash columns regardless of document size. */
+  def snapshotDiffOf(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                     contentCol: String): DataFrame = {
+    def h(df: DataFrame, name: String) =
+      df.select(col(idCol).as("id"), md5(col(contentCol).cast("string")).as(name))
+    h(oldDf, "old_md5").join(h(newDf, "new_md5"), Seq("id"), "full_outer")
+      .withColumn("status",
+        when(col("old_md5").isNull, lit("added"))
+          .when(col("new_md5").isNull, lit("removed"))
+          .when(col("old_md5") =!= col("new_md5"), lit("changed")))
+      .filter(col("status").isNotNull)
+  }
+
+  /** #43d snapshot diff as a query: "old" = documents missing every
+    * 10th id, "new" = documents missing ids ≡ 5 (mod 13) with every
+    * 7th text revised — a deterministic two-version pair carved from
+    * ONE table so the gate exercises ALL THREE of added / removed /
+    * changed in a single plan. */
+  private val ds14: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val old = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val neu = docs.filter(pmod(col("doc_id"), lit(13)) =!= 5)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(7)) === 0, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")))
+    snapshotDiffOf(old, neu, "doc_id", "text")
+      .select(col("id").as("doc_id"), col("status"))
+      .orderBy("doc_id")
+  }
+
+  private val ds14Sql =
+    """WITH old AS (SELECT doc_id, md5(text) AS h FROM documents
+      |  WHERE doc_id % 10 <> 0),
+      |neu AS (SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END) AS h
+      |  FROM documents WHERE doc_id % 13 <> 5)
+      |SELECT coalesce(old.doc_id, neu.doc_id) AS doc_id,
+      |  CASE WHEN old.h IS NULL THEN 'added'
+      |       WHEN neu.h IS NULL THEN 'removed'
+      |       WHEN old.h <> neu.h THEN 'changed' END AS status
+      |FROM old FULL OUTER JOIN neu ON old.doc_id = neu.doc_id
+      |WHERE (CASE WHEN old.h IS NULL THEN 'added'
+      |       WHEN neu.h IS NULL THEN 'removed'
+      |       WHEN old.h <> neu.h THEN 'changed' END) IS NOT NULL
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "ds14_snapshot_diff" -> ds14,
     "ds12_weighted_sample" -> ds12,
     "ds13_quality_prune" -> ds13,
     "a04_heavy_hitters" -> a04,
@@ -593,6 +649,7 @@ object DataOps {
     "ds05_bigram_stats" -> ds05)
 
   val oracle: Map[String, String] = Map(
+    "ds14_snapshot_diff" -> ds14Sql,
     "ds12_weighted_sample" -> ds12Sql,
     "ds13_quality_prune" -> ds13Sql,
     "a04_heavy_hitters" -> a04Sql,

@@ -163,6 +163,15 @@ class Round8Spec extends SparkSpec {
     assert(s1.forall(r => !r.getDouble(3).isNaN), "no degenerate cells")
   }
 
+  test("snapshotDiff: added/removed/changed from first principles; unchanged drops") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
+    val neu = Seq((2L, "b"), (3L, "C2"), (4L, "d")).toDF("id", "text")
+    val out = graft.ops.DataOps.snapshotDiffOf(old, neu, "id", "text")
+      .select("id", "status").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "removed", 3L -> "changed", 4L -> "added"),
+      s"id 2 is unchanged and must not appear: $out")
+  }
+
   test("cusum/seasonality are deterministic under repartitioning") {
     val df = Tables.t(spark, sfDir, "events")
     def dump1 = TimeSeriesOps.cusumOf(df, "event_type", "ts", "event_id", "value")
