@@ -1042,6 +1042,15 @@ object Graft {
                    content: String): DataFrame =
     ops.DataOps.snapshotDiffOf(oldDf, newDf, id, content)
 
+  /** Per-source term-distribution drift vs the corpus: KL divergence
+    * and total-variation distance over the Laplace-smoothed top-V
+    * vocabulary — the "did this source's language shift?" monitor.
+    * One token-level count shuffle; everything after is
+    * vocabulary-sized. */
+  def termDrift(docs: DataFrame, source: String, text: String,
+                topV: Int = 200): DataFrame =
+    ops.TextOps.termDriftOf(docs, source, text, topV)
+
   /** Cross-table embedding near-dup pairs — the d05 sign-sketch band
     * machinery between TWO vector tables (semantic decontamination,
     * retrieval-vs-corpus overlap): both sides sketch with the same

@@ -926,7 +926,97 @@ object TextOps {
       |FROM h GROUP BY 1, 2
       |ORDER BY doc_id, bucket""".stripMargin
 
+  /** Per-source term-distribution drift vs the corpus (public operator
+    * behind [[graft.Graft.termDrift]]): restrict to the corpus'
+    * top-`topV` terms (deterministic (count desc, term) pick), Laplace
+    * +1 smooth both distributions over that vocabulary, and report per
+    * source
+    *   kl  KL(p_source ‖ p_corpus) = Σ p·ln(p/q)   (nats),
+    *   tv  total-variation distance = ½·Σ |p − q| ∈ [0, 1].
+    * The drift monitor a corpus pipeline runs per landing: "did this
+    * source's language shift?" — the same scan also guards a new
+    * snapshot against its predecessor (pass the union of both).
+    *
+    * Scale stance: ONE token-level (source, term) count agg (map-side
+    * combine absorbs the explode); everything after — corpus rollup,
+    * top-V pick, source×vocab grid, the divergence folds — is
+    * vocabulary-sized. Zero cells materialize via the grid cross-join
+    * (sources × topV rows), so absent terms contribute their smoothed
+    * mass exactly. Probabilities are long/long divisions; the two
+    * divergence sums run as cumulative folds in term order taken at
+    * each source's last row (q33 rule). */
+  def termDriftOf(docs: DataFrame, srcCol: String, textCol: String,
+                  topV: Int): DataFrame = {
+    require(topV >= 1, s"topV must be >= 1, got $topV")
+    val st = docs
+      .select(col(srcCol).as("src"), explode(words(col(textCol))).as("term"))
+      .groupBy(col("src"), col("term")).agg(count(lit(1)).as("c_st"))
+    val corpus = st.groupBy(col("term")).agg(sum(col("c_st")).as("c_t"))
+    val top = corpus.orderBy(col("c_t").desc, col("term")).limit(topV)
+    val total = top.agg(sum(col("c_t")).as("n_corpus"))
+    val sources = st.select(col("src")).distinct()
+    val grid = sources.crossJoin(broadcast(top)).crossJoin(broadcast(total))
+    val cells = grid.join(st, Seq("src", "term"), "left")
+      .withColumn("c", coalesce(col("c_st"), lit(0L)))
+      .withColumn("n_s", sum(col("c")).over(Window.partitionBy(col("src"))))
+      .withColumn("v", count(lit(1)).over(Window.partitionBy(col("src"))))
+    val p = (col("c") + 1).cast("double") / (col("n_s") + col("v")).cast("double")
+    val q = (col("c_t") + 1).cast("double") / (col("n_corpus") + col("v")).cast("double")
+    val wOrd = Window.partitionBy(col("src")).orderBy(col("term"))
+    val cum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("ckl", sum(p * log(p / q)).over(cum))
+      .withColumn("ctv", sum(abs(p - q)).over(cum))
+      .filter(col("rn") === col("v"))
+      .select(col("src").as("source"), col("v").as("n_terms"),
+        col("n_s").as("n_tokens"), col("ckl").as("kl"),
+        (col("ctv") * 0.5).as("tv"))
+  }
+
+  /** #30d per-source term drift vs the corpus, top-200 vocabulary. */
+  private val t14: Q = (s, dir) =>
+    termDriftOf(t(s, dir, "documents"), "source", "text", topV = 200)
+      .select(col("source"), col("n_terms"), col("n_tokens"),
+        r6(col("kl")).as("kl"), r6(col("tv")).as("tv"))
+      .orderBy("source")
+
+  private val t14Sql =
+    """WITH tok AS (SELECT source AS src,
+      |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      |  FROM documents),
+      |st AS (SELECT src, term, count(*) AS c_st FROM tok GROUP BY 1, 2),
+      |corpus AS (SELECT term, sum(c_st) AS c_t FROM st GROUP BY 1),
+      |top AS (SELECT term, c_t FROM corpus ORDER BY c_t DESC, term LIMIT 200),
+      |tot AS (SELECT sum(c_t) AS n_corpus FROM top),
+      |srcs AS (SELECT DISTINCT src FROM st),
+      |grid AS (SELECT srcs.src, top.term, top.c_t, tot.n_corpus
+      |  FROM srcs CROSS JOIN top CROSS JOIN tot),
+      |cells AS (
+      |  SELECT g.src, g.term, g.c_t, g.n_corpus,
+      |    coalesce(st.c_st, 0) AS c,
+      |    sum(coalesce(st.c_st, 0)) OVER (PARTITION BY g.src) AS n_s,
+      |    count(*) OVER (PARTITION BY g.src) AS v
+      |  FROM grid g LEFT JOIN st ON g.src = st.src AND g.term = st.term),
+      |f AS (
+      |  SELECT src, n_s, v,
+      |    row_number() OVER o AS rn,
+      |    sum(((c + 1) / CAST(n_s + v AS DOUBLE))
+      |      * ln(((c + 1) / CAST(n_s + v AS DOUBLE))
+      |          / ((c_t + 1) / CAST(n_corpus + v AS DOUBLE)))) OVER w AS ckl,
+      |    sum(abs(((c + 1) / CAST(n_s + v AS DOUBLE))
+      |          - ((c_t + 1) / CAST(n_corpus + v AS DOUBLE)))) OVER w AS ctv
+      |  FROM cells
+      |  WINDOW o AS (PARTITION BY src ORDER BY term),
+      |    w AS (PARTITION BY src ORDER BY term
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT src AS source, v AS n_terms, n_s AS n_tokens,
+      |  round(ckl, 6) AS kl, round(ctv * 0.5, 6) AS tv
+      |FROM f WHERE rn = v
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t14_term_drift" -> t14,
     "t13_feature_hash" -> t13,
     "t12_bpe_train" -> t12,
     "t11_bm25" -> t11,
@@ -943,6 +1033,7 @@ object TextOps {
     "t06_normalize" -> t06)
 
   val oracle: Map[String, String] = Map(
+    "t14_term_drift" -> t14Sql,
     "t13_feature_hash" -> t13Sql,
     "t11_bm25" -> t11Sql,
     "p01_data_pipeline" -> p01Sql,

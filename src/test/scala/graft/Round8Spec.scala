@@ -172,6 +172,38 @@ class Round8Spec extends SparkSpec {
       s"id 2 is unchanged and must not appear: $out")
   }
 
+  test("termDrift: identical source == corpus gives kl=0 tv=0; skew drifts") {
+    // two sources with the same 50/50 a/b mix -> each equals the corpus
+    val same = Seq(("s1", "a b a b"), ("s2", "b a b a")).toDF("src", "text")
+    val out0 = graft.ops.TextOps.termDriftOf(same, "src", "text", topV = 10)
+      .collect().map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    out0.values.foreach { case (kl, tv) =>
+      assert(math.abs(kl) < 1e-12 && math.abs(tv) < 1e-12, s"no drift: $out0")
+    }
+    // balanced corpus (a:6, b:6): the source matching the corpus mix
+    // drifts least; the two one-sided sources drift symmetrically
+    val skew = Seq(("s1", "a a a a"), ("s2", "b b b b"), ("s3", "a b a b"))
+      .toDF("src", "text")
+    val out1 = graft.ops.TextOps.termDriftOf(skew, "src", "text", topV = 10)
+      .collect().map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    assert(math.abs(out1("s1")._1 - out1("s2")._1) < 1e-12
+      && math.abs(out1("s1")._2 - out1("s2")._2) < 1e-12,
+      s"mirror-image sources drift equally: $out1")
+    assert(out1("s1")._1 > out1("s3")._1 && out1("s1")._2 > out1("s3")._2,
+      s"one-sided source out-drifts the corpus-mix source: $out1")
+    assert(out1.values.forall(v => v._2 >= 0 && v._2 <= 1), "tv in [0,1]")
+  }
+
+  test("termDrift: a source with no top-V tokens still gets its grid row") {
+    // "zzz… q9" — source s3's only token is unique to it; with topV=1
+    // the vocabulary is the corpus' top term, absent from s3 entirely
+    val df = Seq(("s1", "x x x"), ("s2", "x y"), ("s3", "qq")).toDF("src", "text")
+    val out = graft.ops.TextOps.termDriftOf(df, "src", "text", topV = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out.keySet == Set("s1", "s2", "s3"), s"all sources present: $out")
+    assert(out("s3") == 0L, "zero vocab tokens, smoothed mass only")
+  }
+
   test("cusum/seasonality are deterministic under repartitioning") {
     val df = Tables.t(spark, sfDir, "events")
     def dump1 = TimeSeriesOps.cusumOf(df, "event_type", "ts", "event_id", "value")
