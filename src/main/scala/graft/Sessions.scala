@@ -19,5 +19,10 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // testdata `ts` is parquet TIMESTAMP(isAdjustedToUTC=false); without
+      // this, Spark 4 reads it as TIMESTAMP_NTZ and every unix_millis /
+      // window() call on it fails. With the session timezone pinned to
+      // UTC above, reading it as LTZ yields the identical instants.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
 }

@@ -132,9 +132,15 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       dir.resolve("events.parquet"))
     val f = dir.toString
-    val sch = spark.read.parquet(f).schema // nanosAsLong: ts arrives as LongType
-    val sdf = spark.readStream.schema(sch).parquet(f)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val sch = spark.read.parquet(f).schema
+    val raw = spark.readStream.schema(sch).parquet(f)
+    // normalize ts like Tables.t: legacy nanos-long testdata needs the
+    // explicit conversion; timestamp encodings pass through
+    val sdf = sch.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
     val q = StreamOps.tumblingAggOut(
         StreamOps.tumblingAgg(sdf.withWatermark("ts", "2 hours")))
       .writeStream.format("memory").queryName("st_file_out").outputMode("complete").start()
