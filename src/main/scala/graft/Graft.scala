@@ -1170,6 +1170,17 @@ object Graft {
                  high: String, low: String, close: String): DataFrame =
     ops.FinOps.volatilityOf(bars, key, ts, open, high, low, close)
 
+  /** Volume-clock bars (AFML information-driven bars): re-bucket a
+    * fill stream into bars of `budget` traded volume each — OHLC,
+    * volume, notional, vwap per (series, bar). Bar boundaries are a
+    * deterministic cumulative fold of the volume column in
+    * (`ts`, `tieCols`…) order; one shuffle on the series key (the
+    * (series, bar) window reuses it). Zero-volume rows are dropped —
+    * they don't advance the volume clock. */
+  def volumeBars(df: DataFrame, key: String, ts: String, tieCols: Seq[String],
+                 price: String, volume: String, budget: Double): DataFrame =
+    ops.FinOps.volumeBarsOf(df, key, ts, tieCols, price, volume, budget)
+
   /** Per-key quantile discretization (MLlib QuantileDiscretizer shape
     * on the q20 exact-percentile machinery): appends `bin` ∈
     * [0, nBins−1], cut points at i/nBins per key, equal-boundary values

@@ -726,7 +726,117 @@ object FinOps {
        |FROM c WHERE rn = n
        |ORDER BY series, day_ms""".stripMargin
 
+  /** Volume-clock bars (public operator behind
+    * [[graft.Graft.volumeBars]]): re-bucket a fill/tick stream by
+    * TRADED VOLUME instead of wall-clock — bar b holds the fills whose
+    * exclusive prefix volume lands in [b·budget, (b+1)·budget). The
+    * "information-driven bars" of López de Prado's AFML ch. 2: volume
+    * bars sample more finely when activity is high, so per-bar return
+    * distributions are closer to IID than time bars — the sampling a
+    * downstream model wants. Emits per (series, bar): start/end ts,
+    * n_fills, open/high/low/close unit price, volume, notional, vwap.
+    *
+    * Exactness: the bar assignment is floor(exclusive-cumsum / budget)
+    * where the cumsum is a CUMULATIVE window fold in (ts, tie…) order
+    * (the ds03 first-fit packing rule on the q33 determinism rule), so
+    * the boundary every engine computes is the same IEEE sequence;
+    * per-bar sums are cumulative folds taken at the bar's last row,
+    * open/high/low/close exact value picks. A fill larger than the
+    * remaining bar capacity is NOT split (bars can overshoot budget —
+    * the standard discrete rule; splitting would fabricate fills).
+    *
+    * Scale: one shuffle on the series key; the (series, bar) window
+    * reuses that partitioning (`ClusteredDistribution` — hash(key)
+    * co-locates every (key, bar)) and only adds an in-partition
+    * re-sort, and `bar` is monotone in fill order so even that sort is
+    * of pre-sorted runs. Zero-volume fills are excluded (they carry no
+    * volume clock and an all-zero series would divide by zero). */
+  def volumeBarsOf(df: DataFrame, keyCol: String, tsCol: String,
+                   tieCols: Seq[String], priceCol: String, volCol: String,
+                   budget: Double): DataFrame = {
+    require(budget > 0, s"budget must be > 0, got $budget")
+    val ties = tieCols.map(col)
+    val wKey = Window.partitionBy(col("__k")).orderBy((col("__t") +: ties): _*)
+    val cumKey = wKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = df
+      .select((col(keyCol).as("__k") +: col(tsCol).as("__t") +:
+        col(priceCol).cast("double").as("__p") +:
+        col(volCol).cast("double").as("__v") +: ties): _*)
+      .filter(col("__v") > 0)
+      .withColumn("__cv", sum(col("__v")).over(cumKey))
+      .withColumn("bar", floor((col("__cv") - col("__v")) / lit(budget)).cast("long"))
+    val wBar = Window.partitionBy(col("__k"), col("bar"))
+      .orderBy((col("__t") +: ties): _*)
+    val cumBar = wBar.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("__rn", row_number().over(wBar))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__k"), col("bar"))))
+      .withColumn("__open", first(col("__p")).over(cumBar))
+      .withColumn("__hi", max(col("__p")).over(cumBar))
+      .withColumn("__lo", min(col("__p")).over(cumBar))
+      .withColumn("__start", first(col("__t")).over(cumBar))
+      .withColumn("__vol", sum(col("__v")).over(cumBar))
+      .withColumn("__not", sum(col("__p") * col("__v")).over(cumBar))
+      .filter(col("__rn") === col("__n"))
+      .select(col("__k").as("series"), col("bar"),
+        col("__start").as("start_ts"), col("__t").as("end_ts"),
+        col("__n").as("n_fills"),
+        col("__open").as("open"), col("__hi").as("high"),
+        col("__lo").as("low"), col("__p").as("close"),
+        col("__vol").as("volume"), col("__not").as("notional"),
+        (col("__not") / col("__vol")).as("vwap"))
+  }
+
+  /** #q59 volume-clock bars over the lineitem fill stream: series =
+    * return flag, fill order = (shipdate, orderkey, linenumber), unit
+    * price, quantity as the volume clock, 50k-unit bars. */
+  private val q59: Q = (s, dir) =>
+    volumeBarsOf(
+      t(s, dir, "lineitem")
+        .withColumn("unit_price", col("l_extendedprice") / col("l_quantity")),
+      "l_returnflag", "l_shipdate", Seq("l_orderkey", "l_linenumber"),
+      priceCol = "unit_price", volCol = "l_quantity", budget = 50000.0)
+      .select(col("series"), col("bar"),
+        epochMs(col("start_ts")).as("start_ms"), epochMs(col("end_ts")).as("end_ms"),
+        col("n_fills"),
+        r4(col("open")).as("open"), r4(col("high")).as("high"),
+        r4(col("low")).as("low"), r4(col("close")).as("close"),
+        r4(col("volume")).as("volume"), r4(col("vwap")).as("vwap"))
+      .orderBy("series", "bar")
+
+  private val q59Sql =
+    """WITH f AS (
+      |  SELECT l_returnflag AS series, l_shipdate AS ts,
+      |    l_orderkey, l_linenumber,
+      |    l_extendedprice / l_quantity AS p, l_quantity AS v
+      |  FROM lineitem WHERE l_quantity > 0),
+      |c AS (
+      |  SELECT series, ts, l_orderkey, l_linenumber, p, v,
+      |    CAST(floor((sum(v) OVER w - v) / 50000.0) AS BIGINT) AS bar
+      |  FROM f
+      |  WINDOW w AS (PARTITION BY series ORDER BY ts, l_orderkey, l_linenumber
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |b AS (
+      |  SELECT series, bar, ts, p,
+      |    row_number() OVER o AS rn,
+      |    count(*) OVER (PARTITION BY series, bar) AS n,
+      |    first(p) OVER w AS open, max(p) OVER w AS high,
+      |    min(p) OVER w AS low, first(ts) OVER w AS start_ts,
+      |    sum(v) OVER w AS vol, sum(p * v) OVER w AS ntl
+      |  FROM c
+      |  WINDOW o AS (PARTITION BY series, bar ORDER BY ts, l_orderkey, l_linenumber),
+      |    w AS (PARTITION BY series, bar ORDER BY ts, l_orderkey, l_linenumber
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT series, bar, epoch_ms(start_ts) AS start_ms, epoch_ms(ts) AS end_ms,
+      |  n AS n_fills,
+      |  round(open, 4) AS open, round(high, 4) AS high,
+      |  round(low, 4) AS low, round(p, 4) AS close,
+      |  round(vol, 4) AS volume, round(ntl / vol, 4) AS vwap
+      |FROM b WHERE rn = n
+      |ORDER BY series, bar""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q59_volume_bars" -> q59,
     "q56_volatility" -> q56,
     "q30_vwap" -> q30,
     "q31_bollinger" -> q31,
@@ -743,6 +853,7 @@ object FinOps {
     "q52_linregress" -> q52)
 
   val oracle: Map[String, String] = Map(
+    "q59_volume_bars" -> q59Sql,
     "q56_volatility" -> q56Sql,
     "q30_vwap" -> q30Sql,
     "q31_bollinger" -> q31Sql,

@@ -204,6 +204,39 @@ class Round8Spec extends SparkSpec {
     assert(out("s3") == 0L, "zero vocab tokens, smoothed mass only")
   }
 
+  test("volumeBars: first-fit volume clock, overshoot bars, exact OHLC picks") {
+    // vols 3,3,3,3 on budget 5: exclusive prefixes 0,3,6,9 -> bars 0,0,1,1
+    // (a fill larger than the remaining capacity overshoots, never splits)
+    val df = Seq(
+      ("a", ts(0), 1L, 10.0, 3.0), ("a", ts(1), 2L, 12.0, 3.0),
+      ("a", ts(2), 3L, 8.0, 3.0), ("a", ts(3), 4L, 11.0, 3.0),
+      ("a", ts(4), 5L, 99.0, 0.0) // zero volume: no clock, dropped
+    ).toDF("k", "t", "id", "p", "v")
+    val out = FinOps.volumeBarsOf(df, "k", "t", Seq("id"), "p", "v", budget = 5.0)
+      .orderBy("bar").collect()
+    assert(out.length == 2)
+    val b0 = out(0)
+    assert(b0.getLong(1) == 0L && b0.getLong(4) == 2L, s"bar0: $b0")
+    assert(b0.getDouble(5) == 10.0 && b0.getDouble(6) == 12.0 &&
+      b0.getDouble(7) == 10.0 && b0.getDouble(8) == 12.0, "bar0 OHLC")
+    assert(b0.getDouble(9) == 6.0, "bar0 overshoots the 5-unit budget to 6")
+    assert(math.abs(b0.getDouble(11) - (10.0 * 3 + 12.0 * 3) / 6.0) < 1e-12, "bar0 vwap")
+    val b1 = out(1)
+    assert(b1.getLong(1) == 1L && b1.getDouble(5) == 8.0 && b1.getDouble(8) == 11.0)
+    assert(b1.getDouble(6) == 11.0 && b1.getDouble(7) == 8.0)
+  }
+
+  test("volumeBars: deterministic under repartitioning") {
+    val li = Tables.t(spark, sfDir, "lineitem")
+      .withColumn("up", org.apache.spark.sql.functions.col("l_extendedprice") /
+        org.apache.spark.sql.functions.col("l_quantity"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      FinOps.volumeBarsOf(d, "l_returnflag", "l_shipdate",
+        Seq("l_orderkey", "l_linenumber"), "up", "l_quantity", budget = 5000.0)
+        .orderBy("series", "bar").collect().map(_.toString).toSeq
+    assert(run(li) == run(li.repartition(13)))
+  }
+
   test("cusum/seasonality are deterministic under repartitioning") {
     val df = Tables.t(spark, sfDir, "events")
     def dump1 = TimeSeriesOps.cusumOf(df, "event_type", "ts", "event_id", "value")
