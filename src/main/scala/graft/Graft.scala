@@ -741,6 +741,15 @@ object Graft {
                   value: String): DataFrame =
     ops.TimeSeriesOps.seasonalityOf(df, key, ts, id, value)
 
+  /** Seasonal-residual anomaly rows: subtract the per-(series, hour)
+    * seasonal baseline, then flag rows whose residual is a med/MAD
+    * robust outlier within its series (|z| > k). Baseline and
+    * percentile tables broadcast; signed `robust_z` gives spike vs
+    * drop. `approx_percentile` is the 100 TB med/MAD swap. */
+  def seasonalAnomalies(df: DataFrame, key: String, ts: String, id: String,
+                        value: String, k: Double = 3.0): DataFrame =
+    ops.TimeSeriesOps.seasonalAnomaliesOf(df, key, ts, id, value, k)
+
   /** SCD Type-2 dimension history: per entity `key`, the `state`
     * stream ordered by (ts, id) compresses into change intervals —
     * consecutive repeats collapse; each change opens a version row

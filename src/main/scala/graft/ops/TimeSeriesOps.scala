@@ -661,7 +661,108 @@ object TimeSeriesOps {
       |FROM hr JOIN tt ON hr.event_type = tt.event_type
       |ORDER BY series, hod""".stripMargin
 
+  /** Seasonal-residual anomaly detection (public operator behind
+    * [[graft.Graft.seasonalAnomalies]]) — what [[seasonalityOf]]'s
+    * baseline exists FOR: a raw threshold on a diurnal metric fires
+    * every peak hour, so first subtract the (series, hour-of-day)
+    * expected value, then flag rows whose RESIDUAL is a robust
+    * outlier within its series (the q48 med/MAD rule — thresholds the
+    * anomalies themselves cannot drag). Emits only the flagged rows:
+    * value, expected, residual, signed robust_z (direction: spike vs
+    * drop; null when MAD = 0 — then any deviation from the median
+    * residual flags).
+    *
+    * Exactness: the baseline mean is [[seasonalityOf]]'s cumulative
+    * fold (bit-deterministic), residuals are per-row arithmetic on it,
+    * med/MAD are exact interpolated percentiles (q20 parity) — so the
+    * flag boundary is the identical IEEE comparison in both engines.
+    *
+    * Scale: the baseline (≤ 24·|series| rows) and the two percentile
+    * tables (|series| rows) all broadcast; the fact side is never
+    * shuffled on a non-key — one (series, hod) window pass + two
+    * percentile aggs. At 100 TB swap `approx_percentile` for the
+    * exact med/MAD (q20's documented trade). */
+  def seasonalAnomaliesOf(df: DataFrame, keyCol: String, tsCol: String,
+                          idCol: String, valueCol: String,
+                          k: Double = 3.0): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    val baseline = seasonalityOf(df, keyCol, tsCol, idCol, valueCol)
+      .select(col("series").as("__k"), col("hod"),
+        col("mean_value").as("expected"))
+    val joined = df
+      .select(col(keyCol).as("__k"), col(tsCol).as("__t"),
+        col(idCol).as("__id"), col(valueCol).cast("double").as("__y"),
+        hour(col(tsCol)).as("hod"))
+      .join(broadcast(baseline), Seq("__k", "hod"))
+      .withColumn("residual", col("__y") - col("expected"))
+    val med = joined.groupBy(col("__k"))
+      .agg(expr("percentile(residual, 0.5D)").as("__med"))
+    val dev = joined.join(broadcast(med), Seq("__k"))
+      .withColumn("__absdev", abs(col("residual") - col("__med")))
+    val mad = dev.groupBy(col("__k"))
+      .agg(expr("percentile(__absdev, 0.5D)").as("__mad"))
+    dev.join(broadcast(mad), Seq("__k"))
+      .withColumn("is_anomaly",
+        when(col("__mad") > 0.0,
+          col("__absdev") > (lit(k) * lit(1.4826)) * col("__mad"))
+          .otherwise(col("residual") =!= col("__med")))
+      .filter(col("is_anomaly"))
+      .select(col("__k").as("series"), col("__t").as("ts"),
+        col("__id").as("id"), col("__y").as("value"),
+        col("expected"), col("residual"),
+        when(col("__mad") > 0.0,
+          (col("residual") - col("__med")) / (lit(1.4826) * col("__mad")))
+          .as("robust_z"))
+  }
+
+  /** #q61 seasonal-residual anomalies over events.value at k = 3:
+    * the continuous-metric alarm row q54's baseline and q48's robust
+    * z exist to feed. */
+  private val q61: Q = (s, dir) =>
+    seasonalAnomaliesOf(t(s, dir, "events"), "event_type", "ts", "event_id",
+        "value", k = 3.0)
+      .select(col("series"), epochMs(col("ts")).as("ts_ms"), col("id"),
+        col("value"), r6(col("expected")).as("expected"),
+        r6(col("residual")).as("residual"), r6(col("robust_z")).as("robust_z"))
+      .orderBy("series", "ts_ms", "id")
+
+  private val q61Sql =
+    """WITH h AS (
+      |  SELECT event_type, hour(ts) AS hod,
+      |    row_number() OVER o AS rn,
+      |    count(*) OVER (PARTITION BY event_type, hour(ts)) AS n,
+      |    sum(value) OVER w AS sy
+      |  FROM events
+      |  WINDOW o AS (PARTITION BY event_type, hour(ts) ORDER BY ts, event_id),
+      |    w AS (PARTITION BY event_type, hour(ts) ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |b AS (SELECT event_type, hod, sy / n AS expected FROM h WHERE rn = n),
+      |r AS (
+      |  SELECT e.event_type, e.ts, e.event_id, e.value, b.expected,
+      |    e.value - b.expected AS residual
+      |  FROM events e JOIN b
+      |    ON e.event_type = b.event_type AND hour(e.ts) = b.hod),
+      |m AS (
+      |  SELECT event_type, quantile_cont(residual, 0.5) AS med
+      |  FROM r GROUP BY event_type),
+      |d AS (
+      |  SELECT r.*, m.med, abs(r.residual - m.med) AS absdev
+      |  FROM r JOIN m USING (event_type)),
+      |md AS (
+      |  SELECT event_type, quantile_cont(absdev, 0.5) AS mad
+      |  FROM d GROUP BY event_type)
+      |SELECT d.event_type AS series, epoch_ms(d.ts) AS ts_ms,
+      |  d.event_id AS id, d.value,
+      |  round(d.expected, 6) AS expected, round(d.residual, 6) AS residual,
+      |  round(CASE WHEN md.mad > 0.0
+      |    THEN (d.residual - d.med) / (1.4826 * md.mad) END, 6) AS robust_z
+      |FROM d JOIN md USING (event_type)
+      |WHERE CASE WHEN md.mad > 0.0 THEN absdev > (3.0 * 1.4826) * md.mad
+      |  ELSE d.residual <> d.med END
+      |ORDER BY series, ts_ms, id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q61_anomaly" -> q61,
     "q53_cusum" -> q53,
     "q54_seasonality" -> q54,
     "q29_interpolate" -> q29,
@@ -681,6 +782,7 @@ object TimeSeriesOps {
     "q14_sessionize" -> q14)
 
   val oracle: Map[String, String] = Map(
+    "q61_anomaly" -> q61Sql,
     "q53_cusum" -> q53Sql,
     "q54_seasonality" -> q54Sql,
     "q29_interpolate" -> q29Sql,

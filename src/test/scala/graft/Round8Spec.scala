@@ -237,6 +237,40 @@ class Round8Spec extends SparkSpec {
     assert(run(li) == run(li.repartition(13)))
   }
 
+  test("seasonalAnomalies: residual vs hour baseline, only robust outliers flagged") {
+    // one hour cell: five 9s, five 11s, one 30. expected = 130/11;
+    // residual median = -0.818..., MAD = 2 -> threshold 3*1.4826*2 = 8.9:
+    // only the spike's absdev (19) crosses it. (The 9/11 alternation keeps
+    // MAD nonzero — an all-identical baseline degenerates to the MAD=0
+    // branch, covered by the next test.)
+    val rows = (1 to 5).map(i => ("a", ts(0), i.toLong, 9.0)) ++
+      (6 to 10).map(i => ("a", ts(0), i.toLong, 11.0)) :+
+      ("a", ts(0), 11L, 30.0)
+    val out = TimeSeriesOps.seasonalAnomaliesOf(
+      rows.toDF("k", "t", "id", "v"), "k", "t", "id", "v", k = 3.0).collect()
+    assert(out.length == 1, s"only the spike flags: ${out.toSeq}")
+    val r = out(0)
+    assert(r.getLong(2) == 11L && r.getDouble(3) == 30.0)
+    val expected = 130.0 / 11.0
+    assert(math.abs(r.getDouble(4) - expected) < 1e-9)
+    assert(math.abs(r.getDouble(5) - (30.0 - expected)) < 1e-9)
+    assert(r.getDouble(6) > 3.0, "signed z, spike direction")
+  }
+
+  test("seasonalAnomalies: zero-MAD series flags any deviation, null z") {
+    // residuals: all 0 except one (constant values except one row in a
+    // 2-row hour cell) -> MAD = 0, the deviating rows flag with null z
+    val rows = Seq(
+      ("c", ts(0), 1L, 4.0), ("c", ts(0), 2L, 4.0), ("c", ts(0), 3L, 4.0),
+      ("c", ts(1), 4L, 4.0), ("c", ts(1), 5L, 6.0))
+    val out = TimeSeriesOps.seasonalAnomaliesOf(
+      rows.toDF("k", "t", "id", "v"), "k", "t", "id", "v", k = 3.0)
+      .orderBy("id").collect()
+    // hour-1 expected = 5: both hour-1 rows have residual ±1, med(residuals)=0
+    assert(out.map(_.getLong(2)).toSeq == Seq(4L, 5L), s"got ${out.toSeq}")
+    assert(out.forall(_.isNullAt(6)), "MAD=0 -> null robust_z")
+  }
+
   test("cusum/seasonality are deterministic under repartitioning") {
     val df = Tables.t(spark, sfDir, "events")
     def dump1 = TimeSeriesOps.cusumOf(df, "event_type", "ts", "event_id", "value")
