@@ -1190,6 +1190,14 @@ object Graft {
                  price: String, volume: String, budget: Double): DataFrame =
     ops.FinOps.volumeBarsOf(df, key, ts, tieCols, price, volume, budget)
 
+  /** Historical VaR(alpha) + Expected Shortfall per series from a
+    * one-row-per-(key, ts) close series: exact-interp return quantile
+    * + deterministic tail-mean fold. `approx_percentile` is the
+    * 100 TB quantile swap. */
+  def varEs(bars: DataFrame, key: String, ts: String, close: String,
+            alpha: Double = 0.05): DataFrame =
+    ops.FinOps.varEsOf(bars, key, ts, close, alpha)
+
   /** Per-key quantile discretization (MLlib QuantileDiscretizer shape
     * on the q20 exact-percentile machinery): appends `bin` ∈
     * [0, nBins−1], cut points at i/nBins per key, equal-boundary values

@@ -835,7 +835,96 @@ object FinOps {
       |FROM b WHERE rn = n
       |ORDER BY series, bar""".stripMargin
 
+  /** Historical Value-at-Risk + Expected Shortfall per series (public
+    * operator behind [[graft.Graft.varEs]]): from a one-row-per-(key,
+    * ts) close series, simple returns r = c/c₋₁ − 1, then
+    *   var_a = the a-quantile of the return distribution (exact
+    *           interpolated percentile — the q20 machinery), and
+    *   es_a  = mean of the returns at or below var_a (the tail mean —
+    *           what you lose on average WHEN the var threshold is
+    *           breached; always ≤ var_a).
+    * The standard daily risk pair next to q56's volatility estimators.
+    *
+    * Exactness: returns are per-row arithmetic on exact close picks;
+    * the quantile is exact-interp (q20 parity); the tail mean runs as
+    * a cumulative fold in (r, ts) total order taken at the tail's
+    * last row (q33 rule) — never a hash-agg float sum. Non-positive
+    * closes are excluded before the return (r undefined there — the
+    * q56 ANSI rule); a return spanning an excluded bar bridges it.
+    *
+    * Scale: one window shuffle on the key for returns + one percentile
+    * agg; the key-sized var table broadcasts back; the tail fold rides
+    * the same key partitioning. `approx_percentile` is the 100 TB
+    * quantile swap. */
+  def varEsOf(bars: DataFrame, keyCol: String, tsCol: String,
+              closeCol: String, alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val wKey = Window.partitionBy(col("__k")).orderBy(col("__t"))
+    val rets = bars
+      .select(col(keyCol).as("__k"), col(tsCol).as("__t"),
+        col(closeCol).cast("double").as("__c"))
+      .filter(col("__c") > 0)
+      .withColumn("r", col("__c") / lag(col("__c"), 1).over(wKey) - lit(1.0))
+      .filter(col("r").isNotNull)
+    val v = rets.groupBy(col("__k"))
+      .agg(expr(s"percentile(r, ${alpha}D)").as("var_a"),
+        count(lit(1)).as("n_obs"))
+    val wTail = Window.partitionBy(col("__k")).orderBy(col("r"), col("__t"))
+    val cumTail = wTail.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rets.join(broadcast(v), Seq("__k"))
+      .filter(col("r") <= col("var_a"))
+      .withColumn("__rn", row_number().over(wTail))
+      .withColumn("__nt", count(lit(1)).over(Window.partitionBy(col("__k"))))
+      .withColumn("__sr", sum(col("r")).over(cumTail))
+      .filter(col("__rn") === col("__nt"))
+      .select(col("__k").as("series"), col("n_obs"),
+        col("var_a"), (col("__sr") / col("__nt")).as("es_a"),
+        col("__nt").as("n_tail"))
+  }
+
+  /** #q62 historical VaR(5%)/ES over the hourly close grid — the
+    * tail-risk companion of q56's volatility row. */
+  private val q62: Q = (s, dir) =>
+    varEsOf(
+      graft.Graft.resampleOhlc(t(s, dir, "events"),
+        "event_type", "ts", "event_id", "value", "hour"),
+      "event_type", "bucket", "close", alpha = 0.05)
+      .select(col("series"), col("n_obs"), r6(col("var_a")).as("var_a"),
+        r6(col("es_a")).as("es_a"), col("n_tail"))
+      .orderBy("series")
+
+  private val q62Sql =
+    """WITH b AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+      |    last(value ORDER BY ts, event_id) AS close
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT event_type, bucket,
+      |    close / lag(close, 1) OVER (PARTITION BY event_type ORDER BY bucket) - 1.0 AS r
+      |  FROM b WHERE close > 0),
+      |rr AS (SELECT * FROM r WHERE r IS NOT NULL),
+      |v AS (
+      |  SELECT event_type, quantile_cont(r, 0.05) AS var_a,
+      |    count(*) AS n_obs
+      |  FROM rr GROUP BY event_type),
+      |t AS (
+      |  SELECT rr.event_type, rr.r, v.var_a, v.n_obs,
+      |    row_number() OVER o AS rn,
+      |    count(*) OVER (PARTITION BY rr.event_type) AS nt,
+      |    sum(rr.r) OVER w AS sr
+      |  FROM rr JOIN v USING (event_type)
+      |  WHERE rr.r <= v.var_a
+      |  WINDOW o AS (PARTITION BY rr.event_type ORDER BY rr.r, rr.bucket),
+      |    w AS (PARTITION BY rr.event_type ORDER BY rr.r, rr.bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_type AS series, CAST(n_obs AS BIGINT) AS n_obs,
+      |  round(var_a, 6) AS var_a, round(sr / nt, 6) AS es_a,
+      |  CAST(nt AS BIGINT) AS n_tail
+      |FROM t WHERE rn = nt
+      |ORDER BY series""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q62_var_es" -> q62,
     "q59_volume_bars" -> q59,
     "q56_volatility" -> q56,
     "q30_vwap" -> q30,
@@ -853,6 +942,7 @@ object FinOps {
     "q52_linregress" -> q52)
 
   val oracle: Map[String, String] = Map(
+    "q62_var_es" -> q62Sql,
     "q59_volume_bars" -> q59Sql,
     "q56_volatility" -> q56Sql,
     "q30_vwap" -> q30Sql,

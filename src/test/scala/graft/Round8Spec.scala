@@ -271,6 +271,32 @@ class Round8Spec extends SparkSpec {
     assert(out.forall(_.isNullAt(6)), "MAD=0 -> null robust_z")
   }
 
+  test("varEs: quantile and tail mean from a hand-built return set") {
+    // closes chosen so returns are exactly {-0.1, 0, +0.2, -0.2, +0.1}:
+    // alpha=0.25 on 5 sorted returns interpolates to index 1 -> -0.1;
+    // tail = {-0.2, -0.1}, es = -0.15
+    val closes = Seq(100.0, 90.0, 90.0, 108.0, 86.4, 95.04)
+    val df = closes.zipWithIndex.map { case (c, i) => ("a", ts(i), c) }
+      .toDF("k", "t", "c")
+    val out = FinOps.varEsOf(df, "k", "t", "c", alpha = 0.25).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getLong(1) == 5L, "n_obs = 5 returns")
+    assert(math.abs(r.getDouble(2) + 0.1) < 1e-9, s"var: $r")
+    assert(math.abs(r.getDouble(3) + 0.15) < 1e-9, s"es: $r")
+    assert(r.getLong(4) == 2L, "two tail returns")
+    assert(r.getDouble(3) <= r.getDouble(2), "ES is at or below VaR")
+  }
+
+  test("varEs: non-positive closes are excluded and bridged, not a crash") {
+    // 100 -> 0 (excluded) -> 110: the only return bridges 100 -> 110
+    val df = Seq(("a", ts(0), 100.0), ("a", ts(1), 0.0), ("a", ts(2), 110.0))
+      .toDF("k", "t", "c")
+    val out = FinOps.varEsOf(df, "k", "t", "c", alpha = 0.5).collect()
+    assert(out.length == 1 && out(0).getLong(1) == 1L)
+    assert(math.abs(out(0).getDouble(2) - 0.1) < 1e-12)
+  }
+
   test("cusum/seasonality are deterministic under repartitioning") {
     val df = Tables.t(spark, sfDir, "events")
     def dump1 = TimeSeriesOps.cusumOf(df, "event_type", "ts", "event_id", "value")
