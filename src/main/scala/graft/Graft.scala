@@ -245,6 +245,15 @@ object Graft {
   def normalizeText(docs: DataFrame, id: String, text: String): DataFrame =
     ops.TextOps.normalizeTextOf(docs, id, text)
 
+  /** Sliding-window document chunking for retrieval indexing:
+    * overlapping `size`-token windows every `stride` tokens with
+    * (doc_id, chunk_id, start_token) provenance — the table an
+    * embedding/ANN index ingests. Map-side explode, no shuffle;
+    * empty docs emit no chunks, tail chunks may be short. */
+  def chunkText(docs: DataFrame, id: String, text: String,
+                size: Int = 256, stride: Int = 192): DataFrame =
+    ops.TextOps.chunkTextOf(docs, id, text, size, stride)
+
   /** The as-of join as a NATIVE physical operator — the same contract
     * as [[asofJoin]] (matched right row verbatim, `asof_ts`, `>=`
     * semantics, unique-(key, ts) right), executed by

@@ -1015,7 +1015,78 @@ object TextOps {
       |FROM f WHERE rn = v
       |ORDER BY source""".stripMargin
 
+  /** Sliding-window document chunking (public operator behind
+    * [[graft.Graft.chunkText]]) — the retrieval-indexing shape: split
+    * each doc into overlapping `size`-token windows every `stride`
+    * tokens (stride < size ⇒ overlap, so a fact straddling a chunk
+    * boundary survives in the neighbor). The chunk table is what an
+    * embedding/ANN index (s01–s06) ingests; chunk provenance
+    * (doc_id, chunk_id, start_token) rides every row so retrieval can
+    * cite back into the source. Emits per chunk: `doc_id` (the id
+    * column), `chunk_id` (0-based), `start_token`, `n_tokens`
+    * (tail chunks may be short), `chunk_text` (space-joined tokens).
+    *
+    * Chunk count is the integer closed form
+    * ceil(max(n − size, 0)/stride) + 1 for n > 0 (empty docs emit no
+    * chunks) — every chunk starts strictly inside the token list, and
+    * the last window reaches the final token.
+    *
+    * Scale: map-side explode only — ≤ n/stride + 1 rows per doc, no
+    * shuffle anywhere (the gate's presentation sort is the only
+    * exchange); the token array is built once per row and sliced per
+    * chunk. The m05 overlapping-windows shape applied to text. */
+  def chunkTextOf(df: DataFrame, idCol: String, textCol: String,
+                  size: Int, stride: Int): DataFrame = {
+    require(size >= 1, s"size must be >= 1, got $size")
+    require(stride >= 1 && stride <= size,
+      s"stride must be in [1, size], got $stride (size $size)")
+    // functions.size is shadowed by the `size` parameter in this scope
+    val alen = org.apache.spark.sql.functions.size _
+    // ceil-div on non-negative ints: floor((x + s−1)/s); exact in double
+    val nChunks = (floor((greatest(col("__n") - size, lit(0)) + (stride - 1))
+      / lit(stride.toDouble)).cast("int") + 1)
+    df.select(col(idCol).as("doc_id"), F.words(col(textCol)).as("__toks"))
+      .withColumn("__n", alen(col("__toks")))
+      .filter(col("__n") > 0)
+      .withColumn("chunk_id", explode(sequence(lit(0), nChunks - 1)))
+      .withColumn("start_token", col("chunk_id") * stride)
+      .withColumn("__chunk", slice(col("__toks"), col("start_token") + 1, lit(size)))
+      .select(col("doc_id"), col("chunk_id"), col("start_token"),
+        alen(col("__chunk")).as("n_tokens"),
+        array_join(col("__chunk"), " ").as("chunk_text"))
+  }
+
+  /** #t15 64-token chunks every 48 tokens (16-token overlap) over the
+    * documents corpus; chunk text crosses the gate as md5. */
+  private val t15: Q = (s, dir) =>
+    chunkTextOf(t(s, dir, "documents"), "doc_id", "text", size = 64, stride = 48)
+      .select(col("doc_id"), col("chunk_id"), col("start_token"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        md5(col("chunk_text")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+
+  private val t15Sql =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+      |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, toks, n,
+      |    unnest(range(0, CAST((greatest(n - 64, 0) + 47) // 48 AS INT) + 1)) AS chunk_id
+      |  FROM d WHERE n > 0),
+      |s AS (
+      |  SELECT doc_id, chunk_id, chunk_id * 48 AS start_token,
+      |    toks[chunk_id * 48 + 1 : chunk_id * 48 + 64] AS chunk
+      |  FROM c)
+      |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+      |  CAST(start_token AS INT) AS start_token,
+      |  CAST(len(chunk) AS BIGINT) AS n_tokens,
+      |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+      |FROM s
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t15_chunks" -> t15,
     "t14_term_drift" -> t14,
     "t13_feature_hash" -> t13,
     "t12_bpe_train" -> t12,
@@ -1033,6 +1104,7 @@ object TextOps {
     "t06_normalize" -> t06)
 
   val oracle: Map[String, String] = Map(
+    "t15_chunks" -> t15Sql,
     "t14_term_drift" -> t14Sql,
     "t13_feature_hash" -> t13Sql,
     "t11_bm25" -> t11Sql,

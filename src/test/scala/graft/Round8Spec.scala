@@ -297,6 +297,35 @@ class Round8Spec extends SparkSpec {
     assert(math.abs(out(0).getDouble(2) - 0.1) < 1e-12)
   }
 
+  test("chunkText: window/stride arithmetic, overlap, short tail, empty doc") {
+    val doc = (1 to 10).map(i => s"w$i").mkString(" ") // 10 tokens
+    val df = Seq((1L, doc), (2L, "solo"), (3L, "...!!!")).toDF("id", "text")
+    val out = graft.ops.TextOps.chunkTextOf(df, "id", "text", size = 4, stride = 3)
+      .orderBy("doc_id", "chunk_id").collect()
+    // doc 1: n=10 -> ceil(6/3)+1 = 3 chunks at 0,3,6 ... covers to token 10
+    val d1 = out.filter(_.getLong(0) == 1L)
+    assert(d1.map(r => (r.getInt(1), r.getInt(2), r.getInt(3))).toSeq ==
+      Seq((0, 0, 4), (1, 3, 4), (2, 6, 4)), s"doc1 chunks: ${d1.toSeq}")
+    assert(d1(0).getString(4) == "w1 w2 w3 w4")
+    assert(d1(1).getString(4) == "w4 w5 w6 w7", "stride 3 on size 4 overlaps by 1")
+    assert(d1(2).getString(4) == "w7 w8 w9 w10", "last window reaches the final token")
+    // doc 2: 1 token -> one short chunk; doc 3: no tokens -> no chunks
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2(0).getInt(3) == 1 && d2(0).getString(4) == "solo")
+    assert(!out.exists(_.getLong(0) == 3L), "empty docs emit no chunks")
+  }
+
+  test("chunkText: a short tail past the last full window is emitted") {
+    // n=11, size=4, stride=3 -> ceil(7/3)+1 = 4 chunks; last = tokens 10..11
+    val doc = (1 to 11).map(i => s"w$i").mkString(" ")
+    val out = graft.ops.TextOps.chunkTextOf(
+      Seq((1L, doc)).toDF("id", "text"), "id", "text", size = 4, stride = 3)
+      .orderBy("chunk_id").collect()
+    assert(out.length == 4)
+    assert(out(3).getInt(2) == 9 && out(3).getInt(3) == 2)
+    assert(out(3).getString(4) == "w10 w11")
+  }
+
   test("cusum/seasonality are deterministic under repartitioning") {
     val df = Tables.t(spark, sfDir, "events")
     def dump1 = TimeSeriesOps.cusumOf(df, "event_type", "ts", "event_id", "value")
