@@ -1017,6 +1017,14 @@ object Graft {
                 value: String, alpha: Double): DataFrame =
     ops.ScanOps.ewmaExactOf(df, key, ts, tie, value, alpha)
 
+  /** 1-D local-level Kalman filter per series (segmented scan): the
+    * adaptive-gain generalization of [[ewmaExact]] — gain anneals
+    * from 1 to the steady state the procVar/obsVar ratio implies.
+    * Returns the filtered `level` and posterior `variance` per row. */
+  def kalman(df: DataFrame, key: String, ts: String, tie: String,
+             value: String, procVar: Double, obsVar: Double): DataFrame =
+    ops.ScanOps.kalmanOf(df, key, ts, tie, value, procVar, obsVar)
+
   /** Wilder-smoothed RSI(n) — the exact recurrence form (pandas_ta
     * RMA: `ewm(alpha=1/n, adjust=False)` over gains/losses), run as a
     * distributed segmented scan; [[rsi]] is Cutler's window form of

@@ -203,6 +203,91 @@ object ScanOps {
       .toDF(key, "ts_ms", tie, "roll_min", "roll_max")
   }
 
+  /** 1-D local-level Kalman filter per series — the optimal recursive
+    * estimator of a latent level under Gaussian process noise
+    * (variance `procVar`) and observation noise (variance `obsVar`);
+    * the principled generalization of the EWMA family: its gain
+    * ADAPTS, starting high (trust early observations) and annealing to
+    * the steady state the noise ratio implies, where an EWMA's α is
+    * fixed forever. Per series in (`ts`, `tie`) order:
+    *   init  x̂₁ = z₁, P₁ = obsVar
+    *   step  Pp = P + procVar;  K = Pp/(Pp + obsVar)
+    *         x̂ += K·(z − x̂);   P = (1−K)·Pp
+    * Emits (`key` AS STRING, `ts_ms`, `tie`, `level`, `variance`) —
+    * the filtered level and its posterior variance. O(1) state,
+    * contracts as [[ewmaExactOf]].
+    *
+    * Parity: the gain/variance sequence is DATA-INDEPENDENT (the
+    * scalar Riccati recursion — it depends only on the two noise
+    * variances and the row index), so the oracle reproduces it with a
+    * recursive CTE to the longest series and folds each row's prefix
+    * with an INDEXED `list_reduce` (acc + K[i]·(x − acc)) — the
+    * identical op sequence, bit-for-bit. */
+  def kalmanOf(df: DataFrame, key: String, ts: String, tie: String,
+               value: String, procVar: Double, obsVar: Double): DataFrame = {
+    require(procVar > 0, s"procVar must be > 0, got $procVar")
+    require(obsVar > 0, s"obsVar must be > 0, got $obsVar")
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col(key).cast("string").as("__k"), epochMs(col(ts)).as("__t"),
+        col(tie).cast("long").as("__i"), col(value).cast("double").as("__x"))
+      .as[(String, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("__t").asc, col("__i").asc) { (k, rows) =>
+        var xh = 0.0
+        var p = 0.0
+        var first = true
+        rows.map { case (_, t, i, z) =>
+          if (first) { xh = z; p = obsVar; first = false }
+          else {
+            val pp = p + procVar
+            val g = pp / (pp + obsVar)
+            xh = xh + g * (z - xh)
+            p = (1.0 - g) * pp
+          }
+          (k, t, i, xh, p)
+        }
+      }
+      .toDF(key, "ts_ms", tie, "level", "variance")
+  }
+
+  /** #q60 local-level Kalman filter over each user's value stream
+    * (procVar 0.1, obsVar 1.0). The oracle builds the data-independent
+    * gain/variance sequence with a recursive CTE (ONE table for all
+    * series — the Riccati recursion only depends on the row index),
+    * then replays the level as an indexed prefix fold. */
+  private val q60: Q = (s, dir) =>
+    kalmanOf(t(s, dir, "events"), "user_id", "ts", "event_id", "value",
+        procVar = 0.1, obsVar = 1.0)
+      .select(col("user_id").cast("long").as("user_id"), col("ts_ms"),
+        col("event_id"), r6(col("level")).as("level"),
+        r6(col("variance")).as("variance"))
+      .orderBy("user_id", "ts_ms", "event_id")
+
+  private val q60Sql =
+    """WITH RECURSIVE mx AS (
+      |  SELECT max(cnt) AS maxn
+      |  FROM (SELECT count(*) AS cnt FROM events GROUP BY user_id)),
+      |g(i, kk, p) AS (
+      |  SELECT 1, CAST(NULL AS DOUBLE), CAST(1.0 AS DOUBLE)
+      |  UNION ALL
+      |  SELECT i + 1, (p + 0.1) / (p + 0.1 + 1.0),
+      |    (1.0 - (p + 0.1) / (p + 0.1 + 1.0)) * (p + 0.1)
+      |  FROM g WHERE i < (SELECT maxn FROM mx)),
+      |ks AS (SELECT list(kk ORDER BY i) AS kl FROM g WHERE i >= 2),
+      |pp AS (
+      |  SELECT user_id, ts, event_id,
+      |    row_number() OVER o AS rn,
+      |    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre
+      |  FROM events
+      |  WINDOW o AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT pp.user_id, epoch_ms(pp.ts) AS ts_ms, pp.event_id,
+      |  round(list_reduce(pp.pre, (acc, x, i) -> acc + ks.kl[i] * (x - acc)), 6) AS level,
+      |  round(g.p, 6) AS variance
+      |FROM pp CROSS JOIN ks JOIN g ON g.i = pp.rn
+      |ORDER BY pp.user_id, ts_ms, pp.event_id""".stripMargin
+
   /** #q39 exact EWMA (adjust=False) per user series. */
   private val q39: Q = (s, dir) =>
     ewmaExactOf(t(s, dir, "events"), "user_id", "ts", "event_id", "value", alpha = 0.25)
@@ -293,8 +378,10 @@ object ScanOps {
       |ORDER BY user_id, ts_ms, event_id""".stripMargin
 
   val queries: Map[String, Q] =
-    Map("q39_ewma_exact" -> q39, "q40_wilder_rsi" -> q40, "q44_macd" -> q44)
+    Map("q39_ewma_exact" -> q39, "q40_wilder_rsi" -> q40, "q44_macd" -> q44,
+      "q60_kalman" -> q60)
 
   val oracle: Map[String, String] =
-    Map("q39_ewma_exact" -> q39Sql, "q40_wilder_rsi" -> q40Sql, "q44_macd" -> q44Sql)
+    Map("q39_ewma_exact" -> q39Sql, "q40_wilder_rsi" -> q40Sql, "q44_macd" -> q44Sql,
+      "q60_kalman" -> q60Sql)
 }

@@ -79,4 +79,35 @@ class ScanSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges == 1, s"expected 1 shuffle, plan:\n$plan")
   }
+
+  test("kalman matches the driver-side filter bit-for-bit; gain anneals to steady state") {
+    val vals = Seq(3.0, 1.0, 4.0, 1.5, 9.2, 2.6, 5.3, 5.8, 9.7, 9.3)
+    val (q, r) = (0.1, 1.0)
+    var xh = vals.head; var p = r
+    val expect = (xh, p) +: vals.tail.map { z =>
+      val pp = p + q; val k = pp / (pp + r)
+      xh = xh + k * (z - xh); p = (1.0 - k) * pp
+      (xh, p)
+    }
+    val out = Graft.kalman(series(vals), "sym", "t", "seq", "px", q, r)
+      .orderBy("ts_ms").select("level", "variance")
+      .as[(Double, Double)].collect().toSeq
+    assert(out == expect, "same op sequence, same doubles")
+    // the Riccati variance is monotone decreasing toward its fixed point
+    val ps = out.map(_._2)
+    assert(ps.zip(ps.tail).forall { case (a, b) => b < a }, "variance anneals")
+    val steady = (-q + math.sqrt(q * q + 4 * q * r)) / 2 // posterior P* of the Riccati fixed point
+    assert(math.abs(ps.last - steady) < 0.05, s"approaching P* = $steady, got ${ps.last}")
+  }
+
+  test("kalman: invariant under input partitioning; parameters validated") {
+    val df = series(Seq(5.0, 7.0, 6.0, 8.0)) // any order/partitioning
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Graft.kalman(d, "sym", "t", "seq", "px", 0.2, 0.5)
+        .orderBy("ts_ms").collect().map(_.toString).toSeq
+    assert(run(df) == run(df.repartition(7).sortWithinPartitions(desc("px"))))
+    intercept[IllegalArgumentException] {
+      Graft.kalman(df, "sym", "t", "seq", "px", 0.0, 1.0)
+    }
+  }
 }
