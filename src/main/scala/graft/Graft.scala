@@ -1236,6 +1236,24 @@ object Graft {
                  samplePermille: Int = 1000): DataFrame =
     ops.SimOps.covarianceOf(df, id, vec, samplePermille)
 
+  /** Train a linear probe on an embedding column (squared-loss
+    * full-batch GD against a ±1 label column, weights as bounded
+    * driver state) and score the full corpus map-only. The curation
+    * classifier fit: `samplePermille` fits on the deterministic id
+    * sample, the scoring pass always covers everything. Returns per
+    * row (id, y, score, predicted, correct). */
+  def linearProbe(df: DataFrame, id: String, vec: String, y: String,
+                  dims: Int, lr: Double = 0.05, iters: Int = 3,
+                  samplePermille: Int = 1000): DataFrame =
+    ops.SimOps.linearProbeOf(df, id, vec, y, dims, lr, iters, samplePermille)
+
+  /** The [[linearProbe]] fit alone: the d fitted weights (driver
+    * state) for reuse in a map-only scoring pass elsewhere. */
+  def fitLinearProbe(df: DataFrame, id: String, vec: String, y: String,
+                     dims: Int, lr: Double = 0.05, iters: Int = 3,
+                     samplePermille: Int = 1000): Array[Double] =
+    ops.SimOps.fitLinearProbe(df, id, vec, y, dims, lr, iters, samplePermille)
+
   /** PCA fit + map-only projection: one distributed covariance pass, a
     * driver-side d×d Jacobi eigensolve (the kmeans driver-state shape),
     * then `pc0..pc{k-1}` appended as centered dots with the top

@@ -696,7 +696,142 @@ object SimOps {
       |FROM c WHERE rn = n
       |ORDER BY i, j""".stripMargin
 
+  /** In-engine linear-probe TRAINING over an embedding column (the
+    * quality/domain-classifier fit a curation pipeline runs before
+    * filtering): full-batch gradient descent on squared loss against
+    * ±1 labels, predicting through the origin — the classic linear
+    * probe. Weights are DRIVER STATE (d doubles — the [[kmeansOf]]
+    * contract): each iteration is one distributed pass computing the
+    * d-dim gradient, never a shuffle of the corpus by anything but the
+    * dim index.
+    *
+    * Why squared loss and not logistic: the fit is bit-reproducible
+    * AND oracle-checkable — every op is +/−/×/÷ (no libm exp whose
+    * last-ulp behavior differs across engines), scores are balanced-
+    * tree dots ([[graft.F.dotN]]) and gradient sums are cumulative
+    * folds in id order (the q33 rule). On ±1 labels squared-loss GD
+    * converges to the least-squares separating direction (the Fisher
+    * discriminant up to scale) — for FILTERING (rank by score, cut at
+    * a threshold) the ranking is what matters, not calibrated
+    * probabilities.
+    *
+    * `samplePermille` fits on the md5-deterministic id sample (ds02
+    * rule) — the s08 recipe: sample the FIT, score the full corpus.
+    * Returns the fitted weights (index j, 0-based). */
+  def fitLinearProbe(df: DataFrame, idCol: String, vecCol: String,
+                     yCol: String, dims: Int, lr: Double, iters: Int,
+                     samplePermille: Int = 1000,
+                     salt: String = "graft"): Array[Double] = {
+    require(dims >= 1 && iters >= 1 && lr > 0,
+      s"need dims/iters >= 1 and lr > 0, got dims=$dims iters=$iters lr=$lr")
+    require(samplePermille >= 1 && samplePermille <= 1000,
+      s"samplePermille must be in [1,1000], got $samplePermille")
+    val in =
+      if (samplePermille >= 1000) df
+      else df.filter(pmod(hash60(concat(lit(salt + ":"), col(idCol).cast("string"))),
+        lit(1000L)) < samplePermille)
+    val e = in.select(col(idCol).as("__id"),
+      col(vecCol).cast("array<double>").as("__v"),
+      col(yCol).cast("double").as("__y")).cache()
+    try {
+      val n = e.count()
+      require(n > 0, "empty training set")
+      var w = Array.fill(dims)(0.0)
+      val wJ = Window.partitionBy(col("j"))
+      val wOrd = wJ.orderBy(col("__id"))
+      val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      for (_ <- 1 to iters) {
+        val wlit = array(w.map(lit).toIndexedSeq: _*)
+        val g = e
+          .withColumn("err", dotN(col("__v"), wlit, dims) - col("__y"))
+          .select(col("__id"), col("err"), posexplode(col("__v")).as(Seq("j", "xj")))
+          .withColumn("rn", row_number().over(wOrd))
+          .withColumn("cnt", count(lit(1)).over(wJ))
+          .withColumn("sr", sum(col("err") * col("xj")).over(wCum))
+          .filter(col("rn") === col("cnt"))
+          .select(col("j"), col("sr")).collect()
+          .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        w = Array.tabulate(dims)(j => w(j) - lr * g(j) / n)
+      }
+      w
+    } finally e.unpersist()
+  }
+
+  /** [[fitLinearProbe]] + map-only scoring of the FULL corpus with the
+    * fitted weights (public operator behind [[graft.Graft.linearProbe]]):
+    * per row — the ±1 label, the linear score, `predicted` (score ≥ 0)
+    * and `correct`. The production cut is a threshold on `score`. */
+  def linearProbeOf(df: DataFrame, idCol: String, vecCol: String,
+                    yCol: String, dims: Int, lr: Double, iters: Int,
+                    samplePermille: Int = 1000): DataFrame = {
+    val w = fitLinearProbe(df, idCol, vecCol, yCol, dims, lr, iters, samplePermille)
+    val wlit = array(w.map(lit).toIndexedSeq: _*)
+    df.select(col(idCol).as("id"), col(yCol).cast("double").as("y"),
+        dotN(col(vecCol).cast("array<double>"), wlit, dims).as("score"))
+      .withColumn("predicted", col("score") >= 0)
+      .withColumn("correct", (col("score") >= 0) === (col("y") > 0))
+  }
+
+  /** #s09 linear probe trained in-engine on the embeddings table
+    * (target: label = 0, 3 GD iterations, lr 0.05) — the oracle
+    * REPLAYS THE WHOLE TRAINING LOOP as chained CTEs (one gradient +
+    * weight-update round per iteration, every float the identical op
+    * sequence) and hash-matches the scored corpus. */
+  private val s09: Q = (s, dir) => {
+    val df = t(s, dir, "embeddings")
+      .withColumn("y", when(col("label") === 0, 1.0).otherwise(-1.0))
+    linearProbeOf(df, "vec_id", "embedding", "y", dims = 64, lr = 0.05, iters = 3)
+      .select(col("id").cast("long").as("vec_id"), col("y"),
+        r6(col("score")).as("score"), col("predicted"), col("correct"))
+      .orderBy("vec_id")
+  }
+
+  private val s09Sql: String = {
+    val d = 64
+    val iters = 3
+    def dotW(v: String, wl: String) = graft.OracleSql.dot(v, wl, d)
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS (
+              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+              |    CASE WHEN label = 0 THEN 1.0 ELSE -1.0 END AS y
+              |  FROM embeddings),
+              |nn AS (SELECT count(*) AS n FROM e),
+              |js AS (SELECT unnest(range(1, ${d + 1})) AS j),
+              |w0 AS (SELECT j, CAST(0.0 AS DOUBLE) AS wj FROM js),
+              |wl0 AS (SELECT list(wj ORDER BY j) AS wl FROM w0),
+              |""".stripMargin
+    for (t <- 1 to iters) {
+      sb ++= s"""x$t AS (
+                |  SELECT e.vec_id, (${dotW("e.v", "wl.wl")}) - e.y AS err, js.j, e.v[js.j] AS xj
+                |  FROM e CROSS JOIN wl${t - 1} wl CROSS JOIN js),
+                |g$t AS (
+                |  SELECT j, sr FROM (
+                |    SELECT j, row_number() OVER o AS rn,
+                |      count(*) OVER (PARTITION BY j) AS cnt,
+                |      sum(err * xj) OVER w AS sr
+                |    FROM x$t
+                |    WINDOW o AS (PARTITION BY j ORDER BY vec_id),
+                |      w AS (PARTITION BY j ORDER BY vec_id
+                |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                |  WHERE rn = cnt),
+                |w$t AS (
+                |  SELECT p.j, p.wj - 0.05 * g$t.sr / (SELECT n FROM nn) AS wj
+                |  FROM w${t - 1} p JOIN g$t USING (j)),
+                |wl$t AS (SELECT list(wj ORDER BY j) AS wl FROM w$t),
+                |""".stripMargin
+    }
+    sb ++= s"""sc AS (
+              |  SELECT e.vec_id, e.y, (${dotW("e.v", "wl.wl")}) AS score
+              |  FROM e CROSS JOIN wl$iters wl)
+              |SELECT vec_id, y, round(score, 6) AS score,
+              |  score >= 0 AS predicted, (score >= 0) = (y > 0) AS correct
+              |FROM sc
+              |ORDER BY vec_id""".stripMargin
+    sb.toString
+  }
+
   val queries: Map[String, Q] = Map(
+    "s09_linear_probe" -> s09,
     "s08_cov_sampled" -> s08,
     "s07_pca_cov" -> s07,
     "s06_ann_pq" -> s06,
@@ -707,6 +842,7 @@ object SimOps {
     "s05_ann_recall" -> s05)
 
   val oracle: Map[String, String] = Map(
+    "s09_linear_probe" -> s09Sql,
     "s08_cov_sampled" -> s08Sql,
     "s07_pca_cov" -> s07Sql,
     "s06_ann_pq" -> s06Sql,

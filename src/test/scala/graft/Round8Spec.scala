@@ -326,6 +326,37 @@ class Round8Spec extends SparkSpec {
     assert(out(3).getString(4) == "w10 w11")
   }
 
+  test("linearProbe: one GD iteration matches the closed form; separable data separates") {
+    // 2-D toy: w0 = 0 -> err = -y -> g_j = -sum(y*x_j); w1_j = lr*sum(y*x_j)/n
+    val data = Seq(
+      (1L, Seq(2.0, 0.5), 1.0), (2L, Seq(1.5, -0.5), 1.0),
+      (3L, Seq(-2.0, 0.25), -1.0), (4L, Seq(-1.0, -0.75), -1.0))
+    val df = data.toDF("id", "v", "y")
+    val w1 = graft.ops.SimOps.fitLinearProbe(df, "id", "v", "y", dims = 2,
+      lr = 0.1, iters = 1)
+    val n = 4.0
+    val exp0 = 0.1 * data.map { case (_, v, y) => y * v(0) }.sum / n
+    val exp1 = 0.1 * data.map { case (_, v, y) => y * v(1) }.sum / n
+    assert(math.abs(w1(0) - exp0) < 1e-12 && math.abs(w1(1) - exp1) < 1e-12,
+      s"got ${w1.toSeq}, expected ($exp0, $exp1)")
+    // more iterations on this linearly separable set: all rows classified
+    val scored = Graft.linearProbe(df, "id", "v", "y", dims = 2, lr = 0.1, iters = 20)
+      .collect()
+    assert(scored.forall(_.getBoolean(4)), s"separable data separates: ${scored.toSeq}")
+  }
+
+  test("linearProbe: fit is invariant under repartitioning; sampled fit scores everything") {
+    val df = Tables.t(spark, sfDir, "embeddings")
+      .withColumn("y", org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.col("label") === 0, 1.0).otherwise(-1.0))
+    val a = graft.ops.SimOps.fitLinearProbe(df, "vec_id", "embedding", "y", 64, 0.05, 2)
+    val b = graft.ops.SimOps.fitLinearProbe(df.repartition(17), "vec_id", "embedding", "y", 64, 0.05, 2)
+    assert(a.toSeq == b.toSeq, "gradient folds are partition-order-invariant")
+    val scored = Graft.linearProbe(df, "vec_id", "embedding", "y", 64,
+      iters = 2, samplePermille = 400)
+    assert(scored.count() == df.count(), "sampled fit still scores the full corpus")
+  }
+
   test("cusum/seasonality are deterministic under repartitioning") {
     val df = Tables.t(spark, sfDir, "events")
     def dump1 = TimeSeriesOps.cusumOf(df, "event_type", "ts", "event_id", "value")
