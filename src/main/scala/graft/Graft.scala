@@ -1025,6 +1025,16 @@ object Graft {
              value: String, procVar: Double, obsVar: Double): DataFrame =
     ops.ScanOps.kalmanOf(df, key, ts, tie, value, procVar, obsVar)
 
+  /** GARCH(1,1) conditional-variance filtering with fixed (ω, α, β)
+    * over an innovation series (segmented scan): σ² reacts to each
+    * shock and decays geometrically — per-tick volatility where the
+    * daily estimators only see day aggregates. Returns `sigma2` and
+    * `sigma` per row. */
+  def garch(df: DataFrame, key: String, ts: String, tie: String,
+            value: String, omega: Double, alpha: Double,
+            beta: Double): DataFrame =
+    ops.ScanOps.garchOf(df, key, ts, tie, value, omega, alpha, beta)
+
   /** Wilder-smoothed RSI(n) — the exact recurrence form (pandas_ta
     * RMA: `ewm(alpha=1/n, adjust=False)` over gains/losses), run as a
     * distributed segmented scan; [[rsi]] is Cutler's window form of

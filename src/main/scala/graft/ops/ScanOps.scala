@@ -288,6 +288,89 @@ object ScanOps {
       |FROM pp CROSS JOIN ks JOIN g ON g.i = pp.rn
       |ORDER BY pp.user_id, ts_ms, pp.event_id""".stripMargin
 
+  /** GARCH(1,1) conditional-variance filtering with FIXED parameters
+    * (ω, α, β) over an innovation (return) series — the
+    * volatility-clustering model q56's per-day estimators can't see
+    * inside a day: σ² reacts to each shock (α·r²) and decays (β·σ²)
+    * instead of averaging a window. Per series in (`ts`, `tie`)
+    * order:
+    *   σ²₁ = r₁²;   σ²_t = ω + α·r²_{t−1} + β·σ²_{t−1}
+    * (σ²_t is the variance OF r_t given the past — the one-step
+    * forecast). Parameter FITTING is out of scope (an MLE over the
+    * libm log-likelihood — not bit-portable); filtering with given
+    * parameters is the production operation a risk pipeline runs per
+    * tick. Emits (`key` AS STRING, `ts_ms`, `tie`, `sigma2`, `sigma`);
+    * sqrt is IEEE-correctly-rounded in both engines, so even `sigma`
+    * is bit-exact. O(1) state, contracts as [[ewmaExactOf]].
+    *
+    * Parity: the oracle folds [r₁²] ⧺ squares[1..t−1] with
+    * init = r₁² and step acc → ω + α·x + β·acc — the identical op
+    * sequence (the prepend makes the init consume σ²₁ and the first
+    * step consume r₁², fixing the off-by-one a plain prefix fold
+    * would have). */
+  def garchOf(df: DataFrame, key: String, ts: String, tie: String,
+              value: String, omega: Double, alpha: Double,
+              beta: Double): DataFrame = {
+    require(omega > 0, s"omega must be > 0, got $omega")
+    require(alpha >= 0 && beta >= 0 && alpha + beta < 1,
+      s"need alpha, beta >= 0 and alpha + beta < 1, got $alpha, $beta")
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col(key).cast("string").as("__k"), epochMs(col(ts)).as("__t"),
+        col(tie).cast("long").as("__i"), col(value).cast("double").as("__x"))
+      .as[(String, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("__t").asc, col("__i").asc) { (k, rows) =>
+        var s2 = 0.0
+        var prevR2 = 0.0
+        var first = true
+        rows.map { case (_, t, i, r) =>
+          if (first) { s2 = r * r; first = false }
+          else s2 = omega + alpha * prevR2 + beta * s2
+          prevR2 = r * r
+          (k, t, i, s2, math.sqrt(s2))
+        }
+      }
+      .toDF(key, "ts_ms", tie, "sigma2", "sigma")
+  }
+
+  /** #q63 GARCH(1,1) filtering (ω=0.1, α=0.1, β=0.8) over each user's
+    * value-change innovations. */
+  private val q63: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val innov = t(s, dir, "events")
+      .withColumn("r", col("value") - lag(col("value"), 1).over(w))
+      .filter(col("r").isNotNull)
+    garchOf(innov, "user_id", "ts", "event_id", "r",
+        omega = 0.1, alpha = 0.1, beta = 0.8)
+      .select(col("user_id").cast("long").as("user_id"), col("ts_ms"),
+        col("event_id"), r6(col("sigma2")).as("sigma2"),
+        r6(col("sigma")).as("sigma"))
+      .orderBy("user_id", "ts_ms", "event_id")
+  }
+
+  private val q63Sql =
+    """WITH d AS (
+      |  SELECT user_id, ts, event_id,
+      |    value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS r
+      |  FROM events),
+      |i AS (SELECT user_id, ts, event_id, r FROM d WHERE r IS NOT NULL),
+      |p AS (
+      |  SELECT user_id, ts, event_id,
+      |    list(r * r) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre
+      |  FROM i),
+      |f AS (
+      |  SELECT user_id, ts, event_id,
+      |    list_reduce(list_prepend(pre[1], pre[1:len(pre)-1]),
+      |      (acc, x) -> 0.1 + 0.1 * x + 0.8 * acc) AS s2
+      |  FROM p)
+      |SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+      |  round(s2, 6) AS sigma2, round(sqrt(s2), 6) AS sigma
+      |FROM f
+      |ORDER BY user_id, ts_ms, event_id""".stripMargin
+
   /** #q39 exact EWMA (adjust=False) per user series. */
   private val q39: Q = (s, dir) =>
     ewmaExactOf(t(s, dir, "events"), "user_id", "ts", "event_id", "value", alpha = 0.25)
@@ -379,9 +462,9 @@ object ScanOps {
 
   val queries: Map[String, Q] =
     Map("q39_ewma_exact" -> q39, "q40_wilder_rsi" -> q40, "q44_macd" -> q44,
-      "q60_kalman" -> q60)
+      "q60_kalman" -> q60, "q63_garch" -> q63)
 
   val oracle: Map[String, String] =
     Map("q39_ewma_exact" -> q39Sql, "q40_wilder_rsi" -> q40Sql, "q44_macd" -> q44Sql,
-      "q60_kalman" -> q60Sql)
+      "q60_kalman" -> q60Sql, "q63_garch" -> q63Sql)
 }

@@ -59,6 +59,14 @@ case class RsiOut(event_type: String, event_id: Long, ts_ms: Long, value: Double
   * accumulator — O(1) per key, independent of stream length. */
 case class EwmaState(acc: Option[Double])
 
+/** State for [[StreamOps.streamingKalman]]: the filtered level and
+  * posterior variance — O(1) per key, the filter's whole memory. */
+case class KalmanState(level: Option[Double], p: Double)
+
+/** One Kalman observation per input event. */
+case class KalmanOut(event_type: String, event_id: Long, ts_ms: Long, value: Double,
+                     level: Double, variance: Double)
+
 /** State for [[StreamOps.streamingMacd]]: the fast/slow value EWMAs
   * and the signal EWMA of their difference — O(1) per key. */
 case class MacdState(eFast: Double, eSlow: Double, sig: Double)
@@ -599,6 +607,37 @@ object StreamOps {
             EwmaOut(key, e.event_id, e.ts.getTime, e.value, v)
           }
           state.update(EwmaState(acc))
+          out.iterator
+      }
+  }
+
+  /** Batch [[graft.Graft.kalman]] ([[graft.ops.ScanOps.kalmanOf]])
+    * run CONTINUOUSLY: [[GroupState]] carries exactly the scan's
+    * (level, P) pair and each arrival performs the identical
+    * predict/update ops — streaming == batch BIT-FOR-BIT (spec, no
+    * tolerance). O(1) state per key. */
+  def streamingKalman(events: Dataset[BollEvent], procVar: Double,
+                      obsVar: Double): Dataset[KalmanOut] = {
+    require(procVar > 0, s"procVar must be > 0, got $procVar")
+    require(obsVar > 0, s"obsVar must be > 0, got $obsVar")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[KalmanState, KalmanOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[BollEvent], state: GroupState[KalmanState]) =>
+          var st = state.getOption.getOrElse(KalmanState(None, 0.0))
+          val out = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+            st = st.level match {
+              case None => KalmanState(Some(e.value), obsVar)
+              case Some(xh) =>
+                val pp = st.p + procVar
+                val g = pp / (pp + obsVar)
+                KalmanState(Some(xh + g * (e.value - xh)), (1.0 - g) * pp)
+            }
+            KalmanOut(key, e.event_id, e.ts.getTime, e.value, st.level.get, st.p)
+          }
+          state.update(st)
           out.iterator
       }
   }

@@ -100,6 +100,24 @@ class ScanSpec extends SparkSpec {
     assert(math.abs(ps.last - steady) < 0.05, s"approaching P* = $steady, got ${ps.last}")
   }
 
+  test("garch matches the driver-side recurrence; shocks spike sigma2, decay follows") {
+    val rs = Seq(0.5, -1.0, 2.0, 0.3, 0.1, 0.05)
+    val (w, a, b) = (0.1, 0.1, 0.8)
+    var s2 = rs.head * rs.head
+    val expect = s2 +: rs.sliding(2).map { pair =>
+      s2 = w + a * pair(0) * pair(0) + b * s2
+      s2
+    }.toSeq
+    val out = Graft.garch(series(rs), "sym", "t", "seq", "px", w, a, b)
+      .orderBy("ts_ms").select("sigma2").as[Double].collect().toSeq
+    assert(out == expect, "same op sequence, same doubles")
+    // the +2.0 shock at index 2 raises the NEXT variance
+    assert(out(3) > out(2), "shock feeds through with one step of lag")
+    intercept[IllegalArgumentException] {
+      Graft.garch(series(rs), "sym", "t", "seq", "px", 0.1, 0.3, 0.75) // a+b >= 1
+    }
+  }
+
   test("kalman: invariant under input partitioning; parameters validated") {
     val df = series(Seq(5.0, 7.0, 6.0, 8.0)) // any order/partitioning
     def run(d: org.apache.spark.sql.DataFrame) =

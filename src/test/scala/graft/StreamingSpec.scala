@@ -361,6 +361,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Kalman == batch segmented scan BIT-FOR-BIT across micro-batches") {
+    import graft.streaming.{BollEvent, KalmanOut}
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[BollEvent]
+    val q = StreamOps.streamingKalman(input.toDS(), procVar = 0.1, obsVar = 1.0)
+      .writeStream.format("memory").queryName("kal_out").outputMode("append").start()
+    try {
+      val evs = Tables.t(spark, sfDir, "events")
+        .select(col("event_type"), col("event_id"), col("ts"), col("value"))
+        .as[BollEvent].collect().sortBy(e => (e.ts.getTime, e.event_id))
+      evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { b =>
+        input.addData(b.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val got = spark.table("kal_out").as[KalmanOut].collect()
+        .map(o => (o.event_type, o.event_id) -> (o.level, o.variance)).toMap
+      val want = graft.ops.ScanOps.kalmanOf(Tables.t(spark, sfDir, "events"),
+          "event_type", "ts", "event_id", "value", procVar = 0.1, obsVar = 1.0)
+        .select("event_type", "event_id", "level", "variance").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+      assert(got.keySet == want.keySet)
+      want.foreach { case (k, w) => assert(got(k) == w, s"$k: ${got(k)} != $w") }
+    } finally q.stop()
+  }
+
   test("streaming MACD == batch three-recurrence scan BIT-FOR-BIT across micro-batches") {
     import graft.streaming.{BollEvent, MacdOut}
     implicit val sql = spark.sqlContext
