@@ -1246,6 +1246,22 @@ object Graft {
                  samplePermille: Int = 1000): DataFrame =
     ops.SimOps.covarianceOf(df, id, vec, samplePermille)
 
+  /** Exact maximum-inner-product search: top-k by raw dot product —
+    * the retrieval objective when magnitude carries signal (two-tower
+    * recommenders). Queries broadcast, one corpus scan. */
+  def mipsBrute(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+                k: Int, excludeSelf: Boolean = true): DataFrame =
+    ops.SimOps.mipsBruteOf(corpus, queries, id, vec, k, excludeSelf)
+
+  /** MIPS at scale via norm augmentation (asymmetric LSH): one extra
+    * dimension makes every corpus norm equal, cosine order becomes
+    * dot order, and the sign-sketch LSH bucket path applies.
+    * Approximate; survivors re-scored with the exact dot. */
+  def annMips(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+              k: Int, sketchBits: Int = 24, bands: Int = 4,
+              dims: Int = 64): DataFrame =
+    ops.SimOps.annMipsOf(corpus, queries, id, vec, k, sketchBits, bands, dims)
+
   /** Train a linear probe on an embedding column (squared-loss
     * full-batch GD against a ±1 label column, weights as bounded
     * driver state) and score the full corpus map-only. The curation

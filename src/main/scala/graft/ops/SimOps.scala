@@ -696,6 +696,85 @@ object SimOps {
       |FROM c WHERE rn = n
       |ORDER BY i, j""".stripMargin
 
+  /** Maximum-inner-product search, exact baseline (public operator
+    * behind [[graft.Graft.mipsBrute]]): top-k by RAW DOT PRODUCT —
+    * the retrieval objective when magnitude carries signal (learned
+    * two-tower recommenders, popularity-scaled item embeddings),
+    * where cosine's normalization erases exactly that signal. Same
+    * plan shape as [[graft.Graft.knnBrute]]: queries broadcast, one
+    * corpus scan, per-query rank; the native `graft_dot` kernel
+    * scores each pair in one codegen'd loop. */
+  def mipsBruteOf(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, k: Int,
+                  excludeSelf: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("__qv")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("__dot").desc, col(idCol))
+    corpus.join(q, if (excludeSelf) col(idCol) =!= col("q_id") else lit(true))
+      .withColumn("__dot", expr(s"graft_dot(__qv, $vecCol)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col(idCol), col("__dot").as("dot"))
+  }
+
+  /** MIPS at scale via NORM AUGMENTATION (Shrivastava & Li 2014,
+    * asymmetric LSH; public operator behind [[graft.Graft.annMips]]):
+    * append one dimension — corpus x → [x, √(M²−|x|²)] with M the max
+    * corpus norm (one exact 1-row aggregate), query q → [q, 0]. Every
+    * augmented corpus vector then has norm exactly M, so
+    * cos(q', x') = (q·x)/(|q|·M) — COSINE ORDER IS DOT ORDER, and the
+    * whole sign-sketch LSH path ([[lshAnnOf]], `graft_signsketch`
+    * buckets, exact confirm) applies to an objective it couldn't
+    * otherwise index. Returns the lshAnn candidates re-scored with
+    * the exact dot (a k·|queries|-sized join back to the vectors).
+    * Approximate like every LSH path — the spec pins the guarantees
+    * (augmented norms = M; ordering == dot ordering; planted
+    * duplicates always found). */
+  def annMipsOf(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, sketchBits: Int, bands: Int,
+                dims: Int): DataFrame = {
+    val m2 = corpus
+      .agg(max(norm2N(col(vecCol).cast("array<double>"), dims)).as("m2"))
+    val aug = corpus.crossJoin(broadcast(m2))
+      .select(col(idCol), concat(col(vecCol).cast("array<double>"),
+        array(sqrt(greatest(col("m2") - norm2N(col(vecCol).cast("array<double>"), dims),
+          lit(0.0))))).as("__av"))
+    val qaug = queries
+      .select(col(idCol), concat(col(vecCol).cast("array<double>"),
+        array(lit(0.0))).as("__av"))
+    val cand = lshAnnOf(aug, qaug, idCol, "__av", k, sketchBits, bands, dims + 1)
+    // exact-dot re-score of the survivors (k·|queries| rows)
+    val cv = corpus.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("__v"))
+    val qv = queries.select(col(idCol).as("q_id"),
+      col(vecCol).cast("array<double>").as("__qv"))
+    cand.join(broadcast(qv), "q_id").join(cv, "vec_id")
+      .select(col("q_id"), col("rank"), col("vec_id"),
+        expr("graft_dot(__qv, __v)").as("dot"))
+  }
+
+  /** #s10 exact MIPS top-k for query vectors vec_id < 5 — the
+    * dot-objective sibling of s01; the oracle mirrors the native
+    * kernel's sequential fold. */
+  private val s10: Q = (s, dir) => {
+    val all = vecs(s, dir)
+    mipsBruteOf(all, all.filter(col("vec_id") < 5), "vec_id", "v", K)
+      .select(col("q_id"), col("rank"), col("vec_id"), r6(col("dot")).as("dot"))
+      .orderBy("q_id", "rank")
+  }
+
+  private val s10Sql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+       |c AS (SELECT q.q_id, e.vec_id, ${graft.OracleSql.seqDot("qv", "v", 64)} AS d
+       |  FROM q JOIN e ON e.vec_id <> q.q_id),
+       |r AS (SELECT q_id, vec_id, d,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY d DESC, vec_id) AS BIGINT) AS rank
+       |  FROM c)
+       |SELECT q_id, rank, vec_id, round(d, 6) AS dot
+       |FROM r WHERE rank <= $K
+       |ORDER BY q_id, rank""".stripMargin
+
   /** In-engine linear-probe TRAINING over an embedding column (the
     * quality/domain-classifier fit a curation pipeline runs before
     * filtering): full-batch gradient descent on squared loss against
@@ -831,6 +910,7 @@ object SimOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "s10_mips" -> s10,
     "s09_linear_probe" -> s09,
     "s08_cov_sampled" -> s08,
     "s07_pca_cov" -> s07,
@@ -842,6 +922,7 @@ object SimOps {
     "s05_ann_recall" -> s05)
 
   val oracle: Map[String, String] = Map(
+    "s10_mips" -> s10Sql,
     "s09_linear_probe" -> s09Sql,
     "s08_cov_sampled" -> s08Sql,
     "s07_pca_cov" -> s07Sql,

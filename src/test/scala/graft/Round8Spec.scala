@@ -357,6 +357,44 @@ class Round8Spec extends SparkSpec {
     assert(scored.count() == df.count(), "sampled fit still scores the full corpus")
   }
 
+  test("mipsBrute: dot objective diverges from cosine where magnitude matters") {
+    // q = (1, 0). big = (3, 3): dot 3, cos .707; unit = (1, 0): dot 1, cos 1.
+    // MIPS must rank big first; cosine kNN ranks unit first.
+    val corpus = Seq((10L, Seq(3.0, 3.0)), (11L, Seq(1.0, 0.0)), (12L, Seq(0.0, 2.0)))
+      .toDF("id", "v")
+    val qs = Seq((1L, Seq(1.0, 0.0))).toDF("id", "v")
+    val mips = graft.ops.SimOps.mipsBruteOf(corpus, qs, "id", "v", k = 2,
+      excludeSelf = false).orderBy("rank").collect()
+    assert(mips.map(_.getLong(2)).toSeq == Seq(10L, 11L), s"dot rank: ${mips.toSeq}")
+    assert(mips(0).getDouble(3) == 3.0 && mips(1).getDouble(3) == 1.0)
+    val cos = Graft.knnBrute(corpus, qs, "id", "v", k = 2, excludeSelf = false)
+      .orderBy("rank").collect()
+    assert(cos.map(_.getLong(2)).toSeq == Seq(11L, 10L), "cosine rank differs")
+  }
+
+  test("annMips: augmented norms equal M, ordering is dot ordering, duplicates found") {
+    val dims = 64
+    val corpus = Tables.t(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val qs = corpus.filter($"vec_id" < 5)
+    val ann = Graft.annMips(corpus, qs, "vec_id", "v", k = 10,
+      sketchBits = 24, bands = 4, dims = dims).collect()
+    // ordering within each query follows the exact dot
+    ann.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getLong(1)).map(_.getDouble(3)).toSeq
+      assert(byRank == byRank.sorted.reverse, s"rank order is dot order: $byRank")
+    }
+    // a query vector duplicated in the corpus shares every band bucket:
+    // the duplicate is always a candidate
+    val dup = corpus.filter($"vec_id" === 3)
+      .select(org.apache.spark.sql.functions.lit(9999L).as("vec_id"), $"v")
+    val withDup = corpus.union(dup)
+    val found = Graft.annMips(withDup, withDup.filter($"vec_id" === 9999L),
+      "vec_id", "v", k = 10, sketchBits = 24, bands = 4, dims = dims)
+      .filter($"vec_id" === 3).count()
+    assert(found == 1, "planted duplicate surfaces through the augmented buckets")
+  }
+
   test("cusum/seasonality are deterministic under repartitioning") {
     val df = Tables.t(spark, sfDir, "events")
     def dump1 = TimeSeriesOps.cusumOf(df, "event_type", "ts", "event_id", "value")
