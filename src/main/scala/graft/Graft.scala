@@ -1217,6 +1217,14 @@ object Graft {
                  price: String, volume: String, budget: Double): DataFrame =
     ops.FinOps.volumeBarsOf(df, key, ts, tieCols, price, volume, budget)
 
+  /** Spearman rank correlation per group (the quant "rank IC"):
+    * monotone association outliers can't drag. Ranks are total-ordered
+    * via the tie column, so the integer no-ties closed form applies —
+    * bit-exact at any parallelism with zero float-fold discipline. */
+  def rankCorr(df: DataFrame, group: String, x: String, y: String,
+               tie: String): DataFrame =
+    ops.FinOps.rankCorrOf(df, group, x, y, tie)
+
   /** Historical VaR(alpha) + Expected Shortfall per series from a
     * one-row-per-(key, ts) close series: exact-interp return quantile
     * + deterministic tail-mean fold. `approx_percentile` is the

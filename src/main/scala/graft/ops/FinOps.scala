@@ -923,7 +923,83 @@ object FinOps {
       |FROM t WHERE rn = nt
       |ORDER BY series""".stripMargin
 
+  /** Spearman rank correlation per group (public operator behind
+    * [[graft.Graft.rankCorr]]) — the robust dependence measure quant
+    * signal evaluation runs per period (the "rank IC"): monotone
+    * association that outliers can't drag, where q33's Pearson is
+    * pulled by every fat tail. Ranks are `row_number` over
+    * (value, tie) — a TOTAL order, so "no ties" holds by construction
+    * and the no-ties closed form applies:
+    *   rho = 1 − 6·Σd² / (n·(n²−1)),  d = rank(x) − rank(y).
+    * Σd² is an INTEGER sum (bit-exact at any parallelism and
+    * partition order — no float fold discipline needed at all); the
+    * only float op is the final division. Groups with n < 2 yield
+    * null. Two rank windows + one agg, all on the group key — one
+    * shuffle. */
+  def rankCorrOf(df: DataFrame, groupCol: String, xCol: String, yCol: String,
+                 tieCol: String): DataFrame = {
+    val rx = row_number().over(
+      Window.partitionBy(col("__g")).orderBy(col("__x"), col("__tie")))
+    val ry = row_number().over(
+      Window.partitionBy(col("__g")).orderBy(col("__y"), col("__tie")))
+    df.select(col(groupCol).as("__g"), col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"), col(tieCol).as("__tie"))
+      .withColumn("__rx", rx.cast("long"))
+      .withColumn("__ry", ry.cast("long"))
+      .withColumn("__d2", (col("__rx") - col("__ry")) * (col("__rx") - col("__ry")))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"), sum(col("__d2")).as("__sd2"))
+      .select(col("__g").as("grp"), col("n"),
+        when(col("n") >= 2,
+          lit(1.0) - lit(6.0) * col("__sd2") /
+            (col("n") * (col("n") * col("n") - lit(1L))).cast("double"))
+          .as("spearman"))
+  }
+
+  /** #q64 rank IC per series: Spearman between the hourly close and
+    * the NEXT hour's return — does the level predict the next move
+    * (mean reversion < 0 < momentum), measured in ranks so spikes
+    * can't dominate. */
+  private val q64: Q = (s, dir) => {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    val bars = graft.Graft.resampleOhlc(t(s, dir, "events"),
+        "event_type", "ts", "event_id", "value", "hour")
+      .select(col("event_type"), col("bucket"), col("close"))
+      .filter(col("close") > 0)
+      .withColumn("fwd_ret", lead(col("close"), 1).over(w) / col("close") - lit(1.0))
+      .filter(col("fwd_ret").isNotNull)
+    rankCorrOf(bars, "event_type", "close", "fwd_ret", "bucket")
+      .select(col("grp").as("series"), col("n"),
+        r6(col("spearman")).as("spearman"))
+      .orderBy("series")
+  }
+
+  private val q64Sql =
+    """WITH b AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+      |    last(value ORDER BY ts, event_id) AS close
+      |  FROM events GROUP BY 1, 2),
+      |f AS (
+      |  SELECT event_type, bucket, close,
+      |    lead(close, 1) OVER (PARTITION BY event_type ORDER BY bucket) / close - 1.0 AS fwd_ret
+      |  FROM b WHERE close > 0),
+      |g AS (SELECT * FROM f WHERE fwd_ret IS NOT NULL),
+      |r AS (
+      |  SELECT event_type,
+      |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY close, bucket) AS BIGINT) AS rx,
+      |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY fwd_ret, bucket) AS BIGINT) AS ry
+      |  FROM g),
+      |a AS (
+      |  SELECT event_type, count(*) AS n, sum((rx - ry) * (rx - ry)) AS sd2
+      |  FROM r GROUP BY event_type)
+      |SELECT event_type AS series, n,
+      |  round(CASE WHEN n >= 2
+      |    THEN 1.0 - 6.0 * sd2 / CAST(n * (n * n - 1) AS DOUBLE) END, 6) AS spearman
+      |FROM a
+      |ORDER BY series""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q64_rank_ic" -> q64,
     "q62_var_es" -> q62,
     "q59_volume_bars" -> q59,
     "q56_volatility" -> q56,
@@ -942,6 +1018,7 @@ object FinOps {
     "q52_linregress" -> q52)
 
   val oracle: Map[String, String] = Map(
+    "q64_rank_ic" -> q64Sql,
     "q62_var_es" -> q62Sql,
     "q59_volume_bars" -> q59Sql,
     "q56_volatility" -> q56Sql,

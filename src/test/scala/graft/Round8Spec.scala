@@ -395,6 +395,33 @@ class Round8Spec extends SparkSpec {
     assert(found == 1, "planted duplicate surfaces through the augmented buckets")
   }
 
+  test("rankCorr: hand-built monotone, anti-monotone, and mixed groups") {
+    val rows = Seq(
+      // perfectly monotone: rho = 1
+      ("up", 1.0, 10.0, 1L), ("up", 2.0, 20.0, 2L), ("up", 3.0, 30.0, 3L),
+      // perfectly anti-monotone: rho = -1
+      ("dn", 1.0, 9.0, 1L), ("dn", 2.0, 5.0, 2L), ("dn", 3.0, 1.0, 3L),
+      // one swap among 3: d = (0,1,1) -> rho = 1 - 6*2/24 = 0.5
+      ("mx", 1.0, 1.0, 1L), ("mx", 2.0, 3.0, 2L), ("mx", 3.0, 2.0, 3L),
+      // single row: null
+      ("solo", 1.0, 1.0, 1L))
+    val out = Graft.rankCorr(rows.toDF("g", "x", "y", "id"), "g", "x", "y", "id")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(out("up").contains(1.0) && out("dn").contains(-1.0))
+    assert(out("mx").contains(0.5), s"one swap: ${out("mx")}")
+    assert(out("solo").isEmpty, "n < 2 yields null")
+  }
+
+  test("rankCorr: outlier magnitude cannot move the coefficient") {
+    val base = Seq(("g", 1.0, 1.0, 1L), ("g", 2.0, 4.0, 2L), ("g", 3.0, 9.0, 3L))
+    val spiked = Seq(("g", 1.0, 1.0, 1L), ("g", 2.0, 4.0, 2L), ("g", 3.0, 1e12, 3L))
+    def rho(s: Seq[(String, Double, Double, Long)]) =
+      Graft.rankCorr(s.toDF("g", "x", "y", "id"), "g", "x", "y", "id")
+        .collect()(0).getDouble(2)
+    assert(rho(base) == 1.0 && rho(spiked) == 1.0, "rank-only: magnitude-invariant")
+  }
+
   test("cusum/seasonality are deterministic under repartitioning") {
     val df = Tables.t(spark, sfDir, "events")
     def dump1 = TimeSeriesOps.cusumOf(df, "event_type", "ts", "event_id", "value")
