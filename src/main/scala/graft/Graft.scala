@@ -140,14 +140,24 @@ object Graft {
     *
     * Contract: `right` is unique per (key, ts) — pre-aggregate it
     * (e.g. [[dedupKeepLast]]) if not. At equal timestamps the right
-    * row is visible to the left row (`>=` as-of semantics). Carried
-    * column names and `asof_ts` must not collide with left columns
-    * (validated); internal temp names are generated collision-free
-    * against both schemas.
+    * row is visible to the left row (`>=` as-of semantics backward,
+    * `<=` forward — both inclusive, the pandas/DuckDB convention).
+    * Carried column names and `asof_ts` must not collide with left
+    * columns (validated); internal temp names are generated
+    * collision-free against both schemas.
     *
-    * @param valueCols right columns carried onto matches */
+    * @param valueCols right columns carried onto matches
+    * @param direction "backward" (default: latest right at-or-BEFORE
+    *   the left ts — enrichment with the last known state) or
+    *   "forward" (earliest right at-or-AFTER — label joins: the next
+    *   fill after an order, the next observation after an event;
+    *   pandas `merge_asof(direction='forward')`). Same single-shuffle
+    *   union+carry plan either way, with the carry frame reversed. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
-               valueCols: Seq[String]): DataFrame = {
+               valueCols: Seq[String], direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"""direction must be "backward" or "forward", got "$direction"""")
+    val forward = direction == "forward"
     val lCols = left.columns.filterNot(c => c == key || c == ts).toSeq
     val clash = valueCols.filter(c => c == key || c == ts || lCols.contains(c)) ++
       (if (left.columns.contains("asof_ts") || valueCols.contains("asof_ts")) Seq("asof_ts") else Nil)
@@ -160,20 +170,28 @@ object Graft {
     val side = p + "side"
     val carry = p + "carry"
     val rtsField = p + "rts" // struct-internal; valueCols can't collide with the prefix
-    val rSide = right.select(Seq(col(key), col(ts), lit(0).as(side),
+    // backward: right sorts before left at equal ts (side 0 < 1) and the
+    // frame looks back => latest right <= ts is visible, `>=` semantics.
+    // forward: right sorts AFTER left at equal ts (side 2 > 1) and the
+    // frame looks ahead => earliest right >= ts is visible, `<=`
+    // semantics. Either way the carried struct at a left row is uniquely
+    // determined because right rows are unique per (key, ts).
+    val rSide = right.select(Seq(col(key), col(ts),
+      lit(if (forward) 2 else 0).as(side),
       struct(col(ts).as(rtsField) +: valueCols.map(col): _*).as(carry)) ++
       lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val carryType = rSide.schema(carry).dataType
     val lSide = left.select(Seq(col(key), col(ts), lit(1).as(side),
       lit(null).cast(carryType).as(carry)) ++ lCols.map(col): _*)
-    // right sorts before left at equal ts (side 0 < 1) => >= semantics;
-    // the carried struct at a left row is uniquely determined because
-    // right rows are unique per (key, ts), so no further tie-break is
-    // needed for determinism
-    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(side))
-      .rowsBetween(Window.unboundedPreceding, 0)
+    val ord = Window.partitionBy(col(key)).orderBy(col(ts), col(side))
+    val w =
+      if (forward) ord.rowsBetween(0, Window.unboundedFollowing)
+      else ord.rowsBetween(Window.unboundedPreceding, 0)
+    val carried =
+      if (forward) first(col(carry), ignoreNulls = true).over(w)
+      else last(col(carry), ignoreNulls = true).over(w)
     rSide.unionAll(lSide)
-      .withColumn(carry, last(col(carry), ignoreNulls = true).over(w))
+      .withColumn(carry, carried)
       .filter(col(side) === 1)
       .select(Seq(col(key), col(ts)) ++ lCols.map(col) ++
         valueCols.map(c => col(carry).getField(c).as(c)) :+

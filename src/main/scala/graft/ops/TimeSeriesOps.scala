@@ -233,6 +233,40 @@ object TimeSeriesOps {
         col("v_event_id"), epochMs(col("asof_ts")).as("v_ts_ms"), col("v_value"))
       .orderBy("p_event_id")
 
+  /** #q65 FORWARD as-of: each purchase joined to the EARLIEST view
+    * at-or-after it — the label-join direction (next observation
+    * after an event; pandas merge_asof direction='forward'); same
+    * union+carry single-shuffle plan as q13 with the frame
+    * reversed. */
+  private val q65: Q = (s, dir) => {
+    val e = t(s, dir, "events")
+    val views = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("v_event_id"),
+        max_by(col("value"), col("event_id")).as("v_value"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("p_event_id"))
+    graft.Graft.asofJoin(purchases, views, "user_id", "ts",
+        Seq("v_event_id", "v_value"), direction = "forward")
+      .select(col("p_event_id"), col("user_id"), epochMs(col("ts")).as("p_ts_ms"),
+        col("v_event_id"), epochMs(col("asof_ts")).as("v_ts_ms"), col("v_value"))
+      .orderBy("p_event_id")
+  }
+
+  private val q65Sql =
+    """WITH v AS (
+      |  SELECT user_id, ts, max(event_id) AS v_event_id,
+      |    arg_max(value, event_id) AS v_value
+      |  FROM events WHERE event_type = 'view'
+      |  GROUP BY user_id, ts),
+      |p AS (
+      |  SELECT user_id, ts, event_id
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id AS p_event_id, p.user_id AS user_id, epoch_ms(p.ts) AS p_ts_ms,
+      |  v.v_event_id AS v_event_id, epoch_ms(v.ts) AS v_ts_ms, v.v_value AS v_value
+      |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts <= v.ts
+      |ORDER BY p_event_id""".stripMargin
+
   private val q13Sql =
     """WITH v AS (
       |  SELECT user_id, ts, max(event_id) AS v_event_id,
@@ -680,7 +714,11 @@ object TimeSeriesOps {
     * Scale: the baseline (≤ 24·|series| rows) and the two percentile
     * tables (|series| rows) all broadcast; the fact side is never
     * shuffled on a non-key — one (series, hod) window pass + two
-    * percentile aggs. At 100 TB swap `approx_percentile` for the
+    * percentile aggs. The composition re-reads the fact scan per
+    * stage (five scans total — scans are the cheap axis; the ×10
+    * probe runs 4.2× wall at 10× volume): at 100 TB persist the
+    * residual frame between the med/MAD passes if scan bandwidth is
+    * the binding constraint, and swap `approx_percentile` for the
     * exact med/MAD (q20's documented trade). */
   def seasonalAnomaliesOf(df: DataFrame, keyCol: String, tsCol: String,
                           idCol: String, valueCol: String,
@@ -762,6 +800,7 @@ object TimeSeriesOps {
       |ORDER BY series, ts_ms, id""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q65_asof_forward" -> q65,
     "q61_anomaly" -> q61,
     "q53_cusum" -> q53,
     "q54_seasonality" -> q54,
@@ -782,6 +821,7 @@ object TimeSeriesOps {
     "q14_sessionize" -> q14)
 
   val oracle: Map[String, String] = Map(
+    "q65_asof_forward" -> q65Sql,
     "q61_anomaly" -> q61Sql,
     "q53_cusum" -> q53Sql,
     "q54_seasonality" -> q54Sql,

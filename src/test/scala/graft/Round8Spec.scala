@@ -422,6 +422,29 @@ class Round8Spec extends SparkSpec {
     assert(rho(base) == 1.0 && rho(spiked) == 1.0, "rank-only: magnitude-invariant")
   }
 
+  test("asofJoin forward: earliest right at-or-after, inclusive ties, null past the end") {
+    val left = Seq(("k", ts(0), 1L), ("k", ts(2), 2L), ("k", ts(9), 3L))
+      .toDF("g", "t", "lid")
+    val right = Seq(("k", ts(1), 10.0), ("k", ts(2), 20.0), ("k", ts(5), 50.0))
+      .toDF("g", "t", "rv")
+    val out = Graft.asofJoin(left, right, "g", "t", Seq("rv"), direction = "forward")
+      .orderBy("lid").collect()
+    // lid 1 (ts 0) -> right at ts 1; lid 2 (ts 2) -> SAME-ts right (inclusive);
+    // lid 3 (ts 9) -> nothing follows -> nulls
+    assert(out(0).getDouble(3) == 10.0 && out(0).getTimestamp(4) == ts(1))
+    assert(out(1).getDouble(3) == 20.0 && out(1).getTimestamp(4) == ts(2),
+      "equal timestamps are inclusive in the forward direction too")
+    assert(out(2).isNullAt(3) && out(2).isNullAt(4))
+    // backward on the same data gives the mirror answers
+    val back = Graft.asofJoin(left, right, "g", "t", Seq("rv"))
+      .orderBy("lid").collect()
+    assert(back(0).isNullAt(3), "nothing precedes ts 0")
+    assert(back(1).getDouble(3) == 20.0 && back(2).getDouble(3) == 50.0)
+    intercept[IllegalArgumentException] {
+      Graft.asofJoin(left, right, "g", "t", Seq("rv"), direction = "nearest")
+    }
+  }
+
   test("cusum/seasonality are deterministic under repartitioning") {
     val df = Tables.t(spark, sfDir, "events")
     def dump1 = TimeSeriesOps.cusumOf(df, "event_type", "ts", "event_id", "value")
