@@ -67,6 +67,30 @@ case class KalmanState(level: Option[Double], p: Double)
 case class KalmanOut(event_type: String, event_id: Long, ts_ms: Long, value: Double,
                      level: Double, variance: Double)
 
+/** State for [[StreamOps.streamingGarch]]: the running conditional
+  * variance and the previous squared innovation — O(1) per key. */
+case class GarchState(s2: Option[Double], prevR2: Double)
+
+/** One GARCH observation per input innovation. */
+case class GarchOut(event_type: String, event_id: Long, ts_ms: Long, value: Double,
+                    sigma2: Double, sigma: Double)
+
+/** State for [[StreamOps.streamingVolumeBars]]: the OPEN bar's
+  * accumulators — O(1) per key; completed bars are emitted, the
+  * in-progress bar lives only in state. */
+case class VbarState(bar: Long, startMs: Long, endMs: Long, n: Long,
+                     open: Double, high: Double, low: Double, close: Double,
+                     vol: Double, notional: Double, cumVol: Double)
+
+/** One COMPLETED volume bar (emitted when the clock rolls past it). */
+case class VbarOut(event_type: String, bar: Long, start_ms: Long, end_ms: Long,
+                   n_fills: Long, open: Double, high: Double, low: Double,
+                   close: Double, volume: Double, vwap: Double)
+
+/** One fill for [[StreamOps.streamingVolumeBars]]. */
+case class FillEvent(event_type: String, event_id: Long, ts: java.sql.Timestamp,
+                     price: Double, volume: Double)
+
 /** State for [[StreamOps.streamingMacd]]: the fast/slow value EWMAs
   * and the signal EWMA of their difference — O(1) per key. */
 case class MacdState(eFast: Double, eSlow: Double, sig: Double)
@@ -638,6 +662,82 @@ object StreamOps {
             KalmanOut(key, e.event_id, e.ts.getTime, e.value, st.level.get, st.p)
           }
           state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Batch [[graft.Graft.garch]] ([[graft.ops.ScanOps.garchOf]]) run
+    * CONTINUOUSLY over an innovation stream: [[GroupState]] carries
+    * exactly the scan's (σ², r²_prev) pair and each arrival performs
+    * the identical recurrence op — streaming == batch BIT-FOR-BIT
+    * (spec, no tolerance). O(1) state per key. */
+  def streamingGarch(innovations: Dataset[BollEvent], omega: Double,
+                     alpha: Double, beta: Double): Dataset[GarchOut] = {
+    require(omega > 0, s"omega must be > 0, got $omega")
+    require(alpha >= 0 && beta >= 0 && alpha + beta < 1,
+      s"need alpha, beta >= 0 and alpha + beta < 1, got $alpha, $beta")
+    import innovations.sparkSession.implicits._
+    innovations
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[GarchState, GarchOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[BollEvent], state: GroupState[GarchState]) =>
+          var st = state.getOption.getOrElse(GarchState(None, 0.0))
+          val out = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+            val s2 = st.s2 match {
+              case None    => e.value * e.value
+              case Some(p) => omega + alpha * st.prevR2 + beta * p
+            }
+            st = GarchState(Some(s2), e.value * e.value)
+            GarchOut(key, e.event_id, e.ts.getTime, e.value, s2, math.sqrt(s2))
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Batch [[graft.Graft.volumeBars]] run CONTINUOUSLY: per series the
+    * state is the OPEN bar's accumulators plus the running volume
+    * clock — O(1) per key. A fill that lands past the open bar's
+    * budget EMITS the completed bar (append mode: each bar exactly
+    * once, when its successor opens) and opens the next; the
+    * in-progress bar is never emitted, so streaming output ==
+    * batch completed bars (spec: equality on every bar the batch
+    * operator would also have closed). */
+  def streamingVolumeBars(fills: Dataset[FillEvent], budget: Double): Dataset[VbarOut] = {
+    require(budget > 0, s"budget must be > 0, got $budget")
+    import fills.sparkSession.implicits._
+    fills
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[VbarState, VbarOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[FillEvent], state: GroupState[VbarState]) =>
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[VbarOut]
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            .filter(_.volume > 0).foreach { e =>
+              // bar of this fill under the EXCLUSIVE-prefix rule — computed
+              // as (inclusive cumsum − v), the batch operator's exact IEEE
+              // sequence, so a boundary can never flip between twins
+              val cumBefore = if (st == null) 0.0 else st.cumVol
+              val cv = cumBefore + e.volume
+              val bar = math.floor((cv - e.volume) / budget).toLong
+              if (st != null && bar != st.bar) {
+                out += VbarOut(key, st.bar, st.startMs, st.endMs, st.n, st.open,
+                  st.high, st.low, st.close, st.vol, st.notional / st.vol)
+                st = null
+              }
+              val ms = e.ts.getTime
+              st =
+                if (st == null)
+                  VbarState(bar, ms, ms, 1, e.price, e.price, e.price, e.price,
+                    e.volume, e.price * e.volume, cv)
+                else
+                  VbarState(st.bar, st.startMs, ms, st.n + 1, st.open,
+                    math.max(st.high, e.price), math.min(st.low, e.price), e.price,
+                    st.vol + e.volume, st.notional + e.price * e.volume, cv)
+            }
+          if (st != null) state.update(st)
           out.iterator
       }
   }

@@ -386,6 +386,72 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming GARCH == batch segmented scan BIT-FOR-BIT across micro-batches") {
+    import graft.streaming.{BollEvent, GarchOut}
+    implicit val sql = spark.sqlContext
+    // innovations = per-series value diffs, like the q63 gate
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    val innov = Tables.t(spark, sfDir, "events")
+      .withColumn("value", col("value") - lag(col("value"), 1).over(w))
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"), col("ts"), col("value"))
+    val input = MemoryStream[BollEvent]
+    val q = StreamOps.streamingGarch(input.toDS(), omega = 0.1, alpha = 0.1, beta = 0.8)
+      .writeStream.format("memory").queryName("garch_out").outputMode("append").start()
+    try {
+      val evs = innov.as[BollEvent].collect().sortBy(e => (e.ts.getTime, e.event_id))
+      evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { b =>
+        input.addData(b.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val got = spark.table("garch_out").as[GarchOut].collect()
+        .map(o => (o.event_type, o.event_id) -> (o.sigma2, o.sigma)).toMap
+      val want = graft.ops.ScanOps.garchOf(innov,
+          "event_type", "ts", "event_id", "value", 0.1, 0.1, 0.8)
+        .select("event_type", "event_id", "sigma2", "sigma").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+      assert(got.keySet == want.keySet)
+      want.foreach { case (k, v) => assert(got(k) == v, s"$k: ${got(k)} != $v") }
+    } finally q.stop()
+  }
+
+  test("streaming volume bars emit exactly the batch-completed bars") {
+    import graft.streaming.{FillEvent, VbarOut}
+    implicit val sql = spark.sqlContext
+    val fills = Tables.t(spark, sfDir, "events")
+      .select(col("event_type"), col("event_id"), col("ts"),
+        col("value").as("price"),
+        (pmod(col("event_id"), lit(7)) + lit(1)).cast("double").as("volume"))
+    val input = MemoryStream[FillEvent]
+    val q = StreamOps.streamingVolumeBars(input.toDS(), budget = 50.0)
+      .writeStream.format("memory").queryName("vbar_out").outputMode("append").start()
+    try {
+      val evs = fills.as[FillEvent].collect().sortBy(e => (e.ts.getTime, e.event_id))
+      evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { b =>
+        input.addData(b.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val got = spark.table("vbar_out").as[VbarOut].collect()
+        .map(o => (o.event_type, o.bar) ->
+          ((o.start_ms, o.end_ms, o.n_fills, o.open, o.high, o.low, o.close,
+            o.volume, o.vwap))).toMap
+      val batch = graft.ops.FinOps.volumeBarsOf(fills, "event_type", "ts",
+          Seq("event_id"), "price", "volume", budget = 50.0)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getTimestamp(2).getTime, r.getTimestamp(3).getTime, r.getLong(4),
+            r.getDouble(5), r.getDouble(6), r.getDouble(7), r.getDouble(8),
+            r.getDouble(9), r.getDouble(11)))).toMap
+      // streaming never emits each series' still-open final bar
+      val lastBar = batch.keys.groupBy(_._1).map { case (k, bars) => k -> bars.map(_._2).max }
+      val completed = batch.filter { case ((k, b), _) => b != lastBar(k) }
+      assert(got.keySet == completed.keySet,
+        s"missing: ${completed.keySet -- got.keySet}; extra: ${got.keySet -- completed.keySet}")
+      completed.foreach { case (k, v) => assert(got(k) == v, s"$k: ${got(k)} != $v") }
+      assert(completed.nonEmpty, "testdata must close at least one bar per series")
+    } finally q.stop()
+  }
+
   test("streaming MACD == batch three-recurrence scan BIT-FOR-BIT across micro-batches") {
     import graft.streaming.{BollEvent, MacdOut}
     implicit val sql = spark.sqlContext
