@@ -46,8 +46,18 @@ object ScaleProbe {
           col("text"), col("lang"),
           concat(col("source"), lit("_"), col("r")).as("source"), col("n_chars"))
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      // embeddings replicate with id offset + a deterministic per-replica
+      // per-dim perturbation (cos of id*dim — no rand()), so replicas are
+      // NEAR-duplicates: vector volume grows ×N while the ANN/dedup paths
+      // see realistic near-copy structure instead of exact clones
+      Tables.t(spark, src, "embeddings").crossJoin(r)
+        .select((col("vec_id") + col("r") * 10000000L).as("vec_id"),
+          expr("transform(embedding, (x, i) -> CAST(x + 0.001 * r * cos(vec_id * (i + 1)) AS FLOAT))")
+            .as("embedding"),
+          col("label"))
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
       Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "embeddings")
+        "orders", "lineitem")
         .foreach(t => Tables.t(spark, src, t)
           .write.mode("overwrite").parquet(s"$out/$t.parquet"))
     }
