@@ -1272,6 +1272,15 @@ object Graft {
                  samplePermille: Int = 1000): DataFrame =
     ops.SimOps.covarianceOf(df, id, vec, samplePermille)
 
+  /** PageRank over a directed edge list: graph centrality where
+    * [[connectedComponents]] gives membership — rank the best
+    * canonical doc inside a near-dup cluster, or the hub states of a
+    * transition graph. Ranks stay a distributed table; every node
+    * needs an out-edge (symmetrize undirected graphs; validated). */
+  def pageRank(edges: DataFrame, src: String, dst: String,
+               damping: Double = 0.85, iters: Int = 3): DataFrame =
+    ops.DedupOps.pageRankOf(edges, src, dst, damping, iters)
+
   /** Exact maximum-inner-product search: top-k by raw dot product —
     * the retrieval objective when magnitude carries signal (two-tower
     * recommenders). Queries broadcast, one corpus scan. */

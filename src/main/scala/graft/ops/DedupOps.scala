@@ -680,7 +680,124 @@ object DedupOps {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** PageRank over a directed edge list (public operator behind
+    * [[graft.Graft.pageRank]]) — graph CENTRALITY where [[components]]
+    * gives membership: within a near-dup cluster the highest-rank doc
+    * is the best canonical pick (the one most-connected to the rest),
+    * and on a transition graph it ranks the hub states. Full-batch
+    * power iteration with damping:
+    *   r⁰ = 1/N;  rᵗ(v) = (1−d)/N + d·Σ_{(u,v)∈E} rᵗ⁻¹(u)/outdeg(u).
+    *
+    * Contract: every node must have ≥ 1 out-edge (no dangling mass —
+    * symmetrize undirected graphs, or add self-loops; validated with
+    * one count). Ranks stay a DISTRIBUTED table (corpus-sized, unlike
+    * the kmeans driver state); each iteration is one src-keyed join +
+    * one dst-keyed window fold — two shuffles, contributions summed
+    * as cumulative folds in (dst, src) order (the q33 rule) so every
+    * iteration is bit-reproducible. N and (1−d)/N are one driver
+    * scalar each. */
+  def pageRankOf(edges: DataFrame, srcCol: String, dstCol: String,
+                 damping: Double = 0.85, iters: Int = 3): DataFrame = {
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d")).distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("__s").as("node"))
+      .union(e.select(col("__d"))).distinct().localCheckpoint(true)
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    val dangling = nodes.join(e.select(col("__s")).distinct()
+      .withColumnRenamed("__s", "node"), Seq("node"), "left_anti").count()
+    require(dangling == 0,
+      s"$dangling dangling node(s): every node needs an out-edge " +
+        "(symmetrize undirected graphs or add self-loops)")
+    val outDeg = e.groupBy(col("__s")).agg(count(lit(1)).as("__deg"))
+    val base = (1.0 - damping) / n
+    val wOrd = Window.partitionBy(col("__d")).orderBy(col("__s"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    var r = nodes.withColumn("rank", lit(1.0 / n))
+    for (_ <- 1 to iters) {
+      val sums = e
+        .join(r.withColumnRenamed("node", "__s"), "__s")
+        .join(outDeg, "__s")
+        .withColumn("__c", col("rank") / col("__deg"))
+        .withColumn("__rn", row_number().over(wOrd))
+        .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col("__d"))))
+        .withColumn("__sr", sum(col("__c")).over(wCum))
+        .filter(col("__rn") === col("__cnt"))
+        .select(col("__d").as("node"), col("__sr"))
+      r = nodes.join(sums, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + lit(damping) * coalesce(col("__sr"), lit(0.0))).as("rank"))
+    }
+    r
+  }
+
+  /** #d10 PageRank centrality over the SYMMETRIZED minhash near-dup
+    * graph (the d06 edge list): rank ∝ how connected a doc is inside
+    * its duplicate neighborhood — the centrality-based canonical pick.
+    * The oracle replays the full power iteration as chained CTEs on
+    * the identical d02 pair pipeline. */
+  private val d10: Q = (s, dir) => {
+    val pairs = minhashPairs(s, dir).filter(col("est_sim") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val sym = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+    pageRankOf(sym, "doc_a", "doc_b", damping = 0.85, iters = 3)
+      .select(col("node").as("doc_id"), r6(col("rank")).as("rank"))
+      .orderBy("doc_id")
+  }
+
+  private val d10Sql: String = {
+    val iters = 3
+    val sb = new StringBuilder
+    sb ++= """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+             |s3 AS (SELECT doc_id,
+             |    list_transform(generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh
+             |  FROM w WHERE len(ws) >= 3),
+             |g AS (SELECT doc_id, GS_DUCK AS gs FROM s3),
+             |sig AS (SELECT doc_id, SIG8_DUCK AS sig FROM g),
+             |bands AS (SELECT doc_id, sig, b.b AS b,
+             |    CAST(sig[2*b.b+1] AS VARCHAR) || '_' || CAST(sig[2*b.b+2] AS VARCHAR) AS bkey
+             |  FROM sig, range(0, 4) b(b)),
+             |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |    list_reduce(list_transform(generate_series(1, 8),
+             |      i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1.0 ELSE 0.0 END), (x, y) -> x + y) / CAST(8.0 AS DOUBLE) AS est_sim
+             |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+             |sim AS (SELECT doc_a, doc_b FROM p WHERE est_sim >= 0.5),
+             |e AS (SELECT doc_a AS s, doc_b AS d FROM sim
+             |  UNION SELECT doc_b, doc_a FROM sim),
+             |nodes AS (SELECT DISTINCT s AS node FROM (SELECT s FROM e UNION ALL SELECT d FROM e)),
+             |nn AS (SELECT count(*) AS n FROM nodes),
+             |od AS (SELECT s, count(*) AS deg FROM e GROUP BY s),
+             |rr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+             |""".stripMargin
+    for (t <- 1 to iters) {
+      sb ++= s"""cc$t AS (
+                |  SELECT e.d, e.s, r.rank / od.deg AS c
+                |  FROM e JOIN rr${t - 1} r ON e.s = r.node JOIN od ON od.s = e.s),
+                |ss$t AS (
+                |  SELECT d, sr FROM (
+                |    SELECT d, row_number() OVER o AS rn,
+                |      count(*) OVER (PARTITION BY d) AS cnt,
+                |      sum(c) OVER w AS sr
+                |    FROM cc$t
+                |    WINDOW o AS (PARTITION BY d ORDER BY s),
+                |      w AS (PARTITION BY d ORDER BY s
+                |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                |  WHERE rn = cnt),
+                |rr$t AS (
+                |  SELECT n.node,
+                |    (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * coalesce(ss$t.sr, 0.0) AS rank
+                |  FROM nodes n LEFT JOIN ss$t ON n.node = ss$t.d),
+                |""".stripMargin
+    }
+    sb ++= s"""fin AS (SELECT node AS doc_id, round(rank, 6) AS rank FROM rr$iters)
+              |SELECT doc_id, rank FROM fin ORDER BY doc_id""".stripMargin
+    sb.toString.replace("GS_DUCK", gsDuck).replace("SIG8_DUCK", sigDuck(8))
+  }
+
   val queries: Map[String, Q] = Map(
+    "d10_graph_rank" -> d10,
     "d08_boilerplate" -> d08,
     "d01_dedup_exact" -> d01,
     "d02_minhash_lsh" -> d02,
@@ -692,6 +809,7 @@ object DedupOps {
     "d07_edit_distance" -> d07)
 
   val oracle: Map[String, String] = Map(
+    "d10_graph_rank" -> d10Sql,
     "d08_boilerplate" -> d08Sql,
     "d01_dedup_exact" -> d01Sql,
     "d02_minhash_lsh" -> d02Sql,

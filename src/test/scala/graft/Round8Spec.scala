@@ -445,6 +445,34 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("pageRank: uniform on a cycle, hub dominates a star, ranks sum to ~1") {
+    // directed 3-cycle: perfectly symmetric -> uniform ranks 1/3
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "d")
+    val rc = Graft.pageRank(cycle, "s", "d", iters = 5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rc.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-12, s"cycle uniform: $rc"))
+    // symmetrized star around 0: the hub out-ranks every leaf
+    val starPairs = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
+    val star = (starPairs ++ starPairs.map(_.swap)).toDF("s", "d")
+    val rs = Graft.pageRank(star, "s", "d", iters = 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rs(0L) > rs(1L) * 2, s"hub dominates: $rs")
+    assert(math.abs(rs.values.sum - 1.0) < 1e-9, "rank mass is conserved")
+    // dangling node rejected
+    intercept[IllegalArgumentException] {
+      Graft.pageRank(Seq((1L, 2L)).toDF("s", "d"), "s", "d")
+    }
+  }
+
+  test("pageRank: deterministic under repartitioning") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 1L))
+    val sym = (pairs ++ pairs.map(_.swap)).toDF("s", "d")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Graft.pageRank(d, "s", "d", iters = 4)
+        .orderBy("node").collect().map(_.toString).toSeq
+    assert(run(sym) == run(sym.repartition(9)))
+  }
+
   test("cusum/seasonality are deterministic under repartitioning") {
     val df = Tables.t(spark, sfDir, "events")
     def dump1 = TimeSeriesOps.cusumOf(df, "event_type", "ts", "event_id", "value")
