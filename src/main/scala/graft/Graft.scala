@@ -272,6 +272,14 @@ object Graft {
                 size: Int = 256, stride: Int = 192): DataFrame =
     ops.TextOps.chunkTextOf(docs, id, text, size, stride)
 
+  /** HTML → text extraction (the first web-pipeline stage):
+    * script/style/comment blocks dropped wholesale, tags stripped,
+    * the six ubiquitous entities decoded, whitespace collapsed.
+    * Map-only; returns clean_text + raw/clean char counts (the
+    * shrink ratio doubles as a markup-heaviness signal). */
+  def htmlToText(docs: DataFrame, id: String, html: String): DataFrame =
+    ops.TextOps.htmlToTextOf(docs, id, html)
+
   /** The as-of join as a NATIVE physical operator — the same contract
     * as [[asofJoin]] (matched right row verbatim, `asof_ts`, `>=`
     * semantics, unique-(key, ts) right), executed by

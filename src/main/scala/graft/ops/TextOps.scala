@@ -1085,7 +1085,89 @@ object TextOps {
       |FROM s
       |ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** HTML → text extraction (public operator behind
+    * [[graft.Graft.htmlToText]]) — the FIRST stage of every web-corpus
+    * pipeline (the trafilatura/jusText role, reduced to its portable
+    * regex core): drop script/style/comment blocks wholesale (their
+    * CONTENT is not text), strip the remaining tags, decode the six
+    * ubiquitous entities, collapse whitespace. Returns the cleaned
+    * text + raw/clean char counts (the shrink ratio is itself a
+    * quality signal: markup-heavy pages shrink more).
+    *
+    * Map-only, runs at scan speed; every pattern stays inside the
+    * Java∩RE2-identical regex subset (the t07 rule) — `(?s)` dotall,
+    * non-greedy block bodies, no lookarounds — so the oracle applies
+    * the identical automaton. Entity decode is LITERAL chained
+    * replace, not regex. */
+  def htmlToTextOf(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val noBlocks = regexp_replace(regexp_replace(regexp_replace(
+      col(htmlCol),
+      "(?s)<script[^>]*>.*?</script>", " "),
+      "(?s)<style[^>]*>.*?</style>", " "),
+      "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]+>", " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+    val clean = trim(regexp_replace(decoded, "\\s+", " "))
+    df.select(col(idCol).as("doc_id"),
+      length(col(htmlCol)).as("raw_chars"),
+      clean.as("clean_text"),
+      length(clean).as("clean_chars"))
+  }
+
+  /** #t16 HTML extraction over an in-plan synthetic wrap of the
+    * documents corpus (script + title + entities + comment + footer —
+    * the shapes a landed web page actually has), so the gate
+    * exercises block-drop, tag-strip, entity-decode and collapse end
+    * to end; clean text crosses the gate as md5. */
+  private val t16: Q = (s, dir) => {
+    val html = concat(
+      lit("<html><head><script>var x = \"q&a\";</script><title>T&amp;"),
+      col("doc_id").cast("string"),
+      lit("</title></head><body><p>"), col("text"),
+      lit("</p><!-- hidden --><div class=\"f\">foot&nbsp;note</div></body></html>"))
+    htmlToTextOf(t(s, dir, "documents").withColumn("html", html), "doc_id", "html")
+      .select(col("doc_id"), col("raw_chars").cast("long").as("raw_chars"),
+        col("clean_chars").cast("long").as("clean_chars"),
+        md5(col("clean_text")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  private val t16Sql =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    '<html><head><script>var x = "q&a";</script><title>T&amp;' ||
+      |    CAST(doc_id AS VARCHAR) || '</title></head><body><p>' || text ||
+      |    '</p><!-- hidden --><div class="f">foot&nbsp;note</div></body></html>' AS html
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, html,
+      |    regexp_replace(regexp_replace(regexp_replace(html,
+      |      '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+      |      '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+      |      '(?s)<!--.*?-->', ' ', 'g') AS nb
+      |  FROM h),
+      |t AS (
+      |  SELECT doc_id, html,
+      |    replace(replace(replace(replace(replace(replace(
+      |      regexp_replace(nb, '<[^>]+>', ' ', 'g'),
+      |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+      |      '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS dec
+      |  FROM s),
+      |c AS (
+      |  SELECT doc_id, CAST(length(html) AS BIGINT) AS raw_chars,
+      |    trim(regexp_replace(dec, '\s+', ' ', 'g')) AS clean_text
+      |  FROM t)
+      |SELECT doc_id, raw_chars,
+      |  CAST(length(clean_text) AS BIGINT) AS clean_chars,
+      |  md5(clean_text) AS clean_md5
+      |FROM c
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t16_html_strip" -> t16,
     "t15_chunks" -> t15,
     "t14_term_drift" -> t14,
     "t13_feature_hash" -> t13,
@@ -1104,6 +1186,7 @@ object TextOps {
     "t06_normalize" -> t06)
 
   val oracle: Map[String, String] = Map(
+    "t16_html_strip" -> t16Sql,
     "t15_chunks" -> t15Sql,
     "t14_term_drift" -> t14Sql,
     "t13_feature_hash" -> t13Sql,

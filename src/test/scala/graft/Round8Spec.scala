@@ -473,6 +473,21 @@ class Round8Spec extends SparkSpec {
     assert(run(sym) == run(sym.repartition(9)))
   }
 
+  test("htmlToText: blocks dropped wholesale, tags stripped, entities decoded") {
+    val html = """<html><head><style>p { color: red; }</style>
+      |<script type="text/js">alert("<b>not text</b>");</script></head>
+      |<body><h1>Title&nbsp;Here</h1><!-- skip me -->
+      |<p>A &amp; B &lt;ok&gt; &quot;q&#39;s&quot;</p></body></html>""".stripMargin
+    val out = graft.ops.TextOps.htmlToTextOf(
+      Seq((1L, html)).toDF("id", "h"), "id", "h").collect()(0)
+    assert(out.getString(2) == """Title Here A & B <ok> "q's"""", s"got: ${out.getString(2)}")
+    assert(out.getInt(1) > out.getInt(3), "markup shrinks")
+    // script CONTENT must vanish even though it contains tag-like text
+    assert(!out.getString(2).contains("alert") && !out.getString(2).contains("not text"))
+    assert(!out.getString(2).contains("color"), "style content vanishes")
+    assert(!out.getString(2).contains("skip me"), "comment content vanishes")
+  }
+
   test("cusum/seasonality are deterministic under repartitioning") {
     val df = Tables.t(spark, sfDir, "events")
     def dump1 = TimeSeriesOps.cusumOf(df, "event_type", "ts", "event_id", "value")
