@@ -1280,6 +1280,16 @@ object Graft {
                  samplePermille: Int = 1000): DataFrame =
     ops.SimOps.covarianceOf(df, id, vec, samplePermille)
 
+  /** Token-budget mixture planning (the static schedule ds06's
+    * mixture sampling executes): per domain — available tokens
+    * (exact integer sum), target = weight·budget, epochs to fill the
+    * slot under an epoch cap, and the `capped` bit that signals an
+    * under-resourced domain. One integer agg shuffle. */
+  def mixturePlan(docs: DataFrame, domain: String, tokens: String,
+                  weights: Map[String, Double], budgetTokens: Long,
+                  maxEpochs: Double = 4.0): DataFrame =
+    ops.DataOps.mixturePlanOf(docs, domain, tokens, weights, budgetTokens, maxEpochs)
+
   /** PageRank over a directed edge list: graph centrality where
     * [[connectedComponents]] gives membership — rank the best
     * canonical doc inside a near-dup cluster, or the hub states of a

@@ -633,7 +633,88 @@ object DataOps {
       |       WHEN old.h <> neu.h THEN 'changed' END) IS NOT NULL
       |ORDER BY doc_id""".stripMargin
 
+  /** Token-budget mixture planning (public operator behind
+    * [[graft.Graft.mixturePlan]]) — the STATIC schedule a training-data
+    * mix is built from (the DoReMi/Pile recipe table): given per-doc
+    * token counts, target mixture `weights` (domain → fraction of the
+    * `budgetTokens` total) and an epoch cap, emit per domain
+    *   available_tokens  Σ tokens (an INTEGER sum — exact),
+    *   target_tokens     weight · budget,
+    *   epochs            min(maxEpochs, target/available) — how many
+    *                     times the domain must repeat to fill its slot,
+    *   planned_tokens    min(target, maxEpochs·available),
+    *   capped            the epoch cap bit (an under-resourced domain
+    *                     cannot fill its target without more repetition
+    *                     than allowed — the signal to re-weight).
+    * Domains absent from `weights` get weight 0 (reported, planned 0);
+    * [[mixtureSampleOf]] (ds06) is the row-level executor of this plan.
+    * One integer agg shuffle; the weight table is a broadcast literal. */
+  def mixturePlanOf(docs: DataFrame, domainCol: String, tokensCol: String,
+                    weights: Map[String, Double], budgetTokens: Long,
+                    maxEpochs: Double = 4.0): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be > 0, got $budgetTokens")
+    require(maxEpochs > 0, s"maxEpochs must be > 0, got $maxEpochs")
+    require(weights.values.forall(_ >= 0), "weights must be >= 0")
+    val s = docs.sparkSession
+    import s.implicits._
+    val w = weights.toSeq.sortBy(_._1).toDF("__dom", "__w")
+    val avail = docs.groupBy(col(domainCol).as("domain"))
+      .agg(sum(col(tokensCol).cast("long")).as("available_tokens"))
+    val target = coalesce(col("__w"), lit(0.0)) * budgetTokens
+    val full = avail.join(broadcast(w), col("domain") === col("__dom"), "left")
+      .withColumn("target_tokens", target)
+      .withColumn("epochs",
+        least(lit(maxEpochs), col("target_tokens") / col("available_tokens")))
+      .withColumn("planned_tokens",
+        least(col("target_tokens"), lit(maxEpochs) * col("available_tokens")))
+      .withColumn("capped",
+        col("target_tokens") > lit(maxEpochs) * col("available_tokens"))
+    full.select(col("domain"), col("available_tokens"),
+      col("target_tokens"), col("epochs"), col("planned_tokens"), col("capped"))
+  }
+
+  /** #ds15 mixture plan over the documents corpus: whitespace token
+    * counts, a deterministic weight table (upweight src0/src1, drop
+    * src19), 1M-token budget, 4-epoch cap. */
+  private val ds15: Q = (s, dir) => {
+    val toks = t(s, dir, "documents")
+      .select(col("source"), size(F.words(col("text"))).as("n_tokens"))
+    val weights = (0 until 19).map { i =>
+      s"src$i" -> (if (i <= 1) 0.2 else 0.6 / 17)
+    }.toMap // src19 intentionally unweighted
+    mixturePlanOf(toks, "source", "n_tokens", weights,
+        budgetTokens = 1000000L, maxEpochs = 4.0)
+      .select(col("domain"), col("available_tokens"),
+        r6(col("target_tokens")).as("target_tokens"), r6(col("epochs")).as("epochs"),
+        r6(col("planned_tokens")).as("planned_tokens"), col("capped"))
+      .orderBy("domain")
+  }
+
+  private val ds15Sql = {
+    val weightRows = (0 until 19).map { i =>
+      val w = if (i <= 1) 0.2 else 0.6 / 17
+      s"('src$i', CAST($w AS DOUBLE))"
+    }.mkString(", ")
+    s"""WITH a AS (
+       |  SELECT source AS domain,
+       |    sum(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)) AS available_tokens
+       |  FROM documents GROUP BY source),
+       |w(dom, w) AS (VALUES $weightRows),
+       |j AS (
+       |  SELECT a.domain, a.available_tokens,
+       |    coalesce(w.w, 0.0) * 1000000 AS target_tokens
+       |  FROM a LEFT JOIN w ON a.domain = w.dom)
+       |SELECT domain, available_tokens,
+       |  round(target_tokens, 6) AS target_tokens,
+       |  round(least(4.0, target_tokens / available_tokens), 6) AS epochs,
+       |  round(least(target_tokens, 4.0 * available_tokens), 6) AS planned_tokens,
+       |  target_tokens > 4.0 * available_tokens AS capped
+       |FROM j
+       |ORDER BY domain""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "ds15_token_budget" -> ds15,
     "ds14_snapshot_diff" -> ds14,
     "ds12_weighted_sample" -> ds12,
     "ds13_quality_prune" -> ds13,
@@ -649,6 +730,7 @@ object DataOps {
     "ds05_bigram_stats" -> ds05)
 
   val oracle: Map[String, String] = Map(
+    "ds15_token_budget" -> ds15Sql,
     "ds14_snapshot_diff" -> ds14Sql,
     "ds12_weighted_sample" -> ds12Sql,
     "ds13_quality_prune" -> ds13Sql,

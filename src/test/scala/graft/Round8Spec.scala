@@ -488,6 +488,24 @@ class Round8Spec extends SparkSpec {
     assert(!out.getString(2).contains("skip me"), "comment content vanishes")
   }
 
+  test("mixturePlan: epochs, caps, and unweighted domains from first principles") {
+    val docs = Seq(
+      ("web", 100L), ("web", 300L),   // 400 tokens available
+      ("code", 50L),                  // 50 available
+      ("junk", 10L))                  // unweighted
+      .toDF("dom", "n")
+    val out = Graft.mixturePlan(docs, "dom", "n",
+      Map("web" -> 0.5, "code" -> 0.5), budgetTokens = 1000L, maxEpochs = 4.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    // web: target 500 over 400 available -> 1.25 epochs, uncapped
+    assert(out("web") == ((400L, 500.0, 1.25, 500.0, false)))
+    // code: target 500 over 50 -> wants 10 epochs, capped at 4 -> 200 planned
+    assert(out("code") == ((50L, 500.0, 4.0, 200.0, true)))
+    // junk: no weight -> zero target, present in the report
+    assert(out("junk") == ((10L, 0.0, 0.0, 0.0, false)))
+  }
+
   test("cusum/seasonality are deterministic under repartitioning") {
     val df = Tables.t(spark, sfDir, "events")
     def dump1 = TimeSeriesOps.cusumOf(df, "event_type", "ts", "event_id", "value")

@@ -72,6 +72,31 @@ class VersionedStoreSpec extends SparkSpec {
       s"fold starts at the checkpoint:\n$plan")
   }
 
+  test("incremental ingest ticks land as versions; time travel replays each tick") {
+    // the IncrementalPipeline shape: each tick merges a delta batch
+    // (keep-last per key), then the merged state commits as a version —
+    // the versioned-ingest composition a corpus store runs nightly
+    val path = tmp()
+    def merged(batches: Seq[(Long, String, Double)]*): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val all = batches.zipWithIndex.map { case (b, i) =>
+        b.toDF("id", "sym", "px").withColumn("__tick", lit(i))
+      }.reduce(_ unionByName _)
+      val w = Window.partitionBy("id").orderBy(col("__tick").desc)
+      all.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn", "__tick")
+    }
+    val t1 = Seq((1L, "a", 10.0), (2L, "b", 20.0))
+    val t2 = Seq((2L, "b", 21.0), (3L, "c", 30.0)) // heals 2, adds 3
+    VersionedStore.commit(spark, path, merged(t1), Seq("id"))
+    VersionedStore.commit(spark, path, merged(t1, t2), Seq("id"))
+    assert(sorted(VersionedStore.read(spark, path, 0, Seq("id"))) == sorted(merged(t1)))
+    assert(sorted(VersionedStore.read(spark, path, 1, Seq("id"))) == sorted(merged(t1, t2)))
+    // the tick-2 delta is exactly the healed row + the new row
+    assert(spark.read.parquet(path).filter($"__v" === 1).count() == 2)
+  }
+
   test("null content and column order don't confuse the diff hash") {
     val path = tmp()
     val v0data = Seq((1L, Some("x"), 1.0), (2L, None, 2.0))
