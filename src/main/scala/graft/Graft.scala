@@ -1299,6 +1299,16 @@ object Graft {
                damping: Double = 0.85, iters: Int = 3): DataFrame =
     ops.DedupOps.pageRankOf(edges, src, dst, damping, iters)
 
+  /** SemDeDup: semantic dedup with LEARNED cluster blocking — k-means
+    * partitions the embedding space, pairs compare only within a
+    * cluster, and every vector with a ≥-threshold cosine neighbor of
+    * smaller id drops (greedy, deterministic). k bounds the pair work
+    * (~n²/k); the third blocking scheme next to sign-sketch bands and
+    * exact-hash groups. Returns (id, cluster, is_kept). */
+  def semDedup(vecs: DataFrame, id: String, vec: String, dims: Int,
+               k: Int, iters: Int = 2, threshold: Double = 0.95): DataFrame =
+    ops.SimOps.semDedupOf(vecs, id, vec, dims, k, iters, threshold)
+
   /** Exact maximum-inner-product search: top-k by raw dot product —
     * the retrieval objective when magnitude carries signal (two-tower
     * recommenders). Queries broadcast, one corpus scan. */

@@ -331,12 +331,16 @@ object SimOps {
     // (v−c)² and measured ~3× faster end to end.
     def sqlArr(cv: Seq[Double]): String =
       cv.map(x => s"${x}D").mkString("array(", ", ", ")")
-    def best(cents: Seq[(Any, Seq[Double])]): Column =
-      least(cents.map { case (cid, cv) =>
+    def best(cents: Seq[(Any, Seq[Double])]): Column = {
+      val structs = cents.map { case (cid, cv) =>
         val c2 = cv.foldLeft(0.0)((s, x) => s + x * x)
         val d2 = (lit(-2.0) * expr(s"graft_dot(__v, ${sqlArr(cv)})") + lit(c2)) + col("__v2")
         struct(d2.as("d2"), lit(cid).as("cid"))
-      }: _*)
+      }
+      // `least` requires >= 2 args; clusters can collapse to one when
+      // every point assigns to a single centroid (duplicate-heavy data)
+      if (structs.sizeIs == 1) structs.head else least(structs: _*)
+    }
     def assign(cents: Seq[(Any, Seq[Double])]): DataFrame =
       e.withColumn("__best", best(cents))
         .select(col("__id"), col("__v"),
@@ -387,6 +391,81 @@ object SimOps {
        |FROM af WHERE rn = 1
        |GROUP BY c_id
        |ORDER BY cluster""".stripMargin
+  }
+
+  /** SemDeDup (Abbas et al. 2023) — semantic dedup with CLUSTER
+    * blocking (public operator behind [[graft.Graft.semDedup]]): train
+    * k-means on the embedding column, then compare pairs only WITHIN
+    * each cluster and drop every vector with a ≥-threshold cosine
+    * neighbor of smaller id (greedy keep-lowest-id — deterministic,
+    * no iteration). The third blocking scheme in the dedup family:
+    * sign-sketch bands (d05) block by random hyperplanes, this blocks
+    * by LEARNED structure — near-dups concentrate in one cluster, so
+    * k is the knob that bounds pair work (n²/k pairs expected;
+    * production runs k large enough that n/k is a comfortable bucket).
+    * Returns one row per vector: (id, cluster, is_kept).
+    *
+    * The assignment table is localCheckpoint'd before the self-join —
+    * Spark has no cross-side common-subtree elimination, so the whole
+    * k-means train would otherwise run once per join side (the d02
+    * signature rule). */
+  def semDedupOf(vecs: DataFrame, idCol: String, vecCol: String, dims: Int,
+                 k: Int, iters: Int, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0,1], got $threshold")
+    val assigned = kmeansOf(vecs, idCol, vecCol, dims, k, iters)
+      .select(col(idCol).as("__id"), col("cluster"))
+    val v = vecs.select(col(idCol).as("__id"),
+      col(vecCol).cast("array<double>").as("__v"))
+    val av = assigned.join(v, "__id").localCheckpoint(true)
+    val a = av.select(col("__id").as("__ia"), col("cluster"), col("__v").as("__va"))
+    val b = av.select(col("__id").as("__ib"), col("cluster"), col("__v").as("__vb"))
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("__ia") < col("__ib"))
+      .filter(expr("graft_cosine(__va, __vb)") >= threshold)
+      .select(col("__ib").as("__id")).distinct()
+      .withColumn("__dup", lit(true))
+    av.join(dropped, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("cluster"),
+        (coalesce(col("__dup"), lit(false)) === false).as("is_kept"))
+  }
+
+  /** #d11 SemDeDup over the embeddings table: the s04 k-means (k=8,
+    * 2 rounds) as the blocking structure, cosine ≥ 0.45 within
+    * clusters (the d05 testdata threshold), keep-lowest-id. The
+    * oracle replays training, assignment, in-cluster pairing and the
+    * greedy drop — every double the kernel's exact fold order. */
+  private val d11: Q = (s, dir) =>
+    semDedupOf(vecs(s, dir), "vec_id", "v", dims = 64, k = 8, iters = 2,
+        threshold = 0.45)
+      .orderBy("vec_id")
+
+  private val d11Sql = {
+    def d2(a: String, b: String) =
+      s"(((-2.0 * ${graft.OracleSql.seqDot(a, b, 64)}) + ${graft.OracleSql.seqDot(b, b, 64)}) + ${graft.OracleSql.seqDot(a, a, 64)})"
+    val cvAvg = (1 to 64).map(i => s"floor(avg(v[$i]) * 1000000.0 + 0.5) / 1000000.0")
+      .mkString("list_value(", ", ", ")")
+    def round_(prev: String, out: String) =
+      s"""a$out AS (SELECT vec_id, v, c_id, ${d2("v", "cv")} AS d2,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY ${d2("v", "cv")}, c_id) AS rn
+         |  FROM e CROSS JOIN c$prev),
+         |m$out AS (SELECT vec_id, v, c_id, d2 FROM a$out WHERE rn = 1),
+         |c$out AS (SELECT c_id, $cvAvg AS cv FROM m$out GROUP BY c_id)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+       |${round_("0", "1")},
+       |${round_("1", "2")},
+       |af AS (SELECT vec_id, v, c_id,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ${d2("v", "cv")}, c_id) AS rn
+       |  FROM e CROSS JOIN c2),
+       |av AS (SELECT vec_id, v, c_id FROM af WHERE rn = 1),
+       |p AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+       |  FROM av a JOIN av b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+       |  WHERE ${graft.OracleSql.seqCosine("a.v", "b.v", 64)} >= 0.45),
+       |drp AS (SELECT DISTINCT ib FROM p)
+       |SELECT av.vec_id, av.c_id AS cluster, drp.ib IS NULL AS is_kept
+       |FROM av LEFT JOIN drp ON av.vec_id = drp.ib
+       |ORDER BY av.vec_id""".stripMargin
   }
 
   /** #26d ANN quality eval AS a query: per-query recall@K of the IVF
@@ -910,6 +989,7 @@ object SimOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "d11_semdedup" -> d11,
     "s10_mips" -> s10,
     "s09_linear_probe" -> s09,
     "s08_cov_sampled" -> s08,
@@ -922,6 +1002,7 @@ object SimOps {
     "s05_ann_recall" -> s05)
 
   val oracle: Map[String, String] = Map(
+    "d11_semdedup" -> d11Sql,
     "s10_mips" -> s10Sql,
     "s09_linear_probe" -> s09Sql,
     "s08_cov_sampled" -> s08Sql,

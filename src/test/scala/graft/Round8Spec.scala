@@ -506,6 +506,23 @@ class Round8Spec extends SparkSpec {
     assert(out("junk") == ((10L, 0.0, 0.0, 0.0, false)))
   }
 
+  test("semDedup: planted duplicates drop keep-lowest-id; distinct vectors survive") {
+    // two tight groups + one singleton; duplicates are exact copies so
+    // they land in one cluster and cosine = 1 regardless of the blocking
+    // ids 1,2 are the k-means init (smallest ids) — keep them distinct
+    val base = Seq(
+      1L -> Seq(1.0, 0.0, 0.0, 0.0), 2L -> Seq(0.0, 1.0, 0.0, 0.0),
+      3L -> Seq(1.0, 0.0, 0.0, 0.0), 4L -> Seq(0.0, 1.0, 0.0, 0.0),
+      5L -> Seq(0.0, 0.0, 1.0, 0.0))
+    val df = base.toDF("id", "v")
+    val out = Graft.semDedup(df, "id", "v", dims = 4, k = 2, iters = 2,
+      threshold = 0.95).collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out(1L) && !out(3L), "copy of 1 drops, 1 survives")
+    assert(out(2L) && !out(4L), "copy of 2 drops, 2 survives")
+    assert(out(5L), "singleton survives")
+    assert(out.size == 5, "one verdict per vector")
+  }
+
   test("cusum/seasonality are deterministic under repartitioning") {
     val df = Tables.t(spark, sfDir, "events")
     def dump1 = TimeSeriesOps.cusumOf(df, "event_type", "ts", "event_id", "value")
