@@ -647,6 +647,9 @@ object DataOps {
     *                     cannot fill its target without more repetition
     *                     than allowed — the signal to re-weight).
     * Domains absent from `weights` get weight 0 (reported, planned 0);
+    * weighted domains ABSENT FROM THE CORPUS are reported too
+    * (available 0, capped true — the typo'd-name / missing-landing
+    * alarm a plan must raise, never silently drop);
     * [[mixtureSampleOf]] (ds06) is the row-level executor of this plan.
     * One integer agg shuffle; the weight table is a broadcast literal. */
   def mixturePlanOf(docs: DataFrame, domainCol: String, tokensCol: String,
@@ -661,10 +664,17 @@ object DataOps {
     val avail = docs.groupBy(col(domainCol).as("domain"))
       .agg(sum(col(tokensCol).cast("long")).as("available_tokens"))
     val target = coalesce(col("__w"), lit(0.0)) * budgetTokens
-    val full = avail.join(broadcast(w), col("domain") === col("__dom"), "left")
+    // FULL outer: a weighted domain with zero corpus rows is the one
+    // condition a planner must surface (typo'd domain name, missing
+    // landing) — it appears with available 0, planned 0, capped true
+    val full = avail.join(broadcast(w), col("domain") === col("__dom"), "full_outer")
+      .withColumn("domain", coalesce(col("domain"), col("__dom")))
+      .withColumn("available_tokens", coalesce(col("available_tokens"), lit(0L)))
       .withColumn("target_tokens", target)
       .withColumn("epochs",
-        least(lit(maxEpochs), col("target_tokens") / col("available_tokens")))
+        when(col("available_tokens") > 0,
+          least(lit(maxEpochs), col("target_tokens") / col("available_tokens")))
+          .otherwise(lit(0.0)))
       .withColumn("planned_tokens",
         least(col("target_tokens"), lit(maxEpochs) * col("available_tokens")))
       .withColumn("capped",
@@ -701,12 +711,14 @@ object DataOps {
        |  FROM documents GROUP BY source),
        |w(dom, w) AS (VALUES $weightRows),
        |j AS (
-       |  SELECT a.domain, a.available_tokens,
+       |  SELECT coalesce(a.domain, w.dom) AS domain,
+       |    coalesce(a.available_tokens, 0) AS available_tokens,
        |    coalesce(w.w, 0.0) * 1000000 AS target_tokens
-       |  FROM a LEFT JOIN w ON a.domain = w.dom)
+       |  FROM a FULL OUTER JOIN w ON a.domain = w.dom)
        |SELECT domain, available_tokens,
        |  round(target_tokens, 6) AS target_tokens,
-       |  round(least(4.0, target_tokens / available_tokens), 6) AS epochs,
+       |  round(CASE WHEN available_tokens > 0
+       |    THEN least(4.0, target_tokens / available_tokens) ELSE 0.0 END, 6) AS epochs,
        |  round(least(target_tokens, 4.0 * available_tokens), 6) AS planned_tokens,
        |  target_tokens > 4.0 * available_tokens AS capped
        |FROM j

@@ -931,10 +931,13 @@ object FinOps {
     * (value, tie) — a TOTAL order, so "no ties" holds by construction
     * and the no-ties closed form applies:
     *   rho = 1 − 6·Σd² / (n·(n²−1)),  d = rank(x) − rank(y).
-    * Σd² is an INTEGER sum (bit-exact at any parallelism and
-    * partition order — no float fold discipline needed at all); the
-    * only float op is the final division. Groups with n < 2 yield
-    * null. Two rank windows + one agg, all on the group key — one
+    * Σd² is an INTEGER sum in decimal(38,0) (bit-exact at any
+    * parallelism and partition order — no float fold discipline
+    * needed, and no Long cliff: a long Σd² overflows at ~3M rows per
+    * group); the only float ops are the final scalar divisions. Rows
+    * with a null x or y are excluded (nulls have no rank, and the two
+    * engines order them differently). Groups with n < 2 yield null.
+    * Two rank windows + one agg, all on the group key — one
     * shuffle. */
   def rankCorrOf(df: DataFrame, groupCol: String, xCol: String, yCol: String,
                  tieCol: String): DataFrame = {
@@ -942,17 +945,28 @@ object FinOps {
       Window.partitionBy(col("__g")).orderBy(col("__x"), col("__tie")))
     val ry = row_number().over(
       Window.partitionBy(col("__g")).orderBy(col("__y"), col("__tie")))
+    val nD = col("n").cast("double")
     df.select(col(groupCol).as("__g"), col(xCol).cast("double").as("__x"),
         col(yCol).cast("double").as("__y"), col(tieCol).as("__tie"))
+      // rows with a null x or y are EXCLUDED (they have no rank; Spark
+      // and DuckDB also order nulls differently, so ranking them would
+      // silently diverge between engines)
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
       .withColumn("__rx", rx.cast("long"))
       .withColumn("__ry", ry.cast("long"))
-      .withColumn("__d2", (col("__rx") - col("__ry")) * (col("__rx") - col("__ry")))
+      // Σd² as DECIMAL: exact integer arithmetic (deterministic like a
+      // long sum) without the Long cliff — a long Σd² overflows at
+      // n ≈ 3M rows per group, exactly the scale the operator targets;
+      // the denominator n(n²−1) is likewise computed in double (exact
+      // up to 2^53, and the final rho is double precision anyway)
+      .withColumn("__d2", ((col("__rx") - col("__ry")) *
+        (col("__rx") - col("__ry"))).cast("decimal(38,0)"))
       .groupBy(col("__g"))
       .agg(count(lit(1)).as("n"), sum(col("__d2")).as("__sd2"))
       .select(col("__g").as("grp"), col("n"),
         when(col("n") >= 2,
-          lit(1.0) - lit(6.0) * col("__sd2") /
-            (col("n") * (col("n") * col("n") - lit(1L))).cast("double"))
+          lit(1.0) - lit(6.0) * col("__sd2").cast("double") /
+            (nD * (nD * nD - lit(1.0))))
           .as("spearman"))
   }
 
@@ -994,7 +1008,9 @@ object FinOps {
       |  FROM r GROUP BY event_type)
       |SELECT event_type AS series, n,
       |  round(CASE WHEN n >= 2
-      |    THEN 1.0 - 6.0 * sd2 / CAST(n * (n * n - 1) AS DOUBLE) END, 6) AS spearman
+      |    THEN 1.0 - 6.0 * CAST(sd2 AS DOUBLE) /
+      |      (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0))
+      |    END, 6) AS spearman
       |FROM a
       |ORDER BY series""".stripMargin
 

@@ -1045,13 +1045,17 @@ object TextOps {
     // ceil-div on non-negative ints: floor((x + s−1)/s); exact in double
     val nChunks = (floor((greatest(col("__n") - size, lit(0)) + (stride - 1))
       / lit(stride.toDouble)).cast("int") + 1)
+    // slice BEFORE exploding: the exploded rows carry only their own
+    // chunk (O(n·size/stride) total tokens); exploding chunk ids first
+    // and slicing after would materialize the full token array once
+    // per chunk row — O(n²/stride) for long documents
     df.select(col(idCol).as("doc_id"), F.words(col(textCol)).as("__toks"))
       .withColumn("__n", alen(col("__toks")))
       .filter(col("__n") > 0)
-      .withColumn("chunk_id", explode(sequence(lit(0), nChunks - 1)))
-      .withColumn("start_token", col("chunk_id") * stride)
-      .withColumn("__chunk", slice(col("__toks"), col("start_token") + 1, lit(size)))
-      .select(col("doc_id"), col("chunk_id"), col("start_token"),
+      .withColumn("__chunks", transform(sequence(lit(0), nChunks - 1),
+        i => slice(col("__toks"), i * stride + 1, lit(size))))
+      .select(col("doc_id"), posexplode(col("__chunks")).as(Seq("chunk_id", "__chunk")))
+      .select(col("doc_id"), col("chunk_id"), (col("chunk_id") * stride).as("start_token"),
         alen(col("__chunk")).as("n_tokens"),
         array_join(col("__chunk"), " ").as("chunk_text"))
   }

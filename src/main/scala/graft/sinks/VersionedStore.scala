@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions._
   * copying 100 TB per version.
   *
   * Layout: one parquet table partitioned by `__v`, each row tagged
-  * `__op` ∈ {u, d} (upsert / delete). Version 0 is the full initial
-  * corpus; version N stores
+  * `__op` ∈ {u, d} (upsert / delete); a version exists only once its
+  * `_commit_<v>` marker file does (two-phase: files first, marker
+  * after — crashed half-writes are invisible and get wiped by the
+  * retry). Version 0 is the full initial corpus; version N stores
   *   - rows of `df` whose (key, content-hash) pair is NOT in version
   *     N−1 (new or changed rows, op `u`), and
   *   - version-N−1 rows whose key left the dataset (op `d`).
@@ -46,13 +48,31 @@ object VersionedStore {
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Committed version numbers, ascending (empty for a fresh path). */
+  /** Committed version numbers, ascending (empty for a fresh path).
+    * A version COUNTS only once its `_commit_<v>` marker exists — the
+    * marker is dropped strictly AFTER the partition's parquet files
+    * land, so a crashed half-written `__v=N` directory is invisible
+    * here (and is wiped and rewritten by the retrying commit): the
+    * two-phase rule that keeps retried pipeline runs safe. */
   def versions(spark: SparkSession, path: String): Seq[Int] = {
     val f = fs(spark, path)
     val p = new Path(path)
     if (!f.exists(p)) Seq.empty
     else f.listStatus(p).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("__v=")).map(_.stripPrefix("__v=").toInt).sorted
+      .filter(_.startsWith("_commit_")).map(_.stripPrefix("_commit_").toInt).sorted
+  }
+
+  /** Write one version partition atomically-enough: wipe any
+    * uncommitted leftover directory (a crashed prior attempt), land
+    * the files, THEN drop the commit marker. */
+  private def writeVersion(spark: SparkSession, path: String, df: DataFrame,
+                           v: Int): Unit = {
+    val f = fs(spark, path)
+    val dir = new Path(path, s"__v=$v")
+    if (f.exists(dir)) f.delete(dir, true)
+    df.withColumn("__v", lit(v))
+      .write.mode(SaveMode.Append).partitionBy("__v").parquet(path)
+    f.create(new Path(path, s"_commit_$v"), true).close()
   }
 
   /** Checkpointed versions (those whose `_ck_<v>` marker exists). */
@@ -74,8 +94,7 @@ object VersionedStore {
     val vs = versions(spark, path)
     val dataCols = df.columns.toSeq
     if (vs.isEmpty) {
-      df.withColumn("__op", lit("u")).withColumn("__v", lit(0))
-        .write.mode(SaveMode.Append).partitionBy("__v").parquet(path)
+      writeVersion(spark, path, df.withColumn("__op", lit("u")), 0)
       return 0
     }
     val prev = read(spark, path, vs.last, keys)
@@ -88,14 +107,17 @@ object VersionedStore {
     // departed keys: previous row retagged as a delete (values ignored)
     val deletes = prev.join(df.select(keys.map(col): _*), keys, "left_anti")
       .select(dataCols.map(col): _*).withColumn("__op", lit("d"))
-    val delta = upserts.unionByName(deletes)
-    if (delta.isEmpty) vs.last
-    else {
-      val next = vs.last + 1
-      delta.withColumn("__v", lit(next))
-        .write.mode(SaveMode.Append).partitionBy("__v").parquet(path)
-      next
-    }
+    // materialize ONCE: the emptiness probe and the write would
+    // otherwise each run the full reconstruction + diff pipeline
+    val delta = upserts.unionByName(deletes).localCheckpoint(true)
+    try {
+      if (delta.isEmpty) vs.last
+      else {
+        val next = vs.last + 1
+        writeVersion(spark, path, delta, next)
+        next
+      }
+    } finally graft.Checkpoints.free(delta)
   }
 
   /** Reconstruct version `version` exactly: fold the deltas since the
@@ -106,8 +128,11 @@ object VersionedStore {
     val vs = versions(spark, path)
     require(vs.contains(version), s"version $version not in $vs")
     val from = checkpoints(spark, path).filter(_ <= version).lastOption.getOrElse(0)
+    // committed versions only: an uncommitted tip directory (crashed
+    // writer) must not leak into reconstruction
+    val live = vs.filter(v => v >= from && v <= version)
     val all = spark.read.parquet(path)
-      .filter(col("__v") >= from && col("__v") <= version)
+      .filter(col("__v").isin(live: _*))
     val w = Window.partitionBy(keys.map(col).toIndexedSeq: _*).orderBy(col("__v").desc)
     all.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && col("__op") === "u")
@@ -122,10 +147,8 @@ object VersionedStore {
     require(vs.nonEmpty, "nothing committed yet")
     val cur = read(spark, path, vs.last, keys).localCheckpoint(true)
     val next = vs.last + 1
-    try {
-      cur.withColumn("__op", lit("u")).withColumn("__v", lit(next))
-        .write.mode(SaveMode.Append).partitionBy("__v").parquet(path)
-    } finally graft.Checkpoints.free(cur)
+    try writeVersion(spark, path, cur.withColumn("__op", lit("u")), next)
+    finally graft.Checkpoints.free(cur)
     fs(spark, path).create(new Path(path, s"_ck_$next"), true).close()
     next
   }

@@ -506,6 +506,29 @@ class Round8Spec extends SparkSpec {
     assert(out("junk") == ((10L, 0.0, 0.0, 0.0, false)))
   }
 
+  test("mixturePlan: a weighted domain missing from the corpus is surfaced, not dropped") {
+    val docs = Seq(("web", 100L)).toDF("dom", "n")
+    val out = Graft.mixturePlan(docs, "dom", "n",
+      Map("web" -> 0.5, "books" -> 0.5), budgetTokens = 200L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(out.contains("books"), "typo'd/missing domain must appear in the plan")
+    assert(out("books") == ((0L, 100.0, 0.0, 0.0, true)),
+      s"empty weighted domain: available 0, capped: ${out("books")}")
+    assert(out("web") == ((100L, 100.0, 1.0, 100.0, false)))
+  }
+
+  test("rankCorr: rows with null x or y are excluded, not ranked") {
+    val rows = Seq(
+      ("g", Some(1.0), Some(1.0), 1L), ("g", Some(2.0), Some(2.0), 2L),
+      ("g", Some(3.0), Some(3.0), 3L), ("g", None, Some(9.0), 4L),
+      ("g", Some(9.0), None, 5L))
+    val out = Graft.rankCorr(rows.toDF("g", "x", "y", "id"), "g", "x", "y", "id")
+      .collect()(0)
+    assert(out.getLong(1) == 3L, "null-bearing rows don't count toward n")
+    assert(out.getDouble(2) == 1.0, "the clean rows are perfectly monotone")
+  }
+
   test("semDedup: planted duplicates drop keep-lowest-id; distinct vectors survive") {
     // two tight groups + one singleton; duplicates are exact copies so
     // they land in one cluster and cosine = 1 regardless of the blocking

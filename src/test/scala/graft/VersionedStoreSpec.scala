@@ -97,6 +97,27 @@ class VersionedStoreSpec extends SparkSpec {
     assert(spark.read.parquet(path).filter($"__v" === 1).count() == 2)
   }
 
+  test("a crashed half-written version is invisible and wiped by the retry") {
+    val path = tmp()
+    val v0data = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    VersionedStore.commit(spark, path, v0data, Seq("id"))
+    // simulate a crash: land partition files for __v=1 WITHOUT a marker
+    Seq((9L, "junk")).toDF("id", "name")
+      .withColumn("__op", org.apache.spark.sql.functions.lit("u"))
+      .withColumn("__v", org.apache.spark.sql.functions.lit(1))
+      .write.mode("append").partitionBy("__v").parquet(path)
+    assert(VersionedStore.versions(spark, path) == Seq(0),
+      "unmarked partition is not a version")
+    assert(sorted(VersionedStore.read(spark, path, 0, Seq("id"))) == sorted(v0data),
+      "reads never see uncommitted rows")
+    // the retrying commit wipes the leftover and lands clean
+    val v1data = Seq((1L, "a"), (2L, "B")).toDF("id", "name")
+    assert(VersionedStore.commit(spark, path, v1data, Seq("id")) == 1)
+    assert(sorted(VersionedStore.read(spark, path, 1, Seq("id"))) == sorted(v1data))
+    val v1rows = spark.read.parquet(path).filter($"__v" === 1).collect()
+    assert(!v1rows.exists(_.getLong(0) == 9L), "junk from the crash is gone")
+  }
+
   test("null content and column order don't confuse the diff hash") {
     val path = tmp()
     val v0data = Seq((1L, Some("x"), 1.0), (2L, None, 2.0))
