@@ -1299,6 +1299,16 @@ object Graft {
                damping: Double = 0.85, iters: Int = 3): DataFrame =
     ops.DedupOps.pageRankOf(edges, src, dst, damping, iters)
 
+  /** ROC-AUC of a score column vs a boolean label — the ranking
+    * quality a filtering classifier is judged by. Mann–Whitney
+    * rank-sum over a DISTRIBUTED exact global rank (score-range
+    * buckets + broadcast offsets, never a partitionless window);
+    * integer arithmetic to the final division. Returns one row
+    * (n_pos, n_neg, auc). */
+  def aucScore(df: DataFrame, score: String, label: String, tie: String,
+               buckets: Int = 256): DataFrame =
+    ops.SimOps.aucOf(df, score, label, tie, buckets)
+
   /** SemDeDup: semantic dedup with LEARNED cluster blocking — k-means
     * partitions the embedding space, pairs compare only within a
     * cluster, and every vector with a ≥-threshold cosine neighbor of

@@ -393,6 +393,102 @@ object SimOps {
        |ORDER BY cluster""".stripMargin
   }
 
+  /** ROC-AUC of a score column against a boolean label (public
+    * operator behind [[graft.Graft.aucScore]]) — the ranking-quality
+    * number a filtering classifier is actually judged by (the cut
+    * threshold moves with the budget; the RANKING is the model). Uses
+    * the Mann–Whitney rank-sum identity:
+    *   AUC = (Σ ranks(positives) − nPos(nPos+1)/2) / (nPos·nNeg)
+    * with ranks over the (score, tie) TOTAL order, so the rank sum is
+    * exact integer arithmetic in decimal(38,0) (the q64 rule:
+    * deterministic at any parallelism, no Long cliff) and the only
+    * float op is the final division. The global rank is DISTRIBUTED:
+    * score-range buckets on exact min/max + per-bucket window ranks +
+    * broadcast bucket offsets — never a partitionless window (which
+    * funnels the corpus through one task). Score ties across classes
+    * resolve by the tie column (tie-broken AUC, not midrank-corrected
+    * — note this if scores are coarse). */
+  def aucOf(df: DataFrame, scoreCol: String, labelCol: String,
+            tieCol: String, buckets: Int = 256): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val in = df.select(col(scoreCol).cast("double").as("__s"),
+        col(labelCol).cast("boolean").as("__y"), col(tieCol).as("__tie"))
+      .filter(col("__s").isNotNull && col("__y").isNotNull)
+      .localCheckpoint(true) // three passes (stats, offsets, rank)
+    try {
+      // DISTRIBUTED exact global rank — never a partitionless window
+      // (that funnels the corpus through ONE task): range-bucket by
+      // score on exact min/max, rank within buckets, add broadcast
+      // per-bucket offsets. Bucket cuts compare on score alone, so
+      // score ties always share a bucket and the (score, tie) order is
+      // globally exact; skewed buckets are correct (AQE splits them).
+      val r = in.agg(min(col("__s")), max(col("__s"))).collect()(0)
+      val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+      val width = if (hi > lo) (hi - lo) / buckets else 1.0
+      val bucket = least(lit(buckets - 1), greatest(lit(0),
+        floor((col("__s") - lit(lo)) / lit(width)).cast("int"))).as("__b")
+      val withB = in.withColumn("__b", bucket)
+      val counts = withB.groupBy(col("__b")).agg(count(lit(1)).as("c"))
+        .collect().map(x => x.getInt(0) -> x.getLong(1)).toMap
+      val offsets = (0 until buckets).scanLeft(0L) {
+        (acc, b) => acc + counts.getOrElse(b, 0L)
+      }
+      val offCol = element_at(
+        map_from_arrays(
+          array((0 until buckets).map(lit): _*),
+          array((0 until buckets).map(b => lit(offsets(b))): _*)),
+        col("__b"))
+      val rnk = offCol + row_number().over(
+        Window.partitionBy(col("__b")).orderBy(col("__s"), col("__tie"))).cast("long")
+      withB
+        .withColumn("__r", rnk)
+        .agg(
+          sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
+          sum(when(!col("__y"), 1L).otherwise(0L)).as("n_neg"),
+          sum(when(col("__y"), col("__r")).otherwise(lit(0L)).cast("decimal(38,0)"))
+            .as("__rs"))
+        .select(col("n_pos"), col("n_neg"),
+          when(col("n_pos") > 0 && col("n_neg") > 0,
+            (col("__rs").cast("double") -
+              col("n_pos").cast("double") * (col("n_pos").cast("double") + lit(1.0)) / lit(2.0)) /
+              (col("n_pos").cast("double") * col("n_neg").cast("double")))
+            .as("auc"))
+        .localCheckpoint(true) // the one-row result outlives in's storage
+    } finally graft.Checkpoints.free(in)
+  }
+
+  /** #s11 ROC-AUC of the s09 probe scores against the true ±1 label —
+    * the eval row next to the classifier, like s05 next to the ANN
+    * family. The oracle re-runs the identical training chain and the
+    * integer rank-sum formula over its own global row_number — same
+    * total order as the bucketed distributed rank, same sum. */
+  private val s11: Q = (s, dir) => {
+    val df = t(s, dir, "embeddings")
+      .withColumn("y", when(col("label") === 0, 1.0).otherwise(-1.0))
+    val scored = linearProbeOf(df, "vec_id", "embedding", "y",
+      dims = 64, lr = 0.05, iters = 3)
+    aucOf(scored.withColumn("is_pos", col("y") > 0), "score", "is_pos", "id")
+      .select(col("n_pos"), col("n_neg"), r6(col("auc")).as("auc"))
+  }
+
+  private val s11Sql =
+    s"""$probeTrainCte,
+       |r AS (
+       |  SELECT y > 0 AS yp,
+       |    CAST(row_number() OVER (ORDER BY score, vec_id) AS BIGINT) AS rnk
+       |  FROM sc),
+       |a AS (
+       |  SELECT sum(CASE WHEN yp THEN 1 ELSE 0 END) AS n_pos,
+       |    sum(CASE WHEN yp THEN 0 ELSE 1 END) AS n_neg,
+       |    sum(CASE WHEN yp THEN rnk ELSE 0 END) AS rs
+       |  FROM r)
+       |SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+       |  round(CASE WHEN n_pos > 0 AND n_neg > 0
+       |    THEN (CAST(rs AS DOUBLE) -
+       |      CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0) / 2.0) /
+       |      (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) END, 6) AS auc
+       |FROM a""".stripMargin
+
   /** SemDeDup (Abbas et al. 2023) — semantic dedup with CLUSTER
     * blocking (public operator behind [[graft.Graft.semDedup]]): train
     * k-means on the embedding column, then compare pairs only WITHIN
@@ -944,7 +1040,9 @@ object SimOps {
       .orderBy("vec_id")
   }
 
-  private val s09Sql: String = {
+  /** The s09 training-loop CTE chain (through `sc`, the scored
+    * corpus) — shared by the s09 gate and the s11 AUC eval. */
+  private def probeTrainCte: String = {
     val d = 64
     val iters = 3
     def dotW(v: String, wl: String) = graft.OracleSql.dot(v, wl, d)
@@ -980,15 +1078,19 @@ object SimOps {
     }
     sb ++= s"""sc AS (
               |  SELECT e.vec_id, e.y, (${dotW("e.v", "wl.wl")}) AS score
-              |  FROM e CROSS JOIN wl$iters wl)
-              |SELECT vec_id, y, round(score, 6) AS score,
-              |  score >= 0 AS predicted, (score >= 0) = (y > 0) AS correct
-              |FROM sc
-              |ORDER BY vec_id""".stripMargin
+              |  FROM e CROSS JOIN wl$iters wl)""".stripMargin
     sb.toString
   }
 
+  private val s09Sql: String =
+    s"""$probeTrainCte
+       |SELECT vec_id, y, round(score, 6) AS score,
+       |  score >= 0 AS predicted, (score >= 0) = (y > 0) AS correct
+       |FROM sc
+       |ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s11_auc" -> s11,
     "d11_semdedup" -> d11,
     "s10_mips" -> s10,
     "s09_linear_probe" -> s09,
@@ -1002,6 +1104,7 @@ object SimOps {
     "s05_ann_recall" -> s05)
 
   val oracle: Map[String, String] = Map(
+    "s11_auc" -> s11Sql,
     "d11_semdedup" -> d11Sql,
     "s10_mips" -> s10Sql,
     "s09_linear_probe" -> s09Sql,

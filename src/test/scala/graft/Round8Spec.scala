@@ -546,6 +546,22 @@ class Round8Spec extends SparkSpec {
     assert(out.size == 5, "one verdict per vector")
   }
 
+  test("aucScore: perfect, inverted, and hand-computed rankings; bucketed rank is exact") {
+    // perfect separation: all pos scores above all neg -> AUC 1
+    val perfect = Seq((0.9, true, 1L), (0.8, true, 2L), (0.2, false, 3L), (0.1, false, 4L))
+    def auc(rows: Seq[(Double, Boolean, Long)], buckets: Int = 256) =
+      Graft.aucScore(rows.toDF("s", "y", "id"), "s", "y", "id", buckets)
+        .collect()(0).getDouble(2)
+    assert(auc(perfect) == 1.0)
+    assert(auc(perfect.map { case (s, y, i) => (-s, y, i) }) == 0.0, "inverted ranking")
+    // one swapped pair among 2x2: 3 of 4 pairs concordant -> 0.75
+    val mixed = Seq((0.9, true, 1L), (0.3, true, 2L), (0.5, false, 3L), (0.1, false, 4L))
+    assert(auc(mixed) == 0.75, s"hand-computed AUC")
+    // bucketed distributed rank must equal the single-bucket rank exactly
+    val evs = (1 to 500).map(i => (math.sin(i * 1.7) * 100, i % 3 == 0, i.toLong))
+    assert(auc(evs, buckets = 64) == auc(evs, buckets = 1), "bucketing is rank-exact")
+  }
+
   test("cusum/seasonality are deterministic under repartitioning") {
     val df = Tables.t(spark, sfDir, "events")
     def dump1 = TimeSeriesOps.cusumOf(df, "event_type", "ts", "event_id", "value")
