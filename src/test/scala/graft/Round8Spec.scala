@@ -562,6 +562,36 @@ class Round8Spec extends SparkSpec {
     assert(auc(evs, buckets = 64) == auc(evs, buckets = 1), "bucketing is rank-exact")
   }
 
+  test("invariants: volume bars conserve volume; stride==size chunks partition the doc") {
+    // bar volumes must add back to the input total (no fill lost or split)
+    val li = Tables.t(spark, sfDir, "lineitem")
+      .withColumn("up", org.apache.spark.sql.functions.col("l_extendedprice") /
+        org.apache.spark.sql.functions.col("l_quantity"))
+    val bars = FinOps.volumeBarsOf(li, "l_returnflag", "l_shipdate",
+      Seq("l_orderkey", "l_linenumber"), "up", "l_quantity", budget = 5000.0)
+    val barTotal = bars.agg(org.apache.spark.sql.functions.sum("volume"))
+      .collect()(0).getDouble(0)
+    val inTotal = li.filter($"l_quantity" > 0)
+      .agg(org.apache.spark.sql.functions.sum("l_quantity")).collect()(0).getDouble(0)
+    assert(math.abs(barTotal - inTotal) < 1e-6 * inTotal, s"$barTotal vs $inTotal")
+    // non-overlapping chunks reconstruct the tokenized document exactly
+    val doc = (1 to 23).map(i => s"w$i").mkString(" ")
+    val parts = graft.ops.TextOps.chunkTextOf(
+      Seq((1L, doc)).toDF("id", "text"), "id", "text", size = 5, stride = 5)
+      .orderBy("chunk_id").collect().map(_.getString(4))
+    assert(parts.mkString(" ") == doc, "stride==size partitions without loss or overlap")
+  }
+
+  test("aucScore is invariant under repartitioning and bucket count") {
+    val rows = (1 to 300).map(i => (math.cos(i * 2.3) * 10, i % 4 == 0, i.toLong))
+    def auc(df: org.apache.spark.sql.DataFrame, b: Int) =
+      Graft.aucScore(df, "s", "y", "id", b).collect()(0).getDouble(2)
+    val df = rows.toDF("s", "y", "id")
+    val base = auc(df, 256)
+    assert(auc(df.repartition(13), 256) == base, "partitioning cannot move the rank sum")
+    assert(auc(df, 7) == base && auc(df, 1) == base, "bucket count cannot either")
+  }
+
   test("cusum/seasonality are deterministic under repartitioning") {
     val df = Tables.t(spark, sfDir, "events")
     def dump1 = TimeSeriesOps.cusumOf(df, "event_type", "ts", "event_id", "value")
