@@ -279,6 +279,59 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("checkpointed restart: volume-bar open-bar state survives stop/start") {
+    // the open bar and the volume clock come back from the checkpoint:
+    // a bar whose fills straddle the restart closes with exactly the
+    // same accumulators as an uninterrupted run
+    import graft.streaming.{FillEvent, VbarOut}
+    import java.nio.file.{Files => F}
+    val root = F.createTempDirectory("graft_vbar_chk")
+    val srcDir = root.resolve("src"); F.createDirectories(srcDir)
+    val outDir = root.resolve("out").toString
+    val chkDir = root.resolve("chk").toString
+    def land(name: String, rows: Seq[FillEvent]): Unit = {
+      val staged = root.resolve(name).toString
+      rows.toDF().coalesce(1).write.mode("overwrite").parquet(staged)
+      new java.io.File(staged).listFiles.filter(_.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (f, i) =>
+          F.move(f.toPath, srcDir.resolve(s"$name-$i.parquet")) }
+    }
+    val schema = Seq.empty[FillEvent].toDF().schema
+    def startQuery() =
+      StreamOps.streamingVolumeBars(
+          spark.readStream.schema(schema).parquet(srcDir.toString).as[FillEvent],
+          budget = 10.0)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", chkDir)
+        .outputMode("append").start()
+    def ev(id: Long, p: Double, v: Double) =
+      FillEvent("K", id, new java.sql.Timestamp(1700000000000L + id * 60000L), p, v)
+    // bar 0 = fills 1-3 (vol 12, overshoot), bar 1 = fills 4-5 (vol 11);
+    // the restart lands between fills 2 and 3 — INSIDE bar 0
+    val all = Seq(ev(1, 5.0, 4.0), ev(2, 6.0, 4.0), ev(3, 7.0, 4.0),
+      ev(4, 8.0, 9.0), ev(5, 9.0, 2.0), ev(6, 10.0, 1.0))
+    land("b1", all.take(2))
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    land("b2", all.drop(2))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(outDir).as[VbarOut]
+      .collect().map(o => o.bar ->
+        ((o.n_fills, o.open, o.close, o.volume, o.vwap))).toMap
+    // batch truth over the full fill sequence
+    val batch = graft.ops.FinOps.volumeBarsOf(all.toDF(), "event_type", "ts",
+        Seq("event_id"), "price", "volume", budget = 10.0)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(4), r.getDouble(5), r.getDouble(8), r.getDouble(9),
+          r.getDouble(11)))).toMap
+    // bars 0 and 1 closed before the stream's end; the final open bar is state
+    assert(got.keySet == Set(0L, 1L), s"closed bars: ${got.keySet}")
+    got.foreach { case (b, v) =>
+      assert(v == batch(b), s"bar $b after restart: $v != ${batch(b)}")
+    }
+  }
+
   test("checkpointed restart: MACD three-recurrence state survives stop/start bit-exactly") {
     // the ScanOps-state family's restart contract: fast/slow/signal
     // accumulators come back from the checkpoint and rows after the
