@@ -776,6 +776,14 @@ object Graft {
                   value: String): DataFrame =
     ops.TimeSeriesOps.seasonalityOf(df, key, ts, id, value)
 
+  /** Classical additive decomposition per series: centered-MA trend
+    * (cumsum-difference, O(1)/row), hour-of-day seasonal means of the
+    * DETRENDED series, and the residual — level and season explained,
+    * anomaly rules run on what's left. One shuffle on the key. */
+  def decompose(df: DataFrame, key: String, ts: String, value: String,
+                window: Int = 25): DataFrame =
+    ops.TimeSeriesOps.decomposeOf(df, key, ts, value, window)
+
   /** Seasonal-residual anomaly rows: subtract the per-(series, hour)
     * seasonal baseline, then flag rows whose residual is a med/MAD
     * robust outlier within its series (|z| > k). Baseline and

@@ -799,7 +799,108 @@ object TimeSeriesOps {
       |  ELSE d.residual <> d.med END
       |ORDER BY series, ts_ms, id""".stripMargin
 
+  /** Classical additive seasonal decomposition (public operator behind
+    * [[graft.Graft.decompose]]): per (series, bucket) —
+    *   trend     centered moving average over `window` buckets (odd),
+    *             computed as a CUMSUM DIFFERENCE (lead − lag of one
+    *             cumulative fold, O(1)/row — never a sliding frame,
+    *             whose add/remove float updates would diverge from the
+    *             oracle's frame sums), null within half a window of
+    *             either edge;
+    *   seasonal  the hour-of-day mean of the DETRENDED series (the
+    *             q54 cumulative-fold-at-last-row rule — q61 subtracts
+    *             raw hour means; detrending first is what separates a
+    *             drifting level from its diurnal shape);
+    *   residual  value − trend − seasonal — what's left for an
+    *             anomaly rule once level and season are explained.
+    * One shuffle on the series key: both window passes and the
+    * (series, hod) cell fold reuse its partitioning
+    * (ClusteredDistribution — hash(key) co-locates every cell). */
+  def decomposeOf(df: DataFrame, keyCol: String, tsCol: String,
+                  valueCol: String, window: Int): DataFrame = {
+    require(window >= 3 && window % 2 == 1,
+      s"window must be odd and >= 3, got $window")
+    val h = window / 2
+    val wOrd = Window.partitionBy(col("__k")).orderBy(col("__t"))
+    val cum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = df.select(col(keyCol).as("__k"), col(tsCol).as("__t"),
+        col(valueCol).cast("double").as("__y"))
+      .withColumn("__cy", sum(col("__y")).over(cum))
+      .withColumn("trend",
+        (lead(col("__cy"), h).over(wOrd) -
+          coalesce(lag(col("__cy"), h + 1).over(wOrd),
+            when(row_number().over(wOrd) === h + 1, lit(0.0)))) / window)
+      .withColumn("__det", col("__y") - col("trend"))
+      .withColumn("hod", hour(col("__t")))
+    val wCell = Window.partitionBy(col("__k"), col("hod")).orderBy(col("__t"))
+    val cumCell = wCell.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cells = base.filter(col("__det").isNotNull)
+      .withColumn("__rn", row_number().over(wCell))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__k"), col("hod"))))
+      .withColumn("__sd", sum(col("__det")).over(cumCell))
+      .filter(col("__rn") === col("__n"))
+      .select(col("__k"), col("hod"), (col("__sd") / col("__n")).as("seasonal"))
+    base.join(broadcast(cells), Seq("__k", "hod"), "left")
+      .select(col("__k").as("series"), col("__t").as("bucket"),
+        col("__y").as("value"), col("trend"), col("seasonal"),
+        (col("__y") - col("trend") - col("seasonal")).as("residual"))
+  }
+
+  /** #q66 additive decomposition of the hourly close grid per series
+    * (25-bucket centered trend ≈ one day of hourly bars). */
+  private val q66: Q = (s, dir) =>
+    decomposeOf(
+      graft.Graft.resampleOhlc(t(s, dir, "events"),
+          "event_type", "ts", "event_id", "value", "hour")
+        .select(col("event_type"), col("bucket"), col("close")),
+      "event_type", "bucket", "close", window = 25)
+      .select(col("series"), epochMs(col("bucket")).as("bucket_ms"),
+        r6(col("value")).as("value"), r6(col("trend")).as("trend"),
+        r6(col("seasonal")).as("seasonal"), r6(col("residual")).as("residual"))
+      .orderBy("series", "bucket_ms")
+
+  private val q66Sql =
+    """WITH b AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+      |    last(value ORDER BY ts, event_id) AS close
+      |  FROM events GROUP BY 1, 2),
+      |c AS (
+      |  SELECT event_type, bucket, close,
+      |    sum(close) OVER w AS cy,
+      |    row_number() OVER o AS rn
+      |  FROM b
+      |  WINDOW o AS (PARTITION BY event_type ORDER BY bucket),
+      |    w AS (PARTITION BY event_type ORDER BY bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |tr AS (
+      |  SELECT event_type, bucket, close,
+      |    (lead(cy, 12) OVER o - coalesce(lag(cy, 13) OVER o,
+      |      CASE WHEN rn = 13 THEN 0.0 END)) / 25 AS trend,
+      |    hour(bucket) AS hod
+      |  FROM c
+      |  WINDOW o AS (PARTITION BY event_type ORDER BY bucket)),
+      |dt AS (SELECT *, close - trend AS det FROM tr),
+      |cell AS (
+      |  SELECT event_type, hod, sd / n AS seasonal FROM (
+      |    SELECT event_type, hod,
+      |      row_number() OVER o2 AS rn2,
+      |      count(*) OVER (PARTITION BY event_type, hod) AS n,
+      |      sum(det) OVER w2 AS sd
+      |    FROM dt WHERE det IS NOT NULL
+      |    WINDOW o2 AS (PARTITION BY event_type, hod ORDER BY bucket),
+      |      w2 AS (PARTITION BY event_type, hod ORDER BY bucket
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |  WHERE rn2 = n)
+      |SELECT dt.event_type AS series, epoch_ms(dt.bucket) AS bucket_ms,
+      |  round(dt.close, 6) AS value, round(dt.trend, 6) AS trend,
+      |  round(cell.seasonal, 6) AS seasonal,
+      |  round(dt.close - dt.trend - cell.seasonal, 6) AS residual
+      |FROM dt LEFT JOIN cell
+      |  ON dt.event_type = cell.event_type AND dt.hod = cell.hod
+      |ORDER BY series, bucket_ms""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q66_decompose" -> q66,
     "q65_asof_forward" -> q65,
     "q61_anomaly" -> q61,
     "q53_cusum" -> q53,
@@ -821,6 +922,7 @@ object TimeSeriesOps {
     "q14_sessionize" -> q14)
 
   val oracle: Map[String, String] = Map(
+    "q66_decompose" -> q66Sql,
     "q65_asof_forward" -> q65Sql,
     "q61_anomaly" -> q61Sql,
     "q53_cusum" -> q53Sql,

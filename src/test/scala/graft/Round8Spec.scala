@@ -592,6 +592,33 @@ class Round8Spec extends SparkSpec {
     assert(auc(df, 7) == base && auc(df, 1) == base, "bucket count cannot either")
   }
 
+  test("decompose: flat+seasonal series separates exactly; edges are null") {
+    // value = 10 (level) + hour-alternating ±2 (period 2, window 3):
+    // the centered MA of any 3 consecutive values is 10 ± 2/3; use a
+    // pure sine-free construction and check the identity instead:
+    // value == trend + seasonal + residual wherever all are defined,
+    // and trend is null within h of the edges
+    val vals = (0 until 20).map(i => ("s", ts(i), 10.0 + (if (i % 2 == 0) 2.0 else -2.0)))
+    val out = TimeSeriesOps.decomposeOf(vals.toDF("k", "t", "v"), "k", "t", "v", window = 3)
+      .orderBy("bucket").collect()
+    assert(out.length == 20)
+    assert(out.head.isNullAt(3) && out.last.isNullAt(3), "half-window edges have no trend")
+    val mid = out.drop(1).dropRight(1)
+    mid.foreach { r =>
+      // avg of (12,8,12) or (8,12,8): trend = 10 ± 2/3 exactly
+      assert(math.abs(math.abs(r.getDouble(3) - 10.0) - 2.0 / 3.0) < 1e-9,
+        s"centered MA of the alternation: $r")
+      val recon = r.getDouble(3) + r.getDouble(4) + r.getDouble(5)
+      assert(math.abs(recon - r.getDouble(2)) < 1e-9,
+        s"value = trend + seasonal + residual: $r")
+    }
+    // the alternating signal lands in seasonal, not residual: residuals tiny
+    val resid = mid.map(r => math.abs(r.getDouble(5))).max
+    val seas = mid.map(r => math.abs(r.getDouble(4))).max
+    assert(seas > 1.0 && resid < 1.0,
+      s"season absorbs the alternation (seas $seas, resid $resid)")
+  }
+
   test("cusum/seasonality are deterministic under repartitioning") {
     val df = Tables.t(spark, sfDir, "events")
     def dump1 = TimeSeriesOps.cusumOf(df, "event_type", "ts", "event_id", "value")
