@@ -707,12 +707,12 @@ object DataOps {
     }.mkString(", ")
     s"""WITH a AS (
        |  SELECT source AS domain,
-       |    sum(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)) AS available_tokens
+       |    CAST(sum(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)) AS BIGINT) AS available_tokens
        |  FROM documents GROUP BY source),
        |w(dom, w) AS (VALUES $weightRows),
        |j AS (
        |  SELECT coalesce(a.domain, w.dom) AS domain,
-       |    coalesce(a.available_tokens, 0) AS available_tokens,
+       |    CAST(coalesce(a.available_tokens, 0) AS BIGINT) AS available_tokens,
        |    coalesce(w.w, 0.0) * 1000000 AS target_tokens
        |  FROM a FULL OUTER JOIN w ON a.domain = w.dom)
        |SELECT domain, available_tokens,

@@ -922,7 +922,7 @@ object TextOps {
       |    CASE WHEN CAST(('0x' || substr(md5('sgn:' || tok), 1, 15)) AS BIGINT) % 2 = 0
       |      THEN 1 ELSE -1 END AS sgn
       |  FROM toks)
-      |SELECT doc_id, bucket, sum(sgn) AS feat, count(*) AS n_tokens
+      |SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS feat, count(*) AS n_tokens
       |FROM h GROUP BY 1, 2
       |ORDER BY doc_id, bucket""".stripMargin
 
@@ -995,7 +995,7 @@ object TextOps {
       |cells AS (
       |  SELECT g.src, g.term, g.c_t, g.n_corpus,
       |    coalesce(st.c_st, 0) AS c,
-      |    sum(coalesce(st.c_st, 0)) OVER (PARTITION BY g.src) AS n_s,
+      |    CAST(sum(coalesce(st.c_st, 0)) OVER (PARTITION BY g.src) AS BIGINT) AS n_s,
       |    count(*) OVER (PARTITION BY g.src) AS v
       |  FROM grid g LEFT JOIN st ON g.src = st.src AND g.term = st.term),
       |f AS (

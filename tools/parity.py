@@ -46,11 +46,23 @@ def main():
         for c in got.columns:
             g, e = got[c], exp[c]
             if g.dtype != e.dtype:
-                # tolerate int width/nullable differences but not value diffs
-                try:
-                    g = g.astype("object"); e = e.astype("object")
-                except Exception:
-                    bad.append((c, "dtype", str(got[c].dtype), str(exp[c].dtype))); continue
+                # The driver hashes typed values, so dtype drift IS a failure
+                # for integer-family columns: DuckDB sum(BIGINT) yields HUGEINT
+                # (-> float64/object here) while Spark emits BIGINT (int64),
+                # and HUGEINT 1909 != int64 1909 under the driver's hash.
+                # Only datetime unit differences (ns vs us) are representation
+                # -only and tolerated (both sides are epoch-normalized by the
+                # driver per SURVEY §5).
+                if g.dtype.kind == "M" and e.dtype.kind == "M":
+                    g = g.astype("datetime64[ns]"); e = e.astype("datetime64[ns]")
+                elif g.dtype.kind in "iu" and e.dtype.kind in "iu":
+                    # width-only integer drift (int32 hod vs DuckDB int64) DOES
+                    # pass the driver hash (q54 was green in r08) — values
+                    # compare equal below; widen both for the comparison.
+                    g = g.astype("int64"); e = e.astype("int64")
+                else:
+                    bad.append((c, "dtype drift (would fail driver hash)",
+                                str(got[c].dtype), str(exp[c].dtype))); continue
             neq = ~((g == e) | (g.isna() & e.isna()))
             if neq.any():
                 i = neq.idxmax()
