@@ -181,14 +181,20 @@ object Bench {
     * working directory (regex-parsed; no JSON dep). Empty if none, or if
     * the newest artifact was measured at a different SF dir — sf0.01
     * dev runs must not drift-compare against the sf0.1 round record. */
-  private def previousRoundTimes(sfDir: String): Map[String, Double] =
+  private[graft] def previousRoundTimes(sfDir: String, dir: java.io.File = new java.io.File(".")): Map[String, Double] =
     try {
-      val dir = new java.io.File(".")
       val benches = Option(dir.listFiles()).getOrElse(Array.empty)
         .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
         .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
       benches.lastOption.map { f =>
+        // Driver-written BENCH_r*.json wraps our output line inside a
+        // "tail" string with escaped quotes (\"q01\":0.588), so the
+        // regexes below never matched and the drift guard silently
+        // no-opped (round-8 postmortem: s06 landed 4.3× over r7 with an
+        // empty reruns map). Unescape before parsing so both our own
+        // raw line and the driver's wrapped artifact are readable.
         val txt = new String(java.nio.file.Files.readAllBytes(f.toPath))
+          .replace("\\\"", "\"")
         val sameSf = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt).exists(_.group(1) == sfDir)
         if (!sameSf) Map.empty[String, Double]
         else {
@@ -197,7 +203,8 @@ object Bench {
           val re = """"([A-Za-z0-9_]+)":(-?\d+(?:\.\d+)?)""".r
           re.findAllMatchIn(body)
             .map(m => m.group(1) -> m.group(2).toDouble)
-            .filter { case (k, _) => k != "value" && k != "n" && k != "sf" }
+            .filterNot { case (k, _) =>
+              Set("value", "n", "sf", "jvm_chunks", "rc", "cpus").contains(k) }
             .toMap
         }
       }.getOrElse(Map.empty)
