@@ -36,8 +36,20 @@ object Audit {
         val single = n("Exchange SinglePartition")
         val bcasts = n("BroadcastExchange")
         val bnlj = n("BroadcastNestedLoopJoin")
-        val scans = n("Scan parquet")
-        println(s"""{"query":"$name","shuffles":$shuffles,"single":$single,"broadcasts":$bcasts,"bnlj":$bnlj,"scans":$scans}""")
+        // a localCheckpoint()ed subtree surfaces as `Scan ExistingRDD`
+        // and HIDES its upstream exchanges/parquet scans from this
+        // final plan (they ran when the checkpoint materialized).
+        // Count those roots explicitly — a query whose whole plan sits
+        // on a checkpoint (s11, t10, d10, d11, q50) must not audit as
+        // "0 scans / 0 shuffles" as if it read nothing.
+        val rddScans = n("Scan ExistingRDD")
+        val scans = n("Scan parquet") + rddScans
+        // driver-built literal tables (VALUES weights, t12's vocab-sized
+        // BPE merge table) — kept OUT of `scans` so literal-table rows
+        // elsewhere don't shift, but reported so a plan rooted on one
+        // (t12) doesn't audit as reading nothing at all
+        val local = n("LocalTableScan")
+        println(s"""{"query":"$name","shuffles":$shuffles,"single":$single,"broadcasts":$bcasts,"bnlj":$bnlj,"scans":$scans,"rdd":$rddScans,"local":$local}""")
       } catch {
         case e: Throwable =>
           println(s"""{"query":"$name","error":"${e.getClass.getSimpleName}"}""")

@@ -651,7 +651,10 @@ object DataOps {
     * (available 0, capped true — the typo'd-name / missing-landing
     * alarm a plan must raise, never silently drop);
     * [[mixtureSampleOf]] (ds06) is the row-level executor of this plan.
-    * One integer agg shuffle; the weight table is a broadcast literal. */
+    * One integer agg shuffle over the corpus dominates; the full-outer
+    * weight merge cannot broadcast (Spark drops the hint for full outer
+    * joins) but both its sides are domain-cardinality, so the SMJ
+    * shuffles are O(#domains) rows — noise at any corpus scale. */
   def mixturePlanOf(docs: DataFrame, domainCol: String, tokensCol: String,
                     weights: Map[String, Double], budgetTokens: Long,
                     maxEpochs: Double = 4.0): DataFrame = {
@@ -667,7 +670,7 @@ object DataOps {
     // FULL outer: a weighted domain with zero corpus rows is the one
     // condition a planner must surface (typo'd domain name, missing
     // landing) — it appears with available 0, planned 0, capped true
-    val full = avail.join(broadcast(w), col("domain") === col("__dom"), "full_outer")
+    val full = avail.join(w, col("domain") === col("__dom"), "full_outer")
       .withColumn("domain", coalesce(col("domain"), col("__dom")))
       .withColumn("available_tokens", coalesce(col("available_tokens"), lit(0L)))
       .withColumn("target_tokens", target)
