@@ -181,6 +181,10 @@ object TimeSeriesOps {
       .withColumn("gap_ms", epochMs(col("ts")) - epochMs(lag(col("ts"), 1).over(wd)))
       .filter(col("gap_ms").isNull || col("gap_ms") > lit(3600000L))
       .select(col("event_type"), col("event_id"), epochMs(col("ts")).as("ts_ms"),
+        // the reference localizes the event time to Asia/Shanghai for its
+        // report (fundingTime_cn, crypto_data_pipeline_duckdb.py:1762) —
+        // same instant re-expressed as the CST wall clock, epoch-ms per §5
+        epochMs(from_utc_timestamp(col("ts"), "Asia/Shanghai")).as("ts_cn_ms"),
         epochMs(col("prev_ts")).as("prev_ts_ms"), col("value"), col("prev_value"),
         r6(col("value_change")).as("value_change"), col("gap_ms"))
       .orderBy(col("ts_ms").desc, col("event_id"))
@@ -202,7 +206,9 @@ object TimeSeriesOps {
       |    epoch_ms(ts) - epoch_ms(lag(ts, 1) OVER (PARTITION BY event_type
       |      ORDER BY ts, event_id)) AS gap_ms
       |  FROM cand)
-      |SELECT event_type, event_id, epoch_ms(ts) AS ts_ms, epoch_ms(prev_ts) AS prev_ts_ms,
+      |SELECT event_type, event_id, epoch_ms(ts) AS ts_ms,
+      |  epoch_ms(timezone('Asia/Shanghai', timezone('UTC', ts))) AS ts_cn_ms,
+      |  epoch_ms(prev_ts) AS prev_ts_ms,
       |  value, prev_value, round(value_change, 6) AS value_change, gap_ms
       |FROM deb
       |WHERE gap_ms IS NULL OR gap_ms > 3600000
