@@ -413,7 +413,7 @@ object SimOps {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val in = df.select(col(scoreCol).cast("double").as("__s"),
         col(labelCol).cast("boolean").as("__y"), col(tieCol).as("__tie"))
-      .filter(col("__s").isNotNull && col("__y").isNotNull)
+      .filter(col("__s").isNotNull && !isnan(col("__s")) && col("__y").isNotNull)
       .localCheckpoint(true) // three passes (stats, offsets, rank)
     try {
       // DISTRIBUTED exact global rank — never a partitionless window
@@ -423,6 +423,8 @@ object SimOps {
       // score ties always share a bucket and the (score, tie) order is
       // globally exact; skewed buckets are correct (AQE splits them).
       val r = in.agg(min(col("__s")), max(col("__s"))).collect()(0)
+      require(!r.isNullAt(0),
+        "aucOf: no rows with non-null, non-NaN score and non-null label")
       val (lo, hi) = (r.getDouble(0), r.getDouble(1))
       val width = if (hi > lo) (hi - lo) / buckets else 1.0
       val bucket = least(lit(buckets - 1), greatest(lit(0),
@@ -500,6 +502,18 @@ object SimOps {
     * k is the knob that bounds pair work (n²/k pairs expected;
     * production runs k large enough that n/k is a comfortable bucket).
     * Returns one row per vector: (id, cluster, is_kept).
+    *
+    * Drop rule contract (intentional, oracle-matched): a vector drops
+    * if ANY smaller-id in-cluster neighbor is ≥ threshold — even one
+    * that itself dropped. In a similarity chain a~b~c with a≁c, both
+    * b and c drop, so a dropped vector's nearest KEPT representative
+    * can be farther than `threshold` (transitive-over-drop, one
+    * self-join, fully deterministic). SemDeDup's sequential greedy
+    * (compare only against the kept set) guarantees every dropped item
+    * a kept ≥-threshold neighbor but is order-serial per cluster; if
+    * that stronger guarantee matters downstream, run this op
+    * iteratively on the kept set until fixpoint — each pass is the
+    * same one-shuffle plan.
     *
     * The assignment table is localCheckpoint'd before the self-join —
     * Spark has no cross-side common-subtree elimination, so the whole

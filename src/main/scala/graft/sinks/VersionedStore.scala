@@ -36,6 +36,12 @@ import org.apache.spark.sql.functions._
   * same corpus twice is a no-op, the property that makes retried
   * pipeline runs safe).
   */
+/** A concurrent committer landed (or marker-claimed) the same version
+  * number first. The store's data is intact — the winning commit is
+  * fully visible; the losing writer should re-read `versions()` and
+  * re-commit its delta on top. */
+class VersionConflictException(msg: String) extends RuntimeException(msg)
+
 object VersionedStore {
 
   /** Content hash over the non-key columns in a FIXED (sorted-name)
@@ -62,17 +68,38 @@ object VersionedStore {
       .filter(_.startsWith("_commit_")).map(_.stripPrefix("_commit_").toInt).sorted
   }
 
-  /** Write one version partition atomically-enough: wipe any
-    * uncommitted leftover directory (a crashed prior attempt), land
-    * the files, THEN drop the commit marker. */
-  private def writeVersion(spark: SparkSession, path: String, df: DataFrame,
-                           v: Int): Unit = {
+  /** Write one version partition with single-winner semantics: land
+    * the files in a private temp dir, atomically RENAME it to
+    * `__v=<v>` (the CAS — rename fails if a concurrent committer
+    * already landed that version), then drop the commit marker with
+    * create-if-absent. Two committers that both computed `next = v`
+    * can no longer interleave files under one version: exactly one
+    * rename wins, the loser gets a VersionConflictException and its
+    * temp dir is removed. A crashed prior attempt (directory present,
+    * no marker) is wiped before the rename as before. */
+  private[graft] def writeVersion(spark: SparkSession, path: String, df: DataFrame,
+                                  v: Int): Unit = {
     val f = fs(spark, path)
     val dir = new Path(path, s"__v=$v")
-    if (f.exists(dir)) f.delete(dir, true)
-    df.withColumn("__v", lit(v))
-      .write.mode(SaveMode.Append).partitionBy("__v").parquet(path)
-    f.create(new Path(path, s"_commit_$v"), true).close()
+    val marker = new Path(path, s"_commit_$v")
+    if (f.exists(marker))
+      throw new VersionConflictException(s"version $v already committed at $path")
+    if (f.exists(dir)) f.delete(dir, true) // crashed, unmarked attempt
+    val tmp = new Path(path, s"_tmp_${v}_${java.util.UUID.randomUUID}")
+    // plain (un-partitioned) parquet in the temp dir; the __v value is
+    // carried by the final directory name, exactly as partitionBy laid
+    // it out before — partition discovery infers it on read
+    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (!f.rename(tmp, dir)) {
+      f.delete(tmp, true)
+      throw new VersionConflictException(
+        s"version $v at $path was committed concurrently; retry on top of it")
+    }
+    try f.create(marker, false).close()
+    catch { case _: java.io.IOException =>
+      throw new VersionConflictException(
+        s"version $v at $path was marker-claimed concurrently")
+    }
   }
 
   /** Checkpointed versions (those whose `_ck_<v>` marker exists). */

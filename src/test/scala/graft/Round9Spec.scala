@@ -40,6 +40,40 @@ class Round9Spec extends AnyFunSuite {
     assert(!m.contains("value") && !m.contains("n") && !m.contains("rc"))
   }
 
+  test("aucOf fails loudly on empty input and ignores NaN scores") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val empty = Seq.empty[(Double, Boolean, Long)].toDF("s", "y", "id")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.SimOps.aucOf(empty, "s", "y", "id").collect()
+    }
+    assert(e.getMessage.contains("no rows"))
+    // NaN scores are dropped, not bucketed into garbage: AUC over
+    // {0.9+, 0.1-} with a NaN row is exactly 1.0 either way
+    val df = Seq((0.9, true, 1L), (0.1, false, 2L), (Double.NaN, true, 3L))
+      .toDF("s", "y", "id")
+    val row = graft.ops.SimOps.aucOf(df, "s", "y", "id").collect()(0)
+    assert(row.getAs[Long]("n_pos") == 1L && row.getAs[Long]("n_neg") == 1L)
+    assert(math.abs(row.getAs[Double]("auc") - 1.0) < 1e-9)
+  }
+
+  test("concurrent same-version commit loses loudly, store stays intact") {
+    // Two committers that both computed next = v must not interleave
+    // files under one version: the second writeVersion for the same v
+    // throws VersionConflictException and the winner's data is intact.
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val path = Files.createTempDirectory("vstore_cas").toString + "/t"
+    val a = Seq((1L, "a")).toDF("id", "name").withColumn("__op", org.apache.spark.sql.functions.lit("u"))
+    val b = Seq((2L, "b")).toDF("id", "name").withColumn("__op", org.apache.spark.sql.functions.lit("u"))
+    graft.sinks.VersionedStore.writeVersion(spark, path, a, 0)
+    intercept[graft.sinks.VersionConflictException] {
+      graft.sinks.VersionedStore.writeVersion(spark, path, b, 0)
+    }
+    val got = graft.sinks.VersionedStore.read(spark, path, 0, Seq("id")).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L), "winner's version 0 must survive the losing attempt")
+  }
+
   test("previousRoundTimes picks the newest round artifact") {
     val dir = Files.createTempDirectory("bench_new").toFile
     write(dir, "BENCH_r2.json",
