@@ -13,6 +13,31 @@ import org.apache.spark.sql.execution.LogicalRDD
   * end-of-life, e.g. the previous round's labels in an iterative
   * algorithm after the next round has materialized). */
 object Checkpoints {
+
+  /** Session conf key: when `true`, [[stabilize]] uses RELIABLE
+    * `Dataset.checkpoint` (files under `SparkContext.setCheckpointDir`,
+    * which must be set — on a cluster, a DFS path) instead of
+    * `localCheckpoint`. Local checkpoints pin blocks in executor
+    * storage and are LOST on executor death — fine for a dev loop,
+    * a reliability risk for a long 100 TB iterative job, where one
+    * preempted executor would fail the whole computation. */
+  val ReliableKey = "spark.graft.checkpoint.reliable"
+
+  /** Truncate lineage between iterative rounds: `localCheckpoint` by
+    * default, reliable `checkpoint` when [[ReliableKey]] is set. The
+    * result is plan-identical either way (a LogicalRDD leaf), so
+    * operator output does not depend on the mode — only failure
+    * recovery does (spec-pinned in Round9Spec). */
+  def stabilize(df: DataFrame, eager: Boolean = true): DataFrame = {
+    val s = df.sparkSession
+    if (s.conf.get(ReliableKey, "false").toBoolean) {
+      require(s.sparkContext.getCheckpointDir.isDefined,
+        s"$ReliableKey=true requires SparkContext.setCheckpointDir " +
+          "(a DFS path on a cluster) before running iterative operators")
+      df.checkpoint(eager)
+    } else df.localCheckpoint(eager)
+  }
+
   def free(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case r: LogicalRDD => r.rdd.unpersist(blocking = false)

@@ -522,9 +522,9 @@ object DedupOps {
     * behind [[graft.Graft.connectedComponents]] and d06): returns
     * (id, label = component minimum, cluster_size). */
   def components(pairs: DataFrame, a: String, b: String): DataFrame = {
-    val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
-      .union(pairs.select(col(b).as("src"), col(a).as("dst")))
-      .localCheckpoint()
+    val edges = graft.Checkpoints.stabilize(
+      pairs.select(col(a).as("src"), col(b).as("dst"))
+        .union(pairs.select(col(b).as("src"), col(a).as("dst"))))
     // label(x) ← min(label(x), labels of neighbors) as ONE join + one
     // partial-min aggregation per round. localCheckpoint (reliable
     // checkpoint on a real cluster) truncates lineage each round —
@@ -535,9 +535,9 @@ object DedupOps {
     // this needs no second join against the previous labels.
     // init = the first propagation round folded in: label(x) =
     // min(x, direct neighbors) — one groupBy replaces distinct + round 1
-    var labels = edges.groupBy(col("src").as("id"))
-      .agg(least(col("src"), min(col("dst"))).as("label"))
-      .localCheckpoint()
+    var labels = graft.Checkpoints.stabilize(
+      edges.groupBy(col("src").as("id"))
+        .agg(least(col("src"), min(col("dst"))).as("label")))
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       // sum over an empty label set is NULL -> treat as 0 (empty graph:
       // no near-dup pairs at this threshold; the loop converges at once)
@@ -547,11 +547,11 @@ object DedupOps {
     var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {
-      val next = edges.join(labels, edges("dst") === labels("id"))
-        .select(col("src").as("id"), col("label"))
-        .union(labels)
-        .groupBy("id").agg(min(col("label")).as("label"))
-        .localCheckpoint()
+      val next = graft.Checkpoints.stabilize(
+        edges.join(labels, edges("dst") === labels("id"))
+          .select(col("src").as("id"), col("label"))
+          .union(labels)
+          .groupBy("id").agg(min(col("label")).as("label")))
       val s2 = labelSum(next) // next is fully materialized past this point
       graft.Checkpoints.free(labels) // previous round's blocks: done with
       labels = next
@@ -700,10 +700,10 @@ object DedupOps {
                  damping: Double = 0.85, iters: Int = 3): DataFrame = {
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d")).distinct()
-      .localCheckpoint(true)
-    val nodes = e.select(col("__s").as("node"))
-      .union(e.select(col("__d"))).distinct().localCheckpoint(true)
+    val e = graft.Checkpoints.stabilize(
+      edges.select(col(srcCol).as("__s"), col(dstCol).as("__d")).distinct())
+    val nodes = graft.Checkpoints.stabilize(
+      e.select(col("__s").as("node")).union(e.select(col("__d"))).distinct())
     val n = nodes.count()
     require(n > 0, "empty graph")
     val dangling = nodes.join(e.select(col("__s")).distinct()

@@ -811,12 +811,12 @@ object TextOps {
       .select(col("cnt"),
         concat(filter(split(col("w"), ""), s => length(s) > 0),
           array(lit("</w>"))).as("syms"))
-      .localCheckpoint()
+    vocab = graft.Checkpoints.stabilize(vocab)
     def q(s: String): String = s.replace("\\", "\\\\").replace("'", "\\'")
     priorMerges.foreach { case (l, r) =>
       vocab = vocab.withColumn("syms", expr(s"graft_bpe_merge(syms, '${q(l)}', '${q(r)}')"))
     }
-    if (priorMerges.nonEmpty) vocab = vocab.localCheckpoint()
+    if (priorMerges.nonEmpty) vocab = graft.Checkpoints.stabilize(vocab)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = priorMerges.size + 1
     val lastRank = priorMerges.size + nMerges
@@ -842,7 +842,7 @@ object TextOps {
         // vocab table, cheaper to replay than to materialize), and
         // LAZILY — materialization folds into the next round's
         // pair-count job instead of scheduling its own
-        if (rank % 4 == 0) vocab = vocab.localCheckpoint(false)
+        if (rank % 4 == 0) vocab = graft.Checkpoints.stabilize(vocab, eager = false)
         rank += 1
       }
     }

@@ -74,6 +74,38 @@ class Round9Spec extends AnyFunSuite {
     assert(got.map(_.getLong(0)).toSeq == Seq(1L), "winner's version 0 must survive the losing attempt")
   }
 
+  test("reliable-checkpoint mode yields identical iterative results") {
+    // The 100 TB stance: localCheckpoint pins blocks in executor
+    // storage (lost on executor death); spark.graft.checkpoint.reliable
+    // routes the same lineage truncations to the reliable checkpoint
+    // dir. Results must be bit-identical either way.
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("a", "b")
+    val docs = Seq("the cat sat on the mat", "the cat sat", "a mat on a cat")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    def run(): (Seq[String], Seq[String], Seq[String]) = (
+      graft.ops.DedupOps.components(pairs, "a", "b")
+        .orderBy("id").collect().map(_.toString).toSeq,
+      graft.ops.DedupOps.pageRankOf(
+        pairs.union(pairs.select(org.apache.spark.sql.functions.col("b"),
+          org.apache.spark.sql.functions.col("a"))), "a", "b", iters = 3)
+        .orderBy("node").collect().map(_.toString).toSeq,
+      graft.ops.TextOps.bpeTrainOf(docs, "id", "text", 6)
+        .orderBy("rank").collect().map(_.toString).toSeq)
+    val local = run()
+    val dir = Files.createTempDirectory("reliable_ck")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    spark.conf.set(graft.Checkpoints.ReliableKey, "true")
+    try {
+      val reliable = run()
+      assert(reliable == local)
+      assert(new java.io.File(dir.toString).listFiles.nonEmpty,
+        "reliable mode must actually write to the checkpoint dir")
+    } finally spark.conf.set(graft.Checkpoints.ReliableKey, "false")
+  }
+
   test("previousRoundTimes picks the newest round artifact") {
     val dir = Files.createTempDirectory("bench_new").toFile
     write(dir, "BENCH_r2.json",
