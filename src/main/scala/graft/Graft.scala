@@ -421,10 +421,15 @@ object Graft {
 
   /** MinHash+LSH near-dup candidate pairs: k md5-minhashes over
     * shingleN-word shingles, banded `bands` × (k/bands); returns
-    * (doc_a, doc_b, est_sim), blocked per band — never a full cross. */
+    * (doc_a, doc_b, est_sim), blocked per band — never a full cross.
+    * `maxBucket` is the hot-bucket guard: band buckets over that size
+    * are dropped (a degenerate non-discriminating key — see
+    * DedupOps.dropHotBuckets); default off, set ~1000 at corpus
+    * scale. */
   def minhashPairs(docs: DataFrame, id: String, text: String,
-                   shingleN: Int = 3, k: Int = 8, bands: Int = 4): DataFrame =
-    ops.DedupOps.minhashPairsOf(docs, id, text, shingleN, k, bands)
+                   shingleN: Int = 3, k: Int = 8, bands: Int = 4,
+                   maxBucket: Int = Int.MaxValue): DataFrame =
+    ops.DedupOps.minhashPairsOf(docs, id, text, shingleN, k, bands, maxBucket)
 
   /** SimHash near-dup pairs at hamming ≤ maxHamming, blocked by
     * `chunks` bit slices (full recall while maxHamming < chunks). */
@@ -445,8 +450,10 @@ object Graft {
     * confirm. Band bits should grow with log(corpus size). */
   def embeddingNearDupPairs(vecs: DataFrame, id: String, vec: String, dims: Int,
                             threshold: Double = 0.95, sketchBits: Int = 24,
-                            bands: Int = 4): DataFrame =
-    ops.DedupOps.embeddingNearDupOf(vecs, id, vec, threshold, sketchBits, bands, dims)
+                            bands: Int = 4,
+                            maxBucket: Int = Int.MaxValue): DataFrame =
+    ops.DedupOps.embeddingNearDupOf(vecs, id, vec, threshold, sketchBits, bands,
+      dims, maxBucket)
 
   /** [[embeddingNearDupPairs]] with the per-band sketch width derived
     * from an `approx_count_distinct` pre-pass instead of a manual

@@ -26,7 +26,46 @@ object ScaleProbe {
     "ds12_weighted_sample", "ds13_quality_prune", "q49_quantile_bins",
     "ds10_profile", "ds11_checks", "st05_stream_quality")
 
+  /** `runMain graft.ScaleProbe hotbucket [H]` — the d02/d05 hot-bucket
+    * probe: plant H copies of one boilerplate doc on top of the sf0.1
+    * documents table (the pathological bucket d01 would normally kill,
+    * reproduced deliberately), then time the minhash pair pipeline
+    * uncapped vs maxBucket=1000. Uncapped pays H²/2 pairs for the one
+    * degenerate key; capped stays at the corpus' organic pair cost.
+    * Emits one JSON line with both times and pair counts. */
+  private def hotBucketProbe(h: Int): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = Sessions.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val boiler = "click here to accept cookies and continue to the site " +
+      "all rights reserved terms of service privacy policy"
+    val docs = Tables.t(spark, src, "documents").select(col("doc_id"), col("text"))
+      .union(spark.range(h).select((col("id") + 50000000L).as("doc_id"),
+        lit(boiler).as("text")))
+    def time(maxBucket: Int): (Double, Long) = {
+      // warm pass then timed pass (the Bench protocol): JIT/codegen and
+      // parquet-footer warmup would otherwise bias whichever mode runs
+      // first, and the guard's win must not hide behind it
+      def once(): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val n = ops.DedupOps.minhashPairsOf(docs, "doc_id", "text",
+          shingleN = 3, k = 8, bands = 4, maxBucket = maxBucket).count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      once(); once()
+    }
+    val (tCap, nCap) = time(1000)
+    val (tRaw, nRaw) = time(Int.MaxValue)
+    def ms(v: Double): Double = math.rint(v * 1000) / 1000
+    println(s"""{"probe":"hotbucket","planted":$h,"src":"$src","capped_sec":${ms(tCap)},"capped_pairs":$nCap,"uncapped_sec":${ms(tRaw)},"uncapped_pairs":$nRaw,"metric":"hotbucket_ratio","value":${ms(tRaw / math.max(tCap, 1e-9))},"unit":"x"}""")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("hotbucket")) {
+      hotBucketProbe(args.lift(1).map(_.toInt).getOrElse(20000))
+      return
+    }
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     val queries = if (args.length > 1) args.drop(1).toSeq else DefaultQueries
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

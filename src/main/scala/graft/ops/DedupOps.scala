@@ -58,9 +58,35 @@ object DedupOps {
     * deduplicated across bands. est_sim = fraction of agreeing
     * signature positions — an exact multiple of 1/k, so rounding never
     * moves it. */
+  /** The hot-bucket guard shared by the LSH pair pipelines (d02/d05's
+    * `maxBucket` knob): a (band, key) bucket with B members emits B²/2
+    * candidate pairs, so ONE degenerate bucket — empty-text docs, a
+    * boilerplate page d01 didn't catch, an all-zero embedding — can
+    * dominate the whole job (the quadratic blowup the round-7 probe
+    * caught on t10, where the fix was the same df-style cap). Buckets
+    * over `maxBucket` are DROPPED, not sampled: membership that hot
+    * means the bucket key carries no discriminating information, and
+    * its members are still found by their OTHER bands (an LSH pair
+    * needs only one surviving shared band). The hot-key list is
+    * aggregated first and broadcast into a left-anti join — hot keys
+    * are by construction few, so the guard never shuffles the corpus
+    * a second time. Default Int.MaxValue = off (oracle instantiations
+    * run uncapped; production 100 TB runs should set ~1000). */
+  private def dropHotBuckets(banded: DataFrame, keys: Seq[String],
+                             maxBucket: Int): DataFrame =
+    if (maxBucket == Int.MaxValue) banded
+    else {
+      val hot = banded.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__bn")).filter(col("__bn") > maxBucket)
+        .select(keys.map(col): _*)
+      banded.join(broadcast(hot), keys, "left_anti")
+    }
+
   def minhashPairsOf(docs: DataFrame, idCol: String, textCol: String,
-                     shingleN: Int, k: Int, bands: Int): DataFrame = {
+                     shingleN: Int, k: Int, bands: Int,
+                     maxBucket: Int = Int.MaxValue): DataFrame = {
     require(k % bands == 0, "k must divide evenly into bands")
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
     val r = k / bands
     // materialize the signature table ONCE: Spark has no common-subtree
     // elimination across self-join sides (verified: 2 FileScans, 0
@@ -77,8 +103,9 @@ object DedupOps {
     val bands_ = sig
       .select(col("doc_id"), col("sig"), explode(sequence(lit(0), lit(bands - 1))).as("b"))
       .withColumn("bkey", expr(bkey))
-    val a = bands_.select(col("doc_id").as("doc_a"), col("sig").as("sa"), col("b"), col("bkey"))
-    val b = bands_.select(col("doc_id").as("doc_b"), col("sig").as("sb"), col("b"), col("bkey"))
+    val capped = dropHotBuckets(bands_, Seq("b", "bkey"), maxBucket)
+    val a = capped.select(col("doc_id").as("doc_a"), col("sig").as("sa"), col("b"), col("bkey"))
+    val b = capped.select(col("doc_id").as("doc_b"), col("sig").as("sb"), col("b"), col("bkey"))
     a.join(b, Seq("b", "bkey"))
       .filter(col("doc_a") < col("doc_b"))
       // native position-agreement count — the zip_with/aggregate pair it
@@ -358,8 +385,9 @@ object DedupOps {
     * with log(corpus) to hold per-bucket sizes. */
   def embeddingNearDupOf(vecs: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, sketchBits: Int, bands: Int,
-                         dims: Int): DataFrame = {
+                         dims: Int, maxBucket: Int = Int.MaxValue): DataFrame = {
     require(sketchBits % bands == 0, "sketchBits must divide evenly into bands")
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
     val cb = sketchBits / bands
     val mask = (1L << cb) - 1
     // native single-pass kernel: all sketch bits in one expression,
@@ -373,8 +401,9 @@ object DedupOps {
         explode(sequence(lit(0), lit(bands - 1))).as("c"))
       .withColumn("chunk", expr(s"shiftright(sketch, CAST($cb * c AS INT)) & $mask"))
       .select("vec_id", "__v", "c", "chunk")
-    val a = banded.select(col("vec_id").as("vec_a"), col("__v").as("va"), col("c"), col("chunk"))
-    val b = banded.select(col("vec_id").as("vec_b"), col("__v").as("vb"), col("c"), col("chunk"))
+    val capped = dropHotBuckets(banded, Seq("c", "chunk"), maxBucket)
+    val a = capped.select(col("vec_id").as("vec_a"), col("__v").as("va"), col("c"), col("chunk"))
+    val b = capped.select(col("vec_id").as("vec_b"), col("__v").as("vb"), col("c"), col("chunk"))
     a.join(b, Seq("c", "chunk"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cos", expr("graft_cosine(va, vb)"))

@@ -106,6 +106,40 @@ class Round9Spec extends AnyFunSuite {
     } finally spark.conf.set(graft.Checkpoints.ReliableKey, "false")
   }
 
+  test("hot-bucket guard drops the pathological bucket, keeps honest pairs") {
+    // One degenerate LSH bucket (here: 40 identical docs, e.g. empty
+    // boilerplate d01 missed) emits B²/2 ≈ 800 pairs and at corpus
+    // scale dominates the whole job. With maxBucket set, the hot
+    // bucket is dropped while pairs found through normal buckets
+    // survive — an LSH pair needs only one surviving shared band.
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val boiler = (0 until 40).map(i => (i.toLong, "click here to accept cookies and continue to site"))
+    val near = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again"),
+      (101L, "the quick brown fox jumps over the lazy dog again and once"))
+    val docs = (boiler ++ near).toDF("doc_id", "text")
+    val uncapped = graft.Graft.minhashPairs(docs, "doc_id", "text")
+    val capped = graft.Graft.minhashPairs(docs, "doc_id", "text", maxBucket = 10)
+    assert(uncapped.count() == 40L * 39 / 2 + 1, "40 clones pair fully + 1 honest pair")
+    val keptPairs = capped.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(keptPairs.toSet == Set((100L, 101L)),
+      s"capped run must keep exactly the honest near-dup pair, got ${keptPairs.toSeq}")
+
+    // same guard on the embedding pipeline: 40 identical vectors in one
+    // sketch bucket vs one honest near-dup pair of distinct vectors
+    val vDup = Seq.tabulate(64)(i => math.sin(i + 1.0))
+    val vA = Seq.tabulate(64)(i => math.cos(3.0 * i + 1.0))
+    val vB = vA.updated(0, vA.head + 0.05)
+    val vecs = ((0 until 40).map(i => (i.toLong, vDup)) ++ Seq((100L, vA), (101L, vB)))
+      .toDF("vec_id", "embedding")
+    val cappedV = graft.Graft.embeddingNearDupPairs(vecs, "vec_id", "embedding",
+      dims = 64, threshold = 0.95, maxBucket = 10)
+    val keptV = cappedV.select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(keptV.toSet == Set((100L, 101L)),
+      s"embedding guard must keep exactly the honest pair, got ${keptV.toSeq}")
+  }
+
   test("previousRoundTimes picks the newest round artifact") {
     val dir = Files.createTempDirectory("bench_new").toFile
     write(dir, "BENCH_r2.json",
