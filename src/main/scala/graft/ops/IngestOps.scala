@@ -135,11 +135,89 @@ object IngestOps {
       .orderBy("symbol", "interval", "timestamp")
   }
 
+  /** #p02 the reference's DAILY MARKET LOOP as ONE oracle-checked plan
+    * (the market-side sibling of TextOps p01): ingest → upsert-heal →
+    * spot align → premium → WMA → extreme-move report, composed exactly
+    * as the reference's scheduler runs them daily
+    * (scheduler_clickhouse.py:26-147 sequencing;
+    * crypto_data_pipeline_duckdb.py:1546-1594 upsert, :1229-1243
+    * premium, :1246-1263 WMA, :1720-1764 extreme cases).
+    *
+    * Stage 1 (ingest): two landed funding-rate pages per market — page 2
+    * is "today's" re-fetch that revises markPrice on half the keys —
+    * parsed by [[RatesJson.parseFunding]] and healed by the keep-last
+    * upsert rule (page 2 wins on collided (symbol, fundingTime) PKs).
+    * Stage 2 (align): as-of backward join to the denser spot series via
+    * [[graft.Graft.asofJoin]] — the last spot print at-or-before each
+    * funding row; premium = markPrice/spot − 1 (:1237).
+    * Stage 3 (indicator): WMA(12) of the premium per symbol via
+    * [[graft.Graft.wma]] (the O(1)-per-row cumulative-sum form; the
+    * oracle replays the identical formulation so doubles match bitwise).
+    * Stage 4 (report): LAG(5) premium change, |Δ| > 2 threshold, 1h
+    * debounce, newest-first top-20 with the Asia/Shanghai wall clock —
+    * the q12 extreme-case shape applied to the derived premium.
+    *
+    * The gate proves the COMPOSITION — page heal feeding the as-of,
+    * the as-of feeding the indicator, the indicator feeding the report —
+    * not just each operator alone. Plan shape: the page build + heal
+    * shuffles on (symbol, fundingTime); the as-of union+carry, WMA and
+    * report windows all share ONE partitioning on symbol (a single
+    * exchange reused across four window stages); the top-20 is a
+    * TakeOrdered, never a full sort. */
+  private val p02: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(s, dir, "events").filter(pmod(col("event_id"), lit(29L)) === 0)
+    // stage 1: one page per market and fetch day; page 2 revises half
+    // the keys (value*1.001) — the upsert delta the heal must surface
+    def page(seq: Long, slice: Column => Column, price: Column): DataFrame = ev
+      .filter(slice(col("event_id")))
+      .groupBy(col("event_type").as("market"))
+      .agg(to_json(sort_array(collect_list(struct(
+        ord,
+        concat(col("event_type"), lit("USDT")).as("symbol"),
+        epochMs(col("ts")).cast("string").as("fundingTime"),
+        (col("value") / lit(1e6)).cast("string").as("fundingRate"),
+        price.cast("string").as("markPrice"))))).as("payload"))
+      .withColumn("page_seq", lit(seq))
+    val pages = page(1L, _ => lit(true), col("value")).unionByName(
+      page(2L, id => pmod(id, lit(58L)) === 0, col("value") * lit(1.001)))
+    val perp = RatesJson.dedupFundingKeepLast(
+      RatesJson.parseFunding(pages, "payload", Seq("page_seq")), col("page_seq"))
+      .select(col("symbol"), col("fundingTime").as("ts"),
+        col("fundingRate"), col("markPrice"))
+    // stage 2: align to the denser spot series (last print at-or-before)
+    val spot = t(s, dir, "events").filter(pmod(col("event_id"), lit(7L)) === 0)
+      .groupBy(concat(col("event_type"), lit("USDT")).as("symbol"), col("ts"))
+      .agg(max_by(col("value"), col("event_id")).as("spot"))
+    val prem = graft.Graft.asofJoin(perp, spot, "symbol", "ts", Seq("spot"))
+      .filter(col("spot").isNotNull)
+      .withColumn("premium", col("markPrice") / col("spot") - lit(1.0))
+    // stage 3: WMA(12) of the premium ((symbol, ts) is the healed PK, so
+    // ordering by ts alone is total — the id tie-break never fires)
+    val wm = graft.Graft.wma(prem, "symbol", "ts", "ts", "premium", n = 12)
+    // stage 4: LAG(5) change + 1h debounce + newest-first top-20
+    val w = Window.partitionBy(col("symbol")).orderBy(col("ts"))
+    val cand = wm
+      .withColumn("value_change", col("premium") - lag(col("premium"), 5).over(w))
+      .filter(abs(col("value_change")) > lit(2.0))
+    cand
+      .withColumn("gap_ms", epochMs(col("ts")) - epochMs(lag(col("ts"), 1).over(w)))
+      .filter(col("gap_ms").isNull || col("gap_ms") > lit(3600000L))
+      .select(col("symbol"), epochMs(col("ts")).as("ts_ms"),
+        epochMs(from_utc_timestamp(col("ts"), "Asia/Shanghai")).as("ts_cn_ms"),
+        col("fundingRate"), col("markPrice"), col("spot"),
+        r6(col("premium")).as("premium"), r6(col("wma")).as("wma12"),
+        r6(col("value_change")).as("value_change"), col("gap_ms"))
+      .orderBy(col("ts_ms").desc, col("symbol"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
     "o01_option_exercise" -> o01,
     "o02_funding_rates" -> o02,
     "o03_margin_rates" -> o03,
-    "o04_option_klines" -> o04)
+    "o04_option_klines" -> o04,
+    "p02_market_pipeline" -> p02)
 
   /** DuckDB replay of the ingest gates: the JSON round-trip is the
     * identity on these payloads (shortest-repr double/long strings cast
@@ -220,5 +298,71 @@ object IngestOps {
         |        ORDER BY page_seq DESC, event_id DESC) AS rn
         |      FROM pages)
         |WHERE rn = 1
-        |ORDER BY symbol, "interval", timestamp""".stripMargin)
+        |ORDER BY symbol, "interval", timestamp""".stripMargin,
+    "p02_market_pipeline" ->
+      """WITH src AS (
+        |  SELECT event_type || 'USDT' AS symbol, epoch_ms(ts) AS ft_ms,
+        |    value / 1000000.0 AS fundingRate, value AS markPrice,
+        |    event_id, 1 AS page_seq
+        |  FROM events WHERE event_id % 29 = 0
+        |  UNION ALL
+        |  SELECT event_type || 'USDT', epoch_ms(ts), value / 1000000.0,
+        |    value * 1.001, event_id, 2
+        |  FROM events WHERE event_id % 58 = 0),
+        |healed AS (
+        |  SELECT symbol, epoch_ms(ft_ms) AS ts, fundingRate, markPrice FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY symbol, ft_ms
+        |      ORDER BY page_seq DESC, event_id DESC) AS rn FROM src)
+        |  WHERE rn = 1),
+        |spot AS (
+        |  SELECT event_type || 'USDT' AS symbol, ts, arg_max(value, event_id) AS spot
+        |  FROM events WHERE event_id % 7 = 0
+        |  GROUP BY 1, 2),
+        |al AS (
+        |  SELECT h.symbol AS symbol, h.ts AS ts, h.fundingRate AS fundingRate,
+        |    h.markPrice AS markPrice, s.spot AS spot
+        |  FROM healed h ASOF LEFT JOIN spot s
+        |    ON h.symbol = s.symbol AND h.ts >= s.ts),
+        |prem AS (
+        |  SELECT *, markPrice / spot - 1.0 AS premium
+        |  FROM al WHERE spot IS NOT NULL),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY symbol ORDER BY ts) AS rn
+        |  FROM prem),
+        |c AS (
+        |  SELECT *,
+        |    sum(premium * rn) OVER w AS cxw,
+        |    sum(premium) OVER w AS cx
+        |  FROM r
+        |  WINDOW w AS (PARTITION BY symbol ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |f AS (
+        |  SELECT *,
+        |    cxw - lag(cxw, 12, CAST(0.0 AS DOUBLE)) OVER o AS sxw,
+        |    cx - lag(cx, 12, CAST(0.0 AS DOUBLE)) OVER o AS sx
+        |  FROM c
+        |  WINDOW o AS (PARTITION BY symbol ORDER BY ts)),
+        |wm AS (
+        |  SELECT symbol, ts, fundingRate, markPrice, spot, premium,
+        |    CASE WHEN least(rn, 12) = 12
+        |      THEN (sxw + (12 - rn) * sx) / 78.0 END AS wma12
+        |  FROM f),
+        |chg AS (
+        |  SELECT *, premium - lag(premium, 5)
+        |    OVER (PARTITION BY symbol ORDER BY ts) AS value_change
+        |  FROM wm),
+        |cand AS (SELECT * FROM chg WHERE abs(value_change) > 2.0),
+        |deb AS (
+        |  SELECT *, epoch_ms(ts) - epoch_ms(lag(ts, 1)
+        |    OVER (PARTITION BY symbol ORDER BY ts)) AS gap_ms
+        |  FROM cand)
+        |SELECT symbol, epoch_ms(ts) AS ts_ms,
+        |  epoch_ms(timezone('Asia/Shanghai', timezone('UTC', ts))) AS ts_cn_ms,
+        |  fundingRate, markPrice, spot, round(premium, 6) AS premium,
+        |  round(wma12, 6) AS wma12, round(value_change, 6) AS value_change,
+        |  gap_ms
+        |FROM deb
+        |WHERE gap_ms IS NULL OR gap_ms > 3600000
+        |ORDER BY ts_ms DESC, symbol
+        |LIMIT 20""".stripMargin)
 }

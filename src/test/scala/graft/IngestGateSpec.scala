@@ -60,6 +60,32 @@ class IngestGateSpec extends SparkSpec {
     assert(out.forall(r => Set("1m", "1h").contains(r.getString(3))))
   }
 
+  test("p02: the daily market loop composes heal → as-of → WMA → extreme report") {
+    val out = ops.IngestOps.queries("p02_market_pipeline")(spark, sfDir).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    val cols = ops.IngestOps.queries("p02_market_pipeline")(spark, sfDir).columns.toSeq
+    assert(cols == Seq("symbol", "ts_ms", "ts_cn_ms", "fundingRate", "markPrice",
+      "spot", "premium", "wma12", "value_change", "gap_ms"))
+    // newest-first report, Asia/Shanghai wall clock is UTC+8 exactly
+    assert(out.map(_.getLong(1)).toSeq == out.map(_.getLong(1)).sortBy(-_).toSeq)
+    out.foreach { r =>
+      assert(r.getLong(2) - r.getLong(1) == 28800000L)
+      // every reported row cleared the |Δ₅ premium| > 2 threshold…
+      assert(math.abs(r.getDouble(8)) > 2.0)
+      // …and the 1h debounce (gap null on the series head only)
+      assert(r.isNullAt(9) || r.getLong(9) > 3600000L)
+      // premium recomputes from the aligned columns (round-half-up @6)
+      val prem = r.getDouble(4) / r.getDouble(5) - 1.0
+      assert(math.abs(math.floor(prem * 1e6 + 0.5) / 1e6 - r.getDouble(6)) < 1e-12)
+      // the healed markPrice is page-1 raw or page-2's ×1.001 revision,
+      // never a mix: markPrice/(fundingRate·10⁶) ∈ {1.0, 1.001} — proves
+      // the upsert heal fed the as-of stage with whole-record wins
+      val ratio = r.getDouble(4) / (r.getDouble(3) * 1e6)
+      assert(math.abs(ratio - 1.0) < 1e-9 || math.abs(ratio - 1.001) < 1e-9,
+        s"markPrice/fundingRate ratio $ratio is neither page-1 nor page-2")
+    }
+  }
+
   test("a03: sampled estimates are ×10 sample counts and recompute from raw text") {
     val out = ops.CoreOps.queries("a03_sampled_terms")(spark, sfDir).collect()
     assert(out.length == 20)
