@@ -431,6 +431,16 @@ object Graft {
                    maxBucket: Int = Int.MaxValue): DataFrame =
     ops.DedupOps.minhashPairsOf(docs, id, text, shingleN, k, bands, maxBucket)
 
+  /** Exact duplicated-substring statistics (Lee et al. 2022): per doc,
+    * how many w-token spans occur more than once in the corpus and the
+    * merged-interval token coverage of those spans — the signal behind
+    * remove-duplicated-substrings curation. One shuffle keyed by the
+    * rolling window hash (count window, no self-join: hot spans cost
+    * k rows, never k²), one keyed by doc. */
+  def substringDupStats(docs: DataFrame, id: String, text: String,
+                        w: Int = 10): DataFrame =
+    ops.DedupOps.substringDupStatsOf(docs, id, text, w)
+
   /** SimHash near-dup pairs at hamming ≤ maxHamming, blocked by
     * `chunks` bit slices (full recall while maxHamming < chunks). */
   def simhashPairs(docs: DataFrame, id: String, text: String,

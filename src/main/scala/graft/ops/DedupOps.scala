@@ -825,7 +825,90 @@ object DedupOps {
     sb.toString.replace("GS_DUCK", gsDuck).replace("SIG8_DUCK", sigDuck(8))
   }
 
+  /** Exact duplicated-SPAN statistics over ANY (id, text) table (public
+    * operator behind [[graft.Graft.substringDupStats]]) — the
+    * suffix-array exact-substring dedup of Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499) re-expressed relationally: a span of `w` tokens
+    * is duplicated iff its stride-1 rolling window hash occurs more
+    * than once in the corpus (cross-doc AND within-doc repeats both
+    * count, as in the paper). Per surviving doc:
+    * (doc_id, n_tokens, n_windows, dup_windows, dup_tokens, dup_frac)
+    * where dup_tokens is the MERGED-interval token coverage of the
+    * duplicated windows (overlapping spans counted once — the lag-based
+    * contribution min(w, p − prevP) is exactly interval union for
+    * fixed-width intervals sorted by start).
+    *
+    * Scale stance: the window table is corpus-token-sized — the
+    * irreducible cost of EXACT substring dedup (a suffix array is also
+    * O(total tokens)); each row is just (doc_id, pos, 60-bit hash), no
+    * text. The duplicate test is a COUNT WINDOW over the hash — one
+    * shuffle keyed by h, no self-join, so a span repeated k times costs
+    * k rows (never k², unlike pair-emitting LSH: hot hashes are safe
+    * by construction). Coverage is one doc_id-keyed shuffle; the final
+    * agg reuses that partitioning. Tokenization runs once per side of
+    * the stats join (map-only rescans, nothing shuffled twice). */
+  def substringDupStatsOf(docs: DataFrame, idCol: String, textCol: String,
+                          w: Int): DataFrame = {
+    require(w >= 2, s"window must be >= 2 tokens, got $w")
+    val d = docs
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("ws"))
+      .filter(size(col("ws")) >= w)
+      .withColumn("n_tokens", size(col("ws")).cast("long"))
+    val wins = d
+      .withColumn("p", explode(sequence(lit(0), (col("n_tokens") - w).cast("int"))))
+      .withColumn("h", hash60(concat_ws(" ", slice(col("ws"), col("p") + 1, lit(w)))))
+      .select(col("doc_id"), col("p"), col("h"))
+    val dup = wins
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("__cnt") > 1)
+    val cov = dup
+      .withColumn("__prev", lag(col("p"), 1).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("p"))))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("dup_windows"),
+        sum(when(col("__prev").isNull, lit(w.toLong))
+          .otherwise(least(lit(w.toLong), col("p") - col("__prev")))).as("dup_tokens"))
+    d.select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - (w - 1)).as("n_windows"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        r6(coalesce(col("dup_tokens"), lit(0L)) / col("n_tokens").cast("double"))
+          .as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** #d12 exact duplicated-span stats on the documents corpus, w=10. */
+  private val d12: Q = (s, dir) =>
+    substringDupStatsOf(t(s, dir, "documents"), "doc_id", "text", w = 10)
+
+  private val d12Sql =
+    """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+      |d AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n_tokens FROM w WHERE len(ws) >= 10),
+      |wu AS (SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, CAST(n_tokens AS INT) - 9),
+      |      i -> struct_pack(p := i - 1,
+      |             h := CAST(('0x' || substr(md5(array_to_string(ws[i : i+9], ' ')), 1, 15)) AS BIGINT)))) AS u
+      |  FROM d),
+      |wins AS (SELECT doc_id, u.p AS p, u.h AS h FROM wu),
+      |dh AS (SELECT h FROM wins GROUP BY h HAVING count(*) > 1),
+      |dw AS (SELECT doc_id, p FROM wins JOIN dh USING (h)),
+      |cov AS (SELECT doc_id, count(*) AS dup_windows,
+      |    CAST(sum(CASE WHEN prev IS NULL THEN 10 ELSE least(10, p - prev) END) AS BIGINT) AS dup_tokens
+      |  FROM (SELECT doc_id, p, lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev FROM dw) t
+      |  GROUP BY doc_id)
+      |SELECT d.doc_id AS doc_id, n_tokens, n_tokens - 9 AS n_windows,
+      |  coalesce(dup_windows, 0) AS dup_windows,
+      |  coalesce(dup_tokens, 0) AS dup_tokens,
+      |  round(coalesce(dup_tokens, 0) / CAST(n_tokens AS DOUBLE), 6) AS dup_frac
+      |FROM d LEFT JOIN cov ON d.doc_id = cov.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d12_substring_dedup" -> d12,
     "d10_graph_rank" -> d10,
     "d08_boilerplate" -> d08,
     "d01_dedup_exact" -> d01,
@@ -838,6 +921,7 @@ object DedupOps {
     "d07_edit_distance" -> d07)
 
   val oracle: Map[String, String] = Map(
+    "d12_substring_dedup" -> d12Sql,
     "d10_graph_rank" -> d10Sql,
     "d08_boilerplate" -> d08Sql,
     "d01_dedup_exact" -> d01Sql,

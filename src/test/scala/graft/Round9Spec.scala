@@ -140,6 +140,31 @@ class Round9Spec extends AnyFunSuite {
       s"embedding guard must keep exactly the honest pair, got ${keptV.toSeq}")
   }
 
+  test("substringDupStats: interval merge, internal repeats, clean docs") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"),        // shares the full 5-token run with doc 2
+      (2L, "a b c d e f"),      // superset: every doc-1 window duplicated
+      (3L, "z z z z"),          // INTERNAL repeat: (z z z) at p=0 and p=1
+      (4L, "m n o p q r"),      // all windows unique
+      (5L, "xy")                // under w tokens: filtered out entirely
+    ).toDF("doc_id", "text")
+    val out = graft.Graft.substringDupStats(docs, "doc_id", "text", w = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // doc 1: windows abc/bcd/cde all shared with doc 2 -> merged coverage
+    // is the whole doc (3 + 1 + 1), not 3*w=9 — the interval-union rule.
+    assert(out(1L) == ((5L, 3L, 3L, 5L, 1.0)))
+    // doc 2: 4 windows, 3 duplicated (def is unique), coverage 5 of 6
+    assert(out(2L) == ((6L, 4L, 3L, 5L, 0.833333)))
+    // doc 3: within-doc repeat counts (the Lee et al. rule)
+    assert(out(3L) == ((4L, 2L, 2L, 4L, 1.0)))
+    // doc 4: clean doc still reported, zeros
+    assert(out(4L) == ((6L, 4L, 0L, 0L, 0.0)))
+    assert(!out.contains(5L), "docs shorter than w have no windows")
+  }
+
   test("previousRoundTimes picks the newest round artifact") {
     val dir = Files.createTempDirectory("bench_new").toFile
     write(dir, "BENCH_r2.json",
