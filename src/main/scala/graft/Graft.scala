@@ -431,6 +431,20 @@ object Graft {
                    maxBucket: Int = Int.MaxValue): DataFrame =
     ops.DedupOps.minhashPairsOf(docs, id, text, shingleN, k, bands, maxBucket)
 
+  /** Incremental dedup of a new batch against accumulated history — the
+    * daily-loop verdict per batch doc: 'exact' (md5 in history), 'near'
+    * (minhash-band match ≥ threshold, best history match as evidence),
+    * or 'new'. History never self-compares; candidates exist only
+    * inside shared LSH band buckets. Pass a precomputed fingerprint
+    * table as `history` to skip re-hashing the store each tick. */
+  def incrementalDedup(history: DataFrame, batch: DataFrame,
+                       id: String, text: String,
+                       shingleN: Int = 3, k: Int = 8, bands: Int = 4,
+                       threshold: Double = 0.5,
+                       maxBucket: Int = Int.MaxValue): DataFrame =
+    ops.DedupOps.incrementalDedupOf(history, batch, id, text, shingleN, k, bands,
+      threshold, maxBucket)
+
   /** Exact duplicated-substring statistics (Lee et al. 2022): per doc,
     * how many w-token spans occur more than once in the corpus and the
     * merged-interval token coverage of those spans — the signal behind

@@ -907,7 +907,136 @@ object DedupOps {
       |FROM d LEFT JOIN cov ON d.doc_id = cov.doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** INCREMENTAL dedup of a new batch against accumulated history (public
+    * operator behind [[graft.Graft.incrementalDedup]]) — the daily-loop
+    * shape of a 100 TB pipeline: yesterday's corpus is settled, only the
+    * new batch needs a verdict. Per batch doc, one row
+    * (doc_id, status, match_id, est_sim) with status precedence
+    *   'exact' (normalized-md5 match in history; match_id = min matching
+    *            history id, est_sim = 1.0)
+    * > 'near'  (minhash band candidate vs history with signature
+    *            agreement ≥ threshold; match_id = best history match by
+    *            (est_sim desc, id asc) — est_sim is an exact multiple of
+    *            1/k so the tie-break is deterministic)
+    * > 'new'   (no history evidence; match_id/est_sim null).
+    *
+    * Scale stance: history never compares against itself — its md5 set
+    * and minhash signatures are map-only projections (precompute them
+    * once into a [[graft.sinks.VersionedStore]] fingerprint table and
+    * pass THAT as `history` with `textCol` already reduced, or let this
+    * recompute them). The exact probe is an equi-join on md5; the near
+    * probe only pairs batch docs that survived the exact probe against
+    * history rows sharing an LSH band bucket — candidates are
+    * (batch ∩ bucket)×(history ∩ bucket), never batch×history.
+    * `maxBucket` caps degenerate history buckets (same contract as
+    * [[minhashPairsOf]]). Within-batch duplicates are deliberately NOT
+    * flagged — run d01/d02 on the batch itself for that; this operator
+    * answers "is it new relative to the store". */
+  def incrementalDedupOf(history: DataFrame, batch: DataFrame,
+                         idCol: String, textCol: String,
+                         shingleN: Int = 3, k: Int = 8, bands: Int = 4,
+                         threshold: Double = 0.5,
+                         maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(k % bands == 0, "k must divide evenly into bands")
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    val normMd5 = (c: Column) => md5(trim(regexp_replace(lower(c), "\\s+", " ")))
+    val h = history.select(col(idCol).as("hid"), col(textCol).as("htext"))
+    val b = batch.select(col(idCol).as("doc_id"), col(textCol).as("btext"))
+    val hMd5 = h.groupBy(normMd5(col("htext")).as("__m")).agg(min(col("hid")).as("match_id"))
+    val probed = b.withColumn("__m", normMd5(col("btext")))
+      .join(hMd5, Seq("__m"), "left")
+    val exactDup = probed.filter(col("match_id").isNotNull)
+      .select(col("doc_id"), lit("exact").as("status"), col("match_id"),
+        lit(1.0).as("est_sim"))
+    val rest = probed.filter(col("match_id").isNull).select(col("doc_id"), col("btext"))
+
+    val r = k / bands
+    val bkey = (0 until r)
+      .map(i => s"CAST(sig[$r*b+$i] AS STRING)").mkString("concat_ws('_', ", ", ", ")")
+    def banded(df: DataFrame, id: String, text: String): DataFrame = df
+      .select(col(id), words(col(text)).as("ws"))
+      .filter(size(col("ws")) >= shingleN)
+      .withColumn("sig", expr(s"graft_minhash(ws, $shingleN, $k)"))
+      .withColumn("b", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("bkey", expr(bkey))
+    val hb = dropHotBuckets(banded(h, "hid", "htext"), Seq("b", "bkey"), maxBucket)
+      .select(col("hid"), col("sig").as("hsig"), col("b"), col("bkey"))
+    val rb = banded(rest, "doc_id", "btext")
+      .select(col("doc_id"), col("sig"), col("b"), col("bkey"))
+    val near = rb.join(hb, Seq("b", "bkey"))
+      .withColumn("est_sim", expr("graft_sig_agree(sig, hsig)").cast("double") / k.toDouble)
+      .filter(col("est_sim") >= threshold)
+      .select(col("doc_id"), col("hid"), col("est_sim")).distinct()
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("est_sim").desc, col("hid"))))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), lit("near").as("status"),
+        col("hid").as("match_id"), col("est_sim"))
+    val fresh = rest.join(near, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit("new").as("status"),
+        lit(null).cast("long").as("match_id"), lit(null).cast("double").as("est_sim"))
+    exactDup.union(near).union(fresh).orderBy("doc_id")
+  }
+
+  /** #d13 incremental dedup on the documents corpus: batch = every 5th
+    * doc_id, history = the rest — the store-vs-tick split. */
+  private val d13: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    incrementalDedupOf(
+      docs.filter(col("doc_id") % 5 =!= 0),
+      docs.filter(col("doc_id") % 5 === 0),
+      "doc_id", "text")
+  }
+
+  private val d13Sql =
+    """WITH hist AS (SELECT doc_id AS hid, text FROM documents WHERE doc_id % 5 <> 0),
+      |bat AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+      |hmd5 AS (SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS m,
+      |    min(hid) AS match_id
+      |  FROM hist GROUP BY 1),
+      |probed AS (SELECT b.doc_id, b.text, h.match_id
+      |  FROM bat b LEFT JOIN hmd5 h
+      |    ON md5(trim(regexp_replace(lower(b.text), '\s+', ' ', 'g'))) = h.m),
+      |hw AS (SELECT hid, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM hist),
+      |hs3 AS (SELECT hid,
+      |    list_transform(generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh
+      |  FROM hw WHERE len(ws) >= 3),
+      |hg AS (SELECT hid, GS_DUCK AS gs FROM hs3),
+      |hsig AS (SELECT hid, SIG8_DUCK AS sig FROM hg),
+      |rw AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+      |  FROM probed WHERE match_id IS NULL),
+      |rs3 AS (SELECT doc_id,
+      |    list_transform(generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh
+      |  FROM rw WHERE len(ws) >= 3),
+      |rg AS (SELECT doc_id, GS_DUCK AS gs FROM rs3),
+      |rsig AS (SELECT doc_id, SIG8_DUCK AS sig FROM rg),
+      |hb AS (SELECT hid, sig, b.b AS b,
+      |    CAST(sig[2*b.b+1] AS VARCHAR) || '_' || CAST(sig[2*b.b+2] AS VARCHAR) AS bkey
+      |  FROM hsig, range(0, 4) b(b)),
+      |rb AS (SELECT doc_id, sig, b.b AS b,
+      |    CAST(sig[2*b.b+1] AS VARCHAR) || '_' || CAST(sig[2*b.b+2] AS VARCHAR) AS bkey
+      |  FROM rsig, range(0, 4) b(b)),
+      |cand AS (SELECT DISTINCT r.doc_id, h.hid,
+      |    list_reduce(list_transform(generate_series(1, 8),
+      |      i -> CASE WHEN r.sig[i] = h.sig[i] THEN 1.0 ELSE 0.0 END), (x, y) -> x + y) / 8.0 AS est_sim
+      |  FROM rb r JOIN hb h ON r.b = h.b AND r.bkey = h.bkey),
+      |near AS (SELECT doc_id, 'near' AS status,
+      |    first(hid ORDER BY est_sim DESC, hid) AS match_id, max(est_sim) AS est_sim
+      |  FROM cand WHERE est_sim >= 0.5 GROUP BY doc_id),
+      |ex AS (SELECT doc_id, 'exact' AS status, match_id, CAST(1.0 AS DOUBLE) AS est_sim
+      |  FROM probed WHERE match_id IS NOT NULL),
+      |fresh AS (SELECT p.doc_id, 'new' AS status, CAST(NULL AS BIGINT) AS match_id,
+      |    CAST(NULL AS DOUBLE) AS est_sim
+      |  FROM probed p
+      |  WHERE p.match_id IS NULL AND NOT EXISTS (SELECT 1 FROM near n WHERE n.doc_id = p.doc_id))
+      |SELECT doc_id, status, match_id, est_sim FROM ex
+      |UNION ALL SELECT doc_id, status, match_id, est_sim FROM near
+      |UNION ALL SELECT doc_id, status, match_id, est_sim FROM fresh
+      |ORDER BY doc_id""".stripMargin
+      .replace("GS_DUCK", gsDuck).replace("SIG8_DUCK", sigDuck(8))
+
   val queries: Map[String, Q] = Map(
+    "d13_incremental_dedup" -> d13,
     "d12_substring_dedup" -> d12,
     "d10_graph_rank" -> d10,
     "d08_boilerplate" -> d08,
@@ -921,6 +1050,7 @@ object DedupOps {
     "d07_edit_distance" -> d07)
 
   val oracle: Map[String, String] = Map(
+    "d13_incremental_dedup" -> d13Sql,
     "d12_substring_dedup" -> d12Sql,
     "d10_graph_rank" -> d10Sql,
     "d08_boilerplate" -> d08Sql,

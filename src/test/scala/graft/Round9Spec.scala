@@ -165,6 +165,33 @@ class Round9Spec extends AnyFunSuite {
     assert(!out.contains(5L), "docs shorter than w have no windows")
   }
 
+  test("incrementalDedup: exact precedence, near tie-break, new fallback") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val history = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "totally different words here entirely"),
+      (3L, "alpha beta gamma delta epsilon zeta"), // dup inside history
+      (4L, "totally different words here entirely") // -> tie with 2
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "Alpha  BETA gamma delta epsilon zeta"),     // exact after normalize
+      (12L, "totally, different words here entirely!"),  // same tokens, diff md5
+      (13L, "completely novel content nobody wrote before")
+    ).toDF("doc_id", "text")
+    val out = graft.Graft.incrementalDedup(history, batch, "doc_id", "text",
+        threshold = 0.25)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(out.size == 3, "one verdict per batch doc")
+    // exact wins over near even though 10 also band-matches 1/3
+    assert(out(10L) == (("exact", 1L)), "min history id for the md5 group")
+    // identical token stream but different md5 -> near at est_sim 1.0,
+    // tie between history 2 and 4 broken by min id
+    assert(out(12L) == (("near", 2L)))
+    assert(out(13L) == (("new", -1L)))
+  }
+
   test("previousRoundTimes picks the newest round artifact") {
     val dir = Files.createTempDirectory("bench_new").toFile
     write(dir, "BENCH_r2.json",
