@@ -1019,6 +1019,22 @@ object Graft {
             excludeSelf: Boolean = true): DataFrame =
     ops.SimOps.pqAnnOf(corpus, queries, codebookSource, id, vec, dims, m, kCodes, k, excludeSelf)
 
+  /** Scalar-quantized (SQ8) ANN — the fourth ANN representation next
+    * to [[annIvf]]/[[annLsh]]/[[annPq]]: per-dim min/max define a
+    * 256-level grid (codes 4–8× smaller at rest, see [[sqEncode]]);
+    * search is asymmetric (original query vs decoded corpus), true
+    * cosine reported per hit. Stats are one 1-row broadcast aggregate;
+    * the query pass is the s01 shape (queries broadcast, one corpus
+    * scan). See [[ops.SimOps.sqAnnOf]]. */
+  def annSq(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+            dims: Int, k: Int, excludeSelf: Boolean = true): DataFrame =
+    ops.SimOps.sqAnnOf(corpus, queries, id, vec, dims, k, excludeSelf)
+
+  /** The stored SQ8 representation: (id, codes array<int> 0..255),
+    * map-only encode against the corpus min/max grid. */
+  def sqEncode(corpus: DataFrame, id: String, vec: String, dims: Int): DataFrame =
+    ops.SimOps.sqEncodeOf(corpus, id, vec, dims)
+
   /** Count-min-sketch heavy hitters: the exact top-`k` corpus terms
     * with their estimates from a `rows`×`width` md5-bucketed counter
     * matrix — the mergeable fixed-size frequency state a 100 TB

@@ -682,6 +682,107 @@ object SimOps {
        |ORDER BY r.q_id, rank""".stripMargin
   }
 
+  /** Scalar-quantized (SQ8) ANN over ANY (id, vector) corpus/query
+    * tables (public operator behind [[graft.Graft.annSq]]) — the fourth
+    * ANN representation next to IVF (s02), LSH (s03) and PQ (s06):
+    * per-dimension min/max over the corpus define a 256-level uniform
+    * grid; each component stores as an 8-bit code (4–8× smaller at
+    * rest than float32 — the codes column is the stored
+    * representation, see [[sqEncodeOf]]); search is ASYMMETRIC — the
+    * original query against decoded corpus vectors — then exact-rank
+    * top-`k` by quantized cosine, with the true cosine reported
+    * alongside so the quantization error is visible per hit.
+    *
+    * Plan shape: the per-dim stats are ONE 1-row aggregate (2·dims
+    * min/max columns, map-side combined — the corpus never shuffles)
+    * broadcast back as a cross join, the decode is map-only, and the
+    * query pass is the s01 shape (queries broadcast, one corpus scan,
+    * per-query rank). Decode math is CASE-guarded for constant
+    * dimensions (mx=mn ⇒ decode to mn) and runs the identical IEEE op
+    * sequence in the oracle, so codes AND decoded floats are
+    * bit-reproducible. */
+  def sqAnnOf(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, dims: Int, k: Int,
+              excludeSelf: Boolean = true): DataFrame = {
+    require(dims >= 1 && k >= 1, s"dims >= 1 and k >= 1 required, got $dims/$k")
+    val e = corpus.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+    val aggs = (0 until dims).map(i => min(col("v").getItem(i)).as(s"__mn$i")) ++
+      (0 until dims).map(i => max(col("v").getItem(i)).as(s"__mx$i"))
+    val st = e.agg(aggs.head, aggs.tail: _*)
+      .select(array((0 until dims).map(i => col(s"__mn$i")): _*).as("mn"),
+        array((0 until dims).map(i => col(s"__mx$i")): _*).as("mx"))
+    val decExpr =
+      s"""transform(sequence(0, ${dims - 1}), i ->
+         |  CASE WHEN mx[i] = mn[i] THEN mn[i]
+         |  ELSE mn[i] + floor((v[i] - mn[i]) / ((mx[i] - mn[i]) / 255.0D) + 0.5D)
+         |       * ((mx[i] - mn[i]) / 255.0D) END)""".stripMargin
+    val dec = e.crossJoin(broadcast(st)).withColumn("dec", expr(decExpr))
+      .select(col("vec_id"), col("v"), col("dec"))
+    val q = broadcast(queries
+      .select(col(idCol).as("q_id"), col(vecCol).cast("array<double>").as("qv")))
+    val wRank = Window.partitionBy(col("q_id")).orderBy(col("sq_cos").desc, col("vec_id"))
+    dec.crossJoin(q)
+      .filter(if (excludeSelf) col("vec_id") =!= col("q_id") else lit(true))
+      .withColumn("sq_cos", expr("graft_cosine(qv, dec)"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .withColumn("cos_sim", expr("graft_cosine(qv, v)"))
+      .select(col("q_id"), col("rank"), col("vec_id"), col("sq_cos"), col("cos_sim"))
+  }
+
+  /** The stored SQ8 representation: (id, codes array<int> in 0..255) +
+    * the 2·dims grid as two array columns on every row is avoided —
+    * the grid is the 1-row side table a store would persist next to
+    * the codes. Map-only; int math thereafter is engine-exact. */
+  def sqEncodeOf(corpus: DataFrame, idCol: String, vecCol: String,
+                 dims: Int): DataFrame = {
+    val e = corpus.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+    val aggs = (0 until dims).map(i => min(col("v").getItem(i)).as(s"__mn$i")) ++
+      (0 until dims).map(i => max(col("v").getItem(i)).as(s"__mx$i"))
+    val st = e.agg(aggs.head, aggs.tail: _*)
+      .select(array((0 until dims).map(i => col(s"__mn$i")): _*).as("mn"),
+        array((0 until dims).map(i => col(s"__mx$i")): _*).as("mx"))
+    e.crossJoin(broadcast(st))
+      .withColumn("codes", expr(
+        s"""transform(sequence(0, ${dims - 1}), i ->
+           |  CASE WHEN mx[i] = mn[i] THEN 0
+           |  ELSE CAST(floor((v[i] - mn[i]) / ((mx[i] - mn[i]) / 255.0D) + 0.5D) AS INT) END)""".stripMargin))
+      .select(col("vec_id"), col("codes"))
+  }
+
+  /** #s12 SQ8 ANN: same query set as s01/s06; asymmetric search against
+    * the int8-decoded corpus, true cosine alongside. */
+  private val s12: Q = (s, dir) => {
+    val all = vecs(s, dir)
+    sqAnnOf(all, all.filter(col("vec_id") < 5), "vec_id", "v", dims = 64, k = K)
+      .select(col("q_id"), col("rank"), col("vec_id"),
+        r6(col("sq_cos")).as("sq_cos"), r6(col("cos_sim")).as("cos_sim"))
+      .orderBy("q_id", "rank")
+  }
+
+  private val s12Sql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |pd AS (SELECT u.i AS i, min(u.x) AS mn, max(u.x) AS mx
+       |  FROM (SELECT unnest(v) AS x, unnest(generate_series(1, 64)) AS i FROM e) u
+       |  GROUP BY u.i),
+       |st AS (SELECT list(mn ORDER BY i) AS mn, list(mx ORDER BY i) AS mx FROM pd),
+       |dec AS (SELECT vec_id, v,
+       |    list_transform(generate_series(1, 64), i ->
+       |      CASE WHEN st.mx[i] = st.mn[i] THEN st.mn[i]
+       |      ELSE st.mn[i] + floor((v[i] - st.mn[i]) / ((st.mx[i] - st.mn[i]) / 255.0) + 0.5)
+       |           * ((st.mx[i] - st.mn[i]) / 255.0) END) AS dv
+       |  FROM e, st),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+       |c AS (SELECT q.q_id, d.vec_id, d.v, ${graft.OracleSql.seqCosine("qv", "dv", 64)} AS sq_cos, qv
+       |  FROM q JOIN dec d ON d.vec_id <> q.q_id),
+       |r AS (SELECT q_id, vec_id, v, qv, sq_cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY sq_cos DESC, vec_id) AS BIGINT) AS rank
+       |  FROM c)
+       |SELECT q_id, rank, vec_id, round(sq_cos, 6) AS sq_cos,
+       |  round(${duckCos("qv", "v")}, 6) AS cos_sim
+       |FROM r WHERE rank <= $K
+       |ORDER BY q_id, rank""".stripMargin
+
   /** Population covariance matrix of ANY (id, array<double>) vector
     * column, long form (public operator behind [[graft.Graft.covariance]]
     * and the stats pass of [[graft.Graft.pcaComponents]]): one row per
@@ -1110,6 +1211,7 @@ object SimOps {
     "s09_linear_probe" -> s09,
     "s08_cov_sampled" -> s08,
     "s07_pca_cov" -> s07,
+    "s12_ann_sq" -> s12,
     "s06_ann_pq" -> s06,
     "s01_knn_bruteforce" -> s01,
     "s02_ann_ivf" -> s02,
@@ -1124,6 +1226,7 @@ object SimOps {
     "s09_linear_probe" -> s09Sql,
     "s08_cov_sampled" -> s08Sql,
     "s07_pca_cov" -> s07Sql,
+    "s12_ann_sq" -> s12Sql,
     "s06_ann_pq" -> s06Sql,
     "s01_knn_bruteforce" -> s01Sql,
     "s02_ann_ivf" -> s02Sql,

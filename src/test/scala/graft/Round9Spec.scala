@@ -192,6 +192,37 @@ class Round9Spec extends AnyFunSuite {
     assert(out(13L) == (("new", -1L)))
   }
 
+  test("sqEncode/annSq: code bounds, constant dims, quantization error") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val dims = 8
+    // deterministic spread + one CONSTANT dimension (index 7)
+    val vecs = (0 until 20).map { i =>
+      (i.toLong, Seq.tabulate(dims)(j => if (j == 7) 1.5 else math.sin(i * 1.7 + j)))
+    }.toDF("vec_id", "v")
+    val codes = graft.Graft.sqEncode(vecs, "vec_id", "v", dims).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.size == 20)
+    assert(codes.values.forall(_.forall(c => c >= 0 && c <= 255)), "8-bit range")
+    assert(codes.values.forall(_(7) == 0), "constant dim encodes to 0")
+    // grid extremes map to the grid ends
+    val dim0 = codes.values.map(_(0))
+    assert(dim0.min == 0 && dim0.max == 255, "min/max of a dim hit the code ends")
+
+    val out = graft.Graft.annSq(vecs, vecs.filter($"vec_id" < 2), "vec_id", "v",
+      dims, k = 5).collect()
+    assert(out.length == 10, "k rows per query")
+    // asymmetric SQ8 on an 8-dim grid: quantized cosine within half-step
+    // error of the true cosine for every reported hit
+    assert(out.forall(r => math.abs(r.getDouble(3) - r.getDouble(4)) < 0.02),
+      "sq_cos tracks cos_sim within quantization error")
+    val brute = graft.Graft.knnBrute(vecs, vecs.filter($"vec_id" < 2), "vec_id", "v", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(1))).toSet
+    val sq = out.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hits = brute.map(t => (t._1, t._2)).count(sq.contains)
+    assert(hits >= 8, s"recall@5 vs exact should be near-perfect on 20 vecs, got $hits/10")
+  }
+
   test("previousRoundTimes picks the newest round artifact") {
     val dir = Files.createTempDirectory("bench_new").toFile
     write(dir, "BENCH_r2.json",
