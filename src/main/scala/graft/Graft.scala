@@ -1035,6 +1035,16 @@ object Graft {
   def sqEncode(corpus: DataFrame, id: String, vec: String, dims: Int): DataFrame =
     ops.SimOps.sqEncodeOf(corpus, id, vec, dims)
 
+  /** Matryoshka truncation recall sweep: per query and prefix length,
+    * recall@k of prefix-cosine retrieval vs the full-dim exact top-k —
+    * the eval behind storing d of fullDims floats. One corpus scan for
+    * ALL prefixes (one window shuffle keyed (q_id, dims)), not one
+    * pass per prefix. `prefixes` must include `fullDims`. */
+  def mrlRecall(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+                fullDims: Int, prefixes: Seq[Int], k: Int,
+                excludeSelf: Boolean = true): DataFrame =
+    ops.SimOps.mrlRecallOf(corpus, queries, id, vec, fullDims, prefixes, k, excludeSelf)
+
   /** Count-min-sketch heavy hitters: the exact top-`k` corpus terms
     * with their estimates from a `rows`×`width` md5-bucketed counter
     * matrix — the mergeable fixed-size frequency state a 100 TB

@@ -628,6 +628,84 @@ object SimOps {
        |GROUP BY b.q_id
        |ORDER BY b.q_id""".stripMargin
 
+  /** Matryoshka dimension-truncation recall sweep over ANY (id, vector)
+    * corpus/query tables (public operator behind [[graft.Graft.mrlRecall]]) —
+    * the eval behind the MRL trade (Kusupati et al. 2022): if the first
+    * d dims of an embedding retrieve almost as well as all of them, the
+    * index can store d/fullDims of the floats. For every prefix length
+    * in `prefixes` (fullDims must be included — it IS the baseline),
+    * rank top-`k` by cosine over just that prefix and report
+    * (q_id, dims, n_hits, recall) against the full-dim exact top-k.
+    *
+    * Plan shape: ONE corpus scan computes every prefix cosine per
+    * (query, row) pair (queries broadcast — the s01 contract), the
+    * (pair × prefixes) fan-out ranks under ONE window shuffle keyed
+    * (q_id, dims), and the recall join runs on id pairs only. Cost ≈
+    * one brute-force pass regardless of how many prefixes are swept —
+    * not |prefixes| passes. */
+  def mrlRecallOf(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, fullDims: Int, prefixes: Seq[Int], k: Int,
+                  excludeSelf: Boolean = true): DataFrame = {
+    require(prefixes.nonEmpty && prefixes.contains(fullDims),
+      s"prefixes must include fullDims=$fullDims (the baseline), got $prefixes")
+    require(prefixes.forall(d => d >= 1 && d <= fullDims),
+      s"every prefix must be in [1, $fullDims], got $prefixes")
+    val e = corpus.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+    val q = broadcast(queries
+      .select(col(idCol).as("q_id"), col(vecCol).cast("array<double>").as("qv")))
+    val dimCos = array(prefixes.sorted.map(d => struct(lit(d).as("dims"),
+      expr(s"graft_cosine(slice(qv, 1, $d), slice(v, 1, $d))").as("cos"))): _*)
+    val wRank = Window.partitionBy(col("q_id"), col("dims"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val top = e.crossJoin(q)
+      .filter(if (excludeSelf) col("vec_id") =!= col("q_id") else lit(true))
+      .withColumn("__dc", explode(dimCos))
+      .select(col("q_id"), col("vec_id"),
+        col("__dc.dims").as("dims"), col("__dc.cos").as("cos"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("dims"), col("vec_id"))
+    val base = top.filter(col("dims") === fullDims).select(col("q_id"), col("vec_id"))
+    val grid = q.select(col("q_id"),
+      explode(array(prefixes.sorted.map(lit): _*)).as("dims"))
+    val hits = top.join(base, Seq("q_id", "vec_id"))
+      .groupBy(col("q_id"), col("dims")).agg(count(lit(1)).as("n_hits"))
+    grid.join(hits, Seq("q_id", "dims"), "left")
+      .select(col("q_id"), col("dims"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        r4(coalesce(col("n_hits"), lit(0L)) / lit(k.toDouble)).as("recall"))
+      .orderBy("q_id", "dims")
+  }
+
+  /** #s13 MRL truncation recall: prefixes 16/32/64 of the 64-dim
+    * embeddings, recall@10 vs the full-dim exact top-k. */
+  private val s13: Q = (s, dir) => {
+    val all = vecs(s, dir)
+    mrlRecallOf(all, all.filter(col("vec_id") < 5), "vec_id", "v",
+      fullDims = 64, prefixes = Seq(16, 32, 64), k = K)
+  }
+
+  private val s13Sql = {
+    def pcos(d: Int) = graft.OracleSql.seqCosine("qv", "v", d)
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+       |c AS (SELECT q.q_id, e.vec_id, qv, v FROM q JOIN e ON e.vec_id <> q.q_id),
+       |t AS (${Seq(16, 32, 64).map(d =>
+            s"""SELECT q_id, vec_id, $d AS dims,
+               |    row_number() OVER (PARTITION BY q_id ORDER BY ${pcos(d)} DESC, vec_id) AS rank
+               |  FROM c""".stripMargin).mkString("\n  UNION ALL ")}),
+       |top AS (SELECT q_id, dims, vec_id FROM t WHERE rank <= $K),
+       |base AS (SELECT q_id, vec_id FROM top WHERE dims = 64),
+       |grid AS (SELECT q_id, d.dims FROM q, (VALUES (16), (32), (64)) d(dims)),
+       |hits AS (SELECT t.q_id, t.dims, count(*) AS n
+       |  FROM top t JOIN base b ON b.q_id = t.q_id AND b.vec_id = t.vec_id
+       |  GROUP BY t.q_id, t.dims)
+       |SELECT g.q_id AS q_id, g.dims AS dims, CAST(coalesce(n, 0) AS BIGINT) AS n_hits,
+       |  round(coalesce(n, 0) / $K.0, 4) AS recall
+       |FROM grid g LEFT JOIN hits h ON h.q_id = g.q_id AND h.dims = g.dims
+       |ORDER BY q_id, dims""".stripMargin
+  }
+
   /** #26e PQ ANN: 4×16-dim subspaces, 8 codewords each (the vec_id<8
     * rows — s02's centroid set as deterministic codebook init), ADC
     * scoring, exact-cosine confirm of the top-10; the oracle replays
@@ -1211,6 +1289,7 @@ object SimOps {
     "s09_linear_probe" -> s09,
     "s08_cov_sampled" -> s08,
     "s07_pca_cov" -> s07,
+    "s13_mrl_recall" -> s13,
     "s12_ann_sq" -> s12,
     "s06_ann_pq" -> s06,
     "s01_knn_bruteforce" -> s01,
@@ -1226,6 +1305,7 @@ object SimOps {
     "s09_linear_probe" -> s09Sql,
     "s08_cov_sampled" -> s08Sql,
     "s07_pca_cov" -> s07Sql,
+    "s13_mrl_recall" -> s13Sql,
     "s12_ann_sq" -> s12Sql,
     "s06_ann_pq" -> s06Sql,
     "s01_knn_bruteforce" -> s01Sql,

@@ -223,6 +223,35 @@ class Round9Spec extends AnyFunSuite {
     assert(hits >= 8, s"recall@5 vs exact should be near-perfect on 20 vecs, got $hits/10")
   }
 
+  test("mrlRecall: front-loaded signal keeps prefix recall, baseline is 1.0") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    // Signal lives ENTIRELY in dims 0-3; dims 4-7 are constant. Prefix-4
+    // retrieval must then match full-dim retrieval exactly.
+    val front = (0 until 12).map { i =>
+      (i.toLong, Seq.tabulate(8)(j => if (j < 4) math.sin(i * 2.3 + j) else 0.5))
+    }.toDF("vec_id", "v")
+    val r1 = graft.Graft.mrlRecall(front, front.filter($"vec_id" < 3), "vec_id", "v",
+        fullDims = 8, prefixes = Seq(4, 8), k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    assert((0 until 3).forall(q => r1((q.toLong, 8)) == 1.0), "baseline recall is 1 by definition")
+    assert((0 until 3).forall(q => r1((q.toLong, 4)) == 1.0),
+      "prefix covering all signal dims loses nothing")
+    // Signal ONLY in the tail: prefix-4 sees constants, ranks by id -> poor
+    val tail = (0 until 12).map { i =>
+      (i.toLong, Seq.tabulate(8)(j => if (j >= 4) math.sin(i * 2.3 + j) else 0.5))
+    }.toDF("vec_id", "v")
+    val r2 = graft.Graft.mrlRecall(tail, tail.filter($"vec_id" < 3), "vec_id", "v",
+        fullDims = 8, prefixes = Seq(4, 8), k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    assert((0 until 3).forall(q => r2((q.toLong, 8)) == 1.0))
+    assert(r2.filterKeys(_._2 == 4).values.sum / 3.0 < 1.0,
+      "tail-signal corpus must lose recall under prefix truncation")
+    intercept[IllegalArgumentException] {
+      graft.Graft.mrlRecall(front, front, "vec_id", "v", 8, Seq(4), 3)
+    }
+  }
+
   test("previousRoundTimes picks the newest round artifact") {
     val dir = Files.createTempDirectory("bench_new").toFile
     write(dir, "BENCH_r2.json",
