@@ -1035,6 +1035,16 @@ object Graft {
   def sqEncode(corpus: DataFrame, id: String, vec: String, dims: Int): DataFrame =
     ops.SimOps.sqEncodeOf(corpus, id, vec, dims)
 
+  /** DSIR data selection (Xie et al. 2023): hashed-bigram importance
+    * ratios of each pool doc between a target-corpus model and the
+    * pool model, then a deterministic Gumbel-top-k draw ∝ exp(lr).
+    * Models are bucket-sized broadcasts; per-doc sums are cumulative
+    * folds; the draw is a pure function of (salt, ids, text). */
+  def dsirSelect(target: DataFrame, pool: DataFrame, id: String, text: String,
+                 buckets: Int = 4096, salt: String = "dsir",
+                 sampleN: Int = 50): DataFrame =
+    ops.TextOps.dsirSelectOf(target, pool, id, text, buckets, salt, sampleN)
+
   /** Matryoshka truncation recall sweep: per query and prefix length,
     * recall@k of prefix-cosine retrieval vs the full-dim exact top-k —
     * the eval behind storing d of fullDims floats. One corpus scan for

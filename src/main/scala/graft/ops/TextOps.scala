@@ -1170,7 +1170,121 @@ object TextOps {
       |FROM c
       |ORDER BY doc_id""".stripMargin
 
+  /** DSIR importance weights + deterministic resample (public operator
+    * behind [[graft.Graft.dsirSelect]]) — Data Selection via Importance
+    * Resampling (Xie et al. 2023, arXiv:2302.03169): fit hashed-bigram
+    * bag models on a small TARGET corpus and on the candidate pool,
+    * score every candidate doc by the log importance ratio
+    *   lr(doc) = Σ_bigrams [ln p_target(bucket) − ln p_pool(bucket)]
+    * (add-1 smoothing over the `buckets`-bucket hashed vocabulary),
+    * then draw `sampleN` docs WITHOUT replacement with probability
+    * ∝ exp(lr) via Gumbel-top-k — key = lr + (−ln(−ln u)) with the
+    * md5 uniform u (the ds12 determinism rule: reruns, retries and
+    * cluster size cannot change the draw). Returns every candidate
+    * with ≥1 bigram: (doc_id, n_bigrams, logratio, key, selected 0/1).
+    *
+    * Scale shape: both models are ≤`buckets` rows (map-side-combined
+    * count shuffles — the token stream itself never shuffles) and
+    * BROADCAST into the scoring pass along with the two 1-row totals;
+    * per-doc Σ is a CUMULATIVE fold in bigram order (the q33/t08
+    * bit-reproducibility rule, not a hash-agg float sum); the top-k
+    * draw is a TakeOrdered, no full sort. */
+  def dsirSelectOf(target: DataFrame, pool: DataFrame, idCol: String,
+                   textCol: String, buckets: Int = 4096,
+                   salt: String = "dsir", sampleN: Int = 50): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    require(sampleN >= 1, s"sampleN must be >= 1, got $sampleN")
+    def stream(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("__ws"))
+      .filter(size(col("__ws")) >= 2)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, size(__ws)-2), i -> concat_ws(' ', __ws[i], __ws[i+1]))"))
+        .as(Seq("pos", "__bg")))
+      .withColumn("b", hash60(col("__bg")) % buckets)
+      .select(col("doc_id"), col("pos"), col("b"))
+    val ts = stream(target)
+    val ps = graft.Checkpoints.stabilize(stream(pool))
+    val tc = ts.groupBy(col("b")).agg(count(lit(1)).as("__tc"))
+    val tn = ts.agg(count(lit(1)).as("__tn"))
+    val pc = ps.groupBy(col("b")).agg(count(lit(1)).as("__pc"))
+    val pn = ps.agg(count(lit(1)).as("__pn"))
+    val ord = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = ps
+      .join(broadcast(tc), Seq("b"), "left")
+      .join(broadcast(pc), Seq("b"), "left")
+      .crossJoin(broadcast(tn)).crossJoin(broadcast(pn))
+      .withColumn("__lp",
+        log((coalesce(col("__tc"), lit(0L)) + lit(1.0)) / (col("__tn") + lit(buckets.toDouble))) -
+        log((coalesce(col("__pc"), lit(0L)) + lit(1.0)) / (col("__pn") + lit(buckets.toDouble))))
+      .withColumn("__rn", row_number().over(ord))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("__cum", sum(col("__lp")).over(cum))
+      .filter(col("__rn") === col("__n"))
+      .select(col("doc_id"), col("__n").cast("long").as("n_bigrams"),
+        col("__cum").as("logratio"))
+    val u = (hash60(concat(lit(salt + ":"), col("doc_id").cast("string"))) + 1)
+      .cast("double") / lit(1152921504606846976.0)
+    val keyed = scored.withColumn("key", col("logratio") + -log(-log(u)))
+    val sel = keyed.orderBy(col("key").desc, col("doc_id")).limit(sampleN)
+      .select(col("doc_id"), lit(1).as("selected"))
+    keyed.join(sel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_bigrams"), r6(col("logratio")).as("logratio"),
+        r6(col("key")).as("key"), coalesce(col("selected"), lit(0)).as("selected"))
+      .orderBy("doc_id")
+  }
+
+  /** #t17 DSIR selection on the documents corpus: target = the English
+    * docs, pool = everything else, 4096 hashed-bigram buckets, 50 drawn. */
+  private val t17: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    dsirSelectOf(docs.filter(col("lang") === "en"), docs.filter(col("lang") =!= "en"),
+      "doc_id", "text")
+  }
+
+  private val t17Sql =
+    """WITH tgt AS (SELECT doc_id, text FROM documents WHERE lang = 'en'),
+      |pool AS (SELECT doc_id, text FROM documents WHERE lang <> 'en'),
+      |tw AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM tgt),
+      |tbu AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-1),
+      |    i -> struct_pack(pos := i, bg := ws[i] || ' ' || ws[i+1]))) AS u
+      |  FROM tw WHERE len(ws) >= 2),
+      |tbs AS (SELECT doc_id, u.pos AS pos,
+      |    CAST(('0x' || substr(md5(u.bg), 1, 15)) AS BIGINT) % 4096 AS b FROM tbu),
+      |pw AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM pool),
+      |pbu AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-1),
+      |    i -> struct_pack(pos := i, bg := ws[i] || ' ' || ws[i+1]))) AS u
+      |  FROM pw WHERE len(ws) >= 2),
+      |pbs AS (SELECT doc_id, u.pos AS pos,
+      |    CAST(('0x' || substr(md5(u.bg), 1, 15)) AS BIGINT) % 4096 AS b FROM pbu),
+      |tc AS (SELECT b, count(*) AS tcnt FROM tbs GROUP BY 1),
+      |tn AS (SELECT count(*) AS n FROM tbs),
+      |pc AS (SELECT b, count(*) AS pcnt FROM pbs GROUP BY 1),
+      |pn AS (SELECT count(*) AS n FROM pbs),
+      |j AS (SELECT s.doc_id, s.pos,
+      |    ln((coalesce(tcnt, 0) + 1.0) / (tn.n + 4096.0))
+      |      - ln((coalesce(pcnt, 0) + 1.0) / (pn.n + 4096.0)) AS lp
+      |  FROM pbs s LEFT JOIN tc ON s.b = tc.b LEFT JOIN pc ON s.b = pc.b, tn, pn),
+      |f AS (SELECT doc_id,
+      |    row_number() OVER o AS rn,
+      |    count(*) OVER (PARTITION BY doc_id) AS n,
+      |    sum(lp) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM j
+      |  WINDOW o AS (PARTITION BY doc_id ORDER BY pos)),
+      |g AS (SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams, cum AS logratio,
+      |    cum + (-ln(-ln((CAST(('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+      |      / 1152921504606846976.0))) AS key
+      |  FROM f WHERE rn = n),
+      |sel AS (SELECT doc_id FROM g ORDER BY key DESC, doc_id LIMIT 50)
+      |SELECT g.doc_id AS doc_id, n_bigrams, round(logratio, 6) AS logratio,
+      |  round(key, 6) AS key,
+      |  CAST(CASE WHEN sel.doc_id IS NULL THEN 0 ELSE 1 END AS INT) AS selected
+      |FROM g LEFT JOIN sel ON g.doc_id = sel.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t17_dsir" -> t17,
     "t16_html_strip" -> t16,
     "t15_chunks" -> t15,
     "t14_term_drift" -> t14,
@@ -1190,6 +1304,7 @@ object TextOps {
     "t06_normalize" -> t06)
 
   val oracle: Map[String, String] = Map(
+    "t17_dsir" -> t17Sql,
     "t16_html_strip" -> t16Sql,
     "t15_chunks" -> t15Sql,
     "t14_term_drift" -> t14Sql,

@@ -252,6 +252,32 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  test("dsirSelect: target-like docs score higher and dominate the draw") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val target = (0 until 6).map(i =>
+      (100L + i, "the quick brown fox jumps over the lazy dog again and again")).toDF("doc_id", "text")
+    val pool = ((0 until 8).map(i => (i.toLong, "the quick brown fox jumps over the lazy dog")) ++
+      (10 until 18).map(i => (i.toLong, "zzz qqq www eee rrr ttt yyy uuu iii ooo")) ++
+      Seq((30L, "solo"))) // single token: no bigrams, excluded
+      .toDF("doc_id", "text")
+    val out = graft.Graft.dsirSelect(target, pool, "doc_id", "text",
+      buckets = 512, sampleN = 6)
+    val rows = out.collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getInt(4))).toMap
+    assert(!rows.contains(30L), "bigram-less docs are excluded")
+    val likeT = (0 until 8).map(_.toLong)
+    val unlike = (10 until 18).map(_.toLong)
+    assert(likeT.map(rows(_)._1).min > unlike.map(rows(_)._1).max,
+      "every target-like doc outscores every off-target doc")
+    assert(rows.count(_._2._2 == 1) == 6, "exactly sampleN selected")
+    assert(likeT.count(rows(_)._2 == 1) >= 5,
+      "the exp(lr)-weighted draw is dominated by target-like docs")
+    // pure function of (salt, ids, text): a rerun is bit-identical
+    val again = graft.Graft.dsirSelect(target, pool, "doc_id", "text",
+      buckets = 512, sampleN = 6).collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getInt(4))).toMap
+    assert(again == rows)
+  }
+
   test("previousRoundTimes picks the newest round artifact") {
     val dir = Files.createTempDirectory("bench_new").toFile
     write(dir, "BENCH_r2.json",
