@@ -1365,6 +1365,15 @@ object Graft {
                   maxEpochs: Double = 4.0): DataFrame =
     ops.DataOps.mixturePlanOf(docs, domain, tokens, weights, budgetTokens, maxEpochs)
 
+  /** Temperature-scaled (α-sampling) domain mixture: q_d ∝ n_d^α
+    * weights DERIVED from the corpus (α < 1 upweights tail domains —
+    * the XLM-R/mT5 multilingual rule), reported as per-domain
+    * natural/temperature shares, boost, target tokens and implied
+    * epochs. [[mixturePlan]] is the executor for explicit weights. */
+  def temperatureMix(docs: DataFrame, domain: String, tokens: String,
+                     alpha: Double, budgetTokens: Long): DataFrame =
+    ops.DataOps.temperatureMixOf(docs, domain, tokens, alpha, budgetTokens)
+
   /** PageRank over a directed edge list: graph centrality where
     * [[connectedComponents]] gives membership — rank the best
     * canonical doc inside a near-dup cluster, or the hub states of a

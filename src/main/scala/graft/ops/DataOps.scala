@@ -728,7 +728,97 @@ object DataOps {
        |ORDER BY domain""".stripMargin
   }
 
+  /** Temperature-scaled domain mixture (public operator behind
+    * [[graft.Graft.temperatureMix]]) — the multilingual α-sampling rule
+    * (XLM-R/mT5: q_d ∝ n_d^α, α < 1 flattens the head and upweights
+    * tail domains) with the weights DERIVED from the corpus rather than
+    * hand-supplied ([[mixturePlanOf]]/ds15 is the executor for explicit
+    * weights). Per domain:
+    *   available_tokens, nat_share (n_d/N), temp_share (n_d^α/Σn^α),
+    *   boost (temp/nat — >1 means the temperature upweights it),
+    *   target_tokens (temp_share · budget), epochs (target/available —
+    *   >1 flags repetition the α choice implies).
+    *
+    * Scale shape: ONE integer agg shuffle over the corpus; everything
+    * after runs on a domain-cardinality table. The float Σn^α folds
+    * CUMULATIVELY in domain order (the q33 rule — a hash-agg double sum
+    * would be partition-order-dependent) and rides back as a broadcast
+    * 1-row scalar; N is an exact integer sum. */
+  def temperatureMixOf(docs: DataFrame, domainCol: String, tokensCol: String,
+                       alpha: Double, budgetTokens: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    require(budgetTokens > 0, s"budgetTokens must be > 0, got $budgetTokens")
+    val avail = docs.groupBy(col(domainCol).as("domain"))
+      .agg(sum(col(tokensCol).cast("long")).as("available_tokens"))
+      .withColumn("__p", pow(col("available_tokens").cast("double"), lit(alpha)))
+    // domain-cardinality rows: the partitionless fold is k rows, never
+    // the corpus (the d08/q28 single-partition side-computation pattern)
+    val ordW = Window.orderBy(col("domain"))
+    val cumW = ordW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = avail
+      .withColumn("__rn", row_number().over(ordW))
+      .withColumn("__cnt", count(lit(1)).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("__sp", sum(col("__p")).over(cumW))
+      .withColumn("__n", sum(col("available_tokens")).over(cumW))
+      .filter(col("__rn") === col("__cnt"))
+      .select(col("__sp"), col("__n"))
+    avail.crossJoin(broadcast(tot))
+      .withColumn("nat_share", col("available_tokens") / col("__n").cast("double"))
+      .withColumn("temp_share", col("__p") / col("__sp"))
+      .withColumn("boost", col("temp_share") / col("nat_share"))
+      .withColumn("target_tokens", col("temp_share") * budgetTokens)
+      .withColumn("epochs",
+        when(col("available_tokens") > 0, col("target_tokens") / col("available_tokens"))
+          .otherwise(lit(0.0)))
+      .select(col("domain"), col("available_tokens"), col("nat_share"),
+        col("temp_share"), col("boost"), col("target_tokens"), col("epochs"))
+  }
+
+  /** #ds16 temperature mixture over the documents corpus: α = 0.3 (the
+    * XLM-R value), 1M-token budget, whitespace token counts. */
+  private val ds16: Q = (s, dir) => {
+    val toks = t(s, dir, "documents")
+      .select(col("source"), size(F.words(col("text"))).as("n_tokens"))
+    temperatureMixOf(toks, "source", "n_tokens", alpha = 0.3, budgetTokens = 1000000L)
+      .select(col("domain"), col("available_tokens"),
+        F.r6(col("nat_share")).as("nat_share"), F.r6(col("temp_share")).as("temp_share"),
+        F.r6(col("boost")).as("boost"), F.r6(col("target_tokens")).as("target_tokens"),
+        F.r6(col("epochs")).as("epochs"))
+      .orderBy("domain")
+  }
+
+  private val ds16Sql =
+    """WITH a AS (
+      |  SELECT source AS domain,
+      |    CAST(sum(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)) AS BIGINT) AS available_tokens
+      |  FROM documents GROUP BY source),
+      |p AS (SELECT domain, available_tokens,
+      |    pow(CAST(available_tokens AS DOUBLE), 0.3) AS pw FROM a),
+      |f AS (SELECT domain, available_tokens, pw,
+      |    row_number() OVER o AS rn,
+      |    count(*) OVER () AS cnt,
+      |    sum(pw) OVER (ORDER BY domain ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sp,
+      |    sum(available_tokens) OVER (ORDER BY domain ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nn
+      |  FROM p
+      |  WINDOW o AS (ORDER BY domain)),
+      |tot AS (SELECT sp, CAST(nn AS BIGINT) AS nn FROM f WHERE rn = cnt),
+      |j AS (SELECT p.domain, p.available_tokens,
+      |    p.available_tokens / CAST(tot.nn AS DOUBLE) AS nat_share,
+      |    p.pw / tot.sp AS temp_share
+      |  FROM p, tot)
+      |SELECT domain, available_tokens,
+      |  round(nat_share, 6) AS nat_share,
+      |  round(temp_share, 6) AS temp_share,
+      |  round(temp_share / nat_share, 6) AS boost,
+      |  round(temp_share * 1000000, 6) AS target_tokens,
+      |  round(CASE WHEN available_tokens > 0
+      |    THEN (temp_share * 1000000) / available_tokens ELSE 0.0 END, 6) AS epochs
+      |FROM j
+      |ORDER BY domain""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "ds16_temperature_mix" -> ds16,
     "ds15_token_budget" -> ds15,
     "ds14_snapshot_diff" -> ds14,
     "ds12_weighted_sample" -> ds12,
@@ -745,6 +835,7 @@ object DataOps {
     "ds05_bigram_stats" -> ds05)
 
   val oracle: Map[String, String] = Map(
+    "ds16_temperature_mix" -> ds16Sql,
     "ds15_token_budget" -> ds15Sql,
     "ds14_snapshot_diff" -> ds14Sql,
     "ds12_weighted_sample" -> ds12Sql,

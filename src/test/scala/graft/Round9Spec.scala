@@ -278,6 +278,27 @@ class Round9Spec extends AnyFunSuite {
     assert(again == rows)
   }
 
+  test("temperatureMix: alpha<1 flattens, alpha=1 is the natural mix") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    // one giant domain (16k tokens), one tiny (100), one middling (1k)
+    val docs = Seq(("big", 16000L), ("small", 100L), ("mid", 1000L))
+      .toDF("domain", "n_tokens")
+    val m = graft.Graft.temperatureMix(docs, "domain", "n_tokens",
+        alpha = 0.3, budgetTokens = 100000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(math.abs(m.values.map(_._2).sum - 1.0) < 1e-12, "temp shares sum to 1")
+    assert(m("small")._3 > 1.0 && m("big")._3 < 1.0,
+      "alpha<1 boosts the tail and shrinks the head")
+    assert(m("small")._2 > m("small")._1 && m("big")._2 < m("big")._1)
+    // alpha = 1: pow(n, 1) == n exactly, so the temperature mix IS the
+    // natural mix bit-for-bit
+    val id = graft.Graft.temperatureMix(docs, "domain", "n_tokens", 1.0, 100000L)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(id.values.forall { case (nat, temp) => nat == temp })
+  }
+
   test("previousRoundTimes picks the newest round artifact") {
     val dir = Files.createTempDirectory("bench_new").toFile
     write(dir, "BENCH_r2.json",
