@@ -299,6 +299,38 @@ class Round9Spec extends AnyFunSuite {
     assert(id.values.forall { case (nat, temp) => nat == temp })
   }
 
+  test("streamingIncrementalDedup: history advances between micro-batches") {
+    val spark = SparkSpec.session
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{DocEvent, StreamOps}
+    val dir = Files.createTempDirectory("incdedup").toFile.getAbsolutePath
+    val input = MemoryStream[DocEvent]
+    val q = StreamOps.streamingIncrementalDedup(spark, input.toDF(),
+      s"$dir/history", s"$dir/verdicts", s"$dir/ckpt", threshold = 0.25)
+    try {
+      input.addData(
+        DocEvent(1L, "alpha beta gamma delta epsilon zeta"),
+        DocEvent(2L, "totally different words here entirely"))
+      q.processAllAvailable()
+      input.addData(
+        DocEvent(10L, "Alpha  beta gamma delta epsilon zeta"), // exact vs batch-1 doc 1
+        DocEvent(11L, "totally different words here friend"),  // near vs batch-1 doc 2
+        DocEvent(12L, "completely novel content nobody wrote"))
+      q.processAllAvailable()
+      val v = spark.read.parquet(s"$dir/verdicts")
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(4))).toMap
+      assert(v(1L) == (("new", 0L)) && v(2L) == (("new", 0L)),
+        "first batch sees an empty history")
+      assert(v(10L)._1 == "exact" && v(11L)._1 == "near" && v(12L)._1 == "new",
+        s"second batch must dedup against batch 1, got $v")
+      assert(Seq(10L, 11L, 12L).forall(v(_)._2 == 1L), "batch provenance recorded")
+      assert(spark.read.parquet(s"$dir/history").count() == 5,
+        "both batches folded into the store")
+    } finally q.stop()
+  }
+
   test("previousRoundTimes picks the newest round artifact") {
     val dir = Files.createTempDirectory("bench_new").toFile
     write(dir, "BENCH_r2.json",
