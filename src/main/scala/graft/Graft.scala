@@ -1365,6 +1365,15 @@ object Graft {
                   maxEpochs: Double = 4.0): DataFrame =
     ops.DataOps.mixturePlanOf(docs, domain, tokens, weights, budgetTokens, maxEpochs)
 
+  /** Deterministic Bloom-filter membership probe — the fixed-memory
+    * form of [[incrementalDedup]]'s exact check: probing any amount of
+    * history costs an ≤m-bit broadcast, no history-sized join. No
+    * false negatives (the Bloom law); per-doc false-positive report
+    * against the exact answer makes m/k sizing measurable. */
+  def bloomProbe(history: DataFrame, batch: DataFrame, id: String, text: String,
+                 mBits: Int = 2048, kHashes: Int = 4): DataFrame =
+    ops.DataOps.bloomProbeOf(history, batch, id, text, mBits, kHashes)
+
   /** Temperature-scaled (α-sampling) domain mixture: q_d ∝ n_d^α
     * weights DERIVED from the corpus (α < 1 upweights tail domains —
     * the XLM-R/mT5 multilingual rule), reported as per-domain

@@ -728,6 +728,79 @@ object DataOps {
        |ORDER BY domain""".stripMargin
   }
 
+  /** Deterministic Bloom-filter membership probe (public operator behind
+    * [[graft.Graft.bloomProbe]]) — the fourth mergeable sketch next to
+    * HLL distincts (a01), quantile sketches (a02) and CMS frequencies
+    * (a04), and the FIXED-MEMORY form of d13's exact probe: history
+    * content hashes set k md5-derived positions in an m-bit filter;
+    * a batch doc is a bloom hit iff ALL its k positions are set —
+    * no false negatives ever (the Bloom guarantee, spec-pinned), false
+    * positives at the classic (1−e^(−kn/m))^k rate, REPORTED per doc
+    * against the exact answer so the m/k sizing is measurable:
+    * (doc_id, bloom_hit, exact_hit, is_fp).
+    *
+    * Scale stance: the filter state is ≤ min(k·n, m) distinct set-bit
+    * positions — bounded by m REGARDLESS of history size (the whole
+    * point: probing 100 TB of history costs an m-bit broadcast, not a
+    * history-sized join) — and both build and probe are map-side
+    * explodes of k integers per row; positions are md5-derived, so
+    * build and probe are bit-reproducible in the oracle. The positions
+    * table stands in for the packed bitmap a production store would
+    * persist (same information, relational form). */
+  def bloomProbeOf(history: DataFrame, batch: DataFrame, idCol: String,
+                   textCol: String, mBits: Int = 2048, kHashes: Int = 4): DataFrame = {
+    require(mBits >= 2 && kHashes >= 1,
+      s"need mBits >= 2 and kHashes >= 1, got $mBits/$kHashes")
+    val normMd5 = (c: Column) => md5(trim(regexp_replace(lower(c), "\\s+", " ")))
+    def positions(m: Column): Column = explode(array((0 until kHashes).map(i =>
+      pmod(hash60(concat(lit(s"bloom$i:"), m)), lit(mBits.toLong))): _*))
+    val hm = history.select(normMd5(col(textCol)).as("__m"))
+    val bits = hm.select(positions(col("__m")).as("pos")).distinct()
+      .withColumn("__set", lit(1))
+    val exact = hm.distinct().withColumn("__ex", lit(1))
+    batch.select(col(idCol).as("doc_id"), normMd5(col(textCol)).as("__m"))
+      .withColumn("pos", positions(col("__m")))
+      .join(broadcast(bits), Seq("pos"), "left")
+      .groupBy(col("doc_id"), col("__m"))
+      .agg((count(col("__set")) === kHashes).cast("int").as("bloom_hit"))
+      .join(broadcast(exact), Seq("__m"), "left")
+      .withColumn("exact_hit", when(col("__ex").isNotNull, lit(1)).otherwise(lit(0)))
+      .withColumn("is_fp", (col("bloom_hit") === 1 && col("exact_hit") === 0).cast("int"))
+      .select(col("doc_id"), col("bloom_hit"), col("exact_hit"), col("is_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** #a05 Bloom probe on the d13 split: history = 4/5 of the corpus,
+    * batch = every 5th doc; 2048 bits × 4 hashes sized to make false
+    * positives observable (~8%) next to the no-false-negative law. */
+  private val a05: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    bloomProbeOf(docs.filter(col("doc_id") % 5 =!= 0),
+      docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+  }
+
+  private val a05Sql =
+    """WITH hist AS (SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS m
+      |  FROM documents WHERE doc_id % 5 <> 0),
+      |bat AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS m
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |bits AS (SELECT DISTINCT
+      |    CAST(('0x' || substr(md5('bloom' || i.i || ':' || m), 1, 15)) AS BIGINT) % 2048 AS pos
+      |  FROM hist, range(0, 4) i(i)),
+      |probe AS (SELECT doc_id, m, i.i AS i,
+      |    CAST(('0x' || substr(md5('bloom' || i.i || ':' || m), 1, 15)) AS BIGINT) % 2048 AS pos
+      |  FROM bat, range(0, 4) i(i)),
+      |bh AS (SELECT doc_id, m,
+      |    CAST(CASE WHEN count(bits.pos) = 4 THEN 1 ELSE 0 END AS INT) AS bloom_hit
+      |  FROM probe LEFT JOIN bits ON probe.pos = bits.pos
+      |  GROUP BY doc_id, m),
+      |hx AS (SELECT DISTINCT m FROM hist)
+      |SELECT doc_id, bloom_hit,
+      |  CAST(CASE WHEN hx.m IS NULL THEN 0 ELSE 1 END AS INT) AS exact_hit,
+      |  CAST(CASE WHEN bloom_hit = 1 AND hx.m IS NULL THEN 1 ELSE 0 END AS INT) AS is_fp
+      |FROM bh LEFT JOIN hx ON bh.m = hx.m
+      |ORDER BY doc_id""".stripMargin
+
   /** Temperature-scaled domain mixture (public operator behind
     * [[graft.Graft.temperatureMix]]) — the multilingual α-sampling rule
     * (XLM-R/mT5: q_d ∝ n_d^α, α < 1 flattens the head and upweights
@@ -818,6 +891,7 @@ object DataOps {
       |ORDER BY domain""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "a05_bloom_filter" -> a05,
     "ds16_temperature_mix" -> ds16,
     "ds15_token_budget" -> ds15,
     "ds14_snapshot_diff" -> ds14,
@@ -835,6 +909,7 @@ object DataOps {
     "ds05_bigram_stats" -> ds05)
 
   val oracle: Map[String, String] = Map(
+    "a05_bloom_filter" -> a05Sql,
     "ds16_temperature_mix" -> ds16Sql,
     "ds15_token_budget" -> ds15Sql,
     "ds14_snapshot_diff" -> ds14Sql,

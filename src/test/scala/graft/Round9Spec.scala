@@ -331,6 +331,33 @@ class Round9Spec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("bloomProbe: no false negatives; FPs appear as m shrinks") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val history = (0 until 200).map(i => (i.toLong, s"history document number $i payload"))
+      .toDF("doc_id", "text")
+    val batch = (
+      Seq((1000L, "History  DOCUMENT number 7 payload")) ++   // member (normalize)
+      (0 until 50).map(i => (2000L + i, s"novel text $i never seen"))
+    ).toDF("doc_id", "text")
+    // generous filter: the member hits, novels nearly all miss
+    val big = graft.Graft.bloomProbe(history, batch, "doc_id", "text",
+        mBits = 1 << 16, kHashes = 4)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(big(1000L) == ((1, 1, 0)), "member: bloom and exact agree")
+    assert(big.forall { case (_, (b, e, _)) => e != 1 || b == 1 },
+      "NO false negatives, ever")
+    assert(big.count(_._2._3 == 1) == 0, "64k bits / 200 docs: no FPs expected")
+    // starved filter: false positives must appear, and every one is
+    // flagged is_fp (bloom says yes, exact says no)
+    val tiny = graft.Graft.bloomProbe(history, batch, "doc_id", "text",
+        mBits = 64, kHashes = 2)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(tiny(1000L)._1 == 1 && tiny(1000L)._2 == 1)
+    assert(tiny.count(_._2._3 == 1) > 10, "64-bit filter over 200 keys must flood FPs")
+    assert(tiny.forall { case (_, (b, e, f)) => f == (if (b == 1 && e == 0) 1 else 0) })
+  }
+
   test("previousRoundTimes picks the newest round artifact") {
     val dir = Files.createTempDirectory("bench_new").toFile
     write(dir, "BENCH_r2.json",
