@@ -1365,6 +1365,15 @@ object Graft {
                   maxEpochs: Double = 4.0): DataFrame =
     ops.DataOps.mixturePlanOf(docs, domain, tokens, weights, budgetTokens, maxEpochs)
 
+  /** Length-grouped batching with measured padding: batches of
+    * `batchSize` under the length-sorted scheme vs the arrival-order
+    * baseline, each batch reporting its pad-token waste. Membership is
+    * a pure function of (ids, lengths); both global sorts run as
+    * bucketed ranks (never a partitionless corpus window). */
+  def lengthGroups(df: DataFrame, id: String, len: String, batchSize: Int,
+                   idBucketWidth: Long = 4096L): DataFrame =
+    ops.DataOps.lengthGroupsOf(df, id, len, batchSize, idBucketWidth)
+
   /** Deterministic Bloom-filter membership probe — the fixed-memory
     * form of [[incrementalDedup]]'s exact check: probing any amount of
     * history costs an ≤m-bit broadcast, no history-sized join. No

@@ -728,6 +728,95 @@ object DataOps {
        |ORDER BY domain""".stripMargin
   }
 
+  /** DISTRIBUTED global rank by (bucket, order-within-bucket) — the s11
+    * pattern as a reusable step: per-bucket counts roll into exclusive
+    * offsets (bucket-cardinality rows — the only single-partition fold),
+    * broadcast back, and rows rank within their bucket only. The global
+    * order is (bucket asc/desc, tie columns) — callers pick a bucket
+    * expression MONOTONE in their sort key so bucket order extends to
+    * total order. Never a partitionless corpus window. */
+  private def bucketedRank(df: DataFrame, bucket: Column, bucketDesc: Boolean,
+                           ties: Seq[Column]): DataFrame = {
+    val b = df.withColumn("__bkt", bucket)
+    val ord = if (bucketDesc) col("__bkt").desc else col("__bkt").asc
+    val wOff = Window.orderBy(ord).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = b.groupBy(col("__bkt")).agg(count(lit(1)).as("__bn"))
+      .withColumn("__off", coalesce(sum(col("__bn")).over(wOff), lit(0L)))
+      .select(col("__bkt"), col("__off"))
+    val wIn = Window.partitionBy(col("__bkt")).orderBy(ties: _*)
+    b.join(broadcast(offsets), Seq("__bkt"))
+      .withColumn("__grank", col("__off") + row_number().over(wIn))
+      .drop("__bkt", "__off")
+  }
+
+  /** Length-grouped batching with padding accounting (public operator
+    * behind [[graft.Graft.lengthGroups]]) — the batching trick every
+    * training loop runs: batches of `batchSize` sequences pad to their
+    * longest member, so grouping similar lengths together cuts wasted
+    * pad tokens. Emits one row per batch under BOTH schemes —
+    * scheme 'length' (sorted len desc, id) and the 'arrival' baseline
+    * (sorted id) — as (scheme, batch_id, n, max_len, sum_len, padding,
+    * pad_frac): the padding saving is measured in the result, not
+    * assumed. Batch membership is a pure function of (ids, lengths):
+    * deterministic at any parallelism.
+    *
+    * Scale shape: both global sorts are [[bucketedRank]] instances
+    * (length buckets for 'length' — length cardinality is tiny;
+    * id-range buckets for 'arrival'), so the corpus only ever shuffles
+    * keyed by bucket; per-batch stats are one integer agg. */
+  def lengthGroupsOf(df: DataFrame, idCol: String, lenCol: String,
+                     batchSize: Int, idBucketWidth: Long = 4096L): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    require(idBucketWidth >= 1, s"idBucketWidth must be >= 1, got $idBucketWidth")
+    val base = df.select(col(idCol).as("__id"), col(lenCol).cast("long").as("__len"))
+    def batches(ranked: DataFrame, scheme: String): DataFrame = ranked
+      .withColumn("batch_id", expr(s"(__grank - 1) div $batchSize"))
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n"), max(col("__len")).as("max_len"),
+        sum(col("__len")).as("sum_len"))
+      .withColumn("padding", col("n") * col("max_len") - col("sum_len"))
+      .withColumn("pad_frac", r6(col("padding") / (col("n") * col("max_len")).cast("double")))
+      .select(lit(scheme).as("scheme"), col("batch_id"), col("n"),
+        col("max_len"), col("sum_len"), col("padding"), col("pad_frac"))
+    val byLen = batches(
+      bucketedRank(base, col("__len"), bucketDesc = true, Seq(col("__id"))), "length")
+    val byArrival = batches(
+      bucketedRank(base, expr(s"__id div $idBucketWidth"), bucketDesc = false,
+        Seq(col("__id"))), "arrival")
+    byLen.union(byArrival).orderBy("scheme", "batch_id")
+  }
+
+  /** #ds17 length-grouped batching of the documents corpus: whitespace
+    * token lengths, batches of 32, vs the arrival-order baseline. */
+  private val ds17: Q = (s, dir) =>
+    lengthGroupsOf(
+      t(s, dir, "documents").select(col("doc_id"),
+        size(F.words(col("text"))).cast("long").as("n_tokens")),
+      "doc_id", "n_tokens", batchSize = 32)
+
+  private val ds17Sql =
+    """WITH d AS (SELECT doc_id,
+      |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |l AS (SELECT doc_id, n_tokens,
+      |    (row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1) // 32 AS batch_id
+      |  FROM d),
+      |a AS (SELECT doc_id, n_tokens,
+      |    (row_number() OVER (ORDER BY doc_id) - 1) // 32 AS batch_id
+      |  FROM d),
+      |lb AS (SELECT 'length' AS scheme, batch_id, count(*) AS n,
+      |    max(n_tokens) AS max_len, CAST(sum(n_tokens) AS BIGINT) AS sum_len
+      |  FROM l GROUP BY batch_id),
+      |ab AS (SELECT 'arrival' AS scheme, batch_id, count(*) AS n,
+      |    max(n_tokens) AS max_len, CAST(sum(n_tokens) AS BIGINT) AS sum_len
+      |  FROM a GROUP BY batch_id),
+      |u AS (SELECT * FROM lb UNION ALL SELECT * FROM ab)
+      |SELECT scheme, CAST(batch_id AS BIGINT) AS batch_id, n, max_len, sum_len,
+      |  n * max_len - sum_len AS padding,
+      |  round((n * max_len - sum_len) / CAST(n * max_len AS DOUBLE), 6) AS pad_frac
+      |FROM u
+      |ORDER BY scheme, batch_id""".stripMargin
+
   /** Deterministic Bloom-filter membership probe (public operator behind
     * [[graft.Graft.bloomProbe]]) — the fourth mergeable sketch next to
     * HLL distincts (a01), quantile sketches (a02) and CMS frequencies
@@ -891,6 +980,7 @@ object DataOps {
       |ORDER BY domain""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "ds17_length_groups" -> ds17,
     "a05_bloom_filter" -> a05,
     "ds16_temperature_mix" -> ds16,
     "ds15_token_budget" -> ds15,
@@ -909,6 +999,7 @@ object DataOps {
     "ds05_bigram_stats" -> ds05)
 
   val oracle: Map[String, String] = Map(
+    "ds17_length_groups" -> ds17Sql,
     "a05_bloom_filter" -> a05Sql,
     "ds16_temperature_mix" -> ds16Sql,
     "ds15_token_budget" -> ds15Sql,

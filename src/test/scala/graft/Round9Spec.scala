@@ -358,6 +358,29 @@ class Round9Spec extends AnyFunSuite {
     assert(tiny.forall { case (_, (b, e, f)) => f == (if (b == 1 && e == 0) 1 else 0) })
   }
 
+  test("lengthGroups: grouped padding beats arrival, tokens conserved") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    // interleaved short/long so arrival-order batches pad heavily
+    val docs = (0 until 100).map(i =>
+      (i.toLong, if (i % 2 == 0) 10L else 1000L)).toDF("doc_id", "n_tokens")
+    val out = graft.Graft.lengthGroups(docs, "doc_id", "n_tokens", batchSize = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val (len, arr) = out.partition(_._1 == "length")
+    assert(len.length == 10 && arr.length == 10)
+    assert(len.forall(_._3 == 10L), "full batches of batchSize")
+    // perfect separation: 50 shorts + 50 longs in batches of 10 -> zero padding
+    assert(len.map(_._6).sum == 0L, "homogeneous-length batches pad nothing")
+    assert(arr.map(_._6).sum == (1000L - 10L) * 50, "interleaved arrival pads every short")
+    assert(len.map(_._5).sum == arr.map(_._5).sum, "token mass conserved across schemes")
+    // deterministic: rerun is identical
+    val again = graft.Graft.lengthGroups(docs, "doc_id", "n_tokens", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(again.toSeq == out.toSeq)
+  }
+
   test("previousRoundTimes picks the newest round artifact") {
     val dir = Files.createTempDirectory("bench_new").toFile
     write(dir, "BENCH_r2.json",
