@@ -1035,7 +1035,135 @@ object DedupOps {
       |ORDER BY doc_id""".stripMargin
       .replace("GS_DUCK", gsDuck).replace("SIG8_DUCK", sigDuck(8))
 
+  /** #p03 the DEDUP GAUNTLET as ONE oracle-checked plan (the curation
+    * sibling of p01's split/pack pipeline and p02's market loop): every
+    * document gets a PROVENANCE VERDICT from the three-stage chain a
+    * pretraining corpus actually runs —
+    *   'exact_dup'  not the min-id keeper of its normalized-md5 group
+    *                (the d01 rule);
+    *   'near_dup'   among exact survivors, has a ≥0.5 minhash-band
+    *                pair with ANY smaller id (the d11 greedy
+    *                keep-lowest-id drop, transitive-over-drop);
+    *   'substr_dup' among near survivors, ≥60% of its tokens covered
+    *                by spans duplicated WITHIN the survivor corpus
+    *                (the d12 stats — stage order matters: spans killed
+    *                with their exact/near duplicates no longer count);
+    *   'kept'       everything else.
+    * One row per doc: (doc_id, verdict, n_tokens, dup_frac — null
+    * before stage 3). The oracle replays all three stages as one CTE
+    * chain, so the gate proves the WIRING: stage-2 pairs computed on
+    * stage-1 survivors, stage-3 windows on stage-2 survivors.
+    *
+    * The corpus carries no exact duplicates and its span-duplicates
+    * are all near-dups, so (t07 precedent) the gate plants
+    * deterministic in-plan augmentations that make every verdict
+    * observable: ids+10000 = byte-identical copies of docs 0–4
+    * (exact_dup), ids 20000–20004 = SELF-REPEATING docs (a 10-token
+    * phrase twice + filler) whose windows duplicate internally at
+    * 95.8% coverage while their shingles pair with nothing —
+    * substr_dup by construction, unreachable by stages 1–2. */
+  private def selfRepText(i: Int): String = {
+    val p = ('a' to 'j').map(c => s"rep$i$c").mkString(" ")
+    val f = ('w' to 'z').map(c => s"fill$i$c").mkString(" ")
+    s"$p $p $f"
+  }
+
+  private val p03: Q = (s, dir) => {
+    import s.implicits._
+    val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val exactPlants = base.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+    val selfRep = (0 until 5).map(i => (20000L + i, selfRepText(i))).toDF("doc_id", "text")
+    val docs = base.union(exactPlants).union(selfRep)
+    val norm = docs
+      .withColumn("__m", md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
+      .withColumn("n_tokens", size(words(col("text"))).cast("long"))
+    val keepers = norm.groupBy(col("__m")).agg(min(col("doc_id")).as("__keep"))
+    val st1 = norm.join(keepers, Seq("__m"))
+      .withColumn("__exact_dup", col("doc_id") =!= col("__keep"))
+    val surv1 = st1.filter(!col("__exact_dup")).select(col("doc_id"), col("text"))
+    val dropNear = minhashPairsOf(surv1, "doc_id", "text", shingleN = 3, k = 8, bands = 4)
+      .filter(col("est_sim") >= 0.5)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val surv2 = surv1.join(dropNear, Seq("doc_id"), "left_anti")
+    val frac = substringDupStatsOf(surv2, "doc_id", "text", w = 10)
+      .select(col("doc_id"), col("dup_frac"))
+    st1.select(col("doc_id"), col("n_tokens"), col("__exact_dup"))
+      .join(dropNear.withColumn("__near", lit(1)), Seq("doc_id"), "left")
+      .join(frac, Seq("doc_id"), "left")
+      .withColumn("verdict",
+        when(col("__exact_dup"), lit("exact_dup"))
+          .when(col("__near").isNotNull, lit("near_dup"))
+          .when(col("dup_frac") >= 0.6, lit("substr_dup"))
+          .otherwise(lit("kept")))
+      .select(col("doc_id"), col("verdict"), col("n_tokens"), col("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  private val p03Sql = {
+    val plantRows = (0 until 5)
+      .map(i => s"(${20000L + i}, '${selfRepText(i)}')").mkString(", ")
+    """WITH aug AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 5
+      |  UNION ALL SELECT * FROM (VALUES PLANT_ROWS) pl(doc_id, text)),
+      |n AS (SELECT doc_id, text,
+      |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS m,
+      |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+      |  FROM aug),
+      |k AS (SELECT m, min(doc_id) AS keep FROM n GROUP BY m),
+      |s1 AS (SELECT n.doc_id, n.text, n.n_tokens, (n.doc_id <> k.keep) AS exact_dup
+      |  FROM n JOIN k ON n.m = k.m),
+      |surv1 AS (SELECT doc_id, text FROM s1 WHERE NOT exact_dup),
+      |w1 AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM surv1),
+      |s3 AS (SELECT doc_id,
+      |    list_transform(generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh
+      |  FROM w1 WHERE len(ws) >= 3),
+      |g AS (SELECT doc_id, GS_DUCK AS gs FROM s3),
+      |sig AS (SELECT doc_id, SIG8_DUCK AS sig FROM g),
+      |bands AS (SELECT doc_id, sig, b.b AS b,
+      |    CAST(sig[2*b.b+1] AS VARCHAR) || '_' || CAST(sig[2*b.b+2] AS VARCHAR) AS bkey
+      |  FROM sig, range(0, 4) b(b)),
+      |p AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+      |    list_reduce(list_transform(generate_series(1, 8),
+      |      i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1.0 ELSE 0.0 END), (x, y) -> x + y) / 8.0 AS sim
+      |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      |dropn AS (SELECT DISTINCT db AS doc_id FROM p WHERE sim >= 0.5),
+      |surv2 AS (SELECT s.doc_id, s.text FROM surv1 s
+      |  WHERE NOT EXISTS (SELECT 1 FROM dropn d WHERE d.doc_id = s.doc_id)),
+      |w2 AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM surv2),
+      |d2 AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS nt FROM w2 WHERE len(ws) >= 10),
+      |wu AS (SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, CAST(nt AS INT) - 9),
+      |      i -> struct_pack(p := i - 1,
+      |             h := CAST(('0x' || substr(md5(array_to_string(ws[i : i+9], ' ')), 1, 15)) AS BIGINT)))) AS u
+      |  FROM d2),
+      |wins AS (SELECT doc_id, u.p AS p, u.h AS h FROM wu),
+      |dh AS (SELECT h FROM wins GROUP BY h HAVING count(*) > 1),
+      |dw AS (SELECT doc_id, p FROM wins JOIN dh USING (h)),
+      |cov AS (SELECT doc_id,
+      |    CAST(sum(CASE WHEN prev IS NULL THEN 10 ELSE least(10, p - prev) END) AS BIGINT) AS c
+      |  FROM (SELECT doc_id, p, lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev FROM dw) t
+      |  GROUP BY doc_id),
+      |frac AS (SELECT d2.doc_id AS doc_id,
+      |    round(coalesce(c, 0) / CAST(nt AS DOUBLE), 6) AS dup_frac
+      |  FROM d2 LEFT JOIN cov ON d2.doc_id = cov.doc_id)
+      |SELECT s1.doc_id AS doc_id,
+      |  CASE WHEN s1.exact_dup THEN 'exact_dup'
+      |       WHEN dropn.doc_id IS NOT NULL THEN 'near_dup'
+      |       WHEN frac.dup_frac >= 0.6 THEN 'substr_dup'
+      |       ELSE 'kept' END AS verdict,
+      |  s1.n_tokens, frac.dup_frac
+      |FROM s1
+      |LEFT JOIN dropn ON s1.doc_id = dropn.doc_id
+      |LEFT JOIN frac ON s1.doc_id = frac.doc_id
+      |ORDER BY doc_id""".stripMargin
+      .replace("PLANT_ROWS", plantRows)
+      .replace("GS_DUCK", gsDuck).replace("SIG8_DUCK", sigDuck(8))
+  }
+
   val queries: Map[String, Q] = Map(
+    "p03_curation_pipeline" -> p03,
     "d13_incremental_dedup" -> d13,
     "d12_substring_dedup" -> d12,
     "d10_graph_rank" -> d10,
@@ -1050,6 +1178,7 @@ object DedupOps {
     "d07_edit_distance" -> d07)
 
   val oracle: Map[String, String] = Map(
+    "p03_curation_pipeline" -> p03Sql,
     "d13_incremental_dedup" -> d13Sql,
     "d12_substring_dedup" -> d12Sql,
     "d10_graph_rank" -> d10Sql,

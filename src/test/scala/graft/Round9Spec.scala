@@ -381,6 +381,23 @@ class Round9Spec extends AnyFunSuite {
     assert(again.toSeq == out.toSeq)
   }
 
+  test("p03 gauntlet: every verdict observable, precedence and planting hold") {
+    val spark = SparkSpec.session
+    val out = graft.ops.DedupOps.queries("p03_curation_pipeline")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the five exact plants (copies of docs 0-4) must ALL flag exact_dup —
+    // and exact precedence means none of them leaks into later stages
+    assert((0 until 5).forall(i => out(10000L + i) == "exact_dup"),
+      s"exact plants: ${(0 until 5).map(i => out.get(10000L + i))}")
+    assert((0 until 5).forall(i => out(i.toLong) != "exact_dup"),
+      "the min-id keeper of each md5 group survives stage 1")
+    // the five self-repeating plants pair with nothing (unique shingles)
+    // yet are 95.8% span-covered: substr_dup by construction
+    assert((0 until 5).forall(i => out(20000L + i) == "substr_dup"),
+      s"selfrep plants: ${(0 until 5).map(i => out.get(20000L + i))}")
+    assert(out.values.exists(_ == "kept"), "clean docs survive the gauntlet")
+  }
+
   test("previousRoundTimes picks the newest round artifact") {
     val dir = Files.createTempDirectory("bench_new").toFile
     write(dir, "BENCH_r2.json",
