@@ -39,6 +39,7 @@ object Bench {
   private val DriftFactor = 2.0
   private val DriftFloorSec = 0.5
   private val MaxReruns = 12
+  private val NewQueryRerunSec = 5.0
   private val ChunkTimeoutMin = 30L
 
   def main(args: Array[String]): Unit = args.toList match {
@@ -112,10 +113,18 @@ object Bench {
     // Drift assertion: any query >2× its previous-round time gets one
     // isolated re-measurement; the min of the two is the honest number.
     // Only comparable when the previous artifact ran at the same SF dir.
+    // Queries ABSENT from the previous artifact (this round's additions)
+    // have no baseline for the ratio test, so any of them reading over
+    // [[NewQueryRerunSec]] is solo-re-run too — the round-9 postmortem:
+    // a new query landed 12.6s inside a heavy-codegen chunk vs 1.7s
+    // alone, and the guard had nothing to compare it against.
     val prev = previousRoundTimes(sfDir)
     val drifted = names.filter { n =>
       val cur = results.getOrElse(n, -1.0)
-      prev.get(n).exists(p => p > 0 && cur > DriftFloorSec && cur > DriftFactor * p)
+      prev.get(n) match {
+        case Some(p) => p > 0 && cur > DriftFloorSec && cur > DriftFactor * p
+        case None    => cur > NewQueryRerunSec
+      }
     }.take(MaxReruns)
     val reruns = scala.collection.mutable.LinkedHashMap[String, Double]()
     drifted.foreach { n =>
