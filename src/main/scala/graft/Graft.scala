@@ -1374,6 +1374,19 @@ object Graft {
                    idBucketWidth: Long = 4096L): DataFrame =
     ops.DataOps.lengthGroupsOf(df, id, len, batchSize, idBucketWidth)
 
+  /** Perceptual average-hash of a binary column: `bits` evenly-strided
+    * payload samples thresholded at the payload mean, packed into one
+    * BIGINT — map-only at scan speed. With a real codec the same
+    * expression runs on decoded pixels. */
+  def phash(df: DataFrame, id: String, bin: String, bits: Int = 60): DataFrame =
+    ops.MultiOps.phashOf(df, id, bin, bits)
+
+  /** Perceptual near-dup pairs at hamming ≤ maxHamming, chunk-blocked
+    * (full recall while maxHamming < chunks — the d03 pigeonhole). */
+  def phashPairs(df: DataFrame, id: String, bin: String, bits: Int = 60,
+                 chunks: Int = 4, maxHamming: Int = 3): DataFrame =
+    ops.MultiOps.phashPairsOf(df, id, bin, bits, chunks, maxHamming)
+
   /** Deterministic Bloom-filter membership probe — the fixed-memory
     * form of [[incrementalDedup]]'s exact check: probing any amount of
     * history costs an ≤m-bit broadcast, no history-sized join. No

@@ -231,7 +231,117 @@ object MultiOps {
         col("n_shared_chunks"), col("shared_bytes"), r6(col("dedup_ratio")).as("dedup_ratio"))
       .orderBy("doc_id")
 
+  /** Perceptual average-hash (aHash) over ANY (id, binary) table (public
+    * operator behind [[graft.Graft.phash]]) — the image-dedup signal
+    * next to m06's byte-exact CDC chunks: `bits` evenly-strided samples
+    * of the payload stand in for the downscaled grayscale grid (the
+    * decode being stubbed, the SAMPLING/threshold/pack plumbing is the
+    * real part — with a codec, the same expression runs on decoded
+    * pixels), each bit set iff its sample exceeds the payload mean, the
+    * threshold comparison division-free integer math
+    * (bits·sample > Σsamples ⟺ sample > mean), packed into one BIGINT.
+    * Byte values come off the hex encoding so the oracle replays
+    * bit-for-bit. Payloads shorter than 2 bytes are excluded (no
+    * stride exists).
+    *
+    * Plan shape: sample rows fan out MAP-SIDE (one posexplode — the
+    * transform array is evaluated exactly once per payload), the mean
+    * threshold is a doc-keyed window sum and the pack is an integer
+    * agg reusing that partitioning — one shuffle, everything codegen'd.
+    * The first cut kept samples/sum/pack as three chained HOF columns;
+    * Catalyst's projection collapse inlined the 60-element sample
+    * array into EVERY lambda iteration of the downstream aggregates —
+    * O(bits³) interpreted ops per row, 207s at sf0.1 vs ~2s for this
+    * form. HOF chains that re-reference an array column are a
+    * collapse hazard; fan out to rows instead. */
+  def phashOf(df: DataFrame, idCol: String, binCol: String,
+              bits: Int = 60): DataFrame = {
+    require(bits >= 2 && bits <= 60, s"bits must be in [2,60], got $bits")
+    val b1 = bits - 1
+    df.select(col(idCol).as("doc_id"), hex(col(binCol)).as("__hx"),
+        length(col(binCol)).cast("long").as("__n"))
+      .filter(col("__n") >= 2)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, $b1), j -> CAST(conv(substr(__hx, CAST((j * (__n - 1)) div $b1 AS INT) * 2 + 1, 2), 16, 10) AS BIGINT))"))
+        .as(Seq("j", "b")))
+      .withColumn("__sum", sum(col("b")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("b") * bits > col("__sum"), expr("shiftleft(1L, j)"))
+        .otherwise(lit(0L))).as("phash"))
+  }
+
+  /** Perceptual near-dup pairs at hamming ≤ `maxHamming`, blocked by
+    * `chunks` equal bit slices of the phash (the d03 pigeonhole: full
+    * recall while maxHamming < chunks — a pair within distance k must
+    * agree on ≥ 1 chunk). One self-join keyed (chunk index, chunk
+    * value); per-candidate cost is one xor+bit_count. */
+  def phashPairsOf(df: DataFrame, idCol: String, binCol: String,
+                   bits: Int = 60, chunks: Int = 4,
+                   maxHamming: Int = 3): DataFrame = {
+    require(bits % chunks == 0, s"chunks must divide bits, got $bits/$chunks")
+    require(maxHamming < chunks, "pigeonhole recall needs maxHamming < chunks")
+    val w = bits / chunks
+    // materialized once: the hash table feeds both self-join sides (the
+    // minhashPairsOf sig-checkpoint rule — no cross-side CSE in Catalyst)
+    val h = graft.Checkpoints.stabilize(phashOf(df, idCol, binCol, bits))
+    val banded = h.withColumn("c", explode(sequence(lit(0), lit(chunks - 1))))
+      .withColumn("ck", expr(s"shiftright(phash, c * $w) & ${(1L << w) - 1}"))
+    val a = banded.select(col("doc_id").as("doc_a"), col("phash").as("ha"), col("c"), col("ck"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("phash").as("hb"), col("c"), col("ck"))
+    a.join(b, Seq("c", "ck"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
+  }
+
+  /** #m07 perceptual near-dup pairs over the documents payloads, with
+    * five byte-identical plants (ids+30000, copies of docs 0–4 — the
+    * p03 planting rule) guaranteeing observable hamming-0 pairs next
+    * to whatever the corpus pairs organically. */
+  private val m07: Q = (s, dir) => {
+    val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val plants = base.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 30000L).as("doc_id"), col("text"))
+    phashPairsOf(base.union(plants).withColumn("payload", col("text").cast("binary")),
+        "doc_id", "payload")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val m07Sql =
+    """WITH aug AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 30000, text FROM documents WHERE doc_id < 5),
+      |p AS (SELECT doc_id, hex(encode(text)) AS hx,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+      |  FROM aug),
+      |sm AS (SELECT doc_id,
+      |    list_transform(generate_series(0, 59),
+      |      j -> CAST(('0x' || substr(hx, CAST((j * (n - 1)) // 59 AS INT) * 2 + 1, 2)) AS BIGINT)) AS s
+      |  FROM p WHERE n >= 2),
+      |hs AS (SELECT doc_id, s,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), s), (a, x) -> a + x) AS ssum
+      |  FROM sm),
+      |ph AS (SELECT doc_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(generate_series(0, 59),
+      |        j -> CASE WHEN s[j + 1] * 60 > ssum THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)),
+      |      (a, x) -> a + x) AS phash
+      |  FROM hs),
+      |bands AS (SELECT doc_id, phash, c.c AS c,
+      |    (phash >> (c.c * 15)) & 32767 AS ck
+      |  FROM ph, range(0, 4) c(c)),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    bit_count(xor(a.phash, b.phash)) AS hamming
+      |  FROM bands a JOIN bands b ON a.c = b.c AND a.ck = b.ck AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
+      |FROM cand WHERE hamming <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "m07_phash_dedup" -> m07,
     "m06_cdc_dedup" -> m06,
     "m01_binary_meta" -> m01,
     "m02_feature_batch" -> m02,
@@ -241,6 +351,7 @@ object MultiOps {
 
   /** m02 is intentionally absent: mapPartitions output is rows-only. */
   val oracle: Map[String, String] = Map(
+    "m07_phash_dedup" -> m07Sql,
     "m01_binary_meta" -> m01Sql,
     "m03_frame_sample" -> m03Sql,
     "m04_patch_grid" -> m04Sql,

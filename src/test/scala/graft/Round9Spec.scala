@@ -398,6 +398,32 @@ class Round9Spec extends AnyFunSuite {
     assert(out.values.exists(_ == "kept"), "clean docs survive the gauntlet")
   }
 
+  test("phash: exact bit packing, hamming-blocked pairs, pigeonhole recall") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    // 4-byte payloads, bits=4 -> samples are exactly the 4 bytes.
+    // "aaaz": sum 413, only 'z'(122)*4 > 413      -> bits {3}   = 8
+    // "aaoz": sum 427, 'o'(111)*4 and 'z'*4 > 427 -> bits {2,3} = 12
+    // "zzaa": sum 438, the two 'z's               -> bits {0,1} = 3
+    val docs = Seq((1L, "aaaz"), (2L, "aaoz"), (3L, "zzaa"))
+      .toDF("doc_id", "text").withColumn("payload", $"text".cast("binary"))
+    val h = graft.Graft.phash(docs, "doc_id", "payload", bits = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h == Map(1L -> 8L, 2L -> 12L, 3L -> 3L), s"got $h")
+    val pairs = graft.Graft.phashPairs(docs, "doc_id", "payload",
+        bits = 4, chunks = 2, maxHamming = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // 8 vs 12 differ in bit 2 only AND share low chunk 0 -> found;
+    // 3 is 3 bits from 8 and 2 from 12: over maxHamming, not reported
+    assert(pairs.toSeq == Seq((1L, 2L, 1)), s"got ${pairs.toSeq}")
+    // byte-identical payloads always pair at hamming 0
+    val dup = docs.union(Seq((10L, "aaaz")).toDF("doc_id", "text")
+      .withColumn("payload", $"text".cast("binary")))
+    val p2 = graft.Graft.phashPairs(dup, "doc_id", "payload", 4, 2, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(p2.contains((1L, 10L, 0)))
+  }
+
   test("previousRoundTimes picks the newest round artifact") {
     val dir = Files.createTempDirectory("bench_new").toFile
     write(dir, "BENCH_r2.json",
