@@ -1374,6 +1374,16 @@ object Graft {
                    idBucketWidth: Long = 4096L): DataFrame =
     ops.DataOps.lengthGroupsOf(df, id, len, batchSize, idBucketWidth)
 
+  /** Supertrend(n, mult) — the ATR trailing-stop indicator: Wilder-RMA
+    * ATR bands around hl2 with the band ratchet and close-cross trend
+    * flip, run as an exact O(1)-state segmented scan per series (five
+    * carried states with data-dependent branching — nothing a window
+    * frame expresses). See [[ops.ScanOps.supertrendOf]]. */
+  def supertrend(bars: DataFrame, key: String, ts: String, high: String,
+                 low: String, close: String, n: Int = 10,
+                 mult: Double = 3.0): DataFrame =
+    ops.ScanOps.supertrendOf(bars, key, ts, high, low, close, n, mult)
+
   /** Perceptual average-hash of a binary column: `bits` evenly-strided
     * payload samples thresholded at the payload mean, packed into one
     * BIGINT — map-only at scan speed. With a real codec the same

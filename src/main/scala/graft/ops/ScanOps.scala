@@ -460,11 +460,127 @@ object ScanOps {
       |FROM f
       |ORDER BY user_id, ts_ms, event_id""".stripMargin
 
+  /** Supertrend(n, mult) — the ATR trailing-stop indicator (pandas_ta
+    * `supertrend`; the classic Olivier Seban construction), and the
+    * richest recurrence in the scan family: FIVE carried states (RMA
+    * ATR, final upper band, final lower band, trend direction, prev
+    * close) with data-dependent BRANCHING — the band ratchet
+    * (`fu` only moves down unless price closed above it; `fl` only
+    * moves up unless price closed below it) and the trend flip
+    * (close crossing the active band) are conditionals no window
+    * frame expresses. Per `key` series in `ts` order over
+    * (high, low, close) bars:
+    *   tr₁ = hi−lo, trₜ = max(hi−lo, |hi−pc|, |lo−pc|)
+    *   atr₁ = tr₁, atrₜ = (1−1/n)·atrₜ₋₁ + (1/n)·trₜ   (Wilder RMA)
+    *   bu/bl = hl2 ± mult·atr
+    *   fuₜ = bu if (bu < fuₜ₋₁ or pc > fuₜ₋₁) else fuₜ₋₁   (ratchet)
+    *   flₜ = bl if (bl > flₜ₋₁ or pc < flₜ₋₁) else flₜ₋₁
+    *   trendₜ flips on close crossing the new band; supertrend is the
+    *   active band (fl in up-trends, fu in down-trends).
+    * Emits (`key` AS STRING, ts_ms, close, atr, supertrend, trend).
+    * O(1) state; contracts as [[ewmaExactOf]] (bars: `ts` alone must
+    * order each series).
+    *
+    * Parity: the oracle replays the recurrence as a per-series
+    * RECURSIVE CTE advancing every series one bar per iteration, each
+    * state expression textually identical to the fold step (same IEEE
+    * op order), so all five states are bit-exact — branching included,
+    * since double comparisons agree when the bits do. */
+  def supertrendOf(df: DataFrame, key: String, ts: String, high: String,
+                   low: String, close: String, n: Int, mult: Double): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(mult > 0, s"mult must be > 0, got $mult")
+    val s = df.sparkSession
+    import s.implicits._
+    val alpha = 1.0 / n
+    val beta = 1.0 - alpha
+    df.select(col(key).cast("string").as("__k"), epochMs(col(ts)).as("__t"),
+        col(high).cast("double").as("__h"), col(low).cast("double").as("__l"),
+        col(close).cast("double").as("__c"))
+      .as[(String, Long, Double, Double, Double)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("__t").asc) { (k, rows) =>
+        var first = true
+        var atr = 0.0; var fu = 0.0; var fl = 0.0; var trend = 1; var pc = 0.0
+        rows.map { case (_, t, hi, lo, cl) =>
+          val hl2 = (hi + lo) / 2.0
+          if (first) {
+            val tr = hi - lo
+            atr = tr; fu = hl2 + mult * atr; fl = hl2 - mult * atr; trend = 1
+            first = false
+          } else {
+            val tr = math.max(hi - lo, math.max(math.abs(hi - pc), math.abs(lo - pc)))
+            atr = atr * beta + alpha * tr
+            val bu = hl2 + mult * atr
+            val bl = hl2 - mult * atr
+            val nfu = if (bu < fu || pc > fu) bu else fu
+            val nfl = if (bl > fl || pc < fl) bl else fl
+            trend = if (trend == 1) { if (cl < nfl) -1 else 1 }
+                    else { if (cl > nfu) 1 else -1 }
+            fu = nfu; fl = nfl
+          }
+          pc = cl
+          (k, t, cl, atr, if (trend == 1) fl else fu, trend)
+        }
+      }
+      .toDF(key, "ts_ms", close, "atr", "supertrend", "trend")
+  }
+
+  /** #q67 Supertrend(10, 3) over hourly bars (the q37/q38 bar table:
+    * exact-aggregate OHLC, so every downstream double is bit-exact). */
+  private val q67: Q = (s, dir) =>
+    supertrendOf(
+      graft.Graft.resampleOhlc(t(s, dir, "events"), "event_type", "ts", "event_id", "value", "hour"),
+      "event_type", "bucket", "high", "low", "close", n = 10, mult = 3.0)
+      .select(col("event_type"), col("ts_ms").as("bucket_ms"), col("close"),
+        r6(col("atr")).as("atr"), r6(col("supertrend")).as("supertrend"),
+        col("trend").cast("int").as("trend"))
+      .orderBy("event_type", "bucket_ms")
+
+  private val q67Sql: String = {
+    val alpha = 1.0 / 10
+    val beta = 1.0 - alpha
+    val m = 3.0
+    val a2 = s"(s.atr * $beta + $alpha * b.tr)"
+    val bu = s"(b.hl2 + $m * $a2)"
+    val bl = s"(b.hl2 - $m * $a2)"
+    val fuE = s"(CASE WHEN $bu < s.fu OR b.pc > s.fu THEN $bu ELSE s.fu END)"
+    val flE = s"(CASE WHEN $bl > s.fl OR b.pc < s.fl THEN $bl ELSE s.fl END)"
+    val trE = s"(CASE WHEN s.trend = 1 THEN (CASE WHEN b.close < $flE THEN -1 ELSE 1 END)" +
+      s" ELSE (CASE WHEN b.close > $fuE THEN 1 ELSE -1 END) END)"
+    s"""WITH RECURSIVE bb AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+       |    max(value) AS high, min(value) AS low,
+       |    last(value ORDER BY ts, event_id) AS close
+       |  FROM events GROUP BY 1, 2),
+       |bars AS (
+       |  SELECT event_type, bucket, high, low, close,
+       |    lag(close) OVER o AS pc,
+       |    row_number() OVER o AS rn,
+       |    (high + low) / 2.0 AS hl2,
+       |    CASE WHEN lag(close) OVER o IS NULL THEN high - low
+       |      ELSE greatest(high - low, abs(high - lag(close) OVER o), abs(low - lag(close) OVER o)) END AS tr
+       |  FROM bb
+       |  WINDOW o AS (PARTITION BY event_type ORDER BY bucket)),
+       |st(event_type, rn, atr, fu, fl, trend) AS (
+       |  SELECT event_type, rn, tr, hl2 + $m * tr, hl2 - $m * tr, 1
+       |  FROM bars WHERE rn = 1
+       |  UNION ALL
+       |  SELECT b.event_type, b.rn, $a2, $fuE, $flE, $trE
+       |  FROM st s JOIN bars b ON b.event_type = s.event_type AND b.rn = s.rn + 1)
+       |SELECT s.event_type AS event_type, epoch_ms(b.bucket) AS bucket_ms, b.close,
+       |  round(s.atr, 6) AS atr,
+       |  round(CASE WHEN s.trend = 1 THEN s.fl ELSE s.fu END, 6) AS supertrend,
+       |  CAST(s.trend AS INT) AS trend
+       |FROM st s JOIN bars b ON b.event_type = s.event_type AND b.rn = s.rn
+       |ORDER BY event_type, bucket_ms""".stripMargin
+  }
+
   val queries: Map[String, Q] =
     Map("q39_ewma_exact" -> q39, "q40_wilder_rsi" -> q40, "q44_macd" -> q44,
-      "q60_kalman" -> q60, "q63_garch" -> q63)
+      "q60_kalman" -> q60, "q63_garch" -> q63, "q67_supertrend" -> q67)
 
   val oracle: Map[String, String] =
     Map("q39_ewma_exact" -> q39Sql, "q40_wilder_rsi" -> q40Sql, "q44_macd" -> q44Sql,
-      "q60_kalman" -> q60Sql, "q63_garch" -> q63Sql)
+      "q60_kalman" -> q60Sql, "q63_garch" -> q63Sql, "q67_supertrend" -> q67Sql)
 }

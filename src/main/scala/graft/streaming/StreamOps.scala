@@ -21,6 +21,19 @@ case class WmaEvent(event_type: String, event_id: Long, ts: java.sql.Timestamp, 
 /** Arriving document for [[StreamOps.streamingIncrementalDedup]]. */
 case class DocEvent(doc_id: Long, text: String)
 
+/** One OHLC bar for [[StreamOps.streamingSupertrend]]. */
+case class BarEvent(event_type: String, ts: java.sql.Timestamp,
+                    high: Double, low: Double, close: Double)
+
+/** Supertrend carried state — O(1) per key: RMA ATR, the two ratcheted
+  * bands, trend direction, previous close. */
+case class StState(atr: Double, fu: Double, fl: Double, trend: Int,
+                   pc: Double, started: Boolean)
+
+/** One supertrend observation per bar. */
+case class StOut(event_type: String, ts_ms: Long, close: Double,
+                 atr: Double, supertrend: Double, trend: Int)
+
 /** Input for [[StreamOps.streamingAsof]]: side 0 = right (reference
   * series, e.g. quotes/views), side 1 = left (rows to enrich). */
 case class AsofEvent(key: Long, side: Int, id: Long, ts: java.sql.Timestamp, value: Double)
@@ -742,6 +755,49 @@ object StreamOps {
             }
             st = GarchState(Some(s2), e.value * e.value)
             GarchOut(key, e.event_id, e.ts.getTime, e.value, s2, math.sqrt(s2))
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Batch [[graft.Graft.supertrend]] run CONTINUOUSLY: the exact
+    * five-state recurrence (RMA ATR, band ratchet, trend flip) carried
+    * in [[GroupState]] — O(1) per key, bit-equal to the batch
+    * segmented scan (Round9Spec). Arrival order = bar order is the
+    * contract, as with every recurrence twin here. */
+  def streamingSupertrend(bars: Dataset[BarEvent], n: Int,
+                          mult: Double): Dataset[StOut] = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(mult > 0, s"mult must be > 0, got $mult")
+    val alpha = 1.0 / n
+    val beta = 1.0 - alpha
+    import bars.sparkSession.implicits._
+    bars
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[StState, StOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[BarEvent], state: GroupState[StState]) =>
+          var st = state.getOption.getOrElse(StState(0.0, 0.0, 0.0, 1, 0.0, started = false))
+          val out = it.toSeq.sortBy(_.ts.getTime).map { e =>
+            val hl2 = (e.high + e.low) / 2.0
+            if (!st.started) {
+              val tr = e.high - e.low
+              st = StState(tr, hl2 + mult * tr, hl2 - mult * tr, 1, e.close, started = true)
+            } else {
+              val tr = math.max(e.high - e.low,
+                math.max(math.abs(e.high - st.pc), math.abs(e.low - st.pc)))
+              val atr = st.atr * beta + alpha * tr
+              val bu = hl2 + mult * atr
+              val bl = hl2 - mult * atr
+              val nfu = if (bu < st.fu || st.pc > st.fu) bu else st.fu
+              val nfl = if (bl > st.fl || st.pc < st.fl) bl else st.fl
+              val nt = if (st.trend == 1) { if (e.close < nfl) -1 else 1 }
+                       else { if (e.close > nfu) 1 else -1 }
+              st = StState(atr, nfu, nfl, nt, e.close, started = true)
+            }
+            StOut(key, e.ts.getTime, e.close, st.atr,
+              if (st.trend == 1) st.fl else st.fu, st.trend)
           }
           state.update(st)
           out.iterator

@@ -424,6 +424,38 @@ class Round9Spec extends AnyFunSuite {
     assert(p2.contains((1L, 10L, 0)))
   }
 
+  test("streamingSupertrend is bit-equal to the batch segmented scan") {
+    val spark = SparkSpec.session
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{BarEvent, StreamOps}
+    // deterministic wavy bars with enough range contraction to flip trend
+    def ts(h: Int) = new java.sql.Timestamp(h * 3600000L)
+    val bars = (for {
+      k <- Seq("A", "B"); h <- 0 until 40
+    } yield {
+      val base = 100.0 + 20.0 * math.sin(h / 4.0 + (if (k == "A") 0 else 2))
+      BarEvent(k, ts(h), base + 1.5, base - 1.5, base + math.cos(h.toDouble))
+    }).sortBy(e => (e.ts.getTime, e.event_type))
+    val batch = graft.Graft.supertrend(bars.toDF(), "event_type", "ts",
+        "high", "low", "close", n = 10, mult = 3.0)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(3), r.getDouble(4), r.getInt(5))).toMap
+    assert(batch.values.map(_._3).toSet == Set(1, -1), "both trends must occur")
+    val input = MemoryStream[BarEvent]
+    val q = StreamOps.streamingSupertrend(input.toDS(), 10, 3.0)
+      .writeStream.format("memory").queryName("st_super").outputMode("append").start()
+    try {
+      input.addData(bars.take(30)); q.processAllAvailable()
+      input.addData(bars.drop(30)); q.processAllAvailable()
+      val streamed = spark.table("st_super")
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getDouble(3), r.getDouble(4), r.getInt(5))).toMap
+      assert(streamed == batch, "continuous twin must be bit-equal to batch")
+    } finally q.stop()
+  }
+
   test("previousRoundTimes picks the newest round artifact") {
     val dir = Files.createTempDirectory("bench_new").toFile
     write(dir, "BENCH_r2.json",
