@@ -1384,6 +1384,16 @@ object Graft {
                  mult: Double = 3.0): DataFrame =
     ops.ScanOps.supertrendOf(bars, key, ts, high, low, close, n, mult)
 
+  /** Parabolic SAR (Wilder): the stop-and-reverse companion of
+    * [[supertrend]] — SAR accelerates toward the extreme point, clamps
+    * to the prior two bars, reverses when pierced; four carried states
+    * plus clamp history as an exact segmented scan.
+    * See [[ops.ScanOps.psarOf]]. */
+  def psar(bars: DataFrame, key: String, ts: String, high: String,
+           low: String, close: String, af0: Double = 0.02,
+           afMax: Double = 0.2): DataFrame =
+    ops.ScanOps.psarOf(bars, key, ts, high, low, close, af0, afMax)
+
   /** Perceptual average-hash of a binary column: `bits` evenly-strided
     * payload samples thresholded at the payload mean, packed into one
     * BIGINT — map-only at scan speed. With a real codec the same

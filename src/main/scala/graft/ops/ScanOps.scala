@@ -576,11 +576,136 @@ object ScanOps {
        |ORDER BY event_type, bucket_ms""".stripMargin
   }
 
+  /** Parabolic SAR (Wilder) — the stop-and-reverse companion of
+    * [[supertrendOf]] and the hardest branching recurrence here: the
+    * SAR accelerates toward the extreme point (sar += af·(ep−sar)),
+    * clamps to the prior two bars' lows/highs, REVERSES when price
+    * pierces it (sar jumps to the old EP, af resets), and af steps by
+    * `af0` on each new extreme up to `afMax`. Four carried states
+    * (trend, sar, ep, af) plus the two-bar clamp history, every
+    * transition a data-dependent branch. Convention (documented, not
+    * library-specific): the seed bar emits nothing; bar 2 starts the
+    * trend by close_2 ≥ close_1, sar = the seed bar's opposite extreme,
+    * ep = the two-bar extreme. Emits (`key` AS STRING, ts_ms, close,
+    * psar, trend) from bar 2 on; contracts as [[supertrendOf]].
+    *
+    * Parity: same per-series RECURSIVE CTE replay as q67 — the clamp
+    * history rides the bars CTE as lag columns so the recursion carries
+    * only the four states. */
+  def psarOf(df: DataFrame, key: String, ts: String, high: String,
+             low: String, close: String, af0: Double = 0.02,
+             afMax: Double = 0.2): DataFrame = {
+    require(af0 > 0 && afMax >= af0, s"need 0 < af0 <= afMax, got $af0/$afMax")
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col(key).cast("string").as("__k"), epochMs(col(ts)).as("__t"),
+        col(high).cast("double").as("__h"), col(low).cast("double").as("__l"),
+        col(close).cast("double").as("__c"))
+      .as[(String, Long, Double, Double, Double)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("__t").asc) { (k, rows) =>
+        var n = 0
+        var pHi = 0.0; var pLo = 0.0; var pCl = 0.0   // bar t-1
+        var ppHi = 0.0; var ppLo = 0.0                 // bar t-2
+        var trend = 1; var sar = 0.0; var ep = 0.0; var af = af0
+        rows.flatMap { case (_, t, hi, lo, cl) =>
+          n += 1
+          val out =
+            if (n == 1) None
+            else {
+              if (n == 2) {
+                trend = if (cl >= pCl) 1 else -1
+                sar = if (trend == 1) pLo else pHi
+                ep = if (trend == 1) math.max(pHi, hi) else math.min(pLo, lo)
+                af = af0
+              } else {
+                val sar0 = sar + af * (ep - sar)
+                val sarCl =
+                  if (trend == 1) math.min(sar0, math.min(pLo, ppLo))
+                  else math.max(sar0, math.max(pHi, ppHi))
+                val rev = if (trend == 1) lo < sarCl else hi > sarCl
+                if (rev) {
+                  sar = ep
+                  ep = if (trend == 1) lo else hi
+                  trend = -trend
+                  af = af0
+                } else {
+                  sar = sarCl
+                  if (trend == 1 && hi > ep) { ep = hi; af = math.min(af + af0, afMax) }
+                  else if (trend == -1 && lo < ep) { ep = lo; af = math.min(af + af0, afMax) }
+                }
+              }
+              Some((k, t, cl, sar, trend))
+            }
+          ppHi = pHi; ppLo = pLo
+          pHi = hi; pLo = lo; pCl = cl
+          out
+        }
+      }
+      .toDF(key, "ts_ms", close, "psar", "trend")
+  }
+
+  /** #q68 PSAR(0.02, 0.2) over the q37 hourly bars. */
+  private val q68: Q = (s, dir) =>
+    psarOf(
+      graft.Graft.resampleOhlc(t(s, dir, "events"), "event_type", "ts", "event_id", "value", "hour"),
+      "event_type", "bucket", "high", "low", "close")
+      .select(col("event_type"), col("ts_ms").as("bucket_ms"), col("close"),
+        r6(col("psar")).as("psar"), col("trend").cast("int").as("trend"))
+      .orderBy("event_type", "bucket_ms")
+
+  private val q68Sql: String = {
+    val af0 = 0.02
+    val afMax = 0.2
+    val sar0 = "(s.sar + s.af * (s.ep - s.sar))"
+    val sarCl = s"(CASE WHEN s.trend = 1 THEN least($sar0, least(b.plo1, b.plo2))" +
+      s" ELSE greatest($sar0, greatest(b.phi1, b.phi2)) END)"
+    val rev = s"(CASE WHEN s.trend = 1 THEN b.low < $sarCl ELSE b.high > $sarCl END)"
+    val trE = s"(CASE WHEN $rev THEN -s.trend ELSE s.trend END)"
+    val sarE = s"(CASE WHEN $rev THEN s.ep ELSE $sarCl END)"
+    val epE = s"(CASE WHEN $rev THEN (CASE WHEN s.trend = 1 THEN b.low ELSE b.high END)" +
+      s" ELSE (CASE WHEN s.trend = 1 THEN greatest(s.ep, b.high) ELSE least(s.ep, b.low) END) END)"
+    val afE = s"(CASE WHEN $rev THEN $af0" +
+      s" WHEN (s.trend = 1 AND b.high > s.ep) OR (s.trend = -1 AND b.low < s.ep)" +
+      s" THEN least(s.af + $af0, $afMax) ELSE s.af END)"
+    s"""WITH RECURSIVE bb AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+       |    max(value) AS high, min(value) AS low,
+       |    last(value ORDER BY ts, event_id) AS close
+       |  FROM events GROUP BY 1, 2),
+       |bars AS (
+       |  SELECT event_type, bucket, high, low, close,
+       |    lag(close) OVER o AS pc,
+       |    lag(high) OVER o AS phi1, lag(low) OVER o AS plo1,
+       |    coalesce(lag(high, 2) OVER o, lag(high) OVER o) AS phi2,
+       |    coalesce(lag(low, 2) OVER o, lag(low) OVER o) AS plo2,
+       |    row_number() OVER o AS rn
+       |  FROM bb
+       |  WINDOW o AS (PARTITION BY event_type ORDER BY bucket)),
+       |st(event_type, rn, trend, sar, ep, af) AS (
+       |  SELECT event_type, rn,
+       |    CASE WHEN close >= pc THEN 1 ELSE -1 END,
+       |    CASE WHEN close >= pc THEN plo1 ELSE phi1 END,
+       |    CASE WHEN close >= pc THEN greatest(phi1, high) ELSE least(plo1, low) END,
+       |    $af0
+       |  FROM bars WHERE rn = 2
+       |  UNION ALL
+       |  SELECT b.event_type, b.rn, $trE, $sarE, $epE, $afE
+       |  FROM st s JOIN bars b ON b.event_type = s.event_type AND b.rn = s.rn + 1)
+       |SELECT s.event_type AS event_type, epoch_ms(b.bucket) AS bucket_ms, b.close,
+       |  round(s.sar, 6) AS psar,
+       |  CAST(s.trend AS INT) AS trend
+       |FROM st s JOIN bars b ON b.event_type = s.event_type AND b.rn = s.rn
+       |ORDER BY event_type, bucket_ms""".stripMargin
+  }
+
   val queries: Map[String, Q] =
     Map("q39_ewma_exact" -> q39, "q40_wilder_rsi" -> q40, "q44_macd" -> q44,
-      "q60_kalman" -> q60, "q63_garch" -> q63, "q67_supertrend" -> q67)
+      "q60_kalman" -> q60, "q63_garch" -> q63, "q67_supertrend" -> q67,
+      "q68_psar" -> q68)
 
   val oracle: Map[String, String] =
     Map("q39_ewma_exact" -> q39Sql, "q40_wilder_rsi" -> q40Sql, "q44_macd" -> q44Sql,
-      "q60_kalman" -> q60Sql, "q63_garch" -> q63Sql, "q67_supertrend" -> q67Sql)
+      "q60_kalman" -> q60Sql, "q63_garch" -> q63Sql, "q67_supertrend" -> q67Sql,
+      "q68_psar" -> q68Sql)
 }

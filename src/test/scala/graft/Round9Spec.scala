@@ -456,6 +456,50 @@ class Round9Spec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("cross-gate invariant: a05 exact_hit set == d13 exact verdicts") {
+    // Both gates run the SAME history/batch split (doc_id % 5) and the
+    // SAME whitespace-normalized md5 — the Bloom probe's exact answer
+    // and the incremental-dedup exact verdict must therefore name the
+    // identical doc set, and every one of them must also bloom-hit
+    // (the no-false-negative law, cross-checked between operators).
+    val spark = SparkSpec.session
+    val dir = "/root/testdata/sf0.001"
+    val bloom = graft.ops.DataOps.queries("a05_bloom_filter")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    val inc = graft.ops.DedupOps.queries("d13_incremental_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(bloom.keySet == inc.keySet, "same batch universe")
+    val exactBloom = bloom.filter(_._2._2 == 1).keySet
+    val exactInc = inc.filter(_._2 == "exact").keySet
+    assert(exactBloom == exactInc, s"$exactBloom vs $exactInc")
+    assert(exactBloom.forall(bloom(_)._1 == 1), "exact members always bloom-hit")
+  }
+
+  test("psar: rises under the lows in a trend, jumps to EP on reversal") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    def ts(h: Int) = new java.sql.Timestamp(h * 3600000L)
+    // 10 rising bars then a crash through the SAR
+    val bars = ((0 until 10).map { h =>
+      val b = 100.0 + 2.0 * h
+      ("A", ts(h), b + 1.0, b - 1.0, b)
+    } ++ Seq(("A", ts(10), 101.0, 99.0, 100.0)))
+      .toDF("event_type", "ts", "high", "low", "close")
+    val out = graft.Graft.psar(bars, "event_type", "ts", "high", "low", "close")
+      .orderBy("ts_ms").collect()
+      .map(r => (r.getLong(1) / 3600000L, r.getDouble(2), r.getDouble(3), r.getInt(4)))
+    assert(out.length == 10, "seed bar emits nothing")
+    val upLeg = out.init
+    assert(upLeg.forall(_._4 == 1), "monotone rise keeps the up-trend")
+    assert(upLeg.forall { case (h, _, sar, _) => sar < 100.0 + 2.0 * h - 1.0 },
+      "SAR stays strictly below the bar lows while the trend holds")
+    assert(upLeg.map(_._3).sliding(2).forall(p => p(0) <= p(1)),
+      "SAR is non-decreasing within an up-trend (acceleration only)")
+    val crash = out.last
+    assert(crash._4 == -1, "the crash bar reverses the trend")
+    assert(crash._3 == 119.0, "reversed SAR jumps to the old extreme point (max high = 118+1)")
+  }
+
   test("previousRoundTimes picks the newest round artifact") {
     val dir = Files.createTempDirectory("bench_new").toFile
     write(dir, "BENCH_r2.json",
