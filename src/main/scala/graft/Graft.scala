@@ -1045,6 +1045,15 @@ object Graft {
                  sampleN: Int = 50): DataFrame =
     ops.TextOps.dsirSelectOf(target, pool, id, text, buckets, salt, sampleN)
 
+  /** Reliability-diagram calibration bins — AUC measures ranking, this
+    * measures whether score LEVELS mean what they say: per equal-width
+    * score bin over the exact [min,max], (n, n_pos, mean_score,
+    * frac_pos); counts integer-exact, the bin mean a cumulative fold.
+    * See [[ops.SimOps.calibrationOf]]. */
+  def calibrationBins(df: DataFrame, score: String, label: String, tie: String,
+                      bins: Int = 10): DataFrame =
+    ops.SimOps.calibrationOf(df, score, label, tie, bins)
+
   /** Matryoshka truncation recall sweep: per query and prefix length,
     * recall@k of prefix-cosine retrieval vs the full-dim exact top-k —
     * the eval behind storing d of fullDims floats. One corpus scan for

@@ -491,6 +491,87 @@ object SimOps {
        |      (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) END, 6) AS auc
        |FROM a""".stripMargin
 
+  /** Reliability-diagram calibration bins over ANY scored table (public
+    * operator behind [[graft.Graft.calibrationBins]]) — the eval next
+    * to [[aucOf]]: AUC measures RANKING, this measures whether the
+    * score LEVELS mean what they say. Scores bin into `bins`
+    * equal-width buckets over the exact [min, max]; per non-empty bin:
+    * (bin, n, n_pos, mean_score, frac_pos) — a well-calibrated score
+    * has frac_pos tracking mean_score (after whatever link maps scores
+    * to probabilities; for a ±1-margin probe the diagram's monotone
+    * shape is the signal). All counts integer-exact; the per-bin score
+    * mean is a CUMULATIVE fold in (score, tie) order (the q33 rule —
+    * never a hash-agg float sum), so the whole table is
+    * bit-reproducible. Stats are one driver-collected min/max row
+    * (the aucOf contract); binning and folds are one bin-keyed
+    * shuffle. */
+  def calibrationOf(df: DataFrame, scoreCol: String, labelCol: String,
+                    tieCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val in = df.select(col(scoreCol).cast("double").as("__s"),
+        col(labelCol).cast("boolean").as("__y"), col(tieCol).as("__tie"))
+      .filter(col("__s").isNotNull && !isnan(col("__s")) && col("__y").isNotNull)
+      .localCheckpoint(true)
+    try {
+      val r = in.agg(min(col("__s")), max(col("__s"))).collect()(0)
+      require(!r.isNullAt(0),
+        "calibrationOf: no rows with non-null, non-NaN score and non-null label")
+      val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+      val width = if (hi > lo) (hi - lo) / bins else 1.0
+      val bin = least(lit(bins - 1), greatest(lit(0),
+        floor((col("__s") - lit(lo)) / lit(width)).cast("int"))).as("bin")
+      val ord = Window.partitionBy(col("bin")).orderBy(col("__s"), col("__tie"))
+      val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      in.withColumn("bin", bin)
+        .withColumn("__rn", row_number().over(ord))
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("bin"))))
+        .withColumn("__np", sum(when(col("__y"), 1L).otherwise(0L)).over(
+          Window.partitionBy(col("bin"))))
+        .withColumn("__cs", sum(col("__s")).over(cum))
+        .filter(col("__rn") === col("__n"))
+        .select(col("bin"), col("__n").as("n"), col("__np").as("n_pos"),
+          (col("__cs") / col("__n").cast("double")).as("mean_score"),
+          (col("__np").cast("double") / col("__n").cast("double")).as("frac_pos"))
+        .orderBy("bin")
+        .localCheckpoint(true)
+    } finally graft.Checkpoints.free(in)
+  }
+
+  /** #s14 calibration bins of the s09 probe scores — AUC (s11) says the
+    * probe RANKS well; this shows where its margins sit per decile. */
+  private val s14: Q = (s, dir) => {
+    val df = t(s, dir, "embeddings")
+      .withColumn("y", when(col("label") === 0, 1.0).otherwise(-1.0))
+    val scored = linearProbeOf(df, "vec_id", "embedding", "y",
+      dims = 64, lr = 0.05, iters = 3)
+    calibrationOf(scored.withColumn("is_pos", col("y") > 0), "score", "is_pos", "id")
+      .select(col("bin"), col("n"), col("n_pos"),
+        r6(col("mean_score")).as("mean_score"), r6(col("frac_pos")).as("frac_pos"))
+  }
+
+  private val s14Sql =
+    s"""$probeTrainCte,
+       |mm AS (SELECT min(score) AS lo, max(score) AS hi FROM sc),
+       |wd AS (SELECT lo, CASE WHEN hi > lo THEN (hi - lo) / 10 ELSE 1.0 END AS w FROM mm),
+       |bb AS (
+       |  SELECT vec_id, score, y > 0 AS yp,
+       |    least(9, greatest(0, CAST(floor((score - wd.lo) / wd.w) AS INT))) AS bin
+       |  FROM sc, wd),
+       |f AS (
+       |  SELECT bin, score,
+       |    row_number() OVER o AS rn,
+       |    count(*) OVER (PARTITION BY bin) AS n,
+       |    sum(CASE WHEN yp THEN 1 ELSE 0 END) OVER (PARTITION BY bin) AS np,
+       |    sum(score) OVER (PARTITION BY bin ORDER BY score, vec_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+       |  FROM bb
+       |  WINDOW o AS (PARTITION BY bin ORDER BY score, vec_id))
+       |SELECT bin, CAST(n AS BIGINT) AS n, CAST(np AS BIGINT) AS n_pos,
+       |  round(cs / n, 6) AS mean_score,
+       |  round(CAST(np AS DOUBLE) / CAST(n AS DOUBLE), 6) AS frac_pos
+       |FROM f WHERE rn = n
+       |ORDER BY bin""".stripMargin
+
   /** SemDeDup (Abbas et al. 2023) — semantic dedup with CLUSTER
     * blocking (public operator behind [[graft.Graft.semDedup]]): train
     * k-means on the embedding column, then compare pairs only WITHIN
@@ -1289,6 +1370,7 @@ object SimOps {
     "s09_linear_probe" -> s09,
     "s08_cov_sampled" -> s08,
     "s07_pca_cov" -> s07,
+    "s14_calibration" -> s14,
     "s13_mrl_recall" -> s13,
     "s12_ann_sq" -> s12,
     "s06_ann_pq" -> s06,
@@ -1305,6 +1387,7 @@ object SimOps {
     "s09_linear_probe" -> s09Sql,
     "s08_cov_sampled" -> s08Sql,
     "s07_pca_cov" -> s07Sql,
+    "s14_calibration" -> s14Sql,
     "s13_mrl_recall" -> s13Sql,
     "s12_ann_sq" -> s12Sql,
     "s06_ann_pq" -> s06Sql,

@@ -500,6 +500,28 @@ class Round9Spec extends AnyFunSuite {
     assert(crash._3 == 119.0, "reversed SAR jumps to the old extreme point (max high = 118+1)")
   }
 
+  test("calibrationBins: perfect separation yields a step diagram") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    // scores 0.00..0.99, positive iff score >= 0.50: deciles 0-4 must be
+    // all-negative, 5-9 all-positive, and every bin mean sits inside it
+    val rows = (0 until 100).map(i => (i.toLong, i / 100.0, i >= 50))
+      .toDF("id", "score", "is_pos")
+    val out = graft.Graft.calibrationBins(rows, "score", "is_pos", "id")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out.size == 10 && out.values.map(_._1).sum == 100L)
+    (0 until 5).foreach(b => assert(out(b)._4 == 0.0, s"bin $b must be pure negative"))
+    (5 until 10).foreach(b => assert(out(b)._4 == 1.0, s"bin $b must be pure positive"))
+    out.foreach { case (b, (_, _, mean, _)) =>
+      assert(mean >= b / 10.0 - 1e-9 && mean < (b + 1) / 10.0 + 1e-9,
+        s"bin $b mean $mean outside its bounds")
+    }
+    intercept[IllegalArgumentException] {
+      graft.Graft.calibrationBins(rows.filter($"id" < 0), "score", "is_pos", "id")
+    }
+  }
+
   test("previousRoundTimes picks the newest round artifact") {
     val dir = Files.createTempDirectory("bench_new").toFile
     write(dir, "BENCH_r2.json",
