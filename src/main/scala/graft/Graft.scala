@@ -1393,6 +1393,15 @@ object Graft {
                  mult: Double = 3.0): DataFrame =
     ops.ScanOps.supertrendOf(bars, key, ts, high, low, close, n, mult)
 
+  /** Ichimoku Kinkō Hyō: the five-line window composite (tenkan/kijun
+    * range midpoints, the two cloud edges as lags, the lagging span as
+    * a lead) — exact picks and 2-term means, one window shuffle.
+    * See [[ops.FinOps.ichimokuOf]]. */
+  def ichimoku(bars: DataFrame, key: String, ts: String, high: String,
+               low: String, close: String, pT: Int = 9, pK: Int = 26,
+               pB: Int = 52): DataFrame =
+    ops.FinOps.ichimokuOf(bars, key, ts, high, low, close, pT, pK, pB)
+
   /** Parabolic SAR (Wilder): the stop-and-reverse companion of
     * [[supertrend]] — SAR accelerates toward the extreme point, clamps
     * to the prior two bars, reverses when pierced; four carried states

@@ -1014,7 +1014,82 @@ object FinOps {
       |FROM a
       |ORDER BY series""".stripMargin
 
+  /** Ichimoku Kinkō Hyō over ANY (key, ts, high, low, close) bar table
+    * (public operator behind [[graft.Graft.ichimoku]]) — the five-line
+    * window composite completing the indicator family next to the
+    * recurrence forms (q67/q68):
+    *   tenkan  = midpoint of the `pT`-bar high/low range (9)
+    *   kijun   = midpoint of the `pK`-bar range (26)
+    *   senkou_a = (tenkan+kijun)/2 computed `pK` bars AGO (the cloud
+    *              edge plotted forward — as a column, a lag)
+    *   senkou_b = `pB`-bar-range midpoint (52) computed `pK` bars ago
+    *   chikou  = close `pK` bars AHEAD (the lagging span — a lead;
+    *             null for the newest pK bars by construction)
+    * Each line null until its window fills. Every ingredient is an
+    * exact rolling max/min pick or a 2-term mean, so all five lines
+    * are bit-exact; ONE window shuffle on the series key serves every
+    * frame. */
+  def ichimokuOf(bars: DataFrame, key: String, ts: String, high: String,
+                 low: String, close: String, pT: Int = 9, pK: Int = 26,
+                 pB: Int = 52): DataFrame = {
+    require(pT >= 1 && pK >= pT && pB >= pK, s"need 1 <= pT <= pK <= pB, got $pT/$pK/$pB")
+    val w = Window.partitionBy(col(key)).orderBy(col(ts))
+    def mid(n: Int): Column = {
+      val f = w.rowsBetween(-(n - 1), Window.currentRow)
+      (max(col(high)).over(f) + min(col(low)).over(f)) / 2.0
+    }
+    val rn = row_number().over(w)
+    bars
+      .withColumn("__rn", rn)
+      .withColumn("tenkan", when(col("__rn") >= pT, mid(pT)))
+      .withColumn("kijun", when(col("__rn") >= pK, mid(pK)))
+      .withColumn("senkou_a", lag((col("tenkan") + col("kijun")) / 2.0, pK).over(w))
+      .withColumn("senkou_b", lag(when(col("__rn") >= pB, mid(pB)), pK).over(w))
+      .withColumn("chikou", lead(col(close), pK).over(w))
+      .select(col(key), col(ts), col(close), col("tenkan"), col("kijun"),
+        col("senkou_a"), col("senkou_b"), col("chikou"))
+  }
+
+  /** #q69 Ichimoku(9, 26, 52) over the q37 hourly bars. */
+  private val q69: Q = (s, dir) =>
+    ichimokuOf(hourBars(s, dir), "event_type", "bucket", "high", "low", "close")
+      .select(col("event_type"), epochMs(col("bucket")).as("bucket_ms"), col("close"),
+        r6(col("tenkan")).as("tenkan"), r6(col("kijun")).as("kijun"),
+        r6(col("senkou_a")).as("senkou_a"), r6(col("senkou_b")).as("senkou_b"),
+        col("chikou"))
+      .orderBy("event_type", "bucket_ms")
+
+  private val q69Sql =
+    s"""WITH $barsSqlCte,
+       |c AS (
+       |  SELECT event_type, bucket, close,
+       |    row_number() OVER o AS rn,
+       |    (max(high) OVER (o ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)
+       |      + min(low) OVER (o ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)) / 2.0 AS m9,
+       |    (max(high) OVER (o ROWS BETWEEN 25 PRECEDING AND CURRENT ROW)
+       |      + min(low) OVER (o ROWS BETWEEN 25 PRECEDING AND CURRENT ROW)) / 2.0 AS m26,
+       |    (max(high) OVER (o ROWS BETWEEN 51 PRECEDING AND CURRENT ROW)
+       |      + min(low) OVER (o ROWS BETWEEN 51 PRECEDING AND CURRENT ROW)) / 2.0 AS m52
+       |  FROM b
+       |  WINDOW o AS (PARTITION BY event_type ORDER BY bucket)),
+       |t AS (
+       |  SELECT event_type, bucket, close, rn,
+       |    CASE WHEN rn >= 9 THEN m9 END AS tenkan,
+       |    CASE WHEN rn >= 26 THEN m26 END AS kijun,
+       |    CASE WHEN rn >= 52 THEN m52 END AS m52g
+       |  FROM c)
+       |SELECT event_type, epoch_ms(bucket) AS bucket_ms, close,
+       |  round(tenkan, 6) AS tenkan,
+       |  round(kijun, 6) AS kijun,
+       |  round(lag((tenkan + kijun) / 2.0, 26) OVER o, 6) AS senkou_a,
+       |  round(lag(m52g, 26) OVER o, 6) AS senkou_b,
+       |  lead(close, 26) OVER o AS chikou
+       |FROM t
+       |WINDOW o AS (PARTITION BY event_type ORDER BY bucket)
+       |ORDER BY event_type, bucket_ms""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q69_ichimoku" -> q69,
     "q64_rank_ic" -> q64,
     "q62_var_es" -> q62,
     "q59_volume_bars" -> q59,
@@ -1034,6 +1109,7 @@ object FinOps {
     "q52_linregress" -> q52)
 
   val oracle: Map[String, String] = Map(
+    "q69_ichimoku" -> q69Sql,
     "q64_rank_ic" -> q64Sql,
     "q62_var_es" -> q62Sql,
     "q59_volume_bars" -> q59Sql,

@@ -522,6 +522,31 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  test("ichimoku: warmup nulls, shifted spans, flat-series identity") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    def ts(h: Int) = new java.sql.Timestamp(h * 3600000L)
+    val bars = (0 until 80).map(h => ("A", ts(h), 105.0, 95.0, 100.0))
+      .toDF("event_type", "ts", "high", "low", "close")
+    val out = graft.Graft.ichimoku(bars, "event_type", "ts", "high", "low", "close")
+      .orderBy("ts").collect()
+    def d(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    out.zipWithIndex.foreach { case (r, i) =>
+      val h = i + 1
+      assert(d(r, 3).isDefined == (h >= 9), s"tenkan warmup at $h")
+      assert(d(r, 4).isDefined == (h >= 26), s"kijun warmup at $h")
+      // senkou_a needs kijun (26) shifted 26 -> first at bar 52;
+      // senkou_b needs the 52-window shifted 26 -> first at bar 78
+      assert(d(r, 5).isDefined == (h >= 52), s"senkou_a at $h")
+      assert(d(r, 6).isDefined == (h >= 78), s"senkou_b at $h")
+      assert(d(r, 7).isDefined == (h <= 80 - 26), s"chikou at $h")
+      // flat series: every defined line is the 100.0 midpoint / close
+      Seq(3, 4, 5, 6).foreach(c => d(r, c).foreach(v => assert(v == 100.0)))
+      d(r, 7).foreach(v => assert(v == 100.0))
+    }
+  }
+
   test("previousRoundTimes picks the newest round artifact") {
     val dir = Files.createTempDirectory("bench_new").toFile
     write(dir, "BENCH_r2.json",
