@@ -1412,6 +1412,53 @@ object Graft {
            afMax: Double = 0.2): DataFrame =
     ops.ScanOps.psarOf(bars, key, ts, high, low, close, af0, afMax)
 
+  /** Commodity Channel Index(n): (tp − SMA(tp))/(0.015·MeanDev) — the
+    * mean absolute deviation folds the window's n tp values about the
+    * window's own mean (a bounded collect_list per row; nothing a
+    * cumulative-sum difference expresses). See [[ops.IndicatorOps.cciOf]]. */
+  def cci(bars: DataFrame, key: String, ts: String, high: String,
+          low: String, close: String, n: Int = 20): DataFrame =
+    ops.IndicatorOps.cciOf(bars, key, ts, high, low, close, n)
+
+  /** Williams %R(n): −100·(HH−close)/(HH−LL), the inverted stochastic
+    * — exact rolling extrema, one window shuffle.
+    * See [[ops.IndicatorOps.williamsROf]]. */
+  def williamsR(bars: DataFrame, key: String, ts: String, high: String,
+                low: String, close: String, n: Int = 14): DataFrame =
+    ops.IndicatorOps.williamsROf(bars, key, ts, high, low, close, n)
+
+  /** Keltner channel (original SMA form): SMA(tp) ± SMA(high−low),
+    * both rolling means as cumulative-sum differences.
+    * See [[ops.IndicatorOps.keltnerOf]]. */
+  def keltner(bars: DataFrame, key: String, ts: String, high: String,
+              low: String, close: String, n: Int = 10): DataFrame =
+    ops.IndicatorOps.keltnerOf(bars, key, ts, high, low, close, n)
+
+  /** Money Flow Index(n): volume-weighted RSI over typical-price money
+    * flows. See [[ops.IndicatorOps.mfiOf]]. */
+  def mfi(bars: DataFrame, key: String, ts: String, high: String,
+          low: String, close: String, vol: String, n: Int = 14): DataFrame =
+    ops.IndicatorOps.mfiOf(bars, key, ts, high, low, close, vol, n)
+
+  /** Vortex indicator(n): VM± range sums over the true-range sum.
+    * See [[ops.IndicatorOps.vortexOf]]. */
+  def vortex(bars: DataFrame, key: String, ts: String, high: String,
+             low: String, close: String, n: Int = 14): DataFrame =
+    ops.IndicatorOps.vortexOf(bars, key, ts, high, low, close, n)
+
+  /** Chaikin A/D line: running Σ of close-location-weighted volume —
+    * the weighted sibling of [[obv]]. See [[ops.IndicatorOps.chaikinAdOf]]. */
+  def chaikinAd(bars: DataFrame, key: String, ts: String, high: String,
+                low: String, close: String, vol: String): DataFrame =
+    ops.IndicatorOps.chaikinAdOf(bars, key, ts, high, low, close, vol)
+
+  /** Aroon(n) up/down: bars since the latest n-bar high/low scaled to
+    * (0, 100] — pure list/position ops, no float folds.
+    * See [[ops.IndicatorOps.aroonOf]]. */
+  def aroon(bars: DataFrame, key: String, ts: String, high: String,
+            low: String, n: Int = 25): DataFrame =
+    ops.IndicatorOps.aroonOf(bars, key, ts, high, low, n)
+
   /** Perceptual average-hash of a binary column: `bits` evenly-strided
     * payload samples thresholded at the payload mean, packed into one
     * BIGINT — map-only at scan speed. With a real codec the same

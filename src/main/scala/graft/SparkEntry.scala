@@ -18,6 +18,7 @@ object SparkEntry {
       (TimeSeriesOps.queries, TimeSeriesOps.oracle),
       (BehaviorOps.queries, BehaviorOps.oracle),
       (FinOps.queries, FinOps.oracle),
+      (IndicatorOps.queries, IndicatorOps.oracle),
       (ScanOps.queries, ScanOps.oracle),
       (DedupOps.queries, DedupOps.oracle),
       (TextOps.queries, TextOps.oracle),
