@@ -1412,6 +1412,25 @@ object Graft {
            afMax: Double = 0.2): DataFrame =
     ops.ScanOps.psarOf(bars, key, ts, high, low, close, af0, afMax)
 
+  /** Wilder's ADX(n): +DM/−DM/TR each RMA-smoothed, DI± ratios, DX,
+    * and ADX as the RMA of DX — four coupled recurrences in one exact
+    * segmented scan. See [[ops.ScanOps.adxOf]]. */
+  def adx(bars: DataFrame, key: String, ts: String, high: String,
+          low: String, close: String, n: Int = 14): DataFrame =
+    ops.ScanOps.adxOf(bars, key, ts, high, low, close, n)
+
+  /** Heikin-Ashi candles: ha_close per bar, ha_open by the two-state
+    * recurrence, extrema vs both. See [[ops.ScanOps.heikinAshiOf]]. */
+  def heikinAshi(bars: DataFrame, key: String, ts: String, open: String,
+                 high: String, low: String, close: String): DataFrame =
+    ops.ScanOps.heikinAshiOf(bars, key, ts, open, high, low, close)
+
+  /** TRIX(n): 1-bar rate of change of a triple span-EWMA — three
+    * carried doubles in one scan pass. See [[ops.ScanOps.trixOf]]. */
+  def trix(df: DataFrame, key: String, ts: String, tie: String,
+           value: String, n: Int = 15): DataFrame =
+    ops.ScanOps.trixOf(df, key, ts, tie, value, n)
+
   /** Commodity Channel Index(n): (tp − SMA(tp))/(0.015·MeanDev) — the
     * mean absolute deviation folds the window's n tp values about the
     * window's own mean (a bounded collect_list per row; nothing a

@@ -699,13 +699,293 @@ object ScanOps {
        |ORDER BY event_type, bucket_ms""".stripMargin
   }
 
+  /** Wilder's ADX(n) — the directional-movement system as ONE scan
+    * pass (public operator behind [[graft.Graft.adx]]): per series in
+    * ts order, +DM/−DM/TR from consecutive bars, each RMA-smoothed by
+    * the exact recurrence (init = first delta's value, then
+    * x·β + α·v, α = 1/n — the [[rsiWilderOf]] smoothing), DI± =
+    * 100·smoothed DM/ATR, DX = 100·|DI+−DI−|/(DI++DI−), and ADX = the
+    * same RMA over the DX stream (init = first DX). Convention
+    * (documented, not library-specific — ta-lib seeds with flat sums
+    * instead): all four recurrences init at the FIRST delta; DI/DX
+    * emit null until n deltas exist, ADX until 2n−1 (n DI deltas + n−1
+    * ADX folds). Zero guards: ATR = 0 ⇒ DI = 0; DI++DI− = 0 ⇒ DX = 0.
+    * Seven carried doubles, O(1) state; contracts as [[supertrendOf]].
+    *
+    * Parity: per-series RECURSIVE CTE replay (the q67 pattern) with
+    * tr/pdm/ndm precomputed as lag columns in the bars CTE; α/β are
+    * interpolated Scala doubles so both engines fold identical
+    * constants. */
+  def adxOf(df: DataFrame, key: String, ts: String, high: String,
+            low: String, close: String, n: Int = 14): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val s = df.sparkSession
+    import s.implicits._
+    val alpha = 1.0 / n
+    val beta = 1.0 - alpha
+    df.select(col(key).cast("string").as("__k"), epochMs(col(ts)).as("__t"),
+        col(high).cast("double").as("__h"), col(low).cast("double").as("__l"),
+        col(close).cast("double").as("__c"))
+      .as[(String, Long, Double, Double, Double)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("__t").asc) { (k, rows) =>
+        var j = 0
+        var ph = 0.0; var pl = 0.0; var pc = 0.0
+        var atr = 0.0; var ps = 0.0; var ns = 0.0; var adx = 0.0
+        var seeded = false
+        rows.flatMap { case (_, t, hi, lo, cl) =>
+          val out =
+            if (!seeded) { seeded = true; None }
+            else {
+              val up = hi - ph
+              val dn = pl - lo
+              val pdm = if (up > dn && up > 0) up else 0.0
+              val ndm = if (dn > up && dn > 0) dn else 0.0
+              val tr = math.max(hi - lo, math.max(math.abs(hi - pc), math.abs(lo - pc)))
+              j += 1
+              if (j == 1) { atr = tr; ps = pdm; ns = ndm }
+              else {
+                atr = atr * beta + alpha * tr
+                ps = ps * beta + alpha * pdm
+                ns = ns * beta + alpha * ndm
+              }
+              val dip = if (atr > 0) 100.0 * ps / atr else 0.0
+              val din = if (atr > 0) 100.0 * ns / atr else 0.0
+              val dx = if (dip + din == 0) 0.0 else 100.0 * math.abs(dip - din) / (dip + din)
+              if (j == 1) adx = dx else adx = adx * beta + alpha * dx
+              Some((k, t,
+                if (j >= n) Some(dip) else None,
+                if (j >= n) Some(din) else None,
+                if (j >= n) Some(dx) else None,
+                if (j >= 2 * n - 1) Some(adx) else None))
+            }
+          ph = hi; pl = lo; pc = cl
+          out
+        }
+      }
+      .toDF(key, "ts_ms", "di_plus", "di_minus", "dx", "adx")
+  }
+
+  /** #q77 ADX(14) over the q37 hourly bars. */
+  private val q77: Q = (s, dir) =>
+    adxOf(
+      graft.Graft.resampleOhlc(t(s, dir, "events"), "event_type", "ts", "event_id", "value", "hour"),
+      "event_type", "bucket", "high", "low", "close", n = 14)
+      .select(col("event_type"), col("ts_ms").as("bucket_ms"),
+        r6(col("di_plus")).as("di_plus"), r6(col("di_minus")).as("di_minus"),
+        r6(col("dx")).as("dx"), r6(col("adx")).as("adx"))
+      .orderBy("event_type", "bucket_ms")
+
+  private val q77Sql: String = {
+    val n = 14
+    val alpha = 1.0 / n
+    val beta = 1.0 - alpha
+    val atrE = s"(s.atr * $beta + $alpha * b.tr)"
+    val psE = s"(s.ps * $beta + $alpha * b.pdm)"
+    val nsE = s"(s.ns * $beta + $alpha * b.ndm)"
+    val dipE = s"(CASE WHEN $atrE > 0 THEN 100.0 * $psE / $atrE ELSE 0.0 END)"
+    val dinE = s"(CASE WHEN $atrE > 0 THEN 100.0 * $nsE / $atrE ELSE 0.0 END)"
+    val dxE = s"(CASE WHEN $dipE + $dinE = 0 THEN 0.0" +
+      s" ELSE 100.0 * abs($dipE - $dinE) / ($dipE + $dinE) END)"
+    val dip1 = "(CASE WHEN tr > 0 THEN 100.0 * pdm / tr ELSE 0.0 END)"
+    val din1 = "(CASE WHEN tr > 0 THEN 100.0 * ndm / tr ELSE 0.0 END)"
+    val dx1 = s"(CASE WHEN $dip1 + $din1 = 0 THEN 0.0" +
+      s" ELSE 100.0 * abs($dip1 - $din1) / ($dip1 + $din1) END)"
+    s"""WITH RECURSIVE bb AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+       |    max(value) AS high, min(value) AS low,
+       |    last(value ORDER BY ts, event_id) AS close
+       |  FROM events GROUP BY 1, 2),
+       |bars AS (
+       |  SELECT event_type, bucket, row_number() OVER o AS rn,
+       |    CASE WHEN high - lag(high) OVER o > lag(low) OVER o - low
+       |          AND high - lag(high) OVER o > 0
+       |      THEN high - lag(high) OVER o ELSE 0.0 END AS pdm,
+       |    CASE WHEN lag(low) OVER o - low > high - lag(high) OVER o
+       |          AND lag(low) OVER o - low > 0
+       |      THEN lag(low) OVER o - low ELSE 0.0 END AS ndm,
+       |    greatest(high - low, abs(high - lag(close) OVER o),
+       |      abs(low - lag(close) OVER o)) AS tr
+       |  FROM bb
+       |  WINDOW o AS (PARTITION BY event_type ORDER BY bucket)),
+       |st(event_type, rn, atr, ps, ns, dip, din, dx, adx) AS (
+       |  SELECT event_type, rn, tr, pdm, ndm, $dip1, $din1, $dx1, $dx1
+       |  FROM bars WHERE rn = 2
+       |  UNION ALL
+       |  SELECT b.event_type, b.rn, $atrE, $psE, $nsE, $dipE, $dinE, $dxE,
+       |    s.adx * $beta + $alpha * $dxE
+       |  FROM st s JOIN bars b ON b.event_type = s.event_type AND b.rn = s.rn + 1)
+       |SELECT s.event_type AS event_type, epoch_ms(b.bucket) AS bucket_ms,
+       |  round(CASE WHEN s.rn - 1 >= $n THEN s.dip END, 6) AS di_plus,
+       |  round(CASE WHEN s.rn - 1 >= $n THEN s.din END, 6) AS di_minus,
+       |  round(CASE WHEN s.rn - 1 >= $n THEN s.dx END, 6) AS dx,
+       |  round(CASE WHEN s.rn - 1 >= ${2 * n - 1} THEN s.adx END, 6) AS adx
+       |FROM st s JOIN bars b ON b.event_type = s.event_type AND b.rn = s.rn
+       |ORDER BY event_type, bucket_ms""".stripMargin
+  }
+
+  /** Heikin-Ashi bars — the smoothed-candle transform: ha_close =
+    * (o+h+l+c)/4 per bar, ha_open = the RECURRENCE
+    * (prev ha_open + prev ha_close)/2 (init (o₁+c₁)/2), ha_high/low =
+    * max/min of the raw extreme and both HA values (public operator
+    * behind [[graft.Graft.heikinAshi]]). The open chain is the one
+    * sequential part — two carried doubles, O(1) state; every bar
+    * emits. Contracts as [[supertrendOf]]; parity via the q67
+    * RECURSIVE CTE replay. */
+  def heikinAshiOf(df: DataFrame, key: String, ts: String, open: String,
+                   high: String, low: String, close: String): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col(key).cast("string").as("__k"), epochMs(col(ts)).as("__t"),
+        col(open).cast("double").as("__o"), col(high).cast("double").as("__h"),
+        col(low).cast("double").as("__l"), col(close).cast("double").as("__c"))
+      .as[(String, Long, Double, Double, Double, Double)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("__t").asc) { (k, rows) =>
+        var hao = 0.0
+        var hac = 0.0
+        var first = true
+        rows.map { case (_, t, o, h, l, c) =>
+          val newHac = (o + h + l + c) / 4.0
+          if (first) { hao = (o + c) / 2.0; first = false }
+          else hao = (hao + hac) / 2.0
+          hac = newHac
+          val hah = math.max(h, math.max(hao, hac))
+          val hal = math.min(l, math.min(hao, hac))
+          (k, t, hao, hah, hal, hac)
+        }
+      }
+      .toDF(key, "ts_ms", "ha_open", "ha_high", "ha_low", "ha_close")
+  }
+
+  /** #q78 Heikin-Ashi over the q37 hourly bars (exact-pick OHLC). */
+  private val q78: Q = (s, dir) =>
+    heikinAshiOf(
+      graft.Graft.resampleOhlc(t(s, dir, "events"), "event_type", "ts", "event_id", "value", "hour"),
+      "event_type", "bucket", "open", "high", "low", "close")
+      .select(col("event_type"), col("ts_ms").as("bucket_ms"),
+        r6(col("ha_open")).as("ha_open"), r6(col("ha_high")).as("ha_high"),
+        r6(col("ha_low")).as("ha_low"), r6(col("ha_close")).as("ha_close"))
+      .orderBy("event_type", "bucket_ms")
+
+  private val q78Sql: String =
+    """WITH RECURSIVE bb AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+      |    first(value ORDER BY ts, event_id) AS open,
+      |    max(value) AS high, min(value) AS low,
+      |    last(value ORDER BY ts, event_id) AS close
+      |  FROM events GROUP BY 1, 2),
+      |bars AS (
+      |  SELECT event_type, bucket, open, high, low, close,
+      |    (open + high + low + close) / 4.0 AS hac,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS rn
+      |  FROM bb),
+      |st(event_type, rn, hao, hac) AS (
+      |  SELECT event_type, rn, (open + close) / 2.0, hac
+      |  FROM bars WHERE rn = 1
+      |  UNION ALL
+      |  SELECT b.event_type, b.rn, (s.hao + s.hac) / 2.0, b.hac
+      |  FROM st s JOIN bars b ON b.event_type = s.event_type AND b.rn = s.rn + 1)
+      |SELECT s.event_type AS event_type, epoch_ms(b.bucket) AS bucket_ms,
+      |  round(s.hao, 6) AS ha_open,
+      |  round(greatest(b.high, s.hao, s.hac), 6) AS ha_high,
+      |  round(least(b.low, s.hao, s.hac), 6) AS ha_low,
+      |  round(s.hac, 6) AS ha_close
+      |FROM st s JOIN bars b ON b.event_type = s.event_type AND b.rn = s.rn
+      |ORDER BY event_type, bucket_ms""".stripMargin
+
+  /** TRIX(n) — 1-bar rate of change of a TRIPLE span-EWMA
+    * (α = 2/(n+1), each stage init at its first input — the q44
+    * adjust=False composition rule), the momentum oscillator that
+    * filters everything shorter than three smoothing passes:
+    * trix = 100·(e3ᵢ/e3ᵢ₋₁ − 1), null on the first bar and whenever
+    * the previous e3 is 0. Three carried doubles in ONE scan pass
+    * (public operator behind [[graft.Graft.trix]]); contracts as
+    * [[ewmaExactOf]]; parity via RECURSIVE CTE carrying (e1, e2, e3)
+    * with the previous e3 recovered by lag over the replay. */
+  def trixOf(df: DataFrame, key: String, ts: String, tie: String,
+             value: String, n: Int = 15): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val s = df.sparkSession
+    import s.implicits._
+    val alpha = 2.0 / (n + 1)
+    val beta = 1.0 - alpha
+    df.select(col(key).cast("string").as("__k"), epochMs(col(ts)).as("__t"),
+        col(tie).cast("long").as("__i"), col(value).cast("double").as("__x"))
+      .as[(String, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("__t").asc, col("__i").asc) { (k, rows) =>
+        var e1 = 0.0; var e2 = 0.0; var e3 = 0.0
+        var first = true
+        rows.map { case (_, t, i, x) =>
+          if (first) {
+            e1 = x; e2 = x; e3 = x; first = false
+            (k, t, i, e3, None: Option[Double])
+          } else {
+            val pe3 = e3
+            e1 = e1 * beta + alpha * x
+            e2 = e2 * beta + alpha * e1
+            e3 = e3 * beta + alpha * e2
+            val trix = if (pe3 != 0.0) Some(100.0 * (e3 / pe3 - 1.0)) else None
+            (k, t, i, e3, trix)
+          }
+        }
+      }
+      .toDF(key, "ts_ms", tie, "e3", "trix")
+  }
+
+  /** #q79 TRIX(15) over hourly closes (the q44 value stream). */
+  private val q79: Q = (s, dir) =>
+    trixOf(
+      graft.Graft.resampleOhlc(t(s, dir, "events"), "event_type", "ts", "event_id", "value", "hour")
+        .withColumn("__tie", lit(0L)),
+      "event_type", "bucket", "__tie", "close", n = 15)
+      .select(col("event_type"), col("ts_ms").as("bucket_ms"),
+        r6(col("e3")).as("e3"), r6(col("trix")).as("trix"))
+      .orderBy("event_type", "bucket_ms")
+
+  private val q79Sql: String = {
+    val n = 15
+    val alpha = 2.0 / (n + 1)
+    val beta = 1.0 - alpha
+    val e1E = s"(s.e1 * $beta + $alpha * b.close)"
+    val e2E = s"(s.e2 * $beta + $alpha * $e1E)"
+    val e3E = s"(s.e3 * $beta + $alpha * $e2E)"
+    s"""WITH RECURSIVE bb AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+       |    last(value ORDER BY ts, event_id) AS close
+       |  FROM events GROUP BY 1, 2),
+       |bars AS (
+       |  SELECT event_type, bucket, close,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS rn
+       |  FROM bb),
+       |st(event_type, rn, e1, e2, e3) AS (
+       |  SELECT event_type, rn, close, close, close
+       |  FROM bars WHERE rn = 1
+       |  UNION ALL
+       |  SELECT b.event_type, b.rn, $e1E, $e2E, $e3E
+       |  FROM st s JOIN bars b ON b.event_type = s.event_type AND b.rn = s.rn + 1),
+       |r AS (
+       |  SELECT event_type, rn, e3,
+       |    lag(e3) OVER (PARTITION BY event_type ORDER BY rn) AS pe3
+       |  FROM st)
+       |SELECT r.event_type AS event_type, epoch_ms(b.bucket) AS bucket_ms,
+       |  round(r.e3, 6) AS e3,
+       |  round(CASE WHEN r.pe3 IS NOT NULL AND r.pe3 <> 0.0
+       |    THEN 100.0 * (r.e3 / r.pe3 - 1.0) END, 6) AS trix
+       |FROM r JOIN bars b ON b.event_type = r.event_type AND b.rn = r.rn
+       |ORDER BY event_type, bucket_ms""".stripMargin
+  }
+
   val queries: Map[String, Q] =
     Map("q39_ewma_exact" -> q39, "q40_wilder_rsi" -> q40, "q44_macd" -> q44,
       "q60_kalman" -> q60, "q63_garch" -> q63, "q67_supertrend" -> q67,
-      "q68_psar" -> q68)
+      "q68_psar" -> q68, "q77_adx" -> q77, "q78_heikin_ashi" -> q78,
+      "q79_trix" -> q79)
 
   val oracle: Map[String, String] =
     Map("q39_ewma_exact" -> q39Sql, "q40_wilder_rsi" -> q40Sql, "q44_macd" -> q44Sql,
       "q60_kalman" -> q60Sql, "q63_garch" -> q63Sql, "q67_supertrend" -> q67Sql,
-      "q68_psar" -> q68Sql)
+      "q68_psar" -> q68Sql, "q77_adx" -> q77Sql, "q78_heikin_ashi" -> q78Sql,
+      "q79_trix" -> q79Sql)
 }

@@ -98,6 +98,57 @@ class IndicatorSpec extends SparkSpec {
     assert(out.toSeq == Seq((1.0, 5.0), (-1.0, 2.0), (0.0, 2.0), (0.0, 2.0)))
   }
 
+  test("adx: steady ramp pins DI+=50, DI-=0, DX=ADX=100; warmup gates hold") {
+    // h=i+1,l=i-1,c=i: +DM=1, -DM=0, TR=2 every delta -> all RMAs are
+    // constant from the seed, so DI+/DX/ADX are exact from first emission
+    val out = Graft.adx(ramp(40), "event_type", "ts", "high", "low", "close", n = 14)
+      .orderBy("ts_ms").collect()
+    assert(out.length == 39, "seed bar emits nothing")
+    out.zipWithIndex.foreach { case (r, i) =>
+      val j = i + 1 // delta index
+      assert(!r.isNullAt(2) == (j >= 14), s"di warmup at $j")
+      assert(!r.isNullAt(5) == (j >= 27), s"adx warmup at $j")
+      if (j >= 14) {
+        assert(r.getDouble(2) == 50.0 && r.getDouble(3) == 0.0 && r.getDouble(4) == 100.0)
+      }
+      if (j >= 27) assert(r.getDouble(5) == 100.0)
+    }
+  }
+
+  test("heikinAshi: hand-computed three-bar chain; flat series is identity") {
+    val bars = Seq(
+      ("A", ts(1), 10.0, 12.0, 8.0, 11.0),
+      ("A", ts(2), 11.0, 13.0, 10.0, 12.0),
+      ("A", ts(3), 12.0, 12.0, 9.0, 9.0))
+      .toDF("event_type", "ts", "open", "high", "low", "close")
+    val out = Graft.heikinAshi(bars, "event_type", "ts", "open", "high", "low", "close")
+      .orderBy("ts_ms").collect()
+      .map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(out(0) == ((10.5, 12.0, 8.0, 10.25)))
+    assert(out(1) == ((10.375, 13.0, 10.0, 11.5)))
+    assert(out(2) == ((10.9375, 12.0, 9.0, 10.5)))
+    val fl = Graft.heikinAshi(
+      flat(5).withColumn("open", org.apache.spark.sql.functions.lit(100.0)),
+      "event_type", "ts", "open", "high", "low", "close")
+      .collect()
+    fl.foreach { r =>
+      assert(r.getDouble(2) == 100.0 && r.getDouble(5) == 100.0, "flat HA open/close")
+      assert(r.getDouble(3) == 105.0 && r.getDouble(4) == 95.0, "raw extrema survive")
+    }
+  }
+
+  test("trix: constant series -> 0 after the first bar; ramp -> positive") {
+    val const = (1 to 10).map(i => ("A", ts(i), 0L, 50.0)).toDF("event_type", "ts", "tie", "x")
+    val out = Graft.trix(const, "event_type", "ts", "tie", "x", n = 15)
+      .orderBy("ts_ms").collect()
+    assert(out(0).isNullAt(4), "first bar has no previous e3")
+    out.drop(1).foreach(r => assert(r.getDouble(4) == 0.0 && r.getDouble(3) == 50.0))
+    val rampx = (1 to 30).map(i => ("A", ts(i), 0L, i.toDouble)).toDF("event_type", "ts", "tie", "x")
+    val r2 = Graft.trix(rampx, "event_type", "ts", "tie", "x", n = 15)
+      .orderBy("ts_ms").collect()
+    r2.drop(1).foreach(r => assert(r.getDouble(4) > 0.0, "monotone rise -> positive trix"))
+  }
+
   test("aroon: rising highs pin up=100, falling lows pin down=100; latest tie wins") {
     val out = Graft.aroon(ramp(30), "event_type", "ts", "high", "low", n = 25)
       .orderBy("ts").collect()
