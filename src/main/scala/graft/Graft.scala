@@ -1412,6 +1412,33 @@ object Graft {
            afMax: Double = 0.2): DataFrame =
     ops.ScanOps.psarOf(bars, key, ts, high, low, close, af0, afMax)
 
+  /** Amihud illiquidity: rolling mean of |return|/volume — the price
+    * impact per unit volume. See [[ops.EconOps.amihudOf]]. */
+  def amihud(bars: DataFrame, key: String, ts: String, close: String,
+             vol: String, n: Int = 20): DataFrame =
+    ops.EconOps.amihudOf(bars, key, ts, close, vol, n)
+
+  /** Roll implied effective spread: 2·√(−autocov(Δp)) per series, from
+    * the bid-ask-bounce negative autocorrelation of price changes.
+    * See [[ops.EconOps.rollSpreadOf]]. */
+  def rollSpread(df: DataFrame, key: String, ts: String, price: String): DataFrame =
+    ops.EconOps.rollSpreadOf(df, key, ts, price)
+
+  /** Autocorrelation function at lags 1..maxLag per series — one
+    * window pass, one fold; q21's rolling form generalized to the
+    * full lag profile. See [[ops.EconOps.acfOf]]. */
+  def acf(df: DataFrame, key: String, ts: String, value: String,
+          maxLag: Int = 10): DataFrame =
+    ops.EconOps.acfOf(df, key, ts, value, maxLag)
+
+  /** Hurst exponent by rescaled-range analysis: block R/S per scale,
+    * log-mean per scale, OLS slope against log(scale). ≈0.5 random
+    * walk, >0.5 trending, <0.5 mean-reverting.
+    * See [[ops.EconOps.hurstOf]]. */
+  def hurst(df: DataFrame, key: String, ts: String, value: String,
+            scales: Seq[Int] = Seq(32, 64, 128)): DataFrame =
+    ops.EconOps.hurstOf(df, key, ts, value, scales)
+
   /** Wilder's ADX(n): +DM/−DM/TR each RMA-smoothed, DI± ratios, DX,
     * and ADX as the RMA of DX — four coupled recurrences in one exact
     * segmented scan. See [[ops.ScanOps.adxOf]]. */

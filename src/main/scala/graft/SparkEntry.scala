@@ -19,6 +19,7 @@ object SparkEntry {
       (BehaviorOps.queries, BehaviorOps.oracle),
       (FinOps.queries, FinOps.oracle),
       (IndicatorOps.queries, IndicatorOps.oracle),
+      (EconOps.queries, EconOps.oracle),
       (ScanOps.queries, ScanOps.oracle),
       (DedupOps.queries, DedupOps.oracle),
       (TextOps.queries, TextOps.oracle),

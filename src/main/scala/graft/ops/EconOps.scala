@@ -1,0 +1,448 @@
+package graft.ops
+
+import graft.{F, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Market-microstructure and econometric estimators (SURVEY.md §2
+  * q80–q83) — the measurement layer a quant research pipeline runs on
+  * top of the bar tables the reference maintains: liquidity (Amihud),
+  * effective spread (Roll), serial dependence (ACF), and long-memory
+  * (Hurst R/S). These are corpus-statistics operators, not per-row
+  * indicators: each reduces a series (or series×scale grid) to a
+  * handful of rows.
+  *
+  * Scale stance: everything shuffles ONCE on its series (or
+  * series×lag / series×block) key; every float reduction is the
+  * q33/q30 defined-order cumulative fold with the group's last row
+  * kept, so results are bit-identical to the DuckDB oracle at any
+  * parallelism. The ACF lag explode (×maxLag) and Hurst scale explode
+  * (×|scales|) multiply the BAR table, never raw ticks — at 100 TB the
+  * bar grid is the small derived table (the q33 rule). */
+object EconOps {
+  type Q = (SparkSession, String) => DataFrame
+  import Tables.t
+  import F._
+
+  private def hourBars(s: SparkSession, dir: String): DataFrame =
+    graft.Graft.resampleOhlc(t(s, dir, "events"), "event_type", "ts", "event_id", "value", "hour")
+
+  // ----------------------------------------------------------- Amihud
+
+  /** Amihud (2002) illiquidity over ANY bar table with a volume
+    * column (public operator behind [[graft.Graft.amihud]]):
+    * illiq_t = |ret_t| / vol_t, rolling-mean'd over the last `n` bars
+    * — the price-impact-per-unit-volume proxy. The first bar of each
+    * series has no return and contributes an explicit 0.0 to the
+    * cumulative fold (identical op sequence both engines); the rolling
+    * mean is a cumulative-sum difference, null until n defined terms
+    * exist (rn ≥ n+1). Zero-volume bars are excluded by contract
+    * (vol > 0 required — a bar exists because it traded). One window
+    * shuffle, O(1) per row. */
+  def amihudOf(bars: DataFrame, key: String, ts: String, close: String,
+               vol: String, n: Int = 20): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val ord = Window.partitionBy(col(key)).orderBy(col(ts))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bars
+      .withColumn("__pc", lag(col(close), 1).over(ord))
+      .withColumn("__rn", row_number().over(ord))
+      .withColumn("ret",
+        when(col("__pc").isNotNull && col("__pc") =!= 0.0, col(close) / col("__pc") - 1.0))
+      .withColumn("illiq",
+        when(col("ret").isNotNull, abs(col("ret")) / col(vol).cast("double")))
+      .withColumn("__ci", sum(coalesce(col("illiq"), lit(0.0))).over(cum))
+      .withColumn("amihud",
+        when(col("__rn") >= n + 1,
+          (col("__ci") - coalesce(lag(col("__ci"), n).over(ord), lit(0.0))) / n))
+      .select(col(key), col(ts), col(close), col("ret"), col("illiq"), col("amihud"))
+  }
+
+  /** #q80 Amihud(20) over DAILY bars (n_trades volume proxy — the
+    * deterministic column, see [[FinOps]]). */
+  private val q80: Q = (s, dir) =>
+    amihudOf(
+      graft.Graft.resampleOhlc(t(s, dir, "events"), "event_type", "ts", "event_id", "value", "day"),
+      "event_type", "bucket", "close", "n_trades", n = 20)
+      .select(col("event_type"), epochMs(col("bucket")).as("bucket_ms"), col("close"),
+        r6(col("ret")).as("ret"), r6(col("illiq")).as("illiq"),
+        r6(col("amihud")).as("amihud"))
+      .orderBy("event_type", "bucket_ms")
+
+  private val q80Sql =
+    """WITH b AS (
+      |  SELECT event_type, date_trunc('day', ts) AS bucket,
+      |    last(value ORDER BY ts, event_id) AS close,
+      |    count(*) AS n_trades
+      |  FROM events GROUP BY 1, 2),
+      |c AS (
+      |  SELECT event_type, bucket, close,
+      |    lag(close, 1) OVER o AS pc,
+      |    row_number() OVER o AS rn,
+      |    CAST(n_trades AS DOUBLE) AS vol
+      |  FROM b
+      |  WINDOW o AS (PARTITION BY event_type ORDER BY bucket)),
+      |d AS (
+      |  SELECT event_type, bucket, close, rn,
+      |    CASE WHEN pc IS NOT NULL AND pc <> 0.0 THEN close / pc - 1.0 END AS ret,
+      |    CASE WHEN pc IS NOT NULL AND pc <> 0.0 THEN abs(close / pc - 1.0) / vol END AS illiq
+      |  FROM c),
+      |f AS (
+      |  SELECT event_type, bucket, close, rn, ret, illiq,
+      |    sum(coalesce(illiq, 0.0)) OVER w AS ci
+      |  FROM d
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_type, epoch_ms(bucket) AS bucket_ms, close,
+      |  round(ret, 6) AS ret, round(illiq, 6) AS illiq,
+      |  round(CASE WHEN rn >= 21 THEN
+      |    (ci - coalesce(lag(ci, 20) OVER (PARTITION BY event_type ORDER BY bucket),
+      |                   CAST(0.0 AS DOUBLE))) / 20
+      |  END, 6) AS amihud
+      |FROM f
+      |ORDER BY event_type, bucket_ms""".stripMargin
+
+  // ------------------------------------------------------ Roll spread
+
+  /** Roll (1984) implied effective spread over ANY (key, ts, price)
+    * series (public operator behind [[graft.Graft.rollSpread]]):
+    * spread = 2·√(−cov(Δp_t, Δp_{t−1})) — the bid-ask bounce makes
+    * consecutive price changes negatively autocorrelated, and the
+    * first-order autocovariance recovers the spread. One row per
+    * series: n_pairs, the autocovariance, and the spread (null when
+    * cov ≥ 0 — the estimator is undefined there, the standard
+    * convention). Population covariance from cumulative folds kept at
+    * the last pair row (q33 rule). One window shuffle. */
+  def rollSpreadOf(df: DataFrame, key: String, ts: String, price: String): DataFrame = {
+    val ord = Window.partitionBy(col(key)).orderBy(col(ts))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nD = col("__rn").cast("double")
+    df
+      .withColumn("__d", col(price) - lag(col(price), 1).over(ord))
+      .withColumn("__e", lag(col("__d"), 1).over(ord))
+      .filter(col("__d").isNotNull && col("__e").isNotNull)
+      .withColumn("__rn", row_number().over(ord))
+      .withColumn("__cx", sum(col("__d")).over(cum))
+      .withColumn("__cy", sum(col("__e")).over(cum))
+      .withColumn("__cxy", sum(col("__d") * col("__e")).over(cum))
+      .withColumn("__last", lead(col("__d"), 1).over(ord).isNull)
+      .filter(col("__last"))
+      .withColumn("autocov", (col("__cxy") - col("__cx") * col("__cy") / nD) / nD)
+      .select(col(key), col("__rn").cast("long").as("n_pairs"), col("autocov"),
+        when(col("autocov") < 0, lit(2.0) * sqrt(-col("autocov"))).as("roll_spread"))
+  }
+
+  /** #q81 Roll spread per series over hourly closes. */
+  private val q81: Q = (s, dir) =>
+    rollSpreadOf(hourBars(s, dir).select(col("event_type"), col("bucket"), col("close")),
+      "event_type", "bucket", "close")
+      .select(col("event_type").as("series"), col("n_pairs"),
+        r6(col("autocov")).as("autocov"), r6(col("roll_spread")).as("roll_spread"))
+      .orderBy("series")
+
+  private val q81Sql =
+    """WITH b AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+      |    last(value ORDER BY ts, event_id) AS close
+      |  FROM events GROUP BY 1, 2),
+      |d AS (
+      |  SELECT event_type, bucket,
+      |    close - lag(close, 1) OVER o AS dx
+      |  FROM b
+      |  WINDOW o AS (PARTITION BY event_type ORDER BY bucket)),
+      |p AS (
+      |  SELECT event_type, bucket, dx,
+      |    lag(dx, 1) OVER (PARTITION BY event_type ORDER BY bucket) AS ex
+      |  FROM d),
+      |q AS (SELECT * FROM p WHERE dx IS NOT NULL AND ex IS NOT NULL),
+      |c AS (
+      |  SELECT event_type, row_number() OVER o AS rn,
+      |    sum(dx) OVER w AS cx, sum(ex) OVER w AS cy,
+      |    sum(dx * ex) OVER w AS cxy,
+      |    lead(dx, 1) OVER o IS NULL AS is_last
+      |  FROM q
+      |  WINDOW o AS (PARTITION BY event_type ORDER BY bucket),
+      |    w AS (PARTITION BY event_type ORDER BY bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |f AS (
+      |  SELECT event_type, rn,
+      |    (cxy - cx * cy / CAST(rn AS DOUBLE)) / CAST(rn AS DOUBLE) AS autocov
+      |  FROM c WHERE is_last)
+      |SELECT event_type AS series, CAST(rn AS BIGINT) AS n_pairs,
+      |  round(autocov, 6) AS autocov,
+      |  round(CASE WHEN autocov < 0 THEN 2.0 * sqrt(-autocov) END, 6) AS roll_spread
+      |FROM f
+      |ORDER BY series""".stripMargin
+
+  // -------------------------------------------------------------- ACF
+
+  /** Autocorrelation function at lags 1..maxLag per series (public
+    * operator behind [[graft.Graft.acf]]) — the serial-dependence
+    * profile behind q21's single-lag rolling form. The series is
+    * exploded ×maxLag into (series, lag, x, y=x lagged) pairs in ONE
+    * window pass (maxLag lag frames on one sort), then each
+    * (series, lag) group reduces by the q33 cumulative fold kept at
+    * the last row: Pearson over the aligned pairs. Null when a group
+    * has <2 pairs or zero variance. Two shuffles total (series sort,
+    * then series×lag fold) regardless of maxLag. */
+  def acfOf(df: DataFrame, key: String, ts: String, value: String,
+            maxLag: Int = 10): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val ord = Window.partitionBy(col(key)).orderBy(col(ts))
+    val pairOrd = Window.partitionBy(col(key), col("lag")).orderBy(col(ts))
+    val cum = pairOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nD = col("__rn").cast("double")
+    val varX = col("__cxx") - col("__cx") * col("__cx") / nD
+    val varY = col("__cyy") - col("__cy") * col("__cy") / nD
+    // lag columns first (a window expression can't live inside the
+    // explode's Generate operator), then the ×maxLag explode
+    val withLags = (1 to maxLag).foldLeft(df) { (d, k) =>
+      d.withColumn(s"__y$k", lag(col(value), k).over(ord).cast("double"))
+    }
+    withLags
+      .withColumn("__ls", explode(array((1 to maxLag).map(k =>
+        struct(lit(k).as("lag"), col(s"__y$k").as("y"))): _*)))
+      .select(col(key), col(ts), col(value).cast("double").as("__x"),
+        col("__ls.lag").as("lag"), col("__ls.y").as("__y"))
+      .filter(col("__y").isNotNull)
+      .withColumn("__rn", row_number().over(pairOrd))
+      .withColumn("__cx", sum(col("__x")).over(cum))
+      .withColumn("__cy", sum(col("__y")).over(cum))
+      .withColumn("__cxx", sum(col("__x") * col("__x")).over(cum))
+      .withColumn("__cyy", sum(col("__y") * col("__y")).over(cum))
+      .withColumn("__cxy", sum(col("__x") * col("__y")).over(cum))
+      .withColumn("__last", lead(col("__x"), 1).over(pairOrd).isNull)
+      .filter(col("__last"))
+      .select(col(key), col("lag"), col("__rn").cast("long").as("n_pairs"),
+        when(col("__rn") >= 2 && varX > 0 && varY > 0,
+          (col("__cxy") - col("__cx") * col("__cy") / nD) / sqrt(varX * varY))
+          .as("acf"))
+  }
+
+  /** #q82 ACF(1..10) per series over hourly closes. */
+  private val q82: Q = (s, dir) =>
+    acfOf(hourBars(s, dir).select(col("event_type"), col("bucket"), col("close")),
+      "event_type", "bucket", "close", maxLag = 10)
+      .select(col("event_type").as("series"), col("lag"), col("n_pairs"),
+        r6(col("acf")).as("acf"))
+      .orderBy("series", "lag")
+
+  private val q82Sql = {
+    val branches = (1 to 10).map(k =>
+      s"""SELECT event_type, bucket, $k AS lag, close AS x,
+         |    lag(close, $k) OVER (PARTITION BY event_type ORDER BY bucket) AS y
+         |  FROM b""".stripMargin).mkString("\n  UNION ALL\n  ")
+    s"""WITH b AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+       |    last(value ORDER BY ts, event_id) AS close
+       |  FROM events GROUP BY 1, 2),
+       |e AS (
+       |  $branches),
+       |p AS (SELECT * FROM e WHERE y IS NOT NULL),
+       |c AS (
+       |  SELECT event_type, lag, row_number() OVER o AS rn,
+       |    sum(x) OVER w AS cx, sum(y) OVER w AS cy,
+       |    sum(x * x) OVER w AS cxx, sum(y * y) OVER w AS cyy,
+       |    sum(x * y) OVER w AS cxy,
+       |    lead(x, 1) OVER o IS NULL AS is_last
+       |  FROM p
+       |  WINDOW o AS (PARTITION BY event_type, lag ORDER BY bucket),
+       |    w AS (PARTITION BY event_type, lag ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |f AS (
+       |  SELECT event_type, lag, rn,
+       |    cxx - cx * cx / CAST(rn AS DOUBLE) AS vx,
+       |    cyy - cy * cy / CAST(rn AS DOUBLE) AS vy,
+       |    cxy - cx * cy / CAST(rn AS DOUBLE) AS cv
+       |  FROM c WHERE is_last)
+       |SELECT event_type AS series, lag, CAST(rn AS BIGINT) AS n_pairs,
+       |  round(CASE WHEN rn >= 2 AND vx > 0 AND vy > 0
+       |    THEN cv / sqrt(vx * vy) END, 6) AS acf
+       |FROM f
+       |ORDER BY series, lag""".stripMargin
+  }
+
+  // ------------------------------------------------------------ Hurst
+
+  /** Hurst exponent by rescaled-range (R/S) analysis over ANY
+    * (key, ts, value) series (public operator behind
+    * [[graft.Graft.hurst]]): the series' step changes are cut into
+    * non-overlapping blocks of each size in `scales`; per block,
+    * R = range of the cumulative mean-deviation walk, S = population
+    * σ; log(R/S) averages per scale; H = the OLS slope of that mean
+    * against log(scale). H ≈ 0.5 for a random walk, > 0.5 trending,
+    * < 0.5 mean-reverting. Only full blocks count; degenerate blocks
+    * (S = 0 or R = 0) are excluded from the scale mean; series with
+    * < 2 surviving scales yield null H. Every reduction is the
+    * defined-order cumulative fold at the last row — block mean/σ,
+    * the deviation walk, the per-scale log mean, and the 3-point OLS
+    * all replay identically in DuckDB. Shuffles: one series sort, one
+    * (series, scale, block) fold, one (series, scale) fold, one
+    * series fold — all on key-bounded derived tables (the bar grid ×
+    * |scales|, never raw ticks). */
+  def hurstOf(df: DataFrame, key: String, ts: String, value: String,
+              scales: Seq[Int] = Seq(32, 64, 128)): DataFrame = {
+    require(scales.nonEmpty && scales.forall(_ >= 2), s"scales must be >= 2: $scales")
+    val ord = Window.partitionBy(col(key)).orderBy(col(ts))
+    // step changes of the series, indexed 0.. per series
+    val steps = df
+      .withColumn("__d", col(value) - lag(col(value), 1).over(ord))
+      .filter(col("__d").isNotNull)
+      .withColumn("__i", row_number().over(ord) - 1)
+      .select(col(key), col(ts), col("__d"), col("__i"))
+    // explode over scales; block index per (scale)
+    val blocks = steps
+      .withColumn("m", explode(array(scales.map(lit): _*)))
+      .withColumn("__b", floor(col("__i") / col("m")))
+    val bOrd = Window.partitionBy(col(key), col("m"), col("__b")).orderBy(col(ts))
+    val bCum = bOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bAll = Window.partitionBy(col(key), col("m"), col("__b"))
+      .orderBy(col(ts)).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val mD = col("m").cast("double")
+    // per block: cumulative walk, block mean/σ from the last row's folds
+    val walked = blocks
+      .withColumn("__p", row_number().over(bOrd))
+      .withColumn("__cum", sum(col("__d")).over(bCum))
+      .withColumn("__cum2", sum(col("__d") * col("__d")).over(bCum))
+      .withColumn("__nb", last(col("__p")).over(bAll))
+      .filter(col("__nb") === col("m")) // full blocks only
+      .withColumn("__mean", last(col("__cum")).over(bAll) / mD)
+      .withColumn("__z", col("__cum") - col("__p").cast("double") * col("__mean"))
+      .withColumn("__r", max(col("__z")).over(bAll) - min(col("__z")).over(bAll))
+      .withColumn("__s2", last(col("__cum2")).over(bAll) / mD - col("__mean") * col("__mean"))
+      .withColumn("__lastRow", lead(col("__p"), 1).over(bOrd).isNull)
+      .filter(col("__lastRow") && col("__s2") > 0 && col("__r") > 0)
+      .select(col(key), col("m"), col("__b"),
+        (col("__r") / sqrt(col("__s2"))).as("__rs"))
+    // per (key, m): defined-order mean of log(R/S) over blocks
+    val sOrd = Window.partitionBy(col(key), col("m")).orderBy(col("__b"))
+    val sCum = sOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perScale = walked
+      .withColumn("__rn", row_number().over(sOrd))
+      .withColumn("__cl", sum(log(col("__rs"))).over(sCum))
+      .withColumn("__last", lead(col("__b"), 1).over(sOrd).isNull)
+      .filter(col("__last"))
+      .select(col(key), col("m"), col("__rn").cast("long").as("n_blocks"),
+        (col("__cl") / col("__rn").cast("double")).as("avg_log_rs"))
+    // per key: OLS slope of avg_log_rs against log(m) over the scales
+    val kOrd = Window.partitionBy(col(key)).orderBy(col("m"))
+    val kCum = kOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nD = col("__rn").cast("double")
+    val sxx = col("__cxx") - col("__cx") * col("__cx") / nD
+    perScale
+      .withColumn("__lx", log(col("m").cast("double")))
+      .withColumn("__rn", row_number().over(kOrd))
+      .withColumn("__cx", sum(col("__lx")).over(kCum))
+      .withColumn("__cy", sum(col("avg_log_rs")).over(kCum))
+      .withColumn("__cxy", sum(col("__lx") * col("avg_log_rs")).over(kCum))
+      .withColumn("__cxx", sum(col("__lx") * col("__lx")).over(kCum))
+      .withColumn("__last", lead(col("m"), 1).over(kOrd).isNull)
+      .filter(col("__last"))
+      .select(col(key), col("__rn").cast("long").as("n_scales"),
+        when(col("__rn") >= 2 && sxx > 0,
+          (col("__cxy") - col("__cx") * col("__cy") / nD) / sxx).as("hurst"))
+  }
+
+  /** #q83 Hurst(32/64/128) per series over hourly closes. */
+  private val q83: Q = (s, dir) =>
+    hurstOf(hourBars(s, dir).select(col("event_type"), col("bucket"), col("close")),
+      "event_type", "bucket", "close")
+      .select(col("event_type").as("series"), col("n_scales"),
+        r6(col("hurst")).as("hurst"))
+      .orderBy("series")
+
+  private val q83Sql =
+    """WITH b AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+      |    last(value ORDER BY ts, event_id) AS close
+      |  FROM events GROUP BY 1, 2),
+      |d0 AS (
+      |  SELECT event_type, bucket,
+      |    close - lag(close, 1) OVER (PARTITION BY event_type ORDER BY bucket) AS d
+      |  FROM b),
+      |d1 AS (
+      |  SELECT event_type, bucket, d,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY bucket) - 1 AS i
+      |  FROM d0 WHERE d IS NOT NULL),
+      |e AS (
+      |  SELECT event_type, bucket, d, i, m, CAST(floor(i / m) AS BIGINT) AS blk
+      |  FROM d1 CROSS JOIN (SELECT unnest([32, 64, 128]) AS m)),
+      |w AS (
+      |  SELECT event_type, m, blk, bucket,
+      |    row_number() OVER o AS p,
+      |    sum(d) OVER c AS cum,
+      |    sum(d * d) OVER c AS cum2
+      |  FROM e
+      |  WINDOW o AS (PARTITION BY event_type, m, blk ORDER BY bucket),
+      |    c AS (PARTITION BY event_type, m, blk ORDER BY bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |w2 AS (
+      |  SELECT event_type, m, blk, bucket, p, cum, cum2,
+      |    last_value(p) OVER a AS nb,
+      |    last_value(cum) OVER a / CAST(m AS DOUBLE) AS mean,
+      |    last_value(cum2) OVER a AS cum2l
+      |  FROM w
+      |  WINDOW a AS (PARTITION BY event_type, m, blk ORDER BY bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+      |w3 AS (
+      |  SELECT event_type, m, blk, bucket, p,
+      |    cum - CAST(p AS DOUBLE) * mean AS z,
+      |    cum2l / CAST(m AS DOUBLE) - mean * mean AS s2
+      |  FROM w2 WHERE nb = m),
+      |w4 AS (
+      |  SELECT event_type, m, blk, p, s2,
+      |    max(z) OVER a - min(z) OVER a AS r,
+      |    lead(p, 1) OVER (PARTITION BY event_type, m, blk ORDER BY bucket) IS NULL AS is_last
+      |  FROM w3
+      |  WINDOW a AS (PARTITION BY event_type, m, blk ORDER BY bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+      |rs AS (
+      |  SELECT event_type, m, blk, r / sqrt(s2) AS rs
+      |  FROM w4 WHERE is_last AND s2 > 0 AND r > 0),
+      |sc AS (
+      |  SELECT event_type, m,
+      |    row_number() OVER o AS rn,
+      |    sum(ln(rs)) OVER c AS cl,
+      |    lead(blk, 1) OVER o IS NULL AS is_last
+      |  FROM rs
+      |  WINDOW o AS (PARTITION BY event_type, m ORDER BY blk),
+      |    c AS (PARTITION BY event_type, m ORDER BY blk
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |ps AS (
+      |  SELECT event_type, m, cl / CAST(rn AS DOUBLE) AS aly
+      |  FROM sc WHERE is_last),
+      |ols AS (
+      |  SELECT event_type,
+      |    row_number() OVER o AS rn,
+      |    sum(ln(CAST(m AS DOUBLE))) OVER c AS cx,
+      |    sum(aly) OVER c AS cy,
+      |    sum(ln(CAST(m AS DOUBLE)) * aly) OVER c AS cxy,
+      |    sum(ln(CAST(m AS DOUBLE)) * ln(CAST(m AS DOUBLE))) OVER c AS cxx,
+      |    lead(m, 1) OVER o IS NULL AS is_last
+      |  FROM ps
+      |  WINDOW o AS (PARTITION BY event_type ORDER BY m),
+      |    c AS (PARTITION BY event_type ORDER BY m
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |f AS (
+      |  SELECT event_type, rn,
+      |    cxx - cx * cx / CAST(rn AS DOUBLE) AS sxx,
+      |    cxy - cx * cy / CAST(rn AS DOUBLE) AS sxy
+      |  FROM ols WHERE is_last)
+      |SELECT event_type AS series, CAST(rn AS BIGINT) AS n_scales,
+      |  round(CASE WHEN rn >= 2 AND sxx > 0 THEN sxy / sxx END, 6) AS hurst
+      |FROM f
+      |ORDER BY series""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q80_amihud" -> q80,
+    "q81_roll_spread" -> q81,
+    "q82_acf" -> q82,
+    "q83_hurst" -> q83)
+
+  val oracle: Map[String, String] = Map(
+    "q80_amihud" -> q80Sql,
+    "q81_roll_spread" -> q81Sql,
+    "q82_acf" -> q82Sql,
+    "q83_hurst" -> q83Sql)
+}
