@@ -1412,6 +1412,30 @@ object Graft {
            afMax: Double = 0.2): DataFrame =
     ops.ScanOps.psarOf(bars, key, ts, high, low, close, af0, afMax)
 
+  /** PMI collocations: adjacent-pair pointwise mutual information over
+    * unigram/bigram corpus counts, min-count filtered, top-k.
+    * See [[ops.TextStatsOps.pmiCollocationsOf]]. */
+  def pmiCollocations(docs: DataFrame, text: String, minCount: Long = 10L,
+                      k: Int = 25): DataFrame =
+    ops.TextStatsOps.pmiCollocationsOf(docs, text, minCount, k)
+
+  /** Per-doc lexical diversity: type-token ratio + hapax share from
+    * integer-only aggregates. See [[ops.TextStatsOps.lexicalDiversityOf]]. */
+  def lexicalDiversity(docs: DataFrame, id: String, text: String): DataFrame =
+    ops.TextStatsOps.lexicalDiversityOf(docs, id, text)
+
+  /** Flesch reading ease + FK grade per doc from regex word/sentence/
+    * vowel-group counts — map-only. See [[ops.TextStatsOps.readabilityOf]]. */
+  def readability(docs: DataFrame, id: String, text: String): DataFrame =
+    ops.TextStatsOps.readabilityOf(docs, id, text)
+
+  /** Class-balance audit: per-class counts, share, inverse-frequency
+    * and effective-number (Cui et al.) weights normalized to mean 1.
+    * See [[ops.TextStatsOps.classBalanceOf]]. */
+  def classBalance(df: DataFrame, classCol: String, tokensCol: String,
+                   beta: Double = 0.999): DataFrame =
+    ops.TextStatsOps.classBalanceOf(df, classCol, tokensCol, beta)
+
   /** Amihud illiquidity: rolling mean of |return|/volume — the price
     * impact per unit volume. See [[ops.EconOps.amihudOf]]. */
   def amihud(bars: DataFrame, key: String, ts: String, close: String,

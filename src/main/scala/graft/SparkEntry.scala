@@ -20,6 +20,7 @@ object SparkEntry {
       (FinOps.queries, FinOps.oracle),
       (IndicatorOps.queries, IndicatorOps.oracle),
       (EconOps.queries, EconOps.oracle),
+      (TextStatsOps.queries, TextStatsOps.oracle),
       (ScanOps.queries, ScanOps.oracle),
       (DedupOps.queries, DedupOps.oracle),
       (TextOps.queries, TextOps.oracle),
