@@ -21,6 +21,34 @@ case class WmaEvent(event_type: String, event_id: Long, ts: java.sql.Timestamp, 
 /** Arriving document for [[StreamOps.streamingIncrementalDedup]]. */
 case class DocEvent(doc_id: Long, text: String)
 
+/** Full OHLC bar for [[StreamOps.streamingHeikinAshi]]. */
+case class OhlcEvent(event_type: String, ts: java.sql.Timestamp,
+                     open: Double, high: Double, low: Double, close: Double)
+
+/** Heikin-Ashi carried state: previous HA open/close. */
+case class HaState(hao: Double, hac: Double, started: Boolean)
+
+/** One Heikin-Ashi bar per input bar. */
+case class HaOut(event_type: String, ts_ms: Long, ha_open: Double,
+                 ha_high: Double, ha_low: Double, ha_close: Double)
+
+/** ADX carried state: delta count, previous bar, four RMA accumulators. */
+case class AdxState(j: Long, ph: Double, pl: Double, pc: Double,
+                    atr: Double, ps: Double, ns: Double, adx: Double,
+                    started: Boolean)
+
+/** One directional-movement observation per bar after the seed; fields
+  * None until their warmup (n deltas for DI/DX, 2n−1 for ADX). */
+case class AdxOut(event_type: String, ts_ms: Long, di_plus: Option[Double],
+                  di_minus: Option[Double], dx: Option[Double], adx: Option[Double])
+
+/** TRIX carried state: the three EWMA stages. */
+case class TrixState(e1: Double, e2: Double, e3: Double, started: Boolean)
+
+/** One TRIX observation per event; trix None on the first event. */
+case class TrixOut(event_type: String, event_id: Long, ts_ms: Long,
+                   e3: Double, trix: Option[Double])
+
 /** One OHLC bar for [[StreamOps.streamingSupertrend]]. */
 case class BarEvent(event_type: String, ts: java.sql.Timestamp,
                     high: Double, low: Double, close: Double)
@@ -798,6 +826,113 @@ object StreamOps {
             }
             StOut(key, e.ts.getTime, e.close, st.atr,
               if (st.trend == 1) st.fl else st.fu, st.trend)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Batch [[graft.Graft.adx]] run CONTINUOUSLY: the same four RMA
+    * recurrences (+DM/−DM/TR smoothing, DX, ADX) carried as O(1)
+    * state per series — streaming output is bit-equal to the batch
+    * scan on the same bars (spec-pinned). Warmup gates (n deltas for
+    * DI/DX, 2n−1 for ADX) emit None exactly as batch emits null. */
+  def streamingAdx(bars: Dataset[BarEvent], n: Int): Dataset[AdxOut] = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val alpha = 1.0 / n
+    val beta = 1.0 - alpha
+    import bars.sparkSession.implicits._
+    bars
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[AdxState, AdxOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[BarEvent], state: GroupState[AdxState]) =>
+          var st = state.getOption.getOrElse(
+            AdxState(0L, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, started = false))
+          val out = it.toSeq.sortBy(_.ts.getTime).flatMap { e =>
+            val res =
+              if (!st.started) { st = st.copy(started = true); None }
+              else {
+                val up = e.high - st.ph
+                val dn = st.pl - e.low
+                val pdm = if (up > dn && up > 0) up else 0.0
+                val ndm = if (dn > up && dn > 0) dn else 0.0
+                val tr = math.max(e.high - e.low,
+                  math.max(math.abs(e.high - st.pc), math.abs(e.low - st.pc)))
+                val j = st.j + 1
+                val (atr, ps, ns) =
+                  if (j == 1L) (tr, pdm, ndm)
+                  else (st.atr * beta + alpha * tr, st.ps * beta + alpha * pdm,
+                    st.ns * beta + alpha * ndm)
+                val dip = if (atr > 0) 100.0 * ps / atr else 0.0
+                val din = if (atr > 0) 100.0 * ns / atr else 0.0
+                val dx = if (dip + din == 0) 0.0 else 100.0 * math.abs(dip - din) / (dip + din)
+                val adx = if (j == 1L) dx else st.adx * beta + alpha * dx
+                st = st.copy(j = j, atr = atr, ps = ps, ns = ns, adx = adx)
+                Some(AdxOut(key, e.ts.getTime,
+                  if (j >= n) Some(dip) else None,
+                  if (j >= n) Some(din) else None,
+                  if (j >= n) Some(dx) else None,
+                  if (j >= 2L * n - 1) Some(adx) else None))
+              }
+            st = st.copy(ph = e.high, pl = e.low, pc = e.close)
+            res
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Batch [[graft.Graft.heikinAshi]] run CONTINUOUSLY: the HA open
+    * chain as two carried doubles per series; bit-equal to batch. */
+  def streamingHeikinAshi(bars: Dataset[OhlcEvent]): Dataset[HaOut] = {
+    import bars.sparkSession.implicits._
+    bars
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[HaState, HaOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[OhlcEvent], state: GroupState[HaState]) =>
+          var st = state.getOption.getOrElse(HaState(0.0, 0.0, started = false))
+          val out = it.toSeq.sortBy(_.ts.getTime).map { e =>
+            val newHac = (e.open + e.high + e.low + e.close) / 4.0
+            val hao = if (!st.started) (e.open + e.close) / 2.0
+                      else (st.hao + st.hac) / 2.0
+            st = HaState(hao, newHac, started = true)
+            HaOut(key, e.ts.getTime, hao,
+              math.max(e.high, math.max(hao, newHac)),
+              math.min(e.low, math.min(hao, newHac)), newHac)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Batch [[graft.Graft.trix]] run CONTINUOUSLY: the three EWMA
+    * stages as carried state per series; bit-equal to batch. */
+  def streamingTrix(events: Dataset[BollEvent], n: Int): Dataset[TrixOut] = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val alpha = 2.0 / (n + 1)
+    val beta = 1.0 - alpha
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[TrixState, TrixOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[BollEvent], state: GroupState[TrixState]) =>
+          var st = state.getOption.getOrElse(TrixState(0.0, 0.0, 0.0, started = false))
+          val out = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+            if (!st.started) {
+              st = TrixState(e.value, e.value, e.value, started = true)
+              TrixOut(key, e.event_id, e.ts.getTime, e.value, None)
+            } else {
+              val pe3 = st.e3
+              val e1 = st.e1 * beta + alpha * e.value
+              val e2 = st.e2 * beta + alpha * e1
+              val e3 = st.e3 * beta + alpha * e2
+              st = TrixState(e1, e2, e3, started = true)
+              TrixOut(key, e.event_id, e.ts.getTime, e3,
+                if (pe3 != 0.0) Some(100.0 * (e3 / pe3 - 1.0)) else None)
+            }
           }
           state.update(st)
           out.iterator
