@@ -1412,6 +1412,21 @@ object Graft {
            afMax: Double = 0.2): DataFrame =
     ops.ScanOps.psarOf(bars, key, ts, high, low, close, af0, afMax)
 
+  /** Cosine range search: every corpus vector with cos ≥ tau per query
+    * — the radius variant of [[knnBrute]] (queries broadcast, one
+    * map-only corpus scan). See [[ops.SimOps.rangeSearchOf]]. */
+  def rangeSearch(corpus: DataFrame, queries: DataFrame, id: String,
+                  vec: String, tau: Double, excludeSelf: Boolean = true): DataFrame =
+    ops.SimOps.rangeSearchOf(corpus, queries, id, vec, tau, excludeSelf)
+
+  /** ColBERT-style MaxSim late interaction over nSub sub-vector
+    * "tokens": Σ per query token of the max cosine against any doc
+    * token, top-k per query. See [[ops.SimOps.maxSimOf]]. */
+  def maxSim(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+             dims: Int, nSub: Int, k: Int = 10,
+             excludeSelf: Boolean = true): DataFrame =
+    ops.SimOps.maxSimOf(corpus, queries, id, vec, dims, nSub, k, excludeSelf)
+
   /** PMI collocations: adjacent-pair pointwise mutual information over
     * unigram/bigram corpus counts, min-count filtered, top-k.
     * See [[ops.TextStatsOps.pmiCollocationsOf]]. */

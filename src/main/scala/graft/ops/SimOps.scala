@@ -1363,7 +1363,134 @@ object SimOps {
        |FROM sc
        |ORDER BY vec_id""".stripMargin
 
+  /** Cosine RANGE search (public operator behind
+    * [[graft.Graft.rangeSearch]]) — the radius variant of
+    * [[graft.Graft.knnBrute]]: every corpus vector with cos ≥ `tau`
+    * per query, unbounded result count (dedup confirm sets, recall
+    * floors, near-duplicate audits — jobs where "top-k" silently
+    * truncates). Same plan contract as s01: queries BROADCAST, ONE
+    * map-only corpus scan with the native `graft_cosine` kernel, no
+    * shuffle until the (small) result sort. For corpus×corpus radius
+    * jobs use [[lshAnnOf]]/[[embeddingNearDupPairsOf]] — the banded
+    * paths — instead of a broadcast side. */
+  def rangeSearchOf(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, tau: Double,
+                    excludeSelf: Boolean = true): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("q_id"),
+      col(vecCol).cast("array<double>").as("qv")))
+    corpus.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+      .crossJoin(q)
+      .filter(if (excludeSelf) col("vec_id") =!= col("q_id") else lit(true))
+      .withColumn("cos_sim", expr("graft_cosine(qv, v)"))
+      .filter(col("cos_sim") >= tau)
+      .select(col("q_id"), col("vec_id"), col("cos_sim"))
+  }
+
+  /** #s15 range search at τ = 0.15 for the s01 query set. */
+  private val s15: Q = (s, dir) => {
+    val all = vecs(s, dir)
+    rangeSearchOf(all, all.filter(col("vec_id") < 5), "vec_id", "v", tau = 0.15)
+      .select(col("q_id"), col("vec_id"), r6(col("cos_sim")).as("cos_sim"))
+      .orderBy("q_id", "vec_id")
+  }
+
+  private val s15Sql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+       |c AS (SELECT q.q_id, e.vec_id, ${duckCos("qv", "v")} AS cos
+       |  FROM q JOIN e ON e.vec_id <> q.q_id)
+       |SELECT q_id, vec_id, round(cos, 6) AS cos_sim
+       |FROM c WHERE cos >= 0.15
+       |ORDER BY q_id, vec_id""".stripMargin
+
+  /** ColBERT-style MaxSim late interaction (public operator behind
+    * [[graft.Graft.maxSim]]): each vector splits into `nSub`
+    * contiguous sub-vectors ("token embeddings"); score(q, d) =
+    * Σ over query tokens of the MAX cosine against any doc token —
+    * the multi-vector retrieval scoring (Khattab & Zaharia 2020)
+    * that single-vector cosine can't express. Plan: the corpus
+    * explodes ×nSub ONCE (map-only), the (queries × nSub) token table
+    * broadcasts, per-(query token, doc) maxes are EXACT picks
+    * aggregated as nSub conditional-max COLUMNS (never an
+    * order-dependent float sum — the Σ over tokens is one fixed-order
+    * column expression), then top-k ranks per query. One shuffle on
+    * the (q_id, vec_id) aggregate regardless of nSub. */
+  def maxSimOf(corpus: DataFrame, queries: DataFrame, idCol: String,
+               vecCol: String, dims: Int, nSub: Int, k: Int,
+               excludeSelf: Boolean = true): DataFrame = {
+    require(nSub >= 1 && dims % nSub == 0, s"nSub must divide dims, got $dims/$nSub")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = dims / nSub
+    def subs(v: String): Column = explode(array((0 until nSub).map(i =>
+      struct(lit(i).as("t"), slice(col(v), i * w + 1, w).as("sv"))): _*))
+    val qTok = broadcast(queries
+      .select(col(idCol).as("q_id"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("__qs", subs("qv"))
+      .select(col("q_id"), col("__qs.t").as("qt"), col("__qs.sv").as("qsv")))
+    val dTok = corpus
+      .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("__ds", subs("v"))
+      .select(col("vec_id"), col("__ds.t").as("dt"), col("__ds.sv").as("dsv"))
+    val maxCols = (0 until nSub).map(i =>
+      max(when(col("qt") === i, col("__c"))).as(s"__m$i"))
+    val score = (0 until nSub).map(i => col(s"__m$i")).reduce(_ + _)
+    val wRank = Window.partitionBy(col("q_id")).orderBy(col("maxsim").desc, col("vec_id"))
+    dTok.crossJoin(qTok)
+      .filter(if (excludeSelf) col("vec_id") =!= col("q_id") else lit(true))
+      .withColumn("__c", expr("graft_cosine(qsv, dsv)"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(maxCols.head, maxCols.tail: _*)
+      .withColumn("maxsim", score)
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("maxsim"))
+  }
+
+  /** #s16 MaxSim top-10 with 4 sub-vectors of 16 dims, s01 query set. */
+  private val s16: Q = (s, dir) => {
+    val all = vecs(s, dir)
+    maxSimOf(all, all.filter(col("vec_id") < 5), "vec_id", "v",
+        dims = 64, nSub = 4, k = K)
+      .select(col("q_id"), col("rank"), col("vec_id"), r6(col("maxsim")).as("maxsim"))
+      .orderBy("q_id", "rank")
+  }
+
+  private val s16Sql = {
+    val sub = graft.OracleSql.seqCosine("qsv", "dsv", 16)
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+       |qt AS (
+       |  SELECT q_id, t, qv[t * 16 + 1 : t * 16 + 16] AS qsv
+       |  FROM q CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS t)),
+       |dt AS (
+       |  SELECT vec_id, t AS dt, v[t * 16 + 1 : t * 16 + 16] AS dsv
+       |  FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS t)),
+       |c AS (
+       |  SELECT qt.q_id, dt.vec_id, qt.t AS qt, $sub AS cos
+       |  FROM dt CROSS JOIN qt
+       |  WHERE dt.vec_id <> qt.q_id),
+       |m AS (
+       |  SELECT q_id, vec_id,
+       |    max(CASE WHEN qt = 0 THEN cos END) AS m0,
+       |    max(CASE WHEN qt = 1 THEN cos END) AS m1,
+       |    max(CASE WHEN qt = 2 THEN cos END) AS m2,
+       |    max(CASE WHEN qt = 3 THEN cos END) AS m3
+       |  FROM c GROUP BY 1, 2),
+       |r AS (
+       |  SELECT q_id, vec_id, ((m0 + m1) + m2) + m3 AS maxsim
+       |  FROM m),
+       |k AS (
+       |  SELECT q_id, vec_id, maxsim,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY maxsim DESC, vec_id) AS BIGINT) AS rank
+       |  FROM r)
+       |SELECT q_id, rank, vec_id, round(maxsim, 6) AS maxsim
+       |FROM k WHERE rank <= $K
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "s15_range_search" -> s15,
+    "s16_maxsim" -> s16,
     "s11_auc" -> s11,
     "d11_semdedup" -> d11,
     "s10_mips" -> s10,
@@ -1381,6 +1508,8 @@ object SimOps {
     "s05_ann_recall" -> s05)
 
   val oracle: Map[String, String] = Map(
+    "s15_range_search" -> s15Sql,
+    "s16_maxsim" -> s16Sql,
     "s11_auc" -> s11Sql,
     "d11_semdedup" -> d11Sql,
     "s10_mips" -> s10Sql,
