@@ -1412,6 +1412,24 @@ object Graft {
            afMax: Double = 0.2): DataFrame =
     ops.ScanOps.psarOf(bars, key, ts, high, low, close, af0, afMax)
 
+  /** Per-entity Shannon entropy of a categorical column (plus the 0..1
+    * normalized form) — behavioral-variety scoring.
+    * See [[ops.BehaviorOps.behaviorEntropyOf]]. */
+  def behaviorEntropy(df: DataFrame, entity: String, category: String): DataFrame =
+    ops.BehaviorOps.behaviorEntropyOf(df, entity, category)
+
+  /** Per-entity inter-event timing profile: gap count/total/mean/sd/
+    * min/max in epoch-ms, integer-exact. See
+    * [[ops.BehaviorOps.interEventStatsOf]]. */
+  def interEventStats(df: DataFrame, entity: String, ts: String): DataFrame =
+    ops.BehaviorOps.interEventStatsOf(df, entity, ts)
+
+  /** Gini concentration of activity per group over entities — 0 even,
+    * →1 dominated; integer arithmetic until the final division.
+    * See [[ops.BehaviorOps.giniConcentrationOf]]. */
+  def giniConcentration(df: DataFrame, group: String, entity: String): DataFrame =
+    ops.BehaviorOps.giniConcentrationOf(df, group, entity)
+
   /** Cosine range search: every corpus vector with cos ≥ tau per query
     * — the radius variant of [[knnBrute]] (queries broadcast, one
     * map-only corpus scan). See [[ops.SimOps.rangeSearchOf]]. */

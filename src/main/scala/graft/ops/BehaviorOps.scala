@@ -318,17 +318,194 @@ object BehaviorOps {
       |FROM p GROUP BY path
       |ORDER BY path""".stripMargin
 
+  /** Per-entity Shannon entropy of a categorical column (public
+    * operator behind [[graft.Graft.behaviorEntropy]]) — how varied is
+    * each user's behavior: H = −Σ p·ln p over the entity's category
+    * distribution, plus the 0..1 normalized form H/ln(k). The log
+    * reduces per (entity, category) to integer counts FIRST; the float
+    * entropy fold runs in CATEGORY order (cumulative + last row — the
+    * q33 rule) over the ≤k category rows per entity, so the result is
+    * bit-identical at any parallelism. Single-category entities have
+    * H = 0 and null normalized form. */
+  def behaviorEntropyOf(df: DataFrame, entity: String, category: String): DataFrame = {
+    val ord = Window.partitionBy(col(entity)).orderBy(col(category))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val allW = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val p = col("__c").cast("double") / col("__n").cast("double")
+    df.groupBy(col(entity), col(category)).agg(count(lit(1)).as("__c"))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(col(entity))))
+      .withColumn("__h", sum(-p * log(p)).over(cum))
+      .withColumn("__k", count(lit(1)).over(Window.partitionBy(col(entity))))
+      .withColumn("__last", lead(col(category), 1).over(ord).isNull)
+      .filter(col("__last"))
+      .select(col(entity), col("__n").cast("long").as("n_events"),
+        col("__k").cast("long").as("n_types"),
+        last(col("__h")).over(allW).as("entropy"),
+        when(col("__k") >= 2,
+          last(col("__h")).over(allW) / log(col("__k").cast("double")))
+          .as("norm_entropy"))
+  }
+
+  /** #q84 per-user event-type entropy. */
+  private val q84: Q = (s, dir) =>
+    behaviorEntropyOf(t(s, dir, "events"), "user_id", "event_type")
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        r6(col("entropy")).as("entropy"), r6(col("norm_entropy")).as("norm_entropy"))
+      .orderBy("user_id")
+
+  private val q84Sql =
+    """WITH c AS (
+      |  SELECT user_id, event_type, count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT user_id, event_type, c,
+      |    sum(c) OVER (PARTITION BY user_id) AS n,
+      |    count(*) OVER (PARTITION BY user_id) AS k
+      |  FROM c),
+      |h AS (
+      |  SELECT user_id, n, k,
+      |    sum(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))) OVER o AS ch,
+      |    lead(event_type, 1) OVER po IS NULL AS is_last
+      |  FROM w
+      |  WINDOW po AS (PARTITION BY user_id ORDER BY event_type),
+      |    o AS (PARTITION BY user_id ORDER BY event_type
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT user_id, CAST(n AS BIGINT) AS n_events, CAST(k AS BIGINT) AS n_types,
+      |  round(ch, 6) AS entropy,
+      |  round(CASE WHEN k >= 2 THEN ch / ln(CAST(k AS DOUBLE)) END, 6) AS norm_entropy
+      |FROM h WHERE is_last
+      |ORDER BY user_id""".stripMargin
+
+  /** Per-entity inter-event timing profile (public operator behind
+    * [[graft.Graft.interEventStats]]): gaps between consecutive events
+    * in epoch-ms (INTEGER arithmetic end to end — sums, min/max, and
+    * Σgap² all exact, the variance expression the only float op), the
+    * cadence fingerprint bot/burst detection reads. One window
+    * shuffle on the entity key; entities with < 2 events are absent
+    * (no gaps — contract). Σgap² runs in decimal(38,0) (the q64 rule:
+    * exact at any parallelism, no long overflow). */
+  def interEventStatsOf(df: DataFrame, entity: String, ts: String): DataFrame = {
+    val ord = Window.partitionBy(col(entity)).orderBy(col("__t"))
+    val nD = col("n_gaps").cast("double")
+    df.select(col(entity), epochMs(col(ts)).as("__t"))
+      .withColumn("__g", col("__t") - lag(col("__t"), 1).over(ord))
+      .filter(col("__g").isNotNull)
+      .groupBy(col(entity))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("__g")).as("__sg"),
+        sum(col("__g").cast("decimal(38,0)") * col("__g").cast("decimal(38,0)")).as("__sg2"),
+        min(col("__g")).as("min_gap_ms"),
+        max(col("__g")).as("max_gap_ms"))
+      .select(col(entity), col("n_gaps"),
+        col("__sg").cast("long").as("total_ms"),
+        (col("__sg").cast("double") / nD).as("mean_gap_ms"),
+        when(col("n_gaps") >= 2,
+          sqrt((col("__sg2").cast("double") -
+            col("__sg").cast("double") * col("__sg").cast("double") / nD) / nD))
+          .as("sd_gap_ms"),
+        col("min_gap_ms").cast("long").as("min_gap_ms"),
+        col("max_gap_ms").cast("long").as("max_gap_ms"))
+  }
+
+  /** #q85 per-user inter-event timing. */
+  private val q85: Q = (s, dir) =>
+    interEventStatsOf(t(s, dir, "events"), "user_id", "ts")
+      .select(col("user_id"), col("n_gaps"), col("total_ms"),
+        r4(col("mean_gap_ms")).as("mean_gap_ms"),
+        r4(col("sd_gap_ms")).as("sd_gap_ms"),
+        col("min_gap_ms"), col("max_gap_ms"))
+      .orderBy("user_id")
+
+  private val q85Sql =
+    """WITH g AS (
+      |  SELECT user_id,
+      |    epoch_ms(ts) - lag(epoch_ms(ts), 1)
+      |      OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)) AS g
+      |  FROM events),
+      |a AS (
+      |  SELECT user_id, count(*) AS n,
+      |    sum(g) AS sg,
+      |    sum(CAST(g AS DECIMAL(38,0)) * CAST(g AS DECIMAL(38,0))) AS sg2,
+      |    min(g) AS mn, max(g) AS mx
+      |  FROM g WHERE g IS NOT NULL GROUP BY 1)
+      |SELECT user_id, CAST(n AS BIGINT) AS n_gaps, CAST(sg AS BIGINT) AS total_ms,
+      |  round(CAST(sg AS DOUBLE) / CAST(n AS DOUBLE), 4) AS mean_gap_ms,
+      |  round(CASE WHEN n >= 2 THEN
+      |    sqrt((CAST(sg2 AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+      |      / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) END, 4) AS sd_gap_ms,
+      |  CAST(mn AS BIGINT) AS min_gap_ms, CAST(mx AS BIGINT) AS max_gap_ms
+      |FROM a
+      |ORDER BY user_id""".stripMargin
+
+  /** Gini concentration of activity per group (public operator behind
+    * [[graft.Graft.giniConcentration]]) — how concentrated is a
+    * group's event volume across entities: the standard rank formula
+    * G = (2·Σᵢ i·cᵢ − (n+1)·Σc) / (n·Σc) over entities sorted by
+    * (count, entity). EVERYTHING except the final division is INTEGER
+    * arithmetic — no float fold discipline needed at all; ties broken
+    * by entity id so ranks are total-ordered in both engines. 0 =
+    * perfectly even, →1 = one entity dominates. One aggregate + one
+    * window on the group key over the entity-sized table. */
+  def giniConcentrationOf(df: DataFrame, group: String, entity: String): DataFrame = {
+    val ord = Window.partitionBy(col(group)).orderBy(col("__c"), col("__e"))
+    val grp = Window.partitionBy(col(group))
+    val nD = col("n_entities").cast("double")
+    val totD = col("total").cast("double")
+    df.groupBy(col(group), col(entity).as("__e")).agg(count(lit(1)).as("__c"))
+      .withColumn("__i", row_number().over(ord).cast("long"))
+      .groupBy(col(group))
+      .agg(count(lit(1)).as("n_entities"),
+        sum(col("__c")).as("total"),
+        sum(col("__i") * col("__c")).as("__ic"))
+      .select(col(group), col("n_entities"), col("total").cast("long").as("total"),
+        when(col("n_entities") >= 2 && col("total") > 0,
+          (lit(2.0) * col("__ic").cast("double") - (nD + 1.0) * totD) / (nD * totD))
+          .as("gini"))
+  }
+
+  /** #q86 Gini concentration of user activity per event type. */
+  private val q86: Q = (s, dir) =>
+    giniConcentrationOf(t(s, dir, "events"), "event_type", "user_id")
+      .select(col("event_type"), col("n_entities"), col("total"),
+        r6(col("gini")).as("gini"))
+      .orderBy("event_type")
+
+  private val q86Sql =
+    """WITH c AS (
+      |  SELECT event_type, user_id, count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT event_type, c,
+      |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY c, user_id) AS BIGINT) AS i
+      |  FROM c),
+      |a AS (
+      |  SELECT event_type, count(*) AS n, sum(c) AS tot, sum(i * c) AS ic
+      |  FROM r GROUP BY 1)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_entities, CAST(tot AS BIGINT) AS total,
+      |  round(CASE WHEN n >= 2 AND tot > 0 THEN
+      |    (2.0 * CAST(ic AS DOUBLE) - (CAST(n AS DOUBLE) + 1.0) * CAST(tot AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE)) END, 6) AS gini
+      |FROM a
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q50_funnel" -> q50,
     "q51_retention" -> q51,
     "q55_transitions" -> q55,
     "q57_rolling_active" -> q57,
-    "q58_top_paths" -> q58)
+    "q58_top_paths" -> q58,
+    "q84_user_entropy" -> q84,
+    "q85_inter_event" -> q85,
+    "q86_gini" -> q86)
 
   val oracle: Map[String, String] = Map(
     "q50_funnel" -> q50Sql,
     "q51_retention" -> q51Sql,
     "q55_transitions" -> q55Sql,
     "q57_rolling_active" -> q57Sql,
-    "q58_top_paths" -> q58Sql)
+    "q58_top_paths" -> q58Sql,
+    "q84_user_entropy" -> q84Sql,
+    "q85_inter_event" -> q85Sql,
+    "q86_gini" -> q86Sql)
 }
