@@ -1412,6 +1412,21 @@ object Graft {
            afMax: Double = 0.2): DataFrame =
     ops.ScanOps.psarOf(bars, key, ts, high, low, close, af0, afMax)
 
+  /** Holt's linear-trend double exponential smoothing: level+trend
+    * recurrence with one-step-ahead forecast and error columns.
+    * See [[ops.ScanOps.holtOf]]. */
+  def holt(df: DataFrame, key: String, ts: String, tie: String, value: String,
+           alpha: Double = 0.3, beta: Double = 0.1): DataFrame =
+    ops.ScanOps.holtOf(df, key, ts, tie, value, alpha, beta)
+
+  /** Population Stability Index drift report between a reference and a
+    * current dataset over a numeric column: equal-width bins on the
+    * reference range, add-1 smoothed shares, per-bin contributions and
+    * the total PSI. See [[ops.QualityOps.psiDriftOf]]. */
+  def psiDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
+               bins: Int = 10): DataFrame =
+    ops.QualityOps.psiDriftOf(ref, cur, valueCol, bins)
+
   /** Per-entity Shannon entropy of a categorical column (plus the 0..1
     * normalized form) — behavioral-variety scoring.
     * See [[ops.BehaviorOps.behaviorEntropyOf]]. */

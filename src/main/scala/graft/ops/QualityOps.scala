@@ -174,11 +174,132 @@ object QualityOps {
       |  UNION ALL SELECT 'value_in_range', m4, 0.999 FROM m)
       |ORDER BY check_name""".stripMargin
 
+  /** Population Stability Index between a reference and a current
+    * dataset over one numeric column (public operator behind
+    * [[graft.Graft.psiDrift]]) — the distribution-drift gate a
+    * dataset refresh runs before retraining (industry rule of thumb:
+    * < 0.1 stable, 0.1–0.25 shifting, > 0.25 action):
+    * `bins` equal-width buckets over the REFERENCE min/max (out-of-
+    * range current values clamp to the edge bins — drift beyond the
+    * reference range must count, not vanish), add-1 smoothed shares
+    * so empty bins stay finite (deterministic — never an epsilon
+    * float), PSI = Σ (p−q)·ln(p/q). Returns one row per bin
+    * (lo, hi, counts, shares, contrib) with the total on every row.
+    * Each side reduces to ≤bins integer counts map-side; the bin
+    * frame is a generated `bins`-row table so EMPTY bins are present;
+    * the float contrib folds in BIN order (q31 rule). Two scans, two
+    * k-row aggregates, one k-row join — nothing row-sized shuffles. */
+  def psiDriftOf(ref: DataFrame, cur: DataFrame, valueCol: String,
+                 bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val s = ref.sparkSession
+    val stats = ref.agg(min(col(valueCol).cast("double")).as("lo"),
+      max(col(valueCol).cast("double")).as("hi"),
+      count(col(valueCol)).as("n_ref"))
+    def binned(df: DataFrame, cname: String): DataFrame =
+      df.select(col(valueCol).cast("double").as("__x"))
+        .filter(col("__x").isNotNull)
+        .crossJoin(broadcast(stats.select(col("lo"), col("hi"))))
+        .withColumn("bin",
+          when(col("hi") === col("lo"), lit(0L))
+            .otherwise(greatest(lit(0L), least(lit(bins - 1L),
+              floor((col("__x") - col("lo")) / ((col("hi") - col("lo")) / bins))))))
+        .groupBy("bin").agg(count(lit(1)).as(cname))
+    val frame = s.range(bins).select(col("id").as("bin"))
+    val ordB = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+    val cumB = ordB.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val allB = ordB.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val nRefT = sum(col("n_ref")).over(allB)
+    val nCurT = sum(col("n_cur")).over(allB)
+    val p = (col("n_ref").cast("double") + 1.0) / (nRefT.cast("double") + lit(bins.toDouble))
+    val q = (col("n_cur").cast("double") + 1.0) / (nCurT.cast("double") + lit(bins.toDouble))
+    frame
+      .join(binned(ref, "n_ref"), Seq("bin"), "left")
+      .join(binned(cur, "n_cur"), Seq("bin"), "left")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .crossJoin(broadcast(stats.select(col("lo").as("__lo"), col("hi").as("__hi"))))
+      .withColumn("lo", col("__lo") + col("bin") * ((col("__hi") - col("__lo")) / bins))
+      .withColumn("hi", col("__lo") + (col("bin") + 1) * ((col("__hi") - col("__lo")) / bins))
+      .withColumn("p_ref", p)
+      .withColumn("p_cur", q)
+      .withColumn("contrib", (col("p_ref") - col("p_cur")) * log(col("p_ref") / col("p_cur")))
+      .withColumn("__cpsi", sum(col("contrib")).over(cumB))
+      .withColumn("psi", last(col("__cpsi")).over(allB))
+      .select(col("bin").cast("long").as("bin"), col("lo"), col("hi"),
+        col("n_ref").cast("long").as("n_ref"), col("n_cur").cast("long").as("n_cur"),
+        col("p_ref"), col("p_cur"), col("contrib"), col("psi"))
+  }
+
+  /** #ds19 PSI drift of documents.n_chars between the even-doc_id
+    * half (reference) and the odd half (current) — a deterministic
+    * two-version carve of one table (the ds14 rule). */
+  private val ds19: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    psiDriftOf(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "n_chars", bins = 10)
+      .select(col("bin"), r6(col("lo")).as("lo"), r6(col("hi")).as("hi"),
+        col("n_ref"), col("n_cur"),
+        r6(col("p_ref")).as("p_ref"), r6(col("p_cur")).as("p_cur"),
+        r6(col("contrib")).as("contrib"), r6(col("psi")).as("psi"))
+      .orderBy("bin")
+  }
+
+  private val ds19Sql =
+    """WITH s AS (
+      |  SELECT CAST(min(n_chars) AS DOUBLE) AS lo, CAST(max(n_chars) AS DOUBLE) AS hi
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |rb AS (
+      |  SELECT greatest(CAST(0 AS BIGINT), least(CAST(9 AS BIGINT),
+      |      CAST(floor((CAST(n_chars AS DOUBLE) - s.lo) / ((s.hi - s.lo) / 10)) AS BIGINT))) AS bin,
+      |    count(*) AS n_ref
+      |  FROM documents, s WHERE doc_id % 2 = 0 GROUP BY 1),
+      |cb AS (
+      |  SELECT greatest(CAST(0 AS BIGINT), least(CAST(9 AS BIGINT),
+      |      CAST(floor((CAST(n_chars AS DOUBLE) - s.lo) / ((s.hi - s.lo) / 10)) AS BIGINT))) AS bin,
+      |    count(*) AS n_cur
+      |  FROM documents, s WHERE doc_id % 2 = 1 GROUP BY 1),
+      |f AS (
+      |  SELECT CAST(unnest(generate_series(0, 9)) AS BIGINT) AS bin),
+      |j AS (
+      |  SELECT f.bin,
+      |    coalesce(rb.n_ref, 0) AS n_ref, coalesce(cb.n_cur, 0) AS n_cur
+      |  FROM f LEFT JOIN rb ON rb.bin = f.bin LEFT JOIN cb ON cb.bin = f.bin),
+      |w AS (
+      |  SELECT j.bin, j.n_ref, j.n_cur, s.lo AS glo, s.hi AS ghi,
+      |    sum(j.n_ref) OVER () AS tr, sum(j.n_cur) OVER () AS tc
+      |  FROM j, s),
+      |v AS (
+      |  SELECT bin,
+      |    glo + bin * ((ghi - glo) / 10) AS lo,
+      |    glo + (bin + 1) * ((ghi - glo) / 10) AS hi,
+      |    n_ref, n_cur,
+      |    (CAST(n_ref AS DOUBLE) + 1.0) / (CAST(tr AS DOUBLE) + 10.0) AS p_ref,
+      |    (CAST(n_cur AS DOUBLE) + 1.0) / (CAST(tc AS DOUBLE) + 10.0) AS p_cur
+      |  FROM w),
+      |c AS (
+      |  SELECT bin, lo, hi, n_ref, n_cur, p_ref, p_cur,
+      |    (p_ref - p_cur) * ln(p_ref / p_cur) AS contrib,
+      |    sum((p_ref - p_cur) * ln(p_ref / p_cur))
+      |      OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cpsi
+      |  FROM v)
+      |SELECT bin, round(lo, 6) AS lo, round(hi, 6) AS hi,
+      |  CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+      |  round(p_ref, 6) AS p_ref, round(p_cur, 6) AS p_cur,
+      |  round(contrib, 6) AS contrib,
+      |  round(last_value(cpsi) OVER (ORDER BY bin
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 6) AS psi
+      |FROM c
+      |ORDER BY bin""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "ds10_profile" -> ds10,
-    "ds11_checks" -> ds11)
+    "ds11_checks" -> ds11,
+    "ds19_psi_drift" -> ds19)
 
   val oracle: Map[String, String] = Map(
     "ds10_profile" -> ds10Sql,
-    "ds11_checks" -> ds11Sql)
+    "ds11_checks" -> ds11Sql,
+    "ds19_psi_drift" -> ds19Sql)
 }

@@ -977,15 +977,107 @@ object ScanOps {
        |ORDER BY event_type, bucket_ms""".stripMargin
   }
 
+  /** Holt's linear-trend double exponential smoothing — the
+    * level+trend forecasting recurrence (public operator behind
+    * [[graft.Graft.holt]]), the next rung after [[ewmaExactOf]]'s
+    * level-only smoothing and the classical one-step-ahead
+    * forecaster:
+    *   seed (bar 2): l = x₂, b = x₂ − x₁
+    *   step: f = l + b (the forecast OF this bar made at the last),
+    *         l' = α·x + (1−α)·f,  b' = β·(l'−l) + (1−β)·b
+    * Emits per bar: level, trend, forecast and err = x − f (null for
+    * the two seed bars) — the in-engine backtest column a forecast
+    * eval sums. Two carried doubles; contracts as [[ewmaExactOf]];
+    * parity via the q67 RECURSIVE CTE replay with the forecast
+    * carried through the recursion. */
+  def holtOf(df: DataFrame, key: String, ts: String, tie: String,
+             value: String, alpha: Double = 0.3, betaT: Double = 0.1): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    require(betaT > 0 && betaT < 1, s"beta must be in (0,1), got $betaT")
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col(key).cast("string").as("__k"), epochMs(col(ts)).as("__t"),
+        col(tie).cast("long").as("__i"), col(value).cast("double").as("__x"))
+      .as[(String, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("__t").asc, col("__i").asc) { (k, rows) =>
+        var n = 0
+        var px = 0.0
+        var l = 0.0
+        var b = 0.0
+        rows.map { case (_, t, i, x) =>
+          n += 1
+          val out =
+            if (n == 1) (k, t, i, x, None: Option[Double], None: Option[Double], None: Option[Double])
+            else if (n == 2) {
+              l = x; b = x - px
+              (k, t, i, l, Some(b), None: Option[Double], None: Option[Double])
+            } else {
+              val f = l + b
+              val nl = alpha * x + (1.0 - alpha) * f
+              val nb = betaT * (nl - l) + (1.0 - betaT) * b
+              l = nl; b = nb
+              (k, t, i, l, Some(b), Some(f), Some(x - f))
+            }
+          px = x
+          out
+        }
+      }
+      .toDF(key, "ts_ms", tie, "level", "trend", "forecast", "err")
+  }
+
+  /** #q87 Holt(0.3, 0.1) over hourly closes. */
+  private val q87: Q = (s, dir) =>
+    holtOf(
+      graft.Graft.resampleOhlc(t(s, dir, "events"), "event_type", "ts", "event_id", "value", "hour")
+        .withColumn("__tie", lit(0L)),
+      "event_type", "bucket", "__tie", "close")
+      .select(col("event_type"), col("ts_ms").as("bucket_ms"),
+        r6(col("level")).as("level"), r6(col("trend")).as("trend"),
+        r6(col("forecast")).as("forecast"), r6(col("err")).as("err"))
+      .orderBy("event_type", "bucket_ms")
+
+  private val q87Sql: String = {
+    val alpha = 0.3
+    val betaT = 0.1
+    val fE = "(s.l + s.b)"
+    val lE = s"($alpha * b.close + ${1.0 - alpha} * $fE)"
+    val bE = s"($betaT * ($lE - s.l) + ${1.0 - betaT} * s.b)"
+    s"""WITH RECURSIVE bb AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+       |    last(value ORDER BY ts, event_id) AS close
+       |  FROM events GROUP BY 1, 2),
+       |bars AS (
+       |  SELECT event_type, bucket, close,
+       |    lag(close) OVER (PARTITION BY event_type ORDER BY bucket) AS px,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS rn
+       |  FROM bb),
+       |st(event_type, rn, l, b, f) AS (
+       |  SELECT event_type, rn, close, close - px, CAST(NULL AS DOUBLE)
+       |  FROM bars WHERE rn = 2
+       |  UNION ALL
+       |  SELECT b.event_type, b.rn, $lE, $bE, $fE
+       |  FROM st s JOIN bars b ON b.event_type = s.event_type AND b.rn = s.rn + 1),
+       |m AS (
+       |  SELECT event_type, bucket, close, rn FROM bars)
+       |SELECT m.event_type AS event_type, epoch_ms(m.bucket) AS bucket_ms,
+       |  round(CASE WHEN m.rn = 1 THEN m.close ELSE s.l END, 6) AS level,
+       |  round(s.b, 6) AS trend,
+       |  round(s.f, 6) AS forecast,
+       |  round(m.close - s.f, 6) AS err
+       |FROM m LEFT JOIN st s ON s.event_type = m.event_type AND s.rn = m.rn
+       |ORDER BY event_type, bucket_ms""".stripMargin
+  }
+
   val queries: Map[String, Q] =
     Map("q39_ewma_exact" -> q39, "q40_wilder_rsi" -> q40, "q44_macd" -> q44,
       "q60_kalman" -> q60, "q63_garch" -> q63, "q67_supertrend" -> q67,
       "q68_psar" -> q68, "q77_adx" -> q77, "q78_heikin_ashi" -> q78,
-      "q79_trix" -> q79)
+      "q79_trix" -> q79, "q87_holt" -> q87)
 
   val oracle: Map[String, String] =
     Map("q39_ewma_exact" -> q39Sql, "q40_wilder_rsi" -> q40Sql, "q44_macd" -> q44Sql,
       "q60_kalman" -> q60Sql, "q63_garch" -> q63Sql, "q67_supertrend" -> q67Sql,
       "q68_psar" -> q68Sql, "q77_adx" -> q77Sql, "q78_heikin_ashi" -> q78Sql,
-      "q79_trix" -> q79Sql)
+      "q79_trix" -> q79Sql, "q87_holt" -> q87Sql)
 }
