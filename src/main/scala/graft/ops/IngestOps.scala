@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{F, Tables}
-import graft.sources.{OptionJson, RatesJson}
+import graft.sources.{OptionJson, RatesJson, SymbolJson}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -212,11 +212,122 @@ object IngestOps {
       .limit(20)
   }
 
+  /** #o05 spot/perp exchange-info symbol-dim ingest + fetch universe
+    * (crypto_data_pipeline_duckdb.py:57-155 flattens, :970-972 universe
+    * rules): synthetic spot and UM-futures exchangeInfo pages built
+    * in-plan from events — one symbol per (event_type, user-bucket),
+    * quote assets cycling USDT/USDC/BTC/BNB so the universe rule has
+    * both hits and misses, spot filter lists ORDER-SHUFFLED on odd
+    * groups (plus a decoy ICEBERG_PARTS entry) so the by-type pick is
+    * exercised, perp contractTypes mixing PERPETUAL with quarterlies
+    * (dropped), and some perp deliveryDates null (excluded from the
+    * fetch universe). [[SymbolJson.parseSpotSymbols]] /
+    * [[SymbolJson.parsePerpSymbols]] flatten both pages;
+    * [[SymbolJson.spotUniverse]] / [[SymbolJson.perpUniverse]] join
+    * back as the `in_universe` flag — the gate hash-checks every typed
+    * column of BOTH flattens and both universe rules in one output. */
+  private val o05: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val nd = lit(null).cast("double")
+    def fstruct(t: String, mnP: Column, mxP: Column, tk: Column,
+                mnQ: Column, mxQ: Column, st: Column): Column =
+      struct(lit(t).as("filterType"), mnP.as("minPrice"), mxP.as("maxPrice"),
+        tk.as("tickSize"), mnQ.as("minQty"), mxQ.as("maxQty"), st.as("stepSize"))
+    def quoteOf(grp: Column): Column = element_at(
+      array(lit("USDT"), lit("USDC"), lit("BTC"), lit("BNB")),
+      (pmod(grp, lit(4L)) + 1).cast("int"))
+
+    // ---- spot page: one row per (event_type, user_id%20) group ----
+    val sg = ev.groupBy(col("event_type"), pmod(col("user_id"), lit(20L)).as("grp"))
+      .agg(min(col("value")).as("v"))
+      .withColumn("base", concat(col("event_type"), col("grp")))
+      .withColumn("quote", quoteOf(col("grp")))
+    val pfS = fstruct("PRICE_FILTER", col("v") * 0.9, col("v") * 1.1,
+      (pmod(col("grp"), lit(3L)) + 1) / 100.0, nd, nd, nd)
+    val lfS = fstruct("LOT_SIZE", nd, nd, nd,
+      (pmod(col("grp"), lit(5L)) + 1) / 1000.0, col("v") * 100.0, lit(0.001))
+    val decoy = fstruct("ICEBERG_PARTS", nd, nd, nd, nd, nd, nd)
+    val spotPage = sg.select(struct(
+        concat(col("base"), col("quote")).as("symbol"),
+        col("base").as("baseAsset"),
+        col("quote").as("quoteAsset"),
+        when(pmod(col("grp"), lit(5L)) === 0, lit("BREAK")).otherwise(lit("TRADING")).as("status"),
+        (pmod(col("grp"), lit(3L)) =!= 0).as("isSpotTradingAllowed"),
+        (pmod(col("grp"), lit(2L)) === 0).as("isMarginTradingAllowed"),
+        lit(8L).as("baseAssetPrecision"),
+        (pmod(col("grp"), lit(6L)) + 2).as("quoteAssetPrecision"),
+        when(pmod(col("grp"), lit(2L)) === 0, array(pfS, lfS))
+          .otherwise(array(lfS, pfS, decoy)).as("filters")).as("rec"))
+      .agg(to_json(sort_array(collect_list(col("rec")))).as("payload"))
+    val spot = SymbolJson.parseSpotSymbols(spotPage, "payload")
+
+    // ---- perp page: one row per (event_type, user_id%15) group ----
+    val pg = ev.groupBy(col("event_type"), pmod(col("user_id"), lit(15L)).as("grp"))
+      .agg(min(col("value")).as("v"),
+        min(epochMs(col("ts"))).as("on_ms"), max(epochMs(col("ts"))).as("dd_ms"))
+      .withColumn("base", concat(col("event_type"), col("grp")))
+      .withColumn("quote", quoteOf(col("grp")))
+    val pfP = fstruct("PRICE_FILTER", col("v") * 0.8, col("v") * 1.2, lit(0.5), nd, nd, nd)
+    val lfP = fstruct("LOT_SIZE", nd, nd, nd, lit(1.0), col("v") * 50.0, lit(1.0))
+    val perpPage = pg.select(struct(
+        concat(col("base"), col("quote")).as("symbol"),
+        col("base").as("baseAsset"),
+        col("quote").as("quoteAsset"),
+        col("quote").as("marginAsset"),
+        when(pmod(col("grp"), lit(3L)) === 0, lit("CURRENT_QUARTER"))
+          .otherwise(lit("PERPETUAL")).as("contractType"),
+        when(pmod(col("grp"), lit(2L)) === 0, array(lit("DEFI")))
+          .otherwise(array(lit("LAYER1"), lit("PoW"))).as("underlyingSubType"),
+        when(pmod(col("grp"), lit(7L)) === 0, lit("SETTLING")).otherwise(lit("TRADING")).as("status"),
+        col("on_ms").as("onboardDate"),
+        when(pmod(col("grp"), lit(4L)) === 0, lit(null).cast("long"))
+          .otherwise(col("dd_ms")).as("deliveryDate"),
+        pmod(col("grp"), lit(5L)).as("pricePrecision"),
+        pmod(col("grp"), lit(4L)).as("quantityPrecision"),
+        array(pfP, lfP).as("filters")).as("rec"))
+      .agg(to_json(sort_array(collect_list(col("rec")))).as("payload"))
+    val perp = SymbolJson.parsePerpSymbols(perpPage, "payload")
+
+    // ---- the fetch-universe rules as in-plan flags ----
+    val sUni = SymbolJson.spotUniverse(spot)
+      .withColumnRenamed("symbol", "u_symbol").withColumn("u", lit(true))
+    val pUni = SymbolJson.perpUniverse(perp).select(col("symbol").as("u_symbol"))
+      .withColumn("u", lit(true))
+    val nb = lit(null).cast("boolean")
+    val nl = lit(null).cast("long")
+    val ns = lit(null).cast("string")
+    val spotOut = spot.join(sUni, col("symbol") === col("u_symbol"), "left")
+      .select(col("symbol"), col("base_asset"), col("quote_asset"), ns.as("margin_asset"),
+        col("exchange"), col("type"), ns.as("underlying_sub_type"), col("status"),
+        nl.as("onboard_ms"), nl.as("delivery_ms"),
+        col("base_precision"), col("quote_precision"),
+        col("is_spot_trading_allowed"), col("is_margin_trading_allowed"),
+        nl.as("price_precision"), nl.as("quantity_precision"),
+        r6(col("min_price")).as("min_price"), r6(col("max_price")).as("max_price"),
+        r6(col("tick_size")).as("tick_size"), r6(col("min_qty")).as("min_qty"),
+        r6(col("max_qty")).as("max_qty"), r6(col("step_size")).as("step_size"),
+        coalesce(col("u"), lit(false)).as("in_universe"))
+    val perpOut = perp.join(pUni, col("symbol") === col("u_symbol"), "left")
+      .select(col("symbol"), col("base_asset"), col("quote_asset"), col("margin_asset"),
+        col("exchange"), col("type"), col("underlyingSubType").as("underlying_sub_type"),
+        col("status"),
+        epochMs(col("onboard_date")).as("onboard_ms"), epochMs(col("delivery_date")).as("delivery_ms"),
+        nl.as("base_precision"), nl.as("quote_precision"),
+        nb.as("is_spot_trading_allowed"), nb.as("is_margin_trading_allowed"),
+        col("price_precision"), col("quantity_precision"),
+        r6(col("min_price")).as("min_price"), r6(col("max_price")).as("max_price"),
+        r6(col("tick_size")).as("tick_size"), r6(col("min_qty")).as("min_qty"),
+        r6(col("max_qty")).as("max_qty"), r6(col("step_size")).as("step_size"),
+        coalesce(col("u"), lit(false)).as("in_universe"))
+    spotOut.unionByName(perpOut).orderBy("type", "symbol")
+  }
+
   val queries: Map[String, Q] = Map(
     "o01_option_exercise" -> o01,
     "o02_funding_rates" -> o02,
     "o03_margin_rates" -> o03,
     "o04_option_klines" -> o04,
+    "o05_symbol_universe" -> o05,
     "p02_market_pipeline" -> p02)
 
   /** DuckDB replay of the ingest gates: the JSON round-trip is the
@@ -299,6 +410,61 @@ object IngestOps {
         |      FROM pages)
         |WHERE rn = 1
         |ORDER BY symbol, "interval", timestamp""".stripMargin,
+    "o05_symbol_universe" ->
+      """WITH sg AS (
+        |  SELECT event_type, user_id % 20 AS grp, min(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |sq AS (
+        |  SELECT *, CASE grp % 4 WHEN 0 THEN 'USDT' WHEN 1 THEN 'USDC'
+        |              WHEN 2 THEN 'BTC' ELSE 'BNB' END AS quote
+        |  FROM sg),
+        |spot AS (
+        |  SELECT event_type || CAST(grp AS VARCHAR) || quote AS symbol,
+        |    event_type || CAST(grp AS VARCHAR) AS base_asset,
+        |    quote AS quote_asset,
+        |    CAST(NULL AS VARCHAR) AS margin_asset,
+        |    'binance' AS exchange, 'SPOT' AS type,
+        |    CAST(NULL AS VARCHAR) AS underlying_sub_type,
+        |    CASE WHEN grp % 5 = 0 THEN 'BREAK' ELSE 'TRADING' END AS status,
+        |    CAST(NULL AS BIGINT) AS onboard_ms, CAST(NULL AS BIGINT) AS delivery_ms,
+        |    CAST(8 AS BIGINT) AS base_precision, grp % 6 + 2 AS quote_precision,
+        |    grp % 3 <> 0 AS is_spot_trading_allowed,
+        |    grp % 2 = 0 AS is_margin_trading_allowed,
+        |    CAST(NULL AS BIGINT) AS price_precision, CAST(NULL AS BIGINT) AS quantity_precision,
+        |    round(v * 0.9, 6) AS min_price, round(v * 1.1, 6) AS max_price,
+        |    round((grp % 3 + 1) / 100.0, 6) AS tick_size,
+        |    round((grp % 5 + 1) / 1000.0, 6) AS min_qty,
+        |    round(v * 100.0, 6) AS max_qty, round(0.001, 6) AS step_size,
+        |    quote IN ('USDT','USDC') AS in_universe
+        |  FROM sq),
+        |pg AS (
+        |  SELECT event_type, user_id % 15 AS grp, min(value) AS v,
+        |    min(epoch_ms(ts)) AS on_ms, max(epoch_ms(ts)) AS dd_ms
+        |  FROM events GROUP BY 1, 2),
+        |pq AS (
+        |  SELECT *, CASE grp % 4 WHEN 0 THEN 'USDT' WHEN 1 THEN 'USDC'
+        |              WHEN 2 THEN 'BTC' ELSE 'BNB' END AS quote
+        |  FROM pg WHERE grp % 3 <> 0),
+        |perp AS (
+        |  SELECT event_type || CAST(grp AS VARCHAR) || quote AS symbol,
+        |    event_type || CAST(grp AS VARCHAR) AS base_asset,
+        |    quote AS quote_asset, quote AS margin_asset,
+        |    'binance' AS exchange, 'PERPETUAL' AS type,
+        |    CASE WHEN grp % 2 = 0 THEN 'DEFI' ELSE 'LAYER1,PoW' END AS underlying_sub_type,
+        |    CASE WHEN grp % 7 = 0 THEN 'SETTLING' ELSE 'TRADING' END AS status,
+        |    on_ms AS onboard_ms,
+        |    CASE WHEN grp % 4 = 0 THEN CAST(NULL AS BIGINT) ELSE dd_ms END AS delivery_ms,
+        |    CAST(NULL AS BIGINT) AS base_precision, CAST(NULL AS BIGINT) AS quote_precision,
+        |    CAST(NULL AS BOOLEAN) AS is_spot_trading_allowed,
+        |    CAST(NULL AS BOOLEAN) AS is_margin_trading_allowed,
+        |    grp % 5 AS price_precision, grp % 4 AS quantity_precision,
+        |    round(v * 0.8, 6) AS min_price, round(v * 1.2, 6) AS max_price,
+        |    round(0.5, 6) AS tick_size, round(1.0, 6) AS min_qty,
+        |    round(v * 50.0, 6) AS max_qty, round(1.0, 6) AS step_size,
+        |    grp % 4 <> 0 AS in_universe
+        |  FROM pq)
+        |SELECT * FROM (SELECT * FROM spot UNION ALL SELECT * FROM perp)
+        |ORDER BY type, symbol""".stripMargin,
     "p02_market_pipeline" ->
       """WITH src AS (
         |  SELECT event_type || 'USDT' AS symbol, epoch_ms(ts) AS ft_ms,
