@@ -400,9 +400,12 @@ object BehaviorOps {
       .select(col(entity), col("n_gaps"),
         col("__sg").cast("long").as("total_ms"),
         (col("__sg").cast("double") / nD).as("mean_gap_ms"),
+        // variance clamped at 0: the double cast of the exact decimal
+        // sums can cancel slightly negative for huge near-constant
+        // gaps — sd must read 0 there, never NaN (same clamp in q85Sql)
         when(col("n_gaps") >= 2,
-          sqrt((col("__sg2").cast("double") -
-            col("__sg").cast("double") * col("__sg").cast("double") / nD) / nD))
+          sqrt(greatest(lit(0.0), (col("__sg2").cast("double") -
+            col("__sg").cast("double") * col("__sg").cast("double") / nD) / nD)))
           .as("sd_gap_ms"),
         col("min_gap_ms").cast("long").as("min_gap_ms"),
         col("max_gap_ms").cast("long").as("max_gap_ms"))
@@ -432,8 +435,8 @@ object BehaviorOps {
       |SELECT user_id, CAST(n AS BIGINT) AS n_gaps, CAST(sg AS BIGINT) AS total_ms,
       |  round(CAST(sg AS DOUBLE) / CAST(n AS DOUBLE), 4) AS mean_gap_ms,
       |  round(CASE WHEN n >= 2 THEN
-      |    sqrt((CAST(sg2 AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
-      |      / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) END, 4) AS sd_gap_ms,
+      |    sqrt(greatest(0.0, (CAST(sg2 AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+      |      / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))) END, 4) AS sd_gap_ms,
       |  CAST(mn AS BIGINT) AS min_gap_ms, CAST(mx AS BIGINT) AS max_gap_ms
       |FROM a
       |ORDER BY user_id""".stripMargin

@@ -36,8 +36,11 @@ object EconOps {
     * — the price-impact-per-unit-volume proxy. The first bar of each
     * series has no return and contributes an explicit 0.0 to the
     * cumulative fold (identical op sequence both engines); the rolling
-    * mean is a cumulative-sum difference, null until n defined terms
-    * exist (rn ≥ n+1). Zero-volume bars are excluded by contract
+    * mean is a cumulative-sum difference over the last n BARS, null
+    * until rn ≥ n+1 — an undefined mid-series term (prev close 0/null)
+    * also contributes 0.0 while the divisor stays n, so the output is
+    * a mean over n bars with undefined terms counted as 0, not a mean
+    * over defined terms only. Zero-volume bars are excluded by contract
     * (vol > 0 required — a bar exists because it traded). One window
     * shuffle, O(1) per row. */
   def amihudOf(bars: DataFrame, key: String, ts: String, close: String,

@@ -251,13 +251,15 @@ object QualityOps {
       |  SELECT CAST(min(n_chars) AS DOUBLE) AS lo, CAST(max(n_chars) AS DOUBLE) AS hi
       |  FROM documents WHERE doc_id % 2 = 0),
       |rb AS (
-      |  SELECT greatest(CAST(0 AS BIGINT), least(CAST(9 AS BIGINT),
-      |      CAST(floor((CAST(n_chars AS DOUBLE) - s.lo) / ((s.hi - s.lo) / 10)) AS BIGINT))) AS bin,
+      |  SELECT CASE WHEN s.hi = s.lo THEN CAST(0 AS BIGINT)
+      |      ELSE greatest(CAST(0 AS BIGINT), least(CAST(9 AS BIGINT),
+      |        CAST(floor((CAST(n_chars AS DOUBLE) - s.lo) / ((s.hi - s.lo) / 10)) AS BIGINT))) END AS bin,
       |    count(*) AS n_ref
       |  FROM documents, s WHERE doc_id % 2 = 0 GROUP BY 1),
       |cb AS (
-      |  SELECT greatest(CAST(0 AS BIGINT), least(CAST(9 AS BIGINT),
-      |      CAST(floor((CAST(n_chars AS DOUBLE) - s.lo) / ((s.hi - s.lo) / 10)) AS BIGINT))) AS bin,
+      |  SELECT CASE WHEN s.hi = s.lo THEN CAST(0 AS BIGINT)
+      |      ELSE greatest(CAST(0 AS BIGINT), least(CAST(9 AS BIGINT),
+      |        CAST(floor((CAST(n_chars AS DOUBLE) - s.lo) / ((s.hi - s.lo) / 10)) AS BIGINT))) END AS bin,
       |    count(*) AS n_cur
       |  FROM documents, s WHERE doc_id % 2 = 1 GROUP BY 1),
       |f AS (

@@ -45,6 +45,14 @@ case class AdxOut(event_type: String, ts_ms: Long, di_plus: Option[Double],
 /** TRIX carried state: the three EWMA stages. */
 case class TrixState(e1: Double, e2: Double, e3: Double, started: Boolean)
 
+/** Carried state for [[StreamOps.streamingHolt]]: bars seen, previous
+  * value, level, trend — the batch scan's exact O(1) state. */
+case class HoltState(n: Long, px: Double, l: Double, b: Double)
+
+case class HoltOut(event_type: String, event_id: Long, ts_ms: Long,
+                   level: Double, trend: Option[Double],
+                   forecast: Option[Double], err: Option[Double])
+
 /** One TRIX observation per event; trix None on the first event. */
 case class TrixOut(event_type: String, event_id: Long, ts_ms: Long,
                    e3: Double, trix: Option[Double])
@@ -933,6 +941,49 @@ object StreamOps {
               TrixOut(key, e.event_id, e.ts.getTime, e3,
                 if (pe3 != 0.0) Some(100.0 * (e3 / pe3 - 1.0)) else None)
             }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Batch [[graft.ops.ScanOps.holtOf]] run CONTINUOUSLY: Holt's
+    * linear-trend double exponential smoothing with the batch scan's
+    * exact O(1) carried state (bars seen, prev value, level, trend) and
+    * the identical IEEE op sequence per arrival — streaming == batch
+    * BIT-FOR-BIT across micro-batches (spec, no tolerance). Completes
+    * the invariant that every batch scan-family recurrence has a
+    * continuous twin. */
+  def streamingHolt(events: Dataset[BollEvent], alpha: Double = 0.3,
+                    betaT: Double = 0.1): Dataset[HoltOut] = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    require(betaT > 0 && betaT < 1, s"beta must be in (0,1), got $betaT")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[HoltState, HoltOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[BollEvent], state: GroupState[HoltState]) =>
+          var st = state.getOption.getOrElse(HoltState(0L, 0.0, 0.0, 0.0))
+          val out = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+            val n = st.n + 1
+            val r =
+              if (n == 1L) {
+                st = HoltState(n, e.value, st.l, st.b)
+                HoltOut(key, e.event_id, e.ts.getTime, e.value, None, None, None)
+              } else if (n == 2L) {
+                val l = e.value
+                val b = e.value - st.px
+                st = HoltState(n, e.value, l, b)
+                HoltOut(key, e.event_id, e.ts.getTime, l, Some(b), None, None)
+              } else {
+                val f = st.l + st.b
+                val nl = alpha * e.value + (1.0 - alpha) * f
+                val nb = betaT * (nl - st.l) + (1.0 - betaT) * st.b
+                st = HoltState(n, e.value, nl, nb)
+                HoltOut(key, e.event_id, e.ts.getTime, nl, Some(nb), Some(f), Some(e.value - f))
+              }
+            r
           }
           state.update(st)
           out.iterator

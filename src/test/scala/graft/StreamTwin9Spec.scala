@@ -83,4 +83,26 @@ class StreamTwin9Spec extends SparkSpec {
       assert(streamed == batch, "continuous TRIX must be bit-equal to batch")
     } finally q.stop()
   }
+
+  test("streamingHolt == batch holt across a micro-batch split") {
+    val events = wavyBars.zipWithIndex.map { case (b, i) =>
+      BollEvent(b.event_type, i.toLong, b.ts, b.close) }
+    val batch = graft.ops.ScanOps.holtOf(events.toDF(), "event_type", "ts",
+        "event_id", "value", alpha = 0.3, betaT = 0.1)
+      .collect().map(r => (r.getString(0), r.getLong(2)) ->
+        (r.getDouble(3), optD(r, 4), optD(r, 5), optD(r, 6))).toMap
+    assert(batch.values.exists(_._4.isDefined), "forecast errors appear after the seed bars")
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[BollEvent]
+    val q = StreamOps.streamingHolt(input.toDS(), alpha = 0.3, betaT = 0.1)
+      .writeStream.format("memory").queryName("st_holt").outputMode("append").start()
+    try {
+      input.addData(events.take(41)); q.processAllAvailable()
+      input.addData(events.drop(41)); q.processAllAvailable()
+      val streamed = spark.table("st_holt")
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getDouble(3), optD(r, 4), optD(r, 5), optD(r, 6))).toMap
+      assert(streamed == batch, "continuous Holt must be bit-equal to batch")
+    } finally q.stop()
+  }
 }
