@@ -659,6 +659,114 @@ object SimOps {
        |ORDER BY av.vec_id""".stripMargin
   }
 
+  /** #p04 the RETRIEVAL pipeline as ONE oracle-checked plan (the
+    * similarity-family sibling of p01/p02/p03): the four stages an
+    * embedding index actually runs before serving, composed as a user
+    * would —
+    *   dedup  SemDeDup over the corpus (the d11 rule: k-means blocking,
+    *          in-cluster cosine ≥ τ, greedy keep-lowest-id) — the index
+    *          must not serve 40 near-copies as 40 "results";
+    *   index  IVF cells over the SURVIVORS (the s02 rule, deterministic
+    *          centroid init applied to the survivor corpus);
+    *   search queries probe their 2 nearest cells, exact-cosine top-K
+    *          within them;
+    *   eval   recall@K of those hits vs the brute-force top-K over the
+    *          SAME survivor set (the s05 rule) — approximate search is
+    *          only shippable with its recall measured.
+    * One row per hit: (q_id, rank, vec_id, cell, cos_sim) + the
+    * per-query recall_at_k and the survivor count n_index (the q28
+    * 1-row broadcast), so the DEDUP stage is observable in the output
+    * (n_index < corpus) and the WIRING is hash-proven: cells built on
+    * survivors, brute baseline on survivors, recall joining the two.
+    * The survivor table is localCheckpoint'd once and feeds all three
+    * consumers (centroids, cells, brute) — no cross-side recompute of
+    * the k-means chain; the hits table likewise (it feeds the output
+    * AND the recall join). */
+  private val p04: Q = (s, dir) => {
+    val all = vecs(s, dir)
+    val sv = all.join(
+        semDedupOf(all, "vec_id", "v", dims = 64, k = 8, iters = 2, threshold = 0.45)
+          .filter(col("is_kept")).select("vec_id"),
+        "vec_id")
+      .localCheckpoint(true)
+    val q = all.filter(col("vec_id") < 5)
+    val hits = ivfAnnOf(sv, q, sv.filter(col("vec_id") < 8), "vec_id", "v",
+        "vec_id", "v", k = K, probes = 2)
+      .localCheckpoint(true)
+    val brute = graft.Graft.knnBrute(sv, q, "vec_id", "v", K)
+      .select(col("q_id"), col("vec_id"))
+    val recall = brute
+      .join(hits.select(col("q_id"), col("vec_id"), lit(1).as("__hit")),
+        Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id").agg(count(col("__hit")).as("__n"))
+      .select(col("q_id"), r4(col("__n") / lit(K.toDouble)).as("recall_at_k"))
+    val n = sv.agg(count(lit(1)).as("n_index"))
+    hits.join(broadcast(recall), "q_id")
+      .crossJoin(broadcast(n)) // 1-row build side: documented BNLJ
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cell"),
+        r6(col("cos")).as("cos_sim"), col("recall_at_k"), col("n_index"))
+      .orderBy("q_id", "rank")
+  }
+
+  private val p04Sql = {
+    def d2(a: String, b: String) =
+      s"(((-2.0 * ${graft.OracleSql.seqDot(a, b, 64)}) + ${graft.OracleSql.seqDot(b, b, 64)}) + ${graft.OracleSql.seqDot(a, a, 64)})"
+    val cvAvg = (1 to 64).map(i => s"floor(avg(v[$i]) * 1000000.0 + 0.5) / 1000000.0")
+      .mkString("list_value(", ", ", ")")
+    def round_(prev: String, out: String) =
+      s"""a$out AS (SELECT vec_id, v, c_id, ${d2("v", "cv")} AS d2,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY ${d2("v", "cv")}, c_id) AS rn
+         |  FROM e CROSS JOIN c$prev),
+         |m$out AS (SELECT vec_id, v, c_id, d2 FROM a$out WHERE rn = 1),
+         |c$out AS (SELECT c_id, $cvAvg AS cv FROM m$out GROUP BY c_id)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+       |${round_("0", "1")},
+       |${round_("1", "2")},
+       |af AS (SELECT vec_id, v, c_id,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ${d2("v", "cv")}, c_id) AS rn
+       |  FROM e CROSS JOIN c2),
+       |av AS (SELECT vec_id, v, c_id FROM af WHERE rn = 1),
+       |p AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+       |  FROM av a JOIN av b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+       |  WHERE ${graft.OracleSql.seqCosine("a.v", "b.v", 64)} >= 0.45),
+       |drp AS (SELECT DISTINCT ib FROM p),
+       |sv AS (SELECT av.vec_id, av.v FROM av LEFT JOIN drp ON av.vec_id = drp.ib
+       |  WHERE drp.ib IS NULL),
+       |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n_index FROM sv),
+       |cents AS (SELECT vec_id AS c_id, v AS cv FROM sv WHERE vec_id < 8),
+       |asg AS (SELECT sv.vec_id, sv.v, c_id,
+       |    row_number() OVER (PARTITION BY sv.vec_id ORDER BY ${duckCos("v", "cv")} DESC, c_id) AS arn
+       |  FROM sv CROSS JOIN cents),
+       |cells AS (SELECT vec_id, v, c_id AS cell FROM asg WHERE arn = 1),
+       |iq AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+       |pr AS (SELECT q_id, qv, c_id AS cell,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY ${duckCos("qv", "cv")} DESC, c_id) AS prn
+       |  FROM iq CROSS JOIN cents),
+       |probes AS (SELECT q_id, qv, cell FROM pr WHERE prn <= 2),
+       |ic AS (SELECT p.q_id, cells.vec_id, cells.cell, ${duckCos("qv", "v")} AS cos
+       |  FROM cells JOIN probes p USING (cell)
+       |  WHERE cells.vec_id <> p.q_id),
+       |ir AS (SELECT q_id, vec_id, cell, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+       |  FROM ic),
+       |hits AS (SELECT q_id, rank, vec_id, cell, cos FROM ir WHERE rank <= $K),
+       |bc AS (SELECT iq.q_id, sv.vec_id, ${duckCos("qv", "v")} AS cos
+       |  FROM iq JOIN sv ON sv.vec_id <> iq.q_id),
+       |br AS (SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM bc),
+       |brute AS (SELECT q_id, vec_id FROM br WHERE rank <= $K),
+       |rec AS (SELECT b.q_id,
+       |    round(count(h.vec_id) / $K.0, 4) AS recall_at_k
+       |  FROM brute b LEFT JOIN hits h ON h.q_id = b.q_id AND h.vec_id = b.vec_id
+       |  GROUP BY b.q_id)
+       |SELECT h.q_id, h.rank, h.vec_id, h.cell, round(h.cos, 6) AS cos_sim,
+       |  rec.recall_at_k, cnt.n_index
+       |FROM hits h JOIN rec ON h.q_id = rec.q_id, cnt
+       |ORDER BY h.q_id, h.rank""".stripMargin
+  }
+
   /** #26d ANN quality eval AS a query: per-query recall@K of the IVF
     * path (s02) against the exact brute-force baseline (s01) — the
     * measurement every ANN deployment needs before trading exactness
@@ -1245,15 +1353,38 @@ object SimOps {
     *
     * `samplePermille` fits on the md5-deterministic id sample (ds02
     * rule) — the s08 recipe: sample the FIT, score the full corpus.
-    * Returns the fitted weights (index j, 0-based). */
+    * Returns the fitted weights (index j, 0-based).
+    *
+    * The fit is MEMOIZED per (semantic input plan, parameters) for the
+    * life of the JVM: the weights are a pure, bit-reproducible
+    * function of the inputs (that is the whole design above), so
+    * re-deriving them is pure waste — s09/s11/s14 all sit on the same
+    * probe and previously re-ran the identical GD loop three times per
+    * gate pass. The shared-run form the verdict asked for, without a
+    * persisted side table: driver state is d doubles per distinct fit
+    * (the kmeans budget). `probeFitRuns` counts actual GD loops so the
+    * spec can pin cache hits. */
+  private val probeFits = new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
+  private[graft] val probeFitRuns = new java.util.concurrent.atomic.AtomicInteger(0)
   def fitLinearProbe(df: DataFrame, idCol: String, vecCol: String,
                      yCol: String, dims: Int, lr: Double, iters: Int,
                      samplePermille: Int = 1000,
                      salt: String = "graft"): Array[Double] = {
+    val key = df.queryExecution.analyzed.semanticHash().toString +
+      s"|$idCol|$vecCol|$yCol|$dims|$lr|$iters|$samplePermille|$salt"
+    probeFits.computeIfAbsent(key, _ =>
+      fitLinearProbeUncached(df, idCol, vecCol, yCol, dims, lr, iters, samplePermille, salt))
+  }
+
+  private def fitLinearProbeUncached(df: DataFrame, idCol: String, vecCol: String,
+                     yCol: String, dims: Int, lr: Double, iters: Int,
+                     samplePermille: Int,
+                     salt: String): Array[Double] = {
     require(dims >= 1 && iters >= 1 && lr > 0,
       s"need dims/iters >= 1 and lr > 0, got dims=$dims iters=$iters lr=$lr")
     require(samplePermille >= 1 && samplePermille <= 1000,
       s"samplePermille must be in [1,1000], got $samplePermille")
+    probeFitRuns.incrementAndGet()
     val in =
       if (samplePermille >= 1000) df
       else df.filter(pmod(hash60(concat(lit(salt + ":"), col(idCol).cast("string"))),
@@ -1493,6 +1624,7 @@ object SimOps {
     "s16_maxsim" -> s16,
     "s11_auc" -> s11,
     "d11_semdedup" -> d11,
+    "p04_retrieval_pipeline" -> p04,
     "s10_mips" -> s10,
     "s09_linear_probe" -> s09,
     "s08_cov_sampled" -> s08,
@@ -1512,6 +1644,7 @@ object SimOps {
     "s16_maxsim" -> s16Sql,
     "s11_auc" -> s11Sql,
     "d11_semdedup" -> d11Sql,
+    "p04_retrieval_pipeline" -> p04Sql,
     "s10_mips" -> s10Sql,
     "s09_linear_probe" -> s09Sql,
     "s08_cov_sampled" -> s08Sql,

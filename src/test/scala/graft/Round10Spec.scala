@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+
+/** Round-10 guard hardening: the drift re-measure fires at 1.5× (t01
+  * escaped round 9 at 1.57× under the old 2× bar) and reads the
+  * self-written complete BENCH_FULL.json, so a tail-truncated driver
+  * artifact can never blind it again. */
+class Round10Spec extends SparkSpec {
+
+  private def write(dir: java.io.File, name: String, body: String): Unit =
+    Files.write(new java.io.File(dir, name).toPath, body.getBytes("UTF-8"))
+
+  test("drift re-measure threshold is 1.5x") {
+    assert(Bench.DriftFactor == 1.5)
+  }
+
+  test("previousRoundTimes: BENCH_FULL.json completes and overrides a truncated round artifact") {
+    val dir = Files.createTempDirectory("bench_full").toFile
+    // the round artifact lost its head (round-9 shape): only one query
+    // survives the tail, with a stale time
+    write(dir, "BENCH_r9.json",
+      """"t01_lang_id":9.99},"errors":{},"reruns":{},""" +
+        """"jvm_chunks":12,"sf":"/root/testdata/sf0.1","n":179,"metric":"total","value":185.2,"unit":"sec"}""")
+    write(dir, Bench.FullArtifact,
+      """{"queries":{"q01_pricing_summary":0.61,"t01_lang_id":0.88},"errors":{},"reruns":{},""" +
+        """"jvm_chunks":12,"sf":"/root/testdata/sf0.1","n":2,"metric":"total","value":1.49,"unit":"sec"}""")
+    val m = Bench.previousRoundTimes("/root/testdata/sf0.1", dir)
+    assert(m.get("q01_pricing_summary").contains(0.61),
+      "query missing from the truncated tail comes from the full artifact")
+    assert(m.get("t01_lang_id").contains(0.88),
+      "full artifact wins over the round artifact on conflict")
+  }
+
+  test("fitLinearProbe memoizes identical fits (the s09/s11/s14 shared probe)") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val df = (1L to 40L).map(i =>
+      (i, Array.tabulate(4)(j => math.sin(i * 2.0 + j)), if (i % 2 == 0) 1.0 else -1.0))
+      .toDF("vec_id", "embedding", "y")
+    val before = graft.ops.SimOps.probeFitRuns.get()
+    val w1 = graft.ops.SimOps.fitLinearProbe(df, "vec_id", "embedding", "y",
+      dims = 4, lr = 0.05, iters = 2)
+    val w2 = graft.ops.SimOps.fitLinearProbe(df, "vec_id", "embedding", "y",
+      dims = 4, lr = 0.05, iters = 2)
+    assert(graft.ops.SimOps.probeFitRuns.get() == before + 1,
+      "the second identical fit must be a cache hit, not a retrain")
+    assert(w1.toSeq == w2.toSeq)
+    // different parameters are a different fit — never served stale
+    val w3 = graft.ops.SimOps.fitLinearProbe(df, "vec_id", "embedding", "y",
+      dims = 4, lr = 0.05, iters = 3)
+    assert(graft.ops.SimOps.probeFitRuns.get() == before + 2)
+    assert(w3.toSeq != w1.toSeq)
+  }
+
+  test("previousRoundTimes: a BENCH_FULL.json from another SF dir is ignored") {
+    val dir = Files.createTempDirectory("bench_sf").toFile
+    write(dir, Bench.FullArtifact,
+      """{"queries":{"q01":0.2},"errors":{},"reruns":{},""" +
+        """"jvm_chunks":1,"sf":"/root/testdata/sf0.01","n":1,"metric":"total","value":0.2,"unit":"sec"}""")
+    assert(Bench.previousRoundTimes("/root/testdata/sf0.1", dir).isEmpty)
+  }
+}
