@@ -1460,6 +1460,14 @@ object Graft {
              excludeSelf: Boolean = true): DataFrame =
     ops.SimOps.maxSimOf(corpus, queries, id, vec, dims, nSub, k, excludeSelf)
 
+  /** Reciprocal-rank fusion of >= 2 ranked candidate lists — the
+    * hybrid lexical+vector combiner (no score calibration needed,
+    * only ranks): fused = Σ 1/(k0 + rank), absent-from-a-list ids
+    * contribute 0 for that list. See [[ops.SimOps.rrfFuseOf]]. */
+  def rrfFuse(lists: Seq[DataFrame], id: String, rank: String,
+              k0: Int = 60, topK: Int = 10): DataFrame =
+    ops.SimOps.rrfFuseOf(lists, id, rank, k0, topK)
+
   /** PMI collocations: adjacent-pair pointwise mutual information over
     * unigram/bigram corpus counts, min-count filtered, top-k.
     * See [[ops.TextStatsOps.pmiCollocationsOf]]. */

@@ -659,6 +659,100 @@ object SimOps {
        |ORDER BY av.vec_id""".stripMargin
   }
 
+  /** Reciprocal-rank fusion over ANY ranked candidate lists (public
+    * operator behind [[graft.Graft.rrfFuse]]; Cormack et al. 2009) —
+    * the standard HYBRID-retrieval combiner: each list contributes
+    * 1/(k0 + rank) per id (0 when the id is absent from that list —
+    * the full-outer merge), fused = the sum in LIST order. RRF needs
+    * no score calibration between systems — only ranks — which is
+    * exactly why hybrid lexical+vector search uses it: BM25 scores
+    * and cosines live on incomparable scales. Returns the global
+    * top-`topK` by (rrf desc, id) with each source rank preserved.
+    *
+    * Determinism: ranks are integers, each contribution is one
+    * divide, and the sum is a fixed left-to-right chain over the
+    * lists — never a float agg. Plan shape: the inputs are top-N
+    * lists (N rows each — search results, not corpora), so the
+    * full-outer merge is N-row joins and the top-k is a TakeOrdered;
+    * nothing here scales with the corpus — the searches upstream do,
+    * and they are s01/s02/s03/s06/s12/t11's verified plans. */
+  def rrfFuseOf(lists: Seq[DataFrame], idCol: String, rankCol: String,
+                k0: Int = 60, topK: Int = 10): DataFrame = {
+    require(lists.size >= 2, s"rrfFuseOf needs >= 2 lists, got ${lists.size}")
+    require(k0 >= 1 && topK >= 1, s"k0 and topK must be >= 1, got $k0/$topK")
+    val named = lists.zipWithIndex.map { case (df, i) =>
+      df.select(col(idCol).as("id"), col(rankCol).cast("long").as(s"rank_$i")) }
+    val joined = named.reduce((a, b) => a.join(b, Seq("id"), "full_outer"))
+    val contribs = lists.indices.map(i =>
+      coalesce(lit(1.0) / (lit(k0.toDouble) + col(s"rank_$i").cast("double")), lit(0.0)))
+    val w = Window.orderBy(col("rrf").desc, col("id"))
+    joined.withColumn("rrf", contribs.reduceLeft(_ + _))
+      .orderBy(col("rrf").desc, col("id")).limit(topK)
+      .withColumn("fused_rank", row_number().over(w).cast("long"))
+  }
+
+  /** #s17 hybrid lexical+vector retrieval via RRF: the t11 BM25 top-20
+    * (query "spark vector query") fused with the cosine top-20 of
+    * query vector 1000 over the corpus slice vec_id < 500 (the gate's
+    * doc↔vector pairing) — the two-system shape every production
+    * retrieval stack runs; ids found by only one system still rank
+    * (the full-outer contract). */
+  private val s17: Q = (s, dir) => {
+    val lex = graft.ops.TextOps.bm25Of(t(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "vector", "query"), k1 = 1.2, b = 0.75, topK = 20)
+      .select(col("doc_id"), col("rnk").as("rank"))
+    val all = vecs(s, dir)
+    val vh = graft.Graft.knnBrute(all.filter(col("vec_id") < 500),
+        all.filter(col("vec_id") === 1000), "vec_id", "v", 20)
+      .select(col("vec_id").as("doc_id"), col("rank"))
+    rrfFuseOf(Seq(lex, vh), "doc_id", "rank", k0 = 60, topK = 10)
+      .select(col("id").as("doc_id"), col("rank_0").as("lex_rank"),
+        col("rank_1").as("vec_rank"), r6(col("rrf")).as("rrf"), col("fused_rank"))
+      .orderBy("fused_rank")
+  }
+
+  private val s17Sql = {
+    val terms = Seq("spark", "vector", "query")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(ws, x -> x = '$t')) AS tf_$i" }.mkString(",\n       |    ")
+    val dfCols = terms.indices.map(i =>
+      s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i").mkString(", ")
+    val contribs = terms.indices.map(i =>
+      s"""ln(1.0 + (n - CAST(df_$i AS DOUBLE) + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5))
+         |      * (CAST(tf_$i AS DOUBLE) * 2.2)
+         |      / (CAST(tf_$i AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / (sumdl / CAST(n AS DOUBLE))))"""
+        .stripMargin).mkString("\n       |    + ")
+    s"""WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+       |d AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+       |    $tfCols
+       |  FROM w WHERE len(ws) > 0),
+       |g AS (SELECT count(*) AS n, sum(dl) AS sumdl, $dfCols FROM d),
+       |s AS (SELECT doc_id, dl,
+       |    $contribs AS score
+       |  FROM d, g),
+       |lex AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
+       |  FROM s WHERE score > 0
+       |  QUALIFY lex_rank <= 20),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |qv AS (SELECT v AS q FROM e WHERE vec_id = 1000),
+       |vc AS (SELECT e.vec_id AS doc_id, ${graft.OracleSql.seqCosine("q", "v", 64)} AS cos
+       |  FROM e, qv WHERE e.vec_id < 500),
+       |vec AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS vec_rank
+       |  FROM vc
+       |  QUALIFY vec_rank <= 20),
+       |fu AS (
+       |  SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id, lex_rank, vec_rank,
+       |    coalesce(1.0 / (60.0 + CAST(lex_rank AS DOUBLE)), 0.0)
+       |      + coalesce(1.0 / (60.0 + CAST(vec_rank AS DOUBLE)), 0.0) AS rrf
+       |  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id),
+       |r AS (SELECT doc_id, lex_rank, vec_rank, rrf,
+       |    CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS fused_rank
+       |  FROM fu)
+       |SELECT doc_id, lex_rank, vec_rank, round(rrf, 6) AS rrf, fused_rank
+       |FROM r WHERE fused_rank <= 10
+       |ORDER BY fused_rank""".stripMargin
+  }
+
   /** #p04 the RETRIEVAL pipeline as ONE oracle-checked plan (the
     * similarity-family sibling of p01/p02/p03): the four stages an
     * embedding index actually runs before serving, composed as a user
@@ -1625,6 +1719,7 @@ object SimOps {
     "s11_auc" -> s11,
     "d11_semdedup" -> d11,
     "p04_retrieval_pipeline" -> p04,
+    "s17_hybrid_rrf" -> s17,
     "s10_mips" -> s10,
     "s09_linear_probe" -> s09,
     "s08_cov_sampled" -> s08,
@@ -1645,6 +1740,7 @@ object SimOps {
     "s11_auc" -> s11Sql,
     "d11_semdedup" -> d11Sql,
     "p04_retrieval_pipeline" -> p04Sql,
+    "s17_hybrid_rrf" -> s17Sql,
     "s10_mips" -> s10Sql,
     "s09_linear_probe" -> s09Sql,
     "s08_cov_sampled" -> s08Sql,

@@ -53,6 +53,24 @@ class Round10Spec extends SparkSpec {
     assert(w3.toSeq != w1.toSeq)
   }
 
+  test("rrfFuse: full-outer rank fusion, absent list contributes 0, ties break by id") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val l1 = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "rank")
+    val l2 = Seq((3L, 1L), (4L, 2L)).toDF("id", "rank")
+    val out = graft.ops.SimOps.rrfFuseOf(Seq(l1, l2), "id", "rank", k0 = 60, topK = 10)
+      .collect()
+    // id 3 appears in both lists (1/63 + 1/61) and must fuse first;
+    // ids 2 (rank 2 in list 1) and 4 (rank 2 in list 2) tie at exactly
+    // 1/62 and must break by id
+    assert(out.map(_.getLong(0)).toSeq == Seq(3L, 1L, 2L, 4L))
+    val id3 = out.head
+    assert(id3.getDouble(id3.fieldIndex("rrf")) == 1.0 / 63.0 + 1.0 / 61.0)
+    val id4 = out.last
+    assert(id4.isNullAt(id4.fieldIndex("rank_0")), "absent from list 1 -> null rank, 0 contribution")
+    assert(out.map(r => r.getLong(r.fieldIndex("fused_rank"))).toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("previousRoundTimes: a BENCH_FULL.json from another SF dir is ignored") {
     val dir = Files.createTempDirectory("bench_sf").toFile
     write(dir, Bench.FullArtifact,
