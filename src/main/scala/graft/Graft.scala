@@ -1460,6 +1460,13 @@ object Graft {
              excludeSelf: Boolean = true): DataFrame =
     ops.SimOps.maxSimOf(corpus, queries, id, vec, dims, nSub, k, excludeSelf)
 
+  /** Pairs-trading spread monitor: OLS hedge ratio of series A on
+    * series B over the aligned grid, spread = a − (α + β·b), rolling
+    * n-bar z-score with ±2σ signals. See [[ops.FinOps.pairsSpreadOf]]. */
+  def pairsSpread(bars: DataFrame, key: String, ts: String, close: String,
+                  seriesA: String, seriesB: String, n: Int = 24): DataFrame =
+    ops.FinOps.pairsSpreadOf(bars, key, ts, close, seriesA, seriesB, n)
+
   /** Reciprocal-rank fusion of >= 2 ranked candidate lists — the
     * hybrid lexical+vector combiner (no score calibration needed,
     * only ranks): fused = Σ 1/(k0 + rank), absent-from-a-list ids

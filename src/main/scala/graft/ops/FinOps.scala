@@ -530,6 +530,142 @@ object FinOps {
       |FROM f
       |ORDER BY series""".stripMargin
 
+  /** Pairs-trading spread monitor over two aligned series (public
+    * operator behind [[graft.Graft.pairsSpread]]) — the stat-arb
+    * backbone: regress series A's close on series B's over the full
+    * aligned grid (OLS hedge ratio β + intercept α, the [[betaOf]]
+    * fold discipline — every sum a cumulative window fold taken at
+    * the last row, broadcast back as ONE row), then
+    * spread_t = a_t − (α + β·b_t) and its rolling n-bar z-score
+    * (mean/σ as cumulative-sum differences, O(1)/row; variance
+    * clamped at 0 before sqrt — the q85 cancellation rule — and σ=0 ⇒
+    * null z), with the classic ±2σ entry signal.
+    *
+    * Scale shape: the window chain runs on the PAIR GRID — bounded by
+    * the time span (the q33 grid rule), never by tick volume, since
+    * the resample collapses first; the OLS stats ride one 1-row
+    * broadcast (documented BNLJ). For a book of many pairs, run the
+    * same chain partitioned by a pair key — the fold discipline is
+    * unchanged. */
+  def pairsSpreadOf(bars: DataFrame, key: String, ts: String, close: String,
+                    seriesA: String, seriesB: String, n: Int = 24): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    require(seriesA != seriesB, "seriesA and seriesB must differ")
+    val a = bars.filter(col(key) === seriesA)
+      .select(col(ts).as("bucket"), col(close).as("a_close"))
+    val b = bars.filter(col(key) === seriesB)
+      .select(col(ts).as("bucket"), col(close).as("b_close"))
+    val j = a.join(b, "bucket")
+    val ord = Window.orderBy(col("bucket"))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val nD = col("__n").cast("double")
+    val st = j
+      .withColumn("__rn", row_number().over(ord))
+      .withColumn("__n", count(lit(1)).over(all))
+      .withColumn("__sa", sum(col("a_close")).over(cum))
+      .withColumn("__sb", sum(col("b_close")).over(cum))
+      .withColumn("__sab", sum(col("a_close") * col("b_close")).over(cum))
+      .withColumn("__sb2", sum(col("b_close") * col("b_close")).over(cum))
+      .filter(col("__rn") === col("__n"))
+      .select(
+        when(nD * col("__sb2") - col("__sb") * col("__sb") =!= 0.0,
+          (nD * col("__sab") - col("__sa") * col("__sb")) /
+            (nD * col("__sb2") - col("__sb") * col("__sb"))).as("beta"),
+        (col("__sa") / nD).as("__ma"), (col("__sb") / nD).as("__mb"))
+      .select(col("beta"), (col("__ma") - col("beta") * col("__mb")).as("alpha"))
+    val lagOr0 = (c: Column) => coalesce(lag(c, n).over(ord), lit(0.0))
+    j.crossJoin(broadcast(st)) // 1-row build side: documented BNLJ
+      .withColumn("spread", col("a_close") - (col("alpha") + col("beta") * col("b_close")))
+      .withColumn("__rn", row_number().over(ord))
+      .withColumn("__cs", sum(col("spread")).over(cum))
+      .withColumn("__cs2", sum(col("spread") * col("spread")).over(cum))
+      .withColumn("spread_mean", when(col("__rn") >= n,
+        (col("__cs") - lagOr0(col("__cs"))) / n))
+      .withColumn("spread_sd", when(col("__rn") >= n,
+        sqrt(greatest(lit(0.0),
+          (col("__cs2") - lagOr0(col("__cs2"))) / n -
+            col("spread_mean") * col("spread_mean")))))
+      .withColumn("z", when(col("spread_sd") > 0.0,
+        (col("spread") - col("spread_mean")) / col("spread_sd")))
+      .withColumn("signal", when(col("z").isNull, lit(null).cast("int"))
+        .when(col("z") > 2.0, 1).when(col("z") < -2.0, -1).otherwise(0))
+      .select(col("bucket"), col("a_close"), col("b_close"), col("beta"),
+        col("alpha"), col("spread"), col("spread_mean"), col("spread_sd"),
+        col("z"), col("signal"))
+  }
+
+  /** #q88 pairs spread: 'view' hedged against 'click' on the hourly
+    * close grid, 24-bar z-score, ±2σ signals. */
+  private val q88: Q = (s, dir) => {
+    val bars = graft.Graft.resampleOhlc(t(s, dir, "events"),
+        "event_type", "ts", "event_id", "value", "hour")
+      .select(col("event_type"), col("bucket"), col("close"))
+    pairsSpreadOf(bars, "event_type", "bucket", "close", "view", "click", n = 24)
+      .select(epochMs(col("bucket")).as("bucket_ms"),
+        col("a_close"), col("b_close"),
+        r6(col("beta")).as("beta"), r6(col("alpha")).as("alpha"),
+        r6(col("spread")).as("spread"), r6(col("spread_mean")).as("spread_mean"),
+        r6(col("spread_sd")).as("spread_sd"), r6(col("z")).as("z"), col("signal"))
+      .orderBy("bucket_ms")
+  }
+
+  private val q88Sql =
+    """WITH b AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+      |    last(value ORDER BY ts, event_id) AS close
+      |  FROM events GROUP BY 1, 2),
+      |j AS (
+      |  SELECT a.bucket AS bucket, a.close AS a_close, c.close AS b_close
+      |  FROM b a JOIN b c ON a.bucket = c.bucket
+      |  WHERE a.event_type = 'view' AND c.event_type = 'click'),
+      |s AS (
+      |  SELECT bucket, a_close, b_close,
+      |    row_number() OVER o AS rn, count(*) OVER () AS n,
+      |    sum(a_close) OVER w AS sa, sum(b_close) OVER w AS sb,
+      |    sum(a_close * b_close) OVER w AS sab,
+      |    sum(b_close * b_close) OVER w AS sb2
+      |  FROM j
+      |  WINDOW o AS (ORDER BY bucket),
+      |    w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |st0 AS (
+      |  SELECT CASE WHEN CAST(n AS DOUBLE) * sb2 - sb * sb <> 0.0
+      |      THEN (CAST(n AS DOUBLE) * sab - sa * sb)
+      |           / (CAST(n AS DOUBLE) * sb2 - sb * sb) END AS beta,
+      |    sa / CAST(n AS DOUBLE) AS ma, sb / CAST(n AS DOUBLE) AS mb
+      |  FROM s WHERE rn = n),
+      |st AS (SELECT beta, ma - beta * mb AS alpha FROM st0),
+      |sp AS (
+      |  SELECT j.bucket, j.a_close, j.b_close, st.beta, st.alpha,
+      |    j.a_close - (st.alpha + st.beta * j.b_close) AS spread
+      |  FROM j, st),
+      |c AS (
+      |  SELECT *, row_number() OVER o AS rn,
+      |    sum(spread) OVER w AS cs, sum(spread * spread) OVER w AS cs2
+      |  FROM sp
+      |  WINDOW o AS (ORDER BY bucket),
+      |    w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |f AS (
+      |  SELECT *, CASE WHEN rn >= 24
+      |    THEN (cs - coalesce(lag(cs, 24) OVER (ORDER BY bucket), 0.0)) / 24 END AS m
+      |  FROM c),
+      |g AS (
+      |  SELECT *, CASE WHEN rn >= 24
+      |    THEN sqrt(greatest(0.0,
+      |      (cs2 - coalesce(lag(cs2, 24) OVER (ORDER BY bucket), 0.0)) / 24 - m * m)) END AS sd
+      |  FROM f),
+      |h AS (
+      |  SELECT *, CASE WHEN sd > 0.0 THEN (spread - m) / sd END AS z
+      |  FROM g)
+      |SELECT epoch_ms(bucket) AS bucket_ms, a_close, b_close,
+      |  round(beta, 6) AS beta, round(alpha, 6) AS alpha,
+      |  round(spread, 6) AS spread, round(m, 6) AS spread_mean,
+      |  round(sd, 6) AS spread_sd, round(z, 6) AS z,
+      |  CASE WHEN z IS NULL THEN NULL
+      |    WHEN z > 2.0 THEN 1 WHEN z < -2.0 THEN -1 ELSE 0 END AS signal
+      |FROM h
+      |ORDER BY bucket_ms""".stripMargin
+
   /** Per-key OLS trend of a value series against its bar index (public
     * operator behind [[graft.Graft.linearTrend]]): slope/intercept/r²
     * of y over x = 0,1,2,… in time order — the trend-estimation
@@ -1104,6 +1240,7 @@ object FinOps {
     "q37_atr" -> q37,
     "q38_obv" -> q38,
     "q41_beta" -> q41,
+    "q88_pairs_spread" -> q88,
     "q45_stochastic" -> q45,
     "q46_donchian" -> q46,
     "q52_linregress" -> q52)
@@ -1126,5 +1263,6 @@ object FinOps {
     "q45_stochastic" -> q45Sql,
     "q46_donchian" -> q46Sql,
     "q52_linregress" -> q52Sql,
-    "q41_beta" -> q41Sql)
+    "q41_beta" -> q41Sql,
+    "q88_pairs_spread" -> q88Sql)
 }

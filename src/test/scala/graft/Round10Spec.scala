@@ -53,6 +53,36 @@ class Round10Spec extends SparkSpec {
     assert(w3.toSeq != w1.toSeq)
   }
 
+  test("pairsSpread: exact hedge on a perfect pair, spike flags, sd=0 -> null z") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    def ts(h: Int) = new java.sql.Timestamp(h * 3600000L)
+    // b walks 10,11,...; a = 5 + 2b EXACTLY -> OLS must recover
+    // beta=2, alpha=5 bit-for-bit and every spread is 0
+    val perfect = (0 until 40).flatMap { h =>
+      Seq(("A", ts(h), 5.0 + 2.0 * (10 + h)), ("B", ts(h), (10 + h).toDouble))
+    }.toDF("k", "bucket", "close")
+    val out = graft.ops.FinOps.pairsSpreadOf(perfect, "k", "bucket", "close",
+      "A", "B", n = 24).collect()
+    assert(out.forall(r => r.getDouble(r.fieldIndex("beta")) == 2.0))
+    assert(out.forall(r => r.getDouble(r.fieldIndex("alpha")) == 5.0))
+    assert(out.forall(r => r.getDouble(r.fieldIndex("spread")) == 0.0))
+    // zero-variance windows: sd is exactly 0 -> z must be null, never NaN
+    assert(out.forall(r => r.isNullAt(r.fieldIndex("z"))))
+    // now a +10 dislocation at h=35: its z must flag as a +2-sigma entry
+    val spiked = perfect.withColumn("close",
+      org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.col("k") === "A" &&
+          org.apache.spark.sql.functions.col("bucket") === ts(35),
+        org.apache.spark.sql.functions.col("close") + 10.0)
+        .otherwise(org.apache.spark.sql.functions.col("close")))
+    val sp = graft.ops.FinOps.pairsSpreadOf(spiked, "k", "bucket", "close",
+      "A", "B", n = 24).collect()
+    val spike = sp.find(_.getTimestamp(0) == ts(35)).get
+    assert(spike.getDouble(spike.fieldIndex("z")) > 2.0)
+    assert(spike.getInt(spike.fieldIndex("signal")) == 1)
+  }
+
   test("rrfFuse: full-outer rank fusion, absent list contributes 0, ties break by id") {
     val spark = SparkSpec.session
     import spark.implicits._
