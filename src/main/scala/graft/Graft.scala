@@ -1460,6 +1460,21 @@ object Graft {
              excludeSelf: Boolean = true): DataFrame =
     ops.SimOps.maxSimOf(corpus, queries, id, vec, dims, nSub, k, excludeSelf)
 
+  /** Kyle (1985) price-impact lambda per series: OLS of the bar price
+    * change on signed volume — price impact per unit of net flow, the
+    * regression companion of [[amihud]]. See
+    * [[ops.EconOps.kyleLambdaOf]]. */
+  def kyleLambda(bars: DataFrame, key: String, ts: String, close: String,
+                 vol: String): DataFrame =
+    ops.EconOps.kyleLambdaOf(bars, key, ts, close, vol)
+
+  /** Zipf's-law fit over the corpus top-V rank-frequency curve:
+    * zipf_alpha = −slope of ln(count) on ln(rank), with r² — the
+    * one-row distributional health check. See
+    * [[ops.TextStatsOps.zipfFitOf]]. */
+  def zipfFit(docs: DataFrame, text: String, topV: Int = 200): DataFrame =
+    ops.TextStatsOps.zipfFitOf(docs, text, topV)
+
   /** Pairs-trading spread monitor: OLS hedge ratio of series A on
     * series B over the aligned grid, spread = a − (α + β·b), rolling
     * n-bar z-score with ±2σ signals. See [[ops.FinOps.pairsSpreadOf]]. */

@@ -106,6 +106,95 @@ object EconOps {
       |FROM f
       |ORDER BY event_type, bucket_ms""".stripMargin
 
+  /** Kyle (1985) price-impact lambda per series (public operator
+    * behind [[graft.Graft.kyleLambda]]) — the regression companion of
+    * [[amihudOf]]'s ratio: OLS of the bar price change on SIGNED
+    * volume (sign of the change × volume, the order-flow proxy bar
+    * data affords): Δp_t = μ + λ·q_t. λ is price impact per unit of
+    * net flow — Kyle's depth measure, THE microstructure liquidity
+    * estimate a ratio can't give because it controls for the
+    * intercept and flow variance. First bars (no Δp) are excluded;
+    * the sign is an explicit three-branch CASE (never an engine sign()
+    * whose return type could differ); every sum is the q33 cumulative
+    * fold taken at the series' last row; degenerate flow variance ⇒
+    * null λ (the q41 guard). One window shuffle on the series key over
+    * the BAR table. */
+  def kyleLambdaOf(bars: DataFrame, key: String, ts: String, close: String,
+                   vol: String): DataFrame = {
+    val ord = Window.partitionBy(col(key)).orderBy(col(ts))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = bars
+      .withColumn("__dp", col(close) - lag(col(close), 1).over(ord))
+      .filter(col("__dp").isNotNull)
+      .withColumn("__q",
+        (when(col("__dp") > 0, 1.0).when(col("__dp") < 0, -1.0).otherwise(0.0)) *
+          col(vol).cast("double"))
+    val nD = col("__n").cast("double")
+    d.withColumn("__rn", row_number().over(ord))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(key))))
+      .withColumn("__sq", sum(col("__q")).over(cum))
+      .withColumn("__sd", sum(col("__dp")).over(cum))
+      .withColumn("__sqd", sum(col("__q") * col("__dp")).over(cum))
+      .withColumn("__sq2", sum(col("__q") * col("__q")).over(cum))
+      .filter(col("__rn") === col("__n"))
+      .select(col(key).as("series"), col("__n").as("n_bars"),
+        when(nD * col("__sq2") - col("__sq") * col("__sq") > 0.0,
+          (nD * col("__sqd") - col("__sq") * col("__sd")) /
+            (nD * col("__sq2") - col("__sq") * col("__sq"))).as("lambda"),
+        col("__sq"), col("__sd"), nD.as("__nd"))
+      .select(col("series"), col("n_bars"), col("lambda"),
+        (col("__sd") / col("__nd") - col("lambda") * (col("__sq") / col("__nd")))
+          .as("intercept"))
+  }
+
+  /** #q89 Kyle lambda over DAILY bars (n_trades volume proxy, the q80
+    * rule). */
+  private val q89: Q = (s, dir) =>
+    kyleLambdaOf(
+      graft.Graft.resampleOhlc(t(s, dir, "events"), "event_type", "ts", "event_id", "value", "day"),
+      "event_type", "bucket", "close", "n_trades")
+      .select(col("series"), col("n_bars"),
+        r6(col("lambda")).as("lambda"), r6(col("intercept")).as("intercept"))
+      .orderBy("series")
+
+  private val q89Sql =
+    """WITH b AS (
+      |  SELECT event_type, date_trunc('day', ts) AS bucket,
+      |    last(value ORDER BY ts, event_id) AS close,
+      |    count(*) AS n_trades
+      |  FROM events GROUP BY 1, 2),
+      |c AS (
+      |  SELECT event_type, bucket,
+      |    close - lag(close, 1) OVER (PARTITION BY event_type ORDER BY bucket) AS dp,
+      |    CAST(n_trades AS DOUBLE) AS vol
+      |  FROM b),
+      |d AS (
+      |  SELECT event_type, bucket, dp,
+      |    (CASE WHEN dp > 0 THEN 1.0 WHEN dp < 0 THEN -1.0 ELSE 0.0 END) * vol AS q
+      |  FROM c WHERE dp IS NOT NULL),
+      |e AS (
+      |  SELECT event_type,
+      |    row_number() OVER o AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n,
+      |    sum(q) OVER w AS sq, sum(dp) OVER w AS sd,
+      |    sum(q * dp) OVER w AS sqd, sum(q * q) OVER w AS sq2
+      |  FROM d
+      |  WINDOW o AS (PARTITION BY event_type ORDER BY bucket),
+      |    w AS (PARTITION BY event_type ORDER BY bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |f AS (
+      |  SELECT event_type, n,
+      |    CASE WHEN CAST(n AS DOUBLE) * sq2 - sq * sq > 0.0
+      |      THEN (CAST(n AS DOUBLE) * sqd - sq * sd)
+      |           / (CAST(n AS DOUBLE) * sq2 - sq * sq) END AS lambda,
+      |    sq, sd
+      |  FROM e WHERE rn = n)
+      |SELECT event_type AS series, CAST(n AS BIGINT) AS n_bars,
+      |  round(lambda, 6) AS lambda,
+      |  round(sd / CAST(n AS DOUBLE) - lambda * (sq / CAST(n AS DOUBLE)), 6) AS intercept
+      |FROM f
+      |ORDER BY series""".stripMargin
+
   // ------------------------------------------------------ Roll spread
 
   /** Roll (1984) implied effective spread over ANY (key, ts, price)
@@ -441,11 +530,13 @@ object EconOps {
     "q80_amihud" -> q80,
     "q81_roll_spread" -> q81,
     "q82_acf" -> q82,
-    "q83_hurst" -> q83)
+    "q83_hurst" -> q83,
+    "q89_kyle_lambda" -> q89)
 
   val oracle: Map[String, String] = Map(
     "q80_amihud" -> q80Sql,
     "q81_roll_spread" -> q81Sql,
     "q82_acf" -> q82Sql,
-    "q83_hurst" -> q83Sql)
+    "q83_hurst" -> q83Sql,
+    "q89_kyle_lambda" -> q89Sql)
 }

@@ -280,15 +280,110 @@ object TextStatsOps {
       |FROM v
       |ORDER BY lang""".stripMargin
 
+  /** Zipf's-law fit of the corpus rank-frequency distribution (public
+    * operator behind [[graft.Graft.zipfFit]]) — the one-row corpus
+    * health check: natural language follows count ∝ rank^(−α) with
+    * α ≈ 1; a corpus whose α drifts far from its baseline (boilerplate
+    * floods flatten the head, template spam steepens it) changed
+    * distributionally even when volume looks normal. Takes the top-V
+    * terms by (count desc, term) — the ds04 total-ordered pick — and
+    * OLS-fits ln(count) on ln(rank): zipf_alpha = −slope, with the
+    * moment-closed-form r² as fit quality.
+    *
+    * Scale shape: ONE token-count shuffle (map-side combine absorbs
+    * the explode — corpus size enters through vocabulary), the top-V
+    * pick is a TakeOrdered, and the fit folds run over ≤V rows in rank
+    * order (the deliberate k-row single partition, ds18 rule). ln is
+    * applied per row and summed in rank order (q33 discipline). */
+  def zipfFitOf(docs: DataFrame, textCol: String, topV: Int = 200): DataFrame = {
+    require(topV >= 3, s"topV must be >= 3, got $topV")
+    val ordR = Window.orderBy(col("rnk"))
+    val cum = ordR.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = ordR.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val top = docs.select(explode(words(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term")).limit(topV)
+      .withColumn("rnk", row_number().over(Window.orderBy(col("c").desc, col("term"))))
+    val nD = col("__n").cast("double")
+    top
+      .withColumn("__x", log(col("rnk").cast("double")))
+      .withColumn("__y", log(col("c").cast("double")))
+      .withColumn("__rn", row_number().over(ordR))
+      .withColumn("__n", count(lit(1)).over(all))
+      .withColumn("__sx", sum(col("__x")).over(cum))
+      .withColumn("__sy", sum(col("__y")).over(cum))
+      .withColumn("__sxy", sum(col("__x") * col("__y")).over(cum))
+      .withColumn("__sx2", sum(col("__x") * col("__x")).over(cum))
+      .withColumn("__sy2", sum(col("__y") * col("__y")).over(cum))
+      .filter(col("__rn") === col("__n"))
+      .select(col("__n").as("n_terms"),
+        when(nD * col("__sx2") - col("__sx") * col("__sx") > 0.0,
+          (nD * col("__sxy") - col("__sx") * col("__sy")) /
+            (nD * col("__sx2") - col("__sx") * col("__sx"))).as("__slope"),
+        col("__sx"), col("__sy"), col("__sxy"), col("__sx2"), col("__sy2"), nD.as("__nd"))
+      .select(col("n_terms"),
+        (-col("__slope")).as("zipf_alpha"),
+        (col("__sy") / col("__nd") - col("__slope") * (col("__sx") / col("__nd")))
+          .as("intercept"),
+        when((col("__nd") * col("__sx2") - col("__sx") * col("__sx")) *
+             (col("__nd") * col("__sy2") - col("__sy") * col("__sy")) > 0.0,
+          ((col("__nd") * col("__sxy") - col("__sx") * col("__sy")) *
+           (col("__nd") * col("__sxy") - col("__sx") * col("__sy"))) /
+            ((col("__nd") * col("__sx2") - col("__sx") * col("__sx")) *
+             (col("__nd") * col("__sy2") - col("__sy") * col("__sy")))).as("r2"))
+  }
+
+  /** #t21 Zipf fit over the documents corpus' top-200 terms. */
+  private val t21: Q = (s, dir) =>
+    zipfFitOf(t(s, dir, "documents"), "text", topV = 200)
+      .select(col("n_terms"), r6(col("zipf_alpha")).as("zipf_alpha"),
+        r6(col("intercept")).as("intercept"), r6(col("r2")).as("r2"))
+
+  private val t21Sql =
+    """WITH tc AS (
+      |  SELECT term, count(*) AS c
+      |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents)
+      |  GROUP BY term),
+      |top AS (
+      |  SELECT c, row_number() OVER (ORDER BY c DESC, term) AS rnk
+      |  FROM tc QUALIFY rnk <= 200),
+      |m AS (
+      |  SELECT rnk, ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+      |  FROM top),
+      |e AS (
+      |  SELECT row_number() OVER o AS rn, count(*) OVER () AS n,
+      |    sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+      |    sum(x * y) OVER w AS sxy, sum(x * x) OVER w AS sx2,
+      |    sum(y * y) OVER w AS sy2
+      |  FROM m
+      |  WINDOW o AS (ORDER BY rnk),
+      |    w AS (ORDER BY rnk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |f AS (
+      |  SELECT n,
+      |    CASE WHEN CAST(n AS DOUBLE) * sx2 - sx * sx > 0.0
+      |      THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+      |           / (CAST(n AS DOUBLE) * sx2 - sx * sx) END AS slope,
+      |    sx, sy, sxy, sx2, sy2, CAST(n AS DOUBLE) AS nd
+      |  FROM e WHERE rn = n)
+      |SELECT CAST(n AS BIGINT) AS n_terms,
+      |  round(-slope, 6) AS zipf_alpha,
+      |  round(sy / nd - slope * (sx / nd), 6) AS intercept,
+      |  round(CASE WHEN (nd * sx2 - sx * sx) * (nd * sy2 - sy * sy) > 0.0
+      |    THEN ((nd * sxy - sx * sy) * (nd * sxy - sx * sy))
+      |         / ((nd * sx2 - sx * sx) * (nd * sy2 - sy * sy)) END, 6) AS r2
+      |FROM f""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "t18_pmi" -> t18,
     "t19_lexdiv" -> t19,
     "t20_readability" -> t20,
-    "ds18_class_balance" -> ds18)
+    "ds18_class_balance" -> ds18,
+    "t21_zipf" -> t21)
 
   val oracle: Map[String, String] = Map(
     "t18_pmi" -> t18Sql,
     "t19_lexdiv" -> t19Sql,
     "t20_readability" -> t20Sql,
-    "ds18_class_balance" -> ds18Sql)
+    "ds18_class_balance" -> ds18Sql,
+    "t21_zipf" -> t21Sql)
 }
