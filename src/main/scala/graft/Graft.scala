@@ -1460,6 +1460,14 @@ object Graft {
              excludeSelf: Boolean = true): DataFrame =
     ops.SimOps.maxSimOf(corpus, queries, id, vec, dims, nSub, k, excludeSelf)
 
+  /** Per-payload byte-distribution Shannon entropy over a binary
+    * column (codec-free, UDF-free): byte_len, distinct bytes,
+    * entropy in bits and fill_ratio = entropy/8 — the
+    * compressibility/corruption ingest profile.
+    * See [[ops.MultiOps.byteEntropyOf]]. */
+  def byteEntropy(df: DataFrame, id: String, payload: String): DataFrame =
+    ops.MultiOps.byteEntropyOf(df, id, payload)
+
   /** Kyle (1985) price-impact lambda per series: OLS of the bar price
     * change on signed volume — price impact per unit of net flow, the
     * regression companion of [[amihud]]. See

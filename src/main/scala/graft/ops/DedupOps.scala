@@ -146,6 +146,61 @@ object DedupOps {
       |FROM p ORDER BY doc_a, doc_b""".stripMargin
       .replace("GS_DUCK", gsDuck).replace("SIG8_DUCK", sigDuck(8))
 
+  /** #ds20 split-LEAKAGE audit (dedup × dataset-management, the check
+    * ds01's hash split cannot make on its own): near-duplicate pairs
+    * that STRADDLE the train/val/test boundary — a validation doc with
+    * a near-copy in train is contamination the split itself can never
+    * see, because hashing ids ignores content. Composes the verified
+    * ds01 split rule with the verified d02 minhash pipeline (est_sim ≥
+    * 0.5 — exact multiples of 1/k, so the threshold is bit-safe) and
+    * flags each pair whose sides land in different splits. Production
+    * remedy: move near-dup CLUSTERS (d06 components) into one split —
+    * this query is the detector that says you must. Split table is
+    * corpus-keyed and joins on the pair ids only; pair discovery is the
+    * d02 banded plan, never all-pairs. */
+  private val ds20: Q = (s, dir) => {
+    val split = DataOps.hashSplitOf(t(s, dir, "documents"), "doc_id", "graft", 80, 10)
+      .select(col("doc_id"), col("split"))
+    minhashPairs(s, dir).filter(col("est_sim") >= 0.5)
+      .join(split.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
+      .join(split.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
+      .withColumn("leaked", col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), r6(col("est_sim")).as("est_sim"),
+        col("split_a"), col("split_b"), col("leaked"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val ds20Sql =
+    """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+      |s3 AS (SELECT doc_id,
+      |    list_transform(generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh
+      |  FROM w WHERE len(ws) >= 3),
+      |g AS (SELECT doc_id, GS_DUCK AS gs FROM s3),
+      |sig AS (SELECT doc_id, SIG8_DUCK AS sig FROM g),
+      |bands AS (SELECT doc_id, sig, b.b AS b,
+      |    CAST(sig[2*b.b+1] AS VARCHAR) || '_' || CAST(sig[2*b.b+2] AS VARCHAR) AS bkey
+      |  FROM sig, range(0, 4) b(b)),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
+      |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      |pr AS (SELECT DISTINCT doc_a, doc_b,
+      |    list_reduce(list_transform(generate_series(1, 8),
+      |      i -> CASE WHEN sa[i] = sb[i] THEN 1.0 ELSE 0.0 END), (x, y) -> x + y) / 8.0 AS est_sim
+      |  FROM p),
+      |f AS (SELECT * FROM pr WHERE est_sim >= 0.5),
+      |sp AS (SELECT doc_id,
+      |    CASE WHEN CAST(('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
+      |         WHEN CAST(('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents)
+      |SELECT f.doc_a, f.doc_b, round(f.est_sim, 6) AS est_sim,
+      |  sa.split AS split_a, sb.split AS split_b,
+      |  sa.split <> sb.split AS leaked
+      |FROM f
+      |JOIN sp sa ON sa.doc_id = f.doc_a
+      |JOIN sp sb ON sb.doc_id = f.doc_b
+      |ORDER BY doc_a, doc_b""".stripMargin
+      .replace("GS_DUCK", gsDuck).replace("SIG8_DUCK", sigDuck(8))
+
   /** #22 SimHash: 60-bit weighted-word simhash per doc; near-dup pairs at
     * hamming ≤ 3, blocked by 4 × 15-bit chunks (pigeonhole: hamming ≤ 3
     * ⇒ at least one chunk identical, so the block has full recall).
@@ -1164,6 +1219,7 @@ object DedupOps {
 
   val queries: Map[String, Q] = Map(
     "p03_curation_pipeline" -> p03,
+    "ds20_split_leakage" -> ds20,
     "d13_incremental_dedup" -> d13,
     "d12_substring_dedup" -> d12,
     "d10_graph_rank" -> d10,
@@ -1179,6 +1235,7 @@ object DedupOps {
 
   val oracle: Map[String, String] = Map(
     "p03_curation_pipeline" -> p03Sql,
+    "ds20_split_leakage" -> ds20Sql,
     "d13_incremental_dedup" -> d13Sql,
     "d12_substring_dedup" -> d12Sql,
     "d10_graph_rank" -> d10Sql,

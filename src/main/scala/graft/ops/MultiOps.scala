@@ -340,7 +340,79 @@ object MultiOps {
       |FROM cand WHERE hamming <= 3
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** #m08 per-payload byte-distribution Shannon entropy — the
+    * compressibility / corruption signal a binary lake profiles at
+    * ingest: near-8-bits/byte payloads are already compressed (or
+    * encrypted, or noise — don't re-compress, maybe quarantine);
+    * low-entropy payloads are text/structured (compress before
+    * storing). Bytes are read WITHOUT a codec or UDF: hex(payload)
+    * splits into 2-char pairs by regexp (identical tokenization in
+    * both engines), pairs reduce to (payload, byte, count) at the
+    * map-side combine, and the −Σ p·ln p fold runs in BYTE order over
+    * ≤256 rows per payload (the q84 entropy rule — integer counts
+    * first, defined-order float fold). ln 2 is ONE Scala-computed
+    * literal in both engines (the q56 shared-irrational rule).
+    * fill_ratio = entropy/8 — the fraction of the byte channel
+    * actually used. One (payload, byte) shuffle; nothing byte-sized
+    * survives past the combine. */
+  def byteEntropyOf(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ln2 = math.log(2.0)
+    val po = Window.partitionBy(col(idCol)).orderBy(col("byte"))
+    val cum = po.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nD = col("__n").cast("double")
+    df.select(col(idCol),
+        explode(expr(s"regexp_extract_all(hex($payloadCol), '..', 0)")).as("byte"))
+      .groupBy(col(idCol), col("byte")).agg(count(lit(1)).as("__c"))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(col(idCol))))
+      .withColumn("__k", count(lit(1)).over(Window.partitionBy(col(idCol))))
+      .withColumn("__ch", sum(-(col("__c").cast("double") / nD) *
+        log(col("__c").cast("double") / nD)).over(cum))
+      .withColumn("__last", lead(col("byte"), 1).over(po).isNull)
+      .filter(col("__last"))
+      .select(col(idCol), col("__n").cast("long").as("byte_len"),
+        col("__k").cast("long").as("n_distinct_bytes"),
+        (col("__ch") / lit(ln2)).as("entropy_bits"),
+        (col("__ch") / lit(ln2) / lit(8.0)).as("fill_ratio"))
+  }
+
+  private val m08: Q = (s, dir) =>
+    byteEntropyOf(
+      t(s, dir, "documents").withColumn("payload", col("text").cast("binary")),
+      "doc_id", "payload")
+      .select(col("doc_id"), col("byte_len"), col("n_distinct_bytes"),
+        r6(col("entropy_bits")).as("entropy_bits"), r6(col("fill_ratio")).as("fill_ratio"))
+      .orderBy("doc_id")
+
+  private val m08Sql = {
+    val ln2 = math.log(2.0)
+    s"""WITH b AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(hex(encode(text)), '..')) AS byte
+       |  FROM documents),
+       |c AS (SELECT doc_id, byte, count(*) AS c FROM b GROUP BY 1, 2),
+       |w AS (
+       |  SELECT doc_id, byte, c,
+       |    sum(c) OVER (PARTITION BY doc_id) AS n,
+       |    count(*) OVER (PARTITION BY doc_id) AS k
+       |  FROM c),
+       |h AS (
+       |  SELECT doc_id, n, k,
+       |    sum(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+       |      * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))) OVER o AS ch,
+       |    lead(byte, 1) OVER po IS NULL AS is_last
+       |  FROM w
+       |  WINDOW po AS (PARTITION BY doc_id ORDER BY byte),
+       |    o AS (PARTITION BY doc_id ORDER BY byte
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT doc_id, CAST(n AS BIGINT) AS byte_len, CAST(k AS BIGINT) AS n_distinct_bytes,
+       |  round(ch / $ln2, 6) AS entropy_bits,
+       |  round(ch / $ln2 / 8.0, 6) AS fill_ratio
+       |FROM h WHERE is_last
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "m08_byte_entropy" -> m08,
     "m07_phash_dedup" -> m07,
     "m06_cdc_dedup" -> m06,
     "m01_binary_meta" -> m01,
@@ -351,6 +423,7 @@ object MultiOps {
 
   /** m02 is intentionally absent: mapPartitions output is rows-only. */
   val oracle: Map[String, String] = Map(
+    "m08_byte_entropy" -> m08Sql,
     "m07_phash_dedup" -> m07Sql,
     "m01_binary_meta" -> m01Sql,
     "m03_frame_sample" -> m03Sql,

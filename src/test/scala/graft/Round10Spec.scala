@@ -83,6 +83,23 @@ class Round10Spec extends SparkSpec {
     assert(spike.getInt(spike.fieldIndex("signal")) == 1)
   }
 
+  test("byteEntropy: exact entropy laws on constructed payloads") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Array.fill[Byte](64)(0x41)),                       // constant -> 0 bits
+      (2L, Array.tabulate[Byte](64)(i => if (i % 2 == 0) 0x41 else 0x42)), // two equal bytes -> 1 bit
+      (3L, Array.tabulate[Byte](256)(i => i.toByte)))         // all 256 once -> 8 bits
+      .toDF("id", "payload")
+    val out = graft.ops.MultiOps.byteEntropyOf(docs, "id", "payload")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(1L) == ((64L, 1L, 0.0, 0.0)), "constant payload: zero entropy exactly")
+    assert(out(2L)._2 == 2L && math.abs(out(2L)._3 - 1.0) < 1e-12, "two equal bytes: 1 bit")
+    assert(out(3L)._2 == 256L && math.abs(out(3L)._3 - 8.0) < 1e-12 &&
+      math.abs(out(3L)._4 - 1.0) < 1e-12, "uniform 256 bytes: 8 bits, full channel")
+  }
+
   test("rrfFuse: full-outer rank fusion, absent list contributes 0, ties break by id") {
     val spark = SparkSpec.session
     import spark.implicits._
