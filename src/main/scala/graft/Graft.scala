@@ -1460,6 +1460,17 @@ object Graft {
              excludeSelf: Boolean = true): DataFrame =
     ops.SimOps.maxSimOf(corpus, queries, id, vec, dims, nSub, k, excludeSelf)
 
+  /** Two-stage IVF+PQ ANN (the FAISS `IVFx,PQy` architecture): coarse
+    * centroid cells bound the candidate set, PQ codes + a broadcast
+    * ADC lookup bound the bytes per candidate; exact-cosine confirm on
+    * the survivors. See [[ops.SimOps.ivfPqAnnOf]]. */
+  def annIvfPq(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+               codebooks: DataFrame, id: String, vec: String, dims: Int,
+               m: Int, kCodes: Int, k: Int = 10, probes: Int = 2,
+               excludeSelf: Boolean = true): DataFrame =
+    ops.SimOps.ivfPqAnnOf(corpus, queries, centroids, codebooks, id, vec,
+      dims, m, kCodes, k, probes, excludeSelf)
+
   /** Per-payload byte-distribution Shannon entropy over a binary
     * column (codec-free, UDF-free): byte_len, distinct bytes,
     * entropy in bits and fill_ratio = entropy/8 — the

@@ -659,6 +659,165 @@ object SimOps {
        |ORDER BY av.vec_id""".stripMargin
   }
 
+  /** Two-stage IVF+PQ ANN over ANY (id, vector) corpus/query tables
+    * (public operator behind [[graft.Graft.annIvfPq]]) — the
+    * production index architecture (FAISS `IVFx,PQy`): a COARSE
+    * quantizer partitions the corpus into max-cosine centroid cells
+    * (the s02 machinery) and PQ codes COMPRESS every member (the s06
+    * machinery), so search touches only the probed cells' candidates
+    * and scores them from codes + a broadcast lookup table — never
+    * the raw vectors — with an exact-cosine confirm on the survivors.
+    * This is what the two stages exist FOR: IVF bounds the candidate
+    * set (n/cells × probes), PQ bounds the bytes per candidate
+    * (m codes vs dims floats).
+    *
+    * Plan shape: centroids and codebooks are driver/broadcast state
+    * (k·dims doubles each — the kmeansOf contract); the corpus scans
+    * ONCE for assignment+encode (map-only expressions), shuffles only
+    * on the cell join key; the probed query set and the
+    * queries×m×kCodes ADC lookup broadcast. Every L2² is the s04
+    * ((−2⟨x,c⟩ + ‖c‖²) + ‖x‖²) sequential-fold form, code ties break
+    * to the smaller code, and the ADC sum is a fixed-order m-term
+    * chain — bit-reproducible, which is what lets the oracle replay
+    * both stages exactly. */
+  def ivfPqAnnOf(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+                 codebooks: DataFrame, idCol: String, vecCol: String,
+                 dims: Int, m: Int, kCodes: Int, k: Int, probes: Int,
+                 excludeSelf: Boolean = true): DataFrame = {
+    require(m >= 1 && dims % m == 0, s"m must divide dims, got dims=$dims m=$m")
+    require(kCodes >= 1 && k >= 1 && probes >= 1,
+      s"kCodes/k/probes must be >= 1, got $kCodes/$k/$probes")
+    val sub = dims / m
+    def sqlArr(cv: Seq[Double]): String =
+      cv.map(x => s"${x}D").mkString("array(", ", ", ")")
+    // ---- stage 1: coarse cells (the s02 assignment + probe) ----
+    val cents = broadcast(centroids
+      .select(col(idCol).as("c_id"), col(vecCol).cast("array<double>").as("cv")))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))
+    val cells = corpus
+      .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("__v"))
+      .crossJoin(cents)
+      .withColumn("ccos", expr("graft_cosine(__v, cv)"))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("__v"), col("c_id").as("cell"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).cast("array<double>").as("__qv"))
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("c_id"))
+    val probed = broadcast(q.crossJoin(cents)
+      .withColumn("qcos", expr("graft_cosine(__qv, cv)"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= probes)
+      .select(col("q_id"), col("__qv"), col("c_id").as("cell")))
+    // ---- stage 2: PQ encode (the s06 machinery, map-only) ----
+    val cb: Seq[(Int, Seq[Double])] = codebooks
+      .select(col(idCol).cast("long").as("__cid"), col(vecCol).cast("array<double>").as("__cv"))
+      .orderBy(col("__cid")).limit(kCodes).collect().toSeq
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }
+    require(cb.length == kCodes, s"codebooks must supply $kCodes rows, got ${cb.length}")
+    def slices(j: Int): Seq[(Int, Seq[Double])] =
+      cb.map { case (c, v) => (c, v.slice(j * sub, (j + 1) * sub)) }
+    def d2(xSql: String, cv: Seq[Double]): Column = {
+      val c2 = cv.foldLeft(0.0)((s, x) => s + x * x)
+      (lit(-2.0) * expr(s"graft_dot($xSql, ${sqlArr(cv)})") + lit(c2)) +
+        expr(s"graft_dot($xSql, $xSql)")
+    }
+    def xSql(vecName: String, j: Int) = s"slice($vecName, ${j * sub + 1}, $sub)"
+    def codeCol(vecName: String, j: Int): Column =
+      least(slices(j).map { case (c, cv) =>
+        struct(d2(xSql(vecName, j), cv).as("d2"), lit(c).as("c"))
+      }: _*).getField("c")
+    val enc = cells.select(Seq(col("vec_id"), col("__v"), col("cell")) ++
+      (0 until m).map(j => codeCol("__v", j).as(s"__c$j")): _*)
+    // ---- search: probed-cell candidates scored by ADC lookups ----
+    val lookup = q.select(col("q_id"),
+        explode(array((0 until m).flatMap(j => slices(j).map { case (c, cv) =>
+          struct(lit(j).as("j"), lit(c).as("c"), d2(xSql("__qv", j), cv).as("l"))
+        }): _*)).as("__jcl"))
+      .select(col("q_id"), col("__jcl.j").as("__j"), col("__jcl.c").as("__c"),
+        col("__jcl.l").as("__l"))
+    val cand = enc.join(probed, "cell")
+      .filter(if (excludeSelf) col("vec_id") =!= col("q_id") else lit(true))
+    val scored = (0 until m).foldLeft(cand) { (cur, j) =>
+      val lj = broadcast(lookup.filter(col("__j") === j)
+        .select(col("q_id"), col("__c").as(s"__c$j"), col("__l").as(s"__l$j")))
+      cur.join(lj, Seq("q_id", s"__c$j"))
+    }
+    val adc = (1 until m).foldLeft(col("__l0"): Column)((a, j) => a + col(s"__l$j"))
+    val wRank = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
+    scored
+      .withColumn("adc", adc)
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .withColumn("cos_sim", expr("graft_cosine(__qv, __v)"))
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cell"),
+        col("adc"), col("cos_sim"))
+  }
+
+  /** #s18 IVF+PQ: cells from the 8 smallest-id vectors, PQ(m=4,
+    * kCodes=8) codes, 2-probe ADC search for queries vec_id < 5. */
+  private val s18: Q = (s, dir) => {
+    val all = vecs(s, dir)
+    ivfPqAnnOf(all, all.filter(col("vec_id") < 5), all.filter(col("vec_id") < 8),
+        all.filter(col("vec_id") < 8), "vec_id", "v",
+        dims = 64, m = 4, kCodes = 8, k = K, probes = 2)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cell"),
+        r6(col("adc")).as("adc"), r6(col("cos_sim")).as("cos_sim"))
+      .orderBy("q_id", "rank")
+  }
+
+  private val s18Sql = {
+    def dot16(a: String, b: String) = graft.OracleSql.seqDot(a, b, 16)
+    def d2s(x: String, c: String) =
+      s"((-2.0 * ${dot16(x, c)}) + ${dot16(c, c)}) + ${dot16(x, x)}"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cents AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+       |asg AS (SELECT e.vec_id, e.v, c_id,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${duckCos("v", "cv")} DESC, c_id) AS arn
+       |  FROM e CROSS JOIN cents),
+       |cells AS (SELECT vec_id, v, c_id AS cell FROM asg WHERE arn = 1),
+       |cb AS (SELECT vec_id AS c, v AS cbv FROM e WHERE vec_id < 8),
+       |cbs AS (SELECT c, j.j AS j, cbv[(j.j*16+1):(j.j*16+16)] AS scv
+       |  FROM cb, range(0, 4) j(j)),
+       |es AS (SELECT vec_id, j.j AS j, v[(j.j*16+1):(j.j*16+16)] AS sx
+       |  FROM e, range(0, 4) j(j)),
+       |pasg AS (SELECT vec_id, es.j, c, ${d2s("sx", "scv")} AS d2
+       |  FROM es JOIN cbs ON es.j = cbs.j),
+       |codes AS (SELECT vec_id, j, c FROM (
+       |    SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn
+       |    FROM pasg) t WHERE rn = 1),
+       |enc AS (SELECT vec_id,
+       |    max(CASE WHEN j = 0 THEN c END) AS c0, max(CASE WHEN j = 1 THEN c END) AS c1,
+       |    max(CASE WHEN j = 2 THEN c END) AS c2, max(CASE WHEN j = 3 THEN c END) AS c3
+       |  FROM codes GROUP BY vec_id),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+       |pr AS (SELECT q_id, qv, c_id AS cell,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY ${duckCos("qv", "cv")} DESC, c_id) AS prn
+       |  FROM q CROSS JOIN cents),
+       |probes AS (SELECT q_id, qv, cell FROM pr WHERE prn <= 2),
+       |cand AS (SELECT p.q_id, p.qv, cells.vec_id, cells.cell, cells.v
+       |  FROM cells JOIN probes p USING (cell)
+       |  WHERE cells.vec_id <> p.q_id),
+       |qs AS (SELECT q_id, j.j AS j, qv[(j.j*16+1):(j.j*16+16)] AS sq
+       |  FROM q, range(0, 4) j(j)),
+       |ql AS (SELECT q_id, qs.j, c, ${d2s("sq", "scv")} AS l
+       |  FROM qs JOIN cbs ON qs.j = cbs.j),
+       |sc AS (SELECT cand.q_id, cand.vec_id, cand.cell, cand.qv, cand.v,
+       |    (((l0.l + l1.l) + l2.l) + l3.l) AS adc
+       |  FROM cand
+       |  JOIN enc ON enc.vec_id = cand.vec_id
+       |  JOIN ql l0 ON l0.q_id = cand.q_id AND l0.j = 0 AND l0.c = enc.c0
+       |  JOIN ql l1 ON l1.q_id = cand.q_id AND l1.j = 1 AND l1.c = enc.c1
+       |  JOIN ql l2 ON l2.q_id = cand.q_id AND l2.j = 2 AND l2.c = enc.c2
+       |  JOIN ql l3 ON l3.q_id = cand.q_id AND l3.j = 3 AND l3.c = enc.c3),
+       |r AS (SELECT q_id, vec_id, cell, qv, v, adc,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS BIGINT) AS rank
+       |  FROM sc)
+       |SELECT q_id, rank, vec_id, cell, round(adc, 6) AS adc,
+       |  round(${duckCos("qv", "v")}, 6) AS cos_sim
+       |FROM r WHERE rank <= $K
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   /** Reciprocal-rank fusion over ANY ranked candidate lists (public
     * operator behind [[graft.Graft.rrfFuse]]; Cormack et al. 2009) —
     * the standard HYBRID-retrieval combiner: each list contributes
@@ -1720,6 +1879,7 @@ object SimOps {
     "d11_semdedup" -> d11,
     "p04_retrieval_pipeline" -> p04,
     "s17_hybrid_rrf" -> s17,
+    "s18_ivf_pq" -> s18,
     "s10_mips" -> s10,
     "s09_linear_probe" -> s09,
     "s08_cov_sampled" -> s08,
@@ -1741,6 +1901,7 @@ object SimOps {
     "d11_semdedup" -> d11Sql,
     "p04_retrieval_pipeline" -> p04Sql,
     "s17_hybrid_rrf" -> s17Sql,
+    "s18_ivf_pq" -> s18Sql,
     "s10_mips" -> s10Sql,
     "s09_linear_probe" -> s09Sql,
     "s08_cov_sampled" -> s08Sql,
