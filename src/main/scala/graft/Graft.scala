@@ -1479,6 +1479,13 @@ object Graft {
   def byteEntropy(df: DataFrame, id: String, payload: String): DataFrame =
     ops.MultiOps.byteEntropyOf(df, id, payload)
 
+  /** VPIN flow toxicity: tick-rule-signed fills re-bucketed by the
+    * volume clock, per-bucket |signed|/total imbalance, rolling n-bucket
+    * mean. See [[ops.EconOps.vpinOf]]. */
+  def vpin(fills: DataFrame, key: String, ts: String, tie: Seq[String],
+           price: String, vol: String, budget: Double, n: Int = 50): DataFrame =
+    ops.EconOps.vpinOf(fills, key, ts, tie, price, vol, budget, n)
+
   /** Kyle (1985) price-impact lambda per series: OLS of the bar price
     * change on signed volume — price impact per unit of net flow, the
     * regression companion of [[amihud]]. See

@@ -195,6 +195,120 @@ object EconOps {
       |FROM f
       |ORDER BY series""".stripMargin
 
+  /** VPIN — volume-synchronized probability of informed trading
+    * (Easley, López de Prado, O'Hara 2012; public operator behind
+    * [[graft.Graft.vpin]]): fills are tick-rule signed (+1 above the
+    * previous fill's price, −1 below, 0 flat/first — the bar-data
+    * classification), re-bucketed by the VOLUME CLOCK (the q59
+    * exclusive-prefix-sum rule — buckets carry equal traded volume, so
+    * toxicity is measured per unit of volume, not per wall-clock
+    * tick), per bucket imbalance = |Σ signed vol| / Σ vol, and VPIN =
+    * the rolling mean of the last `n` bucket imbalances (cumsum-diff,
+    * null till n buckets) — the flow-toxicity alarm that spikes before
+    * liquidity events. Every float reduction is a defined-order
+    * cumulative fold taken at the bucket's last row (q33 rule); one
+    * shuffle on the series key serves the sign lag, the volume clock,
+    * the bucket folds AND the rolling mean (`ClusteredDistribution`:
+    * hash(key) co-locates every bucket). */
+  def vpinOf(fills: DataFrame, key: String, ts: String, tie: Seq[String],
+             price: String, vol: String, budget: Double, n: Int): DataFrame = {
+    require(budget > 0, s"budget must be > 0, got $budget")
+    require(n >= 1, s"n must be >= 1, got $n")
+    val ordCols = col(ts) +: tie.map(col)
+    val ord = Window.partitionBy(col(key)).orderBy(ordCols: _*)
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val signed = fills
+      .withColumn("__pp", lag(col(price), 1).over(ord))
+      .withColumn("__sgn", when(col(price) > col("__pp"), 1.0)
+        .when(col(price) < col("__pp"), -1.0).otherwise(0.0))
+      .withColumn("__cv", sum(col(vol)).over(cum))
+      .withColumn("bar", floor((col("__cv") - col(vol)) / budget).cast("long"))
+    val grp = Window.partitionBy(col(key), col("bar"))
+    val bo = grp.orderBy(ordCols: _*)
+    val bcum = bo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bars = signed
+      .withColumn("__rn", row_number().over(bo))
+      .withColumn("__cnt", count(lit(1)).over(grp))
+      .withColumn("__sv", sum(col("__sgn") * col(vol)).over(bcum))
+      .withColumn("__tv", sum(col(vol)).over(bcum))
+      .filter(col("__rn") === col("__cnt"))
+      .select(col(key), col("bar"), col("__cnt").cast("long").as("n_fills"),
+        col("__tv").as("bucket_vol"),
+        (abs(col("__sv")) / col("__tv")).as("imbalance"))
+    val kOrd = Window.partitionBy(col(key)).orderBy(col("bar"))
+    val kCum = kOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bars
+      .withColumn("__brn", row_number().over(kOrd))
+      .withColumn("__ci", sum(col("imbalance")).over(kCum))
+      .withColumn("vpin", when(col("__brn") >= n,
+        (col("__ci") - coalesce(lag(col("__ci"), n).over(kOrd), lit(0.0))) / n))
+      .select(col(key), col("bar"), col("n_fills"), col("bucket_vol"),
+        col("imbalance"), col("vpin"))
+  }
+
+  /** #q90 VPIN(5) over the q59 fill stream (lineitem as fills,
+    * 50k-quantity volume buckets). */
+  private val q90: Q = (s, dir) => {
+    val fills = t(s, dir, "lineitem").filter(col("l_quantity") > 0)
+      .select(col("l_returnflag").as("series"), col("l_shipdate").as("ts"),
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") / col("l_quantity")).as("p"),
+        col("l_quantity").as("v"))
+    vpinOf(fills, "series", "ts", Seq("l_orderkey", "l_linenumber"),
+        "p", "v", budget = 50000.0, n = 5)
+      .select(col("series"), col("bar"), col("n_fills"),
+        r4(col("bucket_vol")).as("bucket_vol"),
+        r6(col("imbalance")).as("imbalance"), r6(col("vpin")).as("vpin"))
+      .orderBy("series", "bar")
+  }
+
+  private val q90Sql =
+    """WITH f AS (
+      |  SELECT l_returnflag AS series, l_shipdate AS ts,
+      |    l_orderkey, l_linenumber,
+      |    l_extendedprice / l_quantity AS p, l_quantity AS v
+      |  FROM lineitem WHERE l_quantity > 0),
+      |c AS (
+      |  SELECT series, ts, l_orderkey, l_linenumber, p, v,
+      |    lag(p, 1) OVER o AS pp,
+      |    CAST(floor((sum(v) OVER w - v) / 50000.0) AS BIGINT) AS bar
+      |  FROM f
+      |  WINDOW o AS (PARTITION BY series ORDER BY ts, l_orderkey, l_linenumber),
+      |    w AS (PARTITION BY series ORDER BY ts, l_orderkey, l_linenumber
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |g AS (
+      |  SELECT series, ts, l_orderkey, l_linenumber, v, bar,
+      |    CASE WHEN p > pp THEN 1.0 WHEN p < pp THEN -1.0 ELSE 0.0 END AS sgn
+      |  FROM c),
+      |b AS (
+      |  SELECT series, bar,
+      |    row_number() OVER o AS rn,
+      |    count(*) OVER (PARTITION BY series, bar) AS cnt,
+      |    sum(sgn * v) OVER w AS sv, sum(v) OVER w AS tv
+      |  FROM g
+      |  WINDOW o AS (PARTITION BY series, bar ORDER BY ts, l_orderkey, l_linenumber),
+      |    w AS (PARTITION BY series, bar ORDER BY ts, l_orderkey, l_linenumber
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |k AS (
+      |  SELECT series, bar, CAST(cnt AS BIGINT) AS n_fills, tv,
+      |    abs(sv) / tv AS imbalance
+      |  FROM b WHERE rn = cnt),
+      |r AS (
+      |  SELECT series, bar, n_fills, tv, imbalance,
+      |    row_number() OVER o AS brn,
+      |    sum(imbalance) OVER w AS ci
+      |  FROM k
+      |  WINDOW o AS (PARTITION BY series ORDER BY bar),
+      |    w AS (PARTITION BY series ORDER BY bar
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT series, bar, n_fills, round(tv, 4) AS bucket_vol,
+      |  round(imbalance, 6) AS imbalance,
+      |  round(CASE WHEN brn >= 5 THEN
+      |    (ci - coalesce(lag(ci, 5) OVER (PARTITION BY series ORDER BY bar),
+      |                   CAST(0.0 AS DOUBLE))) / 5 END, 6) AS vpin
+      |FROM r
+      |ORDER BY series, bar""".stripMargin
+
   // ------------------------------------------------------ Roll spread
 
   /** Roll (1984) implied effective spread over ANY (key, ts, price)
@@ -531,12 +645,14 @@ object EconOps {
     "q81_roll_spread" -> q81,
     "q82_acf" -> q82,
     "q83_hurst" -> q83,
-    "q89_kyle_lambda" -> q89)
+    "q89_kyle_lambda" -> q89,
+    "q90_vpin" -> q90)
 
   val oracle: Map[String, String] = Map(
     "q80_amihud" -> q80Sql,
     "q81_roll_spread" -> q81Sql,
     "q82_acf" -> q82Sql,
     "q83_hurst" -> q83Sql,
-    "q89_kyle_lambda" -> q89Sql)
+    "q89_kyle_lambda" -> q89Sql,
+    "q90_vpin" -> q90Sql)
 }

@@ -129,6 +129,25 @@ class Round10Spec extends SparkSpec {
     assert(out.getDouble(out.fieldIndex("intercept")) == 0.0)
   }
 
+  test("vpin: volume clock buckets, tick-rule signs, one-sided flow saturates at 1") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    def ts(h: Int) = new java.sql.Timestamp(h * 60000L)
+    // 12 monotonically rising fills, vol 10 each, budget 30 => 4 buckets
+    // of 3 fills; the very first fill is tick-flat (sign 0)
+    val fills = (1 to 12).map(i => ("X", ts(i), i.toLong, i.toDouble, 10.0))
+      .toDF("k", "bucket_ts", "fid", "p", "v")
+    val out = graft.Graft.vpin(fills, "k", "bucket_ts", Seq("fid"), "p", "v",
+        budget = 30.0, n = 2)
+      .orderBy("bar").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(out.forall(_.getLong(2) == 3L), "equal-volume buckets of 3 fills")
+    assert(out.head.getDouble(4) == 20.0 / 30.0, "first bucket carries the flat first fill")
+    assert(out.drop(1).forall(_.getDouble(4) == 1.0), "one-sided flow saturates imbalance")
+    assert(out.head.isNullAt(5) && out(1).isNullAt(5) === false, "vpin null till n buckets")
+    assert(math.abs(out(2).getDouble(5) - 1.0) < 1e-12)
+  }
+
   test("zipfFit: exact-power-law corpus fits alpha 1, r2 1") {
     val spark = SparkSpec.session
     import spark.implicits._
