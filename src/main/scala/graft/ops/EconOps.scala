@@ -209,7 +209,11 @@ object EconOps {
     * cumulative fold taken at the bucket's last row (q33 rule); one
     * shuffle on the series key serves the sign lag, the volume clock,
     * the bucket folds AND the rolling mean (`ClusteredDistribution`:
-    * hash(key) co-locates every bucket). */
+    * hash(key) co-locates every bucket). The (ts ++ tie) ordering MUST
+    * be a total order over the fills — a tie between rows with
+    * different price/volume makes the sign sequence and the clock
+    * partition-order-dependent (caller contract; include price/volume
+    * in `tie` when the natural key is not unique). */
   def vpinOf(fills: DataFrame, key: String, ts: String, tie: Seq[String],
              price: String, vol: String, budget: Double, n: Int): DataFrame = {
     require(budget > 0, s"budget must be > 0, got $budget")
@@ -254,7 +258,11 @@ object EconOps {
         col("l_orderkey"), col("l_linenumber"),
         (col("l_extendedprice") / col("l_quantity")).as("p"),
         col("l_quantity").as("v"))
-    vpinOf(fills, "series", "ts", Seq("l_orderkey", "l_linenumber"),
+    // tie columns include price+qty: (okey, ln) is not unique in the
+    // synthetic lineitem and 3 groups tie with DIFFERENT p/v — without
+    // them the sign/clock folds are partition-order-dependent (the
+    // DuckDB oracle measurably flapped run-to-run)
+    vpinOf(fills, "series", "ts", Seq("l_orderkey", "l_linenumber", "p", "v"),
         "p", "v", budget = 50000.0, n = 5)
       .select(col("series"), col("bar"), col("n_fills"),
         r4(col("bucket_vol")).as("bucket_vol"),
@@ -273,11 +281,11 @@ object EconOps {
       |    lag(p, 1) OVER o AS pp,
       |    CAST(floor((sum(v) OVER w - v) / 50000.0) AS BIGINT) AS bar
       |  FROM f
-      |  WINDOW o AS (PARTITION BY series ORDER BY ts, l_orderkey, l_linenumber),
-      |    w AS (PARTITION BY series ORDER BY ts, l_orderkey, l_linenumber
+      |  WINDOW o AS (PARTITION BY series ORDER BY ts, l_orderkey, l_linenumber, p, v),
+      |    w AS (PARTITION BY series ORDER BY ts, l_orderkey, l_linenumber, p, v
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
       |g AS (
-      |  SELECT series, ts, l_orderkey, l_linenumber, v, bar,
+      |  SELECT series, ts, l_orderkey, l_linenumber, p, v, bar,
       |    CASE WHEN p > pp THEN 1.0 WHEN p < pp THEN -1.0 ELSE 0.0 END AS sgn
       |  FROM c),
       |b AS (
@@ -286,8 +294,8 @@ object EconOps {
       |    count(*) OVER (PARTITION BY series, bar) AS cnt,
       |    sum(sgn * v) OVER w AS sv, sum(v) OVER w AS tv
       |  FROM g
-      |  WINDOW o AS (PARTITION BY series, bar ORDER BY ts, l_orderkey, l_linenumber),
-      |    w AS (PARTITION BY series, bar ORDER BY ts, l_orderkey, l_linenumber
+      |  WINDOW o AS (PARTITION BY series, bar ORDER BY ts, l_orderkey, l_linenumber, p, v),
+      |    w AS (PARTITION BY series, bar ORDER BY ts, l_orderkey, l_linenumber, p, v
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
       |k AS (
       |  SELECT series, bar, CAST(cnt AS BIGINT) AS n_fills, tv,

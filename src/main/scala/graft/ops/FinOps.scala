@@ -930,7 +930,13 @@ object FinOps {
     volumeBarsOf(
       t(s, dir, "lineitem")
         .withColumn("unit_price", col("l_extendedprice") / col("l_quantity")),
-      "l_returnflag", "l_shipdate", Seq("l_orderkey", "l_linenumber"),
+      "l_returnflag", "l_shipdate",
+      // (okey, ln) is NOT unique in the synthetic lineitem (11,785 dup
+      // groups; 3 even tie on (rf, shipdate, okey, ln) with DIFFERENT
+      // price/qty) — price+qty complete the total order, or the fold
+      // sequence is partition-order-dependent in BOTH engines (caught
+      // round 10: the q90 oracle flapped run-to-run on exactly this)
+      Seq("l_orderkey", "l_linenumber", "unit_price", "l_quantity"),
       priceCol = "unit_price", volCol = "l_quantity", budget = 50000.0)
       .select(col("series"), col("bar"),
         epochMs(col("start_ts")).as("start_ms"), epochMs(col("end_ts")).as("end_ms"),
@@ -950,7 +956,7 @@ object FinOps {
       |  SELECT series, ts, l_orderkey, l_linenumber, p, v,
       |    CAST(floor((sum(v) OVER w - v) / 50000.0) AS BIGINT) AS bar
       |  FROM f
-      |  WINDOW w AS (PARTITION BY series ORDER BY ts, l_orderkey, l_linenumber
+      |  WINDOW w AS (PARTITION BY series ORDER BY ts, l_orderkey, l_linenumber, p, v
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
       |b AS (
       |  SELECT series, bar, ts, p,
@@ -960,8 +966,8 @@ object FinOps {
       |    min(p) OVER w AS low, first(ts) OVER w AS start_ts,
       |    sum(v) OVER w AS vol, sum(p * v) OVER w AS ntl
       |  FROM c
-      |  WINDOW o AS (PARTITION BY series, bar ORDER BY ts, l_orderkey, l_linenumber),
-      |    w AS (PARTITION BY series, bar ORDER BY ts, l_orderkey, l_linenumber
+      |  WINDOW o AS (PARTITION BY series, bar ORDER BY ts, l_orderkey, l_linenumber, p, v),
+      |    w AS (PARTITION BY series, bar ORDER BY ts, l_orderkey, l_linenumber, p, v
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
       |SELECT series, bar, epoch_ms(start_ts) AS start_ms, epoch_ms(ts) AS end_ms,
       |  n AS n_fills,
