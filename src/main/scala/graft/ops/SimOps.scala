@@ -673,8 +673,11 @@ object SimOps {
     *
     * Plan shape: centroids and codebooks are driver/broadcast state
     * (k·dims doubles each — the kmeansOf contract); the corpus scans
-    * ONCE for assignment+encode (map-only expressions), shuffles only
-    * on the cell join key; the probed query set and the
+    * ONCE — cell assignment is the s02 form (k× candidate window per
+    * corpus id; the kmeansOf `least(struct…)` argmin is the documented
+    * map-only upgrade for large k), the PQ encode is a pure map-only
+    * expression on the assigned rows, and the only corpus shuffle is
+    * the cell join key; the probed query set and the
     * queries×m×kCodes ADC lookup broadcast. Every L2² is the s04
     * ((−2⟨x,c⟩ + ‖c‖²) + ‖x‖²) sequential-fold form, code ties break
     * to the smaller code, and the ADC sum is a fixed-order m-term
