@@ -1479,6 +1479,14 @@ object Graft {
   def byteEntropy(df: DataFrame, id: String, payload: String): DataFrame =
     ops.MultiOps.byteEntropyOf(df, id, payload)
 
+  /** Kaplan–Meier churn survival over an activity log: per lifetime
+    * level, at-risk/churned/censored counts, hazard and the product-
+    * limit survival curve (censored entities handled exactly).
+    * See [[ops.BehaviorOps.survivalOf]]. */
+  def survival(events: DataFrame, entity: String, ts: String,
+               censorDays: Int = 3): DataFrame =
+    ops.BehaviorOps.survivalOf(events, entity, ts, censorDays)
+
   /** VPIN flow toxicity: tick-rule-signed fills re-bucketed by the
     * volume clock, per-bucket |signed|/total imbalance, rolling n-bucket
     * mean. See [[ops.EconOps.vpinOf]]. */

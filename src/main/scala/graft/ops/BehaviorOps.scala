@@ -492,7 +492,104 @@ object BehaviorOps {
       |FROM a
       |ORDER BY event_type""".stripMargin
 
+  /** Kaplan–Meier churn survival over ANY (entity, time) activity log
+    * (public operator behind [[graft.Graft.survival]]) — the
+    * time-to-churn curve next to [[retentionOf]]'s calendar cohorts:
+    * per entity, lifetime = last active day − first active day;
+    * entities still active within `censorDays` of the corpus' last day
+    * are CENSORED (their true lifetime is unknown — dropping them
+    * would bias survival down, counting them as churned would bias it
+    * up; KM handles them exactly). Per lifetime level k:
+    * n_at_risk = entities with lifetime ≥ k, n_churned = churned
+    * entities ending at k, hazard = churned/at-risk, and
+    * S(k) = Π_{i≤k} (1 − hazard_i) — realized as exp(Σ ln(1−h)) in
+    * BOTH engines (identical op sequence; a level with hazard = 1
+    * pins S to exactly 0 from there on via an integer flag, never
+    * ln(0)). Day truncation is the q51 floor-mod rule. Everything up
+    * to hazard is INTEGER arithmetic; the level table is
+    * lifetime-span-sized (the deliberate k-row single partition,
+    * ds18 rule); the corpus max day rides one broadcast row. */
+  def survivalOf(events: DataFrame, entity: String, ts: String,
+                 censorDays: Int): DataFrame = {
+    require(censorDays >= 0, s"censorDays must be >= 0, got $censorDays")
+    val dayMs = 86400000L
+    val day = ((epochMs(col(ts)) - pmod(epochMs(col(ts)), lit(dayMs))) / lit(dayMs)).cast("long")
+    val per = events.select(col(entity).as("__u"), day.as("__d"))
+      .groupBy("__u").agg(min(col("__d")).as("__f"), max(col("__d")).as("__l"))
+    val lv = per
+      .crossJoin(broadcast(per.agg(max(col("__l")).as("__mx")))) // 1-row build side
+      .withColumn("k", col("__l") - col("__f"))
+      .withColumn("__ch", col("__l") < col("__mx") - censorDays)
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("__end"),
+        sum(when(col("__ch"), 1L).otherwise(0L)).as("n_churned"))
+    val ord = Window.orderBy(col("k"))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    lv
+      .withColumn("__tot", sum(col("__end")).over(all))
+      .withColumn("__cend", sum(col("__end")).over(cum))
+      .withColumn("n_at_risk", col("__tot") - (col("__cend") - col("__end")))
+      .withColumn("n_censored", col("__end") - col("n_churned"))
+      .withColumn("hazard", col("n_churned").cast("double") / col("n_at_risk").cast("double"))
+      .withColumn("__dead", max(when(col("n_churned") === col("n_at_risk"), 1L)
+        .otherwise(0L)).over(cum))
+      .withColumn("__cln", sum(when(col("n_churned") === col("n_at_risk"), lit(0.0))
+        .otherwise(log(lit(1.0) - col("hazard")))).over(cum))
+      .withColumn("survival", when(col("__dead") === 1L, lit(0.0))
+        .otherwise(exp(col("__cln"))))
+      .select(col("k"), col("n_at_risk").cast("long").as("n_at_risk"),
+        col("n_churned").cast("long").as("n_churned"),
+        col("n_censored").cast("long").as("n_censored"),
+        col("hazard"), col("survival"))
+  }
+
+  /** #q91 Kaplan–Meier user-churn survival (3-day censor margin). */
+  private val q91: Q = (s, dir) =>
+    survivalOf(t(s, dir, "events"), "user_id", "ts", censorDays = 3)
+      .select(col("k"), col("n_at_risk"), col("n_churned"), col("n_censored"),
+        r6(col("hazard")).as("hazard"), r6(col("survival")).as("survival"))
+      .orderBy("k")
+
+  private val q91Sql =
+    """WITH e AS (
+      |  SELECT user_id AS u,
+      |    (epoch_ms(ts) - epoch_ms(ts) % 86400000) // 86400000 AS d
+      |  FROM events),
+      |per AS (SELECT u, min(d) AS f, max(d) AS l FROM e GROUP BY u),
+      |mx AS (SELECT max(l) AS mxl FROM per),
+      |lt AS (
+      |  SELECT l - f AS k,
+      |    count(*) AS nend,
+      |    sum(CASE WHEN l < mxl - 3 THEN 1 ELSE 0 END) AS n_churned
+      |  FROM per, mx GROUP BY 1),
+      |c AS (
+      |  SELECT k, nend, n_churned,
+      |    sum(nend) OVER () AS tot,
+      |    sum(nend) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cend
+      |  FROM lt),
+      |h AS (
+      |  SELECT k, n_churned, nend - n_churned AS n_censored,
+      |    tot - (cend - nend) AS n_at_risk,
+      |    CAST(n_churned AS DOUBLE) / CAST(tot - (cend - nend) AS DOUBLE) AS hazard
+      |  FROM c),
+      |s AS (
+      |  SELECT *,
+      |    max(CASE WHEN n_churned = n_at_risk THEN 1 ELSE 0 END)
+      |      OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead,
+      |    sum(CASE WHEN n_churned = n_at_risk THEN 0.0 ELSE ln(1.0 - hazard) END)
+      |      OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cln
+      |  FROM h)
+      |SELECT k, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+      |  CAST(n_churned AS BIGINT) AS n_churned,
+      |  CAST(n_censored AS BIGINT) AS n_censored,
+      |  round(hazard, 6) AS hazard,
+      |  round(CASE WHEN dead = 1 THEN 0.0 ELSE exp(cln) END, 6) AS survival
+      |FROM s
+      |ORDER BY k""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q91_survival" -> q91,
     "q50_funnel" -> q50,
     "q51_retention" -> q51,
     "q55_transitions" -> q55,
@@ -510,5 +607,6 @@ object BehaviorOps {
     "q58_top_paths" -> q58Sql,
     "q84_user_entropy" -> q84Sql,
     "q85_inter_event" -> q85Sql,
-    "q86_gini" -> q86Sql)
+    "q86_gini" -> q86Sql,
+    "q91_survival" -> q91Sql)
 }

@@ -146,6 +146,76 @@ object DedupOps {
       |FROM p ORDER BY doc_a, doc_b""".stripMargin
       .replace("GS_DUCK", gsDuck).replace("SIG8_DUCK", sigDuck(8))
 
+  /** #d14 minhash-calibration eval — the dedup family's reliability
+    * diagram (the s05/s14 move applied to d02): per estimated
+    * similarity level (signature agreement, exact multiples of 1/k —
+    * exactly representable, safe to GROUP BY), the count and the
+    * mean/min/max EXACT shingle Jaccard over the same banded
+    * candidates — the measurement that justifies picking an est_sim
+    * threshold for d02/d11/d13 instead of guessing: if est_sim 0.5
+    * pairs average Jaccard 0.48, the sketch is honest; a fat min tail
+    * says raise k. Joins the verified d02 pair table with the d04
+    * exact-Jaccard confirm (threshold 0 — every candidate measured)
+    * on the pair key; per-level folds in (doc_a, doc_b) order (q33
+    * rule). Cost = d02 + d04 on identical banded candidates — never
+    * all-pairs. */
+  private val d14: Q = (s, dir) => {
+    val est = minhashPairs(s, dir)
+    val ex = ngramJaccardPairsOf(t(s, dir, "documents"), "doc_id", "text",
+      shingleN = 3, threshold = 0.0, k = 8, bands = 4)
+    val grp = Window.partitionBy(col("est_sim"))
+    val ord = grp.orderBy(col("doc_a"), col("doc_b"))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    est.join(ex, Seq("doc_a", "doc_b"))
+      .withColumn("__rn", row_number().over(ord))
+      .withColumn("__cnt", count(lit(1)).over(grp))
+      .withColumn("__cj", sum(col("jaccard")).over(cum))
+      .withColumn("__mn", min(col("jaccard")).over(grp))
+      .withColumn("__mx", max(col("jaccard")).over(grp))
+      .filter(col("__rn") === col("__cnt"))
+      .select(r6(col("est_sim")).as("est_sim"),
+        col("__cnt").cast("long").as("n_pairs"),
+        r6(col("__cj") / col("__cnt").cast("double")).as("mean_jaccard"),
+        r6(col("__mn")).as("min_jaccard"), r6(col("__mx")).as("max_jaccard"))
+      .orderBy("est_sim")
+  }
+
+  private val d14Sql =
+    """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+      |s3 AS (SELECT doc_id,
+      |    list_transform(generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh
+      |  FROM w WHERE len(ws) >= 3),
+      |g AS (SELECT doc_id, list_distinct(sh) AS shd, GS_DUCK AS gs FROM s3),
+      |d AS (SELECT doc_id, shd, SIG8_DUCK AS sig FROM g),
+      |e AS (SELECT doc_id, shd, sig, i.i AS i,
+      |    CAST(sig[2*i.i+1] AS VARCHAR) || '_' || CAST(sig[2*i.i+2] AS VARCHAR) AS mh
+      |  FROM d, range(0, 4) i(i)),
+      |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    list_reduce(list_transform(generate_series(1, 8),
+      |      i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1.0 ELSE 0.0 END), (x, y) -> x + y) / 8.0 AS est_sim,
+      |    CAST(len(list_intersect(a.shd, b.shd)) AS BIGINT) AS inter,
+      |    CAST(len(a.shd) AS BIGINT) AS na, CAST(len(b.shd) AS BIGINT) AS nb
+      |  FROM e a JOIN e b ON a.i = b.i AND a.mh = b.mh AND a.doc_id < b.doc_id),
+      |j AS (SELECT doc_a, doc_b, est_sim,
+      |    inter / (na + nb - inter) AS jaccard
+      |  FROM p),
+      |f AS (SELECT est_sim, doc_a, doc_b, jaccard,
+      |    row_number() OVER o AS rn,
+      |    count(*) OVER (PARTITION BY est_sim) AS cnt,
+      |    sum(jaccard) OVER cw AS cj,
+      |    min(jaccard) OVER (PARTITION BY est_sim) AS mn,
+      |    max(jaccard) OVER (PARTITION BY est_sim) AS mx
+      |  FROM j
+      |  WINDOW o AS (PARTITION BY est_sim ORDER BY doc_a, doc_b),
+      |    cw AS (PARTITION BY est_sim ORDER BY doc_a, doc_b
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT round(est_sim, 6) AS est_sim, CAST(cnt AS BIGINT) AS n_pairs,
+      |  round(cj / cnt, 6) AS mean_jaccard,
+      |  round(mn, 6) AS min_jaccard, round(mx, 6) AS max_jaccard
+      |FROM f WHERE rn = cnt
+      |ORDER BY est_sim""".stripMargin
+      .replace("GS_DUCK", gsDuck).replace("SIG8_DUCK", sigDuck(8))
+
   /** #ds20 split-LEAKAGE audit (dedup × dataset-management, the check
     * ds01's hash split cannot make on its own): near-duplicate pairs
     * that STRADDLE the train/val/test boundary — a validation doc with
@@ -1220,6 +1290,7 @@ object DedupOps {
   val queries: Map[String, Q] = Map(
     "p03_curation_pipeline" -> p03,
     "ds20_split_leakage" -> ds20,
+    "d14_minhash_calibration" -> d14,
     "d13_incremental_dedup" -> d13,
     "d12_substring_dedup" -> d12,
     "d10_graph_rank" -> d10,
@@ -1236,6 +1307,7 @@ object DedupOps {
   val oracle: Map[String, String] = Map(
     "p03_curation_pipeline" -> p03Sql,
     "ds20_split_leakage" -> ds20Sql,
+    "d14_minhash_calibration" -> d14Sql,
     "d13_incremental_dedup" -> d13Sql,
     "d12_substring_dedup" -> d12Sql,
     "d10_graph_rank" -> d10Sql,

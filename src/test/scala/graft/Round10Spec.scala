@@ -129,6 +129,34 @@ class Round10Spec extends SparkSpec {
     assert(out.getDouble(out.fieldIndex("intercept")) == 0.0)
   }
 
+  test("survival: Kaplan-Meier product limit, censoring, exact-zero tail") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    def day(d: Int) = new java.sql.Timestamp(d * 86400000L)
+    // u1 lives days 0-2 (lifetime 2), u2 day 0 (0), u3 days 0-1 (1) — all
+    // churned; u4 is active through day 10 (lifetime 10) => CENSORED at
+    // censorDays=3 (last day >= 10-3)
+    val ev = Seq(
+      (1L, 0), (1L, 1), (1L, 2), (2L, 0), (3L, 0), (3L, 1),
+      (4L, 0), (4L, 5), (4L, 10))
+      .map { case (u, d) => (u, day(d)) }.toDF("u", "ts")
+    val km = graft.Graft.survival(ev, "u", "ts", censorDays = 3)
+      .orderBy("k").collect()
+    assert(km.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 10L))
+    assert(km.map(r => r.getLong(r.fieldIndex("n_at_risk"))).toSeq == Seq(4L, 3L, 2L, 1L))
+    assert(km.map(r => r.getLong(r.fieldIndex("n_censored"))).toSeq == Seq(0L, 0L, 0L, 1L))
+    val s = km.map(r => r.getDouble(r.fieldIndex("survival")))
+    assert(math.abs(s(0) - 0.75) < 1e-12)
+    assert(math.abs(s(1) - 0.5) < 1e-12)
+    assert(math.abs(s(2) - 0.25) < 1e-12)
+    assert(math.abs(s(3) - 0.25) < 1e-12, "censored tail holds the curve flat")
+    // hazard = 1 at the last level pins survival to EXACTLY 0, never ln(0)
+    val ev2 = Seq((1L, day(0)), (1L, day(10)), (4L, day(20))).toDF("u", "ts")
+    val km2 = graft.Graft.survival(ev2, "u", "ts", censorDays = 3)
+      .orderBy("k").collect()
+    assert(km2.last.getDouble(km2.last.fieldIndex("survival")) == 0.0)
+  }
+
   test("vpin: volume clock buckets, tick-rule signs, one-sided flow saturates at 1") {
     val spark = SparkSpec.session
     import spark.implicits._
