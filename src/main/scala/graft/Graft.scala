@@ -1479,6 +1479,15 @@ object Graft {
   def byteEntropy(df: DataFrame, id: String, payload: String): DataFrame =
     ops.MultiOps.byteEntropyOf(df, id, payload)
 
+  /** Poisson-bootstrap confidence interval for a metric mean — the
+    * single-pass, md5-deterministic bootstrap (no materialized
+    * resamples; Poisson(1) weights drawn in-flight per replica).
+    * Returns one row (n_rows, n_replicas, mean, ci_lo, ci_hi).
+    * See [[ops.DataOps.bootstrapCiOf]]. */
+  def bootstrapCi(df: DataFrame, id: String, value: String, b: Int = 50,
+                  level: Double = 0.95, salt: String = "graft"): DataFrame =
+    ops.DataOps.bootstrapCiOf(df, id, value, b, level, salt)
+
   /** Kaplan–Meier churn survival over an activity log: per lifetime
     * level, at-risk/churned/censored counts, hazard and the product-
     * limit survival curve (censored entities handled exactly).

@@ -979,7 +979,100 @@ object DataOps {
       |FROM j
       |ORDER BY domain""".stripMargin
 
+  /** Poisson-bootstrap confidence interval for a metric mean (public
+    * operator behind [[graft.Graft.bootstrapCi]]) — the uncertainty
+    * bar a corpus-health report needs next to the point estimate, in
+    * the ONLY bootstrap shape a 100 TB table can run: instead of B
+    * materialized resamples, each row draws a Poisson(1) weight per
+    * replica IN-FLIGHT (the large-n limit of multinomial resampling —
+    * the "Poisson bootstrap"), so the corpus is scanned once, the
+    * explode collapses at the map-side combine, and only B partial
+    * sums shuffle. Weights come from the md5 uniform (the ds12
+    * determinism rule: the draw is a pure function of salt, replica
+    * and id — rerun/cluster-size invariant, never rand()) through the
+    * Poisson(1) inverse CDF, whose five thresholds are Scala-computed
+    * literals in BOTH engines (q56 rule; weights cap at 5 —
+    * P(X>5) ≈ 0.06%). Sums run in DECIMAL (exact, order-free hash
+    * aggregation — no fold discipline needed; float metrics are
+    * rounded to 6 dp at the cast, exact for integer metrics). The CI
+    * is the exact-interpolation percentile pair over the B replica
+    * means (the q20 machinery on a B-row table). Returns ONE row:
+    * (n_rows, n_replicas, mean, ci_lo, ci_hi). */
+  def bootstrapCiOf(df: DataFrame, idCol: String, valueCol: String,
+                    b: Int = 50, level: Double = 0.95,
+                    salt: String = "graft"): DataFrame = {
+    require(b >= 4, s"b must be >= 4, got $b")
+    require(level > 0 && level < 1, s"level must be in (0,1), got $level")
+    def fact(k: Int): Double = (1 to k).product.toDouble
+    val cum: Seq[Double] =
+      (0 to 4).map(k => (0 to k).map(j => math.exp(-1.0) / fact(j)).sum)
+    val qlo = (1.0 - level) / 2.0
+    val qhi = 1.0 - qlo
+    val base = df.select(col(idCol).cast("string").as("__id"),
+      col(valueCol).cast("decimal(18,6)").as("__x"))
+    val reps = base
+      .select(col("__id"), col("__x"), explode(sequence(lit(0), lit(b - 1))).as("__b"))
+      .withColumn("__u", (hash60(concat(lit(salt + ":"), col("__b").cast("string"),
+        lit(":"), col("__id"))) + 1).cast("double") / lit(1152921504606846976.0))
+      .withColumn("__w",
+        when(col("__u") < cum(0), 0L).when(col("__u") < cum(1), 1L)
+          .when(col("__u") < cum(2), 2L).when(col("__u") < cum(3), 3L)
+          .when(col("__u") < cum(4), 4L).otherwise(5L).cast("decimal(2,0)"))
+    val means = reps.groupBy("__b")
+      .agg(sum(col("__w") * col("__x")).as("__swx"), sum(col("__w")).as("__sw"))
+      .filter(col("__sw") > 0)
+      .select(col("__b"),
+        (col("__swx").cast("double") / col("__sw").cast("double")).as("__m"))
+    val overall = base.agg(count(lit(1)).as("n_rows"), sum(col("__x")).as("__sx"))
+    means
+      .agg(count(lit(1)).as("n_replicas"),
+        expr(s"percentile(__m, array(${qlo}D, ${qhi}D))").as("__ci"))
+      .crossJoin(broadcast(overall)) // 1-row build side: documented BNLJ
+      .select(col("n_rows"), col("n_replicas"),
+        (col("__sx").cast("double") / col("n_rows").cast("double")).as("mean"),
+        col("__ci").getItem(0).as("ci_lo"), col("__ci").getItem(1).as("ci_hi"))
+  }
+
+  /** #ds21 95% bootstrap CI for mean document length (B=50). */
+  private val ds21: Q = (s, dir) =>
+    bootstrapCiOf(t(s, dir, "documents"), "doc_id", "n_chars", b = 50, level = 0.95)
+      .select(col("n_rows"), col("n_replicas"), r6(col("mean")).as("mean"),
+        r6(col("ci_lo")).as("ci_lo"), r6(col("ci_hi")).as("ci_hi"))
+
+  private val ds21Sql = {
+    def fact(k: Int): Double = (1 to k).product.toDouble
+    val cum = (0 to 4).map(k => (0 to k).map(j => math.exp(-1.0) / fact(j)).sum)
+    s"""WITH d AS (
+       |  SELECT CAST(doc_id AS VARCHAR) AS id, CAST(n_chars AS DECIMAL(18,6)) AS x
+       |  FROM documents),
+       |r AS (SELECT id, x, b.b AS b FROM d, range(0, 50) b(b)),
+       |u AS (
+       |  SELECT b, x,
+       |    (CAST(('0x' || substr(md5('graft:' || CAST(b AS VARCHAR) || ':' || id), 1, 15)) AS BIGINT) + 1)
+       |      / 1152921504606846976.0 AS u
+       |  FROM r),
+       |w AS (
+       |  SELECT b, x,
+       |    CAST(CASE WHEN u < ${cum(0)} THEN 0 WHEN u < ${cum(1)} THEN 1
+       |      WHEN u < ${cum(2)} THEN 2 WHEN u < ${cum(3)} THEN 3
+       |      WHEN u < ${cum(4)} THEN 4 ELSE 5 END AS DECIMAL(2,0)) AS wt
+       |  FROM u),
+       |m AS (
+       |  SELECT b, CAST(sum(wt * x) AS DOUBLE) / CAST(sum(wt) AS DOUBLE) AS mm
+       |  FROM w GROUP BY b HAVING sum(wt) > 0),
+       |ci AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_replicas,
+       |    quantile_cont(mm, [0.025, 0.975]) AS c
+       |  FROM m),
+       |o AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(x) AS DOUBLE) AS sx FROM d)
+       |SELECT o.n_rows, ci.n_replicas,
+       |  round(sx / CAST(n_rows AS DOUBLE), 6) AS mean,
+       |  round(c[1], 6) AS ci_lo, round(c[2], 6) AS ci_hi
+       |FROM ci, o""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "ds21_bootstrap_ci" -> ds21,
     "ds17_length_groups" -> ds17,
     "a05_bloom_filter" -> a05,
     "ds16_temperature_mix" -> ds16,
@@ -999,6 +1092,7 @@ object DataOps {
     "ds05_bigram_stats" -> ds05)
 
   val oracle: Map[String, String] = Map(
+    "ds21_bootstrap_ci" -> ds21Sql,
     "ds17_length_groups" -> ds17Sql,
     "a05_bloom_filter" -> a05Sql,
     "ds16_temperature_mix" -> ds16Sql,

@@ -129,6 +129,23 @@ class Round10Spec extends SparkSpec {
     assert(out.getDouble(out.fieldIndex("intercept")) == 0.0)
   }
 
+  test("bootstrapCi: deterministic, brackets the mean, narrows with level") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val df = (1L to 400L).map(i => (i, (i % 37).toDouble + 10.0)).toDF("id", "x")
+    val a = graft.Graft.bootstrapCi(df, "id", "x", b = 40, level = 0.95).head()
+    val b = graft.Graft.bootstrapCi(df, "id", "x", b = 40, level = 0.95).head()
+    assert(a == b, "md5 weights: the CI is a pure function of (salt, ids, values)")
+    val (lo, m, hi) = (a.getDouble(a.fieldIndex("ci_lo")),
+      a.getDouble(a.fieldIndex("mean")), a.getDouble(a.fieldIndex("ci_hi")))
+    assert(lo < m && m < hi, "the interval brackets the point mean")
+    assert(a.getLong(a.fieldIndex("n_replicas")) == 40L)
+    val narrow = graft.Graft.bootstrapCi(df, "id", "x", b = 40, level = 0.5).head()
+    val (nlo, nhi) = (narrow.getDouble(narrow.fieldIndex("ci_lo")),
+      narrow.getDouble(narrow.fieldIndex("ci_hi")))
+    assert(nlo >= lo && nhi <= hi, "a 50% interval sits inside the 95% interval")
+  }
+
   test("survival: Kaplan-Meier product limit, censoring, exact-zero tail") {
     val spark = SparkSpec.session
     import spark.implicits._
