@@ -119,8 +119,9 @@ object Bench {
       }
     }
 
-    // Drift assertion: any query >2× its previous-round time gets one
-    // isolated re-measurement; the min of the two is the honest number.
+    // Drift assertion: any query >[[DriftFactor]]× (1.5×) its previous-
+    // round time gets one isolated re-measurement; the min of the two is
+    // the honest number.
     // Only comparable when the previous artifact ran at the same SF dir.
     // Queries ABSENT from the previous artifact (this round's additions)
     // have no baseline for the ratio test, so any of them reading over
@@ -213,13 +214,23 @@ object Bench {
     * measured at a different SF dir is ignored — sf0.01 dev runs must
     * not drift-compare against the sf0.1 round record. */
   private[graft] def previousRoundTimes(sfDir: String, dir: java.io.File = new java.io.File(".")): Map[String, Double] = {
-    val newestRound = try {
+    val newestRoundFile = try {
       Option(dir.listFiles()).getOrElse(Array.empty)
         .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
         .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
-        .lastOption.map(parseArtifact(_, sfDir)).getOrElse(Map.empty[String, Double])
-    } catch { case _: Exception => Map.empty[String, Double] }
-    newestRound ++ parseArtifact(new java.io.File(dir, FullArtifact), sfDir)
+        .lastOption
+    } catch { case _: Exception => None }
+    val newestRound = newestRoundFile.map(parseArtifact(_, sfDir))
+      .getOrElse(Map.empty[String, Double])
+    // The full artifact only wins when it is at least as new as the
+    // round artifact (mtime): a stale BENCH_FULL.json left over from an
+    // earlier round at the same SF must not override newer per-query
+    // baselines that the driver has since recorded.
+    val full = new java.io.File(dir, FullArtifact)
+    val fullIsCurrent = full.isFile &&
+      newestRoundFile.forall(r => full.lastModified() >= r.lastModified())
+    if (fullIsCurrent) newestRound ++ parseArtifact(full, sfDir)
+    else parseArtifact(full, sfDir) ++ newestRound
   }
 
   /** Parse one bench artifact into per-query seconds. Handles both our

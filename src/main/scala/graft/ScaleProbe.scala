@@ -61,9 +61,54 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** `runMain graft.ScaleProbe monster [N]` — the round-11 monster-
+    * series probe: ONE key with N rows (default 10M), the case the
+    * sequential segmented scan serializes into a single task no matter
+    * the core count. Times the bit-exact sequential EWMA/MACD scans
+    * against the parallel-prefix alternates (ops.ParScanOps) at 32
+    * slices, and cross-checks max |Δ| on a deterministic row sample so
+    * the speed claim can't silently trade away correctness. */
+  private def monsterProbe(n: Long): Unit = {
+    val spark = Sessions.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = spark.range(n).selectExpr(
+      "'HOT' AS sym",
+      "timestamp_millis(1700000000000 + id * 100) AS t",
+      "id AS seq",
+      "sin(id * 0.7) * 40 + 60 AS px")
+      .repartition(32) // arrive unsorted/spread, as a real scan would
+    df.write.mode("overwrite").parquet("/tmp/graft_monster.parquet")
+    val in = spark.read.parquet("/tmp/graft_monster.parquet")
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def noop(d: org.apache.spark.sql.DataFrame): Unit =
+      d.write.format("noop").mode("overwrite").save()
+    // warm + timed (the Bench protocol)
+    def twice(f: => Unit): Double = { time(f); time(f) }
+    val seqEwma = twice(noop(ops.ScanOps.ewmaExactOf(in, "sym", "t", "seq", "px", 0.25)))
+    val parEwma = twice(noop(ops.ParScanOps.ewmaExactParOf(in, "sym", "t", "seq", "px", 0.25, 32)))
+    val seqMacd = twice(noop(ops.ScanOps.macdOf(in, "sym", "t", "seq", "px")))
+    val parMacd = twice(noop(ops.ParScanOps.macdParOf(in, "sym", "t", "seq", "px", slices = 32)))
+    // correctness cross-check on a deterministic 1/1000 row sample
+    val s = ops.ScanOps.ewmaExactOf(in, "sym", "t", "seq", "px", 0.25)
+      .filter(col("seq") % 1000 === 0)
+    val p = ops.ParScanOps.ewmaExactParOf(in, "sym", "t", "seq", "px", 0.25, 32)
+      .filter(col("seq") % 1000 === 0)
+    val maxDelta = s.as("s").join(p.as("p"), Seq("sym", "ts_ms", "seq"))
+      .agg(max(abs(col("s.ewma") - col("p.ewma")))).collect()(0).getDouble(0)
+    def ms(v: Double): Double = math.rint(v * 1000) / 1000
+    println(s"""{"probe":"monster","rows":$n,"slices":32,"seq_ewma_sec":${ms(seqEwma)},"par_ewma_sec":${ms(parEwma)},"seq_macd_sec":${ms(seqMacd)},"par_macd_sec":${ms(parMacd)},"max_delta_ewma":$maxDelta,"metric":"monster_speedup","value":${ms(seqEwma / math.max(parEwma, 1e-9))},"unit":"x"}""")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("hotbucket")) {
       hotBucketProbe(args.lift(1).map(_.toInt).getOrElse(20000))
+      return
+    }
+    if (args.headOption.contains("monster")) {
+      monsterProbe(args.lift(1).map(_.toLong).getOrElse(10000000L))
       return
     }
     val factor = args.headOption.map(_.toInt).getOrElse(10)

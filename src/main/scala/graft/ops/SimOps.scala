@@ -253,8 +253,11 @@ object SimOps {
     // doubles) shipped into literals — the kmeansOf centroid shape
     val cb: Seq[(Int, Seq[Double])] = codebooks
       .select(col(idCol).cast("long").as("__cid"), col(vecCol).cast("array<double>").as("__cv"))
-      .orderBy(col("__cid")).limit(kCodes).collect().toSeq
+      .orderBy(col("__cid")).collect().toSeq
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }
+    // no .limit before the require: an oversized codebooks table must
+    // fail loudly, not be silently truncated by id order (kCodes-sized
+    // by contract, so the collect stays driver-tiny)
     require(cb.length == kCodes, s"codebooks must supply $kCodes rows, got ${cb.length}")
     def slices(j: Int): Seq[(Int, Seq[Double])] =
       cb.map { case (c, v) => (c, v.slice(j * sub, (j + 1) * sub)) }
@@ -714,8 +717,11 @@ object SimOps {
     // ---- stage 2: PQ encode (the s06 machinery, map-only) ----
     val cb: Seq[(Int, Seq[Double])] = codebooks
       .select(col(idCol).cast("long").as("__cid"), col(vecCol).cast("array<double>").as("__cv"))
-      .orderBy(col("__cid")).limit(kCodes).collect().toSeq
+      .orderBy(col("__cid")).collect().toSeq
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }
+    // no .limit before the require: an oversized codebooks table must
+    // fail loudly, not be silently truncated by id order (kCodes-sized
+    // by contract, so the collect stays driver-tiny)
     require(cb.length == kCodes, s"codebooks must supply $kCodes rows, got ${cb.length}")
     def slices(j: Int): Seq[(Int, Seq[Double])] =
       cb.map { case (c, v) => (c, v.slice(j * sub, (j + 1) * sub)) }
@@ -1626,7 +1632,12 @@ object SimOps {
                      yCol: String, dims: Int, lr: Double, iters: Int,
                      samplePermille: Int = 1000,
                      salt: String = "graft"): Array[Double] = {
-    val key = df.queryExecution.analyzed.semanticHash().toString +
+    // Keyed on the FULL canonicalized plan text, not the 32-bit
+    // semanticHash — two distinct plans colliding on an Int (or a
+    // path rewritten in-place under an identical plan string would
+    // still be a hole, but plan text includes the file listing's
+    // relation id) must not silently return another fit's weights.
+    val key = df.queryExecution.analyzed.canonicalized.toString +
       s"|$idCol|$vecCol|$yCol|$dims|$lr|$iters|$samplePermille|$salt"
     probeFits.computeIfAbsent(key, _ =>
       fitLinearProbeUncached(df, idCol, vecCol, yCol, dims, lr, iters, samplePermille, salt))
