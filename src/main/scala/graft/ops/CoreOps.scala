@@ -302,14 +302,21 @@ object CoreOps {
     * (−1/0/1) marking which tail a row came from. Appends
     * `winsorized` + `clip`. The percentile table is key-cardinality-
     * sized and BROADCASTS back onto the fact scan — one agg shuffle,
-    * no second fact-side shuffle. At 100 TB swap the exact percentile
-    * for `approx_percentile` (mergeable sketch; q20's documented
-    * trade) — the clip semantics are unchanged. */
+    * no second fact-side shuffle. `approx = true` IS the 100 TB path
+    * (not just documentation): `approx_percentile` with `accuracy`
+    * (mergeable KLL-style sketch, one pass, no per-group sort, rank
+    * error ≤ n/accuracy) — the clip semantics are unchanged and
+    * a06_winsorize_approx measures the realized divergence. */
   def winsorizeOf(df: DataFrame, key: String, value: String,
-                  lo: Double, hi: Double): DataFrame = {
+                  lo: Double, hi: Double, approx: Boolean = false,
+                  accuracy: Int = 10000): DataFrame = {
     require(0 <= lo && lo < hi && hi <= 1, s"need 0 <= lo < hi <= 1, got lo=$lo hi=$hi")
+    require(accuracy >= 1, s"accuracy must be >= 1, got $accuracy")
+    val pctExpr =
+      if (approx) s"approx_percentile($value, array(${lo}D, ${hi}D), $accuracy)"
+      else s"percentile($value, array(${lo}D, ${hi}D))"
     val pct = df.groupBy(col(key))
-      .agg(expr(s"percentile($value, array(${lo}D, ${hi}D))").as("__ps"))
+      .agg(expr(pctExpr).as("__ps"))
       .select(col(key), col("__ps").getItem(0).as("__plo"),
         col("__ps").getItem(1).as("__phi"))
     df.join(broadcast(pct), Seq(key))
@@ -544,6 +551,56 @@ object CoreOps {
       .orderBy("l_returnflag")
   }
 
+  /** #19f2 the 100 TB WINSORIZE path AS A QUERY: [[winsorizeOf]] run
+    * in BOTH modes — exact interpolated percentiles vs the
+    * `approx = true` sketch swap — row-joined on the events PK and
+    * collapsed per series to the realized divergence: rows whose clip
+    * flag flipped, clip volumes both modes, and the worst per-row
+    * value delta. rows-only check (the sketch cut is not
+    * SQL-reproducible in DuckDB); Round11Spec bounds clip_diff_rows by
+    * the sketch's rank guarantee (≤ ~2·n/accuracy + interpolation
+    * slack). The q47 documented swap made an executable code path. */
+  private val a06: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val ex = winsorizeOf(ev, "event_type", "value", lo = 0.01, hi = 0.99)
+      .select(col("event_type"), col("event_id"),
+        col("winsorized").as("w_ex"), col("clip").as("c_ex"))
+    val ap = winsorizeOf(ev, "event_type", "value", lo = 0.01, hi = 0.99,
+        approx = true)
+      .select(col("event_type"), col("event_id"),
+        col("winsorized").as("w_ap"), col("clip").as("c_ap"))
+    ex.join(ap, Seq("event_type", "event_id"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("c_ex") =!= col("c_ap"), 1L).otherwise(0L)).as("clip_diff_rows"),
+        sum(abs(col("c_ex")).cast("long")).as("clipped_exact"),
+        sum(abs(col("c_ap")).cast("long")).as("clipped_approx"),
+        r6(max(abs(col("w_ex") - col("w_ap")))).as("max_abs_delta"))
+      .orderBy("event_type")
+  }
+
+  /** #19f3 the 100 TB BINNING path AS A QUERY: [[quantileBinsOf]] run
+    * in BOTH modes, row-joined on the events PK, collapsed per series
+    * to rows that changed decile and the worst bin displacement —
+    * each of the 9 cut points can move ≤ n/accuracy ranks, so moved
+    * rows are bounded by 9·n/accuracy (+ tie slack). rows-only check;
+    * Round11Spec pins the bound. The q49 documented swap made an
+    * executable code path. */
+  private val a07: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val ex = quantileBinsOf(ev, "event_type", "value", nBins = 10)
+      .select(col("event_type"), col("event_id"), col("bin").as("bin_ex"))
+    val ap = quantileBinsOf(ev, "event_type", "value", nBins = 10,
+        approx = true)
+      .select(col("event_type"), col("event_id"), col("bin").as("bin_ap"))
+    ex.join(ap, Seq("event_type", "event_id"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("bin_ex") =!= col("bin_ap"), 1L).otherwise(0L)).as("moved_rows"),
+        max(abs(col("bin_ex") - col("bin_ap"))).as("max_bin_delta"))
+      .orderBy("event_type")
+  }
+
   /** #19g the 100 TB PROFILING path AS A QUERY: term frequencies
     * estimated from a deterministic md5 10% document sample next to
     * the exact counts — how a corpus is profiled (mixture weights,
@@ -678,17 +735,24 @@ object CoreOps {
     * back onto the fact scan, bin = #cuts ≤ value ∈ [0, nBins−1].
     * Appends `bin`. Equal-boundary values go to the upper bin in both
     * engines (≤ rule). One agg shuffle for the key-cardinality-sized
-    * cut table, no second fact shuffle; at 100 TB swap the exact
-    * percentile for `approx_percentile` (q20's documented trade), or
-    * for a GLOBAL binning collect the nBins−1 cuts to the driver and
-    * use the `graft_searchsorted` literal kernel (map-only, O(log k)
-    * per row instead of O(k)). */
+    * cut table, no second fact shuffle. `approx = true` IS the 100 TB
+    * path: `approx_percentile` cut points (mergeable sketch, rank
+    * error ≤ n/accuracy per cut — so at most nBins·n/accuracy rows can
+    * change bin, measured by a07_bins_approx); for a GLOBAL binning
+    * collect the nBins−1 cuts to the driver and use the
+    * `graft_searchsorted` literal kernel (map-only, O(log k) per row
+    * instead of O(k)). */
   def quantileBinsOf(df: DataFrame, key: String, value: String,
-                     nBins: Int): DataFrame = {
+                     nBins: Int, approx: Boolean = false,
+                     accuracy: Int = 10000): DataFrame = {
     require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    require(accuracy >= 1, s"accuracy must be >= 1, got $accuracy")
     val qs = (1 until nBins).map(i => s"${i.toDouble / nBins}D").mkString(", ")
+    val cutExpr =
+      if (approx) s"approx_percentile($value, array($qs), $accuracy)"
+      else s"percentile($value, array($qs))"
     val cuts = df.groupBy(col(key))
-      .agg(expr(s"percentile($value, array($qs))").as("__cuts"))
+      .agg(expr(cutExpr).as("__cuts"))
     df.join(broadcast(cuts), Seq(key))
       .withColumn("bin",
         size(filter(col("__cuts"), c => c <= col(value))).cast("int"))
@@ -730,6 +794,8 @@ object CoreOps {
     "a01_approx_distinct" -> a01,
     "a02_approx_percentile" -> a02,
     "a03_sampled_terms" -> a03,
+    "a06_winsorize_approx" -> a06,
+    "a07_bins_approx" -> a07,
     "q42_json_props" -> q42,
     "q43_skew_join" -> q43,
     "q24_histogram" -> q24,

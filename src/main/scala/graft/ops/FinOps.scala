@@ -996,11 +996,16 @@ object FinOps {
     *
     * Scale: one window shuffle on the key for returns + one percentile
     * agg; the key-sized var table broadcasts back; the tail fold rides
-    * the same key partitioning. `approx_percentile` is the 100 TB
-    * quantile swap. */
+    * the same key partitioning. `approx = true` IS the 100 TB quantile
+    * swap (`approx_percentile`, mergeable sketch, rank error ≤
+    * n/accuracy): the VaR cut moves by at most that many ranked
+    * returns and the ES tail re-averages over the shifted membership —
+    * a08_var_es_approx measures the realized divergence. */
   def varEsOf(bars: DataFrame, keyCol: String, tsCol: String,
-              closeCol: String, alpha: Double = 0.05): DataFrame = {
+              closeCol: String, alpha: Double = 0.05,
+              approx: Boolean = false, accuracy: Int = 10000): DataFrame = {
     require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    require(accuracy >= 1, s"accuracy must be >= 1, got $accuracy")
     val wKey = Window.partitionBy(col("__k")).orderBy(col("__t"))
     val rets = bars
       .select(col(keyCol).as("__k"), col(tsCol).as("__t"),
@@ -1008,8 +1013,11 @@ object FinOps {
       .filter(col("__c") > 0)
       .withColumn("r", col("__c") / lag(col("__c"), 1).over(wKey) - lit(1.0))
       .filter(col("r").isNotNull)
+    val varExpr =
+      if (approx) s"approx_percentile(r, ${alpha}D, $accuracy)"
+      else s"percentile(r, ${alpha}D)"
     val v = rets.groupBy(col("__k"))
-      .agg(expr(s"percentile(r, ${alpha}D)").as("var_a"),
+      .agg(expr(varExpr).as("var_a"),
         count(lit(1)).as("n_obs"))
     val wTail = Window.partitionBy(col("__k")).orderBy(col("r"), col("__t"))
     val cumTail = wTail.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1064,6 +1072,33 @@ object FinOps {
       |  CAST(nt AS BIGINT) AS n_tail
       |FROM t WHERE rn = nt
       |ORDER BY series""".stripMargin
+
+  /** #q62b the 100 TB VaR path AS A QUERY: [[varEsOf]] run in BOTH
+    * modes — exact interpolated percentile vs the `approx = true`
+    * sketch swap — joined per series with the realized divergence
+    * (|Δvar|, |Δes|, tail-membership drift). rows-only check (the
+    * sketch cut is not SQL-reproducible in DuckDB); Round11Spec bounds
+    * the errors by the sketch's rank guarantee. This is the q47/q49/
+    * q62 documented swap made an executable, measured code path. */
+  private val a08: Q = (s, dir) => {
+    val bars = graft.Graft.resampleOhlc(t(s, dir, "events"),
+      "event_type", "ts", "event_id", "value", "hour")
+    val ex = varEsOf(bars, "event_type", "bucket", "close", alpha = 0.05)
+      .select(col("series"), col("n_obs"), col("var_a").as("var_exact"),
+        col("es_a").as("es_exact"), col("n_tail").as("n_tail_exact"))
+    val ap = varEsOf(bars, "event_type", "bucket", "close", alpha = 0.05,
+        approx = true)
+      .select(col("series"), col("var_a").as("var_approx"),
+        col("es_a").as("es_approx"), col("n_tail").as("n_tail_approx"))
+    ex.join(ap, Seq("series"))
+      .select(col("series"), col("n_obs"),
+        r6(col("var_exact")).as("var_exact"), r6(col("var_approx")).as("var_approx"),
+        r6(col("es_exact")).as("es_exact"), r6(col("es_approx")).as("es_approx"),
+        col("n_tail_exact"), col("n_tail_approx"),
+        r6(abs(col("var_approx") - col("var_exact"))).as("abs_err_var"),
+        r6(abs(col("es_approx") - col("es_exact"))).as("abs_err_es"))
+      .orderBy("series")
+  }
 
   /** Spearman rank correlation per group (public operator behind
     * [[graft.Graft.rankCorr]]) — the robust dependence measure quant
@@ -1249,7 +1284,8 @@ object FinOps {
     "q88_pairs_spread" -> q88,
     "q45_stochastic" -> q45,
     "q46_donchian" -> q46,
-    "q52_linregress" -> q52)
+    "q52_linregress" -> q52,
+    "a08_var_es_approx" -> a08)
 
   val oracle: Map[String, String] = Map(
     "q69_ichimoku" -> q69Sql,

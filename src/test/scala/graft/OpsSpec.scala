@@ -10,7 +10,7 @@ class OpsSpec extends SparkSpec {
 
   test("every declared query runs and respects its contract on sf0.001") {
     val qs = SparkEntry.queries
-    assert(qs.size == 192)
+    assert(qs.size == 195)
     // oracle coverage: everything except the rows-only entries — m02
     // (mapPartitions), the a01/a02 sketches (HLL++/quantile-sketch
     // results are not SQL-reproducible in DuckDB; ExtOpsSpec bounds
@@ -22,9 +22,13 @@ class OpsSpec extends SparkSpec {
     // (o01–o04 graduated to full oracles in round 8: the JSON
     // round-trip is the identity on their payloads, so DuckDB replays
     // build → concat → keyed heal directly from events)
+    // (a06/a07/a08, round 11: the approx-mode swap gates — one side of
+    // each comparison is the a02-style sketch, so rows-only by the same
+    // rule; Round11Spec bounds the realized errors)
     assert(SparkEntry.oracleSql.keySet ==
       qs.keySet - "m02_feature_batch" - "m06_cdc_dedup" - "a01_approx_distinct" -
-        "a02_approx_percentile" - "t12_bpe_train")
+        "a02_approx_percentile" - "t12_bpe_train" - "a06_winsorize_approx" -
+        "a07_bins_approx" - "a08_var_es_approx")
   }
 
   test("d06 clusters: labels are a fixpoint and canonical is the cluster min") {

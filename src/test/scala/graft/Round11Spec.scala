@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{CoreOps, FinOps}
+
+/** Round-11 invariants: the gate-artifact query-count lock (a late-
+  * landing query must mechanically fail the build instead of slipping
+  * the round-exit determinism dump — the round-9/10 escape class), and
+  * the realized-error bounds for the executable approx swaps
+  * (a06/a07/a08 — the q47/q49/q62 documented `approx_percentile`
+  * trades turned into tested code paths). */
+class Round11Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("GATE.json query count equals SparkEntry.queries.size (stale-gate lock)") {
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("GATE.json")))
+    val m = """"queries"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
+    assert(m.isDefined, "GATE.json must carry a numeric \"queries\" field")
+    val gate = m.get.group(1).toInt
+    assert(gate == SparkEntry.queries.size,
+      s"GATE.json records $gate queries but SparkEntry has " +
+        s"${SparkEntry.queries.size} — refresh the round-exit gate " +
+        "(determinism dump + parity + GATE.json) for the late addition")
+  }
+
+  test("a06 winsorize approx: clip membership drifts at most the sketch rank bound") {
+    // approx_percentile guarantees rank error <= n/accuracy per cut;
+    // plus <=1 rank each side because the exact cut INTERPOLATES where
+    // the sketch returns a data element. Two cuts -> 2*(n/acc + 2).
+    val rows = SparkEntry.queries("a06_winsorize_approx")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(1)
+      val diff = r.getLong(2)
+      val bound = 2L * (n / 10000L + 2L)
+      assert(diff <= bound, s"${r.getString(0)}: clip_diff_rows $diff > bound $bound (n=$n)")
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= n)
+      assert(r.getLong(4) >= 0 && r.getLong(4) <= n)
+    }
+  }
+
+  test("a07 quantile bins approx: moved rows bounded by 9 shifted cuts, 1 bin max") {
+    val rows = SparkEntry.queries("a07_bins_approx")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(1)
+      val moved = r.getLong(2)
+      val bound = 9L * (n / 10000L + 2L)
+      assert(moved <= bound, s"${r.getString(0)}: moved_rows $moved > bound $bound (n=$n)")
+      if (!r.isNullAt(3))
+        assert(r.getInt(3) <= 1,
+          "a sub-rank cut shift can move a row at most one bin")
+    }
+  }
+
+  test("a08 VaR/ES approx: tail membership and ES ordering hold in both modes") {
+    val rows = SparkEntry.queries("a08_var_es_approx")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nObs = r.getLong(1)
+      val (varEx, varAp) = (r.getDouble(2), r.getDouble(3))
+      val (esEx, esAp) = (r.getDouble(4), r.getDouble(5))
+      val (ntEx, ntAp) = (r.getLong(6), r.getLong(7))
+      assert(math.abs(ntEx - ntAp) <= nObs / 10000L + 2L,
+        s"${r.getString(0)}: tail count drift ${math.abs(ntEx - ntAp)} too large")
+      // the ES is a mean over returns <= the cut, in BOTH modes
+      assert(esEx <= varEx + 1e-9 && esAp <= varAp + 1e-9,
+        "expected shortfall must not exceed its VaR cut")
+      assert(!varAp.isNaN && !esAp.isNaN)
+    }
+  }
+
+  test("approx knob scales with accuracy: a coarse sketch stays within its own bound") {
+    // accuracy=100 on ~thousands of rows: a deliberately coarse sketch
+    // still respects rank error <= n/100 per cut — the bound is the
+    // contract at ANY accuracy, which is what makes the 100 TB
+    // swap-in safe to reason about
+    val ev = Tables.t(spark, sfDir, "events")
+    val n = ev.count()
+    val ex = CoreOps.winsorizeOf(ev, "event_type", "value", 0.01, 0.99)
+      .select(col("event_type"), col("event_id"), col("clip").as("c_ex"))
+    val ap = CoreOps.winsorizeOf(ev, "event_type", "value", 0.01, 0.99,
+        approx = true, accuracy = 100)
+      .select(col("event_type"), col("event_id"), col("clip").as("c_ap"))
+    val perKey = ex.join(ap, Seq("event_type", "event_id"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("c_ex") =!= col("c_ap"), 1L).otherwise(0L)).as("diff"))
+      .as[(String, Long, Long)].collect()
+    perKey.foreach { case (k, nk, diff) =>
+      val bound = 2L * (nk / 100L + 2L)
+      assert(diff <= bound, s"$k: diff $diff > coarse bound $bound (n=$nk)")
+    }
+    assert(n > 0)
+  }
+}
