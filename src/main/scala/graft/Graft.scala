@@ -419,6 +419,13 @@ object Graft {
   def connectedComponents(pairs: DataFrame, a: String, b: String): DataFrame =
     ops.DedupOps.components(pairs, a, b)
 
+  /** Connected components for DIAMETER-HEAVY graphs — the alternating
+    * large-star/small-star algorithm, O(log n) rounds where
+    * [[connectedComponents]]' label propagation needs O(diameter).
+    * Same (id, label = component min, cluster_size) contract. */
+  def connectedComponentsStar(pairs: DataFrame, a: String, b: String): DataFrame =
+    ops.DedupOps.componentsStar(pairs, a, b)
+
   /** MinHash+LSH near-dup candidate pairs: k md5-minhashes over
     * shingleN-word shingles, banded `bands` × (k/bands); returns
     * (doc_a, doc_b, est_sim), blocked per band — never a full cross.

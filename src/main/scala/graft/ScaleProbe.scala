@@ -102,7 +102,41 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** `runMain graft.ScaleProbe chain [N]` — the pathological-diameter
+    * connected-components probe: an N-node chain graph (default 100k),
+    * the worst case for min-label propagation (O(diameter) rounds —
+    * 100k joins). componentsStar (large-star/small-star) must converge
+    * in O(log n) alternating rounds; the label-prop baseline runs on a
+    * 200-node chain only (running it at N would BE the pathology).
+    * Emits rounds + wall seconds for both, plus a label checksum
+    * proving the star labels are the chain minimum. */
+  private def chainProbe(n: Long): Unit = {
+    val spark = Sessions.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val chain = spark.range(n - 1)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val t0 = System.nanoTime()
+    val bad = ops.DedupOps.componentsStar(chain, "doc_a", "doc_b")
+      .filter(col("label") =!= 0L || col("cluster_size") =!= n).count()
+    val starSec = (System.nanoTime() - t0) / 1e9
+    val starRounds = ops.DedupOps.ccRounds.get()
+    val m = 200L
+    val chainSmall = spark.range(m - 1)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val t1 = System.nanoTime()
+    ops.DedupOps.components(chainSmall, "doc_a", "doc_b").count()
+    val lpSec = (System.nanoTime() - t1) / 1e9
+    val lpRounds = ops.DedupOps.ccRounds.get()
+    def ms(v: Double): Double = math.rint(v * 1000) / 1000
+    println(s"""{"probe":"chain","n":$n,"star_rounds":$starRounds,"star_sec":${ms(starSec)},"bad_labels":$bad,"labelprop_n":$m,"labelprop_rounds":$lpRounds,"labelprop_sec":${ms(lpSec)},"metric":"chain_star_rounds","value":$starRounds,"unit":"rounds"}""")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("chain")) {
+      chainProbe(args.lift(1).map(_.toLong).getOrElse(100000L))
+      return
+    }
     if (args.headOption.contains("hotbucket")) {
       hotBucketProbe(args.lift(1).map(_.toInt).getOrElse(20000))
       return

@@ -672,9 +672,100 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Rounds the last components/componentsStar call took — read by the
+    * diameter specs and the ScaleProbe chain case; NOT part of the
+    * result contract (single-threaded observation only). */
+  private[graft] val ccRounds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the O(log n)-round path for DIAMETER-HEAVY graphs,
+    * where [[components]]' min-label propagation needs O(diameter)
+    * rounds (a 10k-long chain: 10k joins vs ~a dozen here; near-dup
+    * graphs are near-cliques so d06 keeps label propagation, but chain
+    * shapes DO occur — shingled plagiarism chains a→b→c where only
+    * adjacent revisions pair). Per round, on hi→lo directed edges:
+    *   large-star  every node links its LARGER neighbors to the min of
+    *               its neighborhood (incl. itself) — halves the depth
+    *               of tall trees;
+    *   small-star  every node links its smaller-or-equal neighbors and
+    *               itself to that min — flattens local stars.
+    * Both are one groupBy-min + one join over the edge list (shuffle
+    * cost per round identical to a label-prop round); the fixpoint is
+    * the star forest rooted at each component's minimum. Convergence
+    * check: (count, Σsrc, Σdst in exact DECIMAL) stable AND a
+    * containment join proving set equality on the candidate round —
+    * never a driver collect. Self-pairs are singleton components.
+    * Same output contract as [[components]]: (id, label = component
+    * minimum, cluster_size); ClusterSpec-style equality with the
+    * label-prop path is pinned by Round11Spec on clique AND chain
+    * graphs. */
+  def componentsStar(pairs: DataFrame, a: String, b: String): DataFrame = {
+    val selfLabels = pairs.filter(col(a) === col(b))
+      .select(col(a).as("id"), col(a).as("label")).distinct()
+    var edges = graft.Checkpoints.stabilize(
+      pairs.filter(col(a) =!= col(b))
+        .select(greatest(col(a), col(b)).as("src"), least(col(a), col(b)).as("dst"))
+        .distinct())
+    def metric(df: DataFrame): (Long, java.math.BigDecimal, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum(col("src").cast("decimal(38,0)")),
+        sum(col("dst").cast("decimal(38,0)"))).head()
+      (r.getLong(0),
+        Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO),
+        Option(r.getDecimal(2)).getOrElse(java.math.BigDecimal.ZERO))
+    }
+    var prev = metric(edges)
+    var rounds = 0
+    var converged = prev._1 == 0L
+    while (!converged) {
+      rounds += 1
+      require(rounds <= 64, s"componentsStar did not converge in 64 rounds")
+      val sym = edges.select(col("src"), col("dst"))
+        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      val minsL = sym.groupBy(col("src"))
+        .agg(least(col("src"), min(col("dst"))).as("m"))
+      val large = sym.join(minsL, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      val minsS = large.groupBy(col("src"))
+        .agg(least(col("src"), min(col("dst"))).as("m"))
+      val small = graft.Checkpoints.stabilize(
+        large.join(minsS, "src")
+          .select(col("dst").as("src"), col("m").as("dst"))
+          .union(minsS.select(col("src"), col("m").as("dst")))
+          .filter(col("src") =!= col("dst"))
+          .distinct())
+      val cur = metric(small)
+      if (cur == prev) {
+        // metrics agree — prove SET equality before declaring the
+        // fixpoint: equal counts + (small ⊆ edges) ⟺ equal sets
+        val contained = small.join(edges, Seq("src", "dst")).count()
+        converged = contained == cur._1
+      }
+      graft.Checkpoints.free(edges)
+      edges = small
+      prev = cur
+    }
+    ccRounds.set(rounds)
+    // fixpoint: every non-root points at its component min; roots are
+    // the dst side (and isolated self-pair nodes their own label)
+    val labels = edges.select(col("src").as("id"), col("dst").as("label"))
+      .union(edges.select(col("dst").as("id"), col("dst").as("label")))
+      .union(selfLabels)
+      .groupBy(col("id")).agg(min(col("label")).as("label"))
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label").select(col("id"), col("label"), col("cluster_size"))
+  }
+
   /** Connected components over an undirected pair list (public operator
     * behind [[graft.Graft.connectedComponents]] and d06): returns
-    * (id, label = component minimum, cluster_size). */
+    * (id, label = component minimum, cluster_size). O(diameter)
+    * rounds — right for the near-clique graphs dedup produces; for
+    * diameter-heavy graphs use [[componentsStar]] (O(log n) rounds,
+    * same contract). */
   def components(pairs: DataFrame, a: String, b: String): DataFrame = {
     val edges = graft.Checkpoints.stabilize(
       pairs.select(col(a).as("src"), col(b).as("dst"))
@@ -700,7 +791,9 @@ object DedupOps {
     }
     var prevSum = labelSum(labels)
     var converged = false
+    var rounds = 0
     while (!converged) {
+      rounds += 1
       val next = graft.Checkpoints.stabilize(
         edges.join(labels, edges("dst") === labels("id"))
           .select(col("src").as("id"), col("label"))
@@ -712,6 +805,7 @@ object DedupOps {
       converged = s2.compareTo(prevSum) == 0
       prevSum = s2
     }
+    ccRounds.set(rounds)
     graft.Checkpoints.free(edges) // the result depends only on labels
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label").select(col("id"), col("label"), col("cluster_size"))

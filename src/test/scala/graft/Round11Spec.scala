@@ -71,6 +71,53 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("componentsStar equals label-prop components on the d06 near-dup graph") {
+    val pairs = SparkEntry.queries("d02_minhash_lsh")(spark, sfDir)
+      .filter(col("est_sim") >= 0.5).select("doc_a", "doc_b")
+    def labelMap(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+      df.as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val lp = labelMap(ops.DedupOps.components(pairs, "doc_a", "doc_b"))
+    val st = labelMap(ops.DedupOps.componentsStar(pairs, "doc_a", "doc_b"))
+    assert(lp.nonEmpty && st == lp,
+      "both algorithms must produce identical (label, size) per node")
+  }
+
+  test("componentsStar: 300-node chain converges in O(log n) rounds, label-prop in O(n)") {
+    val chain = spark.range(299)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val st = ops.DedupOps.componentsStar(chain, "doc_a", "doc_b")
+      .as[(Long, Long, Long)].collect()
+    val starRounds = ops.DedupOps.ccRounds.get()
+    assert(st.length == 300 && st.forall(r => r._2 == 0L && r._3 == 300L),
+      "one component rooted at 0 covering all 300 nodes")
+    assert(starRounds <= 24,
+      s"chain-300 must converge in O(log n) alternating rounds, took $starRounds")
+    // the label-prop baseline on a shorter chain: rounds ~ diameter
+    val chain40 = spark.range(39)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val lp = ops.DedupOps.components(chain40, "doc_a", "doc_b")
+      .as[(Long, Long, Long)].collect()
+    val lpRounds = ops.DedupOps.ccRounds.get()
+    assert(lp.forall(r => r._2 == 0L && r._3 == 40L))
+    assert(lpRounds >= 35,
+      s"label prop on a 40-chain needs ~diameter rounds (got $lpRounds) — " +
+        "this asymmetry is WHY componentsStar exists")
+    assert(starRounds < lpRounds,
+      "the O(log n) path must beat O(diameter) even at 300 vs 40 nodes")
+  }
+
+  test("componentsStar: self-pairs are singletons, empty input is empty, cliques merge") {
+    val mixed = Seq((5L, 5L), (1L, 2L), (2L, 3L), (7L, 8L), (8L, 7L))
+      .toDF("doc_a", "doc_b")
+    val out = ops.DedupOps.componentsStar(mixed, "doc_a", "doc_b")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (5L, 5L, 1L), (7L, 7L, 2L), (8L, 7L, 2L)))
+    val empty = ops.DedupOps.componentsStar(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+    assert(empty.count() == 0L)
+  }
+
   test("approx knob scales with accuracy: a coarse sketch stays within its own bound") {
     // accuracy=100 on ~thousands of rows: a deliberately coarse sketch
     // still respects rank error <= n/100 per cut — the bound is the
