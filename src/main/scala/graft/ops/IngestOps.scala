@@ -165,10 +165,51 @@ object IngestOps {
     * exchange reused across four window stages); the top-20 is a
     * TakeOrdered, never a full sort. */
   private val p02: Q = (s, dir) => {
-    import org.apache.spark.sql.expressions.Window
+    val perp = RatesJson.dedupFundingKeepLast(
+      RatesJson.parseFunding(fundingPages(s, dir), "payload", Seq("page_seq")),
+      col("page_seq"))
+      .select(col("symbol"), col("fundingTime").as("ts"),
+        col("fundingRate"), col("markPrice"))
+    marketReportOf(perp, spotSeries(s, dir))
+  }
+
+  /** #p05 the p02 daily market loop run CONTINUOUSLY
+    * ([[graft.streaming.StreamOps.streamingMarketPipeline]]): the
+    * IDENTICAL funding pages are written to a landing dir (one json
+    * file per page), the checkpointed stream replays them one page per
+    * micro-batch (maxFilesPerTrigger = 1 — the daily-tick shape:
+    * page-heal → revision-precedence store upsert → marketReportOf
+    * recompute per tick), and the query returns the FINAL report
+    * table. Hash-checked against the SAME DuckDB oracle as p02 —
+    * batch == stream is not a spec-only claim here, it is the round's
+    * parity gate. Fresh temp store/checkpoint per invocation, so
+    * Verify double-runs and Bench warm+timed passes stay independent
+    * and deterministic. */
+  private val p05: Q = (s, dir) => {
+    val base = java.nio.file.Files.createTempDirectory("graft_p05_").toString
+    val landing = s"$base/landing"
+    new java.io.File(landing).mkdirs()
+    val pages = fundingPages(s, dir)
+      .select(col("market").as("symbol"), col("page_seq"), col("payload"))
+    Seq(1L, 2L).foreach { p =>
+      pages.filter(col("page_seq") === p).coalesce(1)
+        .write.mode("append").json(landing)
+    }
+    val q = graft.streaming.StreamOps.streamingMarketPipeline(
+      s, landing, spotSeries(s, dir), s"$base/store", s"$base/report",
+      s"$base/ckpt", maxFilesPerTrigger = 1)
+    try { q.processAllAvailable() } finally q.stop()
+    s.read.parquet(s"$base/report")
+      .orderBy(col("ts_ms").desc, col("symbol"))
+  }
+
+  /** p02's stage-1 landed pages — one funding page per market and
+    * fetch day; page 2 is "today's" re-fetch that revises markPrice on
+    * half the keys (the upsert delta the heal must surface). Returns
+    * (market, payload, page_seq); shared by the batch gate and p05's
+    * landing-dir writer so both pipelines consume IDENTICAL input. */
+  private[graft] def fundingPages(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events").filter(pmod(col("event_id"), lit(29L)) === 0)
-    // stage 1: one page per market and fetch day; page 2 revises half
-    // the keys (value*1.001) — the upsert delta the heal must surface
     def page(seq: Long, slice: Column => Column, price: Column): DataFrame = ev
       .filter(slice(col("event_id")))
       .groupBy(col("event_type").as("market"))
@@ -179,16 +220,27 @@ object IngestOps {
         (col("value") / lit(1e6)).cast("string").as("fundingRate"),
         price.cast("string").as("markPrice"))))).as("payload"))
       .withColumn("page_seq", lit(seq))
-    val pages = page(1L, _ => lit(true), col("value")).unionByName(
+    page(1L, _ => lit(true), col("value")).unionByName(
       page(2L, id => pmod(id, lit(58L)) === 0, col("value") * lit(1.001)))
-    val perp = RatesJson.dedupFundingKeepLast(
-      RatesJson.parseFunding(pages, "payload", Seq("page_seq")), col("page_seq"))
-      .select(col("symbol"), col("fundingTime").as("ts"),
-        col("fundingRate"), col("markPrice"))
-    // stage 2: align to the denser spot series (last print at-or-before)
-    val spot = t(s, dir, "events").filter(pmod(col("event_id"), lit(7L)) === 0)
+  }
+
+  /** The p02 spot side: the denser series the funding rows align to
+    * (last print at-or-before each funding timestamp). */
+  private[graft] def spotSeries(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").filter(pmod(col("event_id"), lit(7L)) === 0)
       .groupBy(concat(col("event_type"), lit("USDT")).as("symbol"), col("ts"))
       .agg(max_by(col("value"), col("event_id")).as("spot"))
+
+  /** p02's stages 2–4 as ONE reusable plan — spot align → premium →
+    * WMA(12) → debounced extreme report — shared verbatim by the batch
+    * gate (p02) and the continuous pipeline
+    * ([[graft.streaming.StreamOps.streamingMarketPipeline]], p05):
+    * batch==stream equality is equality of INPUTS, not a re-derivation.
+    * `perp` must carry (symbol, ts, fundingRate, markPrice) healed to
+    * one row per (symbol, ts). */
+  def marketReportOf(perp: DataFrame, spot: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // stage 2: align to the denser spot series (last print at-or-before)
     val prem = graft.Graft.asofJoin(perp, spot, "symbol", "ts", Seq("spot"))
       .filter(col("spot").isNotNull)
       .withColumn("premium", col("markPrice") / col("spot") - lit(1.0))
@@ -328,7 +380,8 @@ object IngestOps {
     "o03_margin_rates" -> o03,
     "o04_option_klines" -> o04,
     "o05_symbol_universe" -> o05,
-    "p02_market_pipeline" -> p02)
+    "p02_market_pipeline" -> p02,
+    "p05_streaming_pipeline" -> p05)
 
   /** DuckDB replay of the ingest gates: the JSON round-trip is the
     * identity on these payloads (shortest-repr double/long strings cast
@@ -465,7 +518,14 @@ object IngestOps {
         |  FROM pq)
         |SELECT * FROM (SELECT * FROM spot UNION ALL SELECT * FROM perp)
         |ORDER BY type, symbol""".stripMargin,
-    "p02_market_pipeline" ->
+    // p05 runs the continuous form of p02 on identical inputs, so both
+    // check against the SAME oracle (p02Sql, defined below the map)
+    "p02_market_pipeline" -> p02Sql,
+    "p05_streaming_pipeline" -> p05Sql)
+
+  /** Shared oracle for the daily market loop (p02 batch, p05 stream —
+    * identical inputs, identical report plan, one truth). */
+  private lazy val p02Sql: String =
       """WITH src AS (
         |  SELECT event_type || 'USDT' AS symbol, epoch_ms(ts) AS ft_ms,
         |    value / 1000000.0 AS fundingRate, value AS markPrice,
@@ -530,5 +590,7 @@ object IngestOps {
         |FROM deb
         |WHERE gap_ms IS NULL OR gap_ms > 3600000
         |ORDER BY ts_ms DESC, symbol
-        |LIMIT 20""".stripMargin)
+        |LIMIT 20""".stripMargin
+
+  private lazy val p05Sql: String = p02Sql
 }

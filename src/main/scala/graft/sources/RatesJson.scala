@@ -69,6 +69,15 @@ object RatesJson {
   def dedupFundingKeepLast(parsed: DataFrame, pageSeq: Column): DataFrame =
     PageDedup(parsed, Seq("symbol", "fundingTime"), fundingColumns, pageSeq, keepFirst = false)
 
+  /** [[dedupFundingKeepLast]] that KEEPS the page-seq column in the
+    * output — the continuous pipeline's store schema carries it as the
+    * revision authority for cross-batch precedence (a late page 1
+    * landing after page 2 must not roll the revision back). `seqName`
+    * must be a column of `parsed` (the passthrough page order). */
+  def dedupFundingKeepLastSeq(parsed: DataFrame, seqName: String): DataFrame =
+    PageDedup(parsed, Seq("symbol", "fundingTime"), fundingColumns :+ seqName,
+      col(seqName), keepFirst = false)
+
   /** Explode one-page-per-row margin-interest-rate payloads into typed
     * rows (type constant 'Margin', reference casing :688). */
   def parseMargin(raw: DataFrame, payloadCol: String,

@@ -518,10 +518,16 @@ object StreamOps {
       mergeKeys = Seq("asset", "timestamp"), partitionCol = "asset")
   }
 
-  private def landedPages(spark: SparkSession, landingDir: String): DataFrame =
-    spark.readStream
+  /** `maxFilesPerTrigger` 0 = unlimited; 1 makes each landed page its
+    * own micro-batch (the daily-tick replay shape p05 exercises). */
+  private def landedPages(spark: SparkSession, landingDir: String,
+                          maxFilesPerTrigger: Int = 0): DataFrame = {
+    val r = spark.readStream
       .schema("symbol STRING, page_seq LONG, payload STRING")
-      .json(landingDir)
+    (if (maxFilesPerTrigger > 0)
+       r.option("maxFilesPerTrigger", maxFilesPerTrigger)
+     else r).json(landingDir)
+  }
 
   private def ingestSink(spark: SparkSession, parsed: DataFrame, storePath: String,
                          checkpointDir: String, dedup: DataFrame => DataFrame,
@@ -597,6 +603,104 @@ object StreamOps {
         }
       }
       .start()
+
+  /** The p02 DAILY MARKET LOOP as ONE CONTINUOUS pipeline (p05): the
+    * reference's scheduler tick — fetch funding pages → page-heal →
+    * store upsert → spot align → premium → WMA(12) → extreme report
+    * (scheduler_clickhouse.py:26-147 sequencing) — re-expressed as a
+    * checkpointed Structured Streaming query over the landed-page
+    * contract of [[streamingFundingIngest]]. Per micro-batch:
+    *
+    *   1. watermarked exact-resend guard:
+    *      `dropDuplicatesWithinWatermark(symbol, fundingTime,
+    *      page_seq)` on ARRIVAL time (`current_timestamp` at parse) —
+    *      a page re-landed verbatim inside the delay window is dropped
+    *      before it can force a no-op merge; genuine REVISIONS (higher
+    *      page_seq, same PK) pass. Arrival time, NOT event time, on
+    *      purpose: a backfill page legitimately carries fundingTimes
+    *      far older than live pages, and an event-time watermark would
+    *      silently drop the historical re-fetch as "late" (caught by
+    *      the Round11Spec reversed-arrival case). The `watermarkDelay`
+    *      setting only bounds dedup STATE; the FINAL report is
+    *      watermark-invariant (pinned at two settings) because
+    *      correctness rides the store heal, not the guard.
+    *   2. upsert tick: within-batch keep-last by page_seq
+    *      ([[graft.sources.RatesJson.dedupFundingKeepLast]]), then a
+    *      REVISION-PRECEDENCE merge into the partitioned store — an
+    *      arriving row only overrides a stored PK when its page_seq is
+    *      ≥ the stored one, so a LATE page 1 landing after page 2
+    *      cannot roll back the revision ([[graft.sinks.MergeWriter]]
+    *      alone is newest-batch-wins; the guard join reads only the
+    *      delta's impacted symbol partitions).
+    *   3. report recompute: [[graft.ops.IngestOps.marketReportOf]] —
+    *      the IDENTICAL stages-2-4 plan the batch gate runs — over the
+    *      healed store and the static spot side, overwritten at
+    *      `reportPath` (the continuously-maintained output table, the
+    *      reference's daily report).
+    *
+    * Batch==stream is therefore structural: after the stream drains,
+    * the store equals the batch heal of all pages, and the report is
+    * the same function of it. Round11Spec pins row-for-row equality
+    * with p02 under (a) both pages in one micro-batch, (b) one page
+    * per micro-batch, (c) REVERSED arrival (page 2 first), at two
+    * watermark settings.
+    *
+    * @return the started query; callers own its lifecycle. */
+  def streamingMarketPipeline(spark: SparkSession, landingDir: String,
+                              spot: DataFrame, storePath: String,
+                              reportPath: String, checkpointDir: String,
+                              watermarkDelay: String = "2 hours",
+                              maxFilesPerTrigger: Int = 0):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    val raw = landedPages(spark, landingDir, maxFilesPerTrigger)
+    val parsed = graft.sources.RatesJson
+      .parseFunding(raw, "payload", passthrough = Seq("page_seq"))
+    val guarded = parsed
+      .withColumn("__arrival", current_timestamp())
+      .withWatermark("__arrival", watermarkDelay)
+      .dropDuplicatesWithinWatermark("symbol", "fundingTime", "page_seq")
+    guarded.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val healed = graft.sources.RatesJson
+            .dedupFundingKeepLastSeq(batch, "page_seq")
+            .localCheckpoint(eager = true)
+          try {
+            val storeExists =
+              try { spark.read.parquet(storePath).schema; true }
+              catch { case _: org.apache.spark.sql.AnalysisException => false }
+            if (!storeExists) {
+              healed.write.partitionBy("symbol").parquet(storePath)
+            } else {
+              // revision precedence: a delta row loses to a stored row
+              // with a STRICTLY higher page_seq (late page 1 after
+              // page 2); the stored side is pruned to the delta's
+              // symbols — the MergeWriter impacted-partition budget
+              val cur = spark.read.parquet(storePath)
+                .join(healed.select(col("symbol")).distinct(), Seq("symbol"))
+                .select(col("symbol"), col("fundingTime"),
+                  col("page_seq").as("__cur_seq"))
+              val effective = healed
+                .join(cur, Seq("symbol", "fundingTime"), "left")
+                .filter(col("__cur_seq").isNull ||
+                  col("page_seq") >= col("__cur_seq"))
+                .drop("__cur_seq")
+              graft.sinks.MergeWriter.merge(spark, storePath, effective,
+                keys = Seq("symbol", "fundingTime"), partitionCol = "symbol")
+            }
+            val perp = spark.read.parquet(storePath)
+              .select(col("symbol"), col("fundingTime").as("ts"),
+                col("fundingRate"), col("markPrice"))
+            val report = graft.ops.IngestOps.marketReportOf(perp, spot)
+              .localCheckpoint(eager = true)
+            try report.write.mode("overwrite").parquet(reportPath)
+            finally graft.Checkpoints.free(report)
+          } finally graft.Checkpoints.free(healed)
+        }
+      }
+      .start()
+  }
 
   /** Streaming WMA(n) — the reference's scheduled premium analytic
     * (crypto_data_pipeline_duckdb.py:1221-1268) run continuously. Per

@@ -118,6 +118,67 @@ class Round11Spec extends SparkSpec {
     assert(empty.count() == 0L)
   }
 
+  // ---- p05: the continuous market pipeline vs the p02 batch loop ----
+
+  private def batchReport(): Seq[org.apache.spark.sql.Row] =
+    SparkEntry.queries("p02_market_pipeline")(spark, sfDir).collect().toSeq
+
+  private def landingPages(): org.apache.spark.sql.DataFrame =
+    ops.IngestOps.fundingPages(spark, sfDir)
+      .select(col("market").as("symbol"), col("page_seq"), col("payload"))
+
+  private def runPipeline(base: String, watermark: String,
+                          maxFiles: Int): Seq[org.apache.spark.sql.Row] = {
+    val q = streaming.StreamOps.streamingMarketPipeline(
+      spark, s"$base/landing", ops.IngestOps.spotSeries(spark, sfDir),
+      s"$base/store", s"$base/report", s"$base/ckpt",
+      watermarkDelay = watermark, maxFilesPerTrigger = maxFiles)
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(s"$base/report")
+      .orderBy(col("ts_ms").desc, col("symbol")).collect().toSeq
+  }
+
+  test("p05 stream == p02 batch row-for-row at two watermark settings") {
+    val expect = batchReport()
+    assert(expect.nonEmpty, "the batch loop must produce extreme rows")
+    Seq("10 minutes", "48 hours").foreach { wm =>
+      val base = java.nio.file.Files.createTempDirectory("graft_p05_wm_").toString
+      new java.io.File(s"$base/landing").mkdirs()
+      val pages = landingPages()
+      Seq(1L, 2L).foreach { p =>
+        pages.filter(col("page_seq") === p).coalesce(1)
+          .write.mode("append").json(s"$base/landing")
+      }
+      val got = runPipeline(base, wm, maxFiles = 1)
+      assert(got == expect, s"watermark $wm: stream report must equal batch row-for-row")
+    }
+  }
+
+  test("p05 stream == p02 batch when both pages land in ONE micro-batch") {
+    val base = java.nio.file.Files.createTempDirectory("graft_p05_one_").toString
+    new java.io.File(s"$base/landing").mkdirs()
+    landingPages().coalesce(1).write.mode("append").json(s"$base/landing")
+    assert(runPipeline(base, "2 hours", maxFiles = 0) == batchReport())
+  }
+
+  test("p05 revision precedence: a LATE page 1 cannot roll back page 2's revisions") {
+    // page 2 lands and is processed FIRST; page 1 arrives in a later
+    // restart of the same checkpointed pipeline — the store must keep
+    // page 2's markPrice revisions, so the final report still equals
+    // the batch heal (page_seq is the authority, not arrival order)
+    val base = java.nio.file.Files.createTempDirectory("graft_p05_rev_").toString
+    new java.io.File(s"$base/landing").mkdirs()
+    val pages = landingPages()
+    pages.filter(col("page_seq") === 2L).coalesce(1)
+      .write.mode("append").json(s"$base/landing")
+    runPipeline(base, "2 hours", maxFiles = 1)
+    pages.filter(col("page_seq") === 1L).coalesce(1)
+      .write.mode("append").json(s"$base/landing")
+    val got = runPipeline(base, "2 hours", maxFiles = 1)
+    assert(got == batchReport(),
+      "reversed arrival must converge to the same healed report")
+  }
+
   test("approx knob scales with accuracy: a coarse sketch stays within its own bound") {
     // accuracy=100 on ~thousands of rows: a deliberately coarse sketch
     // still respects rank error <= n/100 per cut — the bound is the
