@@ -284,6 +284,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => NativeVectorRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.AsofStrategy)
+    GraftTvfs.register(ext) // SQL TVF surface for the table facades
     ext.injectFunction((new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children.head, children(1))))
