@@ -132,7 +132,70 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** `runMain graft.ScaleProbe zorder [N]` — the READ-side proof for
+    * [[graft.sinks.ZOrderWriter]]: N rows (default 20M) with two
+    * uniform dimensions written 64-file three ways — natural
+    * (round-robin), single-column sorted, z-ordered — then a selective
+    * 2-D box predicate (1/16 of each dimension) scanned over each.
+    * Each file is one parquet row group here, so footer min/max
+    * skipping IS file skipping; the scan's numOutputRows metric counts
+    * rows surviving pushdown (Spark applies no record-level parquet
+    * filter by default, so surviving row groups return whole). Natural
+    * layout must read ~everything, x-sorted ~1/16 (one dimension
+    * prunes), z-ordered ~1/256 + boundary — the claim the writer's
+    * scaladoc makes, measured. */
+  private def zorderProbe(n: Long): Unit = {
+    val spark = Sessions.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = "/tmp/graft_zorder_probe"
+    val df = spark.range(n).select(
+      col("id"),
+      (pmod(col("id") * 48271L, lit(1000003L)) / 1000003.0).as("x"),
+      (pmod(col("id") * 69621L, lit(999983L)) / 999983.0).as("y"))
+    val nFiles = 64
+    df.repartition(nFiles).write.mode("overwrite").parquet(s"$base/natural")
+    df.repartitionByRange(nFiles, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(s"$base/xsorted")
+    graft.sinks.ZOrderWriter.writeZOrdered(df, s"$base/zorder", "x", "y",
+      numFiles = nFiles, bits = 12, tieBreak = Seq("id"))
+    def probe(path: String): (Double, Long, Long, Long) = {
+      def once(): (Double, Long, Long, Long) = {
+        val q = spark.read.parquet(path)
+          .filter(col("x").between(0.50, 0.5625) && col("y").between(0.25, 0.3125))
+          .agg(count(lit(1)), sum(col("id")))
+        val t0 = System.nanoTime()
+        q.collect()
+        val sec = (System.nanoTime() - t0) / 1e9
+        // AQE query stages have no children — unwrap them explicitly or
+        // collect() never reaches the scan node
+        def scans(p: org.apache.spark.sql.execution.SparkPlan):
+            Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            scans(a.executedPlan)
+          case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            scans(s.plan)
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+          case other => other.children.flatMap(scans)
+        }
+        val scan = scans(q.queryExecution.executedPlan).head
+        (sec, scan.metrics("numOutputRows").value,
+          scan.metrics("numFiles").value, scan.metrics("filesSize").value)
+      }
+      once(); once() // warm then timed (Bench protocol)
+    }
+    val (tn, rn, fn, _) = probe(s"$base/natural")
+    val (tx, rx, fx, _) = probe(s"$base/xsorted")
+    val (tz, rz, fz, _) = probe(s"$base/zorder")
+    def ms(v: Double): Double = math.rint(v * 1000) / 1000
+    println(s"""{"probe":"zorder","rows":$n,"files":$nFiles,"natural_scan_rows":$rn,"natural_files":$fn,"natural_sec":${ms(tn)},"xsorted_scan_rows":$rx,"xsorted_files":$fx,"xsorted_sec":${ms(tx)},"zorder_scan_rows":$rz,"zorder_files":$fz,"zorder_sec":${ms(tz)},"metric":"zorder_scan_reduction","value":${ms(rn.toDouble / math.max(rz, 1L))},"unit":"x"}""")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("zorder")) {
+      zorderProbe(args.lift(1).map(_.toLong).getOrElse(20000000L))
+      return
+    }
     if (args.headOption.contains("chain")) {
       chainProbe(args.lift(1).map(_.toLong).getOrElse(100000L))
       return
