@@ -99,8 +99,17 @@ object Bench {
 
   // ----------------------------------------------------------- orchestrator
 
+  /** Run-scoped probe-weight cache dir shared by all chunk JVMs of ONE
+    * bench run (see SimOps.fitLinearProbe): s09/s11/s14 landing in
+    * different chunks pay one GD fit total instead of one per JVM.
+    * Fresh per orchestrate() call, so it cannot go stale across runs. */
+  private var probeCache: Option[String] = None
+
   private def orchestrate(): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    probeCache = try {
+      Some(java.nio.file.Files.createTempDirectory("graft_probe_cache_").toString)
+    } catch { case _: Exception => None }
     val names = SparkEntry.queries.keys.toSeq.sorted
     val chunks = names.grouped(ChunkSize).toSeq
 
@@ -177,6 +186,7 @@ object Bench {
       val inherited = ManagementFactory.getRuntimeMXBean.getInputArguments.asScala
         .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
       val cmd = (Seq(javaBin) ++ inherited ++
+        probeCache.map(d => s"-Dgraft.probe.cache=$d").toSeq ++
         Seq("-cp", System.getProperty("java.class.path"), "graft.Bench", "--chunk", names.mkString(","))).asJava
       val pb = new ProcessBuilder(cmd)
       pb.redirectErrorStream(true)

@@ -118,6 +118,29 @@ class Round11Spec extends SparkSpec {
     assert(empty.count() == 0L)
   }
 
+  test("probe-fit disk cache: a cold memo reloads weights without re-running GD") {
+    val dir = java.nio.file.Files.createTempDirectory("probe_cache_spec_").toString
+    System.setProperty("graft.probe.cache", dir)
+    try {
+      val emb = Tables.t(spark, sfDir, "embeddings")
+        .withColumn("y", when(col("vec_id") % 2 === 0, 1.0).otherwise(-1.0))
+      val runs0 = ops.SimOps.probeFitRuns.get()
+      val w1 = ops.SimOps.fitLinearProbe(emb, "vec_id", "embedding", "y",
+        dims = 16, lr = 0.1, iters = 2)
+      assert(ops.SimOps.probeFitRuns.get() == runs0 + 1, "first fit runs GD")
+      // simulate a fresh JVM: in-memory memo gone, disk cache remains
+      ops.SimOps.clearProbeMemo()
+      val w2 = ops.SimOps.fitLinearProbe(emb, "vec_id", "embedding", "y",
+        dims = 16, lr = 0.1, iters = 2)
+      assert(ops.SimOps.probeFitRuns.get() == runs0 + 1,
+        "the reload must come from disk, not a second GD run")
+      assert(w1.toSeq == w2.toSeq, "reloaded weights are bit-identical")
+    } finally {
+      System.clearProperty("graft.probe.cache")
+      ops.SimOps.clearProbeMemo()
+    }
+  }
+
   // ---- p05: the continuous market pipeline vs the p02 batch loop ----
 
   private def batchReport(): Seq[org.apache.spark.sql.Row] =
