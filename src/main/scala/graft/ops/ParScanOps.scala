@@ -67,12 +67,12 @@ import scala.collection.mutable.ArrayBuffer
   *     nonlinear function of the carried previous value (the two RMAs
   *     themselves are affine, but their input is not);
   *   - q78 Heikin-Ashi: affine, but per-bar data is already small —
-  *     no monster-series regime exists for it;
-  *   - q60 Kalman: the gain sequence is data-independent but
-  *     POSITION-dependent — per-row maps vary by global row index, so
-  *     a run's composed transform needs its global offset before pass
-  *     A can run; a three-pass variant threading the driver-computed
-  *     Riccati boundary states is possible, documented as future work.
+  *     no monster-series regime exists for it.
+  * q60 Kalman sits BETWEEN the families — gains data-independent but
+  * POSITION-dependent — and gets its own three-pass variant
+  * ([[kalmanParOf]]): run lengths first, then a driver-side Riccati
+  * sweep supplies every run's boundary variance and gain product, and
+  * the remaining two passes are the standard offset-fold + replay.
   */
 object ParScanOps {
 
@@ -316,6 +316,160 @@ object ParScanOps {
       // eager checkpoint: both passes fully run against the persisted
       // block, which the finally-unpersist below then releases
       spark.createDataset(outRdd).localCheckpoint(eager = true)
+    } finally rdd.unpersist(blocking = false)
+  }
+
+  // ---------------------------------------------- Kalman (position-dependent)
+
+  /** Parallel-prefix twin of [[ScanOps.kalmanOf]] (q60) — the scan the
+    * generic engine EXCLUDES, closed by a third pass: the 1-D Kalman
+    * gain sequence is data-independent but POSITION-dependent (the
+    * scalar Riccati recursion Pᵢ depends only on the row index), so a
+    * run's per-row affine maps xh' = (1−Kᵢ)·xh + Kᵢ·zᵢ are unknown
+    * until its global offset is. Three passes over the range-sorted
+    * persisted block:
+    *
+    *   pass 1  run LENGTHS only (one cheap scan);
+    *   driver  one sequential Riccati sweep over the total length —
+    *           pure arithmetic, ~10⁷ steps in milliseconds, O(runs)
+    *           state: P at every run boundary (bit-exact: the same
+    *           IEEE recursion the sequential scan runs) and the gain
+    *           product Aᵣ = Π(1−Kᵢ) per run;
+    *   pass 2  per run, replay Kᵢ locally from the boundary P and fold
+    *           the offset Bᵣ = Σ (Π aⱼ)·Kᵢzᵢ; driver threads
+    *           xh carries: xh_out = Aᵣ·xh_in + Bᵣ;
+    *   pass 3  emit replay from (P, xh) boundaries.
+    *
+    * `variance` is BIT-exact vs the sequential path (data-independent,
+    * identical recursion); `level` agrees to composition ulps like the
+    * other wrappers (exact at slices = 1). Same output schema and
+    * contracts as [[ScanOps.kalmanOf]]. */
+  def kalmanParOf(df: DataFrame, key: String, ts: String, tie: String,
+                  value: String, procVar: Double, obsVar: Double,
+                  slices: Int): DataFrame = {
+    require(procVar > 0, s"procVar must be > 0, got $procVar")
+    require(obsVar > 0, s"obsVar must be > 0, got $obsVar")
+    require(slices >= 1, s"slices must be >= 1, got $slices")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val prepared = df.select(
+        col(key).cast("string").as("__k"), graft.F.epochMs(col(ts)).as("__t"),
+        col(tie).cast("long").as("__i"), col(value).cast("double").as("__x"))
+      .as[(String, Long, Long, Double)]
+      .repartitionByRange(slices, col("__k"), col("__t"), col("__i"))
+      .sortWithinPartitions(col("__k"), col("__t"), col("__i"))
+    val rdd = prepared.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // ---- pass 1: run lengths ----
+      val lens = rdd.mapPartitionsWithIndex { (pid, it) =>
+        val acc = ArrayBuffer[(Int, String, Long)]()
+        var curKey: String = null
+        var n = 0L
+        it.foreach { case (k, _, _, _) =>
+          if (k != curKey) {
+            if (curKey != null) acc += ((pid, curKey, n))
+            curKey = k; n = 0L
+          }
+          n += 1L
+        }
+        if (curKey != null) acc += ((pid, curKey, n))
+        acc.iterator
+      }.collect()
+
+      // ---- driver Riccati sweep: P and gain-product per run ----
+      // value = (base global idx, pBefore = P after row base−1 (NaN at
+      // base 0), aProd = Π over this run's rows of its gain factor —
+      // row 0 contributes a = 0: the init overwrites the state).
+      // Plain tuples: they ride a broadcast, a local class could drag
+      // a non-serializable outer frame along.
+      val runInfo = scala.collection.mutable.HashMap[(Int, String), (Long, Double, Double)]()
+      lens.groupBy(_._2).foreach { case (k, runs) =>
+        var base = 0L
+        var p = Double.NaN // P after previous row; NaN = series not started
+        runs.sortBy(_._1).foreach { case (pid, _, n) =>
+          val pBefore = p
+          var aProd = 1.0
+          var j = 0L
+          while (j < n) {
+            if (base + j == 0L) { p = obsVar; aProd = 0.0 }
+            else {
+              val pp = p + procVar
+              val g = pp / (pp + obsVar)
+              p = (1.0 - g) * pp
+              aProd *= (1.0 - g)
+            }
+            j += 1L
+          }
+          runInfo((pid, k)) = (base, pBefore, aProd)
+          base += n
+        }
+      }
+      val bcInfo = spark.sparkContext.broadcast(runInfo.toMap)
+
+      // ---- pass 2: per-run offset fold B (state from zero) ----
+      val bs = rdd.mapPartitionsWithIndex { (pid, it) =>
+        val acc = ArrayBuffer[(Int, String, Double)]()
+        var curKey: String = null
+        var b = 0.0
+        var p = 0.0
+        var started = false
+        def flush(): Unit = if (curKey != null) acc += ((pid, curKey, b))
+        it.foreach { case (k, _, _, z) =>
+          if (k != curKey) {
+            flush()
+            curKey = k
+            val (_, pBefore, _) = bcInfo.value((pid, k))
+            b = 0.0; p = pBefore; started = !pBefore.isNaN
+          }
+          if (!started) { b = z; p = obsVar; started = true }
+          else {
+            val pp = p + procVar
+            val g = pp / (pp + obsVar)
+            b = (1.0 - g) * b + g * z
+            p = (1.0 - g) * pp
+          }
+        }
+        flush()
+        acc.iterator
+      }.collect().map { case (pid, k, b) => (pid, k) -> b }.toMap
+
+      // ---- driver: thread xh carries ----
+      val entries = scala.collection.mutable.HashMap[(Int, String), (Double, Double)]()
+      lens.groupBy(_._2).foreach { case (k, runs) =>
+        var xh = Double.NaN
+        runs.sortBy(_._1).foreach { case (pid, _, _) =>
+          val (_, pBefore, aProd) = runInfo((pid, k))
+          entries((pid, k)) = (xh, pBefore)
+          val bRun = bs((pid, k))
+          xh = if (xh.isNaN) bRun else aProd * xh + bRun
+        }
+      }
+      val bcEntries = spark.sparkContext.broadcast(entries.toMap)
+
+      // ---- pass 3: emit replay from (xh, P) boundaries ----
+      val outRdd = rdd.mapPartitionsWithIndex { (pid, it) =>
+        var curKey: String = null
+        var xh = 0.0
+        var p = 0.0
+        var started = false
+        it.map { case (k, t, i, z) =>
+          if (k != curKey) {
+            curKey = k
+            val (xh0, p0) = bcEntries.value((pid, k))
+            xh = xh0; p = p0; started = !xh0.isNaN
+          }
+          if (!started) { xh = z; p = obsVar; started = true }
+          else {
+            val pp = p + procVar
+            val g = pp / (pp + obsVar)
+            xh = xh + g * (z - xh)
+            p = (1.0 - g) * pp
+          }
+          (k, t, i, xh, p)
+        }
+      }
+      spark.createDataset(outRdd).localCheckpoint(eager = true)
+        .toDF(key, "ts_ms", tie, "level", "variance")
     } finally rdd.unpersist(blocking = false)
   }
 

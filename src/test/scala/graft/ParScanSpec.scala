@@ -142,6 +142,27 @@ class ParScanSpec extends SparkSpec {
     assert(h2(1).getDouble(3) == 13.0 && h2(1).getDouble(4) == 3.0)
   }
 
+  test("kalmanPar: variance BIT-exact, level within 1e-9, slices=1 fully bit-exact") {
+    val df = frame(2500, 3)
+    val seq = ScanOps.kalmanOf(df, "sym", "t", "seq", "px", procVar = 0.1, obsVar = 1.0)
+    // multi-slice: variance is data-independent and must be bit-exact;
+    // the level carries composition ulps
+    val par = ParScanOps.kalmanParOf(df, "sym", "t", "seq", "px",
+      procVar = 0.1, obsVar = 1.0, slices = 16)
+    assert(maxDelta(seq, par, Seq("variance")) == 0.0,
+      "the Riccati sequence must be the identical IEEE recursion")
+    assert(maxDelta(seq, par, Seq("level")) <= 1e-9)
+    // single slice: one run, replayed from scratch — fully bit-exact
+    val par1 = ParScanOps.kalmanParOf(df, "sym", "t", "seq", "px",
+      procVar = 0.1, obsVar = 1.0, slices = 1)
+    assert(maxDelta(seq, par1, Seq("level", "variance")) == 0.0)
+    // single-row series
+    val one = Seq(("k", new java.sql.Timestamp(1700000000000L), 0L, 42.0))
+      .toDF("sym", "t", "seq", "px")
+    val o = ParScanOps.kalmanParOf(one, "sym", "t", "seq", "px", 0.1, 1.0, 4).collect()
+    assert(o.length == 1 && o(0).getDouble(3) == 42.0 && o(0).getDouble(4) == 1.0)
+  }
+
   test("parallel path is tolerance-invariant under input partitioning") {
     // repartitionByRange samples boundaries per run, so the SPLIT can
     // move — values may shift by composition ulps but never more
