@@ -426,6 +426,25 @@ object Graft {
   def connectedComponentsStar(pairs: DataFrame, a: String, b: String): DataFrame =
     ops.DedupOps.componentsStar(pairs, a, b)
 
+  /** Dedup threshold sweep over a candidate-pair list: per threshold,
+    * pairs declared near-dup and docs covered — the τ-tuning artifact.
+    * See [[ops.DedupOps.dedupCurveOf]]. */
+  def dedupCurve(pairs: DataFrame, a: String, b: String, simCol: String,
+                 taus: Seq[Double]): DataFrame =
+    ops.DedupOps.dedupCurveOf(pairs, a, b, simCol, taus)
+
+  /** Per-doc n-gram novelty (fraction of a doc's distinct n-grams
+    * first seen in it, doc_id order) — the incremental-information
+    * curation signal. See [[ops.TextStatsOps.ngramNoveltyOf]]. */
+  def ngramNovelty(docs: DataFrame, id: String, text: String, n: Int = 8): DataFrame =
+    ops.TextStatsOps.ngramNoveltyOf(docs, id, text, n)
+
+  /** Dickey–Fuller unit-root test per series (df_stat < −2.86 ⇒
+    * stationary at 5%) — the Engle–Granger step-2 gate. See
+    * [[ops.EconOps.adfOf]]. */
+  def adfTest(bars: DataFrame, key: String, ts: String, close: String): DataFrame =
+    ops.EconOps.adfOf(bars, key, ts, close)
+
   /** MinHash+LSH near-dup candidate pairs: k md5-minhashes over
     * shingleN-word shingles, banded `bands` × (k/bands); returns
     * (doc_a, doc_b, est_sim), blocked per band — never a full cross.

@@ -271,6 +271,67 @@ object DedupOps {
       |ORDER BY doc_a, doc_b""".stripMargin
       .replace("GS_DUCK", gsDuck).replace("SIG8_DUCK", sigDuck(8))
 
+  /** Dedup threshold sweep (public operator behind
+    * [[graft.Graft.dedupCurve]]) — the tuning artifact every dedup
+    * deployment needs before it picks τ: for each candidate threshold,
+    * how many pairs would be declared near-dups and how many docs they
+    * cover. Reading the curve: the elbow where n_pairs collapses is
+    * the separation between true near-dup mass and the band-collision
+    * noise floor; picking τ below it merges unrelated docs (d14's
+    * calibration gives the same verdict from the est-vs-exact side).
+    * One pass over the PAIR list (pair-bounded, already blocked —
+    * never re-touches the corpus) crossed with the tiny broadcast tau
+    * list; thresholds with zero pairs still emit a zero row. */
+  def dedupCurveOf(pairs: DataFrame, aCol: String, bCol: String,
+                   simCol: String, taus: Seq[Double]): DataFrame = {
+    require(taus.nonEmpty, "need at least one threshold")
+    val tauDf = pairs.sparkSession.range(1)
+      .select(explode(array(taus.map(lit): _*)).as("tau"))
+    val flt = pairs.crossJoin(broadcast(tauDf)).filter(col(simCol) >= col("tau"))
+    val np = flt.groupBy(col("tau")).agg(count(lit(1)).as("n_pairs"))
+    val nd = flt.select(col("tau"), explode(array(col(aCol), col(bCol))).as("__doc"))
+      .groupBy(col("tau")).agg(countDistinct(col("__doc")).as("n_docs"))
+    tauDf.join(np, Seq("tau"), "left").join(nd, Seq("tau"), "left")
+      .select(col("tau"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+  }
+
+  /** #24d the minhash threshold curve over the d02 pair list — est_sim
+    * is k=8 agreement so the natural grid is eighths. */
+  private val ds22: Q = (s, dir) =>
+    dedupCurveOf(minhashPairs(s, dir), "doc_a", "doc_b", "est_sim",
+      Seq(0.25, 0.375, 0.5, 0.625, 0.75, 0.875, 1.0))
+      .orderBy("tau")
+
+  private val ds22Sql =
+    """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+      |s3 AS (SELECT doc_id,
+      |    list_transform(generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh
+      |  FROM w WHERE len(ws) >= 3),
+      |g AS (SELECT doc_id, GS_DUCK AS gs FROM s3),
+      |sig AS (SELECT doc_id, SIG8_DUCK AS sig FROM g),
+      |bands AS (SELECT doc_id, sig, b.b AS b,
+      |    CAST(sig[2*b.b+1] AS VARCHAR) || '_' || CAST(sig[2*b.b+2] AS VARCHAR) AS bkey
+      |  FROM sig, range(0, 4) b(b)),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
+      |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      |pr AS (SELECT DISTINCT doc_a, doc_b,
+      |    list_reduce(list_transform(generate_series(1, 8),
+      |      i -> CASE WHEN sa[i] = sb[i] THEN 1.0 ELSE 0.0 END), (x, y) -> x + y) / 8.0 AS est_sim
+      |  FROM p),
+      |taus AS (SELECT CAST(unnest([0.25, 0.375, 0.5, 0.625, 0.75, 0.875, 1.0]) AS DOUBLE) AS tau),
+      |flt AS (SELECT t.tau, pr.doc_a, pr.doc_b FROM pr, taus t WHERE pr.est_sim >= t.tau),
+      |np AS (SELECT tau, count(*) AS n_pairs FROM flt GROUP BY tau),
+      |nd AS (SELECT tau, count(DISTINCT doc) AS n_docs
+      |  FROM (SELECT tau, unnest([doc_a, doc_b]) AS doc FROM flt) GROUP BY tau)
+      |SELECT t.tau, coalesce(np.n_pairs, 0) AS n_pairs,
+      |  coalesce(nd.n_docs, 0) AS n_docs
+      |FROM taus t
+      |LEFT JOIN np ON np.tau = t.tau
+      |LEFT JOIN nd ON nd.tau = t.tau
+      |ORDER BY t.tau""".stripMargin
+      .replace("GS_DUCK", gsDuck).replace("SIG8_DUCK", sigDuck(8))
+
   /** #22 SimHash: 60-bit weighted-word simhash per doc; near-dup pairs at
     * hamming ≤ 3, blocked by 4 × 15-bit chunks (pigeonhole: hamming ≤ 3
     * ⇒ at least one chunk identical, so the block has full recall).
@@ -1384,6 +1445,7 @@ object DedupOps {
   val queries: Map[String, Q] = Map(
     "p03_curation_pipeline" -> p03,
     "ds20_split_leakage" -> ds20,
+    "ds22_dedup_curve" -> ds22,
     "d14_minhash_calibration" -> d14,
     "d13_incremental_dedup" -> d13,
     "d12_substring_dedup" -> d12,
@@ -1401,6 +1463,7 @@ object DedupOps {
   val oracle: Map[String, String] = Map(
     "p03_curation_pipeline" -> p03Sql,
     "ds20_split_leakage" -> ds20Sql,
+    "ds22_dedup_curve" -> ds22Sql,
     "d14_minhash_calibration" -> d14Sql,
     "d13_incremental_dedup" -> d13Sql,
     "d12_substring_dedup" -> d12Sql,

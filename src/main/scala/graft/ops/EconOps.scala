@@ -648,13 +648,130 @@ object EconOps {
       |FROM f
       |ORDER BY series""".stripMargin
 
+  /** Dickey–Fuller unit-root test per series (public operator behind
+    * [[graft.Graft.adfTest]]) — the stationarity gate of the
+    * Engle–Granger cointegration recipe (step 2 over q88's residual
+    * spread) and the standard sanity check before fitting any
+    * mean-reverting model: regress Δxₜ = α + β·xₜ₋₁ + εₜ (the DF(0)
+    * form with constant) and report the t-statistic of β̂. Under the
+    * unit-root null β = 0; a t-stat below the asymptotic 5% critical
+    * value −2.86 rejects it (the series mean-reverts). `stationary`
+    * carries that verdict; null when the regression is degenerate
+    * (constant series, n ≤ 2, zero residual variance).
+    *
+    * Exactness: all five OLS sums are cumulative window folds in
+    * bucket order taken at the last row (the q41/q89 discipline), and
+    * every derived expression is written with the identical operation
+    * tree in the oracle, so each double matches bit-for-bit. One
+    * window shuffle on the key; the output is one row per series. */
+  def adfOf(bars: DataFrame, key: String, ts: String, close: String): DataFrame = {
+    val ord = Window.partitionBy(col(key)).orderBy(col(ts))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = bars
+      .withColumn("__xl", lag(col(close), 1).over(ord))
+      .filter(col("__xl").isNotNull)
+      .withColumn("__dy", col(close) - col("__xl"))
+    val nD = col("__n").cast("double")
+    d.withColumn("__rn", row_number().over(ord))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(key))))
+      .withColumn("__sx", sum(col("__xl")).over(cum))
+      .withColumn("__sy", sum(col("__dy")).over(cum))
+      .withColumn("__sxy", sum(col("__xl") * col("__dy")).over(cum))
+      .withColumn("__sx2", sum(col("__xl") * col("__xl")).over(cum))
+      .withColumn("__sy2", sum(col("__dy") * col("__dy")).over(cum))
+      .filter(col("__rn") === col("__n"))
+      .withColumn("__cxx", col("__sx2") - col("__sx") * col("__sx") / nD)
+      .withColumn("__cxy", col("__sxy") - col("__sx") * col("__sy") / nD)
+      .withColumn("__cyy", col("__sy2") - col("__sy") * col("__sy") / nD)
+      .withColumn("beta",
+        when(col("__n") > 2 && col("__cxx") > 0.0, col("__cxy") / col("__cxx")))
+      .withColumn("__sse", greatest(col("__cyy") - col("beta") * col("__cxy"), lit(0.0)))
+      .withColumn("__se",
+        when(col("beta").isNotNull,
+          sqrt((col("__sse") / (nD - 2.0)) / col("__cxx"))))
+      .withColumn("df_stat",
+        when(col("__se") > 0.0, col("beta") / col("__se")))
+      .select(col(key).as("series"), col("__n").as("n_obs"),
+        col("beta"),
+        (col("__sy") / nD - col("beta") * (col("__sx") / nD)).as("alpha"),
+        col("df_stat"),
+        when(col("df_stat").isNotNull, col("df_stat") < -2.86).as("stationary"))
+  }
+
+  /** #q92 Dickey–Fuller test over hourly closes per series. */
+  private val q92: Q = (s, dir) =>
+    adfOf(
+      graft.Graft.resampleOhlc(t(s, dir, "events"), "event_type", "ts", "event_id", "value", "hour"),
+      "event_type", "bucket", "close")
+      .select(col("series"), col("n_obs"), r6(col("beta")).as("beta"),
+        r6(col("alpha")).as("alpha"), r6(col("df_stat")).as("df_stat"),
+        col("stationary"))
+      .orderBy("series")
+
+  private val q92Sql =
+    """WITH b AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+      |    last(value ORDER BY ts, event_id) AS close
+      |  FROM events GROUP BY 1, 2),
+      |c AS (
+      |  SELECT event_type, bucket, close,
+      |    lag(close, 1) OVER (PARTITION BY event_type ORDER BY bucket) AS xl
+      |  FROM b),
+      |d AS (
+      |  SELECT event_type, bucket, xl, close - xl AS dy
+      |  FROM c WHERE xl IS NOT NULL),
+      |ols AS (
+      |  SELECT event_type,
+      |    row_number() OVER o AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n,
+      |    sum(xl) OVER w AS sx, sum(dy) OVER w AS sy,
+      |    sum(xl * dy) OVER w AS sxy,
+      |    sum(xl * xl) OVER w AS sx2,
+      |    sum(dy * dy) OVER w AS sy2
+      |  FROM d
+      |  WINDOW o AS (PARTITION BY event_type ORDER BY bucket),
+      |    w AS (PARTITION BY event_type ORDER BY bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |f AS (
+      |  SELECT event_type, n,
+      |    sx2 - sx * sx / CAST(n AS DOUBLE) AS cxx,
+      |    sxy - sx * sy / CAST(n AS DOUBLE) AS cxy,
+      |    sy2 - sy * sy / CAST(n AS DOUBLE) AS cyy,
+      |    sx, sy
+      |  FROM ols WHERE rn = n),
+      |g AS (
+      |  SELECT event_type, n, sx, sy, cxx, cxy, cyy,
+      |    CASE WHEN n > 2 AND cxx > 0.0 THEN cxy / cxx END AS beta
+      |  FROM f),
+      |h AS (
+      |  SELECT event_type, n, sx, sy, cxx, beta,
+      |    greatest(cyy - beta * cxy, 0.0) AS sse
+      |  FROM g),
+      |i AS (
+      |  SELECT event_type, n, sx, sy, beta,
+      |    CASE WHEN beta IS NOT NULL
+      |      THEN sqrt((sse / (CAST(n AS DOUBLE) - 2.0)) / cxx) END AS se
+      |  FROM h),
+      |j AS (
+      |  SELECT event_type, n, sx, sy, beta,
+      |    CASE WHEN se > 0.0 THEN beta / se END AS df_stat
+      |  FROM i)
+      |SELECT event_type AS series, CAST(n AS BIGINT) AS n_obs,
+      |  round(beta, 6) AS beta,
+      |  round(sy / CAST(n AS DOUBLE) - beta * (sx / CAST(n AS DOUBLE)), 6) AS alpha,
+      |  round(df_stat, 6) AS df_stat,
+      |  CASE WHEN df_stat IS NOT NULL THEN df_stat < -2.86 END AS stationary
+      |FROM j
+      |ORDER BY series""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q80_amihud" -> q80,
     "q81_roll_spread" -> q81,
     "q82_acf" -> q82,
     "q83_hurst" -> q83,
     "q89_kyle_lambda" -> q89,
-    "q90_vpin" -> q90)
+    "q90_vpin" -> q90,
+    "q92_adf" -> q92)
 
   val oracle: Map[String, String] = Map(
     "q80_amihud" -> q80Sql,
@@ -662,5 +779,6 @@ object EconOps {
     "q82_acf" -> q82Sql,
     "q83_hurst" -> q83Sql,
     "q89_kyle_lambda" -> q89Sql,
-    "q90_vpin" -> q90Sql)
+    "q90_vpin" -> q90Sql,
+    "q92_adf" -> q92Sql)
 }

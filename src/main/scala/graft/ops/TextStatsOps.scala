@@ -373,7 +373,70 @@ object TextStatsOps {
       |         / ((nd * sx2 - sx * sx) * (nd * sy2 - sy * sy)) END, 6) AS r2
       |FROM f""".stripMargin
 
+  // ------------------------------------------------------- n-gram novelty
+
+  /** Per-doc n-gram NOVELTY (public operator behind
+    * [[graft.Graft.ngramNovelty]]) — the incremental-information
+    * profile of a corpus in doc_id order: a doc's novelty is the
+    * fraction of its distinct word n-grams whose FIRST corpus
+    * occurrence (minimum doc_id) is this doc. Exact duplicates score
+    * 0, templated/boilerplate docs score low, genuinely new content
+    * scores near 1 — the per-doc complement of d12's corpus-level
+    * substring-dup statistics (Lee et al. 2022's dedup rationale reads
+    * directly off this column), and a curation signal a mixture
+    * designer sorts on. Docs with fewer than `n` words have no grams
+    * and are omitted (the ds07 rule).
+    *
+    * Scale: distinct (doc, gram-hash) pairs shuffle once (map-side
+    * combine collapses within-doc repeats); the first-owner table
+    * groups on the SAME gram-hash key, so the ownership join reuses
+    * that partitioning — no second full shuffle of the gram stream;
+    * output is doc-sized. */
+  def ngramNoveltyOf(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int = 8): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val grams = docs
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("__ws"))
+      .filter(size(col("__ws")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(__ws)-$n), i -> array_join(slice(__ws, i+1, $n), ' '))")).as("__g"))
+      .select(col("doc_id"), hash60(col("__g")).as("__h"))
+      .distinct()
+    val owner = grams.groupBy(col("__h")).agg(min(col("doc_id")).as("__owner"))
+    grams.join(owner, "__h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("doc_id") === col("__owner"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", col("n_novel").cast("double") / col("n_grams").cast("double"))
+  }
+
+  /** #t22 8-gram novelty over the documents corpus. */
+  private val t22: Q = (s, dir) =>
+    ngramNoveltyOf(t(s, dir, "documents"), "doc_id", "text", n = 8)
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        r6(col("novelty")).as("novelty"))
+      .orderBy("doc_id")
+
+  private val t22Sql =
+    """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+      |g AS (
+      |  SELECT DISTINCT doc_id,
+      |    CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS h
+      |  FROM (
+      |    SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 7),
+      |      i -> array_to_string(ws[i:i+7], ' '))) AS gram
+      |    FROM w WHERE len(ws) >= 8)),
+      |own AS (SELECT h, min(doc_id) AS owner FROM g GROUP BY h)
+      |SELECT g.doc_id, count(*) AS n_grams,
+      |  CAST(sum(CASE WHEN g.doc_id = own.owner THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |  round(CAST(sum(CASE WHEN g.doc_id = own.owner THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE), 6) AS novelty
+      |FROM g JOIN own ON own.h = g.h
+      |GROUP BY g.doc_id
+      |ORDER BY g.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t22_ngram_novelty" -> t22,
     "t18_pmi" -> t18,
     "t19_lexdiv" -> t19,
     "t20_readability" -> t20,
@@ -381,6 +444,7 @@ object TextStatsOps {
     "t21_zipf" -> t21)
 
   val oracle: Map[String, String] = Map(
+    "t22_ngram_novelty" -> t22Sql,
     "t18_pmi" -> t18Sql,
     "t19_lexdiv" -> t19Sql,
     "t20_readability" -> t20Sql,

@@ -118,6 +118,53 @@ class Round11Spec extends SparkSpec {
     assert(empty.count() == 0L)
   }
 
+  test("t22 novelty: an exact duplicate scores 0, the first occurrence owns its grams") {
+    val text = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val other = (100 to 140).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, text), (3L, other)).toDF("doc_id", "text")
+    val out = ops.TextStatsOps.ngramNoveltyOf(docs, "doc_id", "text", n = 8)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(out(0)._4 == 1.0, "doc 1 owns every gram it introduces")
+    assert(out(1)._4 == 0.0, "an exact duplicate introduces nothing")
+    assert(out(2)._4 == 1.0, "disjoint content is fully novel")
+    assert(out(0)._2 == 40 - 8 + 1, "distinct 8-gram count")
+  }
+
+  test("ds22 curve: monotone non-increasing in tau, docs bounded by pair mass") {
+    val rows = SparkEntry.queries("ds22_dedup_curve")(spark, sfDir)
+      .orderBy("tau").as[(Double, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.head._2 > 0, "the corpus has planted near-dups")
+    rows.sliding(2).foreach {
+      case Array((_, p1, d1), (_, p2, d2)) =>
+        assert(p2 <= p1 && d2 <= d1, "raising tau cannot add pairs or docs")
+      case _ =>
+    }
+    rows.foreach { case (_, p, d) => assert(d <= 2 * p, "each pair covers <= 2 docs") }
+  }
+
+  test("q92 ADF: white noise rejects the unit root, a random walk does not") {
+    val n = 400
+    val base = (1 to n).map { i =>
+      ("noise", new java.sql.Timestamp(1700000000000L + i * 3600000L),
+        math.sin(i * 2.7) * 5.0 + 100.0)
+    }
+    var acc = 100.0
+    val walk = (1 to n).map { i =>
+      acc += math.sin(i * 1.3) * 0.9 + math.cos(i * 7.1) * 0.9 // bounded increments
+      ("walk", new java.sql.Timestamp(1700000000000L + i * 3600000L), acc)
+    }
+    val df = (base ++ walk).toDF("sym", "bucket", "close")
+    val out = ops.EconOps.adfOf(df, "sym", "bucket", "close")
+      .orderBy("series").collect()
+    val noise = out(0); val rw = out(1)
+    assert(noise.getString(0) == "noise" && rw.getString(0) == "walk")
+    assert(noise.getDouble(4) < -2.86 && noise.getBoolean(5),
+      s"mean-reverting series must reject the unit root, df=${noise.getDouble(4)}")
+    assert(rw.getDouble(4) > noise.getDouble(4),
+      "the random walk must look far less stationary than white noise")
+  }
+
   test("probe-fit disk cache: a cold memo reloads weights without re-running GD") {
     val dir = java.nio.file.Files.createTempDirectory("probe_cache_spec_").toString
     System.setProperty("graft.probe.cache", dir)
