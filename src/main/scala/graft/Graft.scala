@@ -445,6 +445,25 @@ object Graft {
   def adfTest(bars: DataFrame, key: String, ts: String, close: String): DataFrame =
     ops.EconOps.adfOf(bars, key, ts, close)
 
+  /** Ljung–Box white-noise test per series (Q vs χ²(h) at `crit`) —
+    * the formal decision over [[acf]]'s lag profile. See
+    * [[ops.EconOps.ljungBoxOf]]. */
+  def ljungBox(df: DataFrame, key: String, ts: String, value: String,
+               h: Int = 10, crit: Double = 18.307): DataFrame =
+    ops.EconOps.ljungBoxOf(df, key, ts, value, h, crit)
+
+  /** Simplified silhouette of a centroid assignment (per-cell means;
+    * O(n·k) against broadcast centroids, never O(n²)). See
+    * [[ops.SimOps.silhouetteOf]]. */
+  def silhouette(corpus: DataFrame, centroids: DataFrame, id: String,
+                 vec: String): DataFrame =
+    ops.SimOps.silhouetteOf(corpus, centroids, id, vec)
+
+  /** Deterministic k-fold assignment (md5 mod k — rerun-stable,
+    * disjoint by construction). See [[ops.DataOps.kfoldOf]]. */
+  def kfold(df: DataFrame, id: String, salt: String, k: Int): DataFrame =
+    ops.DataOps.kfoldOf(df, id, salt, k)
+
   /** MinHash+LSH near-dup candidate pairs: k md5-minhashes over
     * shingleN-word shingles, banded `bands` × (k/bands); returns
     * (doc_a, doc_b, est_sim), blocked per band — never a full cross.

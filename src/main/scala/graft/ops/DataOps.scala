@@ -1071,7 +1071,49 @@ object DataOps {
        |FROM ci, o""".stripMargin
   }
 
+  /** Deterministic K-FOLD assignment (public operator behind
+    * [[graft.Graft.kfold]]) — the cross-validation sibling of
+    * [[hashSplitOf]]: fold = md5(salt:id) mod k, a pure function of
+    * the id, so folds are rerun-stable, cluster-size-invariant, and
+    * disjoint BY CONSTRUCTION (no coordination, no sampling state).
+    * Changing `salt` re-deals the folds; ids never straddle two.
+    * Appends `fold` ∈ [0, k). Map-only — the audit rollup below is
+    * the only shuffle anywhere near it. */
+  def kfoldOf(df: DataFrame, idCol: String, salt: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.withColumn("fold",
+      pmod(hash60(concat(lit(salt + ":"), col(idCol).cast("string"))), lit(k.toLong)))
+  }
+
+  /** #48d the 5-fold deal audited per fold: doc count, char volume,
+    * share of the corpus — the balance check a CV harness runs before
+    * trusting its folds. */
+  private val ds23: Q = (s, dir) => {
+    val wAll = Window.partitionBy()
+    kfoldOf(t(s, dir, "documents"), "doc_id", "graft", k = 5)
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .withColumn("share",
+        r6(col("n_docs").cast("double") / sum(col("n_docs")).over(wAll).cast("double")))
+      .select(col("fold"), col("n_docs"), col("n_chars"), col("share"))
+      .orderBy("fold")
+  }
+
+  private val ds23Sql =
+    """WITH f AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 5 AS fold
+      |  FROM documents),
+      |a AS (
+      |  SELECT fold, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+      |  FROM f GROUP BY fold)
+      |SELECT fold, n_docs, n_chars,
+      |  round(CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER () AS DOUBLE), 6) AS share
+      |FROM a
+      |ORDER BY fold""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "ds23_kfold" -> ds23,
     "ds21_bootstrap_ci" -> ds21,
     "ds17_length_groups" -> ds17,
     "a05_bloom_filter" -> a05,
@@ -1093,6 +1135,7 @@ object DataOps {
 
   val oracle: Map[String, String] = Map(
     "ds21_bootstrap_ci" -> ds21Sql,
+    "ds23_kfold" -> ds23Sql,
     "ds17_length_groups" -> ds17Sql,
     "a05_bloom_filter" -> a05Sql,
     "ds16_temperature_mix" -> ds16Sql,

@@ -648,6 +648,103 @@ object EconOps {
       |FROM f
       |ORDER BY series""".stripMargin
 
+  /** Ljung–Box portmanteau white-noise test per series (public
+    * operator behind [[graft.Graft.ljungBox]]) — the q82 ACF machinery
+    * collapsed into the classical serial-correlation decision:
+    * Q = n·(n+2)·Σₖ ρ̂ₖ²/(n−k) over lags 1..h, compared against the
+    * χ²(h) critical value (`crit`; 18.307 at 5% for h = 10). Rejecting
+    * (q_stat > crit) means the series is NOT white noise — the formal
+    * counterpart of eyeballing q82's lag profile, and the standard
+    * residual diagnostic after any q63/q87-style model fit. ρ̂ₖ here is
+    * the lag-k pairs Pearson correlation ([[acfOf]]'s definition —
+    * windowed-pairs variant of the textbook fixed-mean form; identical
+    * asymptotics for the test's purpose, and the SAME doubles in both
+    * engines). n−k is exactly n_pairs(k) since lags are row-based.
+    * Null when any of the h lags is degenerate (constant window,
+    * n ≤ 2). One extra vocabulary-free pass over the h-row-per-key ACF
+    * table: the Σ is a cumulative fold in lag order taken at lag h. */
+  def ljungBoxOf(df: DataFrame, key: String, ts: String, value: String,
+                 h: Int = 10, crit: Double = 18.307): DataFrame = {
+    require(h >= 1, s"h must be >= 1, got $h")
+    val byKey = Window.partitionBy(col(key))
+    val ordL = byKey.orderBy(col("lag"))
+    val cum = ordL.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nD = col("__n").cast("double")
+    acfOf(df, key, ts, value, maxLag = h)
+      .withColumn("__rn", row_number().over(ordL))
+      .withColumn("__nn", count(col("acf")).over(byKey))
+      .withColumn("__n", max(col("n_pairs") + col("lag")).over(byKey))
+      .withColumn("__cq",
+        sum(col("acf") * col("acf") / col("n_pairs").cast("double")).over(cum))
+      .filter(col("__rn") === lit(h))
+      .select(col(key).as("series"), col("__n").cast("long").as("n_obs"),
+        lit(h).as("h"),
+        when(col("__nn") === h, nD * (nD + lit(2.0)) * col("__cq")).as("q_stat"),
+        when(col("__nn") === h,
+          (nD * (nD + lit(2.0)) * col("__cq")) > crit).as("reject_white_noise"))
+  }
+
+  /** #q93 Ljung–Box(h=10) over hourly closes per series. */
+  private val q93: Q = (s, dir) =>
+    ljungBoxOf(hourBars(s, dir).select(col("event_type"), col("bucket"), col("close")),
+      "event_type", "bucket", "close", h = 10, crit = 18.307)
+      .select(col("series"), col("n_obs"), col("h"),
+        r6(col("q_stat")).as("q_stat"), col("reject_white_noise"))
+      .orderBy("series")
+
+  private val q93Sql = {
+    val branches = (1 to 10).map(k =>
+      s"""SELECT event_type, bucket, $k AS lag, close AS x,
+         |    lag(close, $k) OVER (PARTITION BY event_type ORDER BY bucket) AS y
+         |  FROM b""".stripMargin).mkString("\n  UNION ALL\n  ")
+    s"""WITH b AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+       |    last(value ORDER BY ts, event_id) AS close
+       |  FROM events GROUP BY 1, 2),
+       |e AS (
+       |  $branches),
+       |p AS (SELECT * FROM e WHERE y IS NOT NULL),
+       |c AS (
+       |  SELECT event_type, lag, row_number() OVER o AS rn,
+       |    sum(x) OVER w AS cx, sum(y) OVER w AS cy,
+       |    sum(x * x) OVER w AS cxx, sum(y * y) OVER w AS cyy,
+       |    sum(x * y) OVER w AS cxy,
+       |    lead(x, 1) OVER o IS NULL AS is_last
+       |  FROM p
+       |  WINDOW o AS (PARTITION BY event_type, lag ORDER BY bucket),
+       |    w AS (PARTITION BY event_type, lag ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |f AS (
+       |  SELECT event_type, lag, rn,
+       |    cxx - cx * cx / CAST(rn AS DOUBLE) AS vx,
+       |    cyy - cy * cy / CAST(rn AS DOUBLE) AS vy,
+       |    cxy - cx * cy / CAST(rn AS DOUBLE) AS cv
+       |  FROM c WHERE is_last),
+       |a AS (
+       |  SELECT event_type, lag, rn AS n_pairs,
+       |    CASE WHEN rn >= 2 AND vx > 0 AND vy > 0
+       |      THEN cv / sqrt(vx * vy) END AS acf
+       |  FROM f),
+       |q AS (
+       |  SELECT event_type,
+       |    row_number() OVER ol AS rnl,
+       |    count(acf) OVER (PARTITION BY event_type) AS nn,
+       |    max(n_pairs + lag) OVER (PARTITION BY event_type) AS n,
+       |    sum(acf * acf / CAST(n_pairs AS DOUBLE)) OVER wl AS cq
+       |  FROM a
+       |  WINDOW ol AS (PARTITION BY event_type ORDER BY lag),
+       |    wl AS (PARTITION BY event_type ORDER BY lag
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT event_type AS series, CAST(n AS BIGINT) AS n_obs, 10 AS h,
+       |  round(CASE WHEN nn = 10
+       |    THEN CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * cq END, 6) AS q_stat,
+       |  CASE WHEN nn = 10
+       |    THEN (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * cq) > 18.307 END
+       |    AS reject_white_noise
+       |FROM q WHERE rnl = 10
+       |ORDER BY series""".stripMargin
+  }
+
   /** Dickey–Fuller unit-root test per series (public operator behind
     * [[graft.Graft.adfTest]]) — the stationarity gate of the
     * Engle–Granger cointegration recipe (step 2 over q88's residual
@@ -771,7 +868,8 @@ object EconOps {
     "q83_hurst" -> q83,
     "q89_kyle_lambda" -> q89,
     "q90_vpin" -> q90,
-    "q92_adf" -> q92)
+    "q92_adf" -> q92,
+    "q93_ljung_box" -> q93)
 
   val oracle: Map[String, String] = Map(
     "q80_amihud" -> q80Sql,
@@ -780,5 +878,6 @@ object EconOps {
     "q83_hurst" -> q83Sql,
     "q89_kyle_lambda" -> q89Sql,
     "q90_vpin" -> q90Sql,
-    "q92_adf" -> q92Sql)
+    "q92_adf" -> q92Sql,
+    "q93_ljung_box" -> q93Sql)
 }

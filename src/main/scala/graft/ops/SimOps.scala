@@ -1925,6 +1925,81 @@ object SimOps {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  /** Simplified SILHOUETTE over a centroid assignment (public operator
+    * behind [[graft.Graft.silhouette]]) — the cluster-quality score
+    * s04/d11/s02 had no eval for: per vector, a = cosine distance to
+    * its OWN centroid (the assignment winner), b = distance to the
+    * nearest OTHER centroid; sil = (b − a)/max(a, b) ∈ [−1, 1]. The
+    * "simplified" variant (Hruschka et al.) measures against
+    * CENTROIDS, not all points — the only form that scales: per-point
+    * pairwise silhouette is O(n²), this is O(n·k) map-side against a
+    * broadcast centroid table with NO shuffle until the per-cell
+    * rollup. Assignment ties break by centroid id (the s02 rule).
+    * Per-cell means fold cumulatively in vec_id order (q33 rule), so
+    * every double survives the hash gate. Requires ≥ 2 centroids. */
+  def silhouetteOf(corpus: DataFrame, centroids: DataFrame, idCol: String,
+                   vecCol: String): DataFrame = {
+    val cents = broadcast(centroids
+      .select(col(idCol).as("c_id"), col(vecCol).cast("array<double>").as("cv")))
+    val wV = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("c_id"))
+    val perVec = corpus
+      .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("__v"))
+      .crossJoin(cents)
+      .withColumn("d", lit(1.0) - expr("graft_cosine(__v, cv)"))
+      .withColumn("__arn", row_number().over(wV))
+      .withColumn("__b", lead(col("d"), 1).over(wV))
+      .filter(col("__arn") === 1)
+      .select(col("vec_id"), col("c_id").as("cell"), col("d").as("a"), col("__b").as("b"))
+      .withColumn("sil",
+        when(greatest(col("a"), col("b")) > 0.0,
+          (col("b") - col("a")) / greatest(col("a"), col("b"))).otherwise(lit(0.0)))
+    val wC = Window.partitionBy(col("cell")).orderBy(col("vec_id"))
+    val cum = wC.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perVec
+      .withColumn("__rn", row_number().over(wC))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("cell"))))
+      .withColumn("__cs", sum(col("sil")).over(cum))
+      .filter(col("__rn") === col("__n"))
+      .select(col("cell"), col("__n").as("n_vectors"),
+        (col("__cs") / col("__n").cast("double")).as("mean_silhouette"))
+  }
+
+  /** #s19 silhouette of the s02 IVF cell assignment (centroids = the 8
+    * smallest-id vectors — the same cells s02 probes). */
+  private val s19: Q = (s, dir) => {
+    val all = vecs(s, dir)
+    silhouetteOf(all, all.filter(col("vec_id") < 8), "vec_id", "v")
+      .select(col("cell"), col("n_vectors"),
+        r6(col("mean_silhouette")).as("mean_silhouette"))
+      .orderBy("cell")
+  }
+
+  private val s19Sql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cents AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+       |d AS (SELECT e.vec_id, c_id, 1.0 - ${duckCos("v", "cv")} AS d
+       |  FROM e CROSS JOIN cents),
+       |r AS (SELECT vec_id, c_id, d,
+       |    row_number() OVER o AS arn,
+       |    lead(d, 1) OVER o AS b
+       |  FROM d
+       |  WINDOW o AS (PARTITION BY vec_id ORDER BY d, c_id)),
+       |s AS (SELECT vec_id, c_id AS cell, d AS a, b,
+       |    CASE WHEN greatest(d, b) > 0.0 THEN (b - d) / greatest(d, b)
+       |      ELSE 0.0 END AS sil
+       |  FROM r WHERE arn = 1),
+       |c AS (SELECT cell, row_number() OVER o AS rn,
+       |    count(*) OVER (PARTITION BY cell) AS n,
+       |    sum(sil) OVER w AS cs
+       |  FROM s
+       |  WINDOW o AS (PARTITION BY cell ORDER BY vec_id),
+       |    w AS (PARTITION BY cell ORDER BY vec_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT cell, CAST(n AS BIGINT) AS n_vectors,
+       |  round(cs / CAST(n AS DOUBLE), 6) AS mean_silhouette
+       |FROM c WHERE rn = n
+       |ORDER BY cell""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "s15_range_search" -> s15,
     "s16_maxsim" -> s16,
@@ -1933,6 +2008,7 @@ object SimOps {
     "p04_retrieval_pipeline" -> p04,
     "s17_hybrid_rrf" -> s17,
     "s18_ivf_pq" -> s18,
+    "s19_silhouette" -> s19,
     "s10_mips" -> s10,
     "s09_linear_probe" -> s09,
     "s08_cov_sampled" -> s08,
@@ -1955,6 +2031,7 @@ object SimOps {
     "p04_retrieval_pipeline" -> p04Sql,
     "s17_hybrid_rrf" -> s17Sql,
     "s18_ivf_pq" -> s18Sql,
+    "s19_silhouette" -> s19Sql,
     "s10_mips" -> s10Sql,
     "s09_linear_probe" -> s09Sql,
     "s08_cov_sampled" -> s08Sql,

@@ -165,6 +165,53 @@ class Round11Spec extends SparkSpec {
       "the random walk must look far less stationary than white noise")
   }
 
+  test("q93 Ljung-Box: trending series rejects white noise, hash noise does not") {
+    val n = 300
+    val rows = (1 to n).flatMap { i =>
+      val noise = (scala.util.hashing.MurmurHash3.stringHash(s"lb:$i") % 1000) / 10.0
+      Seq(("trend", new java.sql.Timestamp(1700000000000L + i * 3600000L), i * 1.0),
+        ("noise", new java.sql.Timestamp(1700000000000L + i * 3600000L), noise))
+    }
+    val df = rows.toDF("sym", "bucket", "close")
+    val out = ops.EconOps.ljungBoxOf(df, "sym", "bucket", "close")
+      .orderBy("series").collect()
+    val noise = out(0); val trend = out(1)
+    assert(!noise.getBoolean(4),
+      s"hash noise must pass the white-noise test, Q=${noise.getDouble(3)}")
+    assert(trend.getBoolean(4),
+      s"a pure trend must reject it, Q=${trend.getDouble(3)}")
+  }
+
+  test("s19 silhouette: tight well-separated clusters score near 1") {
+    def vec(center: Double, jitter: Double): Seq[Double] =
+      (0 until 8).map(j => center + jitter * (j + 1) / 100.0)
+    val corpus = (0L until 20L).map { i =>
+      val c = if (i % 2 == 0) 1.0 else -1.0
+      (i, vec(c, (i % 5).toDouble))
+    }.toDF("vec_id", "v")
+    val cents = Seq((0L, vec(1.0, 0.0)), (1L, vec(-1.0, 0.0))).toDF("vec_id", "v")
+    val out = ops.SimOps.silhouetteOf(corpus, cents, "vec_id", "v")
+      .orderBy("cell").as[(Long, Long, Double)].collect()
+    assert(out.length == 2 && out.forall(_._2 == 10L), "even split over both cells")
+    assert(out.forall(_._3 > 0.9), s"separated clusters must score high: ${out.toSeq}")
+  }
+
+  test("ds23 k-fold: disjoint, exhaustive, deterministic, roughly balanced") {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val n = docs.count()
+    val folded = ops.DataOps.kfoldOf(docs, "doc_id", "graft", 5)
+    assert(folded.count() == n, "every doc gets exactly one fold")
+    val sizes = folded.groupBy("fold").count().as[(Long, Long)].collect().toMap
+    assert(sizes.keySet == (0L until 5L).toSet && sizes.values.sum == n)
+    sizes.values.foreach(c => assert(math.abs(c - n / 5.0) < n * 0.2,
+      s"fold sizes should be near-uniform: $sizes"))
+    // rerun-stable: the assignment is a pure function of the id
+    val again = ops.DataOps.kfoldOf(docs, "doc_id", "graft", 5)
+      .select("doc_id", "fold").as[(Long, Long)].collect().toMap
+    folded.select("doc_id", "fold").as[(Long, Long)].collect()
+      .foreach { case (id, f) => assert(again(id) == f) }
+  }
+
   test("probe-fit disk cache: a cold memo reloads weights without re-running GD") {
     val dir = java.nio.file.Files.createTempDirectory("probe_cache_spec_").toString
     System.setProperty("graft.probe.cache", dir)
