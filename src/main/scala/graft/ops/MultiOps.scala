@@ -411,7 +411,65 @@ object MultiOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** #32g audio↔video ALIGNMENT: m05's overlapping (audio) windows
+    * as-of joined to m03's (video) keyframes ON BYTE POSITION per
+    * payload — the AV-sync primitive a video training pipeline runs
+    * before pairing caption/audio segments with frames: each window's
+    * center locates the latest keyframe at-or-before it, plus the lag
+    * between them. The same [[graft.Graft.asofJoin]] machinery the
+    * market queries use, exercised on a POSITIONAL (byte-offset) axis
+    * instead of a timestamp — the operator is ordering-generic by
+    * design and this gate pins that. Frame geometry is m03's (32-byte
+    * frames, every 4th is a keyframe), window geometry m05's (32-byte
+    * windows, 16-byte hop, center at win·16+16); keyframe 0 sits at
+    * byte 0, so every window matches. One as-of union-carry per
+    * payload key — row amplification only from the two explodes. */
+  private val m09: Q = (s, dir) => {
+    val h = t(s, dir, "documents")
+      .withColumn("hexs", hex(col("text").cast("binary")))
+    val frames = h
+      .withColumn("nf", ceil(length(col("hexs")) / lit(64.0)).cast("long"))
+      .filter(col("nf") >= 1)
+      .select(col("doc_id"), col("hexs"),
+        explode(expr("sequence(CAST(0 AS BIGINT), nf - 1)")).as("frame_idx"))
+      .filter(pmod(col("frame_idx"), lit(4L)) === 0)
+      .withColumn("frame_hex", expr("substring(hexs, CAST(frame_idx * 64 + 1 AS INT), 64)"))
+      .select(col("doc_id"), (col("frame_idx") * 32).as("pos"),
+        col("frame_idx"), md5(col("frame_hex")).as("frame_md5"))
+    val wins = h
+      .filter(length(col("hexs")) >= 64)
+      .withColumn("nw", (floor((length(col("hexs")) - 64) / lit(32.0)) + 1).cast("long"))
+      .select(col("doc_id"),
+        explode(expr("sequence(CAST(0 AS BIGINT), nw - 1)")).as("win_idx"))
+      .select(col("doc_id"), col("win_idx"), (col("win_idx") * 16 + 16).as("pos"))
+    graft.Graft.asofJoin(wins, frames, "doc_id", "pos", Seq("frame_idx", "frame_md5"))
+      .select(col("doc_id"), col("win_idx"), col("pos").as("center_byte"),
+        col("frame_idx"), col("frame_md5"),
+        (col("pos") - col("asof_ts")).as("lag_bytes"))
+      .orderBy("doc_id", "win_idx")
+  }
+
+  private val m09Sql =
+    """WITH h AS (SELECT doc_id, hex(encode(text)) AS hexs FROM documents),
+      |fr AS (
+      |  SELECT doc_id, frame_idx * 32 AS pos, frame_idx,
+      |    md5(substr(hexs, CAST(frame_idx * 64 + 1 AS INTEGER), 64)) AS frame_md5
+      |  FROM (SELECT doc_id, hexs,
+      |      unnest(generate_series(0, CAST(ceil(length(hexs) / 64.0) AS BIGINT) - 1)) AS frame_idx
+      |    FROM h)
+      |  WHERE frame_idx % 4 = 0),
+      |wn AS (
+      |  SELECT doc_id, win_idx, win_idx * 16 + 16 AS pos
+      |  FROM (SELECT doc_id,
+      |      unnest(generate_series(0, CAST(floor((length(hexs) - 64) / 32.0) + 1 AS BIGINT) - 1)) AS win_idx
+      |    FROM h WHERE length(hexs) >= 64))
+      |SELECT w.doc_id, w.win_idx, w.pos AS center_byte,
+      |  f.frame_idx, f.frame_md5, w.pos - f.pos AS lag_bytes
+      |FROM wn w ASOF LEFT JOIN fr f ON w.doc_id = f.doc_id AND w.pos >= f.pos
+      |ORDER BY w.doc_id, w.win_idx""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "m09_av_align" -> m09,
     "m08_byte_entropy" -> m08,
     "m07_phash_dedup" -> m07,
     "m06_cdc_dedup" -> m06,
@@ -423,6 +481,7 @@ object MultiOps {
 
   /** m02 is intentionally absent: mapPartitions output is rows-only. */
   val oracle: Map[String, String] = Map(
+    "m09_av_align" -> m09Sql,
     "m08_byte_entropy" -> m08Sql,
     "m07_phash_dedup" -> m07Sql,
     "m01_binary_meta" -> m01Sql,
