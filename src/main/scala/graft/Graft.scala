@@ -464,6 +464,12 @@ object Graft {
   def kfold(df: DataFrame, id: String, salt: String, k: Int): DataFrame =
     ops.DataOps.kfoldOf(df, id, salt, k)
 
+  /** Engle–Granger cointegration test for one pair (q88 hedge residual
+    * → ADF at the EG 5% bar). See [[ops.EconOps.cointTestOf]]. */
+  def cointTest(bars: DataFrame, key: String, ts: String, close: String,
+                seriesA: String, seriesB: String, crit: Double = -3.34): DataFrame =
+    ops.EconOps.cointTestOf(bars, key, ts, close, seriesA, seriesB, crit)
+
   /** MinHash+LSH near-dup candidate pairs: k md5-minhashes over
     * shingleN-word shingles, banded `bands` × (k/bands); returns
     * (doc_a, doc_b, est_sim), blocked per band — never a full cross.

@@ -761,7 +761,8 @@ object EconOps {
     * every derived expression is written with the identical operation
     * tree in the oracle, so each double matches bit-for-bit. One
     * window shuffle on the key; the output is one row per series. */
-  def adfOf(bars: DataFrame, key: String, ts: String, close: String): DataFrame = {
+  def adfOf(bars: DataFrame, key: String, ts: String, close: String,
+            crit: Double = -2.86): DataFrame = {
     val ord = Window.partitionBy(col(key)).orderBy(col(ts))
     val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val d = bars
@@ -792,8 +793,120 @@ object EconOps {
         col("beta"),
         (col("__sy") / nD - col("beta") * (col("__sx") / nD)).as("alpha"),
         col("df_stat"),
-        when(col("df_stat").isNotNull, col("df_stat") < -2.86).as("stationary"))
+        when(col("df_stat").isNotNull, col("df_stat") < crit).as("stationary"))
   }
+
+  /** Engle–Granger COINTEGRATION test for one series pair (public
+    * operator behind [[graft.Graft.cointTest]]) — the two-step recipe
+    * composed from parts already proven: step 1, the q88 OLS hedge
+    * (`FinOps.pairsSpreadOf` — β̂, α̂ and the residual spread
+    * a − (α̂ + β̂·b) over the aligned grid); step 2, [[adfOf]] on that
+    * residual. A stationary residual means the pair shares a common
+    * stochastic trend — the statistical licence for q88's
+    * mean-reversion signal (trading the z-score of a NON-cointegrated
+    * pair's spread is just two random walks drifting apart). The
+    * verdict bar defaults to the Engle–Granger 5% critical value for
+    * two variables with constant (−3.34) — stricter than the plain DF
+    * −2.86 because β̂ was FIT on the same data (Phillips–Ouliaris
+    * correction). One aligned-grid pass + the one-row hedge broadcast
+    * + one ADF window chain; grid-sized throughout. */
+  def cointTestOf(bars: DataFrame, key: String, ts: String, close: String,
+                  seriesA: String, seriesB: String,
+                  crit: Double = -3.34): DataFrame = {
+    val spread = FinOps.pairsSpreadOf(bars, key, ts, close, seriesA, seriesB)
+      .select(lit(seriesA + "~" + seriesB).as("__pair"), col("bucket"), col("spread"))
+    adfOf(spread, "__pair", "bucket", "spread", crit)
+      .select(col("series").as("pair"), col("n_obs"),
+        col("beta").as("adf_beta"), col("alpha").as("adf_alpha"),
+        col("df_stat"), col("stationary").as("cointegrated"))
+  }
+
+  /** #q94 Engle–Granger cointegration of the q88 pair (view ~ click)
+    * over hourly closes. */
+  private val q94: Q = (s, dir) =>
+    cointTestOf(
+      graft.Graft.resampleOhlc(t(s, dir, "events"), "event_type", "ts", "event_id", "value", "hour")
+        .select(col("event_type"), col("bucket"), col("close")),
+      "event_type", "bucket", "close", "view", "click")
+      .select(col("pair"), col("n_obs"), r6(col("adf_beta")).as("adf_beta"),
+        r6(col("adf_alpha")).as("adf_alpha"), r6(col("df_stat")).as("df_stat"),
+        col("cointegrated"))
+      .orderBy("pair")
+
+  private val q94Sql =
+    """WITH b AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+      |    last(value ORDER BY ts, event_id) AS close
+      |  FROM events GROUP BY 1, 2),
+      |j AS (
+      |  SELECT a.bucket AS bucket, a.close AS a_close, c.close AS b_close
+      |  FROM b a JOIN b c ON a.bucket = c.bucket
+      |  WHERE a.event_type = 'view' AND c.event_type = 'click'),
+      |s AS (
+      |  SELECT bucket, a_close, b_close,
+      |    row_number() OVER o AS rn, count(*) OVER () AS n,
+      |    sum(a_close) OVER w AS sa, sum(b_close) OVER w AS sb,
+      |    sum(a_close * b_close) OVER w AS sab,
+      |    sum(b_close * b_close) OVER w AS sb2
+      |  FROM j
+      |  WINDOW o AS (ORDER BY bucket),
+      |    w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |st0 AS (
+      |  SELECT CASE WHEN CAST(n AS DOUBLE) * sb2 - sb * sb <> 0.0
+      |      THEN (CAST(n AS DOUBLE) * sab - sa * sb)
+      |           / (CAST(n AS DOUBLE) * sb2 - sb * sb) END AS beta,
+      |    sa / CAST(n AS DOUBLE) AS ma, sb / CAST(n AS DOUBLE) AS mb
+      |  FROM s WHERE rn = n),
+      |st AS (SELECT beta, ma - beta * mb AS alpha FROM st0),
+      |sp AS (
+      |  SELECT j.bucket,
+      |    j.a_close - (st.alpha + st.beta * j.b_close) AS spread
+      |  FROM j, st),
+      |cc AS (
+      |  SELECT bucket, spread,
+      |    lag(spread, 1) OVER (ORDER BY bucket) AS xl
+      |  FROM sp),
+      |d AS (SELECT bucket, xl, spread - xl AS dy FROM cc WHERE xl IS NOT NULL),
+      |ols AS (
+      |  SELECT row_number() OVER o AS rn, count(*) OVER () AS n,
+      |    sum(xl) OVER w AS sx, sum(dy) OVER w AS sy,
+      |    sum(xl * dy) OVER w AS sxy,
+      |    sum(xl * xl) OVER w AS sx2,
+      |    sum(dy * dy) OVER w AS sy2
+      |  FROM d
+      |  WINDOW o AS (ORDER BY bucket),
+      |    w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |f AS (
+      |  SELECT n,
+      |    sx2 - sx * sx / CAST(n AS DOUBLE) AS cxx,
+      |    sxy - sx * sy / CAST(n AS DOUBLE) AS cxy,
+      |    sy2 - sy * sy / CAST(n AS DOUBLE) AS cyy,
+      |    sx, sy
+      |  FROM ols WHERE rn = n),
+      |g AS (
+      |  SELECT n, sx, sy, cxx, cxy, cyy,
+      |    CASE WHEN n > 2 AND cxx > 0.0 THEN cxy / cxx END AS beta
+      |  FROM f),
+      |h AS (
+      |  SELECT n, sx, sy, cxx, beta,
+      |    greatest(cyy - beta * cxy, 0.0) AS sse
+      |  FROM g),
+      |i AS (
+      |  SELECT n, sx, sy, beta,
+      |    CASE WHEN beta IS NOT NULL
+      |      THEN sqrt((sse / (CAST(n AS DOUBLE) - 2.0)) / cxx) END AS se
+      |  FROM h),
+      |k AS (
+      |  SELECT n, sx, sy, beta,
+      |    CASE WHEN se > 0.0 THEN beta / se END AS df_stat
+      |  FROM i)
+      |SELECT 'view~click' AS pair, CAST(n AS BIGINT) AS n_obs,
+      |  round(beta, 6) AS adf_beta,
+      |  round(sy / CAST(n AS DOUBLE) - beta * (sx / CAST(n AS DOUBLE)), 6) AS adf_alpha,
+      |  round(df_stat, 6) AS df_stat,
+      |  CASE WHEN df_stat IS NOT NULL THEN df_stat < -3.34 END AS cointegrated
+      |FROM k
+      |ORDER BY pair""".stripMargin
 
   /** #q92 Dickey–Fuller test over hourly closes per series. */
   private val q92: Q = (s, dir) =>
@@ -869,7 +982,8 @@ object EconOps {
     "q89_kyle_lambda" -> q89,
     "q90_vpin" -> q90,
     "q92_adf" -> q92,
-    "q93_ljung_box" -> q93)
+    "q93_ljung_box" -> q93,
+    "q94_coint" -> q94)
 
   val oracle: Map[String, String] = Map(
     "q80_amihud" -> q80Sql,
@@ -879,5 +993,6 @@ object EconOps {
     "q89_kyle_lambda" -> q89Sql,
     "q90_vpin" -> q90Sql,
     "q92_adf" -> q92Sql,
-    "q93_ljung_box" -> q93Sql)
+    "q93_ljung_box" -> q93Sql,
+    "q94_coint" -> q94Sql)
 }

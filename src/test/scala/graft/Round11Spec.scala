@@ -212,6 +212,30 @@ class Round11Spec extends SparkSpec {
       .foreach { case (id, f) => assert(again(id) == f) }
   }
 
+  test("q94 cointegration: a hedged pair passes, independent walks fail") {
+    // genuinely INTEGRATED walks: hash-driven iid increments cumulated
+    // (a bounded sin/cos "walk" is secretly stationary and would
+    // legitimately cointegrate with anything stationary)
+    def inc(salt: String, i: Int): Double =
+      (scala.util.hashing.MurmurHash3.stringHash(s"$salt:$i") % 1001) / 1000.0
+    val n = 400
+    var wa = 100.0; var wb = 80.0
+    val rows = (1 to n).flatMap { i =>
+      wa += inc("a", i)
+      wb += inc("b", i)
+      val ts = new java.sql.Timestamp(1700000000000L + i * 3600000L)
+      Seq(
+        ("wa", ts, wa), ("wb", ts, wb),
+        // hedged: 2*wa + stationary noise — cointegrated with wa by construction
+        ("hedged", ts, 2.0 * wa + math.sin(i * 2.7) * 1.5))
+    }
+    val df = rows.toDF("sym", "bucket", "close")
+    val yes = ops.EconOps.cointTestOf(df, "sym", "bucket", "close", "hedged", "wa").collect()(0)
+    val no = ops.EconOps.cointTestOf(df, "sym", "bucket", "close", "wa", "wb").collect()(0)
+    assert(yes.getBoolean(5), s"hedged pair must cointegrate, df=${yes.getDouble(4)}")
+    assert(!no.getBoolean(5), s"independent walks must not, df=${no.getDouble(4)}")
+  }
+
   test("probe-fit disk cache: a cold memo reloads weights without re-running GD") {
     val dir = java.nio.file.Files.createTempDirectory("probe_cache_spec_").toString
     System.setProperty("graft.probe.cache", dir)
