@@ -240,9 +240,12 @@ object IngestOps {
     * one row per (symbol, ts). */
   def marketReportOf(perp: DataFrame, spot: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // stage 2: align to the denser spot series (last print at-or-before)
+    // stage 2: align to the denser spot series (last print at-or-before);
+    // a zero spot print is a degenerate quote — excluded, or the premium
+    // ratio divides by zero (ANSI throws; caught by the ×10 probe where
+    // a zero-value event landed on the spot sample)
     val prem = graft.Graft.asofJoin(perp, spot, "symbol", "ts", Seq("spot"))
-      .filter(col("spot").isNotNull)
+      .filter(col("spot").isNotNull && col("spot") =!= 0.0)
       .withColumn("premium", col("markPrice") / col("spot") - lit(1.0))
     // stage 3: WMA(12) of the premium ((symbol, ts) is the healed PK, so
     // ordering by ts alone is total — the id tie-break never fires)
@@ -551,7 +554,7 @@ object IngestOps {
         |    ON h.symbol = s.symbol AND h.ts >= s.ts),
         |prem AS (
         |  SELECT *, markPrice / spot - 1.0 AS premium
-        |  FROM al WHERE spot IS NOT NULL),
+        |  FROM al WHERE spot IS NOT NULL AND spot <> 0),
         |r AS (
         |  SELECT *, row_number() OVER (PARTITION BY symbol ORDER BY ts) AS rn
         |  FROM prem),
