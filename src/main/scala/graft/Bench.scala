@@ -175,6 +175,15 @@ object Bench {
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $FullArtifact: $e") }
+    // the run-scoped probe cache has served every chunk: sweep it so
+    // repeated bench cycles don't accumulate /tmp dirs
+    probeCache.foreach { dir =>
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      try rm(new java.io.File(dir)) catch { case _: Exception => }
+    }
   }
 
   /** Spawn `java <same flags> -cp <same classpath> graft.Bench --chunk …`

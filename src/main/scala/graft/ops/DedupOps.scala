@@ -285,8 +285,11 @@ object DedupOps {
   def dedupCurveOf(pairs: DataFrame, aCol: String, bCol: String,
                    simCol: String, taus: Seq[Double]): DataFrame = {
     require(taus.nonEmpty, "need at least one threshold")
+    // dedup the thresholds: a repeated tau would double-count every
+    // qualifying pair through the crossJoin and emit duplicate rows
+    val tauList = taus.distinct
     val tauDf = pairs.sparkSession.range(1)
-      .select(explode(array(taus.map(lit): _*)).as("tau"))
+      .select(explode(array(tauList.map(lit): _*)).as("tau"))
     val flt = pairs.crossJoin(broadcast(tauDf)).filter(col(simCol) >= col("tau"))
     val np = flt.groupBy(col("tau")).agg(count(lit(1)).as("n_pairs"))
     val nd = flt.select(col("tau"), explode(array(col(aCol), col(bCol))).as("__doc"))

@@ -199,8 +199,19 @@ object IngestOps {
       s, landing, spotSeries(s, dir), s"$base/store", s"$base/report",
       s"$base/ckpt", maxFilesPerTrigger = 1)
     try { q.processAllAvailable() } finally q.stop()
-    s.read.parquet(s"$base/report")
+    // the report is top-20-sized: checkpoint it EAGERLY so the whole
+    // temp tree (landing + store + ckpt + report) can be deleted now —
+    // repeated Verify/Bench cycles must not accumulate /tmp garbage
+    val out = s.read.parquet(s"$base/report")
       .orderBy(col("ts_ms").desc, col("symbol"))
+      .localCheckpoint(eager = true)
+    deleteRecursively(new java.io.File(base))
+    out
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
   }
 
   /** p02's stage-1 landed pages — one funding page per market and

@@ -434,14 +434,19 @@ object ParScanOps {
       }.collect().map { case (pid, k, b) => (pid, k) -> b }.toMap
 
       // ---- driver: thread xh carries ----
-      val entries = scala.collection.mutable.HashMap[(Int, String), (Double, Double)]()
+      // explicit started FLAG, never a NaN sentinel: a NaN in the DATA
+      // must propagate through the level exactly as the sequential scan
+      // propagates it, not silently re-seed the filter mid-series
+      val entries = scala.collection.mutable.HashMap[(Int, String), (Boolean, Double, Double)]()
       lens.groupBy(_._2).foreach { case (k, runs) =>
-        var xh = Double.NaN
+        var started = false
+        var xh = 0.0
         runs.sortBy(_._1).foreach { case (pid, _, _) =>
           val (_, pBefore, aProd) = runInfo((pid, k))
-          entries((pid, k)) = (xh, pBefore)
+          entries((pid, k)) = (started, xh, pBefore)
           val bRun = bs((pid, k))
-          xh = if (xh.isNaN) bRun else aProd * xh + bRun
+          xh = if (!started) bRun else aProd * xh + bRun
+          started = true
         }
       }
       val bcEntries = spark.sparkContext.broadcast(entries.toMap)
@@ -455,8 +460,8 @@ object ParScanOps {
         it.map { case (k, t, i, z) =>
           if (k != curKey) {
             curKey = k
-            val (xh0, p0) = bcEntries.value((pid, k))
-            xh = xh0; p = p0; started = !xh0.isNaN
+            val (st0, xh0, p0) = bcEntries.value((pid, k))
+            xh = xh0; p = p0; started = st0
           }
           if (!started) { xh = z; p = obsVar; started = true }
           else {

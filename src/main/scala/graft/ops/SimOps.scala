@@ -1660,20 +1660,30 @@ object SimOps {
           val digest = java.security.MessageDigest.getInstance("SHA-256")
             .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
           val f = new java.io.File(dir, s"probe_$digest.bin")
-          if (f.isFile) {
-            val in = new java.io.DataInputStream(
-              new java.io.BufferedInputStream(new java.io.FileInputStream(f)))
-            try Array.fill(in.readInt())(in.readDouble()) finally in.close()
-          } else {
+          // the cache is an OPTIMIZATION: any IO failure (cleaned dir,
+          // truncated file, unrenameable tmp) degrades to fitting —
+          // it must never fail a query whose fit succeeded
+          val cached: Option[Array[Double]] =
+            if (!f.isFile) None
+            else try {
+              val in = new java.io.DataInputStream(
+                new java.io.BufferedInputStream(new java.io.FileInputStream(f)))
+              try Some(Array.fill(in.readInt())(in.readDouble())) finally in.close()
+            } catch { case _: java.io.IOException => None }
+          cached.getOrElse {
             val w = fitLinearProbeUncached(df, idCol, vecCol, yCol, dims, lr,
               iters, samplePermille, salt)
-            val tmp = java.io.File.createTempFile("probe_", ".tmp",
-              new java.io.File(dir))
-            val out = new java.io.DataOutputStream(
-              new java.io.BufferedOutputStream(new java.io.FileOutputStream(tmp)))
-            try { out.writeInt(w.length); w.foreach(out.writeDouble) }
-            finally out.close()
-            tmp.renameTo(f) // atomic publish; losers of a race overwrite equal bytes
+            try {
+              val tmp = java.io.File.createTempFile("probe_", ".tmp",
+                new java.io.File(dir))
+              val out = new java.io.DataOutputStream(
+                new java.io.BufferedOutputStream(new java.io.FileOutputStream(tmp)))
+              try { out.writeInt(w.length); w.foreach(out.writeDouble) }
+              finally out.close()
+              // atomic publish; losers of a race overwrite equal bytes,
+              // and a failed rename just means no cache entry
+              if (!tmp.renameTo(f)) tmp.delete()
+            } catch { case _: java.io.IOException => /* cache is best-effort */ }
             w
           }
         case None =>
@@ -1939,6 +1949,10 @@ object SimOps {
     * every double survives the hash gate. Requires ≥ 2 centroids. */
   def silhouetteOf(corpus: DataFrame, centroids: DataFrame, idCol: String,
                    vecCol: String): DataFrame = {
+    // enforce the documented contract loudly: with one centroid there
+    // is no "nearest other" and every silhouette would be null
+    require(centroids.limit(2).count() == 2,
+      "silhouetteOf needs at least 2 centroids")
     val cents = broadcast(centroids
       .select(col(idCol).as("c_id"), col(vecCol).cast("array<double>").as("cv")))
     val wV = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("c_id"))

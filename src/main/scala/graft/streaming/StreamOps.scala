@@ -549,7 +549,9 @@ object StreamOps {
             if (storeExists)
               graft.sinks.MergeWriter.merge(spark, storePath, delta, mergeKeys, partitionCol)
             else
-              delta.write.partitionBy(partitionCol).parquet(storePath)
+              // overwrite: a batch-0 retry after a partial write must
+              // be self-healing (see streamingMarketPipeline)
+              delta.write.mode("overwrite").partitionBy(partitionCol).parquet(storePath)
           } finally graft.Checkpoints.free(delta)
         }
       }
@@ -671,7 +673,10 @@ object StreamOps {
               try { spark.read.parquet(storePath).schema; true }
               catch { case _: org.apache.spark.sql.AnalysisException => false }
             if (!storeExists) {
-              healed.write.partitionBy("symbol").parquet(storePath)
+              // overwrite, not ErrorIfExists: a batch-0 retry after a
+              // partial write (only _temporary left behind) must be
+              // self-healing, not permanently wedge the stream
+              healed.write.mode("overwrite").partitionBy("symbol").parquet(storePath)
             } else {
               // revision precedence: a delta row loses to a stored row
               // with a STRICTLY higher page_seq (late page 1 after

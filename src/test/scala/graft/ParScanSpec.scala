@@ -163,6 +163,25 @@ class ParScanSpec extends SparkSpec {
     assert(o.length == 1 && o(0).getDouble(3) == 42.0 && o(0).getDouble(4) == 1.0)
   }
 
+  test("kalmanPar: a NaN in the data propagates like the sequential scan (no re-seed)") {
+    // regression: the level carry once used NaN as its own "not
+    // started" sentinel, so a NaN INPUT made later runs silently
+    // restart the filter with finite levels
+    val vals = (0 until 40).map(i => if (i == 5) Double.NaN else 50.0 + i)
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      ("k", new java.sql.Timestamp(1700000000000L + i * 60000L), i.toLong, v)
+    }.toDF("sym", "t", "seq", "px")
+    def levels(d: org.apache.spark.sql.DataFrame): Seq[Double] =
+      d.orderBy("ts_ms").select("level").as[Double].collect().toSeq
+    val seq = levels(ScanOps.kalmanOf(df, "sym", "t", "seq", "px", 0.1, 1.0))
+    val par = levels(ParScanOps.kalmanParOf(df, "sym", "t", "seq", "px", 0.1, 1.0, slices = 8))
+    assert(seq.drop(5).forall(_.isNaN), "sequential: NaN poisons the level from row 5 on")
+    seq.zip(par).zipWithIndex.foreach { case ((s, p), i) =>
+      if (s.isNaN) assert(p.isNaN, s"row $i: parallel must propagate the NaN too")
+      else assert(math.abs(s - p) <= 1e-9, s"row $i: $s vs $p")
+    }
+  }
+
   test("parallel path is tolerance-invariant under input partitioning") {
     // repartitionByRange samples boundaries per run, so the SPLIT can
     // move — values may shift by composition ulps but never more
