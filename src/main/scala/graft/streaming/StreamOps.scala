@@ -707,6 +707,67 @@ object StreamOps {
       .start()
   }
 
+  /** t22's n-gram novelty as a CONTINUOUS pipeline — the curation twin
+    * of [[streamingIncrementalDedup]]'s store loop: each micro-batch of
+    * arriving docs scores its novelty against EVERYTHING SEEN BEFORE
+    * (the gram-history store) plus in-batch first-ownership (min doc_id
+    * within the batch, the batch-side tie rule), appends per-doc
+    * (n_grams, n_novel, novelty, batch_id) to `noveltyPath`, and folds
+    * its new distinct gram hashes INTO the store. When docs arrive in
+    * doc-id order the stream reproduces the batch
+    * [[graft.ops.TextStatsOps.ngramNoveltyOf]] exactly (ownership by
+    * min doc_id == first arrival — Round11Spec pins it); out-of-order
+    * arrival redefines "first" as first-ARRIVED, the semantics a live
+    * feed actually wants. The store holds gram HASHES only
+    * (vocabulary-sized, never text); the anti-join shuffles on the
+    * hash key both sides. Same two-append delivery contract as
+    * streamingIncrementalDedup (content-identical replays harmless).
+    *
+    * @return the started query; callers own its lifecycle. */
+  def streamingNgramNovelty(spark: SparkSession, docs: DataFrame,
+                            gramStorePath: String, noveltyPath: String,
+                            checkpointDir: String,
+                            idCol: String = "doc_id", textCol: String = "text",
+                            n: Int = 8): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val grams = batch
+            .select(col(idCol).as("doc_id"), graft.F.words(col(textCol)).as("__ws"))
+            .filter(size(col("__ws")) >= n)
+            .select(col("doc_id"), explode(expr(
+              s"transform(sequence(0, size(__ws)-$n), i -> array_join(slice(__ws, i+1, $n), ' '))")).as("__g"))
+            .select(col("doc_id"), graft.F.hash60(col("__g")).as("__h"))
+            .distinct()
+            .localCheckpoint(eager = true)
+          try {
+            val histExists =
+              try { spark.read.parquet(gramStorePath).schema; true }
+              catch { case _: org.apache.spark.sql.AnalysisException => false }
+            val hist =
+              if (histExists) spark.read.parquet(gramStorePath).select(col("__h"))
+              else grams.select(col("__h")).filter(lit(false))
+            val owner = grams.groupBy(col("__h")).agg(min(col("doc_id")).as("__owner"))
+            val verdict = grams
+              .join(owner, "__h")
+              .join(hist.withColumn("__seen", lit(true)).distinct(), Seq("__h"), "left")
+              .groupBy(col("doc_id"))
+              .agg(count(lit(1)).as("n_grams"),
+                sum(when(col("__seen").isNull && col("doc_id") === col("__owner"), 1L)
+                  .otherwise(0L)).as("n_novel"))
+              .withColumn("novelty",
+                col("n_novel").cast("double") / col("n_grams").cast("double"))
+              .withColumn("batch_id", lit(batchId))
+            verdict.write.mode("append").parquet(noveltyPath)
+            grams.select(col("__h")).distinct().write.mode("append").parquet(gramStorePath)
+          } finally graft.Checkpoints.free(grams)
+        }
+      }
+      .start()
+  }
+
   /** Streaming WMA(n) — the reference's scheduled premium analytic
     * (crypto_data_pipeline_duckdb.py:1221-1268) run continuously. Per
     * key, [[GroupState]] holds only the n−1 most recent values (O(n)

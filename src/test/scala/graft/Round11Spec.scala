@@ -236,6 +236,35 @@ class Round11Spec extends SparkSpec {
     assert(!no.getBoolean(5), s"independent walks must not, df=${no.getDouble(4)}")
   }
 
+  test("streamingNgramNovelty == batch novelty when docs arrive in doc-id order") {
+    val base = java.nio.file.Files.createTempDirectory("graft_t22s_").toString
+    new java.io.File(s"$base/landing").mkdirs()
+    val docs = Tables.t(spark, sfDir, "documents").select("doc_id", "text")
+    val cut = 250L
+    def run(): Unit = {
+      val stream = spark.readStream.schema("doc_id LONG, text STRING")
+        .json(s"$base/landing")
+      val q = streaming.StreamOps.streamingNgramNovelty(spark, stream,
+        s"$base/grams", s"$base/novelty", s"$base/ckpt")
+      try q.processAllAvailable() finally q.stop()
+    }
+    // batch 1 = low ids, drained; then batch 2 = the rest (a restart of
+    // the same checkpointed pipeline, like a daily tick)
+    docs.filter(col("doc_id") < cut).coalesce(1)
+      .write.mode("append").json(s"$base/landing")
+    run()
+    docs.filter(col("doc_id") >= cut).coalesce(1)
+      .write.mode("append").json(s"$base/landing")
+    run()
+    val streamed = spark.read.parquet(s"$base/novelty")
+      .select("doc_id", "n_grams", "n_novel", "novelty")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val batch = ops.TextStatsOps.ngramNoveltyOf(docs, "doc_id", "text", n = 8)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      "in-order arrival must reproduce the batch ownership exactly")
+  }
+
   test("probe-fit disk cache: a cold memo reloads weights without re-running GD") {
     val dir = java.nio.file.Files.createTempDirectory("probe_cache_spec_").toString
     System.setProperty("graft.probe.cache", dir)
