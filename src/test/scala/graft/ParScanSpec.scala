@@ -163,6 +163,39 @@ class ParScanSpec extends SparkSpec {
     assert(o.length == 1 && o(0).getDouble(3) == 42.0 && o(0).getDouble(4) == 1.0)
   }
 
+  test("property sweep: every wrapper tracks its sequential twin on hash-random series") {
+    // hash-seeded pseudo-random data (deterministic — no Math.random),
+    // uneven key lengths, three slice counts, all six wrappers
+    def h(s: String): Double =
+      (scala.util.hashing.MurmurHash3.stringHash(s) % 10000) / 100.0
+    val df = (0L until 1500L).map { i =>
+      (s"k${i % 7}", new java.sql.Timestamp(1700000000000L + (i / 7) * 1000L),
+        i, 60.0 + h(s"v:$i"))
+    }.toDF("sym", "t", "seq", "px")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sym")).orderBy(col("t"), col("seq"))
+    val innov = df.withColumn("r", col("px") - lag(col("px"), 1).over(w))
+      .filter(col("r").isNotNull)
+    Seq(3, 17, 64).foreach { sl =>
+      assert(maxDelta(ScanOps.ewmaExactOf(df, "sym", "t", "seq", "px", 0.3),
+        ParScanOps.ewmaExactParOf(df, "sym", "t", "seq", "px", 0.3, sl), Seq("ewma")) <= 1e-9)
+      assert(maxDelta(ScanOps.macdOf(df, "sym", "t", "seq", "px"),
+        ParScanOps.macdParOf(df, "sym", "t", "seq", "px", slices = sl),
+        Seq("macd", "signal", "hist")) <= 1e-9)
+      assert(maxDelta(ScanOps.garchOf(innov, "sym", "t", "seq", "r", 0.05, 0.1, 0.85),
+        ParScanOps.garchParOf(innov, "sym", "t", "seq", "r", 0.05, 0.1, 0.85, sl),
+        Seq("sigma2", "sigma")) <= 1e-9)
+      assert(maxDelta(ScanOps.trixOf(df, "sym", "t", "seq", "px", 9),
+        ParScanOps.trixParOf(df, "sym", "t", "seq", "px", 9, sl), Seq("e3", "trix")) <= 1e-9)
+      assert(maxDelta(ScanOps.holtOf(df, "sym", "t", "seq", "px", 0.4, 0.2),
+        ParScanOps.holtParOf(df, "sym", "t", "seq", "px", 0.4, 0.2, sl),
+        Seq("level", "trend", "forecast", "err")) <= 1e-9)
+      assert(maxDelta(ScanOps.kalmanOf(df, "sym", "t", "seq", "px", 0.2, 2.0),
+        ParScanOps.kalmanParOf(df, "sym", "t", "seq", "px", 0.2, 2.0, sl),
+        Seq("level", "variance")) <= 1e-9)
+    }
+  }
+
   test("kalmanPar: a NaN in the data propagates like the sequential scan (no re-seed)") {
     // regression: the level carry once used NaN as its own "not
     // started" sentinel, so a NaN INPUT made later runs silently

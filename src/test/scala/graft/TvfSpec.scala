@@ -78,6 +78,38 @@ class TvfSpec extends SparkSpec {
     assert(w.nonEmpty && w == wApi)
   }
 
+  test("the remaining TVFs (fill_gaps, dedup_keep_last, quantile_bins, wma) equal their facades") {
+    events.createOrReplaceTempView("tvf_events")
+    val bars = Graft.resampleOhlc(events, "event_type", "ts", "event_id", "value", "hour")
+      .select(col("event_type"), col("bucket"), col("close"))
+    bars.createOrReplaceTempView("tvf_bars")
+    val fg = spark.sql(
+      "SELECT * FROM graft_fill_gaps('tvf_bars', 'event_type', 'bucket', 'close', 'interval 1 hour', 'ffill')")
+      .orderBy("event_type", "bucket").collect().toSeq
+    val fgApi = Graft.fillGaps(bars, "event_type", "bucket", "close")
+      .orderBy("event_type", "bucket").collect().toSeq
+    assert(fg.nonEmpty && fg == fgApi)
+    val dk = spark.sql(
+      "SELECT * FROM graft_dedup_keep_last('tvf_events', 'user_id,event_type', 'ts,event_id')")
+      .orderBy("user_id", "event_type").collect().toSeq
+    val dkApi = Graft.dedupKeepLast(events, Seq("user_id", "event_type"),
+      Seq(col("ts"), col("event_id")))
+      .orderBy("user_id", "event_type").collect().toSeq
+    assert(dk.nonEmpty && dk == dkApi)
+    val qb = spark.sql(
+      "SELECT * FROM graft_quantile_bins('tvf_events', 'event_type', 'value', 4)")
+      .orderBy("event_type", "event_id").collect().toSeq
+    val qbApi = ops.CoreOps.quantileBinsOf(events, "event_type", "value", 4)
+      .orderBy("event_type", "event_id").collect().toSeq
+    assert(qb.nonEmpty && qb == qbApi)
+    val wm = spark.sql(
+      "SELECT * FROM graft_wma('tvf_events', 'event_type', 'ts', 'event_id', 'value', 5)")
+      .orderBy("event_type", "ts", "event_id").collect().toSeq
+    val wmApi = Graft.wma(events, "event_type", "ts", "event_id", "value", 5)
+      .orderBy("event_type", "ts", "event_id").collect().toSeq
+    assert(wm.nonEmpty && wm == wmApi)
+  }
+
   test("TVF plans are transparent to Catalyst: outer filter reaches the scan") {
     events.createOrReplaceTempView("tvf_events")
     val q = spark.sql(
