@@ -470,6 +470,12 @@ object Graft {
                 seriesA: String, seriesB: String, crit: Double = -3.34): DataFrame =
     ops.EconOps.cointTestOf(bars, key, ts, close, seriesA, seriesB, crit)
 
+  /** Ornstein–Uhlenbeck mean-reversion half-life per series
+    * (κ = −ln(1+β̂) from the ADF drift regression; halflife = ln2/κ
+    * bars). See [[ops.EconOps.ouHalflifeOf]]. */
+  def ouHalflife(bars: DataFrame, key: String, ts: String, close: String): DataFrame =
+    ops.EconOps.ouHalflifeOf(bars, key, ts, close)
+
   /** MinHash+LSH near-dup candidate pairs: k md5-minhashes over
     * shingleN-word shingles, banded `bands` × (k/bands); returns
     * (doc_a, doc_b, est_sim), blocked per band — never a full cross.

@@ -974,7 +974,106 @@ object EconOps {
       |FROM j
       |ORDER BY series""".stripMargin
 
+  /** Ornstein–Uhlenbeck mean-reversion HALF-LIFE per series (public
+    * operator behind [[graft.Graft.ouHalflife]]) — the number a pairs
+    * desk actually trades on once [[cointTestOf]] grants the licence:
+    * the q92 regression Δxₜ = α + β·xₜ₋₁ is the discretized OU drift,
+    * so reversion speed κ = −ln(1 + β̂) and half-life = ln 2 / κ bars
+    * (how long a deviation takes to close half the gap — sets holding
+    * period and stop horizons; q88's z-window should be a small
+    * multiple of it). Defined only for genuinely mean-reverting fits:
+    * −1 < β̂ < 0 (β̂ ≥ 0 diverges/unit-root ⇒ null; β̂ ≤ −1
+    * oscillates past the fixed point ⇒ null, both flagged by
+    * `mean_reverting`). Same one-window-chain cost as [[adfOf]] —
+    * this IS adfOf plus two scalar expressions, and the oracle shares
+    * the whole op tree so every double matches. */
+  def ouHalflifeOf(bars: DataFrame, key: String, ts: String,
+                   close: String): DataFrame = {
+    adfOf(bars, key, ts, close)
+      .withColumn("mean_reverting",
+        when(col("beta").isNotNull, col("beta") < 0.0 && col("beta") > -1.0))
+      .withColumn("kappa",
+        when(col("mean_reverting"), -log(lit(1.0) + col("beta"))))
+      .withColumn("halflife_bars",
+        when(col("kappa") > 0.0, log(lit(2.0)) / col("kappa")))
+      .select(col("series"), col("n_obs"), col("beta"), col("df_stat"),
+        col("mean_reverting"), col("kappa"), col("halflife_bars"))
+  }
+
+  /** #q95 OU half-life over hourly closes per series. */
+  private val q95: Q = (s, dir) =>
+    ouHalflifeOf(hourBars(s, dir).select(col("event_type"), col("bucket"), col("close")),
+      "event_type", "bucket", "close")
+      .select(col("series"), col("n_obs"), r6(col("beta")).as("beta"),
+        r6(col("df_stat")).as("df_stat"), col("mean_reverting"),
+        r6(col("kappa")).as("kappa"), r6(col("halflife_bars")).as("halflife_bars"))
+      .orderBy("series")
+
+  private val q95Sql =
+    """WITH b AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+      |    last(value ORDER BY ts, event_id) AS close
+      |  FROM events GROUP BY 1, 2),
+      |c AS (
+      |  SELECT event_type, bucket, close,
+      |    lag(close, 1) OVER (PARTITION BY event_type ORDER BY bucket) AS xl
+      |  FROM b),
+      |d AS (
+      |  SELECT event_type, bucket, xl, close - xl AS dy
+      |  FROM c WHERE xl IS NOT NULL),
+      |ols AS (
+      |  SELECT event_type,
+      |    row_number() OVER o AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n,
+      |    sum(xl) OVER w AS sx, sum(dy) OVER w AS sy,
+      |    sum(xl * dy) OVER w AS sxy,
+      |    sum(xl * xl) OVER w AS sx2,
+      |    sum(dy * dy) OVER w AS sy2
+      |  FROM d
+      |  WINDOW o AS (PARTITION BY event_type ORDER BY bucket),
+      |    w AS (PARTITION BY event_type ORDER BY bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |f AS (
+      |  SELECT event_type, n,
+      |    sx2 - sx * sx / CAST(n AS DOUBLE) AS cxx,
+      |    sxy - sx * sy / CAST(n AS DOUBLE) AS cxy,
+      |    sy2 - sy * sy / CAST(n AS DOUBLE) AS cyy
+      |  FROM ols WHERE rn = n),
+      |g AS (
+      |  SELECT event_type, n, cxx, cxy, cyy,
+      |    CASE WHEN n > 2 AND cxx > 0.0 THEN cxy / cxx END AS beta
+      |  FROM f),
+      |h AS (
+      |  SELECT event_type, n, cxx, beta,
+      |    greatest(cyy - beta * cxy, 0.0) AS sse
+      |  FROM g),
+      |i AS (
+      |  SELECT event_type, n, beta,
+      |    CASE WHEN beta IS NOT NULL
+      |      THEN sqrt((sse / (CAST(n AS DOUBLE) - 2.0)) / cxx) END AS se
+      |  FROM h),
+      |j AS (
+      |  SELECT event_type, n, beta,
+      |    CASE WHEN se > 0.0 THEN beta / se END AS df_stat
+      |  FROM i),
+      |k AS (
+      |  SELECT event_type, n, beta, df_stat,
+      |    CASE WHEN beta IS NOT NULL
+      |      THEN beta < 0.0 AND beta > -1.0 END AS mean_reverting
+      |  FROM j),
+      |l AS (
+      |  SELECT event_type, n, beta, df_stat, mean_reverting,
+      |    CASE WHEN mean_reverting THEN -ln(1.0 + beta) END AS kappa
+      |  FROM k)
+      |SELECT event_type AS series, CAST(n AS BIGINT) AS n_obs,
+      |  round(beta, 6) AS beta, round(df_stat, 6) AS df_stat,
+      |  mean_reverting, round(kappa, 6) AS kappa,
+      |  round(CASE WHEN kappa > 0.0 THEN ln(2.0) / kappa END, 6) AS halflife_bars
+      |FROM l
+      |ORDER BY series""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q95_ou_halflife" -> q95,
     "q80_amihud" -> q80,
     "q81_roll_spread" -> q81,
     "q82_acf" -> q82,
@@ -994,5 +1093,6 @@ object EconOps {
     "q90_vpin" -> q90Sql,
     "q92_adf" -> q92Sql,
     "q93_ljung_box" -> q93Sql,
-    "q94_coint" -> q94Sql)
+    "q94_coint" -> q94Sql,
+    "q95_ou_halflife" -> q95Sql)
 }

@@ -265,6 +265,36 @@ class Round11Spec extends SparkSpec {
       "in-order arrival must reproduce the batch ownership exactly")
   }
 
+  test("q95 OU half-life: a planted AR(1) recovers its half-life; walks report null") {
+    // x' = phi*x + noise with phi = 0.5: beta_hat ~ phi - 1 = -0.5,
+    // kappa = -ln(0.5) = ln 2, half-life = 1 bar
+    def noise(i: Int): Double =
+      (scala.util.hashing.MurmurHash3.stringHash(s"ou:$i") % 1001) / 1000.0
+    var x = 0.0
+    var w = 100.0
+    val rows = (1 to 500).flatMap { i =>
+      x = 0.5 * x + noise(i)
+      w += noise(i + 7919) // pure integration: no reversion
+      val ts = new java.sql.Timestamp(1700000000000L + i * 3600000L)
+      Seq(("ou", ts, x), ("walk", ts, w))
+    }
+    val out = ops.EconOps.ouHalflifeOf(rows.toDF("sym", "bucket", "close"),
+      "sym", "bucket", "close").orderBy("series").collect()
+    val ou = out(0); val walk = out(1)
+    assert(ou.getBoolean(4), "the AR(1) must read as mean-reverting")
+    assert(math.abs(ou.getDouble(6) - 1.0) < 0.35,
+      s"phi=0.5 implies ~1-bar half-life, got ${ou.getDouble(6)}")
+    assert(ou.getDouble(3) < -2.86, "and significantly so (the q92 gate)")
+    // a finite-sample walk often has a SLIGHTLY negative beta-hat, so
+    // mean_reverting (a sign flag, not a test) may be true — what must
+    // hold is: no significance, and a half-life orders of magnitude
+    // beyond the AR(1)'s (or none at all)
+    assert(walk.getDouble(3) > -2.86,
+      s"the walk must fail the significance gate, df=${walk.getDouble(3)}")
+    assert(walk.isNullAt(6) || walk.getDouble(6) > 30.0,
+      "a pure integration has no actionable half-life")
+  }
+
   test("probe-fit disk cache: a cold memo reloads weights without re-running GD") {
     val dir = java.nio.file.Files.createTempDirectory("probe_cache_spec_").toString
     System.setProperty("graft.probe.cache", dir)
