@@ -92,6 +92,10 @@ object ScaleProbe {
     val parMacd = twice(noop(ops.ParScanOps.macdParOf(in, "sym", "t", "seq", "px", slices = 32)))
     val seqKal = twice(noop(ops.ScanOps.kalmanOf(in, "sym", "t", "seq", "px", 0.1, 1.0)))
     val parKal = twice(noop(ops.ParScanOps.kalmanParOf(in, "sym", "t", "seq", "px", 0.1, 1.0, 32)))
+    val seqTrix = twice(noop(ops.ScanOps.trixOf(in, "sym", "t", "seq", "px")))
+    val parTrix = twice(noop(ops.ParScanOps.trixParOf(in, "sym", "t", "seq", "px", slices = 32)))
+    val seqHolt = twice(noop(ops.ScanOps.holtOf(in, "sym", "t", "seq", "px")))
+    val parHolt = twice(noop(ops.ParScanOps.holtParOf(in, "sym", "t", "seq", "px", slices = 32)))
     // correctness cross-check on a deterministic 1/1000 row sample
     val s = ops.ScanOps.ewmaExactOf(in, "sym", "t", "seq", "px", 0.25)
       .filter(col("seq") % 1000 === 0)
@@ -100,7 +104,7 @@ object ScaleProbe {
     val maxDelta = s.as("s").join(p.as("p"), Seq("sym", "ts_ms", "seq"))
       .agg(max(abs(col("s.ewma") - col("p.ewma")))).collect()(0).getDouble(0)
     def ms(v: Double): Double = math.rint(v * 1000) / 1000
-    println(s"""{"probe":"monster","rows":$n,"slices":32,"seq_ewma_sec":${ms(seqEwma)},"par_ewma_sec":${ms(parEwma)},"seq_macd_sec":${ms(seqMacd)},"par_macd_sec":${ms(parMacd)},"seq_kalman_sec":${ms(seqKal)},"par_kalman_sec":${ms(parKal)},"max_delta_ewma":$maxDelta,"metric":"monster_speedup","value":${ms(seqEwma / math.max(parEwma, 1e-9))},"unit":"x"}""")
+    println(s"""{"probe":"monster","rows":$n,"slices":32,"seq_ewma_sec":${ms(seqEwma)},"par_ewma_sec":${ms(parEwma)},"seq_macd_sec":${ms(seqMacd)},"par_macd_sec":${ms(parMacd)},"seq_kalman_sec":${ms(seqKal)},"par_kalman_sec":${ms(parKal)},"seq_trix_sec":${ms(seqTrix)},"par_trix_sec":${ms(parTrix)},"seq_holt_sec":${ms(seqHolt)},"par_holt_sec":${ms(parHolt)},"max_delta_ewma":$maxDelta,"metric":"monster_speedup","value":${ms(seqEwma / math.max(parEwma, 1e-9))},"unit":"x"}""")
     spark.stop()
   }
 
