@@ -660,9 +660,14 @@ object EconOps {
     * windowed-pairs variant of the textbook fixed-mean form; identical
     * asymptotics for the test's purpose, and the SAME doubles in both
     * engines). n−k is exactly n_pairs(k) since lags are row-based.
-    * Null when any of the h lags is degenerate (constant window,
-    * n ≤ 2). One extra vocabulary-free pass over the h-row-per-key ACF
-    * table: the Σ is a cumulative fold in lag order taken at lag h. */
+    * q_stat/reject are null when any of the h lags is degenerate
+    * (constant window, too few observations): the final filter keys on
+    * the LAST available lag row per series, so a series with
+    * n_obs ≤ h still emits its (series, n_obs, h, null, null) row.
+    * Only a series with no laggable pair at all (n_obs ≤ 1) produces
+    * no ACF rows and is omitted. One extra vocabulary-free pass over
+    * the ≤h-row-per-key ACF table: the Σ is a cumulative fold in lag
+    * order taken at the last lag. */
   def ljungBoxOf(df: DataFrame, key: String, ts: String, value: String,
                  h: Int = 10, crit: Double = 18.307): DataFrame = {
     require(h >= 1, s"h must be >= 1, got $h")
@@ -672,11 +677,12 @@ object EconOps {
     val nD = col("__n").cast("double")
     acfOf(df, key, ts, value, maxLag = h)
       .withColumn("__rn", row_number().over(ordL))
+      .withColumn("__nr", count(lit(1)).over(byKey))
       .withColumn("__nn", count(col("acf")).over(byKey))
       .withColumn("__n", max(col("n_pairs") + col("lag")).over(byKey))
       .withColumn("__cq",
         sum(col("acf") * col("acf") / col("n_pairs").cast("double")).over(cum))
-      .filter(col("__rn") === lit(h))
+      .filter(col("__rn") === col("__nr"))
       .select(col(key).as("series"), col("__n").cast("long").as("n_obs"),
         lit(h).as("h"),
         when(col("__nn") === h, nD * (nD + lit(2.0)) * col("__cq")).as("q_stat"),
@@ -728,6 +734,7 @@ object EconOps {
        |q AS (
        |  SELECT event_type,
        |    row_number() OVER ol AS rnl,
+       |    count(*) OVER (PARTITION BY event_type) AS nr,
        |    count(acf) OVER (PARTITION BY event_type) AS nn,
        |    max(n_pairs + lag) OVER (PARTITION BY event_type) AS n,
        |    sum(acf * acf / CAST(n_pairs AS DOUBLE)) OVER wl AS cq
@@ -741,7 +748,7 @@ object EconOps {
        |  CASE WHEN nn = 10
        |    THEN (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * cq) > 18.307 END
        |    AS reject_white_noise
-       |FROM q WHERE rnl = 10
+       |FROM q WHERE rnl = nr
        |ORDER BY series""".stripMargin
   }
 

@@ -720,8 +720,16 @@ object StreamOps {
     * arrival redefines "first" as first-ARRIVED, the semantics a live
     * feed actually wants. The store holds gram HASHES only
     * (vocabulary-sized, never text); the anti-join shuffles on the
-    * hash key both sides. Same two-append delivery contract as
-    * streamingIncrementalDedup (content-identical replays harmless).
+    * hash key both sides.
+    *
+    * Replay-IDEMPOTENT delivery (unlike a blind two-append): both
+    * sinks are partitioned by `batch_id` and written with DYNAMIC
+    * partition overwrite, and the gram history read EXCLUDES rows
+    * with batch_id >= the current batch. A driver crash between the
+    * novelty write and the gram-store write (or after both, before
+    * the checkpoint commit) replays the batch against exactly the
+    * history it saw the first time and overwrites its own partitions
+    * — no duplicate novelty rows, no self-contaminated history.
     *
     * @return the started query; callers own its lifecycle. */
   def streamingNgramNovelty(spark: SparkSession, docs: DataFrame,
@@ -747,7 +755,13 @@ object StreamOps {
               try { spark.read.parquet(gramStorePath).schema; true }
               catch { case _: org.apache.spark.sql.AnalysisException => false }
             val hist =
-              if (histExists) spark.read.parquet(gramStorePath).select(col("__h"))
+              if (histExists)
+                // batch_id is the partition column: on replay this
+                // prunes away the batch's OWN earlier append, so the
+                // recomputed novelty can't see its own grams
+                spark.read.parquet(gramStorePath)
+                  .filter(col("batch_id") < lit(batchId))
+                  .select(col("__h"))
               else grams.select(col("__h")).filter(lit(false))
             val owner = grams.groupBy(col("__h")).agg(min(col("doc_id")).as("__owner"))
             val verdict = grams
@@ -760,8 +774,14 @@ object StreamOps {
               .withColumn("novelty",
                 col("n_novel").cast("double") / col("n_grams").cast("double"))
               .withColumn("batch_id", lit(batchId))
-            verdict.write.mode("append").parquet(noveltyPath)
-            grams.select(col("__h")).distinct().write.mode("append").parquet(gramStorePath)
+            verdict.write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id").parquet(noveltyPath)
+            grams.select(col("__h")).distinct()
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id").parquet(gramStorePath)
           } finally graft.Checkpoints.free(grams)
         }
       }

@@ -9,10 +9,12 @@ query surface reproduces byte-equal results.
     python3 tools/determinism.py /tmp/gate_run1 /tmp/gate_run2
 
 Exit 0 iff every query directory present in either dump exists in
-both and compares equal. Rows are compared as sorted tuples over ALL
-columns (each query ends in a total-order ORDER BY, but parquet part
-order is not load order — sorting by the full row is the
-order-insensitive exact compare).
+both and compares equal. Each pair is compared as a MULTISET via
+DuckDB EXCEPT ALL run both ways (rows surviving either direction =
+differing rows, duplicates counted) — order-insensitive because each
+query ends in a total-order ORDER BY but parquet part order is not
+load order, and exact because EXCEPT ALL matches on raw column
+values with no rounding or tolerance.
 """
 import sys
 import os
