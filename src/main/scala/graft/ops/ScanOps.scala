@@ -41,15 +41,75 @@ object ScanOps {
   import Tables.t
   import F._
 
+  // --------------------------------------------------- ParScan auto-dispatch
+
+  /** Dispatch counters (JVM-wide, monotonic): how many times the auto
+    * dispatcher below chose each path. Observability for specs, the
+    * monster probe and bench forensics — a silent wrong-path choice
+    * shows up as the wrong counter moving. */
+  val seqDispatches = new java.util.concurrent.atomic.AtomicLong
+  val parDispatches = new java.util.concurrent.atomic.AtomicLong
+
+  /** Longest-series row threshold above which the AFFINE scans switch
+    * to the [[ParScanOps]] parallel-prefix path (`spark.graft.parscan
+    * .threshold`, default 2,000,000; `<= 0` pins every call to the
+    * sequential path). 2M sequential fold steps is ~0.1–0.2 s in one
+    * task — comfortably under any shuffle-stage floor — while a 10M+
+    * monster series would serialize a whole stage behind one core;
+    * the crossover sits well inside that decade. */
+  private def parThreshold(s: SparkSession): Long =
+    s.conf.get("spark.graft.parscan.threshold", "2000000").toLong
+
+  /** Slices for the dispatched parallel path (`spark.graft.parscan
+    * .slices`, default = defaultParallelism): wall scales with
+    * longestSeries/slices. */
+  private def parSlices(s: SparkSession): Int =
+    s.conf.get("spark.graft.parscan.slices",
+      math.max(s.sparkContext.defaultParallelism, 2).toString).toInt
+
+  /** The round-12 dispatcher: pick the bit-exact sequential scan or
+    * the [[ParScanOps]] two-pass parallel prefix by MEASURING the
+    * longest series (one narrow map-side-combined count on `key` —
+    * the only stat that predicts the single-task ceiling; table-level
+    * row counts can't see one hot key). Below the threshold the
+    * sequential path keeps every oracle gate byte-stable; above it
+    * the parallel path bounds the longest series' wall at
+    * rows/slices, agreeing to composition ulps (ParScanSpec pins the
+    * bound per wrapper). The pre-agg is one extra pass over the
+    * scan's (pruned) input — at monster scale it is noise next to the
+    * serialized stage it prevents; disable with threshold <= 0 when
+    * the caller KNOWS series are short. */
+  private def dispatch(df: DataFrame, key: String)(seq: => DataFrame)(
+      par: Int => DataFrame): DataFrame = {
+    val s = df.sparkSession
+    val thr = parThreshold(s)
+    val longest: Long =
+      if (thr <= 0L) -1L
+      else df.groupBy(col(key)).count()
+        .agg(coalesce(max("count"), lit(0L))).head().getLong(0)
+    if (longest <= thr) { seqDispatches.incrementAndGet(); seq }
+    else { parDispatches.incrementAndGet(); par(parSlices(s)) }
+  }
+
   /** Exact infinite-history EWMA — pandas `ewm(alpha,
     * adjust=False).mean()`: y₁ = x₁, yᵢ = (1−α)·yᵢ₋₁ + α·xᵢ folded in
     * (`ts`, `tie`) order per `key` series. Returns (`key` AS STRING,
     * `ts_ms` epoch-ms, `tie`, `ewma`) — one row per input row; the
     * scan projects its inputs, join back for other columns. (`ts`,
     * `tie`) must totally order each series and `value` must be
-    * non-null (same keyed-operator contract as [[TimeSeriesOps]]). */
+    * non-null (same keyed-operator contract as [[TimeSeriesOps]]).
+    * Auto-dispatches to [[ParScanOps.ewmaExactParOf]] past the
+    * longest-series threshold (see [[dispatch]]); [[ewmaExactSeqOf]]
+    * is the always-sequential form. */
   def ewmaExactOf(df: DataFrame, key: String, ts: String, tie: String,
-                  value: String, alpha: Double): DataFrame = {
+                  value: String, alpha: Double): DataFrame =
+    dispatch(df, key)(ewmaExactSeqOf(df, key, ts, tie, value, alpha))(
+      ParScanOps.ewmaExactParOf(df, key, ts, tie, value, alpha, _))
+
+  /** The bit-exact sequential EWMA scan (the [[ewmaExactOf]] oracle
+    * form, no dispatch). */
+  def ewmaExactSeqOf(df: DataFrame, key: String, ts: String, tie: String,
+                     value: String, alpha: Double): DataFrame = {
     require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
     val s = df.sparkSession
     import s.implicits._
@@ -125,9 +185,18 @@ object ScanOps {
     * intermediate series. Returns (`key` AS STRING, `ts_ms`, `tie`,
     * `macd`, `signal`, `hist`); contracts as [[ewmaExactOf]].
     * pandas twin: `ewm(span=f).mean() − ewm(span=s).mean()` and
-    * `ewm(span=g).mean()` of that, all adjust=False. */
+    * `ewm(span=g).mean()` of that, all adjust=False.
+    * Auto-dispatches to [[ParScanOps.macdParOf]] past the
+    * longest-series threshold (see [[dispatch]]). */
   def macdOf(df: DataFrame, key: String, ts: String, tie: String, value: String,
-             fast: Int = 12, slow: Int = 26, signal: Int = 9): DataFrame = {
+             fast: Int = 12, slow: Int = 26, signal: Int = 9): DataFrame =
+    dispatch(df, key)(macdSeqOf(df, key, ts, tie, value, fast, slow, signal))(
+      ParScanOps.macdParOf(df, key, ts, tie, value, fast, slow, signal, _))
+
+  /** The bit-exact sequential MACD scan (the [[macdOf]] oracle form,
+    * no dispatch). */
+  def macdSeqOf(df: DataFrame, key: String, ts: String, tie: String, value: String,
+                fast: Int = 12, slow: Int = 26, signal: Int = 9): DataFrame = {
     require(fast >= 1 && slow > fast && signal >= 1,
       s"need 1 <= fast < slow and signal >= 1, got fast=$fast slow=$slow signal=$signal")
     val s = df.sparkSession
@@ -222,9 +291,18 @@ object ScanOps {
     * variances and the row index), so the oracle reproduces it with a
     * recursive CTE to the longest series and folds each row's prefix
     * with an INDEXED `list_reduce` (acc + K[i]·(x − acc)) — the
-    * identical op sequence, bit-for-bit. */
+    * identical op sequence, bit-for-bit.
+    * Auto-dispatches to [[ParScanOps.kalmanParOf]] past the
+    * longest-series threshold (see [[dispatch]]). */
   def kalmanOf(df: DataFrame, key: String, ts: String, tie: String,
-               value: String, procVar: Double, obsVar: Double): DataFrame = {
+               value: String, procVar: Double, obsVar: Double): DataFrame =
+    dispatch(df, key)(kalmanSeqOf(df, key, ts, tie, value, procVar, obsVar))(
+      ParScanOps.kalmanParOf(df, key, ts, tie, value, procVar, obsVar, _))
+
+  /** The bit-exact sequential Kalman scan (the [[kalmanOf]] oracle
+    * form, no dispatch). */
+  def kalmanSeqOf(df: DataFrame, key: String, ts: String, tie: String,
+                  value: String, procVar: Double, obsVar: Double): DataFrame = {
     require(procVar > 0, s"procVar must be > 0, got $procVar")
     require(obsVar > 0, s"obsVar must be > 0, got $obsVar")
     val s = df.sparkSession
@@ -307,10 +385,20 @@ object ScanOps {
     * init = r₁² and step acc → ω + α·x + β·acc — the identical op
     * sequence (the prepend makes the init consume σ²₁ and the first
     * step consume r₁², fixing the off-by-one a plain prefix fold
-    * would have). */
+    * would have).
+    * Auto-dispatches to [[ParScanOps.garchParOf]] past the
+    * longest-series threshold (see [[dispatch]]). */
   def garchOf(df: DataFrame, key: String, ts: String, tie: String,
               value: String, omega: Double, alpha: Double,
-              beta: Double): DataFrame = {
+              beta: Double): DataFrame =
+    dispatch(df, key)(garchSeqOf(df, key, ts, tie, value, omega, alpha, beta))(
+      ParScanOps.garchParOf(df, key, ts, tie, value, omega, alpha, beta, _))
+
+  /** The bit-exact sequential GARCH scan (the [[garchOf]] oracle form,
+    * no dispatch). */
+  def garchSeqOf(df: DataFrame, key: String, ts: String, tie: String,
+                 value: String, omega: Double, alpha: Double,
+                 beta: Double): DataFrame = {
     require(omega > 0, s"omega must be > 0, got $omega")
     require(alpha >= 0 && beta >= 0 && alpha + beta < 1,
       s"need alpha, beta >= 0 and alpha + beta < 1, got $alpha, $beta")
@@ -902,9 +990,18 @@ object ScanOps {
     * the previous e3 is 0. Three carried doubles in ONE scan pass
     * (public operator behind [[graft.Graft.trix]]); contracts as
     * [[ewmaExactOf]]; parity via RECURSIVE CTE carrying (e1, e2, e3)
-    * with the previous e3 recovered by lag over the replay. */
+    * with the previous e3 recovered by lag over the replay.
+    * Auto-dispatches to [[ParScanOps.trixParOf]] past the
+    * longest-series threshold (see [[dispatch]]). */
   def trixOf(df: DataFrame, key: String, ts: String, tie: String,
-             value: String, n: Int = 15): DataFrame = {
+             value: String, n: Int = 15): DataFrame =
+    dispatch(df, key)(trixSeqOf(df, key, ts, tie, value, n))(
+      ParScanOps.trixParOf(df, key, ts, tie, value, n, _))
+
+  /** The bit-exact sequential TRIX scan (the [[trixOf]] oracle form,
+    * no dispatch). */
+  def trixSeqOf(df: DataFrame, key: String, ts: String, tie: String,
+                value: String, n: Int = 15): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     val s = df.sparkSession
     import s.implicits._
@@ -989,9 +1086,18 @@ object ScanOps {
     * the two seed bars) — the in-engine backtest column a forecast
     * eval sums. Two carried doubles; contracts as [[ewmaExactOf]];
     * parity via the q67 RECURSIVE CTE replay with the forecast
-    * carried through the recursion. */
+    * carried through the recursion.
+    * Auto-dispatches to [[ParScanOps.holtParOf]] past the
+    * longest-series threshold (see [[dispatch]]). */
   def holtOf(df: DataFrame, key: String, ts: String, tie: String,
-             value: String, alpha: Double = 0.3, betaT: Double = 0.1): DataFrame = {
+             value: String, alpha: Double = 0.3, betaT: Double = 0.1): DataFrame =
+    dispatch(df, key)(holtSeqOf(df, key, ts, tie, value, alpha, betaT))(
+      ParScanOps.holtParOf(df, key, ts, tie, value, alpha, betaT, _))
+
+  /** The bit-exact sequential Holt scan (the [[holtOf]] oracle form,
+    * no dispatch). */
+  def holtSeqOf(df: DataFrame, key: String, ts: String, tie: String,
+                value: String, alpha: Double = 0.3, betaT: Double = 0.1): DataFrame = {
     require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
     require(betaT > 0 && betaT < 1, s"beta must be in (0,1), got $betaT")
     val s = df.sparkSession
