@@ -175,6 +175,14 @@ object Bench {
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $FullArtifact: $e") }
+    // The recorder keeps only a ~2000-char TAIL of stdout, so the full
+    // line above arrives head-truncated and unparseable (round-12
+    // `parsed: null`). Print a LAST line compact enough to survive the
+    // tail whole: headline totals + the slowest queries; the complete
+    // per-query map lives in the committed BENCH_FULL.json.
+    val slowest = ordered.filter(_._2 >= 0).sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
+    println(s"""{"slowest":$slowest,"reruns":$rr,"error_count":${errors.size},"jvm_chunks":${chunks.size},"full":"$FullArtifact","sf":"$sfDir","n":${names.size},"metric":"total","value":${ms(total)},"unit":"sec"}""")
     // the run-scoped probe cache has served every chunk: sweep it so
     // repeated bench cycles don't accumulate /tmp dirs
     probeCache.foreach { dir =>
@@ -194,7 +202,18 @@ object Bench {
       val javaBin = System.getProperty("java.home") + "/bin/java"
       val inherited = ManagementFactory.getRuntimeMXBean.getInputArguments.asScala
         .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
-      val cmd = (Seq(javaBin) ++ inherited ++
+      // Inheritance is not enough when the orchestrator itself was
+      // launched without the build.sbt fork flags (a bare `java -cp`
+      // invocation): guarantee the two perf-critical ones. The JIT
+      // code cache especially — once the default ~240m fills, the last
+      // codegen'd stages run INTERPRETED and random queries go 10-20×
+      // slower (the round-8 bench postmortem in build.sbt).
+      val guaranteed = Seq(
+        "-XX:ReservedCodeCacheSize=" -> "-XX:ReservedCodeCacheSize=1g",
+        "-Xmx" -> "-Xmx8g").collect {
+        case (prefix, flag) if !inherited.exists(_.startsWith(prefix)) => flag
+      }
+      val cmd = (Seq(javaBin) ++ inherited ++ guaranteed ++
         probeCache.map(d => s"-Dgraft.probe.cache=$d").toSeq ++
         Seq("-cp", System.getProperty("java.class.path"), "graft.Bench", "--chunk", names.mkString(","))).asJava
       val pb = new ProcessBuilder(cmd)

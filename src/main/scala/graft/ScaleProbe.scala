@@ -84,27 +84,40 @@ object ScaleProbe {
     }
     def noop(d: org.apache.spark.sql.DataFrame): Unit =
       d.write.format("noop").mode("overwrite").save()
-    // warm + timed (the Bench protocol)
+    // warm + timed (the Bench protocol). seq_* MUST go through the
+    // *SeqOf variants: the public wrappers auto-dispatch, and at 10M
+    // rows on one key they would route every "sequential" timing to
+    // the parallel path (round-12 advice).
     def twice(f: => Unit): Double = { time(f); time(f) }
-    val seqEwma = twice(noop(ops.ScanOps.ewmaExactOf(in, "sym", "t", "seq", "px", 0.25)))
+    val seqEwma = twice(noop(ops.ScanOps.ewmaExactSeqOf(in, "sym", "t", "seq", "px", 0.25)))
     val parEwma = twice(noop(ops.ParScanOps.ewmaExactParOf(in, "sym", "t", "seq", "px", 0.25, 32)))
-    val seqMacd = twice(noop(ops.ScanOps.macdOf(in, "sym", "t", "seq", "px")))
+    val seqMacd = twice(noop(ops.ScanOps.macdSeqOf(in, "sym", "t", "seq", "px")))
     val parMacd = twice(noop(ops.ParScanOps.macdParOf(in, "sym", "t", "seq", "px", slices = 32)))
-    val seqKal = twice(noop(ops.ScanOps.kalmanOf(in, "sym", "t", "seq", "px", 0.1, 1.0)))
+    val seqKal = twice(noop(ops.ScanOps.kalmanSeqOf(in, "sym", "t", "seq", "px", 0.1, 1.0)))
     val parKal = twice(noop(ops.ParScanOps.kalmanParOf(in, "sym", "t", "seq", "px", 0.1, 1.0, 32)))
-    val seqTrix = twice(noop(ops.ScanOps.trixOf(in, "sym", "t", "seq", "px")))
+    val seqTrix = twice(noop(ops.ScanOps.trixSeqOf(in, "sym", "t", "seq", "px")))
     val parTrix = twice(noop(ops.ParScanOps.trixParOf(in, "sym", "t", "seq", "px", slices = 32)))
-    val seqHolt = twice(noop(ops.ScanOps.holtOf(in, "sym", "t", "seq", "px")))
+    val seqHolt = twice(noop(ops.ScanOps.holtSeqOf(in, "sym", "t", "seq", "px")))
     val parHolt = twice(noop(ops.ParScanOps.holtParOf(in, "sym", "t", "seq", "px", slices = 32)))
-    // correctness cross-check on a deterministic 1/1000 row sample
-    val s = ops.ScanOps.ewmaExactOf(in, "sym", "t", "seq", "px", 0.25)
+    // the dispatcher itself, through the PUBLIC entry point, no flags:
+    // at 10M rows on one key it must pick the parallel path (counters
+    // prove it) and its wall must sit near par_ewma, not seq_ewma.
+    val par0 = ops.ScanOps.parDispatches.get()
+    val seq0 = ops.ScanOps.seqDispatches.get()
+    val autoEwma = twice(noop(ops.ScanOps.ewmaExactOf(in, "sym", "t", "seq", "px", 0.25)))
+    val autoPar = ops.ScanOps.parDispatches.get() - par0
+    val autoSeq = ops.ScanOps.seqDispatches.get() - seq0
+    // correctness cross-check on a deterministic 1/1000 row sample:
+    // the SEQUENTIAL scan is the baseline, the dispatched public entry
+    // (which routes parallel here) is the candidate.
+    val s = ops.ScanOps.ewmaExactSeqOf(in, "sym", "t", "seq", "px", 0.25)
       .filter(col("seq") % 1000 === 0)
-    val p = ops.ParScanOps.ewmaExactParOf(in, "sym", "t", "seq", "px", 0.25, 32)
+    val p = ops.ScanOps.ewmaExactOf(in, "sym", "t", "seq", "px", 0.25)
       .filter(col("seq") % 1000 === 0)
     val maxDelta = s.as("s").join(p.as("p"), Seq("sym", "ts_ms", "seq"))
       .agg(max(abs(col("s.ewma") - col("p.ewma")))).collect()(0).getDouble(0)
     def ms(v: Double): Double = math.rint(v * 1000) / 1000
-    println(s"""{"probe":"monster","rows":$n,"slices":32,"seq_ewma_sec":${ms(seqEwma)},"par_ewma_sec":${ms(parEwma)},"seq_macd_sec":${ms(seqMacd)},"par_macd_sec":${ms(parMacd)},"seq_kalman_sec":${ms(seqKal)},"par_kalman_sec":${ms(parKal)},"seq_trix_sec":${ms(seqTrix)},"par_trix_sec":${ms(parTrix)},"seq_holt_sec":${ms(seqHolt)},"par_holt_sec":${ms(parHolt)},"max_delta_ewma":$maxDelta,"metric":"monster_speedup","value":${ms(seqEwma / math.max(parEwma, 1e-9))},"unit":"x"}""")
+    println(s"""{"probe":"monster","rows":$n,"slices":32,"seq_ewma_sec":${ms(seqEwma)},"par_ewma_sec":${ms(parEwma)},"auto_ewma_sec":${ms(autoEwma)},"auto_par_dispatches":$autoPar,"auto_seq_dispatches":$autoSeq,"seq_macd_sec":${ms(seqMacd)},"par_macd_sec":${ms(parMacd)},"seq_kalman_sec":${ms(seqKal)},"par_kalman_sec":${ms(parKal)},"seq_trix_sec":${ms(seqTrix)},"par_trix_sec":${ms(parTrix)},"seq_holt_sec":${ms(seqHolt)},"par_holt_sec":${ms(parHolt)},"max_delta_ewma":$maxDelta,"metric":"monster_speedup","value":${ms(seqEwma / math.max(parEwma, 1e-9))},"unit":"x"}""")
     spark.stop()
   }
 

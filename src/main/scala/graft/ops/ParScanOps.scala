@@ -50,9 +50,21 @@ import scala.collection.mutable.ArrayBuffer
   * NOT bit-identical to [[ScanOps]] — they agree to a few ulps
   * (every family matrix here is contractive: all |eigenvalues| < 1,
   * so composition error cannot amplify downstream; ParScanSpec pins a
-  * measured max-|Δ| bound per wrapper). The bit-exact sequential path
-  * stays the DEFAULT and the oracle-checked gate form; this path is
-  * the explicit opt-in for monster series.
+  * measured max-|Δ| bound per wrapper). DETERMINISM REGIME: the
+  * bit-exact sequential path remains the oracle-checked gate form and
+  * is what [[ScanOps]]' public wrappers return whenever the longest
+  * series is at or below `spark.graft.parscan.threshold` (default 2M
+  * rows — every gate/bench corpus sits far below it). ABOVE the
+  * threshold the wrappers auto-route HERE, and the engine's contract
+  * weakens explicitly from bit-reproducible to tolerance-deterministic:
+  * results agree with the sequential fold to the ParScanSpec ulp
+  * bounds, and because `repartitionByRange` samples boundaries from
+  * rdd-id-seeded randomness, two runs of the SAME query can split runs
+  * differently and differ in the same few ulps. Callers that need
+  * bit-stability on monster series must pin the sequential path
+  * (threshold <= 0) and accept the single-task wall, or supply
+  * `spark.graft.parscan.maxSeriesRows` so the choice is explicit.
+  * SURVEY §5 documents this two-regime contract.
   *
   * SCOPE (the honest boundary, per the round-10 verdict): the affine
   * subset only — EWMA (q39), MACD (q44), GARCH (q63, made affine by

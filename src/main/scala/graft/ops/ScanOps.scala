@@ -67,28 +67,64 @@ object ScanOps {
     s.conf.get("spark.graft.parscan.slices",
       math.max(s.sparkContext.defaultParallelism, 2).toString).toInt
 
-  /** The round-12 dispatcher: pick the bit-exact sequential scan or
-    * the [[ParScanOps]] two-pass parallel prefix by MEASURING the
-    * longest series (one narrow map-side-combined count on `key` —
-    * the only stat that predicts the single-task ceiling; table-level
-    * row counts can't see one hot key). Below the threshold the
-    * sequential path keeps every oracle gate byte-stable; above it
-    * the parallel path bounds the longest series' wall at
+  /** Caller hint (`spark.graft.parscan.maxSeriesRows`, unset by
+    * default): an upper bound on the longest series' row count, KNOWN
+    * to the caller (partition metadata, a prior profile, a contract).
+    * When set, the dispatcher trusts it and skips the measurement pass
+    * entirely — the 100 TB path when the stat is already known. */
+  private def seriesHint(s: SparkSession): Option[Long] =
+    s.conf.get("spark.graft.parscan.maxSeriesRows", "").trim match {
+      case "" => None
+      case v  => Some(v.toLong)
+    }
+
+  /** The affine-scan dispatcher: pick the bit-exact sequential scan or
+    * the [[ParScanOps]] two-pass parallel prefix from the longest
+    * series' row count (the only stat that predicts the single-task
+    * ceiling; table-level row counts can't see one hot key). Below the
+    * threshold the sequential path keeps every oracle gate byte-stable;
+    * above it the parallel path bounds the longest series' wall at
     * rows/slices, agreeing to composition ulps (ParScanSpec pins the
-    * bound per wrapper). The pre-agg is one extra pass over the
-    * scan's (pruned) input — at monster scale it is noise next to the
-    * serialized stage it prevents; disable with threshold <= 0 when
-    * the caller KNOWS series are short. */
-  private def dispatch(df: DataFrame, key: String)(seq: => DataFrame)(
-      par: Int => DataFrame): DataFrame = {
+    * bound per wrapper; DispatchSpec pins the routing itself).
+    *
+    * Cost discipline (round-12 verdict #2): when the stat must be
+    * measured, the scan's pruned input (only `needed` columns) is
+    * `localCheckpoint`ed lazily FIRST, so the upstream lineage —
+    * possibly joins/windows far more expensive than the scan — runs
+    * exactly once: the measuring count materializes the checkpoint and
+    * the chosen path replays the checkpointed blocks, never the
+    * lineage. With the `maxSeriesRows` hint set, no job fires at all
+    * and the plan composes lazily. Parameter validation happens before
+    * any job: the sequential plan is constructed (pure, no action)
+    * up front so each wrapper's `require`s fire first.
+    *
+    * Streaming inputs are rejected: these recurrences need a total
+    * per-series sort, which Structured Streaming cannot provide in one
+    * batchless pass — use the incremental state-store twins in
+    * [[graft.streaming.StreamOps]] for continuous forms.
+    * `threshold <= 0` (any non-positive value) pins every call to the
+    * sequential path. */
+  private def dispatch(df: DataFrame, key: String, needed: Seq[String])(
+      seq: DataFrame => DataFrame)(par: (DataFrame, Int) => DataFrame): DataFrame = {
+    require(!df.isStreaming,
+      "affine scans need a batch input with a total per-series order; " +
+        "use graft.streaming.StreamOps state-store twins for streams")
     val s = df.sparkSession
+    seq(df) // plan construction only: fires the wrapper's requires before any job
     val thr = parThreshold(s)
-    val longest: Long =
-      if (thr <= 0L) -1L
-      else df.groupBy(col(key)).count()
-        .agg(coalesce(max("count"), lit(0L))).head().getLong(0)
-    if (longest <= thr) { seqDispatches.incrementAndGet(); seq }
-    else { parDispatches.incrementAndGet(); par(parSlices(s)) }
+    if (thr <= 0L) { seqDispatches.incrementAndGet(); return seq(df) }
+    seriesHint(s) match {
+      case Some(h) =>
+        if (h <= thr) { seqDispatches.incrementAndGet(); seq(df) }
+        else { parDispatches.incrementAndGet(); par(df, parSlices(s)) }
+      case None =>
+        val snap = df.select(needed.distinct.map(col): _*)
+          .localCheckpoint(eager = false)
+        val longest = snap.groupBy(col(key)).count()
+          .agg(coalesce(max("count"), lit(0L))).head().getLong(0)
+        if (longest <= thr) { seqDispatches.incrementAndGet(); seq(snap) }
+        else { parDispatches.incrementAndGet(); par(snap, parSlices(s)) }
+    }
   }
 
   /** Exact infinite-history EWMA — pandas `ewm(alpha,
@@ -103,8 +139,9 @@ object ScanOps {
     * is the always-sequential form. */
   def ewmaExactOf(df: DataFrame, key: String, ts: String, tie: String,
                   value: String, alpha: Double): DataFrame =
-    dispatch(df, key)(ewmaExactSeqOf(df, key, ts, tie, value, alpha))(
-      ParScanOps.ewmaExactParOf(df, key, ts, tie, value, alpha, _))
+    dispatch(df, key, Seq(key, ts, tie, value))(
+      d => ewmaExactSeqOf(d, key, ts, tie, value, alpha))(
+      (d, n) => ParScanOps.ewmaExactParOf(d, key, ts, tie, value, alpha, n))
 
   /** The bit-exact sequential EWMA scan (the [[ewmaExactOf]] oracle
     * form, no dispatch). */
@@ -190,8 +227,9 @@ object ScanOps {
     * longest-series threshold (see [[dispatch]]). */
   def macdOf(df: DataFrame, key: String, ts: String, tie: String, value: String,
              fast: Int = 12, slow: Int = 26, signal: Int = 9): DataFrame =
-    dispatch(df, key)(macdSeqOf(df, key, ts, tie, value, fast, slow, signal))(
-      ParScanOps.macdParOf(df, key, ts, tie, value, fast, slow, signal, _))
+    dispatch(df, key, Seq(key, ts, tie, value))(
+      d => macdSeqOf(d, key, ts, tie, value, fast, slow, signal))(
+      (d, n) => ParScanOps.macdParOf(d, key, ts, tie, value, fast, slow, signal, n))
 
   /** The bit-exact sequential MACD scan (the [[macdOf]] oracle form,
     * no dispatch). */
@@ -296,8 +334,9 @@ object ScanOps {
     * longest-series threshold (see [[dispatch]]). */
   def kalmanOf(df: DataFrame, key: String, ts: String, tie: String,
                value: String, procVar: Double, obsVar: Double): DataFrame =
-    dispatch(df, key)(kalmanSeqOf(df, key, ts, tie, value, procVar, obsVar))(
-      ParScanOps.kalmanParOf(df, key, ts, tie, value, procVar, obsVar, _))
+    dispatch(df, key, Seq(key, ts, tie, value))(
+      d => kalmanSeqOf(d, key, ts, tie, value, procVar, obsVar))(
+      (d, n) => ParScanOps.kalmanParOf(d, key, ts, tie, value, procVar, obsVar, n))
 
   /** The bit-exact sequential Kalman scan (the [[kalmanOf]] oracle
     * form, no dispatch). */
@@ -391,8 +430,9 @@ object ScanOps {
   def garchOf(df: DataFrame, key: String, ts: String, tie: String,
               value: String, omega: Double, alpha: Double,
               beta: Double): DataFrame =
-    dispatch(df, key)(garchSeqOf(df, key, ts, tie, value, omega, alpha, beta))(
-      ParScanOps.garchParOf(df, key, ts, tie, value, omega, alpha, beta, _))
+    dispatch(df, key, Seq(key, ts, tie, value))(
+      d => garchSeqOf(d, key, ts, tie, value, omega, alpha, beta))(
+      (d, n) => ParScanOps.garchParOf(d, key, ts, tie, value, omega, alpha, beta, n))
 
   /** The bit-exact sequential GARCH scan (the [[garchOf]] oracle form,
     * no dispatch). */
@@ -995,8 +1035,9 @@ object ScanOps {
     * longest-series threshold (see [[dispatch]]). */
   def trixOf(df: DataFrame, key: String, ts: String, tie: String,
              value: String, n: Int = 15): DataFrame =
-    dispatch(df, key)(trixSeqOf(df, key, ts, tie, value, n))(
-      ParScanOps.trixParOf(df, key, ts, tie, value, n, _))
+    dispatch(df, key, Seq(key, ts, tie, value))(
+      d => trixSeqOf(d, key, ts, tie, value, n))(
+      (d, sl) => ParScanOps.trixParOf(d, key, ts, tie, value, n, sl))
 
   /** The bit-exact sequential TRIX scan (the [[trixOf]] oracle form,
     * no dispatch). */
@@ -1091,8 +1132,9 @@ object ScanOps {
     * longest-series threshold (see [[dispatch]]). */
   def holtOf(df: DataFrame, key: String, ts: String, tie: String,
              value: String, alpha: Double = 0.3, betaT: Double = 0.1): DataFrame =
-    dispatch(df, key)(holtSeqOf(df, key, ts, tie, value, alpha, betaT))(
-      ParScanOps.holtParOf(df, key, ts, tie, value, alpha, betaT, _))
+    dispatch(df, key, Seq(key, ts, tie, value))(
+      d => holtSeqOf(d, key, ts, tie, value, alpha, betaT))(
+      (d, n) => ParScanOps.holtParOf(d, key, ts, tie, value, alpha, betaT, n))
 
   /** The bit-exact sequential Holt scan (the [[holtOf]] oracle form,
     * no dispatch). */

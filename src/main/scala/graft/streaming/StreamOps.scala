@@ -731,6 +731,14 @@ object StreamOps {
     * history it saw the first time and overwrites its own partitions
     * — no duplicate novelty rows, no self-contaminated history.
     *
+    * Upgrading from the pre-idempotent (flat, batch_id-less) layout:
+    * a legacy gram store is detected by schema and backfilled once
+    * into a `batch_id=-1` partition before first use. A legacy
+    * NOVELTY sink is never read by this pipeline, but its flat files
+    * cannot coexist with the new partition directories for readers —
+    * point `noveltyPath` at a fresh path (or migrate it the same way)
+    * when upgrading.
+    *
     * @return the started query; callers own its lifecycle. */
   def streamingNgramNovelty(spark: SparkSession, docs: DataFrame,
                             gramStorePath: String, noveltyPath: String,
@@ -751,9 +759,26 @@ object StreamOps {
             .distinct()
             .localCheckpoint(eager = true)
           try {
-            val histExists =
-              try { spark.read.parquet(gramStorePath).schema; true }
-              catch { case _: org.apache.spark.sql.AnalysisException => false }
+            val histSchema =
+              try Some(spark.read.parquet(gramStorePath).schema)
+              catch { case _: org.apache.spark.sql.AnalysisException => None }
+            // Legacy store migration: a gram store written by the
+            // pre-replay-idempotent version is flat (no batch_id
+            // partition column) and would both break the replay filter
+            // and conflict with the new partition-directory layout.
+            // Backfill it ONCE into a batch_id=-1 partition — every
+            // legacy gram predates any replayable batch, so -1
+            // preserves the "strictly before this batch" semantics.
+            if (histSchema.exists(s => !s.fieldNames.contains("batch_id"))) {
+              val legacy = spark.read.parquet(gramStorePath)
+                .select(col("__h")).distinct()
+                .withColumn("batch_id", lit(-1L))
+                .localCheckpoint(eager = true)
+              try legacy.write.mode("overwrite")
+                .partitionBy("batch_id").parquet(gramStorePath)
+              finally graft.Checkpoints.free(legacy)
+            }
+            val histExists = histSchema.isDefined
             val hist =
               if (histExists)
                 // batch_id is the partition column: on replay this
