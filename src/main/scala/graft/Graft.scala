@@ -391,6 +391,32 @@ object Graft {
     ops.SimOps.lshAnnOf(corpus, queries, id, vec, k, sketchBits, bands, dims, excludeSelf)
       .select(col("q_id"), col("rank"), col("vec_id").as(id), col("cosv").as("cos_sim"))
 
+  /** Deterministic k-NN graph build — the index half of the graph-ANN
+    * (fifth) scale path: shared-centroid-cell candidate seeding
+    * (keep centroid count proportional to the corpus — cell size is
+    * the seed fan-out), `descentRounds` NN-descent rounds, top-`r`
+    * by cosine per source. Returns the directed edge list
+    * (src, dst, cos). Pair with [[annGraph]]; localCheckpoint the
+    * result when searching many query batches. */
+  def knnGraph(corpus: DataFrame, centroids: DataFrame, id: String,
+               vec: String, centroidId: String, centroidVec: String,
+               r: Int, cellProbes: Int = 2, descentRounds: Int = 1): DataFrame =
+    ops.SimOps.knnGraphOf(corpus, centroids, id, vec, centroidId, centroidVec,
+      r, cellProbes, descentRounds)
+
+  /** Graph ANN beam search over a [[knnGraph]] edge list (traversed
+    * symmetrized): enter at the query's best anchor, expand `hops`
+    * rounds with a `beam`-wide frontier, rank every scored candidate.
+    * The scored set is the candidate budget — the recall-at-low-budget
+    * frontier vs [[annIvf]]'s probed cells (GraphAnnSpec measures
+    * both). Returns (q_id, rank, <id>, cos_sim). */
+  def annGraph(corpus: DataFrame, queries: DataFrame, anchors: DataFrame,
+               edges: DataFrame, id: String, vec: String, k: Int,
+               beam: Int = 4, hops: Int = 3,
+               excludeSelf: Boolean = true): DataFrame =
+    ops.SimOps.graphAnnOf(corpus, queries, anchors, edges, id, vec, k, beam, hops, excludeSelf)
+      .select(col("q_id"), col("rank"), col("vec_id").as(id), col("cos").as("cos_sim"))
+
   /** MOSS winnowing fingerprint summary per document (native
     * single-pass expression): n_grams, n_fp, fp_min/max/xor. */
   def winnowFingerprints(docs: DataFrame, id: String, text: String,

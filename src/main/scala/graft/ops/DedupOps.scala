@@ -300,14 +300,33 @@ object DedupOps {
   }
 
   /** #24d the minhash threshold curve over the d02 pair list — est_sim
-    * is k=8 agreement so the natural grid is eighths. */
-  private val ds22: Q = (s, dir) =>
-    dedupCurveOf(minhashPairs(s, dir), "doc_a", "doc_b", "est_sim",
+    * is k=8 agreement so the natural grid is eighths. The pair input
+    * runs D01-FIRST (p03's production ordering): exact-duplicate
+    * groups collapse to their min-id keeper BEFORE banding, so a
+    * 100-copy duplicate bomb contributes zero band pairs instead of
+    * 100²/2 per band — the round-11 ds22 defusal. The gate corpus
+    * carries no exact duplicates, so the curve (and its oracle hash)
+    * is unchanged at gate SF; only the blowup path differs. */
+  private val ds22: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .withColumn("__m", md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
+    val surv = docs
+      .join(docs.groupBy(col("__m")).agg(min(col("doc_id")).as("__keep")), Seq("__m"))
+      .filter(col("doc_id") === col("__keep"))
+      .select(col("doc_id"), col("text"))
+    dedupCurveOf(
+      minhashPairsOf(surv, "doc_id", "text", shingleN = 3, k = 8, bands = 4),
+      "doc_a", "doc_b", "est_sim",
       Seq(0.25, 0.375, 0.5, 0.625, 0.75, 0.875, 1.0))
       .orderBy("tau")
+  }
 
   private val ds22Sql =
-    """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+    """WITH nm AS (SELECT doc_id, text,
+      |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS m FROM documents),
+      |keep AS (SELECT m, min(doc_id) AS k FROM nm GROUP BY m),
+      |surv AS (SELECT nm.doc_id, nm.text FROM nm JOIN keep ON keep.m = nm.m AND nm.doc_id = keep.k),
+      |w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM surv),
       |s3 AS (SELECT doc_id,
       |    list_transform(generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh
       |  FROM w WHERE len(ws) >= 3),

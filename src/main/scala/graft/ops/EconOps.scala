@@ -803,6 +803,55 @@ object EconOps {
         when(col("df_stat").isNotNull, col("df_stat") < crit).as("stationary"))
   }
 
+  /** The [[adfOf]]+[[ouHalflifeOf]] regression as a RUNNING MONITOR
+    * (st06's batch form): one row per bar carrying the DF(0) fit over
+    * everything seen SO FAR — the trajectory a continuous
+    * stationarity/mean-reversion monitor emits, where [[adfOf]] keeps
+    * only the final row. Identical cumulative-sum chain (the OLS sums
+    * are the associative state; n is the running pair count), identical
+    * guards, so row t here is exactly adfOf run on the first t+1 bars —
+    * and [[graft.streaming.StreamOps.streamingAdfMonitor]] reproduces
+    * every row bit-for-bit from O(1) per-key state (StreamTwin9Spec).
+    * First bar of each series emits nothing (no lag pair yet). */
+  def adfTrajectoryOf(bars: DataFrame, key: String, ts: String, close: String,
+                      crit: Double = -2.86): DataFrame = {
+    val ord = Window.partitionBy(col(key)).orderBy(col(ts))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = bars
+      .withColumn("__xl", lag(col(close), 1).over(ord))
+      .filter(col("__xl").isNotNull)
+      .withColumn("__dy", col(close) - col("__xl"))
+    val nD = col("__rn").cast("double")
+    d.withColumn("__rn", row_number().over(ord))
+      .withColumn("__sx", sum(col("__xl")).over(cum))
+      .withColumn("__sy", sum(col("__dy")).over(cum))
+      .withColumn("__sxy", sum(col("__xl") * col("__dy")).over(cum))
+      .withColumn("__sx2", sum(col("__xl") * col("__xl")).over(cum))
+      .withColumn("__sy2", sum(col("__dy") * col("__dy")).over(cum))
+      .withColumn("__cxx", col("__sx2") - col("__sx") * col("__sx") / nD)
+      .withColumn("__cxy", col("__sxy") - col("__sx") * col("__sy") / nD)
+      .withColumn("__cyy", col("__sy2") - col("__sy") * col("__sy") / nD)
+      .withColumn("beta",
+        when(col("__rn") > 2 && col("__cxx") > 0.0, col("__cxy") / col("__cxx")))
+      .withColumn("__sse", greatest(col("__cyy") - col("beta") * col("__cxy"), lit(0.0)))
+      .withColumn("__se",
+        when(col("beta").isNotNull,
+          sqrt((col("__sse") / (nD - 2.0)) / col("__cxx"))))
+      .withColumn("df_stat",
+        when(col("__se") > 0.0, col("beta") / col("__se")))
+      .withColumn("stationary",
+        when(col("df_stat").isNotNull, col("df_stat") < crit))
+      .withColumn("mean_reverting",
+        when(col("beta").isNotNull, col("beta") < 0.0 && col("beta") > -1.0))
+      .withColumn("kappa",
+        when(col("mean_reverting"), -log(lit(1.0) + col("beta"))))
+      .withColumn("halflife_bars",
+        when(col("kappa") > 0.0, log(lit(2.0)) / col("kappa")))
+      .select(col(key).as("series"), col(ts), col("__rn").as("n_obs"),
+        col("beta"), col("df_stat"), col("stationary"),
+        col("mean_reverting"), col("kappa"), col("halflife_bars"))
+  }
+
   /** Engle–Granger COINTEGRATION test for one series pair (public
     * operator behind [[graft.Graft.cointTest]]) — the two-step recipe
     * composed from parts already proven: step 1, the q88 OLS hedge

@@ -198,6 +198,20 @@ case class AtrOut(event_type: String, event_id: Long, ts_ms: Long,
   * its own value — pandas `ewm(adjust=False)` init). */
 case class EwmaOut(event_type: String, event_id: Long, ts_ms: Long, value: Double, ewma: Double)
 
+/** State for [[StreamOps.streamingAdfMonitor]]: previous close + the
+  * five running OLS sums and the pair count — O(1) per key,
+  * independent of stream length (the associative-sums property the
+  * batch cumulative windows rely on). */
+case class AdfMonState(prevClose: Option[Double], n: Long, sx: Double,
+                       sy: Double, sxy: Double, sx2: Double, sy2: Double)
+
+/** One running ADF/OU observation per bar AFTER the first (a lag pair
+  * must exist) — the st06 row shape. */
+case class AdfMonOut(event_type: String, event_id: Long, ts_ms: Long,
+                     n_obs: Long, beta: Option[Double], df_stat: Option[Double],
+                     stationary: Option[Boolean], mean_reverting: Option[Boolean],
+                     kappa: Option[Double], halflife_bars: Option[Double])
+
 /** State for [[StreamOps.streamingCusum]]: the two one-sided decision
   * statistics (Page's test). O(1) per key, independent of stream
   * length. */
@@ -429,7 +443,89 @@ object StreamOps {
       |    AND n_range / CAST(n AS DOUBLE) >= 0.999) AS passed
       |FROM a ORDER BY bucket_ms""".stripMargin
 
+  /** #33f batch-equivalent entry (st06): the q92/q95 econometrics as a
+    * RUNNING monitor over hourly closes — one row per bar with the
+    * prefix DF(0) t-stat, stationarity verdict, and OU half-life
+    * ([[graft.ops.EconOps.adfTrajectoryOf]]); the continuous twin
+    * [[streamingAdfMonitor]] reproduces every row bit-for-bit from
+    * O(1) per-key state (StreamTwin9Spec). */
+  private val st06: Q = (s, dir) =>
+    graft.ops.EconOps.adfTrajectoryOf(
+        graft.Graft.resampleOhlc(t(s, dir, "events"), "event_type", "ts",
+            "event_id", "value", "hour")
+          .select(col("event_type"), col("bucket"), col("close")),
+        "event_type", "bucket", "close")
+      .select(col("series"), unix_millis(col("bucket")).as("bucket_ms"),
+        col("n_obs"), r6(col("beta")).as("beta"), r6(col("df_stat")).as("df_stat"),
+        col("stationary"), col("mean_reverting"),
+        r6(col("kappa")).as("kappa"), r6(col("halflife_bars")).as("halflife_bars"))
+      .orderBy("series", "bucket_ms")
+
+  private val st06Sql =
+    """WITH b AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+      |    last(value ORDER BY ts, event_id) AS close
+      |  FROM events GROUP BY 1, 2),
+      |c AS (
+      |  SELECT event_type, bucket, close,
+      |    lag(close, 1) OVER (PARTITION BY event_type ORDER BY bucket) AS xl
+      |  FROM b),
+      |d AS (
+      |  SELECT event_type, bucket, xl, close - xl AS dy
+      |  FROM c WHERE xl IS NOT NULL),
+      |e AS (
+      |  SELECT event_type, bucket,
+      |    row_number() OVER o AS rn,
+      |    sum(xl) OVER w AS sx, sum(dy) OVER w AS sy,
+      |    sum(xl * dy) OVER w AS sxy, sum(xl * xl) OVER w AS sx2,
+      |    sum(dy * dy) OVER w AS sy2
+      |  FROM d
+      |  WINDOW o AS (PARTITION BY event_type ORDER BY bucket),
+      |    w AS (PARTITION BY event_type ORDER BY bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |f AS (
+      |  SELECT event_type, bucket, rn,
+      |    sx2 - sx * sx / CAST(rn AS DOUBLE) AS cxx,
+      |    sxy - sx * sy / CAST(rn AS DOUBLE) AS cxy,
+      |    sy2 - sy * sy / CAST(rn AS DOUBLE) AS cyy
+      |  FROM e),
+      |g AS (
+      |  SELECT event_type, bucket, rn, cxx, cxy, cyy,
+      |    CASE WHEN rn > 2 AND cxx > 0.0 THEN cxy / cxx END AS beta
+      |  FROM f),
+      |h AS (
+      |  SELECT event_type, bucket, rn, cxx, beta,
+      |    greatest(cyy - beta * cxy, 0.0) AS sse
+      |  FROM g),
+      |i AS (
+      |  SELECT event_type, bucket, rn, beta,
+      |    CASE WHEN beta IS NOT NULL
+      |      THEN sqrt((sse / (CAST(rn AS DOUBLE) - 2.0)) / cxx) END AS se
+      |  FROM h),
+      |j AS (
+      |  SELECT event_type, bucket, rn, beta,
+      |    CASE WHEN se > 0.0 THEN beta / se END AS df_stat
+      |  FROM i),
+      |k AS (
+      |  SELECT event_type, bucket, rn, beta, df_stat,
+      |    CASE WHEN beta IS NOT NULL THEN beta < 0.0 AND beta > -1.0 END AS mean_reverting
+      |  FROM j),
+      |l AS (
+      |  SELECT event_type, bucket, rn, beta, df_stat, mean_reverting,
+      |    CASE WHEN mean_reverting THEN -ln(1.0 + beta) END AS kappa
+      |  FROM k)
+      |SELECT event_type AS series, epoch_ms(bucket) AS bucket_ms,
+      |  CAST(rn AS BIGINT) AS n_obs,
+      |  round(beta, 6) AS beta, round(df_stat, 6) AS df_stat,
+      |  CASE WHEN df_stat IS NOT NULL THEN df_stat < -2.86 END AS stationary,
+      |  mean_reverting,
+      |  round(kappa, 6) AS kappa,
+      |  round(CASE WHEN kappa > 0.0 THEN ln(2.0) / kappa END, 6) AS halflife_bars
+      |FROM l
+      |ORDER BY series, bucket_ms""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "st06_stream_adf" -> st06,
     "st05_stream_quality" -> st05,
     "st01_window_agg" -> st01,
     "st02_stream_dedup" -> st02,
@@ -437,6 +533,7 @@ object StreamOps {
     "st04_stream_topk" -> st04)
 
   val oracle: Map[String, String] = Map(
+    "st06_stream_adf" -> st06Sql,
     "st05_stream_quality" -> st05Sql,
     "st01_window_agg" -> st01Sql,
     "st02_stream_dedup" -> st02Sql,
@@ -1368,6 +1465,60 @@ object StreamOps {
     * state per key; same arrival-order contract as [[streamingWma]].
     * The spec asserts bit-exact equality against a first-principles
     * driver-side fold and pins the alarm row on a hand-built drift. */
+  /** Batch [[graft.ops.EconOps.adfTrajectoryOf]] run CONTINUOUSLY —
+    * the st06 streaming econometric monitor: per key the state is the
+    * previous close plus the five running OLS sums (O(1), independent
+    * of stream length — Δxₜ = α + β·xₜ₋₁ needs only associative
+    * prefix sums), and each arriving bar emits the DF(0) t-stat,
+    * stationarity verdict, and OU mean-reversion half-life over
+    * everything seen so far. The per-row arithmetic is the identical
+    * IEEE op sequence as the batch cumulative-window chain, so
+    * streaming == batch BIT-FOR-BIT (StreamTwin9Spec). First bar per
+    * key emits nothing (no lag pair). Same arrival-order contract as
+    * [[streamingWma]]. */
+  def streamingAdfMonitor(bars: Dataset[BollEvent],
+                          crit: Double = -2.86): Dataset[AdfMonOut] = {
+    import bars.sparkSession.implicits._
+    bars
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[AdfMonState, AdfMonOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[BollEvent], state: GroupState[AdfMonState]) =>
+          var st = state.getOption.getOrElse(AdfMonState(None, 0L, 0.0, 0.0, 0.0, 0.0, 0.0))
+          val out = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).flatMap { e =>
+            st.prevClose match {
+              case None =>
+                st = st.copy(prevClose = Some(e.value)); None
+              case Some(xl) =>
+                val dy = e.value - xl
+                st = AdfMonState(Some(e.value), st.n + 1, st.sx + xl, st.sy + dy,
+                  st.sxy + xl * dy, st.sx2 + xl * xl, st.sy2 + dy * dy)
+                val nD = st.n.toDouble
+                val cxx = st.sx2 - st.sx * st.sx / nD
+                val cxy = st.sxy - st.sx * st.sy / nD
+                val cyy = st.sy2 - st.sy * st.sy / nD
+                val beta = if (st.n > 2 && cxx > 0.0) Some(cxy / cxx) else None
+                val se = beta.map { b =>
+                  val sse = math.max(cyy - b * cxy, 0.0)
+                  math.sqrt((sse / (nD - 2.0)) / cxx)
+                }
+                val df = se.collect { case s if s > 0.0 => beta.get / s }
+                val stat = df.map(_ < crit)
+                val mr = beta.map(b => b < 0.0 && b > -1.0)
+                // StrictMath: Catalyst's Log expression evaluates via
+                // StrictMath.log — Math.log may differ by 1 ulp on some
+                // JVMs, and the twin contract is BIT equality
+                val kappa = mr.collect { case true => -StrictMath.log(1.0 + beta.get) }
+                val hl = kappa.collect { case k if k > 0.0 => StrictMath.log(2.0) / k }
+                Some(AdfMonOut(key, e.event_id, e.ts.getTime, st.n,
+                  beta, df, stat, mr, kappa, hl))
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   def streamingCusum(events: Dataset[BollEvent], target: Double,
                      slack: Double, h: Double): Dataset[CusumOut] = {
     require(slack >= 0, s"slack must be >= 0, got $slack")

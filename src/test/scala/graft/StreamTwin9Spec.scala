@@ -84,6 +84,36 @@ class StreamTwin9Spec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingAdfMonitor == batch adfTrajectory across a micro-batch split") {
+    import org.apache.spark.sql.functions.col
+    def optB(r: Row, i: Int): Option[Boolean] =
+      if (r.isNullAt(i)) None else Some(r.getBoolean(i))
+    val events = wavyBars.zipWithIndex.map { case (b, i) =>
+      BollEvent(b.event_type, i.toLong, b.ts, b.close) }
+    val batch = graft.ops.EconOps.adfTrajectoryOf(
+        events.toDF().select(col("event_type"), col("ts"), col("value").as("close")),
+        "event_type", "ts", "close")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime) ->
+        (r.getInt(2).toLong, optD(r, 3), optD(r, 4), optB(r, 5), optB(r, 6),
+          optD(r, 7), optD(r, 8))).toMap
+    assert(batch.values.exists(_._7.isDefined),
+      "the sine series must mean-revert into a defined half-life somewhere")
+    assert(batch.values.exists(_._2.isEmpty), "warmup rows carry null fits")
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[BollEvent]
+    val q = StreamOps.streamingAdfMonitor(input.toDS())
+      .writeStream.format("memory").queryName("st_adfmon").outputMode("append").start()
+    try {
+      input.addData(events.take(43)); q.processAllAvailable()
+      input.addData(events.drop(43)); q.processAllAvailable()
+      val streamed = spark.table("st_adfmon")
+        .collect().map(r => (r.getString(0), r.getLong(2)) ->
+          (r.getLong(3), optD(r, 4), optD(r, 5), optB(r, 6), optB(r, 7),
+            optD(r, 8), optD(r, 9))).toMap
+      assert(streamed == batch, "continuous ADF/OU monitor must be bit-equal to batch")
+    } finally q.stop()
+  }
+
   test("streamingHolt == batch holt across a micro-batch split") {
     val events = wavyBars.zipWithIndex.map { case (b, i) =>
       BollEvent(b.event_type, i.toLong, b.ts, b.close) }
