@@ -147,6 +147,43 @@ object GraftTvfs {
         strArg("graft_wma", a, 1), strArg("graft_wma", a, 2),
         strArg("graft_wma", a, 3), strArg("graft_wma", a, 4),
         numArg("graft_wma", a, 5).toInt)
+    },
+
+    // SELECT * FROM graft_ann_ivf('corpus', 'queries', 'centroids',
+    //                             'vec_id', 'v', 'vec_id', 'v', 10, 2)
+    tvf("graft_ann_ivf") { a =>
+      graft.Graft.annIvf(table(strArg("graft_ann_ivf", a, 0)),
+        table(strArg("graft_ann_ivf", a, 1)),
+        table(strArg("graft_ann_ivf", a, 2)),
+        strArg("graft_ann_ivf", a, 3), strArg("graft_ann_ivf", a, 4),
+        strArg("graft_ann_ivf", a, 5), strArg("graft_ann_ivf", a, 6),
+        numArg("graft_ann_ivf", a, 7).toInt,
+        if (a.length > 8) numArg("graft_ann_ivf", a, 8).toInt else 2)
+    },
+
+    // SELECT * FROM graft_ann_graph('corpus', 'queries', 'anchors',
+    //                               'vec_id', 'v', 10, 8, 4, 3)
+    // (r builds the knnGraph inline; beam/hops drive the search)
+    tvf("graft_ann_graph") { a =>
+      val corpus = table(strArg("graft_ann_graph", a, 0))
+      val anchors = table(strArg("graft_ann_graph", a, 2))
+      val id = strArg("graft_ann_graph", a, 3)
+      val vec = strArg("graft_ann_graph", a, 4)
+      val edges = graft.Graft.knnGraph(corpus, anchors, id, vec, id, vec,
+        r = if (a.length > 6) numArg("graft_ann_graph", a, 6).toInt else 8)
+      graft.Graft.annGraph(corpus, table(strArg("graft_ann_graph", a, 1)),
+        anchors, edges, id, vec,
+        k = numArg("graft_ann_graph", a, 5).toInt,
+        beam = if (a.length > 7) numArg("graft_ann_graph", a, 7).toInt else 4,
+        hops = if (a.length > 8) numArg("graft_ann_graph", a, 8).toInt else 3)
+    },
+
+    // SELECT * FROM graft_decontaminate('train', 'bench', 'doc_id', 'text', 8)
+    tvf("graft_decontaminate") { a =>
+      graft.Graft.decontaminate(table(strArg("graft_decontaminate", a, 0)),
+        table(strArg("graft_decontaminate", a, 1)),
+        strArg("graft_decontaminate", a, 2), strArg("graft_decontaminate", a, 3),
+        if (a.length > 4) numArg("graft_decontaminate", a, 4).toInt else 8)
     })
 
   def register(ext: SparkSessionExtensions): Unit =

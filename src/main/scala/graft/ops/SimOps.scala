@@ -1158,8 +1158,14 @@ object SimOps {
     * consumers (centroids, cells, brute) — no cross-side recompute of
     * the k-means chain; the hits table likewise (it feeds the output
     * AND the recall join). */
-  private val p04: Q = (s, dir) => {
-    val all = vecs(s, dir)
+  private val p04: Q = (s, dir) => retrievalPipelineOf(vecs(s, dir))
+
+  /** The p04 retrieval pipeline over ANY (vec_id, v) corpus frame —
+    * extracted so the storage layer can be wired underneath it
+    * (StorageWiringSpec runs it over a z-ordered parquet corpus and
+    * asserts the output is hash-identical to the plain layout while
+    * the id-sliced scans prune). */
+  def retrievalPipelineOf(all: DataFrame): DataFrame = {
     val sv = all.join(
         semDedupOf(all, "vec_id", "v", dims = 64, k = 8, iters = 2, threshold = 0.45)
           .filter(col("is_kept")).select("vec_id"),

@@ -110,6 +110,40 @@ class TvfSpec extends SparkSpec {
     assert(wm.nonEmpty && wm == wmApi)
   }
 
+  test("graft_ann_ivf / graft_ann_graph / graft_decontaminate equal their facades") {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), F.asDouble(col("embedding")).as("v"))
+    emb.createOrReplaceTempView("tvf_emb")
+    emb.filter(col("vec_id") < 5).createOrReplaceTempView("tvf_q")
+    emb.filter(col("vec_id") % 64 === 0).createOrReplaceTempView("tvf_anchors")
+    val ivfSql = spark.sql(
+      "SELECT * FROM graft_ann_ivf('tvf_emb', 'tvf_q', 'tvf_anchors', 'vec_id', 'v', 'vec_id', 'v', 10, 2)")
+      .orderBy("q_id", "rank").collect().toSeq
+    val ivfApi = Graft.annIvf(emb, emb.filter(col("vec_id") < 5),
+        emb.filter(col("vec_id") % 64 === 0), "vec_id", "v", "vec_id", "v", 10, 2)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(ivfSql.nonEmpty && ivfSql == ivfApi)
+    val gSql = spark.sql(
+      "SELECT * FROM graft_ann_graph('tvf_emb', 'tvf_q', 'tvf_anchors', 'vec_id', 'v', 10)")
+      .orderBy("q_id", "rank").collect().toSeq
+    val anchors = emb.filter(col("vec_id") % 64 === 0)
+    val gApi = Graft.annGraph(emb, emb.filter(col("vec_id") < 5), anchors,
+        Graft.knnGraph(emb, anchors, "vec_id", "v", "vec_id", "v", r = 8),
+        "vec_id", "v", 10)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(gSql.nonEmpty && gSql == gApi)
+    val docs = Tables.t(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    docs.filter(col("doc_id") % 10 =!= 0).createOrReplaceTempView("tvf_train")
+    docs.filter(col("doc_id") % 10 === 0).createOrReplaceTempView("tvf_bench")
+    val dSql = spark.sql(
+      "SELECT * FROM graft_decontaminate('tvf_train', 'tvf_bench', 'doc_id', 'text', 8)")
+      .orderBy("doc_id").collect().toSeq
+    val dApi = Graft.decontaminate(docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", 8)
+      .orderBy("doc_id").collect().toSeq
+    assert(dSql.nonEmpty && dSql == dApi)
+  }
+
   test("TVF plans are transparent to Catalyst: outer filter reaches the scan") {
     events.createOrReplaceTempView("tvf_events")
     val q = spark.sql(
