@@ -361,8 +361,10 @@ object SimOps {
       .orderBy("q_id", "rank")
   }
 
-  private val s20Sql: String = {
-    val r = 8; val beam = 4; val hops = 3
+  /** The CTE chain shared by s20/s21's oracles: graph build + beam
+    * search at (r, beam, hops), ending at `allsc` = every scored
+    * (q_id, vec_id, cos). Callers append their own final SELECT. */
+  private def graphSearchCtes(r: Int, beam: Int, hops: Int): String = {
     val head =
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |cents AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % 64 = 0),
@@ -404,15 +406,78 @@ object SimOps {
          |  WHERE rn <= $beam)""".stripMargin
     }
     val allScored = (0 to hops).map(i => s"SELECT q_id, vec_id, cos FROM s$i").mkString(" UNION ALL ")
-    val tail =
-      s"""allsc AS ($allScored),
-         |r AS (SELECT q_id, vec_id, cos,
-         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
-         |  FROM allsc WHERE vec_id <> q_id)
-         |SELECT q_id, rank, vec_id, round(cos, 6) AS cos_sim
-         |FROM r WHERE rank <= $K
-         |ORDER BY q_id, rank""".stripMargin
-    (Seq(head) ++ hopCtes :+ tail).mkString(",\n")
+    (Seq(head) ++ hopCtes :+ s"allsc AS ($allScored)").mkString(",\n")
+  }
+
+  private val s20Sql: String =
+    graphSearchCtes(r = 8, beam = 4, hops = 3) + s""",
+r AS (SELECT q_id, vec_id, cos,
+    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+  FROM allsc WHERE vec_id <> q_id)
+SELECT q_id, rank, vec_id, round(cos, 6) AS cos_sim
+FROM r WHERE rank <= $K
+ORDER BY q_id, rank"""
+
+  /** #26x the graph-ANN BUDGET/RECALL FRONTIER as an oracle-checked
+    * artifact (the eval s05 runs for IVF, run across the beam-search
+    * depth axis): for hops ∈ {1,2,3} over the SAME s20 graph, one row
+    * (hops, n_queries, total_scored, hits, recall_at_10) where
+    * total_scored is the exact candidate budget the search paid and
+    * hits counts agreement with the brute-force top-10. This turns
+    * GraphAnnSpec's measured claim — recall grows with hops while the
+    * budget stays a corpus-independent constant per query — into a
+    * hash-proven gate row. Integer counts + one int/int division, so
+    * every cell is bit-stable at any parallelism. */
+  private val s21: Q = (s, dir) => {
+    val all = vecs(s, dir)
+    val anchors = all.filter(pmod(col("vec_id"), lit(64)) === 0)
+    val edges = knnGraphOf(all, anchors, "vec_id", "v", "vec_id", "v",
+      r = 8, cellProbes = 2, descentRounds = 1).localCheckpoint(eager = false)
+    val q = all.filter(col("vec_id") < 5)
+    val brute = graft.Graft.knnBrute(all, q, "vec_id", "v", K)
+      .select(col("q_id"), col("vec_id")).localCheckpoint(eager = false)
+    (1 to 3).map { h =>
+      val scored = graphAnnOf(all, q, anchors, edges, "vec_id", "v",
+        k = Int.MaxValue, beam = 4, hops = h)
+      val bud = scored.groupBy(col("q_id")).agg(count(lit(1)).as("__scored"))
+        .agg(count(lit(1)).as("n_queries"), sum(col("__scored")).as("total_scored"))
+      val hits = brute
+        .join(scored.filter(col("rank") <= K).select(col("q_id"), col("vec_id")),
+          Seq("q_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      bud.crossJoin(hits).select(lit(h).as("hops"), col("n_queries"),
+        col("total_scored"), col("hits"),
+        r6(col("hits") / (col("n_queries") * K).cast("double")).as("recall_at_10"))
+    }.reduce(_ unionByName _).orderBy("hops")
+  }
+
+  private val s21Sql: String = {
+    // the beam chain is PREFIX-INVARIANT: the scored set after hop h
+    // does not depend on later hops, so ONE chain to hops=3 serves all
+    // three frontier points — arm h reads s0..s_h only.
+    def arm(h: Int): String = {
+      val scoredH = (0 to h).map(i => s"SELECT q_id, vec_id, cos FROM s$i").mkString(" UNION ALL ")
+      s"""filt$h AS (SELECT q_id, vec_id, cos FROM ($scoredH) WHERE vec_id <> q_id),
+         |topk$h AS (SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+         |    FROM filt$h) WHERE rn <= $K),
+         |hc$h AS (SELECT count(*) AS hits FROM brute b JOIN topk$h t
+         |    ON b.q_id = t.q_id AND b.vec_id = t.vec_id),
+         |bud$h AS (SELECT count(DISTINCT q_id) AS n_queries, count(*) AS total_scored FROM filt$h)""".stripMargin
+    }
+    def row(h: Int): String =
+      s"""SELECT $h AS hops, CAST(n_queries AS BIGINT) AS n_queries,
+         |  CAST(total_scored AS BIGINT) AS total_scored, CAST(hits AS BIGINT) AS hits,
+         |  round(hits / CAST(n_queries * $K AS DOUBLE), 6) AS recall_at_10
+         |FROM bud$h, hc$h""".stripMargin
+    s"""${graphSearchCtes(r = 8, beam = 4, hops = 3)},
+       |brute AS (SELECT q_id, vec_id FROM (
+       |    SELECT q.q_id, e.vec_id,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY ${duckCos("qv", "v")} DESC, e.vec_id) AS rn
+       |    FROM q JOIN e ON e.vec_id <> q.q_id) WHERE rn <= $K),
+       |${(1 to 3).map(arm).mkString(",\n")}
+       |SELECT * FROM (${(1 to 3).map(row).mkString(" UNION ALL ")})
+       |ORDER BY hops""".stripMargin
   }
 
   private val s03Sql =
@@ -2256,7 +2321,8 @@ object SimOps {
     "s03_ann_lsh" -> s03,
     "s04_kmeans" -> s04,
     "s05_ann_recall" -> s05,
-    "s20_ann_graph" -> s20)
+    "s20_ann_graph" -> s20,
+    "s21_recall_frontier" -> s21)
 
   val oracle: Map[String, String] = Map(
     "s15_range_search" -> s15Sql,
@@ -2280,5 +2346,6 @@ object SimOps {
     "s03_ann_lsh" -> s03Sql,
     "s04_kmeans" -> s04Sql,
     "s05_ann_recall" -> s05Sql,
-    "s20_ann_graph" -> s20Sql)
+    "s20_ann_graph" -> s20Sql,
+    "s21_recall_frontier" -> s21Sql)
 }
