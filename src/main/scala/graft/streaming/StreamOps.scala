@@ -263,6 +263,59 @@ object StreamOps {
       |GROUP BY 1, 2
       |ORDER BY bucket_ms, event_type""".stripMargin
 
+  /** NATIVE gap-session aggregation — Spark's `session_window` operator
+    * (the engine-managed counterpart of the hand-rolled q14 islands scan
+    * and the flatMapGroupsWithState [[streamingSessionize]]): per user,
+    * a session extends while consecutive events arrive < 30 min apart
+    * and its window ends at last-event-ts + gap. At the exact boundary
+    * session_window MERGES (an event landing ON the open session's end
+    * extends it; splits are strictly diff > gap — q14's rule, pinned in
+    * Round13Spec), so the oracle's islands scan uses `>` like q14's.
+    * Shared batch/streaming: on a stream the SAME plan runs under a
+    * watermark in append mode and each session emits exactly once,
+    * when the watermark passes its end (state is merged per key by the
+    * engine — O(open sessions), not O(events)). One shuffle on
+    * user_id; at 100 TB the state store holds only open sessions. */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), col("ts"), col("value"))
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_raw"))
+
+  /** Presentation projection for [[sessionAgg]] (epoch-ms bounds). */
+  def sessionAggOut(agg: DataFrame): DataFrame =
+    agg.select(col("user_id"),
+      unix_millis(col("session_window.start")).as("start_ms"),
+      unix_millis(col("session_window.end")).as("end_ms"),
+      col("n_events"), r4(col("total_raw")).as("total_value"))
+
+  /** #35g batch-equivalent entry: native session windows over the
+    * events table. Streaming equivalence (watermark + append-mode
+    * memory sink, sentinel-flushed) is proven in Round13Spec with the
+    * same [[sessionAgg]] plan. */
+  private val st07: Q = (s, dir) =>
+    sessionAggOut(sessionAgg(t(s, dir, "events"))).orderBy("user_id", "start_ms")
+
+  private val st07Sql =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |f AS (
+      |  SELECT *, CASE WHEN prev_ts IS NULL
+      |      OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000 THEN 1 ELSE 0 END AS new_s
+      |  FROM e),
+      |s AS (
+      |  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+      |  FROM f)
+      |SELECT user_id, epoch_ms(min(ts)) AS start_ms,
+      |  epoch_ms(max(ts)) + 1800000 AS end_ms,
+      |  count(*) AS n_events, round(sum(value), 4) AS total_value
+      |FROM s
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, start_ms""".stripMargin
+
   /** Streaming dedup: first arrival per (user_id, event_type, minute)
     * wins, state bounded by the watermark. */
   def streamingDedup(events: DataFrame): DataFrame =
@@ -526,6 +579,7 @@ object StreamOps {
 
   val queries: Map[String, Q] = Map(
     "st06_stream_adf" -> st06,
+    "st07_stream_sessions" -> st07,
     "st05_stream_quality" -> st05,
     "st01_window_agg" -> st01,
     "st02_stream_dedup" -> st02,
@@ -534,6 +588,7 @@ object StreamOps {
 
   val oracle: Map[String, String] = Map(
     "st06_stream_adf" -> st06Sql,
+    "st07_stream_sessions" -> st07Sql,
     "st05_stream_quality" -> st05Sql,
     "st01_window_agg" -> st01Sql,
     "st02_stream_dedup" -> st02Sql,

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 /** Round-13 contract pins: the legacy (pre-batch_id) gram-store
@@ -11,6 +12,49 @@ import org.apache.spark.sql.functions._
   * the store in the new partitioned layout. */
 class Round13Spec extends SparkSpec {
   import spark.implicits._
+
+  private def ts(minute: Int) = new java.sql.Timestamp(1700000000000L + minute * 60000L)
+
+  test("st07 native session_window: streaming (watermark + append sink) == batch") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Ev]
+    // user 1: events at 0/5 min (one session), then 125 (a second);
+    // user 2: 61/62 (one); user 3: 126 (one) — 5 sessions total
+    val rows = Seq(
+      Ev(1, 1, "click", ts(0), 1.0), Ev(2, 1, "click", ts(5), 2.0),
+      Ev(3, 2, "view", ts(61), 3.0), Ev(4, 2, "view", ts(62), 4.0),
+      Ev(5, 1, "click", ts(125), 5.0), Ev(6, 3, "purchase", ts(126), 6.0))
+    val q = streaming.StreamOps.sessionAgg(
+        input.toDF().withWatermark("ts", "2 hours"))
+      .writeStream.format("memory").queryName("st07_out").outputMode("append").start()
+    try {
+      input.addData(rows.take(3)); q.processAllAvailable()
+      input.addData(rows.drop(3)); q.processAllAvailable()
+      // sentinel far in the future flushes every real session; its own
+      // session stays pending and never emits in append mode
+      input.addData(Seq(Ev(999, 9, "flush", ts(100000), 0.0)))
+      q.processAllAvailable()
+      val out = streaming.StreamOps.sessionAggOut(spark.table("st07_out"))
+        .orderBy("user_id", "start_ms").collect().toSeq
+      val batch = streaming.StreamOps.sessionAggOut(
+          streaming.StreamOps.sessionAgg(rows.toDF()))
+        .orderBy("user_id", "start_ms").collect().toSeq
+      assert(out == batch)
+      assert(batch.size == 4, s"expected 4 sessions, got $batch")
+    } finally q.stop()
+  }
+
+  test("st07 merges at exactly gap (session_window splits strictly > gap, q14's rule)") {
+    // two events exactly 30 min apart: the second lands ON the open
+    // session's end and MERGES — one session ending 30 min after it
+    val rows = Seq(Ev(1, 1, "a", ts(0), 1.0), Ev(2, 1, "a", ts(30), 2.0))
+    val out = streaming.StreamOps.sessionAggOut(
+        streaming.StreamOps.sessionAgg(rows.toDF()))
+      .orderBy("start_ms").collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("n_events") == 2L)
+    assert(out(0).getAs[Long]("end_ms") == ts(60).getTime)
+  }
 
   test("streamingNgramNovelty migrates a legacy flat gram store in place") {
     val base = java.nio.file.Files.createTempDirectory("graft_legacy_").toString
