@@ -480,6 +480,85 @@ ORDER BY q_id, rank"""
        |ORDER BY hops""".stripMargin
   }
 
+  /** #26y MMR diversified re-ranking (Carbonell & Goldstein 1998) —
+    * the retrieval-quality stage between ANN search and the user: from
+    * each query's VERIFIED brute-force top-20, greedily select K docs
+    * maximizing λ·rel(d) − (1−λ)·max_{s∈selected} cos(d, s) with
+    * λ = 0.7, ties by vec_id (the first pick is pure argmax rel — the
+    * second term has no support yet). The scale split: candidate
+    * generation is the corpus-scaled, broadcast-query s01 path; the
+    * greedy re-rank then runs on BOUNDED per-query sets (20 candidates)
+    * as K−1 unrolled relational rounds (anti-join the picked set →
+    * max-sim against it → window argmax), each a tiny joins-on-20-rows
+    * stage localCheckpoint'd so the plan doesn't deepen quadratically —
+    * the kmeans/BPE bounded-iteration contract, never a driver-side
+    * collect. Every cosine is the same native `graft_cosine` the
+    * oracle replays via the three-accumulator seqCosine; scores
+    * combine in one fixed expression (0.7·rel − 0.3·maxsim) both
+    * sides, so all K selections are hash-proven. */
+  private val s22: Q = (s, dir) => {
+    val all = vecs(s, dir)
+    val n = 20
+    val cand = graft.Graft.knnBrute(all, all.filter(col("vec_id") < 5), "vec_id", "v", n)
+      .select(col("q_id"), col("vec_id"), col("cos_sim").as("rel"))
+      .join(all, Seq("vec_id"))
+      .select(col("q_id"), col("vec_id"), col("rel"), col("v"))
+      .localCheckpoint(eager = false)
+    val wPick = Window.partitionBy(col("q_id"))
+      .orderBy(col("__score").desc, col("vec_id"))
+    def pick(scored: DataFrame, round: Int): DataFrame =
+      scored.withColumn("__rn", row_number().over(wPick))
+        .filter(col("__rn") === 1)
+        .select(col("q_id"), lit(round.toLong).as("round"), col("vec_id"),
+          col("rel"), col("__score").as("mmr_score"), col("v"))
+    var acc = pick(cand.withColumn("__score", lit(0.7) * col("rel")), 1)
+      .localCheckpoint(eager = false)
+    for (t <- 2 to K) {
+      val rem = cand.join(acc.select(col("q_id"), col("vec_id")),
+        Seq("q_id", "vec_id"), "left_anti")
+      val ms = rem.select(col("q_id"), col("vec_id"), col("v"))
+        .join(acc.select(col("q_id"), col("v").as("__sv")), Seq("q_id"))
+        .select(col("q_id"), col("vec_id"), expr("graft_cosine(v, __sv)").as("__sim"))
+        .groupBy(col("q_id"), col("vec_id")).agg(max(col("__sim")).as("__maxsim"))
+      val scored = rem.join(ms, Seq("q_id", "vec_id"))
+        .withColumn("__score", lit(0.7) * col("rel") - lit(0.3) * col("__maxsim"))
+      acc = acc.unionByName(pick(scored, t)).localCheckpoint(eager = false)
+    }
+    acc.select(col("q_id"), col("round"), col("vec_id"),
+        r6(col("mmr_score")).as("mmr_score"), r6(col("rel")).as("rel"))
+      .orderBy("q_id", "round")
+  }
+
+  private val s22Sql: String = {
+    def round(t: Int): String =
+      s"""rem$t AS (SELECT c.* FROM cand c LEFT JOIN acc${t - 1} a
+         |    ON c.q_id = a.q_id AND c.vec_id = a.vec_id WHERE a.vec_id IS NULL),
+         |ms$t AS (SELECT r.q_id, r.vec_id, max(${graft.OracleSql.seqCosine("r.v", "a.v", 64)}) AS maxsim
+         |  FROM rem$t r JOIN acc${t - 1} a ON r.q_id = a.q_id GROUP BY r.q_id, r.vec_id),
+         |sc$t AS (SELECT r.q_id, r.vec_id, r.rel, r.v,
+         |    0.7 * r.rel - 0.3 * m.maxsim AS score
+         |  FROM rem$t r JOIN ms$t m ON r.q_id = m.q_id AND r.vec_id = m.vec_id),
+         |sel$t AS (SELECT q_id, $t AS round, vec_id, rel, score AS mmr_score, v FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+         |    FROM sc$t) WHERE rn = 1),
+         |acc$t AS MATERIALIZED (SELECT * FROM acc${t - 1} UNION ALL SELECT * FROM sel$t)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+       |c0 AS (SELECT q.q_id, e.vec_id, ${duckCos("qv", "v")} AS rel, e.v
+       |  FROM q JOIN e ON e.vec_id <> q.q_id),
+       |cand AS MATERIALIZED (SELECT q_id, vec_id, rel, v FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, vec_id) AS rn
+       |    FROM c0) WHERE rn <= 20),
+       |acc1 AS MATERIALIZED (SELECT q_id, 1 AS round, vec_id, rel, 0.7 * rel AS mmr_score, v FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY 0.7 * rel DESC, vec_id) AS rn
+       |    FROM cand) WHERE rn = 1),
+       |${(2 to K).map(round).mkString(",\n")}
+       |SELECT q_id, CAST(round AS BIGINT) AS round, vec_id,
+       |  round(mmr_score, 6) AS mmr_score, round(rel, 6) AS rel
+       |FROM acc$K
+       |ORDER BY q_id, round""".stripMargin
+  }
+
   private val s03Sql =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |sk AS (SELECT vec_id, v, ${DedupOps.sketchDuck} AS sketch FROM e),
@@ -2322,7 +2401,8 @@ ORDER BY q_id, rank"""
     "s04_kmeans" -> s04,
     "s05_ann_recall" -> s05,
     "s20_ann_graph" -> s20,
-    "s21_recall_frontier" -> s21)
+    "s21_recall_frontier" -> s21,
+    "s22_mmr_diversify" -> s22)
 
   val oracle: Map[String, String] = Map(
     "s15_range_search" -> s15Sql,
@@ -2347,5 +2427,6 @@ ORDER BY q_id, rank"""
     "s04_kmeans" -> s04Sql,
     "s05_ann_recall" -> s05Sql,
     "s20_ann_graph" -> s20Sql,
-    "s21_recall_frontier" -> s21Sql)
+    "s21_recall_frontier" -> s21Sql,
+    "s22_mmr_diversify" -> s22Sql)
 }

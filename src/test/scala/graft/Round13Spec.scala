@@ -56,6 +56,46 @@ class Round13Spec extends SparkSpec {
     assert(out(0).getAs[Long]("end_ms") == ts(60).getTime)
   }
 
+  test("s22 MMR: selected set is less self-similar than plain top-k, rel order sane") {
+    val dir = "/root/testdata/sf0.001"
+    val mmr = SparkEntry.queries("s22_mmr_diversify")(spark, dir)
+      .select("q_id", "round", "vec_id", "rel").collect()
+    assert(mmr.length == 50)
+    // round 1 is the pure-relevance argmax == brute rank 1
+    val brute = SparkEntry.queries("s01_knn_bruteforce")(spark, dir)
+      .filter(col("rank") === 1).select("q_id", "vec_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    mmr.filter(_.getLong(1) == 1L).foreach { r =>
+      assert(brute(r.getLong(0)) == r.getLong(2), s"round-1 pick must be top-1: $r")
+    }
+    // diversification: mean pairwise cosine among the 10 selected is
+    // strictly below that of the brute top-10, for at least one query
+    // (and never above for any query by more than noise)
+    val all = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS array<double>) AS v")
+    def meanPairSim(sets: Map[Long, Seq[Long]]): Map[Long, Double] = {
+      val vs = all.filter(col("vec_id").isin(sets.values.flatten.toSeq.distinct: _*))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      sets.map { case (q, ids) =>
+        val ps = for { a <- ids; b <- ids if a < b } yield {
+          val (x, y) = (vs(a), vs(b))
+          val dot = x.zip(y).map { case (p, r) => p * r }.sum
+          dot / (math.sqrt(x.map(p => p * p).sum) * math.sqrt(y.map(p => p * p).sum))
+        }
+        q -> ps.sum / ps.size
+      }
+    }
+    val mmrSets = mmr.groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSeq }
+    val bruteSets = SparkEntry.queries("s01_knn_bruteforce")(spark, dir)
+      .select("q_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSeq }
+    val (ms, bs) = (meanPairSim(mmrSets), meanPairSim(bruteSets))
+    assert(ms.keys.forall(q => ms(q) <= bs(q) + 1e-9),
+      s"MMR must never be MORE self-similar: $ms vs $bs")
+    assert(ms.exists { case (q, v) => v < bs(q) - 1e-6 },
+      s"MMR must diversify at least one query: $ms vs $bs")
+  }
+
   test("streamingNgramNovelty migrates a legacy flat gram store in place") {
     val base = java.nio.file.Files.createTempDirectory("graft_legacy_").toString
     try {
