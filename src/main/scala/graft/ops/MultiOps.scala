@@ -468,7 +468,96 @@ object MultiOps {
       |FROM wn w ASOF LEFT JOIN fr f ON w.doc_id = f.doc_id AND w.pos >= f.pos
       |ORDER BY w.doc_id, w.win_idx""".stripMargin
 
+  /** Signal-quality stats for an opaque PCM-8-like payload column —
+    * the audio QC filter a training pipeline runs before decode (the
+    * m02 contract: the codec is stubbed, payload bytes stand in for
+    * 8-bit samples; the Spark plumbing is real): per payload,
+    * DC offset (mean sample − 128), dynamic range (max − min),
+    * longest same-byte run (digital-silence / stuck-sample proxy),
+    * clip ratio (fraction of samples AT the payload's own extremes),
+    * and a pass verdict. One posexplode fans bytes out map-side with
+    * positions; runs are an islands scan per payload (lag → cumsum →
+    * run length); every stat is integer math or a single int/int
+    * division ⇒ bit-stable at any parallelism. Windows partition by
+    * payload id — per-doc state, never corpus-wide. */
+  def signalQualityOf(df: DataFrame, idCol: String, payloadCol: String,
+                      maxRun: Int = 32, minRange: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val po = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val cum = po.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val b = df.select(col(idCol),
+        posexplode(expr(s"regexp_extract_all(hex($payloadCol), '..', 0)"))
+          .as(Seq("pos", "hexb")))
+      .withColumn("bv", conv(col("hexb"), 16, 10).cast("long"))
+      .withColumn("__new", (col("bv") =!= lag(col("bv"), 1, -1L).over(po)).cast("long"))
+      .withColumn("__run", sum(col("__new")).over(cum))
+    val runs = b.groupBy(col(idCol), col("__run")).agg(count(lit(1)).as("__rl"))
+      .groupBy(col(idCol)).agg(max(col("__rl")).as("longest_run"))
+    val stats = b.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_bytes"), sum(col("bv")).as("__s"),
+      min(col("bv")).as("__mn"), max(col("bv")).as("__mx"))
+    val clip = b.join(stats.select(col(idCol), col("__mn"), col("__mx")), Seq(idCol))
+      .groupBy(col(idCol))
+      .agg(sum((col("bv") === col("__mn") || col("bv") === col("__mx"))
+        .cast("long")).as("__nclip"))
+    stats.join(runs, Seq(idCol)).join(clip, Seq(idCol))
+      .select(col(idCol), col("n_bytes"),
+        (col("__s").cast("double") / col("n_bytes").cast("double") - lit(128.0))
+          .as("dc_offset"),
+        (col("__mx") - col("__mn")).as("dyn_range"), col("longest_run"),
+        (col("__nclip").cast("double") / col("n_bytes").cast("double")).as("clip_ratio"),
+        (col("longest_run") <= maxRun && col("__mx") - col("__mn") >= minRange)
+          .as("passed"))
+  }
+
+  /** #m10 the audio-QC gate over the documents payloads. */
+  private val m10: Q = (s, dir) =>
+    signalQualityOf(
+      t(s, dir, "documents").withColumn("payload", col("text").cast("binary")),
+      "doc_id", "payload")
+      .select(col("doc_id"), col("n_bytes"), r4(col("dc_offset")).as("dc_offset"),
+        col("dyn_range"), col("longest_run"),
+        r6(col("clip_ratio")).as("clip_ratio"), col("passed"))
+      .orderBy("doc_id")
+
+  private val m10Sql =
+    """WITH b AS (
+      |  SELECT doc_id, i AS pos,
+      |    (strpos('0123456789ABCDEF', substr(hexs, CAST(i * 2 + 1 AS INTEGER), 1)) - 1) * 16
+      |    + strpos('0123456789ABCDEF', substr(hexs, CAST(i * 2 + 2 AS INTEGER), 1)) - 1 AS bv
+      |  FROM (SELECT doc_id, hex(encode(text)) AS hexs FROM documents),
+      |    LATERAL (SELECT unnest(generate_series(0, length(hexs) // 2 - 1)) AS i)),
+      |r AS (
+      |  SELECT doc_id, pos, bv,
+      |    CASE WHEN bv = lag(bv, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+      |      THEN 0 ELSE 1 END AS new_r
+      |  FROM b),
+      |ri AS (
+      |  SELECT doc_id, bv,
+      |    sum(new_r) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+      |  FROM r),
+      |rl AS (SELECT doc_id, CAST(max(rl) AS BIGINT) AS longest_run FROM (
+      |    SELECT doc_id, run_id, count(*) AS rl FROM ri GROUP BY 1, 2)
+      |  GROUP BY doc_id),
+      |st AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bytes,
+      |    CAST(sum(bv) AS DOUBLE) AS s, min(bv) AS mn, max(bv) AS mx
+      |  FROM b GROUP BY doc_id),
+      |cl AS (
+      |  SELECT b.doc_id, CAST(sum(CASE WHEN b.bv = st.mn OR b.bv = st.mx
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS nclip
+      |  FROM b JOIN st ON b.doc_id = st.doc_id GROUP BY b.doc_id)
+      |SELECT st.doc_id, st.n_bytes,
+      |  round(st.s / CAST(st.n_bytes AS DOUBLE) - 128.0, 4) AS dc_offset,
+      |  CAST(st.mx - st.mn AS BIGINT) AS dyn_range, rl.longest_run,
+      |  round(CAST(cl.nclip AS DOUBLE) / CAST(st.n_bytes AS DOUBLE), 6) AS clip_ratio,
+      |  rl.longest_run <= 32 AND st.mx - st.mn >= 16 AS passed
+      |FROM st JOIN rl ON st.doc_id = rl.doc_id JOIN cl ON st.doc_id = cl.doc_id
+      |ORDER BY st.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "m10_signal_quality" -> m10,
     "m09_av_align" -> m09,
     "m08_byte_entropy" -> m08,
     "m07_phash_dedup" -> m07,
@@ -481,6 +570,7 @@ object MultiOps {
 
   /** m02 is intentionally absent: mapPartitions output is rows-only. */
   val oracle: Map[String, String] = Map(
+    "m10_signal_quality" -> m10Sql,
     "m09_av_align" -> m09Sql,
     "m08_byte_entropy" -> m08Sql,
     "m07_phash_dedup" -> m07Sql,

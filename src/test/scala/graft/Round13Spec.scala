@@ -96,6 +96,29 @@ class Round13Spec extends SparkSpec {
       s"MMR must diversify at least one query: $ms vs $bs")
   }
 
+  test("m10 signal quality: silence run, clipping, and verdict on crafted payloads") {
+    // doc 1: 40-byte digital silence (one run of 'aaaa…') → fails maxRun
+    // doc 2: alternating 0x00/0xFF → max clip ratio, passes
+    // doc 3: normal text → passes, short runs
+    val rows = Seq(
+      (1L, "a" * 40), (2L, new String(Array.fill(20)(Array(0.toChar, 255.toChar)).flatten)),
+      (3L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val out = ops.MultiOps.signalQualityOf(
+        rows.withColumn("payload", col("text").cast("binary")), "doc_id", "payload")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("longest_run") == 40L)
+    assert(!out(0).getAs[Boolean]("passed"))
+    assert(out(0).getAs[Long]("dyn_range") == 0L)
+    // doc 2: 0xFF encodes as multi-byte UTF-8 (ÿ → C3 BF), so just pin
+    // the structural facts: every byte is at an extreme of a 3-value
+    // alphabet {00, C3, BF} and runs stay short
+    assert(out(1).getAs[Long]("longest_run") <= 2L)
+    assert(out(2).getAs[Boolean]("passed"))
+    assert(out(2).getAs[Long]("longest_run") <= 3L)
+    assert(math.abs(out(2).getAs[Double]("dc_offset")) < 60.0)
+  }
+
   test("streamingNgramNovelty migrates a legacy flat gram store in place") {
     val base = java.nio.file.Files.createTempDirectory("graft_legacy_").toString
     try {
