@@ -434,7 +434,9 @@ object TextOps {
         r4(col("avg_logp")).as("avg_logp"), r4(col("ppl")).as("ppl"))
       .orderBy("doc_id")
 
-  private val t08Sql =
+  /** The t08 scoring chain up to `f` (per-bigram cumulative log-prob),
+    * shared verbatim by t08's and t23's oracles. */
+  private val bigramLmCtes =
     """WITH w AS (
       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
       |bgu AS (
@@ -455,11 +457,52 @@ object TextOps {
       |    sum(lp) OVER (PARTITION BY doc_id ORDER BY pos
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       |  FROM j
-      |  WINDOW o AS (PARTITION BY doc_id ORDER BY pos))
+      |  WINDOW o AS (PARTITION BY doc_id ORDER BY pos))""".stripMargin
+
+  private val t08Sql = bigramLmCtes + """
       |SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams,
       |  round(cum / n, 4) AS avg_logp,
       |  round(exp(-(cum / n)), 4) AS ppl
       |FROM f WHERE rn = n
+      |ORDER BY doc_id""".stripMargin
+
+  /** #t23 CCNet-style perplexity partition (Wenzek 2020): every scored
+    * doc assigned head/middle/tail BY LANGUAGE via per-lang rank
+    * terciles of the t08 bigram-LM perplexity — the quality-partition
+    * step a pretraining pipeline runs before mixture sampling. Ranks
+    * order by the RAW (pre-rounding) ppl with doc_id ties, the bucket
+    * rule is pure integer arithmetic (rk*3 vs n), and the score is the
+    * hash-proven t08 chain ⇒ the whole partition replays bit-exactly.
+    * One extra shuffle on lang over t08; the per-lang window state is
+    * rank counters, not doc text. Docs with < 2 words carry no score
+    * and are excluded, t08's contract. */
+  private val t23: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val scored = bigramScoreOf(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("ppl"), col("doc_id"))
+    scored.withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+      .withColumn("bucket",
+        when(col("__rk") * 3 <= col("__n"), "head")
+          .when(col("__rk") * 3 <= col("__n") * 2, "middle")
+          .otherwise("tail"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        r4(col("ppl")).as("ppl"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
+  private val t23Sql = bigramLmCtes + """,
+      |sc AS (SELECT doc_id, n, exp(-(cum / n)) AS ppl FROM f WHERE rn = n),
+      |sl AS (SELECT s.doc_id, d.lang, s.n, s.ppl
+      |  FROM sc s JOIN documents d ON s.doc_id = d.doc_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY ppl, doc_id) AS rk,
+      |    count(*) OVER (PARTITION BY lang) AS nl
+      |  FROM sl)
+      |SELECT doc_id, lang, CAST(n AS BIGINT) AS n_bigrams, round(ppl, 4) AS ppl,
+      |  CASE WHEN rk * 3 <= nl THEN 'head'
+      |       WHEN rk * 3 <= nl * 2 THEN 'middle' ELSE 'tail' END AS bucket
+      |FROM r
       |ORDER BY doc_id""".stripMargin
 
   /** Per-document top-k TF-IDF terms (public operator behind
@@ -1295,6 +1338,7 @@ object TextOps {
     "t10_winnow_pairs" -> t10,
     "t07_pii_redact" -> t07,
     "t08_bigram_lm" -> t08,
+    "t23_ppl_buckets" -> t23,
     "t09_tfidf" -> t09,
     "t01_lang_id" -> t01,
     "t02_quality_score" -> t02,
@@ -1314,6 +1358,7 @@ object TextOps {
     "t10_winnow_pairs" -> t10Sql,
     "t07_pii_redact" -> t07Sql,
     "t08_bigram_lm" -> t08Sql,
+    "t23_ppl_buckets" -> t23Sql,
     "t09_tfidf" -> t09Sql,
     "t01_lang_id" -> t01Sql,
     "t02_quality_score" -> t02Sql,

@@ -119,6 +119,25 @@ class Round13Spec extends SparkSpec {
     assert(math.abs(out(2).getAs[Double]("dc_offset")) < 60.0)
   }
 
+  test("t23 ppl buckets: per-lang terciles are balanced and ordered by ppl") {
+    val out = SparkEntry.queries("t23_ppl_buckets")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    val byLang = out.groupBy(_.getAs[String]("lang"))
+    byLang.foreach { case (lang, rs) =>
+      val n = rs.length
+      val counts = rs.groupBy(_.getAs[String]("bucket")).view.mapValues(_.length).toMap
+      // integer tercile rule: head = floor(n/3), middle = floor(2n/3) - floor(n/3)
+      assert(counts.getOrElse("head", 0) == n / 3, s"$lang head: $counts n=$n")
+      assert(counts.getOrElse("middle", 0) == 2 * n / 3 - n / 3, s"$lang middle: $counts")
+      // every head ppl <= every tail ppl within the language
+      val hd = rs.filter(_.getAs[String]("bucket") == "head").map(_.getAs[Double]("ppl"))
+      val tl = rs.filter(_.getAs[String]("bucket") == "tail").map(_.getAs[Double]("ppl"))
+      if (hd.nonEmpty && tl.nonEmpty)
+        assert(hd.max <= tl.min, s"$lang: head max ${hd.max} > tail min ${tl.min}")
+    }
+  }
+
   test("streamingNgramNovelty migrates a legacy flat gram store in place") {
     val base = java.nio.file.Files.createTempDirectory("graft_legacy_").toString
     try {
