@@ -118,13 +118,32 @@ object ScanOps {
         if (h <= thr) { seqDispatches.incrementAndGet(); seq(df) }
         else { parDispatches.incrementAndGet(); par(df, parSlices(s)) }
       case None =>
-        val snap = df.select(needed.distinct.map(col): _*)
-          .localCheckpoint(eager = false)
+        // Materializing pays off only when the lineage is EXPENSIVE to
+        // replay (joins/aggregates/windows/generators upstream). A
+        // pure pruned scan-project-filter re-reads cheaper than a
+        // checkpoint writes+reads — pushdown and the page cache do the
+        // work — so the measuring count runs straight off the source
+        // there (the round-12 regression was re-running DERIVED
+        // lineage, not scans).
+        val pruned = df.select(needed.distinct.map(col): _*)
+        val snap =
+          if (lineageIsCheap(pruned)) pruned
+          else pruned.localCheckpoint(eager = false)
         val longest = snap.groupBy(col(key)).count()
           .agg(coalesce(max("count"), lit(0L))).head().getLong(0)
         if (longest <= thr) { seqDispatches.incrementAndGet(); seq(snap) }
         else { parDispatches.incrementAndGet(); par(snap, parSlices(s)) }
     }
+  }
+
+  /** True when the plan is pure scan/project/filter shape — nothing
+    * whose replay costs more than a second pruned read. */
+  private def lineageIsCheap(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    df.queryExecution.optimizedPlan.collectFirst {
+      case _: Join => (); case _: Aggregate => (); case _: Window => ()
+      case _: Generate => (); case _: Sort => (); case _: Union => ()
+    }.isEmpty
   }
 
   /** Exact infinite-history EWMA — pandas `ewm(alpha,
