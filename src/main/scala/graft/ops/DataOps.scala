@@ -424,6 +424,104 @@ object DataOps {
       |FROM h
       |ORDER BY doc_id""".stripMargin
 
+  /** #p06 the training-data EXPORT pipeline as ONE oracle-checked plan
+    * — the stage chain a pretraining run executes after p03's curation
+    * verdicts: quality gate → benchmark decontamination → domain
+    * mixture sampling → sequence packing → deterministic export
+    * shuffle, each stage computed ON THE PREVIOUS STAGE'S SURVIVORS.
+    * Every stage alone is already oracle-checked (ds03/ds06/ds07/
+    * ds08); what this gate proves is the WIRING (the p03 rule):
+    *   1. quality   keep docs with ≥ 20 word tokens (t02's cheapest
+    *                signal as a hard gate);
+    *   2. decontam  drop any survivor sharing a word-8-gram with the
+    *                benchmark slice (doc_id % 11 = 0, the ds07 carve
+    *                — bench docs never enter the export);
+    *   3. mixture   each domain fills its ds06 token budget in
+    *                md5(salt:domain:id) order over CLEAN docs only —
+    *                a doc dropped in stage 2 frees budget for the
+    *                next doc in hash order, so stage order is
+    *                observable in the picked set;
+    *   4. pack      2048-token first-fit bins per domain over the
+    *                PICKED docs (ds03 rule — bin boundaries move when
+    *                the picked set changes);
+    *   5. shard     md5 export shuffle of the final set (ds08 rule —
+    *                `pos` ranks within the shard, so every upstream
+    *                drop shifts positions).
+    * One row per exported doc: (doc_id, source, n_tokens, bin, shard,
+    * pos). Scale shape: stage 2 is the ds07 hashed-gram join (ids +
+    * 60-bit hashes shuffle, never text); stages 3–5 are one window
+    * shuffle each on domain / domain / shard — bounded-key sorts over
+    * an already-budget-bounded set; nothing materializes row×row. */
+  private val p06: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val bench = docs.filter(pmod(col("doc_id"), lit(11L)) === 0)
+    val train = docs.filter(pmod(col("doc_id"), lit(11L)) =!= 0)
+      .withColumn("n_tokens", size(words(col("text"))).cast("long"))
+      .filter(col("n_tokens") >= 20)
+    val contaminated = decontaminateOf(train, bench, "doc_id", "text", n = 8)
+      .select(col("doc_id"))
+    val clean = train.join(contaminated, Seq("doc_id"), "left_anti")
+    val picked = mixtureSampleOf(clean, "source", "doc_id", "n_tokens", ds06Budgets)
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+    val packed = packBinsOf(picked, "source", "doc_id", "n_tokens", budget = 2048L)
+    shuffleShardsOf(packed, "doc_id", nShards = 8, salt = "graft")
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("bin"),
+        col("shard"), col("pos"))
+      .orderBy("doc_id")
+  }
+
+  private val p06Sql = {
+    val cases = ds06Budgets.toSeq.sortBy(_._1)
+      .map { case (d, b) => s"WHEN '$d' THEN $b" }.mkString(" ")
+    s"""WITH w0 AS (
+       |  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+       |  FROM documents),
+       |tr AS (
+       |  SELECT doc_id, source, ws, CAST(len(ws) AS BIGINT) AS n_tokens
+       |  FROM w0 WHERE doc_id % 11 <> 0 AND len(ws) >= 20),
+       |tg AS (
+       |  SELECT doc_id, CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS h
+       |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 7),
+       |      i -> array_to_string(ws[i:i+7], ' '))) AS gram
+       |    FROM tr)
+       |  GROUP BY 1, 2),
+       |bg AS (
+       |  SELECT CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS h
+       |  FROM (SELECT unnest(list_transform(generate_series(1, len(ws) - 7),
+       |      i -> array_to_string(ws[i:i+7], ' '))) AS gram
+       |    FROM w0 WHERE doc_id % 11 = 0 AND len(ws) >= 8)
+       |  GROUP BY 1),
+       |clean AS (
+       |  SELECT tr.doc_id, tr.source, tr.n_tokens FROM tr
+       |  WHERE NOT EXISTS (SELECT 1 FROM tg JOIN bg USING (h)
+       |    WHERE tg.doc_id = tr.doc_id)),
+       |m AS (
+       |  SELECT *,
+       |    CAST(('0x' || substr(md5('graft:' || source || ':' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hh
+       |  FROM clean),
+       |c AS (
+       |  SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY hh, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM m),
+       |b AS (SELECT *, CASE source $cases END AS budget FROM c),
+       |picked AS (SELECT doc_id, source, n_tokens FROM b WHERE cum - n_tokens < budget),
+       |p AS (
+       |  SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+       |  FROM picked),
+       |pk AS (SELECT doc_id, source, n_tokens,
+       |    CAST((cum2 - n_tokens) // 2048 AS BIGINT) AS bin
+       |  FROM p),
+       |sh AS (
+       |  SELECT *, CAST(('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h2
+       |  FROM pk)
+       |SELECT doc_id, source, n_tokens, bin,
+       |  CAST(h2 % 8 AS INTEGER) AS shard,
+       |  row_number() OVER (PARTITION BY h2 % 8 ORDER BY h2, doc_id) - 1 AS pos
+       |FROM sh
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Count-min-sketch heavy hitters over ANY (text) corpus (public
     * operator behind [[graft.Graft.heavyHitters]]) — the MERGEABLE
     * approximate-frequency path next to a01/a02's HLL/quantile
@@ -1113,6 +1211,7 @@ object DataOps {
       |ORDER BY fold""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "p06_export_pipeline" -> p06,
     "ds23_kfold" -> ds23,
     "ds21_bootstrap_ci" -> ds21,
     "ds17_length_groups" -> ds17,
@@ -1134,6 +1233,7 @@ object DataOps {
     "ds05_bigram_stats" -> ds05)
 
   val oracle: Map[String, String] = Map(
+    "p06_export_pipeline" -> p06Sql,
     "ds21_bootstrap_ci" -> ds21Sql,
     "ds23_kfold" -> ds23Sql,
     "ds17_length_groups" -> ds17Sql,
