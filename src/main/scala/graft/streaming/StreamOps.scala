@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.{F, Tables}
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -577,7 +577,168 @@ object StreamOps {
       |FROM l
       |ORDER BY series, bucket_ms""".stripMargin
 
+  /** Shared PSI bin assignment (the ds19 grid, verbatim): `bins`
+    * equal-width buckets between the REFERENCE lo/hi; out-of-range
+    * values clamp to the edge bins; a degenerate hi==lo reference
+    * collapses to bin 0. Pure per-row arithmetic — safe in a stream. */
+  private def psiBinExpr(x: Column, lo: Column, hi: Column, bins: Int): Column =
+    when(hi === lo, lit(0L))
+      .otherwise(greatest(lit(0L), least(lit(bins - 1L),
+        floor((x - lo) / ((hi - lo) / bins)))))
+
+  /** Reference-side half of the continuous PSI monitor
+    * ([[windowedPsiOut]]): bin counts of `valueCol` on the
+    * reference's own min/max grid, one row per bin INCLUDING empties
+    * — the ≤bins-row table a deployed monitor computes ONCE, offline,
+    * and broadcasts next to the stream (lo/hi ride along so the
+    * stream side bins onto the identical grid). */
+  def psiRefBins(ref: DataFrame, valueCol: String, bins: Int): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val s = ref.sparkSession
+    val stats = ref.agg(min(col(valueCol).cast("double")).as("lo"),
+      max(col(valueCol).cast("double")).as("hi"))
+    val binned = ref.select(col(valueCol).cast("double").as("__x"))
+      .filter(col("__x").isNotNull)
+      .crossJoin(broadcast(stats))
+      .withColumn("bin", psiBinExpr(col("__x"), col("lo"), col("hi"), bins))
+      .groupBy("bin").agg(count(lit(1)).as("n_ref"))
+    s.range(bins).select(col("id").as("bin"))
+      .join(binned, Seq("bin"), "left")
+      .na.fill(0L, Seq("n_ref"))
+      .crossJoin(broadcast(stats))
+  }
+
+  /** Stream-side half: per tumbling 1-hour window, INTEGER bin counts
+    * of the value column on the reference grid — the only state the
+    * stream carries (≤bins longs per open window; counts are
+    * associative, so batch == stream bit-exact). `lo`/`hi` are
+    * Columns: the batch gate feeds them from a 1-row broadcast stats
+    * join, a streaming deployment from the offline reference's
+    * literals. On a stream: watermark `ts` first, append mode. */
+  def windowedPsiCounts(events: DataFrame, valueCol: String,
+                        lo: Column, hi: Column, bins: Int): DataFrame =
+    events.filter(col(valueCol).isNotNull)
+      .groupBy(window(col("ts"), "1 hour"),
+        psiBinExpr(col(valueCol).cast("double"), lo, hi, bins).as("bin"))
+      .agg(count(lit(1)).as("n_cur"))
+
+  /** Sink-side projection (the st04 rule: window functions run per
+    * EMITTED window, never inside the stream): full bin frame per
+    * window (empty bins must contribute — that's where vanishing mass
+    * shows), add-1-smoothed shares, per-bin contrib
+    * (p_ref−p_cur)·ln(p_ref/p_cur) and the window's PSI as a
+    * bin-order cumulative fold (q33 rule), plus the `drifted` action
+    * flag at the industry 0.25 threshold (compared on the UNROUNDED
+    * double — both engines fold the identical IEEE sequence). */
+  def windowedPsiOut(counts: DataFrame, refBins: DataFrame, bins: Int,
+                     threshold: Double = 0.25): DataFrame = {
+    // Full bin frame per window WITHOUT a counts self-join (a sink
+    // table rejoined with its own projection trips conflicting-
+    // reference resolution): fold each window's sparse count rows
+    // into a dense bins-length array, then posexplode. The lookup is
+    // by bin value, so collect_list order cannot matter.
+    val full = counts
+      .groupBy(col("window"))
+      .agg(collect_list(struct(col("bin"), col("n_cur"))).as("__cs"))
+      .select(col("window"), posexplode(expr(
+        s"transform(sequence(0, ${bins - 1}), i -> " +
+          "coalesce(get(filter(__cs, c -> c.bin = i), 0).n_cur, bigint(0)))")))
+      .select(col("window"), col("pos").cast("long").as("bin"), col("col").as("n_cur"))
+    val ordB = Window.partitionBy(col("window")).orderBy(col("bin"))
+    val cumB = ordB.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val allB = ordB.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val nRefT = sum(col("n_ref")).over(allB)
+    val nCurT = sum(col("n_cur")).over(allB)
+    val p = (col("n_ref").cast("double") + 1.0) / (nRefT.cast("double") + lit(bins.toDouble))
+    val q = (col("n_cur").cast("double") + 1.0) / (nCurT.cast("double") + lit(bins.toDouble))
+    full.join(broadcast(refBins.select(col("bin"), col("n_ref"))), Seq("bin"))
+      .withColumn("p_ref", p).withColumn("p_cur", q)
+      .withColumn("contrib", (col("p_ref") - col("p_cur")) * log(col("p_ref") / col("p_cur")))
+      .withColumn("__cpsi", sum(col("contrib")).over(cumB))
+      .withColumn("psi", last(col("__cpsi")).over(allB))
+      .select(unix_millis(col("window.start")).as("bucket_ms"),
+        col("bin").cast("long").as("bin"),
+        col("n_ref").cast("long").as("n_ref"), col("n_cur").cast("long").as("n_cur"),
+        col("p_ref"), col("p_cur"), col("contrib"), col("psi"),
+        (col("psi") >= threshold).as("drifted"))
+  }
+
+  /** #33h batch-equivalent entry (st08): the ds19 PSI drift gate as a
+    * CONTINUOUS per-hour monitor — reference = the even-event_id half
+    * of the stream's history (a deterministic ds14-rule carve),
+    * current = the odd half, windowed hourly. Streaming equivalence
+    * (watermarked append-mode counts + this sink-side projection) is
+    * proven in StreamingSpec with the same plan. */
+  private val st08: Q = (s, dir) => {
+    val e = t(s, dir, "events")
+    val ref = e.filter(col("event_id") % 2 === 0)
+    val cur = e.filter(col("event_id") % 2 === 1)
+    val stats = ref.agg(min(col("value").cast("double")).as("lo"),
+      max(col("value").cast("double")).as("hi"))
+    val counts = windowedPsiCounts(cur.crossJoin(broadcast(stats)), "value",
+      col("lo"), col("hi"), bins = 10)
+    windowedPsiOut(counts, psiRefBins(ref, "value", bins = 10), bins = 10)
+      .select(col("bucket_ms"), col("bin"), col("n_ref"), col("n_cur"),
+        r6(col("p_ref")).as("p_ref"), r6(col("p_cur")).as("p_cur"),
+        r6(col("contrib")).as("contrib"), r6(col("psi")).as("psi"),
+        col("drifted"))
+      .orderBy("bucket_ms", "bin")
+  }
+
+  private val st08Sql =
+    """WITH s AS (
+      |  SELECT CAST(min(value) AS DOUBLE) AS lo, CAST(max(value) AS DOUBLE) AS hi
+      |  FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL),
+      |rb AS (
+      |  SELECT CASE WHEN s.hi = s.lo THEN CAST(0 AS BIGINT)
+      |      ELSE greatest(CAST(0 AS BIGINT), least(CAST(9 AS BIGINT),
+      |        CAST(floor((CAST(value AS DOUBLE) - s.lo) / ((s.hi - s.lo) / 10)) AS BIGINT))) END AS bin,
+      |    count(*) AS n_ref
+      |  FROM events, s WHERE event_id % 2 = 0 AND value IS NOT NULL GROUP BY 1),
+      |f AS (SELECT CAST(unnest(generate_series(0, 9)) AS BIGINT) AS bin),
+      |r AS (SELECT f.bin, coalesce(rb.n_ref, 0) AS n_ref
+      |  FROM f LEFT JOIN rb ON rb.bin = f.bin),
+      |cb AS (
+      |  SELECT date_trunc('hour', ts) AS w,
+      |    CASE WHEN s.hi = s.lo THEN CAST(0 AS BIGINT)
+      |      ELSE greatest(CAST(0 AS BIGINT), least(CAST(9 AS BIGINT),
+      |        CAST(floor((CAST(value AS DOUBLE) - s.lo) / ((s.hi - s.lo) / 10)) AS BIGINT))) END AS bin,
+      |    count(*) AS n_cur
+      |  FROM events, s WHERE event_id % 2 = 1 AND value IS NOT NULL GROUP BY 1, 2),
+      |wins AS (SELECT DISTINCT w FROM cb),
+      |j AS (
+      |  SELECT wins.w, r.bin, r.n_ref, coalesce(cb.n_cur, 0) AS n_cur
+      |  FROM wins CROSS JOIN r LEFT JOIN cb ON cb.w = wins.w AND cb.bin = r.bin),
+      |tt AS (
+      |  SELECT w, bin, n_ref, n_cur,
+      |    sum(n_ref) OVER (PARTITION BY w) AS tr,
+      |    sum(n_cur) OVER (PARTITION BY w) AS tc
+      |  FROM j),
+      |v AS (
+      |  SELECT w, bin, n_ref, n_cur,
+      |    (CAST(n_ref AS DOUBLE) + 1.0) / (CAST(tr AS DOUBLE) + 10.0) AS p_ref,
+      |    (CAST(n_cur AS DOUBLE) + 1.0) / (CAST(tc AS DOUBLE) + 10.0) AS p_cur
+      |  FROM tt),
+      |c AS (
+      |  SELECT w, bin, n_ref, n_cur, p_ref, p_cur,
+      |    (p_ref - p_cur) * ln(p_ref / p_cur) AS contrib,
+      |    sum((p_ref - p_cur) * ln(p_ref / p_cur)) OVER (PARTITION BY w ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cpsi
+      |  FROM v),
+      |d AS (
+      |  SELECT *, last_value(cpsi) OVER (PARTITION BY w ORDER BY bin
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS psi
+      |  FROM c)
+      |SELECT epoch_ms(w) AS bucket_ms, bin,
+      |  CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+      |  round(p_ref, 6) AS p_ref, round(p_cur, 6) AS p_cur,
+      |  round(contrib, 6) AS contrib, round(psi, 6) AS psi,
+      |  psi >= 0.25 AS drifted
+      |FROM d
+      |ORDER BY bucket_ms, bin""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "st08_stream_psi" -> st08,
     "st06_stream_adf" -> st06,
     "st07_stream_sessions" -> st07,
     "st05_stream_quality" -> st05,
@@ -587,6 +748,7 @@ object StreamOps {
     "st04_stream_topk" -> st04)
 
   val oracle: Map[String, String] = Map(
+    "st08_stream_psi" -> st08Sql,
     "st06_stream_adf" -> st06Sql,
     "st07_stream_sessions" -> st07Sql,
     "st05_stream_quality" -> st05Sql,

@@ -73,6 +73,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st08 windowed PSI: streaming counts (watermark + complete sink) + sink-side projection == batch") {
+    implicit val sql = spark.sqlContext
+    // reference: a tight value cluster around 1-6; current drifts high
+    val ref = rows.toDF()
+    val refBins = StreamOps.psiRefBins(ref, "value", bins = 4)
+    val Array(lo, hi) = refBins.select("lo", "hi").head().toSeq.map(_.asInstanceOf[Double]).toArray
+    val cur = Seq(
+      Ev(11, 1, "click", ts(1), 5.5), Ev(12, 1, "click", ts(2), 6.0),
+      Ev(13, 2, "view", ts(3), 9.0), // clamps to the top bin (out of ref range)
+      Ev(14, 2, "view", ts(70), 1.0), Ev(15, 3, "click", ts(71), 1.2))
+    val input = MemoryStream[Ev]
+    val q = StreamOps.windowedPsiCounts(
+        input.toDF().withWatermark("ts", "2 hours"), "value", lit(lo), lit(hi), bins = 4)
+      .writeStream.format("memory").queryName("st08_counts").outputMode("complete").start()
+    try {
+      input.addData(cur.take(3))
+      q.processAllAvailable()
+      input.addData(cur.drop(3))
+      q.processAllAvailable()
+      val streamed = StreamOps.windowedPsiOut(spark.table("st08_counts"), refBins, bins = 4)
+        .orderBy("bucket_ms", "bin").collect().toSeq
+      val batch = StreamOps.windowedPsiOut(
+          StreamOps.windowedPsiCounts(cur.toDF(), "value", lit(lo), lit(hi), bins = 4),
+          refBins, bins = 4)
+        .orderBy("bucket_ms", "bin").collect().toSeq
+      assert(streamed == batch) // integer counts → bit-equal projection
+      assert(batch.size == 8)   // 2 windows × 4 bins (empty bins present)
+      // hour 0 leans on the top bin (5.5, 6.0, 9.0-clamped) → drifted
+      val h0 = batch.filter(_.getLong(0) == 1700000000000L - 1700000000000L % 3600000L)
+      assert(h0.forall(_.getBoolean(8)))
+      assert(h0.map(_.getLong(3)).sum == 3) // all three events binned
+    } finally q.stop()
+  }
+
   test("st02 streaming dedup keeps first arrival per key within watermark") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[Ev]
