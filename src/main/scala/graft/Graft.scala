@@ -502,6 +502,13 @@ object Graft {
   def ouHalflife(bars: DataFrame, key: String, ts: String, close: String): DataFrame =
     ops.EconOps.ouHalflifeOf(bars, key, ts, close)
 
+  /** Barndorff-Nielsen–Shephard bipower jump decomposition per
+    * (series, day): realized variance, jump-robust bipower variation,
+    * jump component and relative-jump flag.
+    * See [[ops.EconOps.jumpTestOf]]. */
+  def jumpTest(bars: DataFrame, key: String, ts: String, close: String): DataFrame =
+    ops.EconOps.jumpTestOf(bars, key, ts, close)
+
   /** MinHash+LSH near-dup candidate pairs: k md5-minhashes over
     * shingleN-word shingles, banded `bands` × (k/bands); returns
     * (doc_a, doc_b, est_sim), blocked per band — never a full cross.

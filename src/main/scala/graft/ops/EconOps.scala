@@ -1128,7 +1128,116 @@ object EconOps {
       |FROM l
       |ORDER BY series""".stripMargin
 
+  // ------------------------------------------- bipower jump detection
+
+  /** Scala-computed constant shared verbatim with the oracle SQL
+    * (Double.toString round-trips — the q56 shared-literal rule). */
+  private val bpC = math.Pi / 2.0
+
+  /** Barndorff-Nielsen–Shephard bipower jump decomposition over ANY
+    * OHLC bar table (public operator behind [[graft.Graft.jumpTest]]):
+    * per (series, day) —
+    *   rv    realized variance Σ r_t²  (all of the day's returns),
+    *   bv    bipower variation (π/2)·Σ |r_t|·|r_{t−1}| — jump-ROBUST:
+    *         a single jump enters bv only through two cross products
+    *         with normal-sized neighbours, so bv estimates the
+    *         continuous (diffusive) variance while rv gets the jump
+    *         too (Barndorff-Nielsen & Shephard 2004),
+    *   jump  max(rv − bv, 0) — the jump contribution,
+    *   rj    relative jump (rv − bv)/rv (null on a zero-rv day),
+    *   jump_day  rj ≥ 0.5 — more than half the day's variance came
+    *         from discontinuities (threshold on the UNROUNDED fold).
+    * The daily risk row that decides whether q56's realized_var can be
+    * trusted as a diffusion estimate or was one print.
+    *
+    * Exactness (q56 discipline): returns are per-row lags inside the
+    * (series, day) window; both sums are CUMULATIVE folds in bar
+    * order taken at the day's last row — never hash-agg double sums;
+    * π/2 is a shared Scala literal; non-positive closes are excluded
+    * before the fold (a return spanning an excluded bar bridges it).
+    * One (series, day) window shuffle — at 100 TB this runs on the
+    * bar grid, not ticks (the q33 rule). */
+  def jumpTestOf(bars: DataFrame, keyCol: String, tsCol: String,
+                 closeCol: String): DataFrame = {
+    val base = bars.select(col(keyCol).as("__k"), col(tsCol).as("__t"),
+        col(closeCol).cast("double").as("__c"))
+      .filter(col("__c") > 0)
+      .withColumn("__d", date_trunc("day", col("__t")))
+    val w = Window.partitionBy(col("__k"), col("__d")).orderBy(col("__t"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r = log(col("__c") / lag(col("__c"), 1).over(w))
+    base
+      .withColumn("__r", r)
+      .withColumn("__rl", lag(col("__r"), 1).over(w))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("__k"), col("__d"))))
+      .withColumn("__crv", sum(col("__r") * col("__r")).over(cum))
+      .withColumn("__cbv", sum(abs(col("__r")) * abs(col("__rl"))).over(cum))
+      .filter(col("rn") === col("n"))
+      .withColumn("rv", coalesce(col("__crv"), lit(0.0)))
+      .withColumn("bv", coalesce(col("__cbv"), lit(0.0)) * lit(bpC))
+      .withColumn("jump", greatest(col("rv") - col("bv"), lit(0.0)))
+      .withColumn("rj", when(col("rv") > 0, (col("rv") - col("bv")) / col("rv")))
+      .select(col("__k").as("series"), col("__d").as("day"),
+        col("n").cast("long").as("n_bars"), col("rv"), col("bv"),
+        col("jump"), col("rj"),
+        when(col("rj").isNotNull, col("rj") >= 0.5).as("jump_day"))
+  }
+
+  /** #q96 the daily jump decomposition over the hourly bars. */
+  private val q96: Q = (s, dir) =>
+    jumpTestOf(hourBars(s, dir), "event_type", "bucket", "close")
+      .select(col("series"), epochMs(col("day")).as("day_ms"), col("n_bars"),
+        r6(col("rv")).as("rv"), r6(col("bv")).as("bv"),
+        r6(col("jump")).as("jump"), r6(col("rj")).as("rj"), col("jump_day"))
+      .orderBy("series", "day_ms")
+
+  private val q96Sql =
+    s"""WITH b AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+       |    last(value ORDER BY ts, event_id) AS close
+       |  FROM events GROUP BY 1, 2),
+       |bp AS (SELECT * FROM b WHERE close > 0),
+       |d AS (
+       |  SELECT event_type, bucket, date_trunc('day', bucket) AS day,
+       |    ln(close / lag(close, 1) OVER (
+       |      PARTITION BY event_type, date_trunc('day', bucket)
+       |      ORDER BY bucket)) AS r
+       |  FROM bp),
+       |e AS (
+       |  SELECT event_type, bucket, day, r,
+       |    lag(r, 1) OVER (PARTITION BY event_type, day ORDER BY bucket) AS rl
+       |  FROM d),
+       |c AS (
+       |  SELECT event_type, day,
+       |    row_number() OVER o AS rn,
+       |    count(*) OVER (PARTITION BY event_type, day) AS n,
+       |    sum(r * r) OVER w AS crv,
+       |    sum(abs(r) * abs(rl)) OVER w AS cbv
+       |  FROM e
+       |  WINDOW o AS (PARTITION BY event_type, day ORDER BY bucket),
+       |    w AS (PARTITION BY event_type, day ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |f AS (
+       |  SELECT event_type, day, n,
+       |    coalesce(crv, CAST(0.0 AS DOUBLE)) AS rv,
+       |    coalesce(cbv, CAST(0.0 AS DOUBLE)) * ($bpC) AS bv
+       |  FROM c WHERE rn = n),
+       |g AS (
+       |  SELECT event_type, day, n, rv, bv,
+       |    greatest(rv - bv, 0.0) AS jump,
+       |    CASE WHEN rv > 0 THEN (rv - bv) / rv END AS rj
+       |  FROM f)
+       |SELECT event_type AS series, epoch_ms(day) AS day_ms,
+       |  CAST(n AS BIGINT) AS n_bars,
+       |  round(rv, 6) AS rv, round(bv, 6) AS bv,
+       |  round(jump, 6) AS jump, round(rj, 6) AS rj,
+       |  CASE WHEN rj IS NOT NULL THEN rj >= 0.5 END AS jump_day
+       |FROM g
+       |ORDER BY series, day_ms""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q96_bipower" -> q96,
     "q95_ou_halflife" -> q95,
     "q80_amihud" -> q80,
     "q81_roll_spread" -> q81,
@@ -1146,6 +1255,7 @@ object EconOps {
     "q82_acf" -> q82Sql,
     "q83_hurst" -> q83Sql,
     "q89_kyle_lambda" -> q89Sql,
+    "q96_bipower" -> q96Sql,
     "q90_vpin" -> q90Sql,
     "q92_adf" -> q92Sql,
     "q93_ljung_box" -> q93Sql,
