@@ -509,6 +509,13 @@ object Graft {
   def jumpTest(bars: DataFrame, key: String, ts: String, close: String): DataFrame =
     ops.EconOps.jumpTestOf(bars, key, ts, close)
 
+  /** Kupiec proportion-of-failures VaR backtest: fit VaR(α) on the
+    * first half of each series' return history, test the exceedance
+    * rate of the second half. See [[ops.FinOps.varBacktestOf]]. */
+  def varBacktest(bars: DataFrame, key: String, ts: String, close: String,
+                  alpha: Double = 0.05): DataFrame =
+    ops.FinOps.varBacktestOf(bars, key, ts, close, alpha)
+
   /** MinHash+LSH near-dup candidate pairs: k md5-minhashes over
     * shingleN-word shingles, banded `bands` × (k/bands); returns
     * (doc_a, doc_b, est_sim), blocked per band — never a full cross.

@@ -1073,6 +1073,117 @@ object FinOps {
       |FROM t WHERE rn = nt
       |ORDER BY series""".stripMargin
 
+  /** χ²(1) 95% critical value, a Scala literal shared verbatim with
+    * the oracle SQL (q56 shared-literal rule). */
+  private val chi2Crit1 = 3.841458820694124
+
+  /** Kupiec (1995) proportion-of-failures VaR BACKTEST over ANY OHLC
+    * bar table (public operator behind [[graft.Graft.varBacktest]]) —
+    * the validation loop q62's number is worthless without: per
+    * series, fit historical VaR(α) on the FIRST HALF of the return
+    * history (by bar order — never a random split, the ds01 rule
+    * applied in time), count exceedances r ≤ VaR in the SECOND half,
+    * and test observed rate x/n against α with the POF likelihood
+    * ratio  LR = 2·[(n−x)·ln((1−x/n)/(1−α)) + x·ln((x/n)/α)]
+    * (degenerate x=0 / x=n terms are exact zeros by CASE, not 0·∞
+    * NaNs), rejecting at the χ²(1) 95% critical value — `reject` on
+    * the UNROUNDED statistic. Rejection means the VaR model misstates
+    * tail risk in EITHER direction (too many or too few breaches).
+    *
+    * Exactness: the split is the integer comparison 2·rn ≤ n (no
+    * float boundary); VaR is the exact interpolated percentile both
+    * engines define identically; x and n are integers, so LR is a
+    * fixed scalar expression of two ints and shared literals. One
+    * series-key window shuffle + one k-row broadcast back. */
+  def varBacktestOf(bars: DataFrame, keyCol: String, tsCol: String,
+                    closeCol: String, alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val wKey = Window.partitionBy(col("__k")).orderBy(col("__t"))
+    val rets = bars
+      .select(col(keyCol).as("__k"), col(tsCol).as("__t"),
+        col(closeCol).cast("double").as("__c"))
+      .filter(col("__c") > 0)
+      .withColumn("r", col("__c") / lag(col("__c"), 1).over(wKey) - lit(1.0))
+      .filter(col("r").isNotNull)
+      .withColumn("__rn", row_number().over(wKey))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__k"))))
+    val v = rets.filter(col("__rn") * 2 <= col("__n"))
+      .groupBy(col("__k"))
+      .agg(expr(s"percentile(r, ${alpha}D)").as("var_a"),
+        count(lit(1)).as("n_est"))
+    val xd = col("n_exceed").cast("double")
+    val nd = col("n_test").cast("double")
+    val rate = xd / nd
+    val t1 = when(col("n_exceed") < col("n_test"),
+      (nd - xd) * log((lit(1.0) - rate) / lit(1.0 - alpha))).otherwise(lit(0.0))
+    val t2 = when(col("n_exceed") > 0, xd * log(rate / lit(alpha))).otherwise(lit(0.0))
+    rets.filter(col("__rn") * 2 > col("__n"))
+      .join(broadcast(v), Seq("__k"))
+      .groupBy(col("__k"), col("var_a"), col("n_est"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("r") <= col("var_a"), 1L).otherwise(0L)).as("n_exceed"))
+      .withColumn("exceed_rate", rate)
+      .withColumn("lr_pof", lit(2.0) * (t1 + t2))
+      .select(col("__k").as("series"), col("n_est"), col("var_a"),
+        col("n_test"), col("n_exceed"), col("exceed_rate"), col("lr_pof"),
+        (col("lr_pof") > chi2Crit1).as("reject"))
+  }
+
+  /** #q97 the Kupiec POF backtest of q62's VaR(5%) on the hourly
+    * close grid — estimation half vs live half. */
+  private val q97: Q = (s, dir) =>
+    varBacktestOf(
+      graft.Graft.resampleOhlc(t(s, dir, "events"),
+        "event_type", "ts", "event_id", "value", "hour"),
+      "event_type", "bucket", "close", alpha = 0.05)
+      .select(col("series"), col("n_est"), r6(col("var_a")).as("var_a"),
+        col("n_test"), col("n_exceed"), r6(col("exceed_rate")).as("exceed_rate"),
+        r6(col("lr_pof")).as("lr_pof"), col("reject"))
+      .orderBy("series")
+
+  private val q97Sql =
+    s"""WITH b AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+       |    last(value ORDER BY ts, event_id) AS close
+       |  FROM events GROUP BY 1, 2),
+       |r AS (
+       |  SELECT event_type, bucket,
+       |    close / lag(close, 1) OVER (PARTITION BY event_type ORDER BY bucket) - 1.0 AS r
+       |  FROM b WHERE close > 0),
+       |rr AS (
+       |  SELECT event_type, r,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS rn,
+       |    count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM r WHERE r IS NOT NULL),
+       |v AS (
+       |  SELECT event_type, quantile_cont(r, 0.05) AS var_a, count(*) AS n_est
+       |  FROM rr WHERE rn * 2 <= n GROUP BY event_type),
+       |x AS (
+       |  SELECT rr.event_type, v.var_a, v.n_est,
+       |    count(*) AS n_test,
+       |    CAST(sum(CASE WHEN rr.r <= v.var_a THEN 1 ELSE 0 END) AS BIGINT) AS n_exceed
+       |  FROM rr JOIN v ON rr.event_type = v.event_type
+       |  WHERE rn * 2 > n
+       |  GROUP BY 1, 2, 3),
+       |l AS (
+       |  SELECT *,
+       |    CAST(n_exceed AS DOUBLE) / CAST(n_test AS DOUBLE) AS rate,
+       |    CASE WHEN n_exceed < n_test
+       |      THEN (CAST(n_test AS DOUBLE) - CAST(n_exceed AS DOUBLE))
+       |        * ln((1.0 - CAST(n_exceed AS DOUBLE) / CAST(n_test AS DOUBLE)) / ${1.0 - 0.05})
+       |      ELSE 0.0 END AS t1,
+       |    CASE WHEN n_exceed > 0
+       |      THEN CAST(n_exceed AS DOUBLE)
+       |        * ln((CAST(n_exceed AS DOUBLE) / CAST(n_test AS DOUBLE)) / 0.05)
+       |      ELSE 0.0 END AS t2
+       |  FROM x)
+       |SELECT event_type AS series, n_est, round(var_a, 6) AS var_a,
+       |  n_test, n_exceed, round(rate, 6) AS exceed_rate,
+       |  round(2.0 * (t1 + t2), 6) AS lr_pof,
+       |  2.0 * (t1 + t2) > $chi2Crit1 AS reject
+       |FROM l
+       |ORDER BY series""".stripMargin
+
   /** #q62b the 100 TB VaR path AS A QUERY: [[varEsOf]] run in BOTH
     * modes — exact interpolated percentile vs the `approx = true`
     * sketch swap — joined per series with the realized divergence
@@ -1268,6 +1379,7 @@ object FinOps {
   val queries: Map[String, Q] = Map(
     "q69_ichimoku" -> q69,
     "q64_rank_ic" -> q64,
+    "q97_var_backtest" -> q97,
     "q62_var_es" -> q62,
     "q59_volume_bars" -> q59,
     "q56_volatility" -> q56,
@@ -1290,6 +1402,7 @@ object FinOps {
   val oracle: Map[String, String] = Map(
     "q69_ichimoku" -> q69Sql,
     "q64_rank_ic" -> q64Sql,
+    "q97_var_backtest" -> q97Sql,
     "q62_var_es" -> q62Sql,
     "q59_volume_bars" -> q59Sql,
     "q56_volatility" -> q56Sql,
