@@ -178,4 +178,78 @@ class Round13Spec extends SparkSpec {
       rm(new java.io.File(base))
     }
   }
+
+  private def hourTs(h: Int) = new java.sql.Timestamp(1700000000000L - 1700000000000L % 86400000L + h * 3600000L)
+
+  test("q96 jumpTest: flat day is exact zeros; one jump in diffusion flags jump_day") {
+    // series F: constant closes → rv = bv = 0, rj null (no jump_day verdict)
+    val flat = (0 until 10).map(h => ("F", hourTs(h), 100.0))
+    // series J: ±0.1% wiggle with one +50% print at bar 5 — rv gets the
+    // jump squared, bv only two cross terms with tiny neighbours
+    val wiggle = Seq(100.0, 100.1, 100.0, 100.1, 100.0, 150.0, 150.1, 150.0, 150.1, 150.0)
+    val jump = wiggle.zipWithIndex.map { case (c, h) => ("J", hourTs(h), c) }
+    val out = ops.EconOps.jumpTestOf((flat ++ jump).toDF("series", "ts", "close"),
+        "series", "ts", "close")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val f = out("F")
+    assert(f.getDouble(3) == 0.0 && f.getDouble(4) == 0.0 && f.getDouble(5) == 0.0)
+    assert(f.isNullAt(6) && f.isNullAt(7)) // rj, jump_day undefined on zero rv
+    val j = out("J")
+    assert(j.getDouble(3) > j.getDouble(4), "rv must exceed jump-robust bv")
+    assert(j.getDouble(6) > 0.9, s"jump dominates: rj=${j.getDouble(6)}")
+    assert(j.getBoolean(7), "jump_day must fire")
+  }
+
+  test("q97 varBacktest: identical halves calibrate (no reject); volatile live half rejects") {
+    def prices(rets: Seq[Double]): Seq[Double] =
+      rets.scanLeft(100.0)((p, r) => p * (1.0 + r))
+    // calibrated: the same 20-return multiset in both halves → observed
+    // exceedance rate == alpha exactly → LR ≈ 0
+    val base = (0 until 20).map(i => (i - 10) * 0.002)
+    val calm = prices(base ++ base).zipWithIndex.map { case (c, h) => ("C", hourTs(h), c) }
+    // broken: small positive estimation returns (varied — a degenerate
+    // all-equal half puts EVERY r ≤ var_a), then half the live returns
+    // crash 5%
+    val est = (0 until 20).map(i => (i + 1) * 0.0005)
+    val live = (0 until 20).map(i => if (i % 2 == 0) -0.05 else 0.01)
+    val wild = prices(est ++ live).zipWithIndex.map { case (c, h) => ("W", hourTs(h), c) }
+    val out = ops.FinOps.varBacktestOf((calm ++ wild).toDF("series", "ts", "close"),
+        "series", "ts", "close", alpha = 0.05)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val c = out("C")
+    assert(c.getLong(1) == 20L && c.getLong(3) == 20L)
+    assert(c.getDouble(5) == 0.05, s"rate=${c.getDouble(5)}") // 1 of 20
+    assert(!c.getBoolean(7), s"calibrated VaR must not reject: lr=${c.getDouble(6)}")
+    val w = out("W")
+    assert(w.getDouble(5) == 0.5 && w.getBoolean(7), "10/20 breaches must reject")
+  }
+
+  test("p06 export pipeline: stage wiring (bench excluded, quality gate, budgets, dense shard pos)") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("p06_export_pipeline")(spark, dir).cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // bench docs (doc_id % 11 == 0) never exported; quality gate holds
+    assert(rows.forall(r => r.getLong(0) % 11 != 0))
+    assert(rows.forall(_.getLong(2) >= 20))
+    // decontamination: no exported doc shares an 8-gram with the bench slice
+    val docs = Tables.t(spark, dir, "documents")
+    val flagged = ops.DataOps.decontaminateOf(
+        docs.filter(pmod(col("doc_id"), lit(11L)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(11L)) === 0), "doc_id", "text", n = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(rows.forall(r => !flagged(r.getLong(0))))
+    // mixture budgets: per source, total ≤ budget + the largest pick
+    val budgets = (0 until 20).map(i => s"src$i" -> (300L + 150L * (i % 4))).toMap
+    rows.groupBy(_.getString(1)).foreach { case (src, rs) =>
+      val tot = rs.map(_.getLong(2)).sum
+      assert(tot < budgets(src) + rs.map(_.getLong(2)).max,
+        s"$src over budget: $tot vs ${budgets(src)}")
+    }
+    // export shuffle: pos is dense 0..count-1 within every shard
+    rows.groupBy(_.getInt(4)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(5)).sorted.toSeq == (0L until rs.length).toSeq)
+    }
+    out.unpersist()
+  }
 }
