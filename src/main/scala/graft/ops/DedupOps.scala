@@ -1238,32 +1238,62 @@ object DedupOps {
                          idCol: String, textCol: String,
                          shingleN: Int = 3, k: Int = 8, bands: Int = 4,
                          threshold: Double = 0.5,
-                         maxBucket: Int = Int.MaxValue): DataFrame = {
+                         maxBucket: Int = Int.MaxValue): DataFrame =
+    incrementalDedupProbeOf(sigsOf(history, idCol, textCol, shingleN, k),
+      sigsOf(batch, idCol, textCol, shingleN, k), k, bands, threshold, maxBucket)
+
+  /** Normalized-md5 + minhash SIGNATURE table for ANY doc table — the
+    * evidence columns [[incrementalDedupProbeOf]] probes: (doc_id,
+    * __m, sig), sig NULL for docs too short to shingle (they still
+    * exact-match by md5). At 100 TB this is the SIG-STORE shape: each
+    * document's signature is computed ONCE, ever, and persisted;
+    * every later batch probes stored signatures instead of re-hashing
+    * the accumulated corpus per tick (the [[graft.streaming.StreamOps
+    * .streamingIncrementalDedup]] store is exactly this table plus a
+    * batch_id partition column). */
+  def sigsOf(docs: DataFrame, idCol: String, textCol: String,
+             shingleN: Int = 3, k: Int = 8): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .withColumn("__m", md5(trim(regexp_replace(lower(col("__text")), "\\s+", " "))))
+      .withColumn("__ws", words(col("__text")))
+      .withColumn("sig",
+        when(size(col("__ws")) >= shingleN, expr(s"graft_minhash(__ws, $shingleN, $k)")))
+      .select(col("doc_id"), col("__m"), col("sig"))
+
+  /** The probe half of [[incrementalDedupOf]], over PRECOMPUTED
+    * signature tables (both sides in [[sigsOf]] layout — history ids
+    * read from its `doc_id`): exact md5 match (min history id wins) >
+    * banded minhash near ≥ threshold (best est_sim, min id tie-break)
+    * > new. Verdict set and values identical to the text form — the
+    * split exists so a streaming/incremental deployment pays the
+    * signature computation once per document instead of once per
+    * (document × tick). */
+  def incrementalDedupProbeOf(histSigs: DataFrame, batchSigs: DataFrame,
+                              k: Int = 8, bands: Int = 4,
+                              threshold: Double = 0.5,
+                              maxBucket: Int = Int.MaxValue): DataFrame = {
     require(k % bands == 0, "k must divide evenly into bands")
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
-    val normMd5 = (c: Column) => md5(trim(regexp_replace(lower(c), "\\s+", " ")))
-    val h = history.select(col(idCol).as("hid"), col(textCol).as("htext"))
-    val b = batch.select(col(idCol).as("doc_id"), col(textCol).as("btext"))
-    val hMd5 = h.groupBy(normMd5(col("htext")).as("__m")).agg(min(col("hid")).as("match_id"))
-    val probed = b.withColumn("__m", normMd5(col("btext")))
-      .join(hMd5, Seq("__m"), "left")
+    val h = histSigs.select(col("doc_id").as("hid"), col("__m"), col("sig"))
+    val b = batchSigs.select(col("doc_id"), col("__m"), col("sig"))
+    val hMd5 = h.groupBy(col("__m")).agg(min(col("hid")).as("match_id"))
+    val probed = b.join(hMd5, Seq("__m"), "left")
     val exactDup = probed.filter(col("match_id").isNotNull)
       .select(col("doc_id"), lit("exact").as("status"), col("match_id"),
         lit(1.0).as("est_sim"))
-    val rest = probed.filter(col("match_id").isNull).select(col("doc_id"), col("btext"))
+    val rest = probed.filter(col("match_id").isNull).select(col("doc_id"), col("sig"))
 
     val r = k / bands
     val bkey = (0 until r)
       .map(i => s"CAST(sig[$r*b+$i] AS STRING)").mkString("concat_ws('_', ", ", ", ")")
-    def banded(df: DataFrame, id: String, text: String): DataFrame = df
-      .select(col(id), words(col(text)).as("ws"))
-      .filter(size(col("ws")) >= shingleN)
-      .withColumn("sig", expr(s"graft_minhash(ws, $shingleN, $k)"))
+    def banded(df: DataFrame): DataFrame = df
+      .filter(col("sig").isNotNull)
       .withColumn("b", explode(sequence(lit(0), lit(bands - 1))))
       .withColumn("bkey", expr(bkey))
-    val hb = dropHotBuckets(banded(h, "hid", "htext"), Seq("b", "bkey"), maxBucket)
+    val hb = dropHotBuckets(banded(h.select(col("hid"), col("sig"))),
+        Seq("b", "bkey"), maxBucket)
       .select(col("hid"), col("sig").as("hsig"), col("b"), col("bkey"))
-    val rb = banded(rest, "doc_id", "btext")
+    val rb = banded(rest)
       .select(col("doc_id"), col("sig"), col("b"), col("bkey"))
     val near = rb.join(hb, Seq("b", "bkey"))
       .withColumn("est_sim", expr("graft_sig_agree(sig, hsig)").cast("double") / k.toDouble)
@@ -1274,7 +1304,7 @@ object DedupOps {
       .filter(col("__rn") === 1)
       .select(col("doc_id"), lit("near").as("status"),
         col("hid").as("match_id"), col("est_sim"))
-    val fresh = rest.join(near, Seq("doc_id"), "left_anti")
+    val fresh = rest.select(col("doc_id")).join(near, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), lit("new").as("status"),
         lit(null).cast("long").as("match_id"), lit(null).cast("double").as("est_sim"))
     exactDup.union(near).union(fresh).orderBy("doc_id")
@@ -1335,6 +1365,77 @@ object DedupOps {
       |UNION ALL SELECT doc_id, status, match_id, est_sim FROM near
       |UNION ALL SELECT doc_id, status, match_id, est_sim FROM fresh
       |ORDER BY doc_id""".stripMargin
+      .replace("GS_DUCK", gsDuck).replace("SIG8_DUCK", sigDuck(8))
+
+  /** #st09 the streaming incremental-dedup LOOP as a two-tick batch
+    * REPLAY (the batch-equivalent entry for [[graft.streaming
+    * .StreamOps.streamingIncrementalDedup]], the d13 rule applied per
+    * tick over an ADVANCING history): signatures computed ONCE for the
+    * whole corpus ([[sigsOf]] — the sig-store shape), then tick 1
+    * probes batch₁ (even gate docs) against the seed history and
+    * tick 2 probes batch₂ (odd gate docs) against seed ∪ batch₁ — so
+    * a batch₂ doc whose only duplicate arrived IN batch₁ must flag,
+    * which is precisely the wiring a one-shot d13 can't see. The
+    * oracle replays both ticks from one shared signature CTE. */
+  private val st09: Q = (s, dir) => {
+    val sigs = sigsOf(t(s, dir, "documents"), "doc_id", "text")
+    val h1 = sigs.filter(col("doc_id") % 5 =!= 0)
+    val b1 = sigs.filter(col("doc_id") % 5 === 0 && col("doc_id") % 2 === 0)
+    val b2 = sigs.filter(col("doc_id") % 5 === 0 && col("doc_id") % 2 =!= 0)
+    val t1 = incrementalDedupProbeOf(h1, b1).withColumn("tick", lit(1L))
+    val t2 = incrementalDedupProbeOf(h1.union(b1), b2).withColumn("tick", lit(2L))
+    t1.union(t2)
+      .select(col("tick"), col("doc_id"), col("status"), col("match_id"), col("est_sim"))
+      .orderBy("tick", "doc_id")
+  }
+
+  private def st09Tick(n: Int, hist: String, bat: String): String =
+    s"""hmd5_$n AS (SELECT m, min(doc_id) AS match_id FROM $hist GROUP BY m),
+       |p_$n AS (SELECT b.doc_id, b.sig, h.match_id
+       |  FROM $bat b LEFT JOIN hmd5_$n h ON b.m = h.m),
+       |hb_$n AS (SELECT doc_id AS hid, sig, b.b AS b,
+       |    CAST(sig[2*b.b+1] AS VARCHAR) || '_' || CAST(sig[2*b.b+2] AS VARCHAR) AS bkey
+       |  FROM $hist, range(0, 4) b(b) WHERE sig IS NOT NULL),
+       |rb_$n AS (SELECT doc_id, sig, b.b AS b,
+       |    CAST(sig[2*b.b+1] AS VARCHAR) || '_' || CAST(sig[2*b.b+2] AS VARCHAR) AS bkey
+       |  FROM p_$n, range(0, 4) b(b) WHERE match_id IS NULL AND sig IS NOT NULL),
+       |cand_$n AS (SELECT DISTINCT r.doc_id, h.hid,
+       |    list_reduce(list_transform(generate_series(1, 8),
+       |      i -> CASE WHEN r.sig[i] = h.sig[i] THEN 1.0 ELSE 0.0 END), (x, y) -> x + y) / 8.0 AS est_sim
+       |  FROM rb_$n r JOIN hb_$n h ON r.b = h.b AND r.bkey = h.bkey),
+       |near_$n AS (SELECT doc_id, 'near' AS status,
+       |    first(hid ORDER BY est_sim DESC, hid) AS match_id, max(est_sim) AS est_sim
+       |  FROM cand_$n WHERE est_sim >= 0.5 GROUP BY doc_id),
+       |ex_$n AS (SELECT doc_id, 'exact' AS status, match_id, CAST(1.0 AS DOUBLE) AS est_sim
+       |  FROM p_$n WHERE match_id IS NOT NULL),
+       |fresh_$n AS (SELECT p.doc_id, 'new' AS status, CAST(NULL AS BIGINT) AS match_id,
+       |    CAST(NULL AS DOUBLE) AS est_sim
+       |  FROM p_$n p
+       |  WHERE p.match_id IS NULL AND NOT EXISTS (SELECT 1 FROM near_$n q WHERE q.doc_id = p.doc_id)),
+       |t_$n AS (SELECT CAST($n AS BIGINT) AS tick, doc_id, status, match_id, est_sim FROM ex_$n
+       |  UNION ALL SELECT CAST($n AS BIGINT), doc_id, status, match_id, est_sim FROM near_$n
+       |  UNION ALL SELECT CAST($n AS BIGINT), doc_id, status, match_id, est_sim FROM fresh_$n)""".stripMargin
+
+  private val st09Sql =
+    s"""WITH w AS (SELECT doc_id,
+       |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS m,
+       |    regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+       |  FROM documents),
+       |s3 AS (SELECT doc_id,
+       |    list_transform(generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh
+       |  FROM w WHERE len(ws) >= 3),
+       |g AS (SELECT doc_id, GS_DUCK AS gs FROM s3),
+       |sg AS (SELECT doc_id, SIG8_DUCK AS sig FROM g),
+       |sigs AS (SELECT w.doc_id, w.m, sg.sig FROM w LEFT JOIN sg ON w.doc_id = sg.doc_id),
+       |h1 AS (SELECT * FROM sigs WHERE doc_id % 5 <> 0),
+       |b1 AS (SELECT * FROM sigs WHERE doc_id % 5 = 0 AND doc_id % 2 = 0),
+       |b2 AS (SELECT * FROM sigs WHERE doc_id % 5 = 0 AND doc_id % 2 <> 0),
+       |h2 AS (SELECT * FROM h1 UNION ALL SELECT * FROM b1),
+       |${st09Tick(1, "h1", "b1")},
+       |${st09Tick(2, "h2", "b2")}
+       |SELECT tick, doc_id, status, match_id, est_sim FROM t_1
+       |UNION ALL SELECT tick, doc_id, status, match_id, est_sim FROM t_2
+       |ORDER BY tick, doc_id""".stripMargin
       .replace("GS_DUCK", gsDuck).replace("SIG8_DUCK", sigDuck(8))
 
   /** #p03 the DEDUP GAUNTLET as ONE oracle-checked plan (the curation
@@ -1470,6 +1571,7 @@ object DedupOps {
     "ds22_dedup_curve" -> ds22,
     "d14_minhash_calibration" -> d14,
     "d13_incremental_dedup" -> d13,
+    "st09_stream_inc_dedup" -> st09,
     "d12_substring_dedup" -> d12,
     "d10_graph_rank" -> d10,
     "d08_boilerplate" -> d08,
@@ -1488,6 +1590,7 @@ object DedupOps {
     "ds22_dedup_curve" -> ds22Sql,
     "d14_minhash_calibration" -> d14Sql,
     "d13_incremental_dedup" -> d13Sql,
+    "st09_stream_inc_dedup" -> st09Sql,
     "d12_substring_dedup" -> d12Sql,
     "d10_graph_rank" -> d10Sql,
     "d08_boilerplate" -> d08Sql,

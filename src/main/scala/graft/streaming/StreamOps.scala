@@ -875,21 +875,29 @@ object StreamOps {
     * the curation twin of [[streamingKlineIngest]]'s store loop: each
     * micro-batch of arriving docs is deduped against the history store
     * with the exact [[graft.ops.DedupOps.incrementalDedupOf]] semantics
-    * (exact md5 > minhash-band near ≥ τ > new), its verdicts are
-    * appended to `verdictPath` with batch provenance, and the batch is
-    * then folded INTO the history store — so every later micro-batch
-    * dedups against everything seen before. foreachBatch is the
-    * sanctioned shape for a stream-static join whose static side must
-    * advance per batch.
+    * (exact md5 > minhash-band near ≥ τ > new), its verdicts land at
+    * `verdictPath` with batch provenance, and the batch is then folded
+    * INTO the history store — so every later micro-batch dedups
+    * against everything seen before. foreachBatch is the sanctioned
+    * shape for a stream-static join whose static side must advance
+    * per batch. Batch-equivalent replay gate: st09_stream_inc_dedup.
     *
-    * Delivery contract: the checkpoint gives exactly-once BATCH
-    * processing, but the two appends are not atomic — a crash between
-    * them can replay a batch, appending duplicate history rows. That
-    * is harmless for verdict correctness (content-identical history
-    * rows produce the same md5/signature evidence); compact the store
-    * with d01 if row-exactness matters. Proven in Round9Spec: a doc
-    * seen in micro-batch 1 flags its copy in micro-batch 2 as exact,
-    * a near-copy as near.
+    * The store holds SIGNATURES, not text ([[graft.ops.DedupOps
+    * .sigsOf]]: doc_id, __m, sig, partitioned by batch_id): each
+    * document is normalized and minhashed ONCE, ever — ticks probe
+    * stored evidence via [[graft.ops.DedupOps.incrementalDedupProbeOf]]
+    * instead of re-hashing the accumulated corpus, so per-tick cost
+    * scales with the batch (plus the md5/band joins), not the corpus.
+    *
+    * Replay idempotency (the t22 gram-store rule): both sinks are
+    * batch_id partitions written with DYNAMIC overwrite, and the
+    * history read prunes batch_id < current — a replayed batch
+    * overwrites its own partitions and cannot see its own earlier
+    * partial write. A legacy store (raw-doc rows, no batch_id) is
+    * migrated in place: signatures are computed from its text ONCE
+    * into a batch_id=-1 partition. Proven in Round9Spec: a doc seen
+    * in micro-batch 1 flags its copy in micro-batch 2 as exact, a
+    * near-copy as near.
     *
     * @return the started query; callers own its lifecycle. */
   def streamingIncrementalDedup(spark: SparkSession, docs: DataFrame,
@@ -902,20 +910,41 @@ object StreamOps {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val b = batch.localCheckpoint(eager = true)
+          val bs = graft.ops.DedupOps
+            .sigsOf(batch, idCol, textCol, shingleN, k)
+            .localCheckpoint(eager = true)
           try {
-            val histExists =
-              try { spark.read.parquet(historyPath).schema; true }
-              catch { case _: org.apache.spark.sql.AnalysisException => false }
+            val histSchema =
+              try Some(spark.read.parquet(historyPath).schema)
+              catch { case _: org.apache.spark.sql.AnalysisException => None }
+            if (histSchema.exists(sc => !sc.fieldNames.contains("batch_id"))) {
+              // legacy raw-doc store: sign it once into batch_id=-1
+              // (strictly before any replayable batch)
+              val legacy = graft.ops.DedupOps
+                .sigsOf(spark.read.parquet(historyPath), idCol, textCol, shingleN, k)
+                .withColumn("batch_id", lit(-1L))
+                .localCheckpoint(eager = true)
+              try legacy.write.mode("overwrite")
+                .partitionBy("batch_id").parquet(historyPath)
+              finally graft.Checkpoints.free(legacy)
+            }
             val hist =
-              if (histExists) spark.read.parquet(historyPath)
-              else b.filter(lit(false))
+              if (histSchema.isDefined)
+                spark.read.parquet(historyPath)
+                  .filter(col("batch_id") < lit(batchId))
+                  .select(col("doc_id"), col("__m"), col("sig"))
+              else bs.filter(lit(false))
             graft.ops.DedupOps
-              .incrementalDedupOf(hist, b, idCol, textCol, shingleN, k, bands, threshold)
+              .incrementalDedupProbeOf(hist, bs, k, bands, threshold)
               .withColumn("batch_id", lit(batchId))
-              .write.mode("append").parquet(verdictPath)
-            b.write.mode("append").parquet(historyPath)
-          } finally graft.Checkpoints.free(b)
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id").parquet(verdictPath)
+            bs.withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id").parquet(historyPath)
+          } finally graft.Checkpoints.free(bs)
         }
       }
       .start()

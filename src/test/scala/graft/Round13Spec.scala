@@ -179,6 +179,44 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  test("streamingIncrementalDedup migrates a legacy raw-doc history store in place") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{DocEvent, StreamOps}
+    val base = java.nio.file.Files.createTempDirectory("incdedup_legacy").toFile.getAbsolutePath
+    try {
+      // legacy layout: raw (doc_id, text) rows, flat, no batch_id
+      Seq(DocEvent(1L, "alpha beta gamma delta epsilon zeta"),
+          DocEvent(2L, "totally different words here entirely"))
+        .toDF().write.parquet(s"$base/history")
+      val input = MemoryStream[DocEvent]
+      val q = StreamOps.streamingIncrementalDedup(spark, input.toDF(),
+        s"$base/history", s"$base/verdicts", s"$base/ckpt", threshold = 0.25)
+      try {
+        input.addData(
+          DocEvent(10L, "ALPHA beta gamma delta epsilon zeta"), // exact vs legacy 1
+          DocEvent(11L, "totally different words here friend"), // near vs legacy 2
+          DocEvent(12L, "completely novel content nobody wrote"))
+        q.processAllAvailable()
+        val v = spark.read.parquet(s"$base/verdicts")
+          .collect().map(r => r.getLong(0) -> (r.getString(1), r.get(2))).toMap
+        assert(v(10L) == (("exact", 1L)), s"legacy doc must exact-match: $v")
+        assert(v(11L)._1 == "near" && v(12L)._1 == "new", s"got $v")
+        // store is now the partitioned SIG layout: legacy in batch_id=-1
+        val store = spark.read.parquet(s"$base/history")
+        assert(store.schema.fieldNames.contains("sig"))
+        val byBatch = store.groupBy("batch_id").count().collect()
+          .map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap
+        assert(byBatch(-1L) == 2L && byBatch(0L) == 3L, s"got $byBatch")
+      } finally q.stop()
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(base))
+    }
+  }
+
   private def hourTs(h: Int) = new java.sql.Timestamp(1700000000000L - 1700000000000L % 86400000L + h * 3600000L)
 
   test("q96 jumpTest: flat day is exact zeros; one jump in diffusion flags jump_day") {

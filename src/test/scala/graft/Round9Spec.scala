@@ -319,8 +319,12 @@ class Round9Spec extends AnyFunSuite {
         DocEvent(11L, "totally different words here friend"),  // near vs batch-1 doc 2
         DocEvent(12L, "completely novel content nobody wrote"))
       q.processAllAvailable()
+      // batch_id is a PARTITION column now — read back with inferred
+      // (integer) type, so go through Number
       val v = spark.read.parquet(s"$dir/verdicts")
-        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(4))).toMap
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getString(1), r.getAs[Number]("batch_id").longValue)).toMap
       assert(v(1L) == (("new", 0L)) && v(2L) == (("new", 0L)),
         "first batch sees an empty history")
       assert(v(10L)._1 == "exact" && v(11L)._1 == "near" && v(12L)._1 == "new",
