@@ -509,6 +509,14 @@ object Graft {
   def jumpTest(bars: DataFrame, key: String, ts: String, close: String): DataFrame =
     ops.EconOps.jumpTestOf(bars, key, ts, close)
 
+  /** Gopher-style hard quality-rule battery: word count, mean word
+    * length, symbol ratio, alphabetic-token fraction, distinct
+    * stopword hits — each as signal + boolean, ANDed into `passed`.
+    * See [[ops.TextOps.gopherRulesOf]]. */
+  def gopherRules(docs: DataFrame, id: String, text: String,
+                  minWords: Long = 20, maxWords: Long = 80): DataFrame =
+    ops.TextOps.gopherRulesOf(docs, id, text, minWords, maxWords)
+
   /** Kupiec proportion-of-failures VaR backtest: fit VaR(α) on the
     * first half of each series' return history, test the exceedance
     * rate of the second half. See [[ops.FinOps.varBacktestOf]]. */

@@ -1326,7 +1326,93 @@ object TextOps {
       |FROM g LEFT JOIN sel ON g.doc_id = sel.doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Gopher-style quality RULE SET over ANY (id, text) table (public
+    * operator behind [[graft.Graft.gopherRules]]) — the named
+    * hard-filter battery of Rae et al. 2021 §A1.1 (the industry
+    * default a pretraining pipeline runs before any model-based
+    * scoring), each rule an explicit boolean next to its measured
+    * signal so the report doubles as the tuning artifact:
+    *   ok_words    word count within [minWords, maxWords];
+    *   ok_wordlen  mean word length within [3, 10] — gibberish and
+    *               concatenation both break it;
+    *   ok_symbols  symbol-to-char ratio ≤ 0.1 (t02's punct measure);
+    *   ok_alpha    ≥ 70% of tokens contain a letter (tables of
+    *               numbers fail);
+    *   ok_stop     ≥ 2 DISTINCT stopwords present (the Gopher "real
+    *               prose" tripwire).
+    * `passed` ANDs all five. Every signal is integer counts or an
+    * int/int divide — no float boundary can disagree between engines;
+    * the stopword hits are a fixed sum of array_contains bits (no
+    * engine-specific set ops). Map-only — scan speed at any scale. */
+  def gopherRulesOf(docs: DataFrame, idCol: String, textCol: String,
+                    minWords: Long = 20, maxWords: Long = 80): DataFrame = {
+    require(minWords >= 1 && maxWords >= minWords,
+      s"need 1 <= minWords <= maxWords, got [$minWords, $maxWords]")
+    val stopHits = stop("en")
+      .map(w => when(array_contains(col("__ws"), w), 1L).otherwise(0L))
+      .reduce(_ + _)
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .withColumn("__ws", words(col("__text")))
+      .filter(size(col("__ws")) > 0)
+      .withColumn("n_words", size(col("__ws")).cast("long"))
+      .withColumn("mean_word_len",
+        expr("graft_total_strlen(__ws)") / col("n_words").cast("double"))
+      .withColumn("symbol_ratio",
+        length(regexp_replace(col("__text"), "[a-zA-Z0-9\\s]", "")) / length(col("__text")).cast("double"))
+      .withColumn("alpha_frac",
+        expr("size(filter(__ws, w -> w rlike '[a-z]'))") / col("n_words").cast("double"))
+      .withColumn("stop_hits", stopHits)
+      .withColumn("ok_words", col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("ok_wordlen", col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("ok_symbols", col("symbol_ratio") <= 0.1)
+      .withColumn("ok_alpha", col("alpha_frac") >= 0.7)
+      .withColumn("ok_stop", col("stop_hits") >= 2L)
+      .withColumn("passed",
+        col("ok_words") && col("ok_wordlen") && col("ok_symbols") &&
+          col("ok_alpha") && col("ok_stop"))
+      .drop("__text", "__ws")
+  }
+
+  /** #t24 the Gopher rule battery over the documents corpus, bounds
+    * adapted to the synthetic 10–99-word docs so both verdicts occur. */
+  private val t24: Q = (s, dir) =>
+    gopherRulesOf(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("n_words"), r6(col("mean_word_len")).as("mean_word_len"),
+        r6(col("symbol_ratio")).as("symbol_ratio"), r6(col("alpha_frac")).as("alpha_frac"),
+        col("stop_hits"), col("ok_words"), col("ok_wordlen"), col("ok_symbols"),
+        col("ok_alpha"), col("ok_stop"), col("passed"))
+      .orderBy("doc_id")
+
+  private val t24Sql = {
+    val stopSum = stop("en")
+      .map(w => s"CASE WHEN list_contains(ws, '$w') THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH w AS (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+       |f AS (SELECT doc_id,
+       |    CAST(len(ws) AS BIGINT) AS n_words,
+       |    CAST(list_reduce(list_transform(ws, w -> CAST(length(w) AS BIGINT)), (a, b) -> a + b) AS BIGINT)
+       |      / CAST(len(ws) AS DOUBLE) AS mean_word_len,
+       |    length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) / CAST(length(text) AS DOUBLE) AS symbol_ratio,
+       |    len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) / CAST(len(ws) AS DOUBLE) AS alpha_frac,
+       |    CAST($stopSum AS BIGINT) AS stop_hits
+       |  FROM w WHERE len(ws) > 0),
+       |g AS (SELECT *,
+       |    (n_words >= 20 AND n_words <= 80) AS ok_words,
+       |    (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_wordlen,
+       |    (symbol_ratio <= 0.1) AS ok_symbols,
+       |    (alpha_frac >= 0.7) AS ok_alpha,
+       |    (stop_hits >= 2) AS ok_stop
+       |  FROM f)
+       |SELECT doc_id, n_words, round(mean_word_len, 6) AS mean_word_len,
+       |  round(symbol_ratio, 6) AS symbol_ratio, round(alpha_frac, 6) AS alpha_frac,
+       |  stop_hits, ok_words, ok_wordlen, ok_symbols, ok_alpha, ok_stop,
+       |  (ok_words AND ok_wordlen AND ok_symbols AND ok_alpha AND ok_stop) AS passed
+       |FROM g
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "t24_gopher_rules" -> t24,
     "t17_dsir" -> t17,
     "t16_html_strip" -> t16,
     "t15_chunks" -> t15,
@@ -1360,6 +1446,7 @@ object TextOps {
     "t08_bigram_lm" -> t08Sql,
     "t23_ppl_buckets" -> t23Sql,
     "t09_tfidf" -> t09Sql,
+    "t24_gopher_rules" -> t24Sql,
     "t01_lang_id" -> t01Sql,
     "t02_quality_score" -> t02Sql,
     "t03_token_count" -> t03Sql,
