@@ -509,6 +509,15 @@ object Graft {
   def jumpTest(bars: DataFrame, key: String, ts: String, close: String): DataFrame =
     ops.EconOps.jumpTestOf(bars, key, ts, close)
 
+  /** Keyframe-overlap near-dup video pairs: distinct sampled-frame
+    * signatures per payload, candidates from shared-signature joins
+    * (df-capped), scored by containment |A∩B|/min(|A|,|B|).
+    * See [[ops.MultiOps.keyframeDupPairsOf]]. */
+  def keyframeDupPairs(df: DataFrame, id: String, bin: String,
+                       every: Int = 4, minContain: Double = 0.5,
+                       maxVidsPerSig: Int = 50): DataFrame =
+    ops.MultiOps.keyframeDupPairsOf(df, id, bin, every, minContain, maxVidsPerSig)
+
   /** Gopher-style hard quality-rule battery: word count, mean word
     * length, symbol ratio, alphabetic-token fraction, distinct
     * stopword hits — each as signal + boolean, ANDed into `passed`.

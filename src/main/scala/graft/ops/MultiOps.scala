@@ -556,7 +556,114 @@ object MultiOps {
       |FROM st JOIN rl ON st.doc_id = rl.doc_id JOIN cl ON st.doc_id = cl.doc_id
       |ORDER BY st.doc_id""".stripMargin
 
+  /** Distinct sampled-keyframe signatures per payload (the m03 seek
+    * rule: every `every`-th fixed-offset frame, 32 bytes as 64 hex
+    * chars, md5-derived 60-bit sig) — the per-video evidence set
+    * [[keyframeDupPairsOf]] overlaps. Map-only + one distinct. */
+  def keyframeSigsOf(df: DataFrame, idCol: String, binCol: String,
+                     every: Int = 4): DataFrame = {
+    require(every >= 1, s"every must be >= 1, got $every")
+    df.select(col(idCol).as("vid"), hex(col(binCol)).as("__hx"))
+      .withColumn("__nf", ceil(length(col("__hx")) / lit(64.0)).cast("long"))
+      .select(col("vid"), col("__hx"),
+        explode(expr("sequence(CAST(0 AS BIGINT), __nf - 1)")).as("fi"))
+      .filter(pmod(col("fi"), lit(every.toLong)) === 0)
+      .select(col("vid"),
+        graft.F.hash60(expr("substring(__hx, CAST(fi * 64 + 1 AS INT), 64)")).as("fsig"))
+      .distinct()
+  }
+
+  /** Keyframe-overlap near-dup VIDEO pairs (public operator behind
+    * [[graft.Graft.keyframeDupPairs]]) — the m07 idea lifted from one
+    * whole-payload hash to a SET of sampled-frame signatures, which is
+    * how video dedup actually works (a re-encode/trim shares most
+    * keyframes; a whole-file hash shares none): pairs are generated
+    * ONLY by joining on a shared frame signature (ids + 60-bit sigs
+    * shuffle — never payloads, never all-pairs), scored by
+    * CONTAINMENT |A∩B| / min(|A|,|B|) ≥ `minContain` so a clip
+    * trimmed to 60% still flags against its source. Frame signatures
+    * that occur in more than `maxVidsPerSig` payloads are dropped
+    * from CANDIDATE GENERATION only (the t10 MOSS df cap — a
+    * boilerplate intro frame shared by every video would otherwise
+    * go quadratic); containment denominators use the FULL sets. */
+  def keyframeDupPairsOf(df: DataFrame, idCol: String, binCol: String,
+                         every: Int = 4, minContain: Double = 0.5,
+                         maxVidsPerSig: Int = 50): DataFrame = {
+    require(minContain > 0 && minContain <= 1,
+      s"minContain in (0,1], got $minContain")
+    require(maxVidsPerSig >= 2, s"maxVidsPerSig must be >= 2, got $maxVidsPerSig")
+    val sigs = graft.Checkpoints.stabilize(keyframeSigsOf(df, idCol, binCol, every))
+    val nPer = sigs.groupBy(col("vid")).agg(count(lit(1)).as("n_frames"))
+    val capped = sigs.withColumn("__df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("fsig"))))
+      .filter(col("__df") <= maxVidsPerSig)
+      .select(col("vid"), col("fsig"))
+    val a = capped.select(col("vid").as("vid_a"), col("fsig"))
+    val b = capped.select(col("vid").as("vid_b"), col("fsig"))
+    a.join(b, Seq("fsig"))
+      .filter(col("vid_a") < col("vid_b"))
+      .groupBy(col("vid_a"), col("vid_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(nPer.select(col("vid").as("vid_a"), col("n_frames").as("n_a")), Seq("vid_a"))
+      .join(nPer.select(col("vid").as("vid_b"), col("n_frames").as("n_b")), Seq("vid_b"))
+      .withColumn("containment",
+        col("n_shared").cast("double") / least(col("n_a"), col("n_b")).cast("double"))
+      .filter(col("containment") >= minContain)
+      .select(col("vid_a"), col("vid_b"), col("n_shared"), col("n_a"), col("n_b"),
+        col("containment"))
+  }
+
+  /** #m11 keyframe-overlap near-dup pairs over the documents payloads,
+    * with plants making both verdict shapes observable (the m07 rule):
+    * ids+40000 = byte-identical copies of docs 0–4 (containment 1.0),
+    * ids+50000 = docs 0–4 TRIMMED to the first 60% of bytes — the
+    * re-encode/clip case a whole-payload hash (m07) cannot see. */
+  private val m11: Q = (s, dir) => {
+    val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val copies = base.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 40000L).as("doc_id"), col("text"))
+    val trims = base.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 50000L).as("doc_id"),
+        substring(col("text"), 1, 300).as("text"))
+    keyframeDupPairsOf(
+        base.union(copies).union(trims).withColumn("payload", col("text").cast("binary")),
+        "doc_id", "payload")
+      .select(col("vid_a"), col("vid_b"), col("n_shared"), col("n_a"), col("n_b"),
+        graft.F.r6(col("containment")).as("containment"))
+      .orderBy("vid_a", "vid_b")
+  }
+
+  private val m11Sql =
+    """WITH aug AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 40000, text FROM documents WHERE doc_id < 5
+      |  UNION ALL SELECT doc_id + 50000, substr(text, 1, 300) FROM documents WHERE doc_id < 5),
+      |h AS (SELECT doc_id AS vid, hex(encode(text)) AS hx FROM aug),
+      |f AS (SELECT vid, hx, CAST(ceil(length(hx) / 64.0) AS BIGINT) AS nf FROM h),
+      |e AS (SELECT vid, hx, unnest(generate_series(0, nf - 1)) AS fi FROM f),
+      |sg AS (SELECT DISTINCT vid,
+      |    CAST(('0x' || substr(md5(substr(hx, CAST(fi * 64 + 1 AS INTEGER), 64)), 1, 15)) AS BIGINT) AS fsig
+      |  FROM e WHERE fi % 4 = 0),
+      |np AS (SELECT vid, count(*) AS n_frames FROM sg GROUP BY vid),
+      |capped AS (
+      |  SELECT vid, fsig FROM (
+      |    SELECT vid, fsig, count(*) OVER (PARTITION BY fsig) AS df FROM sg)
+      |  WHERE df <= 50),
+      |pr AS (
+      |  SELECT a.vid AS vid_a, b.vid AS vid_b, count(*) AS n_shared
+      |  FROM capped a JOIN capped b ON a.fsig = b.fsig AND a.vid < b.vid
+      |  GROUP BY 1, 2),
+      |j AS (
+      |  SELECT pr.vid_a, pr.vid_b, pr.n_shared,
+      |    na.n_frames AS n_a, nb.n_frames AS n_b,
+      |    CAST(pr.n_shared AS DOUBLE) / CAST(least(na.n_frames, nb.n_frames) AS DOUBLE) AS containment
+      |  FROM pr JOIN np na ON pr.vid_a = na.vid JOIN np nb ON pr.vid_b = nb.vid)
+      |SELECT vid_a, vid_b, n_shared, n_a, n_b, round(containment, 6) AS containment
+      |FROM j WHERE containment >= 0.5
+      |ORDER BY vid_a, vid_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "m11_keyframe_dedup" -> m11,
     "m10_signal_quality" -> m10,
     "m09_av_align" -> m09,
     "m08_byte_entropy" -> m08,
@@ -570,6 +677,7 @@ object MultiOps {
 
   /** m02 is intentionally absent: mapPartitions output is rows-only. */
   val oracle: Map[String, String] = Map(
+    "m11_keyframe_dedup" -> m11Sql,
     "m10_signal_quality" -> m10Sql,
     "m09_av_align" -> m09Sql,
     "m08_byte_entropy" -> m08Sql,
