@@ -1133,6 +1133,15 @@ object Graft {
             excludeSelf: Boolean = true): DataFrame =
     ops.SimOps.pqAnnOf(corpus, queries, codebookSource, id, vec, dims, m, kCodes, k, excludeSelf)
 
+  /** PQ + exact-cosine refine: [[annPq]] widened to k·rerankFactor ADC
+    * candidates, then only those re-ranked by exact cosine — FAISS's
+    * refine wrapper. See [[ops.SimOps.pqRefineOf]]. */
+  def annPqRefine(corpus: DataFrame, queries: DataFrame, codebookSource: DataFrame,
+                  id: String, vec: String, dims: Int, m: Int, kCodes: Int, k: Int,
+                  rerankFactor: Int = 4): DataFrame =
+    ops.SimOps.pqRefineOf(corpus, queries, codebookSource, id, vec, dims, m,
+      kCodes, k, rerankFactor)
+
   /** Scalar-quantized (SQ8) ANN — the fourth ANN representation next
     * to [[annIvf]]/[[annLsh]]/[[annPq]]: per-dim min/max define a
     * 256-level grid (codes 4–8× smaller at rest, see [[sqEncode]]);

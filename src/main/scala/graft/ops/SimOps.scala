@@ -1534,7 +1534,67 @@ ORDER BY q_id, rank"""
       .orderBy("q_id", "rank")
   }
 
-  private val s06Sql = {
+  /** PQ + exact-cosine REFINE (public operator behind
+    * [[graft.Graft.annPqRefine]]) — the standard third ANN stage
+    * (FAISS's `refine` wrapper): the compressed-domain ADC scan keeps
+    * `k·rerankFactor` candidates, then ONLY those are re-ranked by
+    * exact cosine against the original vectors. Fixes the PQ ranking
+    * errors that flip neighbours whose ADC distances sit inside the
+    * quantization error, at the cost of `k·rerankFactor` exact dot
+    * products per query — not a corpus scan. Output keeps each hit's
+    * `pq_rank` provenance next to its refined `rank`, so the
+    * re-ordering the refine bought is visible per row.
+    * Plan shape: [[pqAnnOf]] unchanged (map-only encode, broadcast
+    * lookup, one rank window) + one more per-query window over
+    * k·rerankFactor rows. */
+  def pqRefineOf(corpus: DataFrame, queries: DataFrame, codebooks: DataFrame,
+                 idCol: String, vecCol: String, dims: Int, m: Int, kCodes: Int,
+                 k: Int, rerankFactor: Int = 4): DataFrame = {
+    require(rerankFactor >= 1, s"rerankFactor must be >= 1, got $rerankFactor")
+    val cand = pqAnnOf(corpus, queries, codebooks, idCol, vecCol,
+        dims, m, kCodes, k * rerankFactor)
+      .withColumnRenamed("rank", "pq_rank")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    cand
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("pq_rank"),
+        col("cos_sim"), col("adc"))
+  }
+
+  /** #26k PQ+refine: the s06 scan widened to 4×k ADC candidates, then
+    * exact-cosine re-ranked to the final top-10 — pq_rank vs rank
+    * shows each neighbour the compressed ranking misplaced. */
+  private val s23: Q = (s, dir) => {
+    val all = vecs(s, dir)
+    pqRefineOf(all, all.filter(col("vec_id") < 5), all.filter(col("vec_id") < 8),
+        "vec_id", "v", dims = 64, m = 4, kCodes = 8, k = K, rerankFactor = 4)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("pq_rank"),
+        r6(col("cos_sim")).as("cos_sim"), r6(col("adc")).as("adc"))
+      .orderBy("q_id", "rank")
+  }
+
+  private lazy val s23Sql =
+    s"""$pqSqlPrefix,
+       |cand AS (
+       |  SELECT r.q_id AS q_id, rank AS pq_rank, r.vec_id AS vec_id, adc,
+       |    ${duckCos("qv", "v")} AS cos_sim
+       |  FROM r JOIN e ON e.vec_id = r.vec_id JOIN q ON q.q_id = r.q_id
+       |  WHERE rank <= ${4 * K}),
+       |rr AS (
+       |  SELECT q_id, vec_id, pq_rank, adc, cos_sim,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+       |  FROM cand)
+       |SELECT q_id, rank, vec_id, pq_rank,
+       |  round(cos_sim, 6) AS cos_sim, round(adc, 6) AS adc
+       |FROM rr
+       |WHERE rank <= $K
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** Shared candidate chain of the s06/s23 oracles: PQ encode + ADC
+    * score + ADC rank, ending at the `r` CTE (extracted verbatim from
+    * the s06 oracle so the two stay plan-identical). */
+  private val pqSqlPrefix = {
     def dot(a: String, b: String) = graft.OracleSql.seqDot(a, b, 16)
     def d2(x: String, c: String) =
       s"((-2.0 * ${dot(x, c)}) + ${dot(c, c)}) + ${dot(x, x)}"
@@ -1567,13 +1627,16 @@ ORDER BY q_id, rank"""
        |  WHERE enc.vec_id <> l0.q_id),
        |r AS (SELECT q_id, vec_id, adc,
        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS BIGINT) AS rank
-       |  FROM sc)
+       |  FROM sc)""".stripMargin
+  }
+
+  private val s06Sql =
+    s"""$pqSqlPrefix
        |SELECT r.q_id AS q_id, rank, r.vec_id AS vec_id, round(adc, 6) AS adc,
        |  round(${duckCos("qv", "v")}, 6) AS cos_sim
        |FROM r JOIN e ON e.vec_id = r.vec_id JOIN q ON q.q_id = r.q_id
        |WHERE rank <= $K
        |ORDER BY r.q_id, rank""".stripMargin
-  }
 
   /** Scalar-quantized (SQ8) ANN over ANY (id, vector) corpus/query
     * tables (public operator behind [[graft.Graft.annSq]]) — the fourth
@@ -2395,6 +2458,7 @@ ORDER BY q_id, rank"""
     "s13_mrl_recall" -> s13,
     "s12_ann_sq" -> s12,
     "s06_ann_pq" -> s06,
+    "s23_pq_refine" -> s23,
     "s01_knn_bruteforce" -> s01,
     "s02_ann_ivf" -> s02,
     "s03_ann_lsh" -> s03,
@@ -2421,6 +2485,7 @@ ORDER BY q_id, rank"""
     "s13_mrl_recall" -> s13Sql,
     "s12_ann_sq" -> s12Sql,
     "s06_ann_pq" -> s06Sql,
+    "s23_pq_refine" -> s23Sql,
     "s01_knn_bruteforce" -> s01Sql,
     "s02_ann_ivf" -> s02Sql,
     "s03_ann_lsh" -> s03Sql,

@@ -219,6 +219,24 @@ class Round13Spec extends SparkSpec {
 
   private def hourTs(h: Int) = new java.sql.Timestamp(1700000000000L - 1700000000000L % 86400000L + h * 3600000L)
 
+  test("s23 refine: recall@10 vs brute is >= plain PQ, never below") {
+    val dir = "/root/testdata/sf0.001"
+    def sets(name: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(name)(spark, dir).select("q_id", "vec_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val brute = sets("s01_knn_bruteforce")
+    val pq = sets("s06_ann_pq")
+    val ref = sets("s23_pq_refine")
+    def recall(ann: Map[Long, Set[Long]]): Double =
+      brute.keys.map(q => ann(q).intersect(brute(q)).size.toDouble / brute(q).size)
+        .sum / brute.size
+    val (rp, rr) = (recall(pq), recall(ref))
+    assert(rr >= rp, s"refine must not lose recall: pq=$rp refined=$rr")
+    // the refined set is drawn from 4x candidates re-ranked exactly, so
+    // with quantization error present it should strictly improve here
+    assert(rr > rp, s"expected a strict recall gain on this corpus: $rp -> $rr")
+  }
+
   test("q96 jumpTest: flat day is exact zeros; one jump in diffusion flags jump_day") {
     // series F: constant closes → rv = bv = 0, rj null (no jump_day verdict)
     val flat = (0 until 10).map(h => ("F", hourTs(h), 100.0))
