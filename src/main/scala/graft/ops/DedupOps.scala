@@ -1378,7 +1378,11 @@ object DedupOps {
     * which is precisely the wiring a one-shot d13 can't see. The
     * oracle replays both ticks from one shared signature CTE. */
   private val st09: Q = (s, dir) => {
-    val sigs = sigsOf(t(s, dir, "documents"), "doc_id", "text")
+    // materialized once: both ticks traverse the signature table (the
+    // phashPairsOf sig-checkpoint rule — no cross-tick CSE in Catalyst);
+    // the streaming deployment reads sigs from its parquet store instead
+    val sigs = graft.Checkpoints.stabilize(
+      sigsOf(t(s, dir, "documents"), "doc_id", "text"))
     val h1 = sigs.filter(col("doc_id") % 5 =!= 0)
     val b1 = sigs.filter(col("doc_id") % 5 === 0 && col("doc_id") % 2 === 0)
     val b2 = sigs.filter(col("doc_id") % 5 === 0 && col("doc_id") % 2 =!= 0)
