@@ -526,6 +526,19 @@ object Graft {
                   minWords: Long = 20, maxWords: Long = 80): DataFrame =
     ops.TextOps.gopherRulesOf(docs, id, text, minWords, maxWords)
 
+  /** Risk-adjusted performance ratios per series over daily returns:
+    * mean/stdev/downside deviation, annualized Sharpe and Sortino,
+    * log-space max drawdown, Calmar. See [[ops.FinOps.riskRatiosOf]]. */
+  def riskRatios(bars: DataFrame, key: String, ts: String, close: String): DataFrame =
+    ops.FinOps.riskRatiosOf(bars, key, ts, close)
+
+  /** Corwin–Schultz high-low spread estimator: per (series, day),
+    * two-bar-span β/γ separation of variance from the bid-ask bounce.
+    * See [[ops.EconOps.csSpreadOf]]. */
+  def csSpread(bars: DataFrame, key: String, ts: String,
+               high: String, low: String): DataFrame =
+    ops.EconOps.csSpreadOf(bars, key, ts, high, low)
+
   /** Kupiec proportion-of-failures VaR backtest: fit VaR(α) on the
     * first half of each series' return history, test the exceedance
     * rate of the second half. See [[ops.FinOps.varBacktestOf]]. */

@@ -1236,7 +1236,121 @@ object EconOps {
        |FROM g
        |ORDER BY series, day_ms""".stripMargin
 
+  // --------------------------------------- Corwin–Schultz spread
+
+  /** Shared Scala literals (q56 rule): 3−2√2 and the √2 they fold
+    * from, interpolated verbatim into both engines' plans. */
+  private val csC = 3.0 - 2.0 * math.sqrt(2.0)
+
+  /** Corwin–Schultz (2012) HIGH-LOW spread estimator over ANY OHLC
+    * bar table (public operator behind [[graft.Graft.csSpread]]) —
+    * the third microstructure estimator next to q81's Roll (trade
+    * prices) and q80's Amihud (volume): the daily high-low range
+    * reflects both variance and the bid-ask bounce, and variance
+    * grows with time while the spread does not, so two-bar spans
+    * separate them. Per consecutive bar pair within a (series, day):
+    *   β = ln(H₁/L₁)² + ln(H₂/L₂)²,
+    *   γ = ln(max(H₁,H₂)/min(L₁,L₂))²,
+    *   α = (√(2β)−√β)/(3−2√2) − √(γ/(3−2√2)),
+    *   s = 2(eᵅ−1)/(1+eᵅ), negative estimates floored to 0 (the
+    *       authors' recommended treatment).
+    * One row per (series, day): n_pairs and the day's mean spread.
+    *
+    * Exactness: bar H/L are exact arg-picks; every pair term is
+    * per-row scalar ln/sqrt/exp; the day mean is a cumulative fold
+    * taken at the day's last pair row (q33 rule); 3−2√2 is a shared
+    * Scala literal. Bars with a non-positive low are excluded before
+    * pairing. One (series, day) window shuffle on the bar grid. */
+  def csSpreadOf(bars: DataFrame, keyCol: String, tsCol: String,
+                 highCol: String, lowCol: String): DataFrame = {
+    val base = bars.select(col(keyCol).as("__k"), col(tsCol).as("__t"),
+        col(highCol).cast("double").as("__h"), col(lowCol).cast("double").as("__l"))
+      .filter(col("__l") > 0 && col("__h") >= col("__l"))
+      .withColumn("__d", date_trunc("day", col("__t")))
+    val w = Window.partitionBy(col("__k"), col("__d")).orderBy(col("__t"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hl = log(col("__h") / col("__l"))
+    val hlp = log(col("__ph") / col("__pl"))
+    val beta = hl * hl + hlp * hlp
+    val gammaLn = log(greatest(col("__h"), col("__ph")) / least(col("__l"), col("__pl")))
+    val gamma = gammaLn * gammaLn
+    val alpha = (sqrt(lit(2.0) * col("__beta")) - sqrt(col("__beta"))) / lit(csC) -
+      sqrt(col("__gamma") / lit(csC))
+    base
+      .withColumn("__ph", lag(col("__h"), 1).over(w))
+      .withColumn("__pl", lag(col("__l"), 1).over(w))
+      .withColumn("__beta", when(col("__ph").isNotNull, beta))
+      .withColumn("__gamma", when(col("__ph").isNotNull, gamma))
+      .withColumn("__alpha", alpha)
+      .withColumn("__s",
+        greatest(lit(2.0) * (exp(col("__alpha")) - 1.0) / (exp(col("__alpha")) + 1.0),
+          lit(0.0)))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("__k"), col("__d"))))
+      .withColumn("__np", count(col("__s")).over(Window.partitionBy(col("__k"), col("__d"))))
+      .withColumn("__cs", sum(col("__s")).over(cum))
+      .filter(col("rn") === col("n"))
+      .filter(col("__np") > 0)
+      .select(col("__k").as("series"), col("__d").as("day"),
+        col("__np").cast("long").as("n_pairs"),
+        (col("__cs") / col("__np").cast("double")).as("cs_spread"))
+  }
+
+  /** #q98 the Corwin–Schultz daily spread over the hourly bars. */
+  private val q98: Q = (s, dir) =>
+    csSpreadOf(
+      graft.Graft.resampleOhlc(t(s, dir, "events"),
+        "event_type", "ts", "event_id", "value", "hour"),
+      "event_type", "bucket", "high", "low")
+      .select(col("series"), epochMs(col("day")).as("day_ms"),
+        col("n_pairs"), r6(col("cs_spread")).as("cs_spread"))
+      .orderBy("series", "day_ms")
+
+  private val q98Sql =
+    s"""WITH b AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+       |    max(value) AS high, min(value) AS low
+       |  FROM events GROUP BY 1, 2),
+       |bp AS (SELECT * FROM b WHERE low > 0 AND high >= low),
+       |d AS (
+       |  SELECT event_type, bucket, date_trunc('day', bucket) AS day, high, low,
+       |    lag(high, 1) OVER w AS ph, lag(low, 1) OVER w AS pl
+       |  FROM bp
+       |  WINDOW w AS (PARTITION BY event_type, date_trunc('day', bucket) ORDER BY bucket)),
+       |e AS (
+       |  SELECT event_type, bucket, day,
+       |    CASE WHEN ph IS NOT NULL THEN
+       |      ln(high / low) * ln(high / low) + ln(ph / pl) * ln(ph / pl) END AS beta,
+       |    CASE WHEN ph IS NOT NULL THEN
+       |      ln(greatest(high, ph) / least(low, pl)) * ln(greatest(high, ph) / least(low, pl)) END AS gamma
+       |  FROM d),
+       |f AS (
+       |  SELECT event_type, bucket, day,
+       |    (sqrt(2.0 * beta) - sqrt(beta)) / ($csC) - sqrt(gamma / ($csC)) AS alpha
+       |  FROM e),
+       |g AS (
+       |  SELECT event_type, bucket, day,
+       |    greatest(2.0 * (exp(alpha) - 1.0) / (exp(alpha) + 1.0), 0.0) AS s
+       |  FROM f),
+       |h AS (
+       |  SELECT event_type, day,
+       |    row_number() OVER o AS rn,
+       |    count(*) OVER (PARTITION BY event_type, day) AS n,
+       |    count(s) OVER (PARTITION BY event_type, day) AS np,
+       |    sum(s) OVER w AS cs
+       |  FROM g
+       |  WINDOW o AS (PARTITION BY event_type, day ORDER BY bucket),
+       |    w AS (PARTITION BY event_type, day ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT event_type AS series, epoch_ms(day) AS day_ms,
+       |  CAST(np AS BIGINT) AS n_pairs,
+       |  round(cs / CAST(np AS DOUBLE), 6) AS cs_spread
+       |FROM h
+       |WHERE rn = n AND np > 0
+       |ORDER BY series, day_ms""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q98_corwin_schultz" -> q98,
     "q96_bipower" -> q96,
     "q95_ou_halflife" -> q95,
     "q80_amihud" -> q80,
@@ -1255,6 +1369,7 @@ object EconOps {
     "q82_acf" -> q82Sql,
     "q83_hurst" -> q83Sql,
     "q89_kyle_lambda" -> q89Sql,
+    "q98_corwin_schultz" -> q98Sql,
     "q96_bipower" -> q96Sql,
     "q90_vpin" -> q90Sql,
     "q92_adf" -> q92Sql,

@@ -1184,6 +1184,145 @@ object FinOps {
        |FROM l
        |ORDER BY series""".stripMargin
 
+  /** Annualization literal shared with the oracle (q56 rule). */
+  private val daysPerYear = 365.0
+
+  /** Risk-adjusted performance ratios over ANY close series (public
+    * operator behind [[graft.Graft.riskRatios]]) — the summary row a
+    * strategy report ends with, per series over its daily returns:
+    *   mean_r / std_r   daily mean and sample stdev,
+    *   downside_dev     √(Σ min(r,0)² / n) — penalizes only losses,
+    *   sharpe           mean/std · √365 (annualized),
+    *   sortino          mean/downside · √365,
+    *   max_dd           deepest peak-to-trough equity loss (the q32
+    *                    drawdown on the compounded path, computed in
+    *                    LOG space: running-max of cum Σln(1+r) —
+    *                    monotone, so log-peak IS the peak),
+    *   calmar           mean·365 / max_dd.
+    * Every divide is CASE-guarded (n≥2, std>0, downside>0, dd>0 —
+    * the ANSI zero-divide rule); all sums are cumulative folds in day
+    * order taken at the series' last row (q33 rule); ln(1+r) is safe
+    * by construction (both closes positive ⇒ 1+r = c/prev > 0); √365
+    * and 365 are shared Scala literals. One series-key window
+    * shuffle on the daily grid. */
+  def riskRatiosOf(bars: DataFrame, keyCol: String, tsCol: String,
+                   closeCol: String): DataFrame = {
+    val wDay = Window.partitionBy(col("__k"), col("__d")).orderBy(col("__t"))
+    val daily = bars
+      .select(col(keyCol).as("__k"), col(tsCol).as("__t"),
+        col(closeCol).cast("double").as("__c"))
+      .filter(col("__c") > 0)
+      .withColumn("__d", date_trunc("day", col("__t")))
+      .withColumn("__rn", row_number().over(wDay))
+      .withColumn("__nd", count(lit(1)).over(Window.partitionBy(col("__k"), col("__d"))))
+      .filter(col("__rn") === col("__nd"))
+      .select(col("__k"), col("__d"), col("__c"))
+    val w = Window.partitionBy(col("__k")).orderBy(col("__d"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rets = daily
+      .withColumn("__r", col("__c") / lag(col("__c"), 1).over(w) - lit(1.0))
+      .filter(col("__r").isNotNull)
+    val dn = when(col("__r") < 0, col("__r") * col("__r")).otherwise(lit(0.0))
+    val annR = sqrt(lit(daysPerYear))
+    rets
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__k"))))
+      .withColumn("__s", sum(col("__r")).over(cum))
+      .withColumn("__s2", sum(col("__r") * col("__r")).over(cum))
+      .withColumn("__sd2", sum(dn).over(cum))
+      .withColumn("__clog", sum(log(lit(1.0) + col("__r"))).over(cum))
+      .withColumn("__peak", max(col("__clog")).over(cum))
+      .withColumn("__dd", lit(1.0) - exp(col("__clog") - col("__peak")))
+      .withColumn("__maxdd", max(col("__dd")).over(cum))
+      .filter(col("__rn") === col("__n"))
+      .withColumn("nd", col("__n").cast("double"))
+      .withColumn("mean_r", col("__s") / col("nd"))
+      .withColumn("__var",
+        when(col("__n") >= 2, (col("__s2") - col("__s") * col("__s") / col("nd")) / (col("nd") - 1.0)))
+      .withColumn("std_r", when(col("__var") > 0, sqrt(col("__var"))))
+      .withColumn("downside_dev",
+        when(col("__sd2") > 0, sqrt(col("__sd2") / col("nd"))))
+      .withColumn("sharpe",
+        when(col("std_r").isNotNull, col("mean_r") / col("std_r") * annR))
+      .withColumn("sortino",
+        when(col("downside_dev").isNotNull, col("mean_r") / col("downside_dev") * annR))
+      .withColumn("calmar",
+        when(col("__maxdd") > 0, col("mean_r") * lit(daysPerYear) / col("__maxdd")))
+      .select(col("__k").as("series"), col("__n").as("n_days"),
+        col("mean_r"), col("std_r"), col("downside_dev"),
+        col("sharpe"), col("sortino"), col("__maxdd").as("max_dd"), col("calmar"))
+  }
+
+  /** #q99 the performance-summary row per series: daily closes from
+    * the hourly grid, ratios over the full history. */
+  private val q99: Q = (s, dir) =>
+    riskRatiosOf(
+      graft.Graft.resampleOhlc(t(s, dir, "events"),
+        "event_type", "ts", "event_id", "value", "hour"),
+      "event_type", "bucket", "close")
+      .select(col("series"), col("n_days"), r6(col("mean_r")).as("mean_r"),
+        r6(col("std_r")).as("std_r"), r6(col("downside_dev")).as("downside_dev"),
+        r6(col("sharpe")).as("sharpe"), r6(col("sortino")).as("sortino"),
+        r6(col("max_dd")).as("max_dd"), r6(col("calmar")).as("calmar"))
+      .orderBy("series")
+
+  private val q99Sql =
+    s"""WITH b AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+       |    last(value ORDER BY ts, event_id) AS close
+       |  FROM events GROUP BY 1, 2),
+       |bp AS (SELECT * FROM b WHERE close > 0),
+       |dly AS (
+       |  SELECT event_type, date_trunc('day', bucket) AS day,
+       |    last(close ORDER BY bucket) AS c
+       |  FROM bp GROUP BY 1, 2),
+       |r AS (
+       |  SELECT event_type, day,
+       |    c / lag(c, 1) OVER (PARTITION BY event_type ORDER BY day) - 1.0 AS r
+       |  FROM dly),
+       |rr AS (SELECT * FROM r WHERE r IS NOT NULL),
+       |c AS (
+       |  SELECT event_type,
+       |    row_number() OVER o AS rn,
+       |    count(*) OVER (PARTITION BY event_type) AS n,
+       |    sum(r) OVER w AS s,
+       |    sum(r * r) OVER w AS s2,
+       |    sum(CASE WHEN r < 0 THEN r * r ELSE 0.0 END) OVER w AS sd2,
+       |    sum(ln(1.0 + r)) OVER w AS clog
+       |  FROM rr
+       |  WINDOW o AS (PARTITION BY event_type ORDER BY day),
+       |    w AS (PARTITION BY event_type ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |p AS (
+       |  SELECT *, max(clog) OVER (PARTITION BY event_type ORDER BY rn
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+       |  FROM c),
+       |d AS (
+       |  SELECT event_type, rn, n, s, s2, sd2,
+       |    max(1.0 - exp(clog - peak)) OVER (PARTITION BY event_type ORDER BY rn
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS maxdd
+       |  FROM p),
+       |f AS (
+       |  SELECT event_type, n, s, s2, sd2, maxdd,
+       |    CAST(n AS DOUBLE) AS nd,
+       |    s / CAST(n AS DOUBLE) AS mean_r,
+       |    CASE WHEN n >= 2 THEN (s2 - s * s / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) END AS v
+       |  FROM d WHERE rn = n),
+       |g AS (
+       |  SELECT event_type, n, mean_r, maxdd, sd2, nd,
+       |    CASE WHEN v > 0 THEN sqrt(v) END AS std_r,
+       |    CASE WHEN sd2 > 0 THEN sqrt(sd2 / nd) END AS downside_dev
+       |  FROM f)
+       |SELECT event_type AS series, n AS n_days,
+       |  round(mean_r, 6) AS mean_r, round(std_r, 6) AS std_r,
+       |  round(downside_dev, 6) AS downside_dev,
+       |  round(CASE WHEN std_r IS NOT NULL THEN mean_r / std_r * sqrt($daysPerYear) END, 6) AS sharpe,
+       |  round(CASE WHEN downside_dev IS NOT NULL THEN mean_r / downside_dev * sqrt($daysPerYear) END, 6) AS sortino,
+       |  round(maxdd, 6) AS max_dd,
+       |  round(CASE WHEN maxdd > 0 THEN mean_r * $daysPerYear / maxdd END, 6) AS calmar
+       |FROM g
+       |ORDER BY series""".stripMargin
+
   /** #q62b the 100 TB VaR path AS A QUERY: [[varEsOf]] run in BOTH
     * modes — exact interpolated percentile vs the `approx = true`
     * sketch swap — joined per series with the realized divergence
@@ -1380,6 +1519,7 @@ object FinOps {
     "q69_ichimoku" -> q69,
     "q64_rank_ic" -> q64,
     "q97_var_backtest" -> q97,
+    "q99_risk_ratios" -> q99,
     "q62_var_es" -> q62,
     "q59_volume_bars" -> q59,
     "q56_volatility" -> q56,
@@ -1403,6 +1543,7 @@ object FinOps {
     "q69_ichimoku" -> q69Sql,
     "q64_rank_ic" -> q64Sql,
     "q97_var_backtest" -> q97Sql,
+    "q99_risk_ratios" -> q99Sql,
     "q62_var_es" -> q62Sql,
     "q59_volume_bars" -> q59Sql,
     "q56_volatility" -> q56Sql,
