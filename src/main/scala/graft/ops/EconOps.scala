@@ -1282,9 +1282,13 @@ object EconOps {
       .withColumn("__beta", when(col("__ph").isNotNull, beta))
       .withColumn("__gamma", when(col("__ph").isNotNull, gamma))
       .withColumn("__alpha", alpha)
+      // the null guard matters: greatest(NULL, 0.0) is 0.0 in BOTH
+      // engines, which would count the pairless first bar as a
+      // phantom zero-spread pair and dilute the day mean
       .withColumn("__s",
-        greatest(lit(2.0) * (exp(col("__alpha")) - 1.0) / (exp(col("__alpha")) + 1.0),
-          lit(0.0)))
+        when(col("__alpha").isNotNull,
+          greatest(lit(2.0) * (exp(col("__alpha")) - 1.0) / (exp(col("__alpha")) + 1.0),
+            lit(0.0))))
       .withColumn("rn", row_number().over(w))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("__k"), col("__d"))))
       .withColumn("__np", count(col("__s")).over(Window.partitionBy(col("__k"), col("__d"))))
@@ -1330,7 +1334,8 @@ object EconOps {
        |  FROM e),
        |g AS (
        |  SELECT event_type, bucket, day,
-       |    greatest(2.0 * (exp(alpha) - 1.0) / (exp(alpha) + 1.0), 0.0) AS s
+       |    CASE WHEN alpha IS NOT NULL
+       |      THEN greatest(2.0 * (exp(alpha) - 1.0) / (exp(alpha) + 1.0), 0.0) END AS s
        |  FROM f),
        |h AS (
        |  SELECT event_type, day,

@@ -1231,7 +1231,9 @@ object FinOps {
       .withColumn("__s2", sum(col("__r") * col("__r")).over(cum))
       .withColumn("__sd2", sum(dn).over(cum))
       .withColumn("__clog", sum(log(lit(1.0) + col("__r"))).over(cum))
-      .withColumn("__peak", max(col("__clog")).over(cum))
+      // the STARTING equity (log 0) is a peak candidate — the
+      // conventional drawdown baseline (and q32's first-close rule)
+      .withColumn("__peak", greatest(max(col("__clog")).over(cum), lit(0.0)))
       .withColumn("__dd", lit(1.0) - exp(col("__clog") - col("__peak")))
       .withColumn("__maxdd", max(col("__dd")).over(cum))
       .filter(col("__rn") === col("__n"))
@@ -1294,8 +1296,8 @@ object FinOps {
        |    w AS (PARTITION BY event_type ORDER BY day
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
        |p AS (
-       |  SELECT *, max(clog) OVER (PARTITION BY event_type ORDER BY rn
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+       |  SELECT *, greatest(max(clog) OVER (PARTITION BY event_type ORDER BY rn
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS peak
        |  FROM c),
        |d AS (
        |  SELECT event_type, rn, n, s, s2, sd2,

@@ -280,6 +280,52 @@ class Round13Spec extends SparkSpec {
     assert(w.getDouble(5) == 0.5 && w.getBoolean(7), "10/20 breaches must reject")
   }
 
+  test("q98 csSpread: flat bars give zero spread; constant-range bars match the closed form") {
+    // series F: H == L (no range) → beta = gamma = 0 → alpha 0 → s = 0
+    val flat = (0 until 6).map(h => ("F", hourTs(h), 100.0, 100.0))
+    // series R: every bar H=102, L=100 at the same level → beta = 2·ln(1.02)²,
+    // gamma = ln(1.02)² (the span has the same extremes)
+    val range = (0 until 6).map(h => ("R", hourTs(h), 102.0, 100.0))
+    val out = ops.EconOps.csSpreadOf((flat ++ range).toDF("series", "ts", "high", "low"),
+        "series", "ts", "high", "low")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("F").getDouble(3) == 0.0)
+    val l = math.log(1.02)
+    val c = 3.0 - 2.0 * math.sqrt(2.0)
+    val beta = 2.0 * l * l
+    val alpha = (math.sqrt(2.0 * beta) - math.sqrt(beta)) / c - math.sqrt(l * l / c)
+    val sExp = math.max(2.0 * (math.exp(alpha) - 1.0) / (math.exp(alpha) + 1.0), 0.0)
+    assert(out("R").getLong(2) == 5L)
+    assert(math.abs(out("R").getDouble(3) - sExp) < 1e-12,
+      s"got ${out("R").getDouble(3)}, want $sExp")
+  }
+
+  test("q99 riskRatios: alternating ±1% days give the closed-form mean/std/maxdd and null-free ratios") {
+    def dayTs(d: Int) = new java.sql.Timestamp(1700000000000L - 1700000000000L % 86400000L + d * 86400000L)
+    // closes: alternate ×1.01, ×0.99 for 10 returns
+    val closes = (0 until 11).scanLeft(100.0) { (p, i) =>
+      if (i % 2 == 0) p * 1.01 else p * 0.99 }.tail.take(11)
+    val bars = closes.zipWithIndex.map { case (c, d) => ("A", dayTs(d), c) }
+    val out = ops.FinOps.riskRatiosOf(bars.toDF("series", "ts", "close"),
+      "series", "ts", "close").collect()
+    assert(out.length == 1)
+    val r = out(0)
+    val rets = closes.zip(closes.tail).map { case (a, b) => b / a - 1.0 }
+    val n = rets.size
+    val mean = rets.sum / n
+    val varS = rets.map(x => (x - mean) * (x - mean)).sum / (n - 1)
+    assert(r.getLong(1) == n)
+    assert(math.abs(r.getDouble(2) - mean) < 1e-12)
+    assert(math.abs(r.getDouble(3) - math.sqrt(varS)) < 1e-9)
+    // expected maxdd from the close path itself (the net drift is DOWN —
+    // 1.01·0.99 < 1 — so the trough deepens each cycle past the first peak)
+    val expDd = closes.scanLeft(0.0)(math.max).tail.zip(closes)
+      .map { case (pk, c) => 1.0 - c / pk }.max
+    assert(math.abs(r.getDouble(7) - expDd) < 1e-12, s"maxdd=${r.getDouble(7)} want $expDd")
+    // sharpe/sortino/calmar all defined on this series
+    assert(!r.isNullAt(5) && !r.isNullAt(6) && !r.isNullAt(8))
+  }
+
   test("p06 export pipeline: stage wiring (bench excluded, quality gate, budgets, dense shard pos)") {
     val dir = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("p06_export_pipeline")(spark, dir).cache()
