@@ -662,7 +662,114 @@ object MultiOps {
       |FROM j WHERE containment >= 0.5
       |ORDER BY vid_a, vid_b""".stripMargin
 
+  /** #p07 the MULTIMODAL ingest pipeline as ONE oracle-checked plan —
+    * the media-lake sibling of p03 (text curation) / p06 (export) /
+    * p02 (market loop): every payload gets a PROVENANCE VERDICT from
+    * the two-stage chain a binary lake actually runs, stage 2 ON
+    * stage 1's survivors (the p03 wiring rule):
+    *   'dropped_qc'   byte entropy < 3.0 bits (m08's signal — the
+    *                  corpus floor is 3.68, so only degenerate
+    *                  payloads fail; planted constant-byte payloads
+    *                  ids 70000–70004 read exactly 0.0);
+    *   'dropped_dup'  QC survivor with an m11 keyframe-containment
+    *                  pair against ANY smaller id (the d11 greedy
+    *                  keep-lowest rule; `dup_of` = the smallest such
+    *                  match — planted byte-copies ids+60000 must
+    *                  resolve to their originals);
+    *   'kept'         everything else.
+    * One row per payload: (vid, verdict, entropy_bits, dup_of). The
+    * oracle replays entropy chain + survivor filter + keyframe chain
+    * as one CTE stack, so dedup run on the wrong survivor set
+    * hash-fails. Scale shape: stage 1 is one byte-histogram shuffle
+    * (≤256 rows per payload); stage 2 is the m11 banded join —
+    * nothing all-pairs, payloads never shuffle twice. */
+  private val p07: Q = (s, dir) => {
+    import s.implicits._
+    val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val copies = base.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 60000L).as("doc_id"), col("text"))
+    val lows = (0 until 5).map(i => (70000L + i, "a" * 200)).toDF("doc_id", "text")
+    val aug = base.union(copies).union(lows)
+      .withColumn("payload", col("text").cast("binary"))
+    val ent = byteEntropyOf(aug, "doc_id", "payload")
+      .select(col("doc_id").as("vid"), col("entropy_bits"))
+    val pass = aug.select(col("doc_id").as("vid"), col("payload"))
+      .join(ent, "vid").filter(col("entropy_bits") >= 3.0)
+    val pairs = keyframeDupPairsOf(
+      pass.select(col("vid").as("doc_id"), col("payload")), "doc_id", "payload")
+    val dupOf = pairs.groupBy(col("vid_b").as("vid")).agg(min(col("vid_a")).as("dup_of"))
+    ent.join(dupOf, Seq("vid"), "left")
+      .withColumn("verdict",
+        when(col("entropy_bits") < 3.0, lit("dropped_qc"))
+          .when(col("dup_of").isNotNull, lit("dropped_dup"))
+          .otherwise(lit("kept")))
+      .select(col("vid"), col("verdict"),
+        graft.F.r6(col("entropy_bits")).as("entropy_bits"), col("dup_of"))
+      .orderBy("vid")
+  }
+
+  private val p07Sql = {
+    val ln2 = math.log(2.0)
+    s"""WITH aug AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 60000, text FROM documents WHERE doc_id < 5
+       |  UNION ALL SELECT doc_id + 70000, repeat('a', 200) FROM documents WHERE doc_id < 5),
+       |b AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(hex(encode(text)), '..')) AS byte
+       |  FROM aug),
+       |cc AS (SELECT doc_id, byte, count(*) AS c FROM b GROUP BY 1, 2),
+       |w AS (
+       |  SELECT doc_id, byte, c,
+       |    sum(c) OVER (PARTITION BY doc_id) AS n
+       |  FROM cc),
+       |hh AS (
+       |  SELECT doc_id,
+       |    sum(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+       |      * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))) OVER o AS ch,
+       |    lead(byte, 1) OVER po IS NULL AS is_last
+       |  FROM w
+       |  WINDOW po AS (PARTITION BY doc_id ORDER BY byte),
+       |    o AS (PARTITION BY doc_id ORDER BY byte
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |ent AS (SELECT doc_id AS vid, ch / $ln2 AS entropy_bits FROM hh WHERE is_last),
+       |pass AS (
+       |  SELECT a.doc_id AS vid, a.text
+       |  FROM aug a JOIN ent e ON a.doc_id = e.vid
+       |  WHERE e.entropy_bits >= 3.0),
+       |h AS (SELECT vid, hex(encode(text)) AS hx FROM pass),
+       |f AS (SELECT vid, hx, CAST(ceil(length(hx) / 64.0) AS BIGINT) AS nf FROM h),
+       |e2 AS (SELECT vid, hx, unnest(generate_series(0, nf - 1)) AS fi FROM f),
+       |sg AS (SELECT DISTINCT vid,
+       |    CAST(('0x' || substr(md5(substr(hx, CAST(fi * 64 + 1 AS INTEGER), 64)), 1, 15)) AS BIGINT) AS fsig
+       |  FROM e2 WHERE fi % 4 = 0),
+       |np AS (SELECT vid, count(*) AS n_frames FROM sg GROUP BY vid),
+       |capped AS (
+       |  SELECT vid, fsig FROM (
+       |    SELECT vid, fsig, count(*) OVER (PARTITION BY fsig) AS df FROM sg)
+       |  WHERE df <= 50),
+       |pr AS (
+       |  SELECT a.vid AS vid_a, b.vid AS vid_b, count(*) AS n_shared
+       |  FROM capped a JOIN capped b ON a.fsig = b.fsig AND a.vid < b.vid
+       |  GROUP BY 1, 2),
+       |pj AS (
+       |  SELECT pr.vid_a, pr.vid_b,
+       |    CAST(pr.n_shared AS DOUBLE) / CAST(least(na.n_frames, nb.n_frames) AS DOUBLE) AS containment
+       |  FROM pr JOIN np na ON pr.vid_a = na.vid JOIN np nb ON pr.vid_b = nb.vid),
+       |dup AS (
+       |  SELECT vid_b AS vid, min(vid_a) AS dup_of
+       |  FROM pj WHERE containment >= 0.5 GROUP BY vid_b)
+       |SELECT ent.vid,
+       |  CASE WHEN ent.entropy_bits < 3.0 THEN 'dropped_qc'
+       |       WHEN dup.dup_of IS NOT NULL THEN 'dropped_dup'
+       |       ELSE 'kept' END AS verdict,
+       |  round(ent.entropy_bits, 6) AS entropy_bits,
+       |  dup.dup_of
+       |FROM ent LEFT JOIN dup ON ent.vid = dup.vid
+       |ORDER BY ent.vid""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "p07_media_pipeline" -> p07,
     "m11_keyframe_dedup" -> m11,
     "m10_signal_quality" -> m10,
     "m09_av_align" -> m09,
@@ -677,6 +784,7 @@ object MultiOps {
 
   /** m02 is intentionally absent: mapPartitions output is rows-only. */
   val oracle: Map[String, String] = Map(
+    "p07_media_pipeline" -> p07Sql,
     "m11_keyframe_dedup" -> m11Sql,
     "m10_signal_quality" -> m10Sql,
     "m09_av_align" -> m09Sql,
