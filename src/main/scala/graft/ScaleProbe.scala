@@ -210,7 +210,76 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** `runMain graft.ScaleProbe p05tick [F]` — the p05 tick-cost probe:
+    * does a micro-batch tick stay FLAT as the funding store grows?
+    * Builds two symbol-partitioned stores (200 and 200·F symbols, 240
+    * hourly rows each), then times (a) one [[graft.streaming.StreamOps
+    * .marketTick]] with a FIXED 5-symbol delta and (b) the pre-round-14
+    * full [[ops.IngestOps.marketReportOf]] recompute, on both stores.
+    * The tick reads only the delta's symbol partitions plus the
+    * bounded candidate table, so its wall must not scale with F; the
+    * full recompute is the linear-growth control the delta-bounding
+    * replaced. */
+  private def p05TickProbe(factor: Int): Unit = {
+    val spark = Sessions.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t0ms = 1704067200000L // 2024-01-01T00:00:00Z
+    def symbols(n: Int) = spark.range(n)
+      .select(concat(lit("SYM"), col("id"), lit("USDT")).as("symbol"))
+    def store(n: Int, path: String): Unit = {
+      if (new java.io.File(path).exists()) return
+      symbols(n)
+        .crossJoin(spark.range(240).select(col("id").as("h")))
+        .select(col("symbol"),
+          timestamp_millis(lit(t0ms) + col("h") * 3600000L).as("fundingTime"),
+          lit(1e-4).as("fundingRate"),
+          // a premium jump at h=120 so candidate partitions exist and
+          // the tick's stale/overwrite paths both run
+          (lit(1.0) + when(col("h") >= 120, 4.0).otherwise(0.0)).as("markPrice"),
+          lit(1L).as("page_seq"))
+        .repartition(col("symbol"))
+        .write.mode("overwrite").partitionBy("symbol").parquet(path)
+    }
+    def spotOf(n: Int) = symbols(n)
+      .select(col("symbol"), timestamp_millis(lit(t0ms)).as("ts"), lit(1.0).as("spot"))
+    def delta(seq: Long) = spark.range(5)
+      .select(concat(lit("SYM"), col("id"), lit("USDT")).as("symbol"))
+      .crossJoin(spark.range(6).select(col("id").as("h")))
+      .select(col("symbol"),
+        timestamp_millis(lit(t0ms) + (lit(240L) + col("h") + (lit(seq) - 2L) * 6L) * 3600000L)
+          .as("fundingTime"),
+        lit(1e-4).as("fundingRate"), lit(5.2).as("markPrice"), lit(seq).as("page_seq"))
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def run(n: Int, tag: String): (Double, Double) = {
+      val base = s"/tmp/graft_p05tick_${tag}_$n"
+      store(n, s"$base/store")
+      val spot = spotOf(n)
+      // warm tick (JIT + listing warmup, and it seeds the candidate table)
+      graft.streaming.StreamOps.marketTick(spark, s"$base/store", s"$base/cands",
+        s"$base/report", spot, delta(2L))
+      val tick = time(graft.streaming.StreamOps.marketTick(spark, s"$base/store",
+        s"$base/cands", s"$base/report", spot, delta(3L)))
+      val full = time(ops.IngestOps.marketReportOf(
+        spark.read.parquet(s"$base/store")
+          .select(col("symbol").cast("string").as("symbol"),
+            col("fundingTime").as("ts"), col("fundingRate"), col("markPrice")),
+        spot).write.format("noop").mode("overwrite").save())
+      (tick, full)
+    }
+    val (tickS, fullS) = run(200, "s")
+    val (tickB, fullB) = run(200 * factor, "b")
+    def ms(v: Double): Double = math.rint(v * 1000) / 1000
+    println(s"""{"probe":"p05tick","factor":$factor,"symbols_small":200,"symbols_big":${200 * factor},"tick_small_sec":${ms(tickS)},"tick_big_sec":${ms(tickB)},"full_small_sec":${ms(fullS)},"full_big_sec":${ms(fullB)},"metric":"p05tick_growth","value":${ms(tickB / math.max(tickS, 1e-9))},"unit":"x"}""")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("p05tick")) {
+      p05TickProbe(args.lift(1).map(_.toInt).getOrElse(10))
+      return
+    }
     if (args.headOption.contains("zorder")) {
       zorderProbe(args.lift(1).map(_.toLong).getOrElse(20000000L))
       return

@@ -249,7 +249,19 @@ object IngestOps {
     * batch==stream equality is equality of INPUTS, not a re-derivation.
     * `perp` must carry (symbol, ts, fundingRate, markPrice) healed to
     * one row per (symbol, ts). */
-  def marketReportOf(perp: DataFrame, spot: DataFrame): DataFrame = {
+  def marketReportOf(perp: DataFrame, spot: DataFrame): DataFrame =
+    reportFromCandidates(marketCandidatesOf(perp, spot))
+
+  /** Stages 2–4 WITHOUT the final global top-20: every debounced
+    * extreme row, projected to the report schema. Split out so the
+    * continuous pipeline (p05) can recompute candidates for ONLY the
+    * symbols a micro-batch touched: every stage here — the as-of
+    * align, WMA(12), LAG(5) change, gap debounce — partitions by
+    * `symbol`, so a symbol's candidate rows are a function of that
+    * symbol's perp/spot history alone, and untouched symbols'
+    * candidates are invariant across a tick. Only the final
+    * [[reportFromCandidates]] cut is global. */
+  def marketCandidatesOf(perp: DataFrame, spot: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // stage 2: align to the denser spot series (last print at-or-before);
     // a zero spot print is a degenerate quote — excluded, or the premium
@@ -261,7 +273,7 @@ object IngestOps {
     // stage 3: WMA(12) of the premium ((symbol, ts) is the healed PK, so
     // ordering by ts alone is total — the id tie-break never fires)
     val wm = graft.Graft.wma(prem, "symbol", "ts", "ts", "premium", n = 12)
-    // stage 4: LAG(5) change + 1h debounce + newest-first top-20
+    // stage 4: LAG(5) change + 1h debounce
     val w = Window.partitionBy(col("symbol")).orderBy(col("ts"))
     val cand = wm
       .withColumn("value_change", col("premium") - lag(col("premium"), 5).over(w))
@@ -274,9 +286,14 @@ object IngestOps {
         col("fundingRate"), col("markPrice"), col("spot"),
         r6(col("premium")).as("premium"), r6(col("wma")).as("wma12"),
         r6(col("value_change")).as("value_change"), col("gap_ms"))
-      .orderBy(col("ts_ms").desc, col("symbol"))
-      .limit(20)
   }
+
+  /** The report's global cut: newest-first top-20 over the candidate
+    * rows ((ts_ms, symbol) is unique — the heal's PK — so the order is
+    * total and the cut deterministic). Plans as a TakeOrdered, never a
+    * full sort. */
+  def reportFromCandidates(cands: DataFrame): DataFrame =
+    cands.orderBy(col("ts_ms").desc, col("symbol")).limit(20)
 
   /** #o05 spot/perp exchange-info symbol-dim ingest + fetch universe
     * (crypto_data_pipeline_duckdb.py:57-155 flattens, :970-972 universe

@@ -32,9 +32,9 @@ object MergeWriter {
     val dataCols = delta.columns.toSeq
     val impacted = delta.select(col(partitionCol)).distinct().collect().map(_.get(0))
 
-    val base = spark.read.parquet(path)
-      .filter(col(partitionCol).isInStr(impacted))
-      .select(dataCols.map(col): _*)
+    val base = prunedRead(spark, path, partitionCol, impacted.toSeq)
+      .map(_.select(dataCols.map(col): _*))
+      .getOrElse(delta.limit(0).select(dataCols.map(col): _*))
 
     // delta (priority 1) overrides base (priority 0) per PK: one shuffle
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__prio").desc)
@@ -53,6 +53,35 @@ object MergeWriter {
         .partitionBy(partitionCol)
         .parquet(path)
     } finally graft.Checkpoints.free(out)
+  }
+
+  /** Read ONLY the named partitions of a partitioned-parquet table, by
+    * explicit partition PATH — `spark.read.parquet(root).filter(isin)`
+    * prunes the SCAN but still builds the full file index first, an
+    * O(all partitions) driver listing (and, past the parallel-listing
+    * threshold, a whole Spark job) that at 100 TB dwarfs a small
+    * delta's actual read. Listing here is one `listStatus` of the root
+    * (to resolve escaped dir names) plus the impacted dirs — O(dirs),
+    * no file index over untouched partitions. The round-14 p05tick
+    * probe caught the difference: a fixed-delta tick grew 3.7× with a
+    * ×10 store through the full index, flat through this.
+    *
+    * Returns None when none of the partitions exist (or the table root
+    * is missing) — callers substitute an empty frame. */
+  def prunedRead(spark: SparkSession, path: String, partitionCol: String,
+                 values: Seq[Any]): Option[DataFrame] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return None
+    val wanted = values.map(v =>
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(String.valueOf(v))).toSet
+    val dirs = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(partitionCol + "="))
+      .filter(st => wanted.contains(st.getPath.getName.drop(partitionCol.length + 1)))
+      .map(_.getPath.toString)
+    if (dirs.isEmpty) None
+    else Some(spark.read.option("basePath", path).parquet(dirs.toIndexedSeq: _*))
   }
 
   /** Compact fragmented partitions — the reference's `OPTIMIZE TABLE …

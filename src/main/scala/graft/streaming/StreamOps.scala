@@ -977,11 +977,30 @@ object StreamOps {
     *      cannot roll back the revision ([[graft.sinks.MergeWriter]]
     *      alone is newest-batch-wins; the guard join reads only the
     *      delta's impacted symbol partitions).
-    *   3. report recompute: [[graft.ops.IngestOps.marketReportOf]] —
-    *      the IDENTICAL stages-2-4 plan the batch gate runs — over the
-    *      healed store and the static spot side, overwritten at
-    *      `reportPath` (the continuously-maintained output table, the
-    *      reference's daily report).
+    *   3. DELTA-BOUNDED report recompute: every stage of
+    *      [[graft.ops.IngestOps.marketCandidatesOf]] (as-of align →
+    *      WMA(12) → LAG(5) → debounce) partitions by `symbol`, so a
+    *      micro-batch can only change the candidate rows of the
+    *      symbols it touched. The tick recomputes candidates for ONLY
+    *      those symbols — the store read is partition-pruned to the
+    *      delta's symbol list (the same impacted-partition budget as
+    *      the merge) — caps them at the newest 20 per symbol (any row
+    *      of the global top-20 is by definition within its own
+    *      symbol's newest 20, so the cap loses nothing), and
+    *      dynamic-overwrites just those partitions of the candidate
+    *      table at `candPath`; a touched symbol whose candidates all
+    *      vanished (a revision un-extremed it) gets its stale
+    *      partition deleted explicitly, because dynamic overwrite
+    *      never touches a partition it has no rows for.
+    *   4. global cut: [[graft.ops.IngestOps.reportFromCandidates]]
+    *      over the candidate table — ≤ 20·|symbols| rows regardless of
+    *      store size — overwritten at `reportPath` (the continuously
+    *      maintained output, the reference's daily report). Per-tick
+    *      cost therefore scales with the DELTA (stage 3) plus a
+    *      store-size-independent constant (stage 4), not with the
+    *      accumulated store — the batch gate's full
+    *      [[graft.ops.IngestOps.marketReportOf]] recompute would grow
+    *      with history and defeat the continuous form at 100 TB.
     *
     * Batch==stream is therefore structural: after the stream drains,
     * the store equals the batch heal of all pages, and the report is
@@ -995,8 +1014,10 @@ object StreamOps {
                               spot: DataFrame, storePath: String,
                               reportPath: String, checkpointDir: String,
                               watermarkDelay: String = "2 hours",
-                              maxFilesPerTrigger: Int = 0):
+                              maxFilesPerTrigger: Int = 0,
+                              candPath: String = ""):
       org.apache.spark.sql.streaming.StreamingQuery = {
+    val cands = if (candPath.nonEmpty) candPath else reportPath + "_cands"
     val raw = landedPages(spark, landingDir, maxFilesPerTrigger)
     val parsed = graft.sources.RatesJson
       .parseFunding(raw, "payload", passthrough = Seq("page_seq"))
@@ -1011,43 +1032,124 @@ object StreamOps {
           val healed = graft.sources.RatesJson
             .dedupFundingKeepLastSeq(batch, "page_seq")
             .localCheckpoint(eager = true)
-          try {
-            val storeExists =
-              try { spark.read.parquet(storePath).schema; true }
-              catch { case _: org.apache.spark.sql.AnalysisException => false }
-            if (!storeExists) {
-              // overwrite, not ErrorIfExists: a batch-0 retry after a
-              // partial write (only _temporary left behind) must be
-              // self-healing, not permanently wedge the stream
-              healed.write.mode("overwrite").partitionBy("symbol").parquet(storePath)
-            } else {
-              // revision precedence: a delta row loses to a stored row
-              // with a STRICTLY higher page_seq (late page 1 after
-              // page 2); the stored side is pruned to the delta's
-              // symbols — the MergeWriter impacted-partition budget
-              val cur = spark.read.parquet(storePath)
-                .join(healed.select(col("symbol")).distinct(), Seq("symbol"))
-                .select(col("symbol"), col("fundingTime"),
-                  col("page_seq").as("__cur_seq"))
-              val effective = healed
-                .join(cur, Seq("symbol", "fundingTime"), "left")
-                .filter(col("__cur_seq").isNull ||
-                  col("page_seq") >= col("__cur_seq"))
-                .drop("__cur_seq")
-              graft.sinks.MergeWriter.merge(spark, storePath, effective,
-                keys = Seq("symbol", "fundingTime"), partitionCol = "symbol")
-            }
-            val perp = spark.read.parquet(storePath)
-              .select(col("symbol"), col("fundingTime").as("ts"),
-                col("fundingRate"), col("markPrice"))
-            val report = graft.ops.IngestOps.marketReportOf(perp, spot)
-              .localCheckpoint(eager = true)
-            try report.write.mode("overwrite").parquet(reportPath)
-            finally graft.Checkpoints.free(report)
-          } finally graft.Checkpoints.free(healed)
+          try marketTick(spark, storePath, cands, reportPath, spot, healed)
+          finally graft.Checkpoints.free(healed)
         }
       }
       .start()
+  }
+
+  /** The report schema's column order — re-imposed after the candidate
+    * table round-trips through a symbol-partitioned layout (parquet
+    * reads put partition columns last). */
+  private val reportCols: Seq[String] = Seq("symbol", "ts_ms", "ts_cn_ms",
+    "fundingRate", "markPrice", "spot", "premium", "wma12", "value_change",
+    "gap_ms")
+
+  /** One [[streamingMarketPipeline]] tick over an already-guarded,
+    * within-batch-healed delta. Exposed for the scan-metrics spec: the
+    * ONLY reads of `storePath` are pruned to the delta's symbol
+    * partitions (merge guard + candidate recompute), and the report
+    * derives from the ≤ 20·|symbols|-row candidate table, never the
+    * store. */
+  private[graft] def marketTick(spark: SparkSession, storePath: String,
+                                candPath: String, reportPath: String,
+                                spot: DataFrame, healed: DataFrame): Unit = {
+    // the delta's symbol list: a driver-side list bounded by the
+    // batch's symbol count, exactly the MergeWriter impacted-partition
+    // budget; every store read below filters `isin` on it, so the scans
+    // are STATICALLY partition-pruned (a join against the delta's
+    // symbols would leave pruning to runtime DPP — the round-14
+    // scan-metrics spec caught the guard read scanning every partition
+    // that way)
+    val deltaSyms = healed.select(col("symbol")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    // every store read below goes through MergeWriter.prunedRead —
+    // explicit partition paths, so neither the LISTING nor the scan
+    // ever touches an untouched symbol (a plain read + isin filter
+    // prunes the scan but still file-indexes the whole store: O(store)
+    // per tick, the p05tick probe's 3.7×-growth failure mode)
+    def storeSlice(): Option[org.apache.spark.sql.DataFrame] =
+      graft.sinks.MergeWriter.prunedRead(spark, storePath, "symbol", deltaSyms)
+        .map(_.withColumn("symbol", col("symbol").cast("string")))
+    val storeExists = {
+      val root = new org.apache.hadoop.fs.Path(storePath)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(root) &&
+        fs.listStatus(root).exists(st =>
+          st.isDirectory && st.getPath.getName.startsWith("symbol="))
+    }
+    if (!storeExists) {
+      // overwrite, not ErrorIfExists: a batch-0 retry after a
+      // partial write (only _temporary left behind) must be
+      // self-healing, not permanently wedge the stream
+      healed.write.mode("overwrite").partitionBy("symbol").parquet(storePath)
+    } else {
+      // revision precedence: a delta row loses to a stored row
+      // with a STRICTLY higher page_seq (late page 1 after
+      // page 2); the stored side is pruned to the delta's
+      // symbol partitions
+      val cur = storeSlice().map(_.select(col("symbol"), col("fundingTime"),
+        col("page_seq").as("__cur_seq")))
+      val effective = cur match {
+        case None => healed // no impacted partitions yet: all rows are new
+        case Some(c) => healed
+          .join(c, Seq("symbol", "fundingTime"), "left")
+          .filter(col("__cur_seq").isNull ||
+            col("page_seq") >= col("__cur_seq"))
+          .drop("__cur_seq")
+      }
+      graft.sinks.MergeWriter.merge(spark, storePath, effective,
+        keys = Seq("symbol", "fundingTime"), partitionCol = "symbol")
+    }
+    // ---- stage 3: candidate recompute for the DELTA symbols only ----
+    val perpDelta = storeSlice()
+      .getOrElse(healed) // unreachable post-merge; defensive
+      .select(col("symbol"), col("fundingTime").as("ts"),
+        col("fundingRate"), col("markPrice"))
+    val wNewest = Window.partitionBy(col("symbol")).orderBy(col("ts_ms").desc)
+    val deltaCands = graft.ops.IngestOps
+      .marketCandidatesOf(perpDelta, spot.filter(col("symbol").isin(deltaSyms: _*)))
+      // newest 20 per symbol: a global top-20 row is necessarily within
+      // its own symbol's newest 20, so the candidate table stays
+      // ≤ 20·|symbols| rows while losing no report row ((symbol, ts)
+      // is the healed PK — ts_ms is unique within a symbol)
+      .withColumn("__rn", row_number().over(wNewest))
+      .filter(col("__rn") <= 20).drop("__rn")
+      .localCheckpoint(eager = true)
+    try {
+      val present = deltaCands.select(col("symbol")).distinct()
+        .collect().map(_.getString(0)).toSet
+      if (present.nonEmpty)
+        deltaCands.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("symbol").parquet(candPath)
+      // a touched symbol with ZERO candidates left keeps its stale
+      // partition under dynamic overwrite — drop it explicitly
+      // (bounded by the delta's symbol count, like the merge)
+      val stale = deltaSyms.filterNot(present).toSet
+      if (stale.nonEmpty) {
+        val root = new org.apache.hadoop.fs.Path(candPath)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(root))
+          fs.listStatus(root)
+            .filter(st => st.isDirectory && st.getPath.getName.startsWith("symbol="))
+            .filter(st => stale.contains(java.net.URLDecoder
+              .decode(st.getPath.getName.drop("symbol=".length), "UTF-8")))
+            .foreach(st => fs.delete(st.getPath, true))
+      }
+      // ---- stage 4: global cut from the bounded candidate table ----
+      val stored =
+        try Some(spark.read.parquet(candPath)
+          .withColumn("symbol", col("symbol").cast("string"))
+          .select(reportCols.map(col): _*))
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+      val report = graft.ops.IngestOps
+        .reportFromCandidates(stored.getOrElse(deltaCands.select(reportCols.map(col): _*)))
+        .localCheckpoint(eager = true)
+      try report.write.mode("overwrite").parquet(reportPath)
+      finally graft.Checkpoints.free(report)
+    } finally graft.Checkpoints.free(deltaCands)
   }
 
   /** t22's n-gram novelty as a CONTINUOUS pipeline — the curation twin

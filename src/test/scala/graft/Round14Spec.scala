@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{QueryExecution, SparkPlan, FileSourceScanExec}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Round-14 items: the p05 tick is DELTA-BOUNDED — stage 3 recomputes
+  * candidates for only the micro-batch's symbols (store reads pruned
+  * to those partitions, scan-metrics-proven), the report derives from
+  * the bounded candidate table, and a revision that un-extremes a
+  * symbol deletes its stale candidate partition. */
+class Round14Spec extends SparkSpec {
+
+  // ---- a QueryExecutionListener recording every FileSourceScan of one
+  // path during a window: (partitions read, rows out) per scan ----
+  private final class ScanRecorder(pathFrag: String) extends QueryExecutionListener {
+    val scans = new java.util.concurrent.CopyOnWriteArrayList[(Long, Long)]()
+    private def walk(p: SparkPlan)(f: SparkPlan => Unit): Unit = {
+      f(p)
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec        => Seq(s.plan)
+        case o                        => o.children
+      }
+      kids.foreach(walk(_)(f))
+    }
+    override def onSuccess(funcName: String, qe: QueryExecution, ns: Long): Unit =
+      walk(qe.executedPlan) {
+        case sc: FileSourceScanExec
+            if sc.relation.location.rootPaths.exists(_.toString.contains(pathFrag)) =>
+          scans.add((sc.metrics.get("numPartitions").map(_.value).getOrElse(-1L),
+            sc.metrics("numOutputRows").value))
+        case _ => ()
+      }
+    override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit = ()
+    /** The execution-listener bus is async: poll until the recorded set
+      * is non-empty and stable. */
+    def settle(): Seq[(Long, Long)] = {
+      var last = -1
+      var stable = 0
+      var i = 0
+      while (stable < 3 && i < 100) {
+        Thread.sleep(100)
+        val n = scans.size()
+        if (n == last && n > 0) stable += 1 else stable = 0
+        last = n; i += 1
+      }
+      import scala.jdk.CollectionConverters._
+      scans.asScala.toSeq
+    }
+  }
+
+  private def tsOf(h: Int): java.sql.Timestamp =
+    new java.sql.Timestamp(1704067200000L + h * 3600000L)
+
+  /** (symbol, hour, markPrice, page_seq) → a healed p05 delta frame. */
+  private def healedOf(rows: Seq[(String, Int, Double, Long)]): DataFrame = {
+    import spark.implicits._
+    rows.map { case (s, h, mp, seq) => (s, tsOf(h), 1e-4, mp, seq) }
+      .toDF("symbol", "fundingTime", "fundingRate", "markPrice", "page_seq")
+  }
+
+  private def spotDf: DataFrame = {
+    import spark.implicits._
+    Seq(("AAAUSDT", tsOf(0), 1.0), ("BBBUSDT", tsOf(0), 1.0))
+      .toDF("symbol", "ts", "spot")
+  }
+
+  /** 10 hourly rows per symbol: premium 0 for h<5, 3 for h>=5 — exactly
+    * one debounce-surviving extreme per symbol (h=5; later candidates
+    * sit at the non-strict 1h gap and are debounced away). */
+  private def history(sym: String, jump: Double, seq: Long): Seq[(String, Int, Double, Long)] =
+    (0 until 10).map(h => (sym, h, if (h < 5) 1.0 else jump, seq))
+
+  test("p05 tick: store scans are pruned to the delta's symbol partitions, " +
+    "and a revision that un-extremes a symbol deletes its candidate partition") {
+    val base = java.nio.file.Files.createTempDirectory("graft_r14_tick_").toString
+    val (store, cands, report) = (s"$base/store", s"$base/cands", s"$base/report")
+    val tick = graft.streaming.StreamOps.marketTick(
+      spark, store, cands, report, spotDf, _: DataFrame)
+
+    // tick 1: both symbols' full history lands — both extreme at h=5
+    tick(healedOf(history("AAAUSDT", 4.0, 1L) ++ history("BBBUSDT", 4.0, 1L)))
+    val r1 = spark.read.parquet(report).orderBy("symbol").collect()
+    assert(r1.map(_.getString(0)).toSeq == Seq("AAAUSDT", "BBBUSDT"))
+    assert(r1.forall(_.getLong(1) == tsOf(5).getTime), "the debounce keeps only h=5")
+
+    // tick 2: a REVISION flattens AAA's jump — only AAA partitions may
+    // be read, AAA's candidates must vanish, BBB's row must survive
+    val rec = new ScanRecorder(store)
+    spark.listenerManager.register(rec)
+    try tick(healedOf((5 until 10).map(h => ("AAAUSDT", h, 1.0, 2L))))
+    finally {
+      val scans = rec.settle()
+      spark.listenerManager.unregister(rec)
+      assert(scans.nonEmpty, "the tick must read the store (merge guard + candidate recompute)")
+      scans.foreach { case (nPart, nRows) =>
+        assert(nPart <= 1, s"a store scan read $nPart partitions; the delta touches only AAAUSDT")
+        assert(nRows <= 10, s"a store scan emitted $nRows rows; AAAUSDT's partition holds 10")
+      }
+    }
+    val r2 = spark.read.parquet(report).collect()
+    assert(r2.map(_.getString(0)).toSeq == Seq("BBBUSDT"),
+      "AAA's revision removed its extreme; the report must now be BBB alone")
+    val aaaPart = new java.io.File(s"$cands/symbol=AAAUSDT")
+    assert(!aaaPart.exists(), "the stale candidate partition must be deleted, " +
+      "not survive the dynamic overwrite")
+
+    // tick 3: AAA re-extremes — the partition resurrects and the report
+    // carries the REVISED markPrice
+    tick(healedOf((5 until 10).map(h => ("AAAUSDT", h, 6.0, 3L))))
+    val r3 = spark.read.parquet(report).orderBy("symbol").collect()
+    assert(r3.map(_.getString(0)).toSeq == Seq("AAAUSDT", "BBBUSDT"))
+    assert(r3.find(_.getString(0) == "AAAUSDT").get.getDouble(4) == 6.0,
+      "the resurrected candidate must carry page 3's markPrice")
+  }
+
+  test("p05 tick report == the full marketReportOf over the same healed store") {
+    // the delta-bounded loop and the one-shot batch compute must agree
+    // after any sequence of ticks — replay tick 1+2+3's deltas as one
+    // batch heal and compare
+    val base = java.nio.file.Files.createTempDirectory("graft_r14_eq_").toString
+    val tick = graft.streaming.StreamOps.marketTick(
+      spark, s"$base/store", s"$base/cands", s"$base/report", spotDf, _: DataFrame)
+    tick(healedOf(history("AAAUSDT", 4.0, 1L) ++ history("BBBUSDT", 4.0, 1L)))
+    tick(healedOf((5 until 10).map(h => ("AAAUSDT", h, 1.0, 2L))))
+    tick(healedOf((0 until 10).map(h => ("BBBUSDT", h, if (h < 5) 1.0 else 7.0, 3L))))
+    val streamed = spark.read.parquet(s"$base/report")
+      .orderBy(col("ts_ms").desc, col("symbol")).collect().toSeq
+    val batchPerp = spark.read.parquet(s"$base/store")
+      .select(col("symbol").cast("string").as("symbol"),
+        col("fundingTime").as("ts"), col("fundingRate"), col("markPrice"))
+    val batch = graft.ops.IngestOps.marketReportOf(batchPerp, spotDf)
+      .orderBy(col("ts_ms").desc, col("symbol")).collect().toSeq
+    assert(streamed == batch, "delta-bounded ticks must converge to the batch report")
+  }
+}
