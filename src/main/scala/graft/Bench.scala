@@ -208,9 +208,23 @@ object Bench {
       // code cache especially — once the default ~240m fills, the last
       // codegen'd stages run INTERPRETED and random queries go 10-20×
       // slower (the round-8 bench postmortem in build.sbt).
+      // heap fallback: 8g unless the host can't carry it — a chunk JVM
+      // pushed into swap/OOM is worse than one that runs smaller; cap
+      // at half the physical memory, floor 1g, overridable via
+      // -Dgraft.bench.heap.mb
+      val heapMb = sys.props.get("graft.bench.heap.mb").map(_.toLong).getOrElse {
+        val physMb = try {
+          ManagementFactory.getOperatingSystemMXBean match {
+            case os: com.sun.management.OperatingSystemMXBean =>
+              os.getTotalMemorySize / (1024L * 1024L)
+            case _ => 16384L
+          }
+        } catch { case _: Throwable => 16384L }
+        math.max(1024L, math.min(8192L, physMb / 2))
+      }
       val guaranteed = Seq(
         "-XX:ReservedCodeCacheSize=" -> "-XX:ReservedCodeCacheSize=1g",
-        "-Xmx" -> "-Xmx8g").collect {
+        "-Xmx" -> s"-Xmx${heapMb}m").collect {
         case (prefix, flag) if !inherited.exists(_.startsWith(prefix)) => flag
       }
       val cmd = (Seq(javaBin) ++ inherited ++ guaranteed ++

@@ -564,6 +564,13 @@ object MultiOps {
                      every: Int = 4): DataFrame = {
     require(every >= 1, s"every must be >= 1, got $every")
     df.select(col(idCol).as("vid"), hex(col(binCol)).as("__hx"))
+      // zero-length payloads have NO frames: without this guard __nf = 0
+      // and Spark's sequence(0, -1) defaults to step -1, generating a
+      // DESCENDING [0, -1] whose fi=0 survives the pmod filter and
+      // emits a phantom empty-string frame sig (two empty payloads
+      // would then pair at containment 1.0 — the DuckDB twin's
+      // generate_series(0, -1) is empty, so the engines would diverge)
+      .filter(length(col("__hx")) > 0)
       .withColumn("__nf", ceil(length(col("__hx")) / lit(64.0)).cast("long"))
       .select(col("vid"), col("__hx"),
         explode(expr("sequence(CAST(0 AS BIGINT), __nf - 1)")).as("fi"))

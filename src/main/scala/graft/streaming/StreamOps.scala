@@ -895,7 +895,11 @@ object StreamOps {
     * overwrites its own partitions and cannot see its own earlier
     * partial write. A legacy store (raw-doc rows, no batch_id) is
     * migrated in place: signatures are computed from its text ONCE
-    * into a batch_id=-1 partition. Proven in Round9Spec: a doc seen
+    * into a batch_id=-1 partition. A legacy VERDICT sink (flat
+    * appended files with batch_id as a data column, the
+    * pre-idempotent layout) is likewise rewritten once into batch_id
+    * partitions — flat files and partition directories cannot coexist
+    * under one reader. Proven in Round9Spec: a doc seen
     * in micro-batch 1 flags its copy in micro-batch 2 as exact, a
     * near-copy as near.
     *
@@ -934,6 +938,22 @@ object StreamOps {
                   .filter(col("batch_id") < lit(batchId))
                   .select(col("doc_id"), col("__m"), col("sig"))
               else bs.filter(lit(false))
+            // legacy flat verdict sink (appended files, batch_id as a
+            // data column): rewrite ONCE as batch_id partitions —
+            // readers cannot mix the flat files with the partition
+            // dirs this loop writes
+            val vRoot = new org.apache.hadoop.fs.Path(verdictPath)
+            val vfs = vRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            if (vfs.exists(vRoot) && vfs.listStatus(vRoot)
+                .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))) {
+              val flat = spark.read.parquet(verdictPath)
+              val legacyV = (if (flat.columns.contains("batch_id")) flat
+                             else flat.withColumn("batch_id", lit(-1L)))
+                .localCheckpoint(eager = true)
+              try legacyV.write.mode("overwrite")
+                .partitionBy("batch_id").parquet(verdictPath)
+              finally graft.Checkpoints.free(legacyV)
+            }
             graft.ops.DedupOps
               .incrementalDedupProbeOf(hist, bs, k, bands, threshold)
               .withColumn("batch_id", lit(batchId))
