@@ -1200,6 +1200,14 @@ object Graft {
                 excludeSelf: Boolean = true): DataFrame =
     ops.SimOps.mrlRecallOf(corpus, queries, id, vec, fullDims, prefixes, k, excludeSelf)
 
+  /** Graded-relevance ranking eval: nDCG@k + MRR of `candidate`
+    * against the exact `truth` ranking (both (q_id, rank, id)) —
+    * relevance k+1−truth_rank, exponential gains, rank-ordered DCG
+    * fold so the result is engine-reproducible. Returns
+    * (q_id, n_rel_found, mrr, dcg_at_k, ndcg_at_k). */
+  def rankEval(truth: DataFrame, candidate: DataFrame, id: String, k: Int): DataFrame =
+    ops.SimOps.rankEvalOf(truth, candidate, id, k)
+
   /** Count-min-sketch heavy hitters: the exact top-`k` corpus terms
     * with their estimates from a `rows`×`width` md5-bucketed counter
     * matrix — the mergeable fixed-size frequency state a 100 TB

@@ -1443,6 +1443,141 @@ ORDER BY q_id, rank"""
        |GROUP BY b.q_id
        |ORDER BY b.q_id""".stripMargin
 
+  /** Graded-relevance ranking eval over ANY (truth, candidate) ranked
+    * lists (public operator behind [[graft.Graft.rankEval]]) — nDCG@k
+    * and MRR (Järvelin & Kekäläinen 2002; the TREC-standard pair), the
+    * one row the recall/AUC/calibration eval suite (s05/s11/s14) did
+    * not yet cover: recall@k treats every true neighbor equally, while
+    * nDCG pays more for placing the BEST neighbors first and MRR
+    * scores how soon the first relevant hit appears. Relevance is
+    * graded from the exact ranking: a truth-rank-r item earns
+    * rel = k+1−r (top hit k, k-th hit 1, miss 0); gains are the
+    * standard exponential (2^rel − 1)/log₂(rank+1).
+    *
+    * Determinism contract (the s21 rule, adapted to floats): rel and
+    * ranks are integers; the DCG fold runs in RANK order via a
+    * cumulative window (the m08 defined-order-fold trick), log₂ is
+    * ln/ln2 with ln2 a single Scala-computed literal in both engines,
+    * and IDCG@k — the perfect-ordering constant Σ (2^(k+1−r) − 1)/
+    * log₂(r+1) — is ONE Scala double interpolated into both plans, so
+    * the oracle replays bit-identical arithmetic.
+    *
+    * Plan shape: both inputs are (q_id, rank, id) projections of
+    * already-ranked searches, so the eval itself joins k-row-per-query
+    * id pairs and runs one bounded window per query — at 100 TB the
+    * cost is the two searches, not the eval (the s05 contract).
+    *
+    * @param truth     exact ranking (q_id, rank, idCol), ranks 1..k
+    * @param candidate ranking under eval (q_id, rank, idCol)
+    * @return (q_id, n_rel_found, mrr, dcg_at_k, ndcg_at_k) */
+  def rankEvalOf(truth: DataFrame, candidate: DataFrame, idCol: String,
+                 k: Int): DataFrame = {
+    require(k >= 1, s"k >= 1 required, got $k")
+    val ln2 = math.log(2.0)
+    val idcg = idcgAt(k)
+    val t = truth.select(col("q_id"), col(idCol),
+      (lit(k + 1) - col("rank")).cast("int").as("__rel"))
+    val po = Window.partitionBy(col("q_id")).orderBy(col("rank"))
+    val cum = po.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    candidate.select(col("q_id"), col("rank"), col(idCol))
+      .join(t, Seq("q_id", idCol), "left")
+      .withColumn("__rel", coalesce(col("__rel"), lit(0)))
+      .withColumn("__gain",
+        (pow(lit(2.0), col("__rel").cast("double")) - lit(1.0)) * lit(ln2) /
+          log(col("rank").cast("double") + lit(1.0)))
+      .withColumn("__dcg", sum(col("__gain")).over(cum))
+      .withColumn("__hits", sum(when(col("__rel") > 0, 1).otherwise(0)).over(cum))
+      .withColumn("__first",
+        min(when(col("__rel") > 0, col("rank"))).over(Window.partitionBy(col("q_id"))))
+      .withColumn("__last", lead(col("rank"), 1).over(po).isNull)
+      .filter(col("__last"))
+      .select(col("q_id"),
+        col("__hits").cast("long").as("n_rel_found"),
+        coalesce(lit(1.0) / col("__first"), lit(0.0)).as("mrr"),
+        col("__dcg").as("dcg_at_k"),
+        (col("__dcg") / lit(idcg)).as("ndcg_at_k"))
+  }
+
+  /** IDCG@k — DCG of the perfect ordering (rels k..1 at ranks 1..k),
+    * left-folded in rank order; the one constant both engines share.
+    * Catalyst's Pow/Log evaluate via StrictMath (verified in the 4.1.2
+    * bytecode), so this constant uses StrictMath too — the engine's
+    * perfect-ranking DCG divides by it to EXACTLY 1.0 (spec-pinned);
+    * Math.log differs by an ulp on some args and would leave nDCG at
+    * 1±2⁻⁵². ln2 stays the shared math.log literal the gain expression
+    * interpolates into both engines. */
+  private[graft] def idcgAt(k: Int): Double = {
+    val ln2 = math.log(2.0)
+    (1 to k).map(r =>
+      (StrictMath.pow(2.0, (k + 1 - r).toDouble) - 1.0) * ln2 /
+        StrictMath.log(r + 1.0)).sum
+  }
+
+  /** #26z graded-relevance retrieval eval AS a query: nDCG@10 and MRR
+    * of the IVF path (s02) scored against the exact ranking (s01) —
+    * completing the search-eval suite (recall s05, AUC s11,
+    * calibration s14, frontier s21) with the TREC-standard graded
+    * pair. The oracle replays both searches and the rank-ordered DCG
+    * fold as one CTE stack. */
+  private val s24: Q = (s, dir) => {
+    val brute = s01(s, dir).select(col("q_id"), col("rank"), col("vec_id"))
+    val approx = s02(s, dir).select(col("q_id"), col("rank"), col("vec_id"))
+    rankEvalOf(brute, approx, "vec_id", K)
+      .select(col("q_id"), col("n_rel_found"), r6(col("mrr")).as("mrr"),
+        r6(col("dcg_at_k")).as("dcg_at_10"), r6(col("ndcg_at_k")).as("ndcg_at_10"))
+      .orderBy("q_id")
+  }
+
+  private val s24Sql = {
+    val ln2 = math.log(2.0)
+    val idcg = idcgAt(K)
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |bq AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+       |bc AS (SELECT bq.q_id, e.vec_id, ${duckCos("qv", "v")} AS cos
+       |  FROM bq JOIN e ON e.vec_id <> bq.q_id),
+       |br AS (SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM bc),
+       |brute AS (SELECT q_id, vec_id, rank FROM br WHERE rank <= $K),
+       |cents AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+       |asg AS (SELECT e.vec_id, e.v, c_id,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${duckCos("v", "cv")} DESC, c_id) AS arn
+       |  FROM e CROSS JOIN cents),
+       |cells AS (SELECT vec_id, v, c_id AS cell FROM asg WHERE arn = 1),
+       |iq AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+       |pr AS (SELECT q_id, qv, c_id AS cell,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY ${duckCos("qv", "cv")} DESC, c_id) AS prn
+       |  FROM iq CROSS JOIN cents),
+       |probes AS (SELECT q_id, qv, cell FROM pr WHERE prn <= 2),
+       |ic AS (SELECT p.q_id, cells.vec_id, ${duckCos("qv", "v")} AS cos
+       |  FROM cells JOIN probes p USING (cell)
+       |  WHERE cells.vec_id <> p.q_id),
+       |ir AS (SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM ic),
+       |ivf AS (SELECT q_id, vec_id, rank FROM ir WHERE rank <= $K),
+       |j AS (SELECT i.q_id, i.rank, COALESCE(${K + 1} - b.rank, 0) AS rel
+       |  FROM ivf i LEFT JOIN brute b ON b.q_id = i.q_id AND b.vec_id = i.vec_id),
+       |g AS (SELECT q_id, rank, rel,
+       |    (pow(2.0, CAST(rel AS DOUBLE)) - 1.0) * $ln2 / ln(CAST(rank AS DOUBLE) + 1.0) AS gain
+       |  FROM j),
+       |w AS (SELECT q_id,
+       |    sum(gain) OVER o AS dcg,
+       |    sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) OVER o AS hits,
+       |    min(CASE WHEN rel > 0 THEN rank END) OVER (PARTITION BY q_id) AS first_hit,
+       |    lead(rank, 1) OVER po IS NULL AS is_last
+       |  FROM g
+       |  WINDOW po AS (PARTITION BY q_id ORDER BY rank),
+       |    o AS (PARTITION BY q_id ORDER BY rank
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT q_id, CAST(hits AS BIGINT) AS n_rel_found,
+       |  round(COALESCE(CAST(1.0 AS DOUBLE) / first_hit, 0.0), 6) AS mrr,
+       |  round(dcg, 6) AS dcg_at_10,
+       |  round(dcg / $idcg, 6) AS ndcg_at_10
+       |FROM w WHERE is_last
+       |ORDER BY q_id""".stripMargin
+  }
+
   /** Matryoshka dimension-truncation recall sweep over ANY (id, vector)
     * corpus/query tables (public operator behind [[graft.Graft.mrlRecall]]) —
     * the eval behind the MRL trade (Kusupati et al. 2022): if the first
@@ -2466,7 +2601,8 @@ ORDER BY q_id, rank"""
     "s05_ann_recall" -> s05,
     "s20_ann_graph" -> s20,
     "s21_recall_frontier" -> s21,
-    "s22_mmr_diversify" -> s22)
+    "s22_mmr_diversify" -> s22,
+    "s24_rank_eval" -> s24)
 
   val oracle: Map[String, String] = Map(
     "s15_range_search" -> s15Sql,
@@ -2493,5 +2629,6 @@ ORDER BY q_id, rank"""
     "s05_ann_recall" -> s05Sql,
     "s20_ann_graph" -> s20Sql,
     "s21_recall_frontier" -> s21Sql,
-    "s22_mmr_diversify" -> s22Sql)
+    "s22_mmr_diversify" -> s22Sql,
+    "s24_rank_eval" -> s24Sql)
 }

@@ -157,6 +157,38 @@ class Round14Spec extends SparkSpec {
     assert(pairs.count() == 0, "two empty payloads must NOT pair")
   }
 
+  test("rankEvalOf: closed form on a planted ranking (nDCG@3 + MRR + graded rel)") {
+    import spark.implicits._
+    val truth = Seq((1L, 1L, 10L), (1L, 2L, 20L), (1L, 3L, 30L),
+        (2L, 1L, 10L), (2L, 2L, 20L), (2L, 3L, 30L))
+      .toDF("q_id", "rank", "vec_id")
+    val cand = Seq(
+        (1L, 1L, 20L), (1L, 2L, 99L), (1L, 3L, 10L), // rel 2, 0, 3
+        (2L, 1L, 98L), (2L, 2L, 99L), (2L, 3L, 97L)) // rel 0, 0, 0
+      .toDF("q_id", "rank", "vec_id")
+    val out = graft.ops.SimOps.rankEvalOf(truth, cand, "vec_id", 3)
+      .orderBy("q_id").collect()
+    val ln2 = math.log(2.0)
+    // q1: DCG = (2²−1)·ln2/ln2 + 0 + (2³−1)·ln2/ln4; hand fold matches
+    // the operator's rank-ordered cumulative fold term by term
+    // (StrictMath.log — Catalyst's Log evaluates via StrictMath)
+    val dcg1 = 3.0 + 7.0 * ln2 / StrictMath.log(4.0)
+    val idcg = graft.ops.SimOps.idcgAt(3)
+    assert(out(0).getLong(1) == 2L, "q1 finds 2 of 3 true neighbors")
+    assert(out(0).getDouble(2) == 1.0, "first relevant at rank 1 → MRR 1")
+    assert(math.abs(out(0).getDouble(3) - dcg1) < 1e-12)
+    assert(math.abs(out(0).getDouble(4) - dcg1 / idcg) < 1e-12)
+    assert(out(0).getDouble(4) > 0 && out(0).getDouble(4) < 1,
+      "imperfect ranking lands strictly inside (0, 1)")
+    assert(out(1).getLong(1) == 0L && out(1).getDouble(2) == 0.0 &&
+      out(1).getDouble(3) == 0.0 && out(1).getDouble(4) == 0.0,
+      "a ranking with no relevant hits scores zero across the board")
+    // the perfect candidate ranking scores nDCG exactly 1
+    val perfect = graft.ops.SimOps.rankEvalOf(truth, truth, "vec_id", 3)
+      .orderBy("q_id").collect()
+    assert(perfect.forall(r => r.getDouble(4) == 1.0 && r.getDouble(2) == 1.0))
+  }
+
   test("streamingIncrementalDedup migrates a legacy FLAT verdict sink into batch_id partitions") {
     implicit val sql = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
