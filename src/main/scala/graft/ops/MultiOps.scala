@@ -775,7 +775,89 @@ object MultiOps {
        |ORDER BY ent.vid""".stripMargin
   }
 
+  /** Deterministic "shared-encoder" embedding for a binary payload —
+    * the m02 stub contract applied to the CLIP tower: a real encoder
+    * maps media bytes and query text into one vector space; the
+    * container has no model runtime, so the stand-in encoder is a
+    * `dims`-bucket byte histogram (count of bytes with value ≡ j mod
+    * `dims`, as doubles) — deterministic, content-sensitive, and
+    * identical plumbing to a real embedding column. Plan shape: the
+    * m08 rule — one hex-pair explode collapses to ≤ `dims` integer
+    * rows per payload at the map-side combine, one (id, bucket)
+    * shuffle, and the dense vector assembles order-independently via
+    * a bucket→count map lookup (collect_list order cannot matter).
+    * Payload bytes never shuffle. Returns (idCol, v: array<double>). */
+  def payloadEmbeddingOf(df: DataFrame, idCol: String, binCol: String,
+                         dims: Int = 64): DataFrame = {
+    require(dims >= 1 && dims <= 256, s"dims must be in [1, 256], got $dims")
+    df.select(col(idCol),
+        explode(expr(s"regexp_extract_all(hex($binCol), '..', 0)")).as("__hexb"))
+      .withColumn("__b", pmod(conv(col("__hexb"), 16, 10).cast("int"), lit(dims)))
+      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("__b"), col("__c")))).as("__m"))
+      .select(col(idCol),
+        expr(s"transform(sequence(0, ${dims - 1}), j -> CAST(coalesce(__m[j], 0) AS DOUBLE))")
+          .as("v"))
+  }
+
+  /** #32i CROSS-MODAL retrieval (similarity × multimodal, the CLIP
+    * shape): text-tower QUERY vectors searched against MEDIA-tower
+    * corpus vectors derived from the payload column — the retrieval a
+    * caption→image training pipeline runs to mine pairs. Both towers
+    * are [[payloadEmbeddingOf]] stub encoders into one 64-dim space;
+    * the text tower encodes the NORMALIZED query text (lowercase — a
+    * genuinely different encoding of the same underlying content, so
+    * a matching payload scores high but not trivially 1.0 unless the
+    * doc is already lowercase). Search is the verified s01 machinery
+    * ([[graft.Graft.knnBrute]]: queries broadcast, one corpus scan, no
+    * corpus shuffle) with `excludeSelf = false` — the query's OWN
+    * payload is the contrastive "matching pair" and must be allowed to
+    * rank; [[graft.Graft.annLsh]]/[[graft.Graft.annIvf]] accept the
+    * same (id, v) frames as the documented scale swap. The oracle
+    * replays tower featurization (conditional-aggregation pivot to a
+    * dense 64-list — exact integer counts) and the seqCosine ranking. */
+  private val m12: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val corpus = payloadEmbeddingOf(
+      docs.withColumn("payload", col("text").cast("binary")), "doc_id", "payload")
+    val queries = payloadEmbeddingOf(
+      docs.filter(col("doc_id") < 5)
+        .withColumn("payload", lower(col("text")).cast("binary")),
+      "doc_id", "payload")
+    graft.Graft.knnBrute(corpus, queries, "doc_id", "v", k = 10, excludeSelf = false)
+      .select(col("q_id"), col("rank"), col("doc_id"), r6(col("cos_sim")).as("cos_sim"))
+      .orderBy("q_id", "rank")
+  }
+
+  private val m12Sql = {
+    val vecExpr = (0 until 64)
+      .map(j => s"CAST(coalesce(sum(CASE WHEN b = $j THEN c END), 0) AS DOUBLE)")
+      .mkString("[", ", ", "]")
+    def bucketed(src: String, where: String) =
+      s"""SELECT doc_id,
+         |    ((strpos('0123456789ABCDEF', substr(hexs, CAST(i * 2 + 1 AS INTEGER), 1)) - 1) * 16
+         |     + strpos('0123456789ABCDEF', substr(hexs, CAST(i * 2 + 2 AS INTEGER), 1)) - 1) % 64 AS b
+         |  FROM (SELECT doc_id, hex(encode($src)) AS hexs FROM documents$where),
+         |    LATERAL (SELECT unnest(generate_series(0, length(hexs) // 2 - 1)) AS i)""".stripMargin
+    s"""WITH mb AS (${bucketed("text", "")}),
+       |mh AS (SELECT doc_id, b, count(*) AS c FROM mb GROUP BY 1, 2),
+       |mv AS (SELECT doc_id, $vecExpr AS v FROM mh GROUP BY doc_id),
+       |qb AS (${bucketed("lower(text)", " WHERE doc_id < 5")}),
+       |qh AS (SELECT doc_id, b, count(*) AS c FROM qb GROUP BY 1, 2),
+       |qv AS (SELECT doc_id AS q_id, $vecExpr AS qv FROM qh GROUP BY doc_id),
+       |c AS (SELECT qv.q_id, mv.doc_id, ${graft.OracleSql.seqCosine("qv", "v", 64)} AS cos
+       |  FROM qv CROSS JOIN mv),
+       |r AS (SELECT q_id, doc_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, doc_id) AS BIGINT) AS rank
+       |  FROM c)
+       |SELECT q_id, rank, doc_id, round(cos, 6) AS cos_sim
+       |FROM r WHERE rank <= 10
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "m12_crossmodal_retrieval" -> m12,
     "p07_media_pipeline" -> p07,
     "m11_keyframe_dedup" -> m11,
     "m10_signal_quality" -> m10,
@@ -791,6 +873,7 @@ object MultiOps {
 
   /** m02 is intentionally absent: mapPartitions output is rows-only. */
   val oracle: Map[String, String] = Map(
+    "m12_crossmodal_retrieval" -> m12Sql,
     "p07_media_pipeline" -> p07Sql,
     "m11_keyframe_dedup" -> m11Sql,
     "m10_signal_quality" -> m10Sql,

@@ -189,6 +189,36 @@ class Round14Spec extends SparkSpec {
     assert(perfect.forall(r => r.getDouble(4) == 1.0 && r.getDouble(2) == 1.0))
   }
 
+  test("payloadEmbeddingOf + cross-modal knn: exact bucket counts, matching payload is top-1") {
+    import spark.implicits._
+    // closed form: "AAAA" = 4 bytes of 0x41 = 65 → bucket 65 % 64 = 1
+    val planted = graft.ops.MultiOps.payloadEmbeddingOf(
+      Seq((9L, "AAAA")).toDF("doc_id", "text")
+        .withColumn("p", col("text").cast("binary")), "doc_id", "p")
+      .head()
+    val v = planted.getSeq[Double](1)
+    assert(v.length == 64 && v(1) == 4.0 && v.sum == 4.0,
+      "the 64-dim histogram must put all 4 'A' bytes in bucket 1")
+
+    // cross-modal pair: a lowercase doc's text-tower query vector equals
+    // its media-tower vector exactly → its own payload is the top hit
+    val docs = Seq(
+      (1L, "all lowercase words here"),
+      (2L, "ALL LOWERCASE WORDS HERE"), // same content, other byte values
+      (3L, "zzzz qqqq xxxx jjjj vvvv")).toDF("doc_id", "text")
+    val corpus = graft.ops.MultiOps.payloadEmbeddingOf(
+      docs.withColumn("p", col("text").cast("binary")), "doc_id", "p")
+    val queries = graft.ops.MultiOps.payloadEmbeddingOf(
+      docs.filter(col("doc_id") === 1L)
+        .withColumn("p", lower(col("text")).cast("binary")), "doc_id", "p")
+    val hits = Graft.knnBrute(corpus, queries, "doc_id", "v", 3, excludeSelf = false)
+      .orderBy("rank").collect()
+    assert(hits(0).getLong(2) == 1L, "the query's own payload must rank 1")
+    assert(hits(0).getDouble(3) > 0.999999, "identical histograms → cosine ~1")
+    assert(hits(1).getDouble(3) < 0.9,
+      "the case-shifted twin lives in different byte buckets — no trivial match")
+  }
+
   test("streamingIncrementalDedup migrates a legacy FLAT verdict sink into batch_id partitions") {
     implicit val sql = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
