@@ -1210,7 +1210,90 @@ object DataOps {
       |FROM a
       |ORDER BY fold""".stripMargin
 
+  /** #19f the 100 TB profiling path made DURABLE: a09 persists
+    * PER-LANDING mergeable sketch state (relational HLL registers for
+    * distinct users + fixed-width value-histogram buckets, the
+    * [[graft.sinks.SketchStore]] contract), replays the landing loop
+    * (3 deterministic day-sliced landings → `land` each → read back →
+    * merge), and reports per event_type the merged estimates NEXT TO
+    * the exact answers. The oracle computes the whole-corpus sketch
+    * directly — equal to the landing-merged state BY THE MERGE LAW
+    * (merge(state(A), state(B)) == state(A∪B), spec-pinned), so a
+    * broken merge/land/read step hash-fails here. At 100 TB the report
+    * reads state-sized partitions, never raw history. */
+  private val a09: Q = (s, dir) => {
+    import graft.sinks.SketchStore
+    val keys = Seq("event_type")
+    val ev = t(s, dir, "events")
+      .select(col("event_type"), col("user_id"), col("value"),
+        (dayofmonth(col("ts")) % 3).as("__landing"))
+    val store = java.nio.file.Files.createTempDirectory("graft_sketch_store_").toString
+    (0 until 3).foreach { l =>
+      val batch = ev.filter(col("__landing") === l)
+      SketchStore.land(s, s"$store/hll",
+        SketchStore.hllState(batch, keys, "user_id"), l)
+      SketchStore.land(s, s"$store/vhist",
+        SketchStore.histState(batch, keys, "value", 10.0), l)
+    }
+    val est = SketchStore.hllEstimate(
+      SketchStore.mergedHll(s, s"$store/hll", keys), keys)
+    val qs = SketchStore.histQuantiles(
+      SketchStore.mergedHist(s, s"$store/vhist", keys), keys, 10.0,
+      Seq(0.5 -> "p50_est", 0.95 -> "p95_est"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    exact.join(est, "event_type").join(qs, "event_type")
+      .select(col("event_type"), col("n"), col("exact_users"),
+        r4(col("est")).as("est_users"), r4(col("p50_est")).as("p50_est"),
+        r4(col("p95_est")).as("p95_est"))
+      .orderBy("event_type")
+  }
+
+  private val a09Sql = {
+    val m = 4096L
+    val alphaM2 = 0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
+    s"""WITH h AS (SELECT event_type,
+       |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       |  FROM events),
+       |regs AS (SELECT event_type, h % $m AS reg,
+       |    max(CASE WHEN h // $m > 0 THEN 49 - length(bin(h // $m)) ELSE 49 END) AS rho
+       |  FROM h GROUP BY 1, 2),
+       |rh AS (SELECT event_type, rho, count(*) AS c FROM regs GROUP BY 1, 2),
+       |fold AS (SELECT event_type,
+       |    sum(CAST(c AS DOUBLE) * pow(2.0, -CAST(rho AS DOUBLE))) OVER o AS s,
+       |    sum(c) OVER (PARTITION BY event_type) AS present,
+       |    lead(rho, 1) OVER po IS NULL AS is_last
+       |  FROM rh
+       |  WINDOW po AS (PARTITION BY event_type ORDER BY rho),
+       |    o AS (PARTITION BY event_type ORDER BY rho
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |est AS (SELECT event_type,
+       |    CASE WHEN $alphaM2 / (CAST($m - present AS DOUBLE) + s) <= ${2.5 * 4096} AND present < $m
+       |      THEN 4096.0 * ln(4096.0 / CAST($m - present AS DOUBLE))
+       |      ELSE $alphaM2 / (CAST($m - present AS DOUBLE) + s) END AS est
+       |  FROM fold WHERE is_last),
+       |vb AS (SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bucket FROM events),
+       |vh AS (SELECT event_type, bucket, count(*) AS cnt FROM vb GROUP BY 1, 2),
+       |vf AS (SELECT event_type, bucket,
+       |    sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    sum(cnt) OVER (PARTITION BY event_type) AS n
+       |  FROM vh),
+       |qs AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       |    (CAST(min(CASE WHEN CAST(cum AS DOUBLE) >= 0.5 * CAST(n AS DOUBLE) THEN bucket END) AS DOUBLE) + 0.5) * 10.0 AS p50,
+       |    (CAST(min(CASE WHEN CAST(cum AS DOUBLE) >= 0.95 * CAST(n AS DOUBLE) THEN bucket END) AS DOUBLE) + 0.5) * 10.0 AS p95
+       |  FROM vf GROUP BY event_type),
+       |ex AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users FROM events GROUP BY 1)
+       |SELECT ex.event_type, qs.n, ex.exact_users,
+       |  round(est.est, 4) AS est_users,
+       |  round(qs.p50, 4) AS p50_est, round(qs.p95, 4) AS p95_est
+       |FROM ex JOIN est ON ex.event_type = est.event_type
+       |  JOIN qs ON ex.event_type = qs.event_type
+       |ORDER BY ex.event_type""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "a09_sketch_store" -> a09,
     "p06_export_pipeline" -> p06,
     "ds23_kfold" -> ds23,
     "ds21_bootstrap_ci" -> ds21,
@@ -1233,6 +1316,7 @@ object DataOps {
     "ds05_bigram_stats" -> ds05)
 
   val oracle: Map[String, String] = Map(
+    "a09_sketch_store" -> a09Sql,
     "p06_export_pipeline" -> p06Sql,
     "ds21_bootstrap_ci" -> ds21Sql,
     "ds23_kfold" -> ds23Sql,

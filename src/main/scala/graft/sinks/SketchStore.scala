@@ -1,0 +1,147 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted MERGEABLE sketch state — the 100 TB profiling story made
+  * durable: a01/a02 run HLL / quantile estimation within one query, but
+  * a lake that lands data continuously cannot afford to re-scan history
+  * per report. It keeps per-landing SKETCH state instead, merges states
+  * (cheap — state-sized, not data-sized), and estimates from the merge.
+  * The reference's analog is its incremental high-watermark bookkeeping
+  * (crypto_data_pipeline_duckdb.py:1523-1544) applied to statistics
+  * rather than rows.
+  *
+  * Both sketches here are RELATIONAL — rows of integers, not opaque
+  * binary blobs — which buys three properties an opaque sketch column
+  * (e.g. a serialized HLL with a HIP accumulator) cannot give:
+  *   1. EXACT merge law: merge(state(A), state(B)) == state(A ∪ B),
+  *      row-for-row (register max / bucket-count sum are associative,
+  *      commutative, idempotent-per-item) — spec-proven, not ±ε;
+  *   2. order-independent determinism at any parallelism (a HIP
+  *      estimator's value depends on insertion/merge order; register
+  *      maxes and counts do not);
+  *   3. a DuckDB-replayable oracle: the whole estimate chain is md5
+  *      hashing + integer folds + one defined-order float fold.
+  *
+  * HLL state: per key group, register → max(rho) rows, ≤ 2^p rows per
+  * group after the map-side combine (the m08 bound shape). The hash is
+  * [[graft.F.hash60]] (md5-derived, 60 bits): low p bits pick the
+  * register, rho = leading-zero count of the high 60−p bits + 1,
+  * computed by BINARY-STRING LENGTH (`conv(w, 10, 2)` / DuckDB
+  * `bin(w)`) — integer-exact, immune to the floor(log2(w)) ulp trap.
+  * Estimate = the standard HLL composite: α·m²/Σ2^−M with linear
+  * counting below 2.5m (Flajolet et al. 2007); the Σ folds over the
+  * ≤(61−p)-row rho HISTOGRAM in rho order (the m08 defined-order-fold
+  * rule), so the float result is bit-stable at any parallelism. The
+  * 60-bit-hash large-range correction is irrelevant below ~10¹⁶.
+  *
+  * Quantile state: per key group, fixed-width value buckets → count
+  * (the q24 histogram as persisted state). Merge = count sum (exact);
+  * estimate = bucket midpoint at the cumulative target — absolute
+  * error ≤ width/2, the documented trade (swap width per domain).
+  *
+  * Store layout: one parquet table per sketch kind partitioned by
+  * `__landing` with dynamic partition overwrite — replaying a landing
+  * REPLACES its partition byte-identically (idempotent retries, the
+  * MergeWriter rule). Merged state is one scan + one (key, register |
+  * bucket) shuffle over state-sized data; landings never re-scan raw
+  * history. Compact with [[MergeWriter.compact]] on long histories.
+  */
+object SketchStore {
+
+  /** Per-group HLL register state of `valueCol`'s distinct count:
+    * (keys..., reg, rho). Deterministic, mergeable via [[mergeStates]]. */
+  def hllState(df: DataFrame, keys: Seq[String], valueCol: String,
+               p: Int = 12): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4, 16], got $p")
+    val m = 1L << p
+    df.select((keys.map(col) :+
+        graft.F.hash60(col(valueCol).cast("string")).as("__h")): _*)
+      .withColumn("reg", (col("__h") % m).cast("int"))
+      .withColumn("__w", expr(s"__h div $m")) // integer div: 60-bit h > 2^52
+      .withColumn("rho",
+        when(col("__w") > 0, lit(61 - p) - length(conv(col("__w"), 10, 2)))
+          .otherwise(lit(61 - p)).cast("int"))
+      .groupBy((keys.map(col) :+ col("reg")): _*)
+      .agg(max(col("rho")).as("rho"))
+  }
+
+  /** Per-group fixed-width value histogram state: (keys..., bucket, cnt). */
+  def histState(df: DataFrame, keys: Seq[String], valueCol: String,
+                width: Double): DataFrame = {
+    require(width > 0, s"width must be > 0, got $width")
+    df.withColumn("bucket", floor(col(valueCol) / lit(width)).cast("long"))
+      .groupBy((keys.map(col) :+ col("bucket")): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Land one landing's sketch state (idempotent: replaying a landing
+    * id replaces exactly its partition via dynamic overwrite). */
+  def land(spark: SparkSession, path: String, state: DataFrame,
+           landingId: Long): Unit =
+    state.withColumn("__landing", lit(landingId))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__landing")
+      .parquet(path)
+
+  /** Merged HLL state across every landed partition: register-wise max.
+    * merge(state(A), state(B)) == state(A ∪ B) exactly — max is
+    * associative/commutative and per-item idempotent (spec-pinned). */
+  def mergedHll(spark: SparkSession, path: String, keys: Seq[String]): DataFrame =
+    spark.read.parquet(path)
+      .groupBy((keys.map(col) :+ col("reg")): _*)
+      .agg(max(col("rho")).as("rho"))
+
+  /** Merged histogram state across landings: bucket-count sums (exact). */
+  def mergedHist(spark: SparkSession, path: String, keys: Seq[String]): DataFrame =
+    spark.read.parquet(path)
+      .groupBy((keys.map(col) :+ col("bucket")): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Distinct-count estimate per key group from HLL register state:
+    * (keys..., est). Composite estimator with linear counting; the
+    * float fold runs over the rho histogram in rho order. */
+  def hllEstimate(state: DataFrame, keys: Seq[String], p: Int = 12): DataFrame = {
+    val m = (1L << p).toDouble
+    val alphaM2 = 0.7213 / (1.0 + 1.079 / m) * m * m // one shared literal
+    val kc = keys.map(col)
+    val po = Window.partitionBy(kc: _*).orderBy(col("rho"))
+    val cum = po.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    state.groupBy((kc :+ col("rho")): _*).agg(count(lit(1)).as("__c"))
+      .withColumn("__s", sum(col("__c").cast("double") *
+        pow(lit(2.0), -col("rho").cast("double"))).over(cum))
+      .withColumn("__present", sum(col("__c")).over(Window.partitionBy(kc: _*)))
+      .withColumn("__last", lead(col("rho"), 1).over(po).isNull)
+      .filter(col("__last"))
+      .withColumn("__zeros", (lit(m.toLong) - col("__present")).cast("double"))
+      .withColumn("__eraw", lit(alphaM2) / (col("__zeros") + col("__s")))
+      .withColumn("est",
+        when(col("__eraw") <= lit(2.5 * m) && col("__zeros") > 0,
+          lit(m) * log(lit(m) / col("__zeros")))
+        .otherwise(col("__eraw")))
+      .select((kc :+ col("est")): _*)
+  }
+
+  /** Quantile estimates per key group from histogram state: for each
+    * (q, alias), the midpoint of the first bucket whose cumulative
+    * count reaches q·n. Returns (keys..., n, <alias>...). */
+  def histQuantiles(state: DataFrame, keys: Seq[String], width: Double,
+                    qs: Seq[(Double, String)]): DataFrame = {
+    require(qs.nonEmpty, "at least one quantile required")
+    val kc = keys.map(col)
+    val po = Window.partitionBy(kc: _*).orderBy(col("bucket"))
+    val cum = po.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cummed = state
+      .withColumn("__cum", sum(col("cnt")).over(cum))
+      .withColumn("__n", sum(col("cnt")).over(Window.partitionBy(kc: _*)))
+    val aggs = qs.map { case (q, alias) =>
+      ((min(when(col("__cum").cast("double") >= lit(q) * col("__n").cast("double"),
+        col("bucket"))).cast("double") + lit(0.5)) * lit(width)).as(alias)
+    }
+    cummed.groupBy(kc: _*)
+      .agg(max(col("__n")).as("n"), aggs: _*)
+  }
+}

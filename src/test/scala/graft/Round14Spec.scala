@@ -219,6 +219,50 @@ class Round14Spec extends SparkSpec {
       "the case-shifted twin lives in different byte buckets — no trivial match")
   }
 
+  test("SketchStore: exact merge law, idempotent landing replay, realized estimate error") {
+    import graft.sinks.SketchStore
+    val keys = Seq("grp")
+    // overlapping landings: A = 0..599, B = 400..999 → union has 1000 distinct
+    val a = spark.range(600).select(lit("g").as("grp"), col("id"))
+    val b = spark.range(400, 1000).select(lit("g").as("grp"), col("id"))
+    val stA = SketchStore.hllState(a, keys, "id")
+    val stB = SketchStore.hllState(b, keys, "id")
+    val direct = SketchStore.hllState(a.unionByName(b), keys, "id").collect().toSet
+
+    // MERGE LAW, exactly: register-wise max of the states == state of the union
+    val merged = stA.unionByName(stB)
+      .groupBy(col("grp"), col("reg")).agg(max(col("rho")).as("rho"))
+      .collect().toSet
+    assert(merged == direct, "merge(state(A), state(B)) must equal state(A ∪ B) row-for-row")
+
+    // through the STORE: replaying a landing is idempotent, merge reads state only
+    val p = java.nio.file.Files.createTempDirectory("graft_sketch_spec_").toString
+    SketchStore.land(spark, s"$p/hll", stA, 1L)
+    SketchStore.land(spark, s"$p/hll", stA, 1L) // replay must replace, not double
+    SketchStore.land(spark, s"$p/hll", stB, 2L)
+    val fromStore = SketchStore.mergedHll(spark, s"$p/hll", keys)
+    assert(fromStore.collect().toSet == direct,
+      "land → read-back → merge must reproduce the direct union state")
+
+    // realized error: 1000 true distinct, m=4096 (linear-counting regime)
+    val est = SketchStore.hllEstimate(fromStore, keys).head().getDouble(1)
+    assert(math.abs(est - 1000.0) / 1000.0 < 0.05, s"estimate $est vs true 1000")
+
+    // histogram state: integer-exact merge + closed-form quantile
+    val v = spark.range(1000)
+      .select(lit("g").as("grp"), (col("id") % 100).cast("double").as("value"))
+    SketchStore.land(spark, s"$p/vh",
+      SketchStore.histState(v.filter(col("id") < 500), keys, "value", 10.0), 1L)
+    SketchStore.land(spark, s"$p/vh",
+      SketchStore.histState(v.filter(col("id") >= 500), keys, "value", 10.0), 2L)
+    val hm = SketchStore.mergedHist(spark, s"$p/vh", keys)
+    assert(hm.collect().toSet == SketchStore.histState(v, keys, "value", 10.0).collect().toSet,
+      "bucket-count sums across landings must equal the whole-data histogram")
+    val q50 = SketchStore.histQuantiles(hm, keys, 10.0, Seq(0.5 -> "p50")).head()
+    assert(q50.getLong(1) == 1000L && q50.getDouble(2) == 45.0,
+      "uniform 0..99, width 10 → p50 lands in bucket 4, midpoint 45.0")
+  }
+
   test("streamingIncrementalDedup migrates a legacy FLAT verdict sink into batch_id partitions") {
     implicit val sql = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
