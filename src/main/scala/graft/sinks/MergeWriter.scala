@@ -93,15 +93,29 @@ object MergeWriter {
     * ceil(partitionBytes / targetBytes) files; data is byte-identical
     * (a pure physical rewrite) and untouched partitions are not read.
     *
+    * `onlyValues` restricts both the LISTING and the rewrite to the
+    * named partition values — the per-tick streaming cadence: a
+    * micro-batch that just merged its delta compacts exactly the
+    * delta's partitions (cost bounded by the delta, like the merge;
+    * an unrestricted compact lists every partition, the O(store)
+    * driver walk prunedRead exists to avoid).
+    *
     * @return the partition values that were rewritten */
   def compact(spark: SparkSession, path: String, partitionCol: String,
-              maxFiles: Int = 4, targetBytes: Long = 128L << 20): Seq[Any] = {
+              maxFiles: Int = 4, targetBytes: Long = 128L << 20,
+              onlyValues: Option[Seq[Any]] = None): Seq[Any] = {
     // driver-side listing is bounded by partition/file count, not rows —
     // same budget as merge()'s impacted-partition list
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path))) return Seq.empty
+    val wanted = onlyValues.map(_.map(v =>
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(String.valueOf(v))).toSet)
     val parts = fs.listStatus(new org.apache.hadoop.fs.Path(path))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(partitionCol + "="))
+      .filter(s => wanted.forall(_.contains(
+        s.getPath.getName.drop(partitionCol.length + 1))))
     val fragmented = parts.flatMap { p =>
       val files = fs.listStatus(p.getPath).filter(_.getPath.getName.endsWith(".parquet"))
       if (files.length <= maxFiles) None
@@ -111,7 +125,9 @@ object MergeWriter {
         math.max(1, math.ceil(files.map(_.getLen).sum.toDouble / targetBytes).toInt)))
     }.toSeq
     fragmented.foreach { case (value, nFiles) =>
-      val part = spark.read.parquet(path).filter(col(partitionCol) === value)
+      // prunedRead: the rewrite's scan must not re-file-index the whole
+      // store any more than the listing above does
+      val part = prunedRead(spark, path, partitionCol, Seq(value)).get
       val out = part.coalesce(nFiles).localCheckpoint(eager = true)
       try {
         out.write

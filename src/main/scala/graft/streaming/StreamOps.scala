@@ -866,6 +866,13 @@ object StreamOps {
               // overwrite: a batch-0 retry after a partial write must
               // be self-healing (see streamingMarketPipeline)
               delta.write.mode("overwrite").partitionBy(partitionCol).parquet(storePath)
+            // small-file maintenance, bounded by the delta's partitions
+            // (the marketTick rule)
+            val impacted = delta.select(col(partitionCol)).distinct()
+              .collect().map(_.get(0)).toSeq
+            graft.sinks.MergeWriter.compact(spark, storePath, partitionCol,
+              onlyValues = Some(impacted))
+            ()
           } finally graft.Checkpoints.free(delta)
         }
       }
@@ -964,6 +971,16 @@ object StreamOps {
               .write.mode("overwrite")
               .option("partitionOverwriteMode", "dynamic")
               .partitionBy("batch_id").parquet(historyPath)
+            // small-file maintenance: each batch partition lands with a
+            // shuffle-task-count file-set (once, never appended again) —
+            // collapse THIS batch's partitions now, so a long-running
+            // stream's history scan sees O(batches) files, not
+            // O(batches·tasks). Bounded to the current batch partition.
+            graft.sinks.MergeWriter.compact(spark, verdictPath, "batch_id",
+              onlyValues = Some(Seq(batchId)))
+            graft.sinks.MergeWriter.compact(spark, historyPath, "batch_id",
+              onlyValues = Some(Seq(batchId)))
+            ()
           } finally graft.Checkpoints.free(bs)
         }
       }
@@ -1122,6 +1139,12 @@ object StreamOps {
       graft.sinks.MergeWriter.merge(spark, storePath, effective,
         keys = Seq("symbol", "fundingTime"), partitionCol = "symbol")
     }
+    // maintenance: every merge leaves a shuffle-task-count file-set in
+    // each touched partition (a long-running stream rots into small-file
+    // scans); compact the DELTA's partitions — listing and rewrite both
+    // bounded by the delta, same budget as the merge itself
+    graft.sinks.MergeWriter.compact(spark, storePath, "symbol",
+      onlyValues = Some(deltaSyms))
     // ---- stage 3: candidate recompute for the DELTA symbols only ----
     val perpDelta = storeSlice()
       .getOrElse(healed) // unreachable post-merge; defensive
@@ -1272,6 +1295,13 @@ object StreamOps {
               .write.mode("overwrite")
               .option("partitionOverwriteMode", "dynamic")
               .partitionBy("batch_id").parquet(gramStorePath)
+            // small-file maintenance (the streamingIncrementalDedup
+            // rule): collapse the current batch's partitions
+            graft.sinks.MergeWriter.compact(spark, noveltyPath, "batch_id",
+              onlyValues = Some(Seq(batchId)))
+            graft.sinks.MergeWriter.compact(spark, gramStorePath, "batch_id",
+              onlyValues = Some(Seq(batchId)))
+            ()
           } finally graft.Checkpoints.free(grams)
         }
       }

@@ -263,6 +263,67 @@ class Round14Spec extends SparkSpec {
       "uniform 0..99, width 10 → p50 lands in bucket 4, midpoint 45.0")
   }
 
+  private def parquetFiles(dir: String): Int =
+    Option(new java.io.File(dir).listFiles())
+      .map(_.count(f => f.isFile && f.getName.endsWith(".parquet"))).getOrElse(-1)
+
+  test("compact(onlyValues): rewrites only the named partitions, data byte-identical") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r14_compact_").toString + "/t"
+    val df = spark.range(64).select((col("id") % 2).cast("string").as("day"), col("id"))
+    // fragment both partitions: 8 files each
+    (0 until 8).foreach { i =>
+      // each slice spans both parities, so each append adds one file
+      // to BOTH day partitions
+      df.filter(col("id") >= i * 8 && col("id") < (i + 1) * 8).coalesce(1)
+        .write.mode("append").partitionBy("day").parquet(dir)
+    }
+    assert(parquetFiles(s"$dir/day=0") == 8 && parquetFiles(s"$dir/day=1") == 8)
+    val before = spark.read.parquet(dir).collect().toSet
+    val rewritten = graft.sinks.MergeWriter.compact(spark, dir, "day",
+      maxFiles = 4, onlyValues = Some(Seq("0")))
+    assert(rewritten == Seq("0"), "only the restricted partition may be rewritten")
+    assert(parquetFiles(s"$dir/day=0") == 1, "the fragmented file-set must collapse")
+    assert(parquetFiles(s"$dir/day=1") == 8, "the unnamed partition must be untouched")
+    assert(spark.read.parquet(dir).collect().toSet == before,
+      "compaction is a pure physical rewrite")
+  }
+
+  test("streaming stores stay compact: marketTick and incremental dedup collapse their file-sets") {
+    // marketTick: after ticks, no store partition may exceed the compact
+    // threshold (each merge alone leaves a shuffle-task-count file-set)
+    val base = java.nio.file.Files.createTempDirectory("graft_r14_cstream_").toString
+    val tick = graft.streaming.StreamOps.marketTick(
+      spark, s"$base/store", s"$base/cands", s"$base/report", spotDf, _: DataFrame)
+    tick(healedOf(history("AAAUSDT", 4.0, 1L)))
+    tick(healedOf((5 until 10).map(h => ("AAAUSDT", h, 5.0, 2L))))
+    assert(parquetFiles(s"$base/store/symbol=AAAUSDT") <= 4,
+      "the funding store partition must stay within the compact threshold")
+    assert(spark.read.parquet(s"$base/store").count() == 10,
+      "compaction must not lose store rows")
+
+    // incremental dedup: a 40-doc batch's signature partition lands as a
+    // shuffle-wide file-set and must be collapsed by the per-batch pass
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{DocEvent, StreamOps}
+    import spark.implicits._
+    val input = MemoryStream[DocEvent]
+    val q = StreamOps.streamingIncrementalDedup(spark, input.toDF(),
+      s"$base/history", s"$base/verdicts", s"$base/ckpt")
+    try {
+      input.addData((0 until 40).map(i =>
+        DocEvent(i.toLong, s"totally unique document number $i with words $i")))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(parquetFiles(s"$base/history/batch_id=0") <= 4,
+      "the history batch partition must be compacted after landing")
+    assert(parquetFiles(s"$base/verdicts/batch_id=0") <= 4,
+      "the verdict batch partition must be compacted after landing")
+    assert(spark.read.parquet(s"$base/verdicts").count() == 40,
+      "every doc keeps its verdict through compaction")
+  }
+
   test("streamingIncrementalDedup migrates a legacy FLAT verdict sink into batch_id partitions") {
     implicit val sql = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
