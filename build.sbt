@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes RAW to stdout instead of through sbt's logger:
+// the driver records a bounded tail of `runMain graft.Bench` stdout and
+// tries to parse the last JSON line — with the default output strategy
+// every line arrives "[info] "-prefixed and the recorded artifact's
+// `parsed` field has been null since round 12. StdoutOutput removes the
+// prefix (sbt's own [success] trailer still follows; parsers scanning
+// backwards for a JSON line now find one).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
