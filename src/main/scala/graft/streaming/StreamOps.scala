@@ -21,6 +21,9 @@ case class WmaEvent(event_type: String, event_id: Long, ts: java.sql.Timestamp, 
 /** Arriving document for [[StreamOps.streamingIncrementalDedup]]. */
 case class DocEvent(doc_id: Long, text: String)
 
+/** Arriving event for [[StreamOps.streamingSketchProfile]]. */
+case class ProfileEvent(event_type: String, user_id: Long, value: Double)
+
 /** Full OHLC bar for [[StreamOps.streamingHeikinAshi]]. */
 case class OhlcEvent(event_type: String, ts: java.sql.Timestamp,
                      open: Double, high: Double, low: Double, close: Double)
@@ -737,7 +740,128 @@ object StreamOps {
       |FROM d
       |ORDER BY bucket_ms, bin""".stripMargin
 
+  /** One sketch-profile tick: land the batch's HLL + histogram sketch
+    * state under `landingId` ([[graft.sinks.SketchStore]]; idempotent —
+    * a replayed landing id replaces exactly its partitions). */
+  def sketchProfileTick(spark: SparkSession, storePath: String, batch: DataFrame,
+                        keys: Seq[String], distinctCol: String, valueCol: String,
+                        width: Double, landingId: Long): Unit = {
+    graft.sinks.SketchStore.land(spark, s"$storePath/hll",
+      graft.sinks.SketchStore.hllState(batch, keys, distinctCol), landingId)
+    graft.sinks.SketchStore.land(spark, s"$storePath/vhist",
+      graft.sinks.SketchStore.histState(batch, keys, valueCol, width), landingId)
+  }
+
+  /** The current merged profile from sketch STATE only — per key group,
+    * estimated distinct count + histogram quantiles. Cost is state-sized
+    * (registers + buckets), independent of how much raw data the
+    * landings ever saw — the report a 100 TB stream can afford per tick. */
+  def sketchProfileReport(spark: SparkSession, storePath: String, keys: Seq[String],
+                          width: Double, qs: Seq[(Double, String)]): DataFrame =
+    graft.sinks.SketchStore.hllEstimate(
+        graft.sinks.SketchStore.mergedHll(spark, s"$storePath/hll", keys), keys)
+      .join(graft.sinks.SketchStore.histQuantiles(
+        graft.sinks.SketchStore.mergedHist(spark, s"$storePath/vhist", keys),
+        keys, width, qs), keys)
+
+  /** The a09 mergeable-sketch profile as a CONTINUOUS monitor — the
+    * st-family twin of the SketchStore landing loop: every micro-batch
+    * lands its own sketch state (batchId = landing id, so Structured
+    * Streaming replay is idempotent by the store's dynamic-overwrite
+    * contract) and overwrites the profile report derived from merged
+    * state. Unlike st05/st08 (windowed monitors over recent data), the
+    * report here covers EVERYTHING ever landed at state-sized cost.
+    * Batch-equivalent replay gate: st10_stream_profile; batch==stream
+    * equality pinned in Round14Spec. */
+  def streamingSketchProfile(spark: SparkSession, events: DataFrame,
+                             storePath: String, reportPath: String,
+                             checkpointDir: String,
+                             keys: Seq[String] = Seq("event_type"),
+                             distinctCol: String = "user_id",
+                             valueCol: String = "value",
+                             width: Double = 10.0,
+                             qs: Seq[(Double, String)] =
+                               Seq(0.5 -> "p50_est", 0.95 -> "p95_est")):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          sketchProfileTick(spark, storePath, batch, keys, distinctCol,
+            valueCol, width, batchId)
+          val rep = sketchProfileReport(spark, storePath, keys, width, qs)
+            .localCheckpoint(eager = true)
+          try rep.write.mode("overwrite").parquet(reportPath)
+          finally graft.Checkpoints.free(rep)
+          ()
+        }
+      }
+      .start()
+
+  /** #35j the profile monitor as a two-tick batch REPLAY (the st09
+    * rule): tick 1 lands day-slice 0's sketch state, tick 2 lands
+    * slice 1's, the report derives from MERGED state only — and by the
+    * SketchStore merge law it must hash-equal the whole-corpus sketch
+    * the oracle computes directly (a09's chain minus the exact column,
+    * which a state-only monitor cannot see). */
+  private val st10: Q = (s, dir) => {
+    val keys = Seq("event_type")
+    val ev = Tables.t(s, dir, "events")
+      .select(col("event_type"), col("user_id"), col("value"),
+        (dayofmonth(col("ts")) % 2).as("__tick"))
+    val store = java.nio.file.Files.createTempDirectory("graft_stream_profile_").toString
+    (0 until 2).foreach { tk =>
+      sketchProfileTick(s, store, ev.filter(col("__tick") === tk), keys,
+        "user_id", "value", 10.0, tk.toLong)
+    }
+    sketchProfileReport(s, store, keys, 10.0, Seq(0.5 -> "p50_est", 0.95 -> "p95_est"))
+      .select(col("event_type"), col("n"), F.r4(col("est")).as("est_users"),
+        F.r4(col("p50_est")).as("p50_est"), F.r4(col("p95_est")).as("p95_est"))
+      .orderBy("event_type")
+  }
+
+  private val st10Sql = {
+    val m = 4096L
+    val alphaM2 = 0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
+    s"""WITH h AS (SELECT event_type,
+       |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       |  FROM events),
+       |regs AS (SELECT event_type, h % $m AS reg,
+       |    max(CASE WHEN h // $m > 0 THEN 49 - length(bin(h // $m)) ELSE 49 END) AS rho
+       |  FROM h GROUP BY 1, 2),
+       |rh AS (SELECT event_type, rho, count(*) AS c FROM regs GROUP BY 1, 2),
+       |fold AS (SELECT event_type,
+       |    sum(CAST(c AS DOUBLE) * pow(2.0, -CAST(rho AS DOUBLE))) OVER o AS s,
+       |    sum(c) OVER (PARTITION BY event_type) AS present,
+       |    lead(rho, 1) OVER po IS NULL AS is_last
+       |  FROM rh
+       |  WINDOW po AS (PARTITION BY event_type ORDER BY rho),
+       |    o AS (PARTITION BY event_type ORDER BY rho
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |est AS (SELECT event_type,
+       |    CASE WHEN $alphaM2 / (CAST($m - present AS DOUBLE) + s) <= ${2.5 * 4096} AND present < $m
+       |      THEN 4096.0 * ln(4096.0 / CAST($m - present AS DOUBLE))
+       |      ELSE $alphaM2 / (CAST($m - present AS DOUBLE) + s) END AS est
+       |  FROM fold WHERE is_last),
+       |vb AS (SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bucket FROM events),
+       |vh AS (SELECT event_type, bucket, count(*) AS cnt FROM vb GROUP BY 1, 2),
+       |vf AS (SELECT event_type, bucket,
+       |    sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    sum(cnt) OVER (PARTITION BY event_type) AS n
+       |  FROM vh),
+       |qs AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       |    (CAST(min(CASE WHEN CAST(cum AS DOUBLE) >= 0.5 * CAST(n AS DOUBLE) THEN bucket END) AS DOUBLE) + 0.5) * 10.0 AS p50,
+       |    (CAST(min(CASE WHEN CAST(cum AS DOUBLE) >= 0.95 * CAST(n AS DOUBLE) THEN bucket END) AS DOUBLE) + 0.5) * 10.0 AS p95
+       |  FROM vf GROUP BY event_type)
+       |SELECT est.event_type, qs.n, round(est.est, 4) AS est_users,
+       |  round(qs.p50, 4) AS p50_est, round(qs.p95, 4) AS p95_est
+       |FROM est JOIN qs ON est.event_type = qs.event_type
+       |ORDER BY est.event_type""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "st10_stream_profile" -> st10,
     "st08_stream_psi" -> st08,
     "st06_stream_adf" -> st06,
     "st07_stream_sessions" -> st07,
@@ -748,6 +872,7 @@ object StreamOps {
     "st04_stream_topk" -> st04)
 
   val oracle: Map[String, String] = Map(
+    "st10_stream_profile" -> st10Sql,
     "st08_stream_psi" -> st08Sql,
     "st06_stream_adf" -> st06Sql,
     "st07_stream_sessions" -> st07Sql,

@@ -324,6 +324,39 @@ class Round14Spec extends SparkSpec {
       "every doc keeps its verdict through compaction")
   }
 
+  test("streamingSketchProfile: stream of micro-batches == one-shot sketch (merge law live)") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{ProfileEvent, StreamOps}
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_r14_sprof_").toString
+    val input = MemoryStream[ProfileEvent]
+    val q = StreamOps.streamingSketchProfile(spark, input.toDF(),
+      s"$base/store", s"$base/report", s"$base/ckpt")
+    try {
+      // disjoint slices: each event lands once (count semantics); HLL's
+      // idempotency under OVERLAPPING landings is pinned in the
+      // SketchStore merge-law test
+      input.addData((0 until 50).map(i => ProfileEvent("a", i.toLong, i.toDouble)))
+      q.processAllAvailable()
+      input.addData((50 until 75).map(i => ProfileEvent("a", i.toLong, i.toDouble)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$base/report").collect()
+    assert(streamed.length == 1)
+    // one-shot control: the SAME report over a single landing of all data
+    val all = (0 until 75).map(i => ProfileEvent("a", i.toLong, i.toDouble))
+      .toDF("event_type", "user_id", "value")
+    StreamOps.sketchProfileTick(spark, s"$base/ctrl", all,
+      Seq("event_type"), "user_id", "value", 10.0, 0L)
+    val ctrl = StreamOps.sketchProfileReport(spark, s"$base/ctrl",
+      Seq("event_type"), 10.0, Seq(0.5 -> "p50_est", 0.95 -> "p95_est")).collect()
+    assert(streamed.toSeq == ctrl.toSeq,
+      "two overlapping micro-batches must merge to the one-shot sketch exactly")
+    val est = streamed.head.getDouble(1)
+    assert(math.abs(est - 75.0) / 75.0 < 0.1, s"estimate $est vs true 75 distinct")
+  }
+
   test("streamingIncrementalDedup migrates a legacy FLAT verdict sink into batch_id partitions") {
     implicit val sql = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
