@@ -336,7 +336,11 @@ object ScaleProbe {
       val ok = try {
         SparkEntry.queries(q)(spark, out).write.format("noop").mode("overwrite").save()
         true
-      } catch { case _: Throwable => false }
+      } catch { case e: Throwable =>
+        // a silent -1 cost round 14 a diagnosis round-trip: name the failure
+        System.err.println(s"[probe] $q failed: ${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}")
+        false
+      }
       q -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     def ms(v: Double): Double = math.rint(v * 1000) / 1000

@@ -216,6 +216,33 @@ object SimOps {
     * (total-order ranks), so the DuckDB oracle replays the build
     * verbatim. At 100 TB the state is the edge list itself —
     * r×corpus rows, distributed, never driver-side. */
+  /** Dispatch counters for the [[knnGraphOf]] assignment path (the
+    * ScanOps counter convention): specs assert the route taken, not
+    * just the result. */
+  val graphBruteAsg = new java.util.concurrent.atomic.AtomicLong(0)
+  val graphHierAsg = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Above this centroid count the build's cell assignment goes
+    * HIERARCHICAL (two-level, FAISS-IMI shape) instead of brute
+    * node×centroid. Brute cost is n·|C| cosines AND an n·|C|-row
+    * window shuffle — with the density-scaled seed rule (|C| = n/64)
+    * that is O(n²/64), the stage the round-14 ×100 probe caught
+    * falling over (5.6G-row shuffle at 600k vectors). Hierarchical:
+    * pick every ⌈√|C|⌉-th centroid (by id rank) as a COARSE centroid,
+    * map each centroid to its nearest coarse cell (|C|·√|C|), route
+    * each node to its `cellProbes` nearest coarse cells (n·√|C|), and
+    * rank only the centroids of those cells (n·2√|C|) — n·3√|C|
+    * total, ~30× less at ×100, still every rank total-ordered (ties →
+    * smaller id) so the build stays deterministic. The assignment is
+    * approximate at cell boundaries (a node's true nearest centroid
+    * can sit in an unprobed coarse cell); the seed graph is a
+    * blocking structure NN-descent repairs, and GraphAnnSpec pins the
+    * search-recall parity of the two routes. 256 keeps every gate
+    * corpus (94 centroids at sf0.01, ~940 at ×10) on the EXACT brute
+    * path — oracle hashes are unaffected by construction. (var: the
+    * route-parity spec pins both paths on one corpus by moving it.) */
+  private[graft] var HierAsgThreshold = 256
+
   def knnGraphOf(corpus: DataFrame, centroids: DataFrame, idCol: String,
                  vecCol: String, cidCol: String, cvecCol: String,
                  r: Int, cellProbes: Int = 2, descentRounds: Int = 1): DataFrame = {
@@ -225,12 +252,47 @@ object SimOps {
     val v = corpus.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
     val cents = broadcast(centroids
       .select(col(cidCol).as("c_id"), col(cvecCol).cast("array<double>").as("cv")))
+    // one count action, bounded by the centroid table (k·dims driver
+    // state is already the IVF contract; a long is cheaper)
+    val nCents = cents.count()
     val wAsg = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))
-    val asg = v.crossJoin(cents)
-      .withColumn("ccos", expr("graft_cosine(v, cv)"))
-      .withColumn("__rn", row_number().over(wAsg))
-      .filter(col("__rn") <= cellProbes)
-      .select(col("vec_id"), col("c_id").as("cell"))
+    val asg = if (nCents <= HierAsgThreshold) {
+      graphBruteAsg.incrementAndGet()
+      v.crossJoin(cents)
+        .withColumn("ccos", expr("graft_cosine(v, cv)"))
+        .withColumn("__rn", row_number().over(wAsg))
+        .filter(col("__rn") <= cellProbes)
+        .select(col("vec_id"), col("c_id").as("cell"))
+    } else {
+      graphHierAsg.incrementAndGet()
+      val fan = math.ceil(math.sqrt(nCents.toDouble)).toLong
+      // coarse slice: every fan-th centroid by id rank (|L1| ≈ √|C|);
+      // the window runs over the centroid table only
+      val wC = Window.orderBy(col("c_id"))
+      val ranked = cents.withColumn("__crn", row_number().over(wC))
+      val coarse = broadcast(ranked.filter((col("__crn") - 1) % fan === 0)
+        .select(col("c_id").as("l1_id"), col("cv").as("l1v")))
+      // centroid → its nearest coarse cell (|C|·√|C| cosines)
+      val wCent = Window.partitionBy(col("c_id")).orderBy(col("lcos").desc, col("l1_id"))
+      val centL1 = broadcast(cents.crossJoin(coarse)
+        .withColumn("lcos", expr("graft_cosine(cv, l1v)"))
+        .withColumn("__rn", row_number().over(wCent))
+        .filter(col("__rn") === 1)
+        .select(col("c_id"), col("cv"), col("l1_id")))
+      // node → its cellProbes nearest coarse cells (n·√|C|)
+      val wNode = Window.partitionBy(col("vec_id")).orderBy(col("lcos").desc, col("l1_id"))
+      val nodeL1 = v.crossJoin(coarse)
+        .withColumn("lcos", expr("graft_cosine(v, l1v)"))
+        .withColumn("__rn", row_number().over(wNode))
+        .filter(col("__rn") <= cellProbes)
+        .select(col("vec_id"), col("v"), col("l1_id"))
+      // fine rank over ONLY the probed cells' centroids (n·2√|C|)
+      nodeL1.join(centL1, "l1_id")
+        .withColumn("ccos", expr("graft_cosine(v, cv)"))
+        .withColumn("__rn", row_number().over(wAsg))
+        .filter(col("__rn") <= cellProbes)
+        .select(col("vec_id"), col("c_id").as("cell"))
+    }
     val pairs0 = asg.as("a").join(asg.as("b"), "cell")
       .filter(col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))

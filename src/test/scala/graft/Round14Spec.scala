@@ -357,6 +357,43 @@ class Round14Spec extends SparkSpec {
     assert(math.abs(est - 75.0) / 75.0 < 0.1, s"estimate $est vs true 75 distinct")
   }
 
+  test("knnGraphOf hierarchical assignment: routed by centroid count, search recall holds") {
+    import graft.ops.SimOps
+    // deterministic 2000-vector corpus, dim 8; centroids = every 4th id
+    // → 500 centroids, past the 256 brute/hierarchical threshold
+    val corpus = spark.range(2000).selectExpr("id AS vec_id",
+      "transform(sequence(0, 7), j -> cos(id * 0.37 * (j + 1)) + 0.1 * j) AS v")
+    val cents = corpus.filter(col("vec_id") % 4 === 0)
+    val queries = corpus.filter(col("vec_id") < 5)
+    val truth = Graft.knnBrute(corpus, queries, "vec_id", "v", 10)
+      .select(col("q_id"), col("vec_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(): Double = {
+      val edges = SimOps.knnGraphOf(corpus, cents, "vec_id", "v", "vec_id", "v",
+        r = 8, cellProbes = 2, descentRounds = 1).localCheckpoint(eager = true)
+      try {
+        val hits = SimOps.graphAnnOf(corpus, queries, cents, edges, "vec_id", "v",
+            k = 10, beam = 4, hops = 3)
+          .select(col("q_id"), col("vec_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).count(truth)
+        hits / 50.0
+      } finally graft.Checkpoints.free(edges)
+    }
+    val (b0, h0) = (SimOps.graphBruteAsg.get(), SimOps.graphHierAsg.get())
+    val hierRecall = recallOf() // 500 centroids → hierarchical route
+    assert(SimOps.graphHierAsg.get() == h0 + 1 && SimOps.graphBruteAsg.get() == b0,
+      "500 centroids must route the assignment hierarchically")
+    val saved = SimOps.HierAsgThreshold
+    val bruteRecall = try {
+      SimOps.HierAsgThreshold = Int.MaxValue
+      recallOf() // same corpus, forced brute route
+    } finally SimOps.HierAsgThreshold = saved
+    assert(SimOps.graphBruteAsg.get() == b0 + 1,
+      "raising the threshold must route the same build to the brute path")
+    assert(bruteRecall > 0.5, s"brute-assigned graph recall $bruteRecall sanity floor")
+    assert(hierRecall >= bruteRecall - 0.1,
+      s"hierarchical assignment recall $hierRecall must hold against brute $bruteRecall")
+  }
+
   test("streamingIncrementalDedup migrates a legacy FLAT verdict sink into batch_id partitions") {
     implicit val sql = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
