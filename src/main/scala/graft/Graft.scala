@@ -736,6 +736,16 @@ object Graft {
              k: Int, iters: Int): DataFrame =
     ops.SimOps.kmeansOf(vecs, id, vec, dims, k, iters)
 
+  /** IVF index-freshness drift monitor: centroids trained on the
+    * index-time corpus, both the index and the arriving batch
+    * assigned against them map-only, per-cell occupancy PSI +
+    * quantization cost — the when-do-I-retrain gate. PSI > 0.25 or
+    * rising new-side cost ⇒ retrain. See
+    * [[ops.SimOps.indexDriftOf]]. */
+  def indexDrift(index: DataFrame, batch: DataFrame, id: String, vec: String,
+                 dims: Int, k: Int, iters: Int): DataFrame =
+    ops.SimOps.indexDriftOf(index, batch, id, vec, dims, k, iters)
+
   /** PII detection + redaction: emails, phones, IPv4s counted and
     * replaced by placeholders in a fixed order; patterns stay within
     * the Java∩RE2 regex subset. Map-only. */
@@ -925,6 +935,17 @@ object Graft {
   def cusum(df: DataFrame, key: String, ts: String, id: String,
             value: String): DataFrame =
     ops.TimeSeriesOps.cusumOf(df, key, ts, id, value)
+
+  /** Page's ONLINE CUSUM drift detector, batch form: reference μ/σ
+    * frozen on each series' first half, every later row a one-sided
+    * decision-statistic pair with alarm + reset — the causal monitor
+    * [[cusum]]'s offline argmax can't be (it sees the future). Twin
+    * of [[streaming.StreamOps.streamingCusum]], bit-equal given the
+    * same μ/k/h. See [[streaming.StreamOps.pageCusumOf]]. */
+  def pageCusum(df: DataFrame, key: String, ts: String, id: String,
+                value: String, slackSigma: Double = 0.5,
+                hSigma: Double = 4.0): DataFrame =
+    streaming.StreamOps.pageCusumOf(df, key, ts, id, value, slackSigma, hSigma)
 
   /** Hour-of-day seasonal profile per series: per (series, hour 0-23)
     * the count, mean, and hour-mean / series-mean ratio — the diurnal

@@ -739,45 +739,118 @@ ORDER BY q_id, rank"""
     * (their centroid has no rows to average — standard Lloyd's). */
   def kmeansOf(vecs: DataFrame, idCol: String, vecCol: String, dims: Int,
                k: Int, iters: Int): DataFrame = {
-    require(k >= 1 && iters >= 0, s"k >= 1 and iters >= 0 required, got k=$k iters=$iters")
-    val e = vecs.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
+    val trained = kmeansCentroidsOf(vecs, idCol, vecCol, dims, k, iters)
+    kmeansAssignOf(vecs, idCol, vecCol, trained)
+      .select(col("__id").as(idCol), col("__cid").as("cluster"), col("__d2").as("dist2"))
+  }
+
+  private def kmPrep(vecs: DataFrame, idCol: String, vecCol: String): DataFrame =
+    vecs.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
       .withColumn("__v2", expr("graft_dot(__v, __v)"))
-    // Centroids are ALGORITHM STATE, not data: k·dims doubles live on
-    // the driver and ship to executors as literals (the Spark MLlib
-    // k-means shape). Each round is then one map-only corpus scan —
-    // no join, no window — plus a k-row aggregate whose map-side
-    // combine shuffles k·dims partial sums, never the corpus. The
-    // argmin evaluates d2 = ((−2·⟨v,c⟩) + |c|²) + |v|² with the
-    // native sequential-fold dot kernel: |c|² folds on the DRIVER
-    // (same op order as the oracle's seqDot(cv,cv)) and |v|² is one
-    // kernel call per row — ~k× less expression tree than unrolled
-    // (v−c)² and measured ~3× faster end to end.
+
+  // Centroids are ALGORITHM STATE, not data: k·dims doubles live on
+  // the driver and ship to executors as literals (the Spark MLlib
+  // k-means shape). Each round is then one map-only corpus scan —
+  // no join, no window — plus a k-row aggregate whose map-side
+  // combine shuffles k·dims partial sums, never the corpus. The
+  // argmin evaluates d2 = ((−2·⟨v,c⟩) + |c|²) + |v|² with the
+  // native sequential-fold dot kernel: |c|² folds on the DRIVER
+  // (same op order as the oracle's seqDot(cv,cv)) and |v|² is one
+  // kernel call per row — ~k× less expression tree than unrolled
+  // (v−c)² and measured ~3× faster end to end.
+  private def kmBest(cents: Seq[(Any, Seq[Double])]): Column = {
     def sqlArr(cv: Seq[Double]): String =
       cv.map(x => s"${x}D").mkString("array(", ", ", ")")
-    def best(cents: Seq[(Any, Seq[Double])]): Column = {
-      val structs = cents.map { case (cid, cv) =>
-        val c2 = cv.foldLeft(0.0)((s, x) => s + x * x)
-        val d2 = (lit(-2.0) * expr(s"graft_dot(__v, ${sqlArr(cv)})") + lit(c2)) + col("__v2")
-        struct(d2.as("d2"), lit(cid).as("cid"))
-      }
-      // `least` requires >= 2 args; clusters can collapse to one when
-      // every point assigns to a single centroid (duplicate-heavy data)
-      if (structs.sizeIs == 1) structs.head else least(structs: _*)
+    val structs = cents.map { case (cid, cv) =>
+      val c2 = cv.foldLeft(0.0)((s, x) => s + x * x)
+      val d2 = (lit(-2.0) * expr(s"graft_dot(__v, ${sqlArr(cv)})") + lit(c2)) + col("__v2")
+      struct(d2.as("d2"), lit(cid).as("cid"))
     }
-    def assign(cents: Seq[(Any, Seq[Double])]): DataFrame =
-      e.withColumn("__best", best(cents))
-        .select(col("__id"), col("__v"),
-          col("__best.cid").as("__cid"), col("__best.d2").as("__d2"))
-    val init: Seq[(Any, Seq[Double])] = e.orderBy(col("__id")).limit(k).collect()
-      .map(r => (r.get(0), r.getSeq[Double](1))).toSeq
-    val trained = (0 until iters).foldLeft(init) { (cents, _) =>
-      assign(cents)
+    // `least` requires >= 2 args; clusters can collapse to one when
+    // every point assigns to a single centroid (duplicate-heavy data)
+    if (structs.sizeIs == 1) structs.head else least(structs: _*)
+  }
+
+  /** Map-only nearest-centroid assignment against a literal centroid
+    * set: (__id, __v, __cid, __d2) per input vector. */
+  private[graft] def kmeansAssignOf(vecs: DataFrame, idCol: String, vecCol: String,
+                                    cents: Seq[(Any, Seq[Double])]): DataFrame =
+    kmPrep(vecs, idCol, vecCol).withColumn("__best", kmBest(cents))
+      .select(col("__id"), col("__v"),
+        col("__best.cid").as("__cid"), col("__best.d2").as("__d2"))
+
+  /** The Lloyd's training loop alone — the trained centroid table as
+    * driver state (k·dims doubles), for callers that assign OTHER
+    * tables against a frozen index ([[indexDriftOf]]). */
+  private[graft] def kmeansCentroidsOf(vecs: DataFrame, idCol: String, vecCol: String,
+                                       dims: Int, k: Int, iters: Int): Seq[(Any, Seq[Double])] = {
+    require(k >= 1 && iters >= 0, s"k >= 1 and iters >= 0 required, got k=$k iters=$iters")
+    val init: Seq[(Any, Seq[Double])] =
+      kmPrep(vecs, idCol, vecCol).orderBy(col("__id")).limit(k).collect()
+        .map(r => (r.get(0), r.getSeq[Double](1))).toSeq
+    (0 until iters).foldLeft(init) { (cents, _) =>
+      kmeansAssignOf(vecs, idCol, vecCol, cents)
         .groupBy(col("__cid"))
         .agg(array((0 until dims).map(i => r6(avg(col("__v").getItem(i)))): _*).as("__cv"))
         .collect().map(r => (r.get(0), r.getSeq[Double](1))).toSeq
     }
-    assign(trained)
-      .select(col("__id").as(idCol), col("__cid").as("cluster"), col("__d2").as("dist2"))
+  }
+
+  /** IVF index-FRESHNESS drift monitor (public operator behind
+    * [[graft.Graft.indexDrift]]) — the when-do-I-retrain gate every
+    * production vector index needs (FAISS/Milvus re-index policy):
+    * train centroids on the INDEX-TIME corpus only, assign BOTH the
+    * index corpus and the newly-arriving batch against those frozen
+    * centroids (map-only — the s02 scale contract: centroids
+    * broadcast as literals, the corpus never shuffles), then per
+    * cell compare occupancy: counts, add-1-smoothed shares (the
+    * ds19 PSI discipline — deterministic, never an epsilon float),
+    * the per-cell PSI contribution, the total PSI on every row, and
+    * each side's quantization cost (sum of squared distance to the
+    * assigned centroid — rising cost on the new side means the
+    * centroids no longer fit arriving data even where occupancy
+    * holds). PSI > 0.25 or cost growth ⇒ retrain.
+    *
+    * Scale shape: two map-only scans + two ≤k-row aggregates + a
+    * k-row join/window chain — nothing corpus-sized shuffles; at
+    * 100 TB the training pass runs on a sample (the s08 rule) and
+    * everything downstream is unchanged. Determinism: counts are
+    * integers, shares integer-derived, the PSI fold runs in cell
+    * order (q31 rule); cost sums are hash-order doubles pinned by
+    * r4 AT the aggregate boundary (the s04 inertia precedent). */
+  def indexDriftOf(index: DataFrame, batch: DataFrame, idCol: String,
+                   vecCol: String, dims: Int, k: Int, iters: Int): DataFrame = {
+    val cents = kmeansCentroidsOf(index, idCol, vecCol, dims, k, iters)
+    val kCells = cents.size
+    def side(df: DataFrame, n: String, c: String): DataFrame =
+      kmeansAssignOf(df, idCol, vecCol, cents)
+        .groupBy(col("__cid").as("cluster"))
+        .agg(count(lit(1)).as(n), r4(sum(col("__d2"))).as(c))
+    val frame = index.sparkSession
+      .createDataFrame(cents.map(c => Tuple1(c._1.asInstanceOf[Long])))
+      .toDF("cluster")
+    val ordC = Window.orderBy(col("cluster"))
+    val cumC = ordC.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val allC = ordC.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val nIdxT = sum(col("n_index")).over(allC)
+    val nNewT = sum(col("n_new")).over(allC)
+    val p = (col("n_index").cast("double") + 1.0) / (nIdxT.cast("double") + lit(kCells.toDouble))
+    val q = (col("n_new").cast("double") + 1.0) / (nNewT.cast("double") + lit(kCells.toDouble))
+    frame
+      .join(side(index, "n_index", "cost_index"), Seq("cluster"), "left")
+      .join(side(batch, "n_new", "cost_new"), Seq("cluster"), "left")
+      .na.fill(0L, Seq("n_index", "n_new"))
+      .na.fill(0.0, Seq("cost_index", "cost_new"))
+      .withColumn("p_index", p)
+      .withColumn("p_new", q)
+      .withColumn("contrib", (col("p_index") - col("p_new")) * log(col("p_index") / col("p_new")))
+      .withColumn("__cpsi", sum(col("contrib")).over(cumC))
+      .withColumn("psi", last(col("__cpsi")).over(allC))
+      .select(col("cluster").cast("long").as("cluster"),
+        col("n_index").cast("long").as("n_index"),
+        col("n_new").cast("long").as("n_new"),
+        col("p_index"), col("p_new"), col("contrib"), col("psi"),
+        col("cost_index"), col("cost_new"))
   }
 
   /** #26c k-means training AS a query: k=8, 2 Lloyd rounds, per-cluster
@@ -813,6 +886,82 @@ ORDER BY q_id, rank"""
        |SELECT c_id AS cluster, count(*) AS n_points, round(sum(d2), 4) AS inertia
        |FROM af WHERE rn = 1
        |GROUP BY c_id
+       |ORDER BY cluster""".stripMargin
+  }
+
+  /** #26d IVF index-freshness drift AS a query: centroids trained on
+    * the even-vec_id half only (the frozen index), the odd half is
+    * the arriving batch (the ds14/ds19 deterministic two-version
+    * carve), per-cell occupancy PSI + quantization cost both sides
+    * ([[indexDriftOf]]). */
+  private val s25: Q = (s, dir) => {
+    val all = vecs(s, dir)
+    indexDriftOf(all.filter(col("vec_id") % 2 === 0),
+        all.filter(col("vec_id") % 2 === 1), "vec_id", "v",
+        dims = 64, k = 8, iters = 2)
+      .select(col("cluster"), col("n_index"), col("n_new"),
+        r6(col("p_index")).as("p_index"), r6(col("p_new")).as("p_new"),
+        r6(col("contrib")).as("contrib"), r6(col("psi")).as("psi"),
+        col("cost_index"), col("cost_new"))
+      .orderBy("cluster")
+  }
+
+  /** The oracle replays the even-half Lloyd training (the s04 CTE
+    * chain restricted to even vec_ids), assigns BOTH halves against
+    * the trained centroids, and reproduces the add-1-smoothed PSI
+    * fold in cell order plus the r4-pinned cost sums. */
+  private val s25Sql = {
+    def d2(a: String, b: String) =
+      s"(((-2.0 * ${graft.OracleSql.seqDot(a, b, 64)}) + ${graft.OracleSql.seqDot(b, b, 64)}) + ${graft.OracleSql.seqDot(a, a, 64)})"
+    val cvAvg = (1 to 64).map(i => s"floor(avg(v[$i]) * 1000000.0 + 0.5) / 1000000.0")
+      .mkString("list_value(", ", ", ")")
+    def round_(prev: String, out: String) =
+      s"""a$out AS (SELECT vec_id, v, c_id, ${d2("v", "cv")} AS d2,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY ${d2("v", "cv")}, c_id) AS rn
+         |  FROM e CROSS JOIN c$prev),
+         |m$out AS (SELECT vec_id, v, c_id, d2 FROM a$out WHERE rn = 1),
+         |c$out AS (SELECT c_id, $cvAvg AS cv FROM m$out GROUP BY c_id)""".stripMargin
+    def assignCte(src: String, out: String) =
+      s"""$out AS (SELECT vec_id, c_id, ${d2("v", "cv")} AS d2,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY ${d2("v", "cv")}, c_id) AS rn
+         |  FROM $src CROSS JOIN c2)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE vec_id % 2 = 0),
+       |en AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE vec_id % 2 = 1),
+       |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+       |${round_("0", "1")},
+       |${round_("1", "2")},
+       |kc AS (SELECT count(*) AS kcells FROM c2),
+       |${assignCte("e", "ai")},
+       |${assignCte("en", "an")},
+       |gi AS (SELECT c_id, count(*) AS n_index, round(sum(d2), 4) AS cost_index
+       |  FROM ai WHERE rn = 1 GROUP BY c_id),
+       |gn AS (SELECT c_id, count(*) AS n_new, round(sum(d2), 4) AS cost_new
+       |  FROM an WHERE rn = 1 GROUP BY c_id),
+       |j AS (SELECT c2.c_id AS cluster,
+       |    coalesce(gi.n_index, 0) AS n_index, coalesce(gn.n_new, 0) AS n_new,
+       |    coalesce(gi.cost_index, 0.0) AS cost_index,
+       |    coalesce(gn.cost_new, 0.0) AS cost_new
+       |  FROM c2 LEFT JOIN gi ON gi.c_id = c2.c_id
+       |          LEFT JOIN gn ON gn.c_id = c2.c_id),
+       |tt AS (SELECT j.*, kc.kcells,
+       |    sum(n_index) OVER () AS ti, sum(n_new) OVER () AS tn
+       |  FROM j CROSS JOIN kc),
+       |ps AS (SELECT *,
+       |    (CAST(n_index AS DOUBLE) + 1.0) / (CAST(ti AS DOUBLE) + CAST(kcells AS DOUBLE)) AS p_index,
+       |    (CAST(n_new AS DOUBLE) + 1.0) / (CAST(tn AS DOUBLE) + CAST(kcells AS DOUBLE)) AS p_new
+       |  FROM tt),
+       |cb AS (SELECT *, (p_index - p_new) * ln(p_index / p_new) AS contrib FROM ps),
+       |f AS (SELECT *, sum(contrib) OVER (ORDER BY cluster
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cpsi FROM cb)
+       |SELECT cluster, n_index, n_new,
+       |  round(p_index, 6) AS p_index, round(p_new, 6) AS p_new,
+       |  round(contrib, 6) AS contrib,
+       |  round(last_value(cpsi) OVER (ORDER BY cluster
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 6) AS psi,
+       |  cost_index, cost_new
+       |FROM f
        |ORDER BY cluster""".stripMargin
   }
 
@@ -2664,7 +2813,8 @@ ORDER BY q_id, rank"""
     "s20_ann_graph" -> s20,
     "s21_recall_frontier" -> s21,
     "s22_mmr_diversify" -> s22,
-    "s24_rank_eval" -> s24)
+    "s24_rank_eval" -> s24,
+    "s25_index_drift" -> s25)
 
   val oracle: Map[String, String] = Map(
     "s15_range_search" -> s15Sql,
@@ -2692,5 +2842,6 @@ ORDER BY q_id, rank"""
     "s20_ann_graph" -> s20Sql,
     "s21_recall_frontier" -> s21Sql,
     "s22_mmr_diversify" -> s22Sql,
-    "s24_rank_eval" -> s24Sql)
+    "s24_rank_eval" -> s24Sql,
+    "s25_index_drift" -> s25Sql)
 }

@@ -580,6 +580,149 @@ object StreamOps {
       |FROM l
       |ORDER BY series, bucket_ms""".stripMargin
 
+  /** Page's one-sided CUSUM drift detector, batch form (the
+    * [[streamingCusum]] twin — public operator behind
+    * [[graft.Graft.pageCusum]]): per series the FIRST HALF of the
+    * rows (in (`ts`, `tie`) order) is the frozen reference period —
+    * target μ and scale σ come from it and ONLY it, so the detector
+    * is causal (q53's offline CUSUM sees the whole series; a deployed
+    * monitor cannot) — and every later row folds Page's recurrence
+    *   s⁺ = max(0, s⁺ + (x − μ − k)),  s⁻ = max(0, s⁻ + (μ − x − k))
+    * with slack k = `slackSigma`·σ and threshold h = `hSigma`·σ,
+    * alarming when either side exceeds h and resetting both to 0
+    * after an alarm (each alarm opens a fresh decision interval —
+    * the exact [[streamingCusum]] update, same float op order, so
+    * batch == stream BIT-for-bit given the same μ/k/h).
+    *
+    * Exactness: μ/σ from cumulative folds taken at the reference's
+    * last row (the q53/q33 rule — never unordered hash-agg double
+    * sums); the recurrence is an irreducibly sequential segmented
+    * scan (max(0,·) is non-affine — no ParScan form), run as ONE
+    * series-key shuffle streamed in sorted order with O(1) state
+    * (the [[graft.ops.ScanOps]] contract); σ·0.5 and σ·4.0 are
+    * exact (powers of two). Series with n div 2 < 2 reference rows
+    * or zero reference variance emit nothing (no scale to detect
+    * against). Emits one row per MONITORED row: (`key`, ts_ms,
+    * `tie`, value, s_pos, s_neg, alarm) — s_pos/s_neg are the
+    * pre-reset decision statistics, alarm marks the crossing row. */
+  def pageCusumOf(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+                  valueCol: String, slackSigma: Double = 0.5,
+                  hSigma: Double = 4.0): DataFrame = {
+    require(slackSigma >= 0, s"slackSigma must be >= 0, got $slackSigma")
+    require(hSigma > 0, s"hSigma must be > 0, got $hSigma")
+    val s = df.sparkSession
+    import s.implicits._
+    val base = df.select(col(keyCol).cast("string").as("__k"),
+      F.epochMs(col(tsCol)).as("__t"), col(tieCol).cast("long").as("__i"),
+      col(valueCol).cast("double").as("__x"))
+    val wOrd = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__i"))
+    val cum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked = base
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("__k"))))
+      .withColumn("cy", sum(col("__x")).over(cum))
+      .withColumn("cyy", sum(col("__x") * col("__x")).over(cum))
+    val mu = col("cy") / col("rn").cast("double")
+    val stats = marked
+      .filter(col("rn") === expr("n div 2") && col("rn") >= 2)
+      .withColumn("target", mu)
+      .withColumn("__var",
+        col("cyy") / col("rn").cast("double") - col("target") * col("target"))
+      .filter(col("__var") > 0)
+      .withColumn("__sigma", sqrt(col("__var")))
+      .select(col("__k"), col("rn").as("__nref"), col("target"),
+        (col("__sigma") * slackSigma).as("slack"),
+        (col("__sigma") * hSigma).as("h"))
+    marked.join(stats, "__k").filter(col("rn") > col("__nref"))
+      .select(col("__k"), col("__t"), col("__i"), col("__x"),
+        col("target"), col("slack"), col("h"))
+      .as[(String, Long, Long, Double, Double, Double, Double)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("__t").asc, col("__i").asc) { (k, rows) =>
+        var sp = 0.0
+        var sn = 0.0
+        rows.map { case (_, t, i, v, target, slack, h) =>
+          // the exact streamingCusum update, same op order
+          val p = math.max(0.0, sp + (v - target - slack))
+          val ng = math.max(0.0, sn + (target - v - slack))
+          val alarm = p > h || ng > h
+          if (alarm) { sp = 0.0; sn = 0.0 } else { sp = p; sn = ng }
+          (k, t, i, v, p, ng, alarm)
+        }
+      }
+      .toDF(keyCol, "ts_ms", tieCol, "value", "s_pos", "s_neg", "alarm")
+  }
+
+  /** #33k batch-equivalent entry (st11): Page's online CUSUM as a
+    * RUNNING drift monitor over each event series — reference μ/σ
+    * frozen on the first half, every later row a decision statistic
+    * with alarm+reset ([[pageCusumOf]]); the continuous twin
+    * [[streamingCusum]] reproduces every monitored row bit-for-bit
+    * from O(1) per-key state (Round14Spec). */
+  private val st11: Q = (s, dir) =>
+    pageCusumOf(t(s, dir, "events"), "event_type", "ts", "event_id", "value")
+      .select(col("event_type").as("series"), col("ts_ms"), col("event_id"),
+        col("value"), F.r6(col("s_pos")).as("s_pos"),
+        F.r6(col("s_neg")).as("s_neg"), col("alarm"))
+      .orderBy("series", "ts_ms", "event_id")
+
+  /** The oracle replays the recurrence as a per-row prefix fold over
+    * the monitored rows (list_reduce in DOUBLE[5] state: [s⁺ post-
+    * reset, s⁻ post-reset, s⁺ raw, s⁻ raw, x] — the reset couples
+    * the two sides, so one scalar fold per side cannot express it),
+    * with μ/σ from the same cumulative-fold-at-the-reference-last-row
+    * chain as the Spark side. */
+  private val st11Sql =
+    """WITH b AS (
+      |  SELECT event_type, event_id, ts, value,
+      |    row_number() OVER o AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n,
+      |    sum(value) OVER w AS cy,
+      |    sum(value * value) OVER w AS cyy
+      |  FROM events
+      |  WINDOW o AS (PARTITION BY event_type ORDER BY ts, event_id),
+      |    w AS (PARTITION BY event_type ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |st AS (
+      |  SELECT event_type, rn AS nref,
+      |    cy / CAST(rn AS DOUBLE) AS target,
+      |    sqrt(cyy / CAST(rn AS DOUBLE)
+      |      - (cy / CAST(rn AS DOUBLE)) * (cy / CAST(rn AS DOUBLE))) AS sigma
+      |  FROM b
+      |  WHERE rn = n // 2 AND rn >= 2
+      |    AND cyy / CAST(rn AS DOUBLE)
+      |      - (cy / CAST(rn AS DOUBLE)) * (cy / CAST(rn AS DOUBLE)) > 0),
+      |m AS (
+      |  SELECT b.event_type, b.event_id, b.ts, b.value,
+      |    st.target, st.sigma * 0.5 AS slack, st.sigma * 4.0 AS h,
+      |    list(b.value) OVER (PARTITION BY b.event_type ORDER BY b.ts, b.event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre
+      |  FROM b JOIN st ON b.event_type = st.event_type
+      |  WHERE b.rn > st.nref),
+      |f AS (
+      |  SELECT event_type, event_id, ts, value, h,
+      |    list_reduce(
+      |      list_prepend([0.0, 0.0, 0.0, 0.0, 0.0],
+      |        list_transform(pre, v -> [0.0, 0.0, 0.0, 0.0, v])),
+      |      (a, x) -> [
+      |        CASE WHEN greatest(0.0, a[1] + ((x[5] - target) - slack)) > h
+      |               OR greatest(0.0, a[2] + ((target - x[5]) - slack)) > h
+      |          THEN 0.0
+      |          ELSE greatest(0.0, a[1] + ((x[5] - target) - slack)) END,
+      |        CASE WHEN greatest(0.0, a[1] + ((x[5] - target) - slack)) > h
+      |               OR greatest(0.0, a[2] + ((target - x[5]) - slack)) > h
+      |          THEN 0.0
+      |          ELSE greatest(0.0, a[2] + ((target - x[5]) - slack)) END,
+      |        greatest(0.0, a[1] + ((x[5] - target) - slack)),
+      |        greatest(0.0, a[2] + ((target - x[5]) - slack)),
+      |        0.0]) AS fr
+      |  FROM m)
+      |SELECT event_type AS series, epoch_ms(ts) AS ts_ms, event_id, value,
+      |  round(fr[3], 6) AS s_pos, round(fr[4], 6) AS s_neg,
+      |  (fr[3] > h OR fr[4] > h) AS alarm
+      |FROM f
+      |ORDER BY series, ts_ms, event_id""".stripMargin
+
   /** Shared PSI bin assignment (the ds19 grid, verbatim): `bins`
     * equal-width buckets between the REFERENCE lo/hi; out-of-range
     * values clamp to the edge bins; a degenerate hi==lo reference
@@ -864,6 +1007,7 @@ object StreamOps {
     "st10_stream_profile" -> st10,
     "st08_stream_psi" -> st08,
     "st06_stream_adf" -> st06,
+    "st11_stream_cusum" -> st11,
     "st07_stream_sessions" -> st07,
     "st05_stream_quality" -> st05,
     "st01_window_agg" -> st01,
@@ -875,6 +1019,7 @@ object StreamOps {
     "st10_stream_profile" -> st10Sql,
     "st08_stream_psi" -> st08Sql,
     "st06_stream_adf" -> st06Sql,
+    "st11_stream_cusum" -> st11Sql,
     "st07_stream_sessions" -> st07Sql,
     "st05_stream_quality" -> st05Sql,
     "st01_window_agg" -> st01Sql,

@@ -430,4 +430,126 @@ class Round14Spec extends SparkSpec {
       rm(new java.io.File(base))
     }
   }
+
+  // ------------------------------------------------- st11 Page CUSUM
+
+  private def cusumTs(i: Int) = new java.sql.Timestamp(1700000000000L + i * 60000L)
+
+  /** (series, id, value) rows in id order. */
+  private def cusumDf(rows: Seq[(String, Long, Double)]): DataFrame = {
+    import spark.implicits._
+    rows.map { case (k, i, v) => (k, cusumTs(i.toInt), i, v) }
+      .toDF("event_type", "ts", "event_id", "value")
+  }
+
+  test("pageCusumOf: reference μ/σ frozen on the first half, monitored rows " +
+    "bit-equal a first-principles Page fold, alarm row and reset pinned") {
+    // reference half: 9,11,9,11 -> μ=10, σ=1 -> slack 0.5, h 4.0
+    // monitor half: 13,13,13,10 -> s+ = 2.5, 5.0 (ALARM), 2.5, 2.0
+    val df = cusumDf(Seq(("A", 1L, 9.0), ("A", 2L, 11.0), ("A", 3L, 9.0), ("A", 4L, 11.0),
+      ("A", 5L, 13.0), ("A", 6L, 13.0), ("A", 7L, 13.0), ("A", 8L, 10.0)))
+    val got = graft.streaming.StreamOps
+      .pageCusumOf(df, "event_type", "ts", "event_id", "value")
+      .collect().map(r => r.getLong(2) ->
+        ((r.getDouble(4), r.getDouble(5), r.getBoolean(6)))).toMap
+    var (sp, sn) = (0.0, 0.0)
+    val want = Seq((5L, 13.0), (6L, 13.0), (7L, 13.0), (8L, 10.0)).map { case (i, v) =>
+      val p = math.max(0.0, sp + (v - 10.0 - 0.5))
+      val n = math.max(0.0, sn + (10.0 - v - 0.5))
+      val alarm = p > 4.0 || n > 4.0
+      if (alarm) { sp = 0.0; sn = 0.0 } else { sp = p; sn = n }
+      i -> ((p, n, alarm))
+    }.toMap
+    assert(got == want, s"bitwise Page-fold equality: $got vs $want")
+    assert(got(6L)._3 && !got(5L)._3 && !got(7L)._3, "alarm exactly on the second drifted row")
+    assert(got(7L)._1 == 2.5, "post-alarm row restarts from reset state")
+  }
+
+  test("pageCusumOf: zero-variance reference and short series emit nothing; " +
+    "the downward side alarms symmetrically") {
+    val df = cusumDf(Seq(
+      // B: flat reference -> σ=0 -> excluded entirely
+      ("B", 1L, 5.0), ("B", 2L, 5.0), ("B", 3L, 5.0), ("B", 4L, 5.0),
+      ("B", 5L, 50.0), ("B", 6L, 50.0),
+      // C: 3 rows -> n div 2 = 1 < 2 reference rows -> excluded
+      ("C", 1L, 1.0), ("C", 2L, 2.0), ("C", 3L, 9.0),
+      // D: downward drift -> s- alarms
+      ("D", 1L, 9.0), ("D", 2L, 11.0), ("D", 3L, 9.0), ("D", 4L, 11.0),
+      ("D", 5L, 7.0), ("D", 6L, 7.0), ("D", 7L, 10.0), ("D", 8L, 10.0)))
+    val out = graft.streaming.StreamOps
+      .pageCusumOf(df, "event_type", "ts", "event_id", "value")
+    assert(out.filter(col("event_type").isin("B", "C")).count() == 0,
+      "no scale to detect against: zero-variance and too-short series drop")
+    val d = out.filter(col("event_type") === "D").orderBy("ts_ms")
+      .collect().map(r => (r.getDouble(5), r.getBoolean(6)))
+    // s- = 2.5 then 5.0 > 4 -> alarm on the second low row, reset after
+    assert(d.toSeq == Seq((2.5, false), (5.0, true), (0.0, false), (0.0, false)),
+      s"downward side: ${d.toSeq}")
+  }
+
+  test("st11 twin: batch pageCusumOf == streamingCusum BIT-for-bit on the " +
+    "monitored rows given the frozen reference μ/k/h") {
+    import graft.streaming.{BollEvent, CusumOut, StreamOps}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val df = cusumDf(Seq(("A", 1L, 9.0), ("A", 2L, 11.0), ("A", 3L, 9.0), ("A", 4L, 11.0),
+      ("A", 5L, 12.3), ("A", 6L, 11.7), ("A", 7L, 13.4), ("A", 8L, 9.1)))
+    val batch = StreamOps.pageCusumOf(df, "event_type", "ts", "event_id", "value")
+      .collect().map(r => r.getLong(2) ->
+        ((r.getDouble(4), r.getDouble(5), r.getBoolean(6)))).toMap
+    // the deployment shape: the reference period fixes (μ, k, h) offline
+    // (μ=10, σ=1 here) and the stream replays only the monitored rows
+    val monitored = Seq((5L, 12.3), (6L, 11.7), (7L, 13.4), (8L, 9.1))
+      .map { case (i, v) => BollEvent("A", i, cusumTs(i.toInt), v) }
+    val input = MemoryStream[BollEvent]
+    val q = StreamOps.streamingCusum(input.toDS(), target = 10.0, slack = 0.5, h = 4.0)
+      .writeStream.format("memory").queryName("st11_twin_out").outputMode("append").start()
+    try {
+      monitored.grouped(2).foreach { b => input.addData(b.toIndexedSeq); q.processAllAvailable() }
+      val stream = spark.table("st11_twin_out").as[CusumOut].collect()
+        .map(o => o.event_id -> ((o.s_pos, o.s_neg, o.alarm))).toMap
+      assert(stream == batch, s"batch == stream bit-for-bit: $stream vs $batch")
+    } finally q.stop()
+  }
+
+  // ------------------------------------------------ s25 index drift
+
+  private def vecRow(id: Long, v: Seq[Double]): (Long, Seq[Double]) = (id, v)
+
+  test("indexDriftOf: occupancy collapse onto one cell pushes PSI past the " +
+    "0.25 retrain bar; counts and cells exact") {
+    import spark.implicits._
+    val a = Seq(1.0, 0.0, 0.0, 0.0)
+    val b = Seq(0.0, 1.0, 0.0, 0.0)
+    val idx = Seq(0L -> a, 4L -> a, 8L -> a, 12L -> a,
+      2L -> b, 6L -> b, 10L -> b, 14L -> b)
+      .map { case (i, v) => (i, v) }.toDF("vec_id", "v")
+    val newb = Seq(1L, 3L, 5L, 7L).map(i => (i, Seq(0.9, 0.1, 0.0, 0.0)))
+      .toDF("vec_id", "v")
+    val out = graft.ops.SimOps.indexDriftOf(idx, newb, "vec_id", "v",
+      dims = 4, k = 2, iters = 1).orderBy("cluster").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 2L), "cells are the trained centroid ids")
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((4L, 4L), (4L, 0L)),
+      "even occupancy at index time; the whole batch lands in cell 0")
+    val psi = out.head.getDouble(6)
+    assert(psi > 0.25, s"occupancy collapse must cross the retrain bar, got $psi")
+    assert(out.forall(r => r.getDouble(7) >= 0.0 && r.getDouble(8) >= 0.0),
+      "quantization costs are non-negative")
+  }
+
+  test("indexDriftOf: an identically-distributed batch scores PSI exactly 0 " +
+    "(add-1 smoothing, integer-derived shares)") {
+    import spark.implicits._
+    val a = Seq(1.0, 0.0, 0.0, 0.0)
+    val b = Seq(0.0, 1.0, 0.0, 0.0)
+    val idx = Seq(0L -> a, 4L -> a, 2L -> b, 6L -> b).toDF("vec_id", "v")
+    val newb = Seq(1L -> a, 5L -> a, 3L -> b, 7L -> b).toDF("vec_id", "v")
+    val out = graft.ops.SimOps.indexDriftOf(idx, newb, "vec_id", "v",
+      dims = 4, k = 2, iters = 1).collect()
+    assert(out.forall(_.getDouble(6) == 0.0),
+      s"p == q per cell => every contrib and the total PSI are exactly 0")
+    assert(out.forall(r => r.getLong(1) == r.getLong(2)),
+      "mirrored occupancy on both sides")
+  }
 }
