@@ -746,6 +746,15 @@ object Graft {
                  dims: Int, k: Int, iters: Int): DataFrame =
     ops.SimOps.indexDriftOf(index, batch, id, vec, dims, k, iters)
 
+  /** RAKE keyphrase extraction: candidate phrases between stopword
+    * boundaries, word score = degree/frequency over the per-doc
+    * co-occurrence graph, phrase score = Σ word scores, top-k
+    * distinct phrases per doc. Corpus-independent per doc. See
+    * [[ops.TextOps.rakeKeywordsOf]]. */
+  def rakeKeywords(docs: DataFrame, id: String, text: String, k: Int,
+                   stopwords: Seq[String]): DataFrame =
+    ops.TextOps.rakeKeywordsOf(docs, id, text, k, stopwords)
+
   /** PII detection + redaction: emails, phones, IPv4s counted and
     * replaced by placeholders in a fixed order; patterns stay within
     * the Java∩RE2 regex subset. Map-only. */

@@ -293,29 +293,48 @@ object SimOps {
         .filter(col("__rn") <= cellProbes)
         .select(col("vec_id"), col("c_id").as("cell"))
     }
-    val pairs0 = asg.as("a").join(asg.as("b"), "cell")
+    // Candidate pairs are scored INSIDE the per-cell self-join: each
+    // side of the join carries (cell, id, vector) — n·cellProbes rows,
+    // the widest thing this build ever shuffles — and the pair
+    // explosion exists only AFTER the exchange, collapsing straight
+    // through the cosine into narrow (src, dst, cos) rows. The first
+    // shape (generate id pairs, then re-attach both vectors by two id
+    // joins) shuffled ~Σ occ² pair rows WITH a vector column twice —
+    // at the ×100 probe that was a ~50 GB spill that filled the disk;
+    // this shape's vector traffic is corpus-linear at any scale.
+    // A pair sharing both probed cells is scored twice with identical
+    // bits (same vectors), so the distinct collapses it exactly.
+    val withV = asg.join(v, "vec_id")
+    val scored0 = withV.as("a").join(withV.as("b"), "cell")
       .filter(col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        expr("graft_cosine(a.v, b.v)").as("cos"))
       .distinct()
-    def score(cand: DataFrame): DataFrame = cand
-      .join(v.select(col("vec_id").as("src"), col("v").as("sv")), "src")
-      .join(v.select(col("vec_id").as("dst"), col("v").as("dv")), "dst")
-      .withColumn("cos", expr("graft_cosine(sv, dv)"))
-      .select(col("src"), col("dst"), col("cos"))
     val wTop = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
     def topR(scored: DataFrame): DataFrame = scored
       .withColumn("__rn", row_number().over(wTop))
       .filter(col("__rn") <= r).drop("__rn")
-    var cand = pairs0
-    var edges = topR(score(cand))
+    // Descent rounds score only the FRESH neighbor-of-neighbor pairs
+    // (anti-joined against everything already scored — the old shape
+    // re-scored the ENTIRE candidate set every round): the vector
+    // attach runs over ≤ n·r² new rows, never the cell pairs again.
+    def scoreFresh(cand: DataFrame): DataFrame = cand
+      .join(v.select(col("vec_id").as("src"), col("v").as("sv")), "src")
+      .join(v.select(col("vec_id").as("dst"), col("v").as("dv")), "dst")
+      .withColumn("cos", expr("graft_cosine(sv, dv)"))
+      .select(col("src"), col("dst"), col("cos"))
+    var scored = scored0
+    var edges = topR(scored)
     var round = 0
     while (round < descentRounds) {
       val non = edges.select(col("src"), col("dst").as("mid"))
         .join(edges.select(col("src").as("mid"), col("dst")), "mid")
         .filter(col("src") =!= col("dst"))
         .select(col("src"), col("dst"))
-      cand = cand.union(non).distinct()
-      edges = topR(score(cand))
+        .distinct()
+        .join(scored.select(col("src"), col("dst")), Seq("src", "dst"), "left_anti")
+      scored = scored.union(scoreFresh(non))
+      edges = topR(scored)
       round += 1
     }
     edges

@@ -565,6 +565,124 @@ object TextOps {
       |FROM r WHERE rnk <= 5
       |ORDER BY doc_id, rnk""".stripMargin
 
+  /** RAKE keyword extraction (public operator behind
+    * [[graft.Graft.rakeKeywords]]; Rose et al. 2010, "Automatic
+    * Keyword Extraction from Individual Documents") — the keyPHRASE
+    * complement to t09's single-term TF-IDF: candidate phrases are
+    * the maximal runs of content words between stopword/non-word
+    * delimiters, each word scores degree/frequency over the doc's
+    * phrase co-occurrence graph (degree = Σ length of the phrases it
+    * appears in — words that travel in long phrases outrank loners),
+    * a phrase scores the sum of its word scores, and the top-k
+    * distinct phrases per doc win. Corpus-independent per doc — the
+    * d14-style "no global model" property that makes it a map-ish
+    * pipeline: tokenize → cumulative stopword-boundary grouping (one
+    * (doc, pos) window) → two integer aggregates ((doc, phrase) and
+    * (doc, word)) → one join back.
+    *
+    * Determinism: freq/degree are INTEGERS, a word's score is one
+    * long/long division at the boundary, and the phrase score folds
+    * word scores in POSITION order via a cumulative window (the q33
+    * rule) — bit-stable at any parallelism; rank ties break by the
+    * phrase string. Duplicate phrase occurrences score identically
+    * (same words ⇒ same fold), collapsed with an occurrence count.
+    * Scale: token-sized rows collapse at the first combines; nothing
+    * wider than (doc, phrase) ever shuffles. */
+  def rakeKeywordsOf(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int, stopwords: Seq[String]): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(stopwords.nonEmpty, "stopwords must be non-empty (no phrase boundaries otherwise)")
+    val tok = docs
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("__ws"))
+      .filter(size(col("__ws")) > 0)
+      .selectExpr("doc_id", "posexplode(__ws) as (pos, w)")
+      .withColumn("is_stop", col("w").isInCollection(stopwords))
+    val wPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cw = tok
+      .withColumn("grp", sum(col("is_stop").cast("long")).over(wPos))
+      .filter(!col("is_stop"))
+      .select(col("doc_id"), col("grp"), col("pos"), col("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ph = cw.groupBy(col("doc_id"), col("grp"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("w")))).as("__pw"))
+      .withColumn("phrase", array_join(expr("transform(__pw, x -> x.w)"), " "))
+      .withColumn("len", size(col("__pw")).cast("long"))
+      .select(col("doc_id"), col("grp"), col("phrase"), col("len"))
+    val wsc = cw.join(ph.select(col("doc_id"), col("grp"), col("len")), Seq("doc_id", "grp"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("len")).as("degree"))
+      .withColumn("wscore", col("degree").cast("double") / col("freq").cast("double"))
+      .select(col("doc_id"), col("w"), col("wscore"))
+    val wGrp = Window.partitionBy(col("doc_id"), col("grp")).orderBy(col("pos"))
+    val cumG = wGrp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = cw.join(wsc, Seq("doc_id", "w"))
+      .withColumn("rn", row_number().over(wGrp))
+      .withColumn("nw", count(lit(1)).over(Window.partitionBy(col("doc_id"), col("grp"))))
+      .withColumn("cscore", sum(col("wscore")).over(cumG))
+      .filter(col("rn") === col("nw"))
+      .select(col("doc_id"), col("grp"), col("cscore"))
+      .join(ph, Seq("doc_id", "grp"))
+    val rank = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("phrase"))
+    scored
+      .groupBy(col("doc_id"), col("phrase"), col("len"))
+      .agg(max(col("cscore")).as("score"), count(lit(1)).as("n_occurrences"))
+      .withColumn("rank", row_number().over(rank).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("phrase"),
+        col("len").as("n_words"), col("n_occurrences"), col("score"))
+  }
+
+  /** #27j RAKE top-3 keyphrases per document, boundaries on the t01
+    * English stopword list. */
+  private val t25: Q = (s, dir) =>
+    rakeKeywordsOf(t(s, dir, "documents"), "doc_id", "text", 3, stop("en"))
+      .withColumn("score", r6(col("score")))
+      .orderBy("doc_id", "rank")
+
+  private val t25Sql =
+    s"""WITH w AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+       |  FROM documents),
+       |tk AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)),
+       |    i -> struct_pack(pos := i, w := ws[i]))) AS u
+       |  FROM w WHERE len(ws) > 0),
+       |tok AS (SELECT doc_id, u.pos AS pos, u.w AS w,
+       |    u.w IN (${inList(stop("en"))}) AS is_stop FROM tk),
+       |g AS (SELECT doc_id, pos, w, is_stop,
+       |    sum(CASE WHEN is_stop THEN 1 ELSE 0 END) OVER (
+       |      PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+       |  FROM tok),
+       |cw AS (SELECT doc_id, grp, pos, w FROM g WHERE NOT is_stop),
+       |ph AS (SELECT doc_id, grp, string_agg(w, ' ' ORDER BY pos) AS phrase,
+       |    count(*) AS len
+       |  FROM cw GROUP BY doc_id, grp),
+       |wsc AS (SELECT cw.doc_id, cw.w,
+       |    CAST(sum(ph.len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS wscore
+       |  FROM cw JOIN ph USING (doc_id, grp) GROUP BY cw.doc_id, cw.w),
+       |psc AS (SELECT cw.doc_id, cw.grp,
+       |    row_number() OVER po AS rn, count(*) OVER (PARTITION BY cw.doc_id, cw.grp) AS nw,
+       |    sum(wsc.wscore) OVER (PARTITION BY cw.doc_id, cw.grp ORDER BY cw.pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cscore
+       |  FROM cw JOIN wsc ON wsc.doc_id = cw.doc_id AND wsc.w = cw.w
+       |  WINDOW po AS (PARTITION BY cw.doc_id, cw.grp ORDER BY cw.pos)),
+       |fin AS (SELECT psc.doc_id, ph.phrase, ph.len, psc.cscore
+       |  FROM psc JOIN ph ON ph.doc_id = psc.doc_id AND ph.grp = psc.grp
+       |  WHERE psc.rn = psc.nw),
+       |ded AS (SELECT doc_id, phrase, len, max(cscore) AS score,
+       |    count(*) AS n_occurrences
+       |  FROM fin GROUP BY doc_id, phrase, len),
+       |rk AS (SELECT *, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY score DESC, phrase) AS rank FROM ded)
+       |SELECT doc_id, CAST(rank AS BIGINT) AS rank, phrase,
+       |  CAST(len AS BIGINT) AS n_words, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+       |  round(score, 6) AS score
+       |FROM rk WHERE rank <= 3
+       |ORDER BY doc_id, rank""".stripMargin
+
   /** MOSS-style fingerprint-overlap near-dup pairs (public operator
     * behind [[graft.Graft.winnowPairs]]) — what the t04 fingerprints
     * exist FOR: two docs are near-dups when they share ≥ `minOverlap`
@@ -1426,6 +1544,7 @@ object TextOps {
     "t08_bigram_lm" -> t08,
     "t23_ppl_buckets" -> t23,
     "t09_tfidf" -> t09,
+    "t25_rake" -> t25,
     "t01_lang_id" -> t01,
     "t02_quality_score" -> t02,
     "t03_token_count" -> t03,
@@ -1446,6 +1565,7 @@ object TextOps {
     "t08_bigram_lm" -> t08Sql,
     "t23_ppl_buckets" -> t23Sql,
     "t09_tfidf" -> t09Sql,
+    "t25_rake" -> t25Sql,
     "t24_gopher_rules" -> t24Sql,
     "t01_lang_id" -> t01Sql,
     "t02_quality_score" -> t02Sql,

@@ -538,6 +538,27 @@ class Round14Spec extends SparkSpec {
       "quantization costs are non-negative")
   }
 
+  // ------------------------------------------------------ t25 RAKE
+
+  test("rakeKeywordsOf: closed-form degree/freq scores on a planted doc; " +
+    "duplicate phrases collapse with an occurrence count") {
+    import spark.implicits._
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is")
+    val docs = Seq(
+      (1L, "deep learning and deep learning models of fast inference"),
+      (2L, "fast inference of fast inference")).toDF("doc_id", "text")
+    val out = graft.Graft.rakeKeywords(docs, "doc_id", "text", 3, stops)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // doc 1: deep/learning 2.5 each, models 3.0, fast/inference 2.0 each
+    assert(out((1L, 1L)) == (("deep learning models", 3L, 1L, 8.0)))
+    assert(out((1L, 2L)) == (("deep learning", 2L, 1L, 5.0)))
+    assert(out((1L, 3L)) == (("fast inference", 2L, 1L, 4.0)))
+    // doc 2: the same phrase twice -> ONE row, n_occurrences 2
+    assert(out((2L, 1L)) == (("fast inference", 2L, 2L, 4.0)))
+    assert(!out.contains((2L, 2L)), "duplicate occurrences must collapse")
+  }
+
   test("indexDriftOf: an identically-distributed batch scores PSI exactly 0 " +
     "(add-1 smoothing, integer-derived shares)") {
     import spark.implicits._
