@@ -746,6 +746,16 @@ object Graft {
                  dims: Int, k: Int, iters: Int): DataFrame =
     ops.SimOps.indexDriftOf(index, batch, id, vec, dims, k, iters)
 
+  /** HLL set-operation algebra over sketch state: per key group the
+    * two sides' cardinality estimates, the union via the register-max
+    * merge law, the intersection by inclusion–exclusion, and the
+    * Jaccard estimate — version/audience overlap from kilobytes of
+    * state, never a distinct-join over raw history. See
+    * [[ops.DataOps.sketchOverlapOf]]. */
+  def sketchOverlap(a: DataFrame, b: DataFrame, keys: Seq[String],
+                    value: String, p: Int = 12): DataFrame =
+    ops.DataOps.sketchOverlapOf(a, b, keys, value, p)
+
   /** RAKE keyphrase extraction: candidate phrases between stopword
     * boundaries, word score = degree/frequency over the per-doc
     * co-occurrence graph, phrase score = Σ word scores, top-k

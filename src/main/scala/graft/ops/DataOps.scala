@@ -1292,7 +1292,125 @@ object DataOps {
        |ORDER BY ex.event_type""".stripMargin
   }
 
+  /** HLL SET-OPERATION algebra over sketch STATE (public operator
+    * behind [[graft.Graft.sketchOverlap]]) — what mergeable state is
+    * FOR beyond totals: with only the two versions' register tables
+    * (the a09 SketchStore shape — never the raw rows), estimate each
+    * side's cardinality, the UNION via the exact merge law
+    * (register-wise max — merge(state(A), state(B)) == state(A∪B),
+    * spec-pinned in a09), and the INTERSECTION by inclusion–exclusion
+    * est_a + est_b − est_union, plus the Jaccard estimate — the
+    * version-overlap / audience-overlap question a 100 TB lake
+    * answers from kilobytes of state instead of a distinct-join over
+    * raw history. Deterministic: the estimate chain is [[graft.sinks
+    * .SketchStore.hllEstimate]]'s rho-ordered fold; the algebra is
+    * three IEEE ops on identical inputs. Inclusion–exclusion noise is
+    * the known caveat (the error is relative to the UNION, so small
+    * true overlaps drown — report next to exact in the gate). */
+  def sketchOverlapOf(a: DataFrame, b: DataFrame, keys: Seq[String],
+                      valueCol: String, p: Int = 12): DataFrame = {
+    import graft.sinks.SketchStore
+    val kc = keys.map(col)
+    def est(df: DataFrame, name: String): DataFrame =
+      SketchStore.hllEstimate(SketchStore.hllState(df, keys, valueCol, p), keys, p)
+        .withColumnRenamed("est", name)
+    val merged = SketchStore.hllState(a, keys, valueCol, p)
+      .unionByName(SketchStore.hllState(b, keys, valueCol, p))
+      .groupBy((kc :+ col("reg")): _*)
+      .agg(max(col("rho")).as("rho"))
+    est(a, "est_a")
+      .join(est(b, "est_b"), keys)
+      .join(SketchStore.hllEstimate(merged, keys, p)
+        .withColumnRenamed("est", "est_union"), keys)
+      .withColumn("est_overlap", col("est_a") + col("est_b") - col("est_union"))
+      .withColumn("jaccard_est",
+        when(col("est_union") > 0, col("est_overlap") / col("est_union")))
+  }
+
+  /** #19y the a09 state made to answer SET questions: user-set overlap
+    * between the even-day and odd-day version of each event series,
+    * estimated purely from HLL register state, with the exact answers
+    * alongside so the realized inclusion–exclusion error is measured,
+    * not assumed. */
+  private val a10: Q = (s, dir) => {
+    val ev = t(s, dir, "events").select(col("event_type"), col("user_id"),
+      (dayofmonth(col("ts")) % 2).as("__side"))
+    val a = ev.filter(col("__side") === 0)
+    val b = ev.filter(col("__side") === 1)
+    val da = a.select(col("event_type"), col("user_id")).distinct()
+    val db = b.select(col("event_type"), col("user_id")).distinct()
+    val exA = da.groupBy("event_type").agg(count(lit(1)).as("exact_a"))
+    val exB = db.groupBy("event_type").agg(count(lit(1)).as("exact_b"))
+    val exO = da.join(db, Seq("event_type", "user_id"))
+      .groupBy("event_type").agg(count(lit(1)).as("exact_overlap"))
+    exA.join(exB, "event_type").join(exO, "event_type")
+      .join(sketchOverlapOf(a, b, Seq("event_type"), "user_id"), "event_type")
+      .select(col("event_type"), col("exact_a"), col("exact_b"),
+        col("exact_overlap"),
+        r4(col("est_a")).as("est_a"), r4(col("est_b")).as("est_b"),
+        r4(col("est_union")).as("est_union"),
+        r4(col("est_overlap")).as("est_overlap"),
+        when(col("exact_overlap") > 0,
+          r6(abs(col("est_overlap") - col("exact_overlap"))
+            / col("exact_overlap").cast("double"))).as("rel_err"))
+      .orderBy("event_type")
+  }
+
+  private val a10Sql = {
+    val m = 4096L
+    val alphaM2 = 0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
+    // the a09 relational-HLL estimate chain, parameterized by source CTE
+    def chain(src: String, sfx: String, alias: String) =
+      s"""h$sfx AS (SELECT event_type,
+         |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |  FROM $src),
+         |regs$sfx AS (SELECT event_type, h % $m AS reg,
+         |    max(CASE WHEN h // $m > 0 THEN 49 - length(bin(h // $m)) ELSE 49 END) AS rho
+         |  FROM h$sfx GROUP BY 1, 2),
+         |rh$sfx AS (SELECT event_type, rho, count(*) AS c FROM regs$sfx GROUP BY 1, 2),
+         |fold$sfx AS (SELECT event_type,
+         |    sum(CAST(c AS DOUBLE) * pow(2.0, -CAST(rho AS DOUBLE))) OVER o AS s,
+         |    sum(c) OVER (PARTITION BY event_type) AS present,
+         |    lead(rho, 1) OVER po IS NULL AS is_last
+         |  FROM rh$sfx
+         |  WINDOW po AS (PARTITION BY event_type ORDER BY rho),
+         |    o AS (PARTITION BY event_type ORDER BY rho
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |est$sfx AS (SELECT event_type,
+         |    CASE WHEN $alphaM2 / (CAST($m - present AS DOUBLE) + s) <= ${2.5 * 4096} AND present < $m
+         |      THEN 4096.0 * ln(4096.0 / CAST($m - present AS DOUBLE))
+         |      ELSE $alphaM2 / (CAST($m - present AS DOUBLE) + s) END AS $alias
+         |  FROM fold$sfx WHERE is_last)""".stripMargin
+    s"""WITH ea AS (SELECT event_type, user_id FROM events WHERE date_part('day', ts) % 2 = 0),
+       |eb AS (SELECT event_type, user_id FROM events WHERE date_part('day', ts) % 2 = 1),
+       |${chain("ea", "a", "est_a")},
+       |${chain("eb", "b", "est_b")},
+       |${chain("events", "u", "est_union")},
+       |da AS (SELECT DISTINCT event_type, user_id FROM ea),
+       |db AS (SELECT DISTINCT event_type, user_id FROM eb),
+       |exa AS (SELECT event_type, count(*) AS exact_a FROM da GROUP BY 1),
+       |exb AS (SELECT event_type, count(*) AS exact_b FROM db GROUP BY 1),
+       |exo AS (SELECT da.event_type, count(*) AS exact_overlap
+       |  FROM da JOIN db ON da.event_type = db.event_type AND da.user_id = db.user_id
+       |  GROUP BY 1)
+       |SELECT exa.event_type, exact_a, exact_b, exact_overlap,
+       |  round(est_a, 4) AS est_a, round(est_b, 4) AS est_b,
+       |  round(est_union, 4) AS est_union,
+       |  round(est_a + est_b - est_union, 4) AS est_overlap,
+       |  CASE WHEN exact_overlap > 0
+       |    THEN round(abs((est_a + est_b - est_union) - exact_overlap)
+       |      / CAST(exact_overlap AS DOUBLE), 6) END AS rel_err
+       |FROM exa
+       |  JOIN exb ON exa.event_type = exb.event_type
+       |  JOIN exo ON exa.event_type = exo.event_type
+       |  JOIN esta ON exa.event_type = esta.event_type
+       |  JOIN estb ON exa.event_type = estb.event_type
+       |  JOIN estu ON exa.event_type = estu.event_type
+       |ORDER BY exa.event_type""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "a10_sketch_overlap" -> a10,
     "a09_sketch_store" -> a09,
     "p06_export_pipeline" -> p06,
     "ds23_kfold" -> ds23,
@@ -1316,6 +1434,7 @@ object DataOps {
     "ds05_bigram_stats" -> ds05)
 
   val oracle: Map[String, String] = Map(
+    "a10_sketch_overlap" -> a10Sql,
     "a09_sketch_store" -> a09Sql,
     "p06_export_pipeline" -> p06Sql,
     "ds21_bootstrap_ci" -> ds21Sql,

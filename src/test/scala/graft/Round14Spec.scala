@@ -538,6 +538,42 @@ class Round14Spec extends SparkSpec {
       "quantization costs are non-negative")
   }
 
+  // --------------------------------------------- a10 sketch overlap
+
+  test("sketchOverlapOf: inclusion-exclusion identity holds exactly, the " +
+    "union rides the merge law, and a planted 50% overlap lands within 5%") {
+    import spark.implicits._
+    // A = users 0..999, B = users 500..1499 -> |A∩B| = 500, |A∪B| = 1500
+    val a = (0L until 1000L).map(u => ("g", u)).toDF("grp", "user_id")
+    val b = (500L until 1500L).map(u => ("g", u)).toDF("grp", "user_id")
+    val out = graft.Graft.sketchOverlap(a, b, Seq("grp"), "user_id").collect()
+    assert(out.length == 1)
+    val r = out.head
+    val (estA, estB, estU, estO) =
+      (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(estO == estA + estB - estU, "inclusion-exclusion is an arithmetic identity")
+    assert(math.abs(estA - 1000.0) / 1000.0 < 0.05, s"side A realized error: $estA")
+    assert(math.abs(estU - 1500.0) / 1500.0 < 0.05, s"union realized error: $estU")
+    assert(math.abs(estO - 500.0) / 500.0 < 0.15,
+      s"overlap carries all three estimates' noise — 15% bar at 500/1500: $estO")
+    // the union estimate must equal the sketch of A∪B computed directly
+    // (the a09 merge law carried through the estimate — EXACT equality)
+    val direct = graft.sinks.SketchStore.hllEstimate(
+      graft.sinks.SketchStore.hllState(a.union(b), Seq("grp"), "user_id"), Seq("grp"))
+      .collect().head.getDouble(1)
+    assert(estU == direct, "merge-law equality through the estimate chain")
+  }
+
+  test("sketchOverlapOf: disjoint sides estimate a near-zero overlap") {
+    import spark.implicits._
+    val a = (0L until 800L).map(u => ("g", u)).toDF("grp", "user_id")
+    val b = (10000L until 10800L).map(u => ("g", u)).toDF("grp", "user_id")
+    val r = graft.Graft.sketchOverlap(a, b, Seq("grp"), "user_id").collect().head
+    val (estU, estO) = (r.getDouble(3), r.getDouble(4))
+    assert(math.abs(estO) / estU < 0.05,
+      s"disjoint: overlap estimate must vanish relative to the union, got $estO / $estU")
+  }
+
   // ------------------------------------------------------ t25 RAKE
 
   test("rakeKeywordsOf: closed-form degree/freq scores on a planted doc; " +
