@@ -746,6 +746,15 @@ object Graft {
                  dims: Int, k: Int, iters: Int): DataFrame =
     ops.SimOps.indexDriftOf(index, batch, id, vec, dims, k, iters)
 
+  /** PCM-8 voice-activity segmentation profile: amplitude-threshold
+    * run-length structure per payload — run counts, active mass,
+    * longest burst/silence, trim offsets, active ratio. The
+    * trim-before-transcribe step. See
+    * [[ops.MultiOps.vadProfileOf]]. */
+  def vadProfile(df: DataFrame, id: String, payload: String,
+                 threshold: Int = 16): DataFrame =
+    ops.MultiOps.vadProfileOf(df, id, payload, threshold)
+
   /** HLL set-operation algebra over sketch state: per key group the
     * two sides' cardinality estimates, the union via the register-max
     * merge law, the intersection by inclusion–exclusion, and the

@@ -556,6 +556,105 @@ object MultiOps {
       |FROM st JOIN rl ON st.doc_id = rl.doc_id JOIN cl ON st.doc_id = cl.doc_id
       |ORDER BY st.doc_id""".stripMargin
 
+  /** PCM-8 voice-activity segmentation profile (public operator behind
+    * [[graft.Graft.vadProfile]]) — the trim-before-transcribe step
+    * every audio ingest runs (m10 says whether a signal is HEALTHY;
+    * m13 says where the CONTENT is): a byte is ACTIVE when its
+    * amplitude deviation |bv − 128| ≥ `threshold`, consecutive
+    * same-state bytes form runs (the m10 island chain: lag-change
+    * flag + cumulative run id), and the per-payload profile reports
+    * the run structure — run/active-run counts, active byte mass,
+    * longest active burst and longest silence, the TRIM offsets
+    * (first/last active byte — what a cutter would keep), and the
+    * active ratio. All-silent payloads keep null trims (nothing to
+    * keep) and zero longest_active.
+    *
+    * Determinism: everything is integer counts over a total
+    * (payload, pos) order; the one float is the final ratio division.
+    * Scale: the byte explode collapses at the first combine (m08
+    * rule) and the run chain is one payload-key window pass —
+    * payloads never shuffle as bytes twice. */
+  def vadProfileOf(df: DataFrame, idCol: String, payloadCol: String,
+                   threshold: Int = 16): DataFrame = {
+    require(threshold >= 1 && threshold <= 128,
+      s"threshold must be in [1, 128], got $threshold")
+    import org.apache.spark.sql.expressions.Window
+    val po = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val cum = po.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val b = df.select(col(idCol),
+        posexplode(expr(s"regexp_extract_all(hex($payloadCol), '..', 0)"))
+          .as(Seq("pos", "hexb")))
+      .withColumn("bv", conv(col("hexb"), 16, 10).cast("long"))
+      .withColumn("act", (abs(col("bv") - 128) >= threshold).cast("long"))
+      .withColumn("__new", (col("act") =!= lag(col("act"), 1, -1L).over(po)).cast("long"))
+      .withColumn("__run", sum(col("__new")).over(cum))
+    val runs = b.groupBy(col(idCol), col("__run"))
+      .agg(max(col("act")).as("act"), count(lit(1)).as("len"),
+        min(col("pos")).as("start"), max(col("pos")).as("end"))
+    runs.groupBy(col(idCol))
+      .agg(sum(col("len")).as("n_bytes"),
+        count(lit(1)).as("n_runs"),
+        sum(col("act")).as("n_active_runs"),
+        sum(col("act") * col("len")).as("active_bytes"),
+        coalesce(max(when(col("act") === 1, col("len"))), lit(0L)).as("longest_active"),
+        coalesce(max(when(col("act") === 0, col("len"))), lit(0L)).as("longest_silence"),
+        min(when(col("act") === 1, col("start"))).cast("long").as("trim_start"),
+        max(when(col("act") === 1, col("end"))).cast("long").as("trim_end"))
+      .withColumn("active_ratio",
+        col("active_bytes").cast("double") / col("n_bytes").cast("double"))
+  }
+
+  /** #m13 the VAD trim profile over the documents payloads (PCM-8
+    * amplitude reading of the same bytes m10 QCs). */
+  private val m13: Q = (s, dir) =>
+    vadProfileOf(
+      t(s, dir, "documents").withColumn("payload", col("text").cast("binary")),
+      "doc_id", "payload")
+      .select(col("doc_id"), col("n_bytes"), col("n_runs"), col("n_active_runs"),
+        col("active_bytes"), col("longest_active"), col("longest_silence"),
+        col("trim_start").cast("long").as("trim_start"),
+        col("trim_end").cast("long").as("trim_end"),
+        r6(col("active_ratio")).as("active_ratio"))
+      .orderBy("doc_id")
+
+  private val m13Sql =
+    """WITH b AS (
+      |  SELECT doc_id, i AS pos,
+      |    (strpos('0123456789ABCDEF', substr(hexs, CAST(i * 2 + 1 AS INTEGER), 1)) - 1) * 16
+      |    + strpos('0123456789ABCDEF', substr(hexs, CAST(i * 2 + 2 AS INTEGER), 1)) - 1 AS bv
+      |  FROM (SELECT doc_id, hex(encode(text)) AS hexs FROM documents),
+      |    LATERAL (SELECT unnest(generate_series(0, length(hexs) // 2 - 1)) AS i)),
+      |a AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN abs(bv - 128) >= 16 THEN 1 ELSE 0 END AS act
+      |  FROM b),
+      |r AS (
+      |  SELECT doc_id, pos, act,
+      |    CASE WHEN act = lag(act, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+      |      THEN 0 ELSE 1 END AS new_r
+      |  FROM a),
+      |ri AS (
+      |  SELECT doc_id, pos, act,
+      |    sum(new_r) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+      |  FROM r),
+      |runs AS (
+      |  SELECT doc_id, run_id, max(act) AS act, count(*) AS len,
+      |    min(pos) AS rstart, max(pos) AS rend
+      |  FROM ri GROUP BY 1, 2)
+      |SELECT doc_id,
+      |  CAST(sum(len) AS BIGINT) AS n_bytes,
+      |  CAST(count(*) AS BIGINT) AS n_runs,
+      |  CAST(sum(act) AS BIGINT) AS n_active_runs,
+      |  CAST(sum(act * len) AS BIGINT) AS active_bytes,
+      |  CAST(coalesce(max(CASE WHEN act = 1 THEN len END), 0) AS BIGINT) AS longest_active,
+      |  CAST(coalesce(max(CASE WHEN act = 0 THEN len END), 0) AS BIGINT) AS longest_silence,
+      |  CAST(min(CASE WHEN act = 1 THEN rstart END) AS BIGINT) AS trim_start,
+      |  CAST(max(CASE WHEN act = 1 THEN rend END) AS BIGINT) AS trim_end,
+      |  round(CAST(sum(act * len) AS DOUBLE) / CAST(sum(len) AS DOUBLE), 6) AS active_ratio
+      |FROM runs GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** Distinct sampled-keyframe signatures per payload (the m03 seek
     * rule: every `every`-th fixed-offset frame, 32 bytes as 64 hex
     * chars, md5-derived 60-bit sig) — the per-video evidence set
@@ -858,6 +957,7 @@ object MultiOps {
 
   val queries: Map[String, Q] = Map(
     "m12_crossmodal_retrieval" -> m12,
+    "m13_vad_segments" -> m13,
     "p07_media_pipeline" -> p07,
     "m11_keyframe_dedup" -> m11,
     "m10_signal_quality" -> m10,
@@ -874,6 +974,7 @@ object MultiOps {
   /** m02 is intentionally absent: mapPartitions output is rows-only. */
   val oracle: Map[String, String] = Map(
     "m12_crossmodal_retrieval" -> m12Sql,
+    "m13_vad_segments" -> m13Sql,
     "p07_media_pipeline" -> p07Sql,
     "m11_keyframe_dedup" -> m11Sql,
     "m10_signal_quality" -> m10Sql,

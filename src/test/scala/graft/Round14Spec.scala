@@ -538,6 +538,30 @@ class Round14Spec extends SparkSpec {
       "quantization costs are non-negative")
   }
 
+  // ------------------------------------------------------- m13 VAD
+
+  test("vadProfileOf: closed-form run structure on a planted PCM-8 payload; " +
+    "all-silent payloads keep null trims") {
+    import spark.implicits._
+    // bytes: 128,128,128 (silent x3) | 200,200 (active x2) | 128,128
+    // (silent x2) | 50 (active x1)  -> 4 runs, trim [3, 7], ratio 3/8
+    val planted = Array[Byte](0x80.toByte, 0x80.toByte, 0x80.toByte,
+      200.toByte, 200.toByte, 0x80.toByte, 0x80.toByte, 50.toByte)
+    val quiet = Array[Byte](0x80.toByte, 0x81.toByte, 0x7F.toByte)
+    val df = Seq((1L, planted), (2L, quiet)).toDF("doc_id", "payload")
+    val out = graft.Graft.vadProfile(df, "doc_id", "payload").orderBy("doc_id")
+      .collect()
+    val p = out(0)
+    assert((p.getLong(1), p.getLong(2), p.getLong(3), p.getLong(4)) == ((8L, 4L, 2L, 3L)),
+      s"n_bytes/n_runs/n_active_runs/active_bytes: $p")
+    assert((p.getLong(5), p.getLong(6)) == ((2L, 3L)), "longest active burst 2, silence 3")
+    assert((p.getLong(7), p.getLong(8)) == ((3L, 7L)), "trim keeps bytes [3, 7]")
+    assert(p.getDouble(9) == 3.0 / 8.0, "active ratio is the exact rational")
+    val q = out(1)
+    assert(q.getLong(3) == 0L && q.isNullAt(7) && q.isNullAt(8) && q.getLong(5) == 0L,
+      s"all-silent: zero active runs, null trims, zero longest_active: $q")
+  }
+
   // --------------------------------------------- a10 sketch overlap
 
   test("sketchOverlapOf: inclusion-exclusion identity holds exactly, the " +
