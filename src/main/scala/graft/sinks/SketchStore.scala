@@ -101,6 +101,34 @@ object SketchStore {
       .groupBy((keys.map(col) :+ col("bucket")): _*)
       .agg(sum(col("cnt")).as("cnt"))
 
+  /** Per-landing count-min-sketch counter state over a tokenized text
+    * column: (r, b, cnt) with the a04 md5-derived buckets
+    * ([[graft.ops.DataOps.cmsHeavyHittersOf]]'s exact formula, so a
+    * landed state IS that sketch's state). Counter sums are
+    * associative, commutative and linear in the input multiset, so
+    * merge(state(A), state(B)) == state(A ⊎ B) EXACTLY (cell-wise
+    * add) — the frequency sibling of [[mergedHll]]'s register max. */
+  def cmsState(df: DataFrame, textCol: String, rows: Int = 4,
+               width: Int = 1024): DataFrame = {
+    require(rows >= 1 && width >= 2,
+      s"rows >= 1 and width >= 2 required, got rows=$rows width=$width")
+    df.select(explode(graft.F.words(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("__n"))
+      .select(col("__n"), explode(array((0 until rows).map(r =>
+        struct(lit(r).as("r"),
+          pmod(graft.F.hash60(concat(lit(s"$r:"), col("term"))),
+            lit(width.toLong)).as("b"))): _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(sum(col("__n")).as("cnt"))
+  }
+
+  /** Merged CMS state across landings: cell-wise counter sums (exact
+    * by linearity). ≤ rows·width rows regardless of corpus size. */
+  def mergedCms(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("r"), col("b"))
+      .agg(sum(col("cnt")).as("cnt"))
+
   /** Distinct-count estimate per key group from HLL register state:
     * (keys..., est). Composite estimator with linear counting; the
     * float fold runs over the rho histogram in rho order. */

@@ -963,6 +963,102 @@ object StreamOps {
       .orderBy("event_type")
   }
 
+  /** Land one micro-batch's CMS term-frequency state (the a04 sketch
+    * as durable per-landing state — [[graft.sinks.SketchStore.cmsState]];
+    * batchId = landing id ⇒ Structured Streaming replay is idempotent
+    * by the SketchStore dynamic-overwrite contract). */
+  def termSketchTick(spark: SparkSession, storePath: String, batch: DataFrame,
+                     textCol: String, rows: Int, width: Int,
+                     landingId: Long): Unit =
+    graft.sinks.SketchStore.land(spark, storePath,
+      graft.sinks.SketchStore.cmsState(batch, textCol, rows, width), landingId)
+
+  /** Frequency report from MERGED CMS state only: each watchlist term
+    * (term, n_exact — the exact side is gate evidence; a production
+    * watchlist carries just terms) probed at its `rows` md5 buckets,
+    * estimate = min over rows (collisions only ADD, so est ≥ exact
+    * always), plus `cells_used` — the merged sketch's non-zero cell
+    * count, state-derived evidence the report rode the store. The
+    * merged state is ≤ rows·width rows: broadcast, never shuffled. */
+  def termSketchReport(spark: SparkSession, storePath: String,
+                       watchlist: DataFrame, rows: Int, width: Int): DataFrame = {
+    val merged = graft.sinks.SketchStore.mergedCms(spark, storePath)
+    val cells = merged.agg(count(lit(1)).as("cells_used"))
+    watchlist.select(col("term"), col("n_exact"),
+        explode(array((0 until rows).map(r => struct(lit(r).as("r"),
+          pmod(graft.F.hash60(concat(lit(s"$r:"), col("term"))),
+            lit(width.toLong)).as("b"))): _*)).as("rb"))
+      .select(col("term"), col("n_exact"), col("rb.r").as("r"), col("rb.b").as("b"))
+      .join(broadcast(merged), Seq("r", "b"))
+      .groupBy(col("term"), col("n_exact"))
+      .agg(min(col("cnt")).as("n_est"))
+      .crossJoin(broadcast(cells)) // 1-row build side: documented BNLJ
+      .select(col("term"), col("n_exact"), col("n_est"),
+        (col("n_est") - col("n_exact")).as("overest"), col("cells_used"))
+  }
+
+  /** The a04 CMS frequency sketch run CONTINUOUSLY: every micro-batch
+    * lands its own counter state; the merged store answers frequency
+    * probes over EVERYTHING ever landed at state-sized cost
+    * (≤ rows·width counters, independent of raw history) — the
+    * frequency sibling of [[streamingSketchProfile]]. */
+  def streamingTermSketch(spark: SparkSession, docs: DataFrame,
+                          storePath: String, checkpointDir: String,
+                          textCol: String = "text", rows: Int = 4,
+                          width: Int = 1024):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          termSketchTick(spark, storePath, batch, textCol, rows, width, batchId)
+          ()
+        }
+      }
+      .start()
+
+  /** #35l the term-frequency sketch monitor as a two-tick batch REPLAY
+    * (the st09/st10 rule): tick 1 lands the even-doc_id half's CMS
+    * state, tick 2 the odd half's, and the report derives from MERGED
+    * state only — by cell-wise-add linearity it must hash-equal the
+    * whole-corpus a04 sketch the oracle computes directly (the merge
+    * law AS the parity check). Watchlist = the corpus' exact top-20
+    * terms, so the estimates land on the rows a04 audits. */
+  private val st12: Q = (s, dir) => {
+    val docs = Tables.t(s, dir, "documents")
+    val store = java.nio.file.Files.createTempDirectory("graft_stream_cms_").toString
+    (0 until 2).foreach { tk =>
+      termSketchTick(s, s"$store/cms",
+        docs.filter(pmod(col("doc_id"), lit(2L)) === tk), "text", 4, 1024, tk.toLong)
+    }
+    val watch = docs.select(explode(F.words(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("term")).limit(20)
+    termSketchReport(s, s"$store/cms", watch, 4, 1024)
+      .orderBy(col("n_exact").desc, col("term"))
+  }
+
+  private val st12Sql =
+    """WITH toks AS (
+      |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+      |counts AS (SELECT term, count(*) AS n_exact FROM toks GROUP BY term),
+      |expand AS (
+      |  SELECT term, n_exact, r.r AS r,
+      |    CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || term), 1, 15)) AS BIGINT) % 1024 AS b
+      |  FROM counts, range(0, 4) r(r)),
+      |sketch AS (SELECT r, b, sum(n_exact) AS cnt FROM expand GROUP BY r, b),
+      |cells AS (SELECT count(*) AS cells_used FROM sketch),
+      |topk AS (SELECT term, n_exact FROM counts ORDER BY n_exact DESC, term LIMIT 20),
+      |est AS (
+      |  SELECT t.term, t.n_exact, min(s.cnt) AS n_est
+      |  FROM topk t JOIN expand e USING (term) JOIN sketch s ON e.r = s.r AND e.b = s.b
+      |  GROUP BY t.term, t.n_exact)
+      |SELECT term, n_exact, CAST(n_est AS BIGINT) AS n_est,
+      |  CAST(n_est - n_exact AS BIGINT) AS overest,
+      |  CAST(cells.cells_used AS BIGINT) AS cells_used
+      |FROM est, cells
+      |ORDER BY n_exact DESC, term""".stripMargin
+
   private val st10Sql = {
     val m = 4096L
     val alphaM2 = 0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
@@ -1005,6 +1101,7 @@ object StreamOps {
 
   val queries: Map[String, Q] = Map(
     "st10_stream_profile" -> st10,
+    "st12_stream_topfreq" -> st12,
     "st08_stream_psi" -> st08,
     "st06_stream_adf" -> st06,
     "st11_stream_cusum" -> st11,
@@ -1017,6 +1114,7 @@ object StreamOps {
 
   val oracle: Map[String, String] = Map(
     "st10_stream_profile" -> st10Sql,
+    "st12_stream_topfreq" -> st12Sql,
     "st08_stream_psi" -> st08Sql,
     "st06_stream_adf" -> st06Sql,
     "st11_stream_cusum" -> st11Sql,

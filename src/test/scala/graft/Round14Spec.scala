@@ -538,6 +538,74 @@ class Round14Spec extends SparkSpec {
       "quantization costs are non-negative")
   }
 
+  // ---------------------------------------------- st12 CMS landing
+
+  test("st12: CMS merge law (cell-wise add) holds exactly through the store, " +
+    "replaying a landing is idempotent, and estimates dominate exacts") {
+    import spark.implicits._
+    import graft.sinks.SketchStore
+    import graft.streaming.StreamOps
+    val docs = Seq((0L, "alpha beta alpha"), (1L, "beta gamma beta"),
+      (2L, "alpha delta"), (3L, "gamma gamma alpha")).toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft_cms_spec_").toString
+    try {
+      (0 until 2).foreach { tk =>
+        StreamOps.termSketchTick(spark, s"$base/cms",
+          docs.filter(col("doc_id") % 2 === tk), "text", 4, 64, tk.toLong)
+      }
+      def cells(df: org.apache.spark.sql.DataFrame) = df
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      val merged = cells(SketchStore.mergedCms(spark, s"$base/cms"))
+      val oneShot = cells(SketchStore.cmsState(docs, "text", 4, 64))
+      assert(merged == oneShot, "merge(state(A), state(B)) == state(A ⊎ B) row-for-row")
+      // idempotent replay: re-land landing 0 (a Structured Streaming retry)
+      StreamOps.termSketchTick(spark, s"$base/cms",
+        docs.filter(col("doc_id") % 2 === 0), "text", 4, 64, 0L)
+      assert(cells(SketchStore.mergedCms(spark, s"$base/cms")) == oneShot,
+        "replaying a landing must not change merged state")
+      val watch = docs.select(explode(graft.F.words(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("n_exact"))
+      val rep = StreamOps.termSketchReport(spark, s"$base/cms", watch, 4, 64).collect()
+      assert(rep.nonEmpty && rep.forall(r => r.getLong(2) >= r.getLong(1)),
+        "CMS collisions only ADD: n_est >= n_exact on every row")
+      assert(rep.forall(_.getLong(4) == merged.size), "cells_used is the merged cell count")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(base))
+    }
+  }
+
+  test("streamingTermSketch: a stream of micro-batches lands the same merged " +
+    "state as the one-shot sketch (merge law live)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{DocEvent, StreamOps}
+    import graft.sinks.SketchStore
+    implicit val sql = spark.sqlContext
+    val all = Seq(DocEvent(0L, "alpha beta alpha"), DocEvent(1L, "beta gamma beta"),
+      DocEvent(2L, "alpha delta"), DocEvent(3L, "gamma gamma alpha"))
+    val base = java.nio.file.Files.createTempDirectory("graft_cms_stream_").toString
+    val input = MemoryStream[DocEvent]
+    val q = StreamOps.streamingTermSketch(spark, input.toDF(),
+      s"$base/cms", s"$base/ckpt", "text", 4, 64)
+    try {
+      all.grouped(2).foreach { b => input.addData(b.toIndexedSeq); q.processAllAvailable() }
+      val merged = SketchStore.mergedCms(spark, s"$base/cms")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      val oneShot = SketchStore.cmsState(all.toDF(), "text", 4, 64)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      assert(merged == oneShot, "stream-of-micro-batches == one-shot sketch")
+    } finally {
+      q.stop()
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(base))
+    }
+  }
+
   // ------------------------------------------------------- m13 VAD
 
   test("vadProfileOf: closed-form run structure on a planted PCM-8 payload; " +
