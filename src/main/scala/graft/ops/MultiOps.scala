@@ -591,7 +591,7 @@ object MultiOps {
     val runs = b.groupBy(col(idCol), col("__run"))
       .agg(max(col("act")).as("act"), count(lit(1)).as("len"),
         min(col("pos")).as("start"), max(col("pos")).as("end"))
-    runs.groupBy(col(idCol))
+    val prof = runs.groupBy(col(idCol))
       .agg(sum(col("len")).as("n_bytes"),
         count(lit(1)).as("n_runs"),
         sum(col("act")).as("n_active_runs"),
@@ -602,6 +602,15 @@ object MultiOps {
         max(when(col("act") === 1, col("end"))).cast("long").as("trim_end"))
       .withColumn("active_ratio",
         col("active_bytes").cast("double") / col("n_bytes").cast("double"))
+    // Empty/NULL payloads explode to ZERO byte rows, so the profile
+    // alone would silently drop those ids — contract says every input
+    // id gets a row (n_bytes=0, null trims/ratio). Left-join back to
+    // the distinct input ids; the ids frame is id-sized, the join key
+    // is the id itself (no extra shuffle shape beyond the profile's).
+    df.select(col(idCol)).distinct()
+      .join(prof, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_bytes", "n_runs", "n_active_runs", "active_bytes",
+        "longest_active", "longest_silence"))
   }
 
   /** #m13 the VAD trim profile over the documents payloads (PCM-8
@@ -641,18 +650,28 @@ object MultiOps {
       |runs AS (
       |  SELECT doc_id, run_id, max(act) AS act, count(*) AS len,
       |    min(pos) AS rstart, max(pos) AS rend
-      |  FROM ri GROUP BY 1, 2)
-      |SELECT doc_id,
-      |  CAST(sum(len) AS BIGINT) AS n_bytes,
-      |  CAST(count(*) AS BIGINT) AS n_runs,
-      |  CAST(sum(act) AS BIGINT) AS n_active_runs,
-      |  CAST(sum(act * len) AS BIGINT) AS active_bytes,
-      |  CAST(coalesce(max(CASE WHEN act = 1 THEN len END), 0) AS BIGINT) AS longest_active,
-      |  CAST(coalesce(max(CASE WHEN act = 0 THEN len END), 0) AS BIGINT) AS longest_silence,
-      |  CAST(min(CASE WHEN act = 1 THEN rstart END) AS BIGINT) AS trim_start,
-      |  CAST(max(CASE WHEN act = 1 THEN rend END) AS BIGINT) AS trim_end,
-      |  round(CAST(sum(act * len) AS DOUBLE) / CAST(sum(len) AS DOUBLE), 6) AS active_ratio
-      |FROM runs GROUP BY doc_id
+      |  FROM ri GROUP BY 1, 2),
+      |prof AS (
+      |  SELECT doc_id,
+      |    CAST(sum(len) AS BIGINT) AS n_bytes,
+      |    CAST(count(*) AS BIGINT) AS n_runs,
+      |    CAST(sum(act) AS BIGINT) AS n_active_runs,
+      |    CAST(sum(act * len) AS BIGINT) AS active_bytes,
+      |    CAST(coalesce(max(CASE WHEN act = 1 THEN len END), 0) AS BIGINT) AS longest_active,
+      |    CAST(coalesce(max(CASE WHEN act = 0 THEN len END), 0) AS BIGINT) AS longest_silence,
+      |    CAST(min(CASE WHEN act = 1 THEN rstart END) AS BIGINT) AS trim_start,
+      |    CAST(max(CASE WHEN act = 1 THEN rend END) AS BIGINT) AS trim_end,
+      |    round(CAST(sum(act * len) AS DOUBLE) / CAST(sum(len) AS DOUBLE), 6) AS active_ratio
+      |  FROM runs GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(p.n_bytes, 0) AS n_bytes,
+      |  coalesce(p.n_runs, 0) AS n_runs,
+      |  coalesce(p.n_active_runs, 0) AS n_active_runs,
+      |  coalesce(p.active_bytes, 0) AS active_bytes,
+      |  coalesce(p.longest_active, 0) AS longest_active,
+      |  coalesce(p.longest_silence, 0) AS longest_silence,
+      |  p.trim_start, p.trim_end, p.active_ratio
+      |FROM (SELECT DISTINCT doc_id FROM documents) d
+      |LEFT JOIN prof p USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
   /** Distinct sampled-keyframe signatures per payload (the m03 seek

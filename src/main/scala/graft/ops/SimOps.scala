@@ -1,8 +1,9 @@
 package graft.ops
 
 import graft.{F, Tables}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.functions._
 
 /** Similarity search (SURVEY.md §2 #25-26) over the `embeddings` table.
@@ -845,9 +846,18 @@ ORDER BY q_id, rank"""
       kmeansAssignOf(df, idCol, vecCol, cents)
         .groupBy(col("__cid").as("cluster"))
         .agg(count(lit(1)).as(n), r4(sum(col("__d2"))).as(c))
-    val frame = index.sparkSession
-      .createDataFrame(cents.map(c => Tuple1(c._1.asInstanceOf[Long])))
-      .toDF("cluster")
+    // The cells frame must carry the id column's ACTUAL type (cluster
+    // ids are vector ids): an Int/String-id corpus used to throw a
+    // ClassCastException here via asInstanceOf[Long]. Build the k-row
+    // local frame against the real DataType; the public long contract
+    // is applied once, in the final select's cast.
+    val frame = {
+      import scala.jdk.CollectionConverters._
+      val idType = index.schema(idCol).dataType
+      index.sparkSession.createDataFrame(
+        cents.map(c => Row(c._1)).asJava,
+        StructType(Seq(StructField("cluster", idType, nullable = true))))
+    }
     val ordC = Window.orderBy(col("cluster"))
     val cumC = ordC.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val allC = ordC.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)

@@ -602,8 +602,11 @@ object TextOps {
     val cw = tok
       .withColumn("grp", sum(col("is_stop").cast("long")).over(wPos))
       .filter(!col("is_stop"))
+      // No persist: cw appears three times in ONE returned plan tree,
+      // so exchange reuse dedupes its shuffle; a persist here had no
+      // unpersist hook (lazy return) and leaked cached blocks across
+      // multi-query gate/bench runs.
       .select(col("doc_id"), col("grp"), col("pos"), col("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ph = cw.groupBy(col("doc_id"), col("grp"))
       .agg(array_sort(collect_list(struct(col("pos"), col("w")))).as("__pw"))
       .withColumn("phrase", array_join(expr("transform(__pw, x -> x.w)"), " "))

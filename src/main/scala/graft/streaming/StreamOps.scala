@@ -989,9 +989,13 @@ object StreamOps {
           pmod(graft.F.hash60(concat(lit(s"$r:"), col("term"))),
             lit(width.toLong)).as("b"))): _*)).as("rb"))
       .select(col("term"), col("n_exact"), col("rb.r").as("r"), col("rb.b").as("b"))
-      .join(broadcast(merged), Seq("r", "b"))
+      // LEFT join: the merged state is SPARSE (never-touched cells have
+      // no row), and an absent cell means count 0 — an inner join here
+      // would both overestimate (min over non-empty cells only) and
+      // silently drop watchlist terms whose every cell is empty.
+      .join(broadcast(merged), Seq("r", "b"), "left")
       .groupBy(col("term"), col("n_exact"))
-      .agg(min(col("cnt")).as("n_est"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("n_est"))
       .crossJoin(broadcast(cells)) // 1-row build side: documented BNLJ
       .select(col("term"), col("n_exact"), col("n_est"),
         (col("n_est") - col("n_exact")).as("overest"), col("cells_used"))
@@ -1050,8 +1054,9 @@ object StreamOps {
       |cells AS (SELECT count(*) AS cells_used FROM sketch),
       |topk AS (SELECT term, n_exact FROM counts ORDER BY n_exact DESC, term LIMIT 20),
       |est AS (
-      |  SELECT t.term, t.n_exact, min(s.cnt) AS n_est
-      |  FROM topk t JOIN expand e USING (term) JOIN sketch s ON e.r = s.r AND e.b = s.b
+      |  SELECT t.term, t.n_exact, min(coalesce(s.cnt, 0)) AS n_est
+      |  FROM topk t JOIN expand e USING (term)
+      |  LEFT JOIN sketch s ON e.r = s.r AND e.b = s.b
       |  GROUP BY t.term, t.n_exact)
       |SELECT term, n_exact, CAST(n_est AS BIGINT) AS n_est,
       |  CAST(n_est - n_exact AS BIGINT) AS overest,
