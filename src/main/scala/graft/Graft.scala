@@ -394,15 +394,18 @@ object Graft {
   /** Deterministic k-NN graph build — the index half of the graph-ANN
     * (fifth) scale path: shared-centroid-cell candidate seeding
     * (keep centroid count proportional to the corpus — cell size is
-    * the seed fan-out), `descentRounds` NN-descent rounds, top-`r`
+    * the seed fan-out; hot cells bounded to `maxCellOcc`
+    * representatives so skewed corpora stay corpus-linear),
+    * `descentRounds` NN-descent rounds, top-`r`
     * by cosine per source. Returns the directed edge list
     * (src, dst, cos). Pair with [[annGraph]]; localCheckpoint the
     * result when searching many query batches. */
   def knnGraph(corpus: DataFrame, centroids: DataFrame, id: String,
                vec: String, centroidId: String, centroidVec: String,
-               r: Int, cellProbes: Int = 2, descentRounds: Int = 1): DataFrame =
+               r: Int, cellProbes: Int = 2, descentRounds: Int = 1,
+               maxCellOcc: Int = 256): DataFrame =
     ops.SimOps.knnGraphOf(corpus, centroids, id, vec, centroidId, centroidVec,
-      r, cellProbes, descentRounds)
+      r, cellProbes, descentRounds, maxCellOcc)
 
   /** Graph ANN beam search over a [[knnGraph]] edge list (traversed
     * symmetrized): enter at the query's best anchor, expand `hops`

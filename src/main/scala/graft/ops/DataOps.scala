@@ -1409,7 +1409,90 @@ object DataOps {
        |ORDER BY exa.event_type""".stripMargin
   }
 
+  /** #19z the a09 quantile side made RELATIVE-error: the fixed-width
+    * histogram is useless on a heavy-tailed domain (width 10 puts
+    * every `value` below 10 — half the events table — into one
+    * bucket), so this lands [[graft.sinks.SketchStore.logHistState]]
+    * per landing instead: decimal-scientific buckets whose width is
+    * PROPORTIONAL to the value, same count-sum merge law, same
+    * landing-partitioned store, estimates from MERGED state only.
+    * Reports per event_type the p50/p95 log-hist estimates NEXT TO
+    * the exact interpolated percentiles plus the realized relative
+    * errors — the ≤5% bound as gate-visible numbers (Round15Spec pins
+    * the bound on a planted 6-decade distribution; the oracle replays
+    * the whole integer bucket chain directly, equal to the
+    * landing-merged state by the merge law). */
+  private val a11: Q = (s, dir) => {
+    import graft.sinks.SketchStore
+    val keys = Seq("event_type")
+    val ev = t(s, dir, "events")
+      .select(col("event_type"), col("value"),
+        (dayofmonth(col("ts")) % 3).as("__landing"))
+    val store = java.nio.file.Files.createTempDirectory("graft_loghist_").toString
+    (0 until 3).foreach { l =>
+      SketchStore.land(s, s"$store/lqh",
+        SketchStore.logHistState(ev.filter(col("__landing") === l), keys, "value"), l)
+    }
+    val est = SketchStore.logHistQuantiles(
+      SketchStore.mergedLogHist(s, s"$store/lqh", keys), keys,
+      Seq(0.5 -> "p50_est", 0.95 -> "p95_est"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, array(0.5D, 0.95D))").as("__ps"))
+      .select(col("event_type"),
+        col("__ps").getItem(0).as("p50_exact"), col("__ps").getItem(1).as("p95_exact"))
+    exact.join(est, "event_type")
+      .select(col("event_type"), col("n"),
+        r6(col("p50_exact")).as("p50_exact"), r6(col("p50_est")).as("p50_est"),
+        r6(abs(col("p50_est") / col("p50_exact") - 1)).as("p50_relerr"),
+        r6(col("p95_exact")).as("p95_exact"), r6(col("p95_est")).as("p95_est"),
+        r6(abs(col("p95_est") / col("p95_exact") - 1)).as("p95_relerr"))
+      .orderBy("event_type")
+  }
+
+  private val a11Sql =
+    """WITH u AS (
+      |  SELECT event_type, value,
+      |    CAST(floor(abs(value) / 1e-9) AS BIGINT) AS u,
+      |    CAST(CAST(floor(abs(value) / 1e-9) AS BIGINT) AS VARCHAR) AS us
+      |  FROM events),
+      |b AS (
+      |  SELECT event_type,
+      |    CASE WHEN u = 0 THEN 0
+      |      ELSE CAST(sign(value) AS BIGINT) *
+      |        (length(us) * 100 + CAST(substr(us, 1, 2) AS BIGINT)) END AS qbucket
+      |  FROM u),
+      |h AS (SELECT event_type, qbucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+      |f AS (SELECT event_type, qbucket,
+      |    sum(cnt) OVER (PARTITION BY event_type ORDER BY qbucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(cnt) OVER (PARTITION BY event_type) AS n
+      |  FROM h),
+      |win AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+      |    min(CASE WHEN CAST(cum AS DOUBLE) >= 0.5 * CAST(n AS DOUBLE) THEN qbucket END) AS b50,
+      |    min(CASE WHEN CAST(cum AS DOUBLE) >= 0.95 * CAST(n AS DOUBLE) THEN qbucket END) AS b95
+      |  FROM f GROUP BY event_type),
+      |dec AS (SELECT event_type, n,
+      |    CASE WHEN b50 = 0 THEN 0.0 ELSE CAST(sign(b50) AS DOUBLE) *
+      |      (CAST(abs(b50) % 100 AS DOUBLE) + 0.5) *
+      |      pow(10.0, greatest(CAST(abs(b50) // 100 AS DOUBLE) - 2.0, 0.0)) * 1e-9 END AS p50_est,
+      |    CASE WHEN b95 = 0 THEN 0.0 ELSE CAST(sign(b95) AS DOUBLE) *
+      |      (CAST(abs(b95) % 100 AS DOUBLE) + 0.5) *
+      |      pow(10.0, greatest(CAST(abs(b95) // 100 AS DOUBLE) - 2.0, 0.0)) * 1e-9 END AS p95_est
+      |  FROM win),
+      |ex AS (SELECT event_type,
+      |    quantile_cont(value, 0.5) AS p50_exact,
+      |    quantile_cont(value, 0.95) AS p95_exact
+      |  FROM events GROUP BY event_type)
+      |SELECT ex.event_type, dec.n,
+      |  round(ex.p50_exact, 6) AS p50_exact, round(dec.p50_est, 6) AS p50_est,
+      |  round(abs(dec.p50_est / ex.p50_exact - 1), 6) AS p50_relerr,
+      |  round(ex.p95_exact, 6) AS p95_exact, round(dec.p95_est, 6) AS p95_est,
+      |  round(abs(dec.p95_est / ex.p95_exact - 1), 6) AS p95_relerr
+      |FROM ex JOIN dec ON ex.event_type = dec.event_type
+      |ORDER BY ex.event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "a11_log_quantile_store" -> a11,
     "a10_sketch_overlap" -> a10,
     "a09_sketch_store" -> a09,
     "p06_export_pipeline" -> p06,
@@ -1434,6 +1517,7 @@ object DataOps {
     "ds05_bigram_stats" -> ds05)
 
   val oracle: Map[String, String] = Map(
+    "a11_log_quantile_store" -> a11Sql,
     "a10_sketch_overlap" -> a10Sql,
     "a09_sketch_store" -> a09Sql,
     "p06_export_pipeline" -> p06Sql,

@@ -203,6 +203,12 @@ object SimOps {
     *           proportional to the corpus (the s20 gate derives
     *           centroids as `vec_id % 64 == 0` — cell size ~64·probes
     *           at ANY corpus size, no count pass, no quadratic seed);
+    *           HOT cells — skew the density rule can't see, near-dup
+    *           families crowding one centroid — are bounded by
+    *           `maxCellOcc`: the b side of the cell self-join keeps
+    *           only that many hash-selected representatives, so seed
+    *           pair volume is ≤ n·cellProbes·maxCellOcc (corpus-
+    *           linear at any skew) instead of Σ occ²;
     *   descent `descentRounds` NN-descent rounds (Dong 2011,
     *           WWW '11): each round proposes neighbors-of-neighbors
     *           of the current top-`r` graph — a self-join of an
@@ -246,10 +252,12 @@ object SimOps {
 
   def knnGraphOf(corpus: DataFrame, centroids: DataFrame, idCol: String,
                  vecCol: String, cidCol: String, cvecCol: String,
-                 r: Int, cellProbes: Int = 2, descentRounds: Int = 1): DataFrame = {
+                 r: Int, cellProbes: Int = 2, descentRounds: Int = 1,
+                 maxCellOcc: Int = 256): DataFrame = {
     require(r >= 1, s"r must be >= 1, got $r")
     require(cellProbes >= 1, s"cellProbes must be >= 1, got $cellProbes")
     require(descentRounds >= 0, s"descentRounds must be >= 0, got $descentRounds")
+    require(maxCellOcc >= 1, s"maxCellOcc must be >= 1, got $maxCellOcc")
     val v = corpus.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
     val cents = broadcast(centroids
       .select(col(cidCol).as("c_id"), col(cvecCol).cast("array<double>").as("cv")))
@@ -305,8 +313,30 @@ object SimOps {
     // this shape's vector traffic is corpus-linear at any scale.
     // A pair sharing both probed cells is scored twice with identical
     // bits (same vectors), so the distinct collapses it exactly.
+    //
+    // HOT-CELL CAP (the t10 MOSS df-cap idea applied to cells): the b
+    // side of the self-join is bounded to `maxCellOcc` deterministic
+    // representatives per cell (smallest md5("s20cap:"‖id), ties →
+    // smaller id — the house sampling hash, never rand()). On
+    // balanced cells (occupancy ≈ 64·probes with the density-scaled
+    // centroid rule) the cap never triggers and the build is
+    // unchanged; on a SKEWED corpus — near-dup families crowding one
+    // cell, the 100 TB pre-dedup regime — pair volume per cell drops
+    // from occ² to occ·cap, so total seed pairs are ≤ n·probes·cap =
+    // corpus-LINEAR at any skew. Every node still seeds as a src
+    // against ≥1 representative, and NN-descent supplies the
+    // node↔node edges the capped seed misses (the same repair it
+    // already does for cross-cell pairs). The window shares the
+    // join's by-cell exchange, so the cap adds no extra shuffle.
     val withV = asg.join(v, "vec_id")
-    val scored0 = withV.as("a").join(withV.as("b"), "cell")
+    val wCell = Window.partitionBy(col("cell"))
+      .orderBy(graft.F.hash60(concat(lit("s20cap:"), col("vec_id").cast("string"))),
+        col("vec_id"))
+    val reps = withV
+      .withColumn("__crn", row_number().over(wCell))
+      .filter(col("__crn") <= maxCellOcc)
+      .drop("__crn")
+    val scored0 = withV.as("a").join(reps.as("b"), "cell")
       .filter(col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
         expr("graft_cosine(a.v, b.v)").as("cos"))
@@ -454,8 +484,12 @@ object SimOps {
          |    SELECT e.vec_id, c_id AS cell,
          |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${duckCos("v", "cv")} DESC, c_id) AS arn
          |    FROM e CROSS JOIN cents) WHERE arn <= 2),
+         |reps AS (SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY cell
+         |      ORDER BY CAST(('0x' || substr(md5('s20cap:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id) AS crn
+         |    FROM asg) WHERE crn <= 256),
          |p0 AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-         |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+         |  FROM asg a JOIN reps b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
          |sc0 AS (SELECT src, dst, ${duckCos("es.v", "ed.v")} AS cos
          |  FROM p0 JOIN e es ON es.vec_id = src JOIN e ed ON ed.vec_id = dst),
          |ed0 AS (SELECT src, dst FROM (

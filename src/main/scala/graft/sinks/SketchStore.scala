@@ -1,6 +1,6 @@
 package graft.sinks
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -77,6 +77,40 @@ object SketchStore {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** RELATIVE-error quantile state (keys..., qbucket, cnt) — the
+    * heavy-tailed sibling of [[histState]]: a fixed width is useless
+    * for a domain spanning decades (width 10 puts every price below
+    * 10 in one bucket), so buckets here are DECIMAL-SCIENTIFIC —
+    * quantize u = floor(|v| / quantum), then bucket by (decimal
+    * exponent e = digit count of u, two leading digits d ∈ [10, 99]),
+    * encoded into one sort-ordered long:
+    *
+    *   qbucket = sign(v) · (e·100 + d)      (u = 0 ⇒ qbucket 0)
+    *
+    * Bucket width is 10^(e−2)·quantum — PROPORTIONAL to the value, so
+    * the midpoint estimate's relative error is ≤ 0.5/d ≤ 5% at any
+    * magnitude (exact below 100·quantum where a bucket is a single
+    * quantized integer). The encoding is a total order over the reals
+    * (negative magnitudes invert ⇒ sort first), every step is integer
+    * arithmetic on a decimal STRING length/prefix — identical in
+    * Spark and DuckDB, no floor(log(v)) ulp trap — and the merge law
+    * is the same count sum as [[histState]] ([[mergedLogHist]]).
+    * Domain: |v| < 9.2e18·quantum (long overflow guard); values
+    * smaller than `quantum` collapse into qbucket 0. */
+  def logHistState(df: DataFrame, keys: Seq[String], valueCol: String,
+                   quantum: Double = 1e-9): DataFrame = {
+    require(quantum > 0, s"quantum must be > 0, got $quantum")
+    df.withColumn("__u", floor(abs(col(valueCol)) / lit(quantum)).cast("long"))
+      .withColumn("__us", col("__u").cast("string"))
+      .withColumn("qbucket",
+        when(col("__u") === 0L, lit(0L)).otherwise(
+          signum(col(valueCol)).cast("long") *
+            (length(col("__us")).cast("long") * 100L +
+              substring(col("__us"), 1, 2).cast("long"))))
+      .groupBy((keys.map(col) :+ col("qbucket")): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Land one landing's sketch state (idempotent: replaying a landing
     * id replaces exactly its partition via dynamic overwrite). */
   def land(spark: SparkSession, path: String, state: DataFrame,
@@ -99,6 +133,14 @@ object SketchStore {
   def mergedHist(spark: SparkSession, path: String, keys: Seq[String]): DataFrame =
     spark.read.parquet(path)
       .groupBy((keys.map(col) :+ col("bucket")): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Merged [[logHistState]] across landings: qbucket-count sums
+    * (exact — same linearity as [[mergedHist]]). ≤ ~1800 rows per key
+    * group per sign-decade span regardless of corpus size. */
+  def mergedLogHist(spark: SparkSession, path: String, keys: Seq[String]): DataFrame =
+    spark.read.parquet(path)
+      .groupBy((keys.map(col) :+ col("qbucket")): _*)
       .agg(sum(col("cnt")).as("cnt"))
 
   /** Per-landing count-min-sketch counter state over a tokenized text
@@ -151,6 +193,40 @@ object SketchStore {
           lit(m) * log(lit(m) / col("__zeros")))
         .otherwise(col("__eraw")))
       .select((kc :+ col("est")): _*)
+  }
+
+  /** Quantile estimates per key group from [[logHistState]] rows: the
+    * same cumulative walk as [[histQuantiles]] (qbucket encodes a
+    * total order over values), decoding the winning bucket to its
+    * midpoint — (d + 0.5)·10^max(e−2,0)·quantum, sign-applied; qbucket
+    * 0 decodes to 0.0. Relative error ≤ 0.5/d ≤ 5%. */
+  def logHistQuantiles(state: DataFrame, keys: Seq[String],
+                       qs: Seq[(Double, String)],
+                       quantum: Double = 1e-9): DataFrame = {
+    require(qs.nonEmpty, "at least one quantile required")
+    val kc = keys.map(col)
+    val po = Window.partitionBy(kc: _*).orderBy(col("qbucket"))
+    val cum = po.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cummed = state
+      .withColumn("__cum", sum(col("cnt")).over(cum))
+      .withColumn("__n", sum(col("cnt")).over(Window.partitionBy(kc: _*)))
+    def decode(b: Column): Column = {
+      val mag = abs(b)
+      // Column `/` is DOUBLE division — floor() keeps the exponent integral
+      val e = floor(mag / lit(100L)).cast("double")
+      val d = (mag % 100L).cast("double")
+      // e <= 2 buckets are a SINGLE quantized integer (d = u): the
+      // width exponent clamps at 0, not e-2
+      when(b === 0L, lit(0.0)).otherwise(
+        signum(b).cast("double") * (d + lit(0.5)) *
+          pow(lit(10.0), greatest(e - lit(2.0), lit(0.0))) * lit(quantum))
+    }
+    val aggs = qs.map { case (q, alias) =>
+      decode(min(when(col("__cum").cast("double") >= lit(q) * col("__n").cast("double"),
+        col("qbucket")))).as(alias)
+    }
+    cummed.groupBy(kc: _*)
+      .agg(max(col("__n")).as("n"), aggs: _*)
   }
 
   /** Quantile estimates per key group from histogram state: for each

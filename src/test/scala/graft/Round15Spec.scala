@@ -74,4 +74,126 @@ class Round15Spec extends SparkSpec {
     assert(full.getLong(1) == 5L && full.getLong(7) == 0L && full.getLong(8) == 4L,
       s"non-empty payload trims to the active extent, got $full")
   }
+
+  // ------------------------------- s20 build: hot-cell occupancy cap
+
+  test("knnGraphOf: a hot cell's pair generation is bounded by maxCellOcc " +
+    "(every node still seeds, search recall within noise of uncapped)") {
+    import spark.implicits._
+    // SKEWED corpus: 200 near-duplicate vectors crowd ONE cell (the
+    // near-dup-family shape a density-scaled centroid rule can't see),
+    // plus a small spread family in a second cell.
+    val dims = 8
+    // 997 prime > corpus size: every id gets a UNIQUE perturbation
+    // pattern (an (i % small) pattern makes exact-dup cliques whose
+    // top-r edges never leave the clique — a disconnected graph that
+    // would break the uncapped baseline, not the cap)
+    def vec(base: Array[Double], i: Long): Seq[Double] =
+      base.zipWithIndex.map { case (x, j) => x + 0.001 * ((i * (j + 1)) % 997) }.toSeq
+    val hotBase = Array(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    val coldBase = Array(0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    val corpus = ((0L until 200L).map(i => (i, vec(hotBase, i))) ++
+      (200L until 220L).map(i => (i, vec(coldBase, i)))).toDF("vec_id", "v")
+    val cents = Seq((1000L, hotBase.toSeq), (1001L, coldBase.toSeq)).toDF("vec_id", "v")
+    def build(cap: Int) = graft.ops.SimOps.knnGraphOf(corpus, cents,
+      "vec_id", "v", "vec_id", "v", r = 4, cellProbes = 1,
+      descentRounds = 1, maxCellOcc = cap)
+    val capped = build(16).localCheckpoint(eager = true)
+    val uncapped = build(1000).localCheckpoint(eager = true)
+    // every node seeds: the capped build still gives each src its r edges
+    assert(capped.select("src").distinct().count() == 220L,
+      "every node must keep out-edges under the cap")
+    assert(capped.groupBy("src").count().agg(max("count")).head().getLong(0) <= 4L)
+    // determinism under repartition (the GraphAnnSpec law, capped path)
+    val again = build(16)
+    assert(capped.select("src", "dst").exceptAll(again.select("src", "dst")).count() == 0L,
+      "capped edge set must be deterministic")
+    // recall within noise of the uncapped build on the same queries
+    val queries = corpus.filter(col("vec_id") % 50 === 1)
+    val truth = Graft.knnBrute(corpus, queries, "vec_id", "v", 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(_._2).toSet }
+    // anchors must be CORPUS members (graph nodes), one per component
+    val anchors = corpus.filter(col("vec_id") === 0 || col("vec_id") === 200)
+    def recallOf(edges: org.apache.spark.sql.DataFrame): Double = {
+      val res = graft.ops.SimOps.graphAnnOf(corpus, queries, anchors, edges,
+        "vec_id", "v", k = 5, beam = 4, hops = 3)
+        .select("q_id", "vec_id").as[(Long, Long)].collect().groupBy(_._1)
+        .map { case (q, rs) => q -> rs.map(_._2).toSet }
+      val per = truth.map { case (q, t) =>
+        (t intersect res.getOrElse(q, Set.empty)).size / 5.0 }
+      per.sum / per.size
+    }
+    val (rc, ru) = (recallOf(capped), recallOf(uncapped))
+    info(f"capped recall@5 $rc%.3f vs uncapped $ru%.3f")
+    assert(rc >= ru - 0.1, s"capped recall $rc must be within noise of uncapped $ru")
+  }
+
+  // --------------------- a11 log-hist: merge law + relative error
+
+  test("logHistState: the qbucket encoding is a total order over values, " +
+    "negatives and zero included") {
+    import spark.implicits._
+    val vals = Seq(-4200.0, -3.14, -1e-6, 0.0, 1e-7, 0.02, 0.5, 7.0, 7.3,
+      99.0, 101.0, 88888.8, 4.2e9)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val st = graft.sinks.SketchStore.logHistState(df.withColumn("g", lit("x")),
+      Seq("g"), "v")
+    // re-derive each value's bucket by running state on singletons
+    val buckets = vals.map { v =>
+      graft.sinks.SketchStore.logHistState(
+        Seq(("x", v)).toDF("g", "v"), Seq("g"), "v")
+        .select("qbucket").head().getLong(0)
+    }
+    assert(buckets == buckets.sorted,
+      s"qbucket must be monotone in value: $buckets for $vals")
+    assert(st.agg(sum("cnt")).head().getLong(0) == vals.size.toLong)
+  }
+
+  test("logHistState merge law: merge(state(A), state(B)) == state(A ∪ B) " +
+    "row-for-row through the landed store") {
+    import spark.implicits._
+    val mk = (lo: Int, hi: Int) => (lo until hi)
+      .map(i => ("k" + (i % 2), math.pow(10.0, (i % 13) - 6) * (1.0 + i % 7 / 10.0)))
+      .toDF("g", "v")
+    val a = mk(0, 300); val b = mk(300, 700)
+    val store = java.nio.file.Files.createTempDirectory("r15_lqh_").toString
+    graft.sinks.SketchStore.land(spark, store,
+      graft.sinks.SketchStore.logHistState(a, Seq("g"), "v"), 0L)
+    graft.sinks.SketchStore.land(spark, store,
+      graft.sinks.SketchStore.logHistState(b, Seq("g"), "v"), 1L)
+    val merged = graft.sinks.SketchStore.mergedLogHist(spark, store, Seq("g"))
+    val whole = graft.sinks.SketchStore.logHistState(a.union(b), Seq("g"), "v")
+    assert(merged.exceptAll(whole).count() == 0L &&
+      whole.exceptAll(merged).count() == 0L,
+      "landing-merged state must equal whole-corpus state exactly")
+  }
+
+  test("logHistQuantiles: realized relative error <= 5% on a planted " +
+    "6-decade heavy-tailed distribution (where fixed width-10 buckets " +
+    "put over half the mass in ONE bucket)") {
+    import spark.implicits._
+    // log-uniform over [1e-3, 1e3]: md5-deterministic mantissas
+    val df = (0 until 20000).map { i =>
+      val u = (i * 2654435761L % 1000000L).toDouble / 1000000.0
+      ("all", math.pow(10.0, u * 6.0 - 3.0))
+    }.toDF("g", "v")
+    val exact = df.stat.approxQuantile("v", Array(0.5, 0.95), 0.0)
+    val est = graft.sinks.SketchStore.logHistQuantiles(
+      graft.sinks.SketchStore.logHistState(df, Seq("g"), "v"), Seq("g"),
+      Seq(0.5 -> "p50", 0.95 -> "p95")).head()
+    val (e50, e95) = (est.getDouble(2), est.getDouble(3))
+    val (r50, r95) = (math.abs(e50 / exact(0) - 1), math.abs(e95 / exact(1) - 1))
+    info(f"p50 exact ${exact(0)}%.5f est $e50%.5f rel $r50%.4f; " +
+      f"p95 exact ${exact(1)}%.5f est $e95%.5f rel $r95%.4f")
+    assert(r50 <= 0.05 && r95 <= 0.05,
+      s"relative error bound broken: p50 $r50, p95 $r95")
+    // the fixed-width state a09 uses CANNOT resolve this domain: with
+    // width 10, every value below 10 (over half the mass) is bucket 0
+    val fixedP50 = graft.sinks.SketchStore.histQuantiles(
+      graft.sinks.SketchStore.histState(df, Seq("g"), "v", 10.0), Seq("g"), 10.0,
+      Seq(0.5 -> "p50")).head().getDouble(2)
+    assert(math.abs(fixedP50 / exact(0) - 1) > 1.0,
+      s"fixed-width p50 $fixedP50 should be uselessly wrong vs ${exact(0)}")
+  }
 }
