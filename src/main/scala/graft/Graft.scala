@@ -407,6 +407,21 @@ object Graft {
     ops.SimOps.knnGraphOf(corpus, centroids, id, vec, centroidId, centroidVec,
       r, cellProbes, descentRounds, maxCellOcc)
 
+  /** INCREMENTAL [[knnGraph]] maintenance (FreshDiskANN lineage):
+    * beam-search each delta vector over the existing graph
+    * (per-insert cost = the search budget, corpus-independent),
+    * connect it to the top-`r` of its scored ∪ delta-cell candidates,
+    * and repair targets' lists with the reversed new edges. Returns
+    * the full updated edge list (src, dst, cos) — ≤ r per src;
+    * untouched nodes keep their lists bit-identically. Full doc at
+    * [[ops.SimOps.graphInsertOf]]. */
+  def graphInsert(corpus: DataFrame, delta: DataFrame, edges: DataFrame,
+                  centroids: DataFrame, anchors: DataFrame, id: String,
+                  vec: String, r: Int, beam: Int, hops: Int,
+                  cellProbes: Int = 2, maxCellOcc: Int = 256): DataFrame =
+    ops.SimOps.graphInsertOf(corpus, delta, edges, centroids, anchors,
+      id, vec, r, beam, hops, cellProbes, maxCellOcc)
+
   /** Graph ANN beam search over a [[knnGraph]] edge list (traversed
     * symmetrized): enter at the query's best anchor, expand `hops`
     * rounds with a `beam`-wide frontier, rank every scored candidate.

@@ -435,6 +435,69 @@ object SimOps {
       .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
   }
 
+  /** INCREMENTAL k-NN-graph maintenance (public operator behind
+    * [[graft.Graft.graphInsert]]) — the operator a 100 TB lake runs
+    * when new vectors arrive and a full [[knnGraphOf]] rebuild is off
+    * the table (the DiskANN in-place insert lineage, Singh 2021
+    * FreshDiskANN, arXiv:2105.09613 — search-for-neighbors, connect,
+    * repair reverse edges — re-expressed as three bounded relational
+    * steps over the EXISTING edge list):
+    *
+    *   search   beam-search every delta vector over the existing
+    *            graph ([[graphAnnOf]], k = ∞ so the whole scored set
+    *            is kept) — per-insert cost is the search budget,
+    *            corpus-INDEPENDENT by the s21 frontier argument;
+    *   connect  the delta node's out-edges = top-`r` of its scored
+    *            candidates ∪ its delta↔delta cell candidates (the
+    *            [[knnGraphOf]] seed run on the DELTA alone, capped —
+    *            a delta batch is small but may be self-similar, and
+    *            the old graph cannot propose new↔new edges);
+    *   repair   every new edge reversed becomes a candidate for its
+    *            target's list; every source re-ranks existing ∪ new
+    *            candidates to top-`r` (cosine desc, ties → smaller
+    *            dst) — old nodes untouched by any reverse edge keep
+    *            their list bit-identically (top-r of ≤ r rows).
+    *
+    * Everything is a pure function of (corpus, delta, edges, anchors)
+    * with total-order ranks, so the DuckDB oracle replays build AND
+    * insert verbatim; cosine symmetry makes reversed scores
+    * bit-identical (the sequential dot kernel is term-commutative),
+    * so the distinct collapses both directions of a delta↔delta pair.
+    * Scale shape: search shuffles the r-bounded edge list per hop and
+    * looks up only scored candidates; connect is delta-sized; repair
+    * shuffles ≤ |edges| + 2·r·|delta| narrow (src, dst, cos) rows —
+    * the corpus' vectors are touched ONLY by the search lookups. */
+  def graphInsertOf(corpus: DataFrame, delta: DataFrame, edges: DataFrame,
+                    centroids: DataFrame, anchors: DataFrame,
+                    idCol: String, vecCol: String,
+                    r: Int, beam: Int, hops: Int,
+                    cellProbes: Int = 2, maxCellOcc: Int = 256): DataFrame = {
+    require(r >= 1 && beam >= 1 && hops >= 0,
+      s"need r >= 1, beam >= 1, hops >= 0; got r=$r beam=$beam hops=$hops")
+    val wTop = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+    def topR(scored: DataFrame): DataFrame = scored
+      .withColumn("__rn", row_number().over(wTop))
+      .filter(col("__rn") <= r).drop("__rn")
+    // search: delta vectors as queries over the EXISTING graph; the
+    // whole scored set (entry + every hop) is the candidate pool
+    val deltaOld = graphAnnOf(corpus, delta, anchors, edges, idCol, vecCol,
+      k = Int.MaxValue, beam = beam, hops = hops, excludeSelf = false)
+      .select(col("q_id").as("src"), col("vec_id").as("dst"), col("cos"))
+    // connect: delta↔delta candidates the old graph cannot see — the
+    // knnGraphOf cell seed on the delta alone (no descent; capped)
+    val deltaDelta = knnGraphOf(delta, centroids, idCol, vecCol,
+      idCol, vecCol, r = r, cellProbes = cellProbes,
+      descentRounds = 0, maxCellOcc = maxCellOcc)
+    val newOut = topR(deltaOld.union(deltaDelta).distinct())
+    // repair: reversed new edges challenge their targets' lists
+    // (an NN-descent round over the merged list was measured here and
+    // moved recall only within noise — the insert search already
+    // supplies the cross-seam candidates, so the simpler form ships)
+    val rev = newOut.select(col("dst").as("src"), col("src").as("dst"), col("cos"))
+    topR(edges.select(col("src"), col("dst"), col("cos"))
+      .union(newOut).union(rev).distinct())
+  }
+
   /** #26b LSH-bucketed ANN — the second scale path the brief names next
     * to IVF: the d05 24-bit sketch, 4 bands × 6 bits, exact-cosine
     * rank within shared buckets; the oracle replays the identical
@@ -473,17 +536,22 @@ object SimOps {
       .orderBy("q_id", "rank")
   }
 
-  /** The CTE chain shared by s20/s21's oracles: graph build + beam
-    * search at (r, beam, hops), ending at `allsc` = every scored
-    * (q_id, vec_id, cos). Callers append their own final SELECT. */
-  private def graphSearchCtes(r: Int, beam: Int, hops: Int): String = {
+  /** The CTE chain shared by s20/s21/s26's oracles: graph build over
+    * `ec` (the corpus slice) + beam search for `q` (the query slice)
+    * at (r, beam, hops), ending at `allsc` = every scored
+    * (q_id, vec_id, cos). Callers append their own final SELECT.
+    * `edges` keeps cos so the s26 insert chain can re-rank it. */
+  private def graphSearchCtes(r: Int, beam: Int, hops: Int,
+                              corpusFilter: String = "TRUE",
+                              queryFilter: String = "vec_id < 5"): String = {
     val head =
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |cents AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % 64 = 0),
+         |ec AS (SELECT vec_id, v FROM e WHERE $corpusFilter),
+         |cents AS (SELECT vec_id AS c_id, v AS cv FROM ec WHERE vec_id % 64 = 0),
          |asg AS (SELECT vec_id, cell FROM (
-         |    SELECT e.vec_id, c_id AS cell,
-         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${duckCos("v", "cv")} DESC, c_id) AS arn
-         |    FROM e CROSS JOIN cents) WHERE arn <= 2),
+         |    SELECT ec.vec_id, c_id AS cell,
+         |      row_number() OVER (PARTITION BY ec.vec_id ORDER BY ${duckCos("v", "cv")} DESC, c_id) AS arn
+         |    FROM ec CROSS JOIN cents) WHERE arn <= 2),
          |reps AS (SELECT vec_id, cell FROM (
          |    SELECT vec_id, cell, row_number() OVER (PARTITION BY cell
          |      ORDER BY CAST(('0x' || substr(md5('s20cap:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id) AS crn
@@ -491,20 +559,20 @@ object SimOps {
          |p0 AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
          |  FROM asg a JOIN reps b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
          |sc0 AS (SELECT src, dst, ${duckCos("es.v", "ed.v")} AS cos
-         |  FROM p0 JOIN e es ON es.vec_id = src JOIN e ed ON ed.vec_id = dst),
+         |  FROM p0 JOIN ec es ON es.vec_id = src JOIN ec ed ON ed.vec_id = dst),
          |ed0 AS (SELECT src, dst FROM (
          |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM sc0)
          |  WHERE rn <= $r),
          |non AS (SELECT DISTINCT x.src, y.dst FROM ed0 x JOIN ed0 y ON x.dst = y.src WHERE x.src <> y.dst),
          |cand AS (SELECT src, dst FROM p0 UNION SELECT src, dst FROM non),
          |sc1 AS (SELECT src, dst, ${duckCos("es.v", "ed.v")} AS cos
-         |  FROM cand JOIN e es ON es.vec_id = src JOIN e ed ON ed.vec_id = dst),
-         |edges AS (SELECT src, dst FROM (
-         |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM sc1)
+         |  FROM cand JOIN ec es ON es.vec_id = src JOIN ec ed ON ed.vec_id = dst),
+         |edges AS (SELECT src, dst, cos FROM (
+         |    SELECT src, dst, cos, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM sc1)
          |  WHERE rn <= $r),
          |edsym AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
-         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
-         |anc AS (SELECT vec_id, v AS av FROM e WHERE vec_id % 64 = 0),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE $queryFilter),
+         |anc AS (SELECT vec_id, v AS av FROM ec WHERE vec_id % 64 = 0),
          |s0 AS (SELECT q_id, vec_id, cos FROM (
          |    SELECT q.q_id, anc.vec_id, ${duckCos("qv", "av")} AS cos,
          |      row_number() OVER (PARTITION BY q.q_id ORDER BY ${duckCos("qv", "av")} DESC, anc.vec_id) AS rn
@@ -595,6 +663,61 @@ ORDER BY q_id, rank"""
        |SELECT * FROM (${(1 to 3).map(row).mkString(" UNION ALL ")})
        |ORDER BY hops""".stripMargin
   }
+
+  /** #26z INCREMENTAL graph-ANN maintenance as a gate query
+    * ([[graphInsertOf]] / `Graft.graphInsert`): build the s20 graph on
+    * corpus A (every vec_id % 10 ≠ 9), insert the held-out delta B
+    * (vec_id % 10 = 9) via search-connect-repair, and hash the ENTIRE
+    * resulting edge list — old nodes' repaired lists included — so the
+    * oracle replays build AND insert verbatim (one CTE tree: the s20
+    * chain on A with the delta as the query slice, plus the delta-cell
+    * seed, the new-out-edge rank and the reverse-repair re-rank).
+    * GraphAnnSpec's round-15 test pins recall@10 of the incremental
+    * graph within noise of a full rebuild on A ∪ B. */
+  private val s26: Q = (s, dir) => {
+    val all = vecs(s, dir)
+    val a = all.filter(pmod(col("vec_id"), lit(10)) =!= 9)
+    val b = all.filter(pmod(col("vec_id"), lit(10)) === 9)
+    val anchors = a.filter(pmod(col("vec_id"), lit(64)) === 0)
+    val edges = knnGraphOf(a, anchors, "vec_id", "v", "vec_id", "v",
+      r = 8, cellProbes = 2, descentRounds = 1).localCheckpoint(eager = false)
+    graphInsertOf(a, b, edges, anchors, anchors, "vec_id", "v",
+      r = 8, beam = 4, hops = 3)
+      .select(col("src"), col("dst"), r6(col("cos")).as("cos_sim"))
+      .orderBy("src", "dst")
+  }
+
+  private val s26Sql: String =
+    graphSearchCtes(r = 8, beam = 4, hops = 3,
+      corpusFilter = "vec_id % 10 <> 9", queryFilter = "vec_id % 10 = 9") + s""",
+eb AS (SELECT vec_id, v FROM e WHERE vec_id % 10 = 9),
+basg AS (SELECT vec_id, cell FROM (
+    SELECT eb.vec_id, c_id AS cell,
+      row_number() OVER (PARTITION BY eb.vec_id ORDER BY ${duckCos("v", "cv")} DESC, c_id) AS arn
+    FROM eb CROSS JOIN cents) WHERE arn <= 2),
+breps AS (SELECT vec_id, cell FROM (
+    SELECT vec_id, cell, row_number() OVER (PARTITION BY cell
+      ORDER BY CAST(('0x' || substr(md5('s20cap:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id) AS crn
+    FROM basg) WHERE crn <= 256),
+bp AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+  FROM basg a JOIN breps b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+bsc AS (SELECT src, dst, ${duckCos("es.v", "ed.v")} AS cos
+  FROM bp JOIN eb es ON es.vec_id = src JOIN eb ed ON ed.vec_id = dst),
+bed AS (SELECT src, dst, cos FROM (
+    SELECT src, dst, cos, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM bsc)
+  WHERE rn <= 8),
+newc AS (SELECT q_id AS src, vec_id AS dst, cos FROM allsc
+  UNION SELECT src, dst, cos FROM bed),
+newout AS (SELECT src, dst, cos FROM (
+    SELECT src, dst, cos, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM newc)
+  WHERE rn <= 8),
+alle AS (SELECT src, dst, cos FROM edges
+  UNION SELECT src, dst, cos FROM newout
+  UNION SELECT dst AS src, src AS dst, cos FROM newout),
+fin AS (SELECT src, dst, cos FROM (
+    SELECT src, dst, cos, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM alle)
+  WHERE rn <= 8)
+SELECT src, dst, round(cos, 6) AS cos_sim FROM fin ORDER BY src, dst"""
 
   /** #26y MMR diversified re-ranking (Carbonell & Goldstein 1998) —
     * the retrieval-quality stage between ANN search and the user: from
@@ -2875,6 +2998,7 @@ ORDER BY q_id, rank"""
     "s05_ann_recall" -> s05,
     "s20_ann_graph" -> s20,
     "s21_recall_frontier" -> s21,
+    "s26_ann_insert" -> s26,
     "s22_mmr_diversify" -> s22,
     "s24_rank_eval" -> s24,
     "s25_index_drift" -> s25)
@@ -2904,6 +3028,7 @@ ORDER BY q_id, rank"""
     "s05_ann_recall" -> s05Sql,
     "s20_ann_graph" -> s20Sql,
     "s21_recall_frontier" -> s21Sql,
+    "s26_ann_insert" -> s26Sql,
     "s22_mmr_diversify" -> s22Sql,
     "s24_rank_eval" -> s24Sql,
     "s25_index_drift" -> s25Sql)

@@ -171,6 +171,40 @@ object SketchStore {
       .groupBy(col("r"), col("b"))
       .agg(sum(col("cnt")).as("cnt"))
 
+  /** Per-landing BLOOM set-bit position state over a text column's
+    * normalized content hash: DISTINCT `pos` rows, ≤ min(k·n, m) per
+    * landing and ≤ m merged — the fourth mergeable sketch
+    * ([[graft.ops.DataOps.bloomProbeOf]]'s exact position formula, so
+    * a landed state IS that filter's state). Merge = bitwise OR = set
+    * union of positions ([[mergedBloom]]'s distinct) — associative,
+    * commutative AND idempotent, the strongest merge law of the four:
+    * merge(state(A), state(B)) == state(A ∪ B) row-for-row, and
+    * re-landing any landing is a no-op even before the dynamic-
+    * overwrite guard. No false negatives survive the store: a content
+    * hash landed at ANY tick has all k positions set in every later
+    * merge (monotone union, spec-pinned). */
+  def bloomState(df: DataFrame, textCol: String, mBits: Int = 2048,
+                 kHashes: Int = 4): DataFrame = {
+    require(mBits >= 2 && kHashes >= 1,
+      s"need mBits >= 2 and kHashes >= 1, got $mBits/$kHashes")
+    val m = md5(trim(regexp_replace(lower(col(textCol)), "\\s+", " ")))
+    df.select(explode(array((0 until kHashes).map(i =>
+        pmod(graft.F.hash60(concat(lit(s"bloom$i:"), m)),
+          lit(mBits.toLong))): _*)).as("pos"))
+      .distinct()
+  }
+
+  /** Merged Bloom state across landings: the position-set union.
+    * `beforeLanding` bounds the read to landings strictly earlier —
+    * the probe-then-land loop's "history as of tick t" view, pruned
+    * to the store's landing partitions. */
+  def mergedBloom(spark: SparkSession, path: String,
+                  beforeLanding: Option[Long] = None): DataFrame = {
+    val all = spark.read.parquet(path)
+    beforeLanding.fold(all)(b => all.filter(col("__landing") < b))
+      .select(col("pos")).distinct()
+  }
+
   /** Distinct-count estimate per key group from HLL register state:
     * (keys..., est). Composite estimator with linear counting; the
     * float fold runs over the rho histogram in rho order. */

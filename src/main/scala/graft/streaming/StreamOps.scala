@@ -1001,6 +1001,114 @@ object StreamOps {
         (col("n_est") - col("n_exact")).as("overest"), col("cells_used"))
   }
 
+  /** Land one micro-batch's Bloom set-bit positions (the a05 filter as
+    * durable per-landing state — [[graft.sinks.SketchStore.bloomState]];
+    * batchId = landing id ⇒ replay idempotent twice over: dynamic
+    * overwrite AND the union merge law's idempotence). */
+  def bloomTick(spark: SparkSession, storePath: String, batch: DataFrame,
+                textCol: String, mBits: Int, kHashes: Int,
+                landingId: Long): Unit =
+    graft.sinks.SketchStore.land(spark, storePath,
+      graft.sinks.SketchStore.bloomState(batch, textCol, mBits, kHashes), landingId)
+
+  /** Membership report for a batch against MERGED Bloom state only
+    * (optionally bounded to landings before `beforeLanding` — the
+    * probe-then-land loop's history view): (doc_id, bloom_hit). The
+    * merged state is ≤ m rows — broadcast, never shuffled; history
+    * content is NEVER read (the point: probing 100 TB of landed
+    * history costs an m-bit broadcast). No false negatives: a hit is
+    * missed only if some position is unset, impossible once the
+    * content's landing merged (monotone union). */
+  def bloomStoreProbe(spark: SparkSession, storePath: String,
+                      batch: DataFrame, idCol: String, textCol: String,
+                      mBits: Int, kHashes: Int,
+                      beforeLanding: Option[Long] = None): DataFrame = {
+    val bits = graft.sinks.SketchStore.mergedBloom(spark, storePath, beforeLanding)
+      .withColumn("__set", lit(1))
+    val m = md5(trim(regexp_replace(lower(col(textCol)), "\\s+", " ")))
+    batch.select(col(idCol).as("doc_id"), m.as("__m"))
+      .withColumn("pos", explode(array((0 until kHashes).map(i =>
+        pmod(graft.F.hash60(concat(lit(s"bloom$i:"), col("__m"))),
+          lit(mBits.toLong))): _*)))
+      .join(broadcast(bits), Seq("pos"), "left")
+      .groupBy(col("doc_id"), col("__m"))
+      .agg((count(col("__set")) === kHashes).cast("int").as("bloom_hit"))
+      .select(col("doc_id"), col("__m"), col("bloom_hit"))
+  }
+
+  /** The a05 Bloom membership filter run CONTINUOUSLY: every
+    * micro-batch lands its distinct set-bit positions; the merged
+    * store answers membership probes over EVERYTHING ever landed at
+    * ≤ m-row cost — the membership sibling of [[streamingTermSketch]]
+    * (CMS) and [[streamingSketchProfile]] (HLL/hist). */
+  def streamingBloom(spark: SparkSession, docs: DataFrame,
+                     storePath: String, checkpointDir: String,
+                     textCol: String = "text", mBits: Int = 2048,
+                     kHashes: Int = 4):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          bloomTick(spark, storePath, batch, textCol, mBits, kHashes, batchId)
+          ()
+        }
+      }
+      .start()
+
+  /** #35m the Bloom membership filter as a two-tick batch REPLAY (the
+    * st09/st10/st12 rule): tick 0 lands the even-doc half's set-bit
+    * positions, tick 1 probes the odd half against merged state OF
+    * LANDINGS BEFORE IT (then lands its own positions into the store —
+    * the probe-then-land loop). Report = the a05 shape for the odd
+    * half: bloom_hit from the STORE, exact_hit/is_fp recomputed
+    * in-plan as gate evidence — the no-false-negative law
+    * (exact_hit = 1 ⇒ bloom_hit = 1) visible per row. The oracle
+    * probes the even half directly — equal to the store path by the
+    * union merge law. */
+  private val st13: Q = (s, dir) => {
+    val docs = Tables.t(s, dir, "documents")
+    val store = java.nio.file.Files.createTempDirectory("graft_stream_bloom_").toString
+    (0 until 2).foreach { tk =>
+      bloomTick(s, s"$store/bloom", docs.filter(pmod(col("doc_id"), lit(2L)) === tk),
+        "text", 2048, 4, tk.toLong)
+    }
+    val probed = bloomStoreProbe(s, s"$store/bloom",
+      docs.filter(pmod(col("doc_id"), lit(2L)) === 1), "doc_id", "text",
+      2048, 4, beforeLanding = Some(1L))
+    val normMd5 = md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+    val exact = docs.filter(pmod(col("doc_id"), lit(2L)) === 0)
+      .select(normMd5.as("__m")).distinct().withColumn("__ex", lit(1))
+    probed
+      .join(broadcast(exact), Seq("__m"), "left")
+      .withColumn("exact_hit", when(col("__ex").isNotNull, lit(1)).otherwise(lit(0)))
+      .withColumn("is_fp", (col("bloom_hit") === 1 && col("exact_hit") === 0).cast("int"))
+      .select(col("doc_id"), col("bloom_hit"), col("exact_hit"), col("is_fp"))
+      .orderBy("doc_id")
+  }
+
+  private val st13Sql =
+    """WITH hist AS (SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS m
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |bat AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS m
+      |  FROM documents WHERE doc_id % 2 = 1),
+      |bits AS (SELECT DISTINCT
+      |    CAST(('0x' || substr(md5('bloom' || i.i || ':' || m), 1, 15)) AS BIGINT) % 2048 AS pos
+      |  FROM hist, range(0, 4) i(i)),
+      |probe AS (SELECT doc_id, m,
+      |    CAST(('0x' || substr(md5('bloom' || i.i || ':' || m), 1, 15)) AS BIGINT) % 2048 AS pos
+      |  FROM bat, range(0, 4) i(i)),
+      |bh AS (SELECT doc_id, m,
+      |    CAST(CASE WHEN count(bits.pos) = 4 THEN 1 ELSE 0 END AS INT) AS bloom_hit
+      |  FROM probe LEFT JOIN bits ON probe.pos = bits.pos
+      |  GROUP BY doc_id, m),
+      |hx AS (SELECT DISTINCT m FROM hist)
+      |SELECT doc_id, bloom_hit,
+      |  CAST(CASE WHEN hx.m IS NULL THEN 0 ELSE 1 END AS INT) AS exact_hit,
+      |  CAST(CASE WHEN bloom_hit = 1 AND hx.m IS NULL THEN 1 ELSE 0 END AS INT) AS is_fp
+      |FROM bh LEFT JOIN hx ON bh.m = hx.m
+      |ORDER BY doc_id""".stripMargin
+
   /** The a04 CMS frequency sketch run CONTINUOUSLY: every micro-batch
     * lands its own counter state; the merged store answers frequency
     * probes over EVERYTHING ever landed at state-sized cost
@@ -1105,6 +1213,7 @@ object StreamOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "st13_stream_bloom" -> st13,
     "st10_stream_profile" -> st10,
     "st12_stream_topfreq" -> st12,
     "st08_stream_psi" -> st08,
@@ -1118,6 +1227,7 @@ object StreamOps {
     "st04_stream_topk" -> st04)
 
   val oracle: Map[String, String] = Map(
+    "st13_stream_bloom" -> st13Sql,
     "st10_stream_profile" -> st10Sql,
     "st12_stream_topfreq" -> st12Sql,
     "st08_stream_psi" -> st08Sql,
