@@ -161,11 +161,22 @@ object Bench {
     val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     val rr = reruns.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
     val total = ordered.map(_._2).filter(_ >= 0).sum
+    // Provenance stamp (round-14 postmortem: the committed artifact and
+    // GATE.json cited DIFFERENT same-evening runs, so cross-round
+    // per-query diffs overstated regressions ~31%): run_id names this
+    // run in every artifact derived from it, and the canary trio —
+    // untouched pure-compute queries that move only with HOST state —
+    // lets a reader normalize cross-round ratios before calling
+    // anything a regression (the graft-host-variance rule).
+    val runId = s"${sys.env.getOrElse("HOSTNAME", "local")}_${System.currentTimeMillis / 1000}"
+    val canaries = Seq("s07_pca_cov", "q92_adf", "q50_funnel")
+      .map(n => "\"" + n + "\":" + ms(results.getOrElse(n, -1.0)))
+      .mkString("{", ",", "}")
     // ms precision, and the headline metric/value/unit keys LAST: the
     // harness that consumes this line keeps only a bounded tail of the
     // output, so with ~112 queries the head of the line is what gets
     // truncated — the totals must live at the end to survive.
-    val line = s"""{"queries":$qs,"errors":$errs,"reruns":$rr,"jvm_chunks":${chunks.size},"sf":"$sfDir","n":${names.size},"metric":"total","value":${ms(total)},"unit":"sec"}"""
+    val line = s"""{"queries":$qs,"errors":$errs,"reruns":$rr,"jvm_chunks":${chunks.size},"run_id":"$runId","canaries":$canaries,"sf":"$sfDir","n":${names.size},"metric":"total","value":${ms(total)},"unit":"sec"}"""
     println(line)
     // The complete self-written artifact (see FullArtifact doc): the
     // stdout line may be tail-truncated by the harness that records it,
@@ -182,7 +193,7 @@ object Bench {
     // per-query map lives in the committed BENCH_FULL.json.
     val slowest = ordered.filter(_._2 >= 0).sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
-    println(s"""{"slowest":$slowest,"reruns":$rr,"error_count":${errors.size},"jvm_chunks":${chunks.size},"full":"$FullArtifact","sf":"$sfDir","n":${names.size},"metric":"total","value":${ms(total)},"unit":"sec"}""")
+    println(s"""{"slowest":$slowest,"reruns":$rr,"error_count":${errors.size},"jvm_chunks":${chunks.size},"full":"$FullArtifact","run_id":"$runId","canaries":$canaries,"sf":"$sfDir","n":${names.size},"metric":"total","value":${ms(total)},"unit":"sec"}""")
     // the run-scoped probe cache has served every chunk: sweep it so
     // repeated bench cycles don't accumulate /tmp dirs
     probeCache.foreach { dir =>

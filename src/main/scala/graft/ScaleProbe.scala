@@ -275,7 +275,56 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** `runMain graft.ScaleProbe landings [N]` — the sketch-store
+    * landing-count probe (the OTHER growth axis the ×100 volume probes
+    * don't exercise): land N daily HLL-state landings (one sf0.1
+    * events day-slice each, ids offset per landing so cardinality
+    * grows), then time the merged estimate at N/10 and N landings and
+    * count store files both ways. State rows grow ≤ m·keys per
+    * landing and files O(landings) (one partition each, compacted at
+    * the MergeWriter threshold) — the merged read is state-sized ×
+    * landings, NEVER raw-history-sized; this probe names that curve. */
+  private def landingsProbe(n: Int): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = Sessions.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val keys = Seq("event_type")
+    val ev = Tables.t(spark, src, "events")
+      .select(col("event_type"), col("user_id")).localCheckpoint(eager = true)
+    val store = java.nio.file.Files.createTempDirectory("graft_landings_").toString
+    def fileCount(): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(store))
+    }
+    def mergedSec(): Double = {
+      val t0 = System.nanoTime()
+      graft.sinks.SketchStore.hllEstimate(
+        graft.sinks.SketchStore.mergedHll(spark, store, keys), keys)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    var low = (0.0, 0)
+    (0 until n).foreach { l =>
+      graft.sinks.SketchStore.land(spark, store,
+        graft.sinks.SketchStore.hllState(
+          ev.select(col("event_type"),
+            (col("user_id") + lit(l.toLong * 10000000L)).as("user_id")),
+          keys, "user_id"), l.toLong)
+      if (l + 1 == math.max(1, n / 10)) low = (mergedSec(), fileCount())
+    }
+    val (secN, filesN) = (mergedSec(), fileCount())
+    def ms(v: Double): Double = math.rint(v * 1000) / 1000
+    println(s"""{"probe":"landings","landings":$n,"merged_sec_at_${math.max(1, n / 10)}":${ms(low._1)},"files_at_${math.max(1, n / 10)}":${low._2},"merged_sec_at_$n":${ms(secN)},"files_at_$n":$filesN,"metric":"landings_growth","value":${ms(secN / math.max(low._1, 1e-9))},"unit":"x"}""")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("landings")) {
+      landingsProbe(args.lift(1).map(_.toInt).getOrElse(100))
+      return
+    }
     if (args.headOption.contains("p05tick")) {
       p05TickProbe(args.lift(1).map(_.toInt).getOrElse(10))
       return
