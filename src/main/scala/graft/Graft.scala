@@ -720,6 +720,16 @@ object Graft {
                budget: Long): DataFrame =
     ops.DataOps.packBinsOf(df, shard, id, tokens, budget)
 
+  /** Concat-and-chunk: the deterministically shuffled token stream is
+    * cut into fixed-`seqLen` training sequences, docs crossing
+    * boundaries (the GPT-style zero-padding recipe; packBins is the
+    * whole-doc alternative). One row per (doc, sequence) overlap with
+    * `shard`, `seq_id`, `seq_off`, `n_toks`; zero-token docs drop. */
+  def concatChunk(df: DataFrame, id: String, tokens: String,
+                  seqLen: Long, nShards: Int,
+                  salt: String = "graft"): DataFrame =
+    ops.DataOps.concatChunkOf(df, id, tokens, seqLen, nShards, salt)
+
   /** Corpus-wide top-k term frequencies with a total tie-break; the
     * shuffle carries (term, partial count), not tokens. */
   def topTerms(docs: DataFrame, text: String, k: Int): DataFrame =

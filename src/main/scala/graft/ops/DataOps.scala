@@ -116,6 +116,86 @@ object DataOps {
       |FROM c
       |ORDER BY doc_id""".stripMargin
 
+  /** Concat-and-chunk sequence assembly over ANY token-counted doc
+    * table (public operator behind [[graft.Graft.concatChunk]]) — the
+    * pretraining dataloader's OTHER packing discipline, next to
+    * [[packBinsOf]]: ds03 keeps documents whole (first-fit bins, a
+    * padded tail per bin); this one CONCATENATES the deterministically
+    * shuffled token stream and cuts it into fixed-`seqLen` sequences,
+    * documents crossing sequence boundaries — the GPT-2/LLaMA recipe
+    * (zero padding; every sequence is exactly `seqLen` tokens except
+    * each shard's last). Output is the SPAN map the loader and any
+    * attention-boundary masking need: one row per (document, sequence)
+    * overlap with the offset inside the sequence and the token count
+    * contributed.
+    *
+    * Order is the ds08 deterministic permutation (md5(salt‖id), never
+    * rand()): shard = h mod `nShards`, within-shard order (h, id) — so
+    * the chunking is a pure function of (salt, ids, token counts),
+    * bit-stable under reruns/retries/cluster size, and shards are
+    * INDEPENDENT: one prefix-sum window per shard (nShards ≥ executor
+    * count keeps every core busy; no global sort ever happens). A doc
+    * spans sequences floor(start/L)..floor((end−1)/L) — the explode
+    * emits ≤ n/L + 1 rows per doc, so output size is tokens/L + docs
+    * rows, integer arithmetic end to end. Zero-token docs are dropped
+    * (nothing to place; spec-pinned). */
+  def concatChunkOf(df: DataFrame, idCol: String, tokensCol: String,
+                    seqLen: Long, nShards: Int,
+                    salt: String = "graft"): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val h = hash60(concat(lit(salt + ":"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.filter(col(tokensCol) > 0)
+      .withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)).cast("int"))
+      .withColumn("__end", sum(col(tokensCol).cast("long")).over(w))
+      .withColumn("__start", col("__end") - col(tokensCol))
+      .withColumn("seq_id", explode(sequence(
+        (col("__start") / seqLen).cast("long"),
+        ((col("__end") - 1) / seqLen).cast("long"))))
+      .withColumn("seq_off",
+        greatest(col("__start") - col("seq_id") * seqLen, lit(0L)))
+      .withColumn("n_toks",
+        least(col("__end"), (col("seq_id") + 1) * seqLen)
+          - greatest(col("__start"), col("seq_id") * seqLen))
+      .drop("__h", "__end", "__start")
+  }
+
+  /** #38b chunk the documents corpus into 512-token training
+    * sequences over 8 shards (GPT-style concat-and-chunk; ds03's
+    * whole-doc bins are the padded alternative). */
+  private val ds24: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+      .withColumn("n_tokens", size(words(col("text"))).cast("long"))
+    concatChunkOf(docs, "doc_id", "n_tokens", seqLen = 512L, nShards = 8)
+      .select(col("shard"), col("seq_id"), col("doc_id"), col("seq_off"), col("n_toks"))
+      .orderBy("shard", "seq_id", "seq_off")
+  }
+
+  private val ds24Sql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+      |    CAST(('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, n_tokens, h % 8 AS shard,
+      |    sum(n_tokens) OVER (PARTITION BY h % 8 ORDER BY h, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+      |  FROM d WHERE n_tokens > 0),
+      |x AS (
+      |  SELECT shard, doc_id, e - n_tokens AS st, e,
+      |    unnest(generate_series(CAST((e - n_tokens) // 512 AS BIGINT),
+      |      CAST((e - 1) // 512 AS BIGINT))) AS seq_id
+      |  FROM s)
+      |SELECT CAST(shard AS INT) AS shard, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+      |  CAST(greatest(st - seq_id * 512, 0) AS BIGINT) AS seq_off,
+      |  CAST(least(e, (seq_id + 1) * 512) - greatest(st, seq_id * 512) AS BIGINT) AS n_toks
+      |FROM x
+      |ORDER BY shard, seq_id, seq_off""".stripMargin
+
   /** Deterministic global shuffle + sharding (public operator behind
     * [[graft.Graft.shuffleShards]]) — the order-randomizing step before
     * training-data export: h = md5-hash of (salt || id), shard = h mod
@@ -1513,6 +1593,7 @@ object DataOps {
     "ds01_hash_split" -> ds01,
     "ds02_det_sample" -> ds02,
     "ds03_pack_bins" -> ds03,
+    "ds24_concat_chunk" -> ds24,
     "ds04_top_terms" -> ds04,
     "ds05_bigram_stats" -> ds05)
 
@@ -1538,6 +1619,7 @@ object DataOps {
     "ds01_hash_split" -> ds01Sql,
     "ds02_det_sample" -> ds02Sql,
     "ds03_pack_bins" -> ds03Sql,
+    "ds24_concat_chunk" -> ds24Sql,
     "ds04_top_terms" -> ds04Sql,
     "ds05_bigram_stats" -> ds05Sql)
 }
