@@ -428,6 +428,14 @@ object Graft {
     * The scored set is the candidate budget — the recall-at-low-budget
     * frontier vs [[annIvf]]'s probed cells (GraphAnnSpec measures
     * both). Returns (q_id, rank, <id>, cos_sim). */
+  /** FreshDiskANN delete consolidation: drop all edges touching
+    * `deleted` ids and stitch severed paths p→d→x into p's re-ranked
+    * top-r list. Untouched nodes keep lists bit-identically; stitch
+    * volume is edge-bounded, never corpus-bounded. */
+  def graphDelete(corpus: DataFrame, deleted: DataFrame, edges: DataFrame,
+                  id: String, vec: String, r: Int = 8): DataFrame =
+    ops.SimOps.graphDeleteOf(corpus, deleted, edges, id, vec, r)
+
   def annGraph(corpus: DataFrame, queries: DataFrame, anchors: DataFrame,
                edges: DataFrame, id: String, vec: String, k: Int,
                beam: Int = 4, hops: Int = 3,

@@ -498,6 +498,66 @@ object SimOps {
       .union(newOut).union(rev).distinct())
   }
 
+  /** Graph-ANN DELETE consolidation (public operator behind
+    * [[graft.Graft.graphDelete]]) — the other half of the FreshDiskANN
+    * maintenance loop next to [[graphInsertOf]] (Singh 2021,
+    * arXiv:2105.09613 §4.2 delete consolidation): when vectors leave a
+    * 100 TB index (takedowns, TTL expiry, dedup removals) a full
+    * rebuild is off the table, and simply dropping the deleted nodes'
+    * rows would sever every path that routed THROUGH them. Two bounded
+    * relational steps over the edge list:
+    *
+    *   drop     all edges touching a deleted node (src or dst) —
+    *            two anti joins against the delete set;
+    *   stitch   for every live p with a severed edge p→d, d's live
+    *            out-neighbors x become candidates for p (p→d→x
+    *            collapses to p→x — the FreshDiskANN rule), scored by
+    *            exact cosine and re-ranked into p's list with its
+    *            surviving edges (top-`r`, cos desc, ties → smaller
+    *            dst). Stitch volume is ≤ r per severed edge — bounded
+    *            by the edge list, never the corpus.
+    *
+    * Untouched nodes (no edge to a deleted node) keep their lists
+    * BIT-identically (top-r of their own ≤ r surviving rows); a stitch
+    * pair that already exists as a live edge scores identical bits
+    * (same vectors, same kernel), so the distinct collapses it. A pure
+    * function of (corpus, deleted, edges) with total-order ranks — the
+    * DuckDB oracle replays build AND delete verbatim. Scale shape: the
+    * delete set joins as a normal table (broadcast when small, shuffle
+    * when not); vectors are touched only for the stitch pairs. */
+  def graphDeleteOf(corpus: DataFrame, deleted: DataFrame, edges: DataFrame,
+                    idCol: String, vecCol: String, r: Int): DataFrame = {
+    require(r >= 1, s"r must be >= 1, got $r")
+    val v = corpus.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+    val del = deleted.select(col(idCol).as("vec_id")).distinct()
+    val e = edges.select(col("src"), col("dst"), col("cos"))
+    val live = e
+      .join(del.select(col("vec_id").as("src")), Seq("src"), "left_anti")
+      .join(del.select(col("vec_id").as("dst")), Seq("dst"), "left_anti")
+      .select(col("src"), col("dst"), col("cos"))
+    // severed: live p → deleted d;   outgoing: deleted d → live x
+    val severed = e
+      .join(del.select(col("vec_id").as("src")), Seq("src"), "left_anti")
+      .join(del.select(col("vec_id").as("dst")), Seq("dst"), "left_semi")
+      .select(col("src").as("p"), col("dst").as("d"))
+    val outgoing = e
+      .join(del.select(col("vec_id").as("src")), Seq("src"), "left_semi")
+      .join(del.select(col("vec_id").as("dst")), Seq("dst"), "left_anti")
+      .select(col("src").as("d"), col("dst").as("x"))
+    val stitch = severed.join(outgoing, "d")
+      .filter(col("p") =!= col("x"))
+      .select(col("p").as("src"), col("x").as("dst"))
+      .distinct()
+    val stitchScored = stitch
+      .join(v.select(col("vec_id").as("src"), col("v").as("sv")), "src")
+      .join(v.select(col("vec_id").as("dst"), col("v").as("dv")), "dst")
+      .select(col("src"), col("dst"), expr("graft_cosine(sv, dv)").as("cos"))
+    val wTop = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+    live.union(stitchScored).distinct()
+      .withColumn("__rn", row_number().over(wTop))
+      .filter(col("__rn") <= r).drop("__rn")
+  }
+
   /** #26b LSH-bucketed ANN — the second scale path the brief names next
     * to IVF: the d05 24-bit sketch, 4 bands × 6 bits, exact-cosine
     * rank within shared buckets; the oracle replays the identical
@@ -714,6 +774,48 @@ newout AS (SELECT src, dst, cos FROM (
 alle AS (SELECT src, dst, cos FROM edges
   UNION SELECT src, dst, cos FROM newout
   UNION SELECT dst AS src, src AS dst, cos FROM newout),
+fin AS (SELECT src, dst, cos FROM (
+    SELECT src, dst, cos, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM alle)
+  WHERE rn <= 8)
+SELECT src, dst, round(cos, 6) AS cos_sim FROM fin ORDER BY src, dst"""
+
+  /** #26z2 graph-ANN DELETE consolidation as a gate query
+    * ([[graphDeleteOf]] / `Graft.graphDelete`): build the s20 graph on
+    * the FULL corpus, delete the vec_id % 10 = 9 slice (the same 10%
+    * s26 inserts — the maintenance loop closed from both sides), and
+    * hash the ENTIRE post-delete edge list — severed paths stitched
+    * p→d→x per FreshDiskANN, untouched nodes bit-identical — so the
+    * oracle replays build AND delete verbatim. Round15bSpec pins that
+    * no deleted id survives, untouched lists are bit-identical, and
+    * search recall over the consolidated graph stays within noise of a
+    * full rebuild on the live corpus. */
+  private val s27: Q = (s, dir) => {
+    val all = vecs(s, dir)
+    val anchors = all.filter(pmod(col("vec_id"), lit(64)) === 0)
+    val edges = knnGraphOf(all, anchors, "vec_id", "v", "vec_id", "v",
+      r = 8, cellProbes = 2, descentRounds = 1).localCheckpoint(eager = false)
+    val del = all.filter(pmod(col("vec_id"), lit(10)) === 9)
+    graphDeleteOf(all, del, edges, "vec_id", "v", r = 8)
+      .select(col("src"), col("dst"), r6(col("cos")).as("cos_sim"))
+      .orderBy("src", "dst")
+  }
+
+  private val s27Sql: String =
+    graphSearchCtes(r = 8, beam = 4, hops = 0) + s""",
+del AS (SELECT vec_id FROM e WHERE vec_id % 10 = 9),
+live AS (SELECT src, dst, cos FROM edges
+  WHERE src NOT IN (SELECT vec_id FROM del)
+    AND dst NOT IN (SELECT vec_id FROM del)),
+sev AS (SELECT src AS p, dst AS d FROM edges
+  WHERE dst IN (SELECT vec_id FROM del)
+    AND src NOT IN (SELECT vec_id FROM del)),
+outg AS (SELECT src AS d, dst AS x FROM edges
+  WHERE src IN (SELECT vec_id FROM del)
+    AND dst NOT IN (SELECT vec_id FROM del)),
+st AS (SELECT DISTINCT p AS src, x AS dst FROM sev JOIN outg USING (d) WHERE p <> x),
+stsc AS (SELECT st.src, st.dst, ${duckCos("es.v", "ed.v")} AS cos
+  FROM st JOIN ec es ON es.vec_id = st.src JOIN ec ed ON ed.vec_id = st.dst),
+alle AS (SELECT src, dst, cos FROM live UNION SELECT src, dst, cos FROM stsc),
 fin AS (SELECT src, dst, cos FROM (
     SELECT src, dst, cos, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM alle)
   WHERE rn <= 8)
@@ -2999,6 +3101,7 @@ SELECT src, dst, round(cos, 6) AS cos_sim FROM fin ORDER BY src, dst"""
     "s20_ann_graph" -> s20,
     "s21_recall_frontier" -> s21,
     "s26_ann_insert" -> s26,
+    "s27_ann_delete" -> s27,
     "s22_mmr_diversify" -> s22,
     "s24_rank_eval" -> s24,
     "s25_index_drift" -> s25)
@@ -3029,6 +3132,7 @@ SELECT src, dst, round(cos, 6) AS cos_sim FROM fin ORDER BY src, dst"""
     "s20_ann_graph" -> s20Sql,
     "s21_recall_frontier" -> s21Sql,
     "s26_ann_insert" -> s26Sql,
+    "s27_ann_delete" -> s27Sql,
     "s22_mmr_diversify" -> s22Sql,
     "s24_rank_eval" -> s24Sql,
     "s25_index_drift" -> s25Sql)

@@ -56,4 +56,62 @@ class Round15bSpec extends SparkSpec {
         "chunking must be a pure function of (salt, ids, token counts)")
     } finally out.unpersist()
   }
+
+  // ----------------- s27 graph delete: consolidation vs full rebuild
+
+  test("graphDeleteOf: no deleted id survives, untouched nodes keep lists " +
+    "bit-identically, and search recall over the consolidated graph is " +
+    "within noise of a full rebuild on the live corpus") {
+    import graft.ops.SimOps
+    val all = Tables.t(spark, "/root/testdata/sf0.01", "embeddings")
+      .select(col("vec_id"), F.asDouble(col("embedding")).as("v"))
+    val live = all.filter(col("vec_id") % 10 =!= 9)
+    val del = all.filter(col("vec_id") % 10 === 9)
+    // anchors are even ids, never % 10 == 9 ∩ % 64 == 0 — the anchor
+    // slice survives the delete, so both graphs search identically
+    val anchors = all.filter(pmod(col("vec_id"), lit(64)) === 0)
+    val edges = SimOps.knnGraphOf(all, anchors, "vec_id", "v", "vec_id", "v",
+      r = 8, cellProbes = 2, descentRounds = 1).localCheckpoint(eager = true)
+    val cons = SimOps.graphDeleteOf(all, del, edges, "vec_id", "v", r = 8)
+      .localCheckpoint(eager = true)
+    // 1. deleted ids appear nowhere
+    assert(cons.filter(col("src") % 10 === 9 || col("dst") % 10 === 9).count() == 0L,
+      "deleted ids must vanish from both edge ends")
+    assert(cons.groupBy("src").count().agg(max("count")).head().getLong(0) <= 8L,
+      "out-degree cap must survive the delete")
+    // 2. untouched nodes (no edge into the delete set) keep lists bit-identically
+    val touched = edges.join(del.select(col("vec_id").as("dst")), Seq("dst"), "left_semi")
+      .select(col("src")).distinct()
+    val untouchedOld = edges
+      .join(del.select(col("vec_id").as("src")), Seq("src"), "left_anti")
+      .join(touched, Seq("src"), "left_anti")
+      .select(col("src"), col("dst"), col("cos"))
+    val untouchedNew = cons.join(touched, Seq("src"), "left_anti")
+      .join(del.select(col("vec_id").as("src")), Seq("src"), "left_anti")
+      .join(untouchedOld.select(col("src")).distinct(), Seq("src"), "left_semi")
+      .select(col("src"), col("dst"), col("cos"))
+    assert(untouchedOld.exceptAll(untouchedNew).count() == 0L &&
+      untouchedNew.exceptAll(untouchedOld).count() == 0L,
+      "untouched nodes must keep their lists bit-identically")
+    // 3. recall on the live corpus: consolidated vs full rebuild
+    val rebuilt = SimOps.knnGraphOf(live, anchors, "vec_id", "v", "vec_id", "v",
+      r = 8, cellProbes = 2, descentRounds = 1).localCheckpoint(eager = true)
+    val queries = live.filter(col("vec_id") < 5)
+    val truth = Graft.knnBrute(live, queries, "vec_id", "v", 10)
+      .select(col("q_id").cast("long"), col("vec_id").cast("long")).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    def recallOf(e: org.apache.spark.sql.DataFrame): Double = {
+      val res = SimOps.graphAnnOf(live, queries, anchors, e, "vec_id", "v",
+        k = 10, beam = 4, hops = 3)
+        .select(col("q_id").cast("long"), col("vec_id").cast("long")).collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val per = truth.map { case (q, t) =>
+        (t intersect res.getOrElse(q, Set.empty)).size / 10.0 }
+      per.sum / per.size
+    }
+    val (rc, rr) = (recallOf(cons), recallOf(rebuilt))
+    info(f"consolidated recall@10 $rc%.3f vs live rebuild $rr%.3f")
+    assert(rc >= rr - 0.1,
+      s"consolidated graph recall $rc must be within noise of rebuild $rr")
+  }
 }
