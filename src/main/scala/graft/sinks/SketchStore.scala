@@ -111,6 +111,65 @@ object SketchStore {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Per-landing OHLC bar state over a keyed (ts, id, value) stream —
+    * the ALGEBRAIC sibling of the sketch states (q09's resample as
+    * durable mergeable state): open/close are VALUE PICKS carried
+    * with their (ts, id) merge keys (lexicographic struct min/max =
+    * argmin/argmax with the q09 tie-break — associative, commutative,
+    * per-item idempotent), high/low are plain min/max picks, and
+    * volume/n_trades are sums, so merge(state(A), state(B)) ==
+    * state(A ⊎ B) exactly on every pick/integer column; `volume` is
+    * the one float (reports round it — the q09 rule). Timestamps are
+    * carried at MICROSECOND precision (Spark's own comparison
+    * precision — the same total order the one-shot argmin uses).
+    * Output schema == [[mergedOhlc]]'s, so merged state re-merges. */
+  def ohlcState(df: DataFrame, keys: Seq[String], tsCol: String,
+                idCol: String, valueCol: String, unit: String): DataFrame =
+    df.groupBy((keys.map(col) :+
+        unix_millis(date_trunc(unit, col(tsCol))).as("bucket_ms")): _*)
+      .agg(
+        min(struct(unix_micros(col(tsCol)).as("o_ts"), col(idCol).as("o_id"),
+          col(valueCol).cast("double").as("open"))).as("__o"),
+        max(struct(unix_micros(col(tsCol)).as("c_ts"), col(idCol).as("c_id"),
+          col(valueCol).cast("double").as("close"))).as("__c"),
+        max(col(valueCol).cast("double")).as("high"),
+        min(col(valueCol).cast("double")).as("low"),
+        sum(col(valueCol).cast("double")).as("volume"),
+        count(lit(1)).as("n_trades"))
+      .select((keys.map(col) ++ Seq(col("bucket_ms"),
+        col("__o").getField("o_ts").as("o_ts"),
+        col("__o").getField("o_id").as("o_id"),
+        col("__o").getField("open").as("open"),
+        col("high"), col("low"),
+        col("__c").getField("c_ts").as("c_ts"),
+        col("__c").getField("c_id").as("c_id"),
+        col("__c").getField("close").as("close"),
+        col("volume"), col("n_trades"))): _*)
+
+  /** Merged [[ohlcState]] across landings: argmin/argmax re-picks via
+    * the carried (ts, id) keys, min/max/sum folds for the rest — the
+    * same schema back, so merging is associative at any landing
+    * grouping (spec-pinned: merged == one-shot state of the union). */
+  def mergedOhlc(spark: SparkSession, path: String, keys: Seq[String]): DataFrame =
+    spark.read.parquet(path)
+      .groupBy((keys.map(col) :+ col("bucket_ms")): _*)
+      .agg(
+        min(struct(col("o_ts"), col("o_id"), col("open"))).as("__o"),
+        max(struct(col("c_ts"), col("c_id"), col("close"))).as("__c"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        sum(col("volume")).as("volume"),
+        sum(col("n_trades")).as("n_trades"))
+      .select((keys.map(col) ++ Seq(col("bucket_ms"),
+        col("__o").getField("o_ts").as("o_ts"),
+        col("__o").getField("o_id").as("o_id"),
+        col("__o").getField("open").as("open"),
+        col("high"), col("low"),
+        col("__c").getField("c_ts").as("c_ts"),
+        col("__c").getField("c_id").as("c_id"),
+        col("__c").getField("close").as("close"),
+        col("volume"), col("n_trades"))): _*)
+
   /** Land one landing's sketch state (idempotent: replaying a landing
     * id replaces exactly its partition via dynamic overwrite). */
   def land(spark: SparkSession, path: String, state: DataFrame,

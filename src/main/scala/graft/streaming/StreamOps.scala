@@ -24,6 +24,10 @@ case class DocEvent(doc_id: Long, text: String)
 /** Arriving event for [[StreamOps.streamingSketchProfile]]. */
 case class ProfileEvent(event_type: String, user_id: Long, value: Double)
 
+/** Arriving tick for [[StreamOps.streamingOhlc]]. */
+case class TickEvent(event_type: String, event_id: Long,
+                     ts: java.sql.Timestamp, value: Double)
+
 /** Full OHLC bar for [[StreamOps.streamingHeikinAshi]]. */
 case class OhlcEvent(event_type: String, ts: java.sql.Timestamp,
                      open: Double, high: Double, low: Double, close: Double)
@@ -1109,6 +1113,92 @@ object StreamOps {
       |FROM bh LEFT JOIN hx ON bh.m = hx.m
       |ORDER BY doc_id""".stripMargin
 
+  /** Land one micro-batch's OHLC bar state (q09's resample as durable
+    * per-landing ALGEBRAIC state — [[graft.sinks.SketchStore.ohlcState]];
+    * batchId = landing id ⇒ replay idempotent by the dynamic-overwrite
+    * contract). */
+  def ohlcTick(spark: SparkSession, storePath: String, batch: DataFrame,
+               keys: Seq[String], tsCol: String, idCol: String,
+               valueCol: String, unit: String, landingId: Long): Unit =
+    graft.sinks.SketchStore.land(spark, storePath,
+      graft.sinks.SketchStore.ohlcState(batch, keys, tsCol, idCol, valueCol, unit),
+      landingId)
+
+  /** Bars from MERGED OHLC state only: per (keys, bucket) the exact
+    * open/high/low/close/n_trades (argmin/argmax picks and integer
+    * sums merge exactly at any landing grouping) plus the summed
+    * volume rounded r4 (the q09 float rule). Report cost is
+    * bars-sized — independent of how many raw rows the landings ever
+    * saw, the resample a 100 TB tick stream can afford per batch. */
+  def ohlcStoreReport(spark: SparkSession, storePath: String,
+                      keys: Seq[String]): DataFrame =
+    graft.sinks.SketchStore.mergedOhlc(spark, storePath, keys)
+      .select((keys.map(col) ++ Seq(col("bucket_ms"),
+        col("open"), col("high"), col("low"), col("close"),
+        F.r4(col("volume")).as("volume"), col("n_trades"))): _*)
+
+  /** q09's OHLCV resample run CONTINUOUSLY — the ALGEBRAIC member of
+    * the mergeable-state family (HLL/hist st10, CMS st12, Bloom st13;
+    * this one's state is the bars themselves): every micro-batch lands
+    * its own per-bucket bar state and overwrites the report derived
+    * from merged state. A late row for ANY old bucket is absorbed
+    * exactly (its landing merges by argmin/argmax/min/max/sum) — no
+    * watermark discards, no bar is ever wrong because its events
+    * split across batches. */
+  def streamingOhlc(spark: SparkSession, events: DataFrame,
+                    storePath: String, reportPath: String,
+                    checkpointDir: String,
+                    keys: Seq[String] = Seq("event_type"),
+                    tsCol: String = "ts", idCol: String = "event_id",
+                    valueCol: String = "value", unit: String = "hour"):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          ohlcTick(spark, storePath, batch, keys, tsCol, idCol, valueCol,
+            unit, batchId)
+          val rep = ohlcStoreReport(spark, storePath, keys)
+            .localCheckpoint(eager = true)
+          try rep.write.mode("overwrite").parquet(reportPath)
+          finally graft.Checkpoints.free(rep)
+          ()
+        }
+      }
+      .start()
+
+  /** #35n the q09 OHLCV resample as CONTINUOUS landed state (the
+    * st09/st10/st12/st13 three-tick batch replay): each tick lands one
+    * day-slice's bar state, the report derives from MERGED state only —
+    * and by the algebraic merge law it must hash-equal the one-shot
+    * q09 resample the oracle computes directly over the whole corpus
+    * (the merge law AS the parity check; the oracle is LITERALLY q09's
+    * SQL). Round15bSpec pins merge == one-shot on a random split,
+    * replay idempotency, and batch==stream via live MemoryStream. */
+  private val st14: Q = (s, dir) => {
+    val ev = Tables.t(s, dir, "events")
+      .withColumn("__tick", dayofmonth(col("ts")) % 3)
+    val store = java.nio.file.Files.createTempDirectory("graft_stream_ohlc_").toString
+    (0 until 3).foreach { tk =>
+      ohlcTick(s, s"$store/ohlc", ev.filter(col("__tick") === tk),
+        Seq("event_type"), "ts", "event_id", "value", "hour", tk.toLong)
+    }
+    ohlcStoreReport(s, s"$store/ohlc", Seq("event_type"))
+      .orderBy("event_type", "bucket_ms")
+  }
+
+  private val st14Sql =
+    """SELECT event_type, epoch_ms(date_trunc('hour', ts)) AS bucket_ms,
+      |  first(value ORDER BY ts, event_id) AS open,
+      |  max(value) AS high,
+      |  min(value) AS low,
+      |  last(value ORDER BY ts, event_id) AS close,
+      |  round(sum(value), 4) AS volume,
+      |  count(*) AS n_trades
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY event_type, bucket_ms""".stripMargin
+
   /** The a04 CMS frequency sketch run CONTINUOUSLY: every micro-batch
     * lands its own counter state; the merged store answers frequency
     * probes over EVERYTHING ever landed at state-sized cost
@@ -1214,6 +1304,7 @@ object StreamOps {
 
   val queries: Map[String, Q] = Map(
     "st13_stream_bloom" -> st13,
+    "st14_stream_ohlc" -> st14,
     "st10_stream_profile" -> st10,
     "st12_stream_topfreq" -> st12,
     "st08_stream_psi" -> st08,
@@ -1228,6 +1319,7 @@ object StreamOps {
 
   val oracle: Map[String, String] = Map(
     "st13_stream_bloom" -> st13Sql,
+    "st14_stream_ohlc" -> st14Sql,
     "st10_stream_profile" -> st10Sql,
     "st12_stream_topfreq" -> st12Sql,
     "st08_stream_psi" -> st08Sql,

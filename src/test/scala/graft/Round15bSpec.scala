@@ -114,4 +114,82 @@ class Round15bSpec extends SparkSpec {
     assert(rc >= rr - 0.1,
       s"consolidated graph recall $rc must be within noise of rebuild $rr")
   }
+
+  // ------------------ st14 continuous OHLC: the algebraic merge law
+
+  private def plantedTicks: Seq[(String, Long, java.sql.Timestamp, Double)] = {
+    // two symbols, ticks spread over 5 hourly buckets, including
+    // same-timestamp id ties (the argmin/argmax tie-break matters)
+    val base = 1700000000000L
+    (0 until 200).map { i =>
+      val sym = if (i % 2 == 0) "AAA" else "BBB"
+      val ts = new java.sql.Timestamp(base + (i % 5) * 3600000L + (i % 7) * 60000L)
+      (sym, i.toLong, ts, 100.0 + (i % 23) * 1.5 - (i % 11))
+    }
+  }
+
+  test("ohlcState merge law: landing-merged bars == one-shot state of the " +
+    "union (argmin/argmax picks, min/max, sums — exact at any split), " +
+    "and replaying a landing is a no-op") {
+    import spark.implicits._
+    import graft.sinks.SketchStore
+    val df = plantedTicks.toDF("event_type", "event_id", "ts", "value")
+    val store = java.nio.file.Files.createTempDirectory("r15b_ohlc_").toString
+    (0 until 3).foreach { l =>
+      SketchStore.land(spark, store, SketchStore.ohlcState(
+        df.filter(col("event_id") % 3 === l), Seq("event_type"),
+        "ts", "event_id", "value", "hour"), l.toLong)
+    }
+    // materialize: the replay below overwrites landing 0's files, and a
+    // lazy plan would re-list the store after the overwrite
+    val merged = SketchStore.mergedOhlc(spark, store, Seq("event_type"))
+      .localCheckpoint(eager = true)
+    val whole = SketchStore.ohlcState(df, Seq("event_type"),
+      "ts", "event_id", "value", "hour")
+    // volume is the one float: compare it rounded (the q09 rule),
+    // everything else must be bit-identical
+    def canon(d: org.apache.spark.sql.DataFrame) = d.select(
+      col("event_type"), col("bucket_ms"), col("o_ts"), col("o_id"),
+      col("open"), col("high"), col("low"), col("c_ts"), col("c_id"),
+      col("close"), F.r6(col("volume")).as("volume"), col("n_trades"))
+    assert(canon(merged).exceptAll(canon(whole)).count() == 0L &&
+      canon(whole).exceptAll(canon(merged)).count() == 0L,
+      "landing-merged OHLC state must equal the one-shot state")
+    // idempotent replay: re-land landing 0, merged state unchanged
+    SketchStore.land(spark, store, SketchStore.ohlcState(
+      df.filter(col("event_id") % 3 === 0), Seq("event_type"),
+      "ts", "event_id", "value", "hour"), 0L)
+    val again = SketchStore.mergedOhlc(spark, store, Seq("event_type"))
+    assert(canon(again).exceptAll(canon(merged)).count() == 0L &&
+      canon(merged).exceptAll(canon(again)).count() == 0L,
+      "replaying a landing must not change merged state")
+  }
+
+  test("streamingOhlc: a stream of micro-batches lands the same merged " +
+    "bars as the one-shot q09 resample (batch == stream), late rows " +
+    "for old buckets absorbed exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{TickEvent, StreamOps}
+    implicit val sql = spark.sqlContext
+    val all = plantedTicks.map { case (s, i, ts, v) => TickEvent(s, i, ts, v) }
+    val base = java.nio.file.Files.createTempDirectory("r15b_ohlc_stream_").toString
+    val input = MemoryStream[TickEvent]
+    val q = StreamOps.streamingOhlc(spark, input.toDF(),
+      s"$base/ohlc", s"$base/report", s"$base/ckpt")
+    try {
+      // batches NOT aligned to buckets: every batch carries late rows
+      // for buckets earlier batches already landed
+      all.grouped(70).foreach { b => input.addData(b.toIndexedSeq); q.processAllAvailable() }
+      val streamed = spark.read.parquet(s"$base/report")
+      val oneShot = Graft.resampleOhlc(all.toDF(), "event_type", "ts",
+          "event_id", "value", "hour")
+        .select(col("event_type"), unix_millis(col("bucket")).as("bucket_ms"),
+          col("open"), col("high"), col("low"), col("close"),
+          F.r4(col("volume")).as("volume"), col("n_trades"))
+      assert(streamed.exceptAll(oneShot).count() == 0L &&
+        oneShot.exceptAll(streamed).count() == 0L,
+        "stream-of-micro-batches report must equal the one-shot resample")
+    } finally q.stop()
+  }
 }
