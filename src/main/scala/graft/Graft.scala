@@ -813,6 +813,15 @@ object Graft {
   /** PII detection + redaction: emails, phones, IPv4s counted and
     * replaced by placeholders in a fixed order; patterns stay within
     * the Java∩RE2 regex subset. Map-only. */
+  /** fastText-shaped linear classifier trained in-engine on hashed
+    * sparse features over weak labels (the FineWeb-Edu distillation
+    * shape); returns every doc scored by the fitted model. Driver
+    * state is `dim` doubles; the GD loop is oracle-replayable. */
+  def hashClassifier(docs: DataFrame, id: String, text: String,
+                     labels: DataFrame, y: String, dim: Int = 64,
+                     lr: Double = 0.5, iters: Int = 3): DataFrame =
+    ops.TextOps.hashClassifierOf(docs, id, text, labels, y, dim, lr, iters)
+
   def piiRedact(docs: DataFrame, id: String, text: String): DataFrame =
     ops.TextOps.piiRedactOf(docs, id, text)
 

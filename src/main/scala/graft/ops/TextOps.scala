@@ -1098,6 +1098,176 @@ object TextOps {
       |FROM h GROUP BY 1, 2
       |ORDER BY doc_id, bucket""".stripMargin
 
+  /** fastText-shaped linear classifier trained IN-ENGINE on hashed
+    * sparse features (public operator behind
+    * [[graft.Graft.hashClassifier]]) — the quality/language-filter
+    * training loop a 100 TB curation pipeline runs over weak labels
+    * (Joulin 2016 fastText + the FineWeb-Edu distillation shape: an
+    * expensive labeler's signal distilled into a scorer cheap enough
+    * for every document): features are [[featureHashOf]]'s signed
+    * hashed counts NORMALIZED by document length (the fastText
+    * averaging — x ∈ [−1, 1], so the GD step is scale-free), the model
+    * is `dim` weights trained by full-batch squared-loss gradient
+    * descent, and the output is every doc scored by the fitted model.
+    *
+    * Determinism contract (the s09 rule, sparse form): per-doc scores
+    * fold over cells in BUCKET order and per-bucket gradients fold
+    * over docs in DOC order (cumulative window taken at its last row —
+    * sequential float adds in a total order), so the DuckDB oracle
+    * replays the whole training loop as chained CTEs bit-for-bit.
+    * Driver state is `dim` doubles per iteration (the fitLinearProbe
+    * contract); everything else distributes. Docs with zero tokens
+    * have no cells and drop (nothing to score). */
+  def hashClassifierOf(docs: DataFrame, idCol: String, textCol: String,
+                       labels: DataFrame, yCol: String,
+                       dim: Int, lr: Double, iters: Int,
+                       salt: String = "graft"): DataFrame = {
+    require(dim >= 2 && iters >= 1 && lr > 0,
+      s"need dim >= 2, iters >= 1, lr > 0; got dim=$dim iters=$iters lr=$lr")
+    val cells = featureHashOf(docs, idCol, textCol, dim, salt)
+    val lab = labels.select(col(idCol).as("doc_id"), col(yCol).cast("double").as("y"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val x = cells
+      .withColumn("__tot", sum(col("n_tokens")).over(wDoc))
+      .withColumn("x", col("feat").cast("double") / col("__tot").cast("double"))
+      .join(lab, "doc_id")
+      .select(col("doc_id"), col("bucket"), col("x"), col("y"))
+      .cache()
+    try {
+      val n = x.select(col("doc_id")).distinct().count()
+      require(n > 0, "empty training set")
+      val wDocOrd = wDoc.orderBy(col("bucket"))
+      val wDocCum = wDocOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wB = Window.partitionBy(col("bucket"))
+      val wBOrd = wB.orderBy(col("doc_id"))
+      val wBCum = wBOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      def scored(wArr: Array[Double]): DataFrame = {
+        val wlit = array(wArr.map(lit).toIndexedSeq: _*)
+        x.withColumn("__rn", row_number().over(wDocOrd))
+          .withColumn("__cnt", count(lit(1)).over(wDoc))
+          .withColumn("__sc",
+            sum(col("x") * element_at(wlit, col("bucket").cast("int") + 1)).over(wDocCum))
+          .filter(col("__rn") === col("__cnt"))
+          .select(col("doc_id"), col("y"), col("__sc").as("score"))
+      }
+      var w = Array.fill(dim)(0.0)
+      for (_ <- 1 to iters) {
+        val errs = scored(w)
+          .select(col("doc_id"), (col("score") - col("y")).as("err"))
+        val g = x.join(errs, "doc_id")
+          .withColumn("__rn", row_number().over(wBOrd))
+          .withColumn("__cnt", count(lit(1)).over(wB))
+          .withColumn("__sr", sum(col("err") * col("x")).over(wBCum))
+          .filter(col("__rn") === col("__cnt"))
+          .select(col("bucket"), col("__sr")).collect()
+          .map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
+        w = Array.tabulate(dim)(b => w(b) - lr * g.getOrElse(b, 0.0) / n)
+      }
+      // materialize before the cache drops (the t25 finally-unpersist rule)
+      scored(w)
+        .withColumn("predicted", col("score") >= 0)
+        .withColumn("correct", (col("score") >= 0) === (col("y") > 0))
+        .localCheckpoint(eager = true)
+    } finally x.unpersist()
+  }
+
+  /** #30f the hashed-feature classifier distilling a RULE teacher: the
+    * weak label is t02's stopword-ratio gate (ratio of {a, the} tokens
+    * ≥ the corpus median — a linear functional of token frequencies, so
+    * a linear student can actually learn it; the corpus' `lang` column
+    * is synthetic-random and unlearnable from text, measured 0.56
+    * ceiling). dim 64, lr 50, 5 GD iterations → accuracy ~0.80 vs the
+    * 0.50 balanced baseline, visible per row in `correct`. The oracle
+    * replays the ENTIRE loop as chained CTEs (one score fold + one
+    * gradient fold + one weight update per iteration, every float the
+    * identical op sequence). */
+  private val t26: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val ws = words(col("text"))
+    val ratioed = docs
+      .filter(size(ws) > 0)
+      .select(col("doc_id"),
+        (size(filter(ws, w => w.isin("a", "the"))).cast("double") /
+          size(ws).cast("double")).as("ratio"))
+    val med = ratioed.agg(expr("percentile(ratio, 0.5D)").as("med"))
+    val labels = ratioed.crossJoin(broadcast(med))
+      .select(col("doc_id"),
+        when(col("ratio") >= col("med"), 1.0).otherwise(-1.0).as("y"))
+    hashClassifierOf(docs, "doc_id", "text", labels, "y",
+        dim = 64, lr = 50.0, iters = 5)
+      .select(col("doc_id"), col("y"), r6(col("score")).as("score"),
+        col("predicted"), col("correct"))
+      .orderBy("doc_id")
+  }
+
+  private val t26Sql: String = {
+    val iters = 5
+    val sb = new StringBuilder
+    sb ++= """WITH toks AS (
+             |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+             |  FROM documents),
+             |hh AS (
+             |  SELECT doc_id,
+             |    CAST(('0x' || substr(md5('graft:' || tok), 1, 15)) AS BIGINT) % 64 AS bucket,
+             |    CASE WHEN CAST(('0x' || substr(md5('sgn:' || tok), 1, 15)) AS BIGINT) % 2 = 0
+             |      THEN 1 ELSE -1 END AS sgn
+             |  FROM toks),
+             |cells AS (SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS feat,
+             |    count(*) AS n_tokens
+             |  FROM hh GROUP BY 1, 2),
+             |rat AS (SELECT doc_id,
+             |    CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+             |      w -> w IN ('a', 'the'))) AS DOUBLE)
+             |      / CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE) AS ratio
+             |  FROM documents
+             |  WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0),
+             |med AS (SELECT quantile_cont(ratio, 0.5) AS med FROM rat),
+             |lab AS (SELECT doc_id,
+             |    CASE WHEN ratio >= (SELECT med FROM med) THEN 1.0 ELSE -1.0 END AS y
+             |  FROM rat),
+             |x AS (SELECT c.doc_id, c.bucket,
+             |    CAST(feat AS DOUBLE) / CAST(sum(n_tokens) OVER (PARTITION BY c.doc_id) AS DOUBLE) AS x,
+             |    y
+             |  FROM cells c JOIN lab ON lab.doc_id = c.doc_id),
+             |nn AS (SELECT count(DISTINCT doc_id) AS n FROM x),
+             |js AS (SELECT unnest(range(0, 64)) AS bucket),
+             |w0 AS (SELECT bucket, CAST(0.0 AS DOUBLE) AS wj FROM js),
+             |""".stripMargin
+    def scoreCte(name: String, wTab: String): String =
+      s"""$name AS (SELECT doc_id, y, sr AS score FROM (
+         |    SELECT x.doc_id, x.y, row_number() OVER o AS rn,
+         |      count(*) OVER (PARTITION BY x.doc_id) AS cnt,
+         |      sum(x.x * w.wj) OVER w2 AS sr
+         |    FROM x JOIN $wTab w ON w.bucket = x.bucket
+         |    WINDOW o AS (PARTITION BY x.doc_id ORDER BY x.bucket),
+         |      w2 AS (PARTITION BY x.doc_id ORDER BY x.bucket
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |  WHERE rn = cnt)""".stripMargin
+    for (t <- 1 to iters) {
+      sb ++= scoreCte(s"sc$t", s"w${t - 1}")
+      sb ++= s""",
+                |g$t AS (SELECT bucket, sr FROM (
+                |    SELECT x.bucket, row_number() OVER o AS rn,
+                |      count(*) OVER (PARTITION BY x.bucket) AS cnt,
+                |      sum((s.score - s.y) * x.x) OVER w2 AS sr
+                |    FROM x JOIN sc$t s ON s.doc_id = x.doc_id
+                |    WINDOW o AS (PARTITION BY x.bucket ORDER BY x.doc_id),
+                |      w2 AS (PARTITION BY x.bucket ORDER BY x.doc_id
+                |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                |  WHERE rn = cnt),
+                |w$t AS (SELECT p.bucket, p.wj - 50.0 * coalesce(g$t.sr, 0.0) / (SELECT n FROM nn) AS wj
+                |  FROM w${t - 1} p LEFT JOIN g$t USING (bucket)),
+                |""".stripMargin
+    }
+    sb ++= scoreCte("scf", s"w$iters")
+    sb ++= """
+             |SELECT doc_id, y, round(score, 6) AS score,
+             |  score >= 0 AS predicted, (score >= 0) = (y > 0) AS correct
+             |FROM scf
+             |ORDER BY doc_id""".stripMargin
+    sb.toString
+  }
+
   /** Per-source term-distribution drift vs the corpus (public operator
     * behind [[graft.Graft.termDrift]]): restrict to the corpus'
     * top-`topV` terms (deterministic (count desc, term) pick), Laplace
@@ -1556,6 +1726,7 @@ object TextOps {
     "t23_ppl_buckets" -> t23,
     "t09_tfidf" -> t09,
     "t25_rake" -> t25,
+    "t26_hash_classifier" -> t26,
     "t01_lang_id" -> t01,
     "t02_quality_score" -> t02,
     "t03_token_count" -> t03,
@@ -1578,6 +1749,7 @@ object TextOps {
     "t09_tfidf" -> t09Sql,
     "t25_rake" -> t25Sql,
     "t24_gopher_rules" -> t24Sql,
+    "t26_hash_classifier" -> t26Sql,
     "t01_lang_id" -> t01Sql,
     "t02_quality_score" -> t02Sql,
     "t03_token_count" -> t03Sql,

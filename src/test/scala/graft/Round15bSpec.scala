@@ -192,4 +192,40 @@ class Round15bSpec extends SparkSpec {
         "stream-of-micro-batches report must equal the one-shot resample")
     } finally q.stop()
   }
+
+  // ------------- t26 hashed-feature classifier: it actually learns
+
+  test("hashClassifierOf: nails a linearly separable planted corpus, " +
+    "and the scored output is bit-stable under repartition") {
+    import spark.implicits._
+    // docs are alpha/beta mixtures; label = majority token — a linear
+    // functional of token frequencies, exactly what the model can fit
+    val docs = (0 until 200).map { i =>
+      val nAlpha = i % 11
+      val text = (Seq.fill(nAlpha)("alpha") ++ Seq.fill(10 - nAlpha)("beta"))
+        .mkString(" ")
+      (i.toLong, text, if (nAlpha >= 5) 1.0 else -1.0)
+    }.toDF("doc_id", "text", "y")
+    val out = graft.ops.TextOps.hashClassifierOf(docs, "doc_id", "text",
+      docs.select(col("doc_id"), col("y")), "y", dim = 64, lr = 4.0, iters = 20)
+    val acc = out.agg(avg(col("correct").cast("int"))).head().getDouble(0)
+    info(f"planted-corpus training accuracy $acc%.3f")
+    assert(acc >= 0.95, s"separable corpus must be learned, got accuracy $acc")
+    val again = graft.ops.TextOps.hashClassifierOf(docs.repartition(7), "doc_id",
+      "text", docs.select(col("doc_id"), col("y")), "y", dim = 64, lr = 4.0, iters = 20)
+    assert(out.select("doc_id", "score").exceptAll(again.select("doc_id", "score")).count() == 0L &&
+      again.select("doc_id", "score").exceptAll(out.select("doc_id", "score")).count() == 0L,
+      "the training loop's float folds must be bit-stable under repartition")
+  }
+
+  test("t26 gate shape: the stopword-ratio teacher is learned well above " +
+    "the 0.5 balanced baseline on the real corpus") {
+    val out = graft.ops.TextOps.queries("t26_hash_classifier")(
+      spark, "/root/testdata/sf0.01")
+    val acc = out.agg(avg(col("correct").cast("int"))).head().getDouble(0)
+    val pos = out.agg(avg((col("y") > 0).cast("int"))).head().getDouble(0)
+    info(f"gate accuracy $acc%.3f at positive rate $pos%.3f")
+    assert(math.abs(pos - 0.5) < 0.05, s"median label must balance classes: $pos")
+    assert(acc >= 0.7, s"the distilled rule must be learned: accuracy $acc")
+  }
 }
