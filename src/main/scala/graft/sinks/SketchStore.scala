@@ -170,6 +170,41 @@ object SketchStore {
         col("__c").getField("close").as("close"),
         col("volume"), col("n_trades"))): _*)
 
+  /** Per-landing BOTTOM-K sketch state over `valueCol`'s distinct set
+    * (Cohen 2007 / the KMV lineage): the k smallest md5 hashes per key
+    * group, each carrying its value — ≤ k rows per group per landing.
+    * Merge = the k smallest of the union ([[mergedBottomK]]) —
+    * associative, commutative, idempotent (a min-rank pick, the
+    * Bloom-union strength). The merged state is simultaneously (a) a
+    * UNIFORM SAMPLE of every distinct value ever landed (md5 order is
+    * value-blind) and (b) a distinct-count estimator: n̂ = (k−1)·2⁶⁰ /
+    * h₍ₖ₎ — and unlike HLL registers the whole chain is
+    * md5-deterministic, so a DuckDB oracle replays sample AND estimate
+    * exactly. */
+  def bottomKState(df: DataFrame, keys: Seq[String], valueCol: String,
+                   k: Int, salt: String = "bk"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("h"))
+    df.select((keys.map(col) :+ col(valueCol).cast("string").as("value")): _*)
+      .distinct()
+      .withColumn("h", graft.F.hash60(concat(lit(salt + ":"), col("value"))))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
+  /** Merged [[bottomKState]] across landings: distinct (value, h) —
+    * the same value re-landing twice hashes to the same row — then the
+    * k smallest per group again. Same schema back ⇒ re-mergeable. */
+  def mergedBottomK(spark: SparkSession, path: String, keys: Seq[String],
+                    k: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("h"))
+    spark.read.parquet(path)
+      .select((keys.map(col) ++ Seq(col("value"), col("h"))): _*)
+      .distinct()
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
   /** Land one landing's sketch state (idempotent: replaying a landing
     * id replaces exactly its partition via dynamic overwrite). */
   def land(spark: SparkSession, path: String, state: DataFrame,

@@ -1199,6 +1199,120 @@ object StreamOps {
       |GROUP BY 1, 2
       |ORDER BY event_type, bucket_ms""".stripMargin
 
+  /** Land one micro-batch's bottom-k sample state
+    * ([[graft.sinks.SketchStore.bottomKState]]; batchId = landing id ⇒
+    * replay idempotent twice over: dynamic overwrite AND the min-rank
+    * merge law's idempotence). */
+  def sampleTick(spark: SparkSession, storePath: String, batch: DataFrame,
+                 keys: Seq[String], valueCol: String, k: Int,
+                 landingId: Long): Unit =
+    graft.sinks.SketchStore.land(spark, storePath,
+      graft.sinks.SketchStore.bottomKState(batch, keys, valueCol, k), landingId)
+
+  /** Sample-and-estimate report from MERGED bottom-k state only: one
+    * row per kept sample value (the k md5-smallest distinct values per
+    * group — a UNIFORM sample of everything ever landed, at ≤ k rows
+    * per group regardless of raw history) with the group's KMV
+    * distinct estimate n̂ = (k−1)·2⁶⁰/h₍ₖ₎ (exact count when the group
+    * holds fewer than k distinct values). Everything md5-deterministic
+    * — the oracle replays sample AND estimate, unlike the HLL path. */
+  def sampleStoreReport(spark: SparkSession, storePath: String,
+                        keys: Seq[String], k: Int): DataFrame = {
+    val merged = graft.sinks.SketchStore.mergedBottomK(spark, storePath, keys, k)
+    val g = merged.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("__hk"))
+      .withColumn("__est",
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble * 1152921504606846976.0) /
+            col("__hk").cast("double")))
+    merged.join(g, keys)
+      .select((keys.map(col) ++ Seq(col("value"), col("h"), col("n_kept"),
+        col("__est").as("est"))): _*)
+  }
+
+  /** The bottom-k sample sketch run CONTINUOUSLY — the FIFTH mergeable
+    * state (HLL/hist st10, CMS st12, Bloom st13, OHLC st14; this one's
+    * merge is a min-rank pick: associative, commutative, idempotent):
+    * every micro-batch lands its k md5-smallest distinct values per
+    * group; the merged store IS a uniform sample of every distinct
+    * value ever landed plus a KMV cardinality estimate, at k-row
+    * state — the "show me 32 random examples + how many are there" a
+    * 100 TB profiler answers without re-reading history. */
+  def streamingSample(spark: SparkSession, events: DataFrame,
+                      storePath: String, reportPath: String,
+                      checkpointDir: String,
+                      keys: Seq[String] = Seq("event_type"),
+                      valueCol: String = "user_id", k: Int = 32):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          sampleTick(spark, storePath, batch, keys, valueCol, k, batchId)
+          val rep = sampleStoreReport(spark, storePath, keys, k)
+            .localCheckpoint(eager = true)
+          try rep.write.mode("overwrite").parquet(reportPath)
+          finally graft.Checkpoints.free(rep)
+          ()
+        }
+      }
+      .start()
+
+  /** #35o the bottom-k sample sketch as CONTINUOUS landed state (the
+    * st10/st12/st13/st14 three-tick batch replay): each tick lands one
+    * day-slice's k-smallest-hash state, the report derives from MERGED
+    * state only — the kept sample rows themselves (hash-checking the
+    * SAMPLE content, not just a summary) plus the KMV estimate next to
+    * the exact distinct count with the realized relative error as
+    * gate-visible evidence. The oracle computes the bottom-k of the
+    * whole corpus directly — equal to the landing-merged state by the
+    * min-rank merge law. */
+  private val st15: Q = (s, dir) => {
+    val keys = Seq("event_type")
+    val k = 32
+    val ev = Tables.t(s, dir, "events")
+      .select(col("event_type"), col("user_id"),
+        (dayofmonth(col("ts")) % 3).as("__tick"))
+    val store = java.nio.file.Files.createTempDirectory("graft_stream_sample_").toString
+    (0 until 3).foreach { tk =>
+      sampleTick(s, s"$store/bk", ev.filter(col("__tick") === tk), keys,
+        "user_id", k, tk.toLong)
+    }
+    val exact = Tables.t(s, dir, "events").groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    sampleStoreReport(s, s"$store/bk", keys, k)
+      .join(exact, "event_type")
+      .select(col("event_type"), col("value").as("user_id"), col("h"),
+        col("n_kept"), F.r4(col("est")).as("est_users"), col("exact_users"),
+        F.r6(abs(col("est") / col("exact_users").cast("double") - 1)).as("rel_err"))
+      .orderBy("event_type", "h")
+  }
+
+  private val st15Sql =
+    """WITH d AS (SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS value FROM events),
+      |hs AS (SELECT event_type, value,
+      |    CAST(('0x' || substr(md5('bk:' || value), 1, 15)) AS BIGINT) AS h
+      |  FROM d),
+      |r AS (SELECT event_type, value, h,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      |  FROM hs),
+      |kept AS (SELECT event_type, value, h FROM r WHERE rn <= 32),
+      |g AS (SELECT event_type, count(*) AS n_kept, max(h) AS hk
+      |  FROM kept GROUP BY 1),
+      |g2 AS (SELECT event_type, n_kept,
+      |    CASE WHEN n_kept < 32 THEN CAST(n_kept AS DOUBLE)
+      |      ELSE 31.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE) END AS est
+      |  FROM g),
+      |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
+      |  FROM events GROUP BY 1)
+      |SELECT kept.event_type, kept.value AS user_id, kept.h,
+      |  g2.n_kept, round(g2.est, 4) AS est_users, ex.exact_users,
+      |  round(abs(g2.est / CAST(ex.exact_users AS DOUBLE) - 1), 6) AS rel_err
+      |FROM kept
+      |  JOIN g2 ON g2.event_type = kept.event_type
+      |  JOIN ex ON ex.event_type = kept.event_type
+      |ORDER BY kept.event_type, kept.h""".stripMargin
+
   /** The a04 CMS frequency sketch run CONTINUOUSLY: every micro-batch
     * lands its own counter state; the merged store answers frequency
     * probes over EVERYTHING ever landed at state-sized cost
@@ -1305,6 +1419,7 @@ object StreamOps {
   val queries: Map[String, Q] = Map(
     "st13_stream_bloom" -> st13,
     "st14_stream_ohlc" -> st14,
+    "st15_stream_sample" -> st15,
     "st10_stream_profile" -> st10,
     "st12_stream_topfreq" -> st12,
     "st08_stream_psi" -> st08,
@@ -1320,6 +1435,7 @@ object StreamOps {
   val oracle: Map[String, String] = Map(
     "st13_stream_bloom" -> st13Sql,
     "st14_stream_ohlc" -> st14Sql,
+    "st15_stream_sample" -> st15Sql,
     "st10_stream_profile" -> st10Sql,
     "st12_stream_topfreq" -> st12Sql,
     "st08_stream_psi" -> st08Sql,

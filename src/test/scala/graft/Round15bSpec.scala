@@ -228,4 +228,72 @@ class Round15bSpec extends SparkSpec {
     assert(math.abs(pos - 0.5) < 0.05, s"median label must balance classes: $pos")
     assert(acc >= 0.7, s"the distilled rule must be learned: accuracy $acc")
   }
+
+  // ----------- st15 bottom-k sample: min-rank merge law + KMV bound
+
+  test("bottomKState merge law: landing-merged bottom-k == one-shot " +
+    "bottom-k of the union (min-rank pick: associative, idempotent), " +
+    "re-landing is a no-op, and shared values collapse across landings") {
+    import spark.implicits._
+    import graft.sinks.SketchStore
+    // overlapping landings: value space 0..399, each landing sees a slice
+    val mk = (lo: Int, hi: Int) => (lo until hi)
+      .map(i => ("g" + (i % 2), (i % 400).toLong)).toDF("g", "v")
+    val store = java.nio.file.Files.createTempDirectory("r15b_bk_").toString
+    val parts = Seq(mk(0, 300), mk(200, 600), mk(500, 800))
+    parts.zipWithIndex.foreach { case (p, l) =>
+      SketchStore.land(spark, store, SketchStore.bottomKState(p, Seq("g"), "v", 16), l.toLong)
+    }
+    val merged = SketchStore.mergedBottomK(spark, store, Seq("g"), 16)
+      .localCheckpoint(eager = true)
+    val whole = SketchStore.bottomKState(mk(0, 800), Seq("g"), "v", 16)
+    assert(merged.exceptAll(whole).count() == 0L &&
+      whole.exceptAll(merged).count() == 0L,
+      "landing-merged bottom-k must equal the one-shot sketch")
+    SketchStore.land(spark, store,
+      SketchStore.bottomKState(parts(1), Seq("g"), "v", 16), 1L)
+    val again = SketchStore.mergedBottomK(spark, store, Seq("g"), 16)
+    assert(again.exceptAll(merged).count() == 0L &&
+      merged.exceptAll(again).count() == 0L,
+      "replaying a landing must not change merged state")
+  }
+
+  test("KMV estimate from bottom-k state: realized relative error within " +
+    "the 1/sqrt(k) regime on a planted 20k-distinct corpus") {
+    import spark.implicits._
+    import graft.sinks.SketchStore
+    val k = 256
+    val df = (0 until 20000).map(i => ("all", i.toLong)).toDF("g", "v")
+    val st = SketchStore.bottomKState(df, Seq("g"), "v", k)
+    val hk = st.agg(max("h")).head().getLong(0)
+    val est = (k - 1).toDouble * 1152921504606846976.0 / hk.toDouble
+    val rel = math.abs(est / 20000.0 - 1)
+    info(f"KMV estimate $est%.1f vs 20000 exact, rel err $rel%.4f")
+    assert(rel <= 0.25, s"KMV estimate off by $rel — beyond the 1/sqrt(k) regime")
+    assert(st.count() == k.toLong)
+  }
+
+  test("streamingSample: a stream of micro-batches lands the same merged " +
+    "sample as the one-shot sketch (batch == stream)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{ProfileEvent, StreamOps}
+    import graft.sinks.SketchStore
+    implicit val sql = spark.sqlContext
+    val all = (0 until 120).map(i => ProfileEvent("t" + (i % 2), (i % 50).toLong, 0.0))
+    val base = java.nio.file.Files.createTempDirectory("r15b_sample_stream_").toString
+    val input = MemoryStream[ProfileEvent]
+    val q = StreamOps.streamingSample(spark, input.toDF(),
+      s"$base/bk", s"$base/report", s"$base/ckpt", Seq("event_type"), "user_id", 8)
+    try {
+      all.grouped(40).foreach { b => input.addData(b.toIndexedSeq); q.processAllAvailable() }
+      val streamed = spark.read.parquet(s"$base/report")
+        .select("event_type", "value", "h")
+      val oneShot = SketchStore.bottomKState(all.toDF(), Seq("event_type"), "user_id", 8)
+        .select("event_type", "value", "h")
+      assert(streamed.exceptAll(oneShot).count() == 0L &&
+        oneShot.exceptAll(streamed).count() == 0L,
+        "stream-of-micro-batches sample must equal the one-shot sketch")
+    } finally q.stop()
+  }
 }
