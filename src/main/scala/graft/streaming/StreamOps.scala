@@ -28,6 +28,9 @@ case class ProfileEvent(event_type: String, user_id: Long, value: Double)
 case class TickEvent(event_type: String, event_id: Long,
                      ts: java.sql.Timestamp, value: Double)
 
+/** Arriving vector for [[StreamOps.streamingAnnIndex]]. */
+case class VecEvent(vec_id: Long, v: Seq[Double])
+
 /** Full OHLC bar for [[StreamOps.streamingHeikinAshi]]. */
 case class OhlcEvent(event_type: String, ts: java.sql.Timestamp,
                      open: Double, high: Double, low: Double, close: Double)
@@ -1313,6 +1316,108 @@ object StreamOps {
       |  JOIN ex ON ex.event_type = kept.event_type
       |ORDER BY kept.event_type, kept.h""".stripMargin
 
+  /** One CONTINUOUS vector-index maintenance tick — the streaming twin
+    * of s26's incremental insert (the operator a live embedding lake
+    * actually runs: vectors arrive, the index absorbs them, no rebuild):
+    * land the batch's vectors under `landingId`, then
+    *
+    *   first landing   build the graph on the batch alone
+    *                   ([[graft.ops.SimOps.knnGraphOf]], anchors = the
+    *                   batch's `id % anchorMod == 0` slice);
+    *   later landings  [[graft.ops.SimOps.graphInsertOf]] of the batch
+    *                   over the PRIOR corpus + the PRIOR edge list
+    *                   (search-connect-repair; per-insert cost = the
+    *                   search budget, corpus-independent)
+    *
+    * and land the updated edge list under `landingId` too. Both stores
+    * are landing-partitioned with dynamic overwrite, and a tick reads
+    * only landings STRICTLY BEFORE its own — so replaying a tick reads
+    * unchanged history and overwrites exactly its own partitions
+    * (idempotent, the st09/st10 replay contract). The versioned edge
+    * store doubles as index history (audit/rollback — the
+    * VersionedStore shape); production retention keeps the latest
+    * landing, which IS the index. */
+  def annIndexTick(spark: SparkSession, storePath: String, batch: DataFrame,
+                   idCol: String, vecCol: String,
+                   r: Int, beam: Int, hops: Int,
+                   landingId: Long, anchorMod: Int = 64): Unit = {
+    import graft.ops.SimOps
+    val vecsPath = s"$storePath/vectors"
+    val edgesPath = s"$storePath/edges"
+    val b = batch.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("v"))
+    graft.sinks.SketchStore.land(spark, vecsPath, b, landingId)
+    def anchorsOf(df: DataFrame): DataFrame =
+      df.filter(pmod(col("vec_id"), lit(anchorMod.toLong)) === 0)
+    val priorLandings = spark.read.parquet(vecsPath)
+      .select(col("__landing").cast("long").as("__landing"))
+      .filter(col("__landing") < landingId)
+      .distinct().collect().map(_.getLong(0))
+    val edges =
+      if (priorLandings.isEmpty)
+        SimOps.knnGraphOf(b, anchorsOf(b), "vec_id", "v", "vec_id", "v",
+          r = r, cellProbes = 2, descentRounds = 1)
+      else {
+        val prior = spark.read.parquet(vecsPath)
+          .filter(col("__landing") < landingId).select(col("vec_id"), col("v"))
+        val priorEdges = spark.read.parquet(edgesPath)
+          .filter(col("__landing") === priorLandings.max)
+          .select(col("src"), col("dst"), col("cos"))
+        val anc = anchorsOf(prior)
+        SimOps.graphInsertOf(prior, b, priorEdges, anc, anc,
+          "vec_id", "v", r = r, beam = beam, hops = hops)
+      }
+    graft.sinks.SketchStore.land(spark, edgesPath,
+      edges.select(col("src"), col("dst"), col("cos")), landingId)
+  }
+
+  /** The s26 incremental graph insert run CONTINUOUSLY: every
+    * micro-batch of arriving vectors is absorbed into the stored index
+    * by search-connect-repair; the latest landed edge list IS the
+    * queryable index at every tick. The s-family's index lifecycle
+    * (build / search / insert / delete / drift-detect) gets its
+    * streaming loop. */
+  def streamingAnnIndex(spark: SparkSession, vecs: DataFrame,
+                        storePath: String, checkpointDir: String,
+                        r: Int = 8, beam: Int = 4, hops: Int = 3):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          annIndexTick(spark, storePath, batch, "vec_id", "v",
+            r, beam, hops, batchId)
+          ()
+        }
+      }
+      .start()
+
+  /** #35p the continuous vector-index loop as a two-tick batch REPLAY
+    * (the st09 rule): tick 0 lands corpus A (vec_id % 10 ≠ 9) and
+    * builds the graph on it; tick 1 lands the held-out B slice and
+    * absorbs it by search-connect-repair over the STORED corpus + edge
+    * list. The report is tick 1's landed edge list — and because the
+    * tick replays s26's exact argument shape through the store, the
+    * oracle is LITERALLY s26's CTE tree (the incremental-maintenance
+    * law as the parity check: stream-through-the-store == one-shot
+    * insert == the oracle's replay of both). Round15bSpec pins
+    * stream == one-shot bit-identity via live MemoryStream and tick
+    * replay idempotency. */
+  private val st16: Q = (s, dir) => {
+    val all = Tables.t(s, dir, "embeddings")
+      .select(col("vec_id"), F.asDouble(col("embedding")).as("v"))
+    val store = java.nio.file.Files.createTempDirectory("graft_stream_ann_").toString
+    annIndexTick(s, store, all.filter(pmod(col("vec_id"), lit(10)) =!= 9),
+      "vec_id", "v", r = 8, beam = 4, hops = 3, landingId = 0L)
+    annIndexTick(s, store, all.filter(pmod(col("vec_id"), lit(10)) === 9),
+      "vec_id", "v", r = 8, beam = 4, hops = 3, landingId = 1L)
+    s.read.parquet(s"$store/edges").filter(col("__landing") === 1L)
+      .select(col("src"), col("dst"), F.r6(col("cos")).as("cos_sim"))
+      .orderBy("src", "dst")
+  }
+
+  private val st16Sql: String = graft.ops.SimOps.oracle("s26_ann_insert")
+
   /** The a04 CMS frequency sketch run CONTINUOUSLY: every micro-batch
     * lands its own counter state; the merged store answers frequency
     * probes over EVERYTHING ever landed at state-sized cost
@@ -1420,6 +1525,7 @@ object StreamOps {
     "st13_stream_bloom" -> st13,
     "st14_stream_ohlc" -> st14,
     "st15_stream_sample" -> st15,
+    "st16_stream_ann" -> st16,
     "st10_stream_profile" -> st10,
     "st12_stream_topfreq" -> st12,
     "st08_stream_psi" -> st08,
@@ -1436,6 +1542,7 @@ object StreamOps {
     "st13_stream_bloom" -> st13Sql,
     "st14_stream_ohlc" -> st14Sql,
     "st15_stream_sample" -> st15Sql,
+    "st16_stream_ann" -> st16Sql,
     "st10_stream_profile" -> st10Sql,
     "st12_stream_topfreq" -> st12Sql,
     "st08_stream_psi" -> st08Sql,

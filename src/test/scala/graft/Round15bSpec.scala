@@ -296,4 +296,52 @@ class Round15bSpec extends SparkSpec {
         "stream-of-micro-batches sample must equal the one-shot sketch")
     } finally q.stop()
   }
+
+  // ---------- st16 continuous ANN index: stream == one-shot insert
+
+  test("streamingAnnIndex: vectors absorbed through the store produce the " +
+    "BIT-identical edge list of a one-shot graphInsertOf, and replaying " +
+    "a tick is a no-op") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{VecEvent, StreamOps}
+    import graft.ops.SimOps
+    implicit val sql = spark.sqlContext
+    val all = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), F.asDouble(col("embedding")).as("v"))
+    val a = all.filter(col("vec_id") % 10 =!= 9)
+    val b = all.filter(col("vec_id") % 10 === 9)
+    val evs = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => VecEvent(r.getLong(0), r.getSeq[Double](1)))
+    val base = java.nio.file.Files.createTempDirectory("r15b_ann_stream_").toString
+    val input = MemoryStream[VecEvent]
+    val q = StreamOps.streamingAnnIndex(spark, input.toDF(),
+      s"$base/idx", s"$base/ckpt")
+    try {
+      input.addData(evs(a).toIndexedSeq); q.processAllAvailable()
+      input.addData(evs(b).toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$base/idx/edges")
+      .filter(col("__landing").cast("long") === 1L)
+      .select(col("src"), col("dst"), col("cos"))
+      .localCheckpoint(eager = true)
+    val anchors = a.filter(pmod(col("vec_id"), lit(64)) === 0)
+    val edgesA = SimOps.knnGraphOf(a, anchors, "vec_id", "v", "vec_id", "v",
+      r = 8, cellProbes = 2, descentRounds = 1)
+    val oneShot = SimOps.graphInsertOf(a, b, edgesA, anchors, anchors,
+      "vec_id", "v", r = 8, beam = 4, hops = 3)
+      .select(col("src"), col("dst"), col("cos"))
+    assert(streamed.exceptAll(oneShot).count() == 0L &&
+      oneShot.exceptAll(streamed).count() == 0L,
+      "index streamed through the store must equal the one-shot insert")
+    // replay tick 1: prior landings unchanged, own partitions overwritten
+    StreamOps.annIndexTick(spark, s"$base/idx", b, "vec_id", "v",
+      r = 8, beam = 4, hops = 3, landingId = 1L)
+    val again = spark.read.parquet(s"$base/idx/edges")
+      .filter(col("__landing").cast("long") === 1L)
+      .select(col("src"), col("dst"), col("cos"))
+    assert(again.exceptAll(streamed).count() == 0L &&
+      streamed.exceptAll(again).count() == 0L,
+      "replaying a tick must not change the landed index")
+  }
 }
