@@ -422,12 +422,6 @@ object Graft {
     ops.SimOps.graphInsertOf(corpus, delta, edges, centroids, anchors,
       id, vec, r, beam, hops, cellProbes, maxCellOcc)
 
-  /** Graph ANN beam search over a [[knnGraph]] edge list (traversed
-    * symmetrized): enter at the query's best anchor, expand `hops`
-    * rounds with a `beam`-wide frontier, rank every scored candidate.
-    * The scored set is the candidate budget — the recall-at-low-budget
-    * frontier vs [[annIvf]]'s probed cells (GraphAnnSpec measures
-    * both). Returns (q_id, rank, <id>, cos_sim). */
   /** FreshDiskANN delete consolidation: drop all edges touching
     * `deleted` ids and stitch severed paths p→d→x into p's re-ranked
     * top-r list. Untouched nodes keep lists bit-identically; stitch
@@ -436,6 +430,12 @@ object Graft {
                   id: String, vec: String, r: Int = 8): DataFrame =
     ops.SimOps.graphDeleteOf(corpus, deleted, edges, id, vec, r)
 
+  /** Graph ANN beam search over a [[knnGraph]] edge list (traversed
+    * symmetrized): enter at the query's best anchor, expand `hops`
+    * rounds with a `beam`-wide frontier, rank every scored candidate.
+    * The scored set is the candidate budget — the recall-at-low-budget
+    * frontier vs [[annIvf]]'s probed cells (GraphAnnSpec measures
+    * both). Returns (q_id, rank, <id>, cos_sim). */
   def annGraph(corpus: DataFrame, queries: DataFrame, anchors: DataFrame,
                edges: DataFrame, id: String, vec: String, k: Int,
                beam: Int = 4, hops: Int = 3,
@@ -810,18 +810,19 @@ object Graft {
                    stopwords: Seq[String]): DataFrame =
     ops.TextOps.rakeKeywordsOf(docs, id, text, k, stopwords)
 
-  /** PII detection + redaction: emails, phones, IPv4s counted and
-    * replaced by placeholders in a fixed order; patterns stay within
-    * the Java∩RE2 regex subset. Map-only. */
   /** fastText-shaped linear classifier trained in-engine on hashed
     * sparse features over weak labels (the FineWeb-Edu distillation
-    * shape); returns every doc scored by the fitted model. Driver
+    * shape): the labeled subset trains, the fitted model scores EVERY
+    * tokened doc (unlabeled docs keep score, null y/correct). Driver
     * state is `dim` doubles; the GD loop is oracle-replayable. */
   def hashClassifier(docs: DataFrame, id: String, text: String,
                      labels: DataFrame, y: String, dim: Int = 64,
                      lr: Double = 0.5, iters: Int = 3): DataFrame =
     ops.TextOps.hashClassifierOf(docs, id, text, labels, y, dim, lr, iters)
 
+  /** PII detection + redaction: emails, phones, IPv4s counted and
+    * replaced by placeholders in a fixed order; patterns stay within
+    * the Java∩RE2 regex subset. Map-only. */
   def piiRedact(docs: DataFrame, id: String, text: String): DataFrame =
     ops.TextOps.piiRedactOf(docs, id, text)
 

@@ -152,9 +152,13 @@ object DataOps {
       .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)).cast("int"))
       .withColumn("__end", sum(col(tokensCol).cast("long")).over(w))
       .withColumn("__start", col("__end") - col(tokensCol))
+      // `div`, not `/`: Column./ is double division, whose 53-bit
+      // mantissa would mis-round sequence ids once a shard's prefix sum
+      // passes ~2^53 tokens — the oracle's `//` is exact, so the Spark
+      // side must be too (the "integer arithmetic end to end" claim)
       .withColumn("seq_id", explode(sequence(
-        (col("__start") / seqLen).cast("long"),
-        ((col("__end") - 1) / seqLen).cast("long"))))
+        expr(s"__start div ${seqLen}L"),
+        expr(s"(__end - 1) div ${seqLen}L"))))
       .withColumn("seq_off",
         greatest(col("__start") - col("seq_id") * seqLen, lit(0L)))
       .withColumn("n_toks",

@@ -1127,34 +1127,41 @@ object TextOps {
     val cells = featureHashOf(docs, idCol, textCol, dim, salt)
     val lab = labels.select(col(idCol).as("doc_id"), col(yCol).cast("double").as("y"))
     val wDoc = Window.partitionBy(col("doc_id"))
+    // x covers EVERY tokened doc; training restricts to the labeled
+    // subset (the distillation shape: a small labeled slice trains the
+    // model, the fitted model scores the whole corpus). Unlabeled docs
+    // come out with y/correct null; zero-token docs have no cells and
+    // drop (nothing to score).
     val x = cells
       .withColumn("__tot", sum(col("n_tokens")).over(wDoc))
       .withColumn("x", col("feat").cast("double") / col("__tot").cast("double"))
-      .join(lab, "doc_id")
-      .select(col("doc_id"), col("bucket"), col("x"), col("y"))
-      .cache()
+      .select(col("doc_id"), col("bucket"), col("x"))
+    val xy = x.join(lab, "doc_id").cache()
     try {
-      val n = x.select(col("doc_id")).distinct().count()
+      val n = xy.select(col("doc_id")).distinct().count()
       require(n > 0, "empty training set")
       val wDocOrd = wDoc.orderBy(col("bucket"))
       val wDocCum = wDocOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wB = Window.partitionBy(col("bucket"))
       val wBOrd = wB.orderBy(col("doc_id"))
       val wBCum = wBOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      def scored(wArr: Array[Double]): DataFrame = {
+      // per-doc score fold in bucket order — identical op sequence over
+      // the training slice and the full corpus (the join only adds y)
+      def scored(frame: DataFrame, wArr: Array[Double]): DataFrame = {
         val wlit = array(wArr.map(lit).toIndexedSeq: _*)
-        x.withColumn("__rn", row_number().over(wDocOrd))
+        frame.withColumn("__rn", row_number().over(wDocOrd))
           .withColumn("__cnt", count(lit(1)).over(wDoc))
           .withColumn("__sc",
             sum(col("x") * element_at(wlit, col("bucket").cast("int") + 1)).over(wDocCum))
           .filter(col("__rn") === col("__cnt"))
-          .select(col("doc_id"), col("y"), col("__sc").as("score"))
+          .select(col("doc_id"), col("__sc").as("score"))
       }
       var w = Array.fill(dim)(0.0)
       for (_ <- 1 to iters) {
-        val errs = scored(w)
+        val errs = scored(xy, w)
+          .join(lab, "doc_id")
           .select(col("doc_id"), (col("score") - col("y")).as("err"))
-        val g = x.join(errs, "doc_id")
+        val g = xy.join(errs, "doc_id")
           .withColumn("__rn", row_number().over(wBOrd))
           .withColumn("__cnt", count(lit(1)).over(wB))
           .withColumn("__sr", sum(col("err") * col("x")).over(wBCum))
@@ -1163,12 +1170,16 @@ object TextOps {
           .map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
         w = Array.tabulate(dim)(b => w(b) - lr * g.getOrElse(b, 0.0) / n)
       }
-      // materialize before the cache drops (the t25 finally-unpersist rule)
-      scored(w)
+      // score the WHOLE corpus with the fitted weights; y rides along
+      // left-joined so unlabeled docs keep score but null y/correct.
+      // Materialize before the cache drops (the t25 finally-unpersist rule).
+      scored(x, w)
+        .join(lab, Seq("doc_id"), "left")
         .withColumn("predicted", col("score") >= 0)
         .withColumn("correct", (col("score") >= 0) === (col("y") > 0))
+        .select(col("doc_id"), col("y"), col("score"), col("predicted"), col("correct"))
         .localCheckpoint(eager = true)
-    } finally x.unpersist()
+    } finally xy.unpersist()
   }
 
   /** #30f the hashed-feature classifier distilling a RULE teacher: the

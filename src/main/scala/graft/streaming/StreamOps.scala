@@ -1221,7 +1221,11 @@ object StreamOps {
     * — the oracle replays sample AND estimate, unlike the HLL path. */
   def sampleStoreReport(spark: SparkSession, storePath: String,
                         keys: Seq[String], k: Int): DataFrame = {
+    // materialized once: the merged plan (scan + distinct + window)
+    // feeds BOTH the per-group aggregate and the final join — lazy, it
+    // would run twice per report; the state is ≤ k rows per group
     val merged = graft.sinks.SketchStore.mergedBottomK(spark, storePath, keys, k)
+      .localCheckpoint(eager = true)
     val g = merged.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_kept"), max(col("h")).as("__hk"))
       .withColumn("__est",
@@ -1360,6 +1364,19 @@ object StreamOps {
       else {
         val prior = spark.read.parquet(vecsPath)
           .filter(col("__landing") < landingId).select(col("vec_id"), col("v"))
+        // the edges partition for the newest prior landing must exist:
+        // vectors land BEFORE edges inside a tick, so a crash between
+        // the two (or retention that dropped the newest edges landing)
+        // would otherwise read an EMPTY prior edge list here and
+        // silently rebuild the index from nothing — fail loudly instead
+        val edgeLandings = spark.read.parquet(edgesPath)
+          .select(col("__landing").cast("long").as("__landing"))
+          .filter(col("__landing") < landingId)
+          .distinct().collect().map(_.getLong(0))
+        require(edgeLandings.nonEmpty && edgeLandings.max == priorLandings.max,
+          s"edges store has no landing ${priorLandings.max} (newest prior " +
+            s"vector landing) — a tick landed vectors without edges; " +
+            s"re-run tick ${priorLandings.max} before inserting landing $landingId")
         val priorEdges = spark.read.parquet(edgesPath)
           .filter(col("__landing") === priorLandings.max)
           .select(col("src"), col("dst"), col("cos"))

@@ -218,6 +218,35 @@ class Round15bSpec extends SparkSpec {
       "the training loop's float folds must be bit-stable under repartition")
   }
 
+  test("hashClassifierOf: the fitted model scores EVERY tokened doc — " +
+    "unlabeled docs keep their score with null y/correct (the " +
+    "distillation contract: a small labeled slice, the whole corpus scored)") {
+    import spark.implicits._
+    val docs = (0 until 100).map { i =>
+      val nAlpha = i % 11
+      (i.toLong, (Seq.fill(nAlpha)("alpha") ++ Seq.fill(10 - nAlpha)("beta")).mkString(" "))
+    }.toDF("doc_id", "text")
+    // labels for the even half only
+    val labels = (0 until 100 by 2)
+      .map(i => (i.toLong, if (i % 11 >= 5) 1.0 else -1.0)).toDF("doc_id", "y")
+    val out = graft.ops.TextOps.hashClassifierOf(docs, "doc_id", "text",
+      labels, "y", dim = 64, lr = 4.0, iters = 10)
+    assert(out.count() == 100L, "every tokened doc must be scored")
+    val unl = out.filter(col("doc_id") % 2 === 1)
+    assert(unl.count() == 50L &&
+      unl.filter(col("y").isNotNull || col("correct").isNotNull).count() == 0L &&
+      unl.filter(col("score").isNull).count() == 0L,
+      "unlabeled docs: score present, y/correct null")
+    // the half-trained model still learns the separable rule, and its
+    // scores generalize to the unlabeled half
+    val genAcc = unl
+      .withColumn("want", (col("doc_id") % 11 >= 5))
+      .agg(avg(((col("score") >= 0) === col("want")).cast("int")))
+      .head().getDouble(0)
+    info(f"generalization accuracy on the unlabeled half $genAcc%.3f")
+    assert(genAcc >= 0.9, s"held-out half must be scored correctly: $genAcc")
+  }
+
   test("t26 gate shape: the stopword-ratio teacher is learned well above " +
     "the 0.5 balanced baseline on the real corpus") {
     val out = graft.ops.TextOps.queries("t26_hash_classifier")(
