@@ -544,10 +544,18 @@ object SimOps {
       .join(del.select(col("vec_id").as("src")), Seq("src"), "left_semi")
       .join(del.select(col("vec_id").as("dst")), Seq("dst"), "left_anti")
       .select(col("src").as("d"), col("dst").as("x"))
+    // pairs already live as edges are excluded BEFORE scoring: the
+    // distinct() below would collapse them only if the caller's cos
+    // bits exactly match this kernel's recomputation — true for
+    // knnGraphOf output, not guaranteed for an edge list persisted
+    // rounded or scored elsewhere, and a near-duplicate row would put
+    // the same dst at two ranks of a node's top-r. The anti join also
+    // skips their redundant cosines.
     val stitch = severed.join(outgoing, "d")
       .filter(col("p") =!= col("x"))
       .select(col("p").as("src"), col("x").as("dst"))
       .distinct()
+      .join(live.select(col("src"), col("dst")), Seq("src", "dst"), "left_anti")
     val stitchScored = stitch
       .join(v.select(col("vec_id").as("src"), col("v").as("sv")), "src")
       .join(v.select(col("vec_id").as("dst"), col("v").as("dv")), "dst")

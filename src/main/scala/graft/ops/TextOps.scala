@@ -1125,7 +1125,13 @@ object TextOps {
     require(dim >= 2 && iters >= 1 && lr > 0,
       s"need dim >= 2, iters >= 1, lr > 0; got dim=$dim iters=$iters lr=$lr")
     val cells = featureHashOf(docs, idCol, textCol, dim, salt)
-    val lab = labels.select(col(idCol).as("doc_id"), col(yCol).cast("double").as("y"))
+    // distinct: an exactly-duplicated label row would otherwise double
+    // that doc's cells through the join and silently double-count it
+    // in every score and gradient fold. Conflicting labels for one id
+    // remain caller error (idCol unique — the house keyed-op contract).
+    val lab = labels
+      .select(col(idCol).as("doc_id"), col(yCol).cast("double").as("y"))
+      .distinct()
     val wDoc = Window.partitionBy(col("doc_id"))
     // x covers EVERY tokened doc; training restricts to the labeled
     // subset (the distillation shape: a small labeled slice trains the
@@ -1146,20 +1152,23 @@ object TextOps {
       val wBOrd = wB.orderBy(col("doc_id"))
       val wBCum = wBOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       // per-doc score fold in bucket order — identical op sequence over
-      // the training slice and the full corpus (the join only adds y)
-      def scored(frame: DataFrame, wArr: Array[Double]): DataFrame = {
+      // the training slice and the full corpus (the join only adds y);
+      // carryY rides the training frame's own y column through the fold
+      // so the GD loop never re-joins labels
+      def scored(frame: DataFrame, wArr: Array[Double],
+                 carryY: Boolean = false): DataFrame = {
         val wlit = array(wArr.map(lit).toIndexedSeq: _*)
         frame.withColumn("__rn", row_number().over(wDocOrd))
           .withColumn("__cnt", count(lit(1)).over(wDoc))
           .withColumn("__sc",
             sum(col("x") * element_at(wlit, col("bucket").cast("int") + 1)).over(wDocCum))
           .filter(col("__rn") === col("__cnt"))
-          .select(col("doc_id"), col("__sc").as("score"))
+          .select((Seq(col("doc_id")) ++ (if (carryY) Seq(col("y")) else Nil)
+            :+ col("__sc").as("score")): _*)
       }
       var w = Array.fill(dim)(0.0)
       for (_ <- 1 to iters) {
-        val errs = scored(xy, w)
-          .join(lab, "doc_id")
+        val errs = scored(xy, w, carryY = true)
           .select(col("doc_id"), (col("score") - col("y")).as("err"))
         val g = xy.join(errs, "doc_id")
           .withColumn("__rn", row_number().over(wBOrd))

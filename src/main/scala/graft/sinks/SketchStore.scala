@@ -185,7 +185,12 @@ object SketchStore {
                    k: Int, salt: String = "bk"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("h"))
+    // NULL values are excluded: null hashes to null, which Spark's
+    // ascending sort ranks FIRST — a single null would permanently
+    // occupy a sample slot and skew h₍ₖ₎ (and DuckDB's default NULLS
+    // LAST would disagree). A sample of values has no null member.
     df.select((keys.map(col) :+ col(valueCol).cast("string").as("value")): _*)
+      .filter(col("value").isNotNull)
       .distinct()
       .withColumn("h", graft.F.hash60(concat(lit(salt + ":"), col("value"))))
       .withColumn("__rn", row_number().over(w))

@@ -326,6 +326,54 @@ class Round15bSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  // ----------------------- review-pass hardening pins (second pass)
+
+  test("bottomKState: NULL values are excluded — they never occupy a " +
+    "sample slot or skew the KMV estimate") {
+    import spark.implicits._
+    import graft.sinks.SketchStore
+    val df = (Seq.tabulate(40)(i => ("g", Option(i.toLong))) :+ (("g", Option.empty[Long])))
+      .toDF("g", "v")
+    val st = SketchStore.bottomKState(df, Seq("g"), "v", 8)
+    assert(st.filter(col("value").isNull || col("h").isNull).count() == 0L,
+      "null values must not enter the sketch")
+    assert(st.count() == 8L)
+  }
+
+  test("hashClassifierOf: an exactly-duplicated label row does not " +
+    "double-count its doc (output equals the deduplicated run)") {
+    import spark.implicits._
+    val docs = (0 until 60).map { i =>
+      val nAlpha = i % 11
+      (i.toLong, (Seq.fill(nAlpha)("alpha") ++ Seq.fill(10 - nAlpha)("beta")).mkString(" "))
+    }.toDF("doc_id", "text")
+    val lab = (0 until 60).map(i => (i.toLong, if (i % 11 >= 5) 1.0 else -1.0))
+    val clean = graft.ops.TextOps.hashClassifierOf(docs, "doc_id", "text",
+      lab.toDF("doc_id", "y"), "y", dim = 64, lr = 4.0, iters = 5)
+    val dup = graft.ops.TextOps.hashClassifierOf(docs, "doc_id", "text",
+      (lab ++ lab.take(20)).toDF("doc_id", "y"), "y", dim = 64, lr = 4.0, iters = 5)
+    assert(clean.exceptAll(dup).count() == 0L && dup.exceptAll(clean).count() == 0L,
+      "duplicate label rows must collapse before training")
+  }
+
+  test("graphDeleteOf: a pre-ROUNDED caller edge list cannot put the same " +
+    "dst at two ranks of a node's list (stitch pairs anti-joined before " +
+    "scoring, not collapsed by bit-equality)") {
+    import graft.ops.SimOps
+    val all = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), F.asDouble(col("embedding")).as("v"))
+    val anchors = all.filter(pmod(col("vec_id"), lit(64)) === 0)
+    val edges = SimOps.knnGraphOf(all, anchors, "vec_id", "v", "vec_id", "v",
+        r = 4, cellProbes = 2, descentRounds = 1)
+      .select(col("src"), col("dst"), round(col("cos"), 2).as("cos"))
+      .localCheckpoint(eager = true)
+    val del = all.filter(col("vec_id") % 10 === 9)
+    val cons = SimOps.graphDeleteOf(all, del, edges, "vec_id", "v", r = 4)
+    assert(cons.groupBy("src", "dst").count().filter(col("count") > 1).count() == 0L,
+      "a (src, dst) pair must appear at most once after consolidation")
+    assert(cons.groupBy("src").count().agg(max("count")).head().getLong(0) <= 4L)
+  }
+
   // ---------- st16 continuous ANN index: stream == one-shot insert
 
   test("streamingAnnIndex: vectors absorbed through the store produce the " +
