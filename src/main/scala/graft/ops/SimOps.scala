@@ -250,22 +250,18 @@ object SimOps {
     * route-parity spec pins both paths on one corpus by moving it.) */
   private[graft] var HierAsgThreshold = 256
 
-  def knnGraphOf(corpus: DataFrame, centroids: DataFrame, idCol: String,
-                 vecCol: String, cidCol: String, cvecCol: String,
-                 r: Int, cellProbes: Int = 2, descentRounds: Int = 1,
-                 maxCellOcc: Int = 256): DataFrame = {
-    require(r >= 1, s"r must be >= 1, got $r")
-    require(cellProbes >= 1, s"cellProbes must be >= 1, got $cellProbes")
-    require(descentRounds >= 0, s"descentRounds must be >= 0, got $descentRounds")
-    require(maxCellOcc >= 1, s"maxCellOcc must be >= 1, got $maxCellOcc")
-    val v = corpus.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
-    val cents = broadcast(centroids
-      .select(col(cidCol).as("c_id"), col(cvecCol).cast("array<double>").as("cv")))
+  /** Shared cell-assignment kernel of [[knnGraphOf]] and
+    * [[graphInsertOf]]: each node of `v` → its `cellProbes` nearest
+    * centroid cells (exact brute rank under [[HierAsgThreshold]]
+    * centroids, the √|C| hierarchical route above it). Returns
+    * (vec_id, cell) rows. */
+  private[graft] def cellAsgOf(v: DataFrame, cents: DataFrame,
+                               cellProbes: Int): DataFrame = {
     // one count action, bounded by the centroid table (k·dims driver
     // state is already the IVF contract; a long is cheaper)
     val nCents = cents.count()
     val wAsg = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))
-    val asg = if (nCents <= HierAsgThreshold) {
+    if (nCents <= HierAsgThreshold) {
       graphBruteAsg.incrementAndGet()
       v.crossJoin(cents)
         .withColumn("ccos", expr("graft_cosine(v, cv)"))
@@ -302,6 +298,20 @@ object SimOps {
         .filter(col("__rn") <= cellProbes)
         .select(col("vec_id"), col("c_id").as("cell"))
     }
+  }
+
+  def knnGraphOf(corpus: DataFrame, centroids: DataFrame, idCol: String,
+                 vecCol: String, cidCol: String, cvecCol: String,
+                 r: Int, cellProbes: Int = 2, descentRounds: Int = 1,
+                 maxCellOcc: Int = 256): DataFrame = {
+    require(r >= 1, s"r must be >= 1, got $r")
+    require(cellProbes >= 1, s"cellProbes must be >= 1, got $cellProbes")
+    require(descentRounds >= 0, s"descentRounds must be >= 0, got $descentRounds")
+    require(maxCellOcc >= 1, s"maxCellOcc must be >= 1, got $maxCellOcc")
+    val v = corpus.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+    val cents = broadcast(centroids
+      .select(col(cidCol).as("c_id"), col(cvecCol).cast("array<double>").as("cv")))
+    val asg = cellAsgOf(v, cents, cellProbes)
     // Candidate pairs are scored INSIDE the per-cell self-join: each
     // side of the join carries (cell, id, vector) — n·cellProbes rows,
     // the widest thing this build ever shuffles — and the pair
@@ -448,54 +458,139 @@ object SimOps {
     *            is kept) — per-insert cost is the search budget,
     *            corpus-INDEPENDENT by the s21 frontier argument;
     *   connect  the delta node's out-edges = top-`r` of its scored
-    *            candidates ∪ its delta↔delta cell candidates (the
-    *            [[knnGraphOf]] seed run on the DELTA alone, capped —
-    *            a delta batch is small but may be self-similar, and
-    *            the old graph cannot propose new↔new edges);
-    *   repair   every new edge reversed becomes a candidate for its
-    *            target's list; every source re-ranks existing ∪ new
-    *            candidates to top-`r` (cosine desc, ties → smaller
-    *            dst) — old nodes untouched by any reverse edge keep
+    *            candidates ∪ its cell candidates under the FULL
+    *            build's proposal rule restricted to delta srcs:
+    *            assign the delta to cells, pair each delta node
+    *            against the capped per-cell representative pool drawn
+    *            from corpus ∪ delta — the same md5-ordered cap as
+    *            [[knnGraphOf]], so a subsequent full rebuild would
+    *            propose the identical pairs (this subsumes the old
+    *            delta↔delta-only seed, which missed the corpus side
+    *            of the cell and cost 8 recall@10 points vs a rebuild);
+    *   repair   two challenge families re-rank existing lists:
+    *            (a) every new edge reversed challenges its target's
+    *            list, and (b) corpus representatives sharing a cell
+    *            with a delta representative score those delta reps —
+    *            the full build's corpus→delta pair direction, which
+    *            reverse edges alone cannot reach (a corpus node the
+    *            delta did NOT select still needs its shot at the
+    *            newcomer). Every challenged source re-ranks
+    *            existing ∪ challenges to top-`r` (cosine desc, ties →
+    *            smaller dst); nodes untouched by any challenge keep
     *            their list bit-identically (top-r of ≤ r rows).
+    *            Measured (ScalaTest round-16): this closes the
+    *            insert-vs-rebuild recall@10 gap to 0.000 on the gate
+    *            corpus (was −0.080 with rev-only repair; an extra
+    *            NN-descent round measured NEGATIVE, −0.02 — descent
+    *            displaces the long navigation edges beam search
+    *            needs).
     *
-    * Everything is a pure function of (corpus, delta, edges, anchors)
-    * with total-order ranks, so the DuckDB oracle replays build AND
-    * insert verbatim; cosine symmetry makes reversed scores
-    * bit-identical (the sequential dot kernel is term-commutative),
-    * so the distinct collapses both directions of a delta↔delta pair.
-    * Scale shape: search shuffles the r-bounded edge list per hop and
-    * looks up only scored candidates; connect is delta-sized; repair
-    * shuffles ≤ |edges| + 2·r·|delta| narrow (src, dst, cos) rows —
-    * the corpus' vectors are touched ONLY by the search lookups. */
+    * Everything is a pure function of (corpus, delta, edges,
+    * centroids, anchors) with total-order ranks, so the DuckDB oracle
+    * replays build AND insert verbatim; cosine symmetry makes
+    * reversed scores bit-identical (the sequential dot kernel is
+    * term-commutative), so the distinct collapses both directions of
+    * a delta↔delta pair. Scale shape: search shuffles the r-bounded
+    * edge list per hop and looks up only scored candidates; connect
+    * pairs ≤ |delta|·probes·cap; repair challenges ≤ r·|delta| reverse
+    * edges + cap²·(cells touched by the delta) corpus↔delta rep pairs
+    * — delta-bounded at any skew (both sides of the challenge join
+    * are capped per cell). The one corpus-sized term is the corpus
+    * cell assignment (a scan + broadcast-centroid rank, no corpus
+    * shuffle of vectors beyond it); the streaming tick persists
+    * assignments in its store precisely to avoid repaying it
+    * ([[graft.streaming.StreamOps.annIndexTick]]). */
   def graphInsertOf(corpus: DataFrame, delta: DataFrame, edges: DataFrame,
                     centroids: DataFrame, anchors: DataFrame,
                     idCol: String, vecCol: String,
                     r: Int, beam: Int, hops: Int,
                     cellProbes: Int = 2, maxCellOcc: Int = 256): DataFrame = {
+    val (changed, affected, e) = insertChangedOf(corpus, delta, edges,
+      centroids, anchors, idCol, vecCol, r, beam, hops, cellProbes, maxCellOcc)
+    changed.unionByName(e.join(affected, Seq("src"), "left_anti"))
+  }
+
+  /** Delta-bounded form of [[graphInsertOf]] — returns ONLY the
+    * adjacency lists that CHANGE (src ∈ delta ids ∪ challenged corpus
+    * srcs), omitting every untouched list. The law (spec-pinned,
+    * Round16Spec): `graphInsertOf(args) ≡ graphInsertDeltaOf(args) ∪
+    * edges.filter(src ∉ affected)` bit-identically — untouched lists
+    * survive the full form's re-rank unchanged (top-r of their own
+    * ≤ r rows), so the full output decomposes exactly. This is what a
+    * CONTINUOUS maintenance tick lands: O(|delta|·r + challenge
+    * fan-in) rows per tick instead of the whole index
+    * ([[graft.streaming.StreamOps.annIndexTick]] serves the index as
+    * latest-landing-per-src over these). */
+  def graphInsertDeltaOf(corpus: DataFrame, delta: DataFrame, edges: DataFrame,
+                         centroids: DataFrame, anchors: DataFrame,
+                         idCol: String, vecCol: String,
+                         r: Int, beam: Int, hops: Int,
+                         cellProbes: Int = 2, maxCellOcc: Int = 256): DataFrame =
+    insertChangedOf(corpus, delta, edges, centroids, anchors, idCol, vecCol,
+      r, beam, hops, cellProbes, maxCellOcc)._1
+
+  /** Shared core of [[graphInsertOf]]/[[graphInsertDeltaOf]]: returns
+    * (changed lists, affected src set, normalized edges). */
+  private def insertChangedOf(corpus: DataFrame, delta: DataFrame,
+                              edges: DataFrame, centroids: DataFrame,
+                              anchors: DataFrame, idCol: String, vecCol: String,
+                              r: Int, beam: Int, hops: Int,
+                              cellProbes: Int, maxCellOcc: Int):
+      (DataFrame, DataFrame, DataFrame) = {
     require(r >= 1 && beam >= 1 && hops >= 0,
       s"need r >= 1, beam >= 1, hops >= 0; got r=$r beam=$beam hops=$hops")
+    require(cellProbes >= 1 && maxCellOcc >= 1,
+      s"need cellProbes >= 1, maxCellOcc >= 1; got $cellProbes, $maxCellOcc")
     val wTop = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
     def topR(scored: DataFrame): DataFrame = scored
       .withColumn("__rn", row_number().over(wTop))
       .filter(col("__rn") <= r).drop("__rn")
+    val e = edges.select(col("src"), col("dst"), col("cos"))
+    val vC = corpus.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+    val vD = delta.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+    val cents = broadcast(centroids
+      .select(col(idCol).as("c_id"), col(vecCol).cast("array<double>").as("cv")))
     // search: delta vectors as queries over the EXISTING graph; the
     // whole scored set (entry + every hop) is the candidate pool
     val deltaOld = graphAnnOf(corpus, delta, anchors, edges, idCol, vecCol,
       k = Int.MaxValue, beam = beam, hops = hops, excludeSelf = false)
       .select(col("q_id").as("src"), col("vec_id").as("dst"), col("cos"))
-    // connect: delta↔delta candidates the old graph cannot see — the
-    // knnGraphOf cell seed on the delta alone (no descent; capped)
-    val deltaDelta = knnGraphOf(delta, centroids, idCol, vecCol,
-      idCol, vecCol, r = r, cellProbes = cellProbes,
-      descentRounds = 0, maxCellOcc = maxCellOcc)
-    val newOut = topR(deltaOld.union(deltaDelta).distinct())
-    // repair: reversed new edges challenge their targets' lists
-    // (an NN-descent round over the merged list was measured here and
-    // moved recall only within noise — the insert search already
-    // supplies the cross-seam candidates, so the simpler form ships)
+    // connect: the full build's cell-proposal rule restricted to the
+    // delta — combined (corpus ∪ delta) per-cell rep pool, same
+    // md5-ordered cap as knnGraphOf, delta nodes as srcs
+    val asgC = cellAsgOf(vC, cents, cellProbes).join(vC, "vec_id")
+    val asgD = cellAsgOf(vD, cents, cellProbes).join(vD, "vec_id")
+    val wCell = Window.partitionBy(col("cell"))
+      .orderBy(graft.F.hash60(concat(lit("s20cap:"), col("vec_id").cast("string"))),
+        col("vec_id"))
+    val repsAll = asgC.unionByName(asgD)
+      .withColumn("__crn", row_number().over(wCell))
+      .filter(col("__crn") <= maxCellOcc).drop("__crn")
+    val cellPairs = asgD.as("x").join(repsAll.as("y"), "cell")
+      .filter(col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("src"), col("y.vec_id").as("dst"),
+        expr("graft_cosine(x.v, y.v)").as("cos"))
+      .distinct()
+    val newOut = topR(deltaOld.union(cellPairs).distinct())
+    // repair (a): reversed new edges challenge their targets' lists
     val rev = newOut.select(col("dst").as("src"), col("src").as("dst"), col("cos"))
-    topR(edges.select(col("src"), col("dst"), col("cos"))
-      .union(newOut).union(rev).distinct())
+    // repair (b): corpus reps sharing a cell with a delta rep score
+    // those delta reps — both sides per-cell capped, so the challenge
+    // volume is ≤ cap² per delta-touched cell at any skew
+    val deltaIds = vD.select(col("vec_id")).distinct()
+    val repsD = repsAll.join(deltaIds, Seq("vec_id"), "left_semi")
+    val repsC = repsAll.join(deltaIds, Seq("vec_id"), "left_anti")
+    val abPairs = repsC.as("x").join(repsD.as("y"), "cell")
+      .filter(col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("src"), col("y.vec_id").as("dst"),
+        expr("graft_cosine(x.v, y.v)").as("cos"))
+      .distinct()
+    val challenges = rev.union(abPairs)
+    val affected = newOut.select(col("src"))
+      .union(challenges.select(col("src"))).distinct()
+    val changed = topR(e.join(affected, Seq("src"), "left_semi")
+      .union(newOut).union(challenges).distinct())
+    (changed, affected, e)
   }
 
   /** Graph-ANN DELETE consolidation (public operator behind
@@ -527,6 +622,31 @@ object SimOps {
     * when not); vectors are touched only for the stitch pairs. */
   def graphDeleteOf(corpus: DataFrame, deleted: DataFrame, edges: DataFrame,
                     idCol: String, vecCol: String, r: Int): DataFrame = {
+    val (changed, sevSrcs, live) =
+      deleteChangedOf(corpus, deleted, edges, idCol, vecCol, r)
+    changed.unionByName(live.join(sevSrcs, Seq("src"), "left_anti"))
+  }
+
+  /** Delta-bounded form of [[graphDeleteOf]] — returns ONLY the
+    * adjacency lists that CHANGE (src with a severed edge src→deleted,
+    * re-ranked with its stitch candidates), omitting deleted srcs
+    * (their lists simply cease to exist) and untouched lists. The law
+    * (spec-pinned, Round16Spec): `graphDeleteOf(args) ≡
+    * graphDeleteDeltaOf(args) ∪ edges.filter(src ∉ deleted ∪ severed)`
+    * bit-identically — an untouched live src has NO edge to a deleted
+    * node (that is what untouched means), so its original rows ARE its
+    * post-delete rows. A continuous tick lands only these changed
+    * lists; the deleted srcs disappear from the merged view by the
+    * live-id semi-join ([[graft.streaming.StreamOps.annIndexReport]]). */
+  def graphDeleteDeltaOf(corpus: DataFrame, deleted: DataFrame, edges: DataFrame,
+                         idCol: String, vecCol: String, r: Int): DataFrame =
+    deleteChangedOf(corpus, deleted, edges, idCol, vecCol, r)._1
+
+  /** Shared core of [[graphDeleteOf]]/[[graphDeleteDeltaOf]]: returns
+    * (changed lists, severed src set, live edges). */
+  private def deleteChangedOf(corpus: DataFrame, deleted: DataFrame,
+                              edges: DataFrame, idCol: String, vecCol: String,
+                              r: Int): (DataFrame, DataFrame, DataFrame) = {
     require(r >= 1, s"r must be >= 1, got $r")
     val v = corpus.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
     val del = deleted.select(col(idCol).as("vec_id")).distinct()
@@ -561,9 +681,12 @@ object SimOps {
       .join(v.select(col("vec_id").as("dst"), col("v").as("dv")), "dst")
       .select(col("src"), col("dst"), expr("graft_cosine(sv, dv)").as("cos"))
     val wTop = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
-    live.union(stitchScored).distinct()
+    val sevSrcs = severed.select(col("p").as("src")).distinct()
+    val changed = live.join(sevSrcs, Seq("src"), "left_semi")
+      .union(stitchScored).distinct()
       .withColumn("__rn", row_number().over(wTop))
       .filter(col("__rn") <= r).drop("__rn")
+    (changed, sevSrcs, live)
   }
 
   /** #26b LSH-bucketed ANN — the second scale path the brief names next
@@ -755,36 +878,52 @@ ORDER BY q_id, rank"""
       .orderBy("src", "dst")
   }
 
-  private val s26Sql: String =
-    graphSearchCtes(r = 8, beam = 4, hops = 3,
-      corpusFilter = "vec_id % 10 <> 9", queryFilter = "vec_id % 10 = 9") + s""",
-eb AS (SELECT vec_id, v FROM e WHERE vec_id % 10 = 9),
+  /** The insert-side CTE suffix shared by s26's oracle and st17's
+    * composed tick oracle: given CTEs `e` (all vectors), `asg` (corpus
+    * cell assignment), `allsc` (delta beam-search scored set) and an
+    * edges CTE named `edgesCte`, replay the round-16 connect/repair
+    * rule — combined rep pool, delta cell pairs, reverse challenges,
+    * corpus-rep↔delta-rep challenges — to a CTE `fin` (the post-insert
+    * edge list). `deltaFilter` selects the delta slice of `e`. */
+  private def insertCtes(deltaFilter: String, edgesCte: String,
+                         corpusAsgCte: String = "asg", r: Int = 8): String = s"""
+eb AS (SELECT vec_id, v FROM e WHERE $deltaFilter),
 basg AS (SELECT vec_id, cell FROM (
     SELECT eb.vec_id, c_id AS cell,
       row_number() OVER (PARTITION BY eb.vec_id ORDER BY ${duckCos("v", "cv")} DESC, c_id) AS arn
     FROM eb CROSS JOIN cents) WHERE arn <= 2),
-breps AS (SELECT vec_id, cell FROM (
+casg AS (SELECT vec_id, cell FROM $corpusAsgCte UNION ALL SELECT vec_id, cell FROM basg),
+creps AS (SELECT vec_id, cell FROM (
     SELECT vec_id, cell, row_number() OVER (PARTITION BY cell
       ORDER BY CAST(('0x' || substr(md5('s20cap:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id) AS crn
-    FROM basg) WHERE crn <= 256),
+    FROM casg) WHERE crn <= 256),
 bp AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-  FROM basg a JOIN breps b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+  FROM basg a JOIN creps b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
 bsc AS (SELECT src, dst, ${duckCos("es.v", "ed.v")} AS cos
-  FROM bp JOIN eb es ON es.vec_id = src JOIN eb ed ON ed.vec_id = dst),
-bed AS (SELECT src, dst, cos FROM (
-    SELECT src, dst, cos, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM bsc)
-  WHERE rn <= 8),
+  FROM bp JOIN e es ON es.vec_id = src JOIN e ed ON ed.vec_id = dst),
 newc AS (SELECT q_id AS src, vec_id AS dst, cos FROM allsc
-  UNION SELECT src, dst, cos FROM bed),
+  UNION SELECT src, dst, cos FROM bsc),
 newout AS (SELECT src, dst, cos FROM (
     SELECT src, dst, cos, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM newc)
-  WHERE rn <= 8),
-alle AS (SELECT src, dst, cos FROM edges
+  WHERE rn <= $r),
+abp AS (SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
+  FROM (SELECT * FROM creps WHERE NOT ($deltaFilter)) x
+  JOIN (SELECT * FROM creps WHERE $deltaFilter) y
+    ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+absc AS (SELECT src, dst, ${duckCos("es.v", "ed.v")} AS cos
+  FROM abp JOIN e es ON es.vec_id = src JOIN e ed ON ed.vec_id = dst),
+alle AS (SELECT src, dst, cos FROM $edgesCte
   UNION SELECT src, dst, cos FROM newout
-  UNION SELECT dst AS src, src AS dst, cos FROM newout),
+  UNION SELECT dst AS src, src AS dst, cos FROM newout
+  UNION SELECT src, dst, cos FROM absc),
 fin AS (SELECT src, dst, cos FROM (
     SELECT src, dst, cos, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM alle)
-  WHERE rn <= 8)
+  WHERE rn <= $r)"""
+
+  private val s26Sql: String =
+    graphSearchCtes(r = 8, beam = 4, hops = 3,
+      corpusFilter = "vec_id % 10 <> 9", queryFilter = "vec_id % 10 = 9") + "," +
+      insertCtes(deltaFilter = "vec_id % 10 = 9", edgesCte = "edges") + """
 SELECT src, dst, round(cos, 6) AS cos_sim FROM fin ORDER BY src, dst"""
 
   /** #26z2 graph-ANN DELETE consolidation as a gate query
