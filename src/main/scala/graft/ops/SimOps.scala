@@ -506,7 +506,8 @@ object SimOps {
                     r: Int, beam: Int, hops: Int,
                     cellProbes: Int = 2, maxCellOcc: Int = 256): DataFrame = {
     val (changed, affected, e) = insertChangedOf(corpus, delta, edges,
-      centroids, anchors, idCol, vecCol, r, beam, hops, cellProbes, maxCellOcc)
+      centroids, anchors, idCol, vecCol, r, beam, hops, cellProbes, maxCellOcc,
+      corpusAsg = null)
     changed.unionByName(e.join(affected, Seq("src"), "left_anti"))
   }
 
@@ -520,14 +521,24 @@ object SimOps {
     * CONTINUOUS maintenance tick lands: O(|delta|·r + challenge
     * fan-in) rows per tick instead of the whole index
     * ([[graft.streaming.StreamOps.annIndexTick]] serves the index as
-    * latest-landing-per-src over these). */
+    * latest-landing-per-src over these).
+    *
+    * `corpusAsg`, when given as (vec_id, cell) rows, replaces the
+    * corpus cell assignment the core would otherwise recompute — the
+    * continuous tick persists assignments at insert time precisely so
+    * the per-tick corpus-sized assignment pass disappears (the stored
+    * assignment reflects each node's insert-time anchor set; index
+    * staleness under anchor drift is s25 indexDrift's contract, and
+    * the stream==one-shot spec pins bit-equality while anchors are
+    * stable). */
   def graphInsertDeltaOf(corpus: DataFrame, delta: DataFrame, edges: DataFrame,
                          centroids: DataFrame, anchors: DataFrame,
                          idCol: String, vecCol: String,
                          r: Int, beam: Int, hops: Int,
-                         cellProbes: Int = 2, maxCellOcc: Int = 256): DataFrame =
+                         cellProbes: Int = 2, maxCellOcc: Int = 256,
+                         corpusAsg: DataFrame = null): DataFrame =
     insertChangedOf(corpus, delta, edges, centroids, anchors, idCol, vecCol,
-      r, beam, hops, cellProbes, maxCellOcc)._1
+      r, beam, hops, cellProbes, maxCellOcc, corpusAsg)._1
 
   /** Shared core of [[graphInsertOf]]/[[graphInsertDeltaOf]]: returns
     * (changed lists, affected src set, normalized edges). */
@@ -535,7 +546,8 @@ object SimOps {
                               edges: DataFrame, centroids: DataFrame,
                               anchors: DataFrame, idCol: String, vecCol: String,
                               r: Int, beam: Int, hops: Int,
-                              cellProbes: Int, maxCellOcc: Int):
+                              cellProbes: Int, maxCellOcc: Int,
+                              corpusAsg: DataFrame):
       (DataFrame, DataFrame, DataFrame) = {
     require(r >= 1 && beam >= 1 && hops >= 0,
       s"need r >= 1, beam >= 1, hops >= 0; got r=$r beam=$beam hops=$hops")
@@ -557,13 +569,23 @@ object SimOps {
       .select(col("q_id").as("src"), col("vec_id").as("dst"), col("cos"))
     // connect: the full build's cell-proposal rule restricted to the
     // delta — combined (corpus ∪ delta) per-cell rep pool, same
-    // md5-ordered cap as knnGraphOf, delta nodes as srcs
-    val asgC = cellAsgOf(vC, cents, cellProbes).join(vC, "vec_id")
+    // md5-ordered cap as knnGraphOf, delta nodes as srcs. Only cells
+    // the delta touches can form a pair, so the corpus side is
+    // pre-filtered to them (a broadcast semi join — no corpus shuffle;
+    // per-cell cap ranks are unchanged by dropping whole cells)
     val asgD = cellAsgOf(vD, cents, cellProbes).join(vD, "vec_id")
+    val deltaCells = asgD.select(col("cell")).distinct()
+    val asgCFull =
+      if (corpusAsg != null) corpusAsg.select(col("vec_id"), col("cell"))
+      else cellAsgOf(vC, cents, cellProbes)
+    val asgC = asgCFull
+      .join(broadcast(deltaCells), Seq("cell"), "left_semi")
+      .join(vC, "vec_id")
+      .select(col("vec_id"), col("cell"), col("v"))
     val wCell = Window.partitionBy(col("cell"))
       .orderBy(graft.F.hash60(concat(lit("s20cap:"), col("vec_id").cast("string"))),
         col("vec_id"))
-    val repsAll = asgC.unionByName(asgD)
+    val repsAll = asgC.unionByName(asgD.select(col("vec_id"), col("cell"), col("v")))
       .withColumn("__crn", row_number().over(wCell))
       .filter(col("__crn") <= maxCellOcc).drop("__crn")
     val cellPairs = asgD.as("x").join(repsAll.as("y"), "cell")
@@ -571,7 +593,11 @@ object SimOps {
       .select(col("x.vec_id").as("src"), col("y.vec_id").as("dst"),
         expr("graft_cosine(x.v, y.v)").as("cos"))
       .distinct()
+    // the delta lists are referenced by the reverse challenge, the
+    // affected-src set AND the final union — checkpoint once so the
+    // deep beam-search plan underneath isn't replanned per reference
     val newOut = topR(deltaOld.union(cellPairs).distinct())
+      .localCheckpoint(eager = false)
     // repair (a): reversed new edges challenge their targets' lists
     val rev = newOut.select(col("dst").as("src"), col("src").as("dst"), col("cos"))
     // repair (b): corpus reps sharing a cell with a delta rep score
@@ -585,9 +611,10 @@ object SimOps {
       .select(col("x.vec_id").as("src"), col("y.vec_id").as("dst"),
         expr("graft_cosine(x.v, y.v)").as("cos"))
       .distinct()
-    val challenges = rev.union(abPairs)
+    val challenges = rev.union(abPairs).localCheckpoint(eager = false)
     val affected = newOut.select(col("src"))
       .union(challenges.select(col("src"))).distinct()
+      .localCheckpoint(eager = false)
     val changed = topR(e.join(affected, Seq("src"), "left_semi")
       .union(newOut).union(challenges).distinct())
     (changed, affected, e)
@@ -732,38 +759,49 @@ object SimOps {
     * at (r, beam, hops), ending at `allsc` = every scored
     * (q_id, vec_id, cos). Callers append their own final SELECT.
     * `edges` keeps cos so the s26 insert chain can re-rank it. */
-  private def graphSearchCtes(r: Int, beam: Int, hops: Int,
-                              corpusFilter: String = "TRUE",
-                              queryFilter: String = "vec_id < 5"): String = {
+  /** The graph BUILD CTE chain (cell seed + one NN-descent round →
+    * `edges`), the first half of the old monolithic search tree — kept
+    * separate so st17's composed oracle can run a DELETE between build
+    * and search. */
+  private def graphBuildCtes(r: Int, corpusFilter: String): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |ec AS (SELECT vec_id, v FROM e WHERE $corpusFilter),
+       |cents AS (SELECT vec_id AS c_id, v AS cv FROM ec WHERE vec_id % 64 = 0),
+       |asg AS (SELECT vec_id, cell FROM (
+       |    SELECT ec.vec_id, c_id AS cell,
+       |      row_number() OVER (PARTITION BY ec.vec_id ORDER BY ${duckCos("v", "cv")} DESC, c_id) AS arn
+       |    FROM ec CROSS JOIN cents) WHERE arn <= 2),
+       |reps AS (SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY cell
+       |      ORDER BY CAST(('0x' || substr(md5('s20cap:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id) AS crn
+       |    FROM asg) WHERE crn <= 256),
+       |p0 AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+       |  FROM asg a JOIN reps b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+       |sc0 AS (SELECT src, dst, ${duckCos("es.v", "ed.v")} AS cos
+       |  FROM p0 JOIN ec es ON es.vec_id = src JOIN ec ed ON ed.vec_id = dst),
+       |ed0 AS (SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM sc0)
+       |  WHERE rn <= $r),
+       |non AS (SELECT DISTINCT x.src, y.dst FROM ed0 x JOIN ed0 y ON x.dst = y.src WHERE x.src <> y.dst),
+       |cand AS (SELECT src, dst FROM p0 UNION SELECT src, dst FROM non),
+       |sc1 AS (SELECT src, dst, ${duckCos("es.v", "ed.v")} AS cos
+       |  FROM cand JOIN ec es ON es.vec_id = src JOIN ec ed ON ed.vec_id = dst),
+       |edges AS (SELECT src, dst, cos FROM (
+       |    SELECT src, dst, cos, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM sc1)
+       |  WHERE rn <= $r)""".stripMargin
+
+  /** The BEAM-SEARCH CTE chain (entry anchor + `hops` expansion rounds
+    * → `allsc`, the whole scored set) over any edge-list CTE
+    * (`edgesCte`) and corpus CTE (`corpusCte` supplies the anchor
+    * slice) — the second half of the old monolithic tree,
+    * parameterized so st17 can search the POST-DELETE edge list. */
+  private def beamSearchCtes(beam: Int, hops: Int, queryFilter: String,
+                             edgesCte: String = "edges",
+                             corpusCte: String = "ec"): String = {
     val head =
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |ec AS (SELECT vec_id, v FROM e WHERE $corpusFilter),
-         |cents AS (SELECT vec_id AS c_id, v AS cv FROM ec WHERE vec_id % 64 = 0),
-         |asg AS (SELECT vec_id, cell FROM (
-         |    SELECT ec.vec_id, c_id AS cell,
-         |      row_number() OVER (PARTITION BY ec.vec_id ORDER BY ${duckCos("v", "cv")} DESC, c_id) AS arn
-         |    FROM ec CROSS JOIN cents) WHERE arn <= 2),
-         |reps AS (SELECT vec_id, cell FROM (
-         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY cell
-         |      ORDER BY CAST(('0x' || substr(md5('s20cap:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id) AS crn
-         |    FROM asg) WHERE crn <= 256),
-         |p0 AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-         |  FROM asg a JOIN reps b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
-         |sc0 AS (SELECT src, dst, ${duckCos("es.v", "ed.v")} AS cos
-         |  FROM p0 JOIN ec es ON es.vec_id = src JOIN ec ed ON ed.vec_id = dst),
-         |ed0 AS (SELECT src, dst FROM (
-         |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM sc0)
-         |  WHERE rn <= $r),
-         |non AS (SELECT DISTINCT x.src, y.dst FROM ed0 x JOIN ed0 y ON x.dst = y.src WHERE x.src <> y.dst),
-         |cand AS (SELECT src, dst FROM p0 UNION SELECT src, dst FROM non),
-         |sc1 AS (SELECT src, dst, ${duckCos("es.v", "ed.v")} AS cos
-         |  FROM cand JOIN ec es ON es.vec_id = src JOIN ec ed ON ed.vec_id = dst),
-         |edges AS (SELECT src, dst, cos FROM (
-         |    SELECT src, dst, cos, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM sc1)
-         |  WHERE rn <= $r),
-         |edsym AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
+      s"""edsym AS (SELECT src, dst FROM $edgesCte UNION SELECT dst AS src, src AS dst FROM $edgesCte),
          |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE $queryFilter),
-         |anc AS (SELECT vec_id, v AS av FROM ec WHERE vec_id % 64 = 0),
+         |anc AS (SELECT vec_id, v AS av FROM $corpusCte WHERE vec_id % 64 = 0),
          |s0 AS (SELECT q_id, vec_id, cos FROM (
          |    SELECT q.q_id, anc.vec_id, ${duckCos("qv", "av")} AS cos,
          |      row_number() OVER (PARTITION BY q.q_id ORDER BY ${duckCos("qv", "av")} DESC, anc.vec_id) AS rn
@@ -783,6 +821,35 @@ object SimOps {
     val allScored = (0 to hops).map(i => s"SELECT q_id, vec_id, cos FROM s$i").mkString(" UNION ALL ")
     (Seq(head) ++ hopCtes :+ s"allsc AS ($allScored)").mkString(",\n")
   }
+
+  private def graphSearchCtes(r: Int, beam: Int, hops: Int,
+                              corpusFilter: String = "TRUE",
+                              queryFilter: String = "vec_id < 5"): String =
+    graphBuildCtes(r, corpusFilter) + ",\n" +
+      beamSearchCtes(beam, hops, queryFilter)
+
+  /** The DELETE-consolidation CTE chain (drop + stitch → `dfin`, the
+    * post-delete edge list) over any edge-list CTE — s27's oracle
+    * parameterized for reuse inside st17's composed tick oracle. */
+  private def deleteCtes(delFilter: String, edgesCte: String,
+                         corpusCte: String, r: Int): String =
+    s"""ddel AS (SELECT vec_id FROM e WHERE $delFilter),
+       |dlive AS (SELECT src, dst, cos FROM $edgesCte
+       |  WHERE src NOT IN (SELECT vec_id FROM ddel)
+       |    AND dst NOT IN (SELECT vec_id FROM ddel)),
+       |dsev AS (SELECT src AS p, dst AS d FROM $edgesCte
+       |  WHERE dst IN (SELECT vec_id FROM ddel)
+       |    AND src NOT IN (SELECT vec_id FROM ddel)),
+       |doutg AS (SELECT src AS d, dst AS x FROM $edgesCte
+       |  WHERE src IN (SELECT vec_id FROM ddel)
+       |    AND dst NOT IN (SELECT vec_id FROM ddel)),
+       |dstp AS (SELECT DISTINCT p AS src, x AS dst FROM dsev JOIN doutg USING (d) WHERE p <> x),
+       |dstsc AS (SELECT dstp.src, dstp.dst, ${duckCos("es.v", "ed.v")} AS cos
+       |  FROM dstp JOIN $corpusCte es ON es.vec_id = dstp.src JOIN $corpusCte ed ON ed.vec_id = dstp.dst),
+       |dalle AS (SELECT src, dst, cos FROM dlive UNION SELECT src, dst, cos FROM dstsc),
+       |dfin AS (SELECT src, dst, cos FROM (
+       |    SELECT src, dst, cos, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM dalle)
+       |  WHERE rn <= $r)""".stripMargin
 
   private val s20Sql: String =
     graphSearchCtes(r = 8, beam = 4, hops = 3) + s""",
@@ -948,24 +1015,27 @@ SELECT src, dst, round(cos, 6) AS cos_sim FROM fin ORDER BY src, dst"""
   }
 
   private val s27Sql: String =
-    graphSearchCtes(r = 8, beam = 4, hops = 0) + s""",
-del AS (SELECT vec_id FROM e WHERE vec_id % 10 = 9),
-live AS (SELECT src, dst, cos FROM edges
-  WHERE src NOT IN (SELECT vec_id FROM del)
-    AND dst NOT IN (SELECT vec_id FROM del)),
-sev AS (SELECT src AS p, dst AS d FROM edges
-  WHERE dst IN (SELECT vec_id FROM del)
-    AND src NOT IN (SELECT vec_id FROM del)),
-outg AS (SELECT src AS d, dst AS x FROM edges
-  WHERE src IN (SELECT vec_id FROM del)
-    AND dst NOT IN (SELECT vec_id FROM del)),
-st AS (SELECT DISTINCT p AS src, x AS dst FROM sev JOIN outg USING (d) WHERE p <> x),
-stsc AS (SELECT st.src, st.dst, ${duckCos("es.v", "ed.v")} AS cos
-  FROM st JOIN ec es ON es.vec_id = st.src JOIN ec ed ON ed.vec_id = st.dst),
-alle AS (SELECT src, dst, cos FROM live UNION SELECT src, dst, cos FROM stsc),
-fin AS (SELECT src, dst, cos FROM (
-    SELECT src, dst, cos, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM alle)
-  WHERE rn <= 8)
+    graphBuildCtes(r = 8, corpusFilter = "TRUE") + ",\n" +
+      deleteCtes(delFilter = "vec_id % 10 = 9", edgesCte = "edges",
+        corpusCte = "ec", r = 8) + """
+SELECT src, dst, round(cos, 6) AS cos_sim FROM dfin ORDER BY src, dst"""
+
+  /** The st17 composed tick oracle: build on vec_id % 10 ≠ 8, DELETE
+    * the % 10 = 9 slice (s27's consolidation), beam-search the held-out
+    * % 10 = 8 slice over the POST-delete edge list and survivor
+    * anchors, then INSERT it (s26's connect/repair) — one CTE tree
+    * replaying [[graft.streaming.StreamOps.annIndexTick]]'s
+    * delete-then-insert landing composed through the store. */
+  val st17ComposedSql: String =
+    graphBuildCtes(r = 8, corpusFilter = "vec_id % 10 <> 8") + s""",
+lc AS (SELECT vec_id, v FROM ec WHERE vec_id % 10 <> 9),
+sasg AS (SELECT vec_id, cell FROM asg WHERE vec_id % 10 <> 9),
+""" + deleteCtes(delFilter = "vec_id % 10 = 9", edgesCte = "edges",
+        corpusCte = "ec", r = 8) + ",\n" +
+      beamSearchCtes(beam = 4, hops = 3, queryFilter = "vec_id % 10 = 8",
+        edgesCte = "dfin", corpusCte = "lc") + "," +
+      insertCtes(deltaFilter = "vec_id % 10 = 8", edgesCte = "dfin",
+        corpusAsgCte = "sasg") + """
 SELECT src, dst, round(cos, 6) AS cos_sim FROM fin ORDER BY src, dst"""
 
   /** #26y MMR diversified re-ranking (Carbonell & Goldstein 1998) —

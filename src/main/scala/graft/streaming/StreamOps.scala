@@ -1320,72 +1320,204 @@ object StreamOps {
       |  JOIN ex ON ex.event_type = kept.event_type
       |ORDER BY kept.event_type, kept.h""".stripMargin
 
+  private def pathExists(spark: SparkSession, p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+  }
+
+  private def landingIdsOf(spark: SparkSession, path: String,
+                           before: Long): Array[Long] =
+    if (!pathExists(spark, path)) Array.empty
+    else spark.read.parquet(path)
+      .select(col("__landing").cast("long").as("__landing"))
+      .filter(col("__landing") < before)
+      .distinct().collect().map(_.getLong(0))
+
+  /** Latest-op-wins LIVE vector view over an [[annIndexTick]] store:
+    * per vec_id, the newest event among vector landings and delete
+    * landings strictly before `beforeLanding`; an id whose newest
+    * event is a delete is gone, and a later re-insert resurrects it
+    * (newest event wins; within one landing the insert wins, because a
+    * tick applies its deletes BEFORE its batch). */
+  def annLiveVectors(spark: SparkSession, storePath: String,
+                     beforeLanding: Long = Long.MaxValue): DataFrame = {
+    val ins = spark.read.parquet(s"$storePath/vectors")
+      .filter(col("__landing").cast("long") < beforeLanding)
+      .select(col("vec_id"), col("v"),
+        col("__landing").cast("long").as("__landing"), lit(1).as("__op"))
+    val delPath = s"$storePath/deletes"
+    val all =
+      if (!pathExists(spark, delPath)) ins
+      else ins.unionByName(spark.read.parquet(delPath)
+        .filter(col("__landing").cast("long") < beforeLanding)
+        .select(col("vec_id"),
+          lit(null).cast(ins.schema("v").dataType).as("v"),
+          col("__landing").cast("long").as("__landing"), lit(0).as("__op")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("__landing").desc, col("__op").desc)
+    all.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("__op") === 1)
+      .select(col("vec_id"), col("v"))
+  }
+
+  /** The queryable INDEX view over an [[annIndexTick]] store: each
+    * live node's newest landed adjacency list (latest-landing-per-src
+    * — the st09/d13 merged-view precedent), deleted srcs dropped by
+    * the live-id semi join. Landings hold only CHANGED lists, so the
+    * store stays delta-bounded while this view is always the full
+    * current index. A stale dst row cannot occur: any src pointing at
+    * a deleted node is severed by definition, so the deleting tick
+    * re-lands its list. */
+  def annIndexReport(spark: SparkSession, storePath: String,
+                     beforeLanding: Long = Long.MaxValue): DataFrame = {
+    val edgesPath = s"$storePath/edges"
+    require(pathExists(spark, edgesPath),
+      s"ANN index store at $storePath has no edges store — a first tick " +
+        "landed vectors without building edges (crash between landings); " +
+        "re-run that tick before reading the index")
+    val live = annLiveVectors(spark, storePath, beforeLanding)
+      .select(col("vec_id").as("src"))
+    val wl = Window.partitionBy(col("src"))
+    spark.read.parquet(edgesPath)
+      .filter(col("__landing").cast("long") < beforeLanding)
+      .withColumn("__maxl", max(col("__landing").cast("long")).over(wl))
+      .filter(col("__landing").cast("long") === col("__maxl"))
+      .join(live, Seq("src"), "left_semi")
+      .select(col("src"), col("dst"), col("cos"))
+  }
+
+  /** Latest-per-node persisted cell assignment ([[annIndexTick]] lands
+    * its batch's assignment every tick so later ticks never repay the
+    * corpus-sized assignment pass — each row reflects its node's
+    * insert-time anchor set; staleness under anchor drift is what s25
+    * indexDrift monitors). */
+  private def mergedAsg(spark: SparkSession, storePath: String,
+                        beforeLanding: Long): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+    spark.read.parquet(s"$storePath/asg")
+      .filter(col("__landing").cast("long") < beforeLanding)
+      .withColumn("__maxl", max(col("__landing").cast("long")).over(w))
+      .filter(col("__landing").cast("long") === col("__maxl"))
+      .select(col("vec_id"), col("cell"))
+  }
+
   /** One CONTINUOUS vector-index maintenance tick — the streaming twin
-    * of s26's incremental insert (the operator a live embedding lake
-    * actually runs: vectors arrive, the index absorbs them, no rebuild):
-    * land the batch's vectors under `landingId`, then
+    * of s26's incremental insert AND s27's delete consolidation (the
+    * loop a live embedding lake actually runs: vectors arrive and
+    * leave, the index absorbs both, no rebuild). Per `landingId`:
     *
-    *   first landing   build the graph on the batch alone
-    *                   ([[graft.ops.SimOps.knnGraphOf]], anchors = the
-    *                   batch's `id % anchorMod == 0` slice);
-    *   later landings  [[graft.ops.SimOps.graphInsertOf]] of the batch
-    *                   over the PRIOR corpus + the PRIOR edge list
-    *                   (search-connect-repair; per-insert cost = the
-    *                   search budget, corpus-independent)
+    *   deletes   (optional) land the delete ids, then
+    *             [[graft.ops.SimOps.graphDeleteDeltaOf]] re-ranks ONLY
+    *             the severed lists (FreshDiskANN consolidation order:
+    *             delete first, insert on the survivors);
+    *   batch     land the vectors + their cell assignment, then
+    *             first landing: build the graph on the batch alone
+    *             ([[graft.ops.SimOps.knnGraphOf]]); later landings:
+    *             [[graft.ops.SimOps.graphInsertDeltaOf]] over the
+    *             prior LIVE corpus + merged index view, reusing the
+    *             PERSISTED assignments (no corpus-sized assignment
+    *             pass per tick);
+    *   land      ONLY the changed adjacency lists (insert wins where
+    *             both steps touched a src — its insert-side list was
+    *             computed over the post-delete state), then a one-row
+    *             tick MANIFEST (n_batch / n_deletes / n_changed) as
+    *             the tick's commit point.
     *
-    * and land the updated edge list under `landingId` too. Both stores
-    * are landing-partitioned with dynamic overwrite, and a tick reads
-    * only landings STRICTLY BEFORE its own — so replaying a tick reads
+    * Per-tick landing size and store growth are DELTA-bounded (the
+    * round-15 full-list re-land was index-sized per tick); the
+    * queryable index is [[annIndexReport]]'s latest-landing-per-src
+    * merged view, spec-pinned bit-identical to the one-shot
+    * graphInsertOf/graphDeleteOf composition. Every store is
+    * landing-partitioned with dynamic overwrite and a tick reads only
+    * landings STRICTLY BEFORE its own, so replaying a tick reads
     * unchanged history and overwrites exactly its own partitions
-    * (idempotent, the st09/st10 replay contract). The versioned edge
-    * store doubles as index history (audit/rollback — the
-    * VersionedStore shape); production retention keeps the latest
-    * landing, which IS the index. */
+    * (idempotent, the st09/st10 replay contract). A tick that crashed
+    * between landings left no manifest — the next tick fails loudly
+    * and names the tick to re-run. */
   def annIndexTick(spark: SparkSession, storePath: String, batch: DataFrame,
                    idCol: String, vecCol: String,
                    r: Int, beam: Int, hops: Int,
-                   landingId: Long, anchorMod: Int = 64): Unit = {
+                   landingId: Long, anchorMod: Int = 64,
+                   deletes: DataFrame = null): Unit = {
     import graft.ops.SimOps
+    import graft.sinks.SketchStore.land
     val vecsPath = s"$storePath/vectors"
     val edgesPath = s"$storePath/edges"
     val b = batch.select(col(idCol).as("vec_id"),
       col(vecCol).cast("array<double>").as("v"))
-    graft.sinks.SketchStore.land(spark, vecsPath, b, landingId)
+    val delIds = if (deletes == null) null
+      else deletes.select(col(idCol).as("vec_id")).distinct()
     def anchorsOf(df: DataFrame): DataFrame =
       df.filter(pmod(col("vec_id"), lit(anchorMod.toLong)) === 0)
-    val priorLandings = spark.read.parquet(vecsPath)
-      .select(col("__landing").cast("long").as("__landing"))
-      .filter(col("__landing") < landingId)
-      .distinct().collect().map(_.getLong(0))
-    val edges =
-      if (priorLandings.isEmpty)
-        SimOps.knnGraphOf(b, anchorsOf(b), "vec_id", "v", "vec_id", "v",
+    def asgOf(vs: DataFrame, anc: DataFrame): DataFrame =
+      SimOps.cellAsgOf(vs, broadcast(anc.select(col("vec_id").as("c_id"),
+        col("v").as("cv"))), cellProbes = 2)
+    // completed-tick guard: every prior landing must have its manifest
+    // (the manifest lands LAST inside a tick — its absence means that
+    // tick crashed between landings and must be re-run)
+    val priorLandings = (landingIdsOf(spark, vecsPath, landingId) ++
+      landingIdsOf(spark, s"$storePath/deletes", landingId)).distinct
+    if (priorLandings.nonEmpty) {
+      val done = landingIdsOf(spark, s"$storePath/ticks", landingId).toSet
+      val missing = priorLandings.filterNot(done).sorted
+      require(missing.isEmpty,
+        s"tick(s) ${missing.mkString(",")} landed state but no manifest — " +
+          s"crashed mid-tick; re-run before landing $landingId")
+    }
+    val nDeletes = if (delIds == null) 0L else delIds.count()
+    if (nDeletes > 0L) land(spark, s"$storePath/deletes", delIds, landingId)
+    val nBatch = b.count()
+    if (nBatch > 0L) land(spark, vecsPath, b, landingId)
+    val changed: DataFrame =
+      if (priorLandings.isEmpty) {
+        require(nBatch > 0L, "the first tick needs a non-empty batch")
+        val anc = anchorsOf(b)
+        land(spark, s"$storePath/asg", asgOf(b, anc), landingId)
+        SimOps.knnGraphOf(b, anc, "vec_id", "v", "vec_id", "v",
           r = r, cellProbes = 2, descentRounds = 1)
-      else {
-        val prior = spark.read.parquet(vecsPath)
-          .filter(col("__landing") < landingId).select(col("vec_id"), col("v"))
-        // the edges partition for the newest prior landing must exist:
-        // vectors land BEFORE edges inside a tick, so a crash between
-        // the two (or retention that dropped the newest edges landing)
-        // would otherwise read an EMPTY prior edge list here and
-        // silently rebuild the index from nothing — fail loudly instead
-        val edgeLandings = spark.read.parquet(edgesPath)
-          .select(col("__landing").cast("long").as("__landing"))
-          .filter(col("__landing") < landingId)
-          .distinct().collect().map(_.getLong(0))
-        require(edgeLandings.nonEmpty && edgeLandings.max == priorLandings.max,
-          s"edges store has no landing ${priorLandings.max} (newest prior " +
-            s"vector landing) — a tick landed vectors without edges; " +
-            s"re-run tick ${priorLandings.max} before inserting landing $landingId")
-        val priorEdges = spark.read.parquet(edgesPath)
-          .filter(col("__landing") === priorLandings.max)
-          .select(col("src"), col("dst"), col("cos"))
-        val anc = anchorsOf(prior)
-        SimOps.graphInsertOf(prior, b, priorEdges, anc, anc,
-          "vec_id", "v", r = r, beam = beam, hops = hops)
+      } else {
+        // the merged views feed every beam-search hop and both repair
+        // unions — checkpoint them once per tick so their window plans
+        // don't re-execute per reference (the graphAnnOf contract)
+        val priorLive = annLiveVectors(spark, storePath, landingId)
+          .localCheckpoint(eager = false)
+        val priorEdges = annIndexReport(spark, storePath, landingId)
+          .localCheckpoint(eager = false)
+        val (survivors, edgesAfterDel, changedDel) =
+          if (nDeletes == 0L) (priorLive, priorEdges, null)
+          else {
+            val cd = SimOps.graphDeleteDeltaOf(priorLive, delIds, priorEdges,
+              "vec_id", "v", r = r).localCheckpoint(eager = false)
+            val after = cd.unionByName(priorEdges
+              .join(cd.select("src").distinct(), Seq("src"), "left_anti")
+              .join(delIds.select(col("vec_id").as("src")), Seq("src"), "left_anti"))
+              .localCheckpoint(eager = false)
+            (priorLive.join(delIds, Seq("vec_id"), "left_anti"), after, cd)
+          }
+        if (nBatch == 0L) {
+          require(nDeletes > 0L, "a tick needs a batch, deletes, or both")
+          changedDel
+        } else {
+          val anc = anchorsOf(survivors)
+          land(spark, s"$storePath/asg", asgOf(b, anc), landingId)
+          val survivorAsg = mergedAsg(spark, storePath, landingId)
+            .join(survivors.select("vec_id"), Seq("vec_id"), "left_semi")
+          val ci = SimOps.graphInsertDeltaOf(survivors, b, edgesAfterDel,
+            anc, anc, "vec_id", "v", r = r, beam = beam, hops = hops,
+            corpusAsg = survivorAsg)
+          if (changedDel == null) ci
+          else ci.unionByName(changedDel
+            .join(ci.select("src").distinct(), Seq("src"), "left_anti"))
+        }
       }
-    graft.sinks.SketchStore.land(spark, edgesPath,
-      edges.select(col("src"), col("dst"), col("cos")), landingId)
+    val changedOut = changed.select(col("src"), col("dst"), col("cos"))
+      .localCheckpoint(eager = true)
+    val nChanged = changedOut.count()
+    if (nChanged > 0L) land(spark, edgesPath, changedOut, landingId)
+    import spark.implicits._
+    land(spark, s"$storePath/ticks",
+      Seq((nBatch, nDeletes, nChanged)).toDF("n_batch", "n_deletes", "n_changed"),
+      landingId)
   }
 
   /** The s26 incremental graph insert run CONTINUOUSLY: every
@@ -1412,14 +1544,15 @@ object StreamOps {
   /** #35p the continuous vector-index loop as a two-tick batch REPLAY
     * (the st09 rule): tick 0 lands corpus A (vec_id % 10 ≠ 9) and
     * builds the graph on it; tick 1 lands the held-out B slice and
-    * absorbs it by search-connect-repair over the STORED corpus + edge
-    * list. The report is tick 1's landed edge list — and because the
-    * tick replays s26's exact argument shape through the store, the
-    * oracle is LITERALLY s26's CTE tree (the incremental-maintenance
-    * law as the parity check: stream-through-the-store == one-shot
-    * insert == the oracle's replay of both). Round15bSpec pins
-    * stream == one-shot bit-identity via live MemoryStream and tick
-    * replay idempotency. */
+    * absorbs it by search-connect-repair — landing ONLY the changed
+    * adjacency lists. The report is [[annIndexReport]]'s
+    * latest-landing-per-src merged view, which the delta-landing law
+    * makes bit-identical to the one-shot insert — so the oracle is
+    * LITERALLY s26's CTE tree (the incremental-maintenance law as the
+    * parity check: stream-through-the-delta-store == one-shot insert
+    * == the oracle's replay of both). Round15bSpec pins stream ==
+    * one-shot bit-identity via live MemoryStream and tick replay
+    * idempotency. */
   private val st16: Q = (s, dir) => {
     val all = Tables.t(s, dir, "embeddings")
       .select(col("vec_id"), F.asDouble(col("embedding")).as("v"))
@@ -1428,12 +1561,39 @@ object StreamOps {
       "vec_id", "v", r = 8, beam = 4, hops = 3, landingId = 0L)
     annIndexTick(s, store, all.filter(pmod(col("vec_id"), lit(10)) === 9),
       "vec_id", "v", r = 8, beam = 4, hops = 3, landingId = 1L)
-    s.read.parquet(s"$store/edges").filter(col("__landing") === 1L)
+    annIndexReport(s, store)
       .select(col("src"), col("dst"), F.r6(col("cos")).as("cos_sim"))
       .orderBy("src", "dst")
   }
 
   private val st16Sql: String = graft.ops.SimOps.oracle("s26_ann_insert")
+
+  /** #35q the FULL index lifecycle in one continuous loop — tick 1
+    * interleaves DELETES (takedowns/TTL — s27's motivation) with an
+    * insert batch, FreshDiskANN consolidation order (delete first,
+    * insert on the survivors): tick 0 builds on vec_id % 10 ≠ 8;
+    * tick 1 deletes the % 10 = 9 slice and inserts the held-out
+    * % 10 = 8 slice. The report is the merged index view, bit-equal by
+    * the two delta-landing laws to the one-shot composition
+    * `graphInsertOf(survivors, B, graphDeleteOf(A, D, edges))` — and
+    * the oracle replays build, delete, search and insert as ONE CTE
+    * tree. Round16Spec pins composition bit-equality, delete-tick
+    * replay idempotency, and delete→re-insert resurrection. */
+  private val st17: Q = (s, dir) => {
+    val all = Tables.t(s, dir, "embeddings")
+      .select(col("vec_id"), F.asDouble(col("embedding")).as("v"))
+    val store = java.nio.file.Files.createTempDirectory("graft_stream_annd_").toString
+    annIndexTick(s, store, all.filter(pmod(col("vec_id"), lit(10)) =!= 8),
+      "vec_id", "v", r = 8, beam = 4, hops = 3, landingId = 0L)
+    annIndexTick(s, store, all.filter(pmod(col("vec_id"), lit(10)) === 8),
+      "vec_id", "v", r = 8, beam = 4, hops = 3, landingId = 1L,
+      deletes = all.filter(pmod(col("vec_id"), lit(10)) === 9))
+    annIndexReport(s, store)
+      .select(col("src"), col("dst"), F.r6(col("cos")).as("cos_sim"))
+      .orderBy("src", "dst")
+  }
+
+  private val st17Sql: String = graft.ops.SimOps.st17ComposedSql
 
   /** The a04 CMS frequency sketch run CONTINUOUSLY: every micro-batch
     * lands its own counter state; the merged store answers frequency
@@ -1543,6 +1703,7 @@ object StreamOps {
     "st14_stream_ohlc" -> st14,
     "st15_stream_sample" -> st15,
     "st16_stream_ann" -> st16,
+    "st17_stream_ann_delete" -> st17,
     "st10_stream_profile" -> st10,
     "st12_stream_topfreq" -> st12,
     "st08_stream_psi" -> st08,
@@ -1560,6 +1721,7 @@ object StreamOps {
     "st14_stream_ohlc" -> st14Sql,
     "st15_stream_sample" -> st15Sql,
     "st16_stream_ann" -> st16Sql,
+    "st17_stream_ann_delete" -> st17Sql,
     "st10_stream_profile" -> st10Sql,
     "st12_stream_topfreq" -> st12Sql,
     "st08_stream_psi" -> st08Sql,

@@ -398,9 +398,9 @@ class Round15bSpec extends SparkSpec {
       input.addData(evs(a).toIndexedSeq); q.processAllAvailable()
       input.addData(evs(b).toIndexedSeq); q.processAllAvailable()
     } finally q.stop()
-    val streamed = spark.read.parquet(s"$base/idx/edges")
-      .filter(col("__landing").cast("long") === 1L)
-      .select(col("src"), col("dst"), col("cos"))
+    // round 16: ticks land only CHANGED lists — the queryable index is
+    // the latest-landing-per-src merged view
+    val streamed = StreamOps.annIndexReport(spark, s"$base/idx")
       .localCheckpoint(eager = true)
     val anchors = a.filter(pmod(col("vec_id"), lit(64)) === 0)
     val edgesA = SimOps.knnGraphOf(a, anchors, "vec_id", "v", "vec_id", "v",
@@ -414,9 +414,7 @@ class Round15bSpec extends SparkSpec {
     // replay tick 1: prior landings unchanged, own partitions overwritten
     StreamOps.annIndexTick(spark, s"$base/idx", b, "vec_id", "v",
       r = 8, beam = 4, hops = 3, landingId = 1L)
-    val again = spark.read.parquet(s"$base/idx/edges")
-      .filter(col("__landing").cast("long") === 1L)
-      .select(col("src"), col("dst"), col("cos"))
+    val again = StreamOps.annIndexReport(spark, s"$base/idx")
     assert(again.exceptAll(streamed).count() == 0L &&
       streamed.exceptAll(again).count() == 0L,
       "replaying a tick must not change the landed index")

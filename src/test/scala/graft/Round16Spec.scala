@@ -56,6 +56,76 @@ class Round16Spec extends SparkSpec {
       s"a 1% insert must not re-land most of the index ($nd of $nf)")
   }
 
+  test("annIndexTick with deletes: the merged index view equals the one-shot " +
+    "delete-then-insert composition bit-for-bit, replay is idempotent, and " +
+    "the delete tick's landing is delta-bounded") {
+    import graft.streaming.StreamOps
+    val all = vecsOf("/root/testdata/sf0.001")
+    val a0 = all.filter(col("vec_id") % 10 =!= 8)
+    val b = all.filter(col("vec_id") % 10 === 8)
+    val d = all.filter(col("vec_id") % 10 === 9)
+    val store = java.nio.file.Files.createTempDirectory("r16_tickd_").toString
+    StreamOps.annIndexTick(spark, store, a0, "vec_id", "v",
+      r = 8, beam = 4, hops = 3, landingId = 0L)
+    StreamOps.annIndexTick(spark, store, b, "vec_id", "v",
+      r = 8, beam = 4, hops = 3, landingId = 1L, deletes = d)
+    val merged = StreamOps.annIndexReport(spark, store)
+      .localCheckpoint(eager = true)
+    // one-shot composition: build on a0, delete d, insert b on survivors
+    val anchors0 = a0.filter(pmod(col("vec_id"), lit(64)) === 0)
+    val edges0 = SimOps.knnGraphOf(a0, anchors0, "vec_id", "v", "vec_id", "v",
+      r = 8, cellProbes = 2, descentRounds = 1).localCheckpoint(eager = true)
+    val afterDel = SimOps.graphDeleteOf(a0, d, edges0, "vec_id", "v", r = 8)
+    val survivors = a0.join(d.select("vec_id"), Seq("vec_id"), "left_anti")
+    val anchorsS = survivors.filter(pmod(col("vec_id"), lit(64)) === 0)
+    val oneShot = SimOps.graphInsertOf(survivors, b, afterDel, anchorsS,
+      anchorsS, "vec_id", "v", r = 8, beam = 4, hops = 3)
+      .localCheckpoint(eager = true)
+    assert(sameRows(merged, oneShot),
+      "stream-through-the-store must equal the one-shot delete+insert composition")
+    // no deleted src or dst survives in the merged view
+    assert(merged.join(d.select(col("vec_id").as("src")), Seq("src"), "left_semi").isEmpty)
+    assert(merged.join(d.select(col("vec_id").as("dst")), Seq("dst"), "left_semi").isEmpty)
+    // the tick's landing held only changed lists, not the index
+    val landed1 = spark.read.parquet(s"$store/edges")
+      .filter(col("__landing").cast("long") === 1L)
+    info(s"tick-1 landing rows ${landed1.count()} vs index rows ${merged.count()}")
+    // replay tick 1: merged view unchanged
+    StreamOps.annIndexTick(spark, store, b, "vec_id", "v",
+      r = 8, beam = 4, hops = 3, landingId = 1L, deletes = d)
+    assert(sameRows(StreamOps.annIndexReport(spark, store), merged),
+      "replaying the delete+insert tick must not change the merged index")
+  }
+
+  test("annIndexTick: delete then RE-INSERT resurrects a node (newest event " +
+    "wins in the live view) and a deletes-only tick works") {
+    import graft.streaming.StreamOps
+    val all = vecsOf("/root/testdata/sf0.001")
+    val d = all.filter(col("vec_id") % 10 === 9)
+    val store = java.nio.file.Files.createTempDirectory("r16_res_").toString
+    StreamOps.annIndexTick(spark, store, all, "vec_id", "v",
+      r = 8, beam = 4, hops = 3, landingId = 0L)
+    // deletes-only tick
+    StreamOps.annIndexTick(spark, store, all.filter(lit(false)), "vec_id", "v",
+      r = 8, beam = 4, hops = 3, landingId = 1L, deletes = d)
+    val afterDel = StreamOps.annLiveVectors(spark, store)
+    assert(afterDel.join(d.select("vec_id"), Seq("vec_id"), "left_semi").isEmpty,
+      "deleted ids must leave the live view")
+    assert(StreamOps.annIndexReport(spark, store)
+      .join(d.select(col("vec_id").as("dst")), Seq("dst"), "left_semi").isEmpty,
+      "no deleted dst may survive a deletes-only tick")
+    // re-insert the same ids: they come back
+    StreamOps.annIndexTick(spark, store, d, "vec_id", "v",
+      r = 8, beam = 4, hops = 3, landingId = 2L)
+    val resurrected = StreamOps.annLiveVectors(spark, store)
+    assert(resurrected.join(d.select("vec_id"), Seq("vec_id"), "left_semi")
+      .count() == d.count(), "re-inserted ids must be live again")
+    assert(StreamOps.annIndexReport(spark, store)
+      .join(d.select(col("vec_id").as("src")), Seq("src"), "left_semi")
+      .select("src").distinct().count() == d.count(),
+      "every re-inserted node must have an adjacency list in the index view")
+  }
+
   test("graphDeleteOf decomposes EXACTLY into graphDeleteDeltaOf plus the " +
     "untouched live lists (the delta-landing law, delete side)") {
     val all = vecsOf("/root/testdata/sf0.001")
