@@ -320,7 +320,57 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** `runMain graft.ScaleProbe anntick [F]` — the st16/st17 tick-cost
+    * probe (the round-15 verdict's ask): does absorbing a FIXED
+    * 200-vector delta stay delta-bounded as the stored index grows ×F?
+    * Builds two [[graft.streaming.StreamOps.annIndexTick]] stores
+    * (12k and 12k·F vectors), then times one insert tick and one
+    * delete+insert tick with the same fixed delta on both, and counts
+    * the rows the tick LANDED vs the index size. The landing must stay
+    * ~delta-sized at any F (the round-15 tick re-landed the whole
+    * index); the wall has an O(index-read) floor — the merged-view
+    * window and the per-hop edge joins scan the index, which is what
+    * searching an index means — so the ratio to watch is landed rows,
+    * with the wall reported honestly alongside. */
+  private def annTickProbe(factor: Int): Unit = {
+    val spark = Sessions.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.streaming.StreamOps
+    def vecsOf(n: Long, off: Long) = spark.range(n)
+      .select((col("id") + off).as("vec_id"),
+        array((0 until 16).map(d =>
+          sin((col("id") + off) * (0.37 + d * 0.11))): _*).as("v"))
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def tick(base: String, b: org.apache.spark.sql.DataFrame, l: Long,
+             del: org.apache.spark.sql.DataFrame = null): Unit =
+      StreamOps.annIndexTick(spark, base, b, "vec_id", "v",
+        r = 8, beam = 4, hops = 3, landingId = l, deletes = del)
+    def run(n: Long, tag: String): (Double, Double, Long, Long) = {
+      val base = s"/tmp/graft_anntick_${tag}_$n"
+      if (!new java.io.File(base).exists()) tick(base, vecsOf(n, 0L), 0L)
+      tick(base, vecsOf(200, n), 1L) // warm (JIT + listing)
+      val tIns = time(tick(base, vecsOf(200, n + 1000000L), 2L))
+      val tDel = time(tick(base, vecsOf(200, n + 2000000L), 3L,
+        del = vecsOf(200, n)))
+      val landed = spark.read.parquet(s"$base/edges")
+        .filter(col("__landing").cast("long") === 2L).count()
+      val index = StreamOps.annIndexReport(spark, base).count()
+      (tIns, tDel, landed, index)
+    }
+    val (insS, delS, landS, idxS) = run(12000L, "s")
+    val (insB, delB, landB, idxB) = run(12000L * factor, "b")
+    def ms(v: Double): Double = math.rint(v * 1000) / 1000
+    println(s"""{"probe":"anntick","factor":$factor,"vectors_small":12000,"vectors_big":${12000L * factor},"insert_small_sec":${ms(insS)},"insert_big_sec":${ms(insB)},"delins_small_sec":${ms(delS)},"delins_big_sec":${ms(delB)},"landed_small":$landS,"landed_big":$landB,"index_small":$idxS,"index_big":$idxB,"metric":"anntick_landed_share","value":${ms(landB.toDouble / math.max(idxB, 1L))},"unit":"share"}""")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("anntick")) {
+      annTickProbe(args.lift(1).map(_.toInt).getOrElse(10))
+      return
+    }
     if (args.headOption.contains("landings")) {
       landingsProbe(args.lift(1).map(_.toInt).getOrElse(100))
       return

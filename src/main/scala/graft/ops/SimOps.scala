@@ -250,6 +250,20 @@ object SimOps {
     * route-parity spec pins both paths on one corpus by moving it.) */
   private[graft] var HierAsgThreshold = 256
 
+  /** localCheckpoint that deliberately DROPS the origin plan's
+    * statistics and constraints: Spark 4.1's `LogicalRDD` carries the
+    * checkpointed plan's constraints rewritten to the new output, and
+    * a Union over such leaves inside a deep composed plan can crash
+    * constraint rewriting with `key not found: attr#N` (observed at
+    * probe scale in the tick's delete+insert composition; AQE
+    * re-optimization walks the constraints the gate-scale plan never
+    * touches). Round-tripping through an `RDD[Row]` yields a clean
+    * leaf with the same materialize-once behavior. */
+  private[graft] def freshCheckpoint(df: DataFrame, eager: Boolean): DataFrame = {
+    val ck = df.localCheckpoint(eager)
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+
   /** Shared cell-assignment kernel of [[knnGraphOf]] and
     * [[graphInsertOf]]: each node of `v` → its `cellProbes` nearest
     * centroid cells (exact brute rank under [[HierAsgThreshold]]
@@ -596,8 +610,8 @@ object SimOps {
     // the delta lists are referenced by the reverse challenge, the
     // affected-src set AND the final union — checkpoint once so the
     // deep beam-search plan underneath isn't replanned per reference
-    val newOut = topR(deltaOld.union(cellPairs).distinct())
-      .localCheckpoint(eager = false)
+    val newOut = freshCheckpoint(
+      topR(deltaOld.union(cellPairs).distinct()), eager = false)
     // repair (a): reversed new edges challenge their targets' lists
     val rev = newOut.select(col("dst").as("src"), col("src").as("dst"), col("cos"))
     // repair (b): corpus reps sharing a cell with a delta rep score
@@ -611,10 +625,9 @@ object SimOps {
       .select(col("x.vec_id").as("src"), col("y.vec_id").as("dst"),
         expr("graft_cosine(x.v, y.v)").as("cos"))
       .distinct()
-    val challenges = rev.union(abPairs).localCheckpoint(eager = false)
-    val affected = newOut.select(col("src"))
-      .union(challenges.select(col("src"))).distinct()
-      .localCheckpoint(eager = false)
+    val challenges = freshCheckpoint(rev.union(abPairs), eager = false)
+    val affected = freshCheckpoint(newOut.select(col("src"))
+      .union(challenges.select(col("src"))).distinct(), eager = false)
     val changed = topR(e.join(affected, Seq("src"), "left_semi")
       .union(newOut).union(challenges).distinct())
     (changed, affected, e)

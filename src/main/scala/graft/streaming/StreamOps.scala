@@ -1479,19 +1479,24 @@ object StreamOps {
         // the merged views feed every beam-search hop and both repair
         // unions — checkpoint them once per tick so their window plans
         // don't re-execute per reference (the graphAnnOf contract)
-        val priorLive = annLiveVectors(spark, storePath, landingId)
-          .localCheckpoint(eager = false)
-        val priorEdges = annIndexReport(spark, storePath, landingId)
-          .localCheckpoint(eager = false)
+        val priorLive = SimOps.freshCheckpoint(
+          annLiveVectors(spark, storePath, landingId), eager = false)
+        val priorEdges = SimOps.freshCheckpoint(
+          annIndexReport(spark, storePath, landingId), eager = false)
         val (survivors, edgesAfterDel, changedDel) =
           if (nDeletes == 0L) (priorLive, priorEdges, null)
           else {
-            val cd = SimOps.graphDeleteDeltaOf(priorLive, delIds, priorEdges,
-              "vec_id", "v", r = r).localCheckpoint(eager = false)
-            val after = cd.unionByName(priorEdges
+            // eager: the post-delete view feeds every insert hop AND
+            // both landing unions — and materializing here sidesteps a
+            // Catalyst Union constraint-rewrite crash on the composed
+            // lazy plan (observed on Spark 4.1 at probe scale)
+            val cd = SimOps.freshCheckpoint(
+              SimOps.graphDeleteDeltaOf(priorLive, delIds, priorEdges,
+                "vec_id", "v", r = r), eager = true)
+            val after = SimOps.freshCheckpoint(cd.unionByName(priorEdges
               .join(cd.select("src").distinct(), Seq("src"), "left_anti")
-              .join(delIds.select(col("vec_id").as("src")), Seq("src"), "left_anti"))
-              .localCheckpoint(eager = false)
+              .join(delIds.select(col("vec_id").as("src")), Seq("src"), "left_anti")),
+              eager = true)
             (priorLive.join(delIds, Seq("vec_id"), "left_anti"), after, cd)
           }
         if (nBatch == 0L) {
