@@ -1118,10 +1118,22 @@ object TextOps {
     * Driver state is `dim` doubles per iteration (the fitLinearProbe
     * contract); everything else distributes. Docs with zero tokens
     * have no cells and drop (nothing to score). */
+  /** `exact = true` (default, the oracle form) folds the per-bucket
+    * gradient in doc_id order via a cumulative window — every float
+    * addition in a DuckDB-replayable sequence, at the price of
+    * shuffling every (doc, bucket) row per iteration. `exact = false`
+    * is the PRODUCTION form (the a06/a07 swap-as-a-knob pattern): the
+    * same gradient as an order-free `groupBy(bucket).agg(sum)` —
+    * map-side combine collapses each partition to ≤ dim rows before
+    * the exchange, so an iteration's shuffle is dim·partitions rows
+    * instead of the corpus. Same math, float addition order differs;
+    * Round16Spec bounds the realized drift (identical predictions,
+    * score delta in ulps) on the gate corpus. */
   def hashClassifierOf(docs: DataFrame, idCol: String, textCol: String,
                        labels: DataFrame, yCol: String,
                        dim: Int, lr: Double, iters: Int,
-                       salt: String = "graft"): DataFrame = {
+                       salt: String = "graft",
+                       exact: Boolean = true): DataFrame = {
     require(dim >= 2 && iters >= 1 && lr > 0,
       s"need dim >= 2, iters >= 1, lr > 0; got dim=$dim iters=$iters lr=$lr")
     val cells = featureHashOf(docs, idCol, textCol, dim, salt)
@@ -1170,12 +1182,17 @@ object TextOps {
       for (_ <- 1 to iters) {
         val errs = scored(xy, w, carryY = true)
           .select(col("doc_id"), (col("score") - col("y")).as("err"))
-        val g = xy.join(errs, "doc_id")
-          .withColumn("__rn", row_number().over(wBOrd))
-          .withColumn("__cnt", count(lit(1)).over(wB))
-          .withColumn("__sr", sum(col("err") * col("x")).over(wBCum))
-          .filter(col("__rn") === col("__cnt"))
-          .select(col("bucket"), col("__sr")).collect()
+        val gFrame =
+          if (exact) xy.join(errs, "doc_id")
+            .withColumn("__rn", row_number().over(wBOrd))
+            .withColumn("__cnt", count(lit(1)).over(wB))
+            .withColumn("__sr", sum(col("err") * col("x")).over(wBCum))
+            .filter(col("__rn") === col("__cnt"))
+            .select(col("bucket"), col("__sr"))
+          else xy.join(errs, "doc_id")
+            .groupBy(col("bucket"))
+            .agg(sum(col("err") * col("x")).as("__sr"))
+        val g = gFrame.collect()
           .map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
         w = Array.tabulate(dim)(b => w(b) - lr * g.getOrElse(b, 0.0) / n)
       }

@@ -119,7 +119,19 @@ object SketchStore {
     * per-item idempotent), high/low are plain min/max picks, and
     * volume/n_trades are sums, so merge(state(A), state(B)) ==
     * state(A ⊎ B) exactly on every pick/integer column; `volume` is
-    * the one float (reports round it — the q09 rule). Timestamps are
+    * the one float (reports round it — the q09 rule). Residual ulp
+    * risk, documented deliberately (round-15 advice): volume is an
+    * IEEE double sum whose addition ORDER differs between
+    * landing-merged state (per-landing partials, then a partial sum)
+    * and a one-shot computation over the union, so the merge law for
+    * volume is exact-up-to-ulps rather than bitwise; the r4 report
+    * rounding absorbs it except exactly AT a half-way boundary
+    * (probability ~2⁻⁴⁸ per bar on continuous data — the gate corpus
+    * has none), and the spec compares volume rounded while every
+    * other column is asserted bitwise. A bitwise-volume deployment
+    * should land a scaled-decimal volume column instead (finite-tick
+    * prices make it exact); the pick/count columns need no such
+    * change. Timestamps are
     * carried at MICROSECOND precision (Spark's own comparison
     * precision — the same total order the one-shot argmin uses).
     * Output schema == [[mergedOhlc]]'s, so merged state re-merges. */
@@ -150,8 +162,10 @@ object SketchStore {
     * the carried (ts, id) keys, min/max/sum folds for the rest — the
     * same schema back, so merging is associative at any landing
     * grouping (spec-pinned: merged == one-shot state of the union). */
-  def mergedOhlc(spark: SparkSession, path: String, keys: Seq[String]): DataFrame =
-    spark.read.parquet(path)
+  def mergedOhlc(spark: SparkSession, path: String, keys: Seq[String],
+                 beforeLanding: Option[Long] = None): DataFrame =
+    beforeLanding.foldLeft(spark.read.parquet(path))((df, b) =>
+        df.filter(col("__landing").cast("long") < b))
       .groupBy((keys.map(col) :+ col("bucket_ms")): _*)
       .agg(
         min(struct(col("o_ts"), col("o_id"), col("open"))).as("__o"),
@@ -183,6 +197,15 @@ object SketchStore {
     * exactly. */
   def bottomKState(df: DataFrame, keys: Seq[String], valueCol: String,
                    k: Int, salt: String = "bk"): DataFrame = {
+    // Value contract (documented deliberately, round-15 advice): the
+    // sketch hashes valueCol CAST TO STRING, so the sample identity is
+    // the engine's string rendering. For integer/string values the
+    // rendering is canonical and a DuckDB oracle replays it exactly
+    // (st15 uses longs). FLOAT values render differently across
+    // engines (Spark 1.0E-7 vs DuckDB 1e-07) — a float-valued gate
+    // query over this sketch would silently lose oracle parity;
+    // normalize floats to a canonical rendering (or scale to longs)
+    // before sketching them.
     require(k >= 1, s"k must be >= 1, got $k")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("h"))
     // NULL values are excluded: null hashes to null, which Spark's

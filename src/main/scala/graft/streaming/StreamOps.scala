@@ -1132,10 +1132,20 @@ object StreamOps {
     * sums merge exactly at any landing grouping) plus the summed
     * volume rounded r4 (the q09 float rule). Report cost is
     * bars-sized — independent of how many raw rows the landings ever
-    * saw, the resample a 100 TB tick stream can afford per batch. */
+    * saw, the resample a 100 TB tick stream can afford per batch.
+    *
+    * `beforeLanding = Some(n)` is the FROZEN-PREFIX view (the st13
+    * bloomStoreProbe bound applied to bars): only landings strictly
+    * before `n` contribute, so the answer is a pure function of those
+    * landings — later ticks, late rows included, cannot move it
+    * (spec-pinned). The unbounded view stays the absorb-late-rows-
+    * forever merge law; the bounded view is what a 100 TB deployment
+    * publishes as "bars as of landing n" while the store keeps
+    * healing. */
   def ohlcStoreReport(spark: SparkSession, storePath: String,
-                      keys: Seq[String]): DataFrame =
-    graft.sinks.SketchStore.mergedOhlc(spark, storePath, keys)
+                      keys: Seq[String],
+                      beforeLanding: Option[Long] = None): DataFrame =
+    graft.sinks.SketchStore.mergedOhlc(spark, storePath, keys, beforeLanding)
       .select((keys.map(col) ++ Seq(col("bucket_ms"),
         col("open"), col("high"), col("low"), col("close"),
         F.r4(col("volume")).as("volume"), col("n_trades"))): _*)
@@ -1147,7 +1157,17 @@ object StreamOps {
     * from merged state. A late row for ANY old bucket is absorbed
     * exactly (its landing merges by argmin/argmax/min/max/sum) — no
     * watermark discards, no bar is ever wrong because its events
-    * split across batches. */
+    * split across batches.
+    *
+    * Report-publish caveat (documented deliberately): the per-batch
+    * report rewrite uses parquet `mode("overwrite")`, which is NOT an
+    * atomic swap — an external reader racing a tick can observe a
+    * deleted or partially-written directory. The report is meant for
+    * post-run / between-tick reads; a concurrent consumer should
+    * instead call [[ohlcStoreReport]] itself over the landed store
+    * (always consistent — landings are immutable partitions), with
+    * `beforeLanding` for a frozen prefix. The same applies to
+    * [[streamingSample]]'s report. */
   def streamingOhlc(spark: SparkSession, events: DataFrame,
                     storePath: String, reportPath: String,
                     checkpointDir: String,

@@ -126,6 +126,65 @@ class Round16Spec extends SparkSpec {
       "every re-inserted node must have an adjacency list in the index view")
   }
 
+  test("hashClassifierOf(exact = false): the order-free map-side-combine " +
+    "gradient trains to the same model — identical predictions, score " +
+    "drift bounded in ulps (the a06/a07 production-swap contract)") {
+    import graft.ops.TextOps
+    val dir = "/root/testdata/sf0.01"
+    val docs = Tables.t(spark, dir, "documents")
+    val ws = F.words(col("text"))
+    val ratioed = docs.filter(size(ws) > 0)
+      .select(col("doc_id"),
+        (size(filter(ws, w => w.isin("a", "the"))).cast("double") /
+          size(ws).cast("double")).as("ratio"))
+    val med = ratioed.agg(expr("percentile(ratio, 0.5D)").as("med"))
+    val labels = ratioed.crossJoin(broadcast(med))
+      .select(col("doc_id"),
+        when(col("ratio") >= col("med"), 1.0).otherwise(-1.0).as("y"))
+    def run(exact: Boolean) = TextOps.hashClassifierOf(docs, "doc_id", "text",
+        labels, "y", dim = 64, lr = 50.0, iters = 5, exact = exact)
+      .select(col("doc_id"), col("score"), col("predicted"))
+      .localCheckpoint(eager = true)
+    val (ex, ap) = (run(exact = true), run(exact = false))
+    assert(ex.count() == ap.count())
+    val j = ex.as("e").join(ap.as("a"), "doc_id")
+    assert(j.filter(col("e.predicted") =!= col("a.predicted")).isEmpty,
+      "exact and production gradients must agree on every prediction")
+    val maxDelta = j.select(max(abs(col("e.score") - col("a.score"))))
+      .head().getDouble(0)
+    info(f"max |score_exact - score_prod| = $maxDelta%.3e")
+    assert(maxDelta < 1e-9,
+      s"score drift between gradient forms must be ulp-scale, got $maxDelta")
+  }
+
+  test("ohlcStoreReport(beforeLanding): the frozen-prefix view is a pure " +
+    "function of landings before the bound — later ticks cannot move it") {
+    import graft.streaming.StreamOps
+    val ev = Tables.t(spark, "/root/testdata/sf0.01", "events")
+      .withColumn("__tick", dayofmonth(col("ts")) % 3)
+    val store = java.nio.file.Files.createTempDirectory("r16_ohlc_").toString
+    def tick(n: Int): Unit =
+      StreamOps.ohlcTick(spark, s"$store/ohlc",
+        ev.filter(col("__tick") === n), Seq("event_type"),
+        "ts", "event_id", "value", "hour", n.toLong)
+    tick(0); tick(1)
+    val frozenAt2 = StreamOps.ohlcStoreReport(spark, s"$store/ohlc",
+      Seq("event_type"), beforeLanding = Some(2L))
+      .orderBy("event_type", "bucket_ms").localCheckpoint(eager = true)
+    tick(2) // a later landing with rows for the SAME buckets
+    val frozenAfter = StreamOps.ohlcStoreReport(spark, s"$store/ohlc",
+      Seq("event_type"), beforeLanding = Some(2L))
+      .orderBy("event_type", "bucket_ms")
+    assert(frozenAt2.exceptAll(frozenAfter).isEmpty &&
+      frozenAfter.exceptAll(frozenAt2).isEmpty,
+      "the frozen prefix must be byte-stable across later landings")
+    // and the unbounded view DID move (tick 2 carries real rows)
+    val unbounded = StreamOps.ohlcStoreReport(spark, s"$store/ohlc",
+      Seq("event_type"))
+    assert(unbounded.exceptAll(frozenAt2).count() > 0,
+      "the unbounded view must absorb the new landing")
+  }
+
   test("graphDeleteOf decomposes EXACTLY into graphDeleteDeltaOf plus the " +
     "untouched live lists (the delta-landing law, delete side)") {
     val all = vecsOf("/root/testdata/sf0.001")
