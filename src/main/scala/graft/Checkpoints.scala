@@ -43,4 +43,36 @@ object Checkpoints {
       case r: LogicalRDD => r.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  private val scope =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[DataFrame]]()
+
+  /** Register a checkpointed frame with the enclosing [[scoped]] block
+    * (no-op when none is active — one-shot operator calls keep their
+    * blocks until GC, as before). */
+  private[graft] def register(df: DataFrame): DataFrame = {
+    val b = scope.get()
+    if (b != null) b += df
+    df
+  }
+
+  /** Run `body` with a checkpoint-tracking scope: every frame
+    * [[register]]ed inside (the tick-internal localCheckpoints of the
+    * graph-maintenance path) is [[free]]d when the block exits. A
+    * CONTINUOUS loop calls bounded ticks forever — without this, each
+    * tick's checkpoint blocks pin executor storage until a GC happens
+    * to collect the driver-side references, and a day of micro-batches
+    * fills the store's disk with dead blocks (observed: the ×100
+    * anntick probe transiently eating ~76 GB). Frames freed here are
+    * end-of-life by construction: a tick lands everything it computed
+    * before returning. */
+  def scoped[T](body: => T): T = {
+    val prev = scope.get()
+    val buf = new scala.collection.mutable.ArrayBuffer[DataFrame]()
+    scope.set(buf)
+    try body finally {
+      buf.foreach(df => try free(df) catch { case _: Throwable => () })
+      scope.set(prev)
+    }
+  }
 }

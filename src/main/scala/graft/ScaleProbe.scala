@@ -347,13 +347,23 @@ object ScaleProbe {
              del: org.apache.spark.sql.DataFrame = null): Unit =
       StreamOps.annIndexTick(spark, base, b, "vec_id", "v",
         r = 8, beam = 4, hops = 3, landingId = l, deletes = del)
+    // local mode keeps every job's shuffle files until the driver GCs
+    // the RDD references; at 600k+ corpora the probe's ~40 jobs
+    // otherwise fill the machine's scratch disk before the cleaner
+    // runs — hint a GC between phases (probe-only concern: a cluster
+    // has per-executor scratch and spark.cleaner.periodicGC)
+    def reap(): Unit = { System.gc(); Thread.sleep(2000) }
     def run(n: Long, tag: String): (Double, Double, Long, Long) = {
       val base = s"/tmp/graft_anntick_${tag}_$n"
       if (!new java.io.File(base).exists()) tick(base, vecsOf(n, 0L), 0L)
+      reap()
       tick(base, vecsOf(200, n), 1L) // warm (JIT + listing)
+      reap()
       val tIns = time(tick(base, vecsOf(200, n + 1000000L), 2L))
+      reap()
       val tDel = time(tick(base, vecsOf(200, n + 2000000L), 3L,
         del = vecsOf(200, n)))
+      reap()
       val landed = spark.read.parquet(s"$base/edges")
         .filter(col("__landing").cast("long") === 2L).count()
       val index = StreamOps.annIndexReport(spark, base).count()
@@ -366,7 +376,50 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** `runMain graft.ScaleProbe loghist [N]` — the landings-axis probe
+    * for the a11 RELATIVE-error quantile store (the HLL `landings`
+    * probe's twin the round-15 verdict asked for): land N daily
+    * logHist landings (one sf0.1 events day-slice each, values scaled
+    * per landing so the magnitude span grows), then time the merged
+    * p50/p95/p99 read at N/10 and N landings. State rows per landing
+    * are ≤ ~1800 per key group per sign-decade span regardless of raw
+    * volume, so the merged read must stay state-sized × landings. */
+  private def logHistLandingsProbe(n: Int): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = Sessions.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val keys = Seq("event_type")
+    val ev = Tables.t(spark, src, "events")
+      .select(col("event_type"), col("value")).localCheckpoint(eager = true)
+    val store = java.nio.file.Files.createTempDirectory("graft_loghist_land_").toString
+    def mergedSec(): Double = {
+      val t0 = System.nanoTime()
+      graft.sinks.SketchStore.logHistQuantiles(
+        graft.sinks.SketchStore.mergedLogHist(spark, store, keys),
+        keys, Seq(0.5 -> "p50", 0.95 -> "p95", 0.99 -> "p99"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    var low = 0.0
+    (0 until n).foreach { l =>
+      graft.sinks.SketchStore.land(spark, store,
+        graft.sinks.SketchStore.logHistState(
+          ev.select(col("event_type"),
+            (col("value") * math.pow(1.1, l % 40)).as("value")),
+          keys, "value"), l.toLong)
+      if (l + 1 == math.max(1, n / 10)) low = mergedSec()
+    }
+    val secN = mergedSec()
+    def ms(v: Double): Double = math.rint(v * 1000) / 1000
+    println(s"""{"probe":"loghist_landings","landings":$n,"merged_sec_at_${math.max(1, n / 10)}":${ms(low)},"merged_sec_at_$n":${ms(secN)},"metric":"loghist_landings_growth","value":${ms(secN / math.max(low, 1e-9))},"unit":"x"}""")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("loghist")) {
+      logHistLandingsProbe(args.lift(1).map(_.toInt).getOrElse(100))
+      return
+    }
     if (args.headOption.contains("anntick")) {
       annTickProbe(args.lift(1).map(_.toInt).getOrElse(10))
       return

@@ -260,7 +260,7 @@ object SimOps {
     * touches). Round-tripping through an `RDD[Row]` yields a clean
     * leaf with the same materialize-once behavior. */
   private[graft] def freshCheckpoint(df: DataFrame, eager: Boolean): DataFrame = {
-    val ck = df.localCheckpoint(eager)
+    val ck = graft.Checkpoints.register(df.localCheckpoint(eager))
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }
 
@@ -298,26 +298,38 @@ object SimOps {
         .withColumn("__rn", row_number().over(wCent))
         .filter(col("__rn") === 1)
         .select(col("c_id"), col("cv"), col("l1_id")))
-      // node → its cellProbes nearest coarse cells (n·√|C|)
+      // node → its cellProbes nearest coarse cells (n·√|C|). The
+      // cosine is computed INSIDE the crossJoin stage and only the
+      // NARROW (vec_id, l1_id, lcos) rows reach the window exchange —
+      // carrying the vector through this shuffle measured ~35 GB of
+      // transient spill at a 600k corpus (the round-16 anntick probe
+      // filled the disk); narrow rows are ~10× smaller and the vector
+      // is re-attached once afterwards at n·probes rows.
       val wNode = Window.partitionBy(col("vec_id")).orderBy(col("lcos").desc, col("l1_id"))
       val nodeL1 = v.crossJoin(coarse)
-        .withColumn("lcos", expr("graft_cosine(v, l1v)"))
+        .select(col("vec_id"), col("l1_id"), expr("graft_cosine(v, l1v)").as("lcos"))
         .withColumn("__rn", row_number().over(wNode))
         .filter(col("__rn") <= cellProbes)
-        .select(col("vec_id"), col("v"), col("l1_id"))
-      // fine rank over ONLY the probed cells' centroids (n·2√|C|)
-      nodeL1.join(centL1, "l1_id")
-        .withColumn("ccos", expr("graft_cosine(v, cv)"))
+        .select(col("vec_id"), col("l1_id"))
+      // fine rank over ONLY the probed cells' centroids (n·2√|C|) —
+      // same narrow-rows-to-the-window rule (the wide join+project
+      // stays inside one stage; only (vec_id, c_id, ccos) shuffles)
+      nodeL1.join(v, "vec_id").join(centL1, "l1_id")
+        .select(col("vec_id"), col("c_id"), expr("graft_cosine(v, cv)").as("ccos"))
         .withColumn("__rn", row_number().over(wAsg))
         .filter(col("__rn") <= cellProbes)
         .select(col("vec_id"), col("c_id").as("cell"))
     }
   }
 
+  /** `corpusAsg`, when given as (vec_id, cell) rows, replaces the cell
+    * assignment the build would otherwise compute — the tick computes
+    * the assignment ONCE, lands it, and passes it here, instead of
+    * paying the n·√|C| hierarchical ranking twice per build. */
   def knnGraphOf(corpus: DataFrame, centroids: DataFrame, idCol: String,
                  vecCol: String, cidCol: String, cvecCol: String,
                  r: Int, cellProbes: Int = 2, descentRounds: Int = 1,
-                 maxCellOcc: Int = 256): DataFrame = {
+                 maxCellOcc: Int = 256, corpusAsg: DataFrame = null): DataFrame = {
     require(r >= 1, s"r must be >= 1, got $r")
     require(cellProbes >= 1, s"cellProbes must be >= 1, got $cellProbes")
     require(descentRounds >= 0, s"descentRounds must be >= 0, got $descentRounds")
@@ -325,7 +337,9 @@ object SimOps {
     val v = corpus.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
     val cents = broadcast(centroids
       .select(col(cidCol).as("c_id"), col(cvecCol).cast("array<double>").as("cv")))
-    val asg = cellAsgOf(v, cents, cellProbes)
+    val asg =
+      if (corpusAsg != null) corpusAsg.select(col("vec_id"), col("cell"))
+      else cellAsgOf(v, cents, cellProbes)
     // Candidate pairs are scored INSIDE the per-cell self-join: each
     // side of the join carries (cell, id, vector) — n·cellProbes rows,
     // the widest thing this build ever shuffles — and the pair

@@ -1453,12 +1453,19 @@ object StreamOps {
     * unchanged history and overwrites exactly its own partitions
     * (idempotent, the st09/st10 replay contract). A tick that crashed
     * between landings left no manifest — the next tick fails loudly
-    * and names the tick to re-run. */
+    * and names the tick to re-run. An UPDATE (re-embedding a live id)
+    * must arrive as delete + insert in ONE tick (`deletes` containing
+    * the id, `batch` its new vector — the consolidation order makes
+    * the new vector win everywhere); passing a live id in `batch`
+    * alone re-lands its list but leaves the stale vector in the prior
+    * corpus the search scored against. Tick-internal checkpoint blocks
+    * are freed on exit ([[graft.Checkpoints.scoped]]) — a continuous
+    * loop must not accumulate dead storage. */
   def annIndexTick(spark: SparkSession, storePath: String, batch: DataFrame,
                    idCol: String, vecCol: String,
                    r: Int, beam: Int, hops: Int,
                    landingId: Long, anchorMod: Int = 64,
-                   deletes: DataFrame = null): Unit = {
+                   deletes: DataFrame = null): Unit = graft.Checkpoints.scoped {
     import graft.ops.SimOps
     import graft.sinks.SketchStore.land
     val vecsPath = s"$storePath/vectors"
@@ -1492,9 +1499,12 @@ object StreamOps {
       if (priorLandings.isEmpty) {
         require(nBatch > 0L, "the first tick needs a non-empty batch")
         val anc = anchorsOf(b)
-        land(spark, s"$storePath/asg", asgOf(b, anc), landingId)
+        // assignment computed ONCE (landed + fed to the build — the
+        // hierarchical ranking is the build's widest shuffle)
+        val asg0 = SimOps.freshCheckpoint(asgOf(b, anc), eager = true)
+        land(spark, s"$storePath/asg", asg0, landingId)
         SimOps.knnGraphOf(b, anc, "vec_id", "v", "vec_id", "v",
-          r = r, cellProbes = 2, descentRounds = 1)
+          r = r, cellProbes = 2, descentRounds = 1, corpusAsg = asg0)
       } else {
         // the merged views feed every beam-search hop and both repair
         // unions — checkpoint them once per tick so their window plans
@@ -1535,8 +1545,9 @@ object StreamOps {
             .join(ci.select("src").distinct(), Seq("src"), "left_anti"))
         }
       }
-    val changedOut = changed.select(col("src"), col("dst"), col("cos"))
-      .localCheckpoint(eager = true)
+    val changedOut = graft.Checkpoints.register(
+      changed.select(col("src"), col("dst"), col("cos"))
+        .localCheckpoint(eager = true))
     val nChanged = changedOut.count()
     if (nChanged > 0L) land(spark, edgesPath, changedOut, landingId)
     import spark.implicits._
