@@ -443,6 +443,18 @@ object Graft {
     ops.SimOps.graphAnnOf(corpus, queries, anchors, edges, id, vec, k, beam, hops, excludeSelf)
       .select(col("q_id"), col("rank"), col("vec_id").as(id), col("cos").as("cos_sim"))
 
+  /** FILTERED graph ANN (Filtered-DiskANN shape): top-k among vectors
+    * in the `matching` id set, traversing the FULL graph for
+    * navigability and ranking only matching candidates. Full doc at
+    * [[ops.SimOps.filteredAnnOf]]. */
+  def annFiltered(corpus: DataFrame, queries: DataFrame, anchors: DataFrame,
+                  edges: DataFrame, id: String, vec: String,
+                  matching: DataFrame, k: Int,
+                  beam: Int = 4, hops: Int = 3): DataFrame =
+    ops.SimOps.filteredAnnOf(corpus, queries, anchors, edges, id, vec,
+        matching, k, beam, hops)
+      .select(col("q_id"), col("rank"), col("vec_id").as(id), col("cos").as("cos_sim"))
+
   /** MOSS winnowing fingerprint summary per document (native
     * single-pass expression): n_grams, n_fp, fp_min/max/xor. */
   def winnowFingerprints(docs: DataFrame, id: String, text: String,

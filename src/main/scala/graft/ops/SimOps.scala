@@ -781,6 +781,76 @@ object SimOps {
       .orderBy("q_id", "rank")
   }
 
+  /** FILTERED graph ANN (public operator behind
+    * [[graft.Graft.annFiltered]]) — metadata-constrained vector
+    * search, the production hybrid-search shape (Gollapudi 2023,
+    * "Filtered-DiskANN", WWW; the predicate+vector query every vector
+    * store serves): top-k among vectors satisfying a predicate,
+    * given as the `matching` id set. The two wrong plans: filter the
+    * CORPUS first (graph connectivity collapses — a matching island
+    * behind non-matching hops is unreachable, and the graph would
+    * need rebuilding per predicate); filter the top-k AFTER a plain
+    * search (returns < k matches under any selective predicate). The
+    * moderate-selectivity plan: traverse the FULL graph — every
+    * scored candidate keeps the search navigable — and rank ONLY
+    * matching candidates to top-k (one semi join + one window over
+    * the search's bounded scored set; nothing corpus-scaled beyond
+    * the search itself). Composes existing ops, so the oracle
+    * replays traversal + filter + rank verbatim.
+    *
+    * BUDGET RULE (measured on the gate corpus): the search must
+    * over-fetch by the predicate's inverse selectivity — `beam` ≈
+    * plain-beam / selectivity (label = 1 is ~9% of the corpus, so the
+    * gate runs beam 40 where s20 runs 4; at beam 4 the filtered
+    * recall@10 was 0.18 — the true filtered top-10 live beyond an
+    * unfiltered top-78 budget). The budget is selectivity-dependent
+    * but corpus-INDEPENDENT (the s21 frontier argument survives
+    * filtering); very low selectivities belong on a label-partitioned
+    * index instead — the d14-style honest boundary. */
+  def filteredAnnOf(corpus: DataFrame, queries: DataFrame, anchors: DataFrame,
+                    edges: DataFrame, idCol: String, vecCol: String,
+                    matching: DataFrame, k: Int, beam: Int, hops: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val scored = graphAnnOf(corpus, queries, anchors, edges, idCol, vecCol,
+      k = Int.MaxValue, beam = beam, hops = hops)
+    val wQ = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .join(matching.select(col(idCol).as("vec_id")).distinct(), Seq("vec_id"), "left_semi")
+      .withColumn("rank", row_number().over(wQ).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
+  /** #26f filtered ANN as a gate query: top-10 among label = 1 vectors
+    * for queries vec_id < 5, traversing the s20 graph; label carried
+    * back in-plan. Round16Spec pins predicate completeness and recall
+    * vs the FILTERED brute truth. */
+  private val s28: Q = (s, dir) => {
+    val all = t(s, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"), col("label"))
+    val corpus = all.select(col("vec_id"), col("v"))
+    val anchors = corpus.filter(pmod(col("vec_id"), lit(64)) === 0)
+    val edges = knnGraphOf(corpus, anchors, "vec_id", "v",
+      "vec_id", "v", r = 8, cellProbes = 2, descentRounds = 1)
+      .localCheckpoint(eager = false)
+    filteredAnnOf(corpus, corpus.filter(col("vec_id") < 5), anchors, edges,
+        "vec_id", "v", all.filter(col("label") === 1), k = K, beam = 40, hops = 3)
+      .join(all.select(col("vec_id"), col("label")), "vec_id")
+      .select(col("q_id"), col("rank"), col("vec_id"), col("label"),
+        r6(col("cos")).as("cos_sim"))
+      .orderBy("q_id", "rank")
+  }
+
+  private val s28Sql: String =
+    graphSearchCtes(r = 8, beam = 40, hops = 3) + s""",
+lbl AS (SELECT vec_id, label FROM embeddings WHERE label = 1),
+fr AS (SELECT q_id, allsc.vec_id, lbl.label, cos,
+    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, allsc.vec_id) AS BIGINT) AS rank
+  FROM allsc JOIN lbl ON lbl.vec_id = allsc.vec_id
+  WHERE allsc.vec_id <> q_id)
+SELECT q_id, rank, vec_id, label, round(cos, 6) AS cos_sim
+FROM fr WHERE rank <= $K ORDER BY q_id, rank"""
+
   /** The CTE chain shared by s20/s21/s26's oracles: graph build over
     * `ec` (the corpus slice) + beam search for `q` (the query slice)
     * at (r, beam, hops), ending at `allsc` = every scored
@@ -3346,6 +3416,7 @@ SELECT src, dst, round(cos, 6) AS cos_sim FROM fin ORDER BY src, dst"""
     "s21_recall_frontier" -> s21,
     "s26_ann_insert" -> s26,
     "s27_ann_delete" -> s27,
+    "s28_ann_filtered" -> s28,
     "s22_mmr_diversify" -> s22,
     "s24_rank_eval" -> s24,
     "s25_index_drift" -> s25)
@@ -3377,6 +3448,7 @@ SELECT src, dst, round(cos, 6) AS cos_sim FROM fin ORDER BY src, dst"""
     "s21_recall_frontier" -> s21Sql,
     "s26_ann_insert" -> s26Sql,
     "s27_ann_delete" -> s27Sql,
+    "s28_ann_filtered" -> s28Sql,
     "s22_mmr_diversify" -> s22Sql,
     "s24_rank_eval" -> s24Sql,
     "s25_index_drift" -> s25Sql)

@@ -1345,13 +1345,28 @@ object StreamOps {
     hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
   }
 
+  /** A landing store read that tolerates an EMPTY directory (a
+    * compaction may drop every partition of the deletes store while
+    * the dir itself remains): None when the path is missing or holds
+    * no landing partition. */
+  private def readStore(spark: SparkSession, p: String): Option[DataFrame] = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp)) None
+    else if (!fs.listStatus(hp).exists(_.getPath.getName.startsWith("__landing=")))
+      None
+    else Some(spark.read.parquet(p))
+  }
+
   private def landingIdsOf(spark: SparkSession, path: String,
                            before: Long): Array[Long] =
-    if (!pathExists(spark, path)) Array.empty
-    else spark.read.parquet(path)
-      .select(col("__landing").cast("long").as("__landing"))
-      .filter(col("__landing") < before)
-      .distinct().collect().map(_.getLong(0))
+    readStore(spark, path) match {
+      case None => Array.empty
+      case Some(df) => df
+        .select(col("__landing").cast("long").as("__landing"))
+        .filter(col("__landing") < before)
+        .distinct().collect().map(_.getLong(0))
+    }
 
   /** Latest-op-wins LIVE vector view over an [[annIndexTick]] store:
     * per vec_id, the newest event among vector landings and delete
@@ -1365,14 +1380,14 @@ object StreamOps {
       .filter(col("__landing").cast("long") < beforeLanding)
       .select(col("vec_id"), col("v"),
         col("__landing").cast("long").as("__landing"), lit(1).as("__op"))
-    val delPath = s"$storePath/deletes"
-    val all =
-      if (!pathExists(spark, delPath)) ins
-      else ins.unionByName(spark.read.parquet(delPath)
+    val all = readStore(spark, s"$storePath/deletes") match {
+      case None => ins
+      case Some(dels) => ins.unionByName(dels
         .filter(col("__landing").cast("long") < beforeLanding)
         .select(col("vec_id"),
           lit(null).cast(ins.schema("v").dataType).as("v"),
           col("__landing").cast("long").as("__landing"), lit(0).as("__op")))
+    }
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("__landing").desc, col("__op").desc)
     all.withColumn("__rn", row_number().over(w))
@@ -1554,6 +1569,61 @@ object StreamOps {
     land(spark, s"$storePath/ticks",
       Seq((nBatch, nDeletes, nChanged)).toDF("n_batch", "n_deletes", "n_changed"),
       landingId)
+  }
+
+  /** COMPACTION for the delta-landed ANN store — the store-size lever
+    * that completes the delta-bounded design: landings accumulate one
+    * changed-list set per tick, and while the merged view is always
+    * correct, the latest-per-src window's input grows with tick count.
+    * Compaction rewrites the three merged views (live vectors, index,
+    * assignments) as ONE baseline landing at `upTo - 1` and drops
+    * every older landing (and every delete landing — tombstoned ids
+    * are simply absent from the baseline). Run it on the index's
+    * maintenance cadence (FreshDiskANN's periodic consolidation), not
+    * per tick.
+    *
+    * Crash-safe and idempotent: the baseline is eagerly materialized
+    * BEFORE any write; a crash between the landing and the drops
+    * leaves a store whose merged views are UNCHANGED (the baseline
+    * wins latest-per-src/latest-op for every live row; older landings
+    * lose every pick), and re-running completes the drops. A manifest
+    * row is (re)landed at the baseline id so the completed-tick guard
+    * holds even when `upTo - 1` was never itself a tick. Spec-pinned
+    * (Round16Spec): report/live views bit-equal across compaction, a
+    * subsequent tick lands bit-identical lists on a compacted vs
+    * uncompacted store, and old landings are gone. */
+  def annIndexCompact(spark: SparkSession, storePath: String,
+                      upTo: Long): Unit = graft.Checkpoints.scoped {
+    require(upTo >= 1L, s"upTo must be >= 1, got $upTo")
+    import graft.ops.SimOps
+    import graft.sinks.SketchStore.land
+    val base = upTo - 1
+    val live = SimOps.freshCheckpoint(
+      annLiveVectors(spark, storePath, upTo), eager = true)
+    val edges = SimOps.freshCheckpoint(
+      annIndexReport(spark, storePath, upTo), eager = true)
+    val asg = SimOps.freshCheckpoint(mergedAsg(spark, storePath, upTo)
+      .join(live.select("vec_id"), Seq("vec_id"), "left_semi"), eager = true)
+    land(spark, s"$storePath/vectors", live, base)
+    land(spark, s"$storePath/edges", edges, base)
+    land(spark, s"$storePath/asg", asg, base)
+    import spark.implicits._
+    land(spark, s"$storePath/ticks",
+      Seq((live.count(), 0L, edges.count()))
+        .toDF("n_batch", "n_deletes", "n_changed"), base)
+    def drop(sub: String, before: Long): Unit = {
+      val dir = new org.apache.hadoop.fs.Path(s"$storePath/$sub")
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
+        val nm = st.getPath.getName
+        if (nm.startsWith("__landing=") &&
+            nm.stripPrefix("__landing=").toLong < before) {
+          fs.delete(st.getPath, true); ()
+        }
+      }
+    }
+    drop("vectors", base); drop("edges", base); drop("asg", base)
+    drop("ticks", base); drop("deletes", upTo)
   }
 
   /** The s26 incremental graph insert run CONTINUOUSLY: every

@@ -126,6 +126,86 @@ class Round16Spec extends SparkSpec {
       "every re-inserted node must have an adjacency list in the index view")
   }
 
+  test("filteredAnnOf: every result matches the predicate, ranks are dense " +
+    "per query, and recall vs the FILTERED brute truth holds (while " +
+    "filter-after-search returns fewer matches)") {
+    val all = Tables.t(spark, "/root/testdata/sf0.01", "embeddings")
+      .select(col("vec_id"), F.asDouble(col("embedding")).as("v"), col("label"))
+    val corpus = all.select(col("vec_id"), col("v"))
+    val anchors = corpus.filter(pmod(col("vec_id"), lit(64)) === 0)
+    val edges = SimOps.knnGraphOf(corpus, anchors, "vec_id", "v", "vec_id", "v",
+      r = 8, cellProbes = 2, descentRounds = 1).localCheckpoint(eager = true)
+    val matching = all.filter(col("label") === 1)
+    val queries = corpus.filter(col("vec_id") < 5)
+    val k = 10
+    // beam 40 = plain-beam 4 / ~9% selectivity (the over-fetch rule
+    // documented on the operator; beam 4 measured recall 0.18 here)
+    val res = SimOps.filteredAnnOf(corpus, queries, anchors, edges,
+      "vec_id", "v", matching, k = k, beam = 40, hops = 3)
+      .localCheckpoint(eager = true)
+    // predicate completeness: nothing outside label = 1
+    assert(res.join(matching.select("vec_id"), Seq("vec_id"), "left_anti").isEmpty)
+    // dense ranks 1..n per query
+    assert(res.groupBy("q_id").agg(count(lit(1)).as("n"), max("rank").as("mx"))
+      .filter(col("n") =!= col("mx")).isEmpty)
+    // recall vs filtered brute truth
+    val truth = Graft.knnBrute(
+        corpus.join(matching.select("vec_id"), Seq("vec_id"), "left_semi"),
+        queries, "vec_id", "v", k)
+      .select(col("q_id"), col("vec_id"))
+    val hits = truth.join(res.select(col("q_id"), col("vec_id")),
+      Seq("q_id", "vec_id"), "left_semi").count()
+    val total = truth.count()
+    info(f"filtered recall@$k = ${hits.toDouble / total}%.3f ($hits/$total)")
+    assert(hits.toDouble / total >= 0.6,
+      "filtered graph search must find most of the filtered brute truth")
+    // the naive alternative (plain top-k, then filter) under-fills
+    val naive = SimOps.graphAnnOf(corpus, queries, anchors, edges,
+        "vec_id", "v", k = k, beam = 4, hops = 3)
+      .join(matching.select("vec_id"), Seq("vec_id"), "left_semi").count()
+    info(s"filter-after-search kept $naive rows vs ${res.count()} from the filtered rank")
+    assert(naive < res.count(),
+      "filter-after-top-k must return fewer matches than rank-after-filter")
+  }
+
+  test("annIndexCompact: merged views are bit-stable across compaction, a " +
+    "subsequent tick lands identical lists on compacted vs uncompacted " +
+    "stores, and older landings are dropped") {
+    import graft.streaming.StreamOps
+    val all = vecsOf("/root/testdata/sf0.001")
+    val a0 = all.filter(col("vec_id") % 10 =!= 8)
+    val b1 = all.filter(col("vec_id") % 10 === 8)
+    val d1 = all.filter(col("vec_id") % 10 === 9)
+    def build(store: String): Unit = {
+      StreamOps.annIndexTick(spark, store, a0, "vec_id", "v",
+        r = 8, beam = 4, hops = 3, landingId = 0L)
+      StreamOps.annIndexTick(spark, store, b1, "vec_id", "v",
+        r = 8, beam = 4, hops = 3, landingId = 1L, deletes = d1)
+    }
+    val sA = java.nio.file.Files.createTempDirectory("r16_cmpA_").toString
+    val sB = java.nio.file.Files.createTempDirectory("r16_cmpB_").toString
+    build(sA); build(sB)
+    val before = StreamOps.annIndexReport(spark, sB).localCheckpoint(eager = true)
+    val liveBefore = StreamOps.annLiveVectors(spark, sB).localCheckpoint(eager = true)
+    StreamOps.annIndexCompact(spark, sB, upTo = 2L)
+    assert(sameRows(StreamOps.annIndexReport(spark, sB), before),
+      "the index view must be bit-stable across compaction")
+    assert(sameRows(StreamOps.annLiveVectors(spark, sB), liveBefore),
+      "the live-vector view must be bit-stable across compaction")
+    // old landings gone: exactly one landing remains in each store
+    val landings = spark.read.parquet(s"$sB/edges")
+      .select(col("__landing").cast("long")).distinct().count()
+    assert(landings == 1L, s"expected 1 edge landing after compaction, got $landings")
+    // a further tick (re-insert of the deleted slice) lands identically
+    StreamOps.annIndexTick(spark, sA, d1, "vec_id", "v",
+      r = 8, beam = 4, hops = 3, landingId = 2L)
+    StreamOps.annIndexTick(spark, sB, d1, "vec_id", "v",
+      r = 8, beam = 4, hops = 3, landingId = 2L)
+    assert(sameRows(StreamOps.annIndexReport(spark, sA),
+      StreamOps.annIndexReport(spark, sB)),
+      "a tick must land the same index on compacted and uncompacted stores")
+  }
+
   test("hashClassifierOf(exact = false): the order-free map-side-combine " +
     "gradient trains to the same model — identical predictions, score " +
     "drift bounded in ulps (the a06/a07 production-swap contract)") {
