@@ -1625,6 +1625,19 @@ object Graft {
                   maxEpochs: Double = 4.0): DataFrame =
     ops.DataOps.mixturePlanOf(docs, domain, tokens, weights, budgetTokens, maxEpochs)
 
+  /** Multi-epoch mixture materialization — the row-level executor of
+    * [[mixturePlan]]'s repeat factors: every doc once per full epoch
+    * plus a deterministic md5-order fill of the fractional final epoch
+    * (the [[mixtureSample]] rule at the leftover budget). Appends
+    * `epoch`; the mix is a pure function of (weights, budget, cap,
+    * salt, keys). One domain-key window shuffle; the epoch fan-out is
+    * a map-side explode after it. */
+  def epochMix(docs: DataFrame, domain: String, id: String, tokens: String,
+               weights: Map[String, Double], budgetTokens: Long,
+               maxEpochs: Double = 4.0, salt: String = "graft"): DataFrame =
+    ops.DataOps.epochMixOf(docs, domain, id, tokens, weights, budgetTokens,
+      maxEpochs, salt)
+
   /** Length-grouped batching with measured padding: batches of
     * `batchSize` under the length-sorted scheme vs the arrival-order
     * baseline, each batch reporting its pad-token waste. Membership is

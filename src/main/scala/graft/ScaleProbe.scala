@@ -376,6 +376,57 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** `runMain graft.ScaleProbe anncompact [N]` — the compaction-value
+    * probe: build a 12k-vector index, land N insert ticks (200 fresh
+    * vectors each), time the merged index+live reads at N landings,
+    * COMPACT, re-time. The merged views are latest-per-src windows
+    * whose input grows with landing count; compaction rewrites them as
+    * one baseline landing, so the post-compaction read must fall back
+    * to baseline-sized cost and the store to a single landing. */
+  private def annCompactProbe(n: Int): Unit = {
+    val spark = Sessions.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.streaming.StreamOps
+    def vecsOf(cnt: Long, off: Long) = spark.range(cnt)
+      .select((col("id") + off).as("vec_id"),
+        array((0 until 16).map(d =>
+          sin((col("id") + off) * (0.37 + d * 0.11))): _*).as("v"))
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def reap(): Unit = { System.gc(); Thread.sleep(2000) }
+    val base = s"/tmp/graft_anncompact_$n"
+    if (!new java.io.File(base).exists()) {
+      StreamOps.annIndexTick(spark, base, vecsOf(12000L, 0L), "vec_id", "v",
+        r = 8, beam = 4, hops = 3, landingId = 0L)
+      (1 to n).foreach { i =>
+        StreamOps.annIndexTick(spark, base, vecsOf(200L, 12000L + i * 1000L),
+          "vec_id", "v", r = 8, beam = 4, hops = 3, landingId = i.toLong)
+        if (i % 10 == 0) reap()
+      }
+    }
+    reap()
+    def readAll(): Unit = {
+      StreamOps.annIndexReport(spark, base).write.format("noop").mode("overwrite").save()
+      StreamOps.annLiveVectors(spark, base).write.format("noop").mode("overwrite").save()
+    }
+    readAll() // warm (JIT + file listing)
+    val tBefore = time(readAll())
+    val landingsBefore = spark.read.parquet(s"$base/edges")
+      .select(col("__landing")).distinct().count()
+    val idx = StreamOps.annIndexReport(spark, base)
+      .localCheckpoint(eager = true).count()
+    val tCompact = time(StreamOps.annIndexCompact(spark, base, upTo = n + 1L))
+    reap()
+    readAll()
+    val tAfter = time(readAll())
+    val landingsAfter = spark.read.parquet(s"$base/edges")
+      .select(col("__landing")).distinct().count()
+    def ms(v: Double): Double = math.rint(v * 1000) / 1000
+    println(s"""{"probe":"anncompact","ticks":$n,"index_rows":$idx,"landings_before":$landingsBefore,"landings_after":$landingsAfter,"read_before_sec":${ms(tBefore)},"read_after_sec":${ms(tAfter)},"compact_sec":${ms(tCompact)},"metric":"anncompact_read_ratio","value":${ms(tBefore / math.max(tAfter, 0.001))},"unit":"x"}""")
+    spark.stop()
+  }
+
   /** `runMain graft.ScaleProbe loghist [N]` — the landings-axis probe
     * for the a11 RELATIVE-error quantile store (the HLL `landings`
     * probe's twin the round-15 verdict asked for): land N daily
@@ -422,6 +473,10 @@ object ScaleProbe {
     }
     if (args.headOption.contains("anntick")) {
       annTickProbe(args.lift(1).map(_.toInt).getOrElse(10))
+      return
+    }
+    if (args.headOption.contains("anncompact")) {
+      annCompactProbe(args.lift(1).map(_.toInt).getOrElse(30))
       return
     }
     if (args.headOption.contains("landings")) {

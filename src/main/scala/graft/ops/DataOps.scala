@@ -910,6 +910,107 @@ object DataOps {
        |ORDER BY domain""".stripMargin
   }
 
+  /** Multi-epoch mixture MATERIALIZATION (public operator behind
+    * [[graft.Graft.epochMix]]) — the row-level executor of
+    * [[mixturePlanOf]]'s repeat factors (SlimPajama/DoReMi recipes run
+    * under-resourced domains at epochs > 1, which neither ds06's
+    * single-pass budget fill nor ds15's static plan materializes):
+    * every doc in domain d is emitted once per FULL epoch
+    * (epoch = 0..⌊epochs_d⌋−1) and the FRACTIONAL final epoch
+    * (epoch = ⌊epochs_d⌋) is filled by the ds06 first-fit rule — docs
+    * in md5(salt:domain:id) order against the leftover token budget
+    * planned − ⌊epochs⌋·available, a doc kept iff its EXCLUSIVE prefix
+    * is under (so the partial epoch IS [[mixtureSampleOf]] run at that
+    * leftover budget — spec-pinned equivalence). The whole mix is a
+    * pure function of (weights, budget, cap, salt, keys): reruns,
+    * retries and cluster size reproduce it bit-for-bit, and per domain
+    * the emitted tokens are ⌊epochs⌋·available plus a partial fill in
+    * [pbudget, pbudget + max doc) whenever docs remain — the
+    * token-conservation law the spec pins.
+    *
+    * Scale: the corpus scans ONCE — the one shuffle is ds06's window
+    * on the domain key (md5-order prefix sums); the plan joins back as
+    * a broadcast domain-cardinality table and the epoch fan-out is a
+    * map-side explode AFTER the window, so output rows = mix size and
+    * no pre-explode amplification ever reaches an exchange. */
+  def epochMixOf(docs: DataFrame, domainCol: String, idCol: String,
+                 tokensCol: String, weights: Map[String, Double],
+                 budgetTokens: Long, maxEpochs: Double = 4.0,
+                 salt: String = "graft"): DataFrame = {
+    val plan = mixturePlanOf(docs, domainCol, tokensCol, weights,
+        budgetTokens, maxEpochs)
+      .withColumn("__full", floor(col("epochs")).cast("long"))
+      .withColumn("__pbudget",
+        col("planned_tokens") - col("__full").cast("double") * col("available_tokens"))
+      .select(col("domain").as("__dom"), col("__full"), col("__pbudget"))
+    val w = Window.partitionBy(col(domainCol)).orderBy(col("__h"), col(idCol))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .join(broadcast(plan), col(domainCol) === col("__dom"))
+      .withColumn("__h", hash60(concat(lit(salt + ":"), col(domainCol).cast("string"),
+        lit(":"), col(idCol).cast("string"))))
+      .withColumn("__cum", sum(col(tokensCol).cast("long")).over(cum))
+      .withColumn("__ne", col("__full") +
+        when(col("__cum") - col(tokensCol) < col("__pbudget"), 1L).otherwise(0L))
+      .filter(col("__ne") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__ne") - 1)))
+      .drop("__dom", "__full", "__pbudget", "__h", "__cum", "__ne")
+  }
+
+  /** #42q the ds15 recipe (src0/src1 upweighted, src19 unweighted)
+    * MATERIALIZED at a 120k-token budget under a 3-epoch cap —
+    * sized so both regimes appear at gate SF: capped domains repeat
+    * full epochs, the rest land fractional fills. */
+  private val ds25Weights: Map[String, Double] =
+    (0 until 19).map { i =>
+      s"src$i" -> (if (i <= 1) 0.2 else 0.6 / 17)
+    }.toMap
+
+  private val ds25: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+      .withColumn("n_tokens", size(F.words(col("text"))).cast("long"))
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+    epochMixOf(docs, "source", "doc_id", "n_tokens", ds25Weights,
+        budgetTokens = 120000L, maxEpochs = 3.0)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("epoch"))
+      .orderBy("doc_id", "epoch")
+  }
+
+  private val ds25Sql = {
+    val weightRows = ds25Weights.toSeq.sortBy(_._1)
+      .map { case (d, v) => s"('$d', CAST($v AS DOUBLE))" }.mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+       |    CAST(('0x' || substr(md5('graft:' || source || ':' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       |  FROM documents),
+       |a AS (SELECT source AS domain, CAST(sum(n_tokens) AS BIGINT) AS available
+       |  FROM d GROUP BY source),
+       |w(dom, wt) AS (VALUES $weightRows),
+       |p AS (SELECT a.domain, a.available,
+       |    coalesce(w.wt, 0.0) * 120000 AS target
+       |  FROM a LEFT JOIN w ON a.domain = w.dom),
+       |p2 AS (SELECT domain,
+       |    CAST(floor(CASE WHEN available > 0 THEN least(3.0, target / available)
+       |      ELSE 0.0 END) AS BIGINT) AS eps_full,
+       |    least(target, 3.0 * available)
+       |      - CAST(CAST(floor(CASE WHEN available > 0 THEN least(3.0, target / available)
+       |          ELSE 0.0 END) AS BIGINT) AS DOUBLE) * available AS pbudget
+       |  FROM p),
+       |c AS (SELECT d.doc_id, d.source, d.n_tokens, p2.eps_full, p2.pbudget,
+       |    sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM d JOIN p2 ON d.source = p2.domain),
+       |n AS (SELECT doc_id, source, n_tokens,
+       |    eps_full + CASE WHEN cum - n_tokens < pbudget THEN 1 ELSE 0 END AS ne
+       |  FROM c)
+       |SELECT doc_id, source, n_tokens, epoch FROM (
+       |  SELECT doc_id, source, n_tokens,
+       |    CAST(unnest(generate_series(0, ne - 1)) AS BIGINT) AS epoch
+       |  FROM n WHERE ne > 0)
+       |ORDER BY doc_id, epoch""".stripMargin
+  }
+
   /** DISTRIBUTED global rank by (bucket, order-within-bucket) — the s11
     * pattern as a reusable step: per-bucket counts roll into exclusive
     * offsets (bucket-cardinality rows — the only single-partition fold),
@@ -1586,6 +1687,7 @@ object DataOps {
     "a05_bloom_filter" -> a05,
     "ds16_temperature_mix" -> ds16,
     "ds15_token_budget" -> ds15,
+    "ds25_epoch_mix" -> ds25,
     "ds14_snapshot_diff" -> ds14,
     "ds12_weighted_sample" -> ds12,
     "ds13_quality_prune" -> ds13,
@@ -1612,6 +1714,7 @@ object DataOps {
     "a05_bloom_filter" -> a05Sql,
     "ds16_temperature_mix" -> ds16Sql,
     "ds15_token_budget" -> ds15Sql,
+    "ds25_epoch_mix" -> ds25Sql,
     "ds14_snapshot_diff" -> ds14Sql,
     "ds12_weighted_sample" -> ds12Sql,
     "ds13_quality_prune" -> ds13Sql,

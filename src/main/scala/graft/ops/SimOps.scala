@@ -894,29 +894,34 @@ FROM fr WHERE rank <= $K ORDER BY q_id, rank"""
     * parameterized so st17 can search the POST-DELETE edge list. */
   private def beamSearchCtes(beam: Int, hops: Int, queryFilter: String,
                              edgesCte: String = "edges",
-                             corpusCte: String = "ec"): String = {
+                             corpusCte: String = "ec",
+                             suffix: String = ""): String = {
+    // `suffix` decorates every internal CTE name so a composed oracle
+    // (st18: two insert ticks in one tree) can chain two searches; ""
+    // emits byte-identical SQL to the pre-suffix form.
+    val x = suffix
     val head =
-      s"""edsym AS (SELECT src, dst FROM $edgesCte UNION SELECT dst AS src, src AS dst FROM $edgesCte),
-         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE $queryFilter),
-         |anc AS (SELECT vec_id, v AS av FROM $corpusCte WHERE vec_id % 64 = 0),
-         |s0 AS (SELECT q_id, vec_id, cos FROM (
-         |    SELECT q.q_id, anc.vec_id, ${duckCos("qv", "av")} AS cos,
-         |      row_number() OVER (PARTITION BY q.q_id ORDER BY ${duckCos("qv", "av")} DESC, anc.vec_id) AS rn
-         |    FROM q CROSS JOIN anc) WHERE rn = 1),
-         |f0 AS (SELECT q_id, vec_id FROM s0)""".stripMargin
+      s"""edsym$x AS (SELECT src, dst FROM $edgesCte UNION SELECT dst AS src, src AS dst FROM $edgesCte),
+         |q$x AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE $queryFilter),
+         |anc$x AS (SELECT vec_id, v AS av FROM $corpusCte WHERE vec_id % 64 = 0),
+         |s${x}0 AS (SELECT q_id, vec_id, cos FROM (
+         |    SELECT q$x.q_id, anc$x.vec_id, ${duckCos("qv", "av")} AS cos,
+         |      row_number() OVER (PARTITION BY q$x.q_id ORDER BY ${duckCos("qv", "av")} DESC, anc$x.vec_id) AS rn
+         |    FROM q$x CROSS JOIN anc$x) WHERE rn = 1),
+         |f${x}0 AS (SELECT q_id, vec_id FROM s${x}0)""".stripMargin
     val hopCtes = (1 to hops).map { h =>
-      val seen = (0 until h).map(i => s"SELECT q_id, vec_id FROM s$i").mkString(" UNION ALL ")
-      s"""c$h AS (SELECT DISTINCT f.q_id, ed.dst AS vec_id
-         |  FROM f${h - 1} f JOIN edsym ed ON ed.src = f.vec_id
+      val seen = (0 until h).map(i => s"SELECT q_id, vec_id FROM s$x$i").mkString(" UNION ALL ")
+      s"""c$x$h AS (SELECT DISTINCT f.q_id, ed.dst AS vec_id
+         |  FROM f$x${h - 1} f JOIN edsym$x ed ON ed.src = f.vec_id
          |  WHERE NOT EXISTS (SELECT 1 FROM ($seen) sv WHERE sv.q_id = f.q_id AND sv.vec_id = ed.dst)),
-         |s$h AS (SELECT c.q_id, c.vec_id, ${duckCos("qv", "v")} AS cos
-         |  FROM c$h c JOIN e ON e.vec_id = c.vec_id JOIN q ON q.q_id = c.q_id),
-         |f$h AS (SELECT q_id, vec_id FROM (
-         |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM s$h)
+         |s$x$h AS (SELECT c.q_id, c.vec_id, ${duckCos("qv", "v")} AS cos
+         |  FROM c$x$h c JOIN e ON e.vec_id = c.vec_id JOIN q$x ON q$x.q_id = c.q_id),
+         |f$x$h AS (SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM s$x$h)
          |  WHERE rn <= $beam)""".stripMargin
     }
-    val allScored = (0 to hops).map(i => s"SELECT q_id, vec_id, cos FROM s$i").mkString(" UNION ALL ")
-    (Seq(head) ++ hopCtes :+ s"allsc AS ($allScored)").mkString(",\n")
+    val allScored = (0 to hops).map(i => s"SELECT q_id, vec_id, cos FROM s$x$i").mkString(" UNION ALL ")
+    (Seq(head) ++ hopCtes :+ s"allsc$x AS ($allScored)").mkString(",\n")
   }
 
   private def graphSearchCtes(r: Int, beam: Int, hops: Int,
@@ -924,6 +929,18 @@ FROM fr WHERE rank <= $K ORDER BY q_id, rank"""
                               queryFilter: String = "vec_id < 5"): String =
     graphBuildCtes(r, corpusFilter) + ",\n" +
       beamSearchCtes(beam, hops, queryFilter)
+
+  /** DuckDB inlines every CTE reference by default; the composed graph
+    * oracles reference chain CTEs (edges → dfin → fin → fin2) many
+    * times each, so inlining expands the tree EXPONENTIALLY in chain
+    * depth — st18's two-insert tree exhausted 20k file handles
+    * re-scanning the parquet behind `e`. MATERIALIZED pins each CTE to
+    * one evaluation: semantics identical, cost linear in the tree.
+    * Applied to every graph-family oracle (the round-15 verdict's
+    * "graph-chain replay oracles are DuckDB-side outliers" caveat was
+    * this same disease at survivable size). */
+  private def materializeCtes(sql: String): String =
+    sql.replaceAll("""(\b\w+) AS \(""", "$1 AS MATERIALIZED (")
 
   /** The DELETE-consolidation CTE chain (drop + stitch → `dfin`, the
     * post-delete edge list) over any edge-list CTE — s27's oracle
@@ -1050,39 +1067,49 @@ ORDER BY q_id, rank"""
     * corpus-rep↔delta-rep challenges — to a CTE `fin` (the post-insert
     * edge list). `deltaFilter` selects the delta slice of `e`. */
   private def insertCtes(deltaFilter: String, edgesCte: String,
-                         corpusAsgCte: String = "asg", r: Int = 8): String = s"""
-eb AS (SELECT vec_id, v FROM e WHERE $deltaFilter),
-basg AS (SELECT vec_id, cell FROM (
-    SELECT eb.vec_id, c_id AS cell,
-      row_number() OVER (PARTITION BY eb.vec_id ORDER BY ${duckCos("v", "cv")} DESC, c_id) AS arn
-    FROM eb CROSS JOIN cents) WHERE arn <= 2),
-casg AS (SELECT vec_id, cell FROM $corpusAsgCte UNION ALL SELECT vec_id, cell FROM basg),
-creps AS (SELECT vec_id, cell FROM (
+                         corpusAsgCte: String = "asg", r: Int = 8,
+                         centsCte: String = "cents",
+                         suffix: String = ""): String = {
+    // `suffix` decorates every internal CTE name (and the allsc
+    // reference) so st18's composed oracle can chain two inserts; ""
+    // emits byte-identical SQL to the pre-suffix form. `centsCte`
+    // carries the insert-time anchor set — a later tick assigns its
+    // delta against the LIVE anchors, not the build's.
+    val x = suffix
+    s"""
+eb$x AS (SELECT vec_id, v FROM e WHERE $deltaFilter),
+basg$x AS (SELECT vec_id, cell FROM (
+    SELECT eb$x.vec_id, c_id AS cell,
+      row_number() OVER (PARTITION BY eb$x.vec_id ORDER BY ${duckCos("v", "cv")} DESC, c_id) AS arn
+    FROM eb$x CROSS JOIN $centsCte) WHERE arn <= 2),
+casg$x AS (SELECT vec_id, cell FROM $corpusAsgCte UNION ALL SELECT vec_id, cell FROM basg$x),
+creps$x AS (SELECT vec_id, cell FROM (
     SELECT vec_id, cell, row_number() OVER (PARTITION BY cell
       ORDER BY CAST(('0x' || substr(md5('s20cap:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id) AS crn
-    FROM casg) WHERE crn <= 256),
-bp AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-  FROM basg a JOIN creps b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
-bsc AS (SELECT src, dst, ${duckCos("es.v", "ed.v")} AS cos
-  FROM bp JOIN e es ON es.vec_id = src JOIN e ed ON ed.vec_id = dst),
-newc AS (SELECT q_id AS src, vec_id AS dst, cos FROM allsc
-  UNION SELECT src, dst, cos FROM bsc),
-newout AS (SELECT src, dst, cos FROM (
-    SELECT src, dst, cos, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM newc)
+    FROM casg$x) WHERE crn <= 256),
+bp$x AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+  FROM basg$x a JOIN creps$x b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+bsc$x AS (SELECT src, dst, ${duckCos("es.v", "ed.v")} AS cos
+  FROM bp$x JOIN e es ON es.vec_id = src JOIN e ed ON ed.vec_id = dst),
+newc$x AS (SELECT q_id AS src, vec_id AS dst, cos FROM allsc$x
+  UNION SELECT src, dst, cos FROM bsc$x),
+newout$x AS (SELECT src, dst, cos FROM (
+    SELECT src, dst, cos, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM newc$x)
   WHERE rn <= $r),
-abp AS (SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
-  FROM (SELECT * FROM creps WHERE NOT ($deltaFilter)) x
-  JOIN (SELECT * FROM creps WHERE $deltaFilter) y
+abp$x AS (SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
+  FROM (SELECT * FROM creps$x WHERE NOT ($deltaFilter)) x
+  JOIN (SELECT * FROM creps$x WHERE $deltaFilter) y
     ON x.cell = y.cell AND x.vec_id <> y.vec_id),
-absc AS (SELECT src, dst, ${duckCos("es.v", "ed.v")} AS cos
-  FROM abp JOIN e es ON es.vec_id = src JOIN e ed ON ed.vec_id = dst),
-alle AS (SELECT src, dst, cos FROM $edgesCte
-  UNION SELECT src, dst, cos FROM newout
-  UNION SELECT dst AS src, src AS dst, cos FROM newout
-  UNION SELECT src, dst, cos FROM absc),
-fin AS (SELECT src, dst, cos FROM (
-    SELECT src, dst, cos, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM alle)
+absc$x AS (SELECT src, dst, ${duckCos("es.v", "ed.v")} AS cos
+  FROM abp$x JOIN e es ON es.vec_id = src JOIN e ed ON ed.vec_id = dst),
+alle$x AS (SELECT src, dst, cos FROM $edgesCte
+  UNION SELECT src, dst, cos FROM newout$x
+  UNION SELECT dst AS src, src AS dst, cos FROM newout$x
+  UNION SELECT src, dst, cos FROM absc$x),
+fin$x AS (SELECT src, dst, cos FROM (
+    SELECT src, dst, cos, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM alle$x)
   WHERE rn <= $r)"""
+  }
 
   private val s26Sql: String =
     graphSearchCtes(r = 8, beam = 4, hops = 3,
@@ -1123,7 +1150,7 @@ SELECT src, dst, round(cos, 6) AS cos_sim FROM dfin ORDER BY src, dst"""
     * anchors, then INSERT it (s26's connect/repair) — one CTE tree
     * replaying [[graft.streaming.StreamOps.annIndexTick]]'s
     * delete-then-insert landing composed through the store. */
-  val st17ComposedSql: String =
+  val st17ComposedSql: String = materializeCtes(
     graphBuildCtes(r = 8, corpusFilter = "vec_id % 10 <> 8") + s""",
 lc AS (SELECT vec_id, v FROM ec WHERE vec_id % 10 <> 9),
 sasg AS (SELECT vec_id, cell FROM asg WHERE vec_id % 10 <> 9),
@@ -1133,7 +1160,37 @@ sasg AS (SELECT vec_id, cell FROM asg WHERE vec_id % 10 <> 9),
         edgesCte = "dfin", corpusCte = "lc") + "," +
       insertCtes(deltaFilter = "vec_id % 10 = 8", edgesCte = "dfin",
         corpusAsgCte = "sasg") + """
-SELECT src, dst, round(cos, 6) AS cos_sim FROM fin ORDER BY src, dst"""
+SELECT src, dst, round(cos, 6) AS cos_sim FROM fin ORDER BY src, dst""")
+
+  /** The st18 composed tick oracle — st17's tree EXTENDED BY A THIRD
+    * TICK: build on vec_id % 10 ∉ {7, 8}, delete the % 10 = 9 slice +
+    * insert the % 10 = 8 slice (tick 1, verbatim st17), then insert
+    * the % 10 = 7 slice (tick 2) over the post-insert edge list. The
+    * gate COMPACTS the store between ticks 1 and 2 — the oracle has no
+    * compaction step because compaction must not change the merged
+    * views (the Round16Spec bit-stability law); a compaction that
+    * leaked into the index would hash-fail here. Tick 2's search and
+    * assignment run against the LIVE corpus/anchors of its time
+    * (% 10 ∉ {7, 9} — including tick-1's inserts), exactly what
+    * [[graft.streaming.StreamOps.annIndexTick]] recomputes from
+    * survivors; its corpus assignment is tick 1's merged view (casg). */
+  val st18ComposedSql: String = materializeCtes(
+    graphBuildCtes(r = 8, corpusFilter = "vec_id % 10 NOT IN (7, 8)") + s""",
+lc AS (SELECT vec_id, v FROM ec WHERE vec_id % 10 <> 9),
+sasg AS (SELECT vec_id, cell FROM asg WHERE vec_id % 10 <> 9),
+""" + deleteCtes(delFilter = "vec_id % 10 = 9", edgesCte = "edges",
+        corpusCte = "ec", r = 8) + ",\n" +
+      beamSearchCtes(beam = 4, hops = 3, queryFilter = "vec_id % 10 = 8",
+        edgesCte = "dfin", corpusCte = "lc") + "," +
+      insertCtes(deltaFilter = "vec_id % 10 = 8", edgesCte = "dfin",
+        corpusAsgCte = "sasg") + s""",
+lc2 AS (SELECT vec_id, v FROM e WHERE vec_id % 10 NOT IN (7, 9)),
+cents2 AS (SELECT vec_id AS c_id, v AS cv FROM lc2 WHERE vec_id % 64 = 0),
+""" + beamSearchCtes(beam = 4, hops = 3, queryFilter = "vec_id % 10 = 7",
+        edgesCte = "fin", corpusCte = "lc2", suffix = "2") + "," +
+      insertCtes(deltaFilter = "vec_id % 10 = 7", edgesCte = "fin",
+        corpusAsgCte = "casg", centsCte = "cents2", suffix = "2") + """
+SELECT src, dst, round(cos, 6) AS cos_sim FROM fin2 ORDER BY src, dst""")
 
   /** #26y MMR diversified re-ranking (Carbonell & Goldstein 1998) —
     * the retrieval-quality stage between ANN search and the user: from
@@ -3444,11 +3501,11 @@ SELECT src, dst, round(cos, 6) AS cos_sim FROM fin ORDER BY src, dst"""
     "s03_ann_lsh" -> s03Sql,
     "s04_kmeans" -> s04Sql,
     "s05_ann_recall" -> s05Sql,
-    "s20_ann_graph" -> s20Sql,
-    "s21_recall_frontier" -> s21Sql,
-    "s26_ann_insert" -> s26Sql,
-    "s27_ann_delete" -> s27Sql,
-    "s28_ann_filtered" -> s28Sql,
+    "s20_ann_graph" -> materializeCtes(s20Sql),
+    "s21_recall_frontier" -> materializeCtes(s21Sql),
+    "s26_ann_insert" -> materializeCtes(s26Sql),
+    "s27_ann_delete" -> materializeCtes(s27Sql),
+    "s28_ann_filtered" -> materializeCtes(s28Sql),
     "s22_mmr_diversify" -> s22Sql,
     "s24_rank_eval" -> s24Sql,
     "s25_index_drift" -> s25Sql)

@@ -1701,6 +1701,40 @@ object StreamOps {
 
   private val st17Sql: String = graft.ops.SimOps.st17ComposedSql
 
+  /** #35r the maintenance loop WITH MID-STREAM COMPACTION — the store
+    * lifecycle a long-running index actually ages through: tick 0
+    * builds on vec_id % 10 ∉ {7, 8}; tick 1 deletes the % 10 = 9 slice
+    * and inserts the % 10 = 8 slice (st17's composed tick); then
+    * [[annIndexCompact]] rewrites the store as one baseline landing
+    * (tombstones gone, history dropped); tick 2 inserts the held-out
+    * % 10 = 7 slice ON THE COMPACTED STORE. The report is the merged
+    * index view — bit-equal, by the delta-landing laws PLUS the
+    * compaction bit-stability law, to the uncompacted three-tick run,
+    * so the oracle replays build → delete → insert → insert as ONE CTE
+    * tree with no compaction step: a compaction that leaked into the
+    * index (dropped a live list, resurrected a tombstone, moved an
+    * assignment) hash-fails the gate. Completes the store lifecycle:
+    * grow st16 / delete st17 / COMPACT st18. */
+  private val st18: Q = (s, dir) => {
+    val all = Tables.t(s, dir, "embeddings")
+      .select(col("vec_id"), F.asDouble(col("embedding")).as("v"))
+    val m10 = pmod(col("vec_id"), lit(10))
+    val store = java.nio.file.Files.createTempDirectory("graft_stream_annc_").toString
+    annIndexTick(s, store, all.filter(m10 =!= 7 && m10 =!= 8),
+      "vec_id", "v", r = 8, beam = 4, hops = 3, landingId = 0L)
+    annIndexTick(s, store, all.filter(m10 === 8),
+      "vec_id", "v", r = 8, beam = 4, hops = 3, landingId = 1L,
+      deletes = all.filter(m10 === 9))
+    annIndexCompact(s, store, upTo = 2L)
+    annIndexTick(s, store, all.filter(m10 === 7),
+      "vec_id", "v", r = 8, beam = 4, hops = 3, landingId = 2L)
+    annIndexReport(s, store)
+      .select(col("src"), col("dst"), F.r6(col("cos")).as("cos_sim"))
+      .orderBy("src", "dst")
+  }
+
+  private val st18Sql: String = graft.ops.SimOps.st18ComposedSql
+
   /** The a04 CMS frequency sketch run CONTINUOUSLY: every micro-batch
     * lands its own counter state; the merged store answers frequency
     * probes over EVERYTHING ever landed at state-sized cost
@@ -1810,6 +1844,7 @@ object StreamOps {
     "st15_stream_sample" -> st15,
     "st16_stream_ann" -> st16,
     "st17_stream_ann_delete" -> st17,
+    "st18_stream_ann_compact" -> st18,
     "st10_stream_profile" -> st10,
     "st12_stream_topfreq" -> st12,
     "st08_stream_psi" -> st08,
@@ -1828,6 +1863,7 @@ object StreamOps {
     "st15_stream_sample" -> st15Sql,
     "st16_stream_ann" -> st16Sql,
     "st17_stream_ann_delete" -> st17Sql,
+    "st18_stream_ann_compact" -> st18Sql,
     "st10_stream_profile" -> st10Sql,
     "st12_stream_topfreq" -> st12Sql,
     "st08_stream_psi" -> st08Sql,

@@ -287,4 +287,68 @@ class Round16Spec extends SparkSpec {
       "a deleted src must not land a list")
     info(s"changed-list rows ${delta.count()} vs live index rows ${full.count()}")
   }
+
+  test("st18 gate: tombstones stay dead through compaction and every live " +
+    "id keeps a list (the lifecycle invariants end-to-end)") {
+    import graft.streaming.StreamOps
+    val out = StreamOps.queries("st18_stream_ann_compact")(
+      spark, "/root/testdata/sf0.001").localCheckpoint(eager = true)
+    assert(out.filter(col("src") % 10 === 9 || col("dst") % 10 === 9).isEmpty,
+      "a deleted id must survive on neither edge end after compaction + insert")
+    val live = vecsOf("/root/testdata/sf0.001")
+      .filter(col("vec_id") % 10 =!= 9).count()
+    val srcs = out.select("src").distinct().count()
+    assert(srcs == live,
+      s"every live id needs an adjacency list ($srcs lists for $live live ids)")
+  }
+
+  test("epochMixOf: full epochs carry EVERY domain doc, the fractional epoch " +
+    "IS mixtureSampleOf at the leftover budget, and unweighted domains are " +
+    "absent (the ds25 laws)") {
+    import graft.ops.DataOps
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .withColumn("n_tokens", size(F.words(col("text"))).cast("long"))
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+      .localCheckpoint(true)
+    val avail0 = docs.filter(col("source") === "src0")
+      .agg(sum("n_tokens")).head.getLong(0)
+    assume(avail0 > 0, "sf0.001 documents must contain src0 rows")
+    // target(src0) = 0.5 · 5·avail0 = 2.5·avail0 → epochs exactly 2.5
+    val budget = 5L * avail0
+    val weights = Map("src0" -> 0.5, "src1" -> 0.5)
+    val mix = DataOps.epochMixOf(docs, "source", "doc_id", "n_tokens",
+      weights, budget, maxEpochs = 4.0).localCheckpoint(true)
+
+    assert(mix.filter(!col("source").isin("src0", "src1")).isEmpty,
+      "domains outside the weight table must contribute nothing")
+
+    val n0 = docs.filter(col("source") === "src0").count()
+    for (e <- Seq(0L, 1L))
+      assert(mix.filter(col("source") === "src0" && col("epoch") === e)
+        .count() == n0, s"full epoch $e must carry every src0 doc")
+    assert(mix.filter(col("source") === "src0")
+      .agg(max("epoch")).head.getLong(0) == 2L,
+      "src0 at epochs 2.5 must end at the fractional epoch 2")
+
+    // the fractional epoch == ds06's mixtureSampleOf at the leftover budget
+    // (pbudget = 0.5·avail0; an integer prefix is < p iff < ceil(p))
+    val pb = math.ceil(0.5 * avail0).toLong
+    val partial = mix
+      .filter(col("source") === "src0" && col("epoch") === 2L)
+      .select("doc_id", "source", "n_tokens")
+    val ds06Pick = DataOps.mixtureSampleOf(
+        docs.filter(col("source") === "src0"), "source", "doc_id", "n_tokens",
+        Map("src0" -> pb))
+      .select("doc_id", "source", "n_tokens")
+    assert(sameRows(partial, ds06Pick),
+      "the fractional epoch must be the ds06 pick at the leftover budget")
+
+    // token conservation: the partial fill lands in [pbudget, pbudget + max doc)
+    val filled = partial.agg(sum("n_tokens")).head.getLong(0)
+    val maxDoc = docs.filter(col("source") === "src0")
+      .agg(max("n_tokens")).head.getLong(0)
+    assert(filled >= pb && filled < pb + maxDoc,
+      s"partial fill $filled must land in [$pb, ${pb + maxDoc})")
+    info(s"src0: avail $avail0, partial budget $pb, filled $filled")
+  }
 }
