@@ -396,6 +396,18 @@ object ScaleProbe {
     }
     def reap(): Unit = { System.gc(); Thread.sleep(2000) }
     val base = s"/tmp/graft_anncompact_$n"
+    // Always rebuild: a leftover store from a COMPLETED probe run is
+    // already compacted (landings_before = 1), so reusing it silently
+    // reports a ~1x read ratio instead of the compaction value
+    // (round-16 advice).
+    locally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      val d = new java.io.File(base)
+      if (d.exists()) rm(d)
+    }
     if (!new java.io.File(base).exists()) {
       StreamOps.annIndexTick(spark, base, vecsOf(12000L, 0L), "vec_id", "v",
         r = 8, beam = 4, hops = 3, landingId = 0L)

@@ -938,9 +938,21 @@ FROM fr WHERE rank <= $K ORDER BY q_id, rank"""
     * one evaluation: semantics identical, cost linear in the tree.
     * Applied to every graph-family oracle (the round-15 verdict's
     * "graph-chain replay oracles are DuckDB-side outliers" caveat was
-    * this same disease at survivable size). */
-  private def materializeCtes(sql: String): String =
-    sql.replaceAll("""(\b\w+) AS \(""", "$1 AS MATERIALIZED (")
+    * this same disease at survivable size).
+    *
+    * The rewrite is anchored to CTE definition sites only — a name
+    * (with an optional column list) at the START OF A LINE, or
+    * directly after the `WITH` keyword — which is where every CTE in
+    * the generated oracles sits (`stripMargin` chains joined with
+    * ",\n"). An ` AS (` inside an expression or a string literal is
+    * mid-line in this SQL and is left alone (a blanket `\w+ AS \(`
+    * rewrite would corrupt it — round-16 advice). */
+  private[graft] def materializeCtes(sql: String): String =
+    sql
+      .replaceAll("""(?m)^(\w+(?:\s*\([\w\s,]*\))?) AS \(""",
+        "$1 AS MATERIALIZED (")
+      .replaceAll("""\bWITH (\w+(?:\s*\([\w\s,]*\))?) AS \(""",
+        "WITH $1 AS MATERIALIZED (")
 
   /** The DELETE-consolidation CTE chain (drop + stitch → `dfin`, the
     * post-delete edge list) over any edge-list CTE — s27's oracle

@@ -1506,9 +1506,36 @@ object StreamOps {
         s"tick(s) ${missing.mkString(",")} landed state but no manifest — " +
           s"crashed mid-tick; re-run before landing $landingId")
     }
+    // the prior-state views read landings STRICTLY BEFORE this tick,
+    // so they can be built (and the update-form guard run) before this
+    // tick lands anything
+    val priorLive0: DataFrame =
+      if (priorLandings.isEmpty) null
+      else SimOps.freshCheckpoint(
+        annLiveVectors(spark, storePath, landingId), eager = false)
     val nDeletes = if (delIds == null) 0L else delIds.count()
-    if (nDeletes > 0L) land(spark, s"$storePath/deletes", delIds, landingId)
     val nBatch = b.count()
+    // UPDATE-form guard (fails BEFORE any landing): a live id arriving
+    // in `batch` alone would re-land its adjacency list but leave the
+    // STALE vector in the prior corpus the insert search scored
+    // against — a silent wrong index. Re-embedding a live id must
+    // arrive as delete + insert in ONE tick.
+    if (priorLive0 != null && nBatch > 0L) {
+      val survivors0 = if (delIds == null) priorLive0
+        else priorLive0.join(delIds, Seq("vec_id"), "left_anti")
+      val offenders = b.select("vec_id")
+        .join(survivors0.select("vec_id"), Seq("vec_id"), "left_semi")
+        .limit(5).collect().map(_.get(0))
+      require(offenders.isEmpty,
+        s"batch re-inserts LIVE id(s) ${offenders.mkString(", ")}" +
+          (if (offenders.length == 5) ", …" else "") +
+          ": re-embedding a live id must arrive as delete + insert in " +
+          "ONE tick (pass the id in `deletes` AND its new vector in " +
+          "`batch` — the consolidation order makes the new vector win " +
+          "everywhere); a batch-only re-insert would leave the stale " +
+          "vector in the corpus the insert search scores against")
+    }
+    if (nDeletes > 0L) land(spark, s"$storePath/deletes", delIds, landingId)
     if (nBatch > 0L) land(spark, vecsPath, b, landingId)
     val changed: DataFrame =
       if (priorLandings.isEmpty) {
@@ -1524,8 +1551,7 @@ object StreamOps {
         // the merged views feed every beam-search hop and both repair
         // unions — checkpoint them once per tick so their window plans
         // don't re-execute per reference (the graphAnnOf contract)
-        val priorLive = SimOps.freshCheckpoint(
-          annLiveVectors(spark, storePath, landingId), eager = false)
+        val priorLive = priorLive0
         val priorEdges = SimOps.freshCheckpoint(
           annIndexReport(spark, storePath, landingId), eager = false)
         val (survivors, edgesAfterDel, changedDel) =
@@ -1647,6 +1673,22 @@ object StreamOps {
       }
       .start()
 
+  /** Materialize a gate report, then DELETE the temp store behind it
+    * (round-16 advice: st16/st17/st18 build the largest per-query temp
+    * ANN stores — three ticks plus a compaction baseline — and
+    * repeated gate/bench/determinism runs otherwise accumulate disk
+    * under java.io.tmpdir). The report is pinned to the block manager
+    * first, so the returned frame never re-reads the store. */
+  private def reportThenDrop(store: String)(df: DataFrame): DataFrame = {
+    val out = df.localCheckpoint(eager = true)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(store))
+    out
+  }
+
   /** #35p the continuous vector-index loop as a two-tick batch REPLAY
     * (the st09 rule): tick 0 lands corpus A (vec_id % 10 ≠ 9) and
     * builds the graph on it; tick 1 lands the held-out B slice and
@@ -1667,9 +1709,9 @@ object StreamOps {
       "vec_id", "v", r = 8, beam = 4, hops = 3, landingId = 0L)
     annIndexTick(s, store, all.filter(pmod(col("vec_id"), lit(10)) === 9),
       "vec_id", "v", r = 8, beam = 4, hops = 3, landingId = 1L)
-    annIndexReport(s, store)
+    reportThenDrop(store)(annIndexReport(s, store)
       .select(col("src"), col("dst"), F.r6(col("cos")).as("cos_sim"))
-      .orderBy("src", "dst")
+      .orderBy("src", "dst"))
   }
 
   private val st16Sql: String = graft.ops.SimOps.oracle("s26_ann_insert")
@@ -1694,9 +1736,9 @@ object StreamOps {
     annIndexTick(s, store, all.filter(pmod(col("vec_id"), lit(10)) === 8),
       "vec_id", "v", r = 8, beam = 4, hops = 3, landingId = 1L,
       deletes = all.filter(pmod(col("vec_id"), lit(10)) === 9))
-    annIndexReport(s, store)
+    reportThenDrop(store)(annIndexReport(s, store)
       .select(col("src"), col("dst"), F.r6(col("cos")).as("cos_sim"))
-      .orderBy("src", "dst")
+      .orderBy("src", "dst"))
   }
 
   private val st17Sql: String = graft.ops.SimOps.st17ComposedSql
@@ -1728,9 +1770,9 @@ object StreamOps {
     annIndexCompact(s, store, upTo = 2L)
     annIndexTick(s, store, all.filter(m10 === 7),
       "vec_id", "v", r = 8, beam = 4, hops = 3, landingId = 2L)
-    annIndexReport(s, store)
+    reportThenDrop(store)(annIndexReport(s, store)
       .select(col("src"), col("dst"), F.r6(col("cos")).as("cos_sim"))
-      .orderBy("src", "dst")
+      .orderBy("src", "dst"))
   }
 
   private val st18Sql: String = graft.ops.SimOps.st18ComposedSql
