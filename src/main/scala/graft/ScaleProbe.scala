@@ -347,32 +347,51 @@ object ScaleProbe {
              del: org.apache.spark.sql.DataFrame = null): Unit =
       StreamOps.annIndexTick(spark, base, b, "vec_id", "v",
         r = 8, beam = 4, hops = 3, landingId = l, deletes = del)
+    // round-17 ask: prove the tick's SHUFFLE BYTES delta-bounded, not
+    // just its wall flat — a stage-completion listener sums shuffle
+    // write bytes; reap()'s 2 s sleep doubles as the listener-bus drain
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          shuffleBytes.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten); ()
+        }
+      })
     // local mode keeps every job's shuffle files until the driver GCs
     // the RDD references; at 600k+ corpora the probe's ~40 jobs
     // otherwise fill the machine's scratch disk before the cleaner
     // runs — hint a GC between phases (probe-only concern: a cluster
     // has per-executor scratch and spark.cleaner.periodicGC)
     def reap(): Unit = { System.gc(); Thread.sleep(2000) }
-    def run(n: Long, tag: String): (Double, Double, Long, Long) = {
-      val base = s"/tmp/graft_anntick_${tag}_$n"
+    def measured(f: => Unit): (Double, Long) = {
+      shuffleBytes.set(0L)
+      val t = time(f)
+      reap() // drains the listener bus before the counter is read
+      (t, shuffleBytes.get)
+    }
+    def run(n: Long, tag: String): (Double, Double, Long, Long, Long, Long) = {
+      // _bk suffix: the bucketed AnnStore format cannot append to a
+      // pre-round-17 path-format store, so probe stores get a new root
+      val base = s"/tmp/graft_anntick_bk_${tag}_$n"
       if (!new java.io.File(base).exists()) tick(base, vecsOf(n, 0L), 0L)
       reap()
       tick(base, vecsOf(200, n), 1L) // warm (JIT + listing)
       reap()
-      val tIns = time(tick(base, vecsOf(200, n + 1000000L), 2L))
-      reap()
-      val tDel = time(tick(base, vecsOf(200, n + 2000000L), 3L,
+      val (tIns, shIns) = measured(tick(base, vecsOf(200, n + 1000000L), 2L))
+      val (tDel, shDel) = measured(tick(base, vecsOf(200, n + 2000000L), 3L,
         del = vecsOf(200, n)))
-      reap()
       val landed = spark.read.parquet(s"$base/edges")
         .filter(col("__landing").cast("long") === 2L).count()
       val index = StreamOps.annIndexReport(spark, base).count()
-      (tIns, tDel, landed, index)
+      (tIns, tDel, landed, index, shIns, shDel)
     }
-    val (insS, delS, landS, idxS) = run(12000L, "s")
-    val (insB, delB, landB, idxB) = run(12000L * factor, "b")
+    val (insS, delS, landS, idxS, shInsS, shDelS) = run(12000L, "s")
+    val (insB, delB, landB, idxB, shInsB, shDelB) = run(12000L * factor, "b")
     def ms(v: Double): Double = math.rint(v * 1000) / 1000
-    println(s"""{"probe":"anntick","factor":$factor,"vectors_small":12000,"vectors_big":${12000L * factor},"insert_small_sec":${ms(insS)},"insert_big_sec":${ms(insB)},"delins_small_sec":${ms(delS)},"delins_big_sec":${ms(delB)},"landed_small":$landS,"landed_big":$landB,"index_small":$idxS,"index_big":$idxB,"metric":"anntick_landed_share","value":${ms(landB.toDouble / math.max(idxB, 1L))},"unit":"share"}""")
+    def mb(v: Long): Double = math.rint(v / 1e4) / 100
+    println(s"""{"probe":"anntick","factor":$factor,"vectors_small":12000,"vectors_big":${12000L * factor},"insert_small_sec":${ms(insS)},"insert_big_sec":${ms(insB)},"delins_small_sec":${ms(delS)},"delins_big_sec":${ms(delB)},"landed_small":$landS,"landed_big":$landB,"index_small":$idxS,"index_big":$idxB,"insert_small_shuffle_mb":${mb(shInsS)},"insert_big_shuffle_mb":${mb(shInsB)},"delins_small_shuffle_mb":${mb(shDelS)},"delins_big_shuffle_mb":${mb(shDelB)},"metric":"anntick_landed_share","value":${ms(landB.toDouble / math.max(idxB, 1L))},"unit":"share"}""")
     spark.stop()
   }
 

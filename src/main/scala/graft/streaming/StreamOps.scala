@@ -1373,26 +1373,36 @@ object StreamOps {
     * landings strictly before `beforeLanding`; an id whose newest
     * event is a delete is gone, and a later re-insert resurrects it
     * (newest event wins; within one landing the insert wins, because a
-    * tick applies its deletes BEFORE its batch). */
+    * tick applies its deletes BEFORE its batch).
+    *
+    * JOIN form over the BUCKETED store (round-17: the old union+window
+    * form shuffled vectors ∪ deletes through one full-store exchange
+    * per read): latest insert landing per id is a partition-local
+    * window on the bucketed `vectors` scan, latest delete landing a
+    * partition-local aggregation on `deletes`, and live =
+    * insert-landing ≥ delete-landing through a co-located outer join —
+    * ZERO shuffles end to end (AnnStoreSpec pins it). The ≥ keeps the
+    * within-one-landing insert-wins rule. */
   def annLiveVectors(spark: SparkSession, storePath: String,
                      beforeLanding: Long = Long.MaxValue): DataFrame = {
-    val ins = spark.read.parquet(s"$storePath/vectors")
-      .filter(col("__landing").cast("long") < beforeLanding)
-      .select(col("vec_id"), col("v"),
-        col("__landing").cast("long").as("__landing"), lit(1).as("__op"))
-    val all = readStore(spark, s"$storePath/deletes") match {
-      case None => ins
-      case Some(dels) => ins.unionByName(dels
-        .filter(col("__landing").cast("long") < beforeLanding)
-        .select(col("vec_id"),
-          lit(null).cast(ins.schema("v").dataType).as("v"),
-          col("__landing").cast("long").as("__landing"), lit(0).as("__op")))
-    }
     val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("__landing").desc, col("__op").desc)
-    all.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1 && col("__op") === 1)
-      .select(col("vec_id"), col("v"))
+      .orderBy(col("__landing").cast("long").desc)
+    val latestIns = graft.sinks.AnnStore.read(spark, storePath, "vectors", "vec_id")
+      .filter(col("__landing").cast("long") < beforeLanding)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("v"), col("__landing").cast("long").as("__il"))
+    graft.sinks.AnnStore.readOpt(spark, storePath, "deletes", "vec_id") match {
+      case None => latestIns.select(col("vec_id"), col("v"))
+      case Some(dels) =>
+        val latestDel = dels
+          .filter(col("__landing").cast("long") < beforeLanding)
+          .groupBy(col("vec_id"))
+          .agg(max(col("__landing").cast("long")).as("__dl"))
+        latestIns.join(latestDel, Seq("vec_id"), "left_outer")
+          .filter(col("__dl").isNull || col("__il") >= col("__dl"))
+          .select(col("vec_id"), col("v"))
+    }
   }
 
   /** The queryable INDEX view over an [[annIndexTick]] store: each
@@ -1412,8 +1422,10 @@ object StreamOps {
         "re-run that tick before reading the index")
     val live = annLiveVectors(spark, storePath, beforeLanding)
       .select(col("vec_id").as("src"))
+    // bucketed scan: the latest-per-src window is partition-local and
+    // the live semi join co-located (both stores share the bucket count)
     val wl = Window.partitionBy(col("src"))
-    spark.read.parquet(edgesPath)
+    graft.sinks.AnnStore.read(spark, storePath, "edges", "src")
       .filter(col("__landing").cast("long") < beforeLanding)
       .withColumn("__maxl", max(col("__landing").cast("long")).over(wl))
       .filter(col("__landing").cast("long") === col("__maxl"))
@@ -1429,7 +1441,7 @@ object StreamOps {
   private def mergedAsg(spark: SparkSession, storePath: String,
                         beforeLanding: Long): DataFrame = {
     val w = Window.partitionBy(col("vec_id"))
-    spark.read.parquet(s"$storePath/asg")
+    graft.sinks.AnnStore.read(spark, storePath, "asg", "vec_id")
       .filter(col("__landing").cast("long") < beforeLanding)
       .withColumn("__maxl", max(col("__landing").cast("long")).over(w))
       .filter(col("__landing").cast("long") === col("__maxl"))
@@ -1535,8 +1547,12 @@ object StreamOps {
           "everywhere); a batch-only re-insert would leave the stale " +
           "vector in the corpus the insert search scores against")
     }
-    if (nDeletes > 0L) land(spark, s"$storePath/deletes", delIds, landingId)
-    if (nBatch > 0L) land(spark, vecsPath, b, landingId)
+    if (nDeletes > 0L)
+      graft.sinks.AnnStore.land(spark, storePath, "deletes", delIds,
+        landingId, "vec_id")
+    if (nBatch > 0L)
+      graft.sinks.AnnStore.land(spark, storePath, "vectors", b,
+        landingId, "vec_id")
     val changed: DataFrame =
       if (priorLandings.isEmpty) {
         require(nBatch > 0L, "the first tick needs a non-empty batch")
@@ -1544,7 +1560,8 @@ object StreamOps {
         // assignment computed ONCE (landed + fed to the build — the
         // hierarchical ranking is the build's widest shuffle)
         val asg0 = SimOps.freshCheckpoint(asgOf(b, anc), eager = true)
-        land(spark, s"$storePath/asg", asg0, landingId)
+        graft.sinks.AnnStore.land(spark, storePath, "asg", asg0,
+          landingId, "vec_id")
         SimOps.knnGraphOf(b, anc, "vec_id", "v", "vec_id", "v",
           r = r, cellProbes = 2, descentRounds = 1, corpusAsg = asg0)
       } else {
@@ -1557,17 +1574,21 @@ object StreamOps {
         val (survivors, edgesAfterDel, changedDel) =
           if (nDeletes == 0L) (priorLive, priorEdges, null)
           else {
-            // eager: the post-delete view feeds every insert hop AND
-            // both landing unions — and materializing here sidesteps a
-            // Catalyst Union constraint-rewrite crash on the composed
-            // lazy plan (observed on Spark 4.1 at probe scale)
+            // the post-delete view = checkpointed DELTA ∪ two anti
+            // joins off the checkpointed prior index — round 17 keeps
+            // the checkpoint on the DELTA only (small) and serves the
+            // union LAZILY: the round-16 eager form paid an
+            // index-sized localCheckpoint write per delete tick. The
+            // Catalyst Union constraint-rewrite crash the eager form
+            // sidestepped composed two LAZY window plans; both union
+            // children here hang off LogicalRDDs (checkpoint plans),
+            // which is exactly the shape the insert path already runs.
             val cd = SimOps.freshCheckpoint(
               SimOps.graphDeleteDeltaOf(priorLive, delIds, priorEdges,
                 "vec_id", "v", r = r), eager = true)
-            val after = SimOps.freshCheckpoint(cd.unionByName(priorEdges
+            val after = cd.unionByName(priorEdges
               .join(cd.select("src").distinct(), Seq("src"), "left_anti")
-              .join(delIds.select(col("vec_id").as("src")), Seq("src"), "left_anti")),
-              eager = true)
+              .join(delIds.select(col("vec_id").as("src")), Seq("src"), "left_anti"))
             (priorLive.join(delIds, Seq("vec_id"), "left_anti"), after, cd)
           }
         if (nBatch == 0L) {
@@ -1575,7 +1596,8 @@ object StreamOps {
           changedDel
         } else {
           val anc = anchorsOf(survivors)
-          land(spark, s"$storePath/asg", asgOf(b, anc), landingId)
+          graft.sinks.AnnStore.land(spark, storePath, "asg",
+            asgOf(b, anc), landingId, "vec_id")
           val survivorAsg = mergedAsg(spark, storePath, landingId)
             .join(survivors.select("vec_id"), Seq("vec_id"), "left_semi")
           val ci = SimOps.graphInsertDeltaOf(survivors, b, edgesAfterDel,
@@ -1590,7 +1612,9 @@ object StreamOps {
       changed.select(col("src"), col("dst"), col("cos"))
         .localCheckpoint(eager = true))
     val nChanged = changedOut.count()
-    if (nChanged > 0L) land(spark, edgesPath, changedOut, landingId)
+    if (nChanged > 0L)
+      graft.sinks.AnnStore.land(spark, storePath, "edges", changedOut,
+        landingId, "src")
     import spark.implicits._
     land(spark, s"$storePath/ticks",
       Seq((nBatch, nDeletes, nChanged)).toDF("n_batch", "n_deletes", "n_changed"),
@@ -1630,26 +1654,29 @@ object StreamOps {
       annIndexReport(spark, storePath, upTo), eager = true)
     val asg = SimOps.freshCheckpoint(mergedAsg(spark, storePath, upTo)
       .join(live.select("vec_id"), Seq("vec_id"), "left_semi"), eager = true)
-    land(spark, s"$storePath/vectors", live, base)
-    land(spark, s"$storePath/edges", edges, base)
-    land(spark, s"$storePath/asg", asg, base)
+    graft.sinks.AnnStore.land(spark, storePath, "vectors", live, base, "vec_id")
+    graft.sinks.AnnStore.land(spark, storePath, "edges", edges, base, "src")
+    graft.sinks.AnnStore.land(spark, storePath, "asg", asg, base, "vec_id")
     import spark.implicits._
     land(spark, s"$storePath/ticks",
       Seq((live.count(), 0L, edges.count()))
         .toDF("n_batch", "n_deletes", "n_changed"), base)
-    def drop(sub: String, before: Long): Unit = {
-      val dir = new org.apache.hadoop.fs.Path(s"$storePath/$sub")
+    graft.sinks.AnnStore.dropLandings(spark, storePath, "vectors", base)
+    graft.sinks.AnnStore.dropLandings(spark, storePath, "edges", base)
+    graft.sinks.AnnStore.dropLandings(spark, storePath, "asg", base)
+    graft.sinks.AnnStore.dropLandings(spark, storePath, "deletes", upTo)
+    // ticks is a plain (unbucketed) landing store — drop by dir
+    locally {
+      val dir = new org.apache.hadoop.fs.Path(s"$storePath/ticks")
       val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
         val nm = st.getPath.getName
         if (nm.startsWith("__landing=") &&
-            nm.stripPrefix("__landing=").toLong < before) {
+            nm.stripPrefix("__landing=").toLong < base) {
           fs.delete(st.getPath, true); ()
         }
       }
     }
-    drop("vectors", base); drop("edges", base); drop("asg", base)
-    drop("ticks", base); drop("deletes", upTo)
   }
 
   /** The s26 incremental graph insert run CONTINUOUSLY: every
@@ -1686,6 +1713,7 @@ object StreamOps {
       f.delete(); ()
     }
     rm(new java.io.File(store))
+    graft.sinks.AnnStore.dropTables(out.sparkSession, store)
     out
   }
 
