@@ -446,9 +446,13 @@ object SimOps {
       .withColumn("cos", expr("graft_cosine(qv, av)"))
       .withColumn("__rn", row_number().over(wEnt)).filter(col("__rn") === 1)
       .select(col("q_id"), col("vec_id"), col("cos"))
+    // NO distinct on the symmetrized view: a bidirectional pair would
+    // appear twice here, but every hop's `proposed` already dedupes per
+    // (q_id, candidate) — the duplicate costs one extra frontier-join
+    // output row (frontier-bounded), where the distinct cost one
+    // INDEX-SIZED shuffle per search (round-17; values bit-identical)
     val ed = edges.select(col("src").as("vec_id"), col("dst"))
       .union(edges.select(col("dst").as("vec_id"), col("src").as("dst")))
-      .distinct()
     val wBeam = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     var scored = entry
     var frontier = entry.select(col("q_id"), col("vec_id"))

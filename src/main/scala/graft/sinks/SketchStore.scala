@@ -128,15 +128,20 @@ object SketchStore {
     * rounding absorbs it except exactly AT a half-way boundary
     * (probability ~2⁻⁴⁸ per bar on continuous data — the gate corpus
     * has none), and the spec compares volume rounded while every
-    * other column is asserted bitwise. A bitwise-volume deployment
-    * should land a scaled-decimal volume column instead (finite-tick
-    * prices make it exact); the pick/count columns need no such
-    * change. Timestamps are
+    * other column is asserted bitwise. `decimalVolume = true` is the
+    * EXECUTABLE swap (round-17, upgrading the round-16 documented
+    * note): volume lands as DECIMAL(38,10) — finite-tick prices are
+    * exact in 10 decimal places, decimal addition is associative and
+    * commutative, so the volume merge law becomes BITWISE at any
+    * landing grouping/order (Round17Spec pins it); the pick/count
+    * columns need no change. Both sides of a merge must use the same
+    * knob (the schemas differ). Timestamps are
     * carried at MICROSECOND precision (Spark's own comparison
     * precision — the same total order the one-shot argmin uses).
     * Output schema == [[mergedOhlc]]'s, so merged state re-merges. */
   def ohlcState(df: DataFrame, keys: Seq[String], tsCol: String,
-                idCol: String, valueCol: String, unit: String): DataFrame =
+                idCol: String, valueCol: String, unit: String,
+                decimalVolume: Boolean = false): DataFrame =
     df.groupBy((keys.map(col) :+
         unix_millis(date_trunc(unit, col(tsCol))).as("bucket_ms")): _*)
       .agg(
@@ -146,7 +151,10 @@ object SketchStore {
           col(valueCol).cast("double").as("close"))).as("__c"),
         max(col(valueCol).cast("double")).as("high"),
         min(col(valueCol).cast("double")).as("low"),
-        sum(col(valueCol).cast("double")).as("volume"),
+        (if (decimalVolume)
+          sum(col(valueCol).cast(
+            org.apache.spark.sql.types.DecimalType(28, 10)))
+        else sum(col(valueCol).cast("double"))).as("volume"),
         count(lit(1)).as("n_trades"))
       .select((keys.map(col) ++ Seq(col("bucket_ms"),
         col("__o").getField("o_ts").as("o_ts"),

@@ -1122,9 +1122,11 @@ object StreamOps {
     * contract). */
   def ohlcTick(spark: SparkSession, storePath: String, batch: DataFrame,
                keys: Seq[String], tsCol: String, idCol: String,
-               valueCol: String, unit: String, landingId: Long): Unit =
+               valueCol: String, unit: String, landingId: Long,
+               decimalVolume: Boolean = false): Unit =
     graft.sinks.SketchStore.land(spark, storePath,
-      graft.sinks.SketchStore.ohlcState(batch, keys, tsCol, idCol, valueCol, unit),
+      graft.sinks.SketchStore.ohlcState(batch, keys, tsCol, idCol, valueCol,
+        unit, decimalVolume),
       landingId)
 
   /** Bars from MERGED OHLC state only: per (keys, bucket) the exact
@@ -1159,15 +1161,15 @@ object StreamOps {
     * watermark discards, no bar is ever wrong because its events
     * split across batches.
     *
-    * Report-publish caveat (documented deliberately): the per-batch
-    * report rewrite uses parquet `mode("overwrite")`, which is NOT an
-    * atomic swap — an external reader racing a tick can observe a
-    * deleted or partially-written directory. The report is meant for
-    * post-run / between-tick reads; a concurrent consumer should
-    * instead call [[ohlcStoreReport]] itself over the landed store
-    * (always consistent — landings are immutable partitions), with
-    * `beforeLanding` for a frozen prefix. The same applies to
-    * [[streamingSample]]'s report. */
+    * Report publication is ATOMIC (round-17, closing the round-16
+    * caveat): each tick publishes through
+    * [[graft.sinks.AtomicReport]] — a committed-version directory
+    * scheme where a reader always resolves the newest COMPLETE
+    * version and never observes a partial write (Round17Spec pins
+    * it). Read the report with `AtomicReport.read(spark, reportPath)`;
+    * a consumer wanting a frozen landing prefix instead calls
+    * [[ohlcStoreReport]] with `beforeLanding` over the immutable
+    * landings. The same contract applies to [[streamingSample]]. */
   def streamingOhlc(spark: SparkSession, events: DataFrame,
                     storePath: String, reportPath: String,
                     checkpointDir: String,
@@ -1183,7 +1185,7 @@ object StreamOps {
             unit, batchId)
           val rep = ohlcStoreReport(spark, storePath, keys)
             .localCheckpoint(eager = true)
-          try rep.write.mode("overwrite").parquet(reportPath)
+          try graft.sinks.AtomicReport.publish(rep, reportPath, batchId)
           finally graft.Checkpoints.free(rep)
           ()
         }
@@ -1278,7 +1280,7 @@ object StreamOps {
           sampleTick(spark, storePath, batch, keys, valueCol, k, batchId)
           val rep = sampleStoreReport(spark, storePath, keys, k)
             .localCheckpoint(eager = true)
-          try rep.write.mode("overwrite").parquet(reportPath)
+          try graft.sinks.AtomicReport.publish(rep, reportPath, batchId)
           finally graft.Checkpoints.free(rep)
           ()
         }
@@ -1446,6 +1448,46 @@ object StreamOps {
       .withColumn("__maxl", max(col("__landing").cast("long")).over(w))
       .filter(col("__landing").cast("long") === col("__maxl"))
       .select(col("vec_id"), col("cell"))
+  }
+
+  /** Fresh cell assignment of a (vec_id, v) corpus against ITS OWN
+    * current anchors (`vec_id % anchorMod == 0`) — exactly what
+    * [[annIndexTick]] computes for a batch at insert time, applied to
+    * the whole live corpus (the compaction-time repair and the drift
+    * reference). */
+  private def freshAsgOf(live: DataFrame, anchorMod: Int): DataFrame =
+    graft.ops.SimOps.cellAsgOf(live,
+      broadcast(live.filter(pmod(col("vec_id"), lit(anchorMod.toLong)) === 0)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"))),
+      cellProbes = 2)
+
+  /** ANCHOR-DRIFT gauge for an [[annIndexTick]] store (round-17): one
+    * row — live count, count of live nodes whose STORED cell set
+    * differs from a fresh assignment against the current anchors, and
+    * the drift share. Stored assignments are insert-time snapshots;
+    * deletes retire anchors and inserts add them, so drift grows with
+    * store churn and is exactly the staleness that starves the insert
+    * path's corpus-side cell proposals. Repair:
+    * [[annIndexCompact]] with `reassignAnchorMod` (drift returns to
+    * 0.0, spec-pinned). */
+  def annAsgDrift(spark: SparkSession, storePath: String,
+                  anchorMod: Int = 64): DataFrame = {
+    val live = graft.ops.SimOps.freshCheckpoint(
+      annLiveVectors(spark, storePath), eager = true)
+    val fresh = freshAsgOf(live, anchorMod)
+    val stored = mergedAsg(spark, storePath, Long.MaxValue)
+      .join(live.select("vec_id"), Seq("vec_id"), "left_semi")
+    val mismatched = fresh.withColumn("__f", lit(1))
+      .join(stored.withColumn("__s", lit(1)),
+        Seq("vec_id", "cell"), "full_outer")
+      .filter(col("__f").isNull || col("__s").isNull)
+      .select("vec_id").distinct()
+    val nLive = live.count()
+    val nDrift = mismatched.count()
+    import spark.implicits._
+    Seq((nLive, nDrift,
+      if (nLive == 0L) 0.0 else nDrift.toDouble / nLive))
+      .toDF("n_live", "n_drifted", "drift")
   }
 
   /** One CONTINUOUS vector-index maintenance tick — the streaming twin
@@ -1641,9 +1683,25 @@ object StreamOps {
     * holds even when `upTo - 1` was never itself a tick. Spec-pinned
     * (Round16Spec): report/live views bit-equal across compaction, a
     * subsequent tick lands bit-identical lists on a compacted vs
-    * uncompacted store, and old landings are gone. */
+    * uncompacted store, and old landings are gone.
+    *
+    * `reassignAnchorMod > 0` additionally REPAIRS ANCHOR DRIFT
+    * (round-17): stored assignments reflect each node's INSERT-time
+    * anchor set, and as deletes remove anchors and inserts add them
+    * the stored cells stop matching what a fresh assignment would
+    * pick — the insert path's corpus-side cell proposals then miss
+    * (the staleness [[annAsgDrift]] measures). With the knob set,
+    * compaction re-assigns every live node against the CURRENT
+    * anchor set (`vec_id % reassignAnchorMod == 0` over the live
+    * corpus — pass the tick's `anchorMod`) and lands THAT as the
+    * baseline: drift resets to zero and a subsequent insert tick
+    * proposes exactly what a fresh-built store would (Round17Spec).
+    * The re-assignment is corpus-sized — which compaction already is
+    * — so the maintenance cadence pays it where the per-tick path
+    * never does. Default 0 keeps the bit-equal carry-forward. */
   def annIndexCompact(spark: SparkSession, storePath: String,
-                      upTo: Long): Unit = graft.Checkpoints.scoped {
+                      upTo: Long,
+                      reassignAnchorMod: Int = 0): Unit = graft.Checkpoints.scoped {
     require(upTo >= 1L, s"upTo must be >= 1, got $upTo")
     import graft.ops.SimOps
     import graft.sinks.SketchStore.land
@@ -1652,8 +1710,10 @@ object StreamOps {
       annLiveVectors(spark, storePath, upTo), eager = true)
     val edges = SimOps.freshCheckpoint(
       annIndexReport(spark, storePath, upTo), eager = true)
-    val asg = SimOps.freshCheckpoint(mergedAsg(spark, storePath, upTo)
-      .join(live.select("vec_id"), Seq("vec_id"), "left_semi"), eager = true)
+    val asg = SimOps.freshCheckpoint(
+      if (reassignAnchorMod > 0) freshAsgOf(live, reassignAnchorMod)
+      else mergedAsg(spark, storePath, upTo)
+        .join(live.select("vec_id"), Seq("vec_id"), "left_semi"), eager = true)
     graft.sinks.AnnStore.land(spark, storePath, "vectors", live, base, "vec_id")
     graft.sinks.AnnStore.land(spark, storePath, "edges", edges, base, "src")
     graft.sinks.AnnStore.land(spark, storePath, "asg", asg, base, "vec_id")

@@ -181,7 +181,7 @@ class Round15bSpec extends SparkSpec {
       // batches NOT aligned to buckets: every batch carries late rows
       // for buckets earlier batches already landed
       all.grouped(70).foreach { b => input.addData(b.toIndexedSeq); q.processAllAvailable() }
-      val streamed = spark.read.parquet(s"$base/report")
+      val streamed = graft.sinks.AtomicReport.read(spark, s"$base/report")
       val oneShot = Graft.resampleOhlc(all.toDF(), "event_type", "ts",
           "event_id", "value", "hour")
         .select(col("event_type"), unix_millis(col("bucket")).as("bucket_ms"),
@@ -316,7 +316,7 @@ class Round15bSpec extends SparkSpec {
       s"$base/bk", s"$base/report", s"$base/ckpt", Seq("event_type"), "user_id", 8)
     try {
       all.grouped(40).foreach { b => input.addData(b.toIndexedSeq); q.processAllAvailable() }
-      val streamed = spark.read.parquet(s"$base/report")
+      val streamed = graft.sinks.AtomicReport.read(spark, s"$base/report")
         .select("event_type", "value", "h")
       val oneShot = SketchStore.bottomKState(all.toDF(), Seq("event_type"), "user_id", 8)
         .select("event_type", "value", "h")

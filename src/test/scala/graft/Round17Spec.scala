@@ -68,6 +68,103 @@ class Round17Spec extends SparkSpec {
       "a deleted id re-inserted batch-only is a legal resurrection")
   }
 
+  test("AtomicReport: a reader resolves only COMMITTED versions — a " +
+    "partial (uncommitted) publish is invisible, and pruning keeps a " +
+    "grace version") {
+    import spark.implicits._
+    import graft.sinks.AtomicReport
+    val dir = java.nio.file.Files.createTempDirectory("graft_r17_rep_").toString
+    AtomicReport.publish(Seq((1L, "a")).toDF("k", "s"), dir, 0L)
+    assert(AtomicReport.read(spark, dir).collect().map(_.getString(1)).toSeq == Seq("a"))
+    // a crashed/in-flight publish: directory exists, no _SUCCESS
+    val partial = new java.io.File(s"$dir/v=1")
+    assert(partial.mkdirs())
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/v=1/part-junk"),
+      Array[Byte](1, 2, 3))
+    assert(AtomicReport.versions(spark, dir) == Seq(0L),
+      "an uncommitted version must be invisible")
+    assert(AtomicReport.read(spark, dir).collect().map(_.getString(1)).toSeq == Seq("a"),
+      "the reader keeps resolving the last committed version")
+    AtomicReport.publish(Seq((2L, "b")).toDF("k", "s"), dir, 1L)
+    assert(AtomicReport.read(spark, dir).collect().map(_.getString(1)).toSeq == Seq("b"))
+    AtomicReport.publish(Seq((3L, "c")).toDF("k", "s"), dir, 2L)
+    AtomicReport.publish(Seq((4L, "d")).toDF("k", "s"), dir, 3L)
+    assert(AtomicReport.versions(spark, dir) == Seq(2L, 3L),
+      "prune keeps the newest two committed versions (one tick of grace)")
+    assert(AtomicReport.read(spark, dir).collect().map(_.getString(1)).toSeq == Seq("d"))
+  }
+
+  test("ohlcState(decimalVolume = true): the volume merge law is BITWISE " +
+    "through the store at any landing grouping — not exact-up-to-ulps") {
+    import spark.implicits._
+    import graft.sinks.SketchStore
+    // 0.1/0.2/0.3… are non-dyadic: double summation order moves the low
+    // bits, decimal summation cannot
+    val rows = (0 until 90).map { i =>
+      ("s" + (i % 2),
+        java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z")
+          .plusSeconds(i * 300L)),
+        i.toLong, 0.1 + (i % 7) * 0.1)
+    }
+    val all = rows.toDF("sym", "ts", "id", "v")
+    val store = java.nio.file.Files.createTempDirectory("graft_r17_dvol_").toString
+    // three interleaved landings (every bucket's rows split across them)
+    (0 until 3).foreach { t =>
+      StreamOps.ohlcTick(spark, store, all.filter(col("id") % 3 === t),
+        Seq("sym"), "ts", "id", "v", "hour", t.toLong, decimalVolume = true)
+    }
+    val merged = SketchStore.mergedOhlc(spark, store, Seq("sym"))
+    val oneShot = SketchStore.ohlcState(all, Seq("sym"), "ts", "id", "v",
+      "hour", decimalVolume = true)
+    assert(merged.exceptAll(oneShot).isEmpty && oneShot.exceptAll(merged).isEmpty,
+      "EVERY column, volume included, must merge bitwise under the knob")
+    assert(merged.schema("volume").dataType.isInstanceOf[
+      org.apache.spark.sql.types.DecimalType], "volume landed as decimal")
+  }
+
+  test("anchor drift: deleting anchors drifts the stored assignments; " +
+    "annIndexCompact(reassignAnchorMod) resets drift to ZERO and a " +
+    "subsequent insert tick proposes exactly what a never-drifted store " +
+    "would") {
+    import graft.ops.SimOps
+    val all = vecsOf("/root/testdata/sf0.001")
+    val store = java.nio.file.Files.createTempDirectory("graft_r17_drift_").toString
+    StreamOps.annIndexTick(spark, store, all.filter(col("vec_id") < 400),
+      "vec_id", "v", r = 8, beam = 4, hops = 3, landingId = 0L)
+    // tick 1 deletes HALF the anchors (vec_id % 128 == 0 ⊂ % 64 == 0)
+    // and inserts fresh ids — the stored cells now point at retired
+    // anchors for much of the corpus
+    StreamOps.annIndexTick(spark, store,
+      all.filter(col("vec_id") >= 400 && col("vec_id") < 440),
+      "vec_id", "v", r = 8, beam = 4, hops = 3, landingId = 1L,
+      deletes = all.filter(col("vec_id") < 400 && col("vec_id") % 128 === 0))
+    val before = StreamOps.annAsgDrift(spark, store).collect()(0)
+    assert(before.getDouble(2) > 0.0, s"anchor deletion must drift: $before")
+    StreamOps.annIndexCompact(spark, store, upTo = 2L, reassignAnchorMod = 64)
+    val after = StreamOps.annAsgDrift(spark, store).collect()(0)
+    assert(after.getDouble(2) == 0.0, s"reassign-compact must reset drift: $after")
+    assert(after.getLong(0) == before.getLong(0), "live corpus unchanged")
+    // a subsequent tick on the repaired store lands bit-identically to
+    // the delta computed with a FRESH internal assignment (corpusAsg =
+    // null) — the repaired store behaves like one that never drifted
+    val liveC = SimOps.freshCheckpoint(
+      StreamOps.annLiveVectors(spark, store), eager = true)
+    val edgesC = SimOps.freshCheckpoint(
+      StreamOps.annIndexReport(spark, store), eager = true)
+    val anc = liveC.filter(pmod(col("vec_id"), lit(64)) === 0)
+    val b2 = all.filter(col("vec_id") >= 440 && col("vec_id") < 480)
+    val expect = SimOps.graphInsertDeltaOf(liveC, b2, edgesC, anc, anc,
+      "vec_id", "v", r = 8, beam = 4, hops = 3)
+      .select(col("src"), col("dst"), col("cos"))
+    StreamOps.annIndexTick(spark, store, b2, "vec_id", "v",
+      r = 8, beam = 4, hops = 3, landingId = 2L)
+    val landed = spark.read.parquet(s"$store/edges")
+      .filter(col("__landing").cast("long") === 2L)
+      .select(col("src"), col("dst"), col("cos"))
+    assert(landed.exceptAll(expect).isEmpty && expect.exceptAll(landed).isEmpty,
+      "post-repair tick == fresh-assignment delta, bit-identical")
+  }
+
   test("materializeCtes anchors to CTE definition sites: column-list CTEs " +
     "are rewritten, mid-line ` AS (` text is left alone") {
     import graft.ops.SimOps.materializeCtes
