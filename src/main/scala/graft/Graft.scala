@@ -455,6 +455,21 @@ object Graft {
         matching, k, beam, hops)
       .select(col("q_id"), col("rank"), col("vec_id").as(id), col("cos").as("cos_sim"))
 
+  /** LABEL-PARTITIONED [[knnGraph]] (Filtered-DiskANN's label-aware
+    * index, the LOW-selectivity complement of [[annFiltered]]'s
+    * over-fetch budget): one pass builds every label's own sub-graph
+    * — search the target label's slice with [[annGraph]] at the plain
+    * beam, at any selectivity. Returns (<label>, src, dst, cos);
+    * restricted to one label the output is bit-identical to
+    * [[knnGraph]] on that slice (spec-pinned law). Full doc at
+    * [[ops.SimOps.labeledGraphOf]]. */
+  def labeledGraph(corpus: DataFrame, id: String, vec: String,
+                   label: String, r: Int, cellProbes: Int = 2,
+                   descentRounds: Int = 1, maxCellOcc: Int = 256,
+                   anchorMod: Int = 64): DataFrame =
+    ops.SimOps.labeledGraphOf(corpus, id, vec, label, r, cellProbes,
+      descentRounds, maxCellOcc, anchorMod)
+
   /** MOSS winnowing fingerprint summary per document (native
     * single-pass expression): n_grams, n_fp, fp_min/max/xor. */
   def winnowFingerprints(docs: DataFrame, id: String, text: String,

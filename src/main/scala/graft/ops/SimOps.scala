@@ -322,6 +322,72 @@ object SimOps {
     }
   }
 
+  /** Per-label anchor set for [[labeledGraphOf]]: the `anchorMod`-rule
+    * ids within each label PLUS each label's minimum id — so every
+    * label, however small, holds at least one anchor (a label with no
+    * anchors would leave its nodes unassigned and edgeless). Pure
+    * function of ids, oracle-replayable. Input/output (vec_id, v,
+    * __lbl). */
+  private[graft] def labelAnchorsOf(v: DataFrame, anchorMod: Int): DataFrame = {
+    val wMin = Window.partitionBy(col("__lbl"))
+    v.withColumn("__minid", min(col("vec_id")).over(wMin))
+      .filter(pmod(col("vec_id"), lit(anchorMod.toLong)) === 0 ||
+        col("vec_id") === col("__minid"))
+      .drop("__minid")
+  }
+
+  /** Label-scoped cell assignment: each node ranks ONLY its own
+    * label's anchors (exact brute rank, the [[cellAsgOf]] tie rule) —
+    * the label dimension rides the broadcast join key, so the pass
+    * stays one scan + one broadcast at any label count. (A single
+    * label big enough to need the hierarchical route would take the
+    * [[cellAsgOf]] √|C| ladder per label — the documented upgrade.) */
+  private def labelAsgOf(v: DataFrame, cents: DataFrame,
+                         cellProbes: Int): DataFrame = {
+    val wAsg = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))
+    v.join(broadcast(cents.select(col("__lbl"), col("vec_id").as("c_id"),
+        col("v").as("cv"))), "__lbl")
+      .withColumn("ccos", expr("graft_cosine(v, cv)"))
+      .withColumn("__rn", row_number().over(wAsg))
+      .filter(col("__rn") <= cellProbes)
+      .select(col("vec_id"), col("c_id").as("cell"))
+  }
+
+  /** LABEL-PARTITIONED k-NN graph (public operator behind
+    * [[graft.Graft.labeledGraph]]) — the low-selectivity half of
+    * filtered ANN (Gollapudi 2023 "Filtered-DiskANN", WWW: a
+    * label-aware index instead of over-fetching): ONE build pass
+    * produces every label's own sub-graph, each connected only within
+    * its label. [[filteredAnnOf]]'s over-fetch budget (beam ≈
+    * plain-beam / selectivity) explodes as selectivity → 0; searching
+    * the target label's sub-graph restores the PLAIN beam at any
+    * selectivity, at the cost of one graph per label value (the
+    * standard trade — pick by predicate cardinality).
+    *
+    * Mechanically this IS [[knnGraphOf]] with a label-scoped cell
+    * assignment fed through its `corpusAsg` hook: cell ids are anchor
+    * NODE ids, so a cell is single-label by construction and every
+    * downstream stage (per-cell cap, pair proposals, top-r, descent)
+    * stays label-closed without ever touching the label again. The
+    * law (Round17Spec, bit-identical): restricted to one label, the
+    * output equals `knnGraphOf` run on that label's slice alone with
+    * the same per-label anchors. Output (labelCol, src, dst, cos). */
+  def labeledGraphOf(corpus: DataFrame, idCol: String, vecCol: String,
+                     labelCol: String, r: Int, cellProbes: Int = 2,
+                     descentRounds: Int = 1, maxCellOcc: Int = 256,
+                     anchorMod: Int = 64): DataFrame = {
+    val v = corpus.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("v"), col(labelCol).as("__lbl"))
+    val anch = labelAnchorsOf(v, anchorMod)
+    val asg = labelAsgOf(v, anch, cellProbes)
+    knnGraphOf(v.select(col("vec_id"), col("v")),
+        anch.select(col("vec_id"), col("v")), "vec_id", "v", "vec_id", "v",
+        r = r, cellProbes = cellProbes, descentRounds = descentRounds,
+        maxCellOcc = maxCellOcc, corpusAsg = asg)
+      .join(v.select(col("vec_id").as("src"), col("__lbl").as(labelCol)), "src")
+      .select(col(labelCol), col("src"), col("dst"), col("cos"))
+  }
+
   /** `corpusAsg`, when given as (vec_id, cell) rows, replaces the cell
     * assignment the build would otherwise compute — the tick computes
     * the assignment ONCE, lands it, and passes it here, instead of
@@ -855,6 +921,45 @@ fr AS (SELECT q_id, allsc.vec_id, lbl.label, cos,
 SELECT q_id, rank, vec_id, label, round(cos, 6) AS cos_sim
 FROM fr WHERE rank <= $K ORDER BY q_id, rank"""
 
+  /** #26g LOW-selectivity filtered ANN through the LABEL-PARTITIONED
+    * index ([[labeledGraphOf]]): one build pass makes every label's
+    * sub-graph; the search runs the target label's graph at the PLAIN
+    * beam (4) where s28's over-fetch budget needed beam 40 for the
+    * same predicate — the Filtered-DiskANN trade as a gate row. The
+    * oracle replays the label slice's build + search verbatim (the
+    * slice-law makes the one-pass build's slice identical to a
+    * slice-only build — Round17Spec pins the law across every label). */
+  private val s29: Q = (s, dir) => {
+    val all = t(s, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"), col("label"))
+    val edges = labeledGraphOf(all, "vec_id", "v", "label", r = 8,
+      cellProbes = 2, descentRounds = 1)
+      .filter(col("label") === 1).select(col("src"), col("dst"), col("cos"))
+      .localCheckpoint(eager = false)
+    val slice = all.filter(col("label") === 1)
+      .select(col("vec_id"), col("v"), col("label").as("__lbl"))
+    val anchors = labelAnchorsOf(slice, 64).select(col("vec_id"), col("v"))
+    graphAnnOf(slice.select(col("vec_id"), col("v")),
+        all.filter(col("vec_id") < 5).select(col("vec_id"), col("v")),
+        anchors, edges, "vec_id", "v", k = K, beam = 4, hops = 3)
+      .select(col("q_id"), col("rank"), col("vec_id"),
+        r6(col("cos")).as("cos_sim"))
+      .orderBy("q_id", "rank")
+  }
+
+  private val s29Sql: String = {
+    val lblAnchors = "vec_id % 64 = 0 OR vec_id = (SELECT min(vec_id) FROM ec)"
+    graphBuildCtes(r = 8, corpusFilter = "label = 1",
+      centsFilter = lblAnchors) + ",\n" +
+      beamSearchCtes(beam = 4, hops = 3, queryFilter = "vec_id < 5",
+        ancFilter = lblAnchors) + s""",
+fr AS (SELECT q_id, vec_id, cos,
+    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+  FROM allsc WHERE vec_id <> q_id)
+SELECT q_id, rank, vec_id, round(cos, 6) AS cos_sim
+FROM fr WHERE rank <= $K ORDER BY q_id, rank"""
+  }
+
   /** The CTE chain shared by s20/s21/s26's oracles: graph build over
     * `ec` (the corpus slice) + beam search for `q` (the query slice)
     * at (r, beam, hops), ending at `allsc` = every scored
@@ -864,10 +969,11 @@ FROM fr WHERE rank <= $K ORDER BY q_id, rank"""
     * `edges`), the first half of the old monolithic search tree — kept
     * separate so st17's composed oracle can run a DELETE between build
     * and search. */
-  private def graphBuildCtes(r: Int, corpusFilter: String): String =
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  private def graphBuildCtes(r: Int, corpusFilter: String,
+                             centsFilter: String = "vec_id % 64 = 0"): String =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |ec AS (SELECT vec_id, v FROM e WHERE $corpusFilter),
-       |cents AS (SELECT vec_id AS c_id, v AS cv FROM ec WHERE vec_id % 64 = 0),
+       |cents AS (SELECT vec_id AS c_id, v AS cv FROM ec WHERE $centsFilter),
        |asg AS (SELECT vec_id, cell FROM (
        |    SELECT ec.vec_id, c_id AS cell,
        |      row_number() OVER (PARTITION BY ec.vec_id ORDER BY ${duckCos("v", "cv")} DESC, c_id) AS arn
@@ -899,7 +1005,8 @@ FROM fr WHERE rank <= $K ORDER BY q_id, rank"""
   private def beamSearchCtes(beam: Int, hops: Int, queryFilter: String,
                              edgesCte: String = "edges",
                              corpusCte: String = "ec",
-                             suffix: String = ""): String = {
+                             suffix: String = "",
+                             ancFilter: String = "vec_id % 64 = 0"): String = {
     // `suffix` decorates every internal CTE name so a composed oracle
     // (st18: two insert ticks in one tree) can chain two searches; ""
     // emits byte-identical SQL to the pre-suffix form.
@@ -907,7 +1014,7 @@ FROM fr WHERE rank <= $K ORDER BY q_id, rank"""
     val head =
       s"""edsym$x AS (SELECT src, dst FROM $edgesCte UNION SELECT dst AS src, src AS dst FROM $edgesCte),
          |q$x AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE $queryFilter),
-         |anc$x AS (SELECT vec_id, v AS av FROM $corpusCte WHERE vec_id % 64 = 0),
+         |anc$x AS (SELECT vec_id, v AS av FROM $corpusCte WHERE $ancFilter),
          |s${x}0 AS (SELECT q_id, vec_id, cos FROM (
          |    SELECT q$x.q_id, anc$x.vec_id, ${duckCos("qv", "av")} AS cos,
          |      row_number() OVER (PARTITION BY q$x.q_id ORDER BY ${duckCos("qv", "av")} DESC, anc$x.vec_id) AS rn
@@ -3490,6 +3597,7 @@ SELECT src, dst, round(cos, 6) AS cos_sim FROM fin2 ORDER BY src, dst""")
     "s26_ann_insert" -> s26,
     "s27_ann_delete" -> s27,
     "s28_ann_filtered" -> s28,
+    "s29_ann_label" -> s29,
     "s22_mmr_diversify" -> s22,
     "s24_rank_eval" -> s24,
     "s25_index_drift" -> s25)
@@ -3522,6 +3630,7 @@ SELECT src, dst, round(cos, 6) AS cos_sim FROM fin2 ORDER BY src, dst""")
     "s26_ann_insert" -> materializeCtes(s26Sql),
     "s27_ann_delete" -> materializeCtes(s27Sql),
     "s28_ann_filtered" -> materializeCtes(s28Sql),
+    "s29_ann_label" -> materializeCtes(s29Sql),
     "s22_mmr_diversify" -> s22Sql,
     "s24_rank_eval" -> s24Sql,
     "s25_index_drift" -> s25Sql)

@@ -165,6 +165,52 @@ class Round17Spec extends SparkSpec {
       "post-repair tick == fresh-assignment delta, bit-identical")
   }
 
+  test("labeledGraphOf slice law: restricted to one label, the one-pass " +
+    "multi-label build is BIT-identical to knnGraphOf on that label's " +
+    "slice with the same per-label anchors — for EVERY label") {
+    import graft.ops.SimOps
+    val all = Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), F.asDouble(col("embedding")).as("v"), col("label"))
+    val onePass = SimOps.labeledGraphOf(all, "vec_id", "v", "label",
+      r = 8, cellProbes = 2, descentRounds = 1)
+      .localCheckpoint(eager = true)
+    val labels = all.select("label").distinct().collect().map(_.getInt(0)).sorted
+    assert(labels.length >= 5, "the gate corpus carries many labels")
+    labels.foreach { lb =>
+      val slice = all.filter(col("label") === lb)
+        .select(col("vec_id"), col("v"), col("label").as("__lbl"))
+      val anchors = SimOps.labelAnchorsOf(slice, 64)
+        .select(col("vec_id"), col("v"))
+      val direct = SimOps.knnGraphOf(
+        slice.select(col("vec_id"), col("v")), anchors,
+        "vec_id", "v", "vec_id", "v", r = 8, cellProbes = 2, descentRounds = 1)
+      val sliced = onePass.filter(col("label") === lb)
+        .select(col("src"), col("dst"), col("cos"))
+      assert(sliced.exceptAll(direct).isEmpty && direct.exceptAll(sliced).isEmpty,
+        s"label $lb slice must equal the slice-only build bit-identically")
+    }
+    // every label got at least one anchor (the min-id fallback), so no
+    // label is edgeless
+    labels.foreach { lb =>
+      assert(onePass.filter(col("label") === lb).count() > 0L,
+        s"label $lb must hold edges")
+    }
+  }
+
+  test("s29: label-partitioned search at the PLAIN beam returns only " +
+    "target-label results with full k — the low-selectivity regime where " +
+    "s28's over-fetch budget explodes") {
+    val df = graft.ops.SimOps.queries("s29_ann_label")(spark, sfDir)
+      .localCheckpoint(eager = true)
+    assert(df.count() > 0)
+    val lbl = Tables.t(spark, sfDir, "embeddings").select(col("vec_id"), col("label"))
+    assert(df.join(lbl, "vec_id").filter(col("label") =!= 1).isEmpty,
+      "every result carries the target label")
+    // full k for every query (the slice holds >> k nodes)
+    val ks = df.groupBy("q_id").count().select(min("count")).collect()(0).getLong(0)
+    assert(ks == 10L, s"min per-query results $ks (gate k = 10)")
+  }
+
   test("materializeCtes anchors to CTE definition sites: column-list CTEs " +
     "are rewritten, mid-line ` AS (` text is left alone") {
     import graft.ops.SimOps.materializeCtes
