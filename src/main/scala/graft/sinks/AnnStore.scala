@@ -55,9 +55,6 @@ object AnnStore {
     new org.apache.hadoop.fs.Path(p)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def pathExists(spark: SparkSession, p: String): Boolean =
-    fs(spark, p).exists(new org.apache.hadoop.fs.Path(p))
-
   private def hasLandings(spark: SparkSession, p: String): Boolean = {
     val hp = new org.apache.hadoop.fs.Path(p)
     val f = fs(spark, p)
@@ -131,16 +128,10 @@ object AnnStore {
         s"store $p holds pre-bucketing landings; rebuild the store " +
           "(AnnStore cannot append bucketed landings to legacy files)")
     }
-    if (!spark.catalog.tableExists(t)) {
-      if (inCatalog) spark.sql(s"DROP TABLE IF EXISTS $t")
-      out.write
-        .partitionBy("__landing")
-        .bucketBy(Buckets, bucketCol).sortBy(bucketCol)
-        .option("path", p)
-        .saveAsTable(t)
-    } else if (!pathExists(spark, storePath) && !hasLandings(spark, p)) {
-      // stale catalog entry over a deleted store dir (a dropped temp
-      // store whose path got reused): rebuild from scratch
+    if (!spark.catalog.tableExists(t) || !hasLandings(spark, p)) {
+      // fresh store — or a stale catalog entry whose files are gone (a
+      // dropped temp store, or a crash before the first files landed):
+      // (re)create table + files in one bucketed write
       spark.sql(s"DROP TABLE IF EXISTS $t")
       out.write
         .partitionBy("__landing")
