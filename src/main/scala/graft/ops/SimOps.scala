@@ -502,16 +502,49 @@ object SimOps {
                  excludeSelf: Boolean = true): DataFrame = {
     require(k >= 1 && beam >= 1 && hops >= 0,
       s"need k >= 1, beam >= 1, hops >= 0; got k=$k beam=$beam hops=$hops")
+    rankScored(beamScoredByHop(corpus, queries, anchors, edges, idCol,
+      vecCol, beam, hops).last, k, excludeSelf)
+  }
+
+  /** The rank tail of [[graphAnnOf]]: every scored candidate ranked
+    * (cos desc, ties → smaller id), top `k` kept. */
+  private def rankScored(scored: DataFrame, k: Int,
+                         excludeSelf: Boolean): DataFrame = {
+    val wBeam = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.filter(if (excludeSelf) col("vec_id") =!= col("q_id") else lit(true))
+      .withColumn("rank", row_number().over(wBeam).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
+  /** The beam chain of [[graphAnnOf]], one CUMULATIVE scored frame per
+    * depth: element h is exactly the scored set a `hops = h` search
+    * ends with (the chain is PREFIX-INVARIANT — hop h's frontier and
+    * fresh set never depend on later hops — the same rule the s21
+    * oracle exploits to serve three frontier points from one chain).
+    * With `share = true` the entry row and each hop's fresh set are
+    * lazily checkpointed, so a caller evaluating SEVERAL depths in one
+    * plan (s21's recall frontier) pays each hop once instead of
+    * re-running the shared prefix per depth (round-17: 6 hop
+    * expansions + 3 entry passes → 3 + 1 for the three-arm frontier);
+    * values are bit-identical either way. */
+  private[graft] def beamScoredByHop(corpus: DataFrame, queries: DataFrame,
+                                     anchors: DataFrame, edges: DataFrame,
+                                     idCol: String, vecCol: String,
+                                     beam: Int, hops: Int,
+                                     share: Boolean = false): IndexedSeq[DataFrame] = {
     val v = corpus.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
     val q = broadcast(queries.select(col(idCol).as("q_id"),
       col(vecCol).cast("array<double>").as("qv")))
     val anc = broadcast(anchors.select(col(idCol).as("vec_id"),
       col(vecCol).cast("array<double>").as("av")))
+    def shared(df: DataFrame): DataFrame =
+      if (share) graft.Checkpoints.register(df.localCheckpoint(eager = false)) else df
     val wEnt = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    val entry = q.crossJoin(anc)
+    val entry = shared(q.crossJoin(anc)
       .withColumn("cos", expr("graft_cosine(qv, av)"))
       .withColumn("__rn", row_number().over(wEnt)).filter(col("__rn") === 1)
-      .select(col("q_id"), col("vec_id"), col("cos"))
+      .select(col("q_id"), col("vec_id"), col("cos")))
     // NO distinct on the symmetrized view: a bidirectional pair would
     // appear twice here, but every hop's `proposed` already dedupes per
     // (q_id, candidate) — the duplicate costs one extra frontier-join
@@ -520,27 +553,27 @@ object SimOps {
     val ed = edges.select(col("src").as("vec_id"), col("dst"))
       .union(edges.select(col("dst").as("vec_id"), col("src").as("dst")))
     val wBeam = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    val out = IndexedSeq.newBuilder[DataFrame]
     var scored = entry
+    out += scored
     var frontier = entry.select(col("q_id"), col("vec_id"))
     var hop = 0
     while (hop < hops) {
       val proposed = frontier.join(ed, "vec_id")
         .select(col("q_id"), col("dst").as("vec_id")).distinct()
         .join(scored.select(col("q_id"), col("vec_id")), Seq("q_id", "vec_id"), "left_anti")
-      val fresh = proposed
+      val fresh = shared(proposed
         .join(v, "vec_id")
         .join(q, "q_id")
         .withColumn("cos", expr("graft_cosine(qv, v)"))
-        .select(col("q_id"), col("vec_id"), col("cos"))
+        .select(col("q_id"), col("vec_id"), col("cos")))
       scored = scored.union(fresh)
+      out += scored
       frontier = fresh.withColumn("__rn", row_number().over(wBeam))
         .filter(col("__rn") <= beam).select(col("q_id"), col("vec_id"))
       hop += 1
     }
-    scored.filter(if (excludeSelf) col("vec_id") =!= col("q_id") else lit(true))
-      .withColumn("rank", row_number().over(wBeam).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+    out.result()
   }
 
   /** INCREMENTAL k-NN-graph maintenance (public operator behind
@@ -1115,9 +1148,15 @@ ORDER BY q_id, rank"""
     val q = all.filter(col("vec_id") < 5)
     val brute = graft.Graft.knnBrute(all, q, "vec_id", "v", K)
       .select(col("q_id"), col("vec_id")).localCheckpoint(eager = false)
+    // ONE shared beam chain serves all three frontier points (the
+    // prefix-invariance the oracle already exploits): element h of
+    // [[beamScoredByHop]] IS the `hops = h` search's scored set, so the
+    // three arms pay 3 hop expansions + 1 entry pass instead of 6 + 3
+    // (round-17; per-arm values bit-identical to the per-arm searches).
+    val byHop = beamScoredByHop(all, q, anchors, edges, "vec_id", "v",
+      beam = 4, hops = 3, share = true)
     (1 to 3).map { h =>
-      val scored = graphAnnOf(all, q, anchors, edges, "vec_id", "v",
-        k = Int.MaxValue, beam = 4, hops = h)
+      val scored = rankScored(byHop(h), k = Int.MaxValue, excludeSelf = true)
       val bud = scored.groupBy(col("q_id")).agg(count(lit(1)).as("__scored"))
         .agg(count(lit(1)).as("n_queries"), sum(col("__scored")).as("total_scored"))
       val hits = brute
