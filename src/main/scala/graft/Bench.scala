@@ -41,7 +41,10 @@ object Bench {
   // (the min of the runs is kept, so a true regression still shows).
   private[graft] val DriftFactor = 1.5
   private val DriftFloorSec = 0.5
-  private val MaxReruns = 16
+  // 16 was sized for the ~112-query suite; at 247 queries a suite-wide
+  // host drift needs more solo confirmations (each ~30 s of harness
+  // time — bounded either way)
+  private val MaxReruns = 24
   private val NewQueryRerunSec = 5.0
   private val ChunkTimeoutMin = 30L
   /** Self-written complete artifact (committed per round): the driver's
@@ -138,13 +141,21 @@ object Bench {
     // a new query landed 12.6s inside a heavy-codegen chunk vs 1.7s
     // alone, and the guard had nothing to compare it against.
     val prev = previousRoundTimes(sfDir)
+    // Re-runs are a bounded budget: spend it on the LARGEST inflations
+    // first (seconds over baseline), not alphabetically — the round-17
+    // baseline run drifted suite-wide and the alphabetical take()
+    // exhausted all 16 re-runs on a01..d05 (~2 s queries) while
+    // q61_anomaly sat at 73.9 s recorded vs 2.3 s solo. Measurement fix
+    // only: the guard's trigger rule and the kept-min rule are
+    // unchanged.
     val drifted = names.filter { n =>
       val cur = results.getOrElse(n, -1.0)
       prev.get(n) match {
         case Some(p) => p > 0 && cur > DriftFloorSec && cur > DriftFactor * p
         case None    => cur > NewQueryRerunSec
       }
-    }.take(MaxReruns)
+    }.sortBy(n => -(results.getOrElse(n, -1.0) - prev.getOrElse(n, 0.0)))
+      .take(MaxReruns)
     val reruns = scala.collection.mutable.LinkedHashMap[String, Double]()
     drifted.foreach { n =>
       runChunkInChildJvm(Seq(n)).foreach { case (times, _) =>

@@ -671,6 +671,28 @@ object SimOps {
     insertChangedOf(corpus, delta, edges, centroids, anchors, idCol, vecCol,
       r, beam, hops, cellProbes, maxCellOcc, corpusAsg)._1
 
+  /** ONE-exchange dedup + top-r over (src, dst, cos) rows — the fused
+    * form of `.distinct()` followed by the top-r rank window (guide
+    * §2.4: operations keyed the same way share one exchange). One hash
+    * exchange on src, one local sort (src, cos desc, dst); under that
+    * sort exact-duplicate rows are ADJACENT, so a lag-comparison keeps
+    * the first of each run — precisely what distinct collapsed (equal
+    * (dst, cos) bits; a same-dst row with different cos bits stays, as
+    * before) — and the rank window reuses both the partitioning and
+    * the ordering, adding no exchange and no second sort. Values
+    * bit-identical to distinct-then-top-r. */
+  private def topRDedup(x: DataFrame, r: Int): DataFrame = {
+    val wTop = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+    x.repartition(col("src"))
+      .withColumn("__pd", lag(col("dst"), 1).over(wTop))
+      .withColumn("__pc", lag(col("cos"), 1).over(wTop))
+      .filter(col("__pd").isNull ||
+        !(col("__pd") === col("dst") && col("__pc") === col("cos")))
+      .withColumn("__rn", row_number().over(wTop))
+      .filter(col("__rn") <= r)
+      .select(col("src"), col("dst"), col("cos"))
+  }
+
   /** Shared core of [[graphInsertOf]]/[[graphInsertDeltaOf]]: returns
     * (changed lists, affected src set, normalized edges). */
   private def insertChangedOf(corpus: DataFrame, delta: DataFrame,
@@ -694,9 +716,17 @@ object SimOps {
     val cents = broadcast(centroids
       .select(col(idCol).as("c_id"), col(vecCol).cast("array<double>").as("cv")))
     // search: delta vectors as queries over the EXISTING graph; the
-    // whole scored set (entry + every hop) is the candidate pool
-    val deltaOld = graphAnnOf(corpus, delta, anchors, edges, idCol, vecCol,
-      k = Int.MaxValue, beam = beam, hops = hops, excludeSelf = false)
+    // whole scored set (entry + every hop) is the candidate pool.
+    // share = true: each hop's fresh set is checkpointed, so the plan
+    // UNDER every later hop is a shallow LogicalRDD leaf instead of a
+    // tree that embeds the previous hop twice (proposed ∪ anti-join) —
+    // at hops=3 over the tick's lazy post-delete union view, Catalyst
+    // re-planning of that multiplicative tree measured ~6 s of
+    // DRIVER-side construction per tick (round-17 TickProbe;
+    // values bit-identical, the s21 sharing rule)
+    val deltaOld = rankScored(beamScoredByHop(corpus, delta, anchors, edges,
+        idCol, vecCol, beam = beam, hops = hops, share = true).last,
+        k = Int.MaxValue, excludeSelf = false)
       .select(col("q_id").as("src"), col("vec_id").as("dst"), col("cos"))
     // connect: the full build's cell-proposal rule restricted to the
     // delta — combined (corpus ∪ delta) per-cell rep pool, same
@@ -719,16 +749,17 @@ object SimOps {
     val repsAll = asgC.unionByName(asgD.select(col("vec_id"), col("cell"), col("v")))
       .withColumn("__crn", row_number().over(wCell))
       .filter(col("__crn") <= maxCellOcc).drop("__crn")
+    // no inner distinct: newOut's dedup collapses duplicate pairs
+    // (identical bits) — the extra (src,dst,cos) exchange bought nothing
     val cellPairs = asgD.as("x").join(repsAll.as("y"), "cell")
       .filter(col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("src"), col("y.vec_id").as("dst"),
         expr("graft_cosine(x.v, y.v)").as("cos"))
-      .distinct()
     // the delta lists are referenced by the reverse challenge, the
     // affected-src set AND the final union — checkpoint once so the
     // deep beam-search plan underneath isn't replanned per reference
     val newOut = freshCheckpoint(
-      topR(deltaOld.union(cellPairs).distinct()), eager = false)
+      topRDedup(deltaOld.union(cellPairs), r), eager = false)
     // repair (a): reversed new edges challenge their targets' lists
     val rev = newOut.select(col("dst").as("src"), col("src").as("dst"), col("cos"))
     // repair (b): corpus reps sharing a cell with a delta rep score
@@ -737,16 +768,17 @@ object SimOps {
     val deltaIds = vD.select(col("vec_id")).distinct()
     val repsD = repsAll.join(deltaIds, Seq("vec_id"), "left_semi")
     val repsC = repsAll.join(deltaIds, Seq("vec_id"), "left_anti")
+    // no inner distinct: `changed`'s dedup and `affected`'s distinct
+    // both collapse duplicates downstream
     val abPairs = repsC.as("x").join(repsD.as("y"), "cell")
       .filter(col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("src"), col("y.vec_id").as("dst"),
         expr("graft_cosine(x.v, y.v)").as("cos"))
-      .distinct()
     val challenges = freshCheckpoint(rev.union(abPairs), eager = false)
     val affected = freshCheckpoint(newOut.select(col("src"))
       .union(challenges.select(col("src"))).distinct(), eager = false)
-    val changed = topR(e.join(affected, Seq("src"), "left_semi")
-      .union(newOut).union(challenges).distinct())
+    val changed = topRDedup(e.join(affected, Seq("src"), "left_semi")
+      .union(newOut).union(challenges), r)
     (changed, affected, e)
   }
 
@@ -839,10 +871,8 @@ object SimOps {
       .select(col("src"), col("dst"), expr("graft_cosine(sv, dv)").as("cos"))
     val wTop = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
     val sevSrcs = severed.select(col("p").as("src")).distinct()
-    val changed = live.join(sevSrcs, Seq("src"), "left_semi")
-      .union(stitchScored).distinct()
-      .withColumn("__rn", row_number().over(wTop))
-      .filter(col("__rn") <= r).drop("__rn")
+    val changed = topRDedup(live.join(sevSrcs, Seq("src"), "left_semi")
+      .union(stitchScored), r)
     (changed, sevSrcs, live)
   }
 

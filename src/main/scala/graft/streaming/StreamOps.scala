@@ -1360,15 +1360,28 @@ object StreamOps {
     else Some(spark.read.parquet(p))
   }
 
+  /** Landing ids from the store's PARTITION DIRECTORY names — the
+    * `__landing=N` dirs ARE the landing ids (dynamic overwrite writes
+    * one dir per landing; drops remove it), so a driver-side FS listing
+    * answers in milliseconds what the old parquet read + distinct +
+    * collect paid a cluster job for, per store, per tick (round-17; a
+    * dir is counted only when it holds at least one file — a crash
+    * after mkdir but before any data file must not register). */
   private def landingIdsOf(spark: SparkSession, path: String,
-                           before: Long): Array[Long] =
-    readStore(spark, path) match {
-      case None => Array.empty
-      case Some(df) => df
-        .select(col("__landing").cast("long").as("__landing"))
-        .filter(col("__landing") < before)
-        .distinct().collect().map(_.getLong(0))
-    }
+                           before: Long): Array[Long] = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp)) Array.empty
+    else fs.listStatus(hp).flatMap { st =>
+      val nm = st.getPath.getName
+      if (!nm.startsWith("__landing=")) None
+      else {
+        val id = nm.stripPrefix("__landing=").toLong
+        if (id < before && fs.listStatus(st.getPath).exists(_.isFile)) Some(id)
+        else None
+      }
+    }.distinct
+  }
 
   /** Latest-op-wins LIVE vector view over an [[annIndexTick]] store:
     * per vec_id, the newest event among vector landings and delete
