@@ -502,8 +502,12 @@ object SimOps {
                  excludeSelf: Boolean = true): DataFrame = {
     require(k >= 1 && beam >= 1 && hops >= 0,
       s"need k >= 1, beam >= 1, hops >= 0; got k=$k beam=$beam hops=$hops")
+    // share = true even for a single search: hop h's fresh set is
+    // referenced by every later hop's already-scored anti join and by
+    // the final rank — without the checkpoint the tree re-embeds it
+    // per reference (hop 1 evaluated ~3x in a hops=3 search)
     rankScored(beamScoredByHop(corpus, queries, anchors, edges, idCol,
-      vecCol, beam, hops).last, k, excludeSelf)
+      vecCol, beam, hops, share = true).last, k, excludeSelf)
   }
 
   /** The rank tail of [[graphAnnOf]]: every scored candidate ranked
