@@ -458,17 +458,25 @@ object SimOps {
       .join(v.select(col("vec_id").as("dst"), col("v").as("dv")), "dst")
       .withColumn("cos", expr("graft_cosine(sv, dv)"))
       .select(col("src"), col("dst"), col("cos"))
-    var scored = scored0
+    // the same sharing rule as beamScoredByHop: scored0 (the widest
+    // compute of the build) is referenced by round-0's top-r, every
+    // round's anti join and the final top-r — checkpoint it and each
+    // round's fresh scores once instead of re-embedding the subtree
+    // per reference (values bit-identical)
+    def shared(df: DataFrame): DataFrame =
+      graft.Checkpoints.register(df.localCheckpoint(eager = false))
+    var scored = if (descentRounds > 0) shared(scored0) else scored0
     var edges = topR(scored)
     var round = 0
     while (round < descentRounds) {
-      val non = edges.select(col("src"), col("dst").as("mid"))
-        .join(edges.select(col("src").as("mid"), col("dst")), "mid")
+      val ed = shared(edges)
+      val non = ed.select(col("src"), col("dst").as("mid"))
+        .join(ed.select(col("src").as("mid"), col("dst")), "mid")
         .filter(col("src") =!= col("dst"))
         .select(col("src"), col("dst"))
         .distinct()
         .join(scored.select(col("src"), col("dst")), Seq("src", "dst"), "left_anti")
-      scored = scored.union(scoreFresh(non))
+      scored = scored.union(shared(scoreFresh(non)))
       edges = topR(scored)
       round += 1
     }
