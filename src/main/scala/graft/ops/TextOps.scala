@@ -732,8 +732,12 @@ object TextOps {
     val rare = ex0.groupBy(col("__fp")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf)
       .select(col("__fp"))
+    // the filtered+counted side feeds BOTH halves of the pair join:
+    // checkpoint it so the df-filter join and the per-doc window run
+    // once, not once per side (same rule as ex0 above)
     val ex = ex0.join(rare, Seq("__fp"))
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__id"))))
+      .localCheckpoint()
     val a = ex.select(col("__fp"), col("__id").as("doc_a"), col("__n").as("__na"))
     val b = ex.select(col("__fp"), col("__id").as("doc_b"), col("__n").as("__nb"))
     a.join(b, Seq("__fp"))
