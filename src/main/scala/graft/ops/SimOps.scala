@@ -432,7 +432,11 @@ object SimOps {
     // node↔node edges the capped seed misses (the same repair it
     // already does for cross-cell pairs). The window shares the
     // join's by-cell exchange, so the cap adds no extra shuffle.
-    val withV = asg.join(v, "vec_id")
+    // withV feeds both self-join sides (the a-side scan AND the capped
+    // rep window) — checkpoint so the asg⋈vector join runs once
+    // (round-17; bit-identical)
+    val withV = graft.Checkpoints.register(
+      asg.join(v, "vec_id").localCheckpoint(eager = false))
     val wCell = Window.partitionBy(col("cell"))
       .orderBy(graft.F.hash60(concat(lit("s20cap:"), col("vec_id").cast("string"))),
         col("vec_id"))
@@ -746,7 +750,11 @@ object SimOps {
     // the delta touches can form a pair, so the corpus side is
     // pre-filtered to them (a broadcast semi join — no corpus shuffle;
     // per-cell cap ranks are unchanged by dropping whole cells)
-    val asgD = cellAsgOf(vD, cents, cellProbes).join(vD, "vec_id")
+    // asgD is referenced three times (deltaCells, the rep-pool union,
+    // the cellPairs x-side) — un-checkpointed, the delta×centroid
+    // cosine rank re-ran per reference (round-17; bit-identical)
+    val asgD = freshCheckpoint(
+      cellAsgOf(vD, cents, cellProbes).join(vD, "vec_id"), eager = false)
     val deltaCells = asgD.select(col("cell")).distinct()
     val asgCFull =
       if (corpusAsg != null) corpusAsg.select(col("vec_id"), col("cell"))
@@ -758,9 +766,13 @@ object SimOps {
     val wCell = Window.partitionBy(col("cell"))
       .orderBy(graft.F.hash60(concat(lit("s20cap:"), col("vec_id").cast("string"))),
         col("vec_id"))
-    val repsAll = asgC.unionByName(asgD.select(col("vec_id"), col("cell"), col("v")))
-      .withColumn("__crn", row_number().over(wCell))
-      .filter(col("__crn") <= maxCellOcc).drop("__crn")
+    // repsAll is referenced three times (cellPairs y-side, repsD,
+    // repsC) — checkpoint so the per-cell cap window and its corpus
+    // semi-join input run once (round-17; bit-identical)
+    val repsAll = freshCheckpoint(
+      asgC.unionByName(asgD.select(col("vec_id"), col("cell"), col("v")))
+        .withColumn("__crn", row_number().over(wCell))
+        .filter(col("__crn") <= maxCellOcc).drop("__crn"), eager = false)
     // no inner distinct: newOut's dedup collapses duplicate pairs
     // (identical bits) — the extra (src,dst,cos) exchange bought nothing
     val cellPairs = asgD.as("x").join(repsAll.as("y"), "cell")

@@ -1552,10 +1552,16 @@ object StreamOps {
     import graft.sinks.SketchStore.land
     val vecsPath = s"$storePath/vectors"
     val edgesPath = s"$storePath/edges"
-    val b = batch.select(col(idCol).as("vec_id"),
-      col(vecCol).cast("array<double>").as("v"))
+    // the batch and delete sets are DELTA-sized and referenced ~5 times
+    // each per tick (counts, the guard, their landings, the search and
+    // both repair unions) — checkpoint once so the source scan (+ the
+    // delete distinct's exchange) runs once, not per reference
+    // (round-17, guide §1.2 step 1; values bit-identical)
+    val b = SimOps.freshCheckpoint(batch.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("v")), eager = true)
     val delIds = if (deletes == null) null
-      else deletes.select(col(idCol).as("vec_id")).distinct()
+      else SimOps.freshCheckpoint(
+        deletes.select(col(idCol).as("vec_id")).distinct(), eager = true)
     def anchorsOf(df: DataFrame): DataFrame =
       df.filter(pmod(col("vec_id"), lit(anchorMod.toLong)) === 0)
     def asgOf(vs: DataFrame, anc: DataFrame): DataFrame =
@@ -1641,9 +1647,20 @@ object StreamOps {
             val cd = SimOps.freshCheckpoint(
               SimOps.graphDeleteDeltaOf(priorLive, delIds, priorEdges,
                 "vec_id", "v", r = r), eager = true)
-            val after = cd.unionByName(priorEdges
-              .join(cd.select("src").distinct(), Seq("src"), "left_anti")
-              .join(delIds.select(col("vec_id").as("src")), Seq("src"), "left_anti"))
+            // LAZY checkpoint on the union view (round-17): the insert
+            // search references it per beam hop (2·hops via the
+            // symmetrized view) plus the repair semi join and the final
+            // union — un-checkpointed, each reference re-ran the two
+            // index-sized anti joins; the checkpoint evaluates them ONCE
+            // on first use. Both union children hang off LogicalRDDs
+            // (the Catalyst Union constraint-rewrite crash guard), and
+            // the materialization is block-manager-resident, not the
+            // round-16 per-tick durable write.
+            val after = SimOps.freshCheckpoint(
+              cd.unionByName(priorEdges
+                .join(cd.select("src").distinct(), Seq("src"), "left_anti")
+                .join(delIds.select(col("vec_id").as("src")), Seq("src"), "left_anti")),
+              eager = false)
             (priorLive.join(delIds, Seq("vec_id"), "left_anti"), after, cd)
           }
         if (nBatch == 0L) {
@@ -1655,12 +1672,19 @@ object StreamOps {
             asgOf(b, anc), landingId, "vec_id")
           val survivorAsg = mergedAsg(spark, storePath, landingId)
             .join(survivors.select("vec_id"), Seq("vec_id"), "left_semi")
-          val ci = SimOps.graphInsertDeltaOf(survivors, b, edgesAfterDel,
+          val ci0 = SimOps.graphInsertDeltaOf(survivors, b, edgesAfterDel,
             anc, anc, "vec_id", "v", r = r, beam = beam, hops = hops,
             corpusAsg = survivorAsg)
-          if (changedDel == null) ci
-          else ci.unionByName(changedDel
-            .join(ci.select("src").distinct(), Seq("src"), "left_anti"))
+          if (changedDel == null) ci0
+          else {
+            // ci is referenced twice below (the union AND its src set
+            // for the anti join) — un-checkpointed, the whole
+            // insert-delta tree (top-r dedup over the post-delete
+            // union) executed twice per tick (round-17; bit-identical)
+            val ci = SimOps.freshCheckpoint(ci0, eager = false)
+            ci.unionByName(changedDel
+              .join(ci.select("src").distinct(), Seq("src"), "left_anti"))
+          }
         }
       }
     val changedOut = graft.Checkpoints.register(
