@@ -1158,15 +1158,24 @@ object TextOps {
       .withColumn("__tot", sum(col("n_tokens")).over(wDoc))
       .withColumn("x", col("feat").cast("double") / col("__tot").cast("double"))
       .select(col("doc_id"), col("bucket"), col("x"))
-    val xy = x.join(lab, "doc_id").cache()
+    // the training frame is re-windowed by doc_id every iteration:
+    // cache it ALREADY hash-partitioned by doc_id and sorted
+    // (doc_id, bucket), so each iteration's doc-window needs neither
+    // an exchange nor a sort (round-17, guide §2.4 — the cached plan
+    // reports its partitioning/ordering to Catalyst)
+    val xy = x.join(lab, "doc_id")
+      .repartition(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"), col("bucket"))
+      .cache()
     try {
       val n = xy.select(col("doc_id")).distinct().count()
       require(n > 0, "empty training set")
       val wDocOrd = wDoc.orderBy(col("bucket"))
       val wDocCum = wDocOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wDocAll = wDocOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       val wB = Window.partitionBy(col("bucket"))
       val wBOrd = wB.orderBy(col("doc_id"))
-      val wBCum = wBOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wBAll = wBOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       // per-doc score fold in bucket order — identical op sequence over
       // the training slice and the full corpus (the join only adds y);
       // carryY rides the training frame's own y column through the fold
@@ -1184,18 +1193,32 @@ object TextOps {
       }
       var w = Array.fill(dim)(0.0)
       for (_ <- 1 to iters) {
-        val errs = scored(xy, w, carryY = true)
-          .select(col("doc_id"), (col("score") - col("y")).as("err"))
+        // exact iteration in ONE pass over the cached frame (round-17,
+        // guide §2.4: the old shape paid a doc-window exchange, a
+        // doc_id re-join and a bucket-window exchange per iteration —
+        // now only the bucket exchange remains): the score is the SAME
+        // bucket-ordered fold as the cumulative form taken at its last
+        // row (an unbounded frame over a sorted partition folds in
+        // sort order — bit-identical float sequence), attached to
+        // every cell of the doc in place of the join, and the gradient
+        // is the same doc-ordered fold per bucket.
         val gFrame =
-          if (exact) xy.join(errs, "doc_id")
-            .withColumn("__rn", row_number().over(wBOrd))
-            .withColumn("__cnt", count(lit(1)).over(wB))
-            .withColumn("__sr", sum(col("err") * col("x")).over(wBCum))
-            .filter(col("__rn") === col("__cnt"))
-            .select(col("bucket"), col("__sr"))
-          else xy.join(errs, "doc_id")
-            .groupBy(col("bucket"))
-            .agg(sum(col("err") * col("x")).as("__sr"))
+          if (exact) {
+            val wlit = array(w.map(lit).toIndexedSeq: _*)
+            xy.withColumn("__sc",
+                sum(col("x") * element_at(wlit, col("bucket").cast("int") + 1)).over(wDocAll))
+              .withColumn("__e", col("__sc") - col("y"))
+              .withColumn("__rn", row_number().over(wBOrd))
+              .withColumn("__sr", sum(col("__e") * col("x")).over(wBAll))
+              .filter(col("__rn") === 1)
+              .select(col("bucket"), col("__sr"))
+          } else {
+            val errs = scored(xy, w, carryY = true)
+              .select(col("doc_id"), (col("score") - col("y")).as("err"))
+            xy.join(errs, "doc_id")
+              .groupBy(col("bucket"))
+              .agg(sum(col("err") * col("x")).as("__sr"))
+          }
         val g = gFrame.collect()
           .map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
         w = Array.tabulate(dim)(b => w(b) - lr * g.getOrElse(b, 0.0) / n)
