@@ -862,17 +862,25 @@ object SimOps {
                               r: Int): (DataFrame, DataFrame, DataFrame) = {
     require(r >= 1, s"r must be >= 1, got $r")
     val v = corpus.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
-    val del = deleted.select(col(idCol).as("vec_id")).distinct()
+    // the delete set feeds six anti/semi joins below — checkpoint so
+    // its distinct's exchange runs once (round-17; bit-identical)
+    val del = freshCheckpoint(
+      deleted.select(col(idCol).as("vec_id")).distinct(), eager = false)
     val e = edges.select(col("src"), col("dst"), col("cos"))
-    val live = e
+    // live is referenced three times (the stitch anti join, changed's
+    // semi union, the full form's untouched-list union) and severed
+    // twice (stitch, sevSrcs) — checkpoint each so the anti/semi joins
+    // over the full edge list run once per view, not per reference
+    // (round-17; bit-identical)
+    val live = freshCheckpoint(e
       .join(del.select(col("vec_id").as("src")), Seq("src"), "left_anti")
       .join(del.select(col("vec_id").as("dst")), Seq("dst"), "left_anti")
-      .select(col("src"), col("dst"), col("cos"))
+      .select(col("src"), col("dst"), col("cos")), eager = false)
     // severed: live p → deleted d;   outgoing: deleted d → live x
-    val severed = e
+    val severed = freshCheckpoint(e
       .join(del.select(col("vec_id").as("src")), Seq("src"), "left_anti")
       .join(del.select(col("vec_id").as("dst")), Seq("dst"), "left_semi")
-      .select(col("src").as("p"), col("dst").as("d"))
+      .select(col("src").as("p"), col("dst").as("d")), eager = false)
     val outgoing = e
       .join(del.select(col("vec_id").as("src")), Seq("src"), "left_semi")
       .join(del.select(col("vec_id").as("dst")), Seq("dst"), "left_anti")
