@@ -1409,9 +1409,15 @@ object DataOps {
   private val a09: Q = (s, dir) => {
     import graft.sinks.SketchStore
     val keys = Seq("event_type")
+    // the projected input feeds seven jobs (3×2 landings + the exact
+    // agg) — checkpoint the narrow rows once so the source scan runs
+    // once, not per landing; the k-row output is materialized eagerly
+    // below and ev freed (the t25 finally-unpersist rule), so
+    // multi-query runs accumulate no blocks (round-17; bit-identical)
     val ev = t(s, dir, "events")
       .select(col("event_type"), col("user_id"), col("value"),
         (dayofmonth(col("ts")) % 3).as("__landing"))
+      .localCheckpoint(eager = true)
     val store = java.nio.file.Files.createTempDirectory("graft_sketch_store_").toString
     (0 until 3).foreach { l =>
       val batch = ev.filter(col("__landing") === l)
@@ -1427,11 +1433,13 @@ object DataOps {
       Seq(0.5 -> "p50_est", 0.95 -> "p95_est"))
     val exact = ev.groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("exact_users"))
-    exact.join(est, "event_type").join(qs, "event_type")
+    try exact.join(est, "event_type").join(qs, "event_type")
       .select(col("event_type"), col("n"), col("exact_users"),
         r4(col("est")).as("est_users"), r4(col("p50_est")).as("p50_est"),
         r4(col("p95_est")).as("p95_est"))
       .orderBy("event_type")
+      .localCheckpoint(eager = true)
+    finally graft.Checkpoints.free(ev)
   }
 
   private val a09Sql = {

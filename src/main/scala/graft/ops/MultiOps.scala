@@ -816,8 +816,12 @@ object MultiOps {
     val lows = (0 until 5).map(i => (70000L + i, "a" * 200)).toDF("doc_id", "text")
     val aug = base.union(copies).union(lows)
       .withColumn("payload", col("text").cast("binary"))
+    // ent feeds BOTH the QC-survivor filter and the final verdict join
+    // — checkpoint the (vid, entropy) rows so the byte-histogram chain
+    // runs once, not per reference (round-17; bit-identical)
     val ent = byteEntropyOf(aug, "doc_id", "payload")
       .select(col("doc_id").as("vid"), col("entropy_bits"))
+      .localCheckpoint()
     val pass = aug.select(col("doc_id").as("vid"), col("payload"))
       .join(ent, "vid").filter(col("entropy_bits") >= 3.0)
     val pairs = keyframeDupPairsOf(
