@@ -1504,15 +1504,19 @@ object DataOps {
                       valueCol: String, p: Int = 12): DataFrame = {
     import graft.sinks.SketchStore
     val kc = keys.map(col)
-    def est(df: DataFrame, name: String): DataFrame =
-      SketchStore.hllEstimate(SketchStore.hllState(df, keys, valueCol, p), keys, p)
-        .withColumnRenamed("est", name)
-    val merged = SketchStore.hllState(a, keys, valueCol, p)
-      .unionByName(SketchStore.hllState(b, keys, valueCol, p))
+    // each side's register state feeds BOTH its own estimate and the
+    // union merge — checkpoint the kilobyte-sized state (≤ 2^p rows per
+    // key) so the raw-rows hash+agg pass runs once per side, not per
+    // reference (round-17; bit-identical)
+    val sa = SketchStore.hllState(a, keys, valueCol, p).localCheckpoint()
+    val sb = SketchStore.hllState(b, keys, valueCol, p).localCheckpoint()
+    def est(state: DataFrame, name: String): DataFrame =
+      SketchStore.hllEstimate(state, keys, p).withColumnRenamed("est", name)
+    val merged = sa.unionByName(sb)
       .groupBy((kc :+ col("reg")): _*)
       .agg(max(col("rho")).as("rho"))
-    est(a, "est_a")
-      .join(est(b, "est_b"), keys)
+    est(sa, "est_a")
+      .join(est(sb, "est_b"), keys)
       .join(SketchStore.hllEstimate(merged, keys, p)
         .withColumnRenamed("est", "est_union"), keys)
       .withColumn("est_overlap", col("est_a") + col("est_b") - col("est_union"))
