@@ -444,15 +444,17 @@ object SimOps {
       .withColumn("__crn", row_number().over(wCell))
       .filter(col("__crn") <= maxCellOcc)
       .drop("__crn")
+    // no inner distinct (round-17, the cellPairs/abPairs rule applied
+    // to the BUILD): a pair sharing both probed cells is scored twice
+    // with identical bits, and topRDedup's lag-collapse removes exactly
+    // what distinct did INSIDE the rank exchange — the separate
+    // (src,dst,cos) exchange of the widest intermediate is gone. The
+    // descent anti join is duplicate-insensitive (semi-set semantics).
     val scored0 = withV.as("a").join(reps.as("b"), "cell")
       .filter(col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
         expr("graft_cosine(a.v, b.v)").as("cos"))
-      .distinct()
-    val wTop = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
-    def topR(scored: DataFrame): DataFrame = scored
-      .withColumn("__rn", row_number().over(wTop))
-      .filter(col("__rn") <= r).drop("__rn")
+    def topR(scored: DataFrame): DataFrame = topRDedup(scored, r)
     // Descent rounds score only the FRESH neighbor-of-neighbor pairs
     // (anti-joined against everything already scored — the old shape
     // re-scored the ENTIRE candidate set every round): the vector
