@@ -1429,13 +1429,20 @@ object StreamOps {
     * a deleted node is severed by definition, so the deleting tick
     * re-lands its list. */
   def annIndexReport(spark: SparkSession, storePath: String,
-                     beforeLanding: Long = Long.MaxValue): DataFrame = {
+                     beforeLanding: Long = Long.MaxValue,
+                     liveVectors: DataFrame = null): DataFrame = {
     val edgesPath = s"$storePath/edges"
     require(pathExists(spark, edgesPath),
       s"ANN index store at $storePath has no edges store — a first tick " +
         "landed vectors without building edges (crash between landings); " +
         "re-run that tick before reading the index")
-    val live = annLiveVectors(spark, storePath, beforeLanding)
+    // liveVectors: a caller that already holds (and typically
+    // checkpointed) THIS bound's live view passes it here so the view
+    // is not computed twice per tick/compaction (round-17; must be
+    // exactly annLiveVectors(spark, storePath, beforeLanding) — the
+    // tick and compact paths are the intended callers)
+    val live = (if (liveVectors != null) liveVectors
+      else annLiveVectors(spark, storePath, beforeLanding))
       .select(col("vec_id").as("src"))
     // bucketed scan: the latest-per-src window is partition-local and
     // the live semi join co-located (both stores share the bucket count)
@@ -1631,7 +1638,8 @@ object StreamOps {
         // don't re-execute per reference (the graphAnnOf contract)
         val priorLive = priorLive0
         val priorEdges = SimOps.freshCheckpoint(
-          annIndexReport(spark, storePath, landingId), eager = false)
+          annIndexReport(spark, storePath, landingId,
+            liveVectors = priorLive0), eager = false)
         val (survivors, edgesAfterDel, changedDel) =
           if (nDeletes == 0L) (priorLive, priorEdges, null)
           else {
@@ -1746,7 +1754,7 @@ object StreamOps {
     val live = SimOps.freshCheckpoint(
       annLiveVectors(spark, storePath, upTo), eager = true)
     val edges = SimOps.freshCheckpoint(
-      annIndexReport(spark, storePath, upTo), eager = true)
+      annIndexReport(spark, storePath, upTo, liveVectors = live), eager = true)
     val asg = SimOps.freshCheckpoint(
       if (reassignAnchorMod > 0) freshAsgOf(live, reassignAnchorMod)
       else mergedAsg(spark, storePath, upTo)
